@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Analytical-layer aggregations (SURVEY.md §2.4 A2/A4-A7 — the reference's
+  * four BigQuery queries re-expressed as DataFrame transforms; in the engine
+  * they run as `spark.sql` / DataFrame over lake tables).
+  *
+  * All aggregates here are partial-aggregate friendly (map-side combine
+  * before the shuffle) and group on low-cardinality keys — at 100 TB the
+  * shuffle carries only (groups × partitions) pre-aggregated rows.
+  */
+object Analytics {
+
+  /** Exact, order-independent sum of a double measure.
+    *
+    * Plain double SUM is non-associative: the result depends on partition
+    * boundaries and merge order, so two runs (or two engines) can differ in
+    * the last ulp. Casting each input to DECIMAL(scale 2 — the reference's
+    * measure type, `...load_latest...py:64`) makes the aggregation exact and
+    * therefore deterministic; the final cast back to double is a single
+    * well-defined conversion. This mirrors the reference's own
+    * DecimalType(10,2) measure convention while fixing its float drift.
+    */
+  def stableSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Exact mean: exact decimal sum divided by count, in double. */
+  def stableAvg(c: Column, scale: Int = 2): Column =
+    stableSum(c, scale) / count(c)
+
+  /** A2 — rows per group. Ref `mergeHistoricalWeather.py:56`. */
+  def groupCount(df: DataFrame, key: String): DataFrame =
+    df.groupBy(key).count().orderBy(key)
+
+  /** A4 — monthly average of a measure.
+    * Ref `Queries/Average Energy Consumption by Month.sql`.
+    */
+  def monthlyAvg(df: DataFrame, timeCol: String, measure: String): DataFrame =
+    df.groupBy(month(col(timeCol)).as("month"))
+      .agg(stableAvg(col(measure)).as("avg_" + measure))
+      .orderBy("month")
+
+  /** A5 — hour-of-day average. Ref `Queries/How does energy consumption
+    * vary by time of day_.sql`.
+    */
+  def hourlyAvg(df: DataFrame, timeCol: String, measure: String): DataFrame =
+    df.groupBy(hour(col(timeCol)).as("hour_of_day"))
+      .agg(stableAvg(col(measure)).as("avg_" + measure))
+      .orderBy("hour_of_day")
+
+  /** A6 — percentage-of-total distribution across N measure columns in one
+    * global aggregate (single row). Ref `Queries/Percentage Distribution of
+    * Each Energy.sql`: `ROUND(SUM(src)/SUM(src1+..+srcN)*100, 2)` — note the
+    * denominator is the SUM of the row-wise total, so a null in any measure
+    * drops that entire row from the denominator (parity-relevant).
+    */
+  def percentageDistribution(df: DataFrame, measures: Seq[String]): DataFrame = {
+    val rowTotal = measures.map(col).reduce(_ + _)
+    val total = stableSum(rowTotal)
+    df.agg(
+      round(stableSum(col(measures.head)) / total * 100, 2).as("pct_" + measures.head),
+      measures.tail.map(m =>
+        round(stableSum(col(m)) / total * 100, 2).as("pct_" + m)): _*)
+  }
+
+  /** A7 — multi-key grouped average, ordered by the aggregate descending.
+    * Ref `README.md:290-300` (avg price per exact weather condition).
+    * Tie-broken on the group keys so output order is total and stable.
+    */
+  def multiKeyAvg(df: DataFrame, keys: Seq[String], measure: String,
+      alias: String = "average_price"): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(round(stableAvg(col(measure)), 2).as(alias))
+      .orderBy(desc(alias) +: keys.map(col): _*)
+}

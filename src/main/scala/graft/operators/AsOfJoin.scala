@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed backward as-of join (SURVEY.md §2.3 J2, §7.3).
+  *
+  * Reference semantics: `pd.merge_asof(fuel_mix, load, on="time")`
+  * (`pyspark_ercot_merge_fm_load_latest_BQ_archive_csv.py:59-79`) — for each
+  * left row, attach the value columns of the latest right row with
+  * `right.time <= left.time` (exact matches allowed); unmatched left rows
+  * get nulls (dropped later by the reference's `dropna`). The reference
+  * executes this on the DRIVER via `toPandas()` — its scalability cliff.
+  *
+  * This implementation is fully distributed and shuffle-bounded:
+  *
+  *  1. Bucket both sides on a fixed time grid (`numBuckets` spans of the
+  *     observed min..max range), union them with a side tag, and run ONE
+  *     window per (equi-keys, bucket) partition:
+  *     `last(value, ignoreNulls) OVER (ORDER BY t, tag ROWS UNBOUNDED
+  *     PRECEDING)`. Right rows sort before left rows at equal `t`, so exact
+  *     matches are included (pandas `allow_exact_matches=True`).
+  *  2. Left rows whose bucket had no earlier right row take a "carry-in":
+  *     the last right values of any earlier bucket, forward-filled over the
+  *     tiny (keys × buckets) spine frame and broadcast back.
+  *
+  * No global sort, no single-partition window: parallelism is
+  * (distinct equi keys) × numBuckets, so a keyless as-of (the reference's
+  * case) still spreads over numBuckets partitions. The carry-in spine is
+  * O(keys × buckets) rows — negligible, always broadcastable.
+  *
+  * Determinism: when several right rows share the same (keys, time), which
+  * one wins is tie-broken arbitrarily (pandas takes last-in-input-order,
+  * which is equally input-order-dependent). Pre-aggregate the right side to
+  * unique (keys, time) for fully deterministic output.
+  */
+object AsOfJoin {
+
+  /** Backward as-of join; returns all left columns plus one column per
+    * `valueCols` entry `(rightColumn, outputAlias)`.
+    *
+    * @param by equi-key pairs `(leftKey, rightKey)`; empty = global as-of
+    * @param inner drop unmatched left rows (reference's `dropna` composed in)
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[(String, String)] = Nil,
+      valueCols: Seq[(String, String)],
+      inner: Boolean = false,
+      numBuckets: Int = 64): DataFrame = {
+
+    val keys = by.map(_._1)
+    val outCols = left.columns.toSeq ++ valueCols.map(_._2)
+
+    // Micros-epoch ordering column; cast handles TIMESTAMP_NTZ inputs too
+    // (session time zone is pinned UTC, so the instant is unchanged).
+    def epochMicros(c: Column): Column =
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+
+    // MATCH marker __m rides along like a value column so `inner` can
+    // distinguish "matched with null value" from "no match".
+    val l = left.withColumn("__t", epochMicros(col(leftTime)))
+    var r = right.withColumn("__t", epochMicros(col(rightTime)))
+    for ((lk, rk) <- by if lk != rk) r = r.withColumnRenamed(rk, lk)
+
+    // Global time bounds (one tiny agg over both sides).
+    val bounds = l.select(col("__t")).unionAll(r.select(col("__t")))
+      .agg(min("__t").as("lo"), max("__t").as("hi")).head()
+    if (bounds.isNullAt(0)) { // both sides empty of times
+      val withVals = valueCols.foldLeft(l.drop("__t")) { case (d, (_, a)) =>
+        d.withColumn(a, lit(null))
+      }
+      return (if (inner) withVals.limit(0) else withVals)
+        .select(outCols.map(col): _*)
+    }
+    val lo = bounds.getLong(0)
+    val hi = bounds.getLong(1)
+    val width = math.max((hi - lo) / math.max(numBuckets, 1) + 1, 1L)
+    def bucketOf(t: Column): Column = ((t - lit(lo)) / lit(width)).cast(LongType)
+
+    val valIn = valueCols.map(_._1)
+    val valTmp = valueCols.indices.map(i => s"__v$i")
+    val payload = left.columns.toSeq // left cols pass through untouched
+
+    // Tagged union: right rows (tag 0) carry values, left rows (tag 1)
+    // carry payload. Columns absent on a side are null.
+    val rTagged = r.select(
+      keys.map(col) ++ Seq(bucketOf(col("__t")).as("__b"), col("__t"),
+        lit(0).as("__tag"), lit(1).as("__m")) ++
+        valTmp.zip(valIn).map { case (tmp, in) => col(in).as(tmp) } ++
+        payload.map(c => lit(null).cast(left.schema(c).dataType).as(s"__p_$c")): _*)
+    val lTagged = l.select(
+      keys.map(col) ++ Seq(bucketOf(col("__t")).as("__b"), col("__t"),
+        lit(1).as("__tag"), lit(null).cast("int").as("__m")) ++
+        valTmp.zip(valIn).map { case (tmp, in) =>
+          lit(null).cast(r.schema(in).dataType).as(tmp) } ++
+        payload.map(c => col(c).as(s"__p_$c")): _*)
+
+    val part = keys :+ "__b"
+    val w = Window.partitionBy(part.map(col): _*)
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rTagged.unionAll(lTagged)
+      .select((part.map(col) :+ col("__tag")) ++ payload.map(c => col(s"__p_$c")) ++
+        (valTmp :+ "__m").map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .where(col("__tag") === 1)
+
+    // Carry-in spine: last right values per (keys, bucket), forward-filled
+    // across buckets. Tiny frame — broadcast back to the big side.
+    val spine = l.select((keys.map(col) :+ bucketOf(col("__t")).as("__b")): _*)
+      .distinct()
+      .unionAll(r.select((keys.map(col) :+ bucketOf(col("__t")).as("__b")): _*).distinct())
+      .distinct()
+    val rLast = r.groupBy((keys.map(col) :+ bucketOf(col("__t")).as("__b")): _*)
+      .agg(max_by(struct((valIn.map(col) :+ lit(1).as("__m")): _*), col("__t")).as("__vals"))
+    val wb = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = spine.join(rLast, part, "left")
+      .select(part.map(col) :+ last(col("__vals"), ignoreNulls = true).over(wb).as("__carry"): _*)
+
+    val joined = filled.join(broadcast(carry), part, "left")
+    val resolved = joined.select(
+      payload.map(c => col(s"__p_$c").as(c)) ++
+        valTmp.zip(valueCols).map { case (tmp, (in, out)) =>
+          coalesce(col(tmp), col("__carry").getField(in)).as(out)
+        } :+ coalesce(col("__m"), col("__carry").getField("__m")).as("__m"): _*)
+
+    val res = if (inner) resolved.where(col("__m") === 1) else resolved
+    res.select(outCols.map(col): _*)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Point-in-interval joins (SURVEY.md §2.3 J1).
+  *
+  * Reference semantics: `test_pyspark_merge_spp_weather.py:54-59` —
+  * `weather ⋈ prices ON weather.Location = prices.Location AND
+  * weather.ts BETWEEN prices.interval_start AND prices.interval_end`
+  * (closed interval, both ends inclusive — SURVEY §7.4.6).
+  */
+object IntervalJoin {
+
+  /** Equi + closed-interval inner join. With a non-empty `equi` key set
+    * Catalyst extracts the equi conjunct → ShuffledHash/SortMerge join with
+    * the BETWEEN as a post-join residual (broadcast when one side is small);
+    * NEVER a BroadcastNestedLoopJoin. Guarded by [[assertNoNestedLoop]].
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: Column,
+      startCol: Column,
+      endCol: Column,
+      equi: Seq[(Column, Column)],
+      joinType: String = "inner"): DataFrame = {
+    val cond = (equi.map { case (l, r) => l === r } :+
+      pointCol.between(startCol, endCol)).reduce(_ && _)
+    points.join(intervals, cond, joinType)
+  }
+
+  /** Keyless (or low-selectivity-key) point-in-interval join for scale: a
+    * pure theta `BETWEEN` join would plan as a nested-loop cross product.
+    * Instead, explode each interval onto a fixed time grid
+    * (`sequence(floor(start/w), floor(end/w))`) and equi-join points on
+    * their grid cell, then apply the exact BETWEEN as a residual filter.
+    * Cost: |intervals| × (avg span / width) replicated rows, one hash
+    * shuffle — linear, no cross product. `widthMicros` should be on the
+    * order of the typical interval span (e.g. 15 min for the reference's
+    * SPP feed) so the blow-up factor stays ~1-2×.
+    */
+  def pointInIntervalBucketed(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      widthMicros: Long,
+      joinType: String = "inner"): DataFrame = {
+    require(widthMicros > 0)
+    val p = points.withColumn("__cell",
+      (unix_micros(col(pointCol)) / widthMicros).cast(LongType))
+    val i = intervals.withColumn("__cell",
+      explode(sequence(
+        (unix_micros(col(startCol)) / widthMicros).cast(LongType),
+        (unix_micros(col(endCol)) / widthMicros).cast(LongType))))
+    p.join(i, Seq("__cell"), joinType)
+      .where(col(pointCol).between(col(startCol), col(endCol)))
+      .drop("__cell")
+  }
+
+  /** Plan-quality guard (SURVEY §7.4.5): fail fast if the physical plan
+    * degenerated to a nested-loop / cartesian strategy.
+    */
+  def assertNoNestedLoop(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.executedPlan.toString()
+    require(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "interval join planned as nested loop — equi key not extracted")
+    df
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source-side operators (SURVEY.md §2.1, S1-S3).
+  *
+  * The reference's raw zone is "a folder of CSVs = one table"
+  * (`pyspark_ercot_load_latest_BQ_archive_csv.py:37`); Spark's multi-file
+  * directory scan is the same operator, and at 100 TB it parallelizes by
+  * file split (`spark.sql.files.maxPartitionBytes`), so no custom scan
+  * machinery is needed. Parquet is the curated-layer format: columnar,
+  * predicate-pushdown- and column-pruning-friendly.
+  */
+object LakeReader {
+
+  /** S1 — CSV folder scan, header=true, all columns string (faithful form).
+    * Ref `...load_latest...py:37`. One DataFrame over every file in `dir`.
+    */
+  def csvFolderRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("header", "true").csv(dir)
+
+  /** S1 (engine upgrade) — schema'd CSV scan: no inference pass, columns
+    * arrive typed; malformed fields null out (PERMISSIVE) which preserves
+    * the reference's cast-then-drop cleaning semantic downstream.
+    */
+  def csvFolder(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(dir)
+
+  /** Curated-zone scan. `table` is a parquet file/dir under `sfDir`. */
+  def table(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** S2 — explicit multi-path scan + union (ref `mergeHistoricalWeather.py:34-44`
+    * lists blobs and folds `union`). `unionByName` keeps it schema-safe;
+    * a single multi-path read is planned as one scan (no union node at all),
+    * which is what we use when schemas are identical.
+    */
+  def unionScan(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(paths: _*)
+
+  def unionByName(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_ unionByName _)
+
+  /** S3 — source-emptiness guard, ref `check_folder_has_files`
+    * (`...load_latest...py:27-34`). The reference's version only guards the
+    * read and still NameErrors downstream (SURVEY §2.1 bug note); ours is a
+    * real early-exit predicate for job composition.
+    */
+  def folderHasFiles(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isFile && s.getLen > 0 && !s.getPath.getName.startsWith("_"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val fm = Seq(
+    (ts("2024-05-01 00:00:00"), 100.0),
+    (ts("2024-05-01 00:05:00"), 110.0),
+    (ts("2024-05-01 00:59:00"), 120.0),
+    (ts("2024-05-01 01:00:00"), 130.0), // exact match with right @01:00
+    (ts("2024-04-30 23:00:00"), 90.0)   // before any right row
+  ).toDF("time", "mw")
+
+  private val load = Seq(
+    (ts("2024-05-01 00:00:00"), 42000.0),
+    (ts("2024-05-01 01:00:00"), 45000.0),
+    (ts("2024-05-01 02:00:00"), 47000.0)
+  ).toDF("time", "load")
+
+  /** Naive O(n·m) spec: latest right with rt <= lt. */
+  private def naive(left: Seq[(Timestamp, Double)],
+      right: Seq[(Timestamp, Double)]): Map[Timestamp, Option[Double]] =
+    left.map { case (lt, _) =>
+      lt -> right.filter(_._1.compareTo(lt) <= 0)
+        .sortBy(_._1.getTime).lastOption.map(_._2)
+    }.toMap
+
+  test("backward as-of matches naive spec, exact matches included (J2)") {
+    val got = AsOfJoin.backward(fm, load, "time", "time",
+      valueCols = Seq(("load", "load")), numBuckets = 2)
+      .select($"time", $"mw", $"load")
+      .collect().map(r => (r.getTimestamp(0), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val want = naive(
+      fm.collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq,
+      load.collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq)
+    assert(got === want)
+    // exact match: left @01:00 takes right @01:00, not @00:00
+    assert(got(ts("2024-05-01 01:00:00")) === Some(45000.0))
+    // unmatched left row yields null (outer form)
+    assert(got(ts("2024-04-30 23:00:00")) === None)
+  }
+
+  test("inner=true drops unmatched left rows (reference dropna composed)") {
+    val got = AsOfJoin.backward(fm, load, "time", "time",
+      valueCols = Seq(("load", "load")), inner = true, numBuckets = 2)
+    assert(got.count() === 4)
+  }
+
+  test("carry-in crosses empty buckets (left far after all right rows)") {
+    val left = Seq((ts("2030-01-01 00:00:00"), 1.0)).toDF("time", "mw")
+    val got = AsOfJoin.backward(left, load, "time", "time",
+      valueCols = Seq(("load", "load")), numBuckets = 50)
+    assert(got.select($"load").head.getDouble(0) === 47000.0)
+  }
+
+  test("keyed as-of partitions by equi key") {
+    val l = Seq(("a", ts("2024-05-01 01:30:00"), 1.0),
+      ("b", ts("2024-05-01 01:30:00"), 2.0)).toDF("k", "time", "x")
+    val r = Seq(("a", ts("2024-05-01 01:00:00"), 10.0),
+      ("b", ts("2024-05-01 01:15:00"), 20.0),
+      ("b", ts("2024-05-01 02:00:00"), 30.0)).toDF("kk", "time", "v")
+    val got = AsOfJoin.backward(l, r, "time", "time",
+      by = Seq(("k", "kk")), valueCols = Seq(("v", "v")), numBuckets = 4)
+      .select($"k", $"v").collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got === Map("a" -> 10.0, "b" -> 20.0))
+  }
+
+  test("bucket count does not change results (boundary invariance)") {
+    def run(n: Int): Array[(Timestamp, Option[Double])] =
+      AsOfJoin.backward(fm, load, "time", "time",
+        valueCols = Seq(("load", "load")), numBuckets = n)
+        .select($"time", $"load").collect()
+        .map(r => (r.getTimestamp(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+        .sortBy(_._1.getTime)
+    assert(run(1) === run(3))
+    assert(run(1) === run(64))
+  }
+
+  test("empty right side yields all-null values / empty inner") {
+    val empty = load.limit(0)
+    val outer = AsOfJoin.backward(fm, empty, "time", "time",
+      valueCols = Seq(("load", "load")))
+    assert(outer.count() === 5)
+    assert(outer.where($"load".isNotNull).count() === 0)
+    val inner = AsOfJoin.backward(fm, empty, "time", "time",
+      valueCols = Seq(("load", "load")), inner = true)
+    assert(inner.count() === 0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Normalize
+
+class NormalizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("renameAll snake_cases spaced mixed-case headers (P1)") {
+    val df = Seq(("a", 1)).toDF("Interval Start", "Wind Speed")
+    assert(Normalize.renameAll(df).columns.toSeq ===
+      Seq("interval_start", "wind_speed"))
+  }
+
+  test("renameAll is a no-op on already-normalized names") {
+    val df = Seq((1, 2)).toDF("zone", "wind_speed_10m")
+    assert(Normalize.renameAll(df).columns.toSeq === Seq("zone", "wind_speed_10m"))
+  }
+
+  test("castColumns + dropNullRows removes unparseable rows (P3, §7.4.3)") {
+    val dirty = Seq(
+      ("2024-05-01 00:00:00", "42000.55"),
+      ("not-a-date", "42000.55"),
+      ("2024-05-01 01:00:00", "garbage"),
+      ("2024-05-01 02:00:00", "51000.10")
+    ).toDF("time", "load")
+    val cast = Normalize.castColumns(dirty,
+      Map("time" -> TimestampType, "load" -> DecimalType(10, 2)))
+    assert(cast.schema("time").dataType === TimestampType)
+    assert(cast.schema("load").dataType === DecimalType(10, 2))
+    val clean = Normalize.dropNullRows(cast)
+    assert(clean.count() === 2)
+  }
+
+  test("parseTimestamp handles zone-offset strings (F2) in UTC session") {
+    val df = Seq("2024-05-01 00:15:00-05:00").toDF("d")
+    val parsed = df.select(
+      Normalize.parseTimestamp($"d", "yyyy-MM-dd HH:mm:ssXXX").as("ts"))
+    assert(parsed.head.getTimestamp(0).toInstant.toString === "2024-05-01T05:15:00Z")
+  }
+
+  test("dedup collapses exact duplicates; idempotent reprocessing (P4)") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
+    assert(Normalize.dedup(df).count() === 2)
+    assert(Normalize.dedup(df.unionAll(df)).count() === 2)
+  }
+
+  test("nullCensus counts nulls per column in one row (P5)") {
+    val df = Seq((Some(1), Option.empty[String]), (None, Some("x")),
+      (Some(3), None)).toDF("a", "b")
+    val row: Row = Normalize.nullCensus(df).head
+    assert(row.getLong(0) === 1L)
+    assert(row.getLong(1) === 2L)
+  }
+
+  test("typedProjection casts and renames (P2)") {
+    val df = Seq(("3.5", "LZ_WEST")).toDF("Temperature", "Location")
+    val out = Normalize.typedProjection(df,
+      Seq(("Temperature", "temp_f", FloatType), ("Location", "zone", StringType)))
+    assert(out.columns.toSeq === Seq("temp_f", "zone"))
+    assert(out.head.getFloat(0) === 3.5f)
+  }
+}

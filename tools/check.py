@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Local self-verification mimicking the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+Reads outDir/<name> parquet dirs (written by graft.Verify) and
+outDir/oracle_sql.json, runs each oracle against the sfDir tables in
+DuckDB, and compares schema + values (columns sorted by name; exact value
+match after row-sort, plus an order-sensitive check reported separately).
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_df(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df
+
+def values_equal(a, b):
+    if a is b:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    return a == b
+
+def compare(name, spark_df, oracle_df):
+    issues = []
+    s, o = norm_df(spark_df), norm_df(oracle_df)
+    if list(s.columns) != list(o.columns):
+        return [f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}"]
+    if len(s) != len(o):
+        issues.append(f"row count differs: spark={len(s)} oracle={len(o)}")
+        return issues
+    if list(map(str, s.dtypes)) != list(map(str, o.dtypes)):
+        issues.append(f"dtypes differ: spark={list(map(str, s.dtypes))} oracle={list(map(str, o.dtypes))}")
+    # order-sensitive compare
+    mismatch = 0
+    first = None
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        for i, (x, y) in enumerate(zip(sv, ov)):
+            if not values_equal(x, y):
+                mismatch += 1
+                if first is None:
+                    first = (c, i, x, y)
+                break
+    if mismatch:
+        # retry order-insensitive
+        ss = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+        oo = o.sort_values(by=list(o.columns)).reset_index(drop=True)
+        eq = True
+        for c in ss.columns:
+            for x, y in zip(ss[c].tolist(), oo[c].tolist()):
+                if not values_equal(x, y):
+                    eq = False
+                    break
+        if eq:
+            issues.append(f"values match only after row-sort (first order diff {first})")
+        else:
+            issues.append(f"VALUE MISMATCH first={first}")
+    return issues
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_ok = 0
+    names = sorted(glob.glob(f"{out}/*/"))
+    for d in names:
+        name = d.rstrip("/").split("/")[-1]
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            continue
+        spark_df = duckdb.connect().execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        if name not in oracle:
+            print(f"SKIP {name}: no oracle (rows-only: {len(spark_df)} rows)")
+            continue
+        try:
+            oracle_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            continue
+        issues = compare(name, spark_df, oracle_df)
+        if not issues:
+            n_ok += 1
+            print(f"OK   {name} ({len(spark_df)} rows)")
+        else:
+            for i in issues:
+                print(f"FAIL {name}: {i}")
+    missing = set(oracle) - {d.rstrip('/').split('/')[-1] for d in names}
+    for m in sorted(missing):
+        print(f"FAIL {m}: oracle declared but no spark output dir")
+    print(f"== {n_ok} OK / {len(names)} outputs / {len(oracle)} oracles ==")
+
+if __name__ == "__main__":
+    main()
