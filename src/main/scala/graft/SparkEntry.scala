@@ -41,7 +41,10 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    referenceOps ++ northStar
+
+  private def referenceOps: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- flagship: TPC-H Q1-shaped pricing summary (A1+A4-family agg) ----
     "q1_agg" -> ((s, dir) => {
@@ -181,6 +184,143 @@ object SparkEntry {
     }),
   )
 
+  /** Documents table augmented with a near-duplicate of every row (last
+    * five tokens dropped, doc_id + 1000000) — a deterministic corpus with
+    * known near-dup structure for the dedup operators, identical to the
+    * oracle's construction.
+    */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      col("lang"), col("source"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val perturbed = d.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 5, lit(0)))).as("text"),
+      col("lang"), col("source"))
+    d.unionByName(perturbed)
+  }
+
+  /** LLM-training-data pipeline operators (north-star extensions):
+    * text analysis, dedup (exact / n-gram Jaccard / MinHash / SimHash),
+    * embedding similarity search, multimodal plumbing.
+    */
+  private def northStar: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text: token / subword counting (map-side profile) ----
+    "t1_token_count" -> ((s, dir) => {
+      val tc = col("text")
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(tc).as("n_tokens"),
+        TextAnalysis.subwordCount(tc).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text: composite quality score ----
+    "t2_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // ---- text: heuristic language ID ----
+    "t3_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_id"))
+        .orderBy("doc_id")),
+
+    // ---- text: normalized md5 fingerprint ----
+    "t4_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- dedup: exact (keep-first survivor per identical text) ----
+    "d1_exact_dedup" -> ((s, dir) => {
+      val both = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(t(s, dir, "documents")
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactSurvivors(both, col("text"), col("doc_id"))
+        .orderBy("survivor_id")
+    }),
+
+    // ---- dedup: blocked token-3-gram Jaccard near-dup pairs ----
+    "d2_ngram_jaccard" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      val withSh = docs.withColumn("__sh", array_distinct(
+        Dedup.shingleHashes(TextAnalysis.tokens(col("text")), 3)))
+      val a = withSh.select(col("lang"), col("source"), col("doc_id"), col("__sh"))
+      val b = withSh.select(col("lang"), col("source"),
+        col("doc_id").as("doc_id_2"), col("__sh").as("__sh2"))
+      a.join(b, Seq("lang", "source"))
+        .where(col("doc_id") < col("doc_id_2"))
+        .withColumn("sim", graft.functions.GraftFunctions.jaccard(col("__sh"), col("__sh2")))
+        .where(col("sim") >= 0.5)
+        .select(col("doc_id"), col("doc_id_2"), col("sim"))
+        .orderBy("doc_id", "doc_id_2")
+    }),
+
+    // ---- dedup: MinHash + LSH candidate pairs, Jaccard-verified ----
+    "d3_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        n = 3, numHashes = 128, bands = 16, threshold = 0.5)
+        .orderBy("doc_id", "doc_id_2")),
+
+    // ---- dedup: SimHash near-dup pairs (hamming <= 3) ----
+    "d4_simhash_pairs" -> ((s, dir) => {
+      val both = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(t(s, dir, "documents")
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.simhashPairs(both, "doc_id", "text", maxDist = 3)
+        .orderBy("doc_id", "doc_id_2")
+    }),
+
+    // ---- similarity: brute-force cosine top-k (exact baseline) ----
+    "sim1_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qv", 10)
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- similarity: LSH-bucketed approximate top-k (scale path) ----
+    "sim2_lsh_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+        k = 10, dim = 64, bits = 6)
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- similarity: blocked embedding near-dup pairs ----
+    "e1_embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", threshold = 0.3)
+        .orderBy("vec_id", "vec_id_2")),
+
+    // ---- multimodal: binary payload + typed metadata ----
+    "mm1_binary_meta" -> ((s, dir) =>
+      Multimodal.attachBinary(t(s, dir, "documents"), "text", "text")
+        .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+          col("meta.checksum").as("checksum"))
+        .orderBy("doc_id")),
+
+    // ---- multimodal: partition-wise decode (stubbed) ----
+    "mm2_decode_stub" -> ((s, dir) => {
+      val bin = Multimodal.attachBinary(t(s, dir, "documents"), "text", "image")
+      Multimodal.decodeImages(bin, "doc_id", "payload", featureDim = 8)
+        .toDF().select(col("id"), col("width"), col("height"))
+        .orderBy("id")
+    }),
+
+    // ---- multimodal: deterministic frame sampling ----
+    "mm3_frame_sample" -> ((s, dir) => {
+      val bin = Multimodal.attachBinary(t(s, dir, "documents"), "text", "video")
+      Multimodal.sampleFrames(bin, "doc_id", "payload", n = 4)
+        .orderBy("doc_id", "frame_idx")
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -291,5 +431,94 @@ object SparkEntry {
         |  FROM orders GROUP BY o_custkey, o_orderdate) o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "t1_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality" ->
+      """SELECT doc_id, ROUND(
+        |  LEAST(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+        |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) > 0.2
+        |     THEN 0.0
+        |     ELSE 1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 5 END) * 0.3
+        |  + LEAST(CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+        |      / CAST(GREATEST(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+        |, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t3_langid" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('the','a','of','and','is'))) AS s_en,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('el','la','de','que','y'))) AS s_es,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('le','la','de','et','est'))) AS s_fr,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('的','是','了','在','和'))) AS s_zh
+        |FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_en > 0 THEN 'en'
+        |  WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_es > 0 THEN 'es'
+        |  WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_de > 0 THEN 'de'
+        |  WHEN s_fr = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+        |  WHEN s_zh = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+        |  ELSE 'und' END AS lang_id
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT MIN(doc_id) AS survivor_id FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |GROUP BY text ORDER BY survivor_id""".stripMargin,
+
+    "d2_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(len(string_split_regex(trim(text), '\s+'))-5, 0)], ' '),
+        |    lang, source FROM documents
+        |), t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(range(greatest(len(string_split_regex(trim(text), '\s+'))-2, 1)),
+        |      i -> string_split_regex(trim(text), '\s+')[i+1] || ' ' || string_split_regex(trim(text), '\s+')[i+2] || ' ' || string_split_regex(trim(text), '\s+')[i+3])) AS sh
+        |  FROM docs)
+        |SELECT a.doc_id AS doc_id, b.doc_id AS doc_id_2,
+        |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS sim
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+        |ORDER BY doc_id, doc_id_2""".stripMargin,
+
+    "sim1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    "e1_embedding_neardup" ->
+      """SELECT a.vec_id AS vec_id, b.vec_id AS vec_id_2,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+        |ORDER BY vec_id, vec_id_2""".stripMargin,
+
+    "mm1_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

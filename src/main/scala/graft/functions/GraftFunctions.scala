@@ -1,0 +1,277 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.SparkShim
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot inner loops of the dedup /
+  * similarity operators.
+  *
+  * The same math is expressible with `transform`/`aggregate` higher-order
+  * functions, but those walk an expression tree per element (boxing every
+  * long); on a 128-permutation MinHash over ~100 shingles that is ~13k
+  * interpreted evals per row and dominated the benchmark (128s at sf0.1).
+  * These expressions run one JIT-compiled primitive loop per row instead —
+  * preference order (b) of the build rules: custom `Expression` beats UDF.
+  *
+  * All are deterministic, null-safe, and CodegenFallback (the per-row cost
+  * is the internal loop, not the dispatch).
+  */
+object GraftFunctions {
+
+  private def longArrayCheck(es: Expression*): TypeCheckResult =
+    if (es.forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("expected array<bigint> input")
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** MinHash signature of a shingle-hash array: sig(j) = min over shingles
+    * of (h·a_j + b_j), 64-bit wraparound, a_j odd. Empty input → all
+    * Long.MaxValue (matches `array_min` over an empty transform = null →
+    * here saturated, so empty docs never collide with real ones).
+    */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult = longArrayCheck(child)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_sig"
+
+    @transient private lazy val seedA: Array[Long] =
+      Array.tabulate(numHashes)(j => splitmix64(2L * j) | 1L)
+    @transient private lazy val seedB: Array[Long] =
+      Array.tabulate(numHashes)(j => splitmix64(2L * j + 1))
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData].toLongArray()
+      val sig = new Array[Long](numHashes)
+      var j = 0
+      while (j < numHashes) {
+        val a = seedA(j); val b = seedB(j)
+        var best = Long.MaxValue
+        var i = 0
+        while (i < hs.length) {
+          val v = hs(i) * a + b
+          if (v < best) best = v
+          i += 1
+        }
+        sig(j) = best
+        j += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig =
+      copy(child = c)
+  }
+
+  /** Hashes of all `n`-token shingles of a token array: for window start i
+    * (0 .. max(len-n, 0)), xxhash64(seed 42) of the space-joined window —
+    * bit-identical to `transform(sequence(...), i => xxhash64(concat_ws(" ",
+    * slice(toks, i+1, n))))` but one primitive loop per row.
+    */
+  case class NgramHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure("expected array<string>")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_ngram_hashes"
+
+    @transient private lazy val space =
+      org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+    override def nullSafeEval(input: Any): Any = {
+      val ad = input.asInstanceOf[ArrayData]
+      val len = ad.numElements()
+      val toks = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+      var i = 0
+      while (i < len) {
+        toks(i) = ad.getUTF8String(i)
+        i += 1
+      }
+      val windows = math.max(len - n, 0) + 1
+      val out = new Array[Long](windows)
+      i = 0
+      while (i < windows) {
+        val w = java.util.Arrays.copyOfRange(toks, i, math.min(i + n, len))
+        val joined = org.apache.spark.unsafe.types.UTF8String.concatWs(space, w: _*)
+        out(i) = XxHash64Function.hash(joined, StringType, 42L)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): NgramHashes =
+      copy(child = c)
+  }
+
+  /** 64-bit SimHash over an array of token hashes: bit i of the result is
+    * set iff Σ_tokens (((h >>> i) & 1) == 1 ? +1 : -1) > 0.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult = longArrayCheck(child)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData].toLongArray()
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < hs.length) {
+        val h = hs(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 =
+      copy(child = c)
+  }
+
+  /** Set-Jaccard of two long arrays: |distinct(A) ∩ distinct(B)| /
+    * |distinct(A) ∪ distinct(B)| as a double (0.0 when both empty).
+    * Sort-merge over copied arrays — no boxing, no hash sets.
+    */
+  case class JaccardLong(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      longArrayCheck(left, right)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_jaccard"
+
+    private def sortedDistinct(a: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return a
+      java.util.Arrays.sort(a)
+      var n = 1
+      var i = 1
+      while (i < a.length) {
+        if (a(i) != a(n - 1)) { a(n) = a(i); n += 1 }
+        i += 1
+      }
+      if (n == a.length) a else java.util.Arrays.copyOf(a, n)
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = sortedDistinct(l.asInstanceOf[ArrayData].toLongArray())
+      val b = sortedDistinct(r.asInstanceOf[ArrayData].toLongArray())
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      val union = a.length + b.length - inter
+      java.lang.Double.valueOf(
+        if (union == 0) 0.0 else inter.toDouble / union.toDouble)
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): JaccardLong = copy(left = l, right = r)
+  }
+
+  /** Cosine similarity of two float/double arrays with sequential double
+    * accumulation in index order and final `dot / (sqrt(na) * sqrt(nb))` —
+    * bit-identical to a C++ loop over the same values (DuckDB
+    * `list_cosine_similarity` on DOUBLE[] parity).
+    */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double> inputs")
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine"
+
+    private def toDoubles(v: Any, dt: DataType): Array[Double] = {
+      val ad = v.asInstanceOf[ArrayData]
+      dt.asInstanceOf[ArrayType].elementType match {
+        case FloatType =>
+          val f = ad.toFloatArray()
+          val d = new Array[Double](f.length)
+          var i = 0
+          while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+          d
+        case _ => ad.toDoubleArray()
+      }
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = toDoubles(l, left.dataType)
+      val b = toDoubles(r, right.dataType)
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        dot += a(i) * b(i)
+        na += a(i) * a(i)
+        nb += b(i) * b(i)
+        i += 1
+      }
+      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
+  }
+
+  // ---- Column API ----
+
+  def ngramHashes(toks: Column, n: Int): Column =
+    SparkShim.toColumn(NgramHashes(SparkShim.toExpression(toks), n))
+
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    SparkShim.toColumn(
+      MinHashSig(SparkShim.toExpression(shingles), numHashes))
+
+  def simhash64(tokenHashes: Column): Column =
+    SparkShim.toColumn(SimHash64(SparkShim.toExpression(tokenHashes)))
+
+  def jaccard(a: Column, b: Column): Column =
+    SparkShim.toColumn(JaccardLong(
+      SparkShim.toExpression(a), SparkShim.toExpression(b)))
+
+  def cosine(a: Column, b: Column): Column =
+    SparkShim.toColumn(CosineSim(
+      SparkShim.toExpression(a), SparkShim.toExpression(b)))
+
+  /** Register the functions for SQL use (`SELECT graft_cosine(a, b) ...`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_jaccard",
+      es => JaccardLong(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      es => CosineSim(es.head, es(1)), "scala_udf")
+  }
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * fingerprint, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every variant reduces to (map-side signature) →
+  * (shuffle on a narrow key) → (pair verification inside buckets). No
+  * operator ever compares all N² pairs; candidate generation is always
+  * hash-bucketed, so cost is O(N) + O(Σ bucket²) with bucket sizes bounded
+  * by the banding parameters.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact dedup: keep the lowest-id row per identical key. One hash
+    * shuffle on the key (at 100 TB: dedup on a fingerprint/hash column,
+    * not the full text, so shuffle rows are narrow).
+    */
+  def exactSurvivors(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("__k")).agg(min(id).as("survivor_id")).drop("__k")
+
+  /** Exact dedup keeping whole first-id rows (semi-join back). */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val surv = df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
+    df.join(surv, keyCols :+ idCol, "left_semi")
+  }
+
+  /** Near-exact dedup on the whitespace/case-normalized md5 fingerprint. */
+  def byFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exact(df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+      Seq("__fp"), idCol).drop("__fp")
+
+  // ---------- character-set Jaccard (blocked pairwise) ----------
+
+  /** Jaccard similarity of the distinct-character sets of two strings
+    * (DuckDB `jaccard` semantics: set-based, case-sensitive).
+    */
+  def charJaccard(a: Column, b: Column): Column = {
+    val ca = array_distinct(split(a, ""))
+    val cb = array_distinct(split(b, ""))
+    size(array_intersect(ca, cb)).cast(DoubleType) /
+      size(array_union(ca, cb)).cast(DoubleType)
+  }
+
+  /** Token n-gram (shingle) Jaccard over two texts. */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
+    graft.functions.GraftFunctions.jaccard(
+      shingleHashes(TextAnalysis.tokens(a), n),
+      shingleHashes(TextAnalysis.tokens(b), n))
+
+  /** All pairs within `blockCols` blocks whose similarity ≥ threshold.
+    * Blocking keys bound the self-join (equi-shuffle, no cross product);
+    * at scale choose blocks so the largest block fits one task (salt or
+    * sub-block if skewed).
+    */
+  def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val a = df.select((blockCols :+ idCol :+ textCol).map(col): _*)
+    val b = df.select((blockCols :+ idCol :+ textCol).map(col): _*)
+      .withColumnRenamed(idCol, idCol + "_2")
+      .withColumnRenamed(textCol, textCol + "_2")
+    a.join(b, blockCols)
+      .where(col(idCol) < col(idCol + "_2"))
+      .withColumn("sim", charJaccard(col(textCol), col(textCol + "_2")))
+      .where(col("sim") >= threshold)
+      .select(col(idCol), col(idCol + "_2"), col("sim"))
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** Deterministic 64-bit mix (splitmix64) — drives per-permutation hash
+    * coefficients at plan-build time; the data-side hashing is xxhash64.
+    */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Hashes of token `n`-shingles: xxhash64 of the space-joined window.
+    * Map-side only; array column of size (tokens - n + 1).
+    */
+  def shingleHashes(toks: Column, n: Int): Column =
+    graft.functions.GraftFunctions.ngramHashes(toks, n)
+
+  /** MinHash signature: for permutation j, min over shingles of
+    * a_j·h + b_j (64-bit wrap-around universal-ish hashing). One array
+    * column of `numHashes` longs per row, all map-side.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    graft.functions.GraftFunctions.minhashSig(shingles, numHashes)
+
+  /** LSH band keys: hash each of `bands` contiguous signature slices.
+    * Two documents collide in some band iff their signatures agree on all
+    * `rows = numHashes / bands` positions of that band.
+    */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * rows + 1, lit(rows))))
+
+  /** Candidate pairs via MinHash LSH, verified with exact shingle-set
+    * Jaccard ≥ `threshold`. Pipeline: shingle → signature (map) → explode
+    * bands (×bands) → shuffle on band key → within-bucket pairing →
+    * distinct pair → verify. The only quadratic work is inside LSH
+    * buckets, whose expected size is controlled by (bands, rows).
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "bands must divide numHashes")
+    val withSig = df.select(col(idCol), col(textCol))
+      .withColumn("__sh", array_distinct(
+        shingleHashes(TextAnalysis.tokens(col(textCol)), n)))
+      .withColumn("__band", explode(
+        bandKeys(minhashSignature(col("__sh"), numHashes), bands, rows)))
+    val l = withSig.select(col("__band"), col(idCol), col("__sh"))
+    val r = withSig.select(col("__band"), col(idCol).as(idCol + "_2"),
+      col("__sh").as("__sh2"))
+    l.join(r, "__band")
+      .where(col(idCol) < col(idCol + "_2"))
+      .select(col(idCol), col(idCol + "_2"), col("__sh"), col("__sh2"))
+      .dropDuplicates(idCol, idCol + "_2")
+      .withColumn("jaccard",
+        graft.functions.GraftFunctions.jaccard(col("__sh"), col("__sh2")))
+      .where(col("jaccard") >= threshold)
+      .select(col(idCol), col(idCol + "_2"), col("jaccard"))
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
+    * ±1 contributions from each token's xxhash64. Near-identical texts
+    * differ in few bits.
+    */
+  def simhash64(toks: Column): Column =
+    graft.functions.GraftFunctions.simhash64(transform(toks, t => xxhash64(t)))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs with hamming(simhash) ≤ maxDist, candidates generated
+    * by the 4×16-bit-chunk pigeonhole (distance ≤ 3 ⇒ at least one chunk
+    * identical): explode 4 chunks → shuffle on (chunk idx, value) →
+    * in-bucket verify. Linear candidate generation, no N².
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk blocking guarantees recall only to distance 3")
+    val sigs = df.select(col(idCol),
+      simhash64(TextAnalysis.tokens(col(textCol))).as("__sig"))
+    val chunked = sigs.withColumn("__c", explode(
+      transform(sequence(lit(0), lit(3)),
+        i => struct(i.as("i"),
+          call_function("shiftright", col("__sig"), i * 16).bitwiseAND(0xFFFFL).as("v")))))
+    val l = chunked.select(col("__c"), col(idCol), col("__sig"))
+    val r = chunked.select(col("__c"), col(idCol).as(idCol + "_2"),
+      col("__sig").as("__sig2"))
+    l.join(r, "__c")
+      .where(col(idCol) < col(idCol + "_2"))
+      .select(col(idCol), col(idCol + "_2"),
+        hamming(col("__sig"), col("__sig2")).as("dist"))
+      .where(col("dist") <= maxDist)
+      .dropDuplicates(idCol, idCol + "_2")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extensions beyond the reference surface — BASELINE.json).
+  *
+  * All operators are pure column expressions (no UDFs): language ID,
+  * quality scoring, token counting, and fingerprinting run map-side with
+  * zero shuffles, so at 100 TB they cost exactly one scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. `trim` first so leading/trailing blanks
+    * don't produce empty tokens.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs — the shape of a byte-pair tokenizer's
+    * pre-tokenization. Cheap proxy for LLM token budgeting.
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Punctuation character count (explicit class — engine-portable). */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[.,;:!?'\"()-]"))
+
+  // Per-language marker stopwords for the n-gram language heuristic.
+  // Tiny on purpose: the heuristic is argmax of marker-token hits.
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Count of tokens that appear in `words` (exact token match). */
+  def markerHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => words.map(w => t === lit(w)).reduce(_ || _)))
+
+  /** Heuristic language ID: argmax of per-language marker hits, "und"
+    * when nothing matches. Ties break by [[langMarkers]] order (en first).
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ws) => (lang, markerHits(text, ws)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Stopword ratio against English markers (quality signal). */
+  def stopwordRatio(text: Column): Column =
+    markerHits(text, langMarkers.head._2).cast(DoubleType) /
+      greatest(tokenCount(text), lit(1)).cast(DoubleType)
+
+  /** Composite quality score in [0,1]: length band + punctuation sanity +
+    * stopword presence. Deterministic double arithmetic (same expression
+    * tree evaluates identically everywhere).
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast(DoubleType)
+    val lenScore = least(len / lit(400.0), lit(1.0))
+    val punctRatio = punctCount(text).cast(DoubleType) / greatest(len, lit(1.0))
+    val punctScore = when(punctRatio > 0.2, lit(0.0)).otherwise(lit(1.0) - punctRatio * 5)
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 6)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * Content-defined, join-friendly (32 hex chars), portable across
+    * engines — the exact-dedup key for [[Dedup.byFingerprint]].
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling polynomial hash over tokens (base-31 mod 2^64, Java-string
+    * style but over whole tokens) — an order-sensitive fingerprint that,
+    * unlike [[fingerprint]], can be computed incrementally per shingle.
+    * Used as the shingle hash for MinHash.
+    */
+  def rollingTokenHash(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => acc * lit(1315423911L) + xxhash64(t))
+
+  /** Full per-document profile in one map-side pass. */
+  def profile(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCount(t))
+      .withColumn("lang_id", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 0),
+    (3L, Array(0.0f, 0.0f, 1.0f), 1),
+    (4L, Array(1.0f, 0.0f, 0.01f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine matches a hand-computed value") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).head.getDouble(0)
+    val want = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(got === want)
+  }
+
+  test("bruteForceTopK ranks by cosine desc, skips self") {
+    val q = vecs.where($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val got = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      q, "qid", "qv", 3)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(got === Array(4L, 1L, 2L)) // 4 ≈ colinear, then 1, then orthogonal 2
+  }
+
+  test("nearDupPairs respects label blocking and threshold") {
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      "label", 0.9)
+      .select("vec_id", "vec_id_2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L))) // (0,4) cross-label: excluded; (3,4) sim≈0.01
+  }
+
+  test("lshTopK returns a subset consistent with brute force ranking") {
+    val q = vecs.where($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      q, "qid", "qv", 5).select("vec_id", "sim").as[(Long, Double)].collect().toMap
+    val approx = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      q, "qid", "qv", k = 5, dim = 3, bits = 2)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (id, sim) => assert(brute(id) === sim) }
+  }
+
+  test("multimodal decode stub is deterministic and batch-shaped") {
+    val bin = Multimodal.attachBinary(
+      Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text"), "text", "image")
+    val a = Multimodal.decodeImages(bin, "doc_id", "payload", 4).collect()
+    val b = Multimodal.decodeImages(bin, "doc_id", "payload", 4).collect()
+    assert(a.map(_.id).sorted === Array(1L, 2L))
+    assert(a.map(i => (i.id, i.width, i.height, i.features.toSeq)).toSet ===
+      b.map(i => (i.id, i.width, i.height, i.features.toSeq)).toSet)
+    assert(a.forall(_.features.length === 4))
+  }
+
+  test("frame sampling emits n deterministic frames per doc") {
+    val bin = Multimodal.attachBinary(
+      Seq((1L, "some video payload bytes")).toDF("doc_id", "text"), "text", "video")
+    val frames = Multimodal.sampleFrames(bin, "doc_id", "payload", 4).collect()
+    assert(frames.length === 4)
+    assert(frames.map(_.getInt(1)).sorted === Array(0, 1, 2, 3))
+  }
+}

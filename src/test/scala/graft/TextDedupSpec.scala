@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+class TextDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "THE  Quick   brown fox jumps over the lazy dog") // fingerprint-dup of 1 (case+ws)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical text") {
+    val surv = Dedup.exactSurvivors(docs, col("text"), col("doc_id"))
+      .orderBy("survivor_id").as[Long].collect()
+    assert(surv === Array(1L, 2L, 3L, 5L))
+  }
+
+  test("fingerprint dedup also collapses case/whitespace variants") {
+    val kept = Dedup.byFingerprint(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 2L, 3L))
+  }
+
+  test("fingerprint is invariant to case and whitespace runs") {
+    val fps = docs.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) === fps(3))
+    assert(fps(0) === fps(4))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("minhash LSH finds near-dup and exact-dup pairs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical texts distance 0; unrelated texts far") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+  }
+
+  test("simhashPairs returns exact dups at distance 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("doc_id", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("langId picks marker-matching language, und on no markers") {
+    val df = Seq(
+      "the cat is a friend of the dog",
+      "el perro de la casa que ladra y muerde",
+      "der hund und die katze das ist gut",
+      "zzz qqq xxx").toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(got === Array("en", "es", "de", "und"))
+  }
+
+  test("token and subword counts") {
+    val df = Seq("hello world, 42 times!").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.subwordCount(col("text"))).head
+    assert(r.getInt(0) === 4)
+    // hello | world | , | 42 | times | ! = 6
+    assert(r.getInt(1) === 6)
+  }
+}
