@@ -1,0 +1,168 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{AsOfJoin, IntervalJoin, Normalize}
+import graft.sources.{LakeReader, LakeWriter}
+
+/** The reference's six pipeline compositions (SURVEY.md §3), re-expressed
+  * as lazy single-plan jobs: the reference re-scans its CSVs once per
+  * action (count/show/write — §3.1 note); here each job builds ONE plan,
+  * executes it with the write, and the only extra action is an optional
+  * row-count on the written result.
+  *
+  * Every job: guard (S3) → folder scan (S1) → snake_case rename (P1) →
+  * casts (F1-F5, null-on-fail) → na.drop (P3) → [dedup (P4)] → parquet
+  * append (S4) → archive processed files (S7).
+  */
+object Jobs {
+
+  /** Outcome of a job run: rows appended (None = skipped, empty source). */
+  type Result = Option[Long]
+
+  /** Single-folder ELT — `pyspark_ercot_load_latest_BQ_archive_csv.py`
+    * (and the historical/forecast variants via `dedup`/`casts`).
+    */
+  def singleFolderElt(
+      spark: SparkSession,
+      sourceDir: String,
+      archiveDir: String,
+      lakePath: String,
+      casts: Map[String, DataType],
+      dedup: Boolean = false): Result = {
+    if (!LakeReader.folderHasFiles(spark, sourceDir)) return None
+    val raw = LakeReader.csvFolderRaw(spark, sourceDir)
+    val cleaned = clean(raw, casts, dedup)
+    LakeWriter.append(cleaned, lakePath)
+    LakeWriter.archive(spark, sourceDir, archiveDir)
+    Some(spark.read.parquet(lakePath).count())
+  }
+
+  /** Fuel-mix ⋈asof load merge —
+    * `pyspark_ercot_merge_fm_load_latest_BQ_archive_csv.py`. The
+    * reference's driver-side `toPandas + merge_asof` round-trip (its
+    * scalability cliff, §3.2) is replaced by the distributed
+    * [[AsOfJoin.backward]]; same output contract (backward-nearest,
+    * exact matches allowed, unmatched rows dropped by na.drop).
+    */
+  def fmLoadMerge(
+      spark: SparkSession,
+      fuelMixDir: String,
+      loadDir: String,
+      fmArchiveDir: String,
+      loadArchiveDir: String,
+      lakePath: String): Result = {
+    if (!LakeReader.folderHasFiles(spark, fuelMixDir) ||
+      !LakeReader.folderHasFiles(spark, loadDir)) return None
+
+    val fmCasts: Map[String, DataType] =
+      Map("time" -> TimestampType) ++
+        Seq("coal_and_lignite", "hydro", "nuclear", "power_storage", "solar",
+          "wind", "natural_gas", "other").map(_ -> DecimalType(10, 2))
+    val loadCasts: Map[String, DataType] = Map(
+      "time" -> TimestampType, "interval_start" -> TimestampType,
+      "interval_end" -> TimestampType, "load" -> DecimalType(10, 2))
+
+    val fm = clean(LakeReader.csvFolderRaw(spark, fuelMixDir), fmCasts, dedup = false)
+    val load = clean(LakeReader.csvFolderRaw(spark, loadDir), loadCasts, dedup = false)
+
+    val merged = AsOfJoin.backward(
+      fm, load.withColumnRenamed("time", "load_time"),
+      leftTime = "time", rightTime = "load_time",
+      valueCols = Seq(("interval_start", "interval_start"),
+        ("interval_end", "interval_end"), ("load", "load")),
+      inner = true) // reference dropna composed in
+    val result = Normalize.dedup(Normalize.dropNullRows(merged))
+    LakeWriter.append(result, lakePath)
+    LakeWriter.archive(spark, fuelMixDir, fmArchiveDir)
+    LakeWriter.archive(spark, loadDir, loadArchiveDir)
+    Some(spark.read.parquet(lakePath).count())
+  }
+
+  /** SPP ⋈interval weather merge — `test_pyspark_merge_spp_weather.py`:
+    * offset-bearing timestamp parse (F2), equi+BETWEEN interval join (J1),
+    * 12-column typed projection (P2), dedup, append, archive both.
+    */
+  def sppWeatherMerge(
+      spark: SparkSession,
+      sppDir: String,
+      weatherDir: String,
+      sppArchiveDir: String,
+      weatherArchiveDir: String,
+      lakePath: String): Result = {
+    if (!LakeReader.folderHasFiles(spark, sppDir) ||
+      !LakeReader.folderHasFiles(spark, weatherDir)) return None
+
+    val fmt = "yyyy-MM-dd HH:mm:ssXXX"
+    val spp = LakeReader.csvFolderRaw(spark, sppDir)
+      .withColumn("Interval Start",
+        Normalize.parseTimestamp(col("Interval Start"), fmt))
+      .withColumn("Interval End",
+        Normalize.parseTimestamp(col("Interval End"), fmt))
+      .withColumn("Time", Normalize.parseTimestamp(col("Time"), fmt))
+    val weather = LakeReader.csvFolderRaw(spark, weatherDir)
+      .withColumn("Date", Normalize.parseTimestamp(col("Date"), fmt))
+
+    val joined = IntervalJoin.assertNoNestedLoop(
+      IntervalJoin.pointInInterval(
+        weather, spp,
+        weather("Date"), spp("Interval Start"), spp("Interval End"),
+        Seq((weather("Location"), spp("Location")))))
+
+    // P2: 12-column typed projection (test_pyspark_merge_spp_weather.py:62-75)
+    val projected = joined.select(
+      weather("Location").as("Location"),
+      weather("Temperature").cast(FloatType).as("Temperature"),
+      weather("Temp_min").cast(FloatType).as("Temp_min"),
+      weather("Temp_max").cast(FloatType).as("Temp_max"),
+      weather("Pressure").cast(FloatType).as("Pressure"),
+      weather("Humidity").cast(FloatType).as("Humidity"),
+      col("Wind Speed").cast(FloatType).as("Wind_Speed"),
+      weather("Date").as("Weather_Timestamp"),
+      spp("SPP").cast(FloatType).as("SPP"),
+      spp("Time").as("Price_Time"),
+      spp("Interval Start").as("Price_Interval_Start"),
+      spp("Interval End").as("Price_Interval_End"))
+
+    val result = Normalize.dedup(projected)
+    LakeWriter.append(result, lakePath)
+    LakeWriter.archive(spark, sppDir, sppArchiveDir)
+    LakeWriter.archive(spark, weatherDir, weatherArchiveDir)
+    Some(spark.read.parquet(lakePath).count())
+  }
+
+  /** Historical-weather union — `mergeHistoricalWeather.py`: explicit
+    * multi-file union (SET1), timestamp cast, na.drop, per-zone count (A2),
+    * CSV sink (S6) + overwrite lake sink (S5).
+    */
+  def historicalWeatherUnion(
+      spark: SparkSession,
+      sourceDir: String,
+      lakePath: String,
+      csvOutDir: Option[String] = None): Result = {
+    if (!LakeReader.folderHasFiles(spark, sourceDir)) return None
+    val raw = LakeReader.csvFolderRaw(spark, sourceDir) // folder scan = union
+    val cleaned = Normalize.dropNullRows(
+      Normalize.castColumns(Normalize.renameAll(raw),
+        Map("date" -> TimestampType) ++
+          Seq("latitude", "longitude", "temperature_2m",
+            "relative_humidity_2m", "dew_point_2m", "precipitation", "rain",
+            "snowfall", "cloud_cover", "cloud_cover_low", "cloud_cover_mid",
+            "cloud_cover_high", "wind_speed_10m", "wind_speed_100m",
+            "wind_direction_10m", "wind_direction_100m", "wind_gusts_10m")
+            .map(_ -> FloatType: (String, DataType)).toMap))
+    csvOutDir.foreach(LakeWriter.csvOverwrite(cleaned, _))
+    LakeWriter.overwrite(cleaned, lakePath)
+    Some(spark.read.parquet(lakePath).count())
+  }
+
+  /** Shared cleaning tail: rename → cast (null-on-fail) → na.drop → dedup. */
+  private def clean(raw: DataFrame, casts: Map[String, DataType],
+      dedup: Boolean): DataFrame = {
+    val cleaned = Normalize.dropNullRows(
+      Normalize.castColumns(Normalize.renameAll(raw), casts))
+    if (dedup) Normalize.dedup(cleaned) else cleaned
+  }
+}

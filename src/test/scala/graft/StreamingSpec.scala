@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.streaming.AvailableNowJobs
+
+class StreamingSpec extends SparkTestBase {
+
+  private val rawSchema = StructType(Seq(
+    StructField("Time", StringType), StructField("Interval Start", StringType),
+    StructField("Interval End", StringType), StructField("Load", StringType)))
+
+  private val casts: Map[String, DataType] = Map(
+    "time" -> TimestampType, "interval_start" -> TimestampType,
+    "interval_end" -> TimestampType, "load" -> DecimalType(10, 2))
+
+  test("AvailableNow ELT drains folder, archives source, appends lake; " +
+    "second drain is exactly-once (no reprocessing)") {
+    val src = Files.createTempDirectory("stream_src")
+    val arch = Files.createTempDirectory("stream_arch")
+    val lake = Files.createTempDirectory("stream_lake").resolve("t").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    Files.writeString(src.resolve("load_1.csv"),
+      """Time,Interval Start,Interval End,Load
+        |2024-05-01 00:00:00,2024-05-01 00:00:00,2024-05-01 01:00:00,42000.55
+        |bad,2024-05-01 01:00:00,2024-05-01 02:00:00,45000.00
+        |2024-05-01 02:00:00,2024-05-01 02:00:00,2024-05-01 03:00:00,47000.00
+        |""".stripMargin)
+
+    AvailableNowJobs.singleFolderElt(spark, src.toString, arch.toString,
+      lake, ckpt, rawSchema, casts)
+    val out1 = spark.read.parquet(lake)
+    assert(out1.count() === 2) // bad-ts row dropped by cast+na.drop
+    assert(out1.schema("load").dataType === DecimalType(10, 2))
+
+    // drain again with no new files: count unchanged (checkpoint dedup)
+    AvailableNowJobs.singleFolderElt(spark, src.toString, arch.toString,
+      lake, ckpt, rawSchema, casts)
+    assert(spark.read.parquet(lake).count() === 2)
+
+    // new file arrives → only it is processed
+    Files.writeString(src.resolve("load_2.csv"),
+      """Time,Interval Start,Interval End,Load
+        |2024-05-01 03:00:00,2024-05-01 03:00:00,2024-05-01 04:00:00,48000.00
+        |""".stripMargin)
+    AvailableNowJobs.singleFolderElt(spark, src.toString, arch.toString,
+      lake, ckpt, rawSchema, casts)
+    assert(spark.read.parquet(lake).count() === 3)
+  }
+
+  test("windowed streaming aggregation over a file stream (A5 upgrade)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("stream_agg")
+    Files.writeString(dir.resolve("e.csv"),
+      """ts,value
+        |2024-05-01 00:10:00,10.0
+        |2024-05-01 00:20:00,20.0
+        |2024-05-01 01:10:00,30.0
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.option("header", "true")
+      .schema(schema).csv(dir.toString)
+    val agg = AvailableNowJobs.windowedAvg(stream, "ts", "value")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_out")
+      .orderBy("window_start")
+      .select(col("avg_value"), col("n")).collect()
+    assert(rows.map(r => (r.getDouble(0), r.getLong(1))).toSeq ===
+      Seq((15.0, 2L), (30.0, 1L)))
+  }
+}
