@@ -71,6 +71,17 @@ object Dedup {
       .select(col(idCol), col(idCol + "_2"), col("sim"))
   }
 
+  /** Spread a small input across the full shuffle-partition count before
+    * a compute-heavy map stage. Tiny parquet inputs are one row-group =
+    * one split = one task, which would leave signature computation
+    * single-threaded; this narrow-row shuffle is O(input) and unlocks
+    * cluster-wide parallelism. On large (multi-split) inputs it is an
+    * unneeded-but-cheap rebalance; callers on 100 TB inputs should feed
+    * naturally-split files and skip it.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   // ---------- MinHash + LSH ----------
 
   /** Deterministic 64-bit mix (splitmix64) — drives per-permutation hash
@@ -115,7 +126,7 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
-    val withSig = df.select(col(idCol), col(textCol))
+    val withSig = spread(df.select(col(idCol), col(textCol)))
       .withColumn("__sh", array_distinct(
         shingleHashes(TextAnalysis.tokens(col(textCol)), n)))
       .withColumn("__band", explode(
@@ -153,8 +164,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk blocking guarantees recall only to distance 3")
-    val sigs = df.select(col(idCol),
-      simhash64(TextAnalysis.tokens(col(textCol))).as("__sig"))
+    val sigs = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), simhash64(TextAnalysis.tokens(col(textCol))).as("__sig"))
     val chunked = sigs.withColumn("__c", explode(
       transform(sequence(lit(0), lit(3)),
         i => struct(i.as("i"),

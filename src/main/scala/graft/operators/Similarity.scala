@@ -97,11 +97,18 @@ object Similarity {
     * cluster/label/LSH-bucket column), all pairs with cosine ≥ threshold.
     */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double,
+      saltFactor: Int = 8): DataFrame = {
+    // Low-cardinality blocks (10 labels) would cap the join at 10 tasks;
+    // salting the left side and replicating the right saltFactor-ways
+    // raises parallelism to blocks x saltFactor while emitting every pair
+    // exactly once.
     val a = emb.select(col(blockCol), col(idCol), col(vecCol))
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(saltFactor)).cast("int"))
     val b = emb.select(col(blockCol), col(idCol).as(idCol + "_2"),
       col(vecCol).as(vecCol + "_2"))
-    a.join(b, blockCol)
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    a.join(b, Seq(blockCol, "__salt"))
       .where(col(idCol) < col(idCol + "_2"))
       .withColumn("sim", cosine(col(vecCol), col(vecCol + "_2")))
       .where(col("sim") >= threshold)
