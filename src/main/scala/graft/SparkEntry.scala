@@ -319,6 +319,22 @@ object SparkEntry {
       Multimodal.sampleFrames(bin, "doc_id", "payload", n = 4)
         .orderBy("doc_id", "frame_idx")
     }),
+
+    // ---- SQL entry point: analyst SQL over registered lake views ----
+    "sql1_hourly" -> ((s, dir) => {
+      graft.sql.SqlLayer.register(s, dir, Seq("events"))
+      graft.sql.SqlLayer.run(s, graft.sql.SqlLayer.hourlyAvg)
+    }),
+
+    // ---- F2: zone-offset timestamp parsing (yyyy-MM-dd HH:mm:ssXXX) ----
+    "f2_offset_parse" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"),
+        Normalize.parseTimestamp(
+          concat(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+            lit("-05:00")),
+          "yyyy-MM-dd HH:mm:ssXXX").cast(LongType).as("epoch_s"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -520,5 +536,16 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sql1_hourly" ->
+      """SELECT CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour_of_day,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value
+        |FROM events GROUP BY hour_of_day ORDER BY hour_of_day""".stripMargin,
+
+    "f2_offset_parse" ->
+      """SELECT o_orderkey,
+        |  CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '-05:00',
+        |    '%Y-%m-%d %H:%M:%S%z')) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }
