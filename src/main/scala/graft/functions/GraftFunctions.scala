@@ -156,7 +156,8 @@ object GraftFunctions {
     * |distinct(A) ∪ distinct(B)| as a double (0.0 when both empty).
     * Sort-merge over copied arrays — no boxing, no hash sets.
     */
-  case class JaccardLong(left: Expression, right: Expression)
+  case class JaccardLong(left: Expression, right: Expression,
+      assumeSorted: Boolean = false)
       extends BinaryExpression with CodegenFallback {
     override def checkInputDataTypes(): TypeCheckResult =
       longArrayCheck(left, right)
@@ -176,8 +177,13 @@ object GraftFunctions {
     }
 
     override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = sortedDistinct(l.asInstanceOf[ArrayData].toLongArray())
-      val b = sortedDistinct(r.asInstanceOf[ArrayData].toLongArray())
+      // assumeSorted: caller pre-sorted+deduped once per row (sort_array +
+      // array_distinct), so pair verification skips the per-pair O(n log n)
+      // copy+sort — the dominant cost when one row joins many candidates.
+      val la = l.asInstanceOf[ArrayData].toLongArray()
+      val ra = r.asInstanceOf[ArrayData].toLongArray()
+      val a = if (assumeSorted) la else sortedDistinct(la)
+      val b = if (assumeSorted) ra else sortedDistinct(ra)
       var i = 0; var j = 0; var inter = 0
       while (i < a.length && j < b.length) {
         if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
@@ -257,6 +263,11 @@ object GraftFunctions {
   def jaccard(a: Column, b: Column): Column =
     SparkShim.toColumn(JaccardLong(
       SparkShim.toExpression(a), SparkShim.toExpression(b)))
+
+  /** Jaccard over arrays the caller has already sorted+deduped. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    SparkShim.toColumn(JaccardLong(
+      SparkShim.toExpression(a), SparkShim.toExpression(b), assumeSorted = true))
 
   def cosine(a: Column, b: Column): Column =
     SparkShim.toColumn(CosineSim(

@@ -127,8 +127,8 @@ object Dedup {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
     val withSig = spread(df.select(col(idCol), col(textCol)))
-      .withColumn("__sh", array_distinct(
-        shingleHashes(TextAnalysis.tokens(col(textCol)), n)))
+      .withColumn("__sh", sort_array(array_distinct(
+        shingleHashes(TextAnalysis.tokens(col(textCol)), n))))
       .withColumn("__band", explode(
         bandKeys(minhashSignature(col("__sh"), numHashes), bands, rows)))
     val l = withSig.select(col("__band"), col(idCol), col("__sh"))
@@ -139,7 +139,7 @@ object Dedup {
       .select(col(idCol), col(idCol + "_2"), col("__sh"), col("__sh2"))
       .dropDuplicates(idCol, idCol + "_2")
       .withColumn("jaccard",
-        graft.functions.GraftFunctions.jaccard(col("__sh"), col("__sh2")))
+        graft.functions.GraftFunctions.jaccardSorted(col("__sh"), col("__sh2")))
       .where(col("jaccard") >= threshold)
       .select(col(idCol), col(idCol + "_2"), col("jaccard"))
   }
