@@ -288,9 +288,25 @@ object SparkEntry {
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qv",
-        k = 10, dim = 64, bits = 6)
+        k = 10, dim = 64, bits = 6, probes = 2)
         .orderBy("qid", "rank")
     }),
+
+    // ---- A8: exact distinct counts (shuffle-dedup aggregate) ----
+    "a8_distinct_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    // ---- A9: approximate aggregates (HLL / quantile sketches) ----
+    // The 100 TB form of A8: approx_count_distinct is one pass, no
+    // shuffle-dedup; percentile_approx bounds memory. Deterministic for a
+    // fixed input but engine-specific => rows-only check.
+    "a9_approx_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("median_price"))),
 
     // ---- similarity: blocked embedding near-dup pairs ----
     "e1_embedding_neardup" -> ((s, dir) =>
@@ -547,5 +563,10 @@ object SparkEntry {
         |  CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '-05:00',
         |    '%Y-%m-%d %H:%M:%S%z')) AS BIGINT) AS epoch_s
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "a8_distinct_count" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |FROM lineitem""".stripMargin,
   )
 }

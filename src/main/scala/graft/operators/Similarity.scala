@@ -79,11 +79,19 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, dim: Int, bits: Int = 8): DataFrame = {
+      k: Int, dim: Int, bits: Int = 8, probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= bits + 1)
     val c = corpus.withColumn("__bucket",
       lshBucket(asDouble(col(corpusVec)), dim, bits))
-    val q = queries.withColumn("__bucket",
+    // Multi-probe: each query also probes the `probes - 1` buckets that
+    // differ in exactly one signature bit — near-boundary neighbors land
+    // there. Recall rises without touching the corpus-side layout.
+    val q0 = queries.withColumn("__q_bucket",
       lshBucket(asDouble(col(queryVec)), dim, bits))
+    val q = q0.withColumn("__bucket", explode(array(
+      (col("__q_bucket") +: (0 until probes - 1).map(b =>
+        col("__q_bucket").bitwiseXOR(lit(1L << b)))): _*)))
+      .drop("__q_bucket")
     val joined = c.join(broadcast(q), "__bucket")
       .where(col(queryId) =!= col(corpusId))
       .withColumn("sim", cosine(col(corpusVec), col(queryVec)))

@@ -16,6 +16,29 @@ object LakeWriter {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** Partitioned append — the 100 TB form of S4: directory-partition on
+    * low-cardinality time/zone columns so readers prune partitions at plan
+    * time (`PartitionFilters` in the scan). E.g. partition the curated
+    * load table by `date(interval_start)`.
+    */
+  def appendPartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed managed table — co-locates join/agg keys at write time so
+    * repeated equi-joins/aggs on `bucketCols` run with NO exchange on the
+    * bucketed side(s). Requires `saveAsTable` (bucket metadata lives in the
+    * catalog). `sortCols` additionally pre-sorts within buckets, enabling
+    * exchange-free sort-merge joins.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** S5 — overwrite a curated lake table. Ref `mergeHistoricalWeather.py:100-105`. */
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

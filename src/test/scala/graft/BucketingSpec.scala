@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.LakeWriter
+
+/** Bucketed-table co-location: writing both join sides bucketed on the
+  * join key lets repeated equi-joins run with no shuffle exchange on the
+  * bucketed sides — at 100 TB this converts the biggest recurring cost
+  * (shuffle of the fact table per join) into a one-time write-side cost.
+  */
+class BucketingSpec extends SparkTestBase {
+
+  test("join of co-bucketed tables plans without a shuffle exchange") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    LakeWriter.writeBucketed(li, "li_b", 4, Seq("l_orderkey"), Seq("l_orderkey"))
+    LakeWriter.writeBucketed(o, "o_b", 4, Seq("o_orderkey"), Seq("o_orderkey"))
+
+    val joined = spark.table("li_b")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+
+    // same answer as the plain (shuffling) join
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.count() === plain)
+  }
+
+  test("partitioned append prunes partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("order_year", year(col("o_orderdate")))
+    LakeWriter.appendPartitioned(o, dir, Seq("order_year"))
+    val pruned = spark.read.parquet(dir).where(col("order_year") === 1995)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"),
+      s"expected partition pruning:\n$plan")
+    assert(pruned.count() ===
+      o.where(col("order_year") === 1995).count())
+  }
+}
