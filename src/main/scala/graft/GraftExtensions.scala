@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.GraftFunctions._
+
+/** Session-extension entry point: registers the graft native functions at
+  * session build time, so any deployment can enable them declaratively with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `.withExtensions(new GraftExtensions)`), instead of calling
+  * [[graft.functions.GraftFunctions.register]] imperatively. This is also
+  * where a future `ASOF JOIN` SQL surface would inject its parser rule +
+  * planner strategy (SURVEY.md §7.3 — deferred; the DataFrame API
+  * [[graft.operators.AsOfJoin]] covers parity).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("graft_cosine", es => CosineSim(es(0), es(1))))
+    ext.injectFunction(fn("graft_jaccard", es => JaccardLong(es(0), es(1))))
+    ext.injectFunction(fn("graft_simhash64", es => SimHash64(es.head)))
+    ext.injectFunction(fn("graft_ngram_hashes",
+      es => NgramHashes(es.head, es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction(fn("graft_minhash_sig",
+      es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int])))
+  }
+}

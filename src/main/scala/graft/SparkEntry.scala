@@ -308,6 +308,22 @@ object SparkEntry {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("median_price"))),
 
+    // ---- W1: window functions (lag delta per key) ----
+    "w1_window_lag" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+        row_number().over(w).as("rn"))
+        .orderBy("event_id")
+    }),
+
+    // ---- F14: JSON field extraction (events.props) ----
+    "t5_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .orderBy("event_id")),
+
     // ---- similarity: blocked embedding near-dup pairs ----
     "e1_embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -568,5 +584,15 @@ object SparkEntry {
       """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
         |FROM lineitem""".stripMargin,
+
+    "w1_window_lag" ->
+      """SELECT event_id, user_id,
+        |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "t5_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

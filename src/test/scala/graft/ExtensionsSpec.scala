@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class ExtensionsSpec extends SparkTestBase {
+
+  test("GraftExtensions injects native functions into a session's SQL") {
+    val old = spark // force base session creation first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+          |       graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+          |       graft_simhash64(array(42L)) AS s,
+          |       graft_ngram_hashes(array('a','b','c'), 2) AS ng
+          |""".stripMargin).head
+      assert(r.getDouble(0) === 1.0)
+      assert(r.getDouble(1) === 0.5)
+      assert(r.getLong(2) === 42L) // single hash: simhash == its bit pattern
+      assert(r.getSeq[Long](3).length === 2)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+}
