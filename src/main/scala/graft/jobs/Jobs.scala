@@ -25,19 +25,36 @@ object Jobs {
   /** Single-folder ELT — `pyspark_ercot_load_latest_BQ_archive_csv.py`
     * (and the historical/forecast variants via `dedup`/`casts`).
     */
+  /** @param dedupAgainstLake engine upgrade over the reference (SURVEY
+    *   §7.4.7): anti-join the incoming batch against rows already in the
+    *   lake, making append idempotent even when a file is re-delivered
+    *   AFTER its original was archived (the reference's only guard is the
+    *   archive protocol itself + batch-level dropDuplicates).
+    */
   def singleFolderElt(
       spark: SparkSession,
       sourceDir: String,
       archiveDir: String,
       lakePath: String,
       casts: Map[String, DataType],
-      dedup: Boolean = false): Result = {
+      dedup: Boolean = false,
+      dedupAgainstLake: Boolean = false): Result = {
     if (!LakeReader.folderHasFiles(spark, sourceDir)) return None
     val raw = LakeReader.csvFolderRaw(spark, sourceDir)
     val cleaned = clean(raw, casts, dedup)
-    LakeWriter.append(cleaned, lakePath)
+    val toAppend =
+      if (dedupAgainstLake && lakeExists(spark, lakePath))
+        cleaned.join(spark.read.parquet(lakePath),
+          cleaned.columns.toSeq, "left_anti")
+      else cleaned
+    LakeWriter.append(toAppend, lakePath)
     LakeWriter.archive(spark, sourceDir, archiveDir)
     Some(spark.read.parquet(lakePath).count())
+  }
+
+  private def lakeExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Fuel-mix ⋈asof load merge —

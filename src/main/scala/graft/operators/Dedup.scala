@@ -126,18 +126,24 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
-    val withSig = spread(df.select(col(idCol), col(textCol)))
+    // (id, sorted distinct shingle hashes) — computed once, joined back for
+    // verification so the ×bands band explosion and the candidate dedup
+    // shuffle only NARROW (band, id) rows, never the shingle arrays.
+    val sigs = spread(df.select(col(idCol), col(textCol)))
       .withColumn("__sh", sort_array(array_distinct(
         shingleHashes(TextAnalysis.tokens(col(textCol)), n))))
-      .withColumn("__band", explode(
-        bandKeys(minhashSignature(col("__sh"), numHashes), bands, rows)))
-    val l = withSig.select(col("__band"), col(idCol), col("__sh"))
-    val r = withSig.select(col("__band"), col(idCol).as(idCol + "_2"),
-      col("__sh").as("__sh2"))
-    l.join(r, "__band")
+      .drop(textCol)
+    val banded = sigs.select(col(idCol), explode(
+      bandKeys(minhashSignature(col("__sh"), numHashes), bands, rows)).as("__band"))
+    val candidates = banded
+      .join(banded.withColumnRenamed(idCol, idCol + "_2"), "__band")
       .where(col(idCol) < col(idCol + "_2"))
-      .select(col(idCol), col(idCol + "_2"), col("__sh"), col("__sh2"))
+      .select(col(idCol), col(idCol + "_2"))
       .dropDuplicates(idCol, idCol + "_2")
+    candidates
+      .join(sigs, idCol)
+      .join(sigs.select(col(idCol).as(idCol + "_2"), col("__sh").as("__sh2")),
+        idCol + "_2")
       .withColumn("jaccard",
         graft.functions.GraftFunctions.jaccardSorted(col("__sh"), col("__sh2")))
       .where(col("jaccard") >= threshold)

@@ -65,6 +65,20 @@ class JobsSpec extends SparkTestBase {
     assert(spark.read.parquet(lake).count() === 3)
   }
 
+  test("dedupAgainstLake makes re-delivered files idempotent (§7.4.7)") {
+    val src = tmp(); val arch = tmp(); val lake = tmp().resolve("lake").toString
+    write(src, "load_1.csv", loadCsv)
+    val n1 = Jobs.singleFolderElt(spark, src.toString, arch.toString, lake,
+      loadCasts, dedup = true, dedupAgainstLake = true)
+    assert(n1 === Some(3))
+    // the same file re-delivered after archive: without the guard this
+    // would double the lake; with it, append is a no-op
+    write(src, "load_1_redelivered.csv", loadCsv)
+    val n2 = Jobs.singleFolderElt(spark, src.toString, arch.toString, lake,
+      loadCasts, dedup = true, dedupAgainstLake = true)
+    assert(n2 === Some(3))
+  }
+
   test("fmLoadMerge: distributed as-of replaces driver merge_asof") {
     val fmDir = tmp(); val loadDir = tmp()
     val fmArch = tmp(); val loadArch = tmp()
