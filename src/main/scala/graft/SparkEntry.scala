@@ -324,6 +324,65 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
         .orderBy("event_id")),
 
+    // ---- J3: keyless (global) backward as-of join ----
+    "j3_asof_global" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("best_price"))
+      AsOfJoin.backward(ev, o,
+        leftTime = "ts", rightTime = "o_orderdate",
+        by = Nil,
+        valueCols = Seq(("best_price", "asof_price")),
+        inner = true)
+        .select(col("event_id"), col("asof_price"))
+        .orderBy("event_id")
+    }),
+
+    // ---- J4: interval-overlap join ----
+    "j4_overlap" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      IntervalJoin.intervalOverlap(
+        li, o,
+        li("l_shipdate"), li("l_shipdate") + expr("INTERVAL 7 DAYS"),
+        o("o_orderdate"), o("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        Seq((li("l_orderkey"), o("o_orderkey"))))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+        .orderBy("l_orderkey", "l_linenumber", "o_totalprice")
+    }),
+
+    // ---- A10: rollup (hierarchical subtotals) ----
+    "a10_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // ---- A11: pivot (event_type sums to columns per hour) ----
+    "a11_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(hour(col("ts")).as("h"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType))
+        .orderBy("h")),
+
+    // ---- W2: sessionization (30-min inactivity gap) ----
+    "w2_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+      t(s, dir, "events")
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(w).isNull || gap > 1800L * 1000000, 1)
+            .otherwise(0))
+        .select(col("event_id"), col("user_id"),
+          sum(col("new_s")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast(IntegerType).as("session_id"))
+        .orderBy("event_id")
+    }),
+
     // ---- similarity: blocked embedding near-dup pairs ----
     "e1_embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -594,5 +653,46 @@ object SparkEntry {
     "t5_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "j3_asof_global" ->
+      """SELECT e.event_id, o.best_price AS asof_price
+        |FROM events e ASOF JOIN (
+        |  SELECT o_orderdate, MAX(o_totalprice) AS best_price
+        |  FROM orders GROUP BY o_orderdate) o
+        |  ON e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "j4_overlap" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
+        |FROM lineitem l JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey
+        | AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+        | AND o.o_orderdate <= l.l_shipdate + INTERVAL 7 DAY
+        |ORDER BY l.l_orderkey, l.l_linenumber, o.o_totalprice""".stripMargin,
+
+    "a10_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "a11_pivot" ->
+      """SELECT CAST(EXTRACT(HOUR FROM ts) AS INT) AS h,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error
+        |FROM events GROUP BY h ORDER BY h""".stripMargin,
+
+    "w2_sessionize" ->
+      """WITH g AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        |FROM g ORDER BY event_id""".stripMargin,
   )
 }

@@ -61,6 +61,23 @@ object IntervalJoin {
       .drop("__cell")
   }
 
+  /** Interval-overlap join: pairs where [aStart, aEnd] ∩ [bStart, bEnd] ≠ ∅
+    * (closed intervals: touching endpoints overlap). With equi keys this
+    * plans as a hash join + residual like [[pointInInterval]]; keyless, use
+    * a grid-explosion variant analogous to [[pointInIntervalBucketed]].
+    */
+  def intervalOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      aStart: Column, aEnd: Column,
+      bStart: Column, bEnd: Column,
+      equi: Seq[(Column, Column)],
+      joinType: String = "inner"): DataFrame = {
+    val cond = (equi.map { case (l, r) => l === r } :+
+      (aStart <= bEnd && bStart <= aEnd)).reduce(_ && _)
+    a.join(b, cond, joinType)
+  }
+
   /** Plan-quality guard (SURVEY §7.4.5): fail fast if the physical plan
     * degenerated to a nested-loop / cartesian strategy.
     */
