@@ -404,6 +404,23 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- text: corpus top-k terms (explode + count + top-k) ----
+    "t7_top_terms" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("term"))
+        .limit(20)),
+
+    // ---- profiling: one-pass per-column statistics ----
+    "a12_profile" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        Analytics.stableSum(col("l_quantity")).as("sum_qty"),
+        countDistinct(col("l_returnflag")).as("ndv_flag"),
+        count(lit(1)).as("n_rows"))),
+
     // ---- multimodal: deterministic frame sampling ----
     "mm3_frame_sample" -> ((s, dir) => {
       val bin = Multimodal.attachBinary(t(s, dir, "documents"), "text", "video")
@@ -683,6 +700,19 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error
         |FROM events GROUP BY h ORDER BY h""".stripMargin,
+
+    "t7_top_terms" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "a12_profile" ->
+      """SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS ndv_flag,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem""".stripMargin,
 
     "w2_sessionize" ->
       """WITH g AS (SELECT event_id, user_id, ts,

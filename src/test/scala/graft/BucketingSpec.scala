@@ -30,6 +30,20 @@ class BucketingSpec extends SparkTestBase {
     assert(joined.count() === plain)
   }
 
+  test("compaction collapses many small files, preserving content") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate 8 tiny appends
+    for (i <- 0 until 8)
+      LakeWriter.append(Seq((i, s"v$i")).toDF("k", "v").repartition(2), dir)
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.collect().map(_.toString).sorted
+    val n = LakeWriter.compact(spark, dir, 1)
+    assert(n === 1)
+    val after = spark.read.parquet(dir)
+    assert(after.collect().map(_.toString).sorted === beforeRows)
+  }
+
   test("partitioned append prunes partitions at scan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
     val o = spark.read.parquet(s"$sf/orders.parquet")
