@@ -412,6 +412,30 @@ object SparkEntry {
         .orderBy(desc("n"), col("term"))
         .limit(20)),
 
+    // ---- text: document chunking (token windows, stride 10, size 20) ----
+    // The core pre-training transform: split documents into overlapping
+    // token windows. Map-side only (sequence+slice explode), output rows =
+    // ceil(tokens/stride) per doc.
+    "t8_chunk" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(toks) - 1, lit(10)),
+          st => concat_ws(" ", slice(toks, st + 1, lit(20))))))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk_text")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- sampling: deterministic hash-based row sampling ----
+    // Reproducible (partitioning-independent) 30% sample via multiplicative
+    // hash on the key — unlike rand(seed), identical on any cluster layout.
+    "s2_hash_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where((col("doc_id") * lit(2654435761L)) % 100 < 30)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+
     // ---- profiling: one-pass per-column statistics ----
     "a12_profile" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
@@ -706,6 +730,19 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "t8_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, unnest(list_transform(range(0, len(toks), 10),
+        |        s -> struct_pack(idx := s // 10, txt := array_to_string(toks[s+1:least(s+20, len(toks))], ' ')))) AS ch
+        |      FROM t)
+        |SELECT doc_id, CAST(ch.idx AS INT) AS chunk_idx, ch.txt AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "s2_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (doc_id * 2654435761) % 100 < 30
+        |ORDER BY doc_id""".stripMargin,
 
     "a12_profile" ->
       """SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
