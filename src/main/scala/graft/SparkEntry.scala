@@ -427,6 +427,21 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // ---- text: URL/email scrubbing (training-data cleaning) ----
+    // Texts get a synthetic URL+email appended, then scrubbed — verifies
+    // removal end-to-end (the raw corpus contains none).
+    "t6_scrub" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        lit(" http://example.com/x?id="), col("doc_id"),
+        lit(" user"), col("doc_id"), lit("@mail.example.org tail"))
+      val scrubbed = regexp_replace(
+        regexp_replace(dirty, "https?://[^ ]+", "<URL>"),
+        "[A-Za-z0-9_.]+@[A-Za-z0-9_.]+", "<EMAIL>")
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(scrubbed).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- sampling: deterministic hash-based row sampling ----
     // Reproducible (partitioning-independent) 30% sample via multiplicative
     // hash on the key — unlike rand(seed), identical on any cluster layout.
@@ -743,6 +758,15 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE (doc_id * 2654435761) % 100 < 30
         |ORDER BY doc_id""".stripMargin,
+
+    "t6_scrub" ->
+      """SELECT doc_id, md5(
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' http://example.com/x?id=' || doc_id || ' user' || doc_id || '@mail.example.org tail',
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+', '<EMAIL>', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "a12_profile" ->
       """SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

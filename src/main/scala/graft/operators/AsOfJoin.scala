@@ -111,10 +111,11 @@ object AsOfJoin {
       .where(col("__tag") === 1)
 
     // Carry-in spine: last right values per (keys, bucket), forward-filled
-    // across buckets. Tiny frame — broadcast back to the big side.
+    // across buckets. Tiny frame — broadcast back to the big side. One
+    // distinct over the unioned narrow keys (partial-aggregate dedups
+    // map-side, so the shuffle carries ~|keys×buckets| rows).
     val spine = l.select((keys.map(col) :+ bucketOf(col("__t")).as("__b")): _*)
-      .distinct()
-      .unionAll(r.select((keys.map(col) :+ bucketOf(col("__t")).as("__b")): _*).distinct())
+      .unionAll(r.select((keys.map(col) :+ bucketOf(col("__t")).as("__b")): _*))
       .distinct()
     val rLast = r.groupBy((keys.map(col) :+ bucketOf(col("__t")).as("__b")): _*)
       .agg(max_by(struct((valIn.map(col) :+ lit(1).as("__m")): _*), col("__t")).as("__vals"))
