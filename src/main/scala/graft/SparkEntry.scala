@@ -324,6 +324,48 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
         .orderBy("event_id")),
 
+    // ---- J5: semi / anti joins (EXISTS / NOT EXISTS) ----
+    "j5_semi" -> ((s, dir) => {
+      val hv = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+      t(s, dir, "customer")
+        .join(hv, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+    "j5_anti" -> ((s, dir) => {
+      val hv = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+      t(s, dir, "customer")
+        .join(hv, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- J6: left outer join with unmatched rows ----
+    "j6_left_outer" -> ((s, dir) => {
+      val hv = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+        .select(col("o_custkey"), col("o_orderkey"))
+      t(s, dir, "customer")
+        .join(hv, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
+    // ---- A13: explicit cross join ----
+    "a13_cross" -> ((s, dir) =>
+      t(s, dir, "region").select(col("r_name"))
+        .crossJoin(t(s, dir, "nation").select(col("n_name")))
+        .orderBy("r_name", "n_name")),
+
+    // ---- SET2/SET3: INTERSECT / EXCEPT (distinct set semantics) ----
+    "set2_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+    "set3_except" -> ((s, dir) =>
+      t(s, dir, "nation").select(col("n_nationkey").as("nk"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
     // ---- J3: keyless (global) backward as-of join ----
     "j3_asof_global" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -709,6 +751,37 @@ object SparkEntry {
     "t5_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "j5_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j5_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j6_left_outer" ->
+      """SELECT c.c_custkey, o.o_orderkey
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 400000) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST""".stripMargin,
+
+    "a13_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "set2_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "set3_except" ->
+      """SELECT n_nationkey AS nk FROM nation
+        |EXCEPT SELECT s_nationkey FROM supplier
+        |ORDER BY nk""".stripMargin,
 
     "j3_asof_global" ->
       """SELECT e.event_id, o.best_price AS asof_price
