@@ -85,6 +85,18 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(run(1) === run(64))
   }
 
+  test("null left times never match (dropped under inner)") {
+    val withNull = fm.unionByName(
+      Seq((Option.empty[Timestamp], 999.0)).toDF("time", "mw"))
+    val outer = AsOfJoin.backward(withNull, load, "time", "time",
+      valueCols = Seq(("load", "load")))
+    assert(outer.count() === 6)
+    assert(outer.where($"mw" === 999.0).select($"load").head.get(0) === null)
+    val inner = AsOfJoin.backward(withNull, load, "time", "time",
+      valueCols = Seq(("load", "load")), inner = true)
+    assert(inner.where($"mw" === 999.0).count() === 0)
+  }
+
   test("empty right side yields all-null values / empty inner") {
     val empty = load.limit(0)
     val outer = AsOfJoin.backward(fm, empty, "time", "time",

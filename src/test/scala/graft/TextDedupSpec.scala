@@ -58,6 +58,26 @@ class TextDedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("minhash recall: every planted near-dup pair (sim>=0.9) is found") {
+    import org.apache.spark.sql.functions._
+    // 60 base docs of 40 distinct-ish tokens; each gets a copy with the
+    // last 2 tokens changed => shingle jaccard ~0.9
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector.tabulate(200)(i => s"w$i")
+    val rows = (0 until 60).flatMap { i =>
+      val toks = Vector.fill(40)(vocab(rnd.nextInt(vocab.size)))
+      val near = toks.dropRight(2) ++ Vector("zz1", "zz2")
+      Seq((i.toLong, toks.mkString(" ")), (i + 1000L, near.mkString(" ")))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val found = Dedup.minhashPairs(df, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 16, threshold = 0.5)
+      .select("doc_id", "doc_id_2").as[(Long, Long)].collect().toSet
+    val missing = (0 until 60).map(i => (i.toLong, i + 1000L))
+      .filterNot(found.contains)
+    assert(missing.isEmpty, s"planted pairs missed: $missing")
+  }
+
   test("langId picks marker-matching language, und on no markers") {
     val df = Seq(
       "the cat is a friend of the dog",
