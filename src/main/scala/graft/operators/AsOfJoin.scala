@@ -134,4 +134,51 @@ object AsOfJoin {
     val res = if (inner) resolved.where(col("__m") === 1) else resolved
     res.select(outCols.map(col): _*)
   }
+
+  /** Broadcast backward as-of for a SMALL right side (the reference's
+    * common shape: a compact load table joined to a wide fast feed). The
+    * right side collapses to one sorted (time, values) array per equi key
+    * and is broadcast; each left row picks the last element with
+    * `t <= leftTime` map-side. ZERO shuffles on the left/fact side — at
+    * 100 TB the fact table is read once and never moved.
+    *
+    * Same semantics as [[backward]] (backward-nearest, exact matches
+    * allowed, unmatched → null / dropped when `inner`).
+    */
+  def broadcastBackward(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[(String, String)] = Nil,
+      valueCols: Seq[(String, String)],
+      inner: Boolean = false): DataFrame = {
+    def epochMicros(c: Column): Column =
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    val keys = by.map(_._1)
+    val outCols = left.columns.toSeq ++ valueCols.map(_._2)
+
+    var r = right
+    for ((lk, rk) <- by if lk != rk) r = r.withColumnRenamed(rk, lk)
+    val valIn = valueCols.map(_._1)
+    // sort_array on struct orders by the first field (__t) — per-key
+    // time-sorted (time, values) arrays, one row per key
+    val grouped = r.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct((epochMicros(col(rightTime)).as("__t") +: valIn.map(col)): _*)))
+        .as("__arr"))
+
+    val joined =
+      if (keys.nonEmpty) left.join(broadcast(grouped), keys, "left")
+      else left.crossJoin(broadcast(grouped))
+    val lt = epochMicros(col(leftTime))
+    // last element with __t <= leftTime (null when none / null left time)
+    val pick = element_at(filter(col("__arr"), x => x("__t") <= lt), -1)
+    val withVals = valueCols.foldLeft(joined.withColumn("__pick", pick)) {
+      case (d, (in, out)) => d.withColumn(out, col("__pick").getField(in))
+    }
+    val res =
+      if (inner) withVals.where(col("__pick").isNotNull) else withVals
+    res.select(outCols.map(col): _*)
+  }
 }

@@ -85,6 +85,24 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(run(1) === run(64))
   }
 
+  test("broadcastBackward matches the distributed form (keyed and keyless)") {
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select($"time", $"mw", $"load").collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .sortBy(_._1.getTime)
+    val dist = collect(AsOfJoin.backward(fm, load, "time", "time",
+      valueCols = Seq(("load", "load")), numBuckets = 4))
+    val bcast = collect(AsOfJoin.broadcastBackward(fm, load, "time", "time",
+      valueCols = Seq(("load", "load"))))
+    assert(bcast === dist)
+    val distInner = AsOfJoin.backward(fm, load, "time", "time",
+      valueCols = Seq(("load", "load")), inner = true).count()
+    val bcastInner = AsOfJoin.broadcastBackward(fm, load, "time", "time",
+      valueCols = Seq(("load", "load")), inner = true).count()
+    assert(bcastInner === distInner)
+  }
+
   test("null left times never match (dropped under inner)") {
     val withNull = fm.unionByName(
       Seq((Option.empty[Timestamp], 999.0)).toDF("time", "mw"))
