@@ -499,6 +499,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- text: edit-distance between consecutive docs (integer-exact) ----
+    "t9_levenshtein" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        substring(col("text"), 1, 40).as("head40"))
+      val d2 = d.select((col("doc_id") - 1).as("doc_id"),
+        col("head40").as("head40_next"))
+      d.join(d2, "doc_id")
+        .select(col("doc_id"),
+          levenshtein(col("head40"), col("head40_next")).as("dist"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- histogram: fixed-width value buckets ----
+    "a14_histogram" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / 50).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
     // ---- sampling: deterministic hash-based row sampling ----
     // Reproducible (partitioning-independent) 30% sample via multiplicative
     // hash on the key — unlike rand(seed), identical on any cluster layout.
@@ -854,6 +873,16 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE (doc_id * 2654435761) % 100 < 30
         |ORDER BY doc_id""".stripMargin,
+
+    "t9_levenshtein" ->
+      """SELECT a.doc_id AS doc_id,
+        |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "a14_histogram" ->
+      """SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "t6_scrub" ->
       """SELECT doc_id, md5(

@@ -50,6 +50,31 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(lake).count() === 3)
   }
 
+  test("streaming dedup within watermark drops re-delivered keys") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("stream_dedup")
+    Files.writeString(dir.resolve("e.csv"),
+      """ts,k,v
+        |2024-05-01 00:10:00,a,1.0
+        |2024-05-01 00:10:00,a,1.0
+        |2024-05-01 00:20:00,b,2.0
+        |2024-05-01 00:25:00,a,3.0
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("k", StringType), StructField("v", DoubleType)))
+    val stream = spark.readStream.option("header", "true")
+      .schema(schema).csv(dir.toString)
+    val deduped = graft.streaming.AvailableNowJobs.dedupStream(
+      stream, "ts", Seq("k"), watermark = "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    // exact (k, ts) duplicate collapsed; same key at a later ts kept
+    val rows = spark.table("dedup_out").orderBy("ts", "k")
+      .select(col("k"), col("v")).collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq === Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)))
+  }
+
   test("windowed streaming aggregation over a file stream (A5 upgrade)") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("stream_agg")
