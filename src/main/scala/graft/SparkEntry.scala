@@ -511,6 +511,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- data quality: one-pass expectation check ----
+    "dq1_checks" -> ((s, dir) =>
+      Quality.check(t(s, dir, "orders"), Seq(
+        Quality.notNull("o_orderkey"),
+        Quality.inRange("o_totalprice", 0, 300000),
+        Quality.oneOf("o_orderstatus", Seq("F", "O", "P"))))),
+
+    // ---- data quality: duplicate-key census ----
+    "dq2_dup_keys" -> ((s, dir) =>
+      Quality.duplicateKeys(t(s, dir, "events"), Seq("user_id", "event_type"))),
+
     // ---- histogram: fixed-width value buckets ----
     "a14_histogram" -> ((s, dir) =>
       t(s, dir, "events")
@@ -883,6 +894,19 @@ object SparkEntry {
     "a14_histogram" ->
       """SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "dq1_checks" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN NOT (o_orderkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS viol_not_null_o_orderkey,
+        |  CAST(SUM(CASE WHEN NOT (o_totalprice IS NULL OR o_totalprice BETWEEN 0 AND 300000) THEN 1 ELSE 0 END) AS BIGINT) AS viol_range_o_totalprice,
+        |  CAST(SUM(CASE WHEN NOT (o_orderstatus IS NULL OR o_orderstatus IN ('F','O','P')) THEN 1 ELSE 0 END) AS BIGINT) AS viol_one_of_o_orderstatus
+        |FROM orders""".stripMargin,
+
+    "dq2_dup_keys" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS dup_keys,
+        |  CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS excess_rows
+        |FROM (SELECT user_id, event_type, COUNT(*) AS n FROM events
+        |      GROUP BY user_id, event_type) WHERE n > 1""".stripMargin,
 
     "t6_scrub" ->
       """SELECT doc_id, md5(

@@ -248,6 +248,46 @@ object GraftFunctions {
         l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
   }
 
+  /** Binary search over a time-sorted array of structs whose FIRST field is
+    * a long timestamp: returns the last element with `ts <= t`, else null.
+    * O(log n) per row vs the O(n) `element_at(filter(...), -1)` — the pick
+    * step of [[graft.operators.AsOfJoin.broadcastBackward]] when per-key
+    * histories are long.
+    */
+  case class AsOfPick(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+      case ArrayType(s: StructType, _)
+        if s.fields.nonEmpty && s.fields.head.dataType == LongType &&
+          right.dataType == LongType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "expected (array<struct<long,...>>, long)")
+    }
+    override def dataType: DataType =
+      left.dataType.asInstanceOf[ArrayType].elementType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_asof_pick"
+
+    @transient private lazy val elemType =
+      left.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+
+    override def nullSafeEval(arr: Any, t: Any): Any = {
+      val ad = arr.asInstanceOf[ArrayData]
+      val target = t.asInstanceOf[Long]
+      var lo = 0
+      var hi = ad.numElements() - 1
+      var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val ts = ad.getStruct(mid, elemType.length).getLong(0)
+        if (ts <= target) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (ans < 0) null else ad.getStruct(ans, elemType.length)
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): AsOfPick = copy(left = l, right = r)
+  }
+
   // ---- Column API ----
 
   def ngramHashes(toks: Column, n: Int): Column =
@@ -268,6 +308,10 @@ object GraftFunctions {
   def jaccardSorted(a: Column, b: Column): Column =
     SparkShim.toColumn(JaccardLong(
       SparkShim.toExpression(a), SparkShim.toExpression(b), assumeSorted = true))
+
+  def asofPick(arr: Column, t: Column): Column =
+    SparkShim.toColumn(AsOfPick(
+      SparkShim.toExpression(arr), SparkShim.toExpression(t)))
 
   def cosine(a: Column, b: Column): Column =
     SparkShim.toColumn(CosineSim(

@@ -172,8 +172,9 @@ object AsOfJoin {
       if (keys.nonEmpty) left.join(broadcast(grouped), keys, "left")
       else left.crossJoin(broadcast(grouped))
     val lt = epochMicros(col(leftTime))
-    // last element with __t <= leftTime (null when none / null left time)
-    val pick = element_at(filter(col("__arr"), x => x("__t") <= lt), -1)
+    // last element with __t <= leftTime (null when none / null left time);
+    // O(log n) binary search per left row (native expression)
+    val pick = graft.functions.GraftFunctions.asofPick(col("__arr"), lt)
     val withVals = valueCols.foldLeft(joined.withColumn("__pick", pick)) {
       case (d, (in, out)) => d.withColumn(out, col("__pick").getField(in))
     }

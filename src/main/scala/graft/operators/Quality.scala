@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Data-quality gates for lake tables: declarative expectations evaluated
+  * in ONE pass (single aggregate over the scan — at 100 TB the check costs
+  * exactly one read, not one job per rule).
+  *
+  * Generalizes the reference's null-census logging (SURVEY §2.2 P5, its
+  * only quality signal) into enforceable rules.
+  */
+object Quality {
+
+  /** A named expectation: `predicate` must hold for every row. */
+  case class Rule(name: String, predicate: Column)
+
+  def notNull(c: String): Rule = Rule(s"not_null_$c", col(c).isNotNull)
+  def inRange(c: String, lo: Double, hi: Double): Rule =
+    Rule(s"range_$c", col(c).isNull || col(c).between(lo, hi))
+  def matches(c: String, regex: String): Rule =
+    Rule(s"matches_$c", col(c).isNull || col(c).rlike(regex))
+  def oneOf(c: String, values: Seq[String]): Rule =
+    Rule(s"one_of_$c", col(c).isNull || col(c).isin(values: _*))
+
+  /** One row: total row count + violation count per rule. */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      rules.map(r =>
+        sum(when(!r.predicate, 1).otherwise(0).cast(LongType))
+          .as("viol_" + r.name)): _*)
+
+  /** Uniqueness expectation (needs a shuffle, so separate from [[check]]):
+    * number of key tuples occurring more than once.
+    */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .agg(count(lit(1)).as("dup_keys"),
+        coalesce(sum(col("n") - 1), lit(0L)).as("excess_rows"))
+
+  /** Fail-fast gate: throws if any rule is violated. */
+  def enforce(df: DataFrame, rules: Seq[Rule]): Unit = {
+    val row = check(df, rules).head()
+    val bad = rules.zipWithIndex.collect {
+      case (r, i) if row.getLong(i + 1) > 0 => s"${r.name}=${row.getLong(i + 1)}"
+    }
+    require(bad.isEmpty, s"quality gate failed: ${bad.mkString(", ")}")
+  }
+}
