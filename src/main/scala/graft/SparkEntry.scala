@@ -511,6 +511,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup: benchmark decontamination ----
+    "dc1_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs, "doc_id", "text",
+        docs.where(col("doc_id") < 50), "text",
+        n = 3, maxOverlap = 0.5)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- data quality: one-pass expectation check ----
     "dq1_checks" -> ((s, dir) =>
       Quality.check(t(s, dir, "orders"), Seq(
@@ -894,6 +904,22 @@ object SparkEntry {
     "a14_histogram" ->
       """SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "dc1_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(greatest(len(tk)-2,1)),
+        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS shingle
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+        |scored AS (
+        |  SELECT s.doc_id,
+        |    CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS overlap
+        |  FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+        |  GROUP BY s.doc_id)
+        |SELECT doc_id FROM scored WHERE overlap < 0.5 ORDER BY doc_id""".stripMargin,
 
     "dq1_checks" ->
       """SELECT COUNT(*) AS n_rows,

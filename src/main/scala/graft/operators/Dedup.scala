@@ -150,6 +150,34 @@ object Dedup {
       .select(col(idCol), col(idCol + "_2"), col("jaccard"))
   }
 
+  // ---------- decontamination ----------
+
+  /** Benchmark decontamination: drop training docs whose shingle overlap
+    * with a held-out/benchmark corpus is ≥ `maxOverlap` (a core
+    * training-data hygiene op). Fully relational — explode distinct
+    * shingles, hash-join against the (deduped) benchmark shingle set,
+    * per-doc overlap ratio — so it scales as two narrow shuffles; the
+    * benchmark side is typically small enough to broadcast.
+    * Returns the SURVIVING train rows.
+    */
+  def decontaminate(train: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      n: Int = 3, maxOverlap: Double = 0.5): DataFrame = {
+    val trainSh = train.select(col(idCol), explode(array_distinct(
+      shingleHashes(TextAnalysis.tokens(col(textCol)), n))).as("__sh"))
+    val benchSh = bench.select(explode(array_distinct(
+      shingleHashes(TextAnalysis.tokens(col(benchTextCol)), n))).as("__sh"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val clean = trainSh.join(benchSh, Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("__overlap"))
+      .where(col("__overlap") < maxOverlap)
+      .select(col(idCol))
+    train.join(clean, Seq(idCol), "left_semi")
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
