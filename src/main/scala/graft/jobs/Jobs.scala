@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{AsOfJoin, IntervalJoin, Normalize}
+import graft.schemas.Schemas
 import graft.sources.{LakeReader, LakeWriter}
 
 /** The reference's six pipeline compositions (SURVEY.md §3), re-expressed
@@ -24,8 +25,8 @@ object Jobs {
 
   /** Single-folder ELT — `pyspark_ercot_load_latest_BQ_archive_csv.py`
     * (and the historical/forecast variants via `dedup`/`casts`).
-    */
-  /** @param dedupAgainstLake engine upgrade over the reference (SURVEY
+    *
+    * @param dedupAgainstLake engine upgrade over the reference (SURVEY
     *   §7.4.7): anti-join the incoming batch against rows already in the
     *   lake, making append idempotent even when a file is re-delivered
     *   AFTER its original was archived (the reference's only guard is the
@@ -74,13 +75,8 @@ object Jobs {
     if (!LakeReader.folderHasFiles(spark, fuelMixDir) ||
       !LakeReader.folderHasFiles(spark, loadDir)) return None
 
-    val fmCasts: Map[String, DataType] =
-      Map("time" -> TimestampType) ++
-        Seq("coal_and_lignite", "hydro", "nuclear", "power_storage", "solar",
-          "wind", "natural_gas", "other").map(_ -> DecimalType(10, 2))
-    val loadCasts: Map[String, DataType] = Map(
-      "time" -> TimestampType, "interval_start" -> TimestampType,
-      "interval_end" -> TimestampType, "load" -> DecimalType(10, 2))
+    val fmCasts = Schemas.castsOf(Schemas.fuelMix)
+    val loadCasts = Schemas.castsOf(Schemas.load)
 
     val fm = clean(LakeReader.csvFolderRaw(spark, fuelMixDir), fmCasts, dedup = false)
     val load = clean(LakeReader.csvFolderRaw(spark, loadDir), loadCasts, dedup = false)
@@ -163,13 +159,7 @@ object Jobs {
     val raw = LakeReader.csvFolderRaw(spark, sourceDir) // folder scan = union
     val cleaned = Normalize.dropNullRows(
       Normalize.castColumns(Normalize.renameAll(raw),
-        Map("date" -> TimestampType) ++
-          Seq("latitude", "longitude", "temperature_2m",
-            "relative_humidity_2m", "dew_point_2m", "precipitation", "rain",
-            "snowfall", "cloud_cover", "cloud_cover_low", "cloud_cover_mid",
-            "cloud_cover_high", "wind_speed_10m", "wind_speed_100m",
-            "wind_direction_10m", "wind_direction_100m", "wind_gusts_10m")
-            .map(_ -> FloatType: (String, DataType)).toMap))
+        Schemas.castsOf(Schemas.historicalWeather)))
     csvOutDir.foreach(LakeWriter.csvOverwrite(cleaned, _))
     LakeWriter.overwrite(cleaned, lakePath)
     Some(spark.read.parquet(lakePath).count())

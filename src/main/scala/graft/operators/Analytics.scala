@@ -66,6 +66,28 @@ object Analytics {
         round(stableSum(col(m)) / total * 100, 2).as("pct_" + m)): _*)
   }
 
+  /** Incremental rollup maintenance: merge a new batch into an existing
+    * pre-aggregated table of (keys, cnt, decimal sums). Because count and
+    * decimal-sum are commutative monoids, re-aggregating `existing ∪
+    * partial(batch)` equals aggregating all raw data — the 12-h-cadence
+    * append→re-aggregate pattern without ever rescanning history.
+    * `measures` maps measure column → output sum column.
+    */
+  def rollupBatch(batch: DataFrame, keys: Seq[String],
+      measures: Map[String, String]): DataFrame =
+    batch.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("cnt"),
+      measures.toSeq.sortBy(_._2).map { case (m, out) =>
+        sum(col(m).cast(DecimalType(18, 2))).cast(DecimalType(28, 2)).as(out)
+      }: _*)
+
+  def mergeRollup(existing: DataFrame, batchRollup: DataFrame,
+      keys: Seq[String], sumCols: Seq[String]): DataFrame =
+    existing.unionByName(batchRollup)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).cast(LongType).as("cnt"),
+        sumCols.map(c => sum(col(c)).cast(DecimalType(28, 2)).as(c)): _*)
+
   /** A7 — multi-key grouped average, ordered by the aggregate descending.
     * Ref `README.md:290-300` (avg price per exact weather condition).
     * Tie-broken on the group keys so output order is total and stable.

@@ -135,6 +135,27 @@ object AsOfJoin {
     res.select(outCols.map(col): _*)
   }
 
+  /** Strategy-selecting as-of: broadcast when Catalyst's size estimate for
+    * the right side fits the threshold (default = Spark's own
+    * autoBroadcastJoinThreshold semantics, 10 MB), distributed otherwise.
+    */
+  def auto(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[(String, String)] = Nil,
+      valueCols: Seq[(String, String)],
+      inner: Boolean = false,
+      numBuckets: Int = 64,
+      broadcastThreshold: Long = 10L << 20): DataFrame = {
+    val rightSize = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (rightSize <= broadcastThreshold)
+      broadcastBackward(left, right, leftTime, rightTime, by, valueCols, inner)
+    else
+      backward(left, right, leftTime, rightTime, by, valueCols, inner, numBuckets)
+  }
+
   /** Broadcast backward as-of for a SMALL right side (the reference's
     * common shape: a compact load table joined to a wide fast feed). The
     * right side collapses to one sorted (time, values) array per equi key

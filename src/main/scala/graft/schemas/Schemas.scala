@@ -70,4 +70,13 @@ object Schemas {
     */
   def rawStrings(s: StructType): StructType =
     StructType(s.fields.map(f => StructField(f.name, StringType, nullable = true)))
+
+  /** Cast map for [[graft.operators.Normalize.castColumns]]: every non-string
+    * column of the curated schema, keyed by name — the "repair" plan that
+    * turns a raw all-string scan into the curated types.
+    */
+  def castsOf(s: StructType): Map[String, DataType] =
+    s.fields.collect {
+      case f if f.dataType != StringType => f.name -> f.dataType
+    }.toMap
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, AsOfJoin}
+
+class IncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("incremental rollup over batches equals full re-aggregation") {
+    val all = spark.read.parquet(s"$sf/orders.parquet")
+    val b1 = all.where($"o_orderkey" % 3 === 0)
+    val b2 = all.where($"o_orderkey" % 3 === 1)
+    val b3 = all.where($"o_orderkey" % 3 === 2)
+    val keys = Seq("o_orderstatus")
+    val measures = Map("o_totalprice" -> "sum_price")
+
+    val full = Analytics.rollupBatch(all, keys, measures)
+      .orderBy("o_orderstatus").collect().toSeq
+    val incremental = Seq(b2, b3).foldLeft(
+      Analytics.rollupBatch(b1, keys, measures)) { (acc, b) =>
+      Analytics.mergeRollup(acc, Analytics.rollupBatch(b, keys, measures),
+        keys, Seq("sum_price"))
+    }.orderBy("o_orderstatus").collect().toSeq
+    assert(incremental === full) // exact decimal sums => bit-equal merge
+  }
+
+  test("AsOfJoin.auto picks broadcast for small right, distributed for big") {
+    val left = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val small = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_totalprice").as("p"))
+    val picked = AsOfJoin.auto(left, small, "ts", "o_orderdate",
+      by = Seq(("user_id", "o_custkey")), valueCols = Seq(("p", "p")))
+    assert(picked.queryExecution.executedPlan.toString.contains("graft_asof_pick"),
+      "small right side should take the broadcast path")
+    val forced = AsOfJoin.auto(left, small, "ts", "o_orderdate",
+      by = Seq(("user_id", "o_custkey")), valueCols = Seq(("p", "p")),
+      broadcastThreshold = 0)
+    assert(!forced.queryExecution.executedPlan.toString.contains("graft_asof_pick"),
+      "zero threshold should take the distributed path")
+    // both paths agree
+    val a = picked.select($"event_id", $"p").collect().map(r => (r.getLong(0), r.get(1))).sortBy(_._1).toSeq
+    val b = forced.select($"event_id", $"p").collect().map(r => (r.getLong(0), r.get(1))).sortBy(_._1).toSeq
+    assert(a === b)
+  }
+}
