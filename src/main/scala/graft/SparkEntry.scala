@@ -430,6 +430,65 @@ object SparkEntry {
         .agg(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType))
         .orderBy("h")),
 
+    // ---- W3: day-over-day retention (users active on consecutive days) ----
+    "w3_retention" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val nxt = days.select(col("user_id").as("uid2"), col("d").as("d_next"))
+      days.join(nxt,
+          col("user_id") === col("uid2") &&
+            col("d_next") === date_add(col("d"), 1))
+        .groupBy(col("d")).agg(countDistinct(col("user_id")).as("retained"))
+        .orderBy("d")
+    }),
+
+    // ---- W4: ordered funnel (view -> click -> purchase per user) ----
+    "w4_funnel" -> ((s, dir) => {
+      val firsts = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      firsts.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1).otherwise(0)).cast(LongType).as("n_view"),
+        sum(when(col("t_view") < col("t_click"), 1).otherwise(0)).cast(LongType).as("n_view_click"),
+        sum(when(col("t_view") < col("t_click") && col("t_click") < col("t_buy"), 1)
+          .otherwise(0)).cast(LongType).as("n_full_funnel"))
+    }),
+
+    // ---- W5: top-k per group (2 largest orders per status) ----
+    "w5_topk_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select(col("o_orderstatus"), col("rk").cast(IntegerType).as("rk"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderstatus", "rk")
+    }),
+
+    // ---- A15: ordered string aggregation per group ----
+    "a15_string_agg" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .groupBy((col("n_regionkey") % 2).cast(IntegerType).as("parity"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
+        .orderBy("parity")),
+
+    // ---- W6: month-over-month change of a monthly aggregate ----
+    "w6_mom_growth" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(month(col("o_orderdate")).as("month"))
+        .agg(Analytics.stableSum(col("o_totalprice")).as("total"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+      monthly.select(col("month"), col("total"),
+        (col("total") - lag(col("total"), 1).over(w)).as("delta"))
+        .orderBy("month")
+    }),
+
     // ---- W2: sessionization (30-min inactivity gap) ----
     "w2_sessionize" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -955,6 +1014,46 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS ndv_flag,
         |  COUNT(*) AS n_rows
         |FROM lineitem""".stripMargin,
+
+    "w3_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT a.d AS d, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS retained
+        |FROM days a JOIN days b ON a.user_id = b.user_id AND b.d = a.d + 1
+        |GROUP BY a.d ORDER BY a.d""".stripMargin,
+
+    "w4_funnel" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        |  CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM firsts""".stripMargin,
+
+    "w5_topk_per_group" ->
+      """SELECT o_orderstatus, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderstatus
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 2 ORDER BY o_orderstatus, rk""".stripMargin,
+
+    "a15_string_agg" ->
+      """SELECT CAST(n_regionkey % 2 AS INT) AS parity,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY parity ORDER BY parity""".stripMargin,
+
+    "w6_mom_growth" ->
+      """WITH monthly AS (
+        |  SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY month)
+        |SELECT month, total, total - lag(total, 1) OVER (ORDER BY month) AS delta
+        |FROM monthly ORDER BY month""".stripMargin,
 
     "w2_sessionize" ->
       """WITH g AS (SELECT event_id, user_id, ts,
