@@ -21,13 +21,23 @@ object Bench {
       val w = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (w.exists) w.toString else sfDir
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // Optional comma-separated query filter + repeat count for profiling
+    // single queries (SPARK_GRAFT_ONLY=j4_overlap SPARK_GRAFT_REPS=3).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val picked = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n)) }
+    picked.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = picked.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

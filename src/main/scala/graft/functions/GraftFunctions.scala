@@ -233,16 +233,20 @@ object GraftFunctions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = toDoubles(l, left.dataType)
       val b = toDoubles(r, right.dataType)
-      val n = math.min(a.length, b.length)
+      // Dimension mismatch and zero/empty vectors have no defined cosine:
+      // return null (DuckDB raises on mismatch; silent truncation or a
+      // NaN from 0/0 would propagate wrong similarities downstream).
+      if (a.length != b.length) return null
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
-      while (i < n) {
+      while (i < a.length) {
         dot += a(i) * b(i)
         na += a(i) * a(i)
         nb += b(i) * b(i)
         i += 1
       }
-      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+      if (na == 0.0 || nb == 0.0) null
+      else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): CosineSim = copy(left = l, right = r)

@@ -72,8 +72,8 @@ object AsOfJoin {
     val bounds = l.select(col("__t")).unionAll(r.select(col("__t")))
       .agg(min("__t").as("lo"), max("__t").as("hi")).head()
     if (bounds.isNullAt(0)) { // both sides empty of times
-      val withVals = valueCols.foldLeft(l.drop("__t")) { case (d, (_, a)) =>
-        d.withColumn(a, lit(null))
+      val withVals = valueCols.foldLeft(l.drop("__t")) { case (d, (in, a)) =>
+        d.withColumn(a, lit(null).cast(r.schema(in).dataType))
       }
       return (if (inner) withVals.limit(0) else withVals)
         .select(outCols.map(col): _*)
@@ -84,21 +84,32 @@ object AsOfJoin {
     def bucketOf(t: Column): Column = ((t - lit(lo)) / lit(width)).cast(LongType)
 
     val valIn = valueCols.map(_._1)
-    val valTmp = valueCols.indices.map(i => s"__v$i")
     val payload = left.columns.toSeq // left cols pass through untouched
+
+    // ALL right value columns ride in ONE struct (`__vs`), so the window
+    // fill attaches every column of the SAME matched right row — a null
+    // value on the matched row stays null (pandas merge_asof parity)
+    // instead of being backfilled per-column from older rows. Fields are
+    // positional (__v0..) so duplicate input names can't collide; __m is
+    // the match marker.
+    val vsType = org.apache.spark.sql.types.StructType(
+      valIn.zipWithIndex.map { case (in, i) =>
+        org.apache.spark.sql.types.StructField(s"__v$i", r.schema(in).dataType)
+      } :+ org.apache.spark.sql.types.StructField(
+        "__m", org.apache.spark.sql.types.IntegerType))
+    def vsStruct: Column = struct(
+      (valIn.zipWithIndex.map { case (in, i) => col(in).as(s"__v$i") } :+
+        lit(1).as("__m")): _*).cast(vsType)
 
     // Tagged union: right rows (tag 0) carry values, left rows (tag 1)
     // carry payload. Columns absent on a side are null.
     val rTagged = r.select(
       keys.map(col) ++ Seq(bucketOf(col("__t")).as("__b"), col("__t"),
-        lit(0).as("__tag"), lit(1).as("__m")) ++
-        valTmp.zip(valIn).map { case (tmp, in) => col(in).as(tmp) } ++
+        lit(0).as("__tag"), vsStruct.as("__vs")) ++
         payload.map(c => lit(null).cast(left.schema(c).dataType).as(s"__p_$c")): _*)
     val lTagged = l.select(
       keys.map(col) ++ Seq(bucketOf(col("__t")).as("__b"), col("__t"),
-        lit(1).as("__tag"), lit(null).cast("int").as("__m")) ++
-        valTmp.zip(valIn).map { case (tmp, in) =>
-          lit(null).cast(r.schema(in).dataType).as(tmp) } ++
+        lit(1).as("__tag"), lit(null).cast(vsType).as("__vs")) ++
         payload.map(c => col(c).as(s"__p_$c")): _*)
 
     val part = keys :+ "__b"
@@ -106,8 +117,8 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rTagged.unionAll(lTagged)
-      .select((part.map(col) :+ col("__tag")) ++ payload.map(c => col(s"__p_$c")) ++
-        (valTmp :+ "__m").map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .select((part.map(col) :+ col("__tag")) ++ payload.map(c => col(s"__p_$c")) :+
+        last(col("__vs"), ignoreNulls = true).over(w).as("__vs"): _*)
       .where(col("__tag") === 1)
 
     // Carry-in spine: last right values per (keys, bucket), forward-filled
@@ -118,18 +129,19 @@ object AsOfJoin {
       .unionAll(r.select((keys.map(col) :+ bucketOf(col("__t")).as("__b")): _*))
       .distinct()
     val rLast = r.groupBy((keys.map(col) :+ bucketOf(col("__t")).as("__b")): _*)
-      .agg(max_by(struct((valIn.map(col) :+ lit(1).as("__m")): _*), col("__t")).as("__vals"))
+      .agg(max_by(vsStruct, col("__t")).as("__vals"))
     val wb = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = spine.join(rLast, part, "left")
       .select(part.map(col) :+ last(col("__vals"), ignoreNulls = true).over(wb).as("__carry"): _*)
 
     val joined = filled.join(broadcast(carry), part, "left")
+    val vs = coalesce(col("__vs"), col("__carry"))
     val resolved = joined.select(
       payload.map(c => col(s"__p_$c").as(c)) ++
-        valTmp.zip(valueCols).map { case (tmp, (in, out)) =>
-          coalesce(col(tmp), col("__carry").getField(in)).as(out)
-        } :+ coalesce(col("__m"), col("__carry").getField("__m")).as("__m"): _*)
+        valueCols.zipWithIndex.map { case ((_, out), i) =>
+          vs.getField(s"__v$i").as(out)
+        } :+ vs.getField("__m").as("__m"): _*)
 
     val res = if (inner) resolved.where(col("__m") === 1) else resolved
     res.select(outCols.map(col): _*)
@@ -189,9 +201,15 @@ object AsOfJoin {
         struct((epochMicros(col(rightTime)).as("__t") +: valIn.map(col)): _*)))
         .as("__arr"))
 
+    // Keyless form joins on a constant dummy key (NOT crossJoin): when the
+    // right side is empty, `grouped` has zero rows and a cross join would
+    // drop every left row — the left join keeps them with null values,
+    // matching backward()'s outer semantics.
     val joined =
       if (keys.nonEmpty) left.join(broadcast(grouped), keys, "left")
-      else left.crossJoin(broadcast(grouped))
+      else left.withColumn("__one", lit(1))
+        .join(broadcast(grouped.withColumn("__one", lit(1))), Seq("__one"), "left")
+        .drop("__one")
     val lt = epochMicros(col(leftTime))
     // last element with __t <= leftTime (null when none / null left time);
     // O(log n) binary search per left row (native expression)

@@ -69,7 +69,13 @@ object Similarity {
       val proj = dot(vec, array(h.map(lit): _*))
       when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
+    // A vector whose length != dim would silently null out the zip_with
+    // dot and zero every signature bit — fail loudly instead of bucketing
+    // every misconfigured vector together.
+    when(size(vec) === dim, bitCols.reduce((a, b) => a.bitwiseOR(b)))
+      .otherwise(raise_error(concat(
+        lit(s"graft lshBucket: expected dim $dim, got "),
+        size(vec).cast("string"))))
   }
 
   /** Approximate top-k: candidates share the query's LSH bucket, exact

@@ -49,21 +49,31 @@ object LakeWriter {
 
   /** Small-file compaction: continuous appends (15-min cadence feeds)
     * accumulate many tiny parquet files, degrading scan planning and task
-    * granularity. Rewrites the table into `numFiles` files via a temp
-    * directory + atomic-ish rename swap (old data moved aside, then
-    * deleted only after the swap succeeds). Returns the new file count.
+    * granularity. Rewrites the table into `numFiles` files, then swaps in
+    * the compacted files and removes EXACTLY the input files that were
+    * snapshotted before the rewrite — files appended concurrently (the
+    * 15-min cadence writers) are never touched, and the table path never
+    * disappears. Readers between the two steps may briefly see the
+    * compacted rows twice; appends are never lost. Returns the new file
+    * count.
     */
   def compact(spark: SparkSession, path: String, numFiles: Int): Int = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return 0
     val tmp = new Path(path + "__compact_tmp")
-    val old = new Path(path + "__compact_old")
-    spark.read.parquet(path).repartition(numFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(p, old)
-    fs.rename(tmp, p)
-    fs.delete(old, true)
+    val df = spark.read.parquet(path)
+    // Snapshot of the files this compaction will subsume — the read job
+    // plans against exactly this list.
+    val inputs = df.inputFiles.map(new Path(_))
+    df.repartition(numFiles).write.mode("overwrite").parquet(tmp.toString)
+    val newFiles = fs.listStatus(tmp)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    newFiles.foreach { s =>
+      fs.rename(s.getPath, new Path(p, "compact-" + s.getPath.getName))
+    }
+    inputs.foreach(f => fs.delete(f, false))
+    fs.delete(tmp, true)
     fs.listStatus(p).count(s => s.getPath.getName.endsWith(".parquet"))
   }
 

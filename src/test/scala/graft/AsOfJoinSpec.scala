@@ -115,6 +115,55 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(inner.where($"mw" === 999.0).count() === 0)
   }
 
+  test("matched row's null value is preserved, all value cols from same row") {
+    // Right rows: @00:00 has (v1=1.0, v2=10.0); @01:00 has (v1=null, v2=20.0).
+    // merge_asof attaches ALL columns of the single matched row — a left row
+    // at 01:30 must get (null, 20.0), NOT v1 backfilled from 00:00.
+    val l = Seq((ts("2024-05-01 01:30:00"), 1.0)).toDF("time", "x")
+    val r = Seq(
+      (ts("2024-05-01 00:00:00"), Option(1.0), Option(10.0)),
+      (ts("2024-05-01 01:00:00"), Option.empty[Double], Option(20.0))
+    ).toDF("time", "v1", "v2")
+    for (buckets <- Seq(1, 4)) {
+      val row = AsOfJoin.backward(l, r, "time", "time",
+        valueCols = Seq(("v1", "v1"), ("v2", "v2")), numBuckets = buckets)
+        .select($"v1", $"v2").head
+      assert(row.isNullAt(0), s"buckets=$buckets: v1 must stay null")
+      assert(row.getDouble(1) === 20.0)
+    }
+    // Same contract from the broadcast strategy — and inner keeps the row
+    // (it IS matched, just with a null value).
+    val b = AsOfJoin.broadcastBackward(l, r, "time", "time",
+      valueCols = Seq(("v1", "v1"), ("v2", "v2")), inner = true)
+      .select($"v1", $"v2").head
+    assert(b.isNullAt(0) && b.getDouble(1) === 20.0)
+    // carry path too: left in a later empty bucket must carry the whole
+    // struct of the last right row, null included
+    val lFar = Seq((ts("2024-05-02 09:00:00"), 1.0)).toDF("time", "x")
+    val c = AsOfJoin.backward(lFar, r, "time", "time",
+      valueCols = Seq(("v1", "v1"), ("v2", "v2")), numBuckets = 32)
+      .select($"v1", $"v2").head
+    assert(c.isNullAt(0) && c.getDouble(1) === 20.0)
+  }
+
+  test("broadcastBackward keyless empty right keeps left rows (outer)") {
+    val outer = AsOfJoin.broadcastBackward(fm, load.limit(0), "time", "time",
+      valueCols = Seq(("load", "load")))
+    assert(outer.count() === 5)
+    assert(outer.where($"load".isNotNull).count() === 0)
+    val inner = AsOfJoin.broadcastBackward(fm, load.limit(0), "time", "time",
+      valueCols = Seq(("load", "load")), inner = true)
+    assert(inner.count() === 0)
+  }
+
+  test("both sides empty keeps left schema value types (parquet-writable)") {
+    val out = AsOfJoin.backward(fm.limit(0), load.limit(0), "time", "time",
+      valueCols = Seq(("load", "load")))
+    assert(out.schema("load").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(out.count() === 0)
+  }
+
   test("empty right side yields all-null values / empty inner") {
     val empty = load.limit(0)
     val outer = AsOfJoin.backward(fm, empty, "time", "time",

