@@ -298,6 +298,22 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- similarity: IVF (k-means coarse quantizer) top-k ----
+    // Exhaustive probing (nprobe = nlist) exercises the full IVF pipeline
+    // (deterministic k-means training, map-side cell assignment, probe
+    // explosion, in-cell exact re-rank) while provably equaling brute
+    // force — every corpus row lives in exactly one cell and every cell is
+    // probed — so this IS oracle-checkable. Partial-probe recall is
+    // spec-tested (SimilaritySpec).
+    "sim3_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+        k = 10, nlist = 16, nprobe = 16, iters = 3)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- A8: exact distinct counts (shuffle-dedup aggregate) ----
     "a8_distinct_count" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
@@ -822,6 +838,19 @@ object SparkEntry {
         |ORDER BY doc_id, doc_id_2""".stripMargin,
 
     "sim1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // IVF with exhaustive probing == brute force (see queries comment)
+    "sim3_ivf_ann" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid, e.vec_id,

@@ -123,7 +123,8 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
     // (id, sorted distinct shingle hashes) — computed once, joined back for
@@ -135,10 +136,35 @@ object Dedup {
       .drop(textCol)
     val banded = sigs.select(col(idCol), explode(
       bandKeys(minhashSignature(col("__sh"), numHashes), bands, rows)).as("__band"))
-    val candidates = banded
-      .join(banded.withColumnRenamed(idCol, idCol + "_2"), "__band")
-      .where(col(idCol) < col(idCol + "_2"))
-      .select(col(idCol), col(idCol + "_2"))
+    // Adversarial-skew guard: a band bucket holding B near-identical docs
+    // (boilerplate corpora) emits B² candidate pairs. Buckets above
+    // `maxBucketSize` fall back to CHAIN pairing — id-sorted adjacent
+    // pairs only — which is linear in B and still connects every member
+    // transitively, so duplicate-cluster construction (union-find /
+    // connected components downstream) loses nothing; only the explicit
+    // pair list thins. Bucket sizing reuses the band-key shuffle
+    // partitioning (count + window over the same key: no extra exchange
+    // of the big side).
+    val sized = banded.withColumn("__bn",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__band"))))
+    val smallPairs = {
+      val sm = sized.where(col("__bn") <= maxBucketSize).drop("__bn")
+      sm.join(sm.withColumnRenamed(idCol, idCol + "_2"), "__band")
+        .where(col(idCol) < col(idCol + "_2"))
+        .select(col(idCol), col(idCol + "_2"))
+    }
+    val chainPairs = {
+      val big = sized.where(col("__bn") > maxBucketSize)
+        .withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__band")).orderBy(col(idCol))))
+      big.select(col("__band"), col(idCol), (col("__r") + 1).as("__r"))
+        .join(big.select(col("__band"), col(idCol).as(idCol + "_2"), col("__r")),
+          Seq("__band", "__r"))
+        .select(col(idCol), col(idCol + "_2"))
+    }
+    val candidates = smallPairs.unionAll(chainPairs)
       .dropDuplicates(idCol, idCol + "_2")
     candidates
       .join(sigs, idCol)

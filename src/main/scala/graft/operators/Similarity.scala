@@ -107,6 +107,104 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("sim"), col("rank"))
   }
 
+  // ---------- IVF (inverted-file) ANN ----------
+
+  /** Train an IVF coarse quantizer: Lloyd's k-means (cosine assignment,
+    * mean update) on a DETERMINISTIC hash-ordered sample collected to the
+    * driver. The sample is tiny (`sampleSize` vectors) and the result is
+    * nlist × dim doubles — broadcast into the plan as literals, so corpus
+    * assignment is pure map-side work. Determinism: sample order and
+    * initial centroids come from xxhash64(id), never from RNG state.
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 5, sampleSize: Int = 4096): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(asDouble(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train IVF on an empty corpus")
+    val k = math.min(nlist, sample.length)
+    var centroids = sample.take(k).map(_.clone())
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestS = Double.NegativeInfinity; var c = 0
+      while (c < centroids.length) {
+        val s = cos(v, centroids(c))
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](k)
+      for (v <- sample) {
+        val c = nearest(v)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old // empty cell keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** struct(sim, cell) per centroid — greatest() of these is the argmax
+    * cell (struct comparison is field-lexicographic).
+    */
+  private def centroidSims(vec: Column,
+      centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, typedlit(c.toSeq)).as("s"), lit(i).as("i"))
+    }
+
+  /** IVF approximate top-k: corpus rows are assigned once to their nearest
+    * coarse centroid (map-side — centroids are plan literals); each query
+    * probes its `nprobe` nearest cells and re-ranks exactly inside them.
+    *
+    * The at-scale layout: ONE hash shuffle of the corpus on cell id (or
+    * none, if the corpus is pre-partitioned/bucketed by cell at write
+    * time), queries broadcast. Recall is tuned by nprobe/nlist;
+    * nprobe = nlist degenerates to exact brute force.
+    */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+      sampleSize: Int = 4096): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, corpusId, corpusVec,
+      nlist, iters, sampleSize)
+    val probes = math.min(nprobe, centroids.length)
+
+    val cSims = centroidSims(asDouble(col(corpusVec)), centroids)
+    val c = corpus.withColumn("__cell", greatest(cSims: _*).getField("i"))
+
+    val qSims = centroidSims(asDouble(col(queryVec)), centroids)
+    val q = queries
+      .withColumn("__cell", explode(transform(
+        slice(reverse(array_sort(array(qSims: _*))), 1, probes),
+        s => s.getField("i"))))
+
+    val joined = c.join(broadcast(q), "__cell")
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(desc("sim"), col(corpusId))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("sim"), col("rank"))
+  }
+
   /** Blocked near-duplicate pairs: within `blockCol` groups (e.g. a
     * cluster/label/LSH-bucket column), all pairs with cosine ≥ threshold.
     */

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.LongType
+
+/** Streaming sessionization with custom per-key state
+  * (`flatMapGroupsWithState` + event-time timeout) — the stateful
+  * counterpart of the batch gap-sessionizer (`SparkEntry` w2_sessionize).
+  *
+  * The reference has no streaming engine (SURVEY.md §2.9); its session-like
+  * analyses are cron batch. This is the idiomatic continuous upgrade: state
+  * is one open session per user, bounded by the watermark — late events
+  * beyond the watermark are dropped by the engine, and an open session is
+  * flushed when the watermark passes its end + gap (event-time timeout), so
+  * state size is O(active users), independent of stream length.
+  *
+  * Scale notes: `groupByKey(user)` is one hash shuffle of narrow
+  * (user, ts, value) rows per micro-batch; the state store is
+  * per-partition RocksDB/HDFS-backed on a real cluster. No collect, no
+  * driver state.
+  */
+object Sessionize {
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+
+  /** Open-session state: bounds, event count, value sum. Times in epoch
+    * millis (state must be encodable).
+    */
+  case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
+  case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      total_value: Double)
+
+  /** Sessionize a stream: events for the same user separated by more than
+    * `gapSeconds` start a new session. Emits each CLOSED session exactly
+    * once (append mode): intra-batch closures immediately, the trailing
+    * open session when the watermark passes `end + gap`.
+    *
+    * @param events must have `user_id` (castable to long), `timeCol`
+    *               (timestamp), `valueCol` (double)
+    */
+  def sessions(
+      spark: SparkSession,
+      events: DataFrame,
+      timeCol: String,
+      valueCol: String,
+      gapSeconds: Long,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    val typed = events
+      .withWatermark(timeCol, watermark)
+      .select(col("user_id").cast(LongType).as("user_id"),
+        col(timeCol).as("ts"), col(valueCol).cast("double").as("value"))
+      .as[Event]
+
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          def close(s: OpenSession): Session = Session(uid,
+            new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed end + gap: flush the open session
+            val out = state.getOption.map(close).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            // Merge this batch's events (sorted by time) into the open
+            // session, emitting every session closed by an intra-batch gap.
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(OpenSession(s.start, math.max(s.end, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += close(s)
+                  open = Some(OpenSession(t, t, 1L, e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L, e.value))
+              }
+            }
+            open match {
+              case Some(s) =>
+                state.update(s)
+                // timeout must be strictly beyond the current watermark
+                state.setTimeoutTimestamp(
+                  math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

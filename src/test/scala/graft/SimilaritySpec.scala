@@ -50,6 +50,37 @@ class SimilaritySpec extends SparkTestBase {
     approx.foreach { case (id, sim) => assert(brute(id) === sim) }
   }
 
+  test("ivfTopK with nprobe = nlist is exactly brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .limit(200).cache()
+    val q = emb.limit(5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", 10)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 10, nlist = 8, nprobe = 8, iters = 3)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf === brute)
+  }
+
+  test("ivfTopK partial probing keeps usable recall and is deterministic") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .limit(500).cache()
+    val q = emb.limit(8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def run() = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 10, nlist = 16, nprobe = 4, iters = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val a = run(); val b = run()
+    assert(a === b, "IVF must be run-to-run deterministic")
+    val recall = (a & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@10 too low: $recall")
+  }
+
   test("multimodal decode stub is deterministic and batch-shaped") {
     val bin = Multimodal.attachBinary(
       Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text"), "text", "image")

@@ -78,6 +78,29 @@ class TextDedupSpec extends SparkTestBase {
     assert(missing.isEmpty, s"planted pairs missed: $missing")
   }
 
+  test("bucket cap: linear chain pairs still connect a boilerplate cluster") {
+    // 30 identical docs (one giant LSH bucket) plus one unrelated doc.
+    val rows = (0 until 30).map(i =>
+      (i.toLong, "exact same boilerplate text repeated in every document here")) :+
+      (100L, "totally unrelated content about something else entirely")
+    val df = rows.toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(df, "doc_id", "text",
+      n = 2, numHashes = 64, bands = 16, threshold = 0.5, maxBucketSize = 5)
+      .select("doc_id", "doc_id_2").as[(Long, Long)].collect().toSet
+    // linear, not quadratic: 29 chain pairs, not 30*29/2 = 435
+    assert(capped === (0 until 29).map(i => (i.toLong, i + 1L)).toSet)
+    // transitive connectivity: union-find over pairs yields ONE cluster
+    val parent = scala.collection.mutable.Map((0 until 30).map(i => i.toLong -> i.toLong): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    capped.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0 until 30).map(i => find(i.toLong)).toSet.size === 1)
+    // uncapped default on the same input is the full quadratic set
+    val full = Dedup.minhashPairs(df, "doc_id", "text",
+      n = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(full.size === 435)
+  }
+
   test("langId picks marker-matching language, und on no markers") {
     val df = Seq(
       "the cat is a friend of the dog",
