@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator as-of join (AsOfJoinNode -> AsOfMergeJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     ext.injectFunction(fn("graft_cosine", es => CosineSim(es(0), es(1))))
     ext.injectFunction(fn("graft_jaccard", es => JaccardLong(es(0), es(1))))
     ext.injectFunction(fn("graft_simhash64", es => SimHash64(es.head)))

@@ -361,6 +361,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- J8: sort-merge as-of via the dedicated Catalyst operator ----
+    // (AsOfJoinNode -> AsOfMergeJoinExec: one exchange+sort per side,
+    // streaming per-partition merge — same semantics as j2's composition)
+    "j8_asof_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("best_price"))
+      AsOfJoin.merge(ev, o,
+        leftTime = "ts", rightTime = "o_orderdate",
+        by = Seq(("user_id", "o_custkey")),
+        valueCols = Seq(("best_price", "asof_price")),
+        inner = true)
+        .select(col("event_id"), col("user_id"), col("asof_price"))
+        .orderBy("event_id")
+    }),
+
     // ---- J5: semi / anti joins (EXISTS / NOT EXISTS) ----
     "j5_semi" -> ((s, dir) => {
       val hv = t(s, dir, "orders").where(col("o_totalprice") > 400000)
@@ -902,6 +919,14 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "j7_asof_broadcast" ->
+      """SELECT e.event_id, e.user_id, o.best_price AS asof_price
+        |FROM events e ASOF JOIN (
+        |  SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS best_price
+        |  FROM orders GROUP BY o_custkey, o_orderdate) o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "j8_asof_merge" ->
       """SELECT e.event_id, e.user_id, o.best_price AS asof_price
         |FROM events e ASOF JOIN (
         |  SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS best_price

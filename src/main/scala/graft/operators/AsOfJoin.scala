@@ -147,6 +147,57 @@ object AsOfJoin {
     res.select(outCols.map(col): _*)
   }
 
+  /** Sort-merge as-of join via the dedicated Catalyst operator
+    * ([[graft.plans.AsOfJoinNode]] → [[graft.plans.AsOfMergeJoinExec]]):
+    * ONE hash exchange + sort per side, then a streaming per-partition
+    * merge with O(1) state — the physical shape a native engine would
+    * pick, impossible to express by composing built-ins. Same semantics
+    * as [[backward]]. Prefer this for keyed as-ofs with a large right
+    * side; keyless inputs degenerate to a single partition (use
+    * [[backward]]'s time-bucketed composition there). For self-joins,
+    * alias one side first (the custom node skips Catalyst's join
+    * attribute dedup).
+    */
+  def merge(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[(String, String)] = Nil,
+      valueCols: Seq[(String, String)],
+      inner: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast}
+    import org.apache.spark.sql.types.TimestampType
+
+    val spark = left.sparkSession
+    // idempotent planner-strategy registration (also available via
+    // GraftExtensions.injectPlannerStrategy for declarative deployments)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfStrategy
+
+    val lPlan = GraftSqlShim.analyzed(left)
+    val rPlan = GraftSqlShim.analyzed(right)
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String): Attribute =
+      plan.output.find(a => resolver(a.name, name)).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      leftKeys = by.map(b => attr(lPlan, b._1)),
+      rightKeys = by.map(b => attr(rPlan, b._2)),
+      leftTime = Cast(attr(lPlan, leftTime), TimestampType, zone),
+      rightTime = Cast(attr(rPlan, rightTime), TimestampType, zone),
+      valueExprs = valueCols.map { case (in, _) => attr(rPlan, in) },
+      valueAttrs = valueCols.map { case (in, out) =>
+        AttributeReference(out, attr(rPlan, in).dataType)() },
+      inner = inner)
+    GraftSqlShim.ofRows(spark, node)
+  }
+
   /** Strategy-selecting as-of: broadcast when Catalyst's size estimate for
     * the right side fits the threshold (default = Spark's own
     * autoBroadcastJoinThreshold semantics, 10 MB), distributed otherwise.

@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+
+/** Bridge for building a DataFrame from a custom LogicalPlan
+  * ([[graft.plans.AsOfJoinNode]]). `Dataset.ofRows` is `private[sql]`, so
+  * this one-object shim lives in the `org.apache.spark.sql` package — the
+  * standard technique for third-party Catalyst operator libraries.
+  */
+object GraftSqlShim {
+
+  /** DataFrame over `plan`, analyzed/optimized by the session's Catalyst. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** The analyzed logical plan backing `df`. */
+  def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+}
