@@ -448,6 +448,11 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "o_totalprice")
     }),
 
+    // ---- A16: exact second-moment stats (stddev + correlation) ----
+    "a16_stats" -> ((s, dir) =>
+      Analytics.exactStats(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice")),
+
     // ---- A10: rollup (hierarchical subtotals) ----
     "a10_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -980,6 +985,23 @@ object SparkEntry {
         | AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
         | AND o.o_orderdate <= l.l_shipdate + INTERVAL 7 DAY
         |ORDER BY l.l_orderkey, l.l_linenumber, o.o_totalprice""".stripMargin,
+
+    // exact decimal power sums -> one fixed double expression tree: both
+    // engines compute bit-identical stddev/corr (the built-in streaming
+    // co-moment aggs would differ in the last ulp)
+    "a16_stats" ->
+      """WITH p AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS xd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS yd FROM lineitem),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(xd) AS DOUBLE) AS sx, CAST(sum(yd) AS DOUBLE) AS sy,
+        |    CAST(sum(xd*xd) AS DOUBLE) AS sxx,
+        |    CAST(sum(yd*yd) AS DOUBLE) AS syy,
+        |    CAST(sum(xd*yd) AS DOUBLE) AS sxy FROM p)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  sqrt((sxx - sx*sx/n)/(n-1)) AS stddev_x,
+        |  sqrt((syy - sy*sy/n)/(n-1)) AS stddev_y,
+        |  (sxy - sx*sy/n)/(sqrt(sxx - sx*sx/n)*sqrt(syy - sy*sy/n)) AS corr_xy
+        |FROM a""".stripMargin,
 
     "a10_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n

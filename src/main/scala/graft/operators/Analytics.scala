@@ -88,6 +88,38 @@ object Analytics {
       .agg(sum(col("cnt")).cast(LongType).as("cnt"),
         sumCols.map(c => sum(col(c)).cast(DecimalType(28, 2)).as(c)): _*)
 
+  /** Exact second-moment statistics: sample stddev of two measures and
+    * their Pearson correlation, computed from EXACT decimal power sums
+    * (Σx, Σy, Σx², Σy², Σxy, n) rather than the built-in streaming
+    * co-moment aggregates (corr/stddev_samp), whose merge order makes the
+    * last ulp partition-dependent. Inputs are cast to DECIMAL(18,2) per
+    * element (the reference's measure convention) so products and sums are
+    * exact and order-independent; the closed-form double arithmetic on top
+    * is a fixed expression tree — bit-identical across engines. One
+    * map-side-combined pass (the extension of the reference's
+    * "weather-vs-price correlation", which README.md:286 eyeballs from
+    * A7's output).
+    */
+  def exactStats(df: DataFrame, x: String, y: String): DataFrame = {
+    val xd = col(x).cast(DecimalType(18, 2))
+    val yd = col(y).cast(DecimalType(18, 2))
+    val agg = df.agg(
+      count(lit(1)).cast(DoubleType).as("__n"),
+      sum(xd).cast(DoubleType).as("__sx"),
+      sum(yd).cast(DoubleType).as("__sy"),
+      sum(xd * xd).cast(DoubleType).as("__sxx"),
+      sum(yd * yd).cast(DoubleType).as("__syy"),
+      sum(xd * yd).cast(DoubleType).as("__sxy"))
+    val n = col("__n"); val sx = col("__sx"); val sy = col("__sy")
+    val sxx = col("__sxx"); val syy = col("__syy"); val sxy = col("__sxy")
+    agg.select(
+      n.cast(LongType).as("n"),
+      sqrt((sxx - sx * sx / n) / (n - 1)).as("stddev_x"),
+      sqrt((syy - sy * sy / n) / (n - 1)).as("stddev_y"),
+      ((sxy - sx * sy / n) /
+        (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))).as("corr_xy"))
+  }
+
   /** A7 — multi-key grouped average, ordered by the aggregate descending.
     * Ref `README.md:290-300` (avg price per exact weather condition).
     * Tie-broken on the group keys so output order is total and stable.

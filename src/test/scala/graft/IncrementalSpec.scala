@@ -25,6 +25,22 @@ class IncrementalSpec extends SparkTestBase {
     assert(incremental === full) // exact decimal sums => bit-equal merge
   }
 
+  test("exactStats agrees with built-in corr/stddev_samp to 1e-9") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val got = Analytics.exactStats(li, "l_quantity", "l_extendedprice").head
+    val ref = li.agg(
+      stddev_samp($"l_quantity"), stddev_samp($"l_extendedprice"),
+      corr($"l_quantity", $"l_extendedprice")).head
+    assert(got.getLong(0) === li.count())
+    assert(math.abs(got.getDouble(1) - ref.getDouble(0)) < 1e-9)
+    assert(math.abs(got.getDouble(2) - ref.getDouble(1)) < 1e-6)
+    assert(math.abs(got.getDouble(3) - ref.getDouble(2)) < 1e-9)
+    // determinism: same value regardless of partitioning
+    val repart = Analytics.exactStats(li.repartition(13), "l_quantity",
+      "l_extendedprice").head
+    assert(repart.getDouble(3) === got.getDouble(3))
+  }
+
   test("AsOfJoin.auto picks broadcast for small right, distributed for big") {
     val left = spark.read.parquet(s"$sf/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
