@@ -361,6 +361,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- J9: KEYLESS point-in-interval via grid explosion ----
+    // No equi key exists, so a naive theta join would plan as a nested
+    // loop; exploding each interval onto a fixed time grid turns it into
+    // a hash join on the grid cell + exact residual (linear, one shuffle).
+    "j9_interval_grid" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      val iv = t(s, dir, "orders")
+        .where(col("o_orderkey") % 701 === 0)
+        .select(col("o_orderkey").as("iv_key"),
+          col("o_orderdate").as("iv_start"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("iv_end"))
+      IntervalJoin.pointInIntervalBucketed(li, iv,
+        "l_shipdate", "iv_start", "iv_end",
+        widthMicros = 30L * 86400 * 1000000L)
+        .select(col("iv_key"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy("iv_key", "l_orderkey", "l_linenumber")
+    }),
+
     // ---- J8: sort-merge as-of via the dedicated Catalyst operator ----
     // (AsOfJoinNode -> AsOfMergeJoinExec: one exchange+sort per side,
     // streaming per-partition merge — same semantics as j2's composition)
@@ -930,6 +949,13 @@ object SparkEntry {
         |  FROM orders GROUP BY o_custkey, o_orderdate) o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "j9_interval_grid" ->
+      """SELECT o.o_orderkey AS iv_key, l.l_orderkey, l.l_linenumber
+        |FROM lineitem l JOIN orders o ON o.o_orderkey % 701 = 0
+        | AND l.l_shipdate BETWEEN o.o_orderdate
+        |   AND o.o_orderdate + INTERVAL 30 DAY
+        |ORDER BY iv_key, l_orderkey, l_linenumber""".stripMargin,
 
     "j8_asof_merge" ->
       """SELECT e.event_id, e.user_id, o.best_price AS asof_price

@@ -50,12 +50,15 @@ object IntervalJoin {
       widthMicros: Long,
       joinType: String = "inner"): DataFrame = {
     require(widthMicros > 0)
+    // cast handles TIMESTAMP_NTZ/DATE inputs (session TZ pinned UTC)
+    def micros(c: Column): Column =
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
     val p = points.withColumn("__cell",
-      (unix_micros(col(pointCol)) / widthMicros).cast(LongType))
+      (micros(col(pointCol)) / widthMicros).cast(LongType))
     val i = intervals.withColumn("__cell",
       explode(sequence(
-        (unix_micros(col(startCol)) / widthMicros).cast(LongType),
-        (unix_micros(col(endCol)) / widthMicros).cast(LongType))))
+        (micros(col(startCol)) / widthMicros).cast(LongType),
+        (micros(col(endCol)) / widthMicros).cast(LongType))))
     p.join(i, Seq("__cell"), joinType)
       .where(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__cell")
