@@ -145,27 +145,34 @@ object Dedup {
     // pair list thins. Bucket sizing reuses the band-key shuffle
     // partitioning (count + window over the same key: no extra exchange
     // of the big side).
-    val sized = banded.withColumn("__bn",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__band"))))
-    val smallPairs = {
-      val sm = sized.where(col("__bn") <= maxBucketSize).drop("__bn")
-      sm.join(sm.withColumnRenamed(idCol, idCol + "_2"), "__band")
+    val rawPairs = if (maxBucketSize == Int.MaxValue) {
+      // no cap: skip the bucket-sizing window entirely
+      banded.join(banded.withColumnRenamed(idCol, idCol + "_2"), "__band")
         .where(col(idCol) < col(idCol + "_2"))
         .select(col(idCol), col(idCol + "_2"))
+    } else {
+      val sized = banded.withColumn("__bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__band"))))
+      val smallPairs = {
+        val sm = sized.where(col("__bn") <= maxBucketSize).drop("__bn")
+        sm.join(sm.withColumnRenamed(idCol, idCol + "_2"), "__band")
+          .where(col(idCol) < col(idCol + "_2"))
+          .select(col(idCol), col(idCol + "_2"))
+      }
+      val chainPairs = {
+        val big = sized.where(col("__bn") > maxBucketSize)
+          .withColumn("__r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__band")).orderBy(col(idCol))))
+        big.select(col("__band"), col(idCol), (col("__r") + 1).as("__r"))
+          .join(big.select(col("__band"), col(idCol).as(idCol + "_2"), col("__r")),
+            Seq("__band", "__r"))
+          .select(col(idCol), col(idCol + "_2"))
+      }
+      smallPairs.unionAll(chainPairs)
     }
-    val chainPairs = {
-      val big = sized.where(col("__bn") > maxBucketSize)
-        .withColumn("__r", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__band")).orderBy(col(idCol))))
-      big.select(col("__band"), col(idCol), (col("__r") + 1).as("__r"))
-        .join(big.select(col("__band"), col(idCol).as(idCol + "_2"), col("__r")),
-          Seq("__band", "__r"))
-        .select(col(idCol), col(idCol + "_2"))
-    }
-    val candidates = smallPairs.unionAll(chainPairs)
-      .dropDuplicates(idCol, idCol + "_2")
+    val candidates = rawPairs.dropDuplicates(idCol, idCol + "_2")
     candidates
       .join(sigs, idCol)
       .join(sigs.select(col(idCol).as(idCol + "_2"), col("__sh").as("__sh2")),
