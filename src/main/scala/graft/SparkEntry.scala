@@ -546,6 +546,27 @@ object SparkEntry {
         .orderBy("month")
     }),
 
+    // ---- W7: per-key running total (cumulative frame) ----
+    "w7_running_total" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("running_value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- A17: CUBE (all grouping-set combinations) ----
+    "a17_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          Analytics.stableSum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))),
+
     // ---- W2: sessionization (30-min inactivity gap) ----
     "w2_sessionize" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1167,5 +1188,18 @@ object SparkEntry {
         |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
         |FROM g ORDER BY event_id""".stripMargin,
+
+    "w7_running_total" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "a17_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
   )
 }

@@ -198,9 +198,13 @@ object AsOfJoin {
     GraftSqlShim.ofRows(spark, node)
   }
 
-  /** Strategy-selecting as-of: broadcast when Catalyst's size estimate for
-    * the right side fits the threshold (default = Spark's own
-    * autoBroadcastJoinThreshold semantics, 10 MB), distributed otherwise.
+  /** Strategy-selecting as-of, mirroring Catalyst's own join planning:
+    * broadcast when the right side's size estimate fits the threshold
+    * (Spark's autoBroadcastJoinThreshold semantics, 10 MB default);
+    * otherwise the dedicated sort-merge operator when equi keys exist
+    * (one exchange + sort per side, [[merge]]); otherwise — keyless big
+    * right — the time-bucketed composition ([[backward]]), which spreads
+    * a keyless as-of over numBuckets partitions instead of one.
     */
   def auto(
       left: DataFrame,
@@ -215,6 +219,8 @@ object AsOfJoin {
     val rightSize = right.queryExecution.optimizedPlan.stats.sizeInBytes
     if (rightSize <= broadcastThreshold)
       broadcastBackward(left, right, leftTime, rightTime, by, valueCols, inner)
+    else if (by.nonEmpty)
+      merge(left, right, leftTime, rightTime, by, valueCols, inner)
     else
       backward(left, right, leftTime, rightTime, by, valueCols, inner, numBuckets)
   }

@@ -23,6 +23,28 @@ class ExtensionsSpec extends SparkTestBase {
       assert(r.getDouble(1) === 0.5)
       assert(r.getLong(2) === 42L) // single hash: simhash == its bit pattern
       assert(r.getSeq[Long](3).length === 2)
+
+      // the injected planner strategy plans AsOfJoinNode declaratively
+      // (no experimental.extraStrategies registration in this session)
+      assert(!s2.experimental.extraStrategies.contains(graft.plans.AsOfStrategy))
+      import org.apache.spark.sql.GraftSqlShim
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast}
+      import org.apache.spark.sql.types.{DoubleType, TimestampType}
+      import s2.implicits._
+      val lf = Seq((java.sql.Timestamp.valueOf("2024-05-01 01:00:00"), 1.0))
+        .toDF("t", "x")
+      val rf = Seq((java.sql.Timestamp.valueOf("2024-05-01 00:00:00"), 9.0))
+        .toDF("t", "v")
+      val lPlan = GraftSqlShim.analyzed(lf)
+      val rPlan = GraftSqlShim.analyzed(rf)
+      val node = graft.plans.AsOfJoinNode(lPlan, rPlan, Nil, Nil,
+        Cast(lPlan.output.head, TimestampType, Some("UTC")),
+        Cast(rPlan.output.head, TimestampType, Some("UTC")),
+        Seq(rPlan.output(1)),
+        Seq(AttributeReference("v", DoubleType)()), inner = false)
+      val out = GraftSqlShim.ofRows(s2, node)
+      assert(out.queryExecution.executedPlan.toString.contains("AsOfMergeJoin"))
+      assert(out.select("v").head.getDouble(0) === 9.0)
     } finally {
       SparkSession.setDefaultSession(old)
       SparkSession.setActiveSession(old)

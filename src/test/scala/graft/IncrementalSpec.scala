@@ -54,8 +54,11 @@ class IncrementalSpec extends SparkTestBase {
     val forced = AsOfJoin.auto(left, small, "ts", "o_orderdate",
       by = Seq(("user_id", "o_custkey")), valueCols = Seq(("p", "p")),
       broadcastThreshold = 0)
-    assert(!forced.queryExecution.executedPlan.toString.contains("graft_asof_pick"),
+    val forcedPlan = forced.queryExecution.executedPlan.toString
+    assert(!forcedPlan.contains("graft_asof_pick"),
       "zero threshold should take the distributed path")
+    assert(forcedPlan.contains("AsOfMergeJoin"),
+      "keyed big-right should plan the dedicated sort-merge operator")
     // both paths agree
     val a = picked.select($"event_id", $"p").collect().map(r => (r.getLong(0), r.get(1))).sortBy(_._1).toSeq
     val b = forced.select($"event_id", $"p").collect().map(r => (r.getLong(0), r.get(1))).sortBy(_._1).toSeq
