@@ -589,6 +589,19 @@ object SparkEntry {
         "label", threshold = 0.3)
         .orderBy("vec_id", "vec_id_2")),
 
+    // ---- dedup: connected components over the near-dup pair graph ----
+    // pairs -> canonical duplicate-cluster ids (min reachable id), the
+    // step that turns candidate pairs into keep/drop decisions
+    "d5_components" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        "label", threshold = 0.3)
+        .select(col("vec_id"), col("vec_id_2"))
+      Dedup.connectedComponents(emb.select(col("vec_id")), pairs,
+        "vec_id", "vec_id_2")
+        .orderBy("vec_id")
+    }),
+
     // ---- multimodal: binary payload + typed metadata ----
     "mm1_binary_meta" -> ((s, dir) =>
       Multimodal.attachBinary(t(s, dir, "documents"), "text", "text")
@@ -1188,6 +1201,24 @@ object SparkEntry {
         |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
         |FROM g ORDER BY event_id""".stripMargin,
+
+    // undirected reachability via recursive CTE; component = MIN reachable
+    // id — the same fixpoint the distributed label propagation converges to
+    "d5_components" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.3),
+        |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs
+        |          UNION SELECT v2, v1 FROM pairs),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS label FROM embeddings
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS vec_id, MIN(label) AS component
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "w7_running_total" ->
       """SELECT event_id, user_id,

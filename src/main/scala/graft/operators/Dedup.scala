@@ -183,6 +183,65 @@ object Dedup {
       .select(col(idCol), col(idCol + "_2"), col("jaccard"))
   }
 
+  // ---------- duplicate-cluster construction ----------
+
+  /** Connected components over an undirected pair graph (the output of
+    * [[minhashPairs]]/[[simhashPairs]]/`Similarity.nearDupPairs`):
+    * assigns every vertex the MINIMUM id reachable from it — the
+    * canonical duplicate-cluster id. This is the step that turns
+    * near-dup PAIRS into actionable dedup decisions (keep one doc per
+    * component).
+    *
+    * Algorithm: distributed min-label propagation — each iteration joins
+    * current labels across edges and takes the min neighbor label;
+    * converges in O(graph diameter) rounds (dup clusters are
+    * near-cliques, so typically 2-3). Each round is one narrow
+    * (id, label) shuffle; `localCheckpoint` truncates the growing
+    * lineage. At 100 TB-scale graphs with long chains, switch to
+    * large-star/small-star (same join primitive, O(log n) rounds).
+    *
+    * @param vertices one row per vertex id (ids not in any pair form
+    *                 singleton components)
+    * @return (idCol, component) — component = min reachable id
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      idCol: String, idCol2: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idCol).as("__src"), col(idCol2).as("__dst"))
+      .unionAll(pairs.select(col(idCol2).as("__src"), col(idCol).as("__dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = vertices.select(col(idCol).as("__v"), col(idCol).as("__l"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label among self and neighbors
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("__v", "__src"), "__src")
+        .select(col("__dst").as("__v"), col("__l"))
+      val next = labels.unionAll(viaEdges)
+        .groupBy("__v").agg(min("__l").as("__l"))
+        .localCheckpoint(true) // truncate lineage each round
+      val changed = next.join(labels.withColumnRenamed("__l", "__old"), "__v")
+        .where(col("__l") =!= col("__old")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    labels.select(col("__v").as(idCol), col("__l").as("component"))
+  }
+
+  /** Duplicate-cluster survivor selection: keep the lowest-id document of
+    * every component (composes [[connectedComponents]] with a semi-join
+    * back to the full rows).
+    */
+  def canonicalize(df: DataFrame, pairs: DataFrame,
+      idCol: String, idCol2: String): DataFrame = {
+    val comps = connectedComponents(df.select(col(idCol)), pairs, idCol, idCol2)
+    val survivors = comps.groupBy("component")
+      .agg(min(col(idCol)).as(idCol)).select(col(idCol))
+    df.join(survivors, Seq(idCol), "left_semi")
+  }
+
   // ---------- decontamination ----------
 
   /** Benchmark decontamination: drop training docs whose shingle overlap

@@ -101,6 +101,23 @@ class TextDedupSpec extends SparkTestBase {
     assert(full.size === 435)
   }
 
+  test("connected components: chains, cliques, singletons, canonicalize") {
+    // path 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
+    // clique-ish 10-11/11-12/10-12, isolated 99
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 99L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("id", "id_2")
+    val comps = Dedup.connectedComponents(vertices, pairs, "id", "id_2")
+      .as[(Long, Long)].collect().toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+    // survivor selection keeps the min id per component
+    val rows = vertices.withColumn("payload", col("id") * 2)
+    val kept = Dedup.canonicalize(rows, pairs, "id", "id_2")
+      .select("id").as[Long].collect().sorted
+    assert(kept === Array(1L, 10L, 99L))
+  }
+
   test("langId picks marker-matching language, und on no markers") {
     val df = Seq(
       "the cat is a friend of the dog",
