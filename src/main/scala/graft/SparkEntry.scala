@@ -704,6 +704,27 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
 
+    // ---- sampling: stratified per-group quota (deterministic hash) ----
+    "s3_stratified_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(pmod(col("c_custkey") * lit(2654435761L), lit(1000000007L)),
+          col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 20)
+        .select(col("c_mktsegment"), col("rk").cast(IntegerType).as("rk"),
+          col("c_custkey"))
+        .orderBy("c_mktsegment", "rk")
+    }),
+
+    // ---- text: top-k TF-IDF terms per document ----
+    "t10_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk")),
+
     // ---- profiling: one-pass per-column statistics ----
     "a12_profile" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
@@ -1095,6 +1116,33 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE (doc_id * 2654435761) % 100 < 30
         |ORDER BY doc_id""".stripMargin,
+
+    "s3_stratified_sample" ->
+      """WITH r AS (SELECT c_mktsegment, c_custkey,
+        |  CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY (c_custkey * 2654435761) % 1000000007, c_custkey) AS INT) AS rk
+        |  FROM customer)
+        |SELECT c_mktsegment, rk, c_custkey FROM r WHERE rk <= 20
+        |ORDER BY c_mktsegment, rk""".stripMargin,
+
+    "t10_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    tf.tf * ln((n.nn + 1)/(dfreq.df + 1)) AS tfidf
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term, n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS INT) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
 
     "t9_levenshtein" ->
       """SELECT a.doc_id AS doc_id,

@@ -90,6 +90,37 @@ object TextAnalysis {
     aggregate(toks, lit(0L),
       (acc, t) => acc * lit(1315423911L) + xxhash64(t))
 
+  /** Top-k TF-IDF terms per document. tf = term count in doc; idf =
+    * ln((N+1)/(df+1)) (smoothed); ties broken by term ascending. Shape at
+    * scale: explode (map-side) → two narrow groupBys (doc,term) and
+    * (term) — both partial-aggregated — a 1-row N broadcast-joined in,
+    * then a per-doc top-k window. No full-corpus collect anywhere; the
+    * double math is one fixed expression tree (engine-portable).
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val terms = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val dfreq = terms.distinct().groupBy("term")
+      .agg(count(lit(1)).cast(DoubleType).as("df"))
+    val n = df.agg(count(lit(1)).cast(DoubleType).as("__n"))
+    // ln() differs in the last ulp across libm implementations; round to
+    // 6 dp so the OUTPUT is engine-portable. Ranking still uses the raw
+    // value — scores from different (tf, df) pairs differ far beyond one
+    // ulp, and equal pairs are exactly equal (tie-broken by term).
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log((col("__n") + 1) / (col("df") + 1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(desc("tfidf"), col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("term"), round(col("tfidf"), 6).as("tfidf"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
   /** Full per-document profile in one map-side pass. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
