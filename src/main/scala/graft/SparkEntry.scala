@@ -472,6 +472,15 @@ object SparkEntry {
       Analytics.exactStats(t(s, dir, "lineitem"),
         "l_quantity", "l_extendedprice")),
 
+    // ---- A18: exact interpolated percentiles per group ----
+    "a18_median" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"))
+        .orderBy("o_orderstatus")),
+
     // ---- A10: rollup (hierarchical subtotals) ----
     "a10_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1066,6 +1075,13 @@ object SparkEntry {
         | AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
         | AND o.o_orderdate <= l.l_shipdate + INTERVAL 7 DAY
         |ORDER BY l.l_orderkey, l.l_linenumber, o.o_totalprice""".stripMargin,
+
+    "a18_median" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // exact decimal power sums -> one fixed double expression tree: both
     // engines compute bit-identical stddev/corr (the built-in streaming

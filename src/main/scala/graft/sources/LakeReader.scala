@@ -43,6 +43,19 @@ object LakeReader {
   def unionByName(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_ unionByName _)
 
+  /** Schema-evolution tolerant scan: a long-lived lake table accumulates
+    * files written under different schema versions (a feed adds a
+    * column). `mergeSchema` unions the per-file parquet footers — rows
+    * from files missing a column read as null there — so old and new
+    * files stay queryable as one table. Columns may only be ADDED (or
+    * widened compatibly); incompatible type changes still fail, which is
+    * the right guardrail. Use for tables with in-flight schema changes;
+    * steady-state readers should pass an explicit schema (footer merging
+    * costs one extra metadata pass over file footers at planning).
+    */
+  def evolvedTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** S3 — source-emptiness guard, ref `check_folder_has_files`
     * (`...load_latest...py:27-34`). The reference's version only guards the
     * read and still NameErrors downstream (SURVEY §2.1 bug note); ours is a

@@ -64,6 +64,20 @@ class BucketingSpec extends SparkTestBase {
     assert(rows === (0 until 4).map(i => (i, s"v$i")).toSet + ((99, "late")))
   }
 
+  test("mergeSchema scan reads files written under evolving schemas") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    // v1 files: (k, v); v2 adds a column (k, v, extra)
+    LakeWriter.append(Seq((1, "a")).toDF("k", "v"), dir)
+    LakeWriter.append(Seq((2, "b", 9.5)).toDF("k", "v", "extra"), dir)
+    val df = graft.sources.LakeReader.evolvedTable(spark, dir)
+    assert(df.columns.sorted === Array("extra", "k", "v"))
+    val rows = df.select("k", "v", "extra").orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(rows.toSeq === Seq((1, "a", None), (2, "b", Some(9.5))))
+  }
+
   test("partitioned append prunes partitions at scan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
     val o = spark.read.parquet(s"$sf/orders.parquet")
