@@ -65,4 +65,26 @@ object SqlLayer {
       |ORDER BY average_price DESC, o_orderstatus, o_orderpriority""".stripMargin
 
   def run(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
+
+  /** SQL surface for the as-of join: materializes
+    * `AsOfJoin.auto(leftView, rightView, ...)` as a temp view so analyst
+    * SQL can reference it directly (`SELECT ... FROM <name> ...`). Spark
+    * has no `ASOF JOIN` grammar to hook into without a forked parser;
+    * a named view over the strategy-selecting operator is the same
+    * capability with zero parser risk — and the view's plan (broadcast
+    * pick / dedicated sort-merge operator / bucketed composition) is
+    * chosen by the same size heuristics as the DataFrame API.
+    */
+  def asofView(spark: SparkSession, name: String,
+      leftView: String, rightView: String,
+      leftTime: String, rightTime: String,
+      by: Seq[(String, String)] = Nil,
+      valueCols: Seq[(String, String)],
+      inner: Boolean = false): DataFrame = {
+    val df = graft.operators.AsOfJoin.auto(
+      spark.table(leftView), spark.table(rightView),
+      leftTime, rightTime, by, valueCols, inner)
+    df.createOrReplaceTempView(name)
+    df
+  }
 }
