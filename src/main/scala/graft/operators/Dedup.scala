@@ -200,30 +200,100 @@ object Dedup {
     * lineage. At 100 TB-scale graphs with long chains, switch to
     * large-star/small-star (same join primitive, O(log n) rounds).
     *
+    * Strategy selection (like `AsOfJoin.auto`): the pair graph after
+    * near-dup candidate generation is orders of magnitude smaller than
+    * the corpus, so when the edge list fits `localEdgeThreshold` it is
+    * collected and union-found on the driver in one pass, and only the
+    * (edge-endpoint → component) map — bounded by 2×threshold — is
+    * broadcast back to label the (possibly enormous) vertex table.
+    * Larger graphs run the distributed propagation loop.
+    *
     * @param vertices one row per vertex id (ids not in any pair form
     *                 singleton components)
     * @return (idCol, component) — component = min reachable id
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-      idCol: String, idCol2: String, maxIter: Int = 20): DataFrame = {
+      idCol: String, idCol2: String, maxIter: Int = 20,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
+    // bounded size probe — never scans more than threshold+1 edges
+    val small = pairs.limit(localEdgeThreshold.toInt + 1).count() <= localEdgeThreshold
+    if (small)
+      componentsViaDriverUnionFind(vertices, pairs, idCol, idCol2)
+    else
+      componentsViaPropagation(vertices, pairs, idCol, idCol2, maxIter)
+  }
+
+  /** Small-graph path: one collect of the edge list, path-compressed
+    * union-find with union-by-min, broadcast join back. Exact same
+    * fixpoint (min reachable id) as the distributed loop.
+    */
+  private def componentsViaDriverUnionFind(vertices: DataFrame,
+      pairs: DataFrame, idCol: String, idCol2: String): DataFrame = {
+    import scala.collection.mutable
+    val idType = vertices.schema(idCol).dataType
+    val edges = pairs.select(col(idCol).cast(idType), col(idCol2).cast(idType))
+      .collect()
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    edges.foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      if (a != null && b != null) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+    }
+    val endpoints = edges.iterator
+      .flatMap(r => Seq(r.get(0), r.get(1))).filter(_ != null).toSet
+    val spark = vertices.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__v", idType),
+      org.apache.spark.sql.types.StructField("__c", idType)))
+    val mapping = spark.createDataFrame(
+      java.util.Arrays.asList(endpoints.toSeq.map(v =>
+        org.apache.spark.sql.Row(v, find(v))): _*), schema)
+    vertices.select(col(idCol))
+      .join(broadcast(mapping), col(idCol) === col("__v"), "left")
+      .select(col(idCol), coalesce(col("__c"), col(idCol)).as("component"))
+  }
+
+  /** Big-graph path: distributed min-label propagation (O(diameter)
+    * rounds of one narrow shuffle each; lineage truncated per round).
+    * Convergence check exploits monotonicity: labels only ever decrease,
+    * so the fixpoint is reached exactly when a cheap aggregate hash of
+    * (vertex, label) stops changing — no per-round join needed.
+    */
+  private def componentsViaPropagation(vertices: DataFrame, pairs: DataFrame,
+      idCol: String, idCol2: String, maxIter: Int): DataFrame = {
     val edges = pairs.select(col(idCol).as("__src"), col(idCol2).as("__dst"))
       .unionAll(pairs.select(col(idCol2).as("__src"), col(idCol).as("__dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = vertices.select(col(idCol).as("__v"), col(idCol).as("__l"))
+    def stateHash(df: DataFrame): Long =
+      df.agg(sum(xxhash64(col("__v"), col("__l")))).head.getLong(0)
+    var prev = -1L
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // min label among self and neighbors
       val viaEdges = edges
         .join(labels.withColumnRenamed("__v", "__src"), "__src")
         .select(col("__dst").as("__v"), col("__l"))
       val next = labels.unionAll(viaEdges)
         .groupBy("__v").agg(min("__l").as("__l"))
         .localCheckpoint(true) // truncate lineage each round
-      val changed = next.join(labels.withColumnRenamed("__l", "__old"), "__v")
-        .where(col("__l") =!= col("__old")).limit(1).count()
-      converged = changed == 0
+      val h = stateHash(next)
+      converged = h == prev
+      prev = h
       labels = next
       iter += 1
     }

@@ -107,10 +107,17 @@ class TextDedupSpec extends SparkTestBase {
     val vertices = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 99L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (11L, 12L), (10L, 12L)).toDF("id", "id_2")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L)
+    // driver union-find path (default threshold)
     val comps = Dedup.connectedComponents(vertices, pairs, "id", "id_2")
       .as[(Long, Long)].collect().toMap
-    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+    assert(comps === want)
+    // distributed propagation path (forced): same fixpoint
+    val dist = Dedup.connectedComponents(vertices, pairs, "id", "id_2",
+      localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === want)
     // survivor selection keeps the min id per component
     val rows = vertices.withColumn("payload", col("id") * 2)
     val kept = Dedup.canonicalize(rows, pairs, "id", "id_2")
