@@ -314,6 +314,25 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- similarity: top-k over int8-quantized corpus (lossy: rows-only
+    // check; error bound + recall vs exact are spec-tested) ----
+    "sim4_quantized_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val qc = emb.withColumn("__q", Similarity.quantize(col("embedding")))
+      val joined = qc.join(broadcast(q))
+        .where(col("qid") =!= col("vec_id"))
+        .withColumn("sim", Similarity.quantizedCosine(col("__q"), col("qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+      joined.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"), col("sim"),
+          col("rank").cast(IntegerType).as("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- A8: exact distinct counts (shuffle-dedup aggregate) ----
     "a8_distinct_count" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(

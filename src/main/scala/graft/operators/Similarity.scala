@@ -205,6 +205,38 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("sim"), col("rank"))
   }
 
+  // ---------- int8 scale-offset quantization ----------
+
+  /** Quantize a float/double embedding to 8-bit codes with per-vector
+    * scale+offset: `struct(mn, scale, codes array<byte>)` — 4× smaller
+    * than float32 at rest and on the shuffle wire, reconstruction error
+    * ≤ scale/2 per element. At 100 TB of embeddings this is the
+    * difference between a corpus that fits executor memory for
+    * in-partition re-ranking and one that doesn't. Pure column
+    * expressions; deterministic.
+    */
+  def quantize(vec: Column): Column = {
+    val mn = array_min(vec).cast(DoubleType)
+    val mx = array_max(vec).cast(DoubleType)
+    val scale = when(mx > mn, (mx - mn) / 255.0).otherwise(lit(1.0))
+    struct(mn.as("mn"), scale.as("scale"),
+      transform(vec, x =>
+        (round((x.cast(DoubleType) - mn) / scale) - 128).cast(ByteType))
+        .as("codes"))
+  }
+
+  /** Reconstruct an approximate double[] from [[quantize]] output. */
+  def dequantize(q: Column): Column = {
+    val mn = q.getField("mn")
+    val scale = q.getField("scale")
+    transform(q.getField("codes"),
+      c => (c.cast(DoubleType) + 128.0) * scale + mn)
+  }
+
+  /** Cosine between a quantized corpus vector and an exact query vector. */
+  def quantizedCosine(q: Column, exact: Column): Column =
+    cosine(dequantize(q), asDouble(exact))
+
   /** Blocked near-duplicate pairs: within `blockCol` groups (e.g. a
     * cluster/label/LSH-bucket column), all pairs with cosine ≥ threshold.
     */

@@ -81,6 +81,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall@10 too low: $recall")
   }
 
+  test("int8 quantization: bounded error, high top-k recall, 4x smaller") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .limit(300).cache()
+    // reconstruction error bounded by scale/2 per element
+    val err = emb.select(
+      Similarity.quantize(col("embedding")).as("q"),
+      Similarity.asDouble(col("embedding")).as("v"))
+      .select(aggregate(
+        zip_with(Similarity.dequantize(col("q")), col("v"),
+          (a, b) => abs(a - b) - col("q").getField("scale") / 2 - lit(1e-9)),
+        lit(0.0), (acc, x) => greatest(acc, x)).as("excess"))
+      .agg(max("excess")).head.getDouble(0)
+    assert(err <= 0.0, s"reconstruction error exceeded scale/2 by $err")
+
+    // top-k via quantized corpus ≈ exact top-k
+    val q = emb.limit(5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val quant = {
+      val qc = emb.withColumn("__q", Similarity.quantize(col("embedding")))
+      val joined = qc.join(broadcast(q))
+        .where(col("qid") =!= col("vec_id"))
+        .withColumn("sim", Similarity.quantizedCosine(col("__q"), col("qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+      joined.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    }
+    val recall = (quant & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall@10 too low: $recall")
+  }
+
   test("multimodal decode stub is deterministic and batch-shaped") {
     val bin = Multimodal.attachBinary(
       Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text"), "text", "image")
