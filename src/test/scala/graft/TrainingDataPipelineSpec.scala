@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.TrainingDataPipeline
+
+/** The end-to-end training-data pipeline over a corpus with planted
+  * defects: junk docs, exact dups, near-dups, benchmark contamination.
+  * Asserts each stage drops exactly the planted rows.
+  */
+class TrainingDataPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val goodText =
+    "the quick brown fox jumps over the lazy dog and the cat is a friend " +
+      "of the dog in a long and reasonable document about animals and things"
+
+  test("pipeline drops junk, dups, near-dups, contamination; chunks rest") {
+    val docs = Seq(
+      (1L, goodText),
+      (2L, goodText + " with a small tail difference here"), // near-dup of 1
+      (3L, "completely different content about spark engines and the " +
+        "catalyst optimizer which is a fine piece of the engineering of " +
+        "query plans and the execution of distributed work"),
+      (4L, goodText),                       // exact dup of 1
+      (5L, "!!!! ???? ;;;; ::::"),          // junk (quality gate)
+      (6L, "the quiz copy says what is the capital of france the answer " +
+        "is paris the city of light")  // contaminated: benchmark verbatim
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      "what is the capital of france the answer is paris the city of light"
+    ).toDF("text")
+
+    val (chunks, counts) = TrainingDataPipeline.run(docs, bench,
+      minQuality = 0.3, jaccardThreshold = 0.6, maxOverlap = 0.4)
+
+    assert(counts.input === 6)
+    assert(counts.afterQuality === 5)          // junk 5 dropped
+    assert(counts.afterExactDedup === 4)       // exact dup 4 collapsed
+    assert(counts.afterNearDup === 3)          // near-dup 2 collapsed into 1
+    assert(counts.afterDecontamination === 2)  // contaminated 6 dropped
+    val kept = chunks.select("doc_id").distinct()
+      .as[Long].collect().sorted
+    assert(kept === Array(1L, 3L))             // min-id survivors only
+    assert(counts.chunks === chunks.count())
+    // chunk windows start every `stride` tokens: floor((n-1)/10)+1 per doc
+    val wantChunks = docs.where($"doc_id".isin(1L, 3L))
+      .select(graft.operators.TextAnalysis.tokenCount($"text"))
+      .as[Int].collect().map(n => (n - 1) / 10 + 1).sum
+    assert(counts.chunks === wantChunks)
+  }
+}
