@@ -170,6 +170,14 @@ object Similarity {
       struct(cosine(vec, typedlit(c.toSeq)).as("s"), lit(i).as("i"))
     }
 
+  /** Nearest-centroid cell id for a vector (map-side; centroids are plan
+    * literals). The write-side half of the at-scale IVF layout: persist
+    * the corpus directory-partitioned by this cell so query probes prune
+    * to nprobe/nlist of the files at scan planning time.
+    */
+  def assignCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    greatest(centroidSims(vec, centroids): _*).getField("i")
+
   /** IVF approximate top-k: corpus rows are assigned once to their nearest
     * coarse centroid (map-side — centroids are plan literals); each query
     * probes its `nprobe` nearest cells and re-ranks exactly inside them.

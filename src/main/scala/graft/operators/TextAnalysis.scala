@@ -103,7 +103,9 @@ object TextAnalysis {
       explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast(DoubleType).as("tf"))
-    val dfreq = terms.distinct().groupBy("term")
+    // tf already has one row per (doc, term): df is a reaggregation of it,
+    // not a second explode+distinct pass over the corpus
+    val dfreq = tf.groupBy("term")
       .agg(count(lit(1)).cast(DoubleType).as("df"))
     val n = df.agg(count(lit(1)).cast(DoubleType).as("__n"))
     // ln() differs in the last ulp across libm implementations; round to

@@ -81,6 +81,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall@10 too low: $recall")
   }
 
+  test("IVF cell-partitioned corpus: probes prune partitions at scan") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(300)
+    val centroids = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells")
+      .toString + "/corpus"
+    graft.sources.LakeWriter.appendPartitioned(
+      emb.withColumn("cell",
+        Similarity.assignCell(Similarity.asDouble(col("embedding")), centroids)),
+      dir, Seq("cell"))
+    // a query probing 2 of 8 cells only scans those partitions
+    val probed = spark.read.parquet(dir).where(col("cell").isin(0, 1))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected partition pruning on cell:\n${plan.take(800)}")
+    // and the pruned read returns exactly the rows assigned to those cells
+    val wantIds = emb.withColumn("cell",
+      Similarity.assignCell(Similarity.asDouble(col("embedding")), centroids))
+      .where(col("cell").isin(0, 1)).select("vec_id")
+      .as[Long].collect().sorted
+    assert(probed.select("vec_id").as[Long].collect().sorted === wantIds)
+  }
+
   test("int8 quantization: bounded error, high top-k recall, 4x smaller") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .limit(300).cache()
