@@ -125,6 +125,34 @@ class TextDedupSpec extends SparkTestBase {
     assert(kept === Array(1L, 10L, 99L))
   }
 
+  test("components property: random graphs match a local reference") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 3) {
+      val n = 30 + trial * 10
+      val vertexIds = (0L until n.toLong)
+      val edges = Seq.fill(n / 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // local union-find reference (min-root)
+      val parent = scala.collection.mutable.Map(vertexIds.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = vertexIds.map(i => i -> find(i)).toMap
+      val vDf = vertexIds.toDF("id")
+      val eDf = edges.toDF("id", "id_2")
+      for (threshold <- Seq(1000000L, 0L)) { // driver path and distributed path
+        val got = Dedup.connectedComponents(vDf, eDf, "id", "id_2",
+          localEdgeThreshold = threshold)
+          .as[(Long, Long)].collect().toMap
+        assert(got === want, s"trial=$trial threshold=$threshold")
+      }
+    }
+  }
+
   test("langId picks marker-matching language, und on no markers") {
     val df = Seq(
       "the cat is a friend of the dog",
