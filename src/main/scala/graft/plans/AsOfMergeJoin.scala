@@ -94,7 +94,15 @@ case class AsOfMergeJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val lOut = left.output
     val rOut = right.output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -146,9 +154,15 @@ case class AsOfMergeJoinExec(
         }
         val matched =
           !ltNull && matchKey != null && keyOrd.compare(matchKey, lKey) == 0
-        if (matched) Iterator.single(outProj(joiner(lRow, matchVals)))
-        else if (inner) Iterator.empty
-        else Iterator.single(outProj(joiner(lRow, nullVals)))
+        if (matched) {
+          numMatchedRows += 1
+          numOutputRows += 1
+          Iterator.single(outProj(joiner(lRow, matchVals)))
+        } else if (inner) Iterator.empty
+        else {
+          numOutputRows += 1
+          Iterator.single(outProj(joiner(lRow, nullVals)))
+        }
       }
     }
   }
