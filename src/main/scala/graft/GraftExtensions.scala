@@ -25,8 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // whole-operator as-of join (AsOfJoinNode -> AsOfMergeJoinExec)
+    // whole-operator as-of join (AsOfJoinNode -> AsOfMergeJoinExec) and
+    // its SQL surface: JOIN ... ON <equi> AND graft_asof(lt, rt)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteAsOfJoin)
+    ext.injectFunction(fn("graft_asof",
+      es => graft.plans.GraftAsOfMarker(es(0), es(1))))
     ext.injectFunction(fn("graft_cosine", es => CosineSim(es(0), es(1))))
     ext.injectFunction(fn("graft_jaccard", es => JaccardLong(es(0), es(1))))
     ext.injectFunction(fn("graft_simhash64", es => SimHash64(es.head)))

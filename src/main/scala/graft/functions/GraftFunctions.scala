@@ -332,5 +332,16 @@ object GraftFunctions {
       es => JaccardLong(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine",
       es => CosineSim(es.head, es(1)), "scala_udf")
+    // SQL as-of surface: marker function + rewrite rule + planner
+    // strategy (sessions built via GraftExtensions get these injected
+    // declaratively instead)
+    reg.createOrReplaceTempFunction("graft_asof",
+      es => graft.plans.GraftAsOfMarker(es.head, es(1)), "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteAsOfJoin
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfStrategy
   }
 }

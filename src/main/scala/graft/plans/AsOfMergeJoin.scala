@@ -41,7 +41,12 @@ case class AsOfJoinNode(
 
   override def output: Seq[Attribute] = left.output ++ valueAttrs
 
-  override def producedAttributes: AttributeSet = AttributeSet(valueAttrs)
+  // Only genuinely-new exprIds count as produced: the SQL-rewrite path
+  // reuses the right side's ids for transparency, and claiming THOSE as
+  // produced would drop the right keys/time from `references`, letting
+  // ColumnPruning prune the right child out from under the join.
+  override def producedAttributes: AttributeSet =
+    AttributeSet(valueAttrs) -- left.outputSet -- right.outputSet
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
@@ -78,7 +83,8 @@ case class AsOfMergeJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ valueAttrs
 
-  override def producedAttributes: AttributeSet = AttributeSet(valueAttrs)
+  override def producedAttributes: AttributeSet =
+    AttributeSet(valueAttrs) -- left.outputSet -- right.outputSet
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (leftKeys.isEmpty) Seq(AllTuples, AllTuples)

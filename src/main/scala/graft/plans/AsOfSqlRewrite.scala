@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryExpression, Cast, EqualTo, Expression, PredicateHelper, Unevaluable}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, DataType, TimestampType}
+
+/** SQL surface for the as-of join WITHOUT forking Spark's parser: analysts
+  * write a standard join whose condition carries the boolean marker
+  * function
+  *
+  *   SELECT e.event_id, o.best_price
+  *   FROM events e JOIN order_prices o
+  *     ON e.user_id = o.o_custkey AND graft_asof(e.ts, o.o_orderdate)
+  *
+  * and [[RewriteAsOfJoin]] (injected via `GraftExtensions` /
+  * `experimental.extraOptimizations`) rewrites the analyzed Join into
+  * [[AsOfJoinNode]], planned by [[AsOfStrategy]] as the sort-merge as-of
+  * operator. INNER join = matched rows only; LEFT join = unmatched left
+  * rows keep nulls. Because the rewrite happens AFTER analysis, Catalyst's
+  * join attribute dedup has already run — self-joins work unaliased here,
+  * unlike the programmatic `AsOfJoin.merge`.
+  */
+case class GraftAsOfMarker(left: Expression, right: Expression)
+    extends BinaryExpression with Unevaluable {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_asof"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GraftAsOfMarker = copy(left = l, right = r)
+}
+
+object RewriteAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(l, r, jt, Some(cond), _)
+        if (jt == Inner || jt == LeftOuter) &&
+          cond.exists(_.isInstanceOf[GraftAsOfMarker]) =>
+      rewrite(j, l, r, jt == Inner, cond).getOrElse(j)
+  }
+
+  private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
+      inner: Boolean, cond: Expression): Option[LogicalPlan] = {
+    val conj = splitConjunctivePredicates(cond)
+    val markers = conj.collect { case m: GraftAsOfMarker => m }
+    val rest = conj.filterNot(_.isInstanceOf[GraftAsOfMarker])
+    val equis: Seq[Option[(Attribute, Attribute)]] = rest.map {
+      case EqualTo(a: Attribute, b: Attribute)
+          if l.outputSet.contains(a) && r.outputSet.contains(b) => Some((a, b))
+      case EqualTo(b: Attribute, a: Attribute)
+          if l.outputSet.contains(a) && r.outputSet.contains(b) => Some((a, b))
+      case _ => None
+    }
+    if (markers.length != 1 || !equis.forall(_.isDefined)) return None
+    val m = markers.head
+    // orient the marker's (leftTime, rightTime) by which side each
+    // argument's references come from
+    val oriented: Option[(Expression, Expression)] =
+      if (m.left.references.nonEmpty && m.right.references.nonEmpty &&
+        m.left.references.subsetOf(l.outputSet) &&
+        m.right.references.subsetOf(r.outputSet)) Some((m.left, m.right))
+      else if (m.left.references.nonEmpty && m.right.references.nonEmpty &&
+        m.left.references.subsetOf(r.outputSet) &&
+        m.right.references.subsetOf(l.outputSet)) Some((m.right, m.left))
+      else None
+    oriented.map { case (lt, rt) =>
+      val zone = Some(conf.sessionLocalTimeZone)
+      val (lk, rk) = equis.flatten.unzip
+      // value attrs KEEP the right side's exprIds so downstream
+      // references resolve unchanged; LEFT join makes them nullable
+      val valueAttrs =
+        if (inner) r.output else r.output.map(_.withNullability(true))
+      AsOfJoinNode(l, r, lk, rk,
+        Cast(lt, TimestampType, zone), Cast(rt, TimestampType, zone),
+        valueExprs = r.output, valueAttrs = valueAttrs, inner = inner)
+    }
+  }
+}

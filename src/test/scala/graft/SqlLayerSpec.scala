@@ -21,6 +21,46 @@ class SqlLayerSpec extends SparkTestBase {
     assert(math.abs(total - 100.0) < 0.1)
   }
 
+  test("graft_asof marker in plain SQL rewrites to the as-of operator") {
+    SqlLayer.register(spark, sf)
+    spark.table("orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_totalprice")).as("best_price"))
+      .createOrReplaceTempView("order_prices2")
+
+    val sqlDf = spark.sql(
+      """SELECT e.event_id, e.user_id, o.best_price AS asof_price
+        |FROM events e JOIN order_prices2 o
+        |  ON e.user_id = o.o_custkey AND graft_asof(e.ts, o.o_orderdate)
+        |ORDER BY e.event_id""".stripMargin)
+    assert(sqlDf.queryExecution.executedPlan.toString.contains("AsOfMergeJoin"))
+
+    val dfForm = graft.operators.AsOfJoin.merge(
+      spark.table("events"), spark.table("order_prices2"),
+      "ts", "o_orderdate", Seq(("user_id", "o_custkey")),
+      Seq(("best_price", "asof_price")), inner = true)
+      .select(col("event_id"), col("user_id"), col("asof_price"))
+      .orderBy("event_id")
+    assert(sqlDf.collect().toSeq === dfForm.collect().toSeq)
+
+    // LEFT join keeps unmatched rows with nulls
+    val leftDf = spark.sql(
+      """SELECT e.event_id, o.best_price AS asof_price
+        |FROM events e LEFT JOIN order_prices2 o
+        |  ON e.user_id = o.o_custkey AND graft_asof(e.ts, o.o_orderdate)
+        |""".stripMargin)
+    assert(leftDf.count() === spark.table("events").count())
+
+    // self-join works UNALIASED through SQL (analyzer dedup ran on the
+    // Join before the rewrite)
+    val self = spark.sql(
+      """SELECT a.event_id, b.value AS prev_value
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND graft_asof(a.ts, b.ts)
+        |LIMIT 5""".stripMargin)
+    assert(self.count() === 5)
+  }
+
   test("asofView exposes the as-of join to analyst SQL") {
     SqlLayer.register(spark, sf)
     spark.table("orders")
