@@ -775,6 +775,20 @@ object SparkEntry {
       graft.sql.SqlLayer.run(s, graft.sql.SqlLayer.hourlyAvg)
     }),
 
+    // ---- SQL as-of surface: standard join + graft_asof marker, rewritten
+    // by the injected optimizer rule into the sort-merge as-of operator ----
+    "sql2_asof" -> ((s, dir) => {
+      graft.sql.SqlLayer.register(s, dir, Seq("events", "orders"))
+      s.sql(
+        """SELECT e.event_id, e.user_id, o.best_price AS asof_price
+          |FROM events e JOIN (
+          |  SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS best_price
+          |  FROM orders GROUP BY o_custkey, o_orderdate) o
+          |  ON e.user_id = o.o_custkey AND graft_asof(e.ts, o.o_orderdate)
+          |ORDER BY e.event_id""".stripMargin)
+        .select(col("event_id"), col("user_id"), col("asof_price"))
+    }),
+
     // ---- F2: zone-offset timestamp parsing (yyyy-MM-dd HH:mm:ssXXX) ----
     "f2_offset_parse" -> ((s, dir) => {
       t(s, dir, "orders").select(col("o_orderkey"),
@@ -1003,6 +1017,14 @@ object SparkEntry {
       """SELECT CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour_of_day,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value
         |FROM events GROUP BY hour_of_day ORDER BY hour_of_day""".stripMargin,
+
+    "sql2_asof" ->
+      """SELECT e.event_id, e.user_id, o.best_price AS asof_price
+        |FROM events e ASOF JOIN (
+        |  SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS best_price
+        |  FROM orders GROUP BY o_custkey, o_orderdate) o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
 
     "f2_offset_parse" ->
       """SELECT o_orderkey,
