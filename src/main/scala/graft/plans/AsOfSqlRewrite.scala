@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryExpression, Cast, EqualTo, Expression, PredicateHelper, Unevaluable}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DataType, TimestampType}
 
@@ -35,14 +35,24 @@ object RewriteAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, jt, Some(cond), _)
-        if (jt == Inner || jt == LeftOuter) &&
+        if (jt == Inner || jt == Cross || jt == LeftOuter) &&
           cond.exists(_.isInstanceOf[GraftAsOfMarker]) =>
-      rewrite(j, l, r, jt == Inner, cond).getOrElse(j)
+      rewrite(l, r, jt == Inner || jt == Cross,
+        splitConjunctivePredicates(cond)).getOrElse(j)
+
+    // comma-join/WHERE form: PushPredicateThroughJoin pushes the equi
+    // conjuncts into the join but keeps the marker in a Filter above it
+    // (Unevaluable fails canEvaluateWithinJoin) — match that shape too
+    case f @ Filter(cond, Join(l, r, jt, joinCond, _))
+        if (jt == Inner || jt == Cross) &&
+          cond.exists(_.isInstanceOf[GraftAsOfMarker]) =>
+      val conj = splitConjunctivePredicates(cond) ++
+        joinCond.toSeq.flatMap(splitConjunctivePredicates)
+      rewrite(l, r, inner = true, conj).getOrElse(f)
   }
 
-  private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
-      inner: Boolean, cond: Expression): Option[LogicalPlan] = {
-    val conj = splitConjunctivePredicates(cond)
+  private def rewrite(l: LogicalPlan, r: LogicalPlan,
+      inner: Boolean, conj: Seq[Expression]): Option[LogicalPlan] = {
     val markers = conj.collect { case m: GraftAsOfMarker => m }
     val rest = conj.filterNot(_.isInstanceOf[GraftAsOfMarker])
     val equis: Seq[Option[(Attribute, Attribute)]] = rest.map {

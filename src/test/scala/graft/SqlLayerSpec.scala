@@ -51,6 +51,19 @@ class SqlLayerSpec extends SparkTestBase {
         |""".stripMargin)
     assert(leftDf.count() === spark.table("events").count())
 
+    // comma-join + WHERE form: PushPredicateThroughJoin folds the
+    // predicate into the join condition, then the rewrite fires on the
+    // next fixpoint iteration of the same optimizer batch
+    val whereForm = spark.sql(
+      """SELECT e.event_id, o.best_price AS asof_price
+        |FROM events e, order_prices2 o
+        |WHERE e.user_id = o.o_custkey AND graft_asof(e.ts, o.o_orderdate)
+        |ORDER BY e.event_id""".stripMargin)
+    assert(whereForm.queryExecution.executedPlan.toString
+      .contains("AsOfMergeJoin"))
+    assert(whereForm.select("asof_price").collect().toSeq ===
+      dfForm.select("asof_price").collect().toSeq)
+
     // self-join works UNALIASED through SQL (analyzer dedup ran on the
     // Join before the rewrite)
     val self = spark.sql(
