@@ -1,0 +1,35 @@
+package graft
+
+/** Global plan-quality gate: every SparkEntry query's physical plan is
+  * audited for accidental nested-loop / cartesian joins — the failure
+  * mode that turns a 100 TB query into an N² disaster. Queries that
+  * intentionally broadcast a tiny side against the full corpus (brute
+  * force ANN baselines, the explicit cross-join op, 1-row global-agg
+  * broadcasts) are allowlisted by name.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  // intentional cross/broadcast-nested-loop shapes:
+  //  - a13_cross: the cross-join operator itself
+  //  - sim1/sim4: brute-force baselines broadcasting a tiny query set
+  //  - t10: broadcasts a single-row corpus-size aggregate
+  private val allowed = Set(
+    "a13_cross", "sim1_cosine_topk", "sim4_quantized_topk", "t10_tfidf")
+
+  test("no query plans a nested-loop or cartesian join unintentionally") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !allowed(name) =>
+        val plan =
+          try fn(spark, sf).queryExecution.executedPlan.toString
+          catch { case e: Throwable => s"PLANNING FAILED: $e" }
+        if (plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("CartesianProduct") ||
+          plan.startsWith("PLANNING FAILED"))
+          Some(name -> plan.linesIterator.take(3).mkString(" | "))
+        else None
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian plans:\n${offenders.mkString("\n")}")
+  }
+}
