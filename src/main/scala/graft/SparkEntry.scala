@@ -320,10 +320,14 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val qc = emb.withColumn("__q", Similarity.quantize(col("embedding")))
+      // dequantize ONCE per corpus row (before the ×|queries| join), not
+      // once per candidate pair
+      val qc = emb.withColumn("__dv",
+        Similarity.dequantize(Similarity.quantize(col("embedding"))))
       val joined = qc.join(broadcast(q))
         .where(col("qid") =!= col("vec_id"))
-        .withColumn("sim", Similarity.quantizedCosine(col("__q"), col("qv")))
+        .withColumn("sim",
+          Similarity.cosine(col("__dv"), Similarity.asDouble(col("qv"))))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
       joined.withColumn("rank", row_number().over(w))
