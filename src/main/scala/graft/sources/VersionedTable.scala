@@ -1,0 +1,175 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-versioned lake table: the minimal commit protocol that makes
+  * append + compaction safe under CONCURRENT writers, which plain
+  * directory tables (S4/compact) cannot be (SCALING.md known limit).
+  *
+  * Layout:
+  *   table/part-*.parquet         data files (immutable once committed)
+  *   table/_commits/v%08d        manifest: newline-separated file names
+  *
+  * Protocol (the same optimistic-concurrency core as Delta/Iceberg):
+  *   - readers list `_commits`, take the HIGHEST version, and read exactly
+  *     the files it names — a consistent snapshot regardless of in-flight
+  *     writers; uncommitted data files are invisible.
+  *   - writers stage data files under unique names, then commit manifest
+  *     v(N+1) with `create(..., overwrite = false)` — atomic
+  *     create-exclusive. A lost race throws, the writer re-reads the new
+  *     latest manifest, rebases its file list, and retries.
+  *   - compaction commits a manifest that REPLACES its input files with
+  *     the compacted ones; appends that raced in land in later versions
+  *     and are rebased over, never lost. Old data files stay on disk for
+  *     older-snapshot readers until [[vacuum]].
+  */
+object VersionedTable {
+
+  private val CommitsDir = "_commits"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitPath(table: String, v: Long): Path =
+    new Path(s"$table/$CommitsDir/v${"%08d".format(v)}")
+
+  /** (version, files) of the latest committed snapshot; (0, Nil) for an
+    * empty/new table.
+    */
+  def latest(spark: SparkSession, table: String): (Long, Seq[String]) = {
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/$CommitsDir")
+    if (!f.exists(dir)) return (0L, Nil)
+    val versions = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+    if (versions.isEmpty) return (0L, Nil)
+    val v = versions.max
+    val data = new Array[Byte](f.getFileStatus(commitPath(table, v)).getLen.toInt)
+    val in = f.open(commitPath(table, v))
+    try in.readFully(data) finally in.close()
+    (v, new String(data, "UTF-8").split("\n").filter(_.nonEmpty).toSeq)
+  }
+
+  /** Atomically commit `files` as version `v`; false if someone else won
+    * the race for `v`.
+    */
+  private def tryCommit(spark: SparkSession, table: String, v: Long,
+      files: Seq[String]): Boolean = {
+    val f = fs(spark, table)
+    f.mkdirs(new Path(s"$table/$CommitsDir"))
+    try {
+      val out = f.create(commitPath(table, v), false) // create-exclusive
+      try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Stage `df` as new data files and return their table-relative names. */
+  private def stage(spark: SparkSession, df: DataFrame,
+      table: String): Seq[String] = {
+    val f = fs(spark, table)
+    val tmp = new Path(table, s"_stage-${java.util.UUID.randomUUID}")
+    df.write.parquet(tmp.toString)
+    val staged = f.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val name = s"part-${java.util.UUID.randomUUID}.parquet"
+        f.rename(s.getPath, new Path(table, name))
+        name
+      }.toSeq
+    f.delete(tmp, true)
+    staged
+  }
+
+  /** Append `df`; retries commits until it wins. Returns the committed
+    * version.
+    */
+  def append(spark: SparkSession, df: DataFrame, table: String,
+      maxRetries: Int = 20): Long = {
+    val staged = stage(spark, df, table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, files) = latest(spark, table)
+      if (tryCommit(spark, table, v + 1, files ++ staged)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"append lost $maxRetries commit races")
+  }
+
+  /** Snapshot read of the latest committed version. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val (_, files) = latest(spark, table)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(n => s"$table/$n"): _*)
+  }
+
+  /** Compact the current snapshot into `numFiles` files. The commit
+    * REPLACES exactly the input snapshot's files; appends that raced in
+    * between are rebased over on retry — never lost, never duplicated.
+    * Returns the committed version (or -1 if the table was empty).
+    */
+  def compact(spark: SparkSession, table: String, numFiles: Int,
+      maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (_, files) = latest(spark, table)
+      if (files.isEmpty) return -1L
+      val compacted = stage(spark,
+        spark.read.parquet(files.map(n => s"$table/$n"): _*)
+          .repartition(numFiles), table)
+      val (v2, files2) = latest(spark, table)
+      // valid only while EVERY input file is still live (another
+      // compactor replacing them would make our commit duplicate rows);
+      // concurrent APPENDS are rebased over (kept alongside).
+      val committed =
+        files.forall(files2.contains) &&
+          tryCommit(spark, table, v2 + 1,
+            compacted ++ files2.filterNot(files.contains))
+      if (committed) return v2 + 1
+      // lost the race — drop our staged output and retry from scratch
+      val f = fs(spark, table)
+      compacted.foreach(n => f.delete(new Path(table, n), false))
+      attempt += 1
+    }
+    throw new IllegalStateException(s"compact lost $maxRetries commit races")
+  }
+
+  /** Delete data files referenced by NO manifest version >= `keepFrom`
+    * (older-snapshot readers must be done first — the usual vacuum
+    * contract), plus manifests < keepFrom. Must not run concurrently
+    * with in-flight writers: their staged-but-uncommitted files look
+    * unreferenced (production systems add a file-age retention window
+    * for exactly this reason).
+    */
+  def vacuum(spark: SparkSession, table: String, keepFrom: Long): Int = {
+    val f = fs(spark, table)
+    val (vMax, _) = latest(spark, table)
+    if (vMax == 0) return 0
+    val lo = math.max(1L, math.min(keepFrom, vMax))
+    val referenced = (lo to vMax).flatMap { v =>
+      val p = commitPath(table, v)
+      if (!f.exists(p)) Nil
+      else {
+        val data = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        val in = f.open(p)
+        try in.readFully(data) finally in.close()
+        new String(data, "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+      }
+    }.toSet
+    val dataFiles = f.listStatus(new Path(table))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    var removed = 0
+    dataFiles.foreach { s =>
+      if (!referenced.contains(s.getPath.getName)) {
+        f.delete(s.getPath, false); removed += 1
+      }
+    }
+    (1L until lo).foreach { v =>
+      val p = commitPath(table, v)
+      if (f.exists(p)) f.delete(p, false)
+    }
+    removed
+  }
+}
