@@ -58,12 +58,20 @@ object VersionedTable {
       files: Seq[String]): Boolean = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$CommitsDir"))
+    // write the full manifest to a temp name, then rename into place:
+    // rename is atomic and refuses an existing destination, so readers
+    // never see a partially-written manifest and exactly one racer wins
+    val tmp = new Path(s"$table/$CommitsDir/.tmp-${java.util.UUID.randomUUID}")
     try {
-      val out = f.create(commitPath(table, v), false) // create-exclusive
+      val out = f.create(tmp, false)
       try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+      val won = !f.exists(commitPath(table, v)) && f.rename(tmp, commitPath(table, v))
+      if (!won) f.delete(tmp, false)
+      won
+    } catch {
+      case _: java.io.IOException => f.delete(tmp, false); false
+    }
   }
 
   /** Stage `df` as new data files and return their table-relative names. */
