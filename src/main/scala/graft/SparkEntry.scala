@@ -1133,7 +1133,8 @@ object SparkEntry {
     // co-moment aggs would differ in the last ulp)
     "a16_stats" ->
       """WITH p AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS xd,
-        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS yd FROM lineitem),
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS yd FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
         |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
         |    CAST(sum(xd) AS DOUBLE) AS sx, CAST(sum(yd) AS DOUBLE) AS sy,
         |    CAST(sum(xd*xd) AS DOUBLE) AS sxx,

@@ -103,7 +103,11 @@ object Analytics {
   def exactStats(df: DataFrame, x: String, y: String): DataFrame = {
     val xd = col(x).cast(DecimalType(18, 2))
     val yd = col(y).cast(DecimalType(18, 2))
-    val agg = df.agg(
+    // pairwise-complete rows only: count(*) over rows where a measure is
+    // null would mismatch the null-skipping sums and silently skew every
+    // moment (correlation is only defined on complete pairs anyway)
+    val complete = df.where(col(x).isNotNull && col(y).isNotNull)
+    val agg = complete.agg(
       count(lit(1)).cast(DoubleType).as("__n"),
       sum(xd).cast(DoubleType).as("__sx"),
       sum(yd).cast(DoubleType).as("__sy"),

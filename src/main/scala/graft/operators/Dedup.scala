@@ -139,12 +139,13 @@ object Dedup {
     // Adversarial-skew guard: a band bucket holding B near-identical docs
     // (boilerplate corpora) emits B² candidate pairs. Buckets above
     // `maxBucketSize` fall back to CHAIN pairing — id-sorted adjacent
-    // pairs only — which is linear in B and still connects every member
-    // transitively, so duplicate-cluster construction (union-find /
-    // connected components downstream) loses nothing; only the explicit
-    // pair list thins. Bucket sizing reuses the band-key shuffle
-    // partitioning (count + window over the same key: no extra exchange
-    // of the big side).
+    // pairs only — linear in B. For the motivating case (a bucket of
+    // near-identical boilerplate) adjacent pairs pass verification and
+    // the chain keeps the cluster transitively connected downstream.
+    // Caveat: chain pairs still face the jaccard >= threshold check, so a
+    // bucket mixing genuinely-dissimilar docs (pure band-hash collisions)
+    // can split where exhaustive B² pairing would have bridged via a
+    // skipped pair — an accepted recall trade inside oversized buckets.
     val rawPairs = if (maxBucketSize == Int.MaxValue) {
       // no cap: skip the bucket-sizing window entirely
       banded.join(banded.withColumnRenamed(idCol, idCol + "_2"), "__band")
@@ -215,12 +216,16 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       idCol: String, idCol2: String, maxIter: Int = 20,
       localEdgeThreshold: Long = 1000000L): DataFrame = {
-    // bounded size probe — never scans more than threshold+1 edges
-    val small = pairs.limit(localEdgeThreshold.toInt + 1).count() <= localEdgeThreshold
+    // Materialize the pair DAG once — callers pass the full LSH/similarity
+    // pipeline lazily, and without this both the size probe and the chosen
+    // path would recompute it end-to-end.
+    val cached = pairs.localCheckpoint(true)
+    val cap = math.min(localEdgeThreshold, Int.MaxValue - 1L).toInt
+    val small = cached.limit(cap + 1).count() <= localEdgeThreshold
     if (small)
-      componentsViaDriverUnionFind(vertices, pairs, idCol, idCol2)
+      componentsViaDriverUnionFind(vertices, cached, idCol, idCol2)
     else
-      componentsViaPropagation(vertices, pairs, idCol, idCol2, maxIter)
+      componentsViaPropagation(vertices, cached, idCol, idCol2, maxIter)
   }
 
   /** Small-graph path: one collect of the edge list, path-compressed
@@ -280,7 +285,8 @@ object Dedup {
       .localCheckpoint(true)
     var labels = vertices.select(col(idCol).as("__v"), col(idCol).as("__l"))
     def stateHash(df: DataFrame): Long =
-      df.agg(sum(xxhash64(col("__v"), col("__l")))).head.getLong(0)
+      df.agg(coalesce(sum(xxhash64(col("__v"), col("__l"))), lit(0L)))
+        .head.getLong(0)
     var prev = -1L
     var iter = 0
     var converged = false
@@ -307,8 +313,9 @@ object Dedup {
   def canonicalize(df: DataFrame, pairs: DataFrame,
       idCol: String, idCol2: String): DataFrame = {
     val comps = connectedComponents(df.select(col(idCol)), pairs, idCol, idCol2)
-    val survivors = comps.groupBy("component")
-      .agg(min(col(idCol)).as(idCol)).select(col(idCol))
+    // component IS the min member id (both strategies' invariant), so the
+    // survivor set is just the distinct component values
+    val survivors = comps.select(col("component").as(idCol)).distinct()
     df.join(survivors, Seq(idCol), "left_semi")
   }
 

@@ -71,8 +71,11 @@ object Similarity {
     }
     // A vector whose length != dim would silently null out the zip_with
     // dot and zero every signature bit — fail loudly instead of bucketing
-    // every misconfigured vector together.
-    when(size(vec) === dim, bitCols.reduce((a, b) => a.bitwiseOR(b)))
+    // every misconfigured vector together. NULL vectors pass through as
+    // null (no bucket — the row drops out of the candidate join) rather
+    // than killing the job.
+    when(vec.isNull, lit(null).cast(LongType))
+      .when(size(vec) === dim, bitCols.reduce((a, b) => a.bitwiseOR(b)))
       .otherwise(raise_error(concat(
         lit(s"graft lshBucket: expected dim $dim, got "),
         size(vec).cast("string"))))

@@ -1,6 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryExpression, Cast, EqualTo, Expression, PredicateHelper, Unevaluable}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryExpression, Cast, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -23,10 +25,23 @@ import org.apache.spark.sql.types.{BooleanType, DataType, TimestampType}
   * unlike the programmatic `AsOfJoin.merge`.
   */
 case class GraftAsOfMarker(left: Expression, right: Expression)
-    extends BinaryExpression with Unevaluable {
+    extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def prettyName: String = "graft_asof"
+  // Deliberately NOT Unevaluable: evaluable-looking markers are folded
+  // into join conditions by PushPredicateThroughJoin (Unevaluable fails
+  // canEvaluateWithinJoin), which is exactly where the rewrite looks. If
+  // the rewrite declined and the marker survives to execution, fail with
+  // guidance instead of a generic cannot-evaluate error.
+  override def eval(input: InternalRow): Any =
+    throw new UnsupportedOperationException(
+      "graft_asof(leftTime, rightTime) is an as-of join marker, not an " +
+        "evaluable predicate. Write it as a top-level AND conjunct of an " +
+        "INNER/LEFT equi-join condition (every other conjunct must be a " +
+        "simple column equality between the two sides), and make sure " +
+        "GraftExtensions (or GraftFunctions.register) is active so " +
+        "RewriteAsOfJoin can rewrite the join.")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): GraftAsOfMarker = copy(left = l, right = r)
 }

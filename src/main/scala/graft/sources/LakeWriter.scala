@@ -54,8 +54,12 @@ object LakeWriter {
     * snapshotted before the rewrite — files appended concurrently (the
     * 15-min cadence writers) are never touched, and the table path never
     * disappears. Readers between the two steps may briefly see the
-    * compacted rows twice; appends are never lost. Returns the new file
-    * count.
+    * compacted rows twice; appends are never lost. Caveat: a CRASH
+    * between the rename-in and the input deletes leaves those rows
+    * duplicated until the same compaction is re-run or cleaned up —
+    * directory tables have no commit log to recover from. Use
+    * [[VersionedTable.compact]] where crash atomicity matters. Returns
+    * the new file count.
     */
   def compact(spark: SparkSession, path: String, numFiles: Int): Int = {
     val p = new Path(path)

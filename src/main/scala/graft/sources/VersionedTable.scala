@@ -58,16 +58,34 @@ object VersionedTable {
       files: Seq[String]): Boolean = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$CommitsDir"))
-    // write the full manifest to a temp name, then rename into place:
-    // rename is atomic and refuses an existing destination, so readers
-    // never see a partially-written manifest and exactly one racer wins
+    // Write the full manifest to a temp name, then publish with an ATOMIC
+    // no-overwrite primitive, so readers never see a torn manifest and
+    // exactly one racer wins a version. HDFS rename refuses an existing
+    // destination atomically; POSIX/local rename OVERWRITES, so for file:
+    // URIs we publish via hard-link creation — link(2) fails with EEXIST
+    // atomically (the classic lock-file primitive). Object stores without
+    // atomic rename need an external CAS — same requirement as Delta.
     val tmp = new Path(s"$table/$CommitsDir/.tmp-${java.util.UUID.randomUUID}")
+    val dst = commitPath(table, v)
     try {
       val out = f.create(tmp, false)
       try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      val won = !f.exists(commitPath(table, v)) && f.rename(tmp, commitPath(table, v))
-      if (!won) f.delete(tmp, false)
+      val won =
+        if (f.getUri.getScheme == "file") {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dst.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else {
+          !f.exists(dst) && f.rename(tmp, dst) // HDFS: atomic no-overwrite
+        }
+      if (f.exists(tmp) && (!won || f.getUri.getScheme == "file"))
+        f.delete(tmp, false)
       won
     } catch {
       case _: java.io.IOException => f.delete(tmp, false); false

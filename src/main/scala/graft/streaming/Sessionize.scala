@@ -60,7 +60,10 @@ object Sessionize {
     val typed = events
       .withWatermark(timeCol, watermark)
       .select(col("user_id").cast(LongType).as("user_id"),
-        col(timeCol).as("ts"), col(valueCol).cast("double").as("value"))
+        col(timeCol).as("ts"),
+        // null-safe: a null measure counts 0 toward the session sum
+        // instead of failing the primitive-field decode
+        coalesce(col(valueCol).cast("double"), lit(0.0)).as("value"))
       .as[Event]
 
     typed
@@ -77,25 +80,25 @@ object Sessionize {
             state.remove()
             out.iterator
           } else {
-            // Merge this batch's events (sorted by time) into the open
-            // session, emitting every session closed by an intra-batch gap.
-            val sorted = batch.toSeq.sortBy(_.ts.getTime)
-            var open = state.getOption
-            val closed = Seq.newBuilder[Session]
-            for (e <- sorted) {
-              val t = e.ts.getTime
-              open match {
-                case Some(s) if t - s.end <= gapMs =>
-                  open = Some(OpenSession(s.start, math.max(s.end, t),
-                    s.n + 1, s.sum + e.value))
-                case Some(s) =>
-                  closed += close(s)
-                  open = Some(OpenSession(t, t, 1L, e.value))
-                case None =>
-                  open = Some(OpenSession(t, t, 1L, e.value))
+            // Merge the open session and this batch's events as
+            // time-sorted singletons: a within-watermark late event that
+            // PRECEDES the open session extends it backward (within gap)
+            // or closes as its own earlier session — it is never folded
+            // forward into a session it doesn't belong to.
+            val pieces = (state.getOption.toSeq ++
+              batch.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+              .sortBy(s => (s.start, s.end))
+            val merged = pieces.foldLeft(List.empty[OpenSession]) {
+              case (acc, s) => acc match {
+                case cur :: rest if s.start - cur.end <= gapMs =>
+                  OpenSession(cur.start, math.max(cur.end, s.end),
+                    cur.n + s.n, cur.sum + s.sum) :: rest
+                case _ => s :: acc
               }
-            }
-            open match {
+            }.reverse
+            // all but the latest close now; the latest stays open
+            val closed = merged.dropRight(1).map(close)
+            merged.lastOption match {
               case Some(s) =>
                 state.update(s)
                 // timeout must be strictly beyond the current watermark
@@ -103,7 +106,7 @@ object Sessionize {
                   math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
               case None => state.remove()
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
   }

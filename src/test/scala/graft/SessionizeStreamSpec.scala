@@ -74,6 +74,37 @@ class SessionizeStreamSpec extends SparkTestBase {
       (2L, "2024-05-01 00:30:00.0", "2024-05-01 00:30:00.0", 1L, 7.0)))
   }
 
+  test("within-watermark event preceding the open session is not folded forward") {
+    val dir = Files.createTempDirectory("sess_ooo")
+    Files.writeString(dir.resolve("b1.csv"),
+      """user_id,ts,value
+        |1,2024-05-01 12:00:00,1.0
+        |1,2024-05-01 12:05:00,2.0
+        |""".stripMargin)
+    val stream = spark.readStream.option("header", "true")
+      .schema(schema).csv(dir.toString)
+    // generous watermark so the 10:00 arrival below is NOT late-dropped
+    val sessions = Sessionize.sessions(spark, stream, "ts", "value",
+      gapSeconds = 1800, watermark = "6 hours")
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo_out").start()
+    q.processAllAvailable()
+    // out-of-order: 10:00 precedes the open [12:00,12:05] session by > gap
+    // → must close as its OWN session, not be absorbed forward
+    Files.writeString(dir.resolve("b2.csv"),
+      """user_id,ts,value
+        |1,2024-05-01 10:00:00,7.0
+        |""".stripMargin)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_ooo_out")
+      .select("session_start", "session_end", "n_events", "total_value")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      ("2024-05-01 10:00:00.0", "2024-05-01 10:00:00.0", 1L, 7.0)))
+  }
+
   test("late event beyond watermark is dropped, not merged") {
     val dir = Files.createTempDirectory("sess_late")
     Files.writeString(dir.resolve("b1.csv"),
