@@ -271,6 +271,71 @@ object Dedup {
       .select(col(idCol), coalesce(col("__c"), col(idCol)).as("component"))
   }
 
+  /** Huge-graph path: alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * converges in O(log n) rounds regardless of graph diameter, where
+    * min-label propagation needs O(diameter). Each round is two
+    * join+aggregate passes over the edge list; no per-node neighbor
+    * lists are ever collected (the min is an aggregate, so high-degree
+    * hubs partial-aggregate map-side instead of blowing up one task).
+    *
+    *   large-star: every neighbor v > u links to min(Γ(u) ∪ u)
+    *   small-star: every neighbor v <= u (and u) links to min(Γ⁻(u) ∪ u)
+    *
+    * Fixpoint: the edge set becomes (node → component root). Chain
+    * vertices through the final mapping (roots map to themselves).
+    */
+  def componentsViaStarContraction(vertices: DataFrame, pairs: DataFrame,
+      idCol: String, idCol2: String, maxIter: Int = 25): DataFrame = {
+    def sym(df: DataFrame): DataFrame =
+      df.select(col("__u"), col("__v"))
+        .unionAll(df.select(col("__v").as("__u"), col("__u").as("__v")))
+        .where(col("__u") =!= col("__v"))
+        .distinct()
+    var edges = sym(pairs.select(col(idCol).as("__u"), col(idCol2).as("__v")))
+      .localCheckpoint(true)
+    def edgeHash(df: DataFrame): Long =
+      df.agg(coalesce(sum(xxhash64(col("__u"), col("__v"))), lit(0L)))
+        .head.getLong(0)
+    var prev = -1L
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star
+      val minsL = edges.groupBy("__u")
+        .agg(least(min(col("__v")), first(col("__u"))).as("__m"))
+      val large = edges.join(minsL, "__u")
+        .where(col("__v") > col("__u"))
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+      val afterLarge = sym(large)
+      // small-star over the contracted edges
+      val smallIn = afterLarge
+        .select(greatest(col("__u"), col("__v")).as("__u"),
+          least(col("__u"), col("__v")).as("__v"))
+        .distinct()
+      val minsS = smallIn.groupBy("__u")
+        .agg(min(col("__v")).as("__m"))
+      val small = smallIn.join(minsS, "__u")
+        .select(col("__u"), col("__v"), col("__m"))
+      val next = sym(
+        small.select(col("__v").as("__u"), col("__m").as("__v"))
+          .unionAll(small.select(col("__u"), col("__m").as("__v"))))
+        .localCheckpoint(true)
+      val h = edgeHash(next)
+      converged = h == prev
+      prev = h
+      edges = next
+      iter += 1
+    }
+    // final mapping: node -> min neighbor (its root); roots and isolated
+    // vertices map to themselves
+    val roots = edges.groupBy("__u").agg(min(col("__v")).as("__m"))
+      .where(col("__m") < col("__u"))
+    vertices.select(col(idCol))
+      .join(roots.withColumnRenamed("__u", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__m"), col(idCol)).as("component"))
+  }
+
   /** Big-graph path: distributed min-label propagation (O(diameter)
     * rounds of one narrow shuffle each; lineage truncated per round).
     * Convergence check exploits monotonicity: labels only ever decrease,

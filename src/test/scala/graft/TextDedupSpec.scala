@@ -150,7 +150,22 @@ class TextDedupSpec extends SparkTestBase {
           .as[(Long, Long)].collect().toMap
         assert(got === want, s"trial=$trial threshold=$threshold")
       }
+      val star = Dedup.componentsViaStarContraction(vDf, eDf, "id", "id_2")
+        .as[(Long, Long)].collect().toMap
+      assert(star === want, s"trial=$trial star-contraction")
     }
+  }
+
+  test("star contraction handles a long path graph in few rounds") {
+    // a 60-vertex path: diameter 59 — propagation worst case, log-round
+    // territory for large-star/small-star
+    val n = 60
+    val vDf = (0L until n.toLong).toDF("id")
+    val eDf = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id", "id_2")
+    val got = Dedup.componentsViaStarContraction(vDf, eDf, "id", "id_2",
+      maxIter = 12) // << diameter: must converge in O(log n) rounds
+    assert(got.as[(Long, Long)].collect().toMap ===
+      (0L until n.toLong).map(_ -> 0L).toMap)
   }
 
   test("langId picks marker-matching language, und on no markers") {
