@@ -30,7 +30,12 @@ object GraftFunctions {
     })) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure("expected array<bigint> input")
 
-  private def splitmix64(x0: Long): Long = {
+  /** Shared deterministic 64-bit mixer — the SINGLE definition used by
+    * the native MinHash expression AND the plan-side coefficient/plane
+    * generation in Dedup/Similarity; keeping one copy guarantees the two
+    * families of signatures can never silently diverge.
+    */
+  private[graft] def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
@@ -215,6 +220,11 @@ object GraftFunctions {
         s"$prettyName requires array<float>/array<double> inputs")
     }
     override def dataType: DataType = DoubleType
+    // returns null for dimension mismatch / zero vectors even when both
+    // children are non-nullable — without this override NullPropagation
+    // would fold isNull guards away and projections would skip the null
+    // check, materializing 0.0 instead
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_cosine"
 
     private def toDoubles(v: Any, dt: DataType): Array[Double] = {

@@ -20,7 +20,9 @@ import graft.sources.{LakeReader, LakeWriter}
   */
 object Jobs {
 
-  /** Outcome of a job run: rows appended (None = skipped, empty source). */
+  /** Outcome of a job run: TOTAL rows in the lake table after the append
+    * (None = skipped, empty source).
+    */
   type Result = Option[Long]
 
   /** Single-folder ELT — `pyspark_ercot_load_latest_BQ_archive_csv.py`
@@ -42,6 +44,9 @@ object Jobs {
       dedupAgainstLake: Boolean = false): Result = {
     if (!LakeReader.folderHasFiles(spark, sourceDir)) return None
     val raw = LakeReader.csvFolderRaw(spark, sourceDir)
+    // snapshot BEFORE the job runs: files arriving during the append are
+    // left in place for the next tick, never archived unread
+    val consumed = raw.inputFiles.toSeq
     val cleaned = clean(raw, casts, dedup)
     val toAppend =
       if (dedupAgainstLake && lakeExists(spark, lakePath))
@@ -49,7 +54,7 @@ object Jobs {
           cleaned.columns.toSeq, "left_anti")
       else cleaned
     LakeWriter.append(toAppend, lakePath)
-    LakeWriter.archive(spark, sourceDir, archiveDir)
+    LakeWriter.archiveFiles(spark, consumed, archiveDir)
     Some(spark.read.parquet(lakePath).count())
   }
 
@@ -78,8 +83,11 @@ object Jobs {
     val fmCasts = Schemas.castsOf(Schemas.fuelMix)
     val loadCasts = Schemas.castsOf(Schemas.load)
 
-    val fm = clean(LakeReader.csvFolderRaw(spark, fuelMixDir), fmCasts, dedup = false)
-    val load = clean(LakeReader.csvFolderRaw(spark, loadDir), loadCasts, dedup = false)
+    val fmRaw = LakeReader.csvFolderRaw(spark, fuelMixDir)
+    val loadRaw = LakeReader.csvFolderRaw(spark, loadDir)
+    val (fmFiles, loadFiles) = (fmRaw.inputFiles.toSeq, loadRaw.inputFiles.toSeq)
+    val fm = clean(fmRaw, fmCasts, dedup = false)
+    val load = clean(loadRaw, loadCasts, dedup = false)
 
     val merged = AsOfJoin.backward(
       fm, load.withColumnRenamed("time", "load_time"),
@@ -89,8 +97,8 @@ object Jobs {
       inner = true) // reference dropna composed in
     val result = Normalize.dedup(Normalize.dropNullRows(merged))
     LakeWriter.append(result, lakePath)
-    LakeWriter.archive(spark, fuelMixDir, fmArchiveDir)
-    LakeWriter.archive(spark, loadDir, loadArchiveDir)
+    LakeWriter.archiveFiles(spark, fmFiles, fmArchiveDir)
+    LakeWriter.archiveFiles(spark, loadFiles, loadArchiveDir)
     Some(spark.read.parquet(lakePath).count())
   }
 
@@ -109,13 +117,17 @@ object Jobs {
       !LakeReader.folderHasFiles(spark, weatherDir)) return None
 
     val fmt = "yyyy-MM-dd HH:mm:ssXXX"
-    val spp = LakeReader.csvFolderRaw(spark, sppDir)
+    val sppRaw = LakeReader.csvFolderRaw(spark, sppDir)
+    val weatherRaw = LakeReader.csvFolderRaw(spark, weatherDir)
+    val (sppFiles, weatherFiles) =
+      (sppRaw.inputFiles.toSeq, weatherRaw.inputFiles.toSeq)
+    val spp = sppRaw
       .withColumn("Interval Start",
         Normalize.parseTimestamp(col("Interval Start"), fmt))
       .withColumn("Interval End",
         Normalize.parseTimestamp(col("Interval End"), fmt))
       .withColumn("Time", Normalize.parseTimestamp(col("Time"), fmt))
-    val weather = LakeReader.csvFolderRaw(spark, weatherDir)
+    val weather = weatherRaw
       .withColumn("Date", Normalize.parseTimestamp(col("Date"), fmt))
 
     val joined = IntervalJoin.assertNoNestedLoop(
@@ -141,8 +153,8 @@ object Jobs {
 
     val result = Normalize.dedup(projected)
     LakeWriter.append(result, lakePath)
-    LakeWriter.archive(spark, sppDir, sppArchiveDir)
-    LakeWriter.archive(spark, weatherDir, weatherArchiveDir)
+    LakeWriter.archiveFiles(spark, sppFiles, sppArchiveDir)
+    LakeWriter.archiveFiles(spark, weatherFiles, weatherArchiveDir)
     Some(spark.read.parquet(lakePath).count())
   }
 
@@ -160,9 +172,13 @@ object Jobs {
     val cleaned = Normalize.dropNullRows(
       Normalize.castColumns(Normalize.renameAll(raw),
         Schemas.castsOf(Schemas.historicalWeather)))
-    csvOutDir.foreach(LakeWriter.csvOverwrite(cleaned, _))
+    // parquet first, CSV sink re-reads the written lake — the source CSVs
+    // are scanned ONCE regardless of sink count (the reference re-scans
+    // per action, §3.1)
     LakeWriter.overwrite(cleaned, lakePath)
-    Some(spark.read.parquet(lakePath).count())
+    val written = spark.read.parquet(lakePath)
+    csvOutDir.foreach(LakeWriter.csvOverwrite(written, _))
+    Some(written.count())
   }
 
   /** Shared cleaning tail: rename → cast (null-on-fail) → na.drop → dedup. */

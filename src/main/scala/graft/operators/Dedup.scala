@@ -87,12 +87,9 @@ object Dedup {
   /** Deterministic 64-bit mix (splitmix64) — drives per-permutation hash
     * coefficients at plan-build time; the data-side hashing is xxhash64.
     */
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
+  // single shared mixer — see GraftFunctions.splitmix64
+  private def splitmix64(x0: Long): Long =
+    graft.functions.GraftFunctions.splitmix64(x0)
 
   /** Hashes of token `n`-shingles: xxhash64 of the space-joined window.
     * Map-side only; array column of size (tokens - n + 1).

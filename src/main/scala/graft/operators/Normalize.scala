@@ -18,7 +18,10 @@ object Normalize {
     * (`c.replace(' ', '_').lower()` applied to every column name).
     * Pure metadata operation: zero execution cost, preserves pushdown.
     */
-  def normName(c: String): String = c.replace(' ', '_').toLowerCase
+  // Locale.ROOT: default-locale toLowerCase turns "I" into dotless "ı"
+  // under a Turkish JVM locale, silently breaking every casts-map lookup
+  def normName(c: String): String =
+    c.replace(' ', '_').toLowerCase(java.util.Locale.ROOT)
 
   def renameAll(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(normName).toIndexedSeq: _*)

@@ -24,12 +24,15 @@ object Quality {
   def oneOf(c: String, values: Seq[String]): Rule =
     Rule(s"one_of_$c", col(c).isNull || col(c).isin(values: _*))
 
-  /** One row: total row count + violation count per rule. */
+  /** One row: total row count + violation count per rule. Sums are
+    * coalesced so an EMPTY input (the routine no-new-files case) yields
+    * zeros, not nulls.
+    */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame =
     df.agg(
       count(lit(1)).as("n_rows"),
       rules.map(r =>
-        sum(when(!r.predicate, 1).otherwise(0).cast(LongType))
+        coalesce(sum(when(!r.predicate, 1).otherwise(0).cast(LongType)), lit(0L))
           .as("viol_" + r.name)): _*)
 
   /** Uniqueness expectation (needs a shuffle, so separate from [[check]]):

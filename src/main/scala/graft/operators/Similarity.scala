@@ -49,12 +49,9 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("sim"), col("rank"))
   }
 
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
+  // single shared mixer — see GraftFunctions.splitmix64
+  private def splitmix64(x0: Long): Long =
+    graft.functions.GraftFunctions.splitmix64(x0)
 
   /** Sign-LSH bucket id: `bits` hyperplanes with deterministic ±1
     * (Rademacher) components; bit j = sign of ⟨v, h_j⟩. Same-bucket

@@ -13,8 +13,11 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization. `trim` first so leading/trailing blanks
-    * don't produce empty tokens.
+  /** Whitespace tokenization. `trim` strips leading/trailing ASCII
+    * spaces (only — leading tabs/newlines still yield one empty first
+    * token, and an empty string tokenizes to [""]; DuckDB's trim +
+    * string_split_regex behave identically, which the oracle parity
+    * relies on — do not "fix" one side alone).
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
@@ -46,14 +49,20 @@ object TextAnalysis {
     size(filter(tokens(text), t => words.map(w => t === lit(w)).reduce(_ || _)))
 
   /** Heuristic language ID: argmax of per-language marker hits, "und"
-    * when nothing matches. Ties break by [[langMarkers]] order (en first).
+    * when nothing matches. Ties break by [[langMarkers]] order (en first
+    * — array_position returns the FIRST index of the max). Built as one
+    * score array + array_max/array_position so each per-language
+    * markerHits (a tokenize+filter pass) is evaluated ~2× per row; the
+    * earlier when-chain over per-branch greatest() re-evaluated them ~7×
+    * each (HOFs are CodegenFallback — no CSE rescues interpreted trees).
     */
   def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (lang, ws) => (lang, markerHits(text, ws)) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
-      when(s === best && s > 0, lit(lang)).otherwise(els)
-    }
+    val scores = array(langMarkers.map { case (_, ws) => markerHits(text, ws) }: _*)
+    val names = array(langMarkers.map(l => lit(l._1)): _*)
+    val best = array_max(scores)
+    when(best > 0,
+      element_at(names, array_position(scores, best).cast(IntegerType)))
+      .otherwise(lit("und"))
   }
 
   /** Stopword ratio against English markers (quality signal). */

@@ -81,11 +81,33 @@ object LakeWriter {
     fs.listStatus(p).count(s => s.getPath.getName.endsWith(".parquet"))
   }
 
+  /** S7 (safe form) — archive EXACTLY the files a scan consumed
+    * (`df.inputFiles`): files that land in the source dir after the scan
+    * planned are left for the next run instead of being swept into the
+    * archive unread. Returns the number of files moved.
+    */
+  def archiveFiles(spark: SparkSession, files: Seq[String],
+      archiveDir: String): Int = {
+    if (files.isEmpty) return 0
+    val fs: FileSystem = new Path(files.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(archiveDir)
+    if (!fs.exists(dst)) fs.mkdirs(dst)
+    var moved = 0
+    files.foreach { f =>
+      val p = new Path(f)
+      if (fs.exists(p) && fs.rename(p, new Path(dst, p.getName))) moved += 1
+    }
+    moved
+  }
+
   /** S7 — archive processed source files: move every data file from
     * `sourceDir` to `archiveDir` (ref's copy+delete loop,
     * `...load_latest...py:86-117`). Driver-side metadata operation in the
     * reference too; `FileSystem.rename` is atomic per file on HDFS-likes.
-    * Returns the number of files moved.
+    * Returns the number of files moved. NOTE: sweeps whatever is in the
+    * folder AT ARCHIVE TIME — prefer [[archiveFiles]] with the scan's
+    * `inputFiles` snapshot when writers may race the job.
     */
   def archive(spark: SparkSession, sourceDir: String, archiveDir: String): Int = {
     val src = new Path(sourceDir)

@@ -79,12 +79,18 @@ object AvailableNowJobs {
         col("avg_" + measure), col("n"))
   }
 
-  /** Streaming dedup on a natural key within the watermark horizon —
-    * replaces the reference's batch `dropDuplicates` (P4) for continuous
-    * ingestion. State is bounded by the watermark.
+  /** Streaming dedup within the watermark horizon; state is bounded by
+    * the watermark. Default (`includeEventTime = true`) collapses exact
+    * (keys, event-time) re-deliveries — the continuous form of the
+    * reference's batch `dropDuplicates` (P4) on rows that include their
+    * timestamp. Pass false to dedup on the natural keys ALONE, so a
+    * re-delivered record whose timestamp was re-stamped (within the
+    * watermark) is also dropped.
     */
   def dedupStream(events: DataFrame, timeCol: String, keys: Seq[String],
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours",
+      includeEventTime: Boolean = true): DataFrame =
     events.withWatermark(timeCol, watermark)
-      .dropDuplicatesWithinWatermark(keys :+ timeCol)
+      .dropDuplicatesWithinWatermark(
+        if (includeEventTime) keys :+ timeCol else keys)
 }
