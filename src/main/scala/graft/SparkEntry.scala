@@ -27,12 +27,8 @@ object SparkEntry {
     * never flip a comparison/bucket against the reference data's
     * millisecond-or-coarser boundaries.
     */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.LakeReader.table(s, dir, name)
 
   import Analytics.{stableAvg, stableSum}
 

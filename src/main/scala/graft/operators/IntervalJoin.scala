@@ -48,17 +48,31 @@ object IntervalJoin {
       startCol: String,
       endCol: String,
       widthMicros: Long,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      maxCellsPerInterval: Long = 1L << 20): DataFrame = {
     require(widthMicros > 0)
+    // the BETWEEN residual is a post-join filter, which silently degrades
+    // any outer join to inner (null interval bounds never pass BETWEEN) —
+    // only inner/cross semantics are correct in this construction
+    require(joinType == "inner" || joinType == "cross",
+      s"grid-bucketed interval join supports inner/cross only, got $joinType")
     // cast handles TIMESTAMP_NTZ/DATE inputs (session TZ pinned UTC)
     def micros(c: Column): Column =
       unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
     val p = points.withColumn("__cell",
       (micros(col(pointCol)) / widthMicros).cast(LongType))
-    val i = intervals.withColumn("__cell",
-      explode(sequence(
-        (micros(col(startCol)) / widthMicros).cast(LongType),
-        (micros(col(endCol)) / widthMicros).cast(LongType))))
+    val lo = (micros(col(startCol)) / widthMicros).cast(LongType)
+    val hi = (micros(col(endCol)) / widthMicros).cast(LongType)
+    // one sentinel-dated interval (end = 9999-12-31) would explode into
+    // hundreds of millions of cells and OOM the executor — fail fast with
+    // the offending span instead
+    val guarded = when(hi - lo < maxCellsPerInterval, sequence(lo, hi))
+      .otherwise(raise_error(concat(
+        lit(s"interval spans more than $maxCellsPerInterval grid cells " +
+          "(dirty open-ended date? widen widthMicros or clean the row): "),
+        col(startCol).cast("string"), lit(" .. "),
+        col(endCol).cast("string"))))
+    val i = intervals.withColumn("__cell", explode(guarded))
     p.join(i, Seq("__cell"), joinType)
       .where(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__cell")

@@ -65,7 +65,10 @@ object Multimodal {
       featureDim: Int = 8): Dataset[DecodedImage] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast(LongType), col(payloadCol))
+    df.select(col(idCol).cast(LongType).as("__id"), col(payloadCol))
+      // null / uncastable ids cannot decode into the primitive field —
+      // drop the dirty rows instead of failing the job
+      .where(col("__id").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init happens here (decoder/model handle)
@@ -94,7 +97,8 @@ object Multimodal {
     * offsets). Returns (id, frame_idx, frame_byte).
     */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
-      n: Int): DataFrame =
+      n: Int): DataFrame = {
+    require(n > 0, s"frame count must be positive, got $n")
     df.select(col(idCol), col(payloadCol),
         octet_length(col(payloadCol)).as("__len"))
       .where(col("__len") > 0)
@@ -102,7 +106,8 @@ object Multimodal {
       .withColumn("frame_offset",
         (col("frame_idx").cast(LongType) * col("__len") / n).cast(IntegerType))
       .withColumn("frame_byte",
-        conv(hex(expr(s"substring($payloadCol, frame_offset + 1, 1)")), 16, 10)
+        conv(hex(col(payloadCol).substr(col("frame_offset") + 1, lit(1))), 16, 10)
           .cast(IntegerType))
       .select(col(idCol), col("frame_idx"), col("frame_offset"), col("frame_byte"))
+  }
 }

@@ -28,9 +28,20 @@ object LakeReader {
   def csvFolder(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(dir)
 
-  /** Curated-zone scan. `table` is a parquet file/dir under `sfDir`. */
-  def table(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+  /** Curated-zone scan. `table` is a parquet file/dir under `sfDir`.
+    * THE single place the testdata `events.ts` TIMESTAMP(NANOS) column is
+    * repaired: with `spark.sql.legacy.parquet.nanosAsLong` it reads as a
+    * nanos-epoch long, converted here to TimestampType (micros, floor).
+    * Both `SparkEntry.t` and `SqlLayer.register` route through this.
+    */
+  def table(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    if (table == "events" && df.schema.fieldNames.contains("ts") &&
+      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   /** S2 — explicit multi-path scan + union (ref `mergeHistoricalWeather.py:34-44`
     * lists blobs and folds `union`). `unionByName` keeps it schema-safe;

@@ -20,11 +20,8 @@ object SqlLayer {
       tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
         "part", "orders", "lineitem", "events", "documents", "embeddings")): Unit = {
     tables.foreach { name =>
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      val fixed =
-        if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else df
-      fixed.createOrReplaceTempView(name)
+      graft.sources.LakeReader.table(spark, sfDir, name)
+        .createOrReplaceTempView(name)
     }
     graft.functions.GraftFunctions.register(spark)
   }

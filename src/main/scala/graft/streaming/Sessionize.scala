@@ -40,9 +40,13 @@ object Sessionize {
       total_value: Double)
 
   /** Sessionize a stream: events for the same user separated by more than
-    * `gapSeconds` start a new session. Emits each CLOSED session exactly
-    * once (append mode): intra-batch closures immediately, the trailing
-    * open session when the watermark passes `end + gap`.
+    * `gapSeconds` start a new session. Emits each session exactly once
+    * (append mode), and only once the WATERMARK passes its `end + gap` —
+    * until then every session stays revisable in state, so a
+    * within-watermark late event merges into (or bridges) exactly the
+    * session it belongs to, matching the batch sessionizer's output.
+    * Rows with null user_id/time (or ids that fail the long cast) are
+    * dropped, not job-fatal.
     *
     * @param events must have `user_id` (castable to long), `timeCol`
     *               (timestamp), `valueCol` (double)
@@ -64,50 +68,45 @@ object Sessionize {
         // null-safe: a null measure counts 0 toward the session sum
         // instead of failing the primitive-field decode
         coalesce(col(valueCol).cast("double"), lit(0.0)).as("value"))
+      // dirty rows (null/uncastable id, null time) are dropped, not fatal
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
       .as[Event]
 
     typed
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[List[OpenSession], Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+        (uid: Long, batch: Iterator[Event],
+            state: GroupState[List[OpenSession]]) =>
           def close(s: OpenSession): Session = Session(uid,
             new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
 
-          if (batch.isEmpty && state.hasTimedOut) {
-            // watermark passed end + gap: flush the open session
-            val out = state.getOption.map(close).toSeq
-            state.remove()
-            out.iterator
-          } else {
-            // Merge the open session and this batch's events as
-            // time-sorted singletons: a within-watermark late event that
-            // PRECEDES the open session extends it backward (within gap)
-            // or closes as its own earlier session — it is never folded
-            // forward into a session it doesn't belong to.
-            val pieces = (state.getOption.toSeq ++
-              batch.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1L, e.value)))
-              .sortBy(s => (s.start, s.end))
-            val merged = pieces.foldLeft(List.empty[OpenSession]) {
-              case (acc, s) => acc match {
-                case cur :: rest if s.start - cur.end <= gapMs =>
-                  OpenSession(cur.start, math.max(cur.end, s.end),
-                    cur.n + s.n, cur.sum + s.sum) :: rest
-                case _ => s :: acc
-              }
-            }.reverse
-            // all but the latest close now; the latest stays open
-            val closed = merged.dropRight(1).map(close)
-            merged.lastOption match {
-              case Some(s) =>
-                state.update(s)
-                // timeout must be strictly beyond the current watermark
-                state.setTimeoutTimestamp(
-                  math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
-              case None => state.remove()
+          // Merge retained sessions + this batch's events as time-sorted
+          // singletons (late events extend/bridge whichever session they
+          // fall into), then FLUSH only sessions the watermark has sealed
+          // (end + gap <= watermark) — every unsealed session stays in
+          // state and remains revisable by further late events, exactly
+          // like the batch sessionizer over the same data.
+          val wm = state.getCurrentWatermarkMs()
+          val pieces = (state.getOption.getOrElse(Nil) ++
+            batch.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+            .sortBy(s => (s.start, s.end))
+          val merged = pieces.foldLeft(List.empty[OpenSession]) {
+            case (acc, s) => acc match {
+              case cur :: rest if s.start - cur.end <= gapMs =>
+                OpenSession(cur.start, math.max(cur.end, s.end),
+                  cur.n + s.n, cur.sum + s.sum) :: rest
+              case _ => s :: acc
             }
-            closed.iterator
-          }
+          }.reverse
+          val (flushed, open) = merged.partition(_.end + gapMs <= wm)
+          if (open.nonEmpty) {
+            state.update(open)
+            // next flush check when the earliest unsealed session seals
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.end + gapMs).min, wm + 1))
+          } else state.remove()
+          flushed.map(close).iterator
       }
   }
 }

@@ -74,7 +74,7 @@ class SessionizeStreamSpec extends SparkTestBase {
       (2L, "2024-05-01 00:30:00.0", "2024-05-01 00:30:00.0", 1L, 7.0)))
   }
 
-  test("within-watermark event preceding the open session is not folded forward") {
+  test("within-watermark late events merge into the right session, never split") {
     val dir = Files.createTempDirectory("sess_ooo")
     Files.writeString(dir.resolve("b1.csv"),
       """user_id,ts,value
@@ -83,26 +83,42 @@ class SessionizeStreamSpec extends SparkTestBase {
         |""".stripMargin)
     val stream = spark.readStream.option("header", "true")
       .schema(schema).csv(dir.toString)
-    // generous watermark so the 10:00 arrival below is NOT late-dropped
+    // generous watermark so the arrivals below are NOT late-dropped
     val sessions = Sessionize.sessions(spark, stream, "ts", "value",
       gapSeconds = 1800, watermark = "6 hours")
     val q = sessions.toDF().writeStream.outputMode("append")
       .format("memory").queryName("sess_ooo_out").start()
     q.processAllAvailable()
-    // out-of-order: 10:00 precedes the open [12:00,12:05] session by > gap
-    // → must close as its OWN session, not be absorbed forward
+    // out-of-order: 10:00 precedes [12:00,12:05] by > gap → its own
+    // session, NOT folded forward; nothing emits yet (not sealed)
     Files.writeString(dir.resolve("b2.csv"),
       """user_id,ts,value
         |1,2024-05-01 10:00:00,7.0
         |""".stripMargin)
     q.processAllAvailable()
+    assert(spark.table("sess_ooo_out").count() === 0)
+    // a second late event at 10:20 must MERGE into the retained 10:00
+    // session (the old eager-emit design would have split it)
+    Files.writeString(dir.resolve("b3.csv"),
+      """user_id,ts,value
+        |1,2024-05-01 10:20:00,3.0
+        |""".stripMargin)
+    q.processAllAvailable()
+    // advancing the watermark far past both sessions seals and emits them
+    Files.writeString(dir.resolve("b4.csv"),
+      """user_id,ts,value
+        |1,2024-05-01 20:00:00,9.0
+        |""".stripMargin)
+    q.processAllAvailable()
     q.stop()
     val rows = spark.table("sess_ooo_out")
+      .orderBy("session_start")
       .select("session_start", "session_end", "n_events", "total_value")
       .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
         r.getLong(2), r.getDouble(3)))
     assert(rows.toSeq === Seq(
-      ("2024-05-01 10:00:00.0", "2024-05-01 10:00:00.0", 1L, 7.0)))
+      ("2024-05-01 10:00:00.0", "2024-05-01 10:20:00.0", 2L, 10.0),
+      ("2024-05-01 12:00:00.0", "2024-05-01 12:05:00.0", 2L, 3.0)))
   }
 
   test("late event beyond watermark is dropped, not merged") {
