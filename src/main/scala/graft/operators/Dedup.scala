@@ -24,10 +24,17 @@ object Dedup {
   def exactSurvivors(df: DataFrame, key: Column, id: Column): DataFrame =
     df.groupBy(key.as("__k")).agg(min(id).as("survivor_id")).drop("__k")
 
-  /** Exact dedup keeping whole first-id rows (semi-join back). */
+  /** Exact dedup keeping whole first-id rows (semi-join back). Null-safe
+    * on the key columns: a null key (e.g. fingerprint of a null text)
+    * forms its own dedup group instead of vanishing from the output (a
+    * plain equi semi-join never matches null = null).
+    */
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
     val surv = df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
-    df.join(surv, keyCols :+ idCol, "left_semi")
+    val s2 = surv.toDF(surv.columns.map("__s_" + _): _*)
+    val cond = (keyCols.map(c => col(c) <=> col("__s_" + c)) :+
+      (col(idCol) === col("__s_" + idCol))).reduce(_ && _)
+    df.join(s2, cond, "left_semi")
   }
 
   /** Near-exact dedup on the whitespace/case-normalized md5 fingerprint. */
@@ -41,8 +48,10 @@ object Dedup {
     * (DuckDB `jaccard` semantics: set-based, case-sensitive).
     */
   def charJaccard(a: Column, b: Column): Column = {
-    val ca = array_distinct(split(a, ""))
-    val cb = array_distinct(split(b, ""))
+    // split(x, "") appends a trailing "" element (limit -1) that both
+    // sets would share, inflating every similarity to (i+1)/(u+1)
+    val ca = array_remove(array_distinct(split(a, "")), "")
+    val cb = array_remove(array_distinct(split(b, "")), "")
     size(array_intersect(ca, cb)).cast(DoubleType) /
       size(array_union(ca, cb)).cast(DoubleType)
   }
@@ -127,10 +136,14 @@ object Dedup {
     // (id, sorted distinct shingle hashes) — computed once, joined back for
     // verification so the ×bands band explosion and the candidate dedup
     // shuffle only NARROW (band, id) rows, never the shingle arrays.
+    // localCheckpoint: this subtree (tokenize+shingle+minhash-prep, the
+    // dominant map-side cost) feeds the band explosion AND both
+    // verification joins — without materialization it executes 3x
     val sigs = spread(df.select(col(idCol), col(textCol)))
       .withColumn("__sh", sort_array(array_distinct(
         shingleHashes(TextAnalysis.tokens(col(textCol)), n))))
       .drop(textCol)
+      .localCheckpoint(true)
     val banded = sigs.select(col(idCol), explode(
       bandKeys(minhashSignature(col("__sh"), numHashes), bands, rows)).as("__band"))
     // Adversarial-skew guard: a band bucket holding B near-identical docs
@@ -221,8 +234,9 @@ object Dedup {
     val small = cached.limit(cap + 1).count() <= localEdgeThreshold
     if (small)
       componentsViaDriverUnionFind(vertices, cached, idCol, idCol2)
-    else
-      componentsViaPropagation(vertices, cached, idCol, idCol2, maxIter)
+    else // O(log n) rounds regardless of diameter — propagation's
+         // O(diameter) silently under-merges long chains past maxIter
+      componentsViaStarContraction(vertices, cached, idCol, idCol2, maxIter)
   }
 
   /** Small-graph path: one collect of the edge list, path-compressed
@@ -324,6 +338,8 @@ object Dedup {
       edges = next
       iter += 1
     }
+    require(converged || edges.isEmpty,
+      s"star contraction did not converge in $maxIter rounds")
     // final mapping: node -> min neighbor (its root); roots and isolated
     // vertices map to themselves
     val roots = edges.groupBy("__u").agg(min(col("__v")).as("__m"))
@@ -339,8 +355,9 @@ object Dedup {
     * so the fixpoint is reached exactly when a cheap aggregate hash of
     * (vertex, label) stops changing — no per-round join needed.
     */
-  private def componentsViaPropagation(vertices: DataFrame, pairs: DataFrame,
-      idCol: String, idCol2: String, maxIter: Int): DataFrame = {
+  private[graft] def componentsViaPropagation(vertices: DataFrame,
+      pairs: DataFrame, idCol: String, idCol2: String,
+      maxIter: Int): DataFrame = {
     val edges = pairs.select(col(idCol).as("__src"), col(idCol2).as("__dst"))
       .unionAll(pairs.select(col(idCol2).as("__src"), col(idCol).as("__dst")))
       .distinct()
@@ -365,6 +382,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    require(converged,
+      s"label propagation did not converge in $maxIter rounds (graph " +
+        "diameter too large) — use componentsViaStarContraction")
     labels.select(col("__v").as(idCol), col("__l").as("component"))
   }
 
@@ -394,7 +414,10 @@ object Dedup {
   def decontaminate(train: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String,
       n: Int = 3, maxOverlap: Double = 0.5): DataFrame = {
-    val trainSh = train.select(col(idCol), explode(array_distinct(
+    // explode_outer: a null-text doc (null shingle array) keeps one row
+    // with a null shingle -> zero overlap -> SURVIVES, instead of
+    // silently vanishing from the output as if fully contaminated
+    val trainSh = train.select(col(idCol), explode_outer(array_distinct(
       shingleHashes(TextAnalysis.tokens(col(textCol)), n))).as("__sh"))
     val benchSh = bench.select(explode(array_distinct(
       shingleHashes(TextAnalysis.tokens(col(benchTextCol)), n))).as("__sh"))

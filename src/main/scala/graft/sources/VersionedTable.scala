@@ -15,10 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - readers list `_commits`, take the HIGHEST version, and read exactly
   *     the files it names — a consistent snapshot regardless of in-flight
   *     writers; uncommitted data files are invisible.
-  *   - writers stage data files under unique names, then commit manifest
-  *     v(N+1) with `create(..., overwrite = false)` — atomic
-  *     create-exclusive. A lost race throws, the writer re-reads the new
-  *     latest manifest, rebases its file list, and retries.
+  *   - writers stage data files under unique names, then publish manifest
+  *     v(N+1) with an atomic no-overwrite primitive (hard link on local
+  *     filesystems, rename on the HDFS family; object stores are refused
+  *     without an external CAS). A lost race returns false; the writer
+  *     re-reads the new latest manifest, rebases its file list, retries.
   *   - compaction commits a manifest that REPLACES its input files with
   *     the compacted ones; appends that raced in land in later versions
   *     and are rebased over, never lost. Old data files stay on disk for
@@ -81,8 +82,17 @@ object VersionedTable {
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
           }
+        } else if (Set("hdfs", "viewfs", "webhdfs").contains(f.getUri.getScheme)) {
+          f.rename(tmp, dst) // HDFS-family rename refuses an existing dst atomically
         } else {
-          !f.exists(dst) && f.rename(tmp, dst) // HDFS: atomic no-overwrite
+          // object stores (s3a, gs, abfs...) have NO atomic no-overwrite
+          // primitive — a check-then-rename would let two racers both
+          // "win" a version and silently lose one commit. Refuse, as
+          // Delta does without an external CAS/lock service.
+          throw new UnsupportedOperationException(
+            s"VersionedTable commits need atomic no-overwrite rename or " +
+              s"link; filesystem scheme '${f.getUri.getScheme}' has " +
+              "neither — configure an external commit coordinator")
         }
       if (f.exists(tmp) && (!won || f.getUri.getScheme == "file"))
         f.delete(tmp, false)
@@ -121,14 +131,27 @@ object VersionedTable {
       if (tryCommit(spark, table, v + 1, files ++ staged)) return v + 1
       attempt += 1
     }
+    // never committed: remove the staged files so they don't sit orphaned
+    // in the table dir until a vacuum
+    val f = fs(spark, table)
+    staged.foreach(n => f.delete(new Path(table, n), false))
     throw new IllegalStateException(s"append lost $maxRetries commit races")
   }
 
-  /** Snapshot read of the latest committed version. */
-  def read(spark: SparkSession, table: String): DataFrame = {
+  /** Snapshot read of the latest committed version. Pass `schema` so an
+    * EMPTY/new table still yields a correctly-typed empty frame
+    * (`spark.emptyDataFrame` has zero columns and breaks any downstream
+    * column reference).
+    */
+  def read(spark: SparkSession, table: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val (_, files) = latest(spark, table)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(n => s"$table/$n"): _*)
+    if (files.nonEmpty) spark.read.parquet(files.map(n => s"$table/$n"): _*)
+    else schema match {
+      case Some(sc) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      case None => spark.emptyDataFrame
+    }
   }
 
   /** Compact the current snapshot into `numFiles` files. The commit

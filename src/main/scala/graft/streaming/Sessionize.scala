@@ -13,10 +13,12 @@ import org.apache.spark.sql.types.LongType
   *
   * The reference has no streaming engine (SURVEY.md §2.9); its session-like
   * analyses are cron batch. This is the idiomatic continuous upgrade: state
-  * is one open session per user, bounded by the watermark — late events
-  * beyond the watermark are dropped by the engine, and an open session is
-  * flushed when the watermark passes its end + gap (event-time timeout), so
-  * state size is O(active users), independent of stream length.
+  * is the list of not-yet-sealed sessions per user, bounded by the
+  * watermark — late events beyond the watermark are dropped by the
+  * engine, unsealed sessions stay revisable, and each session flushes
+  * exactly once when the watermark passes its end + gap (event-time
+  * timeout). State size is O(active users × unsealed sessions), bounded
+  * by the watermark horizon, independent of stream length.
   *
   * Scale notes: `groupByKey(user)` is one hash shuffle of narrow
   * (user, ts, value) rows per micro-batch; the state store is
@@ -28,9 +30,20 @@ object Sessionize {
   case class Event(user_id: Long, ts: Timestamp, value: Double)
 
   /** Open-session state: bounds, event count, value sum. Times in epoch
-    * millis (state must be encodable).
+    * MICROS (state must be encodable) — matching the batch sessionizer's
+    * unix_micros gap arithmetic; millis truncation would merge sessions
+    * the batch path splits at sub-millisecond gap boundaries.
     */
   case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
+  private def tsToMicros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+
+  private def microsToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   case class Session(
       user_id: Long,
@@ -59,7 +72,7 @@ object Sessionize {
       gapSeconds: Long,
       watermark: String = "1 hour"): Dataset[Session] = {
     import spark.implicits._
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
 
     val typed = events
       .withWatermark(timeCol, watermark)
@@ -79,7 +92,7 @@ object Sessionize {
         (uid: Long, batch: Iterator[Event],
             state: GroupState[List[OpenSession]]) =>
           def close(s: OpenSession): Session = Session(uid,
-            new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+            microsToTs(s.start), microsToTs(s.end), s.n, s.sum)
 
           // Merge retained sessions + this batch's events as time-sorted
           // singletons (late events extend/bridge whichever session they
@@ -87,24 +100,28 @@ object Sessionize {
           // (end + gap <= watermark) — every unsealed session stays in
           // state and remains revisable by further late events, exactly
           // like the batch sessionizer over the same data.
-          val wm = state.getCurrentWatermarkMs()
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           val pieces = (state.getOption.getOrElse(Nil) ++
-            batch.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1L, e.value)))
-            .sortBy(s => (s.start, s.end))
+            batch.map { e =>
+              val us = tsToMicros(e.ts)
+              OpenSession(us, us, 1L, e.value)
+            }).sortBy(s => (s.start, s.end))
           val merged = pieces.foldLeft(List.empty[OpenSession]) {
             case (acc, s) => acc match {
-              case cur :: rest if s.start - cur.end <= gapMs =>
+              case cur :: rest if s.start - cur.end <= gapUs =>
                 OpenSession(cur.start, math.max(cur.end, s.end),
                   cur.n + s.n, cur.sum + s.sum) :: rest
               case _ => s :: acc
             }
           }.reverse
-          val (flushed, open) = merged.partition(_.end + gapMs <= wm)
+          val (flushed, open) = merged.partition(_.end + gapUs <= wmUs)
           if (open.nonEmpty) {
             state.update(open)
             // next flush check when the earliest unsealed session seals
-            state.setTimeoutTimestamp(
-              math.max(open.map(_.end + gapMs).min, wm + 1))
+            // (timeout API is millis; round UP so we never fire early)
+            state.setTimeoutTimestamp(math.max(
+              (open.map(_.end + gapUs).min + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1))
           } else state.remove()
           flushed.map(close).iterator
       }
