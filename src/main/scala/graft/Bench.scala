@@ -23,26 +23,49 @@ object Bench {
     }
     // Optional comma-separated query filter + repeat count for profiling
     // single queries (SPARK_GRAFT_ONLY=j4_overlap SPARK_GRAFT_REPS=3).
+    // Default reps=2: min-of-N so one contended run can't poison the
+    // artifact (timed run 1 doubles as extra warmup for run 2).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val picked = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
+    // A query failing warmup is NOT swallowed — it will surface in the
+    // timed loop's error capture below (warmup errors alone are ignored
+    // so a flaky first-touch doesn't double-report).
     picked.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = picked.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // record the failure instead of benching it as ~0 s; keep the
+            // first message (truncated — the JSON line must stay one line)
+            errors.getOrElseUpdate(name,
+              (e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
+                .replace("\\", "\\\\").replace("\"", "\\\""))
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    // a silent catch here would let a broken query report as success with a
+    // near-zero time — non-empty error set fails the whole run visibly
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH FAILED: ${errors.size} queries threw: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -170,7 +170,11 @@ object SparkEntry {
       val o = t(s, dir, "orders")
         .groupBy(col("o_custkey"), col("o_orderdate"))
         .agg(max(col("o_totalprice")).as("best_price"))
-      AsOfJoin.backward(ev, o,
+      // auto() picks the best physical strategy: keyed + big right side
+      // plans AsOfMergeJoinExec (one exchange + sort per side, streaming
+      // merge) — the production default, not the showcase composition
+      // (which remains covered by j3_asof_global)
+      AsOfJoin.auto(ev, o,
         leftTime = "ts", rightTime = "o_orderdate",
         by = Seq(("user_id", "o_custkey")),
         valueCols = Seq(("best_price", "asof_price")),
@@ -275,6 +279,22 @@ object SparkEntry {
         .orderBy("doc_id", "doc_id_2")
     }),
 
+    // ---- dedup: SimHash pairs, cross-engine-verifiable signature ----
+    // Same pipeline as d4 but the per-token hash is md5-derived
+    // ([[Dedup.md5Hash60]]) so the DuckDB oracle re-derives the EXACT
+    // 60-bit signatures and hamming distances — turning the SimHash
+    // operator from rows-only into a full hash-checked query. d4 keeps
+    // the xxhash64 basis (codegen'd, ~3× cheaper per token) for
+    // production.
+    "d4b_simhash_md5" -> ((s, dir) => {
+      val both = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(t(s, dir, "documents")
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.simhashPairs(both, "doc_id", "text", maxDist = 3,
+        tokenHash = Dedup.md5Hash60)
+        .orderBy("doc_id", "doc_id_2")
+    }),
+
     // ---- similarity: brute-force cosine top-k (exact baseline) ----
     "sim1_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -291,6 +311,20 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qv",
         k = 10, dim = 64, bits = 6, probes = 2)
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- similarity: LSH with exhaustive probing (oracle-checkable) ----
+    // probes = 2^bits probes every bucket, so the SAME bucketed pipeline
+    // (signature, bucket join, in-bucket re-rank) provably equals brute
+    // force — hash-checked against the cosine oracle, like sim3's
+    // nprobe=nlist trick. Partial-probe recall stays spec-tested.
+    "sim2b_lsh_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+        k = 10, dim = 64, bits = 6, probes = 64)
         .orderBy("qid", "rank")
     }),
 
@@ -974,6 +1008,46 @@ object SparkEntry {
         |WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
         |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
         |ORDER BY doc_id, doc_id_2""".stripMargin,
+
+    // SimHash with the md5-derived 60-bit token hash: DuckDB re-derives
+    // the exact signatures (same tokenizer as d2's oracle, same md5-hex
+    // parse as Spark's conv(substr(md5,1,15),16,10)), brute-forces all
+    // pairs, and checks hamming <= 3 — a full hash check of the SimHash
+    // semantics the 4-chunk pigeonhole path must reproduce.
+    "d4b_simhash_md5" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |), tok AS (
+        |  SELECT d.doc_id,
+        |    CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
+        |  FROM docs d, unnest(string_split_regex(trim(d.text), '\s+')) AS t(tok)
+        |), bits AS (
+        |  SELECT doc_id, r.b,
+        |    CASE WHEN sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |      THEN (1::BIGINT << r.b) ELSE 0 END AS v
+        |  FROM tok, range(60) r(b) GROUP BY doc_id, r.b
+        |), sig AS (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS sig FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_id, b.doc_id AS doc_id_2,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY doc_id, doc_id_2""".stripMargin,
+
+    // exhaustive-probe LSH == brute force (see queries comment)
+    "sim2b_lsh_exact" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
 
     "sim1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

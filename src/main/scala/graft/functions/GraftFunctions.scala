@@ -302,6 +302,105 @@ object GraftFunctions {
         l: Expression, r: Expression): AsOfPick = copy(left = l, right = r)
   }
 
+  /** Product-quantization encode: the vector splits into `m` equal
+    * subspaces; each emits ONE byte — the index of the nearest (L2)
+    * centroid in that subspace's codebook. 64 float dims become 8 bytes
+    * (32× at rest / on the shuffle wire vs float32, 8× smaller than the
+    * int8 scale-offset codes) — the compression that lets a 100 TB
+    * embedding corpus sit in executor memory for in-partition re-rank.
+    * Codebooks (`m × ksub × dsub` doubles) ride the closure like IVF's
+    * plan-literal centroids. Null/mismatched-length vectors → null.
+    */
+  case class PqEncode(child: Expression,
+      codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty) &&
+      codebooks.forall(_.length <= 256), "need 1..256 centroids per subspace")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("expected array<float|double>")
+    }
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_pq_encode"
+
+    @transient private lazy val dsub = codebooks(0)(0).length
+    @transient private lazy val dim = codebooks.length * dsub
+
+    override def nullSafeEval(input: Any): Any = {
+      val ad = input.asInstanceOf[ArrayData]
+      if (ad.numElements() != dim) return null
+      val isFloat = child.dataType.asInstanceOf[ArrayType]
+        .elementType == FloatType
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        v(i) = if (isFloat) ad.getFloat(i).toDouble else ad.getDouble(i)
+        i += 1
+      }
+      val codes = new Array[Byte](codebooks.length)
+      var j = 0
+      while (j < codebooks.length) {
+        val cb = codebooks(j)
+        val off = j * dsub
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var d = 0.0
+          var t = 0
+          while (t < dsub) {
+            val diff = v(off + t) - cb(c)(t)
+            d += diff * diff
+            t += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(j) = best.toByte // 0..255 wraps into the signed byte; decode
+                               // re-reads it & 0xFF
+        j += 1
+      }
+      codes
+    }
+    override protected def withNewChildInternal(c: Expression): PqEncode =
+      copy(child = c)
+  }
+
+  /** Product-quantization decode: m code bytes → the concatenation of the
+    * selected codebook centroids (`array<double>` of the original dim).
+    */
+  case class PqDecode(child: Expression,
+      codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("expected binary pq codes")
+    }
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_pq_decode"
+
+    @transient private lazy val dsub = codebooks(0)(0).length
+
+    override def nullSafeEval(input: Any): Any = {
+      val codes = input.asInstanceOf[Array[Byte]]
+      if (codes.length != codebooks.length) return null
+      val out = new Array[Double](codes.length * dsub)
+      var j = 0
+      while (j < codes.length) {
+        val cb = codebooks(j)
+        val idx = codes(j) & 0xFF
+        if (idx >= cb.length) return null // code from a different codebook
+        System.arraycopy(cb(idx), 0, out, j * dsub, dsub)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): PqDecode =
+      copy(child = c)
+  }
+
   // ---- Column API ----
 
   def ngramHashes(toks: Column, n: Int): Column =
@@ -330,6 +429,12 @@ object GraftFunctions {
   def cosine(a: Column, b: Column): Column =
     SparkShim.toColumn(CosineSim(
       SparkShim.toExpression(a), SparkShim.toExpression(b)))
+
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    SparkShim.toColumn(PqEncode(SparkShim.toExpression(vec), codebooks))
+
+  def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    SparkShim.toColumn(PqDecode(SparkShim.toExpression(codes), codebooks))
 
   /** Register the functions for SQL use (`SELECT graft_cosine(a, b) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

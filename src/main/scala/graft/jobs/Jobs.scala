@@ -89,12 +89,14 @@ object Jobs {
     val fm = clean(fmRaw, fmCasts, dedup = false)
     val load = clean(loadRaw, loadCasts, dedup = false)
 
-    val merged = AsOfJoin.backward(
+    val merged = AsOfJoin.auto(
       fm, load.withColumnRenamed("time", "load_time"),
       leftTime = "time", rightTime = "load_time",
       valueCols = Seq(("interval_start", "interval_start"),
         ("interval_end", "interval_end"), ("load", "load")),
-      inner = true) // reference dropna composed in
+      inner = true) // reference dropna composed in; auto() broadcasts the
+      // compact load table (zero fact-side shuffles) or falls back to the
+      // bucketed composition when it outgrows the threshold
     val result = Normalize.dedup(Normalize.dropNullRows(merged))
     LakeWriter.append(result, lakePath)
     LakeWriter.archiveFiles(spark, fmFiles, fmArchiveDir)

@@ -69,8 +69,11 @@ object TrainingDataPipeline {
       bench, textCol, maxOverlap = maxOverlap)
     val nClean = clean.count()
 
-    // 5. sliding-window chunking (map-side explode)
-    val toks = TextAnalysis.tokens(col(textCol))
+    // 5. sliding-window chunking (map-side explode). Null-text docs are
+    // deliberately preserved by decontaminate (explode_outer survival) —
+    // coalesce their token array to [""] so posexplode emits one empty
+    // chunk instead of silently dropping rows that stage 4 counted
+    val toks = coalesce(TextAnalysis.tokens(col(textCol)), array(lit("")))
     val chunked = clean.select(col(idCol),
       posexplode(transform(
         sequence(lit(0), size(toks) - 1, lit(chunkStride)),

@@ -43,6 +43,18 @@ object AsOfJoin {
     *
     * @param by equi-key pairs `(leftKey, rightKey)`; empty = global as-of
     * @param inner drop unmatched left rows (reference's `dropna` composed in)
+    * @param numBuckets adaptive grid resolution (ignored when
+    *                   `bucketWidthMicros` > 0)
+    * @param bucketWidthMicros 0 (default) = adaptive grid: one tiny
+    *        column-pruned min/max job over both sides picks the bucket
+    *        width — bounds the carry spine to O(keys × numBuckets) no
+    *        matter the time range. > 0 = FIXED epoch-aligned grid of this
+    *        width: no bounds job at all (one fewer Spark job per call);
+    *        the spine grows with distinct observed (key, bucket) pairs, so
+    *        pick a width of the same order as the data's time span /
+    *        desired parallelism (e.g. 1 hour for the reference's 5-minute
+    *        feeds). Bucket boundaries never change RESULTS (boundary-
+    *        invariance spec), only the shuffle layout.
     */
   def backward(
       left: DataFrame,
@@ -52,7 +64,8 @@ object AsOfJoin {
       by: Seq[(String, String)] = Nil,
       valueCols: Seq[(String, String)],
       inner: Boolean = false,
-      numBuckets: Int = 64): DataFrame = {
+      numBuckets: Int = 64,
+      bucketWidthMicros: Long = 0L): DataFrame = {
 
     val keys = by.map(_._1)
     val outCols = left.columns.toSeq ++ valueCols.map(_._2)
@@ -68,19 +81,23 @@ object AsOfJoin {
     var r = right.withColumn("__t", epochMicros(col(rightTime)))
     for ((lk, rk) <- by if lk != rk) r = r.withColumnRenamed(rk, lk)
 
-    // Global time bounds (one tiny agg over both sides).
-    val bounds = l.select(col("__t")).unionAll(r.select(col("__t")))
-      .agg(min("__t").as("lo"), max("__t").as("hi")).head()
-    if (bounds.isNullAt(0)) { // both sides empty of times
-      val withVals = valueCols.foldLeft(l.drop("__t")) { case (d, (in, a)) =>
-        d.withColumn(a, lit(null).cast(r.schema(in).dataType))
+    val (lo, width) =
+      if (bucketWidthMicros > 0) (0L, bucketWidthMicros) // epoch grid, no job
+      else {
+        // Adaptive grid: global time bounds (one tiny agg over both sides).
+        val bounds = l.select(col("__t")).unionAll(r.select(col("__t")))
+          .agg(min("__t").as("lo"), max("__t").as("hi")).head()
+        if (bounds.isNullAt(0)) { // both sides empty of times
+          val withVals = valueCols.foldLeft(l.drop("__t")) { case (d, (in, a)) =>
+            d.withColumn(a, lit(null).cast(r.schema(in).dataType))
+          }
+          return (if (inner) withVals.limit(0) else withVals)
+            .select(outCols.map(col): _*)
+        }
+        val blo = bounds.getLong(0)
+        val bhi = bounds.getLong(1)
+        (blo, math.max((bhi - blo) / math.max(numBuckets, 1) + 1, 1L))
       }
-      return (if (inner) withVals.limit(0) else withVals)
-        .select(outCols.map(col): _*)
-    }
-    val lo = bounds.getLong(0)
-    val hi = bounds.getLong(1)
-    val width = math.max((hi - lo) / math.max(numBuckets, 1) + 1, 1L)
     def bucketOf(t: Column): Column = ((t - lit(lo)) / lit(width)).cast(LongType)
 
     val valIn = valueCols.map(_._1)
@@ -215,14 +232,16 @@ object AsOfJoin {
       valueCols: Seq[(String, String)],
       inner: Boolean = false,
       numBuckets: Int = 64,
-      broadcastThreshold: Long = 10L << 20): DataFrame = {
+      broadcastThreshold: Long = 10L << 20,
+      bucketWidthMicros: Long = 0L): DataFrame = {
     val rightSize = right.queryExecution.optimizedPlan.stats.sizeInBytes
     if (rightSize <= broadcastThreshold)
       broadcastBackward(left, right, leftTime, rightTime, by, valueCols, inner)
     else if (by.nonEmpty)
       merge(left, right, leftTime, rightTime, by, valueCols, inner)
     else
-      backward(left, right, leftTime, rightTime, by, valueCols, inner, numBuckets)
+      backward(left, right, leftTime, rightTime, by, valueCols, inner,
+        numBuckets, bucketWidthMicros)
   }
 
   /** Broadcast backward as-of for a SMALL right side (the reference's

@@ -63,18 +63,67 @@ object Dedup {
       shingleHashes(TextAnalysis.tokens(b), n))
 
   /** All pairs within `blockCols` blocks whose similarity ≥ threshold.
-    * Blocking keys bound the self-join (equi-shuffle, no cross product);
-    * at scale choose blocks so the largest block fits one task (salt or
-    * sub-block if skewed).
+    * Blocking keys bound the self-join (equi-shuffle, no cross product).
+    *
+    * Low-cardinality blocks (e.g. one language × one source over a 100 TB
+    * corpus) are quadratic: a block of B docs emits B² candidate pairs in
+    * ONE task. Blocks larger than `maxBlockSize` therefore fall back to
+    * the sorted-neighborhood method (Hernández & Stolfo, "The
+    * merge/purge problem for large databases"): sort the block by the
+    * doc's distinct-character-set string — the very feature charJaccard
+    * compares, so similar docs sort adjacently — and pair each doc only
+    * with its next `neighborhood` successors. Candidates drop from O(B²)
+    * to O(B·neighborhood); identical char sets are contiguous in the sort
+    * so the highest-similarity pairs survive, and runs longer than the
+    * window stay transitively chained for downstream component building.
+    * Cross-window pairs of merely-similar (not identical) sets are the
+    * accepted recall trade — exhaustive pairing below the cap, bounded
+    * above it.
     */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], threshold: Double): DataFrame = {
-    val a = df.select((blockCols :+ idCol :+ textCol).map(col): _*)
-    val b = df.select((blockCols :+ idCol :+ textCol).map(col): _*)
-      .withColumnRenamed(idCol, idCol + "_2")
-      .withColumnRenamed(textCol, textCol + "_2")
-    a.join(b, blockCols)
+      blockCols: Seq[String], threshold: Double,
+      maxBlockSize: Int = 2048, neighborhood: Int = 8): DataFrame = {
+    def half(suffix: String)(d: DataFrame): DataFrame =
+      d.select((blockCols :+ idCol :+ textCol).map(col): _*)
+        .withColumnRenamed(idCol, idCol + suffix)
+        .withColumnRenamed(textCol, textCol + suffix)
+    val sized = df.withColumn("__bn", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(blockCols.map(col): _*)))
+    val small = sized.where(col("__bn") <= maxBlockSize).drop("__bn")
+    val smallPairs = half("")(small).join(half("_2")(small), blockCols)
       .where(col(idCol) < col(idCol + "_2"))
+    val bigPairs = {
+      // sort key = the sorted distinct char set (charJaccard's feature
+      // space); ties broken by id for determinism
+      val big = sized.where(col("__bn") > maxBlockSize)
+        .withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(blockCols.map(col): _*)
+            .orderBy(concat_ws("", array_sort(
+              array_remove(array_distinct(split(col(textCol), "")), ""))),
+              col(idCol))))
+      val narrow = big.select(
+        (blockCols :+ idCol :+ textCol).map(col) :+ col("__r"): _*)
+      val lhs = narrow
+        .withColumn("__j", explode(sequence(lit(1), lit(neighborhood))))
+        .withColumn("__r", col("__r") + col("__j")).drop("__j")
+      lhs.join(narrow
+          .withColumnRenamed(idCol, idCol + "_2")
+          .withColumnRenamed(textCol, textCol + "_2"),
+          blockCols :+ "__r")
+        .drop("__r")
+        // canonical orientation (sort order is by char set, not id)
+        .select(least(col(idCol), col(idCol + "_2")).as(idCol),
+          greatest(col(idCol), col(idCol + "_2")).as(idCol + "_2"),
+          when(col(idCol) < col(idCol + "_2"), col(textCol))
+            .otherwise(col(textCol + "_2")).as(textCol),
+          when(col(idCol) < col(idCol + "_2"), col(textCol + "_2"))
+            .otherwise(col(textCol)).as(textCol + "_2"))
+    }
+    smallPairs.select(col(idCol), col(idCol + "_2"),
+        col(textCol), col(textCol + "_2"))
+      .unionByName(bigPairs)
       .withColumn("sim", charJaccard(col(textCol), col(textCol + "_2")))
       .where(col("sim") >= threshold)
       .select(col(idCol), col(idCol + "_2"), col("sim"))
@@ -305,10 +354,17 @@ object Dedup {
         .distinct()
     var edges = sym(pairs.select(col(idCol).as("__u"), col(idCol2).as("__v")))
       .localCheckpoint(true)
-    def edgeHash(df: DataFrame): Long =
-      df.agg(coalesce(sum(xxhash64(col("__u"), col("__v"))), lit(0L)))
-        .head.getLong(0)
-    var prev = -1L
+    // fixpoint signature: (count, order-insensitive hash-sum). A bare
+    // hash-sum can collide between two distinct successive edge sets and
+    // end the loop early with wrong components; pairing it with the exact
+    // row count makes a false fixpoint require a same-size collision —
+    // both come out of ONE aggregate pass, so no extra job
+    def edgeSig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("__u"), col("__v"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = (-1L, -1L)
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
@@ -332,7 +388,7 @@ object Dedup {
         small.select(col("__v").as("__u"), col("__m").as("__v"))
           .unionAll(small.select(col("__u"), col("__m").as("__v"))))
         .localCheckpoint(true)
-      val h = edgeHash(next)
+      val h = edgeSig(next)
       converged = h == prev
       prev = h
       edges = next
@@ -363,10 +419,17 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var labels = vertices.select(col(idCol).as("__v"), col(idCol).as("__l"))
-    def stateHash(df: DataFrame): Long =
-      df.agg(coalesce(sum(xxhash64(col("__v"), col("__l"))), lit(0L)))
-        .head.getLong(0)
-    var prev = -1L
+    // (count, hash-sum) pair, for the same collision-resistance reason as
+    // edgeSig in star contraction (labels are one-per-vertex so the count
+    // is constant here, but sum(label) is monotone-decreasing and cheap —
+    // use it as the second component instead)
+    def stateSig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        coalesce(sum(xxhash64(col("__v"), col("__l"))), lit(0L)),
+        coalesce(sum(xxhash64(col("__l"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = (-1L, -1L)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -376,7 +439,7 @@ object Dedup {
       val next = labels.unionAll(viaEdges)
         .groupBy("__v").agg(min("__l").as("__l"))
         .localCheckpoint(true) // truncate lineage each round
-      val h = stateHash(next)
+      val h = stateSig(next)
       converged = h == prev
       prev = h
       labels = next
@@ -435,11 +498,22 @@ object Dedup {
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
-    * ±1 contributions from each token's xxhash64. Near-identical texts
-    * differ in few bits.
+    * ±1 contributions from each token's hash. Near-identical texts differ
+    * in few bits. `tokenHash` defaults to xxhash64 (fast, codegen'd);
+    * pass [[md5Hash60]] for a hash an external SQL engine can re-derive
+    * (cross-engine verification).
     */
-  def simhash64(toks: Column): Column =
-    graft.functions.GraftFunctions.simhash64(transform(toks, t => xxhash64(t)))
+  def simhash64(toks: Column,
+      tokenHash: Column => Column = xxhash64(_)): Column =
+    graft.functions.GraftFunctions.simhash64(transform(toks, tokenHash))
+
+  /** 60-bit token hash both Spark and ANSI-ish SQL engines can compute:
+    * first 15 hex chars of md5, parsed base-16. Slower than xxhash64
+    * (string md5 per token) — use only where an external oracle must
+    * reproduce the exact signature.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -450,10 +524,12 @@ object Dedup {
     * in-bucket verify. Linear candidate generation, no N².
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxDist <= 3, "4-chunk blocking guarantees recall only to distance 3")
     val sigs = spread(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), simhash64(TextAnalysis.tokens(col(textCol))).as("__sig"))
+      .select(col(idCol),
+        simhash64(TextAnalysis.tokens(col(textCol)), tokenHash).as("__sig"))
     val chunked = sigs.withColumn("__c", explode(
       transform(sequence(lit(0), lit(3)),
         i => struct(i.as("i"),

@@ -65,8 +65,13 @@ object IntervalJoin {
     val hi = (micros(col(endCol)) / widthMicros).cast(LongType)
     // one sentinel-dated interval (end = 9999-12-31) would explode into
     // hundreds of millions of cells and OOM the executor — fail fast with
-    // the offending span instead
-    val guarded = when(hi - lo < maxCellsPerInterval, sequence(lo, hi))
+    // the offending span instead. Null bounds short-circuit first: a null
+    // lo/hi makes `hi - lo < cap` NULL, which would otherwise fall into the
+    // raise_error branch and make one dirty row job-fatal; dirty rows drop
+    // under inner semantics (null sequence → explode emits nothing), the
+    // same policy as Multimodal/Sessionize.
+    val guarded = when(lo.isNull || hi.isNull, lit(null).cast("array<bigint>"))
+      .when(hi - lo < maxCellsPerInterval, sequence(lo, hi))
       .otherwise(raise_error(concat(
         lit(s"interval spans more than $maxCellsPerInterval grid cells " +
           "(dirty open-ended date? widen widthMicros or clean the row): "),

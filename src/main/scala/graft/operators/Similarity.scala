@@ -86,18 +86,28 @@ object Similarity {
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, dim: Int, bits: Int = 8, probes: Int = 1): DataFrame = {
-    require(probes >= 1 && probes <= bits + 1)
+    require(probes >= 1 && (probes <= bits + 1 || probes == (1 << bits)),
+      s"probes must be 1..${bits + 1} (multi-probe) or exactly ${1 << bits} " +
+        "(exhaustive: every bucket probed, provably equal to brute force)")
     val c = corpus.withColumn("__bucket",
       lshBucket(asDouble(col(corpusVec)), dim, bits))
     // Multi-probe: each query also probes the `probes - 1` buckets that
     // differ in exactly one signature bit — near-boundary neighbors land
     // there. Recall rises without touching the corpus-side layout.
+    // probes == 2^bits probes EVERY bucket: each corpus row (living in
+    // exactly one bucket) meets each query exactly once, so the result
+    // equals brute-force top-k — the oracle-checkable calibration point
+    // for the same pipeline the partial-probe path runs.
     val q0 = queries.withColumn("__q_bucket",
       lshBucket(asDouble(col(queryVec)), dim, bits))
-    val q = q0.withColumn("__bucket", explode(array(
-      (col("__q_bucket") +: (0 until probes - 1).map(b =>
-        col("__q_bucket").bitwiseXOR(lit(1L << b)))): _*)))
-      .drop("__q_bucket")
+    val q =
+      if (probes == (1 << bits))
+        q0.withColumn("__bucket",
+          explode(sequence(lit(0L), lit((1L << bits) - 1)))).drop("__q_bucket")
+      else q0.withColumn("__bucket", explode(array(
+        (col("__q_bucket") +: (0 until probes - 1).map(b =>
+          col("__q_bucket").bitwiseXOR(lit(1L << b)))): _*)))
+        .drop("__q_bucket")
     val joined = c.join(broadcast(q), "__bucket")
       .where(col(queryId) =!= col(corpusId))
       .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
@@ -207,6 +217,102 @@ object Similarity {
     val joined = c.join(broadcast(q), "__cell")
       .where(col(queryId) =!= col(corpusId))
       .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(desc("sim"), col(corpusId))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("sim"), col("rank"))
+  }
+
+  // ---------- product quantization (PQ) ----------
+
+  /** Train PQ codebooks: the vector space splits into `m` equal
+    * subspaces; each gets its own `ksub`-centroid L2 k-means codebook
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search").
+    * Same driver-side discipline as [[trainIvfCentroids]]: deterministic
+    * hash-ordered sample, bounded collect, result small enough
+    * (m × ksub × dim/m doubles) to ride every task's closure.
+    * Initialization is the first `ksub` DISTINCT subvectors of the
+    * sample, so a corpus with ≤ ksub distinct subvectors per subspace
+    * reconstructs exactly.
+    */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int = 256, iters: Int = 5,
+      sampleSize: Int = 4096): Array[Array[Array[Double]]] = {
+    require(ksub >= 1 && ksub <= 256, "one byte per code: ksub 1..256")
+    val sample: Array[Array[Double]] = corpus
+      .select(asDouble(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ on an empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+
+    Array.tabulate(m) { j =>
+      val sub = sample.map(_.slice(j * dsub, (j + 1) * dsub))
+      val distinctInit = scala.collection.mutable.LinkedHashSet
+        .empty[scala.collection.immutable.ArraySeq[Double]]
+      sub.foreach { s =>
+        if (distinctInit.size < ksub)
+          distinctInit += scala.collection.immutable.ArraySeq.unsafeWrapArray(s)
+      }
+      var centroids = distinctInit.toArray.map(_.toArray)
+      def nearest(v: Array[Double]): Int = {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var t = 0
+          while (t < dsub) {
+            val diff = v(t) - centroids(c)(t); d += diff * diff; t += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(centroids.length)(new Array[Double](dsub))
+        val counts = new Array[Long](centroids.length)
+        for (v <- sub) {
+          val c = nearest(v)
+          counts(c) += 1
+          var t = 0
+          while (t < dsub) { sums(c)(t) += v(t); t += 1 }
+        }
+        centroids = centroids.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
+      }
+      centroids
+    }
+  }
+
+  /** PQ-encode an embedding column to `m` code bytes (binary). */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.GraftFunctions.pqEncode(asDouble(vec), codebooks)
+
+  /** Reconstruct the approximate vector from PQ codes. */
+  def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.GraftFunctions.pqDecode(codes, codebooks)
+
+  /** Approximate top-k over a PQ-compressed corpus: corpus rows carry only
+    * their `m`-byte codes; similarity is cosine(query, decode(codes)) —
+    * asymmetric distance computation (exact query side, quantized corpus
+    * side), the standard PQ search mode. Lossy (like [[quantize]]'s int8
+    * path, but 8× smaller still); recall vs brute force is spec-tested.
+    */
+  def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, m: Int = 8, ksub: Int = 256, iters: Int = 5): DataFrame = {
+    val codebooks = trainPqCodebooks(corpus, corpusId, corpusVec, m, ksub, iters)
+    // decode ONCE per corpus row (before the ×|queries| join)
+    val compressed = corpus
+      .withColumn("__codes", pqEncode(col(corpusVec), codebooks))
+      .select(col(corpusId), pqDecode(col("__codes"), codebooks).as("__dv"))
+    val joined = compressed.join(broadcast(queries))
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("sim", cosine(col("__dv"), asDouble(col(queryVec))))
     val w = Window.partitionBy(col(queryId)).orderBy(desc("sim"), col(corpusId))
     joined.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

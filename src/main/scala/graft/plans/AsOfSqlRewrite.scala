@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryExpression, Cast, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BinaryExpression, Cast, EqualTo, Expression, IsNotNull, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
@@ -92,11 +92,25 @@ object RewriteAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
     oriented.map { case (lt, rt) =>
       val zone = Some(conf.sessionLocalTimeZone)
       val (lk, rk) = equis.flatten.unzip
+      // SQL equality is null-rejecting, but the merge exec's RowOrdering
+      // compares null == null — a user-written `e.k = o.k` must not turn
+      // into null-matching semantics. Filter null right keys always (they
+      // can never match); null LEFT keys only under inner — a LEFT join
+      // keeps them as unmatched rows, which the filtered right side now
+      // guarantees (no null-keyed right rows remain to pair with them).
+      def notNullFilter(child: LogicalPlan, keys: Seq[Attribute]): LogicalPlan =
+        keys.filter(_.nullable).map(IsNotNull(_): Expression)
+          .reduceOption(And) match {
+          case Some(cond) => Filter(cond, child)
+          case None => child
+        }
+      val lFiltered = if (inner) notNullFilter(l, lk) else l
+      val rFiltered = notNullFilter(r, rk)
       // value attrs KEEP the right side's exprIds so downstream
       // references resolve unchanged; LEFT join makes them nullable
       val valueAttrs =
         if (inner) r.output else r.output.map(_.withNullability(true))
-      AsOfJoinNode(l, r, lk, rk,
+      AsOfJoinNode(lFiltered, rFiltered, lk, rk,
         Cast(lt, TimestampType, zone), Cast(rt, TimestampType, zone),
         valueExprs = r.output, valueAttrs = valueAttrs, inner = inner)
     }

@@ -35,6 +35,14 @@ object VersionedTable {
   private def commitPath(table: String, v: Long): Path =
     new Path(s"$table/$CommitsDir/v${"%08d".format(v)}")
 
+  private def readManifest(f: FileSystem, table: String, v: Long): Seq[String] = {
+    val p = commitPath(table, v)
+    val data = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    val in = f.open(p)
+    try in.readFully(data) finally in.close()
+    new String(data, "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+  }
+
   /** (version, files) of the latest committed snapshot; (0, Nil) for an
     * empty/new table.
     */
@@ -46,10 +54,16 @@ object VersionedTable {
       .filter(_.startsWith("v")).map(_.drop(1).toLong)
     if (versions.isEmpty) return (0L, Nil)
     val v = versions.max
-    val data = new Array[Byte](f.getFileStatus(commitPath(table, v)).getLen.toInt)
-    val in = f.open(commitPath(table, v))
-    try in.readFully(data) finally in.close()
-    (v, new String(data, "UTF-8").split("\n").filter(_.nonEmpty).toSeq)
+    (v, readManifest(f, table, v))
+  }
+
+  /** All committed versions, ascending; empty for a new table. */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/$CommitsDir")
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted.toSeq
   }
 
   /** Atomically commit `files` as version `v`; false if someone else won
@@ -108,15 +122,28 @@ object VersionedTable {
     val f = fs(spark, table)
     val tmp = new Path(table, s"_stage-${java.util.UUID.randomUUID}")
     df.write.parquet(tmp.toString)
-    val staged = f.listStatus(tmp)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { s =>
-        val name = s"part-${java.util.UUID.randomUUID}.parquet"
-        f.rename(s.getPath, new Path(table, name))
-        name
-      }.toSeq
+    val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      f.listStatus(tmp)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          val name = s"part-${java.util.UUID.randomUUID}.parquet"
+          // an ignored rename failure here would commit a manifest naming a
+          // file that never landed, poisoning every subsequent read — throw
+          // (cleaning up files already moved) instead
+          if (!f.rename(s.getPath, new Path(table, name)))
+            throw new java.io.IOException(
+              s"failed to move staged file ${s.getPath} into $table")
+          staged += name
+        }
+    } catch {
+      case e: Throwable =>
+        staged.foreach(n => f.delete(new Path(table, n), false))
+        f.delete(tmp, true)
+        throw e
+    }
     f.delete(tmp, true)
-    staged
+    staged.toSeq
   }
 
   /** Append `df`; retries commits until it wins. Returns the committed
@@ -146,6 +173,26 @@ object VersionedTable {
   def read(spark: SparkSession, table: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val (_, files) = latest(spark, table)
+    readFiles(spark, table, files, schema)
+  }
+
+  /** Time-travel read: the exact snapshot committed as `version`. Manifests
+    * persist on disk until vacuumed, so any un-vacuumed version is
+    * readable — including pre-compaction snapshots (compaction keeps old
+    * data files for exactly this reason).
+    */
+  def read(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val f = fs(spark, table)
+    if (!f.exists(commitPath(table, version)))
+      throw new NoSuchElementException(
+        s"version $version of $table does not exist (vacuumed or never " +
+          s"committed); available: ${versions(spark, table).mkString(", ")}")
+    readFiles(spark, table, readManifest(f, table, version), None)
+  }
+
+  private def readFiles(spark: SparkSession, table: String,
+      files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     if (files.nonEmpty) spark.read.parquet(files.map(n => s"$table/$n"): _*)
     else schema match {
       case Some(sc) => spark.createDataFrame(
@@ -187,12 +234,15 @@ object VersionedTable {
 
   /** Delete data files referenced by NO manifest version >= `keepFrom`
     * (older-snapshot readers must be done first — the usual vacuum
-    * contract), plus manifests < keepFrom. Must not run concurrently
-    * with in-flight writers: their staged-but-uncommitted files look
-    * unreferenced (production systems add a file-age retention window
-    * for exactly this reason).
+    * contract), plus manifests < keepFrom. `retentionMs` is the file-age
+    * guard that makes vacuum safe alongside in-flight writers: their
+    * staged-but-uncommitted files look unreferenced but are NEW — only
+    * unreferenced files older than the window are reaped (the same
+    * contract as Delta's retention check; default 7 days). Pass 0 only
+    * when no writer can be in flight.
     */
-  def vacuum(spark: SparkSession, table: String, keepFrom: Long): Int = {
+  def vacuum(spark: SparkSession, table: String, keepFrom: Long,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     val f = fs(spark, table)
     val (vMax, _) = latest(spark, table)
     if (vMax == 0) return 0
@@ -207,11 +257,13 @@ object VersionedTable {
         new String(data, "UTF-8").split("\n").filter(_.nonEmpty).toSeq
       }
     }.toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
     val dataFiles = f.listStatus(new Path(table))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     var removed = 0
     dataFiles.foreach { s =>
-      if (!referenced.contains(s.getPath.getName)) {
+      if (!referenced.contains(s.getPath.getName) &&
+          s.getModificationTime <= cutoff) {
         f.delete(s.getPath, false); removed += 1
       }
     }

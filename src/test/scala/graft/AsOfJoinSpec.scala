@@ -174,4 +174,55 @@ class AsOfJoinSpec extends SparkTestBase {
       valueCols = Seq(("load", "load")), inner = true)
     assert(inner.count() === 0)
   }
+
+  test("fixed epoch grid: same results as adaptive, one fewer Spark job") {
+    val adaptive = AsOfJoin.backward(fm, load, "time", "time",
+      valueCols = Seq(("load", "load")), numBuckets = 4)
+      .select($"time", $"mw", $"load").collect().toSet
+    val fixed = AsOfJoin.backward(fm, load, "time", "time",
+      valueCols = Seq(("load", "load")),
+      bucketWidthMicros = 15L * 60 * 1000000) // 15-min epoch grid
+    assert(fixed.select($"time", $"mw", $"load").collect().toSet === adaptive)
+    // plan construction itself must not run the min/max bounds job: count
+    // jobs triggered while only BUILDING the plan (an action runs >=1)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    AsOfJoin.backward(fm, load, "time", "time",
+      valueCols = Seq(("load", "load")),
+      bucketWidthMicros = 15L * 60 * 1000000).queryExecution.executedPlan
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "fixed-grid backward ran a job during planning")
+  }
+
+  // ---- auto() strategy selection (the production default) ----
+
+  private val keyedL = Seq((1, ts("2024-05-01 00:10:00"), "a"),
+    (2, ts("2024-05-01 00:20:00"), "b")).toDF("k", "time", "tag")
+  private val keyedR = Seq((1, ts("2024-05-01 00:00:00"), 10.0),
+    (2, ts("2024-05-01 00:00:00"), 20.0)).toDF("k", "time", "v")
+
+  test("auto: small right side plans the broadcast pick (zero left shuffles)") {
+    val plan = AsOfJoin.auto(keyedL, keyedR, "time", "time",
+      by = Seq(("k", "k")), valueCols = Seq(("v", "v")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+    assert(!plan.contains("AsOfMergeJoin"))
+  }
+
+  test("auto: keyed right side over the threshold plans AsOfMergeJoinExec") {
+    val df = AsOfJoin.auto(keyedL, keyedR, "time", "time",
+      by = Seq(("k", "k")), valueCols = Seq(("v", "v")),
+      broadcastThreshold = 0L)
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfMergeJoin"))
+    assert(df.orderBy("k").select("k", "v").as[(Int, Double)].collect()
+      .toSeq === Seq((1, 10.0), (2, 20.0)))
+  }
+
+  test("auto: keyless big right falls back to the bucketed composition") {
+    val plan = AsOfJoin.auto(fm, load, "time", "time",
+      valueCols = Seq(("load", "load")), broadcastThreshold = 0L)
+      .queryExecution.executedPlan.toString
+    // not the single-partition merge degeneration, not a broadcast pick
+    assert(!plan.contains("AsOfMergeJoin"))
+    assert(plan.contains("Window")) // the bucketed window composition
+  }
 }

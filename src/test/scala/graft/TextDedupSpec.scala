@@ -101,6 +101,33 @@ class TextDedupSpec extends SparkTestBase {
     assert(full.size === 435)
   }
 
+  test("blockedJaccardPairs: oversized block emits O(B·k) candidates, not B²") {
+    // one (lang) block of B=3000 docs: an uncapped self-join would build
+    // ~4.5M pairs in one task; the sorted-neighborhood fallback must emit
+    // exactly B·k - k(k+1)/2 (each rank pairs with its next k successors)
+    val B = 3000
+    val k = 4
+    val corpus = spark.range(B).select(
+      col("id").as("doc_id"),
+      // ~30 distinct char-set classes so similar docs exist to find
+      concat(lit("doc text variant "), (col("id") % 30).cast("string"))
+        .as("text"),
+      lit("en").as("lang"))
+    val pairs = Dedup.blockedJaccardPairs(corpus, "doc_id", "text",
+      Seq("lang"), threshold = 0.0, maxBlockSize = 100, neighborhood = k)
+    val n = pairs.count()
+    assert(n === B.toLong * k - k * (k + 1) / 2, // 11990, not ~4.5M
+      s"expected O(B·k) sorted-neighborhood candidates, got $n")
+    // recall inside the window: identical char-set docs sort adjacently,
+    // so sim=1.0 pairs survive the cap
+    assert(pairs.where(col("sim") === 1.0).count() > 0)
+    // below the cap the pairing stays exhaustive-exact: same corpus, cap
+    // not triggered → full B² filtering (sanity: strictly more pairs)
+    val exhaustive = Dedup.blockedJaccardPairs(corpus.limit(200), "doc_id",
+      "text", Seq("lang"), threshold = 0.0)
+    assert(exhaustive.count() === 200L * 199 / 2)
+  }
+
   test("connected components: chains, cliques, singletons, canonicalize") {
     // path 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
     // clique-ish 10-11/11-12/10-12, isolated 99

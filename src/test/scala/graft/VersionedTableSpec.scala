@@ -40,10 +40,41 @@ class VersionedTableSpec extends SparkTestBase {
     assert(v > 0)
     assert(rows(t) === (1 to 5).map(i => (i, s"v$i")).toSet + ((6, "late")))
     // after vacuum of pre-compaction versions, data still intact and old
-    // files gone
-    val removed = VersionedTable.vacuum(spark, t, keepFrom = v)
+    // files gone (retention 0: no writer in flight in this test)
+    val removed = VersionedTable.vacuum(spark, t, keepFrom = v, retentionMs = 0L)
     assert(removed > 0)
     assert(rows(t) === (1 to 5).map(i => (i, s"v$i")).toSet + ((6, "late")))
+  }
+
+  test("time-travel read serves any committed version, incl. pre-compaction") {
+    val t = Files.createTempDirectory("vt4").toString + "/t"
+    VersionedTable.append(spark, Seq((1, "a")).toDF("k", "v"), t)
+    VersionedTable.append(spark, Seq((2, "b")).toDF("k", "v"), t)
+    VersionedTable.append(spark, Seq((3, "c")).toDF("k", "v"), t)
+    val vCompact = VersionedTable.compact(spark, t, numFiles = 1)
+    assert(vCompact === 4L)
+    def at(v: Long): Set[(Int, String)] =
+      VersionedTable.read(spark, t, v).as[(Int, String)].collect().toSet
+    // v2 (pre-compaction snapshot) still readable after the compaction
+    assert(at(2L) === Set((1, "a"), (2, "b")))
+    assert(at(1L) === Set((1, "a")))
+    assert(at(4L) === Set((1, "a"), (2, "b"), (3, "c")))
+    assert(VersionedTable.versions(spark, t) === Seq(1L, 2L, 3L, 4L))
+    intercept[NoSuchElementException](VersionedTable.read(spark, t, 99L))
+  }
+
+  test("vacuum retention window spares fresh unreferenced files") {
+    val t = Files.createTempDirectory("vt5").toString + "/t"
+    VersionedTable.append(spark, Seq((1, "a")).toDF("k", "v"), t)
+    val v = VersionedTable.compact(spark, t, numFiles = 1)
+    // the pre-compaction file is unreferenced from v onward but was
+    // written milliseconds ago — a retention window must spare it (it
+    // could equally be an in-flight writer's staged file)
+    assert(VersionedTable.vacuum(spark, t, keepFrom = v) === 0)
+    assert(rows(t) === Set((1, "a")))
+    // with retention waived it is reaped
+    assert(VersionedTable.vacuum(spark, t, keepFrom = v, retentionMs = 0L) > 0)
+    assert(rows(t) === Set((1, "a")))
   }
 
   test("two writers committing the same version: exactly one wins, loser rebases") {
