@@ -344,6 +344,21 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- similarity: top-k over a product-quantized corpus (lossy:
+    // rows-only check; exact-reconstruction, error-monotonicity, and
+    // recall-vs-brute-force are spec-tested in SimilaritySpec). 8 code
+    // bytes per 64-dim float vector = 32x at rest / on the wire — the
+    // compression that fits a 100 TB embedding corpus into executor
+    // memory for in-partition re-rank. ----
+    "sim5_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.pqTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+        k = 10, m = 8, ksub = 128, iters = 3)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- similarity: top-k over int8-quantized corpus (lossy: rows-only
     // check; error bound + recall vs exact are spec-tested) ----
     "sim4_quantized_topk" -> ((s, dir) => {

@@ -132,26 +132,33 @@ object Jobs {
     val weather = weatherRaw
       .withColumn("Date", Normalize.parseTimestamp(col("Date"), fmt))
 
+    // Location has only 4 distinct values, so a plain equi+BETWEEN join
+    // degenerates to O(N²/4) residual scans inside each key bucket (the
+    // reference never notices at its row counts; the sf-scaled bench
+    // does). The grid-bucketed form joins on (15-min cell, Location):
+    // linear, one hash shuffle, exact same closed-bound semantics.
     val joined = IntervalJoin.assertNoNestedLoop(
-      IntervalJoin.pointInInterval(
+      IntervalJoin.pointInIntervalBucketed(
         weather, spp,
-        weather("Date"), spp("Interval Start"), spp("Interval End"),
-        Seq((weather("Location"), spp("Location")))))
+        pointCol = "Date", startCol = "Interval Start",
+        endCol = "Interval End",
+        widthMicros = 15L * 60 * 1000000,
+        equi = Seq("Location")))
 
     // P2: 12-column typed projection (test_pyspark_merge_spp_weather.py:62-75)
     val projected = joined.select(
-      weather("Location").as("Location"),
-      weather("Temperature").cast(FloatType).as("Temperature"),
-      weather("Temp_min").cast(FloatType).as("Temp_min"),
-      weather("Temp_max").cast(FloatType).as("Temp_max"),
-      weather("Pressure").cast(FloatType).as("Pressure"),
-      weather("Humidity").cast(FloatType).as("Humidity"),
+      col("Location"),
+      col("Temperature").cast(FloatType).as("Temperature"),
+      col("Temp_min").cast(FloatType).as("Temp_min"),
+      col("Temp_max").cast(FloatType).as("Temp_max"),
+      col("Pressure").cast(FloatType).as("Pressure"),
+      col("Humidity").cast(FloatType).as("Humidity"),
       col("Wind Speed").cast(FloatType).as("Wind_Speed"),
-      weather("Date").as("Weather_Timestamp"),
-      spp("SPP").cast(FloatType).as("SPP"),
-      spp("Time").as("Price_Time"),
-      spp("Interval Start").as("Price_Interval_Start"),
-      spp("Interval End").as("Price_Interval_End"))
+      col("Date").as("Weather_Timestamp"),
+      col("SPP").cast(FloatType).as("SPP"),
+      col("Time").as("Price_Time"),
+      col("Interval Start").as("Price_Interval_Start"),
+      col("Interval End").as("Price_Interval_End"))
 
     val result = Normalize.dedup(projected)
     LakeWriter.append(result, lakePath)

@@ -31,15 +31,20 @@ object IntervalJoin {
     points.join(intervals, cond, joinType)
   }
 
-  /** Keyless (or low-selectivity-key) point-in-interval join for scale: a
-    * pure theta `BETWEEN` join would plan as a nested-loop cross product.
-    * Instead, explode each interval onto a fixed time grid
+  /** Keyless (or LOW-CARDINALITY-key) point-in-interval join for scale: a
+    * pure theta `BETWEEN` join plans as a nested-loop cross product, and
+    * an equi join on a handful of key values (the reference's 4 `Location`
+    * zones) degenerates to O(N²/|keys|) BETWEEN scans inside each key
+    * bucket. Instead, explode each interval onto a fixed time grid
     * (`sequence(floor(start/w), floor(end/w))`) and equi-join points on
-    * their grid cell, then apply the exact BETWEEN as a residual filter.
-    * Cost: |intervals| × (avg span / width) replicated rows, one hash
-    * shuffle — linear, no cross product. `widthMicros` should be on the
-    * order of the typical interval span (e.g. 15 min for the reference's
-    * SPP feed) so the blow-up factor stays ~1-2×.
+    * (grid cell, `equi` keys), then apply the exact BETWEEN as a residual
+    * filter. Cost: |intervals| × (avg span / width) replicated rows, one
+    * hash shuffle — linear, no cross product. `widthMicros` should be on
+    * the order of the typical interval span (e.g. 15 min for the
+    * reference's SPP feed) so the blow-up factor stays ~1-2×.
+    *
+    * @param equi same-named key columns present on BOTH sides (using-join
+    *             semantics: merged in the output, null keys never match)
     */
   def pointInIntervalBucketed(
       points: DataFrame,
@@ -49,7 +54,8 @@ object IntervalJoin {
       endCol: String,
       widthMicros: Long,
       joinType: String = "inner",
-      maxCellsPerInterval: Long = 1L << 20): DataFrame = {
+      maxCellsPerInterval: Long = 1L << 20,
+      equi: Seq[String] = Nil): DataFrame = {
     require(widthMicros > 0)
     // the BETWEEN residual is a post-join filter, which silently degrades
     // any outer join to inner (null interval bounds never pass BETWEEN) —
@@ -78,7 +84,7 @@ object IntervalJoin {
         col(startCol).cast("string"), lit(" .. "),
         col(endCol).cast("string"))))
     val i = intervals.withColumn("__cell", explode(guarded))
-    p.join(i, Seq("__cell"), joinType)
+    p.join(i, "__cell" +: equi, joinType)
       .where(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__cell")
   }

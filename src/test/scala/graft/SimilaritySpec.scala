@@ -81,6 +81,85 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall@10 too low: $recall")
   }
 
+  test("IVF recall is monotone in nprobe (multi-probe >= single-probe)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .limit(500).cache()
+    val q = emb.limit(8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        q, "qid", "qv", k = 10, nlist = 16, nprobe = nprobe, iters = 3)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    // probe cells are ranked by centroid similarity, so nprobe=p+1 probes
+    // a strict superset of nprobe=p's cells — candidates only grow
+    val r1 = recallAt(1); val r4 = recallAt(4); val r16 = recallAt(16)
+    assert(r4 >= r1, s"recall fell when probing more cells: $r1 -> $r4")
+    assert(r16 >= r4 && r16 === 1.0, s"exhaustive probe must be exact: $r16")
+  }
+
+  test("PQ: exact reconstruction when codebooks cover the subvector space") {
+    // 4 distinct subvectors per subspace, ksub=4 -> k-means inits on the
+    // distinct set and reconstruction is EXACT
+    val base = Seq(
+      Array(1.0f, 0.0f, 5.0f, 5.0f),
+      Array(0.0f, 1.0f, 5.0f, 5.0f),
+      Array(1.0f, 1.0f, 0.0f, 5.0f),
+      Array(0.0f, 0.0f, 5.0f, 0.0f))
+    val corpus = (0 until 40).map(i => (i.toLong, base(i % 4))).toDF("vec_id", "embedding")
+    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 3)
+    val rec = corpus
+      .withColumn("dv", Similarity.pqDecode(
+        Similarity.pqEncode(col("embedding"), cb), cb))
+      .select(col("vec_id"), col("embedding"), col("dv"))
+      .as[(Long, Array[Float], Array[Double])].collect()
+    rec.foreach { case (_, orig, dec) =>
+      assert(dec.toSeq === orig.map(_.toDouble).toSeq)
+    }
+  }
+
+  test("PQ: codes are m bytes; error shrinks with ksub; usable recall") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .limit(300).cache()
+    def mse(ksub: Int): Double = {
+      val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        m = 8, ksub = ksub, iters = 3)
+      emb.withColumn("dv", Similarity.pqDecode(
+          Similarity.pqEncode(col("embedding"), cb), cb))
+        .select(avg(aggregate(
+          zip_with(Similarity.asDouble(col("embedding")), col("dv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)))
+        .head.getDouble(0)
+    }
+    // 8 bytes per 64-dim float vector = 32x compression
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", m = 8,
+      ksub = 128, iters = 3)
+    val lens = emb.select(length(
+        Similarity.pqEncode(col("embedding"), cb)).as("l"))
+      .select(min("l"), max("l")).head
+    assert(lens.getInt(0) === 8 && lens.getInt(1) === 8)
+    // larger codebooks can only fit better (same init prefix + k-means)
+    assert(mse(128) <= mse(16),
+      "reconstruction error must shrink with codebook size")
+    // asymmetric-distance top-k keeps usable recall vs brute force
+    val q = emb.limit(5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 10, m = 8, ksub = 128, iters = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (pq & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall@10 too low: $recall")
+  }
+
   test("IVF cell-partitioned corpus: probes prune partitions at scan") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(300)
     val centroids = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
