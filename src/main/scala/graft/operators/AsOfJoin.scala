@@ -174,6 +174,15 @@ object AsOfJoin {
     * [[backward]]'s time-bucketed composition there). For self-joins,
     * alias one side first (the custom node skips Catalyst's join
     * attribute dedup).
+    *
+    * Null equi keys: like pandas `merge_asof` (and [[backward]]'s window
+    * partitioning), null keys group together — a null-keyed left row CAN
+    * take values from a null-keyed right row. This deliberately differs
+    * from SQL equality (null = null is never true); the SQL surface
+    * (`graft_asof` via RewriteAsOfJoin) inserts IsNotNull filters to keep
+    * SQL semantics, so only this programmatic API has the pandas
+    * behavior. Pre-filter `right.where(col(k).isNotNull)` if you want
+    * SQL semantics here.
     */
   def merge(
       left: DataFrame,

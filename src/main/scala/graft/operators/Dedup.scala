@@ -18,8 +18,15 @@ object Dedup {
   // ---------- exact ----------
 
   /** Exact dedup: keep the lowest-id row per identical key. One hash
-    * shuffle on the key (at 100 TB: dedup on a fingerprint/hash column,
-    * not the full text, so shuffle rows are narrow).
+    * shuffle on the key.
+    *
+    * WARNING — the key you pass IS the shuffle row: `exactSurvivors(df,
+    * col("text"), ...)` shuffles the full document text. At 100 TB that
+    * multiplies the exchange by the average document size. Dedup on a
+    * digest instead: [[byFingerprint]] (whitespace/case-normalized md5)
+    * or `xxhash64(text)` — identical grouping, ~16-byte shuffle rows.
+    * Passing a raw wide column is only appropriate for small frames or
+    * when the key is already narrow.
     */
   def exactSurvivors(df: DataFrame, key: Column, id: Column): DataFrame =
     df.groupBy(key.as("__k")).agg(min(id).as("survivor_id")).drop("__k")

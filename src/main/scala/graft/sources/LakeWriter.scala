@@ -54,12 +54,18 @@ object LakeWriter {
     * snapshotted before the rewrite — files appended concurrently (the
     * 15-min cadence writers) are never touched, and the table path never
     * disappears. Readers between the two steps may briefly see the
-    * compacted rows twice; appends are never lost. Caveat: a CRASH
-    * between the rename-in and the input deletes leaves those rows
-    * duplicated until the same compaction is re-run or cleaned up —
-    * directory tables have no commit log to recover from. Use
-    * [[VersionedTable.compact]] where crash atomicity matters. Returns
-    * the new file count.
+    * compacted rows twice; appends are never lost.
+    *
+    * ==NOT crash-safe — prefer [[VersionedTable.compact]]==
+    * A crash between the rename-in and the input deletes leaves those
+    * rows DUPLICATED until the same compaction is re-run or cleaned up;
+    * directory tables have no commit log to recover from, and readers
+    * cannot tell the half-compacted state from a healthy table. Treat
+    * this method as deprecated for any table that matters:
+    * [[VersionedTable.compact]] provides the same operation with
+    * manifest-commit atomicity (crash = clean rollback to the previous
+    * snapshot). This form survives only as the reference-faithful
+    * directory-table behavior. Returns the new file count.
     */
   def compact(spark: SparkSession, path: String, numFiles: Int): Int = {
     val p = new Path(path)

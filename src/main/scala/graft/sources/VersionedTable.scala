@@ -24,6 +24,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     the compacted ones; appends that raced in land in later versions
   *     and are rebased over, never lost. Old data files stay on disk for
   *     older-snapshot readers until [[vacuum]].
+  *
+  * ==Migration seam to Delta Lake / Iceberg==
+  * This protocol is deliberately a strict subset of Delta's: immutable
+  * data files + an ordered commit log + OCC + snapshot reads + retention
+  * vacuum. On a cluster where the Delta (or Iceberg) jars are available,
+  * each call maps 1:1 — `append` → `df.write.format("delta").mode("append")`,
+  * `read(version)` → `option("versionAsOf", v)`, `compact` → `OPTIMIZE`,
+  * `vacuum(retentionMs)` → `VACUUM ... RETAIN`. Data files need no
+  * rewrite: a one-shot `CONVERT TO DELTA` over the current snapshot's
+  * file list completes the migration. Keep callers on this API and only
+  * this object needs swapping.
   */
 object VersionedTable {
 

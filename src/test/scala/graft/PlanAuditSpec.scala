@@ -11,10 +11,12 @@ class PlanAuditSpec extends SparkTestBase {
 
   // intentional cross/broadcast-nested-loop shapes:
   //  - a13_cross: the cross-join operator itself
-  //  - sim1/sim4: brute-force baselines broadcasting a tiny query set
+  //  - sim1/sim4/sim5: brute-force / whole-corpus re-rank baselines
+  //    broadcasting a tiny query set
   //  - t10: broadcasts a single-row corpus-size aggregate
   private val allowed = Set(
-    "a13_cross", "sim1_cosine_topk", "sim4_quantized_topk", "t10_tfidf")
+    "a13_cross", "sim1_cosine_topk", "sim4_quantized_topk",
+    "sim5_pq_topk", "t10_tfidf")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
