@@ -270,6 +270,34 @@ object SparkEntry {
         n = 3, numHashes = 128, bands = 16, threshold = 0.5)
         .orderBy("doc_id", "doc_id_2")),
 
+    // ---- dedup: MinHash signature similarity estimate (oracled) ----
+    // Cross-engine verification of the MinHash SIGNATURE math itself:
+    // md5-derived shingle hashes (DuckDB-reproducible) through the native
+    // MinHashSig expression (splitmix64 coefficients, 64-bit wraparound
+    // h·a+b, signed min) — the oracle re-derives all 16 signature
+    // positions in DuckDB via HUGEINT modular arithmetic and compares the
+    // per-doc fraction of positions where a doc and its perturbed twin
+    // agree (the Jaccard estimator LSH banding thresholds on). d3 keeps
+    // xxhash64 signatures for production; its BANDED candidate recall
+    // stays spec-tested (planted near-dups, chain-cap behavior).
+    "d3b_minhash_est" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = TextAnalysis.tokens(col("text"))
+      val perturbed = concat_ws(" ",
+        slice(toks, lit(1), greatest(size(toks) - 5, lit(0))))
+      def sigOf(text: Column): Column = {
+        val tk = TextAnalysis.tokens(text)
+        val sh = array_distinct(transform(
+          sequence(lit(0), greatest(size(tk) - 3, lit(0))),
+          i => Dedup.md5Hash60(concat_ws(" ", slice(tk, i + 1, lit(3))))))
+        graft.functions.GraftFunctions.minhashSig(sh, 16)
+      }
+      d.select(col("doc_id"),
+        (size(filter(zip_with(sigOf(col("text")), sigOf(perturbed),
+          (a, b) => a === b), x => x)).cast("double") / 16.0).as("est"))
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup: SimHash near-dup pairs (hamming <= 3) ----
     "d4_simhash_pairs" -> ((s, dir) => {
       val both = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -781,6 +809,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
 
+    // ---- sampling: source-mix resampling (the data-mixing primitive) ----
+    // Downsample over-represented sources to a target mix with ONE
+    // deterministic map-side filter (md5-based uniform — fully oracled,
+    // no RNG, partitioning-independent). No counting pass: scales to any
+    // corpus size.
+    "s4_mix_sample" -> ((s, dir) =>
+      Sampling.resampleToMix(t(s, dir, "documents"),
+        col("source"), col("doc_id"),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0),
+        defaultFraction = 0.75)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     // ---- sampling: stratified per-group quota (deterministic hash) ----
     "s3_stratified_sample" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1023,6 +1064,60 @@ object SparkEntry {
         |WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
         |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
         |ORDER BY doc_id, doc_id_2""".stripMargin,
+
+    // MinHash signature math re-derived end-to-end in DuckDB: md5-60-bit
+    // shingle hashes, then per coefficient pair (a_j, b_j) = splitmix64
+    // constants (interpolated below from the SAME Scala definition the
+    // native expression uses) the 64-bit wraparound h·a+b via HUGEINT
+    // modular arithmetic. Signed min == min of bias-shifted unsigned
+    // values (monotone bijection), and the estimator only compares
+    // positions for EQUALITY, so the bias never needs undoing.
+    "d3b_minhash_est" -> {
+      val coefs = (0 until 16).map { j =>
+        val a = graft.functions.GraftFunctions.splitmix64(2L * j) | 1L
+        val b = graft.functions.GraftFunctions.splitmix64(2L * j + 1)
+        s"($j, ${a}::HUGEINT, ${b}::HUGEINT)"
+      }.mkString(", ")
+      s"""WITH coefs(j, a, b) AS (VALUES $coefs),
+        |docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk,
+        |    string_split_regex(trim(array_to_string(
+        |      string_split_regex(trim(text), '\\s+')[1:greatest(len(string_split_regex(trim(text), '\\s+'))-5, 0)],
+        |      ' ')), '\\s+') AS tk2
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(greatest(len(tk)-2, 1)),
+        |      i -> CAST(concat('0x', substr(md5(tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]), 1, 15)) AS BIGINT))) AS h1,
+        |    list_distinct(list_transform(range(greatest(len(tk2)-2, 1)),
+        |      i -> CAST(concat('0x', substr(md5(tk2[i+1] || ' ' || tk2[i+2] || ' ' || tk2[i+3]), 1, 15)) AS BIGINT))) AS h2
+        |  FROM docs
+        |), sig1 AS (
+        |  SELECT doc_id, c.j,
+        |    min((((t.h::HUGEINT * c.a + c.b + 9223372036854775808::HUGEINT)
+        |      % 18446744073709551616::HUGEINT) + 18446744073709551616::HUGEINT)
+        |      % 18446744073709551616::HUGEINT) AS sb
+        |  FROM sh, unnest(h1) AS t(h), coefs c GROUP BY doc_id, c.j
+        |), sig2 AS (
+        |  SELECT doc_id, c.j,
+        |    min((((t.h::HUGEINT * c.a + c.b + 9223372036854775808::HUGEINT)
+        |      % 18446744073709551616::HUGEINT) + 18446744073709551616::HUGEINT)
+        |      % 18446744073709551616::HUGEINT) AS sb
+        |  FROM sh, unnest(h2) AS t(h), coefs c GROUP BY doc_id, c.j
+        |)
+        |SELECT s1.doc_id AS doc_id,
+        |  CAST(sum(CASE WHEN s1.sb = s2.sb THEN 1 ELSE 0 END) AS DOUBLE)/16 AS est
+        |FROM sig1 s1 JOIN sig2 s2 ON s1.doc_id = s2.doc_id AND s1.j = s2.j
+        |GROUP BY s1.doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "s4_mix_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    / 1152921504606846976.0
+        |  < (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+        |     WHEN 'src2' THEN 0.0 ELSE 0.75 END)
+        |ORDER BY doc_id""".stripMargin,
 
     // SimHash with the md5-derived 60-bit token hash: DuckDB re-derives
     // the exact signatures (same tokenizer as d2's oracle, same md5-hex

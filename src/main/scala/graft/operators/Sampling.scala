@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / data-mixing operators for training-data
+  * pipelines. Everything keys on a hash of a stable id — results are
+  * independent of partitioning, executor count, and run order, and
+  * reproducible across engines (the md5-based uniform is bit-identical
+  * in any SQL engine with md5()).
+  */
+object Sampling {
+
+  /** Uniform double in [0, 1) from a stable id: md5-derived 60-bit hash
+    * (see [[Dedup.md5Hash60]]) over 2^60. Cross-engine reproducible —
+    * DuckDB: `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) /
+    * 1152921504606846976.0`.
+    */
+  def hashUniform(id: Column): Column =
+    Dedup.md5Hash60(id.cast("string")).cast("double") / (1L << 60).toDouble
+
+  /** Source-mix resampling: keep each row of group g with probability
+    * `fractions(g)` (groups absent from the map default to
+    * `defaultFraction`). THE data-mixing primitive for training
+    * corpora — downsample over-represented sources to a target mix with
+    * one deterministic map-side filter: no shuffle, no count pass, no
+    * RNG state, stable under re-runs and repartitioning. Exact group
+    * quotas (count-based) need the stratified-quota window instead
+    * (s3_stratified_sample); this form scales to any corpus because it
+    * never counts.
+    */
+  def resampleToMix(df: DataFrame, groupCol: Column, idCol: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0) &&
+      defaultFraction >= 0.0 && defaultFraction <= 1.0,
+      "fractions must be in [0, 1]")
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (g, f)) => when(groupCol === g, lit(f)).otherwise(acc)
+    }
+    df.where(hashUniform(idCol) < frac)
+  }
+}
