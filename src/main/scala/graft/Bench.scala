@@ -37,17 +37,27 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // JSON-safe error capture: escape backslash, quote, and ALL control
+    // chars — a tab or stray \r in a Spark message would otherwise break
+    // the one-line JSON artifact exactly when a failure needed reporting
+    def jsonEscape(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def record(name: String, e: Throwable): Unit =
+      errors.getOrElseUpdate(name, jsonEscape(
+        e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").linesIterator.take(1)
+            .mkString.take(200)))
     val results = picked.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
+        // record the failure instead of benching it as ~0 s; keep the
+        // first message line (truncated)
         try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            // record the failure instead of benching it as ~0 s; keep the
-            // first message (truncated — the JSON line must stay one line)
-            errors.getOrElseUpdate(name,
-              (e.getClass.getSimpleName + ": " +
-                Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
-                .replace("\\", "\\\\").replace("\"", "\\\""))
+          case e: Throwable => record(name, e)
         }
         (System.nanoTime() - t0) / 1e9
       }
@@ -68,12 +78,7 @@ object Bench {
           .createTempDirectory("graft_bench_energy").toString
         def timed(name: String)(body: => Unit): (String, Double) = {
           val t0 = System.nanoTime()
-          try body catch {
-            case e: Throwable => errors.getOrElseUpdate(name,
-              (e.getClass.getSimpleName + ": " +
-                Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
-                .replace("\\", "\\\\").replace("\"", "\\\""))
-          }
+          try body catch { case e: Throwable => record(name, e) }
           name -> (System.nanoTime() - t0) / 1e9
         }
         jobs.EnergyFixtures.generateAll(spark, root, sfNum)

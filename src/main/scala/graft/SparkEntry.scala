@@ -1055,7 +1055,7 @@ object SparkEntry {
         |), t AS (
         |  SELECT doc_id, lang, source,
         |    list_distinct(list_transform(range(greatest(len(string_split_regex(trim(text), '\s+'))-2, 1)),
-        |      i -> string_split_regex(trim(text), '\s+')[i+1] || ' ' || string_split_regex(trim(text), '\s+')[i+2] || ' ' || string_split_regex(trim(text), '\s+')[i+3])) AS sh
+        |      i -> array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+3], ' '))) AS sh
         |  FROM docs)
         |SELECT a.doc_id AS doc_id, b.doc_id AS doc_id_2,
         |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
@@ -1088,9 +1088,9 @@ object SparkEntry {
         |), sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(range(greatest(len(tk)-2, 1)),
-        |      i -> CAST(concat('0x', substr(md5(tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]), 1, 15)) AS BIGINT))) AS h1,
+        |      i -> CAST(concat('0x', substr(md5(array_to_string(tk[i+1:i+3], ' ')), 1, 15)) AS BIGINT))) AS h1,
         |    list_distinct(list_transform(range(greatest(len(tk2)-2, 1)),
-        |      i -> CAST(concat('0x', substr(md5(tk2[i+1] || ' ' || tk2[i+2] || ' ' || tk2[i+3]), 1, 15)) AS BIGINT))) AS h2
+        |      i -> CAST(concat('0x', substr(md5(array_to_string(tk2[i+1:i+3], ' ')), 1, 15)) AS BIGINT))) AS h2
         |  FROM docs
         |), sig1 AS (
         |  SELECT doc_id, c.j,

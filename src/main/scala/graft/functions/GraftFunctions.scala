@@ -335,6 +335,10 @@ object GraftFunctions {
       val v = new Array[Double](dim)
       var i = 0
       while (i < dim) {
+        // a null ELEMENT has no encodable value — silently reading it as
+        // 0.0 (unsafe arrays) or NPEing (generic arrays) would fabricate
+        // a vector; treat like a null/mismatched vector instead
+        if (ad.isNullAt(i)) return null
         v(i) = if (isFloat) ad.getFloat(i).toDouble else ad.getDouble(i)
         i += 1
       }

@@ -231,6 +231,15 @@ object AsOfJoin {
     * (one exchange + sort per side, [[merge]]); otherwise — keyless big
     * right — the time-bucketed composition ([[backward]]), which spreads
     * a keyless as-of over numBuckets partitions instead of one.
+    *
+    * Null equi keys: the three strategies natively disagree
+    * (broadcastBackward's using-join is null-rejecting; merge/backward
+    * group null keys together, the pandas behavior) — a size-estimate
+    * threshold must NEVER flip row-level semantics, so auto() pins SQL
+    * null-rejecting semantics by filtering null-keyed RIGHT rows up
+    * front (map-side, free): null-keyed left rows are then unmatched
+    * under every strategy (kept with nulls, or dropped when `inner`).
+    * Call [[backward]]/[[merge]] directly for pandas null-matching.
     */
   def auto(
       left: DataFrame,
@@ -243,13 +252,14 @@ object AsOfJoin {
       numBuckets: Int = 64,
       broadcastThreshold: Long = 10L << 20,
       bucketWidthMicros: Long = 0L): DataFrame = {
-    val rightSize = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    val r = by.foldLeft(right) { case (d, (_, rk)) => d.where(col(rk).isNotNull) }
+    val rightSize = r.queryExecution.optimizedPlan.stats.sizeInBytes
     if (rightSize <= broadcastThreshold)
-      broadcastBackward(left, right, leftTime, rightTime, by, valueCols, inner)
+      broadcastBackward(left, r, leftTime, rightTime, by, valueCols, inner)
     else if (by.nonEmpty)
-      merge(left, right, leftTime, rightTime, by, valueCols, inner)
+      merge(left, r, leftTime, rightTime, by, valueCols, inner)
     else
-      backward(left, right, leftTime, rightTime, by, valueCols, inner,
+      backward(left, r, leftTime, rightTime, by, valueCols, inner,
         numBuckets, bucketWidthMicros)
   }
 

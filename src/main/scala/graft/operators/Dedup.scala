@@ -426,10 +426,12 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var labels = vertices.select(col(idCol).as("__v"), col(idCol).as("__l"))
-    // (count, hash-sum) pair, for the same collision-resistance reason as
-    // edgeSig in star contraction (labels are one-per-vertex so the count
-    // is constant here, but sum(label) is monotone-decreasing and cheap —
-    // use it as the second component instead)
+    // Fixpoint signature = a pair of INDEPENDENT hash-sums (over (v,l)
+    // and over l alone). The vertex count is constant here so it adds no
+    // signal; a false fixpoint now needs a SIMULTANEOUS collision in two
+    // differently-keyed 64-bit sums (~2^-128) instead of one. (A plain
+    // sum(label) would be provably monotone but labels may be strings /
+    // arbitrary orderable types, so it cannot be the generic check.)
     def stateSig(df: DataFrame): (Long, Long) = {
       val r = df.agg(
         coalesce(sum(xxhash64(col("__v"), col("__l"))), lit(0L)),

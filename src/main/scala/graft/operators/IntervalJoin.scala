@@ -71,12 +71,16 @@ object IntervalJoin {
     val hi = (micros(col(endCol)) / widthMicros).cast(LongType)
     // one sentinel-dated interval (end = 9999-12-31) would explode into
     // hundreds of millions of cells and OOM the executor — fail fast with
-    // the offending span instead. Null bounds short-circuit first: a null
-    // lo/hi makes `hi - lo < cap` NULL, which would otherwise fall into the
-    // raise_error branch and make one dirty row job-fatal; dirty rows drop
-    // under inner semantics (null sequence → explode emits nothing), the
-    // same policy as Multimodal/Sessionize.
-    val guarded = when(lo.isNull || hi.isNull, lit(null).cast("array<bigint>"))
+    // the offending span instead. Two dirty-row shapes short-circuit to
+    // null FIRST (dropping under inner semantics, same policy as
+    // Multimodal/Sessionize): null bounds (`hi - lo < cap` would be NULL
+    // and fall into raise_error, making one dirty row job-fatal) and
+    // REVERSED intervals (end < start, e.g. a zero-date sentinel end —
+    // a negative span passes the `< cap` check but sequence(lo, hi) with
+    // lo > hi emits a DESCENDING |lo-hi|+1-cell explosion; a reversed
+    // closed interval is empty, so no point can ever match it anyway).
+    val guarded = when(lo.isNull || hi.isNull || hi < lo,
+        lit(null).cast("array<bigint>"))
       .when(hi - lo < maxCellsPerInterval, sequence(lo, hi))
       .otherwise(raise_error(concat(
         lit(s"interval spans more than $maxCellsPerInterval grid cells " +

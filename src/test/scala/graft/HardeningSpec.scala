@@ -71,6 +71,52 @@ class HardeningSpec extends SparkTestBase {
     }
   }
 
+  test("grid interval join drops null-bound and reversed intervals (not fatal)") {
+    val p = Seq("2024-05-01 00:10:00").toDF("t")
+      .select(col("t").cast("timestamp").as("t"))
+    // one good interval, one null-end, one REVERSED (end decades before
+    // start — the negative span must not bypass the cell cap and emit a
+    // multi-million-cell descending sequence)
+    val iv = Seq(
+      ("2024-05-01 00:00:00", "2024-05-01 01:00:00"),
+      ("2024-05-01 00:00:00", null),
+      ("2024-05-01 00:00:00", "1900-01-01 00:00:00"))
+      .toDF("s", "e")
+      .select(col("s").cast("timestamp").as("s"), col("e").cast("timestamp").as("e"))
+    val got = IntervalJoin.pointInIntervalBucketed(p, iv, "t", "s", "e",
+      widthMicros = 60000000L, maxCellsPerInterval = 1000)
+      .select(col("e")).collect()
+    assert(got.length === 1 && got.head.getTimestamp(0).toString
+      .startsWith("2024-05-01 01:00"))
+  }
+
+  test("auto() as-of: null equi keys behave identically across strategies") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = Seq((Some(1), ts("2024-05-01 00:10:00"), "a"),
+      (None, ts("2024-05-01 00:10:00"), "b")).toDF("k", "time", "tag")
+    val r = Seq((Some(1), ts("2024-05-01 00:00:00"), 10.0),
+      (Option.empty[Int], ts("2024-05-01 00:00:00"), 99.0)).toDF("k", "time", "v")
+    def run(threshold: Long) = graft.operators.AsOfJoin.auto(l, r,
+      "time", "time", by = Seq(("k", "k")), valueCols = Seq(("v", "v")),
+      broadcastThreshold = threshold)
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toSet
+    // broadcast pick vs forced merge: same rows — the null-keyed left row
+    // is unmatched (SQL null-rejecting equality) under BOTH
+    val want = Set(("a", Some(10.0)), ("b", None))
+    assert(run(Long.MaxValue) === want)
+    assert(run(0L) === want)
+  }
+
+  test("pqEncode: a null ELEMENT yields null codes, not a fabricated vector") {
+    val cb = Array.fill(2)(Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+    val df = Seq((1L, Seq[Option[Double]](Some(1.0), None, Some(1.0), Some(1.0))))
+      .toDF("id", "v")
+    val r = df.select(graft.functions.GraftFunctions
+      .pqEncode(col("v"), cb).as("c")).head
+    assert(r.isNullAt(0))
+  }
+
   test("dedupStream includeEventTime=false collapses re-stamped re-deliveries") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
