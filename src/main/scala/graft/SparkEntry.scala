@@ -55,6 +55,29 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // ---- Q3: selective multi-join (dim broadcast + pushdown showcase) ----
+    // customer (filtered dim, broadcast) ⋈ orders (date-pruned) ⋈
+    // lineitem (date-pruned): both filters reach the parquet scans,
+    // the dim join never shuffles the fact side, and revenue uses the
+    // decimal-stabilized sum for oracle-exact doubles.
+    "q3_shipping" -> ((s, dir) => {
+      val cutoff = lit("1997-06-01").cast("timestamp")
+      val cust = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, dir, "orders").where(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = t(s, dir, "lineitem").where(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord.join(broadcast(cust),
+          col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(stableSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
     // ---- S1: scan with filter pushdown + column pruning ----
     "s1_scan_prune" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -809,6 +832,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
 
+    // ---- text: sequence packing (chunk → training-sequence layout) ----
+    // One window per lang shard; seq/seq_offset from the running token
+    // total (next-fit-with-overflow, see TextAnalysis.packSequences).
+    "t11_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        shardCol = col("lang"), orderCols = Seq(col("doc_id")),
+        tokenLen = col("n_tokens"), budget = 256L)
+        .select(col("doc_id"), col("lang"), col("n_tokens").cast(LongType).as("n_tokens"),
+          col("seq"), col("seq_offset"))
+        .orderBy("doc_id")),
+
     // ---- sampling: source-mix resampling (the data-mixing primitive) ----
     // Downsample over-represented sources to a target mix with ONE
     // deterministic map-side filter (md5-based uniform — fully oracled,
@@ -1110,6 +1147,30 @@ object SparkEntry {
         |FROM sig1 s1 JOIN sig2 s2 ON s1.doc_id = s2.doc_id AND s1.j = s2.j
         |GROUP BY s1.doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "t11_pack_sequences" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST((sum(len(string_split_regex(trim(text), '\s+')))
+        |      OVER (PARTITION BY lang ORDER BY doc_id)
+        |    - len(string_split_regex(trim(text), '\s+'))) // 256 AS BIGINT) AS seq,
+        |  CAST((sum(len(string_split_regex(trim(text), '\s+')))
+        |      OVER (PARTITION BY lang ORDER BY doc_id)
+        |    - len(string_split_regex(trim(text), '\s+'))) % 256 AS BIGINT) AS seq_offset
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "s4_mix_sample" ->
       """SELECT doc_id, source FROM documents

@@ -142,4 +142,36 @@ object TextAnalysis {
       .withColumn("quality", qualityScore(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Sequence packing: assign token-counted chunks to fixed-budget
+    * training sequences — the step between chunking and batch assembly
+    * in an LLM data pipeline. Deterministic next-fit-with-overflow in
+    * one window pass: chunks are laid out in `orderCols` order within
+    * each `shardCol` group, and a chunk starts the sequence its
+    * preceding token total falls into (`(cumsum - len) / budget`), so a
+    * sequence may overrun the budget by at most its last chunk — the
+    * concat-then-truncate convention, fully relational (true bin
+    * packing is inherently sequential and would need per-partition
+    * imperative state for zero-overflow fits).
+    *
+    * Scale: ONE window per shard — the shard column (source, language,
+    * date bucket…) is the parallelism unit; never pack a 100 TB corpus
+    * in a single global order.
+    *
+    * Output adds `seq` (shard-local sequence id) and `seq_offset`
+    * (token offset of the chunk within its sequence).
+    */
+  def packSequences(chunks: DataFrame, shardCol: Column,
+      orderCols: Seq[Column], tokenLen: Column, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(orderCols: _*)
+    val before = sum(tokenLen).over(w) - tokenLen // tokens preceding this chunk
+    // floor division, NOT (before / budget).cast(long): Column `/` is
+    // double division and a double->long cast truncates while SQL
+    // engines' casts round — floor() is unambiguous in both
+    chunks
+      .withColumn("seq", floor(before / budget).cast(LongType))
+      .withColumn("seq_offset", (before % budget).cast(LongType))
+  }
 }

@@ -27,6 +27,25 @@ class SamplingSpec extends SparkTestBase {
     assert(kept > 0.4 && kept < 0.6, s"src0 kept fraction $kept far from 0.5")
   }
 
+  test("packSequences: next-fit layout invariants hold per shard") {
+    import graft.operators.TextAnalysis
+    val chunks = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), ("a", 4L, 30L),
+      ("b", 1L, 300L), ("b", 2L, 10L)).toDF("shard", "cid", "len")
+    val got = TextAnalysis.packSequences(chunks, col("shard"),
+      Seq(col("cid")), col("len"), budget = 256L)
+      .select("shard", "cid", "seq", "seq_offset")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      // shard a: cum-before 0,100,200,300 -> seqs 0,0,0,1
+      ("a", 1L, 0L, 0L), ("a", 2L, 0L, 100L), ("a", 3L, 0L, 200L),
+      ("a", 4L, 1L, 44L), // 300 % 256
+      // shard b independent: 0,300
+      ("b", 1L, 0L, 0L), ("b", 2L, 1L, 44L)))
+    // offsets always within budget; seq monotone in chunk order per shard
+    got.foreach { case (_, _, _, off) => assert(off >= 0 && off < 256) }
+  }
+
   test("lower fraction samples are strict subsets (monotone thresholds)") {
     def ids(f: Double) = Sampling.resampleToMix(docs, col("source"),
       col("doc_id"), Map.empty, defaultFraction = f)
