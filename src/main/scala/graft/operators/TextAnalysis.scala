@@ -174,4 +174,42 @@ object TextAnalysis {
       .withColumn("seq", floor(before / budget).cast(LongType))
       .withColumn("seq_offset", (before % budget).cast(LongType))
   }
+
+  /** Zero-overflow variant of [[packSequences]]: NO sequence ever exceeds
+    * the budget — a chunk that would overflow starts a new sequence
+    * (classic next-fit). That decision depends on accumulated waste, so
+    * it is inherently sequential per shard and runs as per-group
+    * imperative state (`flatMapGroups` — the build rules' (d) path, used
+    * exactly where relational form cannot express the semantics). A
+    * chunk LARGER than the budget gets a sequence of its own (callers
+    * should pre-split such chunks). One shuffle on the shard key; memory
+    * is O(shard group) per task — shard so groups fit (same contract as
+    * any groupBy).
+    *
+    * Output schema: (shard string, seq, seq_offset, plus the order/len
+    * columns as `ord` and `len`) — fixed narrow shape so the group
+    * iterator stays typed.
+    */
+  def packSequencesExact(chunks: DataFrame, shardCol: Column,
+      orderCol: Column, tokenLen: Column, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .select(shardCol.cast("string").as("shard"),
+        orderCol.cast("long").as("ord"), tokenLen.cast("long").as("len"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard: String, it: Iterator[(String, Long, Long)]) =>
+        var seq = 0L
+        var used = 0L
+        it.toSeq.sortBy(_._2).iterator.map { case (_, ord, len) =>
+          if (used > 0 && used + len > budget) { seq += 1; used = 0L }
+          val off = used
+          used += len
+          (shard, ord, len, seq, off)
+        }
+      }
+      .toDF("shard", "ord", "len", "seq", "seq_offset")
+  }
 }

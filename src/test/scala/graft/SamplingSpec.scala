@@ -46,6 +46,32 @@ class SamplingSpec extends SparkTestBase {
     got.foreach { case (_, _, _, off) => assert(off >= 0 && off < 256) }
   }
 
+  test("packSequencesExact: zero overflow, oversized chunk isolated") {
+    import graft.operators.TextAnalysis
+    val chunks = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), // 3rd overflows
+      ("a", 4L, 300L),                                   // > budget: alone
+      ("a", 5L, 50L),
+      ("b", 1L, 256L), ("b", 2L, 1L)).toDF("shard", "cid", "len")
+    val got = TextAnalysis.packSequencesExact(chunks, col("shard"),
+      col("cid"), col("len"), budget = 256L)
+      .select("shard", "ord", "seq", "seq_offset")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", 1L, 0L, 0L), ("a", 2L, 0L, 100L), // 200 fits
+      ("a", 3L, 1L, 0L),                      // would hit 300 -> new seq
+      ("a", 4L, 2L, 0L),                      // oversized, isolated
+      ("a", 5L, 3L, 0L),                      // 300+50 > 256 -> new seq
+      ("b", 1L, 0L, 0L), ("b", 2L, 1L, 0L)))  // exact fill then next
+    // invariant: no sequence's total exceeds the budget unless it is a
+    // single oversized chunk
+    val totals = got.groupBy(r => (r._1, r._3)).map { case (_, rs) =>
+      rs.toSeq.map(r => chunks.where($"shard" === r._1 && $"cid" === r._2)
+        .head.getLong(2)).sum -> rs.size
+    }
+    totals.foreach { case (tot, n) => assert(tot <= 256 || n === 1) }
+  }
+
   test("lower fraction samples are strict subsets (monotone thresholds)") {
     def ids(f: Double) = Sampling.resampleToMix(docs, col("source"),
       col("doc_id"), Map.empty, defaultFraction = f)

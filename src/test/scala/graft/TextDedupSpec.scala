@@ -128,6 +128,21 @@ class TextDedupSpec extends SparkTestBase {
     assert(exhaustive.count() === 200L * 199 / 2)
   }
 
+  test("capped blockedJaccardPairs emits only pairs the exhaustive form emits") {
+    val corpus = spark.range(300).select(
+      col("id").as("doc_id"),
+      concat(lit("text body variant "), (col("id") % 12).cast("string"))
+        .as("text"),
+      lit("en").as("lang"))
+    def pairs(cap: Int) = Dedup.blockedJaccardPairs(corpus, "doc_id", "text",
+      Seq("lang"), threshold = 0.3, maxBlockSize = cap)
+      .select("doc_id", "doc_id_2").as[(Long, Long)].collect().toSet
+    val exhaustive = pairs(Int.MaxValue)
+    val capped = pairs(50)
+    assert(capped.nonEmpty && capped.subsetOf(exhaustive),
+      "SNM candidates must be real pairs, never fabricated ones")
+  }
+
   test("connected components: chains, cliques, singletons, canonicalize") {
     // path 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
     // clique-ish 10-11/11-12/10-12, isolated 99
