@@ -42,6 +42,42 @@ class AsOfPropertySpec extends SparkTestBase {
     }
   }
 
+  test("auto() equals the naive keyed spec under every strategy choice") {
+    val rnd = new Random(1234)
+    for (trial <- 1 to 6) {
+      val keys = 1 + rnd.nextInt(3)
+      def side(maxN: Int): List[(Int, Long, Double)] = {
+        val n = rnd.nextInt(maxN + 1)
+        List.fill(n)((rnd.nextInt(keys), base + rnd.nextInt(2000) * 500L,
+          rnd.nextInt(100000) / 100.0))
+          .distinctBy(t => (t._1, t._2)) // unique (key, time) on the right
+      }
+      val ls = side(20)
+      val rs = side(20)
+      val left = ls.map { case (k, t, v) => (k, new Timestamp(t), v) }
+        .toDF("k", "time", "x")
+      val right = rs.map { case (k, t, v) => (k, new Timestamp(t), v) }
+        .toDF("k", "time", "v")
+      // threshold 0 forces merge (or backward when keyless); MaxValue
+      // forces the broadcast pick — the answer must not depend on it
+      val want = ls.map { case (k, t, _) =>
+        (k, t) -> rs.filter(r => r._1 == k && r._2 <= t)
+          .maxByOption(_._2).map(_._3)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      for (threshold <- Seq(0L, Long.MaxValue)) {
+        val got = AsOfJoin.auto(left, right, "time", "time",
+          by = Seq(("k", "k")), valueCols = Seq(("v", "v")),
+          broadcastThreshold = threshold)
+          .select($"k", $"time", $"v").collect()
+          .map(r => ((r.getInt(0), r.getTimestamp(1).getTime),
+            Option(r.get(2)).map(_.asInstanceOf[Double])))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        assert(got === want,
+          s"trial $trial threshold=$threshold keys=$keys |l|=${ls.size} |r|=${rs.size}")
+      }
+    }
+  }
+
   test("bucketed interval join equals filter-after-cross-join spec") {
     val rnd = new Random(7)
     for (trial <- 1 to 8) {
