@@ -24,9 +24,16 @@ import org.apache.spark.sql.types.LongType
   * State per key is watermark-bounded: unflushed left rows (horizon ≤
   * watermark delay) + right rows newer than the watermark + ONE carry
   * right row (the newest at-or-below the watermark — still the best
-  * match for any future left). Event-time timeouts flush keys that go
-  * quiet; no driver state, one narrow hash shuffle per micro-batch —
-  * at scale the state store is per-partition RocksDB, same shape as
+  * match for any future left). Event-time timeouts flush buffered left
+  * rows when a key goes quiet; the carry right row itself is retained
+  * INDEFINITELY by design — as-of semantics need the last right value
+  * for whichever left arrives next, however far in the future. Under
+  * heavy key churn that is unbounded total state; pass `carryIdleMs`
+  * to trade completeness for a bound: a key idle (no rows either side)
+  * past that event-time horizon has its carry dropped, and a left
+  * arriving later than the horizon after its last right joins null.
+  * No driver state, one narrow hash shuffle per micro-batch — at scale
+  * the state store is per-partition RocksDB, same shape as
   * sessionization.
   */
 object StreamAsOf {
@@ -55,13 +62,41 @@ object StreamAsOf {
     * @param right streaming frame with (`keyCol`, `timeCol`, `valueCol`)
     * @param watermark shared out-of-orderness bound (e.g. "10 minutes");
     *                  results are delayed by at most this much event time
+    * @param carryIdleMs optional event-time TTL for the carry right row:
+    *                    a key with no activity on either side for this
+    *                    long has its state dropped (bounds total state
+    *                    under key churn; later lefts on that key join
+    *                    null). Default `None` = retain carry forever,
+    *                    the exact as-of semantics.
+    *
+    * Key columns must be integral (byte/short/int/long) — state is keyed
+    * by Long. Non-numeric keys fail here at plan time rather than
+    * silently casting to null and emitting nothing.
     */
   def backward(
       spark: SparkSession,
       left: DataFrame, leftKey: String, leftTime: String, payloadCol: String,
       right: DataFrame, rightKey: String, rightTime: String, valueCol: String,
-      watermark: String): Dataset[AsOfOut] = {
+      watermark: String, carryIdleMs: Option[Long] = None): Dataset[AsOfOut] = {
     import spark.implicits._
+
+    // Fail fast on key types that would cast to null below: a string
+    // zone id, say, would null out on LongType cast, hit the dirty-row
+    // filter, and the stream would run forever emitting nothing.
+    Seq(left.schema(leftKey) -> leftKey, right.schema(rightKey) -> rightKey)
+      .foreach { case (field, name) =>
+        field.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => ()
+          case dt => throw new IllegalArgumentException(
+            s"StreamAsOf.backward: key column '$name' has type " +
+              s"${dt.simpleString}; state is keyed by Long, so keys must " +
+              "be integral. Hash or dictionary-encode string keys first " +
+              "(e.g. xxhash64(col)) and join the original key back after.")
+        }
+      }
 
     val l = left
       .withWatermark(leftTime, watermark)
@@ -86,6 +121,12 @@ object StreamAsOf {
         (key: Long, batch: Iterator[Tagged], state: GroupState[AsOfBuf]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val st = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          // Seal timeouts are armed only while lefts are pending, the
+          // idle TTL only while none are: a timeout firing with no
+          // buffered lefts and no new rows is the TTL — the key went
+          // quiet, drop its carry.
+          val idleExpired = carryIdleMs.isDefined && state.hasTimedOut &&
+            st.lefts.isEmpty && batch.isEmpty
           var rights = st.rights
           var lefts = st.lefts
           batch.foreach { e =>
@@ -106,7 +147,7 @@ object StreamAsOf {
           // newest such row (the carry — best match for future lefts)
           val (old, fresh) = rSorted.partition(_._1 < wmUs)
           val kept = old.lastOption.toList ++ fresh
-          if (pending.isEmpty && kept.isEmpty) state.remove()
+          if ((pending.isEmpty && kept.isEmpty) || idleExpired) state.remove()
           else {
             state.update(AsOfBuf(kept, pending))
             if (pending.nonEmpty)
@@ -115,6 +156,11 @@ object StreamAsOf {
               state.setTimeoutTimestamp(math.max(
                 (pending.map(_._1).min + 999L) / 1000L + 1,
                 state.getCurrentWatermarkMs() + 1))
+            else carryIdleMs.foreach { ttl =>
+              // carry-only state: arm the idle TTL; any later activity
+              // on the key re-arms (data invocations overwrite this)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl)
+            }
           }
           out.iterator
       }

@@ -101,4 +101,75 @@ class StreamStreamAsOfSpec extends SparkTestBase {
     val all = spark.table("ss_asof_out").where($"payload" =!= "advance")
     assert(all.count() === 3)
   }
+
+  test("non-integral key column fails at plan time, not silently empty") {
+    val lDir = Files.createTempDirectory("ss_asof_strk_l")
+    val rDir = Files.createTempDirectory("ss_asof_strk_r")
+    val strSchema = StructType(Seq(StructField("key", StringType),
+      StructField("ts", TimestampType), StructField("payload", StringType)))
+    val lStream = spark.readStream.option("header", "true")
+      .schema(strSchema).csv(lDir.toString)
+    val rStream = spark.readStream.option("header", "true")
+      .schema(rSchema).csv(rDir.toString)
+    val e = intercept[IllegalArgumentException] {
+      StreamAsOf.backward(spark,
+        lStream, "key", "ts", "payload",
+        rStream, "key", "ts", "value", watermark = "10 minutes")
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
+  test("carry idle TTL drops quiet keys' state; default retains carry") {
+    def run(ttl: Option[Long]): Long = {
+      val lDir = Files.createTempDirectory("ss_asof_ttl_l")
+      val rDir = Files.createTempDirectory("ss_asof_ttl_r")
+      val name = s"ss_asof_ttl_${ttl.isDefined}"
+      Files.writeString(rDir.resolve("r1.csv"),
+        """key,ts,value
+          |1,2024-05-01 00:00:00,1.0
+          |""".stripMargin)
+      Files.writeString(lDir.resolve("l1.csv"),
+        """key,ts,payload
+          |1,2024-05-01 00:01:00,p1
+          |""".stripMargin)
+      val lStream = spark.readStream.option("header", "true")
+        .schema(lSchema).csv(lDir.toString)
+      val rStream = spark.readStream.option("header", "true")
+        .schema(rSchema).csv(rDir.toString)
+      val q = StreamAsOf.backward(spark,
+        lStream, "key", "ts", "payload",
+        rStream, "key", "ts", "value",
+        watermark = "10 minutes", carryIdleMs = ttl)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      // key 9 advances the watermark (BOTH sides — the global watermark
+      // is the min across streams) far past key 1's last activity + TTL;
+      // key 1 becomes carry-only after its left seals, then its idle
+      // timeout fires on a later batch
+      Seq("01:00", "02:00", "03:00").zipWithIndex.foreach { case (h, i) =>
+        Files.writeString(rDir.resolve(s"adv$i.csv"),
+          s"""key,ts,value
+             |9,2024-05-01 $h:00,0.0
+             |""".stripMargin)
+        Files.writeString(lDir.resolve(s"adv$i.csv"),
+          s"""key,ts,payload
+             |9,2024-05-01 $h:00,advance
+             |""".stripMargin)
+        q.processAllAvailable()
+      }
+      val stateRows = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      q.stop()
+      assert(spark.table(name).where($"payload" === "p1").count() === 1,
+        "TTL must not affect already-sealed results")
+      stateRows
+    }
+    val withTtl = run(Some(60000L)) // 1 min event-time idle horizon
+    val without = run(None)
+    assert(withTtl < without,
+      s"idle TTL must drop quiet key state (ttl=$withTtl, default=$without)")
+    assert(without === 2, "default retains the quiet key's carry (by design)")
+    assert(withTtl === 1, "only the active key survives the TTL")
+  }
 }
