@@ -410,8 +410,11 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
-    // ---- similarity: top-k over int8-quantized corpus (lossy: rows-only
-    // check; error bound + recall vs exact are spec-tested) ----
+    // ---- similarity: top-k over int8-quantized corpus. Lossy but
+    // DETERMINISTIC: the scale-offset arithmetic is plain IEEE double
+    // ops DuckDB can replay (list_transform + round), and the byte
+    // roundtrip is lossless, so this is fully hash-oracled — the oracle
+    // re-quantizes in SQL. Error bound + recall specs in SimilaritySpec.
     "sim4_quantized_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 5)
@@ -1245,6 +1248,30 @@ object SparkEntry {
         |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
+    // int8 scale-offset quantization replayed in SQL: codes round-trip
+    // through BYTE losslessly, so dv = round((x-mn)/scale)*scale + mn
+    // reproduces Spark's dequantize(quantize(v)) bit-for-bit (all ops
+    // are exactly-specified IEEE double arithmetic in both engines)
+    "sim4_quantized_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id, v, list_min(v) AS mn,
+        |    CASE WHEN list_max(v) > list_min(v)
+        |         THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS scale
+        |  FROM c),
+        |d AS (SELECT vec_id,
+        |    list_transform(v, x -> round((x - mn) / scale) * scale + mn) AS dv
+        |  FROM p),
+        |s AS (SELECT q.qid, d.vec_id,
+        |    list_cosine_similarity(d.dv, q.qv) AS sim
+        |  FROM d, q WHERE d.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
     "e1_embedding_neardup" ->
       """SELECT a.vec_id AS vec_id, b.vec_id AS vec_id_2,
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
@@ -1257,6 +1284,23 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // frame sampling is deterministic byte arithmetic; the corpus is
+    // ASCII-only (verified: octet_length == length for every doc at all
+    // SFs), so DuckDB's char-indexed substr/ascii equals Spark's
+    // byte-indexed substr over the binary payload. floor() because
+    // DuckDB CAST(double AS INT) rounds where Spark's cast truncates.
+    "mm3_frame_sample" ->
+      """WITH f AS (SELECT doc_id, octet_length(encode(text)) AS len, text
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |x AS (SELECT doc_id, len, text, CAST(i AS INT) AS frame_idx
+        |  FROM f, (SELECT unnest(range(0, 4)) AS i)),
+        |y AS (SELECT doc_id, frame_idx, text,
+        |    CAST(floor(CAST(frame_idx AS BIGINT) * len / 4.0) AS INT) AS frame_offset
+        |  FROM x)
+        |SELECT doc_id, frame_idx, frame_offset,
+        |  ascii(substr(text, frame_offset + 1, 1)) AS frame_byte
+        |FROM y ORDER BY doc_id, frame_idx""".stripMargin,
 
     "sql1_hourly" ->
       """SELECT CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour_of_day,
