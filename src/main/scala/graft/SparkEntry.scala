@@ -849,6 +849,21 @@ object SparkEntry {
           col("seq"), col("seq_offset"))
         .orderBy("doc_id")),
 
+    // ---- text: Gopher-style repetition quality stats ----
+    // ONE native-expression pass per doc (dup-line fraction, dup-line
+    // char fraction, top-bigram fraction) — map-side, zero shuffle; the
+    // explode+groupBy formulation would shuffle the corpus twice. All
+    // integer-count divisions => hash-oracled exactly.
+    "t12_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("rep",
+          graft.functions.GraftFunctions.repetitionStats(col("text")))
+        .select(col("doc_id"),
+          col("rep.dup_line_frac").as("dup_line_frac"),
+          col("rep.dup_line_char_frac").as("dup_line_char_frac"),
+          col("rep.top_bigram_frac").as("top_bigram_frac"))
+        .orderBy("doc_id")),
+
     // ---- sampling: source-mix resampling (the data-mixing primitive) ----
     // Downsample over-represented sources to a target mix with ONE
     // deterministic map-side filter (md5-based uniform — fully oracled,
@@ -1174,6 +1189,43 @@ object SparkEntry {
         |      OVER (PARTITION BY lang ORDER BY doc_id)
         |    - len(string_split_regex(trim(text), '\s+'))) % 256 AS BIGINT) AS seq_offset
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // repetition stats re-derived relationally: per-line / per-bigram
+    // GROUP BY counts, then count-ratio divisions (exact IEEE parity —
+    // no transcendentals). Same line split (\n, empties kept) and
+    // tokenizer (trim + \s+) as the Spark expression.
+    "t12_repetition" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |lc AS (
+        |  SELECT doc_id, line, COUNT(*) AS c, length(line) AS ln
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |        FROM base) u
+        |  GROUP BY doc_id, line),
+        |la AS (
+        |  SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+        |         SUM(c * ln) AS total_chars, SUM((c - 1) * ln) AS dup_chars
+        |  FROM lc GROUP BY doc_id),
+        |bgc AS (
+        |  SELECT doc_id, bigram, COUNT(*) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(
+        |            range(1, len(string_split_regex(trim(text), '\s+'))),
+        |            i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |                 string_split_regex(trim(text), '\s+')[i + 1])) AS bigram
+        |        FROM base) u
+        |  GROUP BY doc_id, bigram),
+        |bga AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS nbg
+        |        FROM bgc GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(la.n_lines - la.n_distinct AS DOUBLE)
+        |    / CAST(la.n_lines AS DOUBLE) AS dup_line_frac,
+        |  CASE WHEN la.total_chars > 0
+        |       THEN CAST(la.dup_chars AS DOUBLE) / CAST(la.total_chars AS DOUBLE)
+        |       ELSE 0.0 END AS dup_line_char_frac,
+        |  COALESCE(CAST(bga.topc AS DOUBLE) / CAST(bga.nbg AS DOUBLE), 0.0)
+        |    AS top_bigram_frac
+        |FROM base b LEFT JOIN la USING (doc_id) LEFT JOIN bga USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "s4_mix_sample" ->
       """SELECT doc_id, source FROM documents

@@ -440,6 +440,83 @@ object GraftFunctions {
   def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
     SparkShim.toColumn(PqDecode(SparkShim.toExpression(codes), codebooks))
 
+  /** Gopher-style repetition statistics in ONE pass over the text —
+    * struct(dup_line_frac, dup_line_char_frac, top_bigram_frac):
+    *
+    *  - dup_line_frac:      (lines − distinct lines) / lines, lines split
+    *                        on '\n' with empties kept
+    *  - dup_line_char_frac: chars in occurrences 2..k of each repeated
+    *                        line / total line chars (0 when no chars)
+    *  - top_bigram_frac:    count of the most frequent whitespace-token
+    *                        bigram / total bigrams (0 when < 2 tokens)
+    *
+    * All three are small-integer-count divisions — bit-identical across
+    * engines (no transcendentals), so the query is fully hash-oracled.
+    * Map-side, zero shuffle: the per-doc hash maps live inside one
+    * expression eval, the right shape for a 100 TB quality-filter scan.
+    * (The same stats via explode + two groupBy(doc_id) reaggregations
+    * would shuffle the corpus twice.)
+    */
+  case class RepetitionStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure("expected string")
+      }
+    override def dataType: DataType = StructType(Seq(
+      StructField("dup_line_frac", DoubleType, nullable = false),
+      StructField("dup_line_char_frac", DoubleType, nullable = false),
+      StructField("top_bigram_frac", DoubleType, nullable = false)))
+    override def prettyName: String = "graft_repetition_stats"
+
+    override def nullSafeEval(input: Any): Any = {
+      val utf8 = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val text = utf8.toString
+      // ---- line stats (split on \n, keep empties — both engines do) ----
+      val lines = text.split("\n", -1)
+      val lineCount = new java.util.HashMap[String, Int]()
+      var totalChars = 0L
+      var dupChars = 0L
+      var i = 0
+      while (i < lines.length) {
+        val ln = lines(i)
+        val n = ln.codePointCount(0, ln.length)
+        totalChars += n
+        val seen = lineCount.merge(ln, 1, Integer.sum)
+        if (seen > 1) dupChars += n // occurrences 2..k
+        i += 1
+      }
+      val nLines = lines.length
+      val dupLineFrac = (nLines - lineCount.size).toDouble / nLines
+      val dupCharFrac = if (totalChars > 0) dupChars.toDouble / totalChars
+        else 0.0
+      // ---- top bigram (whitespace tokens of trimmed text) ----
+      // UTF8String.trim, not String.trim: SQL trim (Spark AND DuckDB)
+      // strips only ' ', while java.lang.String.trim strips all <= 0x20
+      val toks = utf8.trim.toString.split("\\s+", -1)
+      val nBigrams = math.max(toks.length - 1, 0)
+      var top = 0
+      if (nBigrams > 0) {
+        val bg = new java.util.HashMap[String, Int]()
+        i = 0
+        while (i < toks.length - 1) {
+          val c = bg.merge(toks(i) + " " + toks(i + 1), 1, Integer.sum)
+          if (c > top) top = c
+          i += 1
+        }
+      }
+      val topBigramFrac = if (nBigrams > 0) top.toDouble / nBigrams else 0.0
+      org.apache.spark.sql.catalyst.InternalRow(
+        dupLineFrac, dupCharFrac, topBigramFrac)
+    }
+    override protected def withNewChildInternal(c: Expression): RepetitionStats =
+      copy(child = c)
+  }
+
+  def repetitionStats(text: Column): Column =
+    SparkShim.toColumn(RepetitionStats(SparkShim.toExpression(text)))
+
   /** Register the functions for SQL use (`SELECT graft_cosine(a, b) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

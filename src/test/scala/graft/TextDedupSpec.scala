@@ -229,4 +229,30 @@ class TextDedupSpec extends SparkTestBase {
     // hello | world | , | 42 | times | ! = 6
     assert(r.getInt(1) === 6)
   }
+
+  test("repetition stats: hand-computed fractions") {
+    val df = Seq(
+      (1L, "aa\nbb\naa\ncc\naa"), // 5 lines, 3 distinct; dup chars 4/10
+      (2L, "x y x y x y"),        // bigrams: "x y"x3 "y x"x2 -> 3/5
+      (3L, "unique line\nother"), // no line dups; 2 bigrams, top 1/2
+      (4L, "")                    // degenerate: zeros, no NaN
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        graft.functions.GraftFunctions.repetitionStats(col("text")).as("rep"))
+      .orderBy("doc_id")
+      .select("rep.dup_line_frac", "rep.dup_line_char_frac",
+        "rep.top_bigram_frac")
+      .as[(Double, Double, Double)].collect()
+    assert(r(0) === ((0.4, 0.4, 0.25))) // 4 distinct bigrams of 4 total
+    assert(r(1) === ((0.0, 0.0, 0.6)))
+    assert(r(2) === ((0.0, 0.0, 0.5)))
+    assert(r(3) === ((0.0, 0.0, 0.0)))
+  }
+
+  test("repetition stats: null text yields null struct") {
+    val df = Seq((1L, null: String)).toDF("doc_id", "text")
+    val r = df.select(
+      graft.functions.GraftFunctions.repetitionStats(col("text"))).head
+    assert(r.isNullAt(0))
+  }
 }
