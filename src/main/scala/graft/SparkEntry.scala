@@ -864,6 +864,21 @@ object SparkEntry {
           col("rep.top_bigram_frac").as("top_bigram_frac"))
         .orderBy("doc_id")),
 
+    // ---- lake: z-order (Morton) clustering value ----
+    // The multi-dim data-skipping primitive: LakeWriter.zOrderWrite
+    // range-partitions + sorts on this value so parquet min/max stats
+    // prune files on ANY dimension (pruning proven in ZOrderSpec; this
+    // query oracles the bit interleave itself against a DuckDB
+    // re-derivation with shift/mask arithmetic).
+    "z1_zorder" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val uidb = (col("user_id") % 1024).cast(LongType)
+      val hrb = (expr("unix_micros(ts) div 3600000000") % 1024).cast(LongType)
+      ev.select(col("event_id"),
+          graft.functions.GraftFunctions.zvalue(10)(uidb, hrb).as("z"))
+        .orderBy("event_id")
+    }),
+
     // ---- sampling: source-mix resampling (the data-mixing primitive) ----
     // Downsample over-represented sources to a target mix with ONE
     // deterministic map-side filter (md5-based uniform — fully oracled,
@@ -1226,6 +1241,16 @@ object SparkEntry {
         |    AS top_bigram_frac
         |FROM base b LEFT JOIN la USING (doc_id) LEFT JOIN bga USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Morton interleave re-derived bit-by-bit: dim 0 (user bucket) at
+    // even bits, dim 1 (hour bucket) at odd bits
+    "z1_zorder" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(range(0, 10), i ->
+        |    ((((user_id % 1024) >> i) & 1) << (2 * i)) +
+        |    (((((epoch_us(ts) // 3600000000) % 1024) >> i) & 1) << (2 * i + 1))
+        |  )) AS BIGINT) AS z
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "s4_mix_sample" ->
       """SELECT doc_id, source FROM documents

@@ -517,6 +517,58 @@ object GraftFunctions {
   def repetitionStats(text: Column): Column =
     SparkShim.toColumn(RepetitionStats(SparkShim.toExpression(text)))
 
+  /** Z-order (Morton) interleave of N non-negative integer dimensions,
+    * `bits` low bits each: bit `i` of dimension `d` lands at output bit
+    * `i * N + d`. A range-partition + sort on this value clusters rows
+    * so every output file covers a bounded sub-grid in EVERY dimension —
+    * parquet min/max stats then skip files for predicates on any dim,
+    * not just the leading sort key. The multi-dimensional data-skipping
+    * primitive for a 100 TB lake (see LakeWriter.zOrderWrite).
+    *
+    * Inputs are masked to `bits` low bits (callers bucket/normalize
+    * first); any null dimension nulls the z-value.
+    */
+  case class ZValue(children: Seq[Expression], bits: Int)
+      extends Expression with CodegenFallback {
+    require(children.nonEmpty, "z-order needs at least one dimension")
+    require(bits >= 1 && bits * children.size <= 63,
+      s"bits*dims must fit a positive long, got $bits*${children.size}")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("expected integral dimensions")
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_zvalue"
+    override def foldable: Boolean = children.forall(_.foldable)
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val n = children.size
+      val mask = (1L << bits) - 1
+      var z = 0L
+      var d = 0
+      while (d < n) {
+        val v = children(d).eval(input)
+        if (v == null) return null
+        val x = v.asInstanceOf[Number].longValue() & mask
+        var i = 0
+        while (i < bits) {
+          z |= ((x >>> i) & 1L) << (i * n + d)
+          i += 1
+        }
+        d += 1
+      }
+      z
+    }
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): ZValue = copy(children = cs)
+  }
+
+  def zvalue(bits: Int)(dims: Column*): Column =
+    SparkShim.toColumn(ZValue(dims.map(SparkShim.toExpression), bits))
+
   /** Register the functions for SQL use (`SELECT graft_cosine(a, b) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.sources.LakeWriter
+
+/** Z-order clustering: Morton interleave correctness and the actual
+  * data-skipping payoff — a z-ordered layout must let parquet min/max
+  * stats prune most of the corpus for a selective predicate on the
+  * NON-leading dimension, where a plain single-column sort prunes
+  * nothing.
+  */
+class ZOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("zvalue interleaves bits: dim d at bit i*n+d") {
+    // x=3 (bits 0,1) -> z bits 0,2; y=5 (bits 0,2) -> z bits 1,5
+    val r = spark.range(1)
+      .select(GraftFunctions.zvalue(3)(lit(3L), lit(5L)).as("z"))
+      .as[Long].head()
+    assert(r === ((1L << 0) | (1L << 2) | (1L << 1) | (1L << 5)))
+    // single dim with bits masking: identity on low bits
+    val m = spark.range(1)
+      .select(GraftFunctions.zvalue(4)(lit(0xFFL)).as("z")).as[Long].head()
+    assert(m === 0xFL)
+  }
+
+  test("zvalue is monotone-preserving per sub-grid cell and null-safe") {
+    val r = Seq((Option.empty[Long], 1L))
+      .toDF("a", "b")
+      .select(GraftFunctions.zvalue(4)(col("a"), col("b")))
+      .head
+    assert(r.isNullAt(0), "null dim must null the z-value")
+  }
+
+  test("z-order layout prunes files on the non-leading dimension") {
+    // 64k rows over a 256x256 (uid, hr) grid, uniform
+    val df = spark.range(65536).select(
+      (col("id") % 256).as("uid"),
+      (col("id") / 256).cast("long").as("hr"),
+      col("id").as("payload"))
+    val zDir = Files.createTempDirectory("zorder").toString
+    val linDir = Files.createTempDirectory("linear").toString
+    LakeWriter.zOrderWrite(df,
+      Seq(col("uid"), col("hr")), bits = 8, zDir, numFiles = 64)
+    // strawman: sorted + range-partitioned on uid only
+    df.repartitionByRange(64, col("uid")).sortWithinPartitions("uid")
+      .write.mode("overwrite").parquet(linDir)
+
+    def scannedRows(dir: String): Long = {
+      val q = spark.read.parquet(dir).where(col("hr") < 8)
+      // collect() so the metrics below come from THIS execution (count()
+      // would run a separate pruned-column plan)
+      assert(q.collect().length === 8 * 256) // answer identical in both layouts
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }
+      assert(scans.nonEmpty)
+      scans.sum
+    }
+    val zRows = scannedRows(zDir)
+    val linRows = scannedRows(linDir)
+    // uid-sorted layout: every file spans all hr values -> no pruning,
+    // full 64k rows surface from the scan. z-order: each of the 64
+    // files covers a 32x32 sub-grid; hr<8 intersects the 8 files of the
+    // bottom hr band (hr 0..31) -> ~8k rows scanned.
+    assert(linRows === 65536L, s"strawman should scan everything, got $linRows")
+    assert(zRows <= 65536L / 4,
+      s"z-order should prune most files via parquet stats, scanned $zRows")
+  }
+}
