@@ -798,6 +798,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup: incremental (new batch vs existing corpus) ----
+    // Corpus side joins by narrow md5 fingerprints only (never text);
+    // plants 100 corpus dups (removed by the anti join) and 50 in-batch
+    // dups (removed by the keep-min pass).
+    "d6_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") < 250)
+      val batch = docs.where(col("doc_id") >= 250)
+        .unionByName(docs.where(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 10000L))
+        .unionByName(docs.where(col("doc_id") >= 250 && col("doc_id") < 300)
+          .withColumn("doc_id", col("doc_id") + 20000L))
+      val corpusFps = corpus.select(
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      Dedup.incremental(batch, "text", "doc_id", corpusFps, "fp")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // ---- dedup: benchmark decontamination ----
     "dc1_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1577,6 +1595,25 @@ object SparkEntry {
     "a14_histogram" ->
       """SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "d6_incremental" ->
+      """WITH corpus AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents
+        |  WHERE doc_id >= 250 AND doc_id < 300),
+        |bf AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM batch),
+        |fresh AS (SELECT * FROM bf WHERE fp NOT IN (SELECT fp FROM corpus))
+        |SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY fp
+        |ORDER BY doc_id""".stripMargin,
 
     "dc1_decontaminate" ->
       """WITH toks AS (

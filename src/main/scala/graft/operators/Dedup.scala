@@ -49,6 +49,29 @@ object Dedup {
     exact(df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
       Seq("__fp"), idCol).drop("__fp")
 
+  /** Incremental corpus dedup — the shape of a CONTINUOUSLY-growing
+    * training corpus: dedup a new batch (a) against the existing corpus
+    * and (b) within itself, touching only narrow fingerprints of the
+    * corpus. The corpus side ships ~16-byte digest rows into the anti
+    * join, never its text — at 100 TB of accumulated corpus that is the
+    * difference between shuffling 100 TB and shuffling ~2 TB of md5s
+    * (and the fingerprint table is exactly what [[byFingerprint]]
+    * already maintains). The batch (the small, new increment) carries
+    * its payload through one fingerprint-keyed shuffle.
+    *
+    * Null-text batch rows survive the anti join (null never equals a
+    * corpus fingerprint) and collapse to one survivor in the in-batch
+    * pass ([[exact]] groups nulls with `<=>`).
+    */
+  def incremental(batch: DataFrame, textCol: String, idCol: String,
+      corpusFps: DataFrame, fpCol: String): DataFrame = {
+    val withFp = batch.withColumn("__fp",
+      TextAnalysis.fingerprint(col(textCol)))
+    val fresh = withFp.join(corpusFps.select(col(fpCol).as("__fp")),
+      Seq("__fp"), "left_anti")
+    exact(fresh, Seq("__fp"), idCol).drop("__fp")
+  }
+
   // ---------- character-set Jaccard (blocked pairwise) ----------
 
   /** Jaccard similarity of the distinct-character sets of two strings

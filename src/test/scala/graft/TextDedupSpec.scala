@@ -249,6 +249,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(r(3) === ((0.0, 0.0, 0.0)))
   }
 
+  test("incremental dedup: corpus dups, in-batch dups, nulls") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val corpusFps = corpus.select(
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val batch = Seq(
+      (10L, "alpha"),      // dup of corpus -> dropped
+      (11L, "gamma"),      // fresh, survivor
+      (12L, "GAMMA "),     // fingerprint-dup of 11 -> dropped (keep min)
+      (13L, null: String), // null text survives the anti join...
+      (14L, null: String)  // ...and nulls collapse to one survivor
+    ).toDF("doc_id", "text")
+    val got = Dedup.incremental(batch, "text", "doc_id", corpusFps, "fp")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === Array(11L, 13L))
+  }
+
   test("repetition stats: null text yields null struct") {
     val df = Seq((1L, null: String)).toDF("doc_id", "text")
     val r = df.select(
