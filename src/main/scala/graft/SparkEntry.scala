@@ -816,6 +816,25 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // ---- dedup: incremental via bloom runtime filter ----
+    // Same planted batch and SAME oracle as d6 — the bloom is a
+    // performance structure, not a semantics change: rejects skip the
+    // join map-side, hits (incl. false positives) are verified exactly.
+    "d7_bloom_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") < 250)
+      val batch = docs.where(col("doc_id") >= 250)
+        .unionByName(docs.where(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 10000L))
+        .unionByName(docs.where(col("doc_id") >= 250 && col("doc_id") < 300)
+          .withColumn("doc_id", col("doc_id") + 20000L))
+      val corpusFps = corpus.select(
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      Dedup.incrementalBloom(batch, "text", "doc_id", corpusFps, "fp",
+        expectedItems = 1000L, fpp = 0.01)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // ---- dedup: benchmark decontamination ----
     "dc1_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1597,6 +1616,27 @@ object SparkEntry {
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "d6_incremental" ->
+      """WITH corpus AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents
+        |  WHERE doc_id >= 250 AND doc_id < 300),
+        |bf AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM batch),
+        |fresh AS (SELECT * FROM bf WHERE fp NOT IN (SELECT fp FROM corpus))
+        |SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY fp
+        |ORDER BY doc_id""".stripMargin,
+
+    // bloom variant is output-identical to d6 by construction (the
+    // sketch only routes rows; hits are exactly verified) — same oracle
+    "d7_bloom_incremental" ->
       """WITH corpus AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |  FROM documents WHERE doc_id < 250),

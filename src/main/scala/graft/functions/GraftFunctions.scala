@@ -569,6 +569,42 @@ object GraftFunctions {
   def zvalue(bits: Int)(dims: Column*): Column =
     SparkShim.toColumn(ZValue(dims.map(SparkShim.toExpression), bits))
 
+  /** Membership probe against a pre-built Spark [[org.apache.spark.util
+    * .sketch.BloomFilter]] shipped as a plan literal — the runtime-filter
+    * primitive: a one-pass corpus digest (MBs) replaces a corpus-wide
+    * shuffle for the overwhelmingly-common "definitely not present"
+    * case. False positives possible (callers verify hits exactly); false
+    * negatives impossible. Null input probes to null.
+    */
+  case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure("expected string probe")
+      }
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_bloom_might_contain"
+
+    @transient private lazy val bloom =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+
+    override def nullSafeEval(input: Any): Any =
+      bloom.mightContainString(input.toString)
+
+    override protected def withNewChildInternal(
+        c: Expression): BloomMightContain = copy(child = c)
+  }
+
+  def bloomMightContain(probe: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    SparkShim.toColumn(
+      BloomMightContain(SparkShim.toExpression(probe), bos.toByteArray))
+  }
+
   /** Register the functions for SQL use (`SELECT graft_cosine(a, b) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.GraftFunctions
+
 /** Deduplication operators for training-data pipelines: exact,
   * fingerprint, n-gram Jaccard, MinHash+LSH, SimHash.
   *
@@ -70,6 +72,36 @@ object Dedup {
     val fresh = withFp.join(corpusFps.select(col(fpCol).as("__fp")),
       Seq("__fp"), "left_anti")
     exact(fresh, Seq("__fp"), idCol).drop("__fp")
+  }
+
+  /** Bloom-prefiltered [[incremental]] — same EXACT output, different
+    * shuffle economics. Phase 1 builds a bloom filter over the corpus
+    * fingerprints (one aggregation pass; ~1.2 GB per 10^9 docs at 1%
+    * fpp — size it with `expectedItems`/`fpp`) and probes it MAP-SIDE
+    * over the batch: rows the bloom rejects are definitely fresh and
+    * never enter a join. Phase 2 verifies only the bloom hits (true dups
+    * + ~fpp false positives) with the exact anti join, so correctness
+    * never depends on the sketch. When most of the batch is fresh — the
+    * steady state of corpus growth — the corpus-wide anti join shrinks
+    * to a sliver of the batch; bucket the corpus fingerprint table on
+    * `fpCol` ([[graft.sources.LakeWriter.writeBucketed]]) and the verify
+    * join runs exchange-free on the corpus side too.
+    */
+  def incrementalBloom(batch: DataFrame, textCol: String, idCol: String,
+      corpusFps: DataFrame, fpCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bloom = corpusFps.stat.bloomFilter(fpCol, expectedItems, fpp)
+    val withFp = batch.withColumn("__fp",
+      TextAnalysis.fingerprint(col(textCol)))
+    val probed = withFp.withColumn("__maybe",
+      GraftFunctions.bloomMightContain(col("__fp"), bloom))
+    // null fingerprints probe to null: they belong on the "fresh" side
+    // (same as incremental's anti-join-survives-null semantics)
+    val freshForSure = probed.where(!col("__maybe") || col("__maybe").isNull)
+    val verified = probed.where(col("__maybe"))
+      .join(corpusFps.select(col(fpCol).as("__fp")), Seq("__fp"), "left_anti")
+    exact(freshForSure.unionByName(verified).drop("__maybe"),
+      Seq("__fp"), idCol).drop("__fp")
   }
 
   // ---------- character-set Jaccard (blocked pairwise) ----------

@@ -265,6 +265,27 @@ class TextDedupSpec extends SparkTestBase {
     assert(got === Array(11L, 13L))
   }
 
+  test("bloom incremental == exact incremental even under heavy FPs") {
+    val corpus = (0L until 200L).map(i => (i, s"corpus doc $i"))
+      .toDF("doc_id", "text")
+    val corpusFps = corpus.select(
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val batch = ((1000L until 1100L).map(i => (i, s"fresh doc $i")) ++
+      Seq((2000L, "corpus doc 7"),     // corpus dup
+          (2001L, "fresh doc 1000"),   // in-batch dup
+          (2002L, null: String)))
+      .toDF("doc_id", "text")
+    val want = Dedup.incremental(batch, "text", "doc_id", corpusFps, "fp")
+      .select("doc_id").as[Long].collect().sorted
+    // expectedItems far below reality + high fpp -> saturated bloom,
+    // lots of false positives; output must not change
+    val got = Dedup.incrementalBloom(batch, "text", "doc_id",
+        corpusFps, "fp", expectedItems = 8L, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === want)
+    assert(want.length === 101) // 100 fresh + the null survivor
+  }
+
   test("repetition stats: null text yields null struct") {
     val df = Seq((1L, null: String)).toDF("doc_id", "text")
     val r = df.select(
