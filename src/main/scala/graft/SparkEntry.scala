@@ -420,9 +420,10 @@ object SparkEntry {
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       // dequantize ONCE per corpus row (before the ×|queries| join), not
-      // once per candidate pair
+      // once per candidate pair — and fused into one native loop (the
+      // transform-HOF composition benched 2.3 s vs sim1's 0.9 s)
       val qc = emb.withColumn("__dv",
-        Similarity.dequantize(Similarity.quantize(col("embedding"))))
+        Similarity.quantizeRoundtrip(col("embedding")))
       val joined = qc.join(broadcast(q))
         .where(col("qid") =!= col("vec_id"))
         .withColumn("sim",

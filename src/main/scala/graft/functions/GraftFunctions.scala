@@ -569,6 +569,83 @@ object GraftFunctions {
   def zvalue(bits: Int)(dims: Column*): Column =
     SparkShim.toColumn(ZValue(dims.map(SparkShim.toExpression), bits))
 
+  /** Fused dequantize(quantize(v)) for int8 scale-offset quantization —
+    * the values a quantized corpus actually re-ranks with, in ONE
+    * primitive loop per vector instead of two `transform` HOF walks
+    * (interpreted expression-tree eval per element; measured ~14× slower
+    * on comparable loops). Bit-for-bit identical to
+    * `Similarity.dequantize(Similarity.quantize(v))`: min/max taken in
+    * the input's float precision then widened, and rounding via
+    * BigDecimal HALF_UP — exactly Catalyst Round's double semantics (and
+    * DuckDB `round`'s, which the sim4 oracle relies on). Null elements
+    * propagate; all-null/empty arrays degenerate the same way as the
+    * HOF composition.
+    */
+  case class QuantizeRoundtrip(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "expected array<float> or array<double>")
+      }
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+    override def prettyName: String = "graft_quantize_roundtrip"
+
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    private def round(x: Double): Double =
+      new java.math.BigDecimal(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    override def nullSafeEval(input: Any): Any = {
+      val ad = input.asInstanceOf[ArrayData]
+      val n = ad.numElements()
+      // min/max in input precision, then widen — matches
+      // array_min(vec).cast(double) on a float array
+      var mnF = Float.MaxValue; var mxF = Float.MinValue
+      var mnD = Double.MaxValue; var mxD = Double.MinValue
+      var any = false
+      var i = 0
+      while (i < n) {
+        if (!ad.isNullAt(i)) {
+          any = true
+          if (isFloat) {
+            val f = ad.getFloat(i)
+            if (f < mnF) mnF = f
+            if (f > mxF) mxF = f
+          } else {
+            val d = ad.getDouble(i)
+            if (d < mnD) mnD = d
+            if (d > mxD) mxD = d
+          }
+        }
+        i += 1
+      }
+      val out = new Array[Any](n)
+      if (!any) return new GenericArrayData(out) // all nulls stay null
+      val mn = if (isFloat) mnF.toDouble else mnD
+      val mx = if (isFloat) mxF.toDouble else mxD
+      val scale = if (mx > mn) (mx - mn) / 255.0 else 1.0
+      i = 0
+      while (i < n) {
+        if (!ad.isNullAt(i)) {
+          val x = if (isFloat) ad.getFloat(i).toDouble else ad.getDouble(i)
+          out(i) = round((x - mn) / scale) * scale + mn
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(
+        c: Expression): QuantizeRoundtrip = copy(child = c)
+  }
+
+  def quantizeRoundtrip(vec: Column): Column =
+    SparkShim.toColumn(QuantizeRoundtrip(SparkShim.toExpression(vec)))
+
   /** Membership probe against a pre-built Spark [[org.apache.spark.util
     * .sketch.BloomFilter]] shipped as a plan literal — the runtime-filter
     * primitive: a one-pass corpus digest (MBs) replaces a corpus-wide

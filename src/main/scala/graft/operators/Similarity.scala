@@ -351,6 +351,14 @@ object Similarity {
   def quantizedCosine(q: Column, exact: Column): Column =
     cosine(dequantize(q), asDouble(exact))
 
+  /** Fused `dequantize(quantize(vec))` in one native loop — what a
+    * quantized re-rank actually evaluates. Bit-identical to the
+    * composition (spec-pinned) at ~HOF-free cost; use [[quantize]] /
+    * [[dequantize]] when the codes themselves are stored.
+    */
+  def quantizeRoundtrip(vec: Column): Column =
+    graft.functions.GraftFunctions.quantizeRoundtrip(vec)
+
   /** Blocked near-duplicate pairs: within `blockCol` groups (e.g. a
     * cluster/label/LSH-bucket column), all pairs with cosine ≥ threshold.
     */

@@ -218,6 +218,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"quantized recall@10 too low: $recall")
   }
 
+  test("fused quantize roundtrip is bit-identical to the HOF composition") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(300)
+    val mismatches = emb.select(
+        Similarity.quantizeRoundtrip(col("embedding")).as("fused"),
+        Similarity.dequantize(Similarity.quantize(col("embedding"))).as("hof"))
+      .where(not(col("fused") <=> col("hof")))
+      .count()
+    assert(mismatches === 0L)
+    // null elements and degenerate vectors behave like the composition
+    val edge = Seq(
+      (1L, Seq(Some(1.0f), None, Some(3.0f))),
+      (2L, Seq(Option.empty[Float])),          // all-null
+      (3L, Seq.empty[Option[Float]]),          // empty
+      (4L, Seq(Some(2.5f), Some(2.5f)))        // constant (scale fallback)
+    ).toDF("id", "embedding")
+    val bad = edge.select(
+        Similarity.quantizeRoundtrip(col("embedding")).as("fused"),
+        Similarity.dequantize(Similarity.quantize(col("embedding"))).as("hof"))
+      .where(not(col("fused") <=> col("hof"))).count()
+    assert(bad === 0L)
+  }
+
   test("multimodal decode stub is deterministic and batch-shaped") {
     val bin = Multimodal.attachBinary(
       Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text"), "text", "image")
