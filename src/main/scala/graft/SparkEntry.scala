@@ -205,6 +205,26 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("asof_price"))
         .orderBy("event_id")
     }),
+
+    // ---- join: FORWARD as-of (earliest right at-or-after each left;
+    // merge_asof direction="forward") — backward's machinery on the
+    // negated time axis, oracled against DuckDB ASOF JOIN with <= ----
+    "j10_asof_forward" -> ((s, dir) => {
+      // orders -> earliest event at-or-after the order date per customer
+      // (events all postdate orders, so this direction actually matches)
+      val ev = t(s, dir, "events")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("ev_value"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      AsOfJoin.forward(o, ev,
+        leftTime = "o_orderdate", rightTime = "ts",
+        by = Seq(("o_custkey", "user_id")),
+        valueCols = Seq(("ev_value", "next_value")),
+        inner = true)
+        .select(col("o_orderkey"), col("o_custkey"), col("next_value"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   /** Documents table augmented with a near-duplicate of every row (last
@@ -1108,6 +1128,14 @@ object SparkEntry {
         |  FROM orders GROUP BY o_custkey, o_orderdate) o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "j10_asof_forward" ->
+      """SELECT o.o_orderkey, o.o_custkey, e.ev_value AS next_value
+        |FROM orders o ASOF JOIN (
+        |  SELECT user_id, ts, MAX(value) AS ev_value
+        |  FROM events GROUP BY user_id, ts) e
+        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "t1_token_count" ->
       """SELECT doc_id,

@@ -65,15 +65,56 @@ object AsOfJoin {
       valueCols: Seq[(String, String)],
       inner: Boolean = false,
       numBuckets: Int = 64,
-      bucketWidthMicros: Long = 0L): DataFrame = {
+      bucketWidthMicros: Long = 0L): DataFrame =
+    directional(left, right, leftTime, rightTime, by, valueCols, inner,
+      numBuckets, bucketWidthMicros, negate = false)
+
+  /** Forward as-of join: each left row takes the EARLIEST right row
+    * at-or-after it (pandas `merge_asof(direction="forward")`; exact
+    * matches included). Implemented by negating the epoch-micros
+    * ordering column — every mechanism of [[backward]] (time buckets,
+    * one window per (keys, bucket), broadcast carry spine) applies
+    * verbatim to the mirrored axis, so the two directions can never
+    * drift apart semantically. Same tie note as the object scaladoc:
+    * several right rows at one (keys, time) are tie-broken arbitrarily —
+    * pre-aggregate the right side for deterministic output.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[(String, String)] = Nil,
+      valueCols: Seq[(String, String)],
+      inner: Boolean = false,
+      numBuckets: Int = 64,
+      bucketWidthMicros: Long = 0L): DataFrame =
+    directional(left, right, leftTime, rightTime, by, valueCols, inner,
+      numBuckets, bucketWidthMicros, negate = true)
+
+  private def directional(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[(String, String)],
+      valueCols: Seq[(String, String)],
+      inner: Boolean,
+      numBuckets: Int,
+      bucketWidthMicros: Long,
+      negate: Boolean): DataFrame = {
 
     val keys = by.map(_._1)
     val outCols = left.columns.toSeq ++ valueCols.map(_._2)
 
     // Micros-epoch ordering column; cast handles TIMESTAMP_NTZ inputs too
     // (session time zone is pinned UTC, so the instant is unchanged).
-    def epochMicros(c: Column): Column =
-      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    // `negate` mirrors the time axis: "latest -t' <= -t" IS "earliest
+    // t' >= t", turning the backward machinery into the forward join.
+    def epochMicros(c: Column): Column = {
+      val us = unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+      if (negate) -us else us
+    }
 
     // MATCH marker __m rides along like a value column so `inner` can
     // distinguish "matched with null value" from "no match".

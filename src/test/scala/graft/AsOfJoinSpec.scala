@@ -225,4 +225,37 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(!plan.contains("AsOfMergeJoin"))
     assert(plan.contains("Window")) // the bucketed window composition
   }
+
+  test("forward as-of: earliest right at-or-after, exact match included") {
+    // naive forward spec over the same frames
+    val want = fm.as[(Timestamp, Double)].collect().map { case (lt, mw) =>
+      val m = load.as[(Timestamp, Double)].collect()
+        .filter(_._1.compareTo(lt) >= 0).sortBy(_._1.getTime)
+        .headOption.map(_._2)
+      (lt, mw, m)
+    }.sortBy(_._1.getTime).toSeq
+    val got = AsOfJoin.forward(fm, load, "time", "time",
+      valueCols = Seq(("load", "next_load")), numBuckets = 2)
+      .select($"time", $"mw", $"next_load")
+      .as[(Timestamp, Double, Option[Double])]
+      .collect().sortBy(_._1.getTime).toSeq
+    assert(got === want)
+    // sanity on the interesting rows: exact match takes the 01:00 right
+    // row; a left after the last right is unmatched
+    val byTime = got.map(r => r._1 -> r._3).toMap
+    assert(byTime(ts("2024-05-01 01:00:00")) === Some(45000.0))
+    assert(byTime(ts("2024-05-01 00:05:00")) === Some(45000.0))
+    assert(byTime(ts("2024-04-30 23:00:00")) === Some(42000.0))
+  }
+
+  test("forward as-of: keyed, inner drops rows with no later right") {
+    val l = Seq((1L, ts("2024-05-01 03:00:00"), "late"),
+      (1L, ts("2024-05-01 00:10:00"), "early"),
+      (2L, ts("2024-05-01 00:10:00"), "other-key")).toDF("k", "time", "tag")
+    val r = Seq((1L, ts("2024-05-01 00:30:00"), 7.0)).toDF("k", "time", "v")
+    val got = AsOfJoin.forward(l, r, "time", "time",
+      by = Seq(("k", "k")), valueCols = Seq(("v", "v")), inner = true)
+      .select($"tag", $"v").as[(String, Double)].collect().toSet
+    assert(got === Set(("early", 7.0)))
+  }
 }
