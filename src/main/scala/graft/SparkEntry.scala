@@ -922,6 +922,17 @@ object SparkEntry {
           col("rep.top_bigram_frac").as("top_bigram_frac"))
         .orderBy("doc_id")),
 
+    // ---- analytics: gap-fill resample (regularize + forward-fill) ----
+    // The reference's feed cadence made regular: per-user hourly grid
+    // anchored at first observation, max-downsample per cell, ffill.
+    // Deterministic end-to-end (max/ffill only, no float sums) => fully
+    // hash-oracled.
+    "g1_gapfill" -> ((s, dir) =>
+      Analytics.gapFill(
+        t(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "value", stepMicros = 3600000000L)
+        .orderBy("user_id", "gts")),
+
     // ---- lake: z-order (Morton) clustering value ----
     // The multi-dim data-skipping primitive: LakeWriter.zOrderWrite
     // range-partitions + sorts on this value so parquet min/max stats
@@ -1307,6 +1318,26 @@ object SparkEntry {
         |    AS top_bigram_frac
         |FROM base b LEFT JOIN la USING (doc_id) LEFT JOIN bga USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // grid via range(lo, hi+1, step) == Spark's inclusive sequence; cell
+    // assignment with // integer division == Spark's div; ffill via
+    // last_value IGNORE NULLS == Spark's last(ignoreNulls) window
+    "g1_gapfill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |b AS (SELECT user_id, MIN(us) AS lo, MAX(us) AS hi
+        |      FROM e GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(range(lo, hi + 1, 3600000000)) AS gus
+        |      FROM b),
+        |o AS (SELECT e.user_id,
+        |        lo + ((us - lo) // 3600000000) * 3600000000 AS gus,
+        |        MAX(value) AS cv
+        |      FROM e JOIN b USING (user_id) GROUP BY 1, 2)
+        |SELECT g.user_id, make_timestamp(g.gus) AS gts,
+        |  last_value(o.cv IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.gus
+        |    ROWS UNBOUNDED PRECEDING) AS value
+        |FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.gus = o.gus
+        |ORDER BY g.user_id, gts""".stripMargin,
 
     // Morton interleave re-derived bit-by-bit: dim 0 (user bucket) at
     // even bits, dim 1 (hour bucket) at odd bits

@@ -133,4 +133,50 @@ object Analytics {
     df.groupBy(keys.map(col): _*)
       .agg(round(stableAvg(col(measure)), 2).as(alias))
       .orderBy(desc(alias) +: keys.map(col): _*)
+
+  /** Gap-fill resample: regularize an irregular per-key time series onto a
+    * fixed `stepMicros` grid (anchored at each key's first observation)
+    * and forward-fill missing cells — the "resample().ffill()" of the
+    * reference's 5/15-minute energy feeds, e.g. regularizing sensor
+    * readings before an as-of merge. Policy within a cell: MAX of the
+    * observations (deterministic; no float-order sensitivity — the whole
+    * operator is max/ffill, no sums). Leading cells are never null: the
+    * grid starts at the key's first observation.
+    *
+    * Shape at scale: one narrow bounds agg (keys rows, broadcast back),
+    * one cell downsample agg, one left join on (keys, cell), one window
+    * per key. Grid size = span/step per key — the caller's step bounds
+    * the explosion. If one key's grid outgrows a task, pre-split the
+    * window on a coarse time bucket and carry the fill across buckets
+    * (the as-of carry-spine trick); not needed for feed-cadence data.
+    *
+    * Output: `keyCols :+ (gts timestamp) :+ (valueCol filled)`.
+    */
+  def gapFill(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"step must be positive, got $stepMicros")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(keyCols.map(col) :+
+      unix_micros(col(tsCol).cast(TimestampType)).as("__us") :+
+      col(valueCol): _*)
+    val bounds = keyed.groupBy(keyCols.map(col): _*)
+      .agg(min("__us").as("__lo"), max("__us").as("__hi"))
+    val grid = bounds
+      .withColumn("__gus",
+        explode(sequence(col("__lo"), col("__hi"), lit(stepMicros))))
+      .select(keyCols.map(col) :+ col("__gus"): _*)
+    // integer `div`, not `/`: double division of epoch micros can round
+    // a just-below-integer quotient up and shift the cell
+    val obs = keyed.join(broadcast(bounds), keyCols)
+      .withColumn("__gus",
+        col("__lo") + expr(s"((__us - __lo) div ${stepMicros}L)") * stepMicros)
+    val cells = obs.groupBy((keyCols :+ "__gus").map(col): _*)
+      .agg(max(col(valueCol)).as("__cv"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__gus"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(cells, keyCols :+ "__gus", "left")
+      .select(keyCols.map(col) :+
+        timestamp_micros(col("__gus")).as("gts") :+
+        last(col("__cv"), ignoreNulls = true).over(w).as(valueCol): _*)
+  }
 }

@@ -64,4 +64,25 @@ class IncrementalSpec extends SparkTestBase {
     val b = forced.select($"event_id", $"p").collect().map(r => (r.getLong(0), r.get(1))).sortBy(_._1).toSeq
     assert(a === b)
   }
+
+  test("gapFill: hourly grid, cell max-downsample, forward fill") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val obs = Seq(
+      ("a", ts("2024-05-01 00:00:00"), 1.0),
+      ("a", ts("2024-05-01 00:10:00"), 5.0), // same cell -> max 5.0
+      ("a", ts("2024-05-01 03:30:00"), 2.0), // two empty cells between
+      ("b", ts("2024-05-01 10:00:00"), 9.0)  // single-obs key: 1 cell
+    ).toDF("k", "ts", "v")
+    val got = Analytics.gapFill(obs, Seq("k"), "ts", "v", 3600000000L)
+      .orderBy("k", "gts")
+      .as[(String, java.sql.Timestamp, Double)].collect().toSeq
+    assert(got === Seq(
+      ("a", ts("2024-05-01 00:00:00"), 5.0),
+      ("a", ts("2024-05-01 01:00:00"), 5.0), // filled
+      ("a", ts("2024-05-01 02:00:00"), 5.0), // filled
+      ("a", ts("2024-05-01 03:00:00"), 2.0), // 03:30 obs lands here
+      ("b", ts("2024-05-01 10:00:00"), 9.0)))
+    // leading cells can never be null: grid starts at the first obs
+    assert(!got.exists(_._3.isNaN))
+  }
 }
