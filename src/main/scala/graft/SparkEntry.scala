@@ -710,6 +710,40 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- A19: mergeable HLL sketch rollup ----
+    // The incremental-distinct pattern for a 100 TB lake: persist one
+    // Datasketches HLL per partition/hour, answer "distinct users over
+    // any span" by UNIONING sketches — no rescan of the raw data.
+    // Sketches are register-max structures: merge-order independent and
+    // deterministic, but engine-specific binary => rows-only check;
+    // IncrementalSpec proves union-of-parts == sketch-of-whole exactly
+    // and the estimate lands within 5% of the true distinct count.
+    "a19_sketch_rollup" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(hour(col("ts")).as("hour"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          countDistinct(col("user_id")).as("exact_hour_users"))
+      hourly.agg(
+        count(lit(1)).as("n_hours"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total_users"))
+    }),
+
+    // ---- W8: event-time RANGE frame (trailing 1-hour window) ----
+    // rangeBetween on epoch micros, peer-inclusive on ties in both
+    // engines; decimal-stabilized sum keeps the windowed avg exact.
+    "w8_range_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("__us", unix_micros(col("ts")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("__us"))
+        .rangeBetween(-3600000000L, 0)
+      ev.select(col("event_id"), col("user_id"),
+          count(col("value")).over(w).as("n_1h"),
+          (sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType) / count(col("value")).over(w)).as("avg_1h"))
+        .orderBy("event_id")
+    }),
+
     // ---- A17: CUBE (all grouping-set combinations) ----
     "a17_cube" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1835,6 +1869,16 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "w8_range_window" ->
+      """SELECT event_id, user_id,
+        |  COUNT(value) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / COUNT(value) OVER w AS avg_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "a17_cube" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,

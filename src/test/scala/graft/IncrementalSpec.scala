@@ -85,4 +85,19 @@ class IncrementalSpec extends SparkTestBase {
     // leading cells can never be null: grid starts at the first obs
     assert(!got.exists(_._3.isNaN))
   }
+
+  test("HLL sketches merge losslessly: union of parts == sketch of whole") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val whole = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))"))
+      .head.getLong(0)
+    val merged = ev.groupBy(expr("user_id % 7").as("part"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .head.getLong(0)
+    assert(merged === whole,
+      "merging per-partition sketches must equal sketching the whole")
+    val exact = ev.select(countDistinct($"user_id")).head.getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"estimate $merged too far from exact $exact")
+  }
 }
