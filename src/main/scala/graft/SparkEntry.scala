@@ -956,6 +956,23 @@ object SparkEntry {
           col("rep.top_bigram_frac").as("top_bigram_frac"))
         .orderBy("doc_id")),
 
+    // ---- join: NEAREST as-of (closer of backward/forward; ties prefer
+    // backward) — left times shifted +17 min between right points so
+    // both directions genuinely compete; oracled via two DuckDB ASOF
+    // joins + the same CASE ----
+    "j11_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val r = ev.groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("v"))
+      val l = ev.select(col("event_id"), col("user_id"),
+        (col("ts") + expr("INTERVAL 17 MINUTES")).as("ts2"))
+      AsOfJoin.nearest(l, r, "ts2", "ts",
+        by = Seq(("user_id", "user_id")),
+        valueCols = Seq(("v", "near_value")))
+        .select(col("event_id"), col("user_id"), col("near_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- analytics: gap-fill resample (regularize + forward-fill) ----
     // The reference's feed cadence made regular: per-user hourly grid
     // anchored at first observation, max-downsample per cell, ffill.
@@ -1352,6 +1369,27 @@ object SparkEntry {
         |    AS top_bigram_frac
         |FROM base b LEFT JOIN la USING (doc_id) LEFT JOIN bga USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // nearest = closer of the two ASOF directions, ties to backward —
+    // identical CASE to the Spark composition, distances in micros
+    "j11_asof_nearest" ->
+      """WITH r AS (SELECT user_id, ts, MAX(value) AS v
+        |           FROM events GROUP BY user_id, ts),
+        |l AS (SELECT event_id, user_id, ts + INTERVAL 17 MINUTE AS ts2
+        |      FROM events),
+        |b AS (SELECT l.event_id, l.user_id, l.ts2, r.ts AS bt, r.v AS bv
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.ts2 >= r.ts),
+        |f AS (SELECT l.event_id, r.ts AS ft, r.v AS fv
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.ts2 <= r.ts)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN f.ft IS NULL OR (b.bt IS NOT NULL AND
+        |         epoch_us(b.ts2) - epoch_us(b.bt)
+        |           <= epoch_us(f.ft) - epoch_us(b.ts2))
+        |       THEN b.bv ELSE f.fv END AS near_value
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin,
 
     // grid via range(lo, hi+1, step) == Spark's inclusive sequence; cell
     // assignment with // integer division == Spark's div; ffill via

@@ -92,6 +92,58 @@ object AsOfJoin {
     directional(left, right, leftTime, rightTime, by, valueCols, inner,
       numBuckets, bucketWidthMicros, negate = true)
 
+  /** Nearest as-of join: each left row takes the CLOSER of its backward
+    * and forward matches (pandas `merge_asof(direction="nearest")`);
+    * equal distances prefer the backward (earlier) match — documented,
+    * deterministic, and mirrored in the oracle. Composed as one
+    * [[backward]] + one [[forward]] pass re-joined on an internal row
+    * id, so it inherits both directions' scale shape (two bucketed
+    * window passes + one id-equi join; the id join shuffles only left
+    * payload + two value structs). Pre-aggregate the right side to
+    * unique (keys, time) for fully deterministic output, as with the
+    * other directions.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[(String, String)] = Nil,
+      valueCols: Seq[(String, String)],
+      inner: Boolean = false,
+      numBuckets: Int = 64,
+      bucketWidthMicros: Long = 0L): DataFrame = {
+    val rid = "__graft_rid"
+    // internal join key only — self-consistent within this run, never
+    // escapes into the output (so its partition-layout dependence is
+    // harmless)
+    val l2 = left.withColumn(rid, monotonically_increasing_id())
+    def pass(dir: Boolean, tag: String) = directional(
+      l2, right, leftTime, rightTime, by,
+      valueCols.map { case (in, out) => (in, s"__${tag}_$out") } :+
+        ((rightTime, s"__${tag}_t")),
+      inner = false, numBuckets, bucketWidthMicros, negate = dir)
+    val b = pass(dir = false, "b")
+    val f = pass(dir = true, "f")
+      .select((rid +: (valueCols.map(c => s"__f_${c._2}") :+ "__f_t"))
+        .map(col): _*)
+    val us = (c: Column) =>
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    val joined = b.join(f, Seq(rid))
+    val lt = us(col(leftTime))
+    val db = lt - us(col("__b_t"))  // >= 0, null when unmatched
+    val df = us(col("__f_t")) - lt
+    val pickB = col("__f_t").isNull || (col("__b_t").isNotNull && db <= df)
+    val matched = col("__b_t").isNotNull || col("__f_t").isNotNull
+    val outVals = valueCols.map { case (_, out) =>
+      when(pickB, col(s"__b_$out")).otherwise(col(s"__f_$out")).as(out)
+    }
+    val res = joined.select(
+      left.columns.map(col).toSeq ++ outVals :+ matched.as("__m"): _*)
+    (if (inner) res.where(col("__m")) else res)
+      .select((left.columns.toSeq ++ valueCols.map(_._2)).map(col): _*)
+  }
+
   private def directional(
       left: DataFrame,
       right: DataFrame,

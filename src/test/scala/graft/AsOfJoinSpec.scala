@@ -248,6 +248,29 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(byTime(ts("2024-04-30 23:00:00")) === Some(42000.0))
   }
 
+  test("nearest as-of: closer side wins, ties prefer backward") {
+    val l = Seq(
+      (ts("2024-05-01 00:20:00"), "closer-back"),  // 5 min back vs 40 fwd
+      (ts("2024-05-01 00:45:00"), "closer-fwd"),   // 30 back vs 15 fwd
+      (ts("2024-05-01 00:37:30"), "tie"),          // 22.5 both -> backward
+      (ts("2024-04-01 00:00:00"), "only-fwd"),     // before all rights
+      (ts("2024-06-01 00:00:00"), "only-back")     // after all rights
+    ).toDF("time", "tag")
+    val r = Seq(
+      (ts("2024-05-01 00:15:00"), 1.0),
+      (ts("2024-05-01 01:00:00"), 2.0)
+    ).toDF("time", "v")
+    val got = AsOfJoin.nearest(l, r, "time", "time",
+      valueCols = Seq(("v", "v")), numBuckets = 2)
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+    assert(got === Map(
+      "closer-back" -> Some(1.0), "closer-fwd" -> Some(2.0),
+      "tie" -> Some(1.0), "only-fwd" -> Some(1.0), "only-back" -> Some(2.0)))
+    // inner keeps all here (every row matched one side)
+    assert(AsOfJoin.nearest(l, r, "time", "time",
+      valueCols = Seq(("v", "v")), inner = true).count() === 5)
+  }
+
   test("forward as-of: keyed, inner drops rows with no later right") {
     val l = Seq((1L, ts("2024-05-01 03:00:00"), "late"),
       (1L, ts("2024-05-01 00:10:00"), "early"),
