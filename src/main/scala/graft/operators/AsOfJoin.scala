@@ -88,9 +88,42 @@ object AsOfJoin {
       valueCols: Seq[(String, String)],
       inner: Boolean = false,
       numBuckets: Int = 64,
-      bucketWidthMicros: Long = 0L): DataFrame =
-    directional(left, right, leftTime, rightTime, by, valueCols, inner,
-      numBuckets, bucketWidthMicros, negate = true)
+      bucketWidthMicros: Long = 0L,
+      broadcastThreshold: Long = 10L << 20): DataFrame = {
+    // Strategy selection mirroring auto(): a keyed forward with a big
+    // right side gets the dedicated sort-merge exec on the negated axis
+    // (one exchange + sort per side) instead of the window composition —
+    // same best-plan-by-default rule as the backward production path.
+    val rightSize = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (by.nonEmpty && rightSize > broadcastThreshold)
+      forwardMerge(left, right, leftTime, rightTime, by, valueCols, inner)
+    else
+      directional(left, right, leftTime, rightTime, by, valueCols, inner,
+        numBuckets, bucketWidthMicros, negate = true)
+  }
+
+  /** Forward as-of through [[merge]]'s dedicated exec: both time columns
+    * become negated epoch micros (LongType passes raw into the node —
+    * see merge()'s timeExpr), so "latest -rt <= -lt" streams through
+    * AsOfMergeJoinExec as the forward join. Null-key grouping follows
+    * merge()'s pandas semantics, like every forward path.
+    */
+  def forwardMerge(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[(String, String)] = Nil,
+      valueCols: Seq[(String, String)],
+      inner: Boolean = false): DataFrame = {
+    val lt2 = "__graft_fwd_lt"
+    val rt2 = "__graft_fwd_rt"
+    def negUs(c: Column): Column =
+      -unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    merge(left.withColumn(lt2, negUs(col(leftTime))),
+      right.withColumn(rt2, negUs(col(rightTime))),
+      lt2, rt2, by, valueCols, inner).drop(lt2)
+  }
 
   /** Nearest as-of join: each left row takes the CLOSER of its backward
     * and forward matches (pandas `merge_asof(direction="nearest")`);
@@ -304,12 +337,22 @@ object AsOfJoin {
       plan.output.find(a => resolver(a.name, name)).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
     val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    // A LongType time column passes through raw: it is a pre-computed
+    // ordering column (the forward path feeds NEGATED epoch micros, and
+    // casting a long re-interprets it as seconds — overflow). The exec
+    // reads both TimestampType and LongType via getLong, so ordering
+    // semantics are identical.
+    def timeExpr(a: Attribute): org.apache.spark.sql.catalyst.expressions.Expression =
+      a.dataType match {
+        case org.apache.spark.sql.types.LongType => a
+        case _ => Cast(a, TimestampType, zone)
+      }
     val node = graft.plans.AsOfJoinNode(
       lPlan, rPlan,
       leftKeys = by.map(b => attr(lPlan, b._1)),
       rightKeys = by.map(b => attr(rPlan, b._2)),
-      leftTime = Cast(attr(lPlan, leftTime), TimestampType, zone),
-      rightTime = Cast(attr(rPlan, rightTime), TimestampType, zone),
+      leftTime = timeExpr(attr(lPlan, leftTime)),
+      rightTime = timeExpr(attr(rPlan, rightTime)),
       valueExprs = valueCols.map { case (in, _) => attr(rPlan, in) },
       valueAttrs = valueCols.map { case (in, out) =>
         AttributeReference(out, attr(rPlan, in).dataType)() },

@@ -248,6 +248,33 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(byTime(ts("2024-04-30 23:00:00")) === Some(42000.0))
   }
 
+  test("forwardMerge == forward composition; big keyed right plans the exec") {
+    val l = Seq((1L, ts("2024-05-01 00:10:00"), "a"),
+      (1L, ts("2024-05-01 00:30:00"), "b"),
+      (2L, ts("2024-05-01 00:10:00"), "c")).toDF("k", "time", "tag")
+    val r = Seq((1L, ts("2024-05-01 00:30:00"), 1.0), // exact match for b
+      (1L, ts("2024-05-01 00:20:00"), 2.0),
+      (2L, ts("2024-05-01 02:00:00"), 3.0)).toDF("k", "time", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"tag", $"v").as[(String, Option[Double])].collect().toSet
+    val viaMerge = AsOfJoin.forwardMerge(l, r, "time", "time",
+      by = Seq(("k", "k")), valueCols = Seq(("v", "v")))
+    val viaComposition = AsOfJoin.forward(l, r, "time", "time",
+      by = Seq(("k", "k")), valueCols = Seq(("v", "v")))
+    assert(rows(viaMerge) === rows(viaComposition))
+    assert(rows(viaMerge) ===
+      Set(("a", Some(2.0)), ("b", Some(1.0)), ("c", Some(3.0))))
+    assert(viaMerge.queryExecution.executedPlan.toString
+      .contains("AsOfMergeJoin"))
+    // forward() itself picks the exec once the right side looks big
+    val picked = AsOfJoin.forward(l, r, "time", "time",
+      by = Seq(("k", "k")), valueCols = Seq(("v", "v")),
+      broadcastThreshold = 0L)
+    assert(picked.queryExecution.executedPlan.toString
+      .contains("AsOfMergeJoin"))
+    assert(rows(picked) === rows(viaComposition))
+  }
+
   test("nearest as-of: closer side wins, ties prefer backward") {
     val l = Seq(
       (ts("2024-05-01 00:20:00"), "closer-back"),  // 5 min back vs 40 fwd
