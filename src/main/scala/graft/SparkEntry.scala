@@ -1004,6 +1004,23 @@ object SparkEntry {
     // deterministic map-side filter (md5-based uniform — fully oracled,
     // no RNG, partitioning-independent). No counting pass: scales to any
     // corpus size.
+    // ---- sampling: temperature (alpha=1/2) source mixing ----
+    // Flatten the source distribution toward sqrt-proportional shares by
+    // downsampling only — one tiny counting agg, then the md5-uniform
+    // map-side filter. Exact IEEE arithmetic mirrored verbatim in the
+    // oracle => fully hash-checked.
+    // (documents' 20 sources are uniform 25 docs each, under which the
+    // mix is correctly a no-op — so group them into skewed tiers
+    // 350/100/50 and flatten THOSE: keeps ~0.38/0.71/1.0)
+    "s5_temperature_mix" -> ((s, dir) => {
+      val sfx = expr("CAST(substring(source, 4) AS INT)")
+      val tiered = t(s, dir, "documents").select(col("doc_id"),
+        when(sfx < 14, "common").when(sfx < 18, "mid").otherwise("rare")
+          .as("source_tier"))
+      Sampling.resampleTemperature(tiered, col("source_tier"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "s4_mix_sample" -> ((s, dir) =>
       Sampling.resampleToMix(t(s, dir, "documents"),
         col("source"), col("doc_id"),
@@ -1420,6 +1437,24 @@ object SparkEntry {
         |    (((((epoch_us(ts) // 3600000000) % 1024) >> i) & 1) << (2 * i + 1))
         |  )) AS BIGINT) AS z
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // temperature mix: same ops, same order — (sqrt(n) * C) / n with
+    // C = MIN(n / sqrt(n)); md5-uniform threshold as in s4
+    "s5_temperature_mix" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 14 THEN 'common'
+        |         WHEN CAST(substr(source, 4) AS INT) < 18 THEN 'mid'
+        |         ELSE 'rare' END AS source_tier
+        |  FROM documents),
+        |n AS (SELECT source_tier AS g, CAST(COUNT(*) AS DOUBLE) AS n
+        |      FROM d GROUP BY source_tier),
+        |c AS (SELECT MIN(n / sqrt(n)) AS c FROM n),
+        |k AS (SELECT g, sqrt(n) * (SELECT c FROM c) / n AS keep FROM n)
+        |SELECT d.doc_id, d.source_tier
+        |FROM d JOIN k ON d.source_tier = k.g
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    / 1152921504606846976.0 < k.keep
+        |ORDER BY d.doc_id""".stripMargin,
 
     "s4_mix_sample" ->
       """SELECT doc_id, source FROM documents

@@ -72,6 +72,33 @@ class SamplingSpec extends SparkTestBase {
     totals.foreach { case (tot, n) => assert(tot <= 256 || n === 1) }
   }
 
+  test("temperature mix flattens skew by downsampling only") {
+    // heavily skewed: srcA 1600 docs, srcB 100, srcC 4
+    val skewed = spark.range(1704).select(col("id").as("doc_id"),
+      when(col("id") < 1600, "srcA")
+        .when(col("id") < 1700, "srcB").otherwise("srcC").as("source"))
+    val kept = Sampling.resampleTemperature(skewed, col("source"),
+        col("doc_id"))
+      .groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // argmin(n/sqrt(n)) = smallest source keeps EVERYTHING
+    assert(kept("srcC") === 4L)
+    // dominant source flattens toward sqrt-proportional share: its raw
+    // share is 94%; after alpha=1/2 the target share is
+    // sqrt(1600)/(sqrt(1600)+sqrt(100)+sqrt(4)) = 40/52 ~ 77%
+    val total = kept.values.sum.toDouble
+    val shareA = kept("srcA") / total
+    assert(shareA < 0.85 && shareA > 0.6, s"srcA share $shareA not flattened")
+    // keep prob for srcA = sqrt(1600)*C/1600 with C = 4/sqrt(4)=2 -> 5%
+    assert(math.abs(kept("srcA") - 1600 * (40.0 * 2 / 1600)) <= 20,
+      s"srcA kept ${kept("srcA")} far from expectation 80")
+    // deterministic under re-run
+    val again = Sampling.resampleTemperature(skewed, col("source"),
+      col("doc_id")).select("doc_id").as[Long].collect().toSet
+    assert(again === Sampling.resampleTemperature(skewed, col("source"),
+      col("doc_id")).select("doc_id").as[Long].collect().toSet)
+  }
+
   test("lower fraction samples are strict subsets (monotone thresholds)") {
     def ids(f: Double) = Sampling.resampleToMix(docs, col("source"),
       col("doc_id"), Map.empty, defaultFraction = f)
