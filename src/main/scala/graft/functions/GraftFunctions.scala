@@ -693,6 +693,14 @@ object GraftFunctions {
       es => JaccardLong(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine",
       es => CosineSim(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_repetition_stats",
+      es => RepetitionStats(es.head), "scala_udf")
+    // graft_zvalue(bits, dim1, dim2, ...) — bits must be a literal
+    reg.createOrReplaceTempFunction("graft_zvalue",
+      es => ZValue(es.tail, es.head.eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_quantize_roundtrip",
+      es => QuantizeRoundtrip(es.head), "scala_udf")
     // SQL as-of surface: marker function + rewrite rule + planner
     // strategy (sessions built via GraftExtensions get these injected
     // declaratively instead)

@@ -216,16 +216,37 @@ object VersionedTable {
     * REPLACES exactly the input snapshot's files; appends that raced in
     * between are rebased over on retry — never lost, never duplicated.
     * Returns the committed version (or -1 if the table was empty).
+    *
+    * `zorderDims` (+ `zorderBits`) optionally re-CLUSTERS while
+    * compacting: rows are range-partitioned and sorted on the Morton
+    * interleave of the given integral bucket columns (see
+    * [[graft.functions.GraftFunctions.ZValue]]), so the compacted files
+    * carry tight parquet min/max ranges in every clustered dimension —
+    * compaction is exactly when a versioned lake re-sorts for data
+    * skipping (Delta OPTIMIZE ZORDER BY's shape), and the OCC commit
+    * protocol is unchanged.
     */
   def compact(spark: SparkSession, table: String, numFiles: Int,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20,
+      zorderDims: Seq[org.apache.spark.sql.Column] = Nil,
+      zorderBits: Int = 16): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val (_, files) = latest(spark, table)
       if (files.isEmpty) return -1L
-      val compacted = stage(spark,
-        spark.read.parquet(files.map(n => s"$table/$n"): _*)
-          .repartition(numFiles), table)
+      val snapshot = spark.read.parquet(files.map(n => s"$table/$n"): _*)
+      val clustered =
+        if (zorderDims.isEmpty) snapshot.repartition(numFiles)
+        else {
+          val z = graft.functions.GraftFunctions
+            .zvalue(zorderBits)(zorderDims: _*)
+          snapshot.withColumn("__graft_z", z)
+            .repartitionByRange(numFiles,
+              org.apache.spark.sql.functions.col("__graft_z"))
+            .sortWithinPartitions("__graft_z")
+            .drop("__graft_z")
+        }
+      val compacted = stage(spark, clustered, table)
       val (v2, files2) = latest(spark, table)
       // valid only while EVERY input file is still live (another
       // compactor replacing them would make our commit duplicate rows);

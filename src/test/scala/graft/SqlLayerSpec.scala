@@ -96,4 +96,20 @@ class SqlLayerSpec extends SparkTestBase {
       Seq(("best_price", "asof_price")), inner = true)
     assert(viaSql.getLong(0) === df.count())
   }
+
+  test("round-4 expressions are reachable from plain SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((3L, 5L, "aa\nbb\naa aa")).toDF("x", "y", "text")
+      .createOrReplaceTempView("sql_r4")
+    val row = spark.sql(
+      """SELECT graft_zvalue(3, x, y) AS z,
+        |  graft_repetition_stats(text).dup_line_frac AS dlf,
+        |  graft_quantize_roundtrip(array(1.0D, 2.0D, 3.0D))[1] AS q
+        |FROM sql_r4""".stripMargin).head
+    assert(row.getLong(0) === 39L) // 3 interleaved with 5, bits=3
+    assert(row.getDouble(1) === 0.0)
+    // reconstruction error bounded by scale/2 = (3-1)/255/2
+    assert(math.abs(row.getDouble(2) - 2.0) <= 1.0 / 255 + 1e-12)
+  }
 }

@@ -94,4 +94,32 @@ class VersionedTableSpec extends SparkTestBase {
     assert(v === 3L) // rebased past the interloper
     assert(rows(t) === Set((1, "a"), (2, "b")))
   }
+
+  test("z-order compaction preserves data and clusters both dimensions") {
+    import org.apache.spark.sql.functions._
+    val t = Files.createTempDirectory("vt_zorder").toString + "/t"
+    val df = spark.range(4096).select(
+      (col("id") % 64).cast("int").as("x"),
+      (col("id") / 64).cast("int").as("y"),
+      col("id").as("payload"))
+    VersionedTable.append(spark, df, t)
+    val v = VersionedTable.compact(spark, t, numFiles = 16,
+      zorderDims = Seq(col("x").cast("long"), col("y").cast("long")),
+      zorderBits = 6)
+    assert(v === 2L)
+    val back = VersionedTable.read(spark, t)
+    assert(back.count() === 4096)
+    assert(back.agg(sum("payload")).head.getLong(0) ===
+      (0L until 4096L).sum)
+    // every compacted file covers a bounded sub-grid in BOTH dims:
+    // per-file (max-min) spans must be far below the full 64 domain
+    val spans = spark.read.parquet(
+        VersionedTable.latest(spark, t)._2.map(n => s"$t/$n"): _*)
+      .groupBy(input_file_name())
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .select("sx", "sy").as[(Int, Int)].collect()
+    assert(spans.length === 16)
+    assert(spans.forall { case (sx, sy) => sx <= 31 && sy <= 31 },
+      s"files must be sub-grid clustered, got spans ${spans.toSeq}")
+  }
 }
