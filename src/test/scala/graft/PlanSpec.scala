@@ -46,4 +46,37 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"pct distribution should be one agg:\n$p")
     assert(p.contains("partial_sum"))
   }
+
+  test("z1: z-value scan reads only the three needed columns") {
+    val p = plan("z1_zorder")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint>"),
+      s"columns not pruned to (event_id, ts, user_id):\n$p")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      s"map-side z computation should only exchange for the sort:\n$p")
+  }
+
+  test("g1: gap-fill bounds join is broadcast (no fact-side shuffle for it)") {
+    val p = plan("g1_gapfill")
+    assert(p.contains("BroadcastHashJoin"), s"bounds not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sim4: fused quantize roundtrip leaves no HOF in the plan") {
+    val p = plan("sim4_quantized_topk")
+    assert(p.contains("graft_quantize_roundtrip"),
+      s"fused expression missing:\n$p")
+    // the old HOF composition materialized the quantize struct
+    // (mn/scale/codes) and walked it with two transforms; the only
+    // lambda left is the 5-row query side's double cast
+    assert(!p.contains("codes"),
+      s"HOF quantize struct survived in the hot path:\n$p")
+  }
+
+  test("t12: repetition stats stay map-side (no shuffle before the sort)") {
+    val p = plan("t12_repetition")
+    // exactly the ORDER BY exchange; the stats themselves add none
+    val exchanges = "Exchange".r.findAllIn(
+      p.split("== Initial Plan ==").head).length
+    assert(exchanges <= 1, s"repetition stats should not shuffle:\n$p")
+  }
 }
