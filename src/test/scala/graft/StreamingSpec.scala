@@ -2,11 +2,13 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.streaming.AvailableNowJobs
 
 class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
 
   private val rawSchema = StructType(Seq(
     StructField("Time", StringType), StructField("Interval Start", StringType),
@@ -97,5 +99,46 @@ class StreamingSpec extends SparkTestBase {
       .select(col("avg_value"), col("n")).collect()
     assert(rows.map(r => (r.getDouble(0), r.getLong(1))).toSeq ===
       Seq((15.0, 2L), (30.0, 1L)))
+  }
+
+  test("streaming training-data intake: quality gate + fingerprint dedup") {
+    // the batch quality/dedup operators compose unchanged over a stream:
+    // repetition stats + fingerprint are stateless expressions, the
+    // dedup is watermarked dropDuplicates on the fingerprint
+    val dir = java.nio.file.Files.createTempDirectory("stream_intake")
+    java.nio.file.Files.writeString(dir.resolve("b1.csv"),
+      """ts,doc_id,text
+        |2024-05-01 00:00:00,1,a decent document with words
+        |2024-05-01 00:00:01,2,spam spam spam spam spam spam
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.option("header", "true").schema(schema)
+      .csv(dir.toString)
+      .withColumn("rep",
+        graft.functions.GraftFunctions.repetitionStats(col("text")))
+      .where(col("rep.top_bigram_frac") < 0.9) // kills the spam doc
+      .withColumn("fp", graft.operators.TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("fp") // doc 3 is a case/ws variant of doc 1
+      .select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_intake").start()
+    q.processAllAvailable()
+    // batch 2: a case/whitespace variant of doc 1 arrives later — the
+    // fingerprint dedup state drops it
+    java.nio.file.Files.writeString(dir.resolve("b2.csv"),
+      """ts,doc_id,text
+        |2024-05-01 00:00:02,3,A  Decent   document with words
+        |""".stripMargin)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("stream_intake").as[Long].collect().toSet
+    assert(kept === Set(1L), s"expected only doc 1 to survive, got $kept")
   }
 }
