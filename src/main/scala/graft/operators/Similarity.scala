@@ -223,6 +223,51 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("sim"), col("rank"))
   }
 
+  /** IVF × PQ — the composed at-scale ANN architecture (the FAISS
+    * IVFPQ shape): the coarse quantizer routes each query to its
+    * `nprobe` nearest cells, bounding candidates to ~nprobe/nlist of
+    * the corpus, and inside the probed cells candidates are ranked on
+    * PQ-RECONSTRUCTED cosine — the corpus rides as m code bytes per
+    * vector (32× smaller for 64-dim floats), which is what lets a
+    * 100 TB embedding corpus re-rank in executor memory. Both training
+    * steps are the bounded deterministic driver samples of the
+    * components; corpus assignment and encoding are map-side. Recall is
+    * tuned by (nprobe/nlist, m, ksub) — spec-tested against brute force
+    * with both approximations stacked.
+    */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+      ksub: Int = 256, iters: Int = 5): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, corpusId, corpusVec,
+      nlist, iters)
+    val codebooks = trainPqCodebooks(corpus, corpusId, corpusVec,
+      m, ksub, iters)
+    val probes = math.min(nprobe, centroids.length)
+
+    val cSims = centroidSims(asDouble(col(corpusVec)), centroids)
+    // decode ONCE per corpus row; only (id, cell, decoded) ride the join
+    val c = corpus
+      .withColumn("__cell", greatest(cSims: _*).getField("i"))
+      .withColumn("__codes", pqEncode(col(corpusVec), codebooks))
+      .select(col(corpusId), col("__cell"),
+        pqDecode(col("__codes"), codebooks).as("__dv"))
+
+    val qSims = centroidSims(asDouble(col(queryVec)), centroids)
+    val q = queries
+      .withColumn("__cell", explode(transform(
+        slice(reverse(array_sort(array(qSims: _*))), 1, probes),
+        s => s.getField("i"))))
+
+    val joined = c.join(broadcast(q), "__cell")
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("sim", cosine(col("__dv"), asDouble(col(queryVec))))
+    val w = Window.partitionBy(col(queryId)).orderBy(desc("sim"), col(corpusId))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("sim"), col("rank"))
+  }
+
   // ---------- product quantization (PQ) ----------
 
   /** Train PQ codebooks: the vector space splits into `m` equal

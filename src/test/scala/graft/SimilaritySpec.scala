@@ -218,6 +218,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"quantized recall@10 too low: $recall")
   }
 
+  test("IVF x PQ composition: bounded candidates, stacked-approx recall") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .limit(400).cache()
+    val q = emb.limit(5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 10, nlist = 8, nprobe = 4, m = 8, ksub = 64)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (ivfpq & exact).size.toDouble / exact.size
+    assert(recall >= 0.4,
+      s"stacked IVF+PQ recall@10 too low: $recall") // two approximations
+    // deterministic: training samples, assignment, and ranking have no RNG
+    val again = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 10, nlist = 8, nprobe = 4, m = 8, ksub = 64)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again === ivfpq)
+    // probing every cell recovers the pure-PQ ranking (IVF layer exact)
+    val allCells = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 10, nlist = 8, nprobe = 8, m = 8, ksub = 64)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val purePq = Similarity.pqTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 10, m = 8, ksub = 64)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(allCells === purePq,
+      "nprobe=nlist must reduce IVFPQ to pure PQ ranking")
+  }
+
   test("fused quantize roundtrip is bit-identical to the HOF composition") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(300)
     val mismatches = emb.select(
