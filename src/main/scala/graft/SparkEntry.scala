@@ -430,6 +430,20 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- similarity: IVF x PQ composed ANN (rows-only: both layers
+    // are lossy engine-specific sketches; SimilaritySpec proves stacked
+    // recall vs brute force and that nprobe=nlist reduces to pure PQ).
+    // The at-scale flagship: candidates bounded by the coarse quantizer,
+    // ranked on PQ codes 32x smaller than the vectors. ----
+    "sim6_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+        k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 128, iters = 3)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- similarity: top-k over int8-quantized corpus. Lossy but
     // DETERMINISTIC: the scale-offset arithmetic is plain IEEE double
     // ops DuckDB can replay (list_transform + round), and the byte
