@@ -440,7 +440,23 @@ object SparkEntry {
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, "qid", "qv",
-        k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 128, iters = 3)
+        k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 128, iters = 3,
+        adc = true)
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- similarity: ADC-scored PQ top-k (rows-only, same lossy-sketch
+    // justification as sim5 — SimilaritySpec pins identical top-k to the
+    // decode+cosine path and |Δsim| < 1e-9). The actual PQ search loop:
+    // per-query lookup tables make each candidate O(m) lookups instead
+    // of an O(dim) decode+fold, and corpus rows cross the join as m code
+    // bytes. sim5 vs sim7 is the benched A/B of the two scoring modes.
+    "sim7_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.pqTopKAdc(emb, "vec_id", "embedding", q, "qid", "qv",
+        k = 10, m = 8, ksub = 128, iters = 3)
         .orderBy("qid", "rank")
     }),
 

@@ -405,6 +405,127 @@ object GraftFunctions {
       copy(child = c)
   }
 
+  /** ADC (asymmetric distance computation) query-side lookup table: for
+    * ONE query vector, the dot product of each subspace's query slice
+    * with EVERY codeword of that subspace's codebook, flattened in
+    * codebook order, with the query's squared norm in slot 0. Evaluated
+    * once per query row (the small broadcast side — O(ksub·dim) per
+    * query); after it exists, scoring a PQ-coded candidate is `m` table
+    * lookups ([[PqAdcScore]]) instead of an O(dim) decode + O(dim)
+    * cosine. This is the standard PQ search loop (Jégou et al., §IV-A:
+    * "the distance to each centroid is computed once and stored in a
+    * lookup table"). Null on null / wrong-length / null-element vectors,
+    * mirroring [[PqEncode]].
+    */
+  case class PqAdcLut(child: Expression,
+      codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("expected array<float|double>")
+    }
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_pq_adc_lut"
+
+    @transient private lazy val dsub = codebooks(0)(0).length
+    @transient private lazy val dim = codebooks.length * dsub
+    @transient private lazy val nCodes = codebooks.map(_.length).sum
+
+    override def nullSafeEval(input: Any): Any = {
+      val ad = input.asInstanceOf[ArrayData]
+      if (ad.numElements() != dim) return null
+      val isFloat = child.dataType.asInstanceOf[ArrayType]
+        .elementType == FloatType
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        if (ad.isNullAt(i)) return null
+        v(i) = if (isFloat) ad.getFloat(i).toDouble else ad.getDouble(i)
+        i += 1
+      }
+      val out = new Array[Double](1 + nCodes)
+      // query squared norm: the same flat index-order fold CosineSim does
+      var na = 0.0
+      i = 0
+      while (i < dim) { na += v(i) * v(i); i += 1 }
+      out(0) = na
+      var slot = 1
+      var j = 0
+      while (j < codebooks.length) {
+        val cb = codebooks(j)
+        val off = j * dsub
+        var c = 0
+        while (c < cb.length) {
+          var d = 0.0
+          var t = 0
+          while (t < dsub) { d += v(off + t) * cb(c)(t); t += 1 }
+          out(slot) = d
+          slot += 1
+          c += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): PqAdcLut =
+      copy(child = c)
+  }
+
+  /** ADC score: cosine(query, decode(codes)) reconstructed from `m` table
+    * lookups — `dot = Σ_j lut[code_j]`, `‖decode‖² = Σ_j normLut[code_j]`
+    * (codeword squared norms are query-independent plan constants). O(m)
+    * per candidate pair vs O(dim) for decode+cosine, and the corpus side
+    * of the join carries only the m code bytes. Values match the
+    * decode+cosine path up to floating-point re-grouping (per-subspace
+    * partial sums instead of one flat fold — |Δ| at ulp scale,
+    * spec-pinned); zero-norm and malformed inputs return null exactly
+    * like [[CosineSim]].
+    */
+  case class PqAdcScore(left: Expression, right: Expression,
+      normLut: Array[Double], offsets: Array[Int])
+      extends BinaryExpression with CodegenFallback {
+    require(offsets.length >= 2 && offsets.head == 0 &&
+      offsets.last == normLut.length, "offsets must be cumulative over normLut")
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (BinaryType, ArrayType(DoubleType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "expected (binary pq codes, array<double> adc lut)")
+      }
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_pq_adc_score"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val codes = l.asInstanceOf[Array[Byte]]
+      val lut = r.asInstanceOf[ArrayData]
+      val m = offsets.length - 1
+      if (codes.length != m) return null
+      if (lut.numElements() != 1 + normLut.length) return null
+      val na = lut.getDouble(0)
+      var dot = 0.0
+      var nb = 0.0
+      var j = 0
+      while (j < m) {
+        val idx = codes(j) & 0xFF
+        val base = offsets(j)
+        // a code byte from a differently-sized codebook indexes past this
+        // subspace's slice — null, like PqDecode's out-of-range guard
+        if (base + idx >= offsets(j + 1)) return null
+        dot += lut.getDouble(1 + base + idx)
+        nb += normLut(base + idx)
+        j += 1
+      }
+      if (na == 0.0 || nb == 0.0) null
+      else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): PqAdcScore =
+      copy(left = l, right = r)
+  }
+
   // ---- Column API ----
 
   def ngramHashes(toks: Column, n: Int): Column =
@@ -439,6 +560,21 @@ object GraftFunctions {
 
   def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
     SparkShim.toColumn(PqDecode(SparkShim.toExpression(codes), codebooks))
+
+  def pqAdcLut(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    SparkShim.toColumn(PqAdcLut(SparkShim.toExpression(vec), codebooks))
+
+  def pqAdcScore(codes: Column, lut: Column,
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val offsets = codebooks.scanLeft(0)(_ + _.length)
+    val normLut = codebooks.flatMap(_.map { cw =>
+      var s = 0.0; var t = 0
+      while (t < cw.length) { s += cw(t) * cw(t); t += 1 }
+      s
+    })
+    SparkShim.toColumn(PqAdcScore(SparkShim.toExpression(codes),
+      SparkShim.toExpression(lut), normLut, offsets))
+  }
 
   /** Gopher-style repetition statistics in ONE pass over the text —
     * struct(dup_line_frac, dup_line_char_frac, top_bigram_frac):

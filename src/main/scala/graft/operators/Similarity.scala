@@ -238,7 +238,7 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
-      ksub: Int = 256, iters: Int = 5): DataFrame = {
+      ksub: Int = 256, iters: Int = 5, adc: Boolean = false): DataFrame = {
     val centroids = trainIvfCentroids(corpus, corpusId, corpusVec,
       nlist, iters)
     val codebooks = trainPqCodebooks(corpus, corpusId, corpusVec,
@@ -246,22 +246,34 @@ object Similarity {
     val probes = math.min(nprobe, centroids.length)
 
     val cSims = centroidSims(asDouble(col(corpusVec)), centroids)
-    // decode ONCE per corpus row; only (id, cell, decoded) ride the join
-    val c = corpus
+    val coded = corpus
       .withColumn("__cell", greatest(cSims: _*).getField("i"))
       .withColumn("__codes", pqEncode(col(corpusVec), codebooks))
-      .select(col(corpusId), col("__cell"),
+    // ADC: candidates ride as m code bytes, scored via the query's lookup
+    // table (O(m)/pair). Otherwise decode ONCE per corpus row; only
+    // (id, cell, decoded) ride the join.
+    val c =
+      if (adc) coded.select(col(corpusId), col("__cell"), col("__codes"))
+      else coded.select(col(corpusId), col("__cell"),
         pqDecode(col("__codes"), codebooks).as("__dv"))
 
     val qSims = centroidSims(asDouble(col(queryVec)), centroids)
-    val q = queries
+    val qProbed = queries
       .withColumn("__cell", explode(transform(
         slice(reverse(array_sort(array(qSims: _*))), 1, probes),
         s => s.getField("i"))))
+    val q =
+      if (adc) qProbed.select(col(queryId), col("__cell"),
+        graft.functions.GraftFunctions
+          .pqAdcLut(asDouble(col(queryVec)), codebooks).as("__lut"))
+      else qProbed
 
     val joined = c.join(broadcast(q), "__cell")
       .where(col(queryId) =!= col(corpusId))
-      .withColumn("sim", cosine(col("__dv"), asDouble(col(queryVec))))
+      .withColumn("sim",
+        if (adc) graft.functions.GraftFunctions
+          .pqAdcScore(col("__codes"), col("__lut"), codebooks)
+        else cosine(col("__dv"), asDouble(col(queryVec))))
     val w = Window.partitionBy(col(queryId)).orderBy(desc("sim"), col(corpusId))
     joined.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -358,6 +370,38 @@ object Similarity {
     val joined = compressed.join(broadcast(queries))
       .where(col(queryId) =!= col(corpusId))
       .withColumn("sim", cosine(col("__dv"), asDouble(col(queryVec))))
+    val w = Window.partitionBy(col(queryId)).orderBy(desc("sim"), col(corpusId))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("sim"), col("rank"))
+  }
+
+  /** [[pqTopK]] scored by ADC lookup tables — the actual PQ search loop
+    * (Jégou et al. §IV-A): each query precomputes, once, the dot product
+    * of its subvectors with every codeword ([[graft.functions
+    * .GraftFunctions.PqAdcLut]]); a candidate's cosine then reconstructs
+    * from `m` table lookups instead of an O(dim) decode + O(dim) fold,
+    * and corpus rows cross the join as `m` code bytes instead of a
+    * decoded `double[dim]`. Scores equal [[pqTopK]] up to floating-point
+    * re-grouping (per-subspace partials vs one flat fold; spec pins
+    * |Δ| < 1e-9 and identical top-k), so this is the drop-in scale path:
+    * at 100 TB the per-candidate work and the shuffle width both shrink
+    * ~dim/m ≈ 8×.
+    */
+  def pqTopKAdc(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, m: Int = 8, ksub: Int = 256, iters: Int = 5): DataFrame = {
+    val codebooks = trainPqCodebooks(corpus, corpusId, corpusVec, m, ksub, iters)
+    val compressed = corpus
+      .withColumn("__codes", pqEncode(col(corpusVec), codebooks))
+      .select(col(corpusId), col("__codes"))
+    val q = queries.select(col(queryId),
+      graft.functions.GraftFunctions
+        .pqAdcLut(asDouble(col(queryVec)), codebooks).as("__lut"))
+    val joined = compressed.join(broadcast(q))
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("sim", graft.functions.GraftFunctions
+        .pqAdcScore(col("__codes"), col("__lut"), codebooks))
     val w = Window.partitionBy(col(queryId)).orderBy(desc("sim"), col(corpusId))
     joined.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

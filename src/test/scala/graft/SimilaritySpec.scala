@@ -248,6 +248,62 @@ class SimilaritySpec extends SparkTestBase {
       "nprobe=nlist must reduce IVFPQ to pure PQ ranking")
   }
 
+  test("ADC scoring: identical top-k to decode+cosine, sims within 1e-9") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .limit(400).cache()
+    val q = emb.limit(6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val decodePath = Similarity.pqTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 10, m = 8, ksub = 64)
+    val adcPath = Similarity.pqTopKAdc(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 10, m = 8, ksub = 64)
+    // same candidates in the same order
+    val d = decodePath.select("qid", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().sorted
+    val a = adcPath.select("qid", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().sorted
+    assert(a === d)
+    // scores agree to fp-regrouping tolerance
+    val maxDiff = decodePath.select(col("qid"), col("vec_id"),
+        col("sim").as("sim_d"))
+      .join(adcPath.select(col("qid"), col("vec_id"), col("sim").as("sim_a")),
+        Seq("qid", "vec_id"))
+      .agg(max(abs(col("sim_d") - col("sim_a")))).head.getDouble(0)
+    assert(maxDiff < 1e-9, s"ADC diverged from decode+cosine by $maxDiff")
+    // and the same holds inside the IVF composition
+    val ivfD = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 10, nlist = 8, nprobe = 4, m = 8, ksub = 64)
+      .select("qid", "rank", "vec_id").as[(Long, Int, Long)].collect().sorted
+    val ivfA = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 10, nlist = 8, nprobe = 4, m = 8, ksub = 64,
+      adc = true)
+      .select("qid", "rank", "vec_id").as[(Long, Int, Long)].collect().sorted
+    assert(ivfA === ivfD)
+  }
+
+  test("ADC null semantics mirror CosineSim: zero/malformed query -> null") {
+    import graft.functions.GraftFunctions
+    val cb = Similarity.trainPqCodebooks(
+      spark.read.parquet(s"$sf/embeddings.parquet").limit(200),
+      "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+    val dim = cb.length * cb(0)(0).length
+    val rows = Seq(
+      ("zero", Array.fill(dim)(0.0)),          // zero norm -> null score
+      ("short", Array.fill(dim - 1)(1.0)),     // dim mismatch -> null lut
+      ("ok", Array.tabulate(dim)(i => (i % 5 + 1).toDouble))
+    ).toDF("tag", "qv")
+    val codes = spark.read.parquet(s"$sf/embeddings.parquet").limit(1)
+      .select(GraftFunctions.pqEncode(
+        Similarity.asDouble(col("embedding")), cb).as("codes"))
+    val got = codes.join(rows)
+      .select(col("tag"), GraftFunctions.pqAdcScore(col("codes"),
+        GraftFunctions.pqAdcLut(col("qv"), cb), cb).as("sim"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(got("zero").isEmpty)
+    assert(got("short").isEmpty)
+    assert(got("ok").nonEmpty)
+  }
+
   test("fused quantize roundtrip is bit-identical to the HOF composition") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(300)
     val mismatches = emb.select(
