@@ -986,6 +986,23 @@ object SparkEntry {
           col("rep.top_bigram_frac").as("top_bigram_frac"))
         .orderBy("doc_id")),
 
+    // ---- text: C4-style corpus-frequency line dedup. Docs get three
+    // constructed metadata lines with genuinely different corpus
+    // frequencies (lang ~500, chars-bucket 37..111, source 10..16);
+    // minCount=50 removes the frequent ones from every doc and keeps
+    // the rest — boilerplate removal, fully hash-oracled. ----
+    "t13_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          concat(lit("source: "), col("source")),
+          concat(lit("lang: "), col("lang")),
+          concat(lit("chars: "),
+            floor(col("n_chars") / lit(100)).cast(LongType).cast(StringType)))
+          .as("text"))
+      TextAnalysis.dedupLines(docs, "doc_id", "text", minCount = 50)
+        .orderBy("doc_id")
+    }),
+
     // ---- join: NEAREST as-of (closer of backward/forward; ties prefer
     // backward) — left times shifted +17 min between right points so
     // both directions genuinely compete; oracled via two DuckDB ASOF
@@ -1415,6 +1432,30 @@ object SparkEntry {
         |  COALESCE(CAST(bga.topc AS DOUBLE) / CAST(bga.nbg AS DOUBLE), 0.0)
         |    AS top_bigram_frac
         |FROM base b LEFT JOIN la USING (doc_id) LEFT JOIN bga USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // C4-style line dedup: same md5(lower(trim(line))) key, same
+    // >= minCount cut, reassembly in original line order. Parallel
+    // unnests zip positionally in DuckDB; range(1, len+1) supplies pos.
+    "t13_line_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, concat_ws(chr(10), text,
+        |           'source: ' || source, 'lang: ' || lang,
+        |           'chars: ' || CAST(n_chars // 100 AS VARCHAR)) AS text
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, unnest(parts) AS line,
+        |         unnest(range(1, len(parts) + 1)) AS pos
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+        |        FROM docs)
+        |), k AS (
+        |  SELECT doc_id, pos, line, md5(lower(trim(line))) AS h FROM l
+        |), boiler AS (
+        |  SELECT h FROM k GROUP BY h HAVING COUNT(*) >= 50
+        |)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM k ANTI JOIN boiler USING (h)
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // nearest = closer of the two ASOF directions, ties to backward —

@@ -132,6 +132,46 @@ object TextAnalysis {
         col("rk").cast(IntegerType).as("rk"))
   }
 
+  /** Corpus-frequency line dedup — C4-style boilerplate removal
+    * ("we discard … any line occurring ≥ 3 times in the corpus"):
+    * every document's lines are counted corpus-wide (normalized by
+    * lower+trim, keyed by md5 so the counting shuffle carries a 32-char
+    * digest, never the line text); lines whose corpus frequency reaches
+    * `minCount` are removed from every document; surviving lines
+    * reassemble in their original order. Documents left with no lines
+    * drop (the C4 convention) unless `keepEmpty`, which retains them
+    * with an empty text.
+    *
+    * Shape at scale: one narrow groupBy on the digest builds the
+    * boilerplate set — which is SMALL (only lines repeated ≥ minCount
+    * survive the HAVING), so the anti-join against it broadcasts under
+    * AQE — then one groupBy(id) reassembles. The line text crosses the
+    * wire only in the reassembly shuffle, the same cost class as
+    * chunking. split('\n') / string_split both KEEP trailing empty
+    * lines, and lower/trim normalize identically in both engines, so
+    * the operator is fully hash-oracled (t13_line_dedup).
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 3, keepEmpty: Boolean = false): DataFrame = {
+    require(minCount >= 2, s"minCount $minCount would delete every line")
+    val parts = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__k", md5(lower(trim(col("__line")))))
+    val boiler = parts.groupBy("__k")
+      .agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount)
+      .select("__k")
+    val rebuilt = parts.join(boiler, Seq("__k"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          _.getField("__line")), "\n").as(textCol))
+    if (keepEmpty)
+      docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+        .withColumn(textCol, coalesce(col(textCol), lit("")))
+    else rebuilt
+  }
+
   /** Full per-document profile in one map-side pass. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -292,4 +292,38 @@ class TextDedupSpec extends SparkTestBase {
       graft.functions.GraftFunctions.repetitionStats(col("text"))).head
     assert(r.isNullAt(0))
   }
+
+  test("dedupLines removes corpus-frequent lines, keeps original order") {
+    val docs = Seq(
+      (1L, "unique alpha\nSubscribe now!\nunique beta"),
+      (2L, "subscribe NOW!\nonly here"),          // case-variant counts too
+      (3L, "  Subscribe now!  \nanother body"),   // trim-variant counts too
+      (4L, "Subscribe now!")                      // nothing left -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLines(docs, "doc_id", "text", minCount = 3)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(got === Array(
+      1L -> "unique alpha\nunique beta",          // middle line removed, order kept
+      2L -> "only here",
+      3L -> "another body"))                      // doc 4 dropped entirely
+    // keepEmpty retains the emptied doc with "" text
+    val kept = TextAnalysis.dedupLines(docs, "doc_id", "text",
+        minCount = 3, keepEmpty = true)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(kept.length === 4 && kept(3) === (4L -> ""))
+  }
+
+  test("dedupLines minCount boundary: frequency == minCount is removed") {
+    val docs = Seq(
+      (1L, "twice\na1"), (2L, "twice\na2"), (3L, "solo\na3")
+    ).toDF("doc_id", "text")
+    // "twice" appears exactly 2x: removed at minCount=2, kept at minCount=3
+    val at2 = TextAnalysis.dedupLines(docs, "doc_id", "text", minCount = 2)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(at2 === Array(1L -> "a1", 2L -> "a2", 3L -> "solo\na3"))
+    val at3 = TextAnalysis.dedupLines(docs, "doc_id", "text", minCount = 3)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(at3 === Array(
+      1L -> "twice\na1", 2L -> "twice\na2", 3L -> "solo\na3"))
+  }
 }
