@@ -144,7 +144,8 @@ object Dedup {
     */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double,
-      maxBlockSize: Int = 2048, neighborhood: Int = 8): DataFrame = {
+      maxBlockSize: Int = 2048, neighborhood: Int = 8,
+      snmPrefixLen: Int = 4): DataFrame = {
     def half(suffix: String)(d: DataFrame): DataFrame =
       d.select((blockCols :+ idCol :+ textCol).map(col): _*)
         .withColumnRenamed(idCol, idCol + suffix)
@@ -157,16 +158,39 @@ object Dedup {
       .where(col(idCol) < col(idCol + "_2"))
     val bigPairs = {
       // sort key = the sorted distinct char set (charJaccard's feature
-      // space); ties broken by id for determinism
+      // space); ties broken by id for determinism.
+      //
+      // The global-within-block rank is computed in TWO levels so no
+      // single task ever sorts a whole oversized block: rows rank inside
+      // (block, key-prefix bucket) windows — parallel across buckets —
+      // and per-bucket offsets come from a cumsum over one narrow row
+      // per bucket (the only per-block serial step). Because the bucket
+      // is a PREFIX of the sort key, (bucket, key, id) order equals
+      // (key, id) order, so the two-level rank is IDENTICAL to the
+      // single-window rank (spec-pinned). A block whose docs all share
+      // one key prefix degrades to the single-task sort — lengthen
+      // snmPrefixLen if the key space is that degenerate.
       val big = sized.where(col("__bn") > maxBlockSize)
-        .withColumn("__r", row_number().over(
+        .withColumn("__key", concat_ws("", array_sort(
+          array_remove(array_distinct(split(col(textCol), "")), ""))))
+        .withColumn("__bkt", substring(col("__key"), 1, snmPrefixLen))
+      val bktCols = blockCols :+ "__bkt"
+      val ranked = big.withColumn("__ir", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(bktCols.map(col): _*)
+          .orderBy(col("__key"), col(idCol))))
+      val offsets = ranked.groupBy(bktCols.map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__off", coalesce(sum(col("__cnt")).over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(blockCols.map(col): _*)
-            .orderBy(concat_ws("", array_sort(
-              array_remove(array_distinct(split(col(textCol), "")), ""))),
-              col(idCol))))
-      val narrow = big.select(
-        (blockCols :+ idCol :+ textCol).map(col) :+ col("__r"): _*)
+            .orderBy(col("__bkt"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+        .select((bktCols.map(col) :+ col("__off")): _*)
+      val narrow = ranked.join(offsets, bktCols)
+        .withColumn("__r", col("__off") + col("__ir"))
+        .select((blockCols :+ idCol :+ textCol).map(col) :+ col("__r"): _*)
       val lhs = narrow
         .withColumn("__j", explode(sequence(lit(1), lit(neighborhood))))
         .withColumn("__r", col("__r") + col("__j")).drop("__j")

@@ -128,6 +128,27 @@ class TextDedupSpec extends SparkTestBase {
     assert(exhaustive.count() === 200L * 199 / 2)
   }
 
+  test("SNM two-level rank is prefix-length invariant (== single-window order)") {
+    // The distributed SNM rank buckets by a PREFIX of the sort key, so
+    // any prefix length must yield the same global order — prefixLen 1
+    // (few big buckets), 4 (default), and 64 (≈ one bucket per distinct
+    // key) must emit the identical pair set with identical sims.
+    val corpus = spark.range(1200).select(
+      col("id").as("doc_id"),
+      concat(lit("skewed body "), (col("id") % 17).cast("string"),
+        lit(" tail "), (col("id") % 5).cast("string")).as("text"),
+      lit("en").as("lang"))
+    def pairs(p: Int) = Dedup.blockedJaccardPairs(corpus, "doc_id", "text",
+      Seq("lang"), threshold = 0.0, maxBlockSize = 100, neighborhood = 3,
+      snmPrefixLen = p)
+      .select("doc_id", "doc_id_2", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val p1 = pairs(1)
+    assert(p1 === pairs(4))
+    assert(p1 === pairs(64))
+    assert(p1.size === 1200 * 3 - 3 * 4 / 2) // still exactly B·k - k(k+1)/2
+  }
+
   test("capped blockedJaccardPairs emits only pairs the exhaustive form emits") {
     val corpus = spark.range(300).select(
       col("id").as("doc_id"),
