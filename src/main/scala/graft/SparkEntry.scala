@@ -1068,6 +1068,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- sampling: reproducible global shuffle (training-example order) ----
+    // Sort by a seeded md5 key: pure function of (seed, id) — identical
+    // on any cluster layout, re-derivable by any engine with md5().
+    // Range-partition + sort at scale; no global rank is materialized.
+    "s6_shuffle" -> ((s, dir) =>
+      Sampling.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id")), col("doc_id"), seed = 42L)
+        .select(col("doc_id"), col("shuffle_key"))),
+
+    // ---- sampling: stable train/val/test split ----
+    // Hash-threshold assignment (exact binary-fraction weights so the
+    // cumulative thresholds are IEEE-exact in both engines): a doc's
+    // split never changes as the corpus grows — no leakage on re-split.
+    "s7_split" -> ((s, dir) =>
+      Sampling.hashSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
     "s4_mix_sample" -> ((s, dir) =>
       Sampling.resampleToMix(t(s, dir, "documents"),
         col("source"), col("doc_id"),
@@ -1526,6 +1547,24 @@ object SparkEntry {
         |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |    / 1152921504606846976.0 < k.keep
         |ORDER BY d.doc_id""".stripMargin,
+
+    // reproducible shuffle: same seeded md5-60 key, same total order
+    "s6_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(concat('42', ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+        |    AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    // stable split: md5-uniform vs exact cumulative thresholds
+    "s7_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |            / 1152921504606846976.0 < 0.75 THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |            / 1152921504606846976.0 < 0.875 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "s4_mix_sample" ->
       """SELECT doc_id, source FROM documents

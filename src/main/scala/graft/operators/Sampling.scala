@@ -57,6 +57,47 @@ object Sampling {
     * exact keep thresholds — write the formula VERBATIM in both engines
     * (n/sqrt(n) must stay n/sqrt(n), not simplify to sqrt(n)).
     */
+  /** Reproducible global shuffle for training-example order: sort by a
+    * seeded md5-derived key. Unlike `df.repartition` or `orderBy(rand)`,
+    * the order is a pure function of (seed, id) — identical across
+    * re-runs, cluster layouts, and engines — and changing the seed gives
+    * an independent permutation (epoch reshuffling = seed + 1). At scale
+    * this is Spark's range-partition + per-partition sort: no single
+    * task ever holds the corpus, and the sorted write preserves the
+    * order file-by-file. The key is exposed so downstream stages (and
+    * the cross-engine oracle) can verify or resume the order without
+    * recomputing positions; a global contiguous rank is deliberately NOT
+    * computed (that would serialize through one window partition).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: Column,
+      seed: Long): DataFrame =
+    df.withColumn("shuffle_key",
+        Dedup.md5Hash60(concat_ws(":", lit(seed), idCol.cast("string"))))
+      .orderBy(col("shuffle_key"), idCol)
+
+  /** Stable train/validation/test assignment: label each row by where
+    * its md5-uniform falls in the cumulative weight intervals (weights
+    * are normalized; iteration follows the Seq order). Hash-based, so a
+    * row's split NEVER changes as the corpus grows or repartitions —
+    * the property that prevents silent train/test leakage when a rank-
+    * or rand-based split is recomputed over an updated corpus. Map-side
+    * only; zero shuffle at any scale.
+    */
+  def hashSplit(df: DataFrame, idCol: Column,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0.0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val u = hashUniform(idCol)
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail
+    // last split takes the open tail so u == 1-epsilon cannot fall out
+    val assigned = weights.init.zip(cum.init).reverse
+      .foldLeft(lit(weights.last._1): Column) {
+        case (acc, ((name, _), hi)) => when(u < hi / total, name).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
   def resampleTemperature(df: DataFrame, groupCol: Column,
       idCol: Column): DataFrame = {
     val counts = df.groupBy(groupCol.as("__g"))

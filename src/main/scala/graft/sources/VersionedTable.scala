@@ -46,7 +46,13 @@ object VersionedTable {
   private def commitPath(table: String, v: Long): Path =
     new Path(s"$table/$CommitsDir/v${"%08d".format(v)}")
 
-  private def readManifest(f: FileSystem, table: String, v: Long): Seq[String] = {
+  // Manifest lines starting with '#' are metadata, not file names. The
+  // only metadata today is writer-transaction watermarks
+  // ("#txn <writerId> <epoch>") — the Delta `txn` action — which make
+  // streaming micro-batch commits idempotent (see [[appendIdempotent]]).
+  private val TxnPrefix = "#txn "
+
+  private def readManifestRaw(f: FileSystem, table: String, v: Long): Seq[String] = {
     val p = commitPath(table, v)
     val data = new Array[Byte](f.getFileStatus(p).getLen.toInt)
     val in = f.open(p)
@@ -54,10 +60,21 @@ object VersionedTable {
     new String(data, "UTF-8").split("\n").filter(_.nonEmpty).toSeq
   }
 
-  /** (version, files) of the latest committed snapshot; (0, Nil) for an
-    * empty/new table.
-    */
-  def latest(spark: SparkSession, table: String): (Long, Seq[String]) = {
+  private def readManifest(f: FileSystem, table: String, v: Long): Seq[String] =
+    readManifestRaw(f, table, v).filterNot(_.startsWith("#"))
+
+  /** writerId -> highest committed epoch, from manifest `lines`. */
+  private def txnMap(lines: Seq[String]): Map[String, Long] =
+    lines.collect { case l if l.startsWith(TxnPrefix) =>
+      val Array(w, e) = l.drop(TxnPrefix.length).split(" ", 2)
+      w -> e.toLong
+    }.toMap
+
+  private def txnLines(m: Map[String, Long]): Seq[String] =
+    m.toSeq.sortBy(_._1).map { case (w, e) => s"$TxnPrefix$w $e" }
+
+  /** (version, raw manifest lines incl. metadata) of the latest commit. */
+  private def latestRaw(spark: SparkSession, table: String): (Long, Seq[String]) = {
     val f = fs(spark, table)
     val dir = new Path(s"$table/$CommitsDir")
     if (!f.exists(dir)) return (0L, Nil)
@@ -65,8 +82,24 @@ object VersionedTable {
       .filter(_.startsWith("v")).map(_.drop(1).toLong)
     if (versions.isEmpty) return (0L, Nil)
     val v = versions.max
-    (v, readManifest(f, table, v))
+    (v, readManifestRaw(f, table, v))
   }
+
+  /** (version, files) of the latest committed snapshot; (0, Nil) for an
+    * empty/new table.
+    */
+  def latest(spark: SparkSession, table: String): (Long, Seq[String]) = {
+    val (v, lines) = latestRaw(spark, table)
+    (v, lines.filterNot(_.startsWith("#")))
+  }
+
+  /** Highest epoch this writer has committed, or None. The streaming
+    * exactly-once check: a restarted query re-offering an epoch <= this
+    * is a REPLAY and must not write again.
+    */
+  def lastCommittedEpoch(spark: SparkSession, table: String,
+      writerId: String): Option[Long] =
+    txnMap(latestRaw(spark, table)._2).get(writerId)
 
   /** All committed versions, ascending; empty for a new table. */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
@@ -165,8 +198,9 @@ object VersionedTable {
     val staged = stage(spark, df, table)
     var attempt = 0
     while (attempt < maxRetries) {
-      val (v, files) = latest(spark, table)
-      if (tryCommit(spark, table, v + 1, files ++ staged)) return v + 1
+      val (v, lines) = latestRaw(spark, table)
+      // metadata (writer txn watermarks) carries forward unchanged
+      if (tryCommit(spark, table, v + 1, lines ++ staged)) return v + 1
       attempt += 1
     }
     // never committed: remove the staged files so they don't sit orphaned
@@ -174,6 +208,46 @@ object VersionedTable {
     val f = fs(spark, table)
     staged.foreach(n => f.delete(new Path(table, n), false))
     throw new IllegalStateException(s"append lost $maxRetries commit races")
+  }
+
+  /** Exactly-once append for streaming micro-batches: the commit records
+    * "#txn writerId epoch" in the manifest, and an append whose epoch is
+    * <= the writer's last committed epoch is a NO-OP (returns the current
+    * version without staging). This is precisely Delta's `txn`/
+    * `setTransaction` idempotence contract: foreachBatch delivers
+    * at-least-once, so after a crash between sink-write and checkpoint-
+    * advance the same batchId is re-offered — the manifest watermark, not
+    * the checkpoint, is what de-duplicates it. The epoch check re-runs
+    * inside the OCC retry loop, so two instances of the same restarted
+    * query racing the same batch commit it exactly once.
+    */
+  def appendIdempotent(spark: SparkSession, df: DataFrame, table: String,
+      writerId: String, epoch: Long, maxRetries: Int = 20): Long = {
+    require(writerId.nonEmpty && !writerId.contains(" ") &&
+      !writerId.contains("\n"), "writerId must be non-empty, no spaces")
+    val (v0, lines0) = latestRaw(spark, table)
+    if (txnMap(lines0).get(writerId).exists(_ >= epoch)) return v0
+    val staged = stage(spark, df, table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      val txns = txnMap(lines)
+      if (txns.get(writerId).exists(_ >= epoch)) {
+        // a racing instance of this writer committed our epoch first —
+        // drop our staged files; the batch is already in the table
+        val f = fs(spark, table)
+        staged.foreach(n => f.delete(new Path(table, n), false))
+        return v
+      }
+      val next = txnLines(txns + (writerId -> epoch)) ++
+        lines.filterNot(_.startsWith("#")) ++ staged
+      if (tryCommit(spark, table, v + 1, next)) return v + 1
+      attempt += 1
+    }
+    val f = fs(spark, table)
+    staged.foreach(n => f.delete(new Path(table, n), false))
+    throw new IllegalStateException(
+      s"appendIdempotent lost $maxRetries commit races")
   }
 
   /** Snapshot read of the latest committed version. Pass `schema` so an
@@ -247,14 +321,18 @@ object VersionedTable {
             .drop("__graft_z")
         }
       val compacted = stage(spark, clustered, table)
-      val (v2, files2) = latest(spark, table)
+      val (v2, lines2) = latestRaw(spark, table)
+      val files2 = lines2.filterNot(_.startsWith("#"))
       // valid only while EVERY input file is still live (another
       // compactor replacing them would make our commit duplicate rows);
-      // concurrent APPENDS are rebased over (kept alongside).
+      // concurrent APPENDS are rebased over (kept alongside). Writer txn
+      // watermarks carry forward — a compaction must not make a streaming
+      // writer forget its committed epochs (that would re-admit replays).
       val committed =
         files.forall(files2.contains) &&
           tryCommit(spark, table, v2 + 1,
-            compacted ++ files2.filterNot(files.contains))
+            lines2.filter(_.startsWith("#")) ++
+              compacted ++ files2.filterNot(files.contains))
       if (committed) return v2 + 1
       // lost the race — drop our staged output and retry from scratch
       val f = fs(spark, table)

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.sources.VersionedTable
+
+/** Exactly-once streaming sink into a [[graft.sources.VersionedTable]].
+  *
+  * Structured Streaming's foreachBatch contract is AT-LEAST-ONCE: after a
+  * crash between the sink write and the checkpoint advance, the same
+  * batchId is re-offered on restart. Plain `LakeWriter.append` in
+  * foreachBatch therefore duplicates rows on recovery. This sink closes
+  * the loop the way Delta's streaming sink does: every micro-batch commit
+  * records a `(writerId, batchId)` transaction watermark in the table
+  * manifest, and [[VersionedTable.appendIdempotent]] turns any replayed
+  * batchId into a no-op — the TABLE, not the checkpoint, is the source of
+  * truth for what landed. Combined with the table's OCC manifest race,
+  * this also survives two zombie instances of the same query racing one
+  * batch (exactly one commit wins; the loser drops its staged files).
+  *
+  * At 100 TB this is the streaming ingestion edge of the lake: each
+  * micro-batch is one manifest commit regardless of data volume, readers
+  * see atomic snapshot flips, and compaction/z-ordering run concurrently
+  * under the same protocol (writer watermarks carry forward through
+  * compaction commits).
+  *
+  * Reference scope: the reference's ingestion jobs append each fetched
+  * feed batch to the lake (e.g. ercot_*_to_GCS producers + the
+  * `..._BQ_archive_csv.py` append jobs); this is that append made safe
+  * under crash-replay.
+  */
+object VersionedSink {
+
+  /** The foreachBatch function: wire as
+    * `df.writeStream.foreachBatch(VersionedSink.exactlyOnce(table, id))`.
+    */
+  def exactlyOnce(table: String,
+      writerId: String): (Dataset[Row], Long) => Unit =
+    (batch: Dataset[Row], batchId: Long) => {
+      VersionedTable.appendIdempotent(
+        batch.sparkSession, batch.toDF(), table, writerId, batchId)
+      ()
+    }
+
+  /** Start a streaming append of `df` into `table` with exactly-once
+    * micro-batch commits. `writerId` must be stable across restarts of
+    * the same logical query (it scopes the replay-detection watermark).
+    */
+  def start(df: DataFrame, table: String, writerId: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val w: DataStreamWriter[Row] = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(exactlyOnce(table, writerId))
+    w.start()
+  }
+}

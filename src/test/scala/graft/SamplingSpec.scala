@@ -27,6 +27,34 @@ class SamplingSpec extends SparkTestBase {
     assert(kept > 0.4 && kept < 0.6, s"src0 kept fraction $kept far from 0.5")
   }
 
+  test("deterministicShuffle: seeded, reproducible, seed-independent orders") {
+    def order(seed: Long): Seq[Long] =
+      Sampling.deterministicShuffle(docs, col("doc_id"), seed)
+        .select("doc_id").as[Long].collect().toSeq
+    val a = order(1L)
+    assert(a === order(1L), "same seed must reproduce the same order")
+    assert(a !== order(2L), "different seed must give a different order")
+    assert(a.sorted === (0L until 2000L), "a permutation, nothing lost")
+    // a genuine shuffle, not the identity
+    assert(a.take(20) !== (0L until 20L).toSeq)
+  }
+
+  test("hashSplit: stable under corpus growth, ~weight proportions") {
+    val w = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val full = Sampling.hashSplit(docs, col("doc_id"), w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // THE leakage-prevention property: recomputing the split over a
+    // subset (or a grown corpus) never moves a row between splits
+    val subset = Sampling.hashSplit(docs.where(col("doc_id") < 500),
+      col("doc_id"), w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    subset.foreach { case (id, s) => assert(full(id) === s) }
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / 2000.0)
+    assert(math.abs(frac("train") - 0.75) < 0.05, frac)
+    assert(math.abs(frac("val") - 0.125) < 0.03, frac)
+    assert(math.abs(frac("test") - 0.125) < 0.03, frac)
+  }
+
   test("packSequences: next-fit layout invariants hold per shard") {
     import graft.operators.TextAnalysis
     val chunks = Seq(
