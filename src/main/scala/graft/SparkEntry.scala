@@ -430,6 +430,24 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- similarity: PQ search in a provably-EXACT configuration,
+    // giving the PQ pipeline (train -> encode -> decode -> rank) a real
+    // cross-engine oracle: the corpus is capped at <= 256 rows
+    // (vec_id % 8, <= 250 at sf0.1) so ksub = 256 assigns every distinct
+    // subvector its own codeword — k-means fixes each point as its own
+    // centroid (d=0), reconstruction is bit-exact, and the ranking
+    // reduces to brute-force cosine, which DuckDB re-derives. Same trick
+    // as sim3's nprobe=nlist and sim2b's all-buckets probe. ----
+    "sim5b_pq_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") % 8 === 0)
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.pqTopK(corpus, "vec_id", "embedding", q, "qid", "qv",
+        k = 10, m = 8, ksub = 256, iters = 3)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- similarity: IVF x PQ composed ANN (rows-only: both layers
     // are lossy engine-specific sketches; SimilaritySpec proves stacked
     // recall vs brute force and that nprobe=nlist reduces to pure PQ).
@@ -1620,6 +1638,23 @@ object SparkEntry {
         |s AS (SELECT q.qid, e.vec_id,
         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // PQ in the exact configuration == brute force over the capped
+    // corpus (see queries comment): ksub covers every distinct
+    // subvector, so decode is the identity and sim is plain cosine
+    "sim5b_pq_exact" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 8 = 0),
+        |s AS (SELECT q.qid, c.vec_id,
+        |    list_cosine_similarity(c.v, q.qv) AS sim
+        |  FROM c, q WHERE c.vec_id <> q.qid),
         |r AS (SELECT qid, vec_id, sim,
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
         |  FROM s)
