@@ -38,5 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => NgramHashes(es.head, es(1).eval().asInstanceOf[Int])))
     ext.injectFunction(fn("graft_minhash_sig",
       es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction(fn("graft_freq_items",
+      es => graft.functions.FreqItems(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -859,6 +859,23 @@ object SparkEntry {
         .orderBy(desc("n"), col("term"))
         .limit(20)),
 
+    // ---- sketch: Misra-Gries frequent items (native mergeable
+    // TypedImperativeAggregate). The sketch path for t7's question: each
+    // task keeps `capacity` counters and the shuffle carries one sketch
+    // per partition — no per-token state crosses the wire. Run here in
+    // the provably-exact configuration (capacity >= distinct tokens =>
+    // zero decrements => counts equal the exact group-by), so the whole
+    // insert/serialize/merge/eval path gets a cross-engine hash oracle;
+    // the lossy small-capacity path is bound-spec'd in FreqItemsSpec. ----
+    "hh1_freq_items" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .agg(graft.functions.GraftFunctions
+          .freqItems(col("tok"), 1024).as("sk"))
+        .select(explode(slice(col("sk"), 1, 20)).as("e"))
+        .select(col("e.item").as("term"), col("e.count_lb").as("n"),
+          col("e.max_err").as("err"))),
+
     // ---- text: document chunking (token windows, stride 10, size 20) ----
     // The core pre-training transform: split documents into overlapping
     // token windows. Map-side only (sequence+slice explode), output rows =
@@ -1873,6 +1890,14 @@ object SparkEntry {
 
     "t7_top_terms" ->
       """SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    // exact-configuration Misra-Gries == exact counts, zero error
+    "hh1_freq_items" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS err
+        |FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,

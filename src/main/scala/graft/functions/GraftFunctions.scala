@@ -547,6 +547,11 @@ object GraftFunctions {
     SparkShim.toColumn(JaccardLong(
       SparkShim.toExpression(a), SparkShim.toExpression(b), assumeSorted = true))
 
+  /** Misra-Gries frequent-items aggregate (see [[FreqItems]]). */
+  def freqItems(item: Column, capacity: Int): Column =
+    SparkShim.toColumn(
+      FreqItems(SparkShim.toExpression(item), capacity).toAggregateExpression())
+
   def asofPick(arr: Column, t: Column): Column =
     SparkShim.toColumn(AsOfPick(
       SparkShim.toExpression(arr), SparkShim.toExpression(t)))
@@ -837,6 +842,11 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("graft_quantize_roundtrip",
       es => QuantizeRoundtrip(es.head), "scala_udf")
+    // graft_freq_items(item, capacity) — capacity must be a literal; the
+    // analyzer wraps the returned AggregateFunction in AggregateExpression
+    reg.createOrReplaceTempFunction("graft_freq_items",
+      es => FreqItems(es.head, es(1).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
     // SQL as-of surface: marker function + rewrite rule + planner
     // strategy (sessions built via GraftExtensions get these injected
     // declaratively instead)

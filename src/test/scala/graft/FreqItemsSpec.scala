@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Misra-Gries frequent-items aggregate: exactness when capacity covers
+  * the domain, certified error bounds under pressure, mergeability
+  * across partition layouts, SQL registration.
+  */
+class FreqItemsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // zipf-ish stream: item i appears ~ 2000/i times, 1 <= i <= 50
+  private lazy val stream: Seq[String] =
+    (1 to 50).flatMap(i => Seq.fill(2000 / i)(s"item$i"))
+  private lazy val trueCounts: Map[String, Long] =
+    stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+  private def sketch(capacity: Int, parts: Int): Map[String, (Long, Long)] = {
+    stream.toDF("x").repartition(parts)
+      .agg(GraftFunctions.freqItems(col("x"), capacity).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select("e.item", "e.count_lb", "e.max_err")
+      .as[(String, Long, Long)].collect()
+      .map { case (i, c, d) => i -> (c, d) }.toMap
+  }
+
+  test("capacity >= distinct items => exact counts, zero error") {
+    for (parts <- Seq(1, 7)) {
+      val got = sketch(capacity = 64, parts)
+      assert(got.map { case (k, (c, _)) => k -> c } === trueCounts)
+      assert(got.values.forall(_._2 === 0L), "no decrement may ever fire")
+    }
+  }
+
+  test("under pressure: certified bounds bracket the truth, delta <= n/(c+1)") {
+    val n = stream.size.toLong
+    for (parts <- Seq(1, 7); cap <- Seq(8, 16)) {
+      val got = sketch(cap, parts)
+      assert(got.size <= cap)
+      val delta = got.values.map(_._2).max
+      assert(delta <= n / (cap + 1),
+        s"cap=$cap parts=$parts: delta $delta > n/(cap+1)")
+      got.foreach { case (item, (lb, d)) =>
+        val truth = trueCounts(item)
+        assert(lb <= truth && truth <= lb + d,
+          s"cap=$cap parts=$parts: $item lb=$lb d=$d truth=$truth")
+      }
+      // every item with frequency > n/(cap+1) must be present
+      trueCounts.filter(_._2 > n / (cap + 1)).keys.foreach { hh =>
+        assert(got.contains(hh), s"cap=$cap parts=$parts lost heavy hitter $hh")
+      }
+    }
+  }
+
+  test("SQL surface: graft_freq_items registered via extensions") {
+    stream.toDF("x").createOrReplaceTempView("freq_in")
+    val top = spark.sql(
+      """SELECT sk[0].item AS item, sk[0].count_lb AS c FROM
+        |  (SELECT graft_freq_items(x, 64) AS sk FROM freq_in)""".stripMargin)
+      .as[(String, Long)].collect().head
+    assert(top === ("item1" -> 2000L))
+  }
+
+  test("nulls are skipped, empty input yields an empty summary") {
+    val got = Seq[Option[String]](None, Some("a"), None, Some("a"))
+      .toDF("x")
+      .agg(GraftFunctions.freqItems(col("x"), 4).as("sk"))
+      .select(explode(col("sk")).as("e")).select("e.item", "e.count_lb")
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq("a" -> 2L))
+    val empty = spark.emptyDataset[String].toDF("x")
+      .agg(GraftFunctions.freqItems(col("x"), 4).as("sk"))
+      .select(size(col("sk"))).as[Int].collect().head
+    assert(empty === 0)
+  }
+}
