@@ -79,8 +79,11 @@ object Bench {
     // over sf-scaled energy-feed fixtures — not just the TPC-H analogs.
     // Jobs archive their sources, so each timed run gets fresh fixtures
     // (generation is NOT in the timed window). Disable: SPARK_GRAFT_JOBS=0.
+    val jobNames = Set("job_fm_load_merge", "job_spp_weather_merge",
+      "job_hist_weather_union")
     val jobResults: Seq[(String, Double)] =
-      if (sys.env.getOrElse("SPARK_GRAFT_JOBS", "1") == "0" || only.isDefined)
+      if (sys.env.getOrElse("SPARK_GRAFT_JOBS", "1") == "0" ||
+          only.exists(_.intersect(jobNames).isEmpty))
         Seq.empty
       else {
         val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
@@ -93,14 +96,15 @@ object Bench {
           .empty[String, List[Double]]
         val jobErr = scala.collection.mutable.LinkedHashMap
           .empty[String, Throwable]
-        def timed(name: String)(body: => Unit): Unit = {
-          val t0 = System.nanoTime()
-          try {
-            body
-            val dt = (System.nanoTime() - t0) / 1e9
-            perJob(name) = dt :: perJob.getOrElse(name, Nil)
-          } catch { case e: Throwable => jobErr(name) = e }
-        }
+        def timed(name: String)(body: => Unit): Unit =
+          if (only.forall(_.contains(name))) {
+            val t0 = System.nanoTime()
+            try {
+              body
+              val dt = (System.nanoTime() - t0) / 1e9
+              perJob(name) = dt :: perJob.getOrElse(name, Nil)
+            } catch { case e: Throwable => jobErr(name) = e }
+          }
         val jobReps = math.max(1, math.min(reps, 2))
         (1 to jobReps).foreach { _ =>
           val root = java.nio.file.Files

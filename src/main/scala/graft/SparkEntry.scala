@@ -1103,6 +1103,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- reshape: unpivot/melt (inverse of a11_pivot) ----
+    // Wide measure columns to long (metric, val) rows via the native
+    // unpivot operator (Expand under the hood: map-side row explosion,
+    // no shuffle; the wide weather feeds are exactly this shape).
+    "a20_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 1000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
     // ---- sampling: reproducible global shuffle (training-example order) ----
     // Sort by a seeded md5 key: pure function of (seed, id) — identical
     // on any cluster layout, re-derivable by any engine with md5().
@@ -1582,6 +1596,22 @@ object SparkEntry {
         |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |    / 1152921504606846976.0 < k.keep
         |ORDER BY d.doc_id""".stripMargin,
+
+    // unpivot == a 4-way UNION ALL of (metric, val) projections
+    "a20_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m.metric, m.val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+        |    FROM lineitem WHERE l_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |    FROM lineitem WHERE l_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |    FROM lineitem WHERE l_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |    FROM lineitem WHERE l_orderkey <= 1000) m
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     // reproducible shuffle: same seeded md5-60 key, same total order
     "s6_shuffle" ->
