@@ -43,6 +43,36 @@ object VersionedSink {
       ()
     }
 
+  /** Incremental table-to-table pipe with END-TO-END exactly-once: read
+    * the source changefeed past the last processed version, transform,
+    * and commit to `dst` with the SOURCE VERSION as the idempotence
+    * epoch. The destination's own txn watermark is the checkpoint — no
+    * external state, so there is nothing to drift: a crash anywhere
+    * before the commit leaves the watermark unmoved (the next run
+    * re-reads the same range), and a crash after it makes the next run a
+    * no-op. This is the materialized-view / log-shipping primitive over
+    * the lake: each tick costs what the increment costs, at any table
+    * size. Returns the source version now reflected in `dst`.
+    *
+    * `transform` must be deterministic per input row for the
+    * exactly-once claim to be meaningful (the same contract as Spark's
+    * own replayed micro-batches).
+    */
+  def pipe(spark: org.apache.spark.sql.SparkSession, src: String,
+      dst: String, writerId: String,
+      transform: DataFrame => DataFrame = identity): Long = {
+    val from = VersionedTable.lastCommittedEpoch(spark, dst, writerId)
+      .getOrElse(0L)
+    val (srcV, _) = VersionedTable.latest(spark, src)
+    if (srcV <= from) return from
+    val changes = VersionedTable
+      .readChanges(spark, src, from, srcV)
+      .drop("_commit_version")
+    VersionedTable.appendIdempotent(spark, transform(changes), dst,
+      writerId, epoch = srcV)
+    srcV
+  }
+
   /** Start a streaming append of `df` into `table` with exactly-once
     * micro-batch commits. `writerId` must be stable across restarts of
     * the same logical query (it scopes the replay-detection watermark).

@@ -56,6 +56,29 @@ class VersionedSinkSpec extends SparkTestBase {
     assert(VersionedTable.lastCommittedEpoch(spark, t, "q1") === Some(1L))
   }
 
+  test("pipe: incremental table-to-table, exactly-once, checkpoint-free") {
+    val src = Files.createTempDirectory("pipe_src").toString + "/t"
+    val dst = Files.createTempDirectory("pipe_dst").toString + "/t"
+    VersionedTable.append(spark, Seq(1, 2, 3).toDF("k"), src)
+    VersionedTable.append(spark, Seq(4).toDF("k"), src)
+    def evens(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("k") % 2 === 0)
+    // first tick: full history through the transform
+    val v1 = VersionedSink.pipe(spark, src, dst, "mv", evens)
+    assert(rows(dst) === Seq(2, 4))
+    // replayed tick (crash after commit): no-op, nothing duplicated
+    assert(VersionedSink.pipe(spark, src, dst, "mv", evens) === v1)
+    assert(rows(dst) === Seq(2, 4))
+    // new source data: only the increment is read and shipped
+    VersionedTable.append(spark, Seq(5, 6).toDF("k"), src)
+    VersionedSink.pipe(spark, src, dst, "mv", evens)
+    assert(rows(dst) === Seq(2, 4, 6))
+    // a source compaction ships nothing (rewrite, not data)
+    VersionedTable.compact(spark, src, numFiles = 1)
+    VersionedSink.pipe(spark, src, dst, "mv", evens)
+    assert(rows(dst) === Seq(2, 4, 6))
+  }
+
   test("end-to-end: a real streaming query lands each batch exactly once") {
     val t = Files.createTempDirectory("vsink4").toString + "/t"
     val ckpt = Files.createTempDirectory("vsink4_ckpt").toString

@@ -95,6 +95,40 @@ class VersionedTableSpec extends SparkTestBase {
     assert(rows(t) === Set((1, "a"), (2, "b")))
   }
 
+  test("changefeed: appends tagged by commit, compaction invisible, lag guarded") {
+    val t = Files.createTempDirectory("vt_cdc").toString + "/t"
+    VersionedTable.append(spark, Seq((1, "a")).toDF("k", "v"), t) // v1
+    VersionedTable.append(spark, Seq((2, "b")).toDF("k", "v"), t) // v2
+    val vc = VersionedTable.compact(spark, t, numFiles = 1)       // v3: rewrite
+    VersionedTable.append(spark, Seq((3, "c")).toDF("k", "v"), t) // v4
+
+    def feed(from: Long): Seq[(Int, String, Long)] =
+      VersionedTable.readChanges(spark, t, from)
+        .select("k", "v", "_commit_version")
+        .as[(Int, String, Long)].collect().toSeq.sorted
+
+    // full history: every appended row exactly once, compaction adds none
+    assert(feed(0) === Seq((1, "a", 1L), (2, "b", 2L), (3, "c", 4L)))
+    // incremental tail from a checkpointed version
+    assert(feed(2) === Seq((3, "c", 4L)))
+    assert(feed(4) === Seq.empty)
+    // empty range still yields the right schema
+    assert(VersionedTable.readChanges(spark, t, 4).columns.toSeq ===
+      Seq("k", "v", "_commit_version"))
+    // the exactly-once sink's commits are ordinary appends to the feed
+    graft.streaming.VersionedSink.exactlyOnce(t, "w")(Seq((9, "z")).toDF("k", "v"), 0L)
+    assert(feed(4) === Seq((9, "z", 5L)))
+    // vacuuming past a consumer's checkpoint must fail loudly, not
+    // return partial changes
+    VersionedTable.vacuum(spark, t, keepFrom = vc, retentionMs = 0L)
+    val e = intercept[NoSuchElementException] {
+      VersionedTable.readChanges(spark, t, 0)
+    }
+    assert(e.getMessage.contains("retention"))
+    // consumers at/after the retained horizon still work
+    assert(feed(vc) === Seq((3, "c", 4L), (9, "z", 5L)))
+  }
+
   test("z-order compaction preserves data and clusters both dimensions") {
     import org.apache.spark.sql.functions._
     val t = Files.createTempDirectory("vt_zorder").toString + "/t"
