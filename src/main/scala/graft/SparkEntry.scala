@@ -1103,6 +1103,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- sketch: grouped frequent items (top-5 terms per language) ----
+    // Same exact-configuration oracle as hh1, but under groupBy: the
+    // sketch now rides Spark's partial/final hash-aggregation path (one
+    // sketch per (partition, lang) merged across the shuffle), proving
+    // the merge step inside the engine's standard two-phase aggregation.
+    "hh2_freq_by_lang" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(graft.functions.GraftFunctions
+          .freqItems(col("tok"), 1024).as("sk"))
+        .select(col("lang"), posexplode(slice(col("sk"), 1, 5)))
+        .select(col("lang"), (col("pos") + 1).cast(IntegerType).as("rk"),
+          col("col.item").as("term"), col("col.count_lb").as("n"))
+        .orderBy("lang", "rk")),
+
     // ---- reshape: unpivot/melt (inverse of a11_pivot) ----
     // Wide measure columns to long (metric, val) rows via the native
     // unpivot operator (Expand under the hood: map-side row explosion,
@@ -1596,6 +1612,19 @@ object SparkEntry {
         |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |    / 1152921504606846976.0 < k.keep
         |ORDER BY d.doc_id""".stripMargin,
+
+    // grouped exact-configuration Misra-Gries == per-group exact top-5
+    "hh2_freq_by_lang" ->
+      """WITH tok AS (SELECT lang,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tok GROUP BY lang, term),
+        |r AS (SELECT lang, term, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS INT) AS rk
+        |  FROM c)
+        |SELECT lang, rk, term, n FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
 
     // unpivot == a 4-way UNION ALL of (metric, val) projections
     "a20_unpivot" ->
