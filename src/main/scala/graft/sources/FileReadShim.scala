@@ -1,0 +1,64 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.{FilePartition, FileStatusCache, InMemoryFileIndex, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Access shim for Spark's file-source execution internals (all
+  * `private[sql]`/`private[spark]`): the graft streaming source reuses
+  * Spark's OWN vectorized parquet reader instead of hand-rolling row
+  * materialization — same pattern as [[SparkShim]], one namespace file.
+  */
+object FileReadShim {
+
+  /** A serializable factory producing Spark's vectorized parquet readers
+    * for `readDataSchema`, appending `partitionSchema` values carried on
+    * each [[PartitionedFile]] (how file sources attach partition
+    * columns — here, the commit version).
+    */
+  def parquetReaderFactory(spark: SparkSession, readDataSchema: StructType,
+      partitionSchema: StructType): PartitionReaderFactory = {
+    // Build Spark's own ParquetScan (over an empty file index — partition
+    // planning stays ours) and let ITS createReaderFactory prepare the
+    // hadoop conf (ReadSupport class, requested schema, timezone, parquet
+    // flags): replicating that setup by hand is exactly the fragile part
+    // this shim exists to avoid.
+    ParquetScan(
+      spark,
+      spark.sessionState.newHadoopConf(),
+      new InMemoryFileIndex(spark, Nil, Map.empty, Some(readDataSchema),
+        FileStatusCache.getOrCreate(spark), None, None),
+      dataSchema = readDataSchema,
+      readDataSchema = readDataSchema,
+      readPartitionSchema = partitionSchema,
+      pushedFilters = Array.empty,
+      options = CaseInsensitiveStringMap.empty(),
+      pushedAggregate = None,
+      partitionFilters = Nil,
+      dataFilters = Nil).createReaderFactory()
+  }
+
+  /** One [[FilePartition]] over whole files, each tagged with a single
+    * LONG partition value (the commit version that added it).
+    */
+  def filePartition(index: Int,
+      files: Seq[(String, Long, Long)]): InputPartition =
+    FilePartition(index, files.map { case (path, size, version) =>
+      PartitionedFile(
+        partitionValues = new GenericInternalRow(Array[Any](version)),
+        filePath = SparkPath.fromPathString(path),
+        start = 0L,
+        length = size,
+        locations = Array.empty,
+        modificationTime = 0L,
+        fileSize = size)
+    }.toArray)
+
+  def emptyInternalRow: InternalRow = InternalRow.empty
+}

@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.graftshim.FileReadShim
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `graft-table` — DataSource V2 surface over [[VersionedTable]]:
+  *
+  *   - `spark.readStream.format("graft-table").load(path)` tails the
+  *     table's CHANGEFEED: each micro-batch is the rows appended by
+  *     manifest commits since the last processed version (offsets ARE
+  *     versions, so recovery replans the exact same range — the source
+  *     side of the exactly-once story whose sink side is
+  *     [[graft.streaming.VersionedSink]]). Compaction commits are
+  *     structural rewrites and never appear in the feed.
+  *   - `spark.read.format("graft-table").load(path)` reads the latest
+  *     committed SNAPSHOT (manifest-listed files only — stray/staged
+  *     files are invisible, unlike a plain parquet directory read).
+  *
+  * Rows carry a trailing `_commit_version` column (the commit that added
+  * the file; for batch snapshot reads it is 0 — the manifest does not
+  * retain per-file provenance after compaction rewrites).
+  *
+  * Execution reuses Spark's own vectorized parquet reader via
+  * [[org.apache.spark.sql.graftshim.FileReadShim]]; planning is one
+  * manifest diff per trigger on the driver — at 100 TB a trigger costs
+  * the increment it ships, never a table scan or directory listing
+  * (file-listing streaming sources degrade with total file count; a
+  * manifest diff is O(files per commit)).
+  *
+  * Options: `startingVersion` (exclusive, default 0 = full history) for
+  * the stream.
+  */
+class GraftTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def tablePath(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-table needs a path")
+    // normalize to an absolute URI-less path form consistent with
+    // VersionedTable's string-path API
+    new Path(p).toString
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val table = tablePath(options)
+    val (_, files) = VersionedTable.latest(spark, table)
+    require(files.nonEmpty,
+      s"graft-table at $table has no committed data to infer a schema " +
+        "from — pass an explicit schema")
+    spark.read.parquet(s"$table/${files.head}").schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftTable(
+      tablePath(new CaseInsensitiveStringMap(properties)), schema)
+}
+
+private[sources] class GraftTable(path: String, dataSchema: StructType)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft-table `$path`"
+  override def schema(): StructType = GraftTableScan.outputSchema(dataSchema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftTableScan(path, dataSchema,
+        options.asCaseSensitiveMap().asScala.toMap
+          .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v })
+    }
+}
+
+private[sources] object GraftTableScan {
+  val VersionCol = "_commit_version"
+  def outputSchema(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields :+
+      StructField(VersionCol, LongType, nullable = false))
+  def partitionSchema: StructType =
+    StructType(Seq(StructField(VersionCol, LongType, nullable = false)))
+}
+
+private[sources] class GraftTableScan(path: String, dataSchema: StructType,
+    options: Map[String, String]) extends Scan {
+
+  private def spark = SparkSession.active
+
+  override def readSchema(): StructType =
+    GraftTableScan.outputSchema(dataSchema)
+
+  override def description(): String = s"graft-table changefeed $path"
+
+  /** (version, file, size) triples for commits in `(from, to]`. */
+  private def plan(from: Long, to: Long): Array[InputPartition] = {
+    val f = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val perCommit = VersionedTable.changedFilesBetween(spark, path, from, to)
+    // one partition per file: commits are typically few files, and Spark
+    // coalesces tiny streaming batches downstream anyway
+    perCommit.flatMap { case (v, names) =>
+      names.map { n =>
+        val p = new Path(path, n)
+        (p.toString, f.getFileStatus(p).getLen, v)
+      }
+    }.zipWithIndex.map { case (file, i) =>
+      FileReadShim.filePartition(i, Seq(file))
+    }.toArray
+  }
+
+  private def readerFactory: PartitionReaderFactory =
+    FileReadShim.parquetReaderFactory(spark, dataSchema,
+      GraftTableScan.partitionSchema)
+
+  // ---- batch: latest snapshot (version tag 0 — see class doc) ----
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val f = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (_, files) = VersionedTable.latest(spark, path)
+      files.zipWithIndex.map { case (n, i) =>
+        val p = new Path(path, n)
+        FileReadShim.filePartition(i,
+          Seq((p.toString, f.getFileStatus(p).getLen, 0L)))
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory = readerFactory
+  }
+
+  // ---- streaming: manifest versions as offsets ----
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+      // AvailableNow pins the target version at query start; the wrapped
+      // latestOffset serves the pin so the query drains exactly the data
+      // committed before the trigger and stops
+      @volatile private var pinned: Option[Long] = None
+      override def prepareForTriggerAvailableNow(): Unit =
+        pinned = Some(VersionedTable.latest(spark, path)._1)
+      override def initialOffset(): Offset =
+        VersionOffset(options.getOrElse("startingversion", "0").toLong)
+      override def latestOffset(): Offset =
+        VersionOffset(pinned.getOrElse(VersionedTable.latest(spark, path)._1))
+      override def latestOffset(start: Offset,
+          limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+          : Offset = latestOffset()
+      override def reportLatestOffset(): Offset =
+        VersionOffset(VersionedTable.latest(spark, path)._1)
+      override def deserializeOffset(json: String): Offset =
+        VersionOffset.fromJson(json)
+      override def planInputPartitions(start: Offset,
+          end: Offset): Array[InputPartition] =
+        plan(start.asInstanceOf[VersionOffset].version,
+          end.asInstanceOf[VersionOffset].version)
+      override def createReaderFactory(): PartitionReaderFactory =
+        readerFactory
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+    }
+}
+
+/** Streaming offset = committed manifest version. */
+case class VersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+object VersionOffset {
+  private val Re = """\{\s*"version"\s*:\s*(\d+)\s*\}""".r
+  def fromJson(json: String): VersionOffset = json match {
+    case Re(v) => VersionOffset(v.toLong)
+    case other => throw new IllegalArgumentException(
+      s"not a graft-table offset: $other")
+  }
+}

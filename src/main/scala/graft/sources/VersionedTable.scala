@@ -294,10 +294,15 @@ object VersionedTable {
     * still exist: vacuum retention must cover consumer lag, else this
     * throws (never silently returns partial changes).
     */
-  def readChanges(spark: SparkSession, table: String, fromVersion: Long,
-      toVersion: Long = Long.MaxValue,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+  /** Table-relative files ADDED by each append commit in
+    * `(fromVersion, min(toVersion, latest)]` — the manifest-diff core
+    * shared by [[readChanges]] and the streaming source. Commits with
+    * removals are compaction rewrites and contribute nothing. Throws if
+    * any needed manifest was vacuumed (see [[readChanges]]).
+    */
+  def changedFilesBetween(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long = Long.MaxValue)
+      : Seq[(Long, Seq[String])] = {
     val f = fs(spark, table)
     val (vMax, _) = latest(spark, table)
     val hi = math.min(toVersion, vMax)
@@ -310,7 +315,7 @@ object VersionedTable {
           "consumer lag")
     val manifests: Map[Long, Seq[String]] =
       need.map(v => v -> readManifest(f, table, v)).toMap + (0L -> Seq.empty)
-    val added = need.filter(_ > fromVersion).flatMap { v =>
+    need.filter(_ > fromVersion).flatMap { v =>
       val prev = manifests(v - 1).toSet
       val cur = manifests(v)
       val removed = prev -- cur
@@ -321,6 +326,13 @@ object VersionedTable {
         if (adds.isEmpty) None else Some(v -> adds)
       }
     }
+  }
+
+  def readChanges(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long = Long.MaxValue,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val added = changedFilesBetween(spark, table, fromVersion, toVersion)
     if (added.isEmpty) {
       val base = schema.orElse {
         val (_, files) = latest(spark, table)

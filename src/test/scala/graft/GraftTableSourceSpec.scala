@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.VersionedTable
+
+/** DataSource V2 `graft-table`: batch reads = committed snapshot;
+  * streaming reads = the changefeed with manifest versions as offsets.
+  */
+class GraftTableSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("batch read serves the committed snapshot, not the directory") {
+    val t = Files.createTempDirectory("gts_b").toString + "/t"
+    VersionedTable.append(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), t)
+    // stray uncommitted file in the table dir must stay invisible
+    Seq((99, "stray")).toDF("k", "v").write
+      .parquet(t + "/part-stray.parquet.dir")
+    val got = spark.read.format("graft-table").load(t)
+    assert(got.columns.toSeq === Seq("k", "v", "_commit_version"))
+    assert(got.select("k").as[Int].collect().sorted.toSeq === Seq(1, 2))
+    // a plain parquet read of the same dir DOES see the stray file —
+    // the manifest is what isolates the snapshot
+    assert(spark.read.parquet(t + "/part-stray.parquet.dir")
+      .count() === 1L)
+  }
+
+  test("stream tails appends exactly once across restarts; compaction silent") {
+    val t = Files.createTempDirectory("gts_s").toString + "/t"
+    val ckpt = Files.createTempDirectory("gts_ckpt").toString
+    VersionedTable.append(spark, Seq(1, 2).toDF("k"), t) // v1
+    VersionedTable.append(spark, Seq(3).toDF("k"), t)    // v2
+
+    // foreachBatch sink (memory sink cannot recover from a checkpoint);
+    // each run drains into its own buffer so restarts are observable
+    def runOnce(): Seq[(Int, Long)] = {
+      val got = new scala.collection.mutable.ArrayBuffer[(Int, Long)]
+      val q = spark.readStream.format("graft-table").load(t)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset
+            [org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized {
+            got ++= batch.select("k", "_commit_version")
+              .as[(Int, Long)].collect()
+          }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      got.synchronized(got.toSeq.sorted)
+    }
+
+    assert(runOnce() === Seq((1, 1L), (2, 1L), (3, 2L)))
+
+    // compaction (v3) must ship nothing; the new append (v4) must ship
+    VersionedTable.compact(spark, t, numFiles = 1)
+    VersionedTable.append(spark, Seq(4).toDF("k"), t)
+    assert(runOnce() === Seq((4, 4L)),
+      "restart must resume past v2, skip the rewrite")
+  }
+
+  test("streaming materialized view: source -> transform -> exactly-once sink") {
+    val src = Files.createTempDirectory("gts_mv_src").toString + "/t"
+    val dst = Files.createTempDirectory("gts_mv_dst").toString + "/t"
+    val ckpt = Files.createTempDirectory("gts_mv_ckpt").toString
+    VersionedTable.append(spark, Seq(1, 2, 3, 4).toDF("k"), src)
+
+    def tick(): Unit = {
+      val q = graft.streaming.VersionedSink.start(
+        spark.readStream.format("graft-table").load(src)
+          .where(col("k") % 2 === 0).select("k"),
+        dst, "mv", ckpt)
+      q.awaitTermination(60000)
+    }
+    tick()
+    def dstRows: Seq[Int] =
+      VersionedTable.read(spark, dst).select("k").as[Int].collect().toSeq.sorted
+    assert(dstRows === Seq(2, 4))
+    // idle tick: no new source commits -> no duplicate rows
+    tick()
+    assert(dstRows === Seq(2, 4))
+    // incremental tick ships only the new commit's rows
+    VersionedTable.append(spark, Seq(5, 6).toDF("k"), src)
+    tick()
+    assert(dstRows === Seq(2, 4, 6))
+  }
+
+  test("startingVersion skips history; offsets round-trip json") {
+    val t = Files.createTempDirectory("gts_sv").toString + "/t"
+    VersionedTable.append(spark, Seq(1).toDF("k"), t)
+    VersionedTable.append(spark, Seq(2).toDF("k"), t)
+    val ckpt = Files.createTempDirectory("gts_sv_ckpt").toString
+    val got = new scala.collection.mutable.ArrayBuffer[Int]
+    val q = spark.readStream.format("graft-table")
+      .option("startingVersion", "1").load(t)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset
+          [org.apache.spark.sql.Row], _: Long) =>
+        got.synchronized { got ++= batch.select("k").as[Int].collect() }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(got.synchronized(got.toSeq) === Seq(2))
+    val off = graft.sources.VersionOffset(7L)
+    assert(graft.sources.VersionOffset.fromJson(off.json()) === off)
+  }
+}
