@@ -23,7 +23,9 @@ object FileReadShim {
     * columns — here, the commit version).
     */
   def parquetReaderFactory(spark: SparkSession, readDataSchema: StructType,
-      partitionSchema: StructType): PartitionReaderFactory = {
+      partitionSchema: StructType,
+      pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      : PartitionReaderFactory = {
     // Build Spark's own ParquetScan (over an empty file index — partition
     // planning stays ours) and let ITS createReaderFactory prepare the
     // hadoop conf (ReadSupport class, requested schema, timezone, parquet
@@ -37,7 +39,7 @@ object FileReadShim {
       dataSchema = readDataSchema,
       readDataSchema = readDataSchema,
       readPartitionSchema = partitionSchema,
-      pushedFilters = Array.empty,
+      pushedFilters = pushedFilters,
       options = CaseInsensitiveStringMap.empty(),
       pushedAggregate = None,
       partitionFilters = Nil,

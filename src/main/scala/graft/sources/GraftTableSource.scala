@@ -81,10 +81,34 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      private var required: StructType = GraftTableScan.outputSchema(dataSchema)
+      private var parquetFilters: Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        // hand data-column predicates to parquet for row-group/page
+        // skipping, but return EVERY filter as residual: Spark
+        // re-evaluates them, so stats-based skipping can only prune,
+        // never change answers. _commit_version is a partition value the
+        // files don't contain — parquet never sees it.
+        parquetFilters = filters.filterNot(
+          _.references.contains(GraftTableScan.VersionCol))
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        parquetFilters
+
       override def build(): Scan = new GraftTableScan(path, dataSchema,
         options.asCaseSensitiveMap().asScala.toMap
-          .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v })
+          .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v },
+        required, parquetFilters)
     }
 }
 
@@ -98,12 +122,23 @@ private[sources] object GraftTableScan {
 }
 
 private[sources] class GraftTableScan(path: String, dataSchema: StructType,
-    options: Map[String, String]) extends Scan {
+    options: Map[String, String],
+    required: StructType,
+    parquetFilters: Array[org.apache.spark.sql.sources.Filter]) extends Scan {
 
   private def spark = SparkSession.active
 
+  // pruned file-side projection, in file field order; the version column
+  // rides as a partition value only when the query asks for it
+  private val readDataSchema = StructType(
+    dataSchema.fields.filter(f => required.fieldNames.contains(f.name)))
+  private val partSchema =
+    if (required.fieldNames.contains(GraftTableScan.VersionCol))
+      GraftTableScan.partitionSchema
+    else new StructType()
+
   override def readSchema(): StructType =
-    GraftTableScan.outputSchema(dataSchema)
+    StructType(readDataSchema.fields ++ partSchema.fields)
 
   override def description(): String = s"graft-table changefeed $path"
 
@@ -125,8 +160,8 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
   }
 
   private def readerFactory: PartitionReaderFactory =
-    FileReadShim.parquetReaderFactory(spark, dataSchema,
-      GraftTableScan.partitionSchema)
+    FileReadShim.parquetReaderFactory(spark, readDataSchema, partSchema,
+      parquetFilters)
 
   // ---- batch: latest snapshot (version tag 0 — see class doc) ----
   override def toBatch: Batch = new Batch {

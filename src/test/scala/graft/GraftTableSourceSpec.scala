@@ -62,6 +62,25 @@ class GraftTableSourceSpec extends SparkTestBase {
       "restart must resume past v2, skip the rewrite")
   }
 
+  test("column pruning and filter pushdown reach the v2 scan") {
+    val t = Files.createTempDirectory("gts_p").toString + "/t"
+    VersionedTable.append(spark,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), t)
+    val df = spark.read.format("graft-table").load(t)
+      .where(col("k") >= 2).select("v")
+    assert(df.as[String].collect().sorted.toSeq === Seq("b", "c"))
+    // the scan leaf itself must output only the pruned columns (the
+    // filter column k rides along; _commit_version must NOT)
+    val leafOutputs = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.output.map(_.name).toSet)
+    assert(leafOutputs.exists(o => o.contains("v") &&
+      !o.contains("_commit_version")), s"scan not pruned: $leafOutputs")
+    // version-only projection: zero data columns read, values intact
+    val versions = spark.read.format("graft-table").load(t)
+      .select("_commit_version").as[Long].collect().toSeq
+    assert(versions === Seq(0L, 0L, 0L))
+  }
+
   test("streaming materialized view: source -> transform -> exactly-once sink") {
     val src = Files.createTempDirectory("gts_mv_src").toString + "/t"
     val dst = Files.createTempDirectory("gts_mv_dst").toString + "/t"

@@ -16,7 +16,7 @@ class PlanAuditSpec extends SparkTestBase {
   //  - t10: broadcasts a single-row corpus-size aggregate
   private val allowed = Set(
     "a13_cross", "sim1_cosine_topk", "sim4_quantized_topk",
-    "sim5_pq_topk", "sim7_pq_adc", "t10_tfidf")
+    "sim5_pq_topk", "sim5b_pq_exact", "sim7_pq_adc", "t10_tfidf")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
