@@ -124,7 +124,29 @@ private[sources] object GraftTableScan {
 private[sources] class GraftTableScan(path: String, dataSchema: StructType,
     options: Map[String, String],
     required: StructType,
-    parquetFilters: Array[org.apache.spark.sql.sources.Filter]) extends Scan {
+    parquetFilters: Array[org.apache.spark.sql.sources.Filter])
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Snapshot size from the manifest (sum of committed file lengths) —
+    * lets Catalyst make a real broadcast decision when a graft-table
+    * batch read joins something, instead of defaulting to "huge".
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private lazy val bytes: java.util.OptionalLong =
+        try {
+          val f = new Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val (_, files) = VersionedTable.latest(spark, path)
+          java.util.OptionalLong.of(
+            files.map(n => f.getFileStatus(new Path(path, n)).getLen).sum)
+        } catch { case _: Exception => java.util.OptionalLong.empty() }
+      override def sizeInBytes(): java.util.OptionalLong = bytes
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   private def spark = SparkSession.active
 
@@ -186,6 +208,12 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
       // latestOffset serves the pin so the query drains exactly the data
       // committed before the trigger and stops
       @volatile private var pinned: Option[Long] = None
+      // admission control: cap how many table versions one micro-batch
+      // may span, so a backfill from version 0 of a long-lived table
+      // becomes a sequence of bounded batches instead of one giant one
+      // (each still exactly-once — offsets advance per processed batch)
+      private val maxVersions =
+        options.get("maxversionspertrigger").map(_.toLong)
       override def prepareForTriggerAvailableNow(): Unit =
         pinned = Some(VersionedTable.latest(spark, path)._1)
       override def initialOffset(): Offset =
@@ -194,7 +222,14 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
         VersionOffset(pinned.getOrElse(VersionedTable.latest(spark, path)._1))
       override def latestOffset(start: Offset,
           limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-          : Offset = latestOffset()
+          : Offset = {
+        val target = pinned.getOrElse(VersionedTable.latest(spark, path)._1)
+        val from = start.asInstanceOf[VersionOffset].version
+        VersionOffset(maxVersions match {
+          case Some(m) => math.min(from + m, target)
+          case None => target
+        })
+      }
       override def reportLatestOffset(): Offset =
         VersionOffset(VersionedTable.latest(spark, path)._1)
       override def deserializeOffset(json: String): Offset =

@@ -107,6 +107,52 @@ class GraftTableSourceSpec extends SparkTestBase {
     assert(dstRows === Seq(2, 4, 6))
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch during a drain") {
+    val t = Files.createTempDirectory("gts_rate").toString + "/t"
+    val ckpt = Files.createTempDirectory("gts_rate_ckpt").toString
+    VersionedTable.append(spark, Seq(1).toDF("k"), t)
+    VersionedTable.append(spark, Seq(2).toDF("k"), t)
+    VersionedTable.append(spark, Seq(3).toDF("k"), t)
+    val batches = new scala.collection.mutable.ArrayBuffer[Set[Long]]
+    val q = spark.readStream.format("graft-table")
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset
+          [org.apache.spark.sql.Row], _: Long) =>
+        batches.synchronized {
+          batches += batch.select("_commit_version").as[Long].collect().toSet
+        }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(batches.synchronized(batches.toSeq) ===
+      Seq(Set(1L), Set(2L), Set(3L)),
+      "a drain must proceed one version per batch")
+  }
+
+  test("SQL path-based table and broadcast-sized stats") {
+    val t = Files.createTempDirectory("gts_sql").toString + "/t"
+    VersionedTable.append(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), t)
+    // catalog table over the datasource: the SQL surface (direct
+    // `graft-table`.`path` queries are reserved for built-in file
+    // sources by ResolveSQLOnFile)
+    spark.sql(s"CREATE TABLE graft_sql_t USING `graft-table` LOCATION '$t'")
+    try {
+      val viaSql = spark.sql("SELECT k FROM graft_sql_t ORDER BY k")
+      assert(viaSql.as[Int].collect().toSeq === Seq(1, 2))
+    } finally spark.sql("DROP TABLE graft_sql_t")
+    // manifest-derived sizeInBytes lets the tiny table broadcast
+    val big = spark.range(100000).toDF("k")
+    val joined = big.join(
+      spark.read.format("graft-table").load(t).select(col("k"), col("v")),
+      "k")
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      joined.queryExecution.executedPlan.toString.linesIterator
+        .take(5).mkString("\n"))
+  }
+
   test("startingVersion skips history; offsets round-trip json") {
     val t = Files.createTempDirectory("gts_sv").toString + "/t"
     VersionedTable.append(spark, Seq(1).toDF("k"), t)
