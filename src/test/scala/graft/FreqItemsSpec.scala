@@ -63,6 +63,28 @@ class FreqItemsSpec extends SparkTestBase {
     assert(top === ("item1" -> 2000L))
   }
 
+  test("streams: the sketch aggregates across micro-batches via the state store") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val agg = mem.toDF().toDF("x")
+      .groupBy()
+      .agg(GraftFunctions.freqItems(col("x"), 8).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select("e.item", "e.count_lb")
+    val q = agg.writeStream.format("memory").queryName("freq_stream")
+      .outputMode("complete").start()
+    mem.addData("a", "a", "b")
+    q.processAllAvailable()
+    mem.addData("a", "c")
+    q.processAllAvailable()
+    val got = spark.table("freq_stream")
+      .as[(String, Long)].collect().toMap
+    q.stop()
+    // counts accumulate ACROSS batches: the buffer round-trips through
+    // the streaming state store between triggers
+    assert(got === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("nulls are skipped, empty input yields an empty summary") {
     val got = Seq[Option[String]](None, Some("a"), None, Some("a"))
       .toDF("x")
