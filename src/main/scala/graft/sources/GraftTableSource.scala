@@ -164,11 +164,17 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
 
   override def description(): String = s"graft-table changefeed $path"
 
+  // Delta's ignoreChanges contract: without it, the stream fails loudly
+  // on an upsert/delete commit instead of silently mis-shipping it
+  private val ignoreRowLevel =
+    options.get("ignorerowlevelchanges").exists(_.toBoolean)
+
   /** (version, file, size) triples for commits in `(from, to]`. */
   private def plan(from: Long, to: Long): Array[InputPartition] = {
     val f = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val perCommit = VersionedTable.changedFilesBetween(spark, path, from, to)
+    val perCommit = VersionedTable.changedFilesBetween(spark, path, from, to,
+      ignoreRowLevel)
     // one partition per file: commits are typically few files, and Spark
     // coalesces tiny streaming batches downstream anyway
     perCommit.flatMap { case (v, names) =>

@@ -46,11 +46,21 @@ object VersionedTable {
   private def commitPath(table: String, v: Long): Path =
     new Path(s"$table/$CommitsDir/v${"%08d".format(v)}")
 
-  // Manifest lines starting with '#' are metadata, not file names. The
-  // only metadata today is writer-transaction watermarks
-  // ("#txn <writerId> <epoch>") — the Delta `txn` action — which make
-  // streaming micro-batch commits idempotent (see [[appendIdempotent]]).
+  // Manifest lines starting with '#' are metadata, not file names:
+  //  - "#txn <writerId> <epoch>": writer-transaction watermarks (the
+  //    Delta `txn` action) making streaming micro-batch commits
+  //    idempotent (see [[appendIdempotent]]). Carried forward by every
+  //    commit.
+  //  - "#op <kind>": what THIS commit was (append/compact/upsert/
+  //    delete) — per-commit, never carried forward. The changefeed needs
+  //    it: structurally, a compaction and an upsert both remove files,
+  //    but one is a pure rewrite and the other changes rows.
   private val TxnPrefix = "#txn "
+  private val OpPrefix = "#op "
+
+  /** txn watermark lines carried forward + this commit's op marker. */
+  private def metaLines(prevRaw: Seq[String], op: String): Seq[String] =
+    prevRaw.filter(_.startsWith(TxnPrefix)) :+ (OpPrefix + op)
 
   private def readManifestRaw(f: FileSystem, table: String, v: Long): Seq[String] = {
     val p = commitPath(table, v)
@@ -199,8 +209,9 @@ object VersionedTable {
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
-      // metadata (writer txn watermarks) carries forward unchanged
-      if (tryCommit(spark, table, v + 1, lines ++ staged)) return v + 1
+      // writer txn watermarks carry forward; op marker is per-commit
+      if (tryCommit(spark, table, v + 1, metaLines(lines, "append") ++
+          lines.filterNot(_.startsWith("#")) ++ staged)) return v + 1
       attempt += 1
     }
     // never committed: remove the staged files so they don't sit orphaned
@@ -239,9 +250,10 @@ object VersionedTable {
         staged.foreach(n => f.delete(new Path(table, n), false))
         return v
       }
-      val next = txnLines(txns + (writerId -> epoch)) ++
-        lines.filterNot(_.startsWith("#")) ++ staged
-      if (tryCommit(spark, table, v + 1, next)) return v + 1
+      val next = txnLines(txns + (writerId -> epoch)) :+
+        (OpPrefix + "append")
+      val nextAll = next ++ lines.filterNot(_.startsWith("#")) ++ staged
+      if (tryCommit(spark, table, v + 1, nextAll)) return v + 1
       attempt += 1
     }
     val f = fs(spark, table)
@@ -301,8 +313,8 @@ object VersionedTable {
     * any needed manifest was vacuumed (see [[readChanges]]).
     */
   def changedFilesBetween(spark: SparkSession, table: String,
-      fromVersion: Long, toVersion: Long = Long.MaxValue)
-      : Seq[(Long, Seq[String])] = {
+      fromVersion: Long, toVersion: Long = Long.MaxValue,
+      ignoreRowLevel: Boolean = false): Seq[(Long, Seq[String])] = {
     val f = fs(spark, table)
     val (vMax, _) = latest(spark, table)
     val hi = math.min(toVersion, vMax)
@@ -314,25 +326,45 @@ object VersionedTable {
           s"manifest(s) ${missing.mkString(", ")} — retention must cover " +
           "consumer lag")
     val manifests: Map[Long, Seq[String]] =
-      need.map(v => v -> readManifest(f, table, v)).toMap + (0L -> Seq.empty)
+      need.map(v => v -> readManifestRaw(f, table, v)).toMap + (0L -> Seq.empty)
     need.filter(_ > fromVersion).flatMap { v =>
-      val prev = manifests(v - 1).toSet
-      val cur = manifests(v)
+      val raw = manifests(v)
+      val cur = raw.filterNot(_.startsWith("#"))
+      val prev = manifests(v - 1).filterNot(_.startsWith("#")).toSet
       val removed = prev -- cur
-      // removals => compaction rewrite, not a data change
-      if (removed.nonEmpty) None
-      else {
+      if (removed.isEmpty) {
+        // pure append (also an upsert/delete that touched no existing
+        // file — its additions ARE genuinely new rows)
         val adds = cur.filterNot(prev)
         if (adds.isEmpty) None else Some(v -> adds)
+      } else raw.collectFirst {
+        case l if l.startsWith(OpPrefix) => l.drop(OpPrefix.length)
+      } match {
+        // compaction (or a pre-marker manifest): pure rewrite, no change
+        case Some("compact") | None => None
+        case Some(rowOp) =>
+          // an upsert/delete changed rows inside rewritten files — an
+          // appended-rows feed CANNOT represent that. Fail loudly (the
+          // consumer must resync from a snapshot) unless it explicitly
+          // opted into skipping row-level commits — Delta's
+          // ignoreChanges contract.
+          if (ignoreRowLevel) None
+          else throw new UnsupportedOperationException(
+            s"changefeed hit row-level '$rowOp' commit v$v of $table: " +
+              "an appended-rows feed cannot represent updates/deletes — " +
+              "resync from a snapshot, or opt in to skipping them " +
+              "(ignoreRowLevel / option ignoreRowLevelChanges)")
       }
     }
   }
 
   def readChanges(spark: SparkSession, table: String, fromVersion: Long,
       toVersion: Long = Long.MaxValue,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      ignoreRowLevel: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val added = changedFilesBetween(spark, table, fromVersion, toVersion)
+    val added = changedFilesBetween(spark, table, fromVersion, toVersion,
+      ignoreRowLevel)
     if (added.isEmpty) {
       val base = schema.orElse {
         val (_, files) = latest(spark, table)
@@ -409,7 +441,7 @@ object VersionedTable {
       val committed =
         files.forall(files2.contains) &&
           tryCommit(spark, table, v2 + 1,
-            lines2.filter(_.startsWith("#")) ++
+            metaLines(lines2, "compact") ++
               compacted ++ files2.filterNot(files.contains))
       if (committed) return v2 + 1
       // lost the race — drop our staged output and retry from scratch
@@ -418,6 +450,167 @@ object VersionedTable {
       attempt += 1
     }
     throw new IllegalStateException(s"compact lost $maxRetries commit races")
+  }
+
+  // ---------- row-level operations (copy-on-write) ----------
+
+  /** Does `file` possibly contain a key in [lo, hi]? Decided from the
+    * parquet FOOTER's per-row-group min/max statistics — no data pages
+    * are read. Conservative: unreadable footers, missing columns, or
+    * absent statistics count as intersecting; an all-null block cannot
+    * match a non-null equality key and does not.
+    */
+  private def fileIntersects(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, key: String, lo: Any, hi: Any,
+      isString: Boolean): Boolean = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, file,
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      val cols = md.getBlocks.asScala
+        .flatMap(_.getColumns.asScala.filter(_.getPath.toDotString == key))
+      if (cols.isEmpty) return true
+      cols.exists { c =>
+        val s = c.getStatistics
+        if (s == null || s.isEmpty) true
+        else if (!s.hasNonNullValue) false // all-null block: no key match
+        else if (isString) {
+          val mn = s.genericGetMin
+            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+          val mx = s.genericGetMax
+            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+          mx >= lo.asInstanceOf[String] && mn <= hi.asInstanceOf[String]
+        } else {
+          val mn = s.genericGetMin.asInstanceOf[Number].longValue
+          val mx = s.genericGetMax.asInstanceOf[Number].longValue
+          mx >= lo.asInstanceOf[Long] && mn <= hi.asInstanceOf[Long]
+        }
+      }
+    } catch { case _: Exception => true }
+  }
+
+  /** Keyed UPSERT (merge): rows of `updates` REPLACE current rows with
+    * the same `key`; unmatched update rows are inserts. Copy-on-write:
+    * only files whose footer key range intersects the updates' key range
+    * are rewritten (their survivors anti-joined against the update
+    * keys); every other file is carried into the new manifest untouched,
+    * and readers see one atomic snapshot flip. At 100 TB, pair with
+    * [[compact]]'s z-order clustering on the key: a narrow upsert then
+    * rewrites the handful of files covering its key range, not the
+    * table — the same footer-stats pruning that serves reads serves
+    * writes.
+    *
+    * `key` must be an integral or string column. SQL equality semantics:
+    * null-keyed existing rows never match (they survive), null-keyed
+    * update rows are plain inserts. OCC like [[compact]]: the commit
+    * validates every rewritten input is still live, rebases over raced
+    * appends, and retries from scratch otherwise; writer txn watermarks
+    * carry forward. Returns the committed version (or the current one if
+    * `updates` is empty).
+    */
+  def upsert(spark: SparkSession, updates: DataFrame, table: String,
+      key: String, maxRetries: Int = 20): Long = {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val keyType = updates.schema(key).dataType
+    val isString = keyType == StringType
+    require(isString ||
+      Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(keyType),
+      s"upsert key must be integral or string, got $keyType")
+    val norm = if (isString) updates
+      else updates.withColumn(key, col(key).cast(LongType))
+    val b = norm.agg(smin(col(key)), smax(col(key))).head()
+    if (b.isNullAt(0)) {
+      // no non-null keys: pure insert (or nothing at all)
+      return if (updates.isEmpty) latest(spark, table)._1
+      else append(spark, updates, table, maxRetries)
+    }
+    val (lo, hi) = (b.get(0), b.get(1))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val newFiles = stage(spark, updates, table)
+    var attempt = 0
+    var lastRewritten: Seq[String] = Nil
+    try {
+      while (attempt < maxRetries) {
+        val (_, lines) = latestRaw(spark, table)
+        val files = lines.filterNot(_.startsWith("#"))
+        val affected = files.filter(n =>
+          fileIntersects(conf, new Path(table, n), key, lo, hi, isString))
+        val rewritten =
+          if (affected.isEmpty) Nil
+          else {
+            val existing = spark.read
+              .parquet(affected.map(n => s"$table/$n"): _*)
+            val survivors = existing.join(
+              updates.select(col(key)).where(col(key).isNotNull).distinct(),
+              Seq(key), "left_anti")
+            stage(spark, survivors, table)
+          }
+        lastRewritten = rewritten
+        val (v2, lines2) = latestRaw(spark, table)
+        val files2 = lines2.filterNot(_.startsWith("#"))
+        val committed =
+          affected.forall(files2.contains) &&
+            tryCommit(spark, table, v2 + 1,
+              metaLines(lines2, "upsert") ++
+                files2.filterNot(affected.contains) ++ rewritten ++ newFiles)
+        if (committed) return v2 + 1
+        val f = fs(spark, table)
+        rewritten.foreach(n => f.delete(new Path(table, n), false))
+        lastRewritten = Nil
+        attempt += 1
+      }
+      val f = fs(spark, table)
+      newFiles.foreach(n => f.delete(new Path(table, n), false))
+      throw new IllegalStateException(s"upsert lost $maxRetries commit races")
+    } catch {
+      case e: Throwable if !e.isInstanceOf[IllegalStateException] =>
+        val f = fs(spark, table)
+        (newFiles ++ lastRewritten)
+          .foreach(n => f.delete(new Path(table, n), false))
+        throw e
+    }
+  }
+
+  /** Row-level DELETE: removes rows where `predicate` is TRUE (SQL
+    * semantics — null keeps). Copy-on-write like [[upsert]]: one
+    * pruned-and-pushed-down scan finds the files that actually contain
+    * matches (`input_file_name`), only those are rewritten without their
+    * matching rows, everything else carries over untouched. Returns the
+    * committed version (unchanged if nothing matched).
+    */
+  def delete(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      maxRetries: Int = 20): Long = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, files) = latest(spark, table)
+      if (files.isEmpty) return v
+      val snap = spark.read.parquet(files.map(n => s"$table/$n"): _*)
+      val affected = snap.where(predicate)
+        .select(input_file_name()).distinct().collect()
+        .map(r => new Path(r.getString(0)).getName).toSeq
+      if (affected.isEmpty) return v
+      val survivors = spark.read
+        .parquet(affected.map(n => s"$table/$n"): _*)
+        .where(not(coalesce(predicate, lit(false))))
+      val rewritten = stage(spark, survivors, table)
+      val (v2, lines2) = latestRaw(spark, table)
+      val files2 = lines2.filterNot(_.startsWith("#"))
+      val committed =
+        affected.forall(files2.contains) &&
+          tryCommit(spark, table, v2 + 1,
+            metaLines(lines2, "delete") ++
+              files2.filterNot(affected.contains) ++ rewritten)
+      if (committed) return v2 + 1
+      val f = fs(spark, table)
+      rewritten.foreach(n => f.delete(new Path(table, n), false))
+      attempt += 1
+    }
+    throw new IllegalStateException(s"delete lost $maxRetries commit races")
   }
 
   /** Delete data files referenced by NO manifest version >= `keepFrom`

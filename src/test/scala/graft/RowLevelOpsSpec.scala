@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** Copy-on-write row-level ops on the versioned lake: keyed upsert with
+  * parquet-footer file pruning, predicate delete, OCC + watermark
+  * preservation.
+  */
+class RowLevelOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rows(t: String): Set[(Long, String)] =
+    VersionedTable.read(spark, t).as[(Long, String)].collect().toSet
+
+  private def dataFiles(t: String): Seq[String] =
+    VersionedTable.latest(spark, t)._2
+
+  test("upsert rewrites ONLY footer-intersecting files; others carry over") {
+    val t = Files.createTempDirectory("rl_up").toString + "/t"
+    // three single-file commits with disjoint key ranges
+    VersionedTable.append(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    VersionedTable.append(spark,
+      (11L to 20L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    VersionedTable.append(spark,
+      (21L to 30L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    val before = dataFiles(t)
+    assert(before.size === 3)
+
+    VersionedTable.upsert(spark,
+      Seq((25L, "UPDATED"), (35L, "NEW")).toDF("k", "v"), t, "k")
+
+    val after = dataFiles(t)
+    // files 1 and 2 (keys 1-20) must be the ORIGINAL files, untouched —
+    // the footer range check pruned them from the rewrite
+    val untouched = before.filter(after.contains)
+    assert(untouched.size === 2,
+      s"expected 2 carried-over files, got $untouched of $before -> $after")
+    val expected = (1L to 30L).filterNot(_ == 25L).map(i => (i, s"v$i")).toSet +
+      ((25L, "UPDATED")) + ((35L, "NEW"))
+    assert(rows(t) === expected)
+  }
+
+  test("upsert: string keys, null-keyed rows survive, empty updates no-op") {
+    val t = Files.createTempDirectory("rl_str").toString + "/t"
+    VersionedTable.append(spark,
+      Seq(("a", "1"), ("b", "2"), (null, "nullkey")).toDF("k", "v"), t)
+    VersionedTable.upsert(spark, Seq(("b", "2x")).toDF("k", "v"), t, "k")
+    val got = VersionedTable.read(spark, t)
+      .as[(Option[String], String)].collect().toSet
+    assert(got === Set(Some("a") -> "1", Some("b") -> "2x", None -> "nullkey"))
+    val v = VersionedTable.latest(spark, t)._1
+    assert(VersionedTable.upsert(spark,
+      Seq.empty[(String, String)].toDF("k", "v"), t, "k") === v)
+  }
+
+  test("delete removes matching rows, rewrites only containing files") {
+    val t = Files.createTempDirectory("rl_del").toString + "/t"
+    VersionedTable.append(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    VersionedTable.append(spark,
+      (11L to 20L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    val before = dataFiles(t)
+    VersionedTable.delete(spark, t, col("k") === 15L || col("k") === 16L)
+    val after = dataFiles(t)
+    assert(before.filter(after.contains).size === 1,
+      "the file without matches must carry over untouched")
+    assert(rows(t) ===
+      (1L to 20L).filterNot(k => k == 15L || k == 16L)
+        .map(i => (i, s"v$i")).toSet)
+    // no matches -> same version, no rewrite
+    val v = VersionedTable.latest(spark, t)._1
+    assert(VersionedTable.delete(spark, t, col("k") === 999L) === v)
+  }
+
+  test("row-level commits preserve streaming writer watermarks and history") {
+    val t = Files.createTempDirectory("rl_txn").toString + "/t"
+    graft.streaming.VersionedSink.exactlyOnce(t, "q")(
+      Seq((1L, "a")).toDF("k", "v"), 7L)
+    VersionedTable.upsert(spark, Seq((1L, "a2")).toDF("k", "v"), t, "k")
+    VersionedTable.delete(spark, t, col("k") === 999L)
+    assert(VersionedTable.lastCommittedEpoch(spark, t, "q") === Some(7L))
+    // pre-upsert snapshot still time-travels
+    assert(VersionedTable.read(spark, t, 1L).as[(Long, String)]
+      .collect().toSet === Set((1L, "a")))
+    assert(rows(t) === Set((1L, "a2")))
+    // an appended-rows changefeed CANNOT represent the upsert: it must
+    // fail loudly, not silently mis-ship rewritten survivors...
+    val e = intercept[UnsupportedOperationException] {
+      VersionedTable.readChanges(spark, t, 1L).collect()
+    }
+    assert(e.getMessage.contains("upsert"))
+    // ...unless the consumer explicitly opts into skipping row-level
+    // commits (the delete above touched nothing, so only the upsert
+    // commit is skipped -> empty feed)
+    assert(VersionedTable.readChanges(spark, t, 1L,
+      ignoreRowLevel = true).count() === 0L)
+  }
+}
