@@ -153,6 +153,20 @@ class GraftTableSourceSpec extends SparkTestBase {
         .take(5).mkString("\n"))
   }
 
+  test("SQL DELETE FROM runs the copy-on-write delete") {
+    val t = Files.createTempDirectory("gts_del").toString + "/t"
+    VersionedTable.append(spark,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), t)
+    spark.sql(s"CREATE TABLE graft_del_t USING `graft-table` LOCATION '$t'")
+    try {
+      spark.sql("DELETE FROM graft_del_t WHERE k = 2 OR v = 'c'")
+      assert(VersionedTable.read(spark, t).select("k").as[Int]
+        .collect().toSeq === Seq(1))
+      // the delete is a first-class versioned commit: time travel intact
+      assert(VersionedTable.read(spark, t, 1L).count() === 3L)
+    } finally spark.sql("DROP TABLE graft_del_t")
+  }
+
   test("startingVersion skips history; offsets round-trip json") {
     val t = Files.createTempDirectory("gts_sv").toString + "/t"
     VersionedTable.append(spark, Seq(1).toDF("k"), t)
