@@ -74,12 +74,75 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 
 private[sources] class GraftTable(path: String, dataSchema: StructType)
   extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft-table `$path`"
   override def schema(): StructType = GraftTableScan.outputSchema(dataSchema)
+  // BATCH_WRITE satisfies DataFrameWriter's capability gate; the planner
+  // still routes through the V1 bridge because build() returns V1Write.
+  // ACCEPT_ANY_SCHEMA bypasses output resolution against schema() (which
+  // carries the derived _commit_version column writers don't provide);
+  // insert() below re-validates against the DATA schema instead.
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  // ---- batch writes: the V1 bridge hands the whole DataFrame to the
+  // driver, where the manifest protocol does what executors cannot —
+  // stage files, then publish ONE atomic commit (append or overwrite).
+  // INSERT INTO / df.write.format("graft-table") both land here.
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwriteAll = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation()
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                // the scan-side _commit_version column is derived, not
+                // stored — drop it if a round-tripped frame carries it
+                val named = data.drop(GraftTableScan.VersionCol)
+                val want = dataSchema.fieldNames.toSeq
+                // anonymous positional rows (INSERT ... VALUES) fill the
+                // full advertised schema, whose LAST field is the derived
+                // version column — shed that trailing slot
+                val clean =
+                  if (named.columns.length == want.length + 1 &&
+                      named.columns.forall(_.matches("col\\d+")))
+                    named.drop(named.columns.last)
+                  else named
+                // ACCEPT_ANY_SCHEMA skipped Spark's output resolution:
+                // re-validate here — by name when names match, by
+                // position for anonymous rows (INSERT ... VALUES)
+                val aligned =
+                  if (clean.columns.toSeq == want) clean
+                  else if (clean.columns.toSet == want.toSet)
+                    clean.select(want.map(org.apache.spark.sql
+                      .functions.col): _*)
+                  else if (clean.columns.length == want.length)
+                    clean.toDF(want: _*)
+                  else throw new IllegalArgumentException(
+                    s"cannot write columns ${clean.columns.toSeq} into " +
+                      s"graft-table with schema $want")
+                if (overwriteAll || overwrite)
+                  VersionedTable.overwrite(data.sparkSession, aligned, path)
+                else VersionedTable.append(data.sparkSession, aligned, path)
+                ()
+              }
+            }
+        }
+    }
 
   // ---- SQL DML: DELETE FROM <table> WHERE ... ----
   // Filters arrive as v1 sources.Filter; rebuild the Column predicate and

@@ -574,6 +574,27 @@ object VersionedTable {
     }
   }
 
+  /** Overwrite: one atomic commit whose snapshot is exactly `df` — the
+    * old files are dropped from the manifest (kept on disk for
+    * time-travel until vacuum). Marked `#op overwrite`: like upsert and
+    * delete, an appended-rows changefeed cannot represent it and fails
+    * loudly unless the consumer opted into skipping row-level commits.
+    */
+  def overwrite(spark: SparkSession, df: DataFrame, table: String,
+      maxRetries: Int = 20): Long = {
+    val staged = stage(spark, df, table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      if (tryCommit(spark, table, v + 1,
+          metaLines(lines, "overwrite") ++ staged)) return v + 1
+      attempt += 1
+    }
+    val f = fs(spark, table)
+    staged.foreach(n => f.delete(new Path(table, n), false))
+    throw new IllegalStateException(s"overwrite lost $maxRetries commit races")
+  }
+
   /** Row-level DELETE: removes rows where `predicate` is TRUE (SQL
     * semantics — null keeps). Copy-on-write like [[upsert]]: one
     * pruned-and-pushed-down scan finds the files that actually contain

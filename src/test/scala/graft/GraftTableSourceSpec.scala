@@ -153,6 +153,29 @@ class GraftTableSourceSpec extends SparkTestBase {
         .take(5).mkString("\n"))
   }
 
+  test("batch writes: df.write append/overwrite and SQL INSERT INTO") {
+    val t = Files.createTempDirectory("gts_w").toString + "/t"
+    VersionedTable.append(spark, Seq((1, "a")).toDF("k", "v"), t)
+    // DataFrameWriter append = one atomic manifest commit
+    Seq((2, "b")).toDF("k", "v").write.format("graft-table")
+      .mode("append").save(t)
+    assert(VersionedTable.read(spark, t).select("k").as[Int]
+      .collect().sorted.toSeq === Seq(1, 2))
+    // SQL INSERT INTO through the catalog table
+    spark.sql(s"CREATE TABLE graft_w_t USING `graft-table` LOCATION '$t'")
+    try {
+      spark.sql("INSERT INTO graft_w_t VALUES (3, 'c', 0)")
+      assert(VersionedTable.read(spark, t).select("k").as[Int]
+        .collect().sorted.toSeq === Seq(1, 2, 3))
+    } finally spark.sql("DROP TABLE graft_w_t")
+    // overwrite = snapshot replacement, old versions still travelable
+    Seq((9, "z")).toDF("k", "v").write.format("graft-table")
+      .mode("overwrite").save(t)
+    assert(VersionedTable.read(spark, t).select("k").as[Int]
+      .collect().toSeq === Seq(9))
+    assert(VersionedTable.read(spark, t, 2L).count() === 2L)
+  }
+
   test("SQL DELETE FROM runs the copy-on-write delete") {
     val t = Files.createTempDirectory("gts_del").toString + "/t"
     VersionedTable.append(spark,
