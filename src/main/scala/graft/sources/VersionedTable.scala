@@ -551,7 +551,16 @@ object VersionedTable {
         lastRewritten = rewritten
         val (v2, lines2) = latestRaw(spark, table)
         val files2 = lines2.filterNot(_.startsWith("#"))
-        val committed =
+        // WRITE-WRITE conflict detection (Delta's ConcurrentAppend rule):
+        // a file appended between our snapshot and our commit may hold
+        // rows with keys this upsert replaces — rebasing over it would
+        // leave both versions live. Rebase only appends whose footer key
+        // range is DISJOINT from the update range; otherwise retry from
+        // the new snapshot (the re-run anti-joins them too).
+        val racedAppends = files2.filterNot(files.contains)
+        val conflicting = racedAppends.exists(n =>
+          fileIntersects(conf, new Path(table, n), key, lo, hi, isString))
+        val committed = !conflicting &&
           affected.forall(files2.contains) &&
             tryCommit(spark, table, v2 + 1,
               metaLines(lines2, "upsert") ++
@@ -564,7 +573,12 @@ object VersionedTable {
       }
       val f = fs(spark, table)
       newFiles.foreach(n => f.delete(new Path(table, n), false))
-      throw new IllegalStateException(s"upsert lost $maxRetries commit races")
+      // sustained appends intersecting the key range legitimately starve
+      // an optimistic upsert — same contract as Delta's
+      // ConcurrentAppendException: the caller backs off and retries
+      throw new IllegalStateException(
+        s"upsert lost $maxRetries commit races (concurrent appends kept " +
+          "intersecting the update key range) — back off and retry")
     } catch {
       case e: Throwable if !e.isInstanceOf[IllegalStateException] =>
         val f = fs(spark, table)
@@ -621,8 +635,13 @@ object VersionedTable {
       val rewritten = stage(spark, survivors, table)
       val (v2, lines2) = latestRaw(spark, table)
       val files2 = lines2.filterNot(_.startsWith("#"))
+      // conflict rule: an arbitrary predicate can't be footer-checked
+      // against raced appends (they may contain matching rows), so ANY
+      // new data file forces a retry over the fresh snapshot. Stricter
+      // than upsert's key-range test; deletes under heavy append traffic
+      // pay retries, never correctness.
       val committed =
-        affected.forall(files2.contains) &&
+        files2.toSet == files.toSet &&
           tryCommit(spark, table, v2 + 1,
             metaLines(lines2, "delete") ++
               files2.filterNot(affected.contains) ++ rewritten)

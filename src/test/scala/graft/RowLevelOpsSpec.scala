@@ -77,6 +77,45 @@ class RowLevelOpsSpec extends SparkTestBase {
     assert(VersionedTable.delete(spark, t, col("k") === 999L) === v)
   }
 
+  test("upsert racing intersecting appends: snapshot-at-commit has one row per key") {
+    val t = Files.createTempDirectory("rl_race").toString + "/t"
+    VersionedTable.append(spark,
+      (1L to 1000L).map(i => (i, "base")).toDF("k", "v"), t)
+    // appender thread keeps landing rows with the CONTESTED key while the
+    // upsert runs: any append committed before the upsert's version must
+    // have been anti-joined (conflict detection forces the retry), so the
+    // upsert's snapshot contains exactly the update's row for that key
+    // bounded contention: sustained intersecting appends can legitimately
+    // starve an optimistic upsert (Delta's ConcurrentAppendException) —
+    // here the appender quiesces, after which the upsert must win
+    @volatile var stop = false
+    val appender = new Thread(() => {
+      var i = 0
+      while (!stop && i < 6) {
+        VersionedTable.append(spark,
+          Seq((5L, s"race$i")).toDF("k", "v"), t)
+        i += 1
+      }
+    })
+    appender.start()
+    try {
+      Thread.sleep(50) // let appends begin
+      val vU = VersionedTable.upsert(spark,
+        Seq((5L, "UPDATED")).toDF("k", "v"), t, "k")
+      stop = true
+      appender.join(60000)
+      val atUpsert = VersionedTable.read(spark, t, vU)
+        .where(col("k") === 5L).select("v").as[String].collect().toSeq
+      assert(atUpsert === Seq("UPDATED"),
+        s"version $vU must hold exactly the upserted row for the key, got $atUpsert")
+      // appends AFTER the upsert's version are additional k=5 rows in
+      // later snapshots — that is the correct serialization
+      val now = VersionedTable.read(spark, t)
+        .where(col("k") === 5L).select("v").as[String].collect().toSeq
+      assert(now.contains("UPDATED"))
+    } finally { stop = true; appender.join(60000) }
+  }
+
   test("row-level commits preserve streaming writer watermarks and history") {
     val t = Files.createTempDirectory("rl_txn").toString + "/t"
     graft.streaming.VersionedSink.exactlyOnce(t, "q")(
