@@ -792,6 +792,36 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- W9: ranking family (ntile / percent_rank / cume_dist) ----
+    // Deterministic: the order key (value, event_id) is unique per
+    // partition, so rank == row_number and the (rank-1)/(n-1) and
+    // rows<=current/n divisions are identical IEEE ops in both engines.
+    "w9_rank_family" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("event_id")
+    }),
+
+    // ---- F14: date arithmetic (add / diff / trunc) ----
+    // The date-math family §2.8 notes the reference never uses — engine
+    // completeness, fully oracled (calendar ops, no timezone ambiguity:
+    // l_shipdate is a date-precision timestamp in UTC sessions).
+    "a21_date_arith" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_add(col("l_shipdate").cast(DateType), 7).as("ship_plus7"),
+          datediff(col("l_shipdate").cast(DateType),
+            lit("1995-01-01").cast(DateType)).as("days_since"),
+          date_trunc("month", col("l_shipdate")).cast(DateType)
+            .as("month_start"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // ---- A17: CUBE (all grouping-set combinations) ----
     "a17_cube" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -2187,5 +2217,25 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // unique order key per partition => rank==row_number, divisions are
+    // the same IEEE ops in both engines
+    "w9_rank_family" ->
+      """SELECT event_id, user_id,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "a21_date_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_shipdate AS DATE) + INTERVAL 7 DAY AS DATE) AS ship_plus7,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS INT)
+        |    AS days_since,
+        |  CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS month_start
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }
