@@ -135,6 +135,14 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
                   else throw new IllegalArgumentException(
                     s"cannot write columns ${clean.columns.toSeq} into " +
                       s"graft-table with schema $want")
+                // names aligned; types must match too — ACCEPT_ANY_SCHEMA
+                // bypassed Spark's check, and a type-mismatched parquet
+                // file would poison every subsequent read of the table
+                val mismatched = aligned.schema.fields.zip(dataSchema.fields)
+                  .collect { case (got, exp) if got.dataType != exp.dataType =>
+                    s"${exp.name}: ${got.dataType} != ${exp.dataType}" }
+                if (mismatched.nonEmpty) throw new IllegalArgumentException(
+                  s"type mismatch writing graft-table: ${mismatched.mkString(", ")}")
                 if (overwriteAll || overwrite)
                   VersionedTable.overwrite(data.sparkSession, aligned, path)
                 else VersionedTable.append(data.sparkSession, aligned, path)
