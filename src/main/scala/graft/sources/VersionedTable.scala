@@ -509,8 +509,16 @@ object VersionedTable {
     * carry forward. Returns the committed version (or the current one if
     * `updates` is empty).
     */
+  /** @param txn optional (writerId, epoch) idempotence watermark: the
+    *   upsert is a NO-OP if the writer already committed this epoch, and
+    *   the commit records it — the exactly-once contract of
+    *   [[appendIdempotent]] extended to merges, which is what a CDC
+    *   apply stream needs (see
+    *   [[graft.streaming.VersionedSink.upsertExactlyOnce]]).
+    */
   def upsert(spark: SparkSession, updates: DataFrame, table: String,
-      key: String, maxRetries: Int = 20): Long = {
+      key: String, maxRetries: Int = 20,
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, max => smax, min => smin}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val keyType = updates.schema(key).dataType
@@ -523,12 +531,30 @@ object VersionedTable {
       else updates.withColumn(key, col(key).cast(LongType))
     val b = norm.agg(smin(col(key)), smax(col(key))).head()
     if (b.isNullAt(0)) {
-      // no non-null keys: pure insert (or nothing at all)
-      return if (updates.isEmpty) latest(spark, table)._1
-      else append(spark, updates, table, maxRetries)
+      // no non-null keys: pure insert (or nothing at all). With a txn
+      // the watermark must still advance — the batch WAS processed —
+      // so route through the idempotent append.
+      return txn match {
+        case Some((w, e)) =>
+          appendIdempotent(spark, updates, table, w, e, maxRetries)
+        case None =>
+          if (updates.isEmpty) latest(spark, table)._1
+          else append(spark, updates, table, maxRetries)
+      }
     }
     val (lo, hi) = (b.get(0), b.get(1))
     val conf = spark.sparkContext.hadoopConfiguration
+    txn.foreach { case (w, _) =>
+      require(w.nonEmpty && !w.contains(" ") && !w.contains("\n"),
+        "writerId must be non-empty, no spaces")
+    }
+    // replay check BEFORE staging anything
+    txn match {
+      case Some((w, e))
+          if txnMap(latestRaw(spark, table)._2).get(w).exists(_ >= e) =>
+        return latest(spark, table)._1
+      case _ =>
+    }
     val newFiles = stage(spark, updates, table)
     var attempt = 0
     var lastRewritten: Seq[String] = Nil
@@ -536,6 +562,15 @@ object VersionedTable {
       while (attempt < maxRetries) {
         val (_, lines) = latestRaw(spark, table)
         val files = lines.filterNot(_.startsWith("#"))
+        // replay re-check inside the OCC loop: a racing instance of the
+        // same writer may have committed this epoch while we retried
+        txn match {
+          case Some((w, e)) if txnMap(lines).get(w).exists(_ >= e) =>
+            val f = fs(spark, table)
+            newFiles.foreach(n => f.delete(new Path(table, n), false))
+            return latest(spark, table)._1
+          case _ =>
+        }
         val affected = files.filter(n =>
           fileIntersects(conf, new Path(table, n), key, lo, hi, isString))
         val rewritten =
@@ -560,10 +595,15 @@ object VersionedTable {
         val racedAppends = files2.filterNot(files.contains)
         val conflicting = racedAppends.exists(n =>
           fileIntersects(conf, new Path(table, n), key, lo, hi, isString))
+        val meta = txn match {
+          case Some((w, e)) =>
+            txnLines(txnMap(lines2) + (w -> e)) :+ (OpPrefix + "upsert")
+          case None => metaLines(lines2, "upsert")
+        }
         val committed = !conflicting &&
           affected.forall(files2.contains) &&
             tryCommit(spark, table, v2 + 1,
-              metaLines(lines2, "upsert") ++
+              meta ++
                 files2.filterNot(affected.contains) ++ rewritten ++ newFiles)
         if (committed) return v2 + 1
         val f = fs(spark, table)

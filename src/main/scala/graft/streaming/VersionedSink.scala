@@ -43,6 +43,27 @@ object VersionedSink {
       ()
     }
 
+  /** Exactly-once streaming UPSERT — the CDC-apply sink: each
+    * micro-batch MERGES into the table by `key` (latest batch wins for a
+    * key) under the same (writerId, batchId) idempotence watermark as
+    * [[exactlyOnce]], so crash-replayed batches re-merge as no-ops. This
+    * is how a change stream (user profiles, dimension updates, late
+    * corrections) lands in the lake: footer-pruned copy-on-write per
+    * batch, atomic snapshot flips, exactly-once end to end.
+    *
+    * Within one micro-batch, rows sharing a key are NOT ordered — apply
+    * upstream ordering (e.g. keep the max-timestamp row per key) before
+    * the sink if the stream can carry multiple versions of a key per
+    * batch.
+    */
+  def upsertExactlyOnce(table: String, key: String,
+      writerId: String): (Dataset[Row], Long) => Unit =
+    (batch: Dataset[Row], batchId: Long) => {
+      VersionedTable.upsert(batch.sparkSession, batch.toDF(), table, key,
+        txn = Some((writerId, batchId)))
+      ()
+    }
+
   /** Incremental table-to-table pipe with END-TO-END exactly-once: read
     * the source changefeed past the last processed version, transform,
     * and commit to `dst` with the SOURCE VERSION as the idempotence

@@ -79,6 +79,24 @@ class VersionedSinkSpec extends SparkTestBase {
     assert(rows(dst) === Seq(2, 4, 6))
   }
 
+  test("upsertExactlyOnce: CDC apply — merge per batch, replay-safe") {
+    val t = Files.createTempDirectory("vsink_cdc").toString + "/t"
+    val sink = VersionedSink.upsertExactlyOnce(t, "k", "cdc")
+    def state: Map[Int, String] =
+      VersionedTable.read(spark, t)
+        .as[(Int, String)].collect().toMap
+    sink(Seq((1, "a"), (2, "b")).toDF("k", "v"), 0L)
+    sink(Seq((2, "b2"), (3, "c")).toDF("k", "v"), 1L)
+    assert(state === Map(1 -> "a", 2 -> "b2", 3 -> "c"))
+    // crash replay of batch 1: must not double-apply (or resurrect "b")
+    sink(Seq((2, "b2"), (3, "c")).toDF("k", "v"), 1L)
+    assert(state === Map(1 -> "a", 2 -> "b2", 3 -> "c"))
+    assert(VersionedTable.lastCommittedEpoch(spark, t, "cdc") === Some(1L))
+    // a batch with no keyed rows still advances the watermark
+    sink(spark.emptyDataset[(Int, String)].toDF("k", "v"), 2L)
+    assert(VersionedTable.lastCommittedEpoch(spark, t, "cdc") === Some(2L))
+  }
+
   test("end-to-end: a real streaming query lands each batch exactly once") {
     val t = Files.createTempDirectory("vsink4").toString + "/t"
     val ckpt = Files.createTempDirectory("vsink4_ckpt").toString
