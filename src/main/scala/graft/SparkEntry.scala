@@ -1068,6 +1068,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- text: INTRA-doc line dedup (keep first occurrence, in order).
+    // The within-page half of C4's repeated-line cleaning (t13 is the
+    // corpus-frequency half). Constructed duplicate lines make the op
+    // observable; array_distinct is order-preserving-first-occurrence in
+    // both engines' semantics (oracle re-derives via min-ordinal). Pure
+    // map-side, zero shuffle. ----
+    "t15_intradoc_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("boiler"), col("text"),
+          lit("boiler"),
+          concat(lit("id: "), col("doc_id").cast(StringType))).as("text"))
+      TextAnalysis.dedupLinesWithinDoc(docs, "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- join: NEAREST as-of (closer of backward/forward; ties prefer
     // backward) — left times shifted +17 min between right points so
     // both directions genuinely compete; oracled via two DuckDB ASOF
@@ -2217,6 +2232,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // first-occurrence line dedup == keep min ordinal per (doc, line)
+    "t15_intradoc_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    concat(text, chr(10), 'boiler', chr(10), text, chr(10),
+        |           'boiler', chr(10), 'id: ', CAST(doc_id AS VARCHAR)) AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |        i -> struct_pack(ord := i, line := ls[i]))) AS u FROM s),
+        |f AS (SELECT doc_id, u.line AS line, min(u.ord) AS ord
+        |  FROM l GROUP BY doc_id, u.line)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // unique order key per partition => rank==row_number, divisions are
     // the same IEEE ops in both engines

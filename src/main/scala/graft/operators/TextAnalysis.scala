@@ -172,6 +172,17 @@ object TextAnalysis {
     else rebuilt
   }
 
+  /** INTRA-document line dedup: within each doc, keep only the first
+    * occurrence of each line (exact match), preserving order — the
+    * within-page half of C4's repeated-line cleaning ([[dedupLines]] is
+    * the corpus-frequency half). Pure map-side: `array_distinct` is
+    * documented order-preserving-first-occurrence, so this is one
+    * codegen'd expression per row, zero shuffle at any scale.
+    */
+  def dedupLinesWithinDoc(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn(textCol,
+      array_join(array_distinct(split(col(textCol), "\n")), "\n"))
+
   /** Full per-document profile in one map-side pass. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
