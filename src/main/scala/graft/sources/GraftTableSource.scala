@@ -87,7 +87,8 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   // ---- batch writes: the V1 bridge hands the whole DataFrame to the
   // driver, where the manifest protocol does what executors cannot —
@@ -97,11 +98,28 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder
-      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwriteAll = false
+      private var replaceCond
+          : Option[org.apache.spark.sql.Column] = None
       override def truncate()
           : org.apache.spark.sql.connector.write.WriteBuilder = {
         overwriteAll = true; this
+      }
+      // INSERT OVERWRITE / DataFrameWriterV2.overwrite(condition):
+      // an atomic replaceWhere commit (delete-matching + insert, one
+      // snapshot flip)
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        val cols = filters.map(f => toColumn(f).getOrElse(
+          throw new UnsupportedOperationException(
+            s"cannot overwrite by filter $f")))
+        if (cols.isEmpty ||
+            filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+          overwriteAll = true
+        else replaceCond = Some(cols.reduce(_ && _))
+        this
       }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -143,9 +161,15 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
                     s"${exp.name}: ${got.dataType} != ${exp.dataType}" }
                 if (mismatched.nonEmpty) throw new IllegalArgumentException(
                   s"type mismatch writing graft-table: ${mismatched.mkString(", ")}")
-                if (overwriteAll || overwrite)
-                  VersionedTable.overwrite(data.sparkSession, aligned, path)
-                else VersionedTable.append(data.sparkSession, aligned, path)
+                replaceCond match {
+                  case Some(cond) =>
+                    VersionedTable.replaceWhere(
+                      data.sparkSession, aligned, path, cond)
+                  case None if overwriteAll || overwrite =>
+                    VersionedTable.overwrite(data.sparkSession, aligned, path)
+                  case None =>
+                    VersionedTable.append(data.sparkSession, aligned, path)
+                }
                 ()
               }
             }
@@ -249,17 +273,29 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private lazy val bytes: java.util.OptionalLong =
+      private lazy val (bytes, rowCount) =
         try {
-          val f = new Path(path)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          import scala.jdk.CollectionConverters._
+          val conf = spark.sparkContext.hadoopConfiguration
+          val f = new Path(path).getFileSystem(conf)
           val (_, files) = VersionedTable.latest(spark, path)
-          java.util.OptionalLong.of(
-            files.map(n => f.getFileStatus(new Path(path, n)).getLen).sum)
-        } catch { case _: Exception => java.util.OptionalLong.empty() }
+          val sizes = files.map(n =>
+            f.getFileStatus(new Path(path, n)).getLen).sum
+          // exact row count for free from the parquet footers (block
+          // row counts) — no data pages read
+          val rows = files.map { n =>
+            org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+              conf, new Path(path, n),
+              org.apache.parquet.format.converter
+                .ParquetMetadataConverter.NO_FILTER)
+              .getBlocks.asScala.map(_.getRowCount).sum
+          }.sum
+          (java.util.OptionalLong.of(sizes), java.util.OptionalLong.of(rows))
+        } catch { case _: Exception =>
+          (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
+        }
       override def sizeInBytes(): java.util.OptionalLong = bytes
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = rowCount
     }
 
   private def spark = SparkSession.active

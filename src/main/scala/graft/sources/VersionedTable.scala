@@ -628,6 +628,55 @@ object VersionedTable {
     }
   }
 
+  /** Atomic predicate overwrite (Delta's replaceWhere): ONE commit that
+    * removes rows matching `predicate` and inserts `df` — the
+    * delete-then-append composed without the torn-state window between
+    * two commits. Backs `INSERT OVERWRITE ... WHERE` /
+    * DataFrameWriterV2.overwrite(condition). Same OCC conflict rule as
+    * [[delete]]: any raced data file forces a retry over the fresh
+    * snapshot.
+    */
+  def replaceWhere(spark: SparkSession, df: DataFrame, table: String,
+      predicate: org.apache.spark.sql.Column,
+      maxRetries: Int = 20): Long = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    val newFiles = stage(spark, df, table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (_, files) = latest(spark, table)
+      val (affected, rewritten) =
+        if (files.isEmpty) (Nil, Nil)
+        else {
+          val snap = spark.read.parquet(files.map(n => s"$table/$n"): _*)
+          val aff = snap.where(predicate)
+            .select(input_file_name()).distinct().collect()
+            .map(r => new Path(r.getString(0)).getName).toSeq
+          if (aff.isEmpty) (Nil, Nil)
+          else {
+            val survivors = spark.read
+              .parquet(aff.map(n => s"$table/$n"): _*)
+              .where(not(coalesce(predicate, lit(false))))
+            (aff, stage(spark, survivors, table))
+          }
+        }
+      val (v2, lines2) = latestRaw(spark, table)
+      val files2 = lines2.filterNot(_.startsWith("#"))
+      val committed =
+        files2.toSet == files.toSet &&
+          tryCommit(spark, table, v2 + 1,
+            metaLines(lines2, "replace") ++
+              files2.filterNot(affected.contains) ++ rewritten ++ newFiles)
+      if (committed) return v2 + 1
+      val f = fs(spark, table)
+      rewritten.foreach(n => f.delete(new Path(table, n), false))
+      attempt += 1
+    }
+    val f = fs(spark, table)
+    newFiles.foreach(n => f.delete(new Path(table, n), false))
+    throw new IllegalStateException(
+      s"replaceWhere lost $maxRetries commit races")
+  }
+
   /** Overwrite: one atomic commit whose snapshot is exactly `df` — the
     * old files are dropped from the manifest (kept on disk for
     * time-travel until vacuum). Marked `#op overwrite`: like upsert and

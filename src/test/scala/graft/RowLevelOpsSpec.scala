@@ -116,6 +116,30 @@ class RowLevelOpsSpec extends SparkTestBase {
     } finally { stop = true; appender.join(60000) }
   }
 
+  test("replaceWhere: atomic delete-matching + insert in one commit") {
+    val t = Files.createTempDirectory("rl_rw").toString + "/t"
+    VersionedTable.append(spark,
+      (1L to 10L).map(i => (i, "old")).toDF("k", "v"), t)
+    val v0 = VersionedTable.latest(spark, t)._1
+    val v = VersionedTable.replaceWhere(spark,
+      Seq((100L, "new"), (101L, "new")).toDF("k", "v"), t,
+      col("k") >= 6L)
+    assert(v === v0 + 1, "delete + insert must be ONE commit")
+    assert(rows(t) === ((1L to 5L).map(i => (i, "old")).toSet +
+      ((100L, "new")) + ((101L, "new"))))
+    // DataFrameWriterV2 condition overwrite routes through
+    // SupportsOverwrite -> replaceWhere
+    spark.sql(s"CREATE TABLE graft_rw_t USING `graft-table` LOCATION '$t'")
+    try {
+      Seq((6L, "cond")).toDF("k", "v")
+        .writeTo("graft_rw_t").overwrite(col("k") >= 100L)
+      assert(rows(t) === ((1L to 5L).map(i => (i, "old")).toSet +
+        ((6L, "cond"))))
+    } finally spark.sql("DROP TABLE graft_rw_t")
+    assert(VersionedTable.read(spark, t, v0).count() === 10L,
+      "pre-replace snapshot still time-travels")
+  }
+
   test("row-level commits preserve streaming writer watermarks and history") {
     val t = Files.createTempDirectory("rl_txn").toString + "/t"
     graft.streaming.VersionedSink.exactlyOnce(t, "q")(
