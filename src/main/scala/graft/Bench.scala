@@ -80,7 +80,7 @@ object Bench {
     // Jobs archive their sources, so each timed run gets fresh fixtures
     // (generation is NOT in the timed window). Disable: SPARK_GRAFT_JOBS=0.
     val jobNames = Set("job_fm_load_merge", "job_spp_weather_merge",
-      "job_hist_weather_union")
+      "job_hist_weather_union", "job_lake_roundtrip")
     val jobResults: Seq[(String, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_JOBS", "1") == "0" ||
           only.exists(_.intersect(jobNames).isEmpty))
@@ -121,6 +121,31 @@ object Bench {
           timed("job_hist_weather_union") {
             jobs.Jobs.historicalWeatherUnion(spark, s"$root/hist_weather",
               s"$root/lake_hist", csvOutDir = Some(s"$root/hist_csv"))
+          }
+          // versioned-lake lifecycle at sf scale: 4 append commits of the
+          // events table, a keyed upsert (footer-pruned copy-on-write), a
+          // predicate delete, z-order compaction, then the changefeed
+          // read a downstream consumer would do
+          timed("job_lake_roundtrip") {
+            import org.apache.spark.sql.functions.{col, expr, lit}
+            val t = s"$root/lake_events"
+            val ev = spark.read.parquet(s"$sfDir/events.parquet")
+              .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            (0 until 4).foreach { i =>
+              sources.VersionedTable.append(spark,
+                ev.where(col("event_id") % 4 === i), t)
+            }
+            sources.VersionedTable.upsert(spark,
+              ev.where(col("event_id") % 100 === 0)
+                .withColumn("value", lit(0.0)), t, "event_id")
+            sources.VersionedTable.delete(spark, t,
+              col("event_id") % 200 === 1)
+            sources.VersionedTable.compact(spark, t, numFiles = 8,
+              zorderDims = Seq(col("user_id") % 1024,
+                expr("unix_micros(ts) div 3600000000") % 1024))
+            // consumer tail: everything after the first commit
+            sources.VersionedTable.readChanges(spark, t, 1L, 4L).count()
+            ()
           }
         }
         // fatal only for jobs with zero successful reps (see query loop)
