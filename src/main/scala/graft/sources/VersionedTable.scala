@@ -628,6 +628,55 @@ object VersionedTable {
     }
   }
 
+  /** Row-level UPDATE: SET `assignments` on rows matching `predicate`
+    * (SQL semantics — null predicate leaves the row unchanged).
+    * Copy-on-write like [[delete]]: one pushed-down scan finds files
+    * containing matches, only those rewrite — matching rows with the
+    * assignments applied, non-matching rows verbatim — in ONE atomic
+    * commit. Assignment expressions may reference the row's old columns
+    * (`value -> col("value") * 2`).
+    */
+  def update(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      maxRetries: Int = 20): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    require(assignments.nonEmpty, "update needs at least one assignment")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, files) = latest(spark, table)
+      if (files.isEmpty) return v
+      val snap = spark.read.parquet(files.map(n => s"$table/$n"): _*)
+      assignments.keys.foreach { c =>
+        require(snap.columns.contains(c), s"no such column to SET: $c")
+      }
+      val affected = snap.where(predicate)
+        .select(input_file_name()).distinct().collect()
+        .map(r => new Path(r.getString(0)).getName).toSeq
+      if (affected.isEmpty) return v
+      val hit = coalesce(predicate, lit(false))
+      val rewrittenDf = assignments.foldLeft(
+        spark.read.parquet(affected.map(n => s"$table/$n"): _*)) {
+        case (df, (c, expr)) =>
+          df.withColumn(c, when(hit, expr).otherwise(col(c)))
+      }
+      val rewritten = stage(spark, rewrittenDf, table)
+      val (v2, lines2) = latestRaw(spark, table)
+      val files2 = lines2.filterNot(_.startsWith("#"))
+      // same conflict rule as delete: any raced data file → retry
+      val committed =
+        files2.toSet == files.toSet &&
+          tryCommit(spark, table, v2 + 1,
+            metaLines(lines2, "update") ++
+              files2.filterNot(affected.contains) ++ rewritten)
+      if (committed) return v2 + 1
+      val f = fs(spark, table)
+      rewritten.foreach(n => f.delete(new Path(table, n), false))
+      attempt += 1
+    }
+    throw new IllegalStateException(s"update lost $maxRetries commit races")
+  }
+
   /** Atomic predicate overwrite (Delta's replaceWhere): ONE commit that
     * removes rows matching `predicate` and inserts `df` — the
     * delete-then-append composed without the torn-state window between

@@ -116,6 +116,30 @@ class RowLevelOpsSpec extends SparkTestBase {
     } finally { stop = true; appender.join(60000) }
   }
 
+  test("update: SET on matching rows, old values usable, others untouched") {
+    val t = Files.createTempDirectory("rl_upd").toString + "/t"
+    VersionedTable.append(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    VersionedTable.append(spark,
+      (11L to 20L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    val before = dataFiles(t)
+    val v = VersionedTable.update(spark, t,
+      col("k").between(3L, 4L),
+      Map("v" -> concat(col("v"), lit("!"))))
+    assert(dataFiles(t).count(before.contains) === 1,
+      "only the file containing matches rewrites")
+    assert(rows(t) === (1L to 20L).map { i =>
+      (i, if (i == 3L || i == 4L) s"v$i!" else s"v$i")
+    }.toSet)
+    // no matches / unknown column
+    assert(VersionedTable.update(spark, t, col("k") === 999L,
+      Map("v" -> lit("x"))) === v)
+    intercept[IllegalArgumentException] {
+      VersionedTable.update(spark, t, col("k") === 1L,
+        Map("nope" -> lit("x")))
+    }
+  }
+
   test("replaceWhere: atomic delete-matching + insert in one commit") {
     val t = Files.createTempDirectory("rl_rw").toString + "/t"
     VersionedTable.append(spark,
