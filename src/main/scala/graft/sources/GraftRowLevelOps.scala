@@ -1,0 +1,235 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.graftshim.FileWriteShim
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** SQL `UPDATE` and `MERGE INTO` for graft-table, via
+  * [[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]].
+  *
+  * Group-based (copy-on-write) shape: Spark's rewrite rules read the
+  * table through [[GraftRowLevelOperation.newScanBuilder]], apply the
+  * SET / matched-clause logic row-by-row in the query plan, and hand the
+  * resulting rows to this write — which replaces the snapshot in ONE
+  * atomic manifest commit (`#op update|merge|delete`). DELETE with a
+  * filter-translatable condition keeps the faster `SupportsDelete`
+  * metadata path (Spark's OptimizeMetadataOnlyDeleteFromTable); an
+  * untranslatable DELETE condition now falls back to this rewrite
+  * instead of failing.
+  *
+  * Current granularity is the FULL snapshot (every row flows through the
+  * rewrite), which is always correct and atomic; the next refinement is
+  * runtime group filtering (SupportsRuntimeV2Filtering on `_file`) to
+  * rewrite only affected files, as the programmatic
+  * [[VersionedTable.update]]/[[VersionedTable.upsert]] already do via
+  * pushed-down scans and footer pruning — callers with tight SLAs use
+  * those.
+  *
+  * The write itself is genuinely distributed: each executor task opens
+  * Spark's own parquet writer ([[FileWriteShim]]) at a unique final name
+  * inside the table directory (invisible until the manifest commit),
+  * reports the name in its commit message, and the driver publishes one
+  * manifest naming exactly the reported files.
+  */
+class GraftRowLevelOperation(path: String, dataSchema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** Snapshot the scan planned against + the files it actually read —
+    * shared with the write: the commit replaces exactly `scannedFiles`
+    * (carrying the rest over) and aborts if the snapshot moved
+    * (concurrent-modification, Delta's contract: the rewritten rows were
+    * computed against a stale snapshot and cannot be committed).
+    */
+  @volatile private[sources] var snapshotFiles: Seq[String] = Nil
+  @volatile private[sources] var scannedFiles: Seq[String] = Nil
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      private var required: StructType = dataSchema
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      // GROUP-granularity contract: we may use the condition to skip
+      // whole FILES (footer stats prove no row matches), but every row
+      // of a kept file must flow — so we claim the filters fully handled
+      // (empty residual: a Filter node would drop the non-matching rows
+      // the rewrite must copy verbatim) and we never hand them to
+      // parquet (row-group skipping would lose rows within kept files).
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        pushed = filters
+        Array.empty
+      }
+      override def pushedFilters()
+          : Array[org.apache.spark.sql.sources.Filter] = pushed
+
+      override def build(): Scan = new GraftRowLevelScan(path, dataSchema,
+        required, pushed, GraftRowLevelOperation.this)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftReplaceBatchWrite(path, dataSchema, info.schema(),
+            cmd.toString.toLowerCase(java.util.Locale.ROOT),
+            GraftRowLevelOperation.this)
+      }
+    }
+}
+
+/** The operation's scan: all rows of the files it keeps, no residual
+  * filtering. Files whose parquet footer stats refute every pushed
+  * predicate are skipped at GROUP granularity — they carry over to the
+  * new snapshot untouched.
+  */
+private[sources] class GraftRowLevelScan(path: String,
+    dataSchema: StructType, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    op: GraftRowLevelOperation)
+  extends org.apache.spark.sql.connector.read.Scan {
+
+  private def spark = SparkSession.active
+
+  private val readDataSchema = StructType(
+    dataSchema.fields.filter(f => required.fieldNames.contains(f.name)))
+
+  override def readSchema(): StructType = readDataSchema
+  override def description(): String =
+    s"graft-table row-level scan $path (${pushed.mkString(", ")})"
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val f = new Path(path).getFileSystem(conf)
+        val (_, files) = VersionedTable.latest(spark, path)
+        val kept = files.filter(n => VersionedTable.fileMayMatch(
+          conf, new Path(path, n), pushed))
+        op.snapshotFiles = files
+        op.scannedFiles = kept
+        kept.zipWithIndex.map { case (n, i) =>
+          val p = new Path(path, n)
+          org.apache.spark.sql.graftshim.FileReadShim.filePartition(i,
+            Seq((p.toString, f.getFileStatus(p).getLen, 0L)))
+        }.toArray
+      }
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        org.apache.spark.sql.graftshim.FileReadShim.parquetReaderFactory(
+          spark, readDataSchema, new StructType())
+    }
+}
+
+/** Distributed rewrite-the-scanned-files write: executors write parquet
+  * files named `part-<uuid>.parquet` straight into the table dir; the
+  * driver commits one manifest replacing exactly the files the
+  * operation's scan read (unscanned files carry over untouched), and
+  * aborts with ConcurrentModificationException if the snapshot moved.
+  */
+private[sources] class GraftReplaceBatchWrite(path: String,
+    dataSchema: StructType, rowSchema: StructType,
+    op: String, operation: GraftRowLevelOperation) extends BatchWrite {
+
+  private def spark = SparkSession.active
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    // incoming rows may carry the derived _commit_version column (it is
+    // a metadata column of the table) — writers project it away
+    val keep = rowSchema.fields.zipWithIndex
+      .filter(_._1.name != GraftTableScan.VersionCol).map(_._2)
+    require(keep.nonEmpty, "nothing to write but the version column")
+    val written = StructType(keep.map(rowSchema.fields(_)))
+    require(written.map(f => (f.name, f.dataType)) ==
+      dataSchema.map(f => (f.name, f.dataType)),
+      s"row-level write schema $written != table schema $dataSchema")
+    val (factory, conf) = FileWriteShim.parquetWriteSetup(spark, written)
+    new GraftReplaceWriterFactory(path, factory, conf, written,
+      rowSchema, keep)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case GraftWriteCommit(names) => names
+    }.flatten.toSeq
+    VersionedTable.commitReplaceFiles(spark, path,
+      expectedSnapshot = operation.snapshotFiles,
+      remove = operation.scannedFiles, add = files, op = op)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case GraftWriteCommit(names) => names }.flatten
+      .foreach(n => f.delete(new Path(path, n), false))
+  }
+}
+
+private[sources] case class GraftWriteCommit(files: Seq[String])
+  extends WriterCommitMessage
+
+private[sources] class GraftReplaceWriterFactory(path: String,
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: SerializableConfiguration, written: StructType,
+    rowSchema: StructType, keep: Array[Int]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val name = s"part-${UUID.randomUUID}.parquet"
+      // Spark 4 prepends a physical __row_operation int column
+      // (RowDeltaUtils.OPERATION_COLUMN) that LogicalWriteInfo.schema()
+      // does NOT include — detect the offset from the first record and
+      // bind field readers past it. Rows marked DELETE are dropped
+      // (defensive: ReplaceData queries omit deleted rows already).
+      private var opOffset = -1
+      private var proj: UnsafeProjection = null
+      private var rows = 0L
+      private lazy val out = FileWriteShim.newWriter(
+        factory, conf.value, written, s"$path/$name", partitionId, taskId)
+
+      override def write(record: InternalRow): Unit = {
+        if (proj == null) {
+          opOffset = record.numFields - rowSchema.length
+          require(opOffset == 0 || opOffset == 1,
+            s"unexpected row width ${record.numFields} for schema " +
+              s"$rowSchema (+optional operation column)")
+          proj = UnsafeProjection.create(keep.map(i =>
+            BoundReference(i + opOffset, rowSchema.fields(i).dataType,
+              rowSchema.fields(i).nullable)))
+        }
+        val drop = opOffset == 1 && !record.isNullAt(0) &&
+          record.getInt(0) ==
+            org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION
+        if (!drop) { out.write(proj(record)); rows += 1 }
+      }
+      override def commit(): WriterCommitMessage = {
+        // empty partitions produce no file at all
+        if (rows > 0) { out.close(); GraftWriteCommit(Seq(name)) }
+        else GraftWriteCommit(Nil)
+      }
+      override def abort(): Unit =
+        try out.close() catch { case _: Exception => }
+      override def close(): Unit = ()
+    }
+}

@@ -75,20 +75,32 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 private[sources] class GraftTable(path: String, dataSchema: StructType)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft-table `$path`"
-  override def schema(): StructType = GraftTableScan.outputSchema(dataSchema)
+  // the table schema is the DATA schema: writes resolve against it
+  // naturally (no ACCEPT_ANY_SCHEMA — that flag sets
+  // skipSchemaResolution on DML commands, which blocks the UPDATE/MERGE
+  // row-level rewrites), and _commit_version is a METADATA column batch
+  // queries opt into by name, like _metadata on file sources
+  override def schema(): StructType = dataSchema
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTableScan.VersionCol
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "manifest version of the commit that added this row's file"
+    })
   // BATCH_WRITE satisfies DataFrameWriter's capability gate; the planner
   // still routes through the V1 bridge because build() returns V1Write.
-  // ACCEPT_ANY_SCHEMA bypasses output resolution against schema() (which
-  // carries the derived _commit_version column writers don't provide);
-  // insert() below re-validates against the DATA schema instead.
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   // ---- batch writes: the V1 bridge hands the whole DataFrame to the
   // driver, where the manifest protocol does what executors cannot —
@@ -128,34 +140,16 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
             new org.apache.spark.sql.sources.InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,
                   overwrite: Boolean): Unit = {
-                // the scan-side _commit_version column is derived, not
-                // stored — drop it if a round-tripped frame carries it
-                val named = data.drop(GraftTableScan.VersionCol)
+                // Spark's output resolution already aligned and cast the
+                // query to the table schema (positionally per the
+                // InsertableRelation contract) — normalize names and
+                // double-check types (a mismatched parquet file would
+                // poison every subsequent read)
                 val want = dataSchema.fieldNames.toSeq
-                // anonymous positional rows (INSERT ... VALUES) fill the
-                // full advertised schema, whose LAST field is the derived
-                // version column — shed that trailing slot
-                val clean =
-                  if (named.columns.length == want.length + 1 &&
-                      named.columns.forall(_.matches("col\\d+")))
-                    named.drop(named.columns.last)
-                  else named
-                // ACCEPT_ANY_SCHEMA skipped Spark's output resolution:
-                // re-validate here — by name when names match, by
-                // position for anonymous rows (INSERT ... VALUES)
-                val aligned =
-                  if (clean.columns.toSeq == want) clean
-                  else if (clean.columns.toSet == want.toSet)
-                    clean.select(want.map(org.apache.spark.sql
-                      .functions.col): _*)
-                  else if (clean.columns.length == want.length)
-                    clean.toDF(want: _*)
-                  else throw new IllegalArgumentException(
-                    s"cannot write columns ${clean.columns.toSeq} into " +
-                      s"graft-table with schema $want")
-                // names aligned; types must match too — ACCEPT_ANY_SCHEMA
-                // bypassed Spark's check, and a type-mismatched parquet
-                // file would poison every subsequent read of the table
+                val clean = data.drop(GraftTableScan.VersionCol)
+                require(clean.columns.length == want.length,
+                  s"cannot write ${clean.columns.toSeq} into schema $want")
+                val aligned = clean.toDF(want: _*)
                 val mismatched = aligned.schema.fields.zip(dataSchema.fields)
                   .collect { case (got, exp) if got.dataType != exp.dataType =>
                     s"${exp.name}: ${got.dataType} != ${exp.dataType}" }
@@ -219,10 +213,32 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    GraftTableScan.builder(path, dataSchema, options)
+
+  // ---- SQL UPDATE / MERGE INTO: group-based row-level rewrite ----
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(path, dataSchema, info.command())
+}
+
+private[sources] object GraftTableScan {
+  val VersionCol = "_commit_version"
+  def outputSchema(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields :+
+      StructField(VersionCol, LongType, nullable = false))
+  def partitionSchema: StructType =
+    StructType(Seq(StructField(VersionCol, LongType, nullable = false)))
+
+  /** The table's scan builder (also used by the row-level operation). */
+  def builder(path: String, dataSchema: StructType,
+      options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-      private var required: StructType = GraftTableScan.outputSchema(dataSchema)
+      // default output = data columns; _commit_version arrives via
+      // pruneColumns only when a batch query references the metadata col
+      private var required: StructType = dataSchema
       private var parquetFilters: Array[org.apache.spark.sql.sources.Filter] =
         Array.empty
 
@@ -248,15 +264,6 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
           .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v },
         required, parquetFilters)
     }
-}
-
-private[sources] object GraftTableScan {
-  val VersionCol = "_commit_version"
-  def outputSchema(dataSchema: StructType): StructType =
-    StructType(dataSchema.fields :+
-      StructField(VersionCol, LongType, nullable = false))
-  def partitionSchema: StructType =
-    StructType(Seq(StructField(VersionCol, LongType, nullable = false)))
 }
 
 private[sources] class GraftTableScan(path: String, dataSchema: StructType,
@@ -341,16 +348,22 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
     FileReadShim.parquetReaderFactory(spark, readDataSchema, partSchema,
       parquetFilters)
 
-  // ---- batch: latest snapshot (version tag 0 — see class doc) ----
+  // ---- batch: latest snapshot; each file tagged with the version of
+  // the commit that introduced it (metadata column) ----
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val f = new Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val (_, files) = VersionedTable.latest(spark, path)
+      // provenance lookup only when the query asked for the version col
+      val provenance =
+        if (partSchema.isEmpty) Map.empty[String, Long]
+        else VersionedTable.fileVersions(spark, path)
       files.zipWithIndex.map { case (n, i) =>
         val p = new Path(path, n)
         FileReadShim.filePartition(i,
-          Seq((p.toString, f.getFileStatus(p).getLen, 0L)))
+          Seq((p.toString, f.getFileStatus(p).getLen,
+            provenance.getOrElse(n, 0L))))
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory = readerFactory

@@ -358,6 +358,23 @@ object VersionedTable {
     }
   }
 
+  /** file name -> version of the commit that introduced it: the earliest
+    * EXISTING manifest naming it (exact provenance unless that history
+    * was vacuumed, in which case the file attributes to the earliest
+    * retained manifest). Drives the batch `_commit_version` metadata
+    * column.
+    */
+  def fileVersions(spark: SparkSession, table: String): Map[String, Long] = {
+    val f = fs(spark, table)
+    val out = scala.collection.mutable.HashMap.empty[String, Long]
+    versions(spark, table).foreach { v =>
+      readManifest(f, table, v).foreach { n =>
+        if (!out.contains(n)) out(n) = v
+      }
+    }
+    out.toMap
+  }
+
   def readChanges(spark: SparkSession, table: String, fromVersion: Long,
       toVersion: Long = Long.MaxValue,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -488,6 +505,112 @@ object VersionedTable {
         }
       }
     } catch { case _: Exception => true }
+  }
+
+  /** May `file` contain a row satisfying ALL of `filters`? Decided from
+    * parquet footer min/max/null statistics, conservatively: anything
+    * unprovable (unreadable footer, missing stats, unsupported filter or
+    * incomparable types) answers true. Numeric comparison goes through
+    * BigDecimal (no precision loss on int64), strings compare as UTF-8.
+    * Per-row-group: the file may match if ANY block may.
+    */
+  private[sources] def fileMayMatch(
+      conf: org.apache.hadoop.conf.Configuration, file: Path,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.sources._
+    if (filters.isEmpty) return true
+    try {
+      val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, file,
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      md.getBlocks.asScala.exists { block =>
+        val cols = block.getColumns.asScala
+          .map(c => c.getPath.toDotString -> c).toMap
+        // (minOpt, maxOpt, mayHaveNulls, allNulls) — None = unknown
+        def meta(attr: String): Option[(Option[Any], Option[Any], Boolean, Boolean)] =
+          cols.get(attr).map { c =>
+            val s = c.getStatistics
+            if (s == null || s.isEmpty) (None, None, true, false)
+            else {
+              val allNulls = !s.hasNonNullValue
+              val nulls = s.getNumNulls
+              val mn = if (allNulls) None else Option(s.genericGetMin)
+              val mx = if (allNulls) None else Option(s.genericGetMax)
+              (mn, mx, nulls != 0L, allNulls)
+            }
+          }
+        // None = incomparable/unknown
+        def cmp(stat: Any, v: Any): Option[Int] = (stat, v) match {
+          case (a: Number, b: Number) =>
+            Some(BigDecimal(a.toString).compare(BigDecimal(b.toString)))
+          case (a: org.apache.parquet.io.api.Binary, b: String) =>
+            Some(a.toStringUsingUTF8.compareTo(b))
+          case (a: java.lang.Boolean, b: java.lang.Boolean) =>
+            Some(a.compareTo(b))
+          case _ => None
+        }
+        def may(f: Filter): Boolean = f match {
+          case EqualTo(a, v) if v != null => meta(a).forall {
+            case (mn, mx, _, allNulls) =>
+              !allNulls &&
+                mn.flatMap(cmp(_, v)).forall(_ <= 0) &&
+                mx.flatMap(cmp(_, v)).forall(_ >= 0)
+          }
+          case EqualNullSafe(a, null) => may(IsNull(a))
+          case EqualNullSafe(a, v) => may(EqualTo(a, v))
+          case GreaterThan(a, v) => meta(a).forall {
+            case (_, mx, _, allNulls) =>
+              !allNulls && mx.flatMap(cmp(_, v)).forall(_ > 0)
+          }
+          case GreaterThanOrEqual(a, v) => meta(a).forall {
+            case (_, mx, _, allNulls) =>
+              !allNulls && mx.flatMap(cmp(_, v)).forall(_ >= 0)
+          }
+          case LessThan(a, v) => meta(a).forall {
+            case (mn, _, _, allNulls) =>
+              !allNulls && mn.flatMap(cmp(_, v)).forall(_ < 0)
+          }
+          case LessThanOrEqual(a, v) => meta(a).forall {
+            case (mn, _, _, allNulls) =>
+              !allNulls && mn.flatMap(cmp(_, v)).forall(_ <= 0)
+          }
+          case In(a, vs) => vs.exists(v => may(EqualTo(a, v)))
+          case IsNull(a) => meta(a).forall(_._3)
+          case IsNotNull(a) => meta(a).forall(!_._4)
+          case And(l, r) => may(l) && may(r)
+          case Or(l, r) => may(l) || may(r)
+          case _ => true
+        }
+        filters.forall(may)
+      }
+    } catch { case _: Exception => true }
+  }
+
+  /** Commit for the SQL row-level rewrite: replace `remove` with `add`,
+    * valid only while the snapshot still equals `expectedSnapshot` — the
+    * rewritten rows were computed against it, so ANY concurrent commit
+    * aborts with ConcurrentModificationException (Delta's conflict
+    * contract; the caller re-runs the statement).
+    */
+  private[sources] def commitReplaceFiles(spark: SparkSession, table: String,
+      expectedSnapshot: Seq[String], remove: Seq[String], add: Seq[String],
+      op: String, maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      val files = lines.filterNot(_.startsWith("#"))
+      if (files.toSet != expectedSnapshot.toSet)
+        throw new java.util.ConcurrentModificationException(
+          s"$op of $table: snapshot changed since the statement's scan — " +
+            "re-run the statement")
+      if (tryCommit(spark, table, v + 1,
+          metaLines(lines, op) ++
+            files.filterNot(remove.contains) ++ add)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"$op lost $maxRetries commit races for $table")
   }
 
   /** Keyed UPSERT (merge): rows of `updates` REPLACE current rows with

@@ -20,8 +20,12 @@ class GraftTableSourceSpec extends SparkTestBase {
     Seq((99, "stray")).toDF("k", "v").write
       .parquet(t + "/part-stray.parquet.dir")
     val got = spark.read.format("graft-table").load(t)
-    assert(got.columns.toSeq === Seq("k", "v", "_commit_version"))
+    // the table schema is the data schema; _commit_version is a METADATA
+    // column selected by name, like _metadata on file sources
+    assert(got.columns.toSeq === Seq("k", "v"))
     assert(got.select("k").as[Int].collect().sorted.toSeq === Seq(1, 2))
+    assert(got.select(col("k"), col("_commit_version")).as[(Int, Long)]
+      .collect().toSet === Set((1, 1L), (2, 1L)))
     // a plain parquet read of the same dir DOES see the stray file —
     // the manifest is what isolates the snapshot
     assert(spark.read.parquet(t + "/part-stray.parquet.dir")
@@ -36,16 +40,14 @@ class GraftTableSourceSpec extends SparkTestBase {
 
     // foreachBatch sink (memory sink cannot recover from a checkpoint);
     // each run drains into its own buffer so restarts are observable
-    def runOnce(): Seq[(Int, Long)] = {
-      val got = new scala.collection.mutable.ArrayBuffer[(Int, Long)]
+    def runOnce(): Seq[Int] = {
+      val got = new scala.collection.mutable.ArrayBuffer[Int]
       val q = spark.readStream.format("graft-table").load(t)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset
             [org.apache.spark.sql.Row], _: Long) =>
-          got.synchronized {
-            got ++= batch.select("k", "_commit_version")
-              .as[(Int, Long)].collect()
-          }; ()
+          got.synchronized { got ++= batch.select("k").as[Int].collect() }
+          ()
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -53,12 +55,12 @@ class GraftTableSourceSpec extends SparkTestBase {
       got.synchronized(got.toSeq.sorted)
     }
 
-    assert(runOnce() === Seq((1, 1L), (2, 1L), (3, 2L)))
+    assert(runOnce() === Seq(1, 2, 3))
 
     // compaction (v3) must ship nothing; the new append (v4) must ship
     VersionedTable.compact(spark, t, numFiles = 1)
     VersionedTable.append(spark, Seq(4).toDF("k"), t)
-    assert(runOnce() === Seq((4, 4L)),
+    assert(runOnce() === Seq(4),
       "restart must resume past v2, skip the rewrite")
   }
 
@@ -75,10 +77,10 @@ class GraftTableSourceSpec extends SparkTestBase {
       .map(_.output.map(_.name).toSet)
     assert(leafOutputs.exists(o => o.contains("v") &&
       !o.contains("_commit_version")), s"scan not pruned: $leafOutputs")
-    // version-only projection: zero data columns read, values intact
+    // version-only projection: zero data columns read, real provenance
     val versions = spark.read.format("graft-table").load(t)
       .select("_commit_version").as[Long].collect().toSeq
-    assert(versions === Seq(0L, 0L, 0L))
+    assert(versions === Seq(1L, 1L, 1L))
   }
 
   test("streaming materialized view: source -> transform -> exactly-once sink") {
@@ -113,21 +115,21 @@ class GraftTableSourceSpec extends SparkTestBase {
     VersionedTable.append(spark, Seq(1).toDF("k"), t)
     VersionedTable.append(spark, Seq(2).toDF("k"), t)
     VersionedTable.append(spark, Seq(3).toDF("k"), t)
-    val batches = new scala.collection.mutable.ArrayBuffer[Set[Long]]
+    val batches = new scala.collection.mutable.ArrayBuffer[Set[Int]]
     val q = spark.readStream.format("graft-table")
       .option("maxVersionsPerTrigger", "1").load(t)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset
           [org.apache.spark.sql.Row], _: Long) =>
         batches.synchronized {
-          batches += batch.select("_commit_version").as[Long].collect().toSet
+          batches += batch.select("k").as[Int].collect().toSet
         }; ()
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
     assert(batches.synchronized(batches.toSeq) ===
-      Seq(Set(1L), Set(2L), Set(3L)),
+      Seq(Set(1), Set(2), Set(3)),
       "a drain must proceed one version per batch")
   }
 
@@ -164,7 +166,7 @@ class GraftTableSourceSpec extends SparkTestBase {
     // SQL INSERT INTO through the catalog table
     spark.sql(s"CREATE TABLE graft_w_t USING `graft-table` LOCATION '$t'")
     try {
-      spark.sql("INSERT INTO graft_w_t VALUES (3, 'c', 0)")
+      spark.sql("INSERT INTO graft_w_t VALUES (3, 'c')")
       assert(VersionedTable.read(spark, t).select("k").as[Int]
         .collect().sorted.toSeq === Seq(1, 2, 3))
     } finally spark.sql("DROP TABLE graft_w_t")
@@ -188,6 +190,52 @@ class GraftTableSourceSpec extends SparkTestBase {
       // the delete is a first-class versioned commit: time travel intact
       assert(VersionedTable.read(spark, t, 1L).count() === 3L)
     } finally spark.sql("DROP TABLE graft_del_t")
+  }
+
+  test("SQL UPDATE and MERGE INTO run as atomic row-level rewrites") {
+    val t = Files.createTempDirectory("gts_rlo").toString + "/t"
+    VersionedTable.append(spark,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), t)
+    spark.sql(s"CREATE TABLE graft_rlo_t USING `graft-table` LOCATION '$t'")
+    try {
+      spark.sql("UPDATE graft_rlo_t SET v = concat(v, '!') WHERE k >= 2")
+      def state: Map[Int, String] = VersionedTable.read(spark, t)
+        .as[(Int, String)].collect().toMap
+      assert(state === Map(1 -> "a", 2 -> "b!", 3 -> "c!"))
+      assert(VersionedTable.versions(spark, t).size === 2,
+        "the UPDATE must be one atomic commit")
+      spark.sql(
+        """MERGE INTO graft_rlo_t t
+          |USING (SELECT * FROM VALUES (2, 'B2'), (9, 'ins') AS s(k, v)) s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+      assert(state === Map(1 -> "a", 2 -> "B2", 3 -> "c!", 9 -> "ins"))
+      // both DML commits time-travel like any other
+      assert(VersionedTable.read(spark, t, 1L)
+        .as[(Int, String)].collect().toMap ===
+        Map(1 -> "a", 2 -> "b", 3 -> "c"))
+    } finally spark.sql("DROP TABLE graft_rlo_t")
+  }
+
+  test("SQL UPDATE rewrites only footer-intersecting files") {
+    val t = Files.createTempDirectory("gts_rlo_prune").toString + "/t"
+    VersionedTable.append(spark,
+      (1 to 10).map(i => (i, "lo")).toDF("k", "v").coalesce(1), t)
+    VersionedTable.append(spark,
+      (100 to 110).map(i => (i, "hi")).toDF("k", "v").coalesce(1), t)
+    val before = VersionedTable.latest(spark, t)._2
+    spark.sql(s"CREATE TABLE graft_prune_t USING `graft-table` LOCATION '$t'")
+    try {
+      spark.sql("UPDATE graft_prune_t SET v = 'HI' WHERE k >= 100")
+      val after = VersionedTable.latest(spark, t)._2
+      assert(before.count(after.contains) === 1,
+        s"the lo-range file must carry over untouched: $before -> $after")
+      val got = VersionedTable.read(spark, t).as[(Int, String)]
+        .collect().toMap
+      assert(got === ((1 to 10).map(i => i -> "lo") ++
+        (100 to 110).map(i => i -> "HI")).toMap)
+    } finally spark.sql("DROP TABLE graft_prune_t")
   }
 
   test("startingVersion skips history; offsets round-trip json") {
