@@ -51,9 +51,20 @@ object FileReadShim {
     */
   def filePartition(index: Int,
       files: Seq[(String, Long, Long)]): InputPartition =
-    FilePartition(index, files.map { case (path, size, version) =>
+    filePartitionValues(index,
+      files.map { case (p, s, v) => (p, s, Seq[Any](v)) })
+
+  /** General form: arbitrary partition-value tuples per file (Long and
+    * String supported), matching the reader factory's partitionSchema.
+    */
+  def filePartitionValues(index: Int,
+      files: Seq[(String, Long, Seq[Any])]): InputPartition =
+    FilePartition(index, files.map { case (path, size, values) =>
       PartitionedFile(
-        partitionValues = new GenericInternalRow(Array[Any](version)),
+        partitionValues = new GenericInternalRow(values.map {
+          case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case other => other
+        }.toArray[Any]),
         filePath = SparkPath.fromPathString(path),
         start = 0L,
         length = size,

@@ -54,6 +54,14 @@ class GraftRowLevelOperation(path: String, dataSchema: StructType,
 
   override def command(): RowLevelOperation.Command = cmd
 
+  // the rewrite plan must carry the grouping key so runtime group
+  // filtering can resolve it (rows arrive at the writer with it; the
+  // writer projects it away)
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftTableScan.FileCol))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -104,16 +112,61 @@ private[sources] class GraftRowLevelScan(path: String,
     dataSchema: StructType, required: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter],
     op: GraftRowLevelOperation)
-  extends org.apache.spark.sql.connector.read.Scan {
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   private def spark = SparkSession.active
 
   private val readDataSchema = StructType(
     dataSchema.fields.filter(f => required.fieldNames.contains(f.name)))
+  private val partSchema = GraftTableScan.metaSubset(required)
 
-  override def readSchema(): StructType = readDataSchema
+  override def readSchema(): StructType =
+    StructType(readDataSchema.fields ++ partSchema.fields)
   override def description(): String =
     s"graft-table row-level scan $path (${pushed.mkString(", ")})"
+
+  // ---- runtime GROUP filtering: Spark runs a subquery for the _file
+  // values containing matching rows (e.g. MERGE's join keys, which no
+  // static footer check can evaluate) and narrows this scan — and with
+  // it the rewrite/commit set — to exactly those files ----
+  @volatile private var runtimeKept: Option[Set[String]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftTableScan.FileCol))
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    def strings(es: Seq[org.apache.spark.sql.connector.expressions.Expression])
+        : Option[Set[String]] = {
+      val vs = es.collect { case l: Literal[_] => l.value() }
+      if (vs.size != es.size) None
+      else Some(vs.map {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case s: String => s
+        case other => other.toString
+      }.toSet)
+    }
+    predicates.foreach { p =>
+      val kids = p.children().toSeq
+      val overFile = kids.headOption.exists {
+        case r: NamedReference =>
+          r.fieldNames().mkString(".") == GraftTableScan.FileCol
+        case _ => false
+      }
+      val set = p.name() match {
+        case "IN" if overFile => strings(kids.tail)
+        case "=" if overFile => strings(kids.tail)
+        case _ => None
+      }
+      set.foreach { s =>
+        runtimeKept = Some(runtimeKept.fold(s)(_ intersect s))
+      }
+    }
+  }
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new org.apache.spark.sql.connector.read.Batch {
@@ -122,20 +175,23 @@ private[sources] class GraftRowLevelScan(path: String,
         val conf = spark.sparkContext.hadoopConfiguration
         val f = new Path(path).getFileSystem(conf)
         val (_, files) = VersionedTable.latest(spark, path)
-        val kept = files.filter(n => VersionedTable.fileMayMatch(
-          conf, new Path(path, n), pushed))
+        val kept = files
+          .filter(n => runtimeKept.forall(_.contains(n)))
+          .filter(n => VersionedTable.fileMayMatch(
+            conf, new Path(path, n), pushed))
         op.snapshotFiles = files
         op.scannedFiles = kept
         kept.zipWithIndex.map { case (n, i) =>
           val p = new Path(path, n)
-          org.apache.spark.sql.graftshim.FileReadShim.filePartition(i,
-            Seq((p.toString, f.getFileStatus(p).getLen, 0L)))
+          org.apache.spark.sql.graftshim.FileReadShim.filePartitionValues(i,
+            Seq((p.toString, f.getFileStatus(p).getLen,
+              GraftTableScan.metaValues(partSchema, 0L, n))))
         }.toArray
       }
       override def createReaderFactory()
           : org.apache.spark.sql.connector.read.PartitionReaderFactory =
         org.apache.spark.sql.graftshim.FileReadShim.parquetReaderFactory(
-          spark, readDataSchema, new StructType())
+          spark, readDataSchema, partSchema)
     }
 }
 
@@ -153,10 +209,13 @@ private[sources] class GraftReplaceBatchWrite(path: String,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    // incoming rows may carry the derived _commit_version column (it is
-    // a metadata column of the table) — writers project it away
+    // incoming rows may carry the table's metadata columns
+    // (_commit_version, _file) — writers project them away
     val keep = rowSchema.fields.zipWithIndex
-      .filter(_._1.name != GraftTableScan.VersionCol).map(_._2)
+      .filterNot { case (f, _) =>
+        f.name == GraftTableScan.VersionCol ||
+          f.name == GraftTableScan.FileCol
+      }.map(_._2)
     require(keep.nonEmpty, "nothing to write but the version column")
     val written = StructType(keep.map(rowSchema.fields(_)))
     require(written.map(f => (f.name, f.dataType)) ==

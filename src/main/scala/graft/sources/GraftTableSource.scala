@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.graftshim.FileReadShim
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `graft-table` — DataSource V2 surface over [[VersionedTable]]:
@@ -88,13 +88,23 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
   override def schema(): StructType = dataSchema
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = GraftTableScan.VersionCol
-      override def dataType(): org.apache.spark.sql.types.DataType = LongType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "manifest version of the commit that added this row's file"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftTableScan.VersionCol
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "manifest version of the commit that added this row's file"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftTableScan.FileCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "table-relative data file holding this row (runtime group " +
+            "filtering key for row-level operations)"
+      })
   // BATCH_WRITE satisfies DataFrameWriter's capability gate; the planner
   // still routes through the V1 bridge because build() returns V1Write.
   override def capabilities(): java.util.Set[TableCapability] =
@@ -224,11 +234,24 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
 
 private[sources] object GraftTableScan {
   val VersionCol = "_commit_version"
+  val FileCol = "_file"
+  val MetaCols: Seq[StructField] = Seq(
+    StructField(VersionCol, LongType, nullable = false),
+    StructField(FileCol, StringType, nullable = false))
   def outputSchema(dataSchema: StructType): StructType =
     StructType(dataSchema.fields :+
       StructField(VersionCol, LongType, nullable = false))
   def partitionSchema: StructType =
     StructType(Seq(StructField(VersionCol, LongType, nullable = false)))
+  /** the requested metadata columns, in canonical order */
+  def metaSubset(required: StructType): StructType =
+    StructType(MetaCols.filter(f => required.fieldNames.contains(f.name)))
+  /** partition values matching [[metaSubset]] for one file */
+  def metaValues(sub: StructType, version: Long, file: String): Seq[Any] =
+    sub.fields.toSeq.map {
+      case f if f.name == VersionCol => version
+      case _ => file
+    }
 
   /** The table's scan builder (also used by the row-level operation). */
   def builder(path: String, dataSchema: StructType,
@@ -307,14 +330,11 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
 
   private def spark = SparkSession.active
 
-  // pruned file-side projection, in file field order; the version column
-  // rides as a partition value only when the query asks for it
+  // pruned file-side projection, in file field order; metadata columns
+  // (_commit_version, _file) ride as partition values only when asked
   private val readDataSchema = StructType(
     dataSchema.fields.filter(f => required.fieldNames.contains(f.name)))
-  private val partSchema =
-    if (required.fieldNames.contains(GraftTableScan.VersionCol))
-      GraftTableScan.partitionSchema
-    else new StructType()
+  private val partSchema = GraftTableScan.metaSubset(required)
 
   override def readSchema(): StructType =
     StructType(readDataSchema.fields ++ partSchema.fields)
@@ -337,10 +357,11 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
     perCommit.flatMap { case (v, names) =>
       names.map { n =>
         val p = new Path(path, n)
-        (p.toString, f.getFileStatus(p).getLen, v)
+        (p.toString, f.getFileStatus(p).getLen,
+          GraftTableScan.metaValues(partSchema, v, n))
       }
     }.zipWithIndex.map { case (file, i) =>
-      FileReadShim.filePartition(i, Seq(file))
+      FileReadShim.filePartitionValues(i, Seq(file))
     }.toArray
   }
 
@@ -357,13 +378,15 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
       val (_, files) = VersionedTable.latest(spark, path)
       // provenance lookup only when the query asked for the version col
       val provenance =
-        if (partSchema.isEmpty) Map.empty[String, Long]
+        if (!partSchema.fieldNames.contains(GraftTableScan.VersionCol))
+          Map.empty[String, Long]
         else VersionedTable.fileVersions(spark, path)
       files.zipWithIndex.map { case (n, i) =>
         val p = new Path(path, n)
-        FileReadShim.filePartition(i,
+        FileReadShim.filePartitionValues(i,
           Seq((p.toString, f.getFileStatus(p).getLen,
-            provenance.getOrElse(n, 0L))))
+            GraftTableScan.metaValues(partSchema,
+              provenance.getOrElse(n, 0L), n))))
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory = readerFactory

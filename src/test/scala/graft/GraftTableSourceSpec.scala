@@ -218,6 +218,34 @@ class GraftTableSourceSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE graft_rlo_t")
   }
 
+  test("MERGE prunes untouched files via runtime group filtering") {
+    val t = Files.createTempDirectory("gts_mergeprune").toString + "/t"
+    VersionedTable.append(spark,
+      (1 to 10).map(i => (i, "lo")).toDF("k", "v").coalesce(1), t)
+    VersionedTable.append(spark,
+      (100 to 110).map(i => (i, "hi")).toDF("k", "v").coalesce(1), t)
+    val before = VersionedTable.latest(spark, t)._2
+    spark.sql(s"CREATE TABLE graft_mp_t USING `graft-table` LOCATION '$t'")
+    try {
+      // MERGE's join condition cannot be footer-checked statically —
+      // the dynamic _file subquery over the source keys is what prunes
+      spark.sql(
+        """MERGE INTO graft_mp_t t
+          |USING (SELECT * FROM VALUES (105, 'HI'), (200, 'new') AS s(k, v)) s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+      val after = VersionedTable.latest(spark, t)._2
+      assert(before.count(after.contains) === 1,
+        s"lo-range file must survive the merge untouched: $before -> $after")
+      val got = VersionedTable.read(spark, t).as[(Int, String)]
+        .collect().toMap
+      assert(got === ((1 to 10).map(i => i -> "lo") ++
+        (100 to 110).map(i => i -> (if (i == 105) "HI" else "hi")) ++
+        Seq(200 -> "new")).toMap)
+    } finally spark.sql("DROP TABLE graft_mp_t")
+  }
+
   test("SQL UPDATE rewrites only footer-intersecting files") {
     val t = Files.createTempDirectory("gts_rlo_prune").toString + "/t"
     VersionedTable.append(spark,
