@@ -111,6 +111,29 @@ object VersionedTable {
       writerId: String): Option[Long] =
     txnMap(latestRaw(spark, table)._2).get(writerId)
 
+  /** Commit history (DESCRIBE HISTORY): one row per retained version
+    * with the op kind, file delta, and writer txn watermarks — all from
+    * the manifests, no data files touched. Vacuumed history is absent;
+    * pre-`#op`-marker commits show op null.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    val rows = vs.foldLeft(
+      (Set.empty[String], List.empty[(Long, Option[String], Int, Int, Map[String, Long])])) {
+      case ((prev, acc), v) =>
+        val raw = readManifestRaw(f, table, v)
+        val cur = raw.filterNot(_.startsWith("#")).toSet
+        val op = raw.collectFirst {
+          case l if l.startsWith(OpPrefix) => l.drop(OpPrefix.length)
+        }
+        val row = (v, op, (cur -- prev).size, (prev -- cur).size, txnMap(raw))
+        (cur, row :: acc)
+    }._2.reverse
+    rows.toDF("version", "op", "files_added", "files_removed", "txns")
+  }
+
   /** All committed versions, ascending; empty for a new table. */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
     val f = fs(spark, table)

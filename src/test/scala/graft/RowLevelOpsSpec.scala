@@ -164,6 +164,41 @@ class RowLevelOpsSpec extends SparkTestBase {
       "pre-replace snapshot still time-travels")
   }
 
+  test("history describes every commit: op kind, file delta, txns") {
+    val t = Files.createTempDirectory("rl_hist").toString + "/t"
+    VersionedTable.append(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    graft.streaming.VersionedSink.exactlyOnce(t, "w")(
+      Seq((2L, "b")).toDF("k", "v"), 0L)
+    VersionedTable.compact(spark, t, numFiles = 1)
+    VersionedTable.delete(spark, t, col("k") === 1L)
+    val h = VersionedTable.history(spark, t)
+      .select("version", "op", "files_removed")
+      .as[(Long, Option[String], Int)].collect().toSeq
+    assert(h.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(h.map(_._2) ===
+      Seq(Some("append"), Some("append"), Some("compact"), Some("delete")))
+    assert(h(0)._3 === 0 && h(2)._3 > 0, "compaction removes files")
+    // txn watermark visible on (and carried past) the sink's commit
+    val txns = VersionedTable.history(spark, t)
+      .select("txns").as[Map[String, Long]].collect()
+    assert(txns(1) === Map("w" -> 0L) && txns(3) === Map("w" -> 0L))
+  }
+
+  test("SQL DELETE with a filter-untranslatable predicate uses the rewrite") {
+    val t = Files.createTempDirectory("rl_delx").toString + "/t"
+    VersionedTable.append(spark,
+      Seq((1L, "x"), (2L, "yy"), (3L, "zzz")).toDF("k", "v"), t)
+    spark.sql(s"CREATE TABLE graft_delx_t USING `graft-table` LOCATION '$t'")
+    try {
+      // length(v) is not expressible as a v1 source Filter — the
+      // metadata-delete fast path can't serve it; the row-level rewrite
+      // must (and does, atomically)
+      spark.sql("DELETE FROM graft_delx_t WHERE length(v) >= 2")
+      assert(VersionedTable.read(spark, t).select("k").as[Long]
+        .collect().toSeq === Seq(1L))
+    } finally spark.sql("DROP TABLE graft_delx_t")
+  }
+
   test("row-level commits preserve streaming writer watermarks and history") {
     val t = Files.createTempDirectory("rl_txn").toString + "/t"
     graft.streaming.VersionedSink.exactlyOnce(t, "q")(
