@@ -26,13 +26,14 @@ import org.apache.spark.util.SerializableConfiguration
   * untranslatable DELETE condition now falls back to this rewrite
   * instead of failing.
   *
-  * Current granularity is the FULL snapshot (every row flows through the
-  * rewrite), which is always correct and atomic; the next refinement is
-  * runtime group filtering (SupportsRuntimeV2Filtering on `_file`) to
-  * rewrite only affected files, as the programmatic
-  * [[VersionedTable.update]]/[[VersionedTable.upsert]] already do via
-  * pushed-down scans and footer pruning — callers with tight SLAs use
-  * those.
+  * Granularity is per-FILE, pruned two ways: statically, files whose
+  * parquet footer stats refute the pushed condition never scan
+  * ([[VersionedTable.fileMayMatch]]); dynamically, Spark's runtime
+  * group filtering runs a `_file` subquery for conditions no static
+  * check can evaluate (MERGE's join against its source) and
+  * [[GraftRowLevelScan.filter]] narrows the scan — and with it the
+  * rewrite/commit set — to exactly the touched files. Everything else
+  * carries into the new manifest untouched.
   *
   * The write itself is genuinely distributed: each executor task opens
   * Spark's own parquet writer ([[FileWriteShim]]) at a unique final name
@@ -181,11 +182,17 @@ private[sources] class GraftRowLevelScan(path: String,
             conf, new Path(path, n), pushed))
         op.snapshotFiles = files
         op.scannedFiles = kept
+        // real provenance when the DML references _commit_version
+        val provenance =
+          if (!partSchema.fieldNames.contains(GraftTableScan.VersionCol))
+            Map.empty[String, Long]
+          else VersionedTable.fileVersions(spark, path)
         kept.zipWithIndex.map { case (n, i) =>
           val p = new Path(path, n)
           org.apache.spark.sql.graftshim.FileReadShim.filePartitionValues(i,
             Seq((p.toString, f.getFileStatus(p).getLen,
-              GraftTableScan.metaValues(partSchema, 0L, n))))
+              GraftTableScan.metaValues(partSchema,
+                provenance.getOrElse(n, 0L), n))))
         }.toArray
       }
       override def createReaderFactory()
@@ -288,7 +295,9 @@ private[sources] class GraftReplaceWriterFactory(path: String,
         else GraftWriteCommit(Nil)
       }
       override def abort(): Unit =
-        try out.close() catch { case _: Exception => }
+        // only close if a row forced the writer open — touching the lazy
+        // val here would CREATE an orphan file during abort
+        if (rows > 0) try out.close() catch { case _: Exception => }
       override def close(): Unit = ()
     }
 }
