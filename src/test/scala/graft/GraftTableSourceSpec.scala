@@ -246,6 +246,20 @@ class GraftTableSourceSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE graft_mp_t")
   }
 
+  test("DML can predicate on the _commit_version metadata column") {
+    val t = Files.createTempDirectory("gts_vpred").toString + "/t"
+    VersionedTable.append(spark, Seq((1, "v1")).toDF("k", "v"), t) // v1
+    VersionedTable.append(spark, Seq((2, "v2")).toDF("k", "v"), t) // v2
+    spark.sql(s"CREATE TABLE graft_vp_t USING `graft-table` LOCATION '$t'")
+    try {
+      // retag only the rows that arrived in commit 2
+      spark.sql(
+        "UPDATE graft_vp_t SET v = 'late' WHERE _commit_version = 2")
+      assert(VersionedTable.read(spark, t).as[(Int, String)]
+        .collect().toMap === Map(1 -> "v1", 2 -> "late"))
+    } finally spark.sql("DROP TABLE graft_vp_t")
+  }
+
   test("SQL UPDATE rewrites only footer-intersecting files") {
     val t = Files.createTempDirectory("gts_rlo_prune").toString + "/t"
     VersionedTable.append(spark,
