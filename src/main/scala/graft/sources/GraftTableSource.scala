@@ -28,9 +28,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     committed SNAPSHOT (manifest-listed files only — stray/staged
   *     files are invisible, unlike a plain parquet directory read).
   *
-  * Rows carry a trailing `_commit_version` column (the commit that added
-  * the file; for batch snapshot reads it is 0 — the manifest does not
-  * retain per-file provenance after compaction rewrites).
+  * The table schema is the DATA schema; `_commit_version` (commit that
+  * introduced the row's file, from manifest history) and `_file`
+  * (table-relative file name, the row-level grouping key) are METADATA
+  * columns batch queries opt into by name. Streaming rows are data-only
+  * (per-batch versions come from the offsets / foreachBatch batchId).
+  *
+  * Writes: `df.write` append/overwrite, SQL `INSERT INTO` /
+  * `INSERT OVERWRITE`, `overwrite(condition)` → atomic replaceWhere,
+  * SQL `DELETE FROM` (metadata fast path or rewrite), and SQL
+  * `UPDATE` / `MERGE INTO` via [[GraftRowLevelOperation]] — every path
+  * lands as one OCC manifest commit with snapshot isolation and time
+  * travel.
   *
   * Execution reuses Spark's own vectorized parquet reader via
   * [[org.apache.spark.sql.graftshim.FileReadShim]]; planning is one
@@ -39,8 +48,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (file-listing streaming sources degrade with total file count; a
   * manifest diff is O(files per commit)).
   *
-  * Options: `startingVersion` (exclusive, default 0 = full history) for
-  * the stream.
+  * Options: `startingVersion` (exclusive, default 0 = full history),
+  * `maxVersionsPerTrigger`, `ignoreRowLevelChanges` for the stream.
   */
 class GraftTableProvider extends TableProvider with DataSourceRegister {
 
