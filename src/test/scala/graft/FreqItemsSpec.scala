@@ -85,6 +85,39 @@ class FreqItemsSpec extends SparkTestBase {
     assert(got === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("property: MG invariants hold on random streams × capacities × layouts") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 10) {
+      // random skew: a few hot items over a random-size cold tail
+      val hot = (1 to 3).flatMap(i =>
+        Seq.fill(50 + rnd.nextInt(300))(s"hot$i"))
+      val cold = Seq.fill(rnd.nextInt(400))(s"cold${rnd.nextInt(60)}")
+      val data = rnd.shuffle(hot ++ cold)
+      val truth = data.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val n = data.size.toLong
+      val cap = 4 + rnd.nextInt(28)
+      val parts = 1 + rnd.nextInt(8)
+      val got = data.toDF("x").repartition(parts)
+        .agg(GraftFunctions.freqItems(col("x"), cap).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select("e.item", "e.count_lb", "e.max_err")
+        .as[(String, Long, Long)].collect()
+      assert(got.length <= cap, s"trial $trial: size ${got.length} > $cap")
+      got.foreach { case (item, lb, d) =>
+        assert(d <= n / (cap + 1), s"trial $trial: delta $d > n/(cap+1)")
+        val tv = truth(item)
+        assert(lb <= tv && tv <= lb + d,
+          s"trial $trial cap=$cap parts=$parts: $item lb=$lb d=$d true=$tv")
+      }
+      val present = got.map(_._1).toSet
+      truth.filter(_._2 > n / (cap + 1)).keys.foreach { hh =>
+        assert(present(hh),
+          s"trial $trial cap=$cap parts=$parts lost heavy hitter $hh")
+      }
+    }
+  }
+
   test("nulls are skipped, empty input yields an empty summary") {
     val got = Seq[Option[String]](None, Some("a"), None, Some("a"))
       .toDF("x")

@@ -164,6 +164,46 @@ class RowLevelOpsSpec extends SparkTestBase {
       "pre-replace snapshot still time-travels")
   }
 
+  test("property: random upsert/delete/compact sequences match a reference model") {
+    val rnd = new scala.util.Random(11)
+    val t = Files.createTempDirectory("rl_model").toString + "/t"
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    val snapshots = scala.collection.mutable.Map.empty[Long, Map[Long, String]]
+    def read(): Map[Long, String] =
+      VersionedTable.read(spark, t,
+        schema = Some(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType)))))
+        .as[(Long, String)].collect().toMap
+    for (step <- 1 to 14) {
+      rnd.nextInt(4) match {
+        case 0 | 1 => // keyed upsert of a random batch
+          val batch = (1 to 1 + rnd.nextInt(6))
+            .map(_ => rnd.nextInt(40).toLong -> s"s$step").distinctBy(_._1)
+          VersionedTable.upsert(spark, batch.toDF("k", "v"), t, "k")
+          batch.foreach { case (k, v) => model(k) = v }
+        case 2 => // range delete
+          val lo = rnd.nextInt(40).toLong; val hi = lo + rnd.nextInt(10)
+          VersionedTable.delete(spark, t,
+            col("k").between(lo, hi))
+          (lo to hi).foreach(model.remove)
+        case 3 => // compaction: a rewrite, never a data change
+          VersionedTable.compact(spark, t, numFiles = 2)
+      }
+      assert(read() === model.toMap, s"diverged at step $step")
+      val v = VersionedTable.latest(spark, t)._1
+      if (v > 0) snapshots(v) = model.toMap
+    }
+    // time travel: every remembered version still serves its snapshot
+    snapshots.foreach { case (v, want) =>
+      val got = VersionedTable.read(spark, t, v).as[(Long, String)]
+        .collect().toMap
+      assert(got === want, s"time travel diverged at v$v")
+    }
+  }
+
   test("history describes every commit: op kind, file delta, txns") {
     val t = Files.createTempDirectory("rl_hist").toString + "/t"
     VersionedTable.append(spark, Seq((1L, "a")).toDF("k", "v"), t)
