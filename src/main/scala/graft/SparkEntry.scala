@@ -448,6 +448,23 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- similarity: IVF x PQ in the fully-exact configuration — BOTH
+    // approximation layers provably collapse (nprobe = nlist exhausts
+    // the coarse quantizer, covering codebooks make PQ reconstruction
+    // bit-exact on the <=256-row corpus), so the composed engine path
+    // (route -> encode -> decode -> rank) equals brute-force cosine and
+    // shares sim5b's oracle. ----
+    "sim6b_ivfpq_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") % 8 === 0)
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfPqTopK(corpus, "vec_id", "embedding", q, "qid", "qv",
+        k = 10, nlist = 8, nprobe = 8, m = 8, ksub = 256, iters = 3,
+        adc = false)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- similarity: IVF x PQ composed ANN (rows-only: both layers
     // are lossy engine-specific sketches; SimilaritySpec proves stacked
     // recall vs brute force and that nprobe=nlist reduces to pure PQ).
@@ -1759,6 +1776,21 @@ object SparkEntry {
         |s AS (SELECT q.qid, e.vec_id,
         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // IVFPQ with both layers exact == the same brute force as sim5b
+    "sim6b_ivfpq_exact" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 8 = 0),
+        |s AS (SELECT q.qid, c.vec_id,
+        |    list_cosine_similarity(c.v, q.qv) AS sim
+        |  FROM c, q WHERE c.vec_id <> q.qid),
         |r AS (SELECT qid, vec_id, sim,
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
         |  FROM s)

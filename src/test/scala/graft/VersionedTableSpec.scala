@@ -129,6 +129,33 @@ class VersionedTableSpec extends SparkTestBase {
     assert(feed(vc) === Seq((3, "c", 4L), (9, "z", 5L)))
   }
 
+  test("changefeed composition: any split of increments rebuilds the snapshot") {
+    val rnd = new scala.util.Random(3)
+    val t = Files.createTempDirectory("vt_comp").toString + "/t"
+    var next = 0
+    for (step <- 1 to 8) {
+      if (rnd.nextInt(4) == 0 && step > 1)
+        VersionedTable.compact(spark, t, numFiles = 1)
+      else {
+        val batch = (1 to 1 + rnd.nextInt(5)).map { _ => next += 1; next }
+        VersionedTable.append(spark, batch.toDF("k"), t)
+      }
+    }
+    val vMax = VersionedTable.latest(spark, t)._1
+    val full = VersionedTable.read(spark, t).select("k")
+      .as[Int].collect().sorted.toSeq
+    // for EVERY cut point: changes(0,c) ++ changes(c,max) == snapshot —
+    // the invariant an incremental consumer relies on when it
+    // checkpoints at arbitrary versions
+    (0L to vMax).foreach { cut =>
+      val a = VersionedTable.readChanges(spark, t, 0, cut)
+        .select("k").as[Int].collect()
+      val b = VersionedTable.readChanges(spark, t, cut, vMax)
+        .select("k").as[Int].collect()
+      assert((a ++ b).sorted.toSeq === full, s"cut at $cut diverged")
+    }
+  }
+
   test("z-order compaction preserves data and clusters both dimensions") {
     import org.apache.spark.sql.functions._
     val t = Files.createTempDirectory("vt_zorder").toString + "/t"
