@@ -254,6 +254,61 @@ private[sources] class GraftReplaceBatchWrite(path: String,
 private[sources] case class GraftWriteCommit(files: Seq[String])
   extends WriterCommitMessage
 
+/** Native streaming sink: the same distributed parquet writers as the
+  * row-level path, with each epoch committed idempotently under
+  * (queryId, epochId) via the manifest txn watermark — replayed epochs
+  * delete their files instead of committing ([[VersionedTable
+  * .commitStagedIdempotent]]). Append output mode only (a streaming
+  * table sink that truncates per epoch would destroy the history the
+  * changefeed serves).
+  */
+private[sources] class GraftStreamingWrite(path: String,
+    dataSchema: StructType, rowSchema: StructType, queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def spark = SparkSession.active
+  private val writerId = s"stream-$queryId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val keep = rowSchema.fields.zipWithIndex
+      .filterNot { case (f, _) =>
+        f.name == GraftTableScan.VersionCol ||
+          f.name == GraftTableScan.FileCol
+      }.map(_._2)
+    val written = StructType(keep.map(rowSchema.fields(_)))
+    require(written.map(f => (f.name, f.dataType)) ==
+      dataSchema.map(f => (f.name, f.dataType)),
+      s"streaming write schema $written != table schema $dataSchema")
+    val (factory, conf) = FileWriteShim.parquetWriteSetup(spark, written)
+    val inner = new GraftReplaceWriterFactory(path, factory, conf,
+      written, rowSchema, keep)
+    new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        inner.createWriter(partitionId, taskId)
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case GraftWriteCommit(names) => names
+    }.flatten.toSeq
+    VersionedTable.commitStagedIdempotent(spark, path, files,
+      writerId, epochId)
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val f = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case GraftWriteCommit(names) => names }.flatten
+      .foreach(n => f.delete(new Path(path, n), false))
+  }
+}
+
 private[sources] class GraftReplaceWriterFactory(path: String,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: SerializableConfiguration, written: StructType,

@@ -119,6 +119,7 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   // ---- batch writes: the V1 bridge hands the whole DataFrame to the
@@ -154,6 +155,17 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
       }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
+          // ---- native streaming sink: executors write parquet files
+          // straight into the table dir (same distributed writers as the
+          // row-level path), and each epoch commit is idempotent under
+          // (queryId, epochId) — the manifest txn watermark, not the
+          // checkpoint, de-duplicates replays. writeStream.format(
+          // "graft-table").start(path) is exactly-once end to end.
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new GraftStreamingWrite(path, dataSchema,
+              info.schema(), info.queryId())
+
           override def toInsertableRelation()
               : org.apache.spark.sql.sources.InsertableRelation =
             new org.apache.spark.sql.sources.InsertableRelation {

@@ -285,6 +285,36 @@ object VersionedTable {
       s"appendIdempotent lost $maxRetries commit races")
   }
 
+  /** Commit files ALREADY WRITTEN into the table dir (by distributed
+    * streaming writers) as an idempotent epoch append: if `writerId`
+    * already committed `epoch`, the files are deleted and the current
+    * version returned — the exactly-once core of the native streaming
+    * sink, same contract as [[appendIdempotent]].
+    */
+  private[sources] def commitStagedIdempotent(spark: SparkSession,
+      table: String, files: Seq[String], writerId: String, epoch: Long,
+      maxRetries: Int = 20): Long = {
+    val f = fs(spark, table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      val txns = txnMap(lines)
+      if (txns.get(writerId).exists(_ >= epoch)) {
+        files.foreach(n => f.delete(new Path(table, n), false))
+        return v
+      }
+      val next = txnLines(txns + (writerId -> epoch)) :+
+        (OpPrefix + "append")
+      if (tryCommit(spark, table, v + 1,
+          next ++ lines.filterNot(_.startsWith("#")) ++ files))
+        return v + 1
+      attempt += 1
+    }
+    files.foreach(n => f.delete(new Path(table, n), false))
+    throw new IllegalStateException(
+      s"streaming epoch commit lost $maxRetries races")
+  }
+
   /** Snapshot read of the latest committed version. Pass `schema` so an
     * EMPTY/new table still yields a correctly-typed empty frame
     * (`spark.emptyDataFrame` has zero columns and breaks any downstream

@@ -280,6 +280,39 @@ class GraftTableSourceSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE graft_prune_t")
   }
 
+  test("native streaming sink: writeStream into the table, exactly once") {
+    val t = Files.createTempDirectory("gts_ws").toString + "/t"
+    // the provider needs a schema for an empty table: seed one commit
+    VersionedTable.append(spark, Seq(0).toDF("k"), t)
+    val ckpt = Files.createTempDirectory("gts_ws_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    def run(): Unit = {
+      val q = mem.toDF().toDF("k")
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(t)
+      q.awaitTermination(60000)
+    }
+    mem.addData(1, 2)
+    run()
+    def ks: Seq[Int] = VersionedTable.read(spark, t)
+      .as[Int].collect().sorted.toSeq
+    assert(ks === Seq(0, 1, 2))
+    // restart with more data: only the new batch lands; epochs are
+    // recorded as txn watermarks on the table itself
+    mem.addData(3)
+    run()
+    assert(ks === Seq(0, 1, 2, 3))
+    val h = VersionedTable.history(spark, t).select("txns")
+      .as[Map[String, Long]].collect().last
+    assert(h.keys.exists(_.startsWith("stream-")), h)
+    // the native sink's commits are ordinary appends to the changefeed
+    assert(VersionedTable.readChanges(spark, t, 1).select("k")
+      .as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+  }
+
   test("startingVersion skips history; offsets round-trip json") {
     val t = Files.createTempDirectory("gts_sv").toString + "/t"
     VersionedTable.append(spark, Seq(1).toDF("k"), t)
