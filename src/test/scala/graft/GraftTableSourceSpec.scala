@@ -313,6 +313,36 @@ class GraftTableSourceSpec extends SparkTestBase {
       .as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
   }
 
+  test("format-level streaming pipeline: table -> transform -> table") {
+    // the capstone symmetry: BOTH ends are the format — no foreachBatch,
+    // no custom code, just readStream/writeStream over two lake tables
+    val src = Files.createTempDirectory("gts_pipe_src").toString + "/t"
+    val dst = Files.createTempDirectory("gts_pipe_dst").toString + "/t"
+    val ckpt = Files.createTempDirectory("gts_pipe_ckpt").toString
+    VersionedTable.append(spark, Seq(1, 2, 3, 4).toDF("k"), src)
+    VersionedTable.append(spark, Seq(0).toDF("k"), dst) // schema seed
+    def tick(): Unit = {
+      val q = spark.readStream.format("graft-table").load(src)
+        .where(col("k") % 2 === 0)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination(60000)
+    }
+    tick()
+    def dstKs: Seq[Int] = VersionedTable.read(spark, dst)
+      .as[Int].collect().sorted.toSeq
+    assert(dstKs === Seq(0, 2, 4))
+    // idle tick: no new source commits, no duplicates
+    tick()
+    assert(dstKs === Seq(0, 2, 4))
+    // incremental: only the new commit flows
+    VersionedTable.append(spark, Seq(5, 6).toDF("k"), src)
+    tick()
+    assert(dstKs === Seq(0, 2, 4, 6))
+  }
+
   test("startingVersion skips history; offsets round-trip json") {
     val t = Files.createTempDirectory("gts_sv").toString + "/t"
     VersionedTable.append(spark, Seq(1).toDF("k"), t)
