@@ -34,6 +34,12 @@ object VersionedSink {
 
   /** The foreachBatch function: wire as
     * `df.writeStream.foreachBatch(VersionedSink.exactlyOnce(table, id))`.
+    * For a plain append with no per-batch logic, the NATIVE sink is the
+    * simpler surface with the same guarantee:
+    * `df.writeStream.format("graft-table").start(path)` (see
+    * [[graft.sources.GraftTableProvider]]); foreachBatch remains the
+    * right tool when the batch needs custom handling (e.g.
+    * [[upsertExactlyOnce]], multi-table writes).
     */
   def exactlyOnce(table: String,
       writerId: String): (Dataset[Row], Long) => Unit =
