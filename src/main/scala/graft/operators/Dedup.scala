@@ -447,7 +447,7 @@ object Dedup {
     // both come out of ONE aggregate pass, so no extra job
     def edgeSig(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("__u"), col("__v"))), lit(0L))).head
+        coalesce(sum(xxhash64(col("__u"), col("__v"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     var prev = (-1L, -1L)
@@ -514,7 +514,7 @@ object Dedup {
     def stateSig(df: DataFrame): (Long, Long) = {
       val r = df.agg(
         coalesce(sum(xxhash64(col("__v"), col("__l"))), lit(0L)),
-        coalesce(sum(xxhash64(col("__l"))), lit(0L))).head
+        coalesce(sum(xxhash64(col("__l"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     var prev = (-1L, -1L)

@@ -41,22 +41,6 @@ object Sampling {
     df.where(hashUniform(idCol) < frac)
   }
 
-  /** Temperature (α = 1/2) source mixing: flatten the source
-    * distribution toward sqrt-proportional shares — the standard
-    * α-sampling for training-corpus weighting, done by DOWNSAMPLING
-    * only (the largest feasible corpus with the target mix; no source
-    * is upsampled). Per-source keep probability:
-    *
-    *   keep_s = sqrt(n_s) * C / n_s,   C = MIN over t of n_t / sqrt(n_t)
-    *
-    * (the argmin source keeps everything). One counting aggregate over
-    * the group column (tiny — distinct sources), then the same
-    * deterministic map-side md5-uniform filter as [[resampleToMix]].
-    * Every operation (integer counts, sqrt, one mul, one div, MIN) is
-    * exactly-specified IEEE arithmetic, so the oracle re-derives the
-    * exact keep thresholds — write the formula VERBATIM in both engines
-    * (n/sqrt(n) must stay n/sqrt(n), not simplify to sqrt(n)).
-    */
   /** Reproducible global shuffle for training-example order: sort by a
     * seeded md5-derived key. Unlike `df.repartition` or `orderBy(rand)`,
     * the order is a pure function of (seed, id) — identical across
@@ -98,11 +82,27 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Temperature (α = 1/2) source mixing: flatten the source
+    * distribution toward sqrt-proportional shares — the standard
+    * α-sampling for training-corpus weighting, done by DOWNSAMPLING
+    * only (the largest feasible corpus with the target mix; no source
+    * is upsampled). Per-source keep probability:
+    *
+    *   keep_s = sqrt(n_s) * C / n_s,   C = MIN over t of n_t / sqrt(n_t)
+    *
+    * (the argmin source keeps everything). One counting aggregate over
+    * the group column (tiny — distinct sources), then the same
+    * deterministic map-side md5-uniform filter as [[resampleToMix]].
+    * Every operation (integer counts, sqrt, one mul, one div, MIN) is
+    * exactly-specified IEEE arithmetic, so the oracle re-derives the
+    * exact keep thresholds — write the formula VERBATIM in both engines
+    * (n/sqrt(n) must stay n/sqrt(n), not simplify to sqrt(n)).
+    */
   def resampleTemperature(df: DataFrame, groupCol: Column,
       idCol: Column): DataFrame = {
     val counts = df.groupBy(groupCol.as("__g"))
       .agg(count(lit(1)).cast("double").as("__n"))
-    val c = counts.agg(min(col("__n") / sqrt(col("__n")))).head.getDouble(0)
+    val c = counts.agg(min(col("__n") / sqrt(col("__n")))).head().getDouble(0)
     val keep = counts.select(col("__g"),
       (sqrt(col("__n")) * c / col("__n")).as("__keep"))
     df.join(broadcast(keep), groupCol === col("__g"))

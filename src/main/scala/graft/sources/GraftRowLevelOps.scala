@@ -335,9 +335,12 @@ private[sources] class GraftReplaceWriterFactory(path: String,
           require(opOffset == 0 || opOffset == 1,
             s"unexpected row width ${record.numFields} for schema " +
               s"$rowSchema (+optional operation column)")
-          proj = UnsafeProjection.create(keep.map(i =>
-            BoundReference(i + opOffset, rowSchema.fields(i).dataType,
-              rowSchema.fields(i).nullable)))
+          proj = UnsafeProjection.create(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              keep.map(i => BoundReference(i + opOffset,
+                rowSchema.fields(i).dataType,
+                rowSchema.fields(i).nullable): org.apache.spark.sql
+                .catalyst.expressions.Expression)))
         }
         val drop = opOffset == 1 && !record.isNullAt(0) &&
           record.getInt(0) ==

@@ -335,10 +335,7 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
           // exact row count for free from the parquet footers (block
           // row counts) — no data pages read
           val rows = files.map { n =>
-            org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-              conf, new Path(path, n),
-              org.apache.parquet.format.converter
-                .ParquetMetadataConverter.NO_FILTER)
+            VersionedTable.readParquetFooter(conf, new Path(path, n))
               .getBlocks.asScala.map(_.getRowCount).sum
           }.sum
           (java.util.OptionalLong.of(sizes), java.util.OptionalLong.of(rows))

@@ -524,6 +524,15 @@ object VersionedTable {
 
   // ---------- row-level operations (copy-on-write) ----------
 
+  /** Footer-only parquet metadata read (no data pages). */
+  private[sources] def readParquetFooter(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: Path): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try r.getFooter finally r.close()
+  }
+
   /** Does `file` possibly contain a key in [lo, hi]? Decided from the
     * parquet FOOTER's per-row-group min/max statistics — no data pages
     * are read. Conservative: unreadable footers, missing columns, or
@@ -535,9 +544,7 @@ object VersionedTable {
       isString: Boolean): Boolean = {
     import scala.jdk.CollectionConverters._
     try {
-      val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-        conf, file,
-        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      val md = readParquetFooter(conf, file)
       val cols = md.getBlocks.asScala
         .flatMap(_.getColumns.asScala.filter(_.getPath.toDotString == key))
       if (cols.isEmpty) return true
@@ -574,9 +581,7 @@ object VersionedTable {
     import org.apache.spark.sql.sources._
     if (filters.isEmpty) return true
     try {
-      val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-        conf, file,
-        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      val md = readParquetFooter(conf, file)
       md.getBlocks.asScala.exists { block =>
         val cols = block.getColumns.asScala
           .map(c => c.getPath.toDotString -> c).toMap
