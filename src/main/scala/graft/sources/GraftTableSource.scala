@@ -68,11 +68,16 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val table = tablePath(options)
-    val (_, files) = VersionedTable.latest(spark, table)
-    require(files.nonEmpty,
-      s"graft-table at $table has no committed data to infer a schema " +
-        "from — pass an explicit schema")
-    spark.read.parquet(s"$table/${files.head}").schema
+    // declared schema first: it is authoritative on evolved tables (data
+    // files written before an ADD COLUMN lack the new column) and serves
+    // empty CREATEd tables that have no file to infer from
+    VersionedTable.tableSchema(spark, table).getOrElse {
+      val (_, files) = VersionedTable.latest(spark, table)
+      require(files.nonEmpty,
+        s"graft-table at $table has no committed data to infer a schema " +
+          "from — pass an explicit schema")
+      spark.read.parquet(s"$table/${files.head}").schema
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

@@ -55,12 +55,33 @@ object VersionedTable {
   //    delete) — per-commit, never carried forward. The changefeed needs
   //    it: structurally, a compaction and an upsert both remove files,
   //    but one is a pure rewrite and the other changes rows.
+  //  - "#schema <json>": the table's DECLARED schema (StructType.json,
+  //    single-line). Carried forward by every commit; replaced by commits
+  //    that evolve it ([[create]], [[addColumns]], evolveSchema writes).
+  //    Readers pass it to the parquet scan, so files written before an
+  //    ADD COLUMN surface the new column as null — Delta's column-append
+  //    evolution contract. Tables without the line (pre-schema tables)
+  //    keep inferring from their data files.
   private val TxnPrefix = "#txn "
   private val OpPrefix = "#op "
+  private val SchemaPrefix = "#schema "
 
-  /** txn watermark lines carried forward + this commit's op marker. */
-  private def metaLines(prevRaw: Seq[String], op: String): Seq[String] =
-    prevRaw.filter(_.startsWith(TxnPrefix)) :+ (OpPrefix + op)
+  /** txn watermark + declared-schema lines carried forward, plus this
+    * commit's op marker. `newSchema` (a schema-evolving commit) REPLACES
+    * any carried schema line.
+    */
+  private def metaLines(prevRaw: Seq[String], op: String,
+      newSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[String] =
+    prevRaw.filter(l => l.startsWith(TxnPrefix) ||
+        (l.startsWith(SchemaPrefix) && newSchema.isEmpty)) ++
+      newSchema.map(s => SchemaPrefix + s.json) :+ (OpPrefix + op)
+
+  private def schemaLine(lines: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    lines.find(_.startsWith(SchemaPrefix)).map(l =>
+      org.apache.spark.sql.types.DataType.fromJson(l.drop(SchemaPrefix.length))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   private def readManifestRaw(f: FileSystem, table: String, v: Long): Seq[String] = {
     val p = commitPath(table, v)
@@ -132,6 +153,136 @@ object VersionedTable {
         (cur, row :: acc)
     }._2.reverse
     rows.toDF("version", "op", "files_added", "files_removed", "txns")
+  }
+
+  /** The table's DECLARED schema at the latest version (None for
+    * pre-schema tables, which infer from data files).
+    */
+  def tableSchema(spark: SparkSession, table: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    schemaLine(latestRaw(spark, table)._2)
+
+  /** The declared schema AS OF `version` — time travel reads each
+    * snapshot with the schema it was committed under.
+    */
+  def tableSchema(spark: SparkSession, table: String, version: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(spark, table)
+    if (!f.exists(commitPath(table, version))) None
+    else schemaLine(readManifestRaw(f, table, version))
+  }
+
+  /** Create an empty table with a declared schema: commit v1 with no
+    * data files. The catalog / CTAS primitive — a table EXISTS once (and
+    * only once) this manifest lands, atomically. Throws if any version
+    * is already committed, unless `ifNotExists`.
+    */
+  def create(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      ifNotExists: Boolean = false): Long = {
+    require(schema.nonEmpty, s"cannot create $table with an empty schema")
+    val (v, _) = latestRaw(spark, table)
+    if (v > 0 || !tryCommit(spark, table, 1L,
+        metaLines(Nil, "create", Some(schema)))) {
+      if (!ifNotExists) throw new IllegalStateException(
+        s"table $table already exists (version ${latestRaw(spark, table)._1})")
+      latestRaw(spark, table)._1
+    } else 1L
+  }
+
+  /** Column-append schema evolution: a METADATA-ONLY commit that widens
+    * the declared schema with `newCols`. No data file is touched — files
+    * written before this commit read the new columns as null, exactly
+    * Delta's `ALTER TABLE ADD COLUMNS`. New columns must be nullable
+    * (old rows have no value for them) and must not collide with
+    * existing names (case-insensitively, matching Spark's resolver).
+    * Pre-schema tables first materialize their inferred file schema so
+    * evolution has a base to widen.
+    */
+  def addColumns(spark: SparkSession, table: String,
+      newCols: Seq[org.apache.spark.sql.types.StructField],
+      maxRetries: Int = 20): Long = {
+    require(newCols.nonEmpty, "addColumns needs at least one column")
+    newCols.foreach(f => require(f.nullable,
+      s"new column ${f.name} must be nullable: rows written before this " +
+        "commit have no value for it"))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      val base = schemaLine(lines).getOrElse {
+        val files = lines.filterNot(_.startsWith("#"))
+        require(files.nonEmpty,
+          s"$table has no declared schema and no data files to infer one")
+        spark.read.parquet(s"$table/${files.head}").schema
+      }
+      val existing = base.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val dup = newCols.map(_.name).find(n =>
+        existing.contains(n.toLowerCase(java.util.Locale.ROOT)))
+      require(dup.isEmpty, s"column ${dup.orNull} already exists in $table")
+      val widened = org.apache.spark.sql.types.StructType(base.fields ++ newCols)
+      if (tryCommit(spark, table, v + 1,
+          metaLines(lines, "schema", Some(widened)) ++
+            lines.filterNot(_.startsWith("#")))) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"addColumns lost $maxRetries commit races")
+  }
+
+  /** Align `df` to the table's declared schema for a write, by NAME
+    * (order-insensitive, case-insensitive like Spark's resolver):
+    *   - declared columns missing from `df` → null (they must be nullable);
+    *   - type mismatches → upcast when lossless (`Cast.canUpCast`), else refuse;
+    *   - extra `df` columns → refused, unless `evolve`, in which case they
+    *     are APPENDED to the declared schema and the widened schema is
+    *     returned for the commit to record.
+    * Returns the aligned frame and the extra fields (empty when not
+    * evolving).
+    */
+  private def alignToSchema(df: DataFrame,
+      declared: org.apache.spark.sql.types.StructType, evolve: Boolean,
+      table: String): (DataFrame,
+        Seq[org.apache.spark.sql.types.StructField]) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val byName = df.schema.fields.map(f => key(f.name) -> f).toMap
+    require(byName.size == df.schema.size,
+      s"write to $table has case-ambiguous duplicate column names")
+    val declaredKeys = declared.fieldNames.map(key).toSet
+    val extras = df.schema.fields.filterNot(f => declaredKeys.contains(key(f.name)))
+    if (extras.nonEmpty && !evolve) throw new IllegalArgumentException(
+      s"write to $table carries columns not in the table schema: " +
+        extras.map(_.name).mkString(", ") +
+        " — drop them or pass evolveSchema=true")
+    val cols = declared.fields.map { tf =>
+      byName.get(key(tf.name)) match {
+        case None =>
+          require(tf.nullable, s"write to $table omits non-nullable " +
+            s"column ${tf.name}")
+          lit(null).cast(tf.dataType).as(tf.name)
+        case Some(sf) if sf.dataType == tf.dataType => col(sf.name).as(tf.name)
+        case Some(sf) =>
+          require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(
+            sf.dataType, tf.dataType),
+            s"write to $table cannot losslessly cast column ${sf.name} " +
+              s"from ${sf.dataType.simpleString} to ${tf.dataType.simpleString}")
+          col(sf.name).cast(tf.dataType).as(tf.name)
+      }
+    } ++ extras.map(f => col(f.name))
+    (df.select(cols.toSeq: _*), extras.toSeq)
+  }
+
+  /** Widen `declared` with any of `extras` it does not already have —
+    * re-resolved per commit retry so an evolving append merges with, not
+    * clobbers, a concurrently evolved schema.
+    */
+  private def widen(declared: org.apache.spark.sql.types.StructType,
+      extras: Seq[org.apache.spark.sql.types.StructField])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val have = declared.fieldNames.map(key).toSet
+    val add = extras.filterNot(f => have.contains(key(f.name)))
+    if (add.isEmpty) None
+    else Some(org.apache.spark.sql.types.StructType(declared.fields ++ add))
   }
 
   /** All committed versions, ascending; empty for a new table. */
@@ -224,16 +375,26 @@ object VersionedTable {
   }
 
   /** Append `df`; retries commits until it wins. Returns the committed
-    * version.
+    * version. On a table with a declared schema the frame is aligned by
+    * name first ([[alignToSchema]]); `evolveSchema` lets extra columns
+    * widen the schema in the same commit (merged, per retry, with any
+    * concurrently evolved schema so no writer's columns are lost).
     */
   def append(spark: SparkSession, df: DataFrame, table: String,
-      maxRetries: Int = 20): Long = {
-    val staged = stage(spark, df, table)
+      maxRetries: Int = 20, evolveSchema: Boolean = false): Long = {
+    val declared = schemaLine(latestRaw(spark, table)._2)
+    val (aligned, extras) = declared match {
+      case Some(sc) => alignToSchema(df, sc, evolveSchema, table)
+      case None => (df, Nil)
+    }
+    val staged = stage(spark, aligned, table)
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
       // writer txn watermarks carry forward; op marker is per-commit
-      if (tryCommit(spark, table, v + 1, metaLines(lines, "append") ++
+      val newSchema = schemaLine(lines).flatMap(widen(_, extras))
+      if (tryCommit(spark, table, v + 1,
+          metaLines(lines, "append", newSchema) ++
           lines.filterNot(_.startsWith("#")) ++ staged)) return v + 1
       attempt += 1
     }
@@ -261,7 +422,11 @@ object VersionedTable {
       !writerId.contains("\n"), "writerId must be non-empty, no spaces")
     val (v0, lines0) = latestRaw(spark, table)
     if (txnMap(lines0).get(writerId).exists(_ >= epoch)) return v0
-    val staged = stage(spark, df, table)
+    val aligned = schemaLine(lines0) match {
+      case Some(sc) => alignToSchema(df, sc, evolve = false, table)._1
+      case None => df
+    }
+    val staged = stage(spark, aligned, table)
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
@@ -273,8 +438,8 @@ object VersionedTable {
         staged.foreach(n => f.delete(new Path(table, n), false))
         return v
       }
-      val next = txnLines(txns + (writerId -> epoch)) :+
-        (OpPrefix + "append")
+      val next = lines.filter(_.startsWith(SchemaPrefix)) ++
+        txnLines(txns + (writerId -> epoch)) :+ (OpPrefix + "append")
       val nextAll = next ++ lines.filterNot(_.startsWith("#")) ++ staged
       if (tryCommit(spark, table, v + 1, nextAll)) return v + 1
       attempt += 1
@@ -303,8 +468,8 @@ object VersionedTable {
         files.foreach(n => f.delete(new Path(table, n), false))
         return v
       }
-      val next = txnLines(txns + (writerId -> epoch)) :+
-        (OpPrefix + "append")
+      val next = lines.filter(_.startsWith(SchemaPrefix)) ++
+        txnLines(txns + (writerId -> epoch)) :+ (OpPrefix + "append")
       if (tryCommit(spark, table, v + 1,
           next ++ lines.filterNot(_.startsWith("#")) ++ files))
         return v + 1
@@ -322,8 +487,9 @@ object VersionedTable {
     */
   def read(spark: SparkSession, table: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    val (_, files) = latest(spark, table)
-    readFiles(spark, table, files, schema)
+    val (_, lines) = latestRaw(spark, table)
+    readFiles(spark, table, lines.filterNot(_.startsWith("#")),
+      schema.orElse(schemaLine(lines)))
   }
 
   /** Time-travel read: the exact snapshot committed as `version`. Manifests
@@ -337,7 +503,11 @@ object VersionedTable {
       throw new NoSuchElementException(
         s"version $version of $table does not exist (vacuumed or never " +
           s"committed); available: ${versions(spark, table).mkString(", ")}")
-    readFiles(spark, table, readManifest(f, table, version), None)
+    // each snapshot reads under the schema it was COMMITTED with — time
+    // travel to before an ADD COLUMN does not show the later column
+    val raw = readManifestRaw(f, table, version)
+    readFiles(spark, table, raw.filterNot(_.startsWith("#")),
+      schemaLine(raw))
   }
 
   /** Incremental changefeed: the rows ADDED by commits in
@@ -435,8 +605,13 @@ object VersionedTable {
     import org.apache.spark.sql.functions.lit
     val added = changedFilesBetween(spark, table, fromVersion, toVersion,
       ignoreRowLevel)
+    // a schema-evolved table's increments span files with different
+    // physical columns; reading them all under the declared (latest
+    // retained in range) schema — an append-only superset — keeps the
+    // unioned feed consistent, old batches null-filled
+    val declared = schema.orElse(tableSchema(spark, table))
     if (added.isEmpty) {
-      val base = schema.orElse {
+      val base = declared.orElse {
         val (_, files) = latest(spark, table)
         if (files.nonEmpty)
           Some(spark.read.parquet(s"$table/${files.head}").schema)
@@ -449,17 +624,31 @@ object VersionedTable {
         .where(lit(false))
     } else {
       added.map { case (v, files) =>
-        spark.read.parquet(files.map(n => s"$table/$n"): _*)
+        readFiles(spark, table, files, declared)
           .withColumn("_commit_version", lit(v))
       }.reduce(_ unionByName _)
     }
   }
 
+  /** Internal snapshot read for rewrite paths (compact/update/delete/
+    * replaceWhere): always under the declared schema when one exists, so
+    * rewrites of pre-evolution files materialize the evolved columns (as
+    * nulls) instead of silently writing the old physical layout.
+    */
+  private def snapRead(spark: SparkSession, table: String,
+      files: Seq[String]): DataFrame =
+    readFiles(spark, table, files, schemaLine(latestRaw(spark, table)._2))
+
   private def readFiles(spark: SparkSession, table: String,
       files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
-    if (files.nonEmpty) spark.read.parquet(files.map(n => s"$table/$n"): _*)
-    else schema match {
+    if (files.nonEmpty) {
+      // an explicit schema (the declared table schema) makes files
+      // written BEFORE a column was added read it as null — and skips
+      // the footer-sampling schema-inference job entirely
+      val reader = schema.fold(spark.read)(sc => spark.read.schema(sc))
+      reader.parquet(files.map(n => s"$table/$n"): _*)
+    } else schema match {
       case Some(sc) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
       case None => spark.emptyDataFrame
@@ -488,7 +677,7 @@ object VersionedTable {
     while (attempt < maxRetries) {
       val (_, files) = latest(spark, table)
       if (files.isEmpty) return -1L
-      val snapshot = spark.read.parquet(files.map(n => s"$table/$n"): _*)
+      val snapshot = snapRead(spark, table, files)
       val clustered =
         if (zorderDims.isEmpty) snapshot.repartition(numFiles)
         else {
@@ -697,11 +886,17 @@ object VersionedTable {
     *   apply stream needs (see
     *   [[graft.streaming.VersionedSink.upsertExactlyOnce]]).
     */
-  def upsert(spark: SparkSession, updates: DataFrame, table: String,
+  def upsert(spark: SparkSession, updates0: DataFrame, table: String,
       key: String, maxRetries: Int = 20,
       txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, max => smax, min => smin}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    // align to the declared schema up front so the rewritten survivors
+    // (read under that schema) union cleanly with the update rows
+    val updates = schemaLine(latestRaw(spark, table)._2) match {
+      case Some(sc) => alignToSchema(updates0, sc, evolve = false, table)._1
+      case None => updates0
+    }
     val keyType = updates.schema(key).dataType
     val isString = keyType == StringType
     require(isString ||
@@ -778,7 +973,8 @@ object VersionedTable {
           fileIntersects(conf, new Path(table, n), key, lo, hi, isString))
         val meta = txn match {
           case Some((w, e)) =>
-            txnLines(txnMap(lines2) + (w -> e)) :+ (OpPrefix + "upsert")
+            lines2.filter(_.startsWith(SchemaPrefix)) ++
+              txnLines(txnMap(lines2) + (w -> e)) :+ (OpPrefix + "upsert")
           case None => metaLines(lines2, "upsert")
         }
         val committed = !conflicting &&
@@ -827,7 +1023,7 @@ object VersionedTable {
     while (attempt < maxRetries) {
       val (v, files) = latest(spark, table)
       if (files.isEmpty) return v
-      val snap = spark.read.parquet(files.map(n => s"$table/$n"): _*)
+      val snap = snapRead(spark, table, files)
       assignments.keys.foreach { c =>
         require(snap.columns.contains(c), s"no such column to SET: $c")
       }
@@ -837,7 +1033,7 @@ object VersionedTable {
       if (affected.isEmpty) return v
       val hit = coalesce(predicate, lit(false))
       val rewrittenDf = assignments.foldLeft(
-        spark.read.parquet(affected.map(n => s"$table/$n"): _*)) {
+        snapRead(spark, table, affected)) {
         case (df, (c, expr)) =>
           df.withColumn(c, when(hit, expr).otherwise(col(c)))
       }
@@ -877,14 +1073,13 @@ object VersionedTable {
       val (affected, rewritten) =
         if (files.isEmpty) (Nil, Nil)
         else {
-          val snap = spark.read.parquet(files.map(n => s"$table/$n"): _*)
+          val snap = snapRead(spark, table, files)
           val aff = snap.where(predicate)
             .select(input_file_name()).distinct().collect()
             .map(r => new Path(r.getString(0)).getName).toSeq
           if (aff.isEmpty) (Nil, Nil)
           else {
-            val survivors = spark.read
-              .parquet(aff.map(n => s"$table/$n"): _*)
+            val survivors = snapRead(spark, table, aff)
               .where(not(coalesce(predicate, lit(false))))
             (aff, stage(spark, survivors, table))
           }
@@ -914,13 +1109,19 @@ object VersionedTable {
     * loudly unless the consumer opted into skipping row-level commits.
     */
   def overwrite(spark: SparkSession, df: DataFrame, table: String,
-      maxRetries: Int = 20): Long = {
-    val staged = stage(spark, df, table)
+      maxRetries: Int = 20, evolveSchema: Boolean = false): Long = {
+    val declared = schemaLine(latestRaw(spark, table)._2)
+    val (aligned, extras) = declared match {
+      case Some(sc) => alignToSchema(df, sc, evolveSchema, table)
+      case None => (df, Nil)
+    }
+    val staged = stage(spark, aligned, table)
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
+      val newSchema = schemaLine(lines).flatMap(widen(_, extras))
       if (tryCommit(spark, table, v + 1,
-          metaLines(lines, "overwrite") ++ staged)) return v + 1
+          metaLines(lines, "overwrite", newSchema) ++ staged)) return v + 1
       attempt += 1
     }
     val f = fs(spark, table)
@@ -943,13 +1144,12 @@ object VersionedTable {
     while (attempt < maxRetries) {
       val (v, files) = latest(spark, table)
       if (files.isEmpty) return v
-      val snap = spark.read.parquet(files.map(n => s"$table/$n"): _*)
+      val snap = snapRead(spark, table, files)
       val affected = snap.where(predicate)
         .select(input_file_name()).distinct().collect()
         .map(r => new Path(r.getString(0)).getName).toSeq
       if (affected.isEmpty) return v
-      val survivors = spark.read
-        .parquet(affected.map(n => s"$table/$n"): _*)
+      val survivors = snapRead(spark, table, affected)
         .where(not(coalesce(predicate, lit(false))))
       val rewritten = stage(spark, survivors, table)
       val (v2, lines2) = latestRaw(spark, table)

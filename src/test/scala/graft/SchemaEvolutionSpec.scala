@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.VersionedTable
+
+/** Column-append schema evolution on the versioned lake: declared
+  * schemas in the manifest, empty CREATE, ALTER-style addColumns,
+  * null-filled reads of pre-evolution files, write-side alignment, and
+  * schema-aware time travel / changefeed / rewrites.
+  */
+class SchemaEvolutionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("sevo").toString + "/t"
+
+  test("create declares a schema; empty reads and DSv2 scans are typed") {
+    val t = tmp()
+    val sc = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))
+    assert(VersionedTable.create(spark, t, sc) === 1L)
+    val df = VersionedTable.read(spark, t)
+    assert(df.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(df.count() === 0L)
+    // the DSv2 table serves the declared schema with zero data files
+    val v2 = spark.read.format("graft-table").load(t)
+    assert(v2.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(v2.count() === 0L)
+    // a second create refuses; ifNotExists is a no-op
+    intercept[IllegalStateException] { VersionedTable.create(spark, t, sc) }
+    assert(VersionedTable.create(spark, t, sc, ifNotExists = true) === 1L)
+  }
+
+  test("addColumns: old files read the new column as null; time travel " +
+      "keeps the old schema") {
+    val t = tmp()
+    val sc = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))
+    VersionedTable.create(spark, t, sc)
+    val v1 = VersionedTable.append(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), t)
+    val vEvo = VersionedTable.addColumns(spark, t,
+      Seq(StructField("score", DoubleType)))
+    // metadata-only commit: no data files moved
+    val hist = VersionedTable.history(spark, t)
+      .where(col("version") === vEvo).head()
+    assert(hist.getAs[String]("op") === "schema")
+    assert(hist.getAs[Int]("files_added") === 0)
+    assert(hist.getAs[Int]("files_removed") === 0)
+    // old rows surface the column as null
+    val now = VersionedTable.read(spark, t)
+    assert(now.schema.fieldNames.toSeq === Seq("k", "v", "score"))
+    assert(now.where(col("score").isNull).count() === 2L)
+    // new writes fill it; old file still null
+    VersionedTable.append(spark, Seq((3, "c", 0.5)).toDF("k", "v", "score"), t)
+    val all = VersionedTable.read(spark, t).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.isNullAt(2)))
+    assert(all.toSeq === Seq((1, true), (2, true), (3, false)))
+    // time travel to before the evolution reads the OLD schema
+    assert(VersionedTable.read(spark, t, v1).schema.fieldNames.toSeq ===
+      Seq("k", "v"))
+    // duplicate / non-nullable additions refuse
+    intercept[IllegalArgumentException] {
+      VersionedTable.addColumns(spark, t, Seq(StructField("K", LongType)))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.addColumns(spark, t,
+        Seq(StructField("n", LongType, nullable = false)))
+    }
+  }
+
+  test("write alignment: order/case-insensitive by name, missing nullable " +
+      "columns null-fill, lossless upcasts, extras refused unless evolving") {
+    val t = tmp()
+    VersionedTable.create(spark, t, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("score", DoubleType))))
+    // reordered + case-mixed + missing 'score' + int k (upcast to long)
+    VersionedTable.append(spark, Seq(("a", 1)).toDF("V", "k"), t)
+    val r = VersionedTable.read(spark, t).head()
+    assert(r.getLong(0) === 1L && r.getString(1) === "a" && r.isNullAt(2))
+    // extra column refused without the flag...
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(spark,
+        Seq((2L, "b", 0.1, "en")).toDF("k", "v", "score", "lang"), t)
+    }
+    // ...and widens the schema with it
+    VersionedTable.append(spark,
+      Seq((2L, "b", 0.1, "en")).toDF("k", "v", "score", "lang"), t,
+      evolveSchema = true)
+    val evolved = VersionedTable.read(spark, t)
+    assert(evolved.schema.fieldNames.toSeq === Seq("k", "v", "score", "lang"))
+    assert(evolved.where(col("lang") === "en").count() === 1L)
+    assert(evolved.where(col("lang").isNull).count() === 1L)
+    // lossy cast refused (double -> long would truncate)
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(spark,
+        Seq((1.5, "x")).toDF("k", "v"), t)
+    }
+  }
+
+  test("rewrites after evolution materialize the evolved columns") {
+    val t = tmp()
+    VersionedTable.create(spark, t, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    VersionedTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    VersionedTable.addColumns(spark, t, Seq(StructField("tag", StringType)))
+    // update sets the evolved column on a pre-evolution file
+    VersionedTable.update(spark, t, col("k") === 1L,
+      Map("tag" -> lit("hot")))
+    val rows = VersionedTable.read(spark, t).orderBy("k")
+      .select("k", "tag").as[(Long, Option[String])].collect().toSeq
+    assert(rows === Seq((1L, Some("hot")), (2L, None)))
+    // compaction rewrites carry the declared schema (and the column
+    // survives physically: read the compacted file with NO declared
+    // schema to prove it's in the parquet itself)
+    VersionedTable.compact(spark, t, numFiles = 1)
+    val (_, files) = VersionedTable.latest(spark, t)
+    val physical = spark.read.parquet(files.map(n => s"$t/$n"): _*)
+    assert(physical.schema.fieldNames.toSeq === Seq("k", "v", "tag"))
+    // delete on the evolved column works over mixed-vintage files
+    VersionedTable.append(spark, Seq((3L, "c", "cold")).toDF("k", "v", "tag"), t)
+    VersionedTable.delete(spark, t, col("tag") === "cold")
+    assert(VersionedTable.read(spark, t).count() === 2L)
+  }
+
+  test("changefeed spans an evolution: one consistent unioned schema, " +
+      "old increments null-filled") {
+    val t = tmp()
+    VersionedTable.create(spark, t, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    VersionedTable.append(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    VersionedTable.addColumns(spark, t, Seq(StructField("s", DoubleType)))
+    VersionedTable.append(spark, Seq((2L, "b", 0.7)).toDF("k", "v", "s"), t)
+    val feed = VersionedTable.readChanges(spark, t, fromVersion = 1L)
+    assert(feed.schema.fieldNames.toSeq ===
+      Seq("k", "v", "s", "_commit_version"))
+    val got = feed.orderBy("k")
+      .select("k", "s").as[(Long, Option[Double])].collect().toSeq
+    assert(got === Seq((1L, None), (2L, Some(0.7))))
+  }
+
+  test("upsert aligns updates to the declared schema") {
+    val t = tmp()
+    VersionedTable.create(spark, t, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("s", DoubleType))))
+    VersionedTable.append(spark,
+      Seq((1L, "a", 0.1), (2L, "b", 0.2)).toDF("k", "v", "s"), t)
+    // updates frame omits 's' and reorders — alignment null-fills it
+    VersionedTable.upsert(spark, Seq(("B", 2L)).toDF("v", "k"), t, key = "k")
+    val rows = VersionedTable.read(spark, t).orderBy("k")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(rows === Seq((1L, "a", Some(0.1)), (2L, "B", None)))
+  }
+
+  test("concurrently evolving appends merge their columns (neither lost)") {
+    val t = tmp()
+    VersionedTable.create(spark, t, StructType(Seq(
+      StructField("k", LongType))))
+    VersionedTable.append(spark, Seq(Tuple1(0L)).toDF("k"), t)
+    // two writers evolve with DIFFERENT new columns; whichever commits
+    // second must merge, not clobber (the widen-per-retry path)
+    VersionedTable.append(spark, Seq((1L, "x")).toDF("k", "c1"), t,
+      evolveSchema = true)
+    VersionedTable.append(spark, Seq((2L, 9L)).toDF("k", "c2"), t,
+      evolveSchema = true)
+    val sc = VersionedTable.tableSchema(spark, t).get
+    assert(sc.fieldNames.toSeq === Seq("k", "c1", "c2"))
+    val rows = VersionedTable.read(spark, t).orderBy("k")
+      .as[(Long, Option[String], Option[Long])].collect().toSeq
+    assert(rows === Seq((0L, None, None), (1L, Some("x"), None),
+      (2L, None, Some(9L))))
+  }
+}
