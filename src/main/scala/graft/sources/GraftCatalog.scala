@@ -1,0 +1,312 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark `TableCatalog` over a warehouse directory of versioned lake
+  * tables — the full SQL catalog surface for `graft-table`:
+  *
+  * {{{
+  *   spark.sql.catalog.graft            = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse  = /lake/warehouse
+  *
+  *   CREATE NAMESPACE graft.bronze
+  *   CREATE TABLE graft.bronze.events (k BIGINT, v STRING)
+  *   CREATE TABLE graft.bronze.top AS SELECT * FROM src      -- atomic CTAS
+  *   INSERT INTO graft.bronze.events VALUES (1, 'a')
+  *   ALTER TABLE graft.bronze.events ADD COLUMNS (score DOUBLE)
+  *   SELECT * FROM graft.bronze.events VERSION AS OF 3        -- time travel
+  *   UPDATE / DELETE / MERGE INTO graft.bronze.events ...     -- row-level ops
+  *   SHOW TABLES IN graft.bronze; DROP TABLE graft.bronze.events
+  * }}}
+  *
+  * Identifier → location is pure layout: `warehouse/ns…/name`, a table
+  * being any directory with a `_commits` manifest log. There is NO
+  * separate metastore — the manifests ARE the metadata (schema included,
+  * since [[VersionedTable.create]] records a `#schema` line), so the
+  * catalog stays correct under concurrent writers on any fanout of
+  * sessions sharing the warehouse path, exactly like path-addressed
+  * Delta tables.
+  *
+  * CTAS is ATOMIC via [[StagingTableCatalog]]: `stageCreate` publishes
+  * nothing; the staged write appends data files and the FIRST manifest
+  * commit (which also records the declared schema) makes table+data
+  * visible in one atomic step. A failed query aborts by deleting the
+  * never-committed directory — readers can never observe an empty or
+  * half-written CTAS target.
+  *
+  * Capability notes: partitioning transforms are refused (layout is
+  * managed by z-order compaction instead — see
+  * [[VersionedTable.compact]]); `REPLACE TABLE` is refused (use
+  * `INSERT OVERWRITE`); `ALTER` supports column-append evolution plus
+  * no-op property changes.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"catalog $name needs spark.sql.catalog.$name.warehouse")
+    warehouse = new Path(w).toString
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def fsys: FileSystem =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** path-safe identifier part: no separators, no traversal, no hidden
+    * or metadata-colliding names
+    */
+  private def checkPart(part: String): String = {
+    require(part.nonEmpty && !part.contains("/") && !part.contains("\\") &&
+      part != "." && part != ".." && !part.startsWith("_") &&
+      !part.startsWith("."),
+      s"illegal catalog identifier part: '$part'")
+    part
+  }
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(new Path(warehouse))((p, n) => new Path(p, checkPart(n)))
+
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), checkPart(ident.name))
+
+  private def isTable(p: Path): Boolean =
+    fsys.exists(new Path(p, "_commits"))
+
+  // ---------- tables ----------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!fsys.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fsys.listStatus(dir).filter(s => s.isDirectory && isTable(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try isTable(tableDir(ident)) catch {
+      case _: IllegalArgumentException => false
+    }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val path = dir.toString
+    val schema = VersionedTable.tableSchema(spark, path).getOrElse {
+      val (_, files) = VersionedTable.latest(spark, path)
+      if (files.isEmpty) throw new NoSuchTableException(ident)
+      spark.read.parquet(s"$path/${files.head}").schema
+    }
+    new GraftTable(path, schema)
+  }
+
+  /** SQL `VERSION AS OF <v>`: a read-only table pinned to one committed
+    * snapshot, under the schema that snapshot was committed with.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val path = dir.toString
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-table versions are commit numbers; got '$version'")
+    }
+    val schema = VersionedTable.tableSchema(spark, path, v).getOrElse {
+      val files = VersionedTable.filesAt(spark, path, v) // throws if absent
+      require(files.nonEmpty, s"version $v of $path is empty")
+      spark.read.parquet(s"$path/${files.head}").schema
+    }
+    new GraftTable(path, schema, pinnedVersion = Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-table does not take partition transforms — layout is managed " +
+        "by z-order compaction (VersionedTable.compact)")
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    if (ident.namespace.nonEmpty && !fsys.exists(nsPath(ident.namespace)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    try VersionedTable.create(spark, dir.toString, schema)
+    catch {
+      case _: IllegalStateException => // lost the create race
+        throw new TableAlreadyExistsException(ident)
+    }
+    new GraftTable(dir.toString, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val rest = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
+    rest.foreach {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft-table ALTER supports ADD COLUMNS only, got $other")
+    }
+    if (adds.nonEmpty) {
+      val fields = adds.map { a =>
+        require(a.fieldNames.length == 1,
+          s"nested ADD COLUMN not supported: ${a.fieldNames.mkString(".")}")
+        require(a.position() == null,
+          "FIRST/AFTER column positions not supported — columns append")
+        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
+          nullable = true) // appended columns must be nullable: old rows
+                           // have no value (addColumns enforces it too)
+      }
+      VersionedTable.addColumns(spark, dir.toString, fields)
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) false
+    else fsys.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    val to = tableDir(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    if (newIdent.namespace.nonEmpty && !fsys.exists(nsPath(newIdent.namespace)))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    if (!fsys.rename(from, to)) throw new java.io.IOException(
+      s"failed to rename $from to $to")
+  }
+
+  // ---------- atomic CTAS ----------
+
+  /** Stage a CREATE TABLE AS SELECT without publishing anything: the
+    * write's first manifest commit (data files + `#schema` + `#op
+    * create`) is the atomic point of table creation. Abort deletes the
+    * never-committed directory.
+    */
+  override def stageCreate(ident: Identifier, ctasSchema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : StagedTable = {
+    require(partitions.isEmpty,
+      "graft-table does not take partition transforms")
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    if (ident.namespace.nonEmpty && !fsys.exists(nsPath(ident.namespace)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val path = dir.toString
+    val inner = new GraftTable(path, ctasSchema)
+    new StagedTable with SupportsWrite {
+      override def name(): String = inner.name()
+      @annotation.nowarn("cat=deprecation")
+      override def schema(): StructType = ctasSchema
+      override def capabilities(): java.util.Set[TableCapability] =
+        inner.capabilities()
+      override def newWriteBuilder(
+          info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.WriteBuilder =
+        inner.newWriteBuilder(info)
+      override def commitStagedChanges(): Unit = {
+        // the CTAS write appended data under a fresh table dir; its
+        // commit (v1) carried no schema line (the table had none yet), so
+        // record the declared schema now. An EMPTY CTAS result never
+        // wrote — create the empty typed table here, still one visible
+        // transition.
+        if (VersionedTable.latest(spark, path)._1 == 0L)
+          VersionedTable.create(spark, path, ctasSchema, ifNotExists = true)
+        else if (VersionedTable.tableSchema(spark, path).isEmpty)
+          VersionedTable.declareSchema(spark, path, ctasSchema)
+      }
+      override def abortStagedChanges(): Unit = {
+        // nothing was committed under this ident unless the write's
+        // append landed; an aborted CTAS removes the whole staged dir
+        fsys.delete(dir, true)
+        ()
+      }
+    }
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : StagedTable =
+    throw new UnsupportedOperationException(
+      "REPLACE TABLE not supported — use INSERT OVERWRITE (atomic " +
+        "snapshot flip) or DROP + CREATE")
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : StagedTable =
+    if (tableExists(ident)) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
+
+  // ---------- namespaces ----------
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsPath(namespace)
+    if (namespace.nonEmpty && !fsys.exists(dir))
+      throw new NoSuchNamespaceException(namespace)
+    if (!fsys.exists(dir)) return Array.empty
+    fsys.listStatus(dir)
+      .filter(s => s.isDirectory && !isTable(s.getPath) &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(s => namespace :+ s.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (try { val p = nsPath(namespace); fsys.exists(p) && !isTable(p) }
+       catch { case _: IllegalArgumentException => false })
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    val dir = nsPath(namespace)
+    if (fsys.exists(dir))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fsys.mkdirs(dir)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft-table namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    require(namespace.nonEmpty, "cannot drop the root namespace")
+    val dir = nsPath(namespace)
+    if (!namespaceExists(namespace)) false
+    else {
+      if (!cascade && fsys.listStatus(dir).nonEmpty)
+        throw new NonEmptyNamespaceException(namespace)
+      fsys.delete(dir, true)
+    }
+  }
+}

@@ -68,11 +68,21 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val table = tablePath(options)
+    val asOf = Option(options.get(GraftTableScan.VersionAsOfOption))
+      .map(_.toLong)
     // declared schema first: it is authoritative on evolved tables (data
     // files written before an ADD COLUMN lack the new column) and serves
-    // empty CREATEd tables that have no file to infer from
-    VersionedTable.tableSchema(spark, table).getOrElse {
-      val (_, files) = VersionedTable.latest(spark, table)
+    // empty CREATEd tables that have no file to infer from. Time travel
+    // reads under the schema the snapshot was committed with.
+    val declared = asOf match {
+      case Some(v) => VersionedTable.tableSchema(spark, table, v)
+      case None => VersionedTable.tableSchema(spark, table)
+    }
+    declared.getOrElse {
+      val files = asOf match {
+        case Some(v) => VersionedTable.filesAt(spark, table, v)
+        case None => VersionedTable.latest(spark, table)._2
+      }
       require(files.nonEmpty,
         s"graft-table at $table has no committed data to infer a schema " +
           "from — pass an explicit schema")
@@ -86,14 +96,21 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       tablePath(new CaseInsensitiveStringMap(properties)), schema)
 }
 
-private[sources] class GraftTable(path: String, dataSchema: StructType)
+private[sources] class GraftTable(path: String, dataSchema: StructType,
+    pinnedVersion: Option[Long] = None)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
-  override def name(): String = s"graft-table `$path`"
+  private def refuseIfPinned(what: String): Unit =
+    require(pinnedVersion.isEmpty,
+      s"cannot $what a VERSION AS OF snapshot of $path — load the table " +
+        "without time travel to modify it")
+
+  override def name(): String =
+    s"graft-table `$path`" + pinnedVersion.fold("")(v => s"@v$v")
   // the table schema is the DATA schema: writes resolve against it
   // naturally (no ACCEPT_ANY_SCHEMA — that flag sets
   // skipSchemaResolution on DML commands, which blocks the UPDATE/MERGE
@@ -133,7 +150,8 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
   // INSERT INTO / df.write.format("graft-table") both land here.
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    refuseIfPinned("write to")
     new org.apache.spark.sql.connector.write.WriteBuilder
       with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwriteAll = false
@@ -205,6 +223,7 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
             }
         }
     }
+  }
 
   // ---- SQL DML: DELETE FROM <table> WHERE ... ----
   // Filters arrive as v1 sources.Filter; rebuild the Column predicate and
@@ -242,25 +261,42 @@ private[sources] class GraftTable(path: String, dataSchema: StructType)
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.lit
+    refuseIfPinned("DELETE from")
     val pred = filters.flatMap(toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     VersionedTable.delete(SparkSession.active, path, pred)
     ()
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    GraftTableScan.builder(path, dataSchema, options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a catalog VERSION AS OF load pins every scan of this table object
+    val merged = pinnedVersion match {
+      case Some(v) =>
+        val m = new java.util.HashMap[String, String](options)
+        m.put(GraftTableScan.VersionAsOfOption, v.toString)
+        new CaseInsensitiveStringMap(m)
+      case None => options
+    }
+    GraftTableScan.builder(path, dataSchema, merged)
+  }
 
   // ---- SQL UPDATE / MERGE INTO: group-based row-level rewrite ----
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    refuseIfPinned("UPDATE/MERGE")
     () => new GraftRowLevelOperation(path, dataSchema, info.command())
+  }
 }
 
 private[sources] object GraftTableScan {
   val VersionCol = "_commit_version"
   val FileCol = "_file"
+  /** reader option pinning a batch scan to one committed snapshot:
+    * `spark.read.format("graft-table").option("versionAsOf", 3)` or SQL
+    * `VERSION AS OF 3` via [[GraftCatalog]] (options are lower-cased).
+    */
+  val VersionAsOfOption = "versionasof"
   val MetaCols: Seq[StructField] = Seq(
     StructField(VersionCol, LongType, nullable = false),
     StructField(FileCol, StringType, nullable = false))
@@ -392,13 +428,17 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
     FileReadShim.parquetReaderFactory(spark, readDataSchema, partSchema,
       parquetFilters)
 
-  // ---- batch: latest snapshot; each file tagged with the version of
-  // the commit that introduced it (metadata column) ----
+  // ---- batch: latest snapshot (or the `versionAsOf`-pinned one); each
+  // file tagged with the version of the commit that introduced it
+  // (metadata column) ----
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val f = new Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val (_, files) = VersionedTable.latest(spark, path)
+      val files = options.get(GraftTableScan.VersionAsOfOption) match {
+        case Some(v) => VersionedTable.filesAt(spark, path, v.toLong)
+        case None => VersionedTable.latest(spark, path)._2
+      }
       // provenance lookup only when the query asked for the version col
       val provenance =
         if (!partSchema.fieldNames.contains(GraftTableScan.VersionCol))
@@ -416,7 +456,11 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
   }
 
   // ---- streaming: manifest versions as offsets ----
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(!options.contains(GraftTableScan.VersionAsOfOption),
+      "versionAsOf pins one batch snapshot — a stream tails the " +
+        "changefeed; use option(\"startingVersion\", ...) semantics via " +
+        "the checkpoint instead")
     new MicroBatchStream
       with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
       // AvailableNow pins the target version at query start; the wrapped
@@ -458,6 +502,7 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
       override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()
     }
+  }
 }
 
 /** Streaming offset = committed manifest version. */

@@ -228,6 +228,29 @@ object VersionedTable {
     throw new IllegalStateException(s"addColumns lost $maxRetries commit races")
   }
 
+  /** Record `schema` as the declared schema of an EXISTING table that
+    * has none yet (metadata-only commit) — the atomic-CTAS closer: the
+    * staged write's append committed data without a schema line, this
+    * stamps the declared schema on top. No-op if a schema is already
+    * declared. The schema must cover the data files' columns; callers
+    * (the catalog) guarantee it — it IS the schema the write ran under.
+    */
+  private[sources] def declareSchema(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      if (schemaLine(lines).isDefined) return v
+      if (tryCommit(spark, table, v + 1,
+          metaLines(lines, "schema", Some(schema)) ++
+            lines.filterNot(_.startsWith("#")))) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"declareSchema lost $maxRetries commit races")
+  }
+
   /** Align `df` to the table's declared schema for a write, by NAME
     * (order-insensitive, case-insensitive like Spark's resolver):
     *   - declared columns missing from `df` → null (they must be nullable);
@@ -283,6 +306,19 @@ object VersionedTable {
     val add = extras.filterNot(f => have.contains(key(f.name)))
     if (add.isEmpty) None
     else Some(org.apache.spark.sql.types.StructType(declared.fields ++ add))
+  }
+
+  /** Data files of the snapshot committed as `version` (for the DSv2
+    * time-travel scan). Throws like [[read(spark:org\.apache\.spark\.sql\.SparkSession,table:String,version:Long)* read(version)]] if vacuumed/absent.
+    */
+  private[sources] def filesAt(spark: SparkSession, table: String,
+      version: Long): Seq[String] = {
+    val f = fs(spark, table)
+    if (!f.exists(commitPath(table, version)))
+      throw new NoSuchElementException(
+        s"version $version of $table does not exist (vacuumed or never " +
+          s"committed); available: ${versions(spark, table).mkString(", ")}")
+    readManifest(f, table, version)
   }
 
   /** All committed versions, ascending; empty for a new table. */
