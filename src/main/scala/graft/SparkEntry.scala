@@ -307,6 +307,18 @@ object SparkEntry {
         .orderBy("doc_id", "doc_id_2")
     }),
 
+    // ---- dedup: global sorted-neighborhood pairs (merge/purge) ----
+    // One corpus-wide order by the normalized-text prefix; each doc
+    // pairs with its next 7 neighbors; 3-gram Jaccard >= 0.5 verifies.
+    "d8_snm" -> ((s, dir) => {
+      Dedup.sortedNeighborhoodPairs(docsWithNearDups(s, dir),
+        "doc_id", "text",
+        sortKey = substring(
+          regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 30),
+        window = 8, threshold = 0.5)
+        .orderBy("doc_id", "doc_id_2")
+    }),
+
     // ---- dedup: MinHash + LSH candidate pairs, Jaccard-verified ----
     "d3_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
@@ -1471,6 +1483,36 @@ object SparkEntry {
         |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
         |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS sim
         |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+        |ORDER BY doc_id, doc_id_2""".stripMargin,
+
+    // Sorted-neighborhood re-derived in DuckDB: the same normalized-
+    // prefix total order via row_number, successor pairing as a rank
+    // range join, the same string-shingle Jaccard as d2 (hash-set vs
+    // string-set Jaccard agree — distinct-preserving hashing).
+    "d8_snm" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(len(string_split_regex(trim(text), '\s+'))-5, 0)], ' ')
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, text, row_number() OVER (ORDER BY
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 30),
+        |    doc_id) AS rn
+        |  FROM docs WHERE text IS NOT NULL
+        |), sh AS (
+        |  SELECT doc_id, rn,
+        |    list_distinct(list_transform(range(greatest(len(string_split_regex(trim(text), '\s+'))-2, 1)),
+        |      i -> array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+3], ' '))) AS sh
+        |  FROM ranked)
+        |SELECT LEAST(a.doc_id, b.doc_id) AS doc_id,
+        |  GREATEST(a.doc_id, b.doc_id) AS doc_id_2,
+        |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS sim
+        |FROM sh a JOIN sh b ON b.rn > a.rn AND b.rn <= a.rn + 7
         |WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
         |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
         |ORDER BY doc_id, doc_id_2""".stripMargin,

@@ -215,6 +215,82 @@ object Dedup {
       .select(col(idCol), col(idCol + "_2"), col("sim"))
   }
 
+  /** Global sorted-neighborhood near-dup pairs (Hernández & Stolfo's
+    * merge/purge method as a standalone corpus-wide operator, not the
+    * per-block fallback inside [[blockedJaccardPairs]]): ONE total order
+    * over the whole corpus by a similarity-correlated `sortKey`, each
+    * document paired with its next `window - 1` successors, pairs
+    * verified by token-`n`-gram Jaccard ≥ `threshold`.
+    *
+    * Scale design — candidates are O(N·window), never O(N²), and no
+    * single task sorts the corpus:
+    *   - the global rank is computed in TWO levels: ranks inside
+    *     (key-prefix bucket) windows run parallel across buckets, and
+    *     per-bucket offsets come from a cumsum over ONE narrow row per
+    *     bucket (the only serial step, |buckets| rows). The bucket being
+    *     a PREFIX of the key makes (bucket, key, id) order equal
+    *     (key, id) order, so the two-level rank IS the single-order rank.
+    *   - pairing is a plain equi-join on the rank: the left side explodes
+    *     each doc to its `window - 1` successor ranks (narrow (id, rank)
+    *     rows — text never rides the explode), one hash shuffle on a
+    *     long.
+    *   - shingle arrays join back by id only for the surviving
+    *     candidates' verification.
+    * A corpus whose docs all share one `prefixLen`-char key prefix
+    * degrades the rank step to a single task — lengthen `prefixLen`
+    * (the rank result is unchanged; only parallelism moves).
+    *
+    * Recall contract (vs the quadratic all-pairs): near-dups sort
+    * adjacently only as far as the key correlates with similarity —
+    * pairs further than `window` apart in the order are missed. That is
+    * the SNM trade; use [[minhashPairs]] when probabilistic all-range
+    * recall matters more than a deterministic single-order pass.
+    *
+    * Output: (idCol, idCol_2, sim), id pairs canonically least-first.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+      sortKey: Column, window: Int, threshold: Double, n: Int = 3,
+      prefixLen: Int = 4): DataFrame = {
+    require(window >= 2, "window must pair each doc with >= 1 successor")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.where(col(textCol).isNotNull)
+      .withColumn("__key", sortKey.cast(StringType))
+      .withColumn("__bkt", substring(col("__key"), 1, prefixLen))
+    val ranked = base.withColumn("__ir", row_number().over(
+      W.partitionBy(col("__bkt")).orderBy(col("__key"), col(idCol))))
+    val offsets = ranked.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        W.orderBy(col("__bkt")).rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    // one row per distinct key prefix — broadcast keeps the rank join
+    // map-side (the ranked side is already shuffled by bucket)
+    val narrow = ranked.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("__r", col("__off") + col("__ir"))
+      .select(col(idCol), col("__r"))
+    val lhs = narrow
+      .withColumn("__j", explode(sequence(lit(1), lit(window - 1))))
+      .select(col(idCol).as("__id_a"), (col("__r") + col("__j")).as("__r"))
+    val cand = lhs
+      .join(narrow.select(col(idCol).as("__id_b"), col("__r")), "__r")
+      .drop("__r")
+    val sigs = df.where(col(textCol).isNotNull)
+      .select(col(idCol), sort_array(array_distinct(
+        shingleHashes(TextAnalysis.tokens(col(textCol)), n))).as("__sh"))
+    cand
+      .join(sigs.select(col(idCol).as("__id_a"), col("__sh").as("__sh_a")),
+        "__id_a")
+      .join(sigs.select(col(idCol).as("__id_b"), col("__sh").as("__sh_b")),
+        "__id_b")
+      .withColumn("sim", graft.functions.GraftFunctions.jaccardSorted(
+        col("__sh_a"), col("__sh_b")))
+      .where(col("sim") >= threshold)
+      .select(least(col("__id_a"), col("__id_b")).as(idCol),
+        greatest(col("__id_a"), col("__id_b")).as(idCol + "_2"),
+        col("sim"))
+  }
+
   /** Spread a small input across the full shuffle-partition count before
     * a compute-heavy map stage. Tiny parquet inputs are one row-group =
     * one split = one task, which would leave signature computation

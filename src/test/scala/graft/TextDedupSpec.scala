@@ -149,6 +149,40 @@ class TextDedupSpec extends SparkTestBase {
     assert(p1.size === 1200 * 3 - 3 * 4 / 2) // still exactly B·k - k(k+1)/2
   }
 
+  test("sortedNeighborhoodPairs: planted adjacent near-dups found, " +
+      "candidate count linear, prefix-length invariant") {
+    // 300 distinct docs + 30 planted near-dup twins whose normalized
+    // prefix equals their original's → twins sort adjacent → found.
+    val base = spark.range(300).select(
+      col("id").as("doc_id"),
+      concat(lit("document body number "), col("id").cast("string"),
+        lit(" with shared filler words in the middle section"))
+        .as("text"))
+    val twins = spark.range(30).select(
+      (col("id") + 10000L).as("doc_id"),
+      concat(lit("document body number "), (col("id") * 10).cast("string"),
+        lit(" with shared filler words in the middle"))
+        .as("text")) // drops 2 tokens → high-Jaccard near-dup of id*10
+    val corpus = base.unionByName(twins)
+    val key = substring(
+      regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 30)
+    def run(p: Int) = Dedup.sortedNeighborhoodPairs(corpus, "doc_id",
+      "text", key, window = 6, threshold = 0.5, prefixLen = p)
+      .select("doc_id", "doc_id_2", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val got = run(4)
+    // every planted twin pairs with its original
+    (0L until 30L).foreach { i =>
+      assert(got.exists { case (a, b, _) => a == i * 10 && b == 10000 + i },
+        s"missing planted pair for original ${i * 10}")
+    }
+    // two-level rank invariance: bucket granularity cannot change output
+    assert(got === run(1))
+    assert(got === run(64))
+    // linear candidate bound: at most N·(window-1) verified pairs
+    assert(got.size <= 330 * 5)
+  }
+
   test("capped blockedJaccardPairs emits only pairs the exhaustive form emits") {
     val corpus = spark.range(300).select(
       col("id").as("doc_id"),
