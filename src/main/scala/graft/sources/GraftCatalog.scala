@@ -136,6 +136,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(path, schema, pinnedVersion = Some(v))
   }
 
+  /** SQL `TIMESTAMP AS OF <t>`: the newest snapshot committed at or
+    * before `timestamp` (microseconds since epoch, per the connector
+    * contract). Commit time = the manifest file's mtime — written once,
+    * atomically, so it is a faithful commit clock.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val tsMillis = timestamp / 1000L
+    val v = VersionedTable.versionTimestamps(spark, dir.toString)
+      .filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+        throw new NoSuchElementException(
+          s"no commit of ${ident.name} at or before timestamp " +
+            s"${java.time.Instant.ofEpochMilli(tsMillis)} (earliest " +
+            "retained commit is newer, or the table was vacuumed past it)"))
+    loadTable(ident, v.toString)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     require(partitions.isEmpty,

@@ -435,8 +435,17 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
     override def planInputPartitions(): Array[InputPartition] = {
       val f = new Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val files = options.get(GraftTableScan.VersionAsOfOption) match {
-        case Some(v) => VersionedTable.filesAt(spark, path, v.toLong)
+      val asOf = options.get(GraftTableScan.VersionAsOfOption).map(_.toLong)
+      // reader-protocol gate (Delta's deletion-vector versioning, same
+      // idea): this scan's executor-side parquet reader cannot apply
+      // the merge-on-read anti-join layer, and silently including
+      // deleted rows is never acceptable
+      require(!VersionedTable.hasPendingDeletes(spark, path, asOf),
+        s"graft-table at $path has a pending merge-on-read delete " +
+          "layer this reader cannot apply — run VersionedTable.compact " +
+          "to materialize it, or read via VersionedTable.read")
+      val files = asOf match {
+        case Some(v) => VersionedTable.filesAt(spark, path, v)
         case None => VersionedTable.latest(spark, path)._2
       }
       // provenance lookup only when the query asked for the version col

@@ -62,20 +62,40 @@ object VersionedTable {
   //    ADD COLUMN surface the new column as null — Delta's column-append
   //    evolution contract. Tables without the line (pre-schema tables)
   //    keep inferring from their data files.
+  //  - "#del <file> <version> <keyCols...>": a PENDING merge-on-read
+  //    equality delete ([[deleteByKeys]]): `file` is a staged parquet of
+  //    key values whose rows are deleted from every data file committed
+  //    at or before `version`. Carried forward by every commit EXCEPT
+  //    compaction/overwrite (which materialize/obsolete them); readers
+  //    apply the anti-join layer, and the version bound makes later
+  //    re-inserts of the same key survive (Iceberg's equality-delete
+  //    sequence-number rule).
   private val TxnPrefix = "#txn "
   private val OpPrefix = "#op "
   private val SchemaPrefix = "#schema "
+  private val DelPrefix = "#del "
 
-  /** txn watermark + declared-schema lines carried forward, plus this
-    * commit's op marker. `newSchema` (a schema-evolving commit) REPLACES
-    * any carried schema line.
+  /** txn watermark + declared-schema + pending-delete lines carried
+    * forward, plus this commit's op marker. `newSchema` (a
+    * schema-evolving commit) REPLACES any carried schema line;
+    * `dropDeletes` (compaction/overwrite — commits that rewrite or
+    * replace every file the deletes could apply to) drops the pending
+    * delete layer.
     */
   private def metaLines(prevRaw: Seq[String], op: String,
-      newSchema: Option[org.apache.spark.sql.types.StructType] = None)
-      : Seq[String] =
+      newSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      dropDeletes: Boolean = false): Seq[String] =
     prevRaw.filter(l => l.startsWith(TxnPrefix) ||
-        (l.startsWith(SchemaPrefix) && newSchema.isEmpty)) ++
+        (l.startsWith(SchemaPrefix) && newSchema.isEmpty) ||
+        (l.startsWith(DelPrefix) && !dropDeletes)) ++
       newSchema.map(s => SchemaPrefix + s.json) :+ (OpPrefix + op)
+
+  /** carried (deleteFile, commitVersion, keyColumns) triples. */
+  private def delLines(lines: Seq[String]): Seq[(String, Long, Seq[String])] =
+    lines.filter(_.startsWith(DelPrefix)).map { l =>
+      val parts = l.drop(DelPrefix.length).split(" ").toSeq
+      (parts.head, parts(1).toLong, parts.drop(2))
+    }
 
   private def schemaLine(lines: Seq[String])
       : Option[org.apache.spark.sql.types.StructType] =
@@ -321,6 +341,16 @@ object VersionedTable {
     readManifest(f, table, version)
   }
 
+  /** (version, commitTimeMillis) per retained commit, ascending — the
+    * manifest file's mtime IS the commit time (it is written exactly
+    * once, atomically). Backs `TIMESTAMP AS OF`.
+    */
+  def versionTimestamps(spark: SparkSession, table: String): Seq[(Long, Long)] = {
+    val f = fs(spark, table)
+    versions(spark, table).map(v =>
+      v -> f.getFileStatus(commitPath(table, v)).getModificationTime)
+  }
+
   /** All committed versions, ascending; empty for a new table. */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
     val f = fs(spark, table)
@@ -382,7 +412,7 @@ object VersionedTable {
 
   /** Stage `df` as new data files and return their table-relative names. */
   private def stage(spark: SparkSession, df: DataFrame,
-      table: String): Seq[String] = {
+      table: String, prefix: String = "part-"): Seq[String] = {
     val f = fs(spark, table)
     val tmp = new Path(table, s"_stage-${java.util.UUID.randomUUID}")
     df.write.parquet(tmp.toString)
@@ -391,7 +421,7 @@ object VersionedTable {
       f.listStatus(tmp)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .foreach { s =>
-          val name = s"part-${java.util.UUID.randomUUID}.parquet"
+          val name = s"$prefix${java.util.UUID.randomUUID}.parquet"
           // an ignored rename failure here would commit a manifest naming a
           // file that never landed, poisoning every subsequent read — throw
           // (cleaning up files already moved) instead
@@ -474,7 +504,8 @@ object VersionedTable {
         staged.foreach(n => f.delete(new Path(table, n), false))
         return v
       }
-      val next = lines.filter(_.startsWith(SchemaPrefix)) ++
+      val next = lines.filter(l => l.startsWith(SchemaPrefix) ||
+        l.startsWith(DelPrefix)) ++
         txnLines(txns + (writerId -> epoch)) :+ (OpPrefix + "append")
       val nextAll = next ++ lines.filterNot(_.startsWith("#")) ++ staged
       if (tryCommit(spark, table, v + 1, nextAll)) return v + 1
@@ -504,7 +535,8 @@ object VersionedTable {
         files.foreach(n => f.delete(new Path(table, n), false))
         return v
       }
-      val next = lines.filter(_.startsWith(SchemaPrefix)) ++
+      val next = lines.filter(l => l.startsWith(SchemaPrefix) ||
+        l.startsWith(DelPrefix)) ++
         txnLines(txns + (writerId -> epoch)) :+ (OpPrefix + "append")
       if (tryCommit(spark, table, v + 1,
           next ++ lines.filterNot(_.startsWith("#")) ++ files))
@@ -524,8 +556,8 @@ object VersionedTable {
   def read(spark: SparkSession, table: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val (_, lines) = latestRaw(spark, table)
-    readFiles(spark, table, lines.filterNot(_.startsWith("#")),
-      schema.orElse(schemaLine(lines)))
+    readFilesDeleteAware(spark, table, lines.filterNot(_.startsWith("#")),
+      schema.orElse(schemaLine(lines)), delLines(lines), keepFileCol = false)
   }
 
   /** Time-travel read: the exact snapshot committed as `version`. Manifests
@@ -540,10 +572,11 @@ object VersionedTable {
         s"version $version of $table does not exist (vacuumed or never " +
           s"committed); available: ${versions(spark, table).mkString(", ")}")
     // each snapshot reads under the schema it was COMMITTED with — time
-    // travel to before an ADD COLUMN does not show the later column
+    // travel to before an ADD COLUMN does not show the later column, and
+    // only the delete layer pending AT that version applies
     val raw = readManifestRaw(f, table, version)
-    readFiles(spark, table, raw.filterNot(_.startsWith("#")),
-      schemaLine(raw))
+    readFilesDeleteAware(spark, table, raw.filterNot(_.startsWith("#")),
+      schemaLine(raw), delLines(raw), keepFileCol = false)
   }
 
   /** Incremental changefeed: the rows ADDED by commits in
@@ -591,7 +624,12 @@ object VersionedTable {
       val cur = raw.filterNot(_.startsWith("#"))
       val prev = manifests(v - 1).filterNot(_.startsWith("#")).toSet
       val removed = prev -- cur
-      if (removed.isEmpty) {
+      // a merge-on-read delete is STRUCTURALLY empty (no data file added
+      // or removed — the change hides in a #del metadata line), so the
+      // structural dichotomy below would silently skip it; route it to
+      // the row-level guard by op marker instead
+      val isMor = raw.exists(_.startsWith(OpPrefix + "delete-mor"))
+      if (removed.isEmpty && !isMor) {
         // pure append (also an upsert/delete that touched no existing
         // file — its additions ARE genuinely new rows)
         val adds = cur.filterNot(prev)
@@ -669,11 +707,80 @@ object VersionedTable {
   /** Internal snapshot read for rewrite paths (compact/update/delete/
     * replaceWhere): always under the declared schema when one exists, so
     * rewrites of pre-evolution files materialize the evolved columns (as
-    * nulls) instead of silently writing the old physical layout.
+    * nulls) instead of silently writing the old physical layout; applies
+    * the pending merge-on-read delete layer so a rewrite never
+    * resurrects deleted rows.
     */
   private def snapRead(spark: SparkSession, table: String,
-      files: Seq[String]): DataFrame =
-    readFiles(spark, table, files, schemaLine(latestRaw(spark, table)._2))
+      files: Seq[String]): DataFrame = {
+    val (_, lines) = latestRaw(spark, table)
+    readFilesDeleteAware(spark, table, files, schemaLine(lines),
+      delLines(lines), keepFileCol = false)
+  }
+
+  /** [[snapRead]] plus a `__vt_file` column (the table-relative data
+    * file of each row) for affected-file discovery in copy-on-write
+    * rewrites. `input_file_name()` is NOT usable for that once the
+    * delete layer joins rows — the provenance is captured from
+    * `_metadata` before any join.
+    */
+  private def snapReadWithFile(spark: SparkSession, table: String,
+      files: Seq[String]): DataFrame = {
+    val (_, lines) = latestRaw(spark, table)
+    readFilesDeleteAware(spark, table, files, schemaLine(lines),
+      delLines(lines), keepFileCol = true)
+  }
+
+  /** The shared read core: `files` under `schema`, with the pending
+    * merge-on-read equality-delete layer `dels` applied. Per key-column
+    * set, all delete files union into one (key → max delete version)
+    * frame; one left equi-join per set plus the broadcast file→version
+    * tag decides survival: a row dies iff some delete of its key is at
+    * least as new as the row's file (strictly later re-inserts of the
+    * key survive — the Iceberg equality-delete sequencing rule). Cost on
+    * tables with NO pending deletes: zero (the plain scan). With
+    * pending deletes: one narrow join per key set, until [[compact]]
+    * materializes the layer.
+    */
+  private def readFilesDeleteAware(spark: SparkSession, table: String,
+      files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      dels: Seq[(String, Long, Seq[String])],
+      keepFileCol: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = readFiles(spark, table, files, schema)
+    if (dels.isEmpty && !keepFileCol) return base
+    if (files.isEmpty)
+      return if (keepFileCol)
+        base.withColumn("__vt_file", lit(null).cast("string"))
+      else base
+    val tagged = base.withColumn("__vt_file",
+      element_at(split(col("_metadata.file_path"), "/"), -1))
+    val outCols = (base.columns.toSeq ++
+      (if (keepFileCol) Seq("__vt_file") else Nil)).map(col)
+    if (dels.isEmpty) return tagged.select(outCols: _*)
+    dels.flatMap(_._3).distinct.foreach(c =>
+      require(base.columns.contains(c),
+        s"merge-on-read delete key column '$c' is not in $table's schema"))
+    val fvDf = {
+      import spark.implicits._
+      fileVersions(spark, table).toSeq.toDF("__vt_file", "__vt_fv")
+    }
+    var cur = tagged.join(broadcast(fvDf), Seq("__vt_file"), "left")
+    dels.groupBy(_._3).foreach { case (keyCols, group) =>
+      val keys = group.map { case (delFile, dv, _) =>
+        spark.read.parquet(s"$table/$delFile")
+          .select(keyCols.map(col): _*)
+          .withColumn("__vt_dv", lit(dv))
+      }.reduce(_ unionByName _)
+        .groupBy(keyCols.map(col): _*)
+        .agg(max(col("__vt_dv")).as("__vt_dv"))
+      cur = cur.join(keys, keyCols, "left")
+        .where(col("__vt_dv").isNull || col("__vt_dv") < col("__vt_fv"))
+        .drop("__vt_dv")
+    }
+    cur.select(outCols: _*)
+  }
 
   private def readFiles(spark: SparkSession, table: String,
       files: Seq[String],
@@ -695,6 +802,10 @@ object VersionedTable {
     * REPLACES exactly the input snapshot's files; appends that raced in
     * between are rebased over on retry — never lost, never duplicated.
     * Returns the committed version (or -1 if the table was empty).
+    * Also MATERIALIZES any pending merge-on-read delete layer: the
+    * rewrite reads through the anti-join, so the compacted files
+    * physically lack the deleted rows and the `#del` lines drop from
+    * the manifest (read overhead back to zero).
     *
     * `zorderDims` (+ `zorderBits`) optionally re-CLUSTERS while
     * compacting: rows are range-partitioned and sorted on the Morton
@@ -736,7 +847,7 @@ object VersionedTable {
       val committed =
         files.forall(files2.contains) &&
           tryCommit(spark, table, v2 + 1,
-            metaLines(lines2, "compact") ++
+            metaLines(lines2, "compact", dropDeletes = true) ++
               compacted ++ files2.filterNot(files.contains))
       if (committed) return v2 + 1
       // lost the race — drop our staged output and retry from scratch
@@ -1009,7 +1120,8 @@ object VersionedTable {
           fileIntersects(conf, new Path(table, n), key, lo, hi, isString))
         val meta = txn match {
           case Some((w, e)) =>
-            lines2.filter(_.startsWith(SchemaPrefix)) ++
+            lines2.filter(l => l.startsWith(SchemaPrefix) ||
+              l.startsWith(DelPrefix)) ++
               txnLines(txnMap(lines2) + (w -> e)) :+ (OpPrefix + "upsert")
           case None => metaLines(lines2, "upsert")
         }
@@ -1053,19 +1165,19 @@ object VersionedTable {
       predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
       maxRetries: Int = 20): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(assignments.nonEmpty, "update needs at least one assignment")
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, files) = latest(spark, table)
       if (files.isEmpty) return v
-      val snap = snapRead(spark, table, files)
+      val snap = snapReadWithFile(spark, table, files)
       assignments.keys.foreach { c =>
         require(snap.columns.contains(c), s"no such column to SET: $c")
       }
       val affected = snap.where(predicate)
-        .select(input_file_name()).distinct().collect()
-        .map(r => new Path(r.getString(0)).getName).toSeq
+        .select(col("__vt_file")).distinct().collect()
+        .map(_.getString(0)).toSeq
       if (affected.isEmpty) return v
       val hit = coalesce(predicate, lit(false))
       val rewrittenDf = assignments.foldLeft(
@@ -1101,7 +1213,7 @@ object VersionedTable {
   def replaceWhere(spark: SparkSession, df: DataFrame, table: String,
       predicate: org.apache.spark.sql.Column,
       maxRetries: Int = 20): Long = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val newFiles = stage(spark, df, table)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1109,10 +1221,10 @@ object VersionedTable {
       val (affected, rewritten) =
         if (files.isEmpty) (Nil, Nil)
         else {
-          val snap = snapRead(spark, table, files)
+          val snap = snapReadWithFile(spark, table, files)
           val aff = snap.where(predicate)
-            .select(input_file_name()).distinct().collect()
-            .map(r => new Path(r.getString(0)).getName).toSeq
+            .select(col("__vt_file")).distinct().collect()
+            .map(_.getString(0)).toSeq
           if (aff.isEmpty) (Nil, Nil)
           else {
             val survivors = snapRead(spark, table, aff)
@@ -1157,7 +1269,8 @@ object VersionedTable {
       val (v, lines) = latestRaw(spark, table)
       val newSchema = schemaLine(lines).flatMap(widen(_, extras))
       if (tryCommit(spark, table, v + 1,
-          metaLines(lines, "overwrite", newSchema) ++ staged)) return v + 1
+          metaLines(lines, "overwrite", newSchema,
+            dropDeletes = true) ++ staged)) return v + 1
       attempt += 1
     }
     val f = fs(spark, table)
@@ -1168,22 +1281,22 @@ object VersionedTable {
   /** Row-level DELETE: removes rows where `predicate` is TRUE (SQL
     * semantics — null keeps). Copy-on-write like [[upsert]]: one
     * pruned-and-pushed-down scan finds the files that actually contain
-    * matches (`input_file_name`), only those are rewritten without their
+    * matches (row provenance from `_metadata`), only those are rewritten without their
     * matching rows, everything else carries over untouched. Returns the
     * committed version (unchanged if nothing matched).
     */
   def delete(spark: SparkSession, table: String,
       predicate: org.apache.spark.sql.Column,
       maxRetries: Int = 20): Long = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, files) = latest(spark, table)
       if (files.isEmpty) return v
-      val snap = snapRead(spark, table, files)
+      val snap = snapReadWithFile(spark, table, files)
       val affected = snap.where(predicate)
-        .select(input_file_name()).distinct().collect()
-        .map(r => new Path(r.getString(0)).getName).toSeq
+        .select(col("__vt_file")).distinct().collect()
+        .map(_.getString(0)).toSeq
       if (affected.isEmpty) return v
       val survivors = snapRead(spark, table, affected)
         .where(not(coalesce(predicate, lit(false))))
@@ -1217,6 +1330,64 @@ object VersionedTable {
     * contract as Delta's retention check; default 7 days). Pass 0 only
     * when no writer can be in flight.
     */
+  /** Merge-on-read DELETE by key: the CDC shape — `keys` is a frame
+    * whose columns name the equality key(s) and whose rows are the keys
+    * to delete. NOTHING is rewritten: the keys are staged as a small
+    * delete file and ONE metadata commit adds a `#del` layer that every
+    * reader anti-joins (see [[readFilesDeleteAware]]). Use when delete
+    * write-cost matters more than read-cost — a 1-row delete on a 100 TB
+    * table costs one tiny file instead of a file rewrite — then
+    * [[compact]] materializes the layer back to zero read overhead.
+    *
+    * Version-layered like Iceberg equality deletes: rows in files
+    * committed AFTER this delete are untouched, so re-inserting a
+    * deleted key works naturally. Null keys never match (SQL equality)
+    * and are dropped from the delete set. The DSv2 `graft-table` scan
+    * REFUSES tables with a pending delete layer (its executor-side
+    * parquet reader cannot apply joins — the same reader-protocol gate
+    * as Delta's deletion vectors); compact first, or read through this
+    * API.
+    */
+  def deleteByKeys(spark: SparkSession, table: String, keys: DataFrame,
+      maxRetries: Int = 20): Long = {
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "deleteByKeys needs at least one key column")
+    keyCols.foreach(c => require(!c.exists(_.isWhitespace),
+      s"key column name '$c' must not contain whitespace (manifest format)"))
+    val snapCols = read(spark, table).columns.toSet
+    keyCols.foreach(c => require(snapCols.contains(c),
+      s"delete key column '$c' is not a column of $table"))
+    val clean = keys.na.drop("any", keyCols).dropDuplicates(keyCols)
+    if (clean.isEmpty) return latest(spark, table)._1
+    val staged = stage(spark, clean, table, prefix = "del-")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      val newDelLines = staged.map(n =>
+        DelPrefix + ((n +: (v + 1).toString +: keyCols).mkString(" ")))
+      if (tryCommit(spark, table, v + 1,
+          metaLines(lines, "delete-mor") ++ newDelLines ++
+            lines.filterNot(_.startsWith("#")))) return v + 1
+      attempt += 1
+    }
+    val f = fs(spark, table)
+    staged.foreach(n => f.delete(new Path(table, n), false))
+    throw new IllegalStateException(
+      s"deleteByKeys lost $maxRetries commit races")
+  }
+
+  /** True if the snapshot (latest, or `version`) carries an unmaterialized
+    * merge-on-read delete layer — the DSv2 reader-protocol gate.
+    */
+  private[sources] def hasPendingDeletes(spark: SparkSession, table: String,
+      version: Option[Long] = None): Boolean = version match {
+    case None => delLines(latestRaw(spark, table)._2).nonEmpty
+    case Some(v) =>
+      val f = fs(spark, table)
+      f.exists(commitPath(table, v)) &&
+        delLines(readManifestRaw(f, table, v)).nonEmpty
+  }
+
   def vacuum(spark: SparkSession, table: String, keepFrom: Long,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     val f = fs(spark, table)
@@ -1230,7 +1401,13 @@ object VersionedTable {
         val data = new Array[Byte](f.getFileStatus(p).getLen.toInt)
         val in = f.open(p)
         try in.readFully(data) finally in.close()
-        new String(data, "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+        val lines = new String(data, "UTF-8").split("\n")
+          .filter(_.nonEmpty).toSeq
+        // data files are bare lines; merge-on-read delete files are
+        // referenced from inside #del metadata lines — both must
+        // survive while any retained manifest names them
+        lines.filterNot(_.startsWith("#")) ++
+          delLines(lines).map(_._1)
       }
     }.toSet
     val cutoff = System.currentTimeMillis() - retentionMs

@@ -93,6 +93,13 @@ class GraftCatalogSpec extends SparkTestBase {
     // the reader-option spelling reaches the same snapshot
     assert(spark.read.format("graft-table").option("versionAsOf", "2")
       .load(s"$wh/tt/t").count() === 1L)
+    // TIMESTAMP AS OF now = the latest snapshot; far past = no commit
+    assert(sql("SELECT count(*) FROM gcat.tt.t TIMESTAMP AS OF " +
+      "current_timestamp()").as[Long].head() === 2L)
+    intercept[Exception] {
+      sql("SELECT * FROM gcat.tt.t TIMESTAMP AS OF " +
+        "TIMESTAMP '1999-01-01 00:00:00'").collect()
+    }
   }
 
   test("DML through the catalog: UPDATE / DELETE / MERGE INTO") {

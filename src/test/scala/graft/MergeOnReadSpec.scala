@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** Merge-on-read equality deletes: deleteByKeys commits a metadata-only
+  * delete layer that readers anti-join; version layering lets re-inserts
+  * survive; compaction materializes; the DSv2 scan gate refuses pending
+  * layers; changefeed/vacuum/time-travel interplay.
+  */
+class MergeOnReadSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("mor").toString + "/t"
+
+  private def rows(t: String): Seq[(Long, String)] =
+    VersionedTable.read(spark, t).orderBy("k")
+      .as[(Long, String)].collect().toSeq
+
+  test("deleteByKeys hides rows without touching any data file") {
+    val t = tmp()
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    val filesBefore = VersionedTable.latest(spark, t)._2.toSet
+    val v = VersionedTable.deleteByKeys(spark, t, Seq(2L).toDF("k"))
+    assert(rows(t) === Seq((1L, "a"), (3L, "c")))
+    // metadata-only: identical data file set, 0 added / 0 removed
+    assert(VersionedTable.latest(spark, t)._2.toSet === filesBefore)
+    val h = VersionedTable.history(spark, t)
+      .where(col("version") === v).head()
+    assert(h.getAs[String]("op") === "delete-mor")
+    assert(h.getAs[Int]("files_added") === 0)
+    assert(h.getAs[Int]("files_removed") === 0)
+  }
+
+  test("version layering: a re-inserted key survives earlier deletes; " +
+      "a re-delete hides it again") {
+    val t = tmp()
+    VersionedTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    VersionedTable.deleteByKeys(spark, t, Seq(2L).toDF("k"))
+    assert(rows(t) === Seq((1L, "a")))
+    VersionedTable.append(spark, Seq((2L, "b2")).toDF("k", "v"), t)
+    assert(rows(t) === Seq((1L, "a"), (2L, "b2")))
+    VersionedTable.deleteByKeys(spark, t, Seq(2L).toDF("k"))
+    assert(rows(t) === Seq((1L, "a")))
+    // both delete layers pending; the old row stays dead, the newer row
+    // died to the newer layer — and another insert resurrects again
+    VersionedTable.append(spark, Seq((2L, "b3")).toDF("k", "v"), t)
+    assert(rows(t) === Seq((1L, "a"), (2L, "b3")))
+  }
+
+  test("compact materializes the layer: rows physically gone, #del " +
+      "dropped, DSv2 gate lifts") {
+    val t = tmp()
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    VersionedTable.deleteByKeys(spark, t, Seq(1L, 3L).toDF("k"))
+    // DSv2 scan refuses while the layer is pending (reader protocol)
+    val err = intercept[Exception] {
+      spark.read.format("graft-table").load(t).collect()
+    }
+    assert(err.getMessage.contains("merge-on-read"))
+    VersionedTable.compact(spark, t, numFiles = 1)
+    assert(rows(t) === Seq((2L, "b")))
+    // physically materialized: raw parquet of the snapshot lacks the rows
+    val (_, files) = VersionedTable.latest(spark, t)
+    val physical = spark.read.parquet(files.map(n => s"$t/$n"): _*)
+    assert(physical.count() === 1L)
+    // and the DSv2 path reads again
+    assert(spark.read.format("graft-table").load(t).count() === 1L)
+  }
+
+  test("copy-on-write rewrites after a MoR delete never resurrect rows") {
+    val t = tmp()
+    // ONE data file so the update's rewrite is guaranteed to touch the
+    // file holding the MoR-deleted row
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t)
+    VersionedTable.deleteByKeys(spark, t, Seq(2L).toDF("k"))
+    // the UPDATE's rewrite touches the file containing k=2; the rewrite
+    // must apply the delete layer, not copy the dead row forward
+    VersionedTable.update(spark, t, col("k") === 3L,
+      Map("v" -> lit("C")))
+    assert(rows(t) === Seq((1L, "a"), (3L, "C")))
+    // the rewritten file is NEWER than the delete layer — k=2 must not
+    // come back even though the layer still carries its key
+    val (_, files) = VersionedTable.latest(spark, t)
+    val physical = spark.read.parquet(files.map(n => s"$t/$n"): _*)
+    assert(physical.where(col("k") === 2L).count() === 0L)
+  }
+
+  test("multi-column keys and null keys: nulls never match") {
+    val t = tmp()
+    VersionedTable.append(spark,
+      Seq((Some(1L), Some("x"), "r1"), (Some(1L), Some("y"), "r2"),
+        (None, Some("x"), "r3"), (Some(2L), None, "r4"))
+        .toDF("k1", "k2", "v"), t)
+    // delete (1, x); a null-keyed delete row is dropped, touching nothing
+    VersionedTable.deleteByKeys(spark, t,
+      Seq((Some(1L), Some("x")), (None, Some("x"))).toDF("k1", "k2"))
+    val got = VersionedTable.read(spark, t).select("v")
+      .as[String].collect().toSet
+    assert(got === Set("r2", "r3", "r4"))
+  }
+
+  test("changefeed guards merge-on-read deletes like other row-level ops") {
+    val t = tmp()
+    VersionedTable.append(spark, Seq((1L, "a")).toDF("k", "v"), t) // v1
+    VersionedTable.deleteByKeys(spark, t, Seq(1L).toDF("k"))       // v2
+    VersionedTable.append(spark, Seq((2L, "b")).toDF("k", "v"), t) // v3
+    val e = intercept[UnsupportedOperationException] {
+      VersionedTable.readChanges(spark, t, fromVersion = 1L).collect()
+    }
+    assert(e.getMessage.contains("delete-mor"))
+    // opting in skips the delete and serves the appends
+    val got = VersionedTable.readChanges(spark, t, fromVersion = 1L,
+      ignoreRowLevel = true)
+      .select("k", "_commit_version").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 3L)))
+  }
+
+  test("vacuum keeps referenced delete files; reaps them after compaction") {
+    val t = tmp()
+    VersionedTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    VersionedTable.deleteByKeys(spark, t, Seq(1L).toDF("k"))
+    val delFile = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.startsWith("del-")).toSeq
+    assert(delFile.size === 1)
+    // vacuum up to latest with zero retention: the del file is referenced
+    // by the latest manifest's #del line and must survive
+    VersionedTable.vacuum(spark, t,
+      keepFrom = VersionedTable.latest(spark, t)._1, retentionMs = 0L)
+    assert(new java.io.File(s"$t/${delFile.head}").exists())
+    assert(rows(t) === Seq((2L, "b")))
+    // compaction drops the layer; the next vacuum reaps the del file
+    VersionedTable.compact(spark, t, numFiles = 1)
+    VersionedTable.vacuum(spark, t,
+      keepFrom = VersionedTable.latest(spark, t)._1, retentionMs = 0L)
+    assert(!new java.io.File(s"$t/${delFile.head}").exists())
+    assert(rows(t) === Seq((2L, "b")))
+  }
+
+  test("time travel reads the delete layer as of each version") {
+    val t = tmp()
+    VersionedTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t) // v1
+    val vDel = VersionedTable.deleteByKeys(spark, t, Seq(2L).toDF("k"))       // v2
+    assert(VersionedTable.read(spark, t, 1L).count() === 2L)
+    assert(VersionedTable.read(spark, t, vDel).count() === 1L)
+  }
+}
