@@ -1348,29 +1348,62 @@ object VersionedTable {
     * as Delta's deletion vectors); compact first, or read through this
     * API.
     */
+  /** @param txn optional (writerId, epoch) idempotence watermark — the
+    *   exactly-once contract of [[appendIdempotent]] for CDC delete
+    *   streams: a replayed epoch is a no-op, and an empty batch still
+    *   advances the watermark (the batch WAS processed).
+    */
   def deleteByKeys(spark: SparkSession, table: String, keys: DataFrame,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20, txn: Option[(String, Long)] = None): Long = {
     val keyCols = keys.columns.toSeq
     require(keyCols.nonEmpty, "deleteByKeys needs at least one key column")
     keyCols.foreach(c => require(!c.exists(_.isWhitespace),
       s"key column name '$c' must not contain whitespace (manifest format)"))
+    txn.foreach { case (w, _) =>
+      require(w.nonEmpty && !w.contains(" ") && !w.contains("\n"),
+        "writerId must be non-empty, no spaces")
+    }
     val snapCols = read(spark, table).columns.toSet
     keyCols.foreach(c => require(snapCols.contains(c),
       s"delete key column '$c' is not a column of $table"))
+    // replay check BEFORE staging anything
+    txn match {
+      case Some((w, e))
+          if txnMap(latestRaw(spark, table)._2).get(w).exists(_ >= e) =>
+        return latest(spark, table)._1
+      case _ =>
+    }
     val clean = keys.na.drop("any", keyCols).dropDuplicates(keyCols)
-    if (clean.isEmpty) return latest(spark, table)._1
-    val staged = stage(spark, clean, table, prefix = "del-")
+    val noKeys = clean.isEmpty
+    if (noKeys && txn.isEmpty) return latest(spark, table)._1
+    val staged =
+      if (noKeys) Nil else stage(spark, clean, table, prefix = "del-")
+    val f = fs(spark, table)
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
+      // replay re-check inside the OCC loop (racing instance of the
+      // same restarted query)
+      txn match {
+        case Some((w, e)) if txnMap(lines).get(w).exists(_ >= e) =>
+          staged.foreach(n => f.delete(new Path(table, n), false))
+          return v
+        case _ =>
+      }
+      val meta = txn match {
+        case Some((w, e)) =>
+          lines.filter(l => l.startsWith(SchemaPrefix) ||
+            l.startsWith(DelPrefix)) ++
+            txnLines(txnMap(lines) + (w -> e)) :+ (OpPrefix + "delete-mor")
+        case None => metaLines(lines, "delete-mor")
+      }
       val newDelLines = staged.map(n =>
         DelPrefix + ((n +: (v + 1).toString +: keyCols).mkString(" ")))
       if (tryCommit(spark, table, v + 1,
-          metaLines(lines, "delete-mor") ++ newDelLines ++
+          meta ++ newDelLines ++
             lines.filterNot(_.startsWith("#")))) return v + 1
       attempt += 1
     }
-    val f = fs(spark, table)
     staged.foreach(n => f.delete(new Path(table, n), false))
     throw new IllegalStateException(
       s"deleteByKeys lost $maxRetries commit races")

@@ -70,6 +70,26 @@ object VersionedSink {
       ()
     }
 
+  /** Exactly-once streaming DELETE — the other half of the CDC-apply
+    * story: each micro-batch's rows are KEYS to delete, applied as a
+    * merge-on-read delete layer ([[VersionedTable.deleteByKeys]] — one
+    * metadata commit, nothing rewritten) under the same
+    * (writerId, batchId) watermark, so crash-replayed delete batches
+    * are no-ops and empty batches still advance the watermark. Pair
+    * with a periodic [[VersionedTable.compact]] to materialize
+    * accumulated layers. A full CDC stream (upserts + deletes) splits
+    * into two foreachBatch sinks with DISTINCT writerIds, or applies
+    * both inside one foreachBatch: upsert first, then deleteByKeys with
+    * the batch's tombstone keys (its layer is newer, so it wins).
+    */
+  def deleteExactlyOnce(table: String,
+      writerId: String): (Dataset[Row], Long) => Unit =
+    (batch: Dataset[Row], batchId: Long) => {
+      VersionedTable.deleteByKeys(batch.sparkSession, table, batch.toDF(),
+        txn = Some((writerId, batchId)))
+      ()
+    }
+
   /** Incremental table-to-table pipe with END-TO-END exactly-once: read
     * the source changefeed past the last processed version, transform,
     * and commit to `dst` with the SOURCE VERSION as the idempotence

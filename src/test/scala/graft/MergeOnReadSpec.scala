@@ -144,6 +144,30 @@ class MergeOnReadSpec extends SparkTestBase {
     assert(rows(t) === Seq((2L, "b")))
   }
 
+  test("exactly-once CDC deletes: replayed epochs no-op, empty batches " +
+      "advance the watermark, layering beats upserts") {
+    val t = tmp()
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    val apply = graft.streaming.VersionedSink.deleteExactlyOnce(t, "cdc")
+    apply(Seq(Tuple1(2L)).toDF("k"), 0L)
+    assert(rows(t) === Seq((1L, "a"), (3L, "c")))
+    val vAfter = VersionedTable.latest(spark, t)._1
+    // crash-replay of the same batchId: watermark says no
+    apply(Seq(Tuple1(3L)).toDF("k"), 0L)
+    assert(rows(t) === Seq((1L, "a"), (3L, "c")))
+    assert(VersionedTable.latest(spark, t)._1 === vAfter)
+    // an EMPTY delete batch still advances the watermark (processed)
+    apply(spark.emptyDataset[Tuple1[Long]].toDF("k"), 1L)
+    assert(VersionedTable.lastCommittedEpoch(spark, t, "cdc") === Some(1L))
+    assert(rows(t) === Seq((1L, "a"), (3L, "c")))
+    // CDC ordering: upsert then delete in a later batch — delete wins
+    // because its layer is newer than the upsert's rewritten files
+    VersionedTable.upsert(spark, Seq((3L, "C")).toDF("k", "v"), t, "k")
+    apply(Seq(Tuple1(3L)).toDF("k"), 2L)
+    assert(rows(t) === Seq((1L, "a")))
+  }
+
   test("time travel reads the delete layer as of each version") {
     val t = tmp()
     VersionedTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t) // v1
