@@ -1140,6 +1140,15 @@ object SparkEntry {
         Seq("user_id"), "ts", "value", stepMicros = 3600000000L)
         .orderBy("user_id", "gts")),
 
+    // ---- time series: fixed-grid resample with linear interpolation ----
+    // Forward/back-fill only at edges; interior gaps interpolate
+    // linearly between the neighboring observed cells.
+    "g2_resample" -> ((s, dir) =>
+      Analytics.resampleLinear(
+        t(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "value", stepMicros = 3600000000L)
+        .orderBy("user_id", "gts")),
+
     // ---- lake: z-order (Morton) clustering value ----
     // The multi-dim data-skipping primitive: LakeWriter.zOrderWrite
     // range-partitions + sorts on this value so parquet min/max stats
@@ -1688,6 +1697,42 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS value
         |FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.gus = o.gus
         |ORDER BY g.user_id, gts""".stripMargin,
+
+    // Same grid/cells construction as g1; the interpolation re-derives
+    // the identical IEEE expression prev + (next-prev)*(elapsed/gap).
+    "g2_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |b AS (SELECT user_id, MIN(us) AS lo, MAX(us) AS hi
+        |      FROM e GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(range(lo, hi + 1, 3600000000)) AS gus
+        |      FROM b),
+        |o AS (SELECT e.user_id,
+        |        lo + ((us - lo) // 3600000000) * 3600000000 AS gus,
+        |        MAX(value) AS cv
+        |      FROM e JOIN b USING (user_id) GROUP BY 1, 2),
+        |w AS (
+        |  SELECT g.user_id, g.gus, o.cv,
+        |    last_value(o.cv IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.gus
+        |      ROWS UNBOUNDED PRECEDING) AS pv,
+        |    last_value(CASE WHEN o.cv IS NOT NULL THEN g.gus END IGNORE NULLS)
+        |      OVER (PARTITION BY g.user_id ORDER BY g.gus
+        |            ROWS UNBOUNDED PRECEDING) AS pt,
+        |    first_value(o.cv IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.gus
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN o.cv IS NOT NULL THEN g.gus END IGNORE NULLS)
+        |      OVER (PARTITION BY g.user_id ORDER BY g.gus
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.gus = o.gus)
+        |SELECT user_id, make_timestamp(gus) AS gts,
+        |  CASE WHEN cv IS NOT NULL THEN cv
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) *
+        |         (CAST(gus - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |  END AS value
+        |FROM w ORDER BY user_id, gts""".stripMargin,
 
     // Morton interleave re-derived bit-by-bit: dim 0 (user bucket) at
     // even bits, dim 1 (hour bucket) at odd bits

@@ -152,6 +152,60 @@ object Analytics {
     *
     * Output: `keyCols :+ (gts timestamp) :+ (valueCol filled)`.
     */
+  /** Resample each key's series onto a fixed `stepMicros` grid with
+    * LINEAR interpolation across gaps (forward/back-fill only at the
+    * edges, where one neighbor is missing). Same scale shape as
+    * [[gapFill]]: per-key bounds agg, grid explode, one cell agg, and
+    * two frame-bounded windows per key — the windows run inside each
+    * key's partition, so 100 TB of series parallelize by key. For a key
+    * whose grid is huge relative to its observations the explode
+    * dominates; that is inherent to materializing the grid, not a plan
+    * defect.
+    *
+    * Interpolation arithmetic is plain IEEE double (`prev + (next -
+    * prev) * elapsed/gap`) so an engine re-deriving it bit-for-bit
+    * agrees exactly (g2's DuckDB oracle does).
+    */
+  def resampleLinear(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"step must be positive, got $stepMicros")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(keyCols.map(col) :+
+      unix_micros(col(tsCol).cast(TimestampType)).as("__us") :+
+      col(valueCol): _*)
+    val bounds = keyed.groupBy(keyCols.map(col): _*)
+      .agg(min("__us").as("__lo"), max("__us").as("__hi"))
+    val grid = bounds
+      .withColumn("__gus",
+        explode(sequence(col("__lo"), col("__hi"), lit(stepMicros))))
+      .select(keyCols.map(col) :+ col("__gus"): _*)
+    val obs = keyed.join(broadcast(bounds), keyCols)
+      .withColumn("__gus",
+        col("__lo") + expr(s"((__us - __lo) div ${stepMicros}L)") * stepMicros)
+    val cells = obs.groupBy((keyCols :+ "__gus").map(col): _*)
+      .agg(max(col(valueCol)).as("__cv"))
+    val back = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__gus"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__gus"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(cells, keyCols :+ "__gus", "left")
+      .withColumn("__pv", last(col("__cv"), ignoreNulls = true).over(back))
+      .withColumn("__pt", last(when(col("__cv").isNotNull, col("__gus")),
+        ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("__cv"), ignoreNulls = true).over(fwd))
+      .withColumn("__nt", first(when(col("__cv").isNotNull, col("__gus")),
+        ignoreNulls = true).over(fwd))
+      .select(keyCols.map(col) :+
+        timestamp_micros(col("__gus")).as("gts") :+
+        when(col("__cv").isNotNull, col("__cv"))
+          .when(col("__pv").isNull, col("__nv"))
+          .when(col("__nv").isNull, col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((col("__gus") - col("__pt")).cast(DoubleType) /
+              (col("__nt") - col("__pt")).cast(DoubleType)))
+          .as(valueCol): _*)
+  }
+
   def gapFill(df: DataFrame, keyCols: Seq[String], tsCol: String,
       valueCol: String, stepMicros: Long): DataFrame = {
     require(stepMicros > 0, s"step must be positive, got $stepMicros")

@@ -86,6 +86,26 @@ class IncrementalSpec extends SparkTestBase {
     assert(!got.exists(_._3.isNaN))
   }
 
+  test("resampleLinear: interior gaps interpolate, edges fill from the " +
+      "one existing neighbor") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val obs = Seq(
+      ("a", ts("2024-05-01 00:00:00"), 1.0),
+      ("a", ts("2024-05-01 03:00:00"), 7.0), // 2-cell gap: 3.0, 5.0
+      ("b", ts("2024-05-01 10:00:00"), 9.0)
+    ).toDF("k", "ts", "v")
+    val got = Analytics.resampleLinear(obs, Seq("k"), "ts", "v",
+      3600000000L)
+      .orderBy("k", "gts")
+      .as[(String, java.sql.Timestamp, Double)].collect().toSeq
+    assert(got === Seq(
+      ("a", ts("2024-05-01 00:00:00"), 1.0),
+      ("a", ts("2024-05-01 01:00:00"), 3.0), // 1 + (7-1) * 1/3
+      ("a", ts("2024-05-01 02:00:00"), 5.0), // 1 + (7-1) * 2/3
+      ("a", ts("2024-05-01 03:00:00"), 7.0),
+      ("b", ts("2024-05-01 10:00:00"), 9.0)))
+  }
+
   test("HLL sketches merge losslessly: union of parts == sketch of whole") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val whole = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))"))
