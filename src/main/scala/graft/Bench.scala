@@ -140,6 +140,11 @@ object Bench {
                 .withColumn("value", lit(0.0)), t, "event_id")
             sources.VersionedTable.delete(spark, t,
               col("event_id") % 200 === 1)
+            // merge-on-read tombstones (metadata-only) + a layered read,
+            // then compaction materializes the layer while z-ordering
+            sources.VersionedTable.deleteByKeys(spark, t,
+              ev.where(col("event_id") % 200 === 2).select("event_id"))
+            sources.VersionedTable.read(spark, t).count()
             sources.VersionedTable.compact(spark, t, numFiles = 8,
               zorderDims = Seq(col("user_id") % 1024,
                 expr("unix_micros(ts) div 3600000000") % 1024))

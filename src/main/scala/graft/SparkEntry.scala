@@ -1024,6 +1024,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- decontamination audit: per-doc benchmark-overlap report ----
+    "dc2_overlap_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReport(docs, "doc_id", "text",
+        docs.where(col("doc_id") < 50), "text", n = 3)
+        .orderBy(col("overlap").desc, col("doc_id"))
+    }),
+
     // ---- data quality: one-pass expectation check ----
     "dq1_checks" -> ((s, dir) =>
       Quality.check(t(s, dir, "orders"), Seq(
@@ -2230,6 +2238,22 @@ object SparkEntry {
         |  FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
         |  GROUP BY s.doc_id)
         |SELECT doc_id FROM scored WHERE overlap < 0.5 ORDER BY doc_id""".stripMargin,
+
+    // Same shingle construction as dc1; the report keeps the scores.
+    "dc2_overlap_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(greatest(len(tk)-2,1)),
+        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS shingle
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50)
+        |SELECT s.doc_id,
+        |  CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS overlap,
+        |  CAST(COUNT(*) AS BIGINT) AS grams
+        |FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+        |GROUP BY s.doc_id ORDER BY overlap DESC, doc_id""".stripMargin,
 
     "dq1_checks" ->
       """SELECT COUNT(*) AS n_rows,

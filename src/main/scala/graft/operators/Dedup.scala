@@ -659,6 +659,33 @@ object Dedup {
     train.join(clean, Seq(idCol), "left_semi")
   }
 
+  /** The AUDIT half of decontamination: per-document benchmark-overlap
+    * scores ([[decontaminate]] is the filter applied after a threshold
+    * is chosen from exactly this report). One row per train doc:
+    * `overlap` = fraction of its distinct token n-grams that appear in
+    * the benchmark, `grams` = its distinct n-gram count (a 1-gram doc at
+    * overlap 1.0 means much less than a 500-gram doc at 0.6 — the count
+    * is what makes the score readable). Same two narrow shuffles as
+    * decontaminate: grams explode → hash join vs the distinct benchmark
+    * grams → per-doc reaggregation; benchmark side is DISTINCT n-grams
+    * only, typically broadcastable at any corpus size.
+    */
+  def contaminationReport(train: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    val trainSh = train.select(col(idCol), explode_outer(array_distinct(
+      shingleHashes(TextAnalysis.tokens(col(textCol)), n))).as("__sh"))
+    val benchSh = bench.select(explode(array_distinct(
+      shingleHashes(TextAnalysis.tokens(col(benchTextCol)), n))).as("__sh"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    trainSh.join(benchSh, Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        (sum(coalesce(col("__hit"), lit(0))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("overlap"),
+        sum(when(col("__sh").isNotNull, 1L).otherwise(0L)).as("grams"))
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of

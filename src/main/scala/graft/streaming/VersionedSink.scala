@@ -120,6 +120,52 @@ object VersionedSink {
     srcV
   }
 
+  /** Incremental MATERIALIZED-VIEW maintenance: [[pipe]] with a keyed
+    * MERGE instead of an append. Reads the source changefeed past the
+    * destination's watermark, hands the increment to `transform`, and
+    * UPSERTS the result into `dst` by `key` under epoch = source
+    * version — exactly-once with zero external state, like pipe.
+    *
+    * This is how an aggregate view stays current for the cost of the
+    * increment: `transform` combines the new rows with the view's
+    * CURRENT state (read `dst` inside it) and returns the replacement
+    * rows for exactly the touched keys. Example — per-user event
+    * counts:
+    * {{{
+    * VersionedSink.pipeUpsert(spark, events, counts, "mv", "user_id",
+    *   inc => {
+    *     val delta = inc.groupBy("user_id").agg(count("*").as("n"))
+    *     val cur = VersionedTable.read(spark, counts)
+    *     delta.join(cur.withColumnRenamed("n", "n0"), Seq("user_id"), "left")
+    *       .select(col("user_id"),
+    *         (col("n") + coalesce(col("n0"), lit(0L))).as("n"))
+    *   })
+    * }}}
+    * Reading `dst` inside `transform` is safe under the single-writer
+    * contract a materialized view implies (this writerId is the only
+    * mutator): the state it sees is exactly the pre-commit snapshot,
+    * and a crash-replay recomputes from the same unmoved watermark.
+    * `transform` must be deterministic per input, like pipe's.
+    *
+    * The source must be append-only over the consumed range (upserts/
+    * deletes in the feed throw — resync the view from a snapshot), the
+    * one contract an incremental aggregate cannot survive breaking.
+    */
+  def pipeUpsert(spark: org.apache.spark.sql.SparkSession, src: String,
+      dst: String, writerId: String, key: String,
+      transform: DataFrame => DataFrame): Long = {
+    val from = VersionedTable.lastCommittedEpoch(spark, dst, writerId)
+      .getOrElse(0L)
+    val (srcV, _) = VersionedTable.latest(spark, src)
+    if (srcV <= from) return from
+    val changes = VersionedTable
+      .readChanges(spark, src, from, srcV)
+      .drop("_commit_version")
+    VersionedTable.upsert(spark, transform(changes), dst, key,
+      txn = Some((writerId, srcV)))
+    srcV
+  }
+
   /** Start a streaming append of `df` into `table` with exactly-once
     * micro-batch commits. `writerId` must be stable across restarts of
     * the same logical query (it scopes the replay-detection watermark).
