@@ -302,6 +302,86 @@ object GraftFunctions {
         l: Expression, r: Expression): AsOfPick = copy(left = l, right = r)
   }
 
+  /** Top-`n` nearest IVF cells by cosine, ONE primitive loop per row.
+    * Replaces the O(nlist) `greatest(struct(cosine(vec, lit(centroid)),
+    * i))` composition, whose plan carries nlist×dim literals and
+    * re-evaluates a full expression tree per cell — at nlist=1024,
+    * dim=1024 that plan doesn't even analyze in reasonable time, while
+    * here the centroids ride the expression object (serialized once per
+    * task) and assignment is nlist×dim multiply-adds.
+    *
+    * Ordering is EXACTLY the struct-comparison order of the composition
+    * it replaces (parity spec-pinned): descending by (sim, cell), where
+    * a null sim (zero/mismatched vector — [[CosineSim]] semantics) sorts
+    * below every non-null and NaN sorts above everything
+    * (`java.lang.Double.compare` = Spark's total order), ties on sim →
+    * larger cell first. Null input vector → null.
+    */
+  case class TopCells(child: Expression,
+      centroids: Array[Array[Double]], n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(centroids.nonEmpty && n >= 1, "need >=1 centroid and n >= 1")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("expected array<float|double>")
+    }
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_top_cells"
+
+    override def nullSafeEval(input: Any): Any = {
+      val ad = input.asInstanceOf[ArrayData]
+      val isFloat = child.dataType.asInstanceOf[ArrayType]
+        .elementType == FloatType
+      val len = ad.numElements()
+      val v = new Array[Double](len)
+      var i = 0
+      while (i < len) {
+        if (ad.isNullAt(i)) return null
+        v(i) = if (isFloat) ad.getFloat(i).toDouble else ad.getDouble(i)
+        i += 1
+      }
+      // sims(c) = cosine(v, centroid c) under CosineSim's rules;
+      // NaN sentinel for "null" (dimension mismatch / zero norm) would
+      // collide with a genuine NaN sim, which must sort LARGEST — use a
+      // parallel null mask instead
+      val sims = new Array[Double](centroids.length)
+      val isNull = new Array[Boolean](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        val ct = centroids(c)
+        if (ct.length != len) isNull(c) = true
+        else {
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var j = 0
+          while (j < len) {
+            dot += v(j) * ct(j)
+            na += v(j) * v(j)
+            nb += ct(j) * ct(j)
+            j += 1
+          }
+          if (na == 0.0 || nb == 0.0) isNull(c) = true
+          else sims(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        c += 1
+      }
+      // descending (sim, cell) under Spark struct ordering
+      val order = Array.range(0, centroids.length).sortWith { (a, b) =>
+        if (isNull(a) != isNull(b)) isNull(b) // non-null before null
+        else if (isNull(a)) a > b // both null: larger cell first
+        else {
+          val cmp = java.lang.Double.compare(sims(a), sims(b))
+          if (cmp != 0) cmp > 0 else a > b
+        }
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(order.take(math.min(n, centroids.length)))
+    }
+    override protected def withNewChildInternal(c: Expression): TopCells =
+      copy(child = c)
+  }
+
   /** Product-quantization encode: the vector splits into `m` equal
     * subspaces; each emits ONE byte — the index of the nearest (L2)
     * centroid in that subspace's codebook. 64 float dims become 8 bytes
@@ -559,6 +639,9 @@ object GraftFunctions {
   def cosine(a: Column, b: Column): Column =
     SparkShim.toColumn(CosineSim(
       SparkShim.toExpression(a), SparkShim.toExpression(b)))
+
+  def topCells(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
+    SparkShim.toColumn(TopCells(SparkShim.toExpression(vec), centroids, n))
 
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     SparkShim.toColumn(PqEncode(SparkShim.toExpression(vec), codebooks))

@@ -171,22 +171,17 @@ object Similarity {
     centroids
   }
 
-  /** struct(sim, cell) per centroid — greatest() of these is the argmax
-    * cell (struct comparison is field-lexicographic).
-    */
-  private def centroidSims(vec: Column,
-      centroids: Array[Array[Double]]): Seq[Column] =
-    centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, typedlit(c.toSeq)).as("s"), lit(i).as("i"))
-    }
-
-  /** Nearest-centroid cell id for a vector (map-side; centroids are plan
-    * literals). The write-side half of the at-scale IVF layout: persist
-    * the corpus directory-partitioned by this cell so query probes prune
-    * to nprobe/nlist of the files at scan planning time.
+  /** Nearest-centroid cell id for a vector (map-side; centroids ride
+    * the native expression object — one primitive loop per row, O(1)
+    * plan size at any nlist×dim; see
+    * [[graft.functions.GraftFunctions.TopCells]]). The write-side half
+    * of the at-scale IVF layout: persist the corpus
+    * directory-partitioned by this cell so query probes prune to
+    * nprobe/nlist of the files at scan planning time.
     */
   def assignCell(vec: Column, centroids: Array[Array[Double]]): Column =
-    greatest(centroidSims(vec, centroids): _*).getField("i")
+    element_at(
+      graft.functions.GraftFunctions.topCells(asDouble(vec), centroids, 1), 1)
 
   /** IVF approximate top-k: corpus rows are assigned once to their nearest
     * coarse centroid (map-side — centroids are plan literals); each query
@@ -205,14 +200,12 @@ object Similarity {
       nlist, iters, sampleSize)
     val probes = math.min(nprobe, centroids.length)
 
-    val cSims = centroidSims(asDouble(col(corpusVec)), centroids)
-    val c = corpus.withColumn("__cell", greatest(cSims: _*).getField("i"))
+    val c = corpus.withColumn("__cell",
+      assignCell(col(corpusVec), centroids))
 
-    val qSims = centroidSims(asDouble(col(queryVec)), centroids)
-    val q = queries
-      .withColumn("__cell", explode(transform(
-        slice(reverse(array_sort(array(qSims: _*))), 1, probes),
-        s => s.getField("i"))))
+    val q = queries.withColumn("__cell", explode(
+      graft.functions.GraftFunctions.topCells(
+        asDouble(col(queryVec)), centroids, probes)))
 
     val joined = c.join(broadcast(q), "__cell")
       .where(col(queryId) =!= col(corpusId))
@@ -245,9 +238,8 @@ object Similarity {
       m, ksub, iters)
     val probes = math.min(nprobe, centroids.length)
 
-    val cSims = centroidSims(asDouble(col(corpusVec)), centroids)
     val coded = corpus
-      .withColumn("__cell", greatest(cSims: _*).getField("i"))
+      .withColumn("__cell", assignCell(col(corpusVec), centroids))
       .withColumn("__codes", pqEncode(col(corpusVec), codebooks))
     // ADC: candidates ride as m code bytes, scored via the query's lookup
     // table (O(m)/pair). Otherwise decode ONCE per corpus row; only
@@ -257,11 +249,9 @@ object Similarity {
       else coded.select(col(corpusId), col("__cell"),
         pqDecode(col("__codes"), codebooks).as("__dv"))
 
-    val qSims = centroidSims(asDouble(col(queryVec)), centroids)
-    val qProbed = queries
-      .withColumn("__cell", explode(transform(
-        slice(reverse(array_sort(array(qSims: _*))), 1, probes),
-        s => s.getField("i"))))
+    val qProbed = queries.withColumn("__cell", explode(
+      graft.functions.GraftFunctions.topCells(
+        asDouble(col(queryVec)), centroids, probes)))
     val q =
       if (adc) qProbed.select(col(queryId), col("__cell"),
         graft.functions.GraftFunctions

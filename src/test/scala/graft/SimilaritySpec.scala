@@ -102,6 +102,52 @@ class SimilaritySpec extends SparkTestBase {
     assert(r16 >= r4 && r16 === 1.0, s"exhaustive probe must be exact: $r16")
   }
 
+  test("native TopCells == the greatest(struct(cosine, i)) composition " +
+      "it replaced, including ties, null sims, and full ordering") {
+    // random-ish deterministic vectors + centroids, with a DUPLICATED
+    // centroid (guaranteed sim ties -> larger cell must win) and a zero
+    // centroid (null sim -> sorts below every non-null)
+    val dim = 8
+    def vec(seed: Long): Array[Double] = Array.tabulate(dim)(i =>
+      ((graft.functions.GraftFunctions.splitmix64(seed * 64 + i) >>> 11)
+        .toDouble / (1L << 53).toDouble) - 0.5)
+    val cents: Array[Array[Double]] =
+      (0 until 6).map(c => vec(1000L + c)).toArray ++
+        Array(vec(1002L)) ++ // duplicate of cell 2 -> ties
+        Array(Array.fill(dim)(0.0)) // zero centroid -> null sim
+    val rows = spark.range(64).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (shiftrightunsigned(xxhash64(col("id") * dim + i), 11)
+          .cast("double") / (1L << 53).toDouble) - 0.5).as("v"))
+    val composition = greatest(cents.toIndexedSeq.zipWithIndex.map {
+      case (c, i) => struct(
+        Similarity.cosine(col("v"), typedlit(c.toSeq)).as("s"),
+        lit(i).as("i"))
+    }: _*).getField("i")
+    val got = rows.select(
+      composition.as("want"),
+      element_at(graft.functions.GraftFunctions.topCells(col("v"), cents, 1),
+        1).as("native"),
+      graft.functions.GraftFunctions.topCells(col("v"), cents, cents.length)
+        .as("all"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) === r.getInt(0), "argmax parity")
+      // the full ordering is a permutation of all cells with the null-sim
+      // zero centroid last
+      val all = r.getSeq[Int](2)
+      assert(all.sorted === (0 until cents.length))
+      assert(all.last === cents.length - 1, "null-sim cell sorts last")
+    }
+    // a zero INPUT vector: every sim null -> composition picks the
+    // largest cell; native must agree
+    val zero = Seq(Tuple1(Array.fill(dim)(0.0))).toDF("v")
+    val z = zero.select(composition.as("want"),
+      element_at(graft.functions.GraftFunctions.topCells(col("v"), cents, 1),
+        1).as("native")).head()
+    assert(z.getInt(1) === z.getInt(0))
+  }
+
   test("PQ: exact reconstruction when codebooks cover the subvector space") {
     // 4 distinct subvectors per subspace, ksub=4 -> k-means inits on the
     // distinct set and reconstruction is EXACT
