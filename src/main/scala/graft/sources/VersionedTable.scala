@@ -70,10 +70,17 @@ object VersionedTable {
   //    apply the anti-join layer, and the version bound makes later
   //    re-inserts of the same key survive (Iceberg's equality-delete
   //    sequence-number rule).
+  //  - "#delpos <file>": a PENDING merge-on-read POSITION delete
+  //    ([[deleteWhereMergeOnRead]]): `file` is a staged parquet of
+  //    (__vt_file, __vt_pos) rows naming exact physical rows to hide.
+  //    No version bound needed — positions pin to a file BY NAME, and
+  //    rewritten/new files have fresh names, so stale entries can never
+  //    match (self-cleaning). Carried/dropped like "#del".
   private val TxnPrefix = "#txn "
   private val OpPrefix = "#op "
   private val SchemaPrefix = "#schema "
   private val DelPrefix = "#del "
+  private val DelPosPrefix = "#delpos "
 
   /** txn watermark + declared-schema + pending-delete lines carried
     * forward, plus this commit's op marker. `newSchema` (a
@@ -87,7 +94,8 @@ object VersionedTable {
       dropDeletes: Boolean = false): Seq[String] =
     prevRaw.filter(l => l.startsWith(TxnPrefix) ||
         (l.startsWith(SchemaPrefix) && newSchema.isEmpty) ||
-        (l.startsWith(DelPrefix) && !dropDeletes)) ++
+        ((l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix)) &&
+          !dropDeletes)) ++
       newSchema.map(s => SchemaPrefix + s.json) :+ (OpPrefix + op)
 
   /** carried (deleteFile, commitVersion, keyColumns) triples. */
@@ -96,6 +104,10 @@ object VersionedTable {
       val parts = l.drop(DelPrefix.length).split(" ").toSeq
       (parts.head, parts(1).toLong, parts.drop(2))
     }
+
+  /** carried position-delete file names. */
+  private def delPosLines(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(DelPosPrefix)).map(_.drop(DelPosPrefix.length))
 
   private def schemaLine(lines: Seq[String])
       : Option[org.apache.spark.sql.types.StructType] =
@@ -505,7 +517,7 @@ object VersionedTable {
         return v
       }
       val next = lines.filter(l => l.startsWith(SchemaPrefix) ||
-        l.startsWith(DelPrefix)) ++
+        l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix)) ++
         txnLines(txns + (writerId -> epoch)) :+ (OpPrefix + "append")
       val nextAll = next ++ lines.filterNot(_.startsWith("#")) ++ staged
       if (tryCommit(spark, table, v + 1, nextAll)) return v + 1
@@ -536,7 +548,7 @@ object VersionedTable {
         return v
       }
       val next = lines.filter(l => l.startsWith(SchemaPrefix) ||
-        l.startsWith(DelPrefix)) ++
+        l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix)) ++
         txnLines(txns + (writerId -> epoch)) :+ (OpPrefix + "append")
       if (tryCommit(spark, table, v + 1,
           next ++ lines.filterNot(_.startsWith("#")) ++ files))
@@ -557,7 +569,8 @@ object VersionedTable {
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val (_, lines) = latestRaw(spark, table)
     readFilesDeleteAware(spark, table, lines.filterNot(_.startsWith("#")),
-      schema.orElse(schemaLine(lines)), delLines(lines), keepFileCol = false)
+      schema.orElse(schemaLine(lines)), delLines(lines),
+      keepFileCol = false, posDels = delPosLines(lines))
   }
 
   /** Time-travel read: the exact snapshot committed as `version`. Manifests
@@ -576,7 +589,8 @@ object VersionedTable {
     // only the delete layer pending AT that version applies
     val raw = readManifestRaw(f, table, version)
     readFilesDeleteAware(spark, table, raw.filterNot(_.startsWith("#")),
-      schemaLine(raw), delLines(raw), keepFileCol = false)
+      schemaLine(raw), delLines(raw), keepFileCol = false,
+      posDels = delPosLines(raw))
   }
 
   /** Incremental changefeed: the rows ADDED by commits in
@@ -715,7 +729,7 @@ object VersionedTable {
       files: Seq[String]): DataFrame = {
     val (_, lines) = latestRaw(spark, table)
     readFilesDeleteAware(spark, table, files, schemaLine(lines),
-      delLines(lines), keepFileCol = false)
+      delLines(lines), keepFileCol = false, posDels = delPosLines(lines))
   }
 
   /** [[snapRead]] plus a `__vt_file` column (the table-relative data
@@ -728,7 +742,18 @@ object VersionedTable {
       files: Seq[String]): DataFrame = {
     val (_, lines) = latestRaw(spark, table)
     readFilesDeleteAware(spark, table, files, schemaLine(lines),
-      delLines(lines), keepFileCol = true)
+      delLines(lines), keepFileCol = true, posDels = delPosLines(lines))
+  }
+
+  /** [[snapReadWithFile]] plus `__vt_pos` (the row's physical index in
+    * its file) — the provenance [[deleteWhereMergeOnRead]] stages.
+    */
+  private def snapReadWithFilePos(spark: SparkSession, table: String,
+      files: Seq[String]): DataFrame = {
+    val (_, lines) = latestRaw(spark, table)
+    readFilesDeleteAware(spark, table, files, schemaLine(lines),
+      delLines(lines), keepFileCol = true, posDels = delPosLines(lines),
+      keepPosCol = true)
   }
 
   /** The shared read core: `files` under `schema`, with the pending
@@ -746,38 +771,63 @@ object VersionedTable {
       files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       dels: Seq[(String, Long, Seq[String])],
-      keepFileCol: Boolean): DataFrame = {
+      keepFileCol: Boolean,
+      posDels: Seq[String] = Nil,
+      keepPosCol: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val base = readFiles(spark, table, files, schema)
-    if (dels.isEmpty && !keepFileCol) return base
-    if (files.isEmpty)
-      return if (keepFileCol)
-        base.withColumn("__vt_file", lit(null).cast("string"))
-      else base
-    val tagged = base.withColumn("__vt_file",
-      element_at(split(col("_metadata.file_path"), "/"), -1))
-    val outCols = (base.columns.toSeq ++
-      (if (keepFileCol) Seq("__vt_file") else Nil)).map(col)
-    if (dels.isEmpty) return tagged.select(outCols: _*)
-    dels.flatMap(_._3).distinct.foreach(c =>
-      require(base.columns.contains(c),
-        s"merge-on-read delete key column '$c' is not in $table's schema"))
-    val fvDf = {
-      import spark.implicits._
-      fileVersions(spark, table).toSeq.toDF("__vt_file", "__vt_fv")
+    val plain = dels.isEmpty && posDels.isEmpty
+    if (plain && !keepFileCol && !keepPosCol) return base
+    if (files.isEmpty) {
+      var out = base
+      if (keepFileCol)
+        out = out.withColumn("__vt_file", lit(null).cast("string"))
+      if (keepPosCol)
+        out = out.withColumn("__vt_pos", lit(null).cast("long"))
+      return out
     }
-    var cur = tagged.join(broadcast(fvDf), Seq("__vt_file"), "left")
-    dels.groupBy(_._3).foreach { case (keyCols, group) =>
-      val keys = group.map { case (delFile, dv, _) =>
-        spark.read.parquet(s"$table/$delFile")
-          .select(keyCols.map(col): _*)
-          .withColumn("__vt_dv", lit(dv))
-      }.reduce(_ unionByName _)
-        .groupBy(keyCols.map(col): _*)
-        .agg(max(col("__vt_dv")).as("__vt_dv"))
-      cur = cur.join(keys, keyCols, "left")
-        .where(col("__vt_dv").isNull || col("__vt_dv") < col("__vt_fv"))
-        .drop("__vt_dv")
+    val tagged = base
+      .withColumn("__vt_file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__vt_pos", col("_metadata.row_index"))
+    val outCols = (base.columns.toSeq ++
+      (if (keepFileCol) Seq("__vt_file") else Nil) ++
+      (if (keepPosCol) Seq("__vt_pos") else Nil)).map(col)
+    if (plain) return tagged.select(outCols: _*)
+    var cur = tagged
+    // position layer first: exact (file, row) rows named by a pending
+    // predicate delete. No version bound — positions pin to a file BY
+    // NAME; any rewrite produces fresh names, so stale entries never
+    // match.
+    if (posDels.nonEmpty) {
+      val positions = posDels.map(n => spark.read.parquet(s"$table/$n")
+          .select(col("__vt_file"), col("__vt_pos")))
+        .reduce(_ unionByName _).distinct()
+        .withColumn("__vt_dead", lit(1))
+      cur = cur.join(positions, Seq("__vt_file", "__vt_pos"), "left")
+        .where(col("__vt_dead").isNull).drop("__vt_dead")
+    }
+    if (dels.nonEmpty) {
+      dels.flatMap(_._3).distinct.foreach(c =>
+        require(base.columns.contains(c),
+          s"merge-on-read delete key column '$c' is not in $table's schema"))
+      val fvDf = {
+        import spark.implicits._
+        fileVersions(spark, table).toSeq.toDF("__vt_file", "__vt_fv")
+      }
+      cur = cur.join(broadcast(fvDf), Seq("__vt_file"), "left")
+      dels.groupBy(_._3).foreach { case (keyCols, group) =>
+        val keys = group.map { case (delFile, dv, _) =>
+          spark.read.parquet(s"$table/$delFile")
+            .select(keyCols.map(col): _*)
+            .withColumn("__vt_dv", lit(dv))
+        }.reduce(_ unionByName _)
+          .groupBy(keyCols.map(col): _*)
+          .agg(max(col("__vt_dv")).as("__vt_dv"))
+        cur = cur.join(keys, keyCols, "left")
+          .where(col("__vt_dv").isNull || col("__vt_dv") < col("__vt_fv"))
+          .drop("__vt_dv")
+      }
     }
     cur.select(outCols: _*)
   }
@@ -1121,7 +1171,7 @@ object VersionedTable {
         val meta = txn match {
           case Some((w, e)) =>
             lines2.filter(l => l.startsWith(SchemaPrefix) ||
-              l.startsWith(DelPrefix)) ++
+              l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix)) ++
               txnLines(txnMap(lines2) + (w -> e)) :+ (OpPrefix + "upsert")
           case None => metaLines(lines2, "upsert")
         }
@@ -1393,7 +1443,7 @@ object VersionedTable {
       val meta = txn match {
         case Some((w, e)) =>
           lines.filter(l => l.startsWith(SchemaPrefix) ||
-            l.startsWith(DelPrefix)) ++
+            l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix)) ++
             txnLines(txnMap(lines) + (w -> e)) :+ (OpPrefix + "delete-mor")
         case None => metaLines(lines, "delete-mor")
       }
@@ -1409,16 +1459,80 @@ object VersionedTable {
       s"deleteByKeys lost $maxRetries commit races")
   }
 
+  /** Merge-on-read DELETE by PREDICATE — [[deleteByKeys]]' arbitrary-
+    * predicate sibling, the deletion-vector shape: ONE pushed-down scan
+    * finds the matching rows' exact (file, row-index) positions, those
+    * ride a small staged parquet, and a metadata commit adds a
+    * `#delpos` layer readers anti-join on (file, position). Nothing is
+    * rewritten — a predicate matching 0.1% of rows scattered across
+    * every file costs the scan plus a position file, where copy-on-write
+    * [[delete]] would rewrite every file. Positions need NO version
+    * bound: they pin rows by FILE NAME, and rewrites produce fresh
+    * names, so stale entries can never match (self-cleaning — re-inserts
+    * are untouched by construction). [[compact]] materializes the layer;
+    * the DSv2 scan refuses pending layers like [[deleteByKeys]]'.
+    *
+    * SQL semantics: rows where `predicate` is TRUE are deleted, null
+    * keeps. Unlike the copy-on-write delete there is NO write-write
+    * conflict window on data files (the commit touches none), but the
+    * scan must still be of the CURRENT snapshot — the OCC loop re-scans
+    * if a commit raced in, since positions computed against a replaced
+    * file would silently miss.
+    */
+  def deleteWhereMergeOnRead(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      maxRetries: Int = 20): Long = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, table)
+    var attempt = 0
+    var staged: Seq[String] = Nil
+    try {
+      while (attempt < maxRetries) {
+        val (v, lines) = latestRaw(spark, table)
+        val files = lines.filterNot(_.startsWith("#"))
+        if (files.isEmpty) return v
+        val hits = snapReadWithFilePos(spark, table, files)
+          .where(predicate)
+          .select(col("__vt_file"), col("__vt_pos"))
+        if (hits.isEmpty) return v
+        staged = stage(spark, hits, table, prefix = "delpos-")
+        val (v2, lines2) = latestRaw(spark, table)
+        // any raced commit (append/rewrite/compact) invalidates the
+        // scanned snapshot: stale positions would be wrong for rewritten
+        // files and absent for new ones — rescan from scratch
+        val committed = v2 == v &&
+          tryCommit(spark, table, v2 + 1,
+            metaLines(lines2, "delete-mor") ++
+              staged.map(DelPosPrefix + _) ++
+              lines2.filterNot(_.startsWith("#")))
+        if (committed) return v2 + 1
+        staged.foreach(n => f.delete(new Path(table, n), false))
+        staged = Nil
+        attempt += 1
+      }
+      throw new IllegalStateException(
+        s"deleteWhereMergeOnRead lost $maxRetries commit races")
+    } catch {
+      case e: Throwable =>
+        staged.foreach(n => f.delete(new Path(table, n), false))
+        throw e
+    }
+  }
+
   /** True if the snapshot (latest, or `version`) carries an unmaterialized
     * merge-on-read delete layer — the DSv2 reader-protocol gate.
     */
   private[sources] def hasPendingDeletes(spark: SparkSession, table: String,
-      version: Option[Long] = None): Boolean = version match {
-    case None => delLines(latestRaw(spark, table)._2).nonEmpty
-    case Some(v) =>
-      val f = fs(spark, table)
-      f.exists(commitPath(table, v)) &&
-        delLines(readManifestRaw(f, table, v)).nonEmpty
+      version: Option[Long] = None): Boolean = {
+    def pending(lines: Seq[String]): Boolean =
+      delLines(lines).nonEmpty || delPosLines(lines).nonEmpty
+    version match {
+      case None => pending(latestRaw(spark, table)._2)
+      case Some(v) =>
+        val f = fs(spark, table)
+        f.exists(commitPath(table, v)) &&
+          pending(readManifestRaw(f, table, v))
+    }
   }
 
   def vacuum(spark: SparkSession, table: String, keepFrom: Long,
@@ -1440,7 +1554,7 @@ object VersionedTable {
         // referenced from inside #del metadata lines — both must
         // survive while any retained manifest names them
         lines.filterNot(_.startsWith("#")) ++
-          delLines(lines).map(_._1)
+          delLines(lines).map(_._1) ++ delPosLines(lines)
       }
     }.toSet
     val cutoff = System.currentTimeMillis() - retentionMs

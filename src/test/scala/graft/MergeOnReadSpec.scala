@@ -168,6 +168,59 @@ class MergeOnReadSpec extends SparkTestBase {
     assert(rows(t) === Seq((1L, "a")))
   }
 
+  test("position deletes: arbitrary predicate hides rows with no " +
+      "rewrite; re-inserted matching rows are untouched; compaction " +
+      "materializes") {
+    val t = tmp()
+    VersionedTable.append(spark,
+      Seq((1L, "keep"), (2L, "drop"), (3L, "keep"), (4L, "drop"))
+        .toDF("k", "v"), t)
+    val filesBefore = VersionedTable.latest(spark, t)._2.toSet
+    VersionedTable.deleteWhereMergeOnRead(spark, t, col("v") === "drop")
+    assert(rows(t) === Seq((1L, "keep"), (3L, "keep")))
+    // metadata-only: same data files
+    assert(VersionedTable.latest(spark, t)._2.toSet === filesBefore)
+    // positions pin rows by FILE — a new append matching the predicate
+    // is untouched (no version bookkeeping needed)
+    VersionedTable.append(spark, Seq((5L, "drop")).toDF("k", "v"), t)
+    assert(rows(t) === Seq((1L, "keep"), (3L, "keep"), (5L, "drop")))
+    // stacking a second position layer works
+    VersionedTable.deleteWhereMergeOnRead(spark, t, col("k") === 5L)
+    assert(rows(t) === Seq((1L, "keep"), (3L, "keep")))
+    // DSv2 gate refuses; compaction materializes and lifts it
+    intercept[Exception] {
+      spark.read.format("graft-table").load(t).collect()
+    }
+    VersionedTable.compact(spark, t, numFiles = 1)
+    assert(spark.read.format("graft-table").load(t)
+      .orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "keep"), (3L, "keep")))
+    val (_, files) = VersionedTable.latest(spark, t)
+    assert(spark.read.parquet(files.map(n => s"$t/$n"): _*).count() === 2L)
+  }
+
+  test("position deletes compose with equality deletes and CoW rewrites") {
+    val t = tmp()
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+        .toDF("k", "v").coalesce(1), t)
+    VersionedTable.deleteWhereMergeOnRead(spark, t, col("k") === 2L)
+    VersionedTable.deleteByKeys(spark, t, Seq(3L).toDF("k"))
+    assert(rows(t) === Seq((1L, "a"), (4L, "d")))
+    // a CoW update reads through BOTH layers; the rewritten file drops
+    // the dead rows physically, and the stale position entry (old file
+    // name) can never re-kill anything
+    VersionedTable.update(spark, t, col("k") === 4L, Map("v" -> lit("D")))
+    assert(rows(t) === Seq((1L, "a"), (4L, "D")))
+    val (_, files) = VersionedTable.latest(spark, t)
+    val physical = spark.read.parquet(files.map(n => s"$t/$n"): _*)
+    assert(physical.count() === 2L)
+    // predicate matching nothing: version unchanged, no stray layer
+    val v = VersionedTable.latest(spark, t)._1
+    assert(VersionedTable.deleteWhereMergeOnRead(spark, t,
+      col("k") === 99L) === v)
+  }
+
   test("time travel reads the delete layer as of each version") {
     val t = tmp()
     VersionedTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t) // v1
