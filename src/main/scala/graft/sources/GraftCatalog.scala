@@ -114,7 +114,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (files.isEmpty) throw new NoSuchTableException(ident)
       spark.read.parquet(s"$path/${files.head}").schema
     }
-    new GraftTable(path, schema)
+    new GraftTable(path, schema,
+      tableProps = VersionedTable.tableProperties(spark, path))
   }
 
   /** SQL `VERSION AS OF <v>`: a read-only table pinned to one committed
@@ -175,12 +176,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
-    val rest = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
-    rest.foreach {
-      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+    val sets = changes.collect { case p: TableChange.SetProperty =>
+      p.property -> p.value }
+    val unsets = changes.collect { case p: TableChange.RemoveProperty =>
+      p.property }
+    changes.foreach {
+      case _: TableChange.AddColumn | _: TableChange.SetProperty |
+          _: TableChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
-        s"graft-table ALTER supports ADD COLUMNS only, got $other")
+        s"graft-table ALTER supports ADD COLUMNS and table properties, " +
+          s"got $other")
     }
+    if (sets.nonEmpty || unsets.nonEmpty)
+      VersionedTable.alterProperties(spark, dir.toString, sets.toMap,
+        unsets.toSeq)
     if (adds.nonEmpty) {
       val fields = adds.map { a =>
         require(a.fieldNames.length == 1,

@@ -97,7 +97,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class GraftTable(path: String, dataSchema: StructType,
-    pinnedVersion: Option[Long] = None)
+    pinnedVersion: Option[Long] = None,
+    tableProps: Map[String, String] = Map.empty)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -111,6 +112,11 @@ private[sources] class GraftTable(path: String, dataSchema: StructType,
 
   override def name(): String =
     s"graft-table `$path`" + pinnedVersion.fold("")(v => s"@v$v")
+
+  // manifest-recorded table properties (DESCRIBE EXTENDED etc.); the
+  // catalog passes them at load, path-based loads default empty
+  override def properties(): java.util.Map[String, String] =
+    tableProps.asJava
   // the table schema is the DATA schema: writes resolve against it
   // naturally (no ACCEPT_ANY_SCHEMA — that flag sets
   // skipSchemaResolution on DML commands, which blocks the UPDATE/MERGE

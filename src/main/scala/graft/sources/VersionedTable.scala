@@ -76,11 +76,16 @@ object VersionedTable {
   //    No version bound needed — positions pin to a file BY NAME, and
   //    rewritten/new files have fresh names, so stale entries can never
   //    match (self-cleaning). Carried/dropped like "#del".
+  //  - "#prop <key> <value>": a table property (ALTER TABLE SET
+  //    TBLPROPERTIES). Carried forward by every commit; property
+  //    commits replace the set wholesale. Keys are space-free; values
+  //    may contain spaces (rest-of-line).
   private val TxnPrefix = "#txn "
   private val OpPrefix = "#op "
   private val SchemaPrefix = "#schema "
   private val DelPrefix = "#del "
   private val DelPosPrefix = "#delpos "
+  private val PropPrefix = "#prop "
 
   /** txn watermark + declared-schema + pending-delete lines carried
     * forward, plus this commit's op marker. `newSchema` (a
@@ -91,12 +96,25 @@ object VersionedTable {
     */
   private def metaLines(prevRaw: Seq[String], op: String,
       newSchema: Option[org.apache.spark.sql.types.StructType] = None,
-      dropDeletes: Boolean = false): Seq[String] =
+      dropDeletes: Boolean = false,
+      newProps: Option[Map[String, String]] = None): Seq[String] =
     prevRaw.filter(l => l.startsWith(TxnPrefix) ||
         (l.startsWith(SchemaPrefix) && newSchema.isEmpty) ||
+        (l.startsWith(PropPrefix) && newProps.isEmpty) ||
         ((l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix)) &&
           !dropDeletes)) ++
-      newSchema.map(s => SchemaPrefix + s.json) :+ (OpPrefix + op)
+      newSchema.map(s => SchemaPrefix + s.json) ++
+      newProps.toSeq.flatMap(propLines) :+ (OpPrefix + op)
+
+  private def propMap(lines: Seq[String]): Map[String, String] =
+    lines.collect { case l if l.startsWith(PropPrefix) =>
+      val rest = l.drop(PropPrefix.length)
+      val cut = rest.indexOf(' ')
+      if (cut < 0) rest -> "" else rest.take(cut) -> rest.drop(cut + 1)
+    }.toMap
+
+  private def propLines(m: Map[String, String]): Seq[String] =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$PropPrefix$k $v" }
 
   /** carried (deleteFile, commitVersion, keyColumns) triples. */
   private def delLines(lines: Seq[String]): Seq[(String, Long, Seq[String])] =
@@ -202,6 +220,38 @@ object VersionedTable {
     val f = fs(spark, table)
     if (!f.exists(commitPath(table, version))) None
     else schemaLine(readManifestRaw(f, table, version))
+  }
+
+  /** Table properties at the latest version (ALTER TABLE SET
+    * TBLPROPERTIES state). Empty for tables that never set any.
+    */
+  def tableProperties(spark: SparkSession, table: String): Map[String, String] =
+    propMap(latestRaw(spark, table)._2)
+
+  /** Set/unset table properties in ONE metadata commit (OCC like every
+    * commit; op `properties`). Keys must be space-free — the manifest
+    * line format is `#prop <key> <rest-of-line value>`.
+    */
+  def alterProperties(spark: SparkSession, table: String,
+      set: Map[String, String], unset: Seq[String] = Nil,
+      maxRetries: Int = 20): Long = {
+    require(set.nonEmpty || unset.nonEmpty, "nothing to change")
+    (set.keys ++ unset).foreach(k => require(
+      k.nonEmpty && !k.exists(_.isWhitespace),
+      s"property key '$k' must be non-empty and space-free"))
+    set.values.foreach(v => require(!v.contains("\n"),
+      "property values must be single-line"))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      val next = (propMap(lines) ++ set) -- unset
+      if (tryCommit(spark, table, v + 1,
+          metaLines(lines, "properties", newProps = Some(next)) ++
+            lines.filterNot(_.startsWith("#")))) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"alterProperties lost $maxRetries commit races")
   }
 
   /** Create an empty table with a declared schema: commit v1 with no
@@ -517,7 +567,8 @@ object VersionedTable {
         return v
       }
       val next = lines.filter(l => l.startsWith(SchemaPrefix) ||
-        l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix)) ++
+        l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix) ||
+        l.startsWith(PropPrefix)) ++
         txnLines(txns + (writerId -> epoch)) :+ (OpPrefix + "append")
       val nextAll = next ++ lines.filterNot(_.startsWith("#")) ++ staged
       if (tryCommit(spark, table, v + 1, nextAll)) return v + 1
@@ -548,7 +599,8 @@ object VersionedTable {
         return v
       }
       val next = lines.filter(l => l.startsWith(SchemaPrefix) ||
-        l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix)) ++
+        l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix) ||
+        l.startsWith(PropPrefix)) ++
         txnLines(txns + (writerId -> epoch)) :+ (OpPrefix + "append")
       if (tryCommit(spark, table, v + 1,
           next ++ lines.filterNot(_.startsWith("#")) ++ files))
@@ -1171,7 +1223,8 @@ object VersionedTable {
         val meta = txn match {
           case Some((w, e)) =>
             lines2.filter(l => l.startsWith(SchemaPrefix) ||
-              l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix)) ++
+              l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix) ||
+              l.startsWith(PropPrefix)) ++
               txnLines(txnMap(lines2) + (w -> e)) :+ (OpPrefix + "upsert")
           case None => metaLines(lines2, "upsert")
         }
@@ -1443,7 +1496,8 @@ object VersionedTable {
       val meta = txn match {
         case Some((w, e)) =>
           lines.filter(l => l.startsWith(SchemaPrefix) ||
-            l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix)) ++
+            l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix) ||
+            l.startsWith(PropPrefix)) ++
             txnLines(txnMap(lines) + (w -> e)) :+ (OpPrefix + "delete-mor")
         case None => metaLines(lines, "delete-mor")
       }

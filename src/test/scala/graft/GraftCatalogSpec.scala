@@ -76,6 +76,30 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(described.contains("score"))
   }
 
+  test("table properties: SET/UNSET TBLPROPERTIES persist in the " +
+      "manifest and survive data commits") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.props")
+    sql("CREATE TABLE gcat.props.t (k BIGINT)")
+    sql("ALTER TABLE gcat.props.t SET TBLPROPERTIES " +
+      "('owner.team' = 'data eng', 'retention.days' = '30')")
+    assert(VersionedTable.tableProperties(spark, s"$wh/props/t") ===
+      Map("owner.team" -> "data eng", "retention.days" -> "30"))
+    // data commits carry properties forward; UNSET removes one
+    sql("INSERT INTO gcat.props.t VALUES (1)")
+    sql("ALTER TABLE gcat.props.t UNSET TBLPROPERTIES ('retention.days')")
+    assert(VersionedTable.tableProperties(spark, s"$wh/props/t") ===
+      Map("owner.team" -> "data eng"))
+    // surfaced on the loaded table (SHOW TBLPROPERTIES / DESCRIBE)
+    val shown = sql("SHOW TBLPROPERTIES gcat.props.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("owner.team") === Some("data eng"))
+    assert(!shown.contains("retention.days"))
+    // history records the property commits
+    assert(VersionedTable.history(spark, s"$wh/props/t")
+      .where(col("op") === "properties").count() === 2L)
+  }
+
   test("time travel: SELECT ... VERSION AS OF, and writes to a pinned " +
       "snapshot refuse") {
     wh
