@@ -74,4 +74,43 @@ object FileReadShim {
     }.toArray)
 
   def emptyInternalRow: InternalRow = InternalRow.empty
+
+  /** Wrap a reader factory to SKIP the rows named by a position-delete
+    * layer: `dead` maps a file NAME to its sorted dead row ordinals.
+    * Correctness contract (the caller's to uphold): each partition is
+    * ONE whole file (start 0, full length) and the inner factory pushes
+    * NO parquet filters — so the reader sees every physical row in
+    * order and the running ordinal IS `_metadata.row_index`, the
+    * coordinate the delete layer was written in. Rows-based on purpose:
+    * per-row skipping composes with the record reader, not with
+    * columnar batches.
+    */
+  def posFilteringFactory(inner: PartitionReaderFactory,
+      dead: Map[String, Array[Long]]): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def supportColumnarReads(p: InputPartition): Boolean = false
+      override def createReader(p: InputPartition)
+          : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+        val files = p.asInstanceOf[FilePartition].files
+        require(files.length == 1,
+          "position-filtered scans plan exactly one file per partition")
+        val deadSet = dead.getOrElse(files.head.toPath.getName,
+          Array.empty[Long])
+        val in = inner.createReader(p)
+        new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+          private var ordinal = -1L
+          private var di = 0
+          override def next(): Boolean = {
+            while (in.next()) {
+              ordinal += 1
+              while (di < deadSet.length && deadSet(di) < ordinal) di += 1
+              if (di >= deadSet.length || deadSet(di) != ordinal) return true
+            }
+            false
+          }
+          override def get(): InternalRow = in.get()
+          override def close(): Unit = in.close()
+        }
+      }
+    }
 }

@@ -438,18 +438,23 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
   // file tagged with the version of the commit that introduced it
   // (metadata column) ----
   override def toBatch: Batch = new Batch {
+    private lazy val asOf =
+      options.get(GraftTableScan.VersionAsOfOption).map(_.toLong)
+    // pending POSITION deletes are served by this scan itself: the
+    // ordinal-filtering reader skips the dead (file, row-index) pairs.
+    // Pending EQUALITY deletes need a keyed anti-join no per-file
+    // reader can run — reader-protocol gate (Delta's deletion-vector
+    // versioning, same idea): refuse loudly rather than silently
+    // include deleted rows.
+    private lazy val posDeletes: Map[String, Array[Long]] =
+      VersionedTable.pendingPositionDeletes(spark, path, asOf)
     override def planInputPartitions(): Array[InputPartition] = {
       val f = new Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val asOf = options.get(GraftTableScan.VersionAsOfOption).map(_.toLong)
-      // reader-protocol gate (Delta's deletion-vector versioning, same
-      // idea): this scan's executor-side parquet reader cannot apply
-      // the merge-on-read anti-join layer, and silently including
-      // deleted rows is never acceptable
-      require(!VersionedTable.hasPendingDeletes(spark, path, asOf),
-        s"graft-table at $path has a pending merge-on-read delete " +
-          "layer this reader cannot apply — run VersionedTable.compact " +
-          "to materialize it, or read via VersionedTable.read")
+      require(!VersionedTable.hasPendingEqualityDeletes(spark, path, asOf),
+        s"graft-table at $path has a pending merge-on-read EQUALITY " +
+          "delete layer this reader cannot apply — run VersionedTable." +
+          "compact to materialize it, or read via VersionedTable.read")
       val files = asOf match {
         case Some(v) => VersionedTable.filesAt(spark, path, v)
         case None => VersionedTable.latest(spark, path)._2
@@ -467,7 +472,18 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
               provenance.getOrElse(n, 0L), n))))
       }.toArray
     }
-    override def createReaderFactory(): PartitionReaderFactory = readerFactory
+    override def createReaderFactory(): PartitionReaderFactory =
+      if (posDeletes.isEmpty) readerFactory
+      else
+        // ordinal == row_index needs the reader to see EVERY physical
+        // row in order: plan one whole file per partition (already the
+        // case) and push NO parquet filters (they are residual — Spark
+        // re-evaluates them above the scan, so dropping the pushdown
+        // only costs skipping, never correctness)
+        FileReadShim.posFilteringFactory(
+          FileReadShim.parquetReaderFactory(spark, readDataSchema,
+            partSchema, Array.empty),
+          posDeletes)
   }
 
   // ---- streaming: manifest versions as offsets ----

@@ -1524,7 +1524,9 @@ object VersionedTable {
     * bound: they pin rows by FILE NAME, and rewrites produce fresh
     * names, so stale entries can never match (self-cleaning — re-inserts
     * are untouched by construction). [[compact]] materializes the layer;
-    * the DSv2 scan refuses pending layers like [[deleteByKeys]]'.
+    * until then the DSv2 scan serves it DIRECTLY (an ordinal-filtering
+    * reader skips the dead positions — no gate, unlike equality
+    * layers), bounded by [[pendingPositionDeletes]]' map-size cap.
     *
     * SQL semantics: rows where `predicate` is TRUE are deleted, null
     * keeps. Unlike the copy-on-write delete there is NO write-write
@@ -1573,20 +1575,47 @@ object VersionedTable {
     }
   }
 
-  /** True if the snapshot (latest, or `version`) carries an unmaterialized
-    * merge-on-read delete layer — the DSv2 reader-protocol gate.
+  private def manifestLinesAt(spark: SparkSession, table: String,
+      version: Option[Long]): Seq[String] = version match {
+    case None => latestRaw(spark, table)._2
+    case Some(v) =>
+      val f = fs(spark, table)
+      if (f.exists(commitPath(table, v))) readManifestRaw(f, table, v)
+      else Nil
+  }
+
+  /** True if the snapshot carries an unmaterialized EQUALITY-delete
+    * layer — the DSv2 reader-protocol gate. Equality deletes need a
+    * keyed anti-join no per-file reader can run; POSITION deletes are
+    * served by the scan itself ([[pendingPositionDeletes]] + the
+    * ordinal-filtering reader), so they no longer gate.
     */
-  private[sources] def hasPendingDeletes(spark: SparkSession, table: String,
-      version: Option[Long] = None): Boolean = {
-    def pending(lines: Seq[String]): Boolean =
-      delLines(lines).nonEmpty || delPosLines(lines).nonEmpty
-    version match {
-      case None => pending(latestRaw(spark, table)._2)
-      case Some(v) =>
-        val f = fs(spark, table)
-        f.exists(commitPath(table, v)) &&
-          pending(readManifestRaw(f, table, v))
-    }
+  private[sources] def hasPendingEqualityDeletes(spark: SparkSession,
+      table: String, version: Option[Long] = None): Boolean =
+    delLines(manifestLinesAt(spark, table, version)).nonEmpty
+
+  /** The pending position-delete layer as (file name → sorted dead row
+    * ordinals), for the DSv2 scan's filtering reader. Driver-side
+    * collect, bounded: the map rides into every task, so above
+    * `maxPositions` the scan must refuse and demand a compaction —
+    * loud, never slow-then-OOM. Empty map when no layer is pending.
+    */
+  private[sources] def pendingPositionDeletes(spark: SparkSession,
+      table: String, version: Option[Long] = None,
+      maxPositions: Long = 5000000L): Map[String, Array[Long]] = {
+    val posFiles = delPosLines(manifestLinesAt(spark, table, version))
+    if (posFiles.isEmpty) return Map.empty
+    val df = posFiles.map(n => spark.read.parquet(s"$table/$n")
+        .select("__vt_file", "__vt_pos"))
+      .reduce(_ unionByName _).distinct()
+    val n = df.count()
+    require(n <= maxPositions,
+      s"$table has $n pending position-deleted rows (> $maxPositions): " +
+        "the delete map would bloat every task — run VersionedTable." +
+        "compact to materialize the layer first")
+    df.collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
   }
 
   def vacuum(spark: SparkSession, table: String, keepFrom: Long,

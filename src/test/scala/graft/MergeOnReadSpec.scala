@@ -187,10 +187,14 @@ class MergeOnReadSpec extends SparkTestBase {
     // stacking a second position layer works
     VersionedTable.deleteWhereMergeOnRead(spark, t, col("k") === 5L)
     assert(rows(t) === Seq((1L, "keep"), (3L, "keep")))
-    // DSv2 gate refuses; compaction materializes and lifts it
-    intercept[Exception] {
-      spark.read.format("graft-table").load(t).collect()
-    }
+    // the DSv2 scan applies POSITION layers itself (ordinal-filtering
+    // reader) — unlike equality layers, no gate: reads agree with the
+    // programmatic path pre-compaction, filters stay correct (residual
+    // re-evaluation), and pushed-filter queries match
+    val v2 = spark.read.format("graft-table").load(t)
+    assert(v2.orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "keep"), (3L, "keep")))
+    assert(v2.where(col("k") >= 3L).count() === 1L)
     VersionedTable.compact(spark, t, numFiles = 1)
     assert(spark.read.format("graft-table").load(t)
       .orderBy("k").as[(Long, String)].collect().toSeq ===
