@@ -171,10 +171,20 @@ private[sources] class GraftRowLevelScan(path: String,
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new org.apache.spark.sql.connector.read.Batch {
+      // pending POSITION deletes apply inside this scan too — a rewrite
+      // reading dead rows would RESURRECT them into the replacement
+      // files; pending EQUALITY layers gate the rewrite like any DSv2
+      // read (keyed anti-join this reader cannot run)
+      private lazy val posDeletes: Map[String, Array[Long]] =
+        VersionedTable.pendingPositionDeletes(spark, path)
       override def planInputPartitions()
           : Array[org.apache.spark.sql.connector.read.InputPartition] = {
         val conf = spark.sparkContext.hadoopConfiguration
         val f = new Path(path).getFileSystem(conf)
+        require(!VersionedTable.hasPendingEqualityDeletes(spark, path),
+          s"graft-table at $path has a pending merge-on-read EQUALITY " +
+            "delete layer — run VersionedTable.compact before SQL " +
+            "UPDATE/MERGE, or use the programmatic row-level API")
         val (_, files) = VersionedTable.latest(spark, path)
         val kept = files
           .filter(n => runtimeKept.forall(_.contains(n)))
@@ -196,9 +206,15 @@ private[sources] class GraftRowLevelScan(path: String,
         }.toArray
       }
       override def createReaderFactory()
-          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-        org.apache.spark.sql.graftshim.FileReadShim.parquetReaderFactory(
-          spark, readDataSchema, partSchema)
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+        // no pushed parquet filters here ever (fileMayMatch prunes whole
+        // files only), so the ordinal == row_index contract holds
+        val inner = org.apache.spark.sql.graftshim.FileReadShim
+          .parquetReaderFactory(spark, readDataSchema, partSchema)
+        if (posDeletes.isEmpty) inner
+        else org.apache.spark.sql.graftshim.FileReadShim
+          .posFilteringFactory(inner, posDeletes)
+      }
     }
 }
 

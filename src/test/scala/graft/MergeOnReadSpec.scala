@@ -225,6 +225,33 @@ class MergeOnReadSpec extends SparkTestBase {
       col("k") === 99L) === v)
   }
 
+  test("SQL row-level rewrites respect pending layers: position layers " +
+      "apply (no resurrection), equality layers gate") {
+    val t = tmp()
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t)
+    VersionedTable.deleteWhereMergeOnRead(spark, t, col("k") === 2L)
+    spark.sql("DROP TABLE IF EXISTS mor_sql")
+    spark.sql(s"CREATE TABLE mor_sql USING `graft-table` LOCATION '$t'")
+    // the UPDATE's rewrite scans the one file holding dead k=2 — the
+    // replacement file must NOT carry it back to life
+    spark.sql("UPDATE mor_sql SET v = 'C' WHERE k = 3")
+    assert(rows(t) === Seq((1L, "a"), (3L, "C")))
+    val (_, files) = VersionedTable.latest(spark, t)
+    assert(spark.read.parquet(files.map(n => s"$t/$n"): _*)
+      .where(col("k") === 2L).count() === 0L)
+    // an EQUALITY layer gates SQL rewrites until compaction
+    VersionedTable.deleteByKeys(spark, t, Seq(1L).toDF("k"))
+    val e = intercept[Exception] {
+      spark.sql("UPDATE mor_sql SET v = 'x' WHERE k = 3")
+    }
+    assert(e.getMessage.contains("EQUALITY"))
+    VersionedTable.compact(spark, t, numFiles = 1)
+    spark.sql("UPDATE mor_sql SET v = 'Z' WHERE k = 3")
+    assert(rows(t) === Seq((3L, "Z")))
+    spark.sql("DROP TABLE mor_sql")
+  }
+
   test("time travel reads the delete layer as of each version") {
     val t = tmp()
     VersionedTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t) // v1
