@@ -52,6 +52,11 @@ class GraftRowLevelOperation(path: String, dataSchema: StructType,
     */
   @volatile private[sources] var snapshotFiles: Seq[String] = Nil
   @volatile private[sources] var scannedFiles: Seq[String] = Nil
+  /** Pending merge-on-read layer the scan read under — the commit
+    * aborts if it changed (a raced metadata-only delete would otherwise
+    * be escaped by the replacement files' fresh names).
+    */
+  @volatile private[sources] var snapshotLayer: Set[String] = Set.empty
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -171,20 +176,26 @@ private[sources] class GraftRowLevelScan(path: String,
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new org.apache.spark.sql.connector.read.Batch {
-      // pending POSITION deletes apply inside this scan too — a rewrite
-      // reading dead rows would RESURRECT them into the replacement
-      // files; pending EQUALITY layers gate the rewrite like any DSv2
-      // read (keyed anti-join this reader cannot run)
-      private lazy val posDeletes: Map[String, Array[Long]] =
-        VersionedTable.pendingPositionDeletes(spark, path)
+      // BOTH pending merge-on-read layers apply inside this scan — a
+      // rewrite reading dead rows would RESURRECT them into the
+      // replacement files. Position layers filter directly; equality
+      // layers resolve to positions by one plan-time job (same bounded
+      // map as the batch read path).
+      private lazy val posDeletes: Map[String, Array[Long]] = {
+        val pos = VersionedTable.pendingPositionDeletes(spark, path)
+        val eq = VersionedTable.pendingEqualityDeletePositions(spark, path)
+        if (eq.isEmpty) pos
+        else if (pos.isEmpty) eq
+        else (pos.keySet ++ eq.keySet).iterator.map { k =>
+          k -> (pos.getOrElse(k, Array.empty[Long]) ++
+            eq.getOrElse(k, Array.empty[Long])).distinct.sorted
+        }.toMap
+      }
       override def planInputPartitions()
           : Array[org.apache.spark.sql.connector.read.InputPartition] = {
         val conf = spark.sparkContext.hadoopConfiguration
         val f = new Path(path).getFileSystem(conf)
-        require(!VersionedTable.hasPendingEqualityDeletes(spark, path),
-          s"graft-table at $path has a pending merge-on-read EQUALITY " +
-            "delete layer — run VersionedTable.compact before SQL " +
-            "UPDATE/MERGE, or use the programmatic row-level API")
+        op.snapshotLayer = VersionedTable.pendingLayer(spark, path)
         val (_, files) = VersionedTable.latest(spark, path)
         val kept = files
           .filter(n => runtimeKept.forall(_.contains(n)))
@@ -255,7 +266,8 @@ private[sources] class GraftReplaceBatchWrite(path: String,
     }.flatten.toSeq
     VersionedTable.commitReplaceFiles(spark, path,
       expectedSnapshot = operation.snapshotFiles,
-      remove = operation.scannedFiles, add = files, op = op)
+      remove = operation.scannedFiles, add = files, op = op,
+      expectedLayer = Some(operation.snapshotLayer))
     ()
   }
 

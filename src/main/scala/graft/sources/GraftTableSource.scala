@@ -440,21 +440,27 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
   override def toBatch: Batch = new Batch {
     private lazy val asOf =
       options.get(GraftTableScan.VersionAsOfOption).map(_.toLong)
-    // pending POSITION deletes are served by this scan itself: the
-    // ordinal-filtering reader skips the dead (file, row-index) pairs.
-    // Pending EQUALITY deletes need a keyed anti-join no per-file
-    // reader can run — reader-protocol gate (Delta's deletion-vector
-    // versioning, same idea): refuse loudly rather than silently
-    // include deleted rows.
-    private lazy val posDeletes: Map[String, Array[Long]] =
-      VersionedTable.pendingPositionDeletes(spark, path, asOf)
+    // BOTH pending merge-on-read layers are served by this scan itself
+    // through the ordinal-filtering reader: POSITION deletes name dead
+    // (file, row-index) pairs directly; EQUALITY deletes are resolved
+    // to the same shape by one plan-time job over the affected files'
+    // key columns (VersionedTable.pendingEqualityDeletePositions —
+    // Iceberg sequencing rule applied at the scan). Each map is bounded
+    // (loud refusal past ~5M positions → compact first), so the merged
+    // closure stays task-shippable.
+    private lazy val posDeletes: Map[String, Array[Long]] = {
+      val pos = VersionedTable.pendingPositionDeletes(spark, path, asOf)
+      val eq = VersionedTable.pendingEqualityDeletePositions(spark, path, asOf)
+      if (eq.isEmpty) pos
+      else if (pos.isEmpty) eq
+      else (pos.keySet ++ eq.keySet).iterator.map { k =>
+        k -> (pos.getOrElse(k, Array.empty[Long]) ++
+          eq.getOrElse(k, Array.empty[Long])).distinct.sorted
+      }.toMap
+    }
     override def planInputPartitions(): Array[InputPartition] = {
       val f = new Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(!VersionedTable.hasPendingEqualityDeletes(spark, path, asOf),
-        s"graft-table at $path has a pending merge-on-read EQUALITY " +
-          "delete layer this reader cannot apply — run VersionedTable." +
-          "compact to materialize it, or read via VersionedTable.read")
       val files = asOf match {
         case Some(v) => VersionedTable.filesAt(spark, path, v)
         case None => VersionedTable.latest(spark, path)._2

@@ -693,8 +693,12 @@ object VersionedTable {
       // a merge-on-read delete is STRUCTURALLY empty (no data file added
       // or removed — the change hides in a #del metadata line), so the
       // structural dichotomy below would silently skip it; route it to
-      // the row-level guard by op marker instead
-      val isMor = raw.exists(_.startsWith(OpPrefix + "delete-mor"))
+      // the row-level guard by op marker instead. EXCEPT: a delete-mor
+      // commit that added NO layer line either (an empty CDC batch whose
+      // only effect is advancing a #txn watermark) changed no rows and
+      // is a genuine changefeed no-op.
+      val isMor = raw.exists(_.startsWith(OpPrefix + "delete-mor")) &&
+        deleteLayer(raw) != deleteLayer(manifests(v - 1))
       if (removed.isEmpty && !isMor) {
         // pure append (also an upsert/delete that touched no existing
         // file — its additions ARE genuinely new rows)
@@ -770,19 +774,20 @@ object VersionedTable {
     }
   }
 
-  /** Internal snapshot read for rewrite paths (compact/update/delete/
-    * replaceWhere): always under the declared schema when one exists, so
-    * rewrites of pre-evolution files materialize the evolved columns (as
-    * nulls) instead of silently writing the old physical layout; applies
-    * the pending merge-on-read delete layer so a rewrite never
-    * resurrects deleted rows.
+  /** Internal snapshot read for rewrite paths (compact/upsert/update/
+    * delete/replaceWhere): always under the declared schema when one
+    * exists, so rewrites of pre-evolution files materialize the evolved
+    * columns (as nulls) instead of silently writing the old physical
+    * layout; applies the pending merge-on-read delete layer so a rewrite
+    * never resurrects deleted rows. `lines` is the PINNED raw manifest
+    * of the snapshot the caller's OCC loop read — re-fetching here would
+    * open a window where a raced delete-layer commit is applied to the
+    * read but invisible to the caller's conflict check (or vice versa).
     */
   private def snapRead(spark: SparkSession, table: String,
-      files: Seq[String]): DataFrame = {
-    val (_, lines) = latestRaw(spark, table)
+      files: Seq[String], lines: Seq[String]): DataFrame =
     readFilesDeleteAware(spark, table, files, schemaLine(lines),
       delLines(lines), keepFileCol = false, posDels = delPosLines(lines))
-  }
 
   /** [[snapRead]] plus a `__vt_file` column (the table-relative data
     * file of each row) for affected-file discovery in copy-on-write
@@ -791,22 +796,44 @@ object VersionedTable {
     * `_metadata` before any join.
     */
   private def snapReadWithFile(spark: SparkSession, table: String,
-      files: Seq[String]): DataFrame = {
-    val (_, lines) = latestRaw(spark, table)
+      files: Seq[String], lines: Seq[String]): DataFrame =
     readFilesDeleteAware(spark, table, files, schemaLine(lines),
       delLines(lines), keepFileCol = true, posDels = delPosLines(lines))
-  }
 
   /** [[snapReadWithFile]] plus `__vt_pos` (the row's physical index in
     * its file) — the provenance [[deleteWhereMergeOnRead]] stages.
     */
   private def snapReadWithFilePos(spark: SparkSession, table: String,
-      files: Seq[String]): DataFrame = {
-    val (_, lines) = latestRaw(spark, table)
+      files: Seq[String], lines: Seq[String]): DataFrame =
     readFilesDeleteAware(spark, table, files, schemaLine(lines),
       delLines(lines), keepFileCol = true, posDels = delPosLines(lines),
       keepPosCol = true)
-  }
+
+  /** Pending merge-on-read layer lines (`#del` + `#delpos`) of a raw
+    * manifest, as a set — the OCC conflict currency: a commit that
+    * changes NO data file can still change rows (a raced
+    * [[deleteByKeys]]/[[deleteWhereMergeOnRead]]), so every rewrite
+    * commit must ALSO check the layer it read under is the layer it
+    * commits over, else the raced deletes are either silently dropped
+    * (compact's dropDeletes) or escaped by the rewritten files' fresh
+    * names/higher versions.
+    */
+  private[sources] def deleteLayer(lines: Seq[String]): Set[String] =
+    lines.filter(l =>
+      l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix)).toSet
+
+  /** The CURRENT pending layer lines — what a DSv2 rewrite pins at scan
+    * time and [[commitReplaceFiles]] re-checks at commit time.
+    */
+  private[sources] def pendingLayer(spark: SparkSession,
+      table: String): Set[String] =
+    deleteLayer(latestRaw(spark, table)._2)
+
+  /** Test seam: invoked between a rewrite's snapshot read and its
+    * commit-time conflict check, so specs can deterministically inject
+    * a racing commit into the OCC window. No-op in production.
+    */
+  private[graft] var commitRaceHook: () => Unit = () => ()
 
   /** The shared read core: `files` under `schema`, with the pending
     * merge-on-read equality-delete layer `dels` applied. Per key-column
@@ -924,9 +951,10 @@ object VersionedTable {
       zorderBits: Int = 16): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
-      val (_, files) = latest(spark, table)
+      val (_, lines) = latestRaw(spark, table)
+      val files = lines.filterNot(_.startsWith("#"))
       if (files.isEmpty) return -1L
-      val snapshot = snapRead(spark, table, files)
+      val snapshot = snapRead(spark, table, files, lines)
       val clustered =
         if (zorderDims.isEmpty) snapshot.repartition(numFiles)
         else {
@@ -939,15 +967,21 @@ object VersionedTable {
             .drop("__graft_z")
         }
       val compacted = stage(spark, clustered, table)
+      commitRaceHook()
       val (v2, lines2) = latestRaw(spark, table)
       val files2 = lines2.filterNot(_.startsWith("#"))
       // valid only while EVERY input file is still live (another
-      // compactor replacing them would make our commit duplicate rows);
-      // concurrent APPENDS are rebased over (kept alongside). Writer txn
+      // compactor replacing them would make our commit duplicate rows)
+      // AND the pending delete layer is unchanged — a deleteByKeys/
+      // deleteWhereMergeOnRead that raced in adds NO data file, so the
+      // file check alone would pass and dropDeletes would then discard
+      // a layer this rewrite never applied (permanent data loss).
+      // Concurrent APPENDS are rebased over (kept alongside). Writer txn
       // watermarks carry forward — a compaction must not make a streaming
       // writer forget its committed epochs (that would re-admit replays).
       val committed =
         files.forall(files2.contains) &&
+          deleteLayer(lines2) == deleteLayer(lines) &&
           tryCommit(spark, table, v2 + 1,
             metaLines(lines2, "compact", dropDeletes = true) ++
               compacted ++ files2.filterNot(files.contains))
@@ -1091,12 +1125,17 @@ object VersionedTable {
     */
   private[sources] def commitReplaceFiles(spark: SparkSession, table: String,
       expectedSnapshot: Seq[String], remove: Seq[String], add: Seq[String],
-      op: String, maxRetries: Int = 20): Long = {
+      op: String, maxRetries: Int = 20,
+      expectedLayer: Option[Set[String]] = None): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
       val files = lines.filterNot(_.startsWith("#"))
-      if (files.toSet != expectedSnapshot.toSet)
+      // a raced delete-LAYER commit changes no data file but the
+      // replacement files would escape it (fresh names/higher version),
+      // so it conflicts exactly like a moved snapshot
+      if (files.toSet != expectedSnapshot.toSet ||
+          expectedLayer.exists(_ != deleteLayer(lines)))
         throw new java.util.ConcurrentModificationException(
           s"$op of $table: snapshot changed since the statement's scan — " +
             "re-run the statement")
@@ -1201,14 +1240,19 @@ object VersionedTable {
         val rewritten =
           if (affected.isEmpty) Nil
           else {
-            val existing = spark.read
-              .parquet(affected.map(n => s"$table/$n"): _*)
+            // delete-aware snapshot read (NOT a raw parquet read): a
+            // pending merge-on-read layer may hide rows of the affected
+            // files, and a rewrite that copied them forward would give
+            // them a fresh name/higher file version that escapes both
+            // layer types — silently resurrecting deleted rows
+            val existing = snapRead(spark, table, affected, lines)
             val survivors = existing.join(
               updates.select(col(key)).where(col(key).isNotNull).distinct(),
               Seq(key), "left_anti")
             stage(spark, survivors, table)
           }
         lastRewritten = rewritten
+        commitRaceHook()
         val (v2, lines2) = latestRaw(spark, table)
         val files2 = lines2.filterNot(_.startsWith("#"))
         // WRITE-WRITE conflict detection (Delta's ConcurrentAppend rule):
@@ -1228,8 +1272,12 @@ object VersionedTable {
               txnLines(txnMap(lines2) + (w -> e)) :+ (OpPrefix + "upsert")
           case None => metaLines(lines2, "upsert")
         }
+        // the rewritten files escape any delete layer committed AFTER
+        // our snapshot read (fresh names, higher file version), so a
+        // changed layer forces a retry like a conflicting append
         val committed = !conflicting &&
           affected.forall(files2.contains) &&
+          deleteLayer(lines2) == deleteLayer(lines) &&
             tryCommit(spark, table, v2 + 1,
               meta ++
                 files2.filterNot(affected.contains) ++ rewritten ++ newFiles)
@@ -1272,9 +1320,10 @@ object VersionedTable {
     require(assignments.nonEmpty, "update needs at least one assignment")
     var attempt = 0
     while (attempt < maxRetries) {
-      val (v, files) = latest(spark, table)
+      val (v, lines) = latestRaw(spark, table)
+      val files = lines.filterNot(_.startsWith("#"))
       if (files.isEmpty) return v
-      val snap = snapReadWithFile(spark, table, files)
+      val snap = snapReadWithFile(spark, table, files, lines)
       assignments.keys.foreach { c =>
         require(snap.columns.contains(c), s"no such column to SET: $c")
       }
@@ -1284,16 +1333,20 @@ object VersionedTable {
       if (affected.isEmpty) return v
       val hit = coalesce(predicate, lit(false))
       val rewrittenDf = assignments.foldLeft(
-        snapRead(spark, table, affected)) {
+        snapRead(spark, table, affected, lines)) {
         case (df, (c, expr)) =>
           df.withColumn(c, when(hit, expr).otherwise(col(c)))
       }
       val rewritten = stage(spark, rewrittenDf, table)
+      commitRaceHook()
       val (v2, lines2) = latestRaw(spark, table)
       val files2 = lines2.filterNot(_.startsWith("#"))
-      // same conflict rule as delete: any raced data file → retry
+      // same conflict rule as delete: any raced data file → retry; a
+      // raced delete-LAYER commit changes no data file but the rewritten
+      // files would escape it (fresh names/higher version) → retry too
       val committed =
         files2.toSet == files.toSet &&
+          deleteLayer(lines2) == deleteLayer(lines) &&
           tryCommit(spark, table, v2 + 1,
             metaLines(lines2, "update") ++
               files2.filterNot(affected.contains) ++ rewritten)
@@ -1320,25 +1373,28 @@ object VersionedTable {
     val newFiles = stage(spark, df, table)
     var attempt = 0
     while (attempt < maxRetries) {
-      val (_, files) = latest(spark, table)
+      val (_, lines) = latestRaw(spark, table)
+      val files = lines.filterNot(_.startsWith("#"))
       val (affected, rewritten) =
         if (files.isEmpty) (Nil, Nil)
         else {
-          val snap = snapReadWithFile(spark, table, files)
+          val snap = snapReadWithFile(spark, table, files, lines)
           val aff = snap.where(predicate)
             .select(col("__vt_file")).distinct().collect()
             .map(_.getString(0)).toSeq
           if (aff.isEmpty) (Nil, Nil)
           else {
-            val survivors = snapRead(spark, table, aff)
+            val survivors = snapRead(spark, table, aff, lines)
               .where(not(coalesce(predicate, lit(false))))
             (aff, stage(spark, survivors, table))
           }
         }
+      commitRaceHook()
       val (v2, lines2) = latestRaw(spark, table)
       val files2 = lines2.filterNot(_.startsWith("#"))
       val committed =
         files2.toSet == files.toSet &&
+          deleteLayer(lines2) == deleteLayer(lines) &&
           tryCommit(spark, table, v2 + 1,
             metaLines(lines2, "replace") ++
               files2.filterNot(affected.contains) ++ rewritten ++ newFiles)
@@ -1394,25 +1450,30 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     var attempt = 0
     while (attempt < maxRetries) {
-      val (v, files) = latest(spark, table)
+      val (v, lines) = latestRaw(spark, table)
+      val files = lines.filterNot(_.startsWith("#"))
       if (files.isEmpty) return v
-      val snap = snapReadWithFile(spark, table, files)
+      val snap = snapReadWithFile(spark, table, files, lines)
       val affected = snap.where(predicate)
         .select(col("__vt_file")).distinct().collect()
         .map(_.getString(0)).toSeq
       if (affected.isEmpty) return v
-      val survivors = snapRead(spark, table, affected)
+      val survivors = snapRead(spark, table, affected, lines)
         .where(not(coalesce(predicate, lit(false))))
       val rewritten = stage(spark, survivors, table)
+      commitRaceHook()
       val (v2, lines2) = latestRaw(spark, table)
       val files2 = lines2.filterNot(_.startsWith("#"))
       // conflict rule: an arbitrary predicate can't be footer-checked
       // against raced appends (they may contain matching rows), so ANY
-      // new data file forces a retry over the fresh snapshot. Stricter
-      // than upsert's key-range test; deletes under heavy append traffic
+      // new data file forces a retry over the fresh snapshot; likewise
+      // a raced delete-layer commit (no data file change, but the
+      // rewritten files would escape the new layer). Stricter than
+      // upsert's key-range test; deletes under heavy append traffic
       // pay retries, never correctness.
       val committed =
         files2.toSet == files.toSet &&
+          deleteLayer(lines2) == deleteLayer(lines) &&
           tryCommit(spark, table, v2 + 1,
             metaLines(lines2, "delete") ++
               files2.filterNot(affected.contains) ++ rewritten)
@@ -1547,7 +1608,7 @@ object VersionedTable {
         val (v, lines) = latestRaw(spark, table)
         val files = lines.filterNot(_.startsWith("#"))
         if (files.isEmpty) return v
-        val hits = snapReadWithFilePos(spark, table, files)
+        val hits = snapReadWithFilePos(spark, table, files, lines)
           .where(predicate)
           .select(col("__vt_file"), col("__vt_pos"))
         if (hits.isEmpty) return v
@@ -1618,12 +1679,90 @@ object VersionedTable {
       .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
   }
 
+  /** The pending EQUALITY-delete layer resolved to exact dead (file →
+    * sorted row ordinals) — what lets the DSv2 scan serve equality
+    * layers through the same ordinal-filtering reader as position
+    * layers. One distributed plan-time job scans ONLY the key columns
+    * (plus `_metadata` provenance) of the data files a layer can reach
+    * (file version <= the layer's max bound), joins them against the
+    * staged delete keys under the Iceberg sequencing rule (a row is
+    * dead iff some delete of its key is at least as new as the row's
+    * file), and collects the positions — bounded by `maxPositions`
+    * exactly like [[pendingPositionDeletes]], refusing loudly past it.
+    * Null keys never match (SQL equality). Empty map when no layer is
+    * pending.
+    */
+  private[sources] def pendingEqualityDeletePositions(spark: SparkSession,
+      table: String, version: Option[Long] = None,
+      maxPositions: Long = 5000000L): Map[String, Array[Long]] = {
+    val lines = manifestLinesAt(spark, table, version)
+    import org.apache.spark.sql.functions._
+    val dels = delLines(lines)
+    if (dels.isEmpty) return Map.empty
+    val files = lines.filterNot(_.startsWith("#"))
+    if (files.isEmpty) return Map.empty
+    val fvAll = fileVersions(spark, table)
+    val schema = schemaLine(lines)
+    val deadParts = dels.groupBy(_._3).toSeq.flatMap { case (keyCols, group) =>
+      val maxDv = group.map(_._2).max
+      // a delete bound only reaches files committed at or before it —
+      // later files (re-inserts) are skipped at the SCAN, not the join
+      val candidates = files.filter(n =>
+        fvAll.getOrElse(n, Long.MaxValue) <= maxDv)
+      if (candidates.isEmpty) None
+      else {
+        val keys = group.map { case (delFile, dv, _) =>
+          spark.read.parquet(s"$table/$delFile")
+            .select(keyCols.map(col): _*)
+            .withColumn("__vt_dv", lit(dv))
+        }.reduce(_ unionByName _)
+          .groupBy(keyCols.map(col): _*)
+          .agg(max(col("__vt_dv")).as("__vt_dv"))
+        // declared schema so pre-evolution files missing a key column
+        // read it as null (never matches) — same as the batch read path
+        val reader = schema.fold(spark.read)(sc => spark.read.schema(sc))
+        val base = reader.parquet(candidates.map(n => s"$table/$n"): _*)
+          .select(keyCols.map(col) :+
+            element_at(split(col("_metadata.file_path"), "/"), -1)
+              .as("__vt_file") :+
+            col("_metadata.row_index").as("__vt_pos"): _*)
+        import spark.implicits._
+        val fvDf = fvAll.toSeq.toDF("__vt_file", "__vt_fv")
+        Some(base.join(broadcast(fvDf), Seq("__vt_file"))
+          .join(keys, keyCols.toSeq, "inner")
+          .where(col("__vt_dv") >= col("__vt_fv"))
+          .select(col("__vt_file"), col("__vt_pos")))
+      }
+    }
+    if (deadParts.isEmpty) return Map.empty
+    val df = deadParts.reduce(_ unionByName _).distinct()
+    val n = df.count()
+    require(n <= maxPositions,
+      s"$table's pending equality-delete layer resolves to $n dead rows " +
+        s"(> $maxPositions): the position map would bloat every task — " +
+        "run VersionedTable.compact to materialize the layer first")
+    df.collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+  }
+
   def vacuum(spark: SparkSession, table: String, keepFrom: Long,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     val f = fs(spark, table)
-    val (vMax, _) = latest(spark, table)
+    val (vMax, latestLines) = latestRaw(spark, table)
     if (vMax == 0) return 0
-    val lo = math.max(1L, math.min(keepFrom, vMax))
+    // CLAMP below the oldest pending equality-delete bound: the layer's
+    // survival rule compares each file's INTRODUCING version (attributed
+    // as the earliest RETAINED manifest naming it — fileVersions) to the
+    // delete's version bound. Vacuuming the introducing manifest of a
+    // file committed at or before the bound would inflate its attributed
+    // version ABOVE the bound and silently resurrect its deleted rows.
+    // Keeping every manifest >= the oldest bound keeps all attributions
+    // at or below every pending bound. Compaction materializes the layer
+    // and lifts the clamp.
+    val minDelBound = delLines(latestLines).map(_._2).minOption
+    val lo = math.max(1L,
+      math.min(minDelBound.fold(keepFrom)(math.min(keepFrom, _)), vMax))
     val referenced = (lo to vMax).flatMap { v =>
       val p = commitPath(table, v)
       if (!f.exists(p)) Nil

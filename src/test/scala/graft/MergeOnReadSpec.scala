@@ -54,24 +54,36 @@ class MergeOnReadSpec extends SparkTestBase {
   }
 
   test("compact materializes the layer: rows physically gone, #del " +
-      "dropped, DSv2 gate lifts") {
+      "dropped; DSv2 serves the pending layer meanwhile") {
     val t = tmp()
     VersionedTable.append(spark,
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
     VersionedTable.deleteByKeys(spark, t, Seq(1L, 3L).toDF("k"))
-    // DSv2 scan refuses while the layer is pending (reader protocol)
-    val err = intercept[Exception] {
-      spark.read.format("graft-table").load(t).collect()
-    }
-    assert(err.getMessage.contains("merge-on-read"))
-    VersionedTable.compact(spark, t, numFiles = 1)
+    // the DSv2 scan serves the pending EQUALITY layer directly: keys
+    // are resolved to dead positions at plan time and filtered by the
+    // same ordinal reader as position layers — SELECT after
+    // deleteByKeys works with no compact, and matches the
+    // programmatic read
+    assert(spark.read.format("graft-table").load(t)
+      .orderBy("k").as[(Long, String)].collect().toSeq === rows(t))
     assert(rows(t) === Seq((2L, "b")))
+    // re-insert of a deleted key: file version beats the layer bound in
+    // the DSv2 path too
+    VersionedTable.append(spark, Seq((3L, "c2")).toDF("k", "v"), t)
+    assert(spark.read.format("graft-table").load(t)
+      .orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((2L, "b"), (3L, "c2")))
+    // pushed filters stay correct (residual re-evaluation)
+    assert(spark.read.format("graft-table").load(t)
+      .where(col("k") >= 3L).count() === 1L)
+    VersionedTable.compact(spark, t, numFiles = 1)
+    assert(rows(t) === Seq((2L, "b"), (3L, "c2")))
     // physically materialized: raw parquet of the snapshot lacks the rows
     val (_, files) = VersionedTable.latest(spark, t)
     val physical = spark.read.parquet(files.map(n => s"$t/$n"): _*)
-    assert(physical.count() === 1L)
-    // and the DSv2 path reads again
-    assert(spark.read.format("graft-table").load(t).count() === 1L)
+    assert(physical.count() === 2L)
+    // and the DSv2 path agrees post-compaction
+    assert(spark.read.format("graft-table").load(t).count() === 2L)
   }
 
   test("copy-on-write rewrites after a MoR delete never resurrect rows") {
@@ -225,8 +237,8 @@ class MergeOnReadSpec extends SparkTestBase {
       col("k") === 99L) === v)
   }
 
-  test("SQL row-level rewrites respect pending layers: position layers " +
-      "apply (no resurrection), equality layers gate") {
+  test("SQL row-level rewrites respect pending layers: position AND " +
+      "equality layers apply (no resurrection)") {
     val t = tmp()
     VersionedTable.append(spark,
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t)
@@ -240,16 +252,125 @@ class MergeOnReadSpec extends SparkTestBase {
     val (_, files) = VersionedTable.latest(spark, t)
     assert(spark.read.parquet(files.map(n => s"$t/$n"): _*)
       .where(col("k") === 2L).count() === 0L)
-    // an EQUALITY layer gates SQL rewrites until compaction
+    // an EQUALITY layer applies inside the rewrite too (resolved to
+    // positions at plan time): dead k=1 shares the rewritten file with
+    // k=3 and must not come back
     VersionedTable.deleteByKeys(spark, t, Seq(1L).toDF("k"))
-    val e = intercept[Exception] {
-      spark.sql("UPDATE mor_sql SET v = 'x' WHERE k = 3")
-    }
-    assert(e.getMessage.contains("EQUALITY"))
-    VersionedTable.compact(spark, t, numFiles = 1)
     spark.sql("UPDATE mor_sql SET v = 'Z' WHERE k = 3")
     assert(rows(t) === Seq((3L, "Z")))
+    val (_, files2) = VersionedTable.latest(spark, t)
+    assert(spark.read.parquet(files2.map(n => s"$t/$n"): _*)
+      .where(col("k") === 1L).count() === 0L)
+    // and SELECT over the DSv2 table sees through both layers
+    assert(spark.sql("SELECT k, v FROM mor_sql ORDER BY k")
+      .as[(Long, String)].collect().toSeq === Seq((3L, "Z")))
     spark.sql("DROP TABLE mor_sql")
+  }
+
+  test("upsert rewrites apply pending layers: deleted keys sharing a " +
+      "file with upserted keys stay dead") {
+    // regression: upsert's CoW rewrite used a raw parquet read of the
+    // affected files, so a pending layer's dead rows were copied into
+    // the rewritten file, whose fresh name/higher version escaped both
+    // layer types — silent resurrection. One data file forces the
+    // deleted and upserted keys to share a file.
+    val t = tmp()
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t)
+    VersionedTable.deleteByKeys(spark, t, Seq(2L).toDF("k"))
+    VersionedTable.upsert(spark, Seq((3L, "C")).toDF("k", "v"), t, "k")
+    assert(rows(t) === Seq((1L, "a"), (3L, "C")))
+    val (_, files) = VersionedTable.latest(spark, t)
+    assert(spark.read.parquet(files.map(n => s"$t/$n"): _*)
+      .where(col("k") === 2L).count() === 0L)
+    // same for a pending POSITION layer
+    val t2 = tmp()
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t2)
+    VersionedTable.deleteWhereMergeOnRead(spark, t2, col("k") === 2L)
+    VersionedTable.upsert(spark, Seq((3L, "C")).toDF("k", "v"), t2, "k")
+    assert(rows(t2) === Seq((1L, "a"), (3L, "C")))
+  }
+
+  test("vacuum never lifts a file's attributed version past a pending " +
+      "equality-delete bound (no resurrection)") {
+    // regression: fileVersions attributes a file to the earliest
+    // RETAINED manifest; vacuuming the introducing manifest inflated
+    // the version above the #del bound and revived the deleted row.
+    // vacuum now clamps keepFrom to the oldest pending bound.
+    val t = tmp()
+    VersionedTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t) // v1
+    VersionedTable.deleteByKeys(spark, t, Seq(2L).toDF("k"))                  // v2
+    VersionedTable.append(spark, Seq((3L, "c")).toDF("k", "v"), t)            // v3
+    VersionedTable.vacuum(spark, t, keepFrom = 3L, retentionMs = 0L)
+    assert(rows(t) === Seq((1L, "a"), (3L, "c")))
+    // compaction materializes the layer and lifts the clamp
+    VersionedTable.compact(spark, t, numFiles = 1)
+    VersionedTable.vacuum(spark, t,
+      keepFrom = VersionedTable.latest(spark, t)._1, retentionMs = 0L)
+    assert(rows(t) === Seq((1L, "a"), (3L, "c")))
+  }
+
+  test("compact and CoW rewrites detect a raced delete-layer commit " +
+      "(metadata-only) and retry, never dropping or escaping it") {
+    // regression: the OCC checks compared only data-file sets; a raced
+    // deleteByKeys adds NO data file, so compact passed the check and
+    // dropDeletes discarded the never-applied layer (permanent loss).
+    val t = tmp()
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t)
+    // one-shot hook: a MoR delete lands inside compact's OCC window
+    var fired = false
+    VersionedTable.commitRaceHook = () => {
+      if (!fired) {
+        fired = true
+        VersionedTable.deleteByKeys(spark, t, Seq(2L).toDF("k"))
+      }
+    }
+    try VersionedTable.compact(spark, t, numFiles = 1)
+    finally VersionedTable.commitRaceHook = () => ()
+    assert(fired)
+    assert(rows(t) === Seq((1L, "a"), (3L, "c")))
+    // the retry materialized the layer: physically gone
+    val (_, files) = VersionedTable.latest(spark, t)
+    assert(spark.read.parquet(files.map(n => s"$t/$n"): _*)
+      .where(col("k") === 2L).count() === 0L)
+    // same window for a CoW update: the raced layer must survive the
+    // rewrite (retry applies it), not be escaped by fresh file names
+    val t2 = tmp()
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t2)
+    var fired2 = false
+    VersionedTable.commitRaceHook = () => {
+      if (!fired2) {
+        fired2 = true
+        VersionedTable.deleteByKeys(spark, t2, Seq(2L).toDF("k"))
+      }
+    }
+    try VersionedTable.update(spark, t2, col("k") === 3L,
+      Map("v" -> lit("C")))
+    finally VersionedTable.commitRaceHook = () => ()
+    assert(fired2)
+    assert(rows(t2) === Seq((1L, "a"), (3L, "C")))
+  }
+
+  test("a watermark-only delete-mor commit (empty CDC batch) is a " +
+      "changefeed no-op, not a row-level guard trip") {
+    val t = tmp()
+    VersionedTable.append(spark, Seq((1L, "a")).toDF("k", "v"), t)   // v1
+    // empty keyed delete with a txn: commits only to advance the
+    // watermark — no #del line, no file change
+    VersionedTable.deleteByKeys(spark, t,
+      spark.emptyDataset[Tuple1[Long]].toDF("k"), txn = Some(("w", 0L))) // v2
+    VersionedTable.append(spark, Seq((2L, "b")).toDF("k", "v"), t)   // v3
+    val got = VersionedTable.readChanges(spark, t, fromVersion = 1L)
+      .select("k", "_commit_version").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 3L)))
+    // a delete-mor that DID add a layer still trips the guard
+    VersionedTable.deleteByKeys(spark, t, Seq(1L).toDF("k"))
+    intercept[UnsupportedOperationException] {
+      VersionedTable.readChanges(spark, t, fromVersion = 1L).collect()
+    }
   }
 
   test("time travel reads the delete layer as of each version") {
