@@ -286,24 +286,15 @@ object SparkEntry {
     }),
 
     // ---- dedup: blocked token-3-gram Jaccard near-dup pairs ----
-    // Candidate pairs are generated over narrow (block, id) rows; the
-    // shingle arrays are joined back by id only for verification.
+    // The PRODUCTION capped operator: exhaustive pairing inside
+    // (lang, source) blocks up to maxBlockSize (every test-scale block
+    // is far below the default 2048 cap, so the pair set — and the
+    // oracle hash — equals the all-pairs form), sorted-neighborhood
+    // fallback above it (O(B·k) candidates, never B²). Shingle arrays
+    // join back by id only for verification.
     "d2_ngram_jaccard" -> ((s, dir) => {
-      val docs = docsWithNearDups(s, dir)
-      val withSh = docs.withColumn("__sh", sort_array(array_distinct(
-        Dedup.shingleHashes(TextAnalysis.tokens(col("text")), 3))))
-      val ids = withSh.select(col("lang"), col("source"), col("doc_id"))
-      val cand = ids.join(
-        ids.withColumnRenamed("doc_id", "doc_id_2"), Seq("lang", "source"))
-        .where(col("doc_id") < col("doc_id_2"))
-        .select(col("doc_id"), col("doc_id_2"))
-      val sigs = withSh.select(col("doc_id"), col("__sh"))
-      cand.join(sigs, "doc_id")
-        .join(sigs.select(col("doc_id").as("doc_id_2"), col("__sh").as("__sh2")),
-          "doc_id_2")
-        .withColumn("sim", graft.functions.GraftFunctions.jaccardSorted(col("__sh"), col("__sh2")))
-        .where(col("sim") >= 0.5)
-        .select(col("doc_id"), col("doc_id_2"), col("sim"))
+      Dedup.blockedShinglePairs(docsWithNearDups(s, dir), "doc_id",
+        "text", Seq("lang", "source"), threshold = 0.5)
         .orderBy("doc_id", "doc_id_2")
     }),
 

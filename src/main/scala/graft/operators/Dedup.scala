@@ -146,73 +146,112 @@ object Dedup {
       blockCols: Seq[String], threshold: Double,
       maxBlockSize: Int = 2048, neighborhood: Int = 8,
       snmPrefixLen: Int = 4): DataFrame = {
-    def half(suffix: String)(d: DataFrame): DataFrame =
-      d.select((blockCols :+ idCol :+ textCol).map(col): _*)
-        .withColumnRenamed(idCol, idCol + suffix)
-        .withColumnRenamed(textCol, textCol + suffix)
-    val sized = df.withColumn("__bn", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(blockCols.map(col): _*)))
-    val small = sized.where(col("__bn") <= maxBlockSize).drop("__bn")
-    val smallPairs = half("")(small).join(half("_2")(small), blockCols)
-      .where(col(idCol) < col(idCol + "_2"))
-    val bigPairs = {
-      // sort key = the sorted distinct char set (charJaccard's feature
-      // space); ties broken by id for determinism.
-      //
-      // The global-within-block rank is computed in TWO levels so no
-      // single task ever sorts a whole oversized block: rows rank inside
-      // (block, key-prefix bucket) windows — parallel across buckets —
-      // and per-bucket offsets come from a cumsum over one narrow row
-      // per bucket (the only per-block serial step). Because the bucket
-      // is a PREFIX of the sort key, (bucket, key, id) order equals
-      // (key, id) order, so the two-level rank is IDENTICAL to the
-      // single-window rank (spec-pinned). A block whose docs all share
-      // one key prefix degrades to the single-task sort — lengthen
-      // snmPrefixLen if the key space is that degenerate.
-      val big = sized.where(col("__bn") > maxBlockSize)
-        .withColumn("__key", concat_ws("", array_sort(
-          array_remove(array_distinct(split(col(textCol), "")), ""))))
-        .withColumn("__bkt", substring(col("__key"), 1, snmPrefixLen))
-      val bktCols = blockCols :+ "__bkt"
-      val ranked = big.withColumn("__ir", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(bktCols.map(col): _*)
-          .orderBy(col("__key"), col(idCol))))
-      val offsets = ranked.groupBy(bktCols.map(col): _*)
-        .agg(count(lit(1)).as("__cnt"))
-        .withColumn("__off", coalesce(sum(col("__cnt")).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(blockCols.map(col): _*)
-            .orderBy(col("__bkt"))
-            .rowsBetween(org.apache.spark.sql.expressions.Window
-              .unboundedPreceding, -1)), lit(0L)))
-        .select((bktCols.map(col) :+ col("__off")): _*)
-      val narrow = ranked.join(offsets, bktCols)
-        .withColumn("__r", col("__off") + col("__ir"))
-        .select((blockCols :+ idCol :+ textCol).map(col) :+ col("__r"): _*)
-      val lhs = narrow
-        .withColumn("__j", explode(sequence(lit(1), lit(neighborhood))))
-        .withColumn("__r", col("__r") + col("__j")).drop("__j")
-      lhs.join(narrow
-          .withColumnRenamed(idCol, idCol + "_2")
-          .withColumnRenamed(textCol, textCol + "_2"),
-          blockCols :+ "__r")
-        .drop("__r")
-        // canonical orientation (sort order is by char set, not id)
-        .select(least(col(idCol), col(idCol + "_2")).as(idCol),
-          greatest(col(idCol), col(idCol + "_2")).as(idCol + "_2"),
-          when(col(idCol) < col(idCol + "_2"), col(textCol))
-            .otherwise(col(textCol + "_2")).as(textCol),
-          when(col(idCol) < col(idCol + "_2"), col(textCol + "_2"))
-            .otherwise(col(textCol)).as(textCol + "_2"))
-    }
-    smallPairs.select(col(idCol), col(idCol + "_2"),
-        col(textCol), col(textCol + "_2"))
-      .unionByName(bigPairs)
+    // sort key for the SNM fallback = the sorted distinct char set
+    // (charJaccard's feature space, so similar docs sort adjacently)
+    val key = concat_ws("", array_sort(
+      array_remove(array_distinct(split(col(textCol), "")), "")))
+    val cands = cappedBlockCandidates(df, idCol, key, blockCols,
+      maxBlockSize, neighborhood, snmPrefixLen)
+    val txt = df.select(col(idCol), col(textCol))
+    cands.join(txt, idCol)
+      .join(txt.select(col(idCol).as(idCol + "_2"),
+        col(textCol).as(textCol + "_2")), idCol + "_2")
       .withColumn("sim", charJaccard(col(textCol), col(textCol + "_2")))
       .where(col("sim") >= threshold)
       .select(col(idCol), col(idCol + "_2"), col("sim"))
+  }
+
+  /** Blocked token-`n`-gram (shingle-hash) Jaccard near-dup pairs —
+    * the same capped candidate core as [[blockedJaccardPairs]] with the
+    * d8 normalized-prefix SNM sort key, verified by the shingle-set
+    * Jaccard. Shingle arrays are computed ONCE per doc and join back by
+    * id only for the surviving candidates — text and shingles never
+    * ride the pair explosion.
+    */
+  def blockedShinglePairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double, n: Int = 3,
+      maxBlockSize: Int = 2048, neighborhood: Int = 8,
+      snmPrefixLen: Int = 4): DataFrame = {
+    val key = substring(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""), 1, 30)
+    val cands = cappedBlockCandidates(df, idCol, key, blockCols,
+      maxBlockSize, neighborhood, snmPrefixLen)
+    val sigs = df.select(col(idCol), sort_array(array_distinct(
+      shingleHashes(TextAnalysis.tokens(col(textCol)), n))).as("__sh"))
+    cands.join(sigs, idCol)
+      .join(sigs.select(col(idCol).as(idCol + "_2"),
+        col("__sh").as("__sh2")), idCol + "_2")
+      .withColumn("sim", graft.functions.GraftFunctions
+        .jaccardSorted(col("__sh"), col("__sh2")))
+      .where(col("sim") >= threshold)
+      .select(col(idCol), col(idCol + "_2"), col("sim"))
+  }
+
+  /** The shared capped candidate core: id pairs (least-first) inside
+    * `blockCols` blocks — EXHAUSTIVE for blocks up to `maxBlockSize`,
+    * sorted-neighborhood (Hernández & Stolfo merge/purge) above it:
+    * sort the block by `sortKey` (ties by id), pair each doc only with
+    * its next `neighborhood` successors. Candidates drop from O(B²) to
+    * O(B·neighborhood); similar docs sort adjacently as far as the key
+    * correlates with the verifier's similarity, and runs longer than
+    * the window stay transitively chained for component building.
+    * Cross-window pairs of merely-similar keys are the accepted recall
+    * trade — exhaustive below the cap, bounded above it.
+    *
+    * Only the block columns, the id, and the sort key ride the
+    * shuffles; callers join payloads (text, shingles) back by id.
+    *
+    * The global-within-block rank is computed in TWO levels so no
+    * single task ever sorts a whole oversized block: rows rank inside
+    * (block, key-prefix bucket) windows — parallel across buckets —
+    * and per-bucket offsets come from a cumsum over one narrow row per
+    * bucket (the only per-block serial step). Because the bucket is a
+    * PREFIX of the sort key, (bucket, key, id) order equals (key, id)
+    * order, so the two-level rank is IDENTICAL to the single-window
+    * rank (spec-pinned). A block whose docs all share one key prefix
+    * degrades to the single-task sort — lengthen `prefixLen` if the
+    * key space is that degenerate.
+    */
+  def cappedBlockCandidates(df: DataFrame, idCol: String, sortKey: Column,
+      blockCols: Seq[String], maxBlockSize: Int = 2048,
+      neighborhood: Int = 8, prefixLen: Int = 4): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val narrow0 = df.select(blockCols.map(col) :+ col(idCol) :+
+      sortKey.cast(StringType).as("__key"): _*)
+    val sized = narrow0.withColumn("__bn", count(lit(1)).over(
+      W.partitionBy(blockCols.map(col): _*)))
+    val small = sized.where(col("__bn") <= maxBlockSize)
+      .select(blockCols.map(col) :+ col(idCol): _*)
+    val smallPairs = small
+      .join(small.withColumnRenamed(idCol, idCol + "_2"), blockCols)
+      .where(col(idCol) < col(idCol + "_2"))
+      .select(col(idCol), col(idCol + "_2"))
+    val big = sized.where(col("__bn") > maxBlockSize)
+      .withColumn("__bkt", substring(col("__key"), 1, prefixLen))
+    val bktCols = blockCols :+ "__bkt"
+    val ranked = big.withColumn("__ir", row_number().over(
+      W.partitionBy(bktCols.map(col): _*)
+        .orderBy(col("__key"), col(idCol))))
+    val offsets = ranked.groupBy(bktCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        W.partitionBy(blockCols.map(col): _*)
+          .orderBy(col("__bkt"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(bktCols.map(col) :+ col("__off"): _*)
+    val narrow = ranked.join(offsets, bktCols)
+      .withColumn("__r", col("__off") + col("__ir"))
+      .select(blockCols.map(col) :+ col(idCol) :+ col("__r"): _*)
+    val lhs = narrow
+      .withColumn("__j", explode(sequence(lit(1), lit(neighborhood))))
+      .withColumn("__r", col("__r") + col("__j")).drop("__j")
+    val bigPairs = lhs
+      .join(narrow.withColumnRenamed(idCol, idCol + "_2"),
+        blockCols :+ "__r")
+      // canonical orientation (sort order is by key, not id)
+      .select(least(col(idCol), col(idCol + "_2")).as(idCol),
+        greatest(col(idCol), col(idCol + "_2")).as(idCol + "_2"))
+    smallPairs.unionByName(bigPairs)
   }
 
   /** Global sorted-neighborhood near-dup pairs (Hernández & Stolfo's

@@ -183,6 +183,42 @@ class TextDedupSpec extends SparkTestBase {
     assert(got.size <= 330 * 5)
   }
 
+  test("blockedShinglePairs (the registered d2 path): oversized block " +
+      "falls back to O(B·k); below the cap it IS the exhaustive form") {
+    // one (lang, source) block of B=3000 docs — an uncapped all-pairs
+    // candidate step would build ~4.5M pairs in one task; the operator
+    // the d2 query registers must emit exactly B·k - k(k+1)/2
+    val B = 3000
+    val k = 4
+    val corpus = spark.range(B).select(
+      col("id").as("doc_id"),
+      concat(lit("alpha beta gamma variant "), (col("id") % 30).cast("string"))
+        .as("text"),
+      lit("en").as("lang"), lit("s1").as("source"))
+    val capped = Dedup.blockedShinglePairs(corpus, "doc_id", "text",
+      Seq("lang", "source"), threshold = 0.0, maxBlockSize = 100,
+      neighborhood = k)
+    assert(capped.count() === B.toLong * k - k * (k + 1) / 2)
+    // identical-text docs sort adjacently under the normalized-prefix
+    // key, so sim=1.0 pairs survive the cap
+    assert(capped.where(col("sim") === 1.0).count() > 0)
+    // below the cap the operator equals the uncapped exhaustive form
+    // pair-for-pair, sims included — which is why routing d2 through it
+    // leaves the oracle hash unchanged at test scale
+    val sub = corpus.limit(200)
+    def all(cap: Int) = Dedup.blockedShinglePairs(sub, "doc_id", "text",
+      Seq("lang", "source"), threshold = 0.3, maxBlockSize = cap)
+      .select("doc_id", "doc_id_2", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(all(2048) === all(Int.MaxValue))
+    // and the capped candidate set is always a subset of exhaustive
+    def ids(cap: Int) = Dedup.blockedShinglePairs(corpus, "doc_id", "text",
+      Seq("lang", "source"), threshold = 0.3, maxBlockSize = cap)
+      .select("doc_id", "doc_id_2").as[(Long, Long)].collect().toSet
+    val snm = ids(100)
+    assert(snm.nonEmpty && snm.subsetOf(ids(Int.MaxValue)))
+  }
+
   test("capped blockedJaccardPairs emits only pairs the exhaustive form emits") {
     val corpus = spark.range(300).select(
       col("id").as("doc_id"),
