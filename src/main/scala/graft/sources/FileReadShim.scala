@@ -76,7 +76,8 @@ object FileReadShim {
   def emptyInternalRow: InternalRow = InternalRow.empty
 
   /** Wrap a reader factory to SKIP the rows named by a position-delete
-    * layer: `dead` maps a file NAME to its sorted dead row ordinals.
+    * layer: `dead` is a BROADCAST (one copy per executor, not one per
+    * task closure) of file NAME → compressed ordinal bitmap.
     * Correctness contract (the caller's to uphold): each partition is
     * ONE whole file (start 0, full length) and the inner factory pushes
     * NO parquet filters — so the reader sees every physical row in
@@ -86,7 +87,8 @@ object FileReadShim {
     * columnar batches.
     */
   def posFilteringFactory(inner: PartitionReaderFactory,
-      dead: Map[String, Array[Long]]): PartitionReaderFactory =
+      dead: org.apache.spark.broadcast.Broadcast[
+        Map[String, graft.sources.PositionBitmap]]): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def supportColumnarReads(p: InputPartition): Boolean = false
       override def createReader(p: InputPartition)
@@ -94,17 +96,18 @@ object FileReadShim {
         val files = p.asInstanceOf[FilePartition].files
         require(files.length == 1,
           "position-filtered scans plan exactly one file per partition")
-        val deadSet = dead.getOrElse(files.head.toPath.getName,
-          Array.empty[Long])
+        val isDead: Long => Boolean =
+          dead.value.get(files.head.toPath.getName) match {
+            case Some(bm) => bm.probe()
+            case None => _ => false
+          }
         val in = inner.createReader(p)
         new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
           private var ordinal = -1L
-          private var di = 0
           override def next(): Boolean = {
             while (in.next()) {
               ordinal += 1
-              while (di < deadSet.length && deadSet(di) < ordinal) di += 1
-              if (di >= deadSet.length || deadSet(di) != ordinal) return true
+              if (!isDead(ordinal)) return true
             }
             false
           }

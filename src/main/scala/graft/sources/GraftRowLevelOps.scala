@@ -181,14 +181,16 @@ private[sources] class GraftRowLevelScan(path: String,
       // replacement files. Position layers filter directly; equality
       // layers resolve to positions by one plan-time job (same bounded
       // map as the batch read path).
-      private lazy val posDeletes: Map[String, Array[Long]] = {
+      private lazy val posDeletes: Map[String, PositionBitmap] = {
         val pos = VersionedTable.pendingPositionDeletes(spark, path)
         val eq = VersionedTable.pendingEqualityDeletePositions(spark, path)
         if (eq.isEmpty) pos
         else if (pos.isEmpty) eq
         else (pos.keySet ++ eq.keySet).iterator.map { k =>
-          k -> (pos.getOrElse(k, Array.empty[Long]) ++
-            eq.getOrElse(k, Array.empty[Long])).distinct.sorted
+          k -> ((pos.get(k), eq.get(k)) match {
+            case (Some(a), Some(b)) => a.union(b)
+            case (a, b) => a.orElse(b).get
+          })
         }.toMap
       }
       override def planInputPartitions()
@@ -224,7 +226,8 @@ private[sources] class GraftRowLevelScan(path: String,
           .parquetReaderFactory(spark, readDataSchema, partSchema)
         if (posDeletes.isEmpty) inner
         else org.apache.spark.sql.graftshim.FileReadShim
-          .posFilteringFactory(inner, posDeletes)
+          .posFilteringFactory(inner,
+            spark.sparkContext.broadcast(posDeletes))
       }
     }
 }

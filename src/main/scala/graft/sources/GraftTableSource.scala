@@ -448,14 +448,16 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
     // Iceberg sequencing rule applied at the scan). Each map is bounded
     // (loud refusal past ~5M positions → compact first), so the merged
     // closure stays task-shippable.
-    private lazy val posDeletes: Map[String, Array[Long]] = {
+    private lazy val posDeletes: Map[String, PositionBitmap] = {
       val pos = VersionedTable.pendingPositionDeletes(spark, path, asOf)
       val eq = VersionedTable.pendingEqualityDeletePositions(spark, path, asOf)
       if (eq.isEmpty) pos
       else if (pos.isEmpty) eq
       else (pos.keySet ++ eq.keySet).iterator.map { k =>
-        k -> (pos.getOrElse(k, Array.empty[Long]) ++
-          eq.getOrElse(k, Array.empty[Long])).distinct.sorted
+        k -> ((pos.get(k), eq.get(k)) match {
+          case (Some(a), Some(b)) => a.union(b)
+          case (a, b) => a.orElse(b).get
+        })
       }.toMap
     }
     override def planInputPartitions(): Array[InputPartition] = {
@@ -489,7 +491,7 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
         FileReadShim.posFilteringFactory(
           FileReadShim.parquetReaderFactory(spark, readDataSchema,
             partSchema, Array.empty),
-          posDeletes)
+          spark.sparkContext.broadcast(posDeletes))
   }
 
   // ---- streaming: manifest versions as offsets ----

@@ -80,12 +80,27 @@ object VersionedTable {
   //    TBLPROPERTIES). Carried forward by every commit; property
   //    commits replace the set wholesale. Keys are space-free; values
   //    may contain spaces (rest-of-line).
+  //  - "#fid <n>": the HIGH-WATER mark of assigned parquet field ids
+  //    (each declared field carries its id in StructField metadata,
+  //    key "parquet.field.id", serialized inside the #schema json).
+  //    Carried forward by every commit; replaced by commits that assign
+  //    new ids. The mark never regresses — a column re-added after a
+  //    DROP gets a FRESH id, so old files' dropped data can never
+  //    resurrect under the new column (Iceberg's field-id rule).
   private val TxnPrefix = "#txn "
   private val OpPrefix = "#op "
   private val SchemaPrefix = "#schema "
   private val DelPrefix = "#del "
   private val DelPosPrefix = "#delpos "
   private val PropPrefix = "#prop "
+  private val FidPrefix = "#fid "
+
+  /** StructField metadata key Spark's parquet writer/reader natively
+    * map to the parquet schema's field_id (write: always on for graft
+    * stages; read: enabled per-scan when the declared schema carries
+    * ids, with name-matching fallback for id-less legacy files).
+    */
+  private[sources] val FieldIdKey = "parquet.field.id"
 
   /** txn watermark + declared-schema + pending-delete lines carried
     * forward, plus this commit's op marker. `newSchema` (a
@@ -1655,28 +1670,50 @@ object VersionedTable {
       table: String, version: Option[Long] = None): Boolean =
     delLines(manifestLinesAt(spark, table, version)).nonEmpty
 
-  /** The pending position-delete layer as (file name → sorted dead row
-    * ordinals), for the DSv2 scan's filtering reader. Driver-side
-    * collect, bounded: the map rides into every task, so above
-    * `maxPositions` the scan must refuse and demand a compaction —
-    * loud, never slow-then-OOM. Empty map when no layer is pending.
+  /** The pending position-delete layer as (file name → compressed
+    * ordinal bitmap), for the DSv2 scan's filtering reader. Bitmaps are
+    * built per-file ON EXECUTORS (one shuffle on the file name), only
+    * the compressed forms come to the driver, and callers ship the map
+    * as a BROADCAST (one copy per executor, not per task closure).
+    * Bounded by total compressed BYTES, not position count — contiguous
+    * delete runs compress ~1000×, so hundreds of millions of pending
+    * positions fit where the old sorted-long-array form capped at 5M.
+    * Past the byte cap the scan refuses loudly and demands a
+    * compaction — never slow-then-OOM. Empty map when no layer pends.
     */
-  private[sources] def pendingPositionDeletes(spark: SparkSession,
+  private[graft] def pendingPositionDeletes(spark: SparkSession,
       table: String, version: Option[Long] = None,
-      maxPositions: Long = 5000000L): Map[String, Array[Long]] = {
+      maxBytes: Long = 256L << 20): Map[String, PositionBitmap] = {
     val posFiles = delPosLines(manifestLinesAt(spark, table, version))
     if (posFiles.isEmpty) return Map.empty
     val df = posFiles.map(n => spark.read.parquet(s"$table/$n")
         .select("__vt_file", "__vt_pos"))
-      .reduce(_ unionByName _).distinct()
-    val n = df.count()
-    require(n <= maxPositions,
-      s"$table has $n pending position-deleted rows (> $maxPositions): " +
-        "the delete map would bloat every task — run VersionedTable." +
-        "compact to materialize the layer first")
-    df.collect()
-      .groupBy(_.getString(0))
-      .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+      .reduce(_ unionByName _)
+    collectBitmaps(spark, df, table, maxBytes)
+  }
+
+  /** (file, pos) rows → per-file compressed bitmaps, built on the
+    * executors, byte-capped on the driver.
+    */
+  private def collectBitmaps(spark: SparkSession,
+      filePos: DataFrame, table: String, maxBytes: Long)
+      : Map[String, PositionBitmap] = {
+    import spark.implicits._
+    implicit val bmEnc: org.apache.spark.sql.Encoder[(String, PositionBitmap)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.javaSerialization[PositionBitmap])
+    val bitmaps = filePos.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups((f, it) =>
+        (f, PositionBitmap.fromUnsorted(it.map(_._2).toArray)))
+      .collect().toMap
+    val bytes = bitmaps.valuesIterator.map(_.estimatedBytes).sum
+    require(bytes <= maxBytes,
+      s"$table's pending delete positions compress to $bytes bytes " +
+        s"(> $maxBytes): the layer is too large to broadcast — run " +
+        "VersionedTable.compact to materialize it first")
+    bitmaps
   }
 
   /** The pending EQUALITY-delete layer resolved to exact dead (file →
@@ -1687,14 +1724,14 @@ object VersionedTable {
     * (file version <= the layer's max bound), joins them against the
     * staged delete keys under the Iceberg sequencing rule (a row is
     * dead iff some delete of its key is at least as new as the row's
-    * file), and collects the positions — bounded by `maxPositions`
+    * file), and collects the compressed per-file bitmaps — byte-capped
     * exactly like [[pendingPositionDeletes]], refusing loudly past it.
     * Null keys never match (SQL equality). Empty map when no layer is
     * pending.
     */
-  private[sources] def pendingEqualityDeletePositions(spark: SparkSession,
+  private[graft] def pendingEqualityDeletePositions(spark: SparkSession,
       table: String, version: Option[Long] = None,
-      maxPositions: Long = 5000000L): Map[String, Array[Long]] = {
+      maxBytes: Long = 256L << 20): Map[String, PositionBitmap] = {
     val lines = manifestLinesAt(spark, table, version)
     import org.apache.spark.sql.functions._
     val dels = delLines(lines)
@@ -1735,15 +1772,7 @@ object VersionedTable {
       }
     }
     if (deadParts.isEmpty) return Map.empty
-    val df = deadParts.reduce(_ unionByName _).distinct()
-    val n = df.count()
-    require(n <= maxPositions,
-      s"$table's pending equality-delete layer resolves to $n dead rows " +
-        s"(> $maxPositions): the position map would bloat every task — " +
-        "run VersionedTable.compact to materialize the layer first")
-    df.collect()
-      .groupBy(_.getString(0))
-      .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+    collectBitmaps(spark, deadParts.reduce(_ unionByName _), table, maxBytes)
   }
 
   def vacuum(spark: SparkSession, table: String, keepFrom: Long,

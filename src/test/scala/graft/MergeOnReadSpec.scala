@@ -373,6 +373,31 @@ class MergeOnReadSpec extends SparkTestBase {
     }
   }
 
+  test("position layers past the old 5M-position cap: bitmaps compress, " +
+      "broadcast ships once, reads stay correct") {
+    // regression for the sorted-long-array closure: 5.25M pending
+    // positions used to refuse every scan until compaction; the
+    // roaring-style bitmaps compress them to ~1 bit/position and ride
+    // a broadcast, so both read paths serve the layer directly
+    val t = tmp()
+    VersionedTable.append(spark,
+      spark.range(6000000L).select(col("id").as("k"),
+        (col("id") % 97).as("v")), t)
+    VersionedTable.deleteWhereMergeOnRead(spark, t, col("k") % 8 =!= 0)
+    assert(VersionedTable.read(spark, t).count() === 750000L)
+    assert(spark.read.format("graft-table").load(t).count() === 750000L)
+    // the whole layer compresses to well under the old cap's footprint
+    val bitmaps = VersionedTable.pendingPositionDeletes(spark, t)
+    assert(bitmaps.valuesIterator.map(_.cardinality).sum === 5250000L)
+    val bytes = bitmaps.valuesIterator.map(_.estimatedBytes).sum
+    assert(bytes < (2L << 20), s"expected ~750 KiB compressed, got $bytes")
+    // spot-check correctness of the surviving keys
+    assert(spark.read.format("graft-table").load(t)
+      .where(col("k") < 64L).orderBy("k")
+      .select("k").as[Long].collect().toSeq ===
+      (0L until 64L by 8L).toSeq)
+  }
+
   test("time travel reads the delete layer as of each version") {
     val t = tmp()
     VersionedTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t) // v1
