@@ -26,6 +26,10 @@ object FileReadShim {
       partitionSchema: StructType,
       pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
       : PartitionReaderFactory = {
+    // id-carrying schemas (rename/drop evolution) need the session's
+    // field-id read confs on BEFORE the scan snapshots SQLConf here
+    graft.sources.VersionedTable.ensureFieldIdRead(spark,
+      Some(readDataSchema))
     // Build Spark's own ParquetScan (over an empty file index — partition
     // planning stays ours) and let ITS createReaderFactory prepare the
     // hadoop conf (ReadSupport class, requested schema, timezone, parquet

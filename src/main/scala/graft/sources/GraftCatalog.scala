@@ -180,16 +180,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       p.property -> p.value }
     val unsets = changes.collect { case p: TableChange.RemoveProperty =>
       p.property }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     changes.foreach {
       case _: TableChange.AddColumn | _: TableChange.SetProperty |
-          _: TableChange.RemoveProperty => ()
+          _: TableChange.RemoveProperty | _: TableChange.RenameColumn |
+          _: TableChange.DeleteColumn => ()
       case other => throw new UnsupportedOperationException(
-        s"graft-table ALTER supports ADD COLUMNS and table properties, " +
-          s"got $other")
+        s"graft-table ALTER supports ADD/RENAME/DROP COLUMN and table " +
+          s"properties, got $other")
     }
+    (renames.map(_.fieldNames) ++ drops.map(_.fieldNames)).foreach(fn =>
+      require(fn.length == 1,
+        s"nested column evolution not supported: ${fn.mkString(".")}"))
     if (sets.nonEmpty || unsets.nonEmpty)
       VersionedTable.alterProperties(spark, dir.toString, sets.toMap,
         unsets.toSeq)
+    renames.foreach(r => VersionedTable.renameColumn(spark, dir.toString,
+      r.fieldNames.head, r.newName))
+    drops.foreach(d => VersionedTable.dropColumn(spark, dir.toString,
+      d.fieldNames.head))
     if (adds.nonEmpty) {
       val fields = adds.map { a =>
         require(a.fieldNames.length == 1,
@@ -270,12 +280,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  override def stageReplace(ident: Identifier, schema: StructType,
+  /** Stage a REPLACE TABLE [AS SELECT]: the replacement data writes
+    * into the live table dir under staged (manifest-invisible) names,
+    * and ONE `replace-table` commit flips data + schema together —
+    * readers see the old table until that instant, and a failed
+    * replacement (e.g. the SELECT throws) leaves it untouched. Old
+    * versions stay time-travelable under their own schemas.
+    */
+  override def stageReplace(ident: Identifier, replSchema: StructType,
       partitions: Array[Transform], properties: JMap[String, String])
-      : StagedTable =
-    throw new UnsupportedOperationException(
-      "REPLACE TABLE not supported — use INSERT OVERWRITE (atomic " +
-        "snapshot flip) or DROP + CREATE")
+      : StagedTable = {
+    require(partitions.isEmpty,
+      "graft-table does not take partition transforms")
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val path = dir.toString
+    val inner = new GraftTable(path, replSchema)
+    new StagedTable with SupportsWrite {
+      @volatile private var replaced = false
+      override def name(): String = inner.name()
+      @annotation.nowarn("cat=deprecation")
+      override def schema(): StructType = replSchema
+      override def capabilities(): java.util.Set[TableCapability] =
+        inner.capabilities()
+      override def newWriteBuilder(
+          info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.WriteBuilder =
+        new org.apache.spark.sql.connector.write.WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsTruncate {
+          // RTAS plans an overwrite-by-truncate; replaceTable IS a
+          // whole-snapshot flip, so truncate changes nothing here
+          override def truncate()
+              : org.apache.spark.sql.connector.write.WriteBuilder = this
+          override def build(): org.apache.spark.sql.connector.write.Write =
+            new org.apache.spark.sql.connector.write.V1Write {
+              override def toInsertableRelation()
+                  : org.apache.spark.sql.sources.InsertableRelation =
+                new org.apache.spark.sql.sources.InsertableRelation {
+                  override def insert(data: org.apache.spark.sql.DataFrame,
+                      overwrite: Boolean): Unit = {
+                    // Spark aligned the query to replSchema positionally
+                    val want = replSchema.fieldNames.toSeq
+                    val clean = data.drop(GraftTableScan.VersionCol)
+                    require(clean.columns.length == want.length,
+                      s"cannot replace with ${clean.columns.toSeq} under " +
+                        s"schema $want")
+                    VersionedTable.replaceTable(data.sparkSession,
+                      clean.toDF(want: _*), path, replSchema)
+                    replaced = true
+                    ()
+                  }
+                }
+            }
+        }
+      override def commitStagedChanges(): Unit =
+        // plain REPLACE TABLE (no AS SELECT) never ran a write — flip
+        // to an empty table under the new schema, still one commit
+        if (!replaced) {
+          VersionedTable.replaceTable(spark,
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              replSchema), path, replSchema)
+          ()
+        }
+      override def abortStagedChanges(): Unit = ()
+        // nothing committed: staged-but-unreferenced files (if the
+        // write died mid-flight) are invisible and reaped by vacuum
+    }
+  }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String])

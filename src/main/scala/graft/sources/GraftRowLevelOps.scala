@@ -254,7 +254,14 @@ private[sources] class GraftReplaceBatchWrite(path: String,
           f.name == GraftTableScan.FileCol
       }.map(_._2)
     require(keep.nonEmpty, "nothing to write but the version column")
-    val written = StructType(keep.map(rowSchema.fields(_)))
+    // re-stamp the table schema's metadata (parquet field ids): the
+    // rewrite plan's SET/merge expressions drop it, and partially
+    // id-tagged files would read the untagged columns as null
+    val byName = dataSchema.fields
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+    val written = StructType(keep.map(rowSchema.fields(_)).map(f =>
+      byName.get(f.name.toLowerCase(java.util.Locale.ROOT))
+        .map(tf => f.copy(metadata = tf.metadata)).getOrElse(f)))
     require(written.map(f => (f.name, f.dataType)) ==
       dataSchema.map(f => (f.name, f.dataType)),
       s"row-level write schema $written != table schema $dataSchema")

@@ -112,14 +112,98 @@ object VersionedTable {
   private def metaLines(prevRaw: Seq[String], op: String,
       newSchema: Option[org.apache.spark.sql.types.StructType] = None,
       dropDeletes: Boolean = false,
-      newProps: Option[Map[String, String]] = None): Seq[String] =
+      newProps: Option[Map[String, String]] = None,
+      newFid: Option[Long] = None): Seq[String] =
     prevRaw.filter(l => l.startsWith(TxnPrefix) ||
         (l.startsWith(SchemaPrefix) && newSchema.isEmpty) ||
         (l.startsWith(PropPrefix) && newProps.isEmpty) ||
+        (l.startsWith(FidPrefix) && newFid.isEmpty) ||
         ((l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix)) &&
           !dropDeletes)) ++
       newSchema.map(s => SchemaPrefix + s.json) ++
+      newFid.map(n => FidPrefix + n) ++
       newProps.toSeq.flatMap(propLines) :+ (OpPrefix + op)
+
+  // ---------- parquet field ids (rename/drop-safe schema evolution) ----
+
+  private def fieldId(f: org.apache.spark.sql.types.StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+    else None
+
+  private[sources] def hasFieldIds(
+      sc: org.apache.spark.sql.types.StructType): Boolean =
+    sc.fields.exists(_.metadata.contains(FieldIdKey))
+
+  private def maxFieldId(sc: org.apache.spark.sql.types.StructType): Long =
+    sc.fields.flatMap(fieldId).maxOption.getOrElse(0L)
+
+  /** High-water mark of assigned field ids: the `#fid` line, falling
+    * back to the max id in the declared schema (pre-`#fid` tables).
+    */
+  private def fidOf(lines: Seq[String]): Long =
+    lines.find(_.startsWith(FidPrefix))
+      .map(_.drop(FidPrefix.length).trim.toLong)
+      .orElse(schemaLine(lines).map(maxFieldId)).getOrElse(0L)
+
+  /** Assign fresh ids (continuing after `from`) to fields lacking one.
+    * Returns the stamped fields and the new high-water mark.
+    */
+  private def assignIds(fields: Seq[org.apache.spark.sql.types.StructField],
+      from: Long): (Seq[org.apache.spark.sql.types.StructField], Long) = {
+    var next = from
+    val out = fields.map { f =>
+      if (f.metadata.contains(FieldIdKey)) f
+      else {
+        next += 1
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, next).build())
+      }
+    }
+    (out, math.max(next, out.flatMap(fieldId).maxOption.getOrElse(0L)))
+  }
+
+  /** Re-stamp the declared schema's field-id metadata onto `df` (by
+    * name, case-insensitive) before a rewrite stages it: expression
+    * rebuilds (`withColumn`, SET assignments) drop column metadata, and
+    * a file whose columns are PARTIALLY id-tagged reads the untagged
+    * ones as null under an id-carrying requested schema. No-op when the
+    * table has no ids.
+    */
+  private def stampFieldIds(df: DataFrame,
+      declared: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    declared.filter(hasFieldIds) match {
+      case None => df
+      case Some(sc) =>
+        import org.apache.spark.sql.functions.col
+        def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+        val byName = sc.fields.map(f => key(f.name) -> f).toMap
+        df.select(df.schema.fields.map { f =>
+          byName.get(key(f.name)) match {
+            case Some(tf) => col(f.name).as(f.name, tf.metadata)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+    }
+
+  /** Spark's parquet field-id READ matching is gated by a session conf
+    * that per-read options cannot override (ParquetFileFormat stamps it
+    * from SQLConf into the scan's hadoop conf). When a declared schema
+    * carries ids, enable it — sticky for the session, and a no-op for
+    * every schema without id metadata, so other reads are unaffected.
+    * Matching is per REQUESTED field: fields with an id resolve by id,
+    * fields without one (schema-merge evolution columns) by name.
+    * `ignoreMissing` is deliberately NOT set: under it Spark silently
+    * NULLS every id-requested column of a file that carries no ids —
+    * an id-ed table must only ever contain id-tagged files (every graft
+    * write path stamps them), and a violation should fail loudly, not
+    * read as nulls.
+    */
+  def ensureFieldIdRead(spark: SparkSession,
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit =
+    if (schema.exists(hasFieldIds) &&
+        spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false")
+          != "true")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
   private def propMap(lines: Seq[String]): Map[String, String] =
     lines.collect { case l if l.startsWith(PropPrefix) =>
@@ -275,12 +359,16 @@ object VersionedTable {
     * is already committed, unless `ifNotExists`.
     */
   def create(spark: SparkSession, table: String,
-      schema: org.apache.spark.sql.types.StructType,
+      schema0: org.apache.spark.sql.types.StructType,
       ifNotExists: Boolean = false): Long = {
-    require(schema.nonEmpty, s"cannot create $table with an empty schema")
+    require(schema0.nonEmpty, s"cannot create $table with an empty schema")
+    // every created table carries parquet field ids from birth — the
+    // prerequisite for rename/drop evolution
+    val (idFields, fid) = assignIds(schema0.fields.toSeq, maxFieldId(schema0))
+    val schema = org.apache.spark.sql.types.StructType(idFields.toArray)
     val (v, _) = latestRaw(spark, table)
     if (v > 0 || !tryCommit(spark, table, 1L,
-        metaLines(Nil, "create", Some(schema)))) {
+        metaLines(Nil, "create", Some(schema), newFid = Some(fid)))) {
       if (!ifNotExists) throw new IllegalStateException(
         s"table $table already exists (version ${latestRaw(spark, table)._1})")
       latestRaw(spark, table)._1
@@ -316,9 +404,13 @@ object VersionedTable {
       val dup = newCols.map(_.name).find(n =>
         existing.contains(n.toLowerCase(java.util.Locale.ROOT)))
       require(dup.isEmpty, s"column ${dup.orNull} already exists in $table")
-      val widened = org.apache.spark.sql.types.StructType(base.fields ++ newCols)
+      // new columns get FRESH ids past the high-water mark — after a
+      // DROP, a re-added same-named column must not inherit the old id
+      val (idNew, fid) = assignIds(newCols, math.max(fidOf(lines),
+        maxFieldId(base)))
+      val widened = org.apache.spark.sql.types.StructType(base.fields ++ idNew)
       if (tryCommit(spark, table, v + 1,
-          metaLines(lines, "schema", Some(widened)) ++
+          metaLines(lines, "schema", Some(widened), newFid = Some(fid)) ++
             lines.filterNot(_.startsWith("#")))) return v + 1
       attempt += 1
     }
@@ -332,13 +424,17 @@ object VersionedTable {
     * declared. The schema must cover the data files' columns; callers
     * (the catalog) guarantee it — it IS the schema the write ran under.
     */
-  private[sources] def declareSchema(spark: SparkSession, table: String,
+  private[graft] def declareSchema(spark: SparkSession, table: String,
       schema: org.apache.spark.sql.types.StructType,
       maxRetries: Int = 20): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
       if (schemaLine(lines).isDefined) return v
+      // NO field ids here: the staged CTAS data was already written
+      // under the id-less schema, and stamping ids now would make the
+      // id-matching read miss every column of those files. The table
+      // stays name-matched until [[materializeFieldIds]] upgrades it.
       if (tryCommit(spark, table, v + 1,
           metaLines(lines, "schema", Some(schema)) ++
             lines.filterNot(_.startsWith("#")))) return v + 1
@@ -373,19 +469,22 @@ object VersionedTable {
       s"write to $table carries columns not in the table schema: " +
         extras.map(_.name).mkString(", ") +
         " — drop them or pass evolveSchema=true")
+    // aliases carry the declared field METADATA (the parquet field id),
+    // so staged parquet files physically record each column's id
     val cols = declared.fields.map { tf =>
       byName.get(key(tf.name)) match {
         case None =>
           require(tf.nullable, s"write to $table omits non-nullable " +
             s"column ${tf.name}")
-          lit(null).cast(tf.dataType).as(tf.name)
-        case Some(sf) if sf.dataType == tf.dataType => col(sf.name).as(tf.name)
+          lit(null).cast(tf.dataType).as(tf.name, tf.metadata)
+        case Some(sf) if sf.dataType == tf.dataType =>
+          col(sf.name).as(tf.name, tf.metadata)
         case Some(sf) =>
           require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(
             sf.dataType, tf.dataType),
             s"write to $table cannot losslessly cast column ${sf.name} " +
               s"from ${sf.dataType.simpleString} to ${tf.dataType.simpleString}")
-          col(sf.name).cast(tf.dataType).as(tf.name)
+          col(sf.name).cast(tf.dataType).as(tf.name, tf.metadata)
       }
     } ++ extras.map(f => col(f.name))
     (df.select(cols.toSeq: _*), extras.toSeq)
@@ -400,7 +499,18 @@ object VersionedTable {
       : Option[org.apache.spark.sql.types.StructType] = {
     def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
     val have = declared.fieldNames.map(key).toSet
+    // schema-merge columns get NO field id, deliberately: their data
+    // files are staged BEFORE the widening commit, so a pre-assigned id
+    // could collide with a concurrent writer's (two racers both stamp
+    // id N onto different columns — the reader would then serve one
+    // writer's data under the other's name). Id-less fields match by
+    // NAME on read (per-field fallback), exactly the pre-id contract;
+    // columns added via [[addColumns]] (schema commit BEFORE any file
+    // carries them) do get ids and stay renameable.
     val add = extras.filterNot(f => have.contains(key(f.name)))
+      .map(f => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(FieldIdKey).build()))
     if (add.isEmpty) None
     else Some(org.apache.spark.sql.types.StructType(declared.fields ++ add))
   }
@@ -581,7 +691,7 @@ object VersionedTable {
         staged.foreach(n => f.delete(new Path(table, n), false))
         return v
       }
-      val next = lines.filter(l => l.startsWith(SchemaPrefix) ||
+      val next = lines.filter(l => l.startsWith(SchemaPrefix) || l.startsWith(FidPrefix) ||
         l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix) ||
         l.startsWith(PropPrefix)) ++
         txnLines(txns + (writerId -> epoch)) :+ (OpPrefix + "append")
@@ -613,7 +723,7 @@ object VersionedTable {
         files.foreach(n => f.delete(new Path(table, n), false))
         return v
       }
-      val next = lines.filter(l => l.startsWith(SchemaPrefix) ||
+      val next = lines.filter(l => l.startsWith(SchemaPrefix) || l.startsWith(FidPrefix) ||
         l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix) ||
         l.startsWith(PropPrefix)) ++
         txnLines(txns + (writerId -> epoch)) :+ (OpPrefix + "append")
@@ -789,6 +899,129 @@ object VersionedTable {
     }
   }
 
+  /** TRUE change-data-feed: every commit in `(fromVersion, toVersion]`
+    * as row-level changes tagged `_change_type` (insert /
+    * update_preimage / update_postimage / delete) + `_commit_version` —
+    * the Delta CDF shape, so an incremental consumer survives
+    * UPDATE / MERGE / DELETE / merge-on-read commits without a resync
+    * (unlike [[readChanges]], the appended-rows feed that fails loudly
+    * on them).
+    *
+    * Derivation is bounded by each commit's TOUCHED files, never the
+    * table: a copy-on-write commit diffs its removed files (read under
+    * the PREVIOUS manifest's delete layers) against its written
+    * replacements (under the new layers) with `EXCEPT ALL`; a
+    * merge-on-read commit diffs only the files its new layer lines can
+    * reach (equality: file version <= bound; position: the files named
+    * in the staged positions). Compactions and watermark-only commits
+    * contribute nothing. Ops without write-time row identity surface an
+    * updated row as delete + insert (same final state for any keyed
+    * consumer); `update` commits keep the precise
+    * update_preimage/update_postimage labels.
+    *
+    * REPLACE TABLE changes the schema mid-feed — the one boundary a
+    * single-schema feed cannot represent; it throws (resync from a
+    * snapshot). Needs the manifests in range retained, like
+    * [[readChanges]].
+    */
+  def readChangesCDF(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long = Long.MaxValue,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val f = fs(spark, table)
+    val (vMax, _) = latest(spark, table)
+    val hi = math.min(toVersion, vMax)
+    val need = (math.max(fromVersion, 0L) to hi).filter(_ >= 1)
+    val missing = need.filterNot(v => f.exists(commitPath(table, v)))
+    if (missing.nonEmpty)
+      throw new NoSuchElementException(
+        s"CDF ($fromVersion, $toVersion] of $table needs vacuumed " +
+          s"manifest(s) ${missing.mkString(", ")} — retention must cover " +
+          "consumer lag")
+    val raws: Map[Long, Seq[String]] =
+      need.map(v => v -> readManifestRaw(f, table, v)).toMap +
+        (0L -> Seq.empty[String])
+    val declared = schema.orElse(tableSchema(spark, table))
+    def tag(df: DataFrame, tpe: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_version", lit(v))
+    val parts = need.filter(_ > fromVersion).flatMap { v =>
+      val raw = raws(v)
+      val prevRaw = raws(v - 1)
+      val cur = raw.filterNot(_.startsWith("#"))
+      val prev = prevRaw.filterNot(_.startsWith("#"))
+      val removed = prev.filterNot(cur.contains)
+      val added = cur.filterNot(prev.contains)
+      val op = raw.collectFirst {
+        case l if l.startsWith(OpPrefix) => l.drop(OpPrefix.length)
+      }
+      val layerChanged = deleteLayer(raw) != deleteLayer(prevRaw)
+      if (op.contains("replace-table"))
+        throw new UnsupportedOperationException(
+          s"CDF hit REPLACE TABLE at v$v of $table: the feed's schema " +
+            "changed — resync from a snapshot")
+      if (removed.isEmpty && added.isEmpty && !layerChanged) None
+      else if (op.contains("compact") || (op.isEmpty && removed.nonEmpty))
+        None // pure rewrite (or pre-marker compaction shape)
+      else if (removed.isEmpty && !layerChanged)
+        Some(tag(readFiles(spark, table, added, declared), "insert", v))
+      else {
+        // row-level commit: diff only the touched rows
+        val (candPrev, candCur) =
+          if (removed.nonEmpty || added.nonEmpty) (removed, added)
+          else {
+            // merge-on-read: candidates = files the NEW layer lines reach
+            val newDel = delLines(raw).toSet -- delLines(prevRaw).toSet
+            val newPos = delPosLines(raw).toSet -- delPosLines(prevRaw).toSet
+            val fv = fileVersions(spark, table)
+            val eqCand =
+              if (newDel.isEmpty) Nil
+              else {
+                val maxDv = newDel.map(_._2).max
+                cur.filter(n => fv.getOrElse(n, Long.MaxValue) <= maxDv)
+              }
+            val posCand =
+              if (newPos.isEmpty) Nil
+              else newPos.toSeq.flatMap(n =>
+                spark.read.parquet(s"$table/$n").select("__vt_file")
+                  .distinct().collect().map(_.getString(0)))
+                .filter(cur.contains)
+            val cand = (eqCand ++ posCand).distinct
+            (cand, cand)
+          }
+        val pre = readFilesDeleteAware(spark, table, candPrev, declared,
+          delLines(prevRaw), keepFileCol = false,
+          posDels = delPosLines(prevRaw))
+        val post = readFilesDeleteAware(spark, table, candCur, declared,
+          delLines(raw), keepFileCol = false, posDels = delPosLines(raw))
+        val preD = pre.exceptAll(post)
+        val postD = post.exceptAll(pre)
+        op match {
+          case Some("update") =>
+            Some(tag(preD, "update_preimage", v)
+              .unionByName(tag(postD, "update_postimage", v)))
+          case Some("delete") | Some("delete-mor") =>
+            Some(tag(preD, "delete", v))
+          case _ =>
+            Some(tag(preD, "delete", v).unionByName(tag(postD, "insert", v)))
+        }
+      }
+    }
+    if (parts.isEmpty) {
+      val base = declared.orElse {
+        val (_, files) = latest(spark, table)
+        if (files.nonEmpty)
+          Some(spark.read.parquet(s"$table/${files.head}").schema)
+        else None
+      }.getOrElse(throw new IllegalArgumentException(
+        s"no changes in ($fromVersion, $toVersion] and no schema " +
+          s"available for empty CDF of $table — pass schema="))
+      tag(readFiles(spark, table, Nil, Some(base)), "insert", 0L)
+        .where(lit(false))
+    } else parts.reduce(_ unionByName _)
+  }
+
   /** Internal snapshot read for rewrite paths (compact/upsert/update/
     * delete/replaceWhere): always under the declared schema when one
     * exists, so rewrites of pre-evolution files materialize the evolved
@@ -932,7 +1165,10 @@ object VersionedTable {
     if (files.nonEmpty) {
       // an explicit schema (the declared table schema) makes files
       // written BEFORE a column was added read it as null — and skips
-      // the footer-sampling schema-inference job entirely
+      // the footer-sampling schema-inference job entirely. Id-carrying
+      // schemas resolve physical columns by FIELD ID (renames work),
+      // falling back to name for pre-id files.
+      ensureFieldIdRead(spark, schema)
       val reader = schema.fold(spark.read)(sc => spark.read.schema(sc))
       reader.parquet(files.map(n => s"$table/$n"): _*)
     } else schema match {
@@ -981,7 +1217,8 @@ object VersionedTable {
             .sortWithinPartitions("__graft_z")
             .drop("__graft_z")
         }
-      val compacted = stage(spark, clustered, table)
+      val compacted = stage(spark,
+        stampFieldIds(clustered, schemaLine(lines)), table)
       commitRaceHook()
       val (v2, lines2) = latestRaw(spark, table)
       val files2 = lines2.filterNot(_.startsWith("#"))
@@ -1012,7 +1249,7 @@ object VersionedTable {
   // ---------- row-level operations (copy-on-write) ----------
 
   /** Footer-only parquet metadata read (no data pages). */
-  private[sources] def readParquetFooter(
+  private[graft] def readParquetFooter(
       conf: org.apache.hadoop.conf.Configuration,
       file: Path): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1264,7 +1501,7 @@ object VersionedTable {
             val survivors = existing.join(
               updates.select(col(key)).where(col(key).isNotNull).distinct(),
               Seq(key), "left_anti")
-            stage(spark, survivors, table)
+            stage(spark, stampFieldIds(survivors, schemaLine(lines)), table)
           }
         lastRewritten = rewritten
         commitRaceHook()
@@ -1281,7 +1518,7 @@ object VersionedTable {
           fileIntersects(conf, new Path(table, n), key, lo, hi, isString))
         val meta = txn match {
           case Some((w, e)) =>
-            lines2.filter(l => l.startsWith(SchemaPrefix) ||
+            lines2.filter(l => l.startsWith(SchemaPrefix) || l.startsWith(FidPrefix) ||
               l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix) ||
               l.startsWith(PropPrefix)) ++
               txnLines(txnMap(lines2) + (w -> e)) :+ (OpPrefix + "upsert")
@@ -1352,7 +1589,8 @@ object VersionedTable {
         case (df, (c, expr)) =>
           df.withColumn(c, when(hit, expr).otherwise(col(c)))
       }
-      val rewritten = stage(spark, rewrittenDf, table)
+      val rewritten = stage(spark,
+        stampFieldIds(rewrittenDf, schemaLine(lines)), table)
       commitRaceHook()
       val (v2, lines2) = latestRaw(spark, table)
       val files2 = lines2.filterNot(_.startsWith("#"))
@@ -1385,7 +1623,8 @@ object VersionedTable {
       predicate: org.apache.spark.sql.Column,
       maxRetries: Int = 20): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-    val newFiles = stage(spark, df, table)
+    val newFiles = stage(spark,
+      stampFieldIds(df, schemaLine(latestRaw(spark, table)._2)), table)
     var attempt = 0
     while (attempt < maxRetries) {
       val (_, lines) = latestRaw(spark, table)
@@ -1401,7 +1640,8 @@ object VersionedTable {
           else {
             val survivors = snapRead(spark, table, aff, lines)
               .where(not(coalesce(predicate, lit(false))))
-            (aff, stage(spark, survivors, table))
+            (aff, stage(spark,
+              stampFieldIds(survivors, schemaLine(lines)), table))
           }
         }
       commitRaceHook()
@@ -1452,6 +1692,46 @@ object VersionedTable {
     throw new IllegalStateException(s"overwrite lost $maxRetries commit races")
   }
 
+  /** REPLACE TABLE: one atomic commit whose snapshot is exactly `df`
+    * under a brand-new declared `schema` — data AND schema flip
+    * together (unlike [[overwrite]], which keeps the declared schema).
+    * Old versions stay time-travelable under their own schemas; pending
+    * delete layers and properties of the old incarnation drop; writer
+    * txn watermarks CARRY (a restarted streaming writer must not replay
+    * its epochs into the replaced table). The new schema gets fresh
+    * field ids past the `#fid` high-water mark, so the new incarnation
+    * is rename/drop-ready and can never alias old files' ids.
+    */
+  def replaceTable(spark: SparkSession, df: DataFrame, table: String,
+      schema0: org.apache.spark.sql.types.StructType,
+      maxRetries: Int = 20): Long = {
+    require(schema0.nonEmpty, s"cannot replace $table with an empty schema")
+    // ids resolved ONCE before staging (files are written with them);
+    // the commit's #fid only ever moves UP past concurrent allocations
+    val bare = org.apache.spark.sql.types.StructType(schema0.fields.map(f =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(FieldIdKey).build())))
+    val fid0 = fidOf(latestRaw(spark, table)._2)
+    val (idFields, fid) = assignIds(bare.fields.toSeq, fid0)
+    val schema = org.apache.spark.sql.types.StructType(idFields.toArray)
+    val aligned = alignToSchema(df, schema, evolve = false, table)._1
+    val staged = stage(spark, aligned, table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      val meta = lines.filter(_.startsWith(TxnPrefix)) ++
+        Seq(SchemaPrefix + schema.json,
+          FidPrefix + math.max(fid, fidOf(lines)),
+          OpPrefix + "replace-table")
+      if (tryCommit(spark, table, v + 1, meta ++ staged)) return v + 1
+      attempt += 1
+    }
+    val f = fs(spark, table)
+    staged.foreach(n => f.delete(new Path(table, n), false))
+    throw new IllegalStateException(
+      s"replaceTable lost $maxRetries commit races")
+  }
+
   /** Row-level DELETE: removes rows where `predicate` is TRUE (SQL
     * semantics — null keeps). Copy-on-write like [[upsert]]: one
     * pruned-and-pushed-down scan finds the files that actually contain
@@ -1475,7 +1755,8 @@ object VersionedTable {
       if (affected.isEmpty) return v
       val survivors = snapRead(spark, table, affected, lines)
         .where(not(coalesce(predicate, lit(false))))
-      val rewritten = stage(spark, survivors, table)
+      val rewritten = stage(spark,
+        stampFieldIds(survivors, schemaLine(lines)), table)
       commitRaceHook()
       val (v2, lines2) = latestRaw(spark, table)
       val files2 = lines2.filterNot(_.startsWith("#"))
@@ -1571,7 +1852,7 @@ object VersionedTable {
       }
       val meta = txn match {
         case Some((w, e)) =>
-          lines.filter(l => l.startsWith(SchemaPrefix) ||
+          lines.filter(l => l.startsWith(SchemaPrefix) || l.startsWith(FidPrefix) ||
             l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix) ||
             l.startsWith(PropPrefix)) ++
             txnLines(txnMap(lines) + (w -> e)) :+ (OpPrefix + "delete-mor")
@@ -1649,6 +1930,171 @@ object VersionedTable {
         staged.foreach(n => f.delete(new Path(table, n), false))
         throw e
     }
+  }
+
+  /** Does every current data file physically carry parquet field ids?
+    * Footer-only check — the gate for rename/drop: a file WITHOUT ids
+    * can only match by name, so a rename would silently null its
+    * column. Conservative: unreadable footers count as id-less.
+    */
+  private def filesCarryFieldIds(spark: SparkSession, table: String,
+      files: Seq[String]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.forall { n =>
+      try readParquetFooter(conf, new Path(table, n))
+        .getFileMetaData.getSchema.getFields.asScala.forall(_.getId != null)
+      catch { case _: Exception => false }
+    }
+  }
+
+  /** Resolve a column name against `sc` case-insensitively (Spark's
+    * resolver); throws if absent.
+    */
+  private def resolveField(sc: org.apache.spark.sql.types.StructType,
+      name: String, table: String): org.apache.spark.sql.types.StructField =
+    sc.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such column '$name' in $table (have: " +
+          sc.fieldNames.mkString(", ") + ")"))
+
+  /** Upgrade a table WITHOUT parquet field ids to the id-carrying form
+    * rename/drop evolution needs: ONE commit that (a) stamps fresh ids
+    * onto every declared field lacking one and (b) replaces every data
+    * file with a rewrite carrying the ids physically — the two must
+    * flip together, because an id-carrying schema nulls/refuses id-less
+    * files. Reads the snapshot under the CURRENT (name-matched) schema,
+    * so no data is lost in the rewrite. OCC like [[compact]], including
+    * the delete-layer conflict check; the pending layer is applied by
+    * the rewrite (dropDeletes). Tables born via [[create]] never need
+    * this; CTAS/declareSchema tables do, once, before their first
+    * rename/drop. No-op (returns the current version) if the schema
+    * already has ids everywhere.
+    */
+  def materializeFieldIds(spark: SparkSession, table: String,
+      numFiles: Int, maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      val declared = schemaLine(lines).getOrElse(throw new IllegalStateException(
+        s"materializeFieldIds needs a declared schema on $table"))
+      if (declared.fields.forall(f => fieldId(f).isDefined)) return v
+      val (idFields, fid) = assignIds(declared.fields.toSeq,
+        math.max(fidOf(lines), maxFieldId(declared)))
+      val idSchema = org.apache.spark.sql.types.StructType(idFields.toArray)
+      val files = lines.filterNot(_.startsWith("#"))
+      if (files.isEmpty) {
+        // metadata-only flip: nothing to rewrite
+        if (tryCommit(spark, table, v + 1,
+            metaLines(lines, "schema", Some(idSchema), newFid = Some(fid))))
+          return v + 1
+        attempt += 1
+      } else {
+        val snapshot = snapRead(spark, table, files, lines)
+        val rewritten = stage(spark,
+          stampFieldIds(snapshot.repartition(numFiles), Some(idSchema)),
+          table)
+        commitRaceHook()
+        val (v2, lines2) = latestRaw(spark, table)
+        val files2 = lines2.filterNot(_.startsWith("#"))
+        // same conflict rules as compact: every input file still live,
+        // delete layer unchanged; raced appends CANNOT rebase here
+        // (they'd stay id-less under the new schema) — strict equality
+        val committed =
+          files2.toSet == files.toSet &&
+            deleteLayer(lines2) == deleteLayer(lines) &&
+            tryCommit(spark, table, v2 + 1,
+              metaLines(lines2, "schema", Some(idSchema),
+                dropDeletes = true, newFid = Some(fid)) ++ rewritten)
+        if (committed) return v2 + 1
+        val f = fs(spark, table)
+        rewritten.foreach(n => f.delete(new Path(table, n), false))
+        attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"materializeFieldIds lost $maxRetries commit races")
+  }
+
+  /** RENAME COLUMN: a metadata-only commit replacing the declared
+    * schema — the field keeps its parquet field ID, so every data file
+    * written under the old name still resolves (reads match physical
+    * columns by id, not name). Time travel shows each snapshot under
+    * the names it was committed with. Refuses when any current data
+    * file predates field ids (match-by-name would silently null the
+    * renamed column) — run [[compact]] first to rewrite files under the
+    * id-carrying schema. Also refuses while a pending equality-delete
+    * layer keys on the column (its manifest line stores the NAME).
+    */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String, maxRetries: Int = 20): Long = {
+    require(to.nonEmpty && !to.contains("\n"), "bad target name")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      val declared = schemaLine(lines).getOrElse(throw new IllegalStateException(
+        s"renameColumn needs a declared schema on $table"))
+      val target = resolveField(declared, from, table)
+      require(!declared.fields.exists(f => (f ne target) &&
+        f.name.equalsIgnoreCase(to)),
+        s"column '$to' already exists in $table")
+      require(fieldId(target).isDefined,
+        s"column '$from' of $table has no field id — run " +
+          "VersionedTable.materializeFieldIds first (schema-merge " +
+          "evolution columns stay name-matched)")
+      val files = lines.filterNot(_.startsWith("#"))
+      require(filesCarryFieldIds(spark, table, files),
+        s"$table has data files without physical field ids — a rename " +
+          "would break their reads; run VersionedTable.materializeFieldIds " +
+          "first")
+      require(!delLines(lines).exists(_._3.exists(_.equalsIgnoreCase(from))),
+        s"a pending merge-on-read delete layer keys on '$from' — run " +
+          "VersionedTable.compact to materialize it first")
+      val renamed = org.apache.spark.sql.types.StructType(
+        declared.fields.map(f =>
+          if (f ne target) f else f.copy(name = to)))
+      if (tryCommit(spark, table, v + 1,
+          metaLines(lines, "schema", Some(renamed)) ++ files)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"renameColumn lost $maxRetries commit races")
+  }
+
+  /** DROP COLUMN: a metadata-only commit narrowing the declared schema.
+    * Data files keep the physical column; reads simply never request
+    * it. The `#fid` high-water mark is PRESERVED, so a later re-add of
+    * the same name gets a fresh id and old files' dropped data can
+    * never resurrect under it. Same file-id gate as [[renameColumn]]
+    * (a re-added column would otherwise name-match old physical data),
+    * and refuses while a pending equality-delete layer keys on the
+    * column.
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String,
+      maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      val declared = schemaLine(lines).getOrElse(throw new IllegalStateException(
+        s"dropColumn needs a declared schema on $table"))
+      val target = resolveField(declared, name, table)
+      require(declared.fields.length > 1,
+        s"cannot drop the only column of $table")
+      val files = lines.filterNot(_.startsWith("#"))
+      require(filesCarryFieldIds(spark, table, files),
+        s"$table has data files without physical field ids — run " +
+          "VersionedTable.materializeFieldIds first")
+      require(!delLines(lines).exists(_._3.exists(_.equalsIgnoreCase(name))),
+        s"a pending merge-on-read delete layer keys on '$name' — run " +
+          "VersionedTable.compact to materialize it first")
+      val narrowed = org.apache.spark.sql.types.StructType(
+        declared.fields.filterNot(_ eq target))
+      if (tryCommit(spark, table, v + 1,
+          metaLines(lines, "schema", Some(narrowed)) ++ files)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"dropColumn lost $maxRetries commit races")
   }
 
   private def manifestLinesAt(spark: SparkSession, table: String,

@@ -166,6 +166,59 @@ object VersionedSink {
     srcV
   }
 
+  /** Incremental keyed REPLICATION over the true change-data-feed:
+    * unlike [[pipe]]/[[pipeUpsert]] (append-only feeds that throw on a
+    * row-level source commit), this consumes
+    * [[VersionedTable.readChangesCDF]] and applies it to `dst` —
+    * inserts/update-postimages upsert by `key`, deletes remove by key —
+    * so UPDATE / MERGE / DELETE / merge-on-read commits on the source
+    * need NO resync. Exactly-once with zero external state: the upsert
+    * and delete sub-applies each carry their own txn watermark
+    * (`writerId#u` / `writerId#d`) at epoch = source version, so a
+    * crash between them resumes precisely where it stopped. `transform`
+    * maps the CDF frame (still carrying `_change_type`) before apply —
+    * filter/project but keep the column. Returns the source version now
+    * reflected in `dst`.
+    *
+    * Per-key ordering caveat: within ONE consumed range the apply is
+    * last-write-wins by key (a delete then re-insert of a key across
+    * separate commits applies in commit order because CDF rows carry
+    * `_commit_version` and the apply folds them in version order).
+    */
+  def replicateCDF(spark: org.apache.spark.sql.SparkSession, src: String,
+      dst: String, writerId: String, key: String,
+      transform: DataFrame => DataFrame = identity): Long = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val from = math.min(
+      VersionedTable.lastCommittedEpoch(spark, dst, writerId + "#u")
+        .getOrElse(0L),
+      VersionedTable.lastCommittedEpoch(spark, dst, writerId + "#d")
+        .getOrElse(0L))
+    val (srcV, _) = VersionedTable.latest(spark, src)
+    if (srcV <= from) return from
+    val cdf = transform(
+      VersionedTable.readChangesCDF(spark, src, from, srcV))
+    // fold to each key's LAST action in the range (commit order; within
+    // a commit an update's postimage beats its preimage)
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col("_commit_version").desc,
+        // postimage/insert sorts before preimage/delete at equal version
+        col("_change_type").isin("insert", "update_postimage").desc)
+    val last = cdf.withColumn("__rn", row_number().over(rank))
+      .where(col("__rn") === 1).drop("__rn")
+    val ups = last
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type", "_commit_version")
+    val dels = last.where(col("_change_type") === "delete")
+      .select(col(key))
+    VersionedTable.upsert(spark, ups, dst, key,
+      txn = Some((writerId + "#u", srcV)))
+    VersionedTable.deleteByKeys(spark, dst, dels,
+      txn = Some((writerId + "#d", srcV)))
+    srcV
+  }
+
   /** Start a streaming append of `df` into `table` with exactly-once
     * micro-batch commits. `writerId` must be stable across restarts of
     * the same logical query (it scopes the replay-detection watermark).

@@ -76,6 +76,60 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(described.contains("score"))
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN: field-id evolution through SQL") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.evo2")
+    sql("CREATE TABLE gcat.evo2.t (k BIGINT, v STRING)")
+    sql("INSERT INTO gcat.evo2.t VALUES (1, 'a'), (2, 'b')")
+    sql("ALTER TABLE gcat.evo2.t RENAME COLUMN v TO label")
+    // pre-rename files resolve by field id under the new name
+    assert(sql("SELECT k, label FROM gcat.evo2.t ORDER BY k")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    sql("INSERT INTO gcat.evo2.t VALUES (3, 'c')")
+    sql("ALTER TABLE gcat.evo2.t DROP COLUMN label")
+    assert(sql("SELECT * FROM gcat.evo2.t").schema.fieldNames.toSeq ===
+      Seq("k"))
+    // re-added name: fresh id, no resurrection of dropped data
+    sql("ALTER TABLE gcat.evo2.t ADD COLUMNS (label STRING)")
+    assert(sql("SELECT label FROM gcat.evo2.t WHERE label IS NOT NULL")
+      .count() === 0L)
+  }
+
+  test("CREATE OR REPLACE TABLE: atomic data+schema flip, old versions " +
+      "time-travelable, failed replace leaves the table intact") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.rep")
+    sql("CREATE TABLE gcat.rep.t (k BIGINT, v STRING)")
+    sql("INSERT INTO gcat.rep.t VALUES (1, 'a'), (2, 'b')")
+    val vOld = VersionedTable.latest(spark, s"$wh/rep/t")._1
+    // replace with a DIFFERENT schema
+    sql("CREATE OR REPLACE TABLE gcat.rep.t AS SELECT id AS n FROM range(3)")
+    assert(sql("SELECT * FROM gcat.rep.t").schema.fieldNames.toSeq ===
+      Seq("n"))
+    assert(sql("SELECT sum(n) FROM gcat.rep.t").as[Long].head() === 3L)
+    // the old incarnation is still time-travelable under its own schema
+    val old = sql(s"SELECT * FROM gcat.rep.t VERSION AS OF $vOld")
+    assert(old.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(old.count() === 2L)
+    // a FAILED replace leaves the current table untouched
+    intercept[Exception] {
+      sql("CREATE OR REPLACE TABLE gcat.rep.t AS " +
+        "SELECT raise_error('boom') AS x FROM range(3)")
+    }
+    assert(sql("SELECT * FROM gcat.rep.t").schema.fieldNames.toSeq ===
+      Seq("n"))
+    assert(sql("SELECT count(*) FROM gcat.rep.t").as[Long].head() === 3L)
+    // plain REPLACE TABLE (no AS SELECT): empty table under new schema
+    sql("REPLACE TABLE gcat.rep.t (x DOUBLE, y STRING)")
+    assert(sql("SELECT * FROM gcat.rep.t").schema.fieldNames.toSeq ===
+      Seq("x", "y"))
+    assert(sql("SELECT count(*) FROM gcat.rep.t").as[Long].head() === 0L)
+    // the replaced incarnation is renameable (fresh field ids)
+    sql("ALTER TABLE gcat.rep.t RENAME COLUMN y TO label")
+    assert(sql("SELECT * FROM gcat.rep.t").schema.fieldNames.toSeq ===
+      Seq("x", "label"))
+  }
+
   test("table properties: SET/UNSET TBLPROPERTIES persist in the " +
       "manifest and survive data commits") {
     wh

@@ -72,6 +72,109 @@ class SchemaEvolutionSpec extends SparkTestBase {
     }
   }
 
+  test("renameColumn: old files resolve by field id under the new name; " +
+      "time travel keeps per-snapshot names; writes align; DSv2 agrees") {
+    val t = tmp()
+    VersionedTable.create(spark, t, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    val vData = VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    VersionedTable.renameColumn(spark, t, "v", "label")
+    // the physical column is still named "v" in the data file — the id
+    // carried in the declared schema resolves it under the new name
+    val now = VersionedTable.read(spark, t).orderBy("k")
+    assert(now.schema.fieldNames.toSeq === Seq("k", "label"))
+    assert(now.as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    // time travel: the pre-rename snapshot reads under its own names
+    val old = VersionedTable.read(spark, t, vData)
+    assert(old.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(old.orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    // writes against the renamed schema align by the NEW name
+    VersionedTable.append(spark, Seq((3L, "c")).toDF("k", "label"), t)
+    assert(VersionedTable.read(spark, t).orderBy("k")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the DSv2 scan resolves ids the same way — pre- and post-rename
+    // files in one scan, no nulls
+    val v2 = spark.read.format("graft-table").load(t).orderBy("k")
+    assert(v2.schema.fieldNames.toSeq === Seq("k", "label"))
+    assert(v2.as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // refusals: collision and missing source
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, t, "label", "K")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, t, "nope", "x")
+    }
+  }
+
+  test("dropColumn narrows reads; a re-added same-named column gets a " +
+      "fresh id — dropped data never resurrects") {
+    val t = tmp()
+    VersionedTable.create(spark, t, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("score", DoubleType))))
+    val vData = VersionedTable.append(spark,
+      Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("k", "v", "score"), t)
+    VersionedTable.dropColumn(spark, t, "score")
+    val now = VersionedTable.read(spark, t)
+    assert(now.schema.fieldNames.toSeq === Seq("k", "v"))
+    // re-add the SAME name: new field id — the old physical column's
+    // data must NOT surface under it
+    VersionedTable.addColumns(spark, t, Seq(StructField("score", DoubleType)))
+    val readd = VersionedTable.read(spark, t).orderBy("k")
+      .select("k", "score").as[(Long, Option[Double])].collect().toSeq
+    assert(readd === Seq((1L, None), (2L, None)))
+    VersionedTable.append(spark,
+      Seq((3L, "c", 9.9)).toDF("k", "v", "score"), t)
+    assert(VersionedTable.read(spark, t).orderBy("k")
+      .select("k", "score").as[(Long, Option[Double])].collect().toSeq ===
+      Seq((1L, None), (2L, None), (3L, Some(9.9))))
+    // time travel to before the drop still shows the original values
+    assert(VersionedTable.read(spark, t, vData).orderBy("k")
+      .select("score").as[Double].collect().toSeq === Seq(0.5, 1.5))
+    // rename after the re-add keeps both generations straight
+    VersionedTable.renameColumn(spark, t, "score", "quality")
+    assert(VersionedTable.read(spark, t).orderBy("k")
+      .select("quality").as[Option[Double]].collect().toSeq ===
+      Seq(None, None, Some(9.9)))
+  }
+
+  test("rename/drop refuse on id-less files and on pending delete-layer " +
+      "keys — materializeFieldIds/compact lift them") {
+    val t = tmp()
+    // legacy shape: first write declares no schema, files carry no ids
+    VersionedTable.append(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    VersionedTable.declareSchema(spark, t,
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, t, "v", "label")
+    }
+    assert(e.getMessage.contains("materializeFieldIds"))
+    // the one-commit upgrade: ids stamped on schema AND files together
+    VersionedTable.materializeFieldIds(spark, t, numFiles = 1)
+    VersionedTable.renameColumn(spark, t, "v", "label")
+    assert(VersionedTable.read(spark, t).orderBy("k")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    // pending equality layer keyed on a column blocks its rename
+    val t2 = tmp()
+    VersionedTable.create(spark, t2, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    VersionedTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t2)
+    VersionedTable.deleteByKeys(spark, t2, Seq(2L).toDF("k"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, t2, "k", "id")
+    }
+    assert(e2.getMessage.contains("delete layer"))
+    VersionedTable.compact(spark, t2, numFiles = 1)
+    VersionedTable.renameColumn(spark, t2, "k", "id")
+    assert(VersionedTable.read(spark, t2).schema.fieldNames.toSeq ===
+      Seq("id", "v"))
+  }
+
   test("write alignment: order/case-insensitive by name, missing nullable " +
       "columns null-fill, lossless upcasts, extras refused unless evolving") {
     val t = tmp()

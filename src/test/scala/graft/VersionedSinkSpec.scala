@@ -113,6 +113,62 @@ class VersionedSinkSpec extends SparkTestBase {
     assert(counts() === batch)
   }
 
+  test("readChangesCDF: row-level commits emit typed change rows, " +
+      "bounded to touched files") {
+    val t = Files.createTempDirectory("cdf").toString + "/t"
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t) // v1
+    VersionedTable.update(spark, t, col("k") === 2L,
+      Map("v" -> lit("B")))                                               // v2
+    VersionedTable.delete(spark, t, col("k") === 3L)                      // v3
+    VersionedTable.upsert(spark, Seq((1L, "A"), (9L, "i")).toDF("k", "v"),
+      t, "k")                                                             // v4
+    VersionedTable.deleteByKeys(spark, t, Seq(9L).toDF("k"))              // v5 (MoR)
+    val cdf = VersionedTable.readChangesCDF(spark, t, fromVersion = 1L)
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(cdf === Set(
+      (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L),
+      (3L, "c", "delete", 3L),
+      (1L, "a", "delete", 4L), (1L, "A", "insert", 4L),
+      (9L, "i", "insert", 4L),
+      (9L, "i", "delete", 5L)))
+    // the insert-only prefix matches the plain changefeed
+    val inserts = VersionedTable.readChangesCDF(spark, t, 0L, 1L)
+    assert(inserts.where(col("_change_type") =!= "insert").count() === 0L)
+    assert(inserts.count() === 3L)
+  }
+
+  test("replicateCDF: a keyed mirror survives update/delete/merge-on-read " +
+      "source commits — incremental apply == snapshot, replay-safe") {
+    val base = Files.createTempDirectory("repl").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    def snapshot(t: String) = VersionedTable.read(spark, t)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), src)
+    VersionedSink.replicateCDF(spark, src, dst, "mirror", "k")
+    assert(snapshot(dst) === snapshot(src))
+    // row-level source commits: update + CoW delete + upsert + MoR delete
+    VersionedTable.update(spark, src, col("k") === 2L, Map("v" -> lit("B")))
+    VersionedTable.delete(spark, src, col("k") === 3L)
+    VersionedTable.upsert(spark,
+      Seq((1L, "A"), (9L, "i")).toDF("k", "v"), src, "k")
+    VersionedTable.deleteByKeys(spark, src, Seq(9L).toDF("k"))
+    val v = VersionedSink.replicateCDF(spark, src, dst, "mirror", "k")
+    assert(snapshot(dst) === snapshot(src))
+    assert(snapshot(dst) === Seq((1L, "A"), (2L, "B")))
+    // replay: nothing changed, watermarks hold, dst identical
+    assert(VersionedSink.replicateCDF(spark, src, dst, "mirror", "k") === v)
+    assert(snapshot(dst) === Seq((1L, "A"), (2L, "B")))
+    // delete-then-reinsert across commits lands on the re-insert
+    VersionedTable.deleteByKeys(spark, src, Seq(1L).toDF("k"))
+    VersionedTable.append(spark, Seq((1L, "a2")).toDF("k", "v"), src)
+    VersionedSink.replicateCDF(spark, src, dst, "mirror", "k")
+    assert(snapshot(dst) === snapshot(src))
+  }
+
   test("upsertExactlyOnce: CDC apply — merge per batch, replay-safe") {
     val t = Files.createTempDirectory("vsink_cdc").toString + "/t"
     val sink = VersionedSink.upsertExactlyOnce(t, "k", "cdc")
