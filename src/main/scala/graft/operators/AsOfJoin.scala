@@ -377,6 +377,19 @@ object AsOfJoin {
     * under every strategy (kept with nulls, or dropped when `inner`).
     * Call [[backward]]/[[merge]] directly for pandas null-matching.
     */
+  /** @param skewSampleFraction when > 0 (and exactly one equi key, big
+    *   right side), sample the left side at this fraction to detect HOT
+    *   keys (≥ `hotKeyFraction` of sampled rows). Hot keys would
+    *   otherwise land on ONE reducer of the merge exec's hash exchange
+    *   (a 50% key ⇒ one task does half the join); detected hot keys
+    *   are re-routed through the map-side broadcast strategy — their
+    *   right-side rows collapse to per-key sorted arrays and every left
+    *   partition probes them in place, so the hot key's work spreads
+    *   over ALL left partitions — and the two branches union. Off (0.0)
+    *   by default: detection costs one sampling job per call.
+    * @param hotKeyFraction sampled-share threshold above which a key
+    *   counts as hot.
+    */
   def auto(
       left: DataFrame,
       right: DataFrame,
@@ -387,14 +400,44 @@ object AsOfJoin {
       inner: Boolean = false,
       numBuckets: Int = 64,
       broadcastThreshold: Long = 10L << 20,
-      bucketWidthMicros: Long = 0L): DataFrame = {
+      bucketWidthMicros: Long = 0L,
+      skewSampleFraction: Double = 0.0,
+      hotKeyFraction: Double = 0.2): DataFrame = {
     val r = by.foldLeft(right) { case (d, (_, rk)) => d.where(col(rk).isNotNull) }
     val rightSize = r.queryExecution.optimizedPlan.stats.sizeInBytes
     if (rightSize <= broadcastThreshold)
       broadcastBackward(left, r, leftTime, rightTime, by, valueCols, inner)
-    else if (by.nonEmpty)
-      merge(left, r, leftTime, rightTime, by, valueCols, inner)
-    else
+    else if (by.nonEmpty) {
+      val hot: Seq[Any] =
+        if (skewSampleFraction <= 0.0 || by.length != 1) Nil
+        else {
+          val lk = by.head._1
+          val counts = left.sample(skewSampleFraction)
+            .where(col(lk).isNotNull)
+            .groupBy(col(lk)).count().collect()
+          val total = counts.map(_.getLong(1)).sum
+          if (total == 0L) Nil
+          else counts.filter(_.getLong(1) >= hotKeyFraction * total)
+            .map(_.get(0)).toSeq
+        }
+      if (hot.isEmpty) merge(left, r, leftTime, rightTime, by, valueCols, inner)
+      else {
+        val (lk, rk) = by.head
+        // hot keys take the shuffle-free map-side path; the long tail
+        // keeps the one-exchange merge path. Branch predicates are
+        // map-side filters on both sides — no extra shuffle.
+        // null-keyed left rows stay on the cold branch (unmatched-but-
+        // kept outer semantics): a bare !isin would three-value them
+        // out of BOTH branches
+        val cold = merge(left.where(col(lk).isNull || !col(lk).isin(hot: _*)),
+          r.where(!col(rk).isin(hot: _*)),
+          leftTime, rightTime, by, valueCols, inner)
+        val hotPart = broadcastBackward(left.where(col(lk).isin(hot: _*)),
+          r.where(col(rk).isin(hot: _*)),
+          leftTime, rightTime, by, valueCols, inner)
+        cold.unionByName(hotPart)
+      }
+    } else
       backward(left, r, leftTime, rightTime, by, valueCols, inner,
         numBuckets, bucketWidthMicros)
   }

@@ -218,7 +218,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
     if (!isTable(dir)) false
-    else fsys.delete(dir, true)
+    else {
+      VersionedTable.invalidateCache(dir.toString)
+      fsys.delete(dir, true)
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -228,6 +231,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
     if (newIdent.namespace.nonEmpty && !fsys.exists(nsPath(newIdent.namespace)))
       throw new NoSuchNamespaceException(newIdent.namespace)
+    VersionedTable.invalidateCache(from.toString)
+    VersionedTable.invalidateCache(to.toString)
     if (!fsys.rename(from, to)) throw new java.io.IOException(
       s"failed to rename $from to $to")
   }
@@ -274,6 +279,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       override def abortStagedChanges(): Unit = {
         // nothing was committed under this ident unless the write's
         // append landed; an aborted CTAS removes the whole staged dir
+        VersionedTable.invalidateCache(path)
         fsys.delete(dir, true)
         ()
       }

@@ -232,12 +232,47 @@ object VersionedTable {
       org.apache.spark.sql.types.DataType.fromJson(l.drop(SchemaPrefix.length))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  // Manifests are IMMUTABLE once published (written exactly once via an
+  // atomic no-overwrite primitive), so their contents cache for the
+  // driver's lifetime: multi-action jobs (append→upsert→delete→compact→
+  // changefeed) re-walk the chain per action, and fileVersions walks
+  // EVERY version — each walk is pure cache hits after the first. LRU-
+  // bounded; the only paths that can re-bind a (table, version) key to
+  // new content — DROP TABLE / RENAME / CTAS-abort re-creating a dir —
+  // must call [[invalidateCache]].
+  private val ManifestCacheMax = 8192
+  private val manifestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), Seq[String]](
+        64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), Seq[String]]): Boolean =
+          size() > ManifestCacheMax
+      })
+
+  /** Drop cached manifests of `table` — required before a path can be
+    * REUSED for different content (drop/rename/abort-and-recreate).
+    */
+  def invalidateCache(table: String): Unit = {
+    val it = manifestCache.keySet().iterator()
+    val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    manifestCache.synchronized {
+      while (it.hasNext) { val k = it.next(); if (k._1 == table) keep += k }
+      keep.foreach(manifestCache.remove)
+    }
+  }
+
   private def readManifestRaw(f: FileSystem, table: String, v: Long): Seq[String] = {
+    val key = (table, v)
+    val hit = manifestCache.get(key)
+    if (hit != null) return hit
     val p = commitPath(table, v)
     val data = new Array[Byte](f.getFileStatus(p).getLen.toInt)
     val in = f.open(p)
     try in.readFully(data) finally in.close()
-    new String(data, "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+    val lines = new String(data, "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+    manifestCache.put(key, lines)
+    lines
   }
 
   private def readManifest(f: FileSystem, table: String, v: Long): Seq[String] =
@@ -1445,8 +1480,15 @@ object VersionedTable {
       s"upsert key must be integral or string, got $keyType")
     val norm = if (isString) updates
       else updates.withColumn(key, col(key).cast(LongType))
-    val b = norm.agg(smin(col(key)), smax(col(key))).head()
+    // the update-key projection drives the bounds agg AND every retry's
+    // anti-join — materialize it ONCE instead of re-deriving `updates`
+    // (often an expensive upstream frame) per consumer. NOT distinct:
+    // left_anti ignores duplicate build keys, and dropping the
+    // distinct saves a whole shuffle per upsert
+    val updKeys = norm.select(col(key)).where(col(key).isNotNull).persist()
+    val b = updKeys.agg(smin(col(key)), smax(col(key))).head()
     if (b.isNullAt(0)) {
+      updKeys.unpersist()
       // no non-null keys: pure insert (or nothing at all). With a txn
       // the watermark must still advance — the batch WAS processed —
       // so route through the idempotent append.
@@ -1498,9 +1540,7 @@ object VersionedTable {
             // them a fresh name/higher file version that escapes both
             // layer types — silently resurrecting deleted rows
             val existing = snapRead(spark, table, affected, lines)
-            val survivors = existing.join(
-              updates.select(col(key)).where(col(key).isNotNull).distinct(),
-              Seq(key), "left_anti")
+            val survivors = existing.join(updKeys, Seq(key), "left_anti")
             stage(spark, stampFieldIds(survivors, schemaLine(lines)), table)
           }
         lastRewritten = rewritten
@@ -1553,7 +1593,7 @@ object VersionedTable {
         (newFiles ++ lastRewritten)
           .foreach(n => f.delete(new Path(table, n), false))
         throw e
-    }
+    } finally updKeys.unpersist()
   }
 
   /** Row-level UPDATE: SET `assignments` on rows matching `predicate`

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** Skew hardening for the as-of auto() path: a hot key that would land
+  * on one reducer of the merge exec's exchange re-routes through the
+  * map-side broadcast strategy, output identical.
+  */
+class AsOfSkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 60% of left rows on ONE key — the shape that puts >half the merge
+  // exec's work on a single task
+  private def leftDf = spark.range(100000).select(
+    when(col("id") % 10 < 6, lit("HOT"))
+      .otherwise(concat(lit("k"), (col("id") % 997).cast("string")))
+      .as("k"),
+    (col("id") * 1000L).as("t"),
+    col("id").as("x"))
+
+  private def rightDf = spark.range(20000).select(
+    when(col("id") % 10 < 6, lit("HOT"))
+      .otherwise(concat(lit("k"), (col("id") % 997).cast("string")))
+      .as("k"),
+    (col("id") * 5000L).as("rt"),
+    (col("id") * 2L).as("v"))
+
+  test("hot key through auto(): broadcast re-route, output == merge, " +
+      "nulls and cold keys intact") {
+    val plain = AsOfJoin.merge(leftDf, rightDf, "t", "rt",
+      by = Seq("k" -> "k"), valueCols = Seq("v" -> "v"))
+      .select("k", "t", "x", "v")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    // broadcastThreshold=1 forces the big-right planning branch; the
+    // sampler then detects HOT (60% of rows) and splits the plan
+    val skewed = AsOfJoin.auto(leftDf, rightDf, "t", "rt",
+      by = Seq("k" -> "k"), valueCols = Seq("v" -> "v"),
+      broadcastThreshold = 1L, skewSampleFraction = 0.02)
+    val plan = skewed.queryExecution.executedPlan.toString
+    // both branches present: the cold tail keeps the merge exec, the
+    // hot key rides a broadcast (its work spreads over all left
+    // partitions instead of one reducer)
+    assert(plan.contains("AsOfMergeJoin"), s"cold branch missing:\n$plan")
+    assert(plan.toLowerCase.contains("broadcast"),
+      s"hot branch not broadcast:\n$plan")
+    val got = skewed.select("k", "t", "x", "v")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(got === plain)
+    // a null-keyed left row survives on the cold branch (outer semantics)
+    val lNull = leftDf.unionByName(
+      Seq((null.asInstanceOf[String], 1L, -1L)).toDF("k", "t", "x"))
+    val withNull = AsOfJoin.auto(lNull, rightDf, "t", "rt",
+      by = Seq("k" -> "k"), valueCols = Seq("v" -> "v"),
+      broadcastThreshold = 1L, skewSampleFraction = 0.02)
+    assert(withNull.where(col("k").isNull).count() === 1L)
+    assert(withNull.count() === 100001L)
+  }
+
+  test("no hot key detected: auto() keeps the single merge plan") {
+    val uniform = spark.range(50000).select(
+      concat(lit("k"), (col("id") % 997).cast("string")).as("k"),
+      (col("id") * 1000L).as("t"), col("id").as("x"))
+    val planned = AsOfJoin.auto(uniform, rightDf, "t", "rt",
+      by = Seq("k" -> "k"), valueCols = Seq("v" -> "v"),
+      broadcastThreshold = 1L, skewSampleFraction = 0.02)
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"))
+    assert(!plan.toLowerCase.contains("broadcastexchange"),
+      s"uniform keys must not split the plan:\n$plan")
+  }
+}
