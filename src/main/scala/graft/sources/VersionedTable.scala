@@ -250,15 +250,50 @@ object VersionedTable {
           size() > ManifestCacheMax
       })
 
+  // Resolved delete-layer bitmaps cache the same way (the resolution
+  // depends only on a pinned manifest + immutable files — vacuum's
+  // clamp keeps even file-version attribution semantics stable), so
+  // repeated scans of a layered table pay the plan-time resolution job
+  // once per VERSION, not per query. Oversized maps skip the cache.
+  private val BitmapCacheMax = 64
+  private val BitmapCacheEntryMaxBytes = 16L << 20
+  private val bitmapCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, String),
+          Map[String, PositionBitmap]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, String),
+              Map[String, PositionBitmap]]): Boolean =
+          size() > BitmapCacheMax
+      })
+
+  private def cachedBitmaps(table: String, v: Long, kind: String)(
+      compute: => Map[String, PositionBitmap]): Map[String, PositionBitmap] = {
+    val key = (table, v, kind)
+    val hit = bitmapCache.get(key)
+    if (hit != null) return hit
+    val m = compute
+    if (m.valuesIterator.map(_.estimatedBytes).sum <= BitmapCacheEntryMaxBytes)
+      bitmapCache.put(key, m)
+    m
+  }
+
   /** Drop cached manifests of `table` — required before a path can be
     * REUSED for different content (drop/rename/abort-and-recreate).
     */
   def invalidateCache(table: String): Unit = {
-    val it = manifestCache.keySet().iterator()
-    val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     manifestCache.synchronized {
+      val it = manifestCache.keySet().iterator()
+      val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       while (it.hasNext) { val k = it.next(); if (k._1 == table) keep += k }
       keep.foreach(manifestCache.remove)
+    }
+    bitmapCache.synchronized {
+      val it = bitmapCache.keySet().iterator()
+      val keep =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+      while (it.hasNext) { val k = it.next(); if (k._1 == table) keep += k }
+      keep.foreach(bitmapCache.remove)
     }
   }
 
@@ -2170,12 +2205,15 @@ object VersionedTable {
   private[graft] def pendingPositionDeletes(spark: SparkSession,
       table: String, version: Option[Long] = None,
       maxBytes: Long = 256L << 20): Map[String, PositionBitmap] = {
-    val posFiles = delPosLines(manifestLinesAt(spark, table, version))
+    val v = version.getOrElse(latest(spark, table)._1)
+    val posFiles = delPosLines(manifestLinesAt(spark, table, Some(v)))
     if (posFiles.isEmpty) return Map.empty
-    val df = posFiles.map(n => spark.read.parquet(s"$table/$n")
-        .select("__vt_file", "__vt_pos"))
-      .reduce(_ unionByName _)
-    collectBitmaps(spark, df, table, maxBytes)
+    cachedBitmaps(table, v, "pos") {
+      val df = posFiles.map(n => spark.read.parquet(s"$table/$n")
+          .select("__vt_file", "__vt_pos"))
+        .reduce(_ unionByName _)
+      collectBitmaps(spark, df, table, maxBytes)
+    }
   }
 
   /** (file, pos) rows → per-file compressed bitmaps, built on the
@@ -2218,7 +2256,16 @@ object VersionedTable {
   private[graft] def pendingEqualityDeletePositions(spark: SparkSession,
       table: String, version: Option[Long] = None,
       maxBytes: Long = 256L << 20): Map[String, PositionBitmap] = {
-    val lines = manifestLinesAt(spark, table, version)
+    val v = version.getOrElse(latest(spark, table)._1)
+    val lines = manifestLinesAt(spark, table, Some(v))
+    if (delLines(lines).isEmpty) return Map.empty
+    cachedBitmaps(table, v, "eq") {
+      resolveEqualityDeletes(spark, table, lines, maxBytes)
+    }
+  }
+
+  private def resolveEqualityDeletes(spark: SparkSession, table: String,
+      lines: Seq[String], maxBytes: Long): Map[String, PositionBitmap] = {
     import org.apache.spark.sql.functions._
     val dels = delLines(lines)
     if (dels.isEmpty) return Map.empty

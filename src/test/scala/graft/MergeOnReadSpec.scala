@@ -398,6 +398,65 @@ class MergeOnReadSpec extends SparkTestBase {
       (0L until 64L by 8L).toSeq)
   }
 
+  test("property: rewrites raced by MoR deletes converge to the " +
+      "sequential order (race-injected reference model)") {
+    // every rewrite kind, with a deleteByKeys randomly injected into
+    // its OCC window (after staging, before the conflict check): the
+    // retry must apply the raced layer — the model treats the injected
+    // delete as committed FIRST, then the op. Fails on either data loss
+    // (layer dropped) or resurrection (rewrite escaping the layer).
+    val rnd = new scala.util.Random(20260813L)
+    val t = tmp()
+    var model = Map.empty[Long, String]
+    def sync(step: String): Unit =
+      assert(rows(t).toMap === model, s"diverged after $step")
+    val init = (0L until 50L).map(k => (k, s"v$k"))
+    VersionedTable.append(spark, init.toDF("k", "v").coalesce(2), t)
+    model ++= init
+    (0 until 12).foreach { i =>
+      val injected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      if (rnd.nextBoolean()) {
+        val delKeys = Seq.fill(3)(rnd.between(0L, 60L)).distinct
+        var fired = false
+        VersionedTable.commitRaceHook = () =>
+          if (!fired) {
+            fired = true
+            VersionedTable.deleteByKeys(spark, t, delKeys.toDF("k"))
+            injected ++= delKeys
+          }
+      }
+      val step =
+        try rnd.nextInt(4) match {
+          case 0 =>
+            val ups = Seq.fill(4)(rnd.between(0L, 60L)).distinct
+              .map(k => (k, s"u$i-$k"))
+            VersionedTable.upsert(spark, ups.toDF("k", "v"), t, "k")
+            model = model -- injected ++ ups
+            s"upsert($ups raced=$injected)"
+          case 1 =>
+            val lo = rnd.between(0L, 55L)
+            VersionedTable.delete(spark, t,
+              col("k") >= lo && col("k") < lo + 5)
+            model = (model -- injected)
+              .filterNot { case (k, _) => k >= lo && k < lo + 5 }
+            s"delete[$lo,${lo + 5}) raced=$injected"
+          case 2 =>
+            VersionedTable.compact(spark, t, 2)
+            model = model -- injected
+            s"compact raced=$injected"
+          case 3 =>
+            val fresh = Seq((100L + i, s"a$i"))
+            VersionedTable.append(spark, fresh.toDF("k", "v"), t)
+            // appends have no race window hook; a pending injection
+            // never fired — discard it
+            injected.clear()
+            model ++= fresh
+            s"append($fresh)"
+        } finally VersionedTable.commitRaceHook = () => ()
+      sync(step)
+    }
+  }
+
   test("time travel reads the delete layer as of each version") {
     val t = tmp()
     VersionedTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t) // v1
