@@ -79,6 +79,12 @@ object FileReadShim {
 
   def emptyInternalRow: InternalRow = InternalRow.empty
 
+  /** Table-relative names of the files in a [[FilePartition]] (for
+    * factories that dispatch by file kind).
+    */
+  def partitionFileNames(p: InputPartition): Seq[String] =
+    p.asInstanceOf[FilePartition].files.toSeq.map(_.toPath.getName)
+
   /** Wrap a reader factory to SKIP the rows named by a position-delete
     * layer: `dead` is a BROADCAST (one copy per executor, not one per
     * task closure) of file NAME → compressed ordinal bitmap.

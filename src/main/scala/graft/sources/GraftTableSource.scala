@@ -68,6 +68,15 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val table = tablePath(options)
+    if (options.getBoolean(GraftTableScan.ReadChangeFeedOption, false))
+      return GraftTableScan.cdfSchema(
+        VersionedTable.tableSchema(spark, table).getOrElse {
+          val files = VersionedTable.latest(spark, table)._2
+          require(files.nonEmpty,
+            s"graft-table CDF at $table has no committed data to infer " +
+              "a schema from")
+          spark.read.parquet(s"$table/${files.head}").schema
+        })
     val asOf = Option(options.get(GraftTableScan.VersionAsOfOption))
       .map(_.toLong)
     // declared schema first: it is authoritative on evolved tables (data
@@ -91,9 +100,36 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new GraftTable(
-      tablePath(new CaseInsensitiveStringMap(properties)), schema)
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    if (opts.getBoolean(GraftTableScan.ReadChangeFeedOption, false))
+      new GraftCdfTable(tablePath(opts), StructType(schema.fields.filterNot(
+        f => f.name == VersionedTable.ChangeTypeCol ||
+          f.name == GraftTableScan.VersionCol)))
+    else new GraftTable(tablePath(opts), schema)
+  }
+}
+
+/** The CHANGE-DATA-FEED view of a table
+  * (`option("readChangeFeed", true)`): rows are typed changes —
+  * data columns + `_change_type` + `_commit_version` — served straight
+  * from each commit's files: appends read their added files (insert),
+  * row-level commits read the exact CDC file they wrote at commit time
+  * (table property `graft.enableChangeDataFeed=true`); a row-level
+  * commit WITHOUT a CDC file fails loudly (enable the property, or
+  * resync from a snapshot). Batch reads take
+  * `startingVersion`/`endingVersion`; streaming uses the same
+  * version-offset machinery as the plain source.
+  */
+private[sources] class GraftCdfTable(path: String, dataSchema: StructType)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-table-cdf `$path`"
+  @annotation.nowarn("cat=deprecation")
+  override def schema(): StructType = GraftTableScan.cdfSchema(dataSchema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftCdfScan(path, dataSchema, options)
 }
 
 private[sources] class GraftTable(path: String, dataSchema: StructType,
@@ -303,6 +339,13 @@ private[sources] object GraftTableScan {
     * `VERSION AS OF 3` via [[GraftCatalog]] (options are lower-cased).
     */
   val VersionAsOfOption = "versionasof"
+  /** reader option selecting the change-data-feed view. */
+  val ReadChangeFeedOption = "readchangefeed"
+  /** CDF output: data columns + change type + commit version. */
+  def cdfSchema(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields ++ Seq(
+      StructField(VersionedTable.ChangeTypeCol, StringType, nullable = false),
+      StructField(VersionCol, LongType, nullable = false)))
   val MetaCols: Seq[StructField] = Seq(
     StructField(VersionCol, LongType, nullable = false),
     StructField(FileCol, StringType, nullable = false))
@@ -542,6 +585,108 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
       override def stop(): Unit = ()
     }
   }
+}
+
+/** The CDF scan: file-served typed changes. Output order is
+  * (data..., _change_type, _commit_version) from BOTH partition kinds —
+  * append partitions read data columns and append (type, version) as
+  * partition values; CDC partitions read (data..., _change_type)
+  * physically and append (version).
+  */
+private[sources] class GraftCdfScan(path: String, dataSchema: StructType,
+    options: CaseInsensitiveStringMap) extends Scan {
+
+  private def spark = SparkSession.active
+
+  override def readSchema(): StructType = GraftTableScan.cdfSchema(dataSchema)
+  override def description(): String = s"graft-table CDF $path"
+
+  private val ignoreRowLevel =
+    options.getBoolean("ignorerowlevelchanges", false)
+
+  private def plan(from: Long, to: Long): Array[InputPartition] = {
+    val f = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VersionedTable.cdfFilesBetween(spark, path, from, to, ignoreRowLevel)
+      .zipWithIndex.map { case ((v, name, isCdc), i) =>
+        val p = new Path(path, name)
+        val values: Seq[Any] =
+          if (isCdc) Seq(v) else Seq("insert", v)
+        FileReadShim.filePartitionValues(i,
+          Seq((p.toString, f.getFileStatus(p).getLen, values)))
+      }.toArray
+  }
+
+  private def dispatchFactory: PartitionReaderFactory = {
+    val insertFactory = FileReadShim.parquetReaderFactory(spark, dataSchema,
+      StructType(Seq(
+        StructField(VersionedTable.ChangeTypeCol, StringType,
+          nullable = false),
+        StructField(GraftTableScan.VersionCol, LongType, nullable = false))))
+    val cdcFactory = FileReadShim.parquetReaderFactory(spark,
+      StructType(dataSchema.fields :+
+        StructField(VersionedTable.ChangeTypeCol, StringType)),
+      StructType(Seq(
+        StructField(GraftTableScan.VersionCol, LongType, nullable = false))))
+    new PartitionReaderFactory {
+      override def supportColumnarReads(p: InputPartition): Boolean = false
+      override def createReader(p: InputPartition)
+          : org.apache.spark.sql.connector.read.PartitionReader[
+            org.apache.spark.sql.catalyst.InternalRow] = {
+        val names = FileReadShim.partitionFileNames(p)
+        if (names.forall(_.startsWith("cdc-"))) cdcFactory.createReader(p)
+        else insertFactory.createReader(p)
+      }
+    }
+  }
+
+  override def toBatch: Batch = new Batch {
+    private val from = Option(options.get("startingversion"))
+      .map(_.toLong).getOrElse(0L)
+    private val to = Option(options.get("endingversion"))
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    override def planInputPartitions(): Array[InputPartition] = plan(from, to)
+    override def createReaderFactory(): PartitionReaderFactory =
+      dispatchFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+      @volatile private var pinned: Option[Long] = None
+      private val maxVersions =
+        Option(options.get("maxversionspertrigger")).map(_.toLong)
+      override def prepareForTriggerAvailableNow(): Unit =
+        pinned = Some(VersionedTable.latest(spark, path)._1)
+      override def initialOffset(): Offset =
+        VersionOffset(Option(options.get("startingversion"))
+          .map(_.toLong).getOrElse(0L))
+      override def latestOffset(): Offset =
+        VersionOffset(pinned.getOrElse(VersionedTable.latest(spark, path)._1))
+      override def latestOffset(start: Offset,
+          limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+          : Offset = {
+        val target = pinned.getOrElse(VersionedTable.latest(spark, path)._1)
+        val from = start.asInstanceOf[VersionOffset].version
+        VersionOffset(maxVersions match {
+          case Some(m) => math.min(from + m, target)
+          case None => target
+        })
+      }
+      override def reportLatestOffset(): Offset =
+        VersionOffset(VersionedTable.latest(spark, path)._1)
+      override def deserializeOffset(json: String): Offset =
+        VersionOffset.fromJson(json)
+      override def planInputPartitions(start: Offset,
+          end: Offset): Array[InputPartition] =
+        plan(start.asInstanceOf[VersionOffset].version,
+          end.asInstanceOf[VersionOffset].version)
+      override def createReaderFactory(): PartitionReaderFactory =
+        dispatchFactory
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+    }
 }
 
 /** Streaming offset = committed manifest version. */

@@ -87,6 +87,14 @@ object VersionedTable {
   //    new ids. The mark never regresses — a column re-added after a
   //    DROP gets a FRESH id, so old files' dropped data can never
   //    resurrect under the new column (Iceberg's field-id rule).
+  //  - "#cdc <file>": a staged parquet holding THIS commit's exact
+  //    row-level changes (declared columns + `_change_type`), written
+  //    at commit time when the table property
+  //    `graft.enableChangeDataFeed=true` — Delta's CDC-file design: the
+  //    feed is READ, not derived, so streaming consumers tail
+  //    update/delete/merge commits as plain file scans. Per-commit,
+  //    never carried; vacuum keeps the file while its manifest is
+  //    retained.
   private val TxnPrefix = "#txn "
   private val OpPrefix = "#op "
   private val SchemaPrefix = "#schema "
@@ -94,6 +102,19 @@ object VersionedTable {
   private val DelPosPrefix = "#delpos "
   private val PropPrefix = "#prop "
   private val FidPrefix = "#fid "
+  private val CdcPrefix = "#cdc "
+
+  /** The table property that turns on write-time CDC files. */
+  val CdcProperty = "graft.enableChangeDataFeed"
+
+  /** `_change_type` column name in CDC files / the CDF output. */
+  val ChangeTypeCol = "_change_type"
+
+  private[sources] def cdcLines(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(CdcPrefix)).map(_.drop(CdcPrefix.length))
+
+  private def cdcEnabled(lines: Seq[String]): Boolean =
+    propMap(lines).get(CdcProperty).exists(_.trim.equalsIgnoreCase("true"))
 
   /** StructField metadata key Spark's parquet writer/reader natively
     * map to the parquet schema's field_id (write: always on for graft
@@ -184,6 +205,17 @@ object VersionedTable {
           }
         }.toSeq: _*)
     }
+
+  /** Stage this commit's exact change rows (declared columns +
+    * `_change_type`) as CDC files, when the table property gates CDF
+    * on. Returns the staged table-relative names (to ride the commit
+    * as `#cdc` lines, and to clean up on a lost race).
+    */
+  private def stageCdcIfEnabled(spark: SparkSession, table: String,
+      lines: Seq[String], changes: => DataFrame): Seq[String] =
+    if (!cdcEnabled(lines)) Nil
+    else stage(spark, stampFieldIds(changes, schemaLine(lines)), table,
+      prefix = "cdc-")
 
   /** Spark's parquet field-id READ matching is gated by a session conf
     * that per-read options cannot override (ParquetFileFormat stamps it
@@ -902,8 +934,10 @@ object VersionedTable {
       } else raw.collectFirst {
         case l if l.startsWith(OpPrefix) => l.drop(OpPrefix.length)
       } match {
-        // compaction (or a pre-marker manifest): pure rewrite, no change
-        case Some("compact") | None => None
+        // compaction, materializeFieldIds (a "schema" op WITH
+        // replacements — same rows, id-stamped files), or a pre-marker
+        // manifest: pure rewrite, no row change
+        case Some("compact") | Some("schema") | None => None
         case Some(rowOp) =>
           // an upsert/delete changed rows inside rewritten files — an
           // appended-rows feed CANNOT represent that. Fail loudly (the
@@ -969,6 +1003,64 @@ object VersionedTable {
     }
   }
 
+  /** FILE-level CDF planning for the DSv2 feed: `(version, file,
+    * isCdc)` triples for commits in `(fromVersion, min(toVersion,
+    * latest)]` — append commits contribute their added data files
+    * (`isCdc=false`, the reader synthesizes `_change_type='insert'`),
+    * row-level commits contribute the exact CDC file they wrote at
+    * commit time (`isCdc=true`, `_change_type` is physical). A
+    * row-level commit WITHOUT a CDC file cannot be served as files —
+    * fail loudly (enable [[CdcProperty]] before the commit, or resync)
+    * unless `ignoreRowLevel`. Pure rewrites contribute nothing;
+    * REPLACE TABLE throws (schema boundary).
+    */
+  private[sources] def cdfFilesBetween(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long = Long.MaxValue,
+      ignoreRowLevel: Boolean = false): Seq[(Long, String, Boolean)] = {
+    val f = fs(spark, table)
+    val (vMax, _) = latest(spark, table)
+    val hi = math.min(toVersion, vMax)
+    val need = (math.max(fromVersion, 0L) to hi).filter(_ >= 1)
+    val missing = need.filterNot(v => f.exists(commitPath(table, v)))
+    if (missing.nonEmpty)
+      throw new NoSuchElementException(
+        s"CDF ($fromVersion, $toVersion] of $table needs vacuumed " +
+          s"manifest(s) ${missing.mkString(", ")} — retention must cover " +
+          "consumer lag")
+    val raws: Map[Long, Seq[String]] =
+      need.map(v => v -> readManifestRaw(f, table, v)).toMap +
+        (0L -> Seq.empty[String])
+    need.filter(_ > fromVersion).flatMap { v =>
+      val raw = raws(v)
+      val prevRaw = raws(v - 1)
+      val cur = raw.filterNot(_.startsWith("#"))
+      val prev = prevRaw.filterNot(_.startsWith("#")).toSet
+      val removed = prev -- cur
+      val added = cur.filterNot(prev)
+      val op = raw.collectFirst {
+        case l if l.startsWith(OpPrefix) => l.drop(OpPrefix.length)
+      }
+      val layerChanged = deleteLayer(raw) != deleteLayer(prevRaw)
+      val cdc = cdcLines(raw)
+      if (op.contains("replace-table"))
+        throw new UnsupportedOperationException(
+          s"CDF hit REPLACE TABLE at v$v of $table: the feed's schema " +
+            "changed — resync from a snapshot")
+      if (op.contains("compact") || op.contains("schema") ||
+          (op.isEmpty && removed.nonEmpty && cdc.isEmpty)) Nil
+      else if (cdc.nonEmpty) cdc.map(n => (v, n, true))
+      else if (removed.isEmpty && !layerChanged)
+        added.map(n => (v, n, false))
+      else if (ignoreRowLevel) Nil
+      else throw new UnsupportedOperationException(
+        s"CDF hit row-level '${op.getOrElse("?")}' commit v$v of $table " +
+          "with no CDC file — set table property " +
+          s"$CdcProperty=true before row-level commits (so they write " +
+          "their changes), or resync from a snapshot / opt in to " +
+          "skipping them (ignoreRowLevelChanges)")
+    }
+  }
+
   /** TRUE change-data-feed: every commit in `(fromVersion, toVersion]`
     * as row-level changes tagged `_change_type` (insert /
     * update_preimage / update_postimage / delete) + `_commit_version` —
@@ -1031,9 +1123,20 @@ object VersionedTable {
         throw new UnsupportedOperationException(
           s"CDF hit REPLACE TABLE at v$v of $table: the feed's schema " +
             "changed — resync from a snapshot")
-      if (removed.isEmpty && added.isEmpty && !layerChanged) None
-      else if (op.contains("compact") || (op.isEmpty && removed.nonEmpty))
-        None // pure rewrite (or pre-marker compaction shape)
+      val cdc = cdcLines(raw)
+      if (op.contains("compact") || op.contains("schema") ||
+          (op.isEmpty && removed.nonEmpty && cdc.isEmpty))
+        None // pure rewrite (compact / materializeFieldIds / pre-marker)
+      else if (cdc.nonEmpty) {
+        // the commit WROTE its exact changes (CDF property on): read
+        // them — no derivation, precise update pre/post pairing
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        val sc = declared.map(d =>
+          StructType(d.fields :+ StructField(ChangeTypeCol, StringType)))
+        Some(readFiles(spark, table, cdc, sc)
+          .withColumn("_commit_version", lit(v)))
+      }
+      else if (removed.isEmpty && added.isEmpty && !layerChanged) None
       else if (removed.isEmpty && !layerChanged)
         Some(tag(readFiles(spark, table, added, declared), "insert", v))
       else {
@@ -1450,24 +1553,61 @@ object VersionedTable {
       op: String, maxRetries: Int = 20,
       expectedLayer: Option[Set[String]] = None): Long = {
     var attempt = 0
-    while (attempt < maxRetries) {
-      val (v, lines) = latestRaw(spark, table)
-      val files = lines.filterNot(_.startsWith("#"))
-      // a raced delete-LAYER commit changes no data file but the
-      // replacement files would escape it (fresh names/higher version),
-      // so it conflicts exactly like a moved snapshot
-      if (files.toSet != expectedSnapshot.toSet ||
-          expectedLayer.exists(_ != deleteLayer(lines)))
-        throw new java.util.ConcurrentModificationException(
-          s"$op of $table: snapshot changed since the statement's scan — " +
-            "re-run the statement")
-      if (tryCommit(spark, table, v + 1,
-          metaLines(lines, op) ++
-            files.filterNot(remove.contains) ++ add)) return v + 1
-      attempt += 1
+    var cdcFiles: Seq[String] = Nil
+    var cdcStaged = false
+    try {
+      while (attempt < maxRetries) {
+        val (v, lines) = latestRaw(spark, table)
+        val files = lines.filterNot(_.startsWith("#"))
+        // a raced delete-LAYER commit changes no data file but the
+        // replacement files would escape it (fresh names/higher version),
+        // so it conflicts exactly like a moved snapshot
+        if (files.toSet != expectedSnapshot.toSet ||
+            expectedLayer.exists(_ != deleteLayer(lines)))
+          throw new java.util.ConcurrentModificationException(
+            s"$op of $table: snapshot changed since the statement's scan — " +
+              "re-run the statement")
+        if (!cdcStaged && (remove.nonEmpty || add.nonEmpty)) {
+          cdcStaged = true
+          // SQL rewrites only hand over final rows — derive this
+          // commit's changes from its touched files (EXCEPT ALL under
+          // the pinned layers), labeled by op like readChangesCDF
+          cdcFiles = stageCdcIfEnabled(spark, table, lines, {
+            import org.apache.spark.sql.functions.lit
+            val declared = schemaLine(lines)
+            val pre = readFilesDeleteAware(spark, table, remove, declared,
+              delLines(lines), keepFileCol = false,
+              posDels = delPosLines(lines))
+            val post = readFiles(spark, table, add, declared)
+            val preD = pre.exceptAll(post)
+            val postD = post.exceptAll(pre)
+            op match {
+              case "update" =>
+                preD.withColumn(ChangeTypeCol, lit("update_preimage"))
+                  .unionByName(postD.withColumn(ChangeTypeCol,
+                    lit("update_postimage")))
+              case "delete" =>
+                preD.withColumn(ChangeTypeCol, lit("delete"))
+              case _ =>
+                preD.withColumn(ChangeTypeCol, lit("delete"))
+                  .unionByName(postD.withColumn(ChangeTypeCol,
+                    lit("insert")))
+            }
+          })
+        }
+        if (tryCommit(spark, table, v + 1,
+            metaLines(lines, op) ++ cdcFiles.map(CdcPrefix + _) ++
+              files.filterNot(remove.contains) ++ add)) return v + 1
+        attempt += 1
+      }
+      throw new IllegalStateException(
+        s"$op lost $maxRetries commit races for $table")
+    } catch {
+      case e: Throwable =>
+        val f = fs(spark, table)
+        cdcFiles.foreach(n => f.delete(new Path(table, n), false))
+        throw e
     }
-    throw new IllegalStateException(
-      s"$op lost $maxRetries commit races for $table")
   }
 
   /** Keyed UPSERT (merge): rows of `updates` REPLACE current rows with
@@ -1578,7 +1718,26 @@ object VersionedTable {
             val survivors = existing.join(updKeys, Seq(key), "left_anti")
             stage(spark, stampFieldIds(survivors, schemaLine(lines)), table)
           }
-        lastRewritten = rewritten
+        val cdc = stageCdcIfEnabled(spark, table, lines, {
+          // write-time rows give EXACT pre/post pairing (the derivation
+          // fallback can only say delete+insert): replaced rows are
+          // update_preimage, their new versions update_postimage,
+          // unmatched update rows plain inserts
+          import org.apache.spark.sql.functions.lit
+          if (affected.isEmpty)
+            updates.withColumn(ChangeTypeCol, lit("insert"))
+          else {
+            val existing = snapRead(spark, table, affected, lines)
+            val pre = existing.join(updKeys, Seq(key), "left_semi")
+            val preKeys = pre.select(col(key))
+            pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(updates.join(preKeys, Seq(key), "left_semi")
+                .withColumn(ChangeTypeCol, lit("update_postimage")))
+              .unionByName(updates.join(preKeys, Seq(key), "left_anti")
+                .withColumn(ChangeTypeCol, lit("insert")))
+          }
+        })
+        lastRewritten = rewritten ++ cdc
         commitRaceHook()
         val (v2, lines2) = latestRaw(spark, table)
         val files2 = lines2.filterNot(_.startsWith("#"))
@@ -1606,11 +1765,11 @@ object VersionedTable {
           affected.forall(files2.contains) &&
           deleteLayer(lines2) == deleteLayer(lines) &&
             tryCommit(spark, table, v2 + 1,
-              meta ++
+              meta ++ cdc.map(CdcPrefix + _) ++
                 files2.filterNot(affected.contains) ++ rewritten ++ newFiles)
         if (committed) return v2 + 1
         val f = fs(spark, table)
-        rewritten.foreach(n => f.delete(new Path(table, n), false))
+        (rewritten ++ cdc).foreach(n => f.delete(new Path(table, n), false))
         lastRewritten = Nil
         attempt += 1
       }
@@ -1666,6 +1825,17 @@ object VersionedTable {
       }
       val rewritten = stage(spark,
         stampFieldIds(rewrittenDf, schemaLine(lines)), table)
+      val cdc = stageCdcIfEnabled(spark, table, lines, {
+        // apply the assignments to the PRE rows (the hit predicate is
+        // over original columns, so it must not re-evaluate post-SET)
+        val pre = snapRead(spark, table, affected, lines).where(hit)
+        val post = assignments.foldLeft(pre) {
+          case (df, (c, expr)) => df.withColumn(c, expr)
+        }
+        pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(post.withColumn(ChangeTypeCol,
+            lit("update_postimage")))
+      })
       commitRaceHook()
       val (v2, lines2) = latestRaw(spark, table)
       val files2 = lines2.filterNot(_.startsWith("#"))
@@ -1676,11 +1846,11 @@ object VersionedTable {
         files2.toSet == files.toSet &&
           deleteLayer(lines2) == deleteLayer(lines) &&
           tryCommit(spark, table, v2 + 1,
-            metaLines(lines2, "update") ++
+            metaLines(lines2, "update") ++ cdc.map(CdcPrefix + _) ++
               files2.filterNot(affected.contains) ++ rewritten)
       if (committed) return v2 + 1
       val f = fs(spark, table)
-      rewritten.foreach(n => f.delete(new Path(table, n), false))
+      (rewritten ++ cdc).foreach(n => f.delete(new Path(table, n), false))
       attempt += 1
     }
     throw new IllegalStateException(s"update lost $maxRetries commit races")
@@ -1719,6 +1889,17 @@ object VersionedTable {
               stampFieldIds(survivors, schemaLine(lines)), table))
           }
         }
+      val cdc = stageCdcIfEnabled(spark, table, lines, {
+        import org.apache.spark.sql.functions.lit
+        val inserts = df.withColumn(ChangeTypeCol, lit("insert"))
+        if (affected.isEmpty) inserts
+        else snapRead(spark, table, affected, lines)
+          .where(coalesce(predicate, lit(false)))
+          .withColumn(ChangeTypeCol, lit("delete"))
+          // df need not carry every declared column (reads null-fill) —
+          // the CDC rows mirror that
+          .unionByName(inserts, allowMissingColumns = true)
+      })
       commitRaceHook()
       val (v2, lines2) = latestRaw(spark, table)
       val files2 = lines2.filterNot(_.startsWith("#"))
@@ -1726,11 +1907,11 @@ object VersionedTable {
         files2.toSet == files.toSet &&
           deleteLayer(lines2) == deleteLayer(lines) &&
           tryCommit(spark, table, v2 + 1,
-            metaLines(lines2, "replace") ++
+            metaLines(lines2, "replace") ++ cdc.map(CdcPrefix + _) ++
               files2.filterNot(affected.contains) ++ rewritten ++ newFiles)
       if (committed) return v2 + 1
       val f = fs(spark, table)
-      rewritten.foreach(n => f.delete(new Path(table, n), false))
+      (rewritten ++ cdc).foreach(n => f.delete(new Path(table, n), false))
       attempt += 1
     }
     val f = fs(spark, table)
@@ -1832,6 +2013,10 @@ object VersionedTable {
         .where(not(coalesce(predicate, lit(false))))
       val rewritten = stage(spark,
         stampFieldIds(survivors, schemaLine(lines)), table)
+      val cdc = stageCdcIfEnabled(spark, table, lines,
+        snapRead(spark, table, affected, lines)
+          .where(coalesce(predicate, lit(false)))
+          .withColumn(ChangeTypeCol, lit("delete")))
       commitRaceHook()
       val (v2, lines2) = latestRaw(spark, table)
       val files2 = lines2.filterNot(_.startsWith("#"))
@@ -1846,11 +2031,11 @@ object VersionedTable {
         files2.toSet == files.toSet &&
           deleteLayer(lines2) == deleteLayer(lines) &&
           tryCommit(spark, table, v2 + 1,
-            metaLines(lines2, "delete") ++
+            metaLines(lines2, "delete") ++ cdc.map(CdcPrefix + _) ++
               files2.filterNot(affected.contains) ++ rewritten)
       if (committed) return v2 + 1
       val f = fs(spark, table)
-      rewritten.foreach(n => f.delete(new Path(table, n), false))
+      (rewritten ++ cdc).foreach(n => f.delete(new Path(table, n), false))
       attempt += 1
     }
     throw new IllegalStateException(s"delete lost $maxRetries commit races")
@@ -1935,9 +2120,24 @@ object VersionedTable {
       }
       val newDelLines = staged.map(n =>
         DelPrefix + ((n +: (v + 1).toString +: keyCols).mkString(" ")))
+      // CDF property on: record the exact rows this layer hides (the
+      // VISIBLE rows matching the keys) — costs one bounded scan, only
+      // when the table opted into the feed
+      val cdc =
+        if (noKeys) Nil
+        else stageCdcIfEnabled(spark, table, lines, {
+          import org.apache.spark.sql.functions.lit
+          val files = lines.filterNot(_.startsWith("#"))
+          readFilesDeleteAware(spark, table, files, schemaLine(lines),
+            delLines(lines), keepFileCol = false,
+            posDels = delPosLines(lines))
+            .join(clean, keyCols, "left_semi")
+            .withColumn(ChangeTypeCol, lit("delete"))
+        })
       if (tryCommit(spark, table, v + 1,
-          meta ++ newDelLines ++
+          meta ++ newDelLines ++ cdc.map(CdcPrefix + _) ++
             lines.filterNot(_.startsWith("#")))) return v + 1
+      cdc.foreach(n => f.delete(new Path(table, n), false))
       attempt += 1
     }
     staged.foreach(n => f.delete(new Path(table, n), false))
@@ -1979,11 +2179,17 @@ object VersionedTable {
         val (v, lines) = latestRaw(spark, table)
         val files = lines.filterNot(_.startsWith("#"))
         if (files.isEmpty) return v
-        val hits = snapReadWithFilePos(spark, table, files, lines)
+        val matched = snapReadWithFilePos(spark, table, files, lines)
           .where(predicate)
-          .select(col("__vt_file"), col("__vt_pos"))
+        val hits = matched.select(col("__vt_file"), col("__vt_pos"))
         if (hits.isEmpty) return v
-        staged = stage(spark, hits, table, prefix = "delpos-")
+        val posFiles = stage(spark, hits, table, prefix = "delpos-")
+        val cdc = stageCdcIfEnabled(spark, table, lines, {
+          import org.apache.spark.sql.functions.lit
+          matched.drop("__vt_file", "__vt_pos")
+            .withColumn(ChangeTypeCol, lit("delete"))
+        })
+        staged = posFiles ++ cdc
         val (v2, lines2) = latestRaw(spark, table)
         // any raced commit (append/rewrite/compact) invalidates the
         // scanned snapshot: stale positions would be wrong for rewritten
@@ -1991,7 +2197,8 @@ object VersionedTable {
         val committed = v2 == v &&
           tryCommit(spark, table, v2 + 1,
             metaLines(lines2, "delete-mor") ++
-              staged.map(DelPosPrefix + _) ++
+              posFiles.map(DelPosPrefix + _) ++
+              cdc.map(CdcPrefix + _) ++
               lines2.filterNot(_.startsWith("#")))
         if (committed) return v2 + 1
         staged.foreach(n => f.delete(new Path(table, n), false))
@@ -2334,11 +2541,11 @@ object VersionedTable {
         try in.readFully(data) finally in.close()
         val lines = new String(data, "UTF-8").split("\n")
           .filter(_.nonEmpty).toSeq
-        // data files are bare lines; merge-on-read delete files are
-        // referenced from inside #del metadata lines — both must
-        // survive while any retained manifest names them
+        // data files are bare lines; merge-on-read delete files and CDC
+        // files are referenced from inside #del/#delpos/#cdc metadata
+        // lines — all must survive while any retained manifest names them
         lines.filterNot(_.startsWith("#")) ++
-          delLines(lines).map(_._1) ++ delPosLines(lines)
+          delLines(lines).map(_._1) ++ delPosLines(lines) ++ cdcLines(lines)
       }
     }.toSet
     val cutoff = System.currentTimeMillis() - retentionMs

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.VersionedTable
+
+/** Write-time CDC files + the DSv2 change-data-feed view: row-level
+  * commits record their exact typed changes when
+  * `graft.enableChangeDataFeed=true`, and both batch and streaming
+  * readers serve the feed as plain file scans.
+  */
+class CdfFeedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("cdf").toString + "/t"
+
+  private def changes(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, String, String, Long)] =
+    df.select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+
+  test("write-time CDC files: every op records exact typed changes; " +
+      "batch DSv2 feed == readChangesCDF; precise upsert pairing") {
+    val t = tmp()
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t) // v1
+    VersionedTable.alterProperties(spark, t,
+      Map(VersionedTable.CdcProperty -> "true"))                          // v2
+    VersionedTable.update(spark, t, col("k") === 2L,
+      Map("v" -> lit("B")))                                               // v3
+    VersionedTable.upsert(spark,
+      Seq((1L, "A"), (9L, "i")).toDF("k", "v"), t, "k")                   // v4
+    VersionedTable.deleteByKeys(spark, t, Seq(9L).toDF("k"))              // v5
+    VersionedTable.deleteWhereMergeOnRead(spark, t, col("k") === 3L)      // v6
+    val want = Set(
+      (2L, "b", "update_preimage", 3L), (2L, "B", "update_postimage", 3L),
+      // write-time upsert CDC pairs precisely (the derivation fallback
+      // can only say delete+insert)
+      (1L, "a", "update_preimage", 4L), (1L, "A", "update_postimage", 4L),
+      (9L, "i", "insert", 4L),
+      (9L, "i", "delete", 5L),
+      (3L, "c", "delete", 6L))
+    val dsv2 = spark.read.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", 2)
+      .load(t)
+    assert(changes(dsv2) === want)
+    assert(changes(VersionedTable.readChangesCDF(spark, t, 2L)) === want)
+    // the feed range composes: full history = inserts + the above
+    val full = spark.read.format("graft-table")
+      .option("readChangeFeed", "true").load(t)
+    assert(changes(full) === want ++ Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 1L)))
+  }
+
+  test("streaming CDF: typed changes drain exactly once across restarts") {
+    val t = tmp()
+    val ckpt = Files.createTempDirectory("cdf_ckpt").toString
+    VersionedTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    VersionedTable.alterProperties(spark, t,
+      Map(VersionedTable.CdcProperty -> "true"))
+    def runOnce(): Set[(Long, String, String, Long)] = {
+      val got = scala.collection.mutable.Set.empty[(Long, String, String, Long)]
+      val q = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(t)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset
+            [org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized { got ++= changes(batch.toDF()) }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      got.synchronized(got.toSet)
+    }
+    assert(runOnce() === Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L)))
+    // row-level commits now stream as typed changes — no resync
+    VersionedTable.upsert(spark, Seq((2L, "B2")).toDF("k", "v"), t, "k")
+    VersionedTable.delete(spark, t, col("k") === 1L)
+    assert(runOnce() === Set(
+      (2L, "b", "update_preimage", 3L), (2L, "B2", "update_postimage", 3L),
+      (1L, "a", "delete", 4L)))
+    // nothing new: a third run drains zero rows
+    assert(runOnce() === Set.empty)
+  }
+
+  test("row-level commit without a CDC file: the feed fails loudly; " +
+      "ignoreRowLevelChanges skips it") {
+    val t = tmp()
+    VersionedTable.append(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    VersionedTable.update(spark, t, col("k") === 1L, Map("v" -> lit("x")))
+    val e = intercept[Exception] {
+      spark.read.format("graft-table").option("readChangeFeed", "true")
+        .load(t).collect()
+    }
+    assert(e.getMessage.contains(VersionedTable.CdcProperty))
+    val skipped = spark.read.format("graft-table")
+      .option("readChangeFeed", "true")
+      .option("ignoreRowLevelChanges", "true").load(t)
+    assert(changes(skipped) === Set((1L, "a", "insert", 1L)))
+  }
+
+  test("SQL rewrites write CDC files too (UPDATE via catalog, labeled " +
+      "pre/post)") {
+    val wh = Files.createTempDirectory("cdf_wh").toString
+    spark.conf.set("spark.sql.catalog.gcdf",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcdf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcdf.ns")
+    spark.sql("CREATE TABLE gcdf.ns.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gcdf.ns.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gcdf.ns.t SET TBLPROPERTIES " +
+      s"('${VersionedTable.CdcProperty}' = 'true')")
+    spark.sql("UPDATE gcdf.ns.t SET v = 'B' WHERE k = 2")
+    val t = s"$wh/ns/t"
+    val got = changes(spark.read.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", 3)
+      .load(t))
+    assert(got === Set(
+      (2L, "b", "update_preimage", 4L),
+      (2L, "B", "update_postimage", 4L)))
+    // vacuum keeps the CDC file while its manifest is retained
+    VersionedTable.vacuum(spark, t, keepFrom = 1L, retentionMs = 0L)
+    assert(changes(spark.read.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", 3)
+      .load(t)).nonEmpty)
+    spark.sql("DROP TABLE gcdf.ns.t")
+  }
+}
