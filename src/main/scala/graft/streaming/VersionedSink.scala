@@ -219,6 +219,52 @@ object VersionedSink {
     srcV
   }
 
+  /** STREAMING keyed replication: the change-data-feed source piped
+    * into [[replicateCDF]]'s apply — a standing query that keeps `dst`
+    * equal to `src` through appends, updates, deletes and merge-on-read
+    * commits, exactly-once end to end. The CDF batch's own max
+    * `_commit_version` is the apply epoch, so the destination's txn
+    * watermarks (not the checkpoint) de-duplicate replays — the same
+    * contract as every sink here. `src` must have
+    * `graft.enableChangeDataFeed=true` so row-level commits stream as
+    * typed changes.
+    */
+  def startReplicateCDF(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String, writerId: String, key: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").load(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val epoch = batch.agg(
+            org.apache.spark.sql.functions.max(col("_commit_version")))
+            .head().getLong(0)
+          val rank = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(key))
+            .orderBy(col("_commit_version").desc,
+              col("_change_type").isin("insert", "update_postimage").desc)
+          val last = batch.withColumn("__rn", row_number().over(rank))
+            .where(col("__rn") === 1).drop("__rn")
+          val ups = last
+            .where(col("_change_type").isin("insert", "update_postimage"))
+            .drop("_change_type", "_commit_version")
+          val dels = last.where(col("_change_type") === "delete")
+            .select(col(key))
+          graft.sources.VersionedTable.upsert(batch.sparkSession, ups, dst,
+            key, txn = Some((writerId + "#u", epoch)))
+          graft.sources.VersionedTable.deleteByKeys(batch.sparkSession, dst,
+            dels, txn = Some((writerId + "#d", epoch)))
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Start a streaming append of `df` into `table` with exactly-once
     * micro-batch commits. `writerId` must be stable across restarts of
     * the same logical query (it scopes the replay-detection watermark).

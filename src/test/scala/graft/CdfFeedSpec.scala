@@ -90,6 +90,39 @@ class CdfFeedSpec extends SparkTestBase {
     assert(runOnce() === Set.empty)
   }
 
+  test("streaming keyed mirror over the CDF: dst tracks src through " +
+      "row-level commits, replay-safe") {
+    val base = Files.createTempDirectory("cdf_mirror").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val ckpt = s"$base/ckpt"
+    def snapshot(t: String) = VersionedTable.read(spark, t)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), src)
+    VersionedTable.alterProperties(spark, src,
+      Map(VersionedTable.CdcProperty -> "true"))
+    def mirrorOnce(): Unit = {
+      val q = graft.streaming.VersionedSink.startReplicateCDF(spark,
+        src, dst, "mirror", "k", ckpt)
+      q.awaitTermination(120000)
+      ()
+    }
+    mirrorOnce()
+    assert(snapshot(dst) === snapshot(src))
+    VersionedTable.update(spark, src, col("k") === 2L, Map("v" -> lit("B")))
+    VersionedTable.deleteByKeys(spark, src, Seq(3L).toDF("k"))
+    VersionedTable.upsert(spark, Seq((9L, "i")).toDF("k", "v"), src, "k")
+    mirrorOnce()
+    assert(snapshot(dst) === snapshot(src))
+    assert(snapshot(dst) === Seq((1L, "a"), (2L, "B"), (9L, "i")))
+    // replay: a third run moves nothing
+    val vBefore = VersionedTable.latest(spark, dst)._1
+    mirrorOnce()
+    assert(VersionedTable.latest(spark, dst)._1 === vBefore)
+    assert(snapshot(dst) === snapshot(src))
+  }
+
   test("row-level commit without a CDC file: the feed fails loudly; " +
       "ignoreRowLevelChanges skips it") {
     val t = tmp()
