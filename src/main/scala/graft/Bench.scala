@@ -80,7 +80,7 @@ object Bench {
     // Jobs archive their sources, so each timed run gets fresh fixtures
     // (generation is NOT in the timed window). Disable: SPARK_GRAFT_JOBS=0.
     val jobNames = Set("job_fm_load_merge", "job_spp_weather_merge",
-      "job_hist_weather_union", "job_lake_roundtrip")
+      "job_hist_weather_union", "job_lake_roundtrip", "job_cdc_mirror")
     val jobResults: Seq[(String, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_JOBS", "1") == "0" ||
           only.exists(_.intersect(jobNames).isEmpty))
@@ -150,6 +150,30 @@ object Bench {
                 expr("unix_micros(ts) div 3600000000") % 1024))
             // consumer tail: everything after the first commit
             sources.VersionedTable.readChanges(spark, t, 1L, 4L).count()
+            ()
+          }
+          // CDC round trip at sf scale: a CDF-enabled source takes an
+          // append + keyed upsert + merge-on-read delete (each writing
+          // its typed CDC file), and a streaming keyed mirror applies
+          // the feed exactly-once — the lakehouse consumer loop
+          timed("job_cdc_mirror") {
+            import org.apache.spark.sql.functions.{col, expr, lit}
+            val src = s"$root/cdc_src"
+            val dst = s"$root/cdc_dst"
+            val ev = spark.read.parquet(s"$sfDir/events.parquet")
+              .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            sources.VersionedTable.append(spark, ev, src)
+            sources.VersionedTable.alterProperties(spark, src,
+              Map(sources.VersionedTable.CdcProperty -> "true"))
+            sources.VersionedTable.upsert(spark,
+              ev.where(col("event_id") % 50 === 0)
+                .withColumn("value", lit(-1.0)), src, "event_id")
+            sources.VersionedTable.deleteByKeys(spark, src,
+              ev.where(col("event_id") % 100 === 3).select("event_id"))
+            val q = streaming.VersionedSink.startReplicateCDF(spark,
+              src, dst, "bench-mirror", "event_id",
+              s"$root/cdc_ckpt")
+            q.awaitTermination(300000)
             ()
           }
         }
