@@ -360,6 +360,34 @@ object AsOfJoin {
     GraftSqlShim.ofRows(spark, node)
   }
 
+  /** SALTED merge as-of for hot keys whose right-side history is too
+    * big to broadcast: the left side salts by `hash(leftTime)` into
+    * `salt` buckets (deterministic, time-uniform), the right side
+    * replicates each row into EVERY bucket, and the merge exec joins on
+    * (keys, salt) — per-row semantics identical to [[merge]] (each left
+    * row still sees its key's full history), while the hot key's
+    * reducer shrinks ×`salt`. Cost: right-side shuffle volume ×`salt` —
+    * use for genuinely skewed keys, not as the default.
+    */
+  def mergeSalted(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[(String, String)] = Nil,
+      valueCols: Seq[(String, String)],
+      inner: Boolean = false,
+      salt: Int = 16): DataFrame = {
+    require(salt >= 2, "salting needs at least 2 buckets")
+    val l = left.withColumn("__asof_salt",
+      coalesce(pmod(hash(col(leftTime)), lit(salt)), lit(0)))
+    val r = right.withColumn("__asof_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    merge(l, r, leftTime, rightTime,
+      by :+ ("__asof_salt" -> "__asof_salt"), valueCols, inner)
+      .drop("__asof_salt")
+  }
+
   /** Strategy-selecting as-of, mirroring Catalyst's own join planning:
     * broadcast when the right side's size estimate fits the threshold
     * (Spark's autoBroadcastJoinThreshold semantics, 10 MB default);
@@ -389,6 +417,10 @@ object AsOfJoin {
     *   by default: detection costs one sampling job per call.
     * @param hotKeyFraction sampled-share threshold above which a key
     *   counts as hot.
+    * @param hotBroadcastMaxRows right-side row cap for the hot-key
+    *   broadcast re-route; above it the hot keys use [[mergeSalted]]
+    *   instead (a falsely-hot key with deep history must never OOM the
+    *   driver).
     */
   def auto(
       left: DataFrame,
@@ -402,7 +434,8 @@ object AsOfJoin {
       broadcastThreshold: Long = 10L << 20,
       bucketWidthMicros: Long = 0L,
       skewSampleFraction: Double = 0.0,
-      hotKeyFraction: Double = 0.2): DataFrame = {
+      hotKeyFraction: Double = 0.2,
+      hotBroadcastMaxRows: Long = 1000000L): DataFrame = {
     val r = by.foldLeft(right) { case (d, (_, rk)) => d.where(col(rk).isNotNull) }
     val rightSize = r.queryExecution.optimizedPlan.stats.sizeInBytes
     if (rightSize <= broadcastThreshold)
@@ -423,18 +456,27 @@ object AsOfJoin {
       if (hot.isEmpty) merge(left, r, leftTime, rightTime, by, valueCols, inner)
       else {
         val (lk, rk) = by.head
-        // hot keys take the shuffle-free map-side path; the long tail
-        // keeps the one-exchange merge path. Branch predicates are
-        // map-side filters on both sides — no extra shuffle.
-        // null-keyed left rows stay on the cold branch (unmatched-but-
-        // kept outer semantics): a bare !isin would three-value them
-        // out of BOTH branches
+        // hot keys take a skew-immune path; the long tail keeps the
+        // one-exchange merge. Branch predicates are map-side filters on
+        // both sides — no extra shuffle. null-keyed left rows stay on
+        // the cold branch (unmatched-but-kept outer semantics): a bare
+        // !isin would three-value them out of BOTH branches.
         val cold = merge(left.where(col(lk).isNull || !col(lk).isin(hot: _*)),
           r.where(!col(rk).isin(hot: _*)),
           leftTime, rightTime, by, valueCols, inner)
-        val hotPart = broadcastBackward(left.where(col(lk).isin(hot: _*)),
-          r.where(col(rk).isin(hot: _*)),
-          leftTime, rightTime, by, valueCols, inner)
+        // which skew-immune path depends on the hot keys' RIGHT
+        // history: small enough → the map-side broadcast strategy
+        // (zero extra shuffle volume); too deep to broadcast safely (a
+        // falsely-hot key must never OOM the driver) → the salted
+        // merge (right volume ×salt, hot reducer ÷salt)
+        val hotLeft = left.where(col(lk).isin(hot: _*))
+        val hotRight = r.where(col(rk).isin(hot: _*))
+        val hotPart =
+          if (hotRight.count() <= hotBroadcastMaxRows)
+            broadcastBackward(hotLeft, hotRight,
+              leftTime, rightTime, by, valueCols, inner)
+          else mergeSalted(hotLeft, hotRight,
+            leftTime, rightTime, by, valueCols, inner)
         cold.unionByName(hotPart)
       }
     } else

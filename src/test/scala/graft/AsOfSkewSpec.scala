@@ -58,6 +58,30 @@ class AsOfSkewSpec extends SparkTestBase {
     assert(withNull.count() === 100001L)
   }
 
+  test("mergeSalted == merge exactly; auto falls back to it when the " +
+      "hot right history exceeds the broadcast row cap") {
+    val plain = AsOfJoin.merge(leftDf, rightDf, "t", "rt",
+      by = Seq("k" -> "k"), valueCols = Seq("v" -> "v"))
+      .select("k", "t", "x", "v")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    val salted = AsOfJoin.mergeSalted(leftDf, rightDf, "t", "rt",
+      by = Seq("k" -> "k"), valueCols = Seq("v" -> "v"), salt = 8)
+      .select("k", "t", "x", "v")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(salted === plain)
+    // cap of 1 row forces the salted path for the HOT key; output still
+    // identical, and no broadcast of the hot branch appears
+    val viaAuto = AsOfJoin.auto(leftDf, rightDf, "t", "rt",
+      by = Seq("k" -> "k"), valueCols = Seq("v" -> "v"),
+      broadcastThreshold = 1L, skewSampleFraction = 0.02,
+      hotBroadcastMaxRows = 1L)
+    assert(viaAuto.select("k", "t", "x", "v")
+      .as[(String, Long, Long, Option[Long])].collect().toSet === plain)
+    val plan = viaAuto.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("broadcastexchange"),
+      s"salted fallback must not broadcast the deep hot history:\n$plan")
+  }
+
   test("no hot key detected: auto() keeps the single merge plan") {
     val uniform = spark.range(50000).select(
       concat(lit("k"), (col("id") % 997).cast("string")).as("k"),
