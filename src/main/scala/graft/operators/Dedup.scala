@@ -216,17 +216,29 @@ object Dedup {
       blockCols: Seq[String], maxBlockSize: Int = 2048,
       neighborhood: Int = 8, prefixLen: Int = 4): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val narrow0 = df.select(blockCols.map(col) :+ col(idCol) :+
-      sortKey.cast(StringType).as("__key"): _*)
-    val sized = narrow0.withColumn("__bn", count(lit(1)).over(
-      W.partitionBy(blockCols.map(col): _*)))
-    val small = sized.where(col("__bn") <= maxBlockSize)
+    // block sizing as a NARROW pre-aggregated count + a broadcast of
+    // just the oversized block keys (few by construction) — the
+    // all-rows window count this replaces shuffled every (block, id,
+    // key) row once before any pairing, and the sort key (often a
+    // regex over the text) is now computed ONLY for oversized-block
+    // rows. NULL-keyed blocks never match the broadcast join and stay
+    // on the exhaustive path — filter null block keys upstream if such
+    // a block can exceed the cap.
+    val ids = df.select(blockCols.map(col) :+ col(idCol): _*)
+    val bigBlocks = ids.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn")).where(col("__bn") > maxBlockSize)
+      .select(blockCols.map(col): _*).withColumn("__big", lit(1))
+    val small = ids.join(broadcast(bigBlocks), blockCols, "left")
+      .where(col("__big").isNull)
       .select(blockCols.map(col) :+ col(idCol): _*)
     val smallPairs = small
       .join(small.withColumnRenamed(idCol, idCol + "_2"), blockCols)
       .where(col(idCol) < col(idCol + "_2"))
       .select(col(idCol), col(idCol + "_2"))
-    val big = sized.where(col("__bn") > maxBlockSize)
+    val big = df.join(broadcast(bigBlocks), blockCols, "left")
+      .where(col("__big") === 1)
+      .select(blockCols.map(col) :+ col(idCol) :+
+        sortKey.cast(StringType).as("__key"): _*)
       .withColumn("__bkt", substring(col("__key"), 1, prefixLen))
     val bktCols = blockCols :+ "__bkt"
     val ranked = big.withColumn("__ir", row_number().over(
