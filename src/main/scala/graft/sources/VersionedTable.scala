@@ -2389,12 +2389,13 @@ object VersionedTable {
   }
 
   /** True if the snapshot carries an unmaterialized EQUALITY-delete
-    * layer — the DSv2 reader-protocol gate. Equality deletes need a
-    * keyed anti-join no per-file reader can run; POSITION deletes are
-    * served by the scan itself ([[pendingPositionDeletes]] + the
-    * ordinal-filtering reader), so they no longer gate.
+    * layer. No longer a reader gate — the DSv2 scan resolves equality
+    * layers to positions at plan time
+    * ([[pendingEqualityDeletePositions]]) — but still the cheap status
+    * probe for tooling ("does this table pay a layer-resolution job per
+    * scan until compaction?").
     */
-  private[sources] def hasPendingEqualityDeletes(spark: SparkSession,
+  def hasPendingEqualityDeletes(spark: SparkSession,
       table: String, version: Option[Long] = None): Boolean =
     delLines(manifestLinesAt(spark, table, version)).nonEmpty
 
