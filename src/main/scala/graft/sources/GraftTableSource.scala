@@ -129,7 +129,47 @@ private[sources] class GraftCdfTable(path: String, dataSchema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftCdfScan(path, dataSchema, options)
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      // `_commit_version` range predicates narrow PARTITION PLANNING
+      // (whole commits skipped before any file is listed); every filter
+      // stays residual, so the bounds can only prune, never change
+      // answers
+      private var from = 0L // exclusive
+      private var to = Long.MaxValue // inclusive
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        import org.apache.spark.sql.sources._
+        val V = GraftTableScan.VersionCol
+        def asLong(v: Any): Option[Long] = v match {
+          case n: Number => Some(n.longValue)
+          case _ => None
+        }
+        filters.foreach {
+          case GreaterThan(V, v) => asLong(v).foreach(x =>
+            from = math.max(from, x))
+          case GreaterThanOrEqual(V, v) => asLong(v).foreach(x =>
+            from = math.max(from, x - 1))
+          case LessThan(V, v) => asLong(v).foreach(x =>
+            to = math.min(to, x - 1))
+          case LessThanOrEqual(V, v) => asLong(v).foreach(x =>
+            to = math.min(to, x))
+          case EqualTo(V, v) => asLong(v).foreach { x =>
+            from = math.max(from, x - 1); to = math.min(to, x)
+          }
+          case _ => ()
+        }
+        pushed = filters.filter(_.references.contains(V))
+        filters // all residual
+      }
+      override def pushedFilters()
+          : Array[org.apache.spark.sql.sources.Filter] = pushed
+      override def build(): Scan =
+        new GraftCdfScan(path, dataSchema, options, from, to)
+    }
 }
 
 private[sources] class GraftTable(path: String, dataSchema: StructType,
@@ -594,12 +634,15 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
   * physically and append (version).
   */
 private[sources] class GraftCdfScan(path: String, dataSchema: StructType,
-    options: CaseInsensitiveStringMap) extends Scan {
+    options: CaseInsensitiveStringMap,
+    pushedFrom: Long = 0L, pushedTo: Long = Long.MaxValue) extends Scan {
 
   private def spark = SparkSession.active
 
   override def readSchema(): StructType = GraftTableScan.cdfSchema(dataSchema)
-  override def description(): String = s"graft-table CDF $path"
+  override def description(): String =
+    s"graft-table CDF $path (versions ($pushedFrom, " +
+      s"${if (pushedTo == Long.MaxValue) "latest" else pushedTo}])"
 
   private val ignoreRowLevel =
     options.getBoolean("ignorerowlevelchanges", false)
@@ -641,10 +684,11 @@ private[sources] class GraftCdfScan(path: String, dataSchema: StructType,
   }
 
   override def toBatch: Batch = new Batch {
-    private val from = Option(options.get("startingversion"))
-      .map(_.toLong).getOrElse(0L)
-    private val to = Option(options.get("endingversion"))
-      .map(_.toLong).getOrElse(Long.MaxValue)
+    private val from = math.max(pushedFrom,
+      Option(options.get("startingversion")).map(_.toLong).getOrElse(0L))
+    private val to = math.min(pushedTo,
+      Option(options.get("endingversion")).map(_.toLong)
+        .getOrElse(Long.MaxValue))
     override def planInputPartitions(): Array[InputPartition] = plan(from, to)
     override def createReaderFactory(): PartitionReaderFactory =
       dispatchFactory

@@ -90,6 +90,31 @@ class CdfFeedSpec extends SparkTestBase {
     assert(runOnce() === Set.empty)
   }
 
+  test("_commit_version predicates prune CDF partition planning — and " +
+      "let the feed skip vacuumed history") {
+    val t = tmp()
+    VersionedTable.append(spark, Seq((1L, "a")).toDF("k", "v"), t)       // v1
+    VersionedTable.alterProperties(spark, t,
+      Map(VersionedTable.CdcProperty -> "true"))                         // v2
+    VersionedTable.append(spark, Seq((2L, "b")).toDF("k", "v"), t)       // v3
+    VersionedTable.upsert(spark, Seq((2L, "B")).toDF("k", "v"), t, "k")  // v4
+    def feed() = spark.read.format("graft-table")
+      .option("readChangeFeed", "true").load(t)
+    // the filter narrows planning to (2, latest] — equal to the option
+    assert(changes(feed().where(col("_commit_version") >= 3)) ===
+      changes(spark.read.format("graft-table")
+        .option("readChangeFeed", "true").option("startingVersion", 2)
+        .load(t)))
+    // a bound beyond latest plans nothing
+    assert(feed().where(col("_commit_version") > 99).count() === 0L)
+    // prune BELOW a vacuumed manifest: without the pushdown this read
+    // would throw on the missing history
+    VersionedTable.vacuum(spark, t, keepFrom = 3L, retentionMs = 0L)
+    assert(changes(feed().where(col("_commit_version") >= 4)) ===
+      Set((2L, "b", "update_preimage", 4L),
+        (2L, "B", "update_postimage", 4L)))
+  }
+
   test("streaming keyed mirror over the CDF: dst tracks src through " +
       "row-level commits, replay-safe") {
     val base = Files.createTempDirectory("cdf_mirror").toString
