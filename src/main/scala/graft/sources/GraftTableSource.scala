@@ -68,15 +68,18 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val table = tablePath(options)
-    if (options.getBoolean(GraftTableScan.ReadChangeFeedOption, false))
-      return GraftTableScan.cdfSchema(
-        VersionedTable.tableSchema(spark, table).getOrElse {
-          val files = VersionedTable.latest(spark, table)._2
-          require(files.nonEmpty,
-            s"graft-table CDF at $table has no committed data to infer " +
-              "a schema from")
-          spark.read.parquet(s"$table/${files.head}").schema
-        })
+    if (options.getBoolean(GraftTableScan.ReadChangeFeedOption, false)) {
+      val dataSchema = VersionedTable.tableSchema(spark, table).getOrElse {
+        val files = VersionedTable.latest(spark, table)._2
+        require(files.nonEmpty,
+          s"graft-table CDF at $table has no committed data to infer " +
+            "a schema from")
+        spark.read.parquet(s"$table/${files.head}").schema
+      }
+      VersionedTable.requireNoReservedCdfColumns(Some(dataSchema),
+        s"read the change feed of $table")
+      return GraftTableScan.cdfSchema(dataSchema)
+    }
     val asOf = Option(options.get(GraftTableScan.VersionAsOfOption))
       .map(_.toLong)
     // declared schema first: it is authoritative on evolved tables (data
@@ -148,17 +151,23 @@ private[sources] class GraftCdfTable(path: String, dataSchema: StructType)
           case n: Number => Some(n.longValue)
           case _ => None
         }
+        // x - 1 needs an underflow guard: `>= Long.MinValue` is a
+        // tautology, but the naive x-1 wraps to Long.MaxValue and
+        // prunes EVERY partition at plan time — damage the residual
+        // filter can never undo. A MinValue bound is simply "no bound".
+        def decClamped(x: Long): Long =
+          if (x == Long.MinValue) Long.MinValue else x - 1
         filters.foreach {
           case GreaterThan(V, v) => asLong(v).foreach(x =>
             from = math.max(from, x))
           case GreaterThanOrEqual(V, v) => asLong(v).foreach(x =>
-            from = math.max(from, x - 1))
+            from = math.max(from, decClamped(x)))
           case LessThan(V, v) => asLong(v).foreach(x =>
-            to = math.min(to, x - 1))
+            to = math.min(to, decClamped(x)))
           case LessThanOrEqual(V, v) => asLong(v).foreach(x =>
             to = math.min(to, x))
           case EqualTo(V, v) => asLong(v).foreach { x =>
-            from = math.max(from, x - 1); to = math.min(to, x)
+            from = math.max(from, decClamped(x)); to = math.min(to, x)
           }
           case _ => ()
         }

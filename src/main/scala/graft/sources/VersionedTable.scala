@@ -110,6 +110,27 @@ object VersionedTable {
   /** `_change_type` column name in CDC files / the CDF output. */
   val ChangeTypeCol = "_change_type"
 
+  /** Columns the change feed itself appends. A data schema that already
+    * contains one would be silently corrupted — CDC staging's
+    * `withColumn` overwrites it and the CDF read strips it — so CDF
+    * enablement (`alterProperties`) and CDF reads refuse up front, as
+    * Delta does for its reserved CDC columns.
+    */
+  private[sources] val ReservedCdfCols: Seq[String] =
+    Seq(ChangeTypeCol, "_commit_version")
+
+  private[sources] def requireNoReservedCdfColumns(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      context: String): Unit =
+    schema.foreach { sc =>
+      val clash = sc.fieldNames.filter(n =>
+        ReservedCdfCols.exists(_.equalsIgnoreCase(n)))
+      require(clash.isEmpty,
+        s"cannot $context: table schema contains reserved change-data-" +
+          s"feed column name(s) ${clash.mkString(", ")} — rename them " +
+          "first (the feed appends _change_type/_commit_version itself)")
+    }
+
   private[sources] def cdcLines(lines: Seq[String]): Seq[String] =
     lines.filter(_.startsWith(CdcPrefix)).map(_.drop(CdcPrefix.length))
 
@@ -212,10 +233,21 @@ object VersionedTable {
     * as `#cdc` lines, and to clean up on a lost race).
     */
   private def stageCdcIfEnabled(spark: SparkSession, table: String,
-      lines: Seq[String], changes: => DataFrame): Seq[String] =
-    if (!cdcEnabled(lines)) Nil
-    else stage(spark, stampFieldIds(changes, schemaLine(lines)), table,
-      prefix = "cdc-")
+      lines: Seq[String], changes: => DataFrame): Seq[String] = {
+    if (!cdcEnabled(lines)) return Nil
+    val df = stampFieldIds(changes, schemaLine(lines))
+    val staged = stage(spark, df, table, prefix = "cdc-")
+    // a change frame with ZERO output partitions (e.g. deleteByKeys whose
+    // keys match no visible rows, optimized to an empty relation) writes
+    // no part files — but the commit still carries new layer lines, and a
+    // layer-changed commit without a #cdc line reads as "CDC was off" to
+    // cdfFilesBetween, which then fails the whole feed. Ship one empty
+    // CDC file so the feed sees the commit as an explicit zero-row change.
+    // (repartition, not coalesce: coalesce of a 0-partition plan is
+    // still 0 partitions and would write nothing again)
+    if (staged.nonEmpty) staged
+    else stage(spark, df.repartition(1), table, prefix = "cdc-")
+  }
 
   /** Spark's parquet field-id READ matching is gated by a session conf
     * that per-read options cannot override (ParquetFileFormat stamps it
@@ -445,6 +477,13 @@ object VersionedTable {
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
+      if (set.get(CdcProperty).exists(_.trim.equalsIgnoreCase("true")))
+        // tables born via plain append have no declared schema line —
+        // one footer read of a data file stands in (enable-time only)
+        requireNoReservedCdfColumns(schemaLine(lines).orElse(
+          lines.filterNot(_.startsWith("#")).headOption.map(f =>
+            spark.read.parquet(s"$table/$f").schema)),
+          s"enable $CdcProperty on $table")
       val next = (propMap(lines) ++ set) -- unset
       if (tryCommit(spark, table, v + 1,
           metaLines(lines, "properties", newProps = Some(next)) ++
@@ -506,6 +545,10 @@ object VersionedTable {
       val dup = newCols.map(_.name).find(n =>
         existing.contains(n.toLowerCase(java.util.Locale.ROOT)))
       require(dup.isEmpty, s"column ${dup.orNull} already exists in $table")
+      if (cdcEnabled(lines))
+        requireNoReservedCdfColumns(
+          Some(org.apache.spark.sql.types.StructType(newCols)),
+          s"add column(s) to CDC-enabled $table")
       // new columns get FRESH ids past the high-water mark — after a
       // DROP, a re-added same-named column must not inherit the old id
       val (idNew, fid) = assignIds(newCols, math.max(fidOf(lines),
@@ -2311,6 +2354,8 @@ object VersionedTable {
   def renameColumn(spark: SparkSession, table: String, from: String,
       to: String, maxRetries: Int = 20): Long = {
     require(to.nonEmpty && !to.contains("\n"), "bad target name")
+    require(!ReservedCdfCols.exists(_.equalsIgnoreCase(to)),
+      s"'$to' is a reserved change-data-feed column name")
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
@@ -2497,7 +2542,11 @@ object VersionedTable {
           .groupBy(keyCols.map(col): _*)
           .agg(max(col("__vt_dv")).as("__vt_dv"))
         // declared schema so pre-evolution files missing a key column
-        // read it as null (never matches) — same as the batch read path
+        // read it as null (never matches) — same as the batch read path.
+        // Field-id matching must be on here too: after a renameColumn,
+        // name-matching would read the key column of pre-rename files as
+        // null and silently resolve zero dead rows.
+        ensureFieldIdRead(spark, schema)
         val reader = schema.fold(spark.read)(sc => spark.read.schema(sc))
         val base = reader.parquet(candidates.map(n => s"$table/$n"): _*)
           .select(keyCols.map(col) :+

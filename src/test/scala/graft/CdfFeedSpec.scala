@@ -190,4 +190,78 @@ class CdfFeedSpec extends SparkTestBase {
       .load(t)).nonEmpty)
     spark.sql("DROP TABLE gcdf.ns.t")
   }
+
+  test("row-level op matching ZERO rows still ships a CDC file: the " +
+      "feed sees an explicit empty change, not a broken commit") {
+    val t = tmp()
+    VersionedTable.append(spark, Seq((1L, "a")).toDF("k", "v"), t)       // v1
+    VersionedTable.alterProperties(spark, t,
+      Map(VersionedTable.CdcProperty -> "true"))                         // v2
+    // no key matches → the staged change frame is EMPTY; the commit must
+    // still carry a #cdc line or the whole feed fails downstream
+    val vDel = VersionedTable.deleteByKeys(spark, t, Seq(99L).toDF("k"))
+    assert(vDel === 3L) // the layer commit happens even with no match
+    VersionedTable.update(spark, t, col("k") === 42L,
+      Map("v" -> lit("never"))) // no-op (may or may not commit)
+    VersionedTable.append(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    val vIns = VersionedTable.latest(spark, t)._1
+    val feed = spark.read.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", 2)
+      .load(t)
+    assert(changes(feed) === Set((2L, "b", "insert", vIns)))
+    // table contents untouched by the no-op deletes
+    assert(VersionedTable.read(spark, t).as[(Long, String)].collect()
+      .toSet === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("reserved CDF column names are refused at enable/read/evolve " +
+      "time, not silently corrupted") {
+    val t = tmp()
+    VersionedTable.append(spark,
+      Seq((1L, "ins")).toDF("k", "_change_type"), t)
+    // enabling CDC on a schema that already has _change_type refuses
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.alterProperties(spark, t,
+        Map(VersionedTable.CdcProperty -> "true"))
+    }
+    assert(e1.getMessage.contains("_change_type"))
+    // a CDF read of it refuses too (the read would strip the column)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("readChangeFeed", "true")
+        .load(t).collect()
+    }
+    assert(e2.getMessage.contains("_change_type"))
+    // on a clean CDC table, evolving a reserved name in refuses
+    val t2 = tmp()
+    VersionedTable.append(spark, Seq((1L, "a")).toDF("k", "v"), t2)
+    VersionedTable.alterProperties(spark, t2,
+      Map(VersionedTable.CdcProperty -> "true"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.addColumns(spark, t2, Seq(
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType)))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, t2, "v", "_change_type")
+    }
+  }
+
+  test("_commit_version >= Long.MinValue is a no-op bound, not an " +
+      "underflow that prunes everything") {
+    val t = tmp()
+    VersionedTable.append(spark, Seq((1L, "a")).toDF("k", "v"), t)       // v1
+    VersionedTable.append(spark, Seq((2L, "b")).toDF("k", "v"), t)       // v2
+    def feed() = spark.read.format("graft-table")
+      .option("readChangeFeed", "true").load(t)
+    val all = changes(feed())
+    assert(all.map(_._1) === Set(1L, 2L))
+    // tautological bounds must not prune (x-1 would wrap to MaxValue)
+    assert(changes(feed().where(
+      col("_commit_version") >= Long.MinValue)) === all)
+    assert(changes(feed().where(
+      col("_commit_version") > Long.MinValue)) === all)
+    // an impossible EqualTo bound returns empty, through pruning or not
+    assert(feed().where(
+      col("_commit_version") === Long.MinValue).count() === 0L)
+  }
 }

@@ -278,4 +278,38 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(rows === Seq((0L, None, None), (1L, Some("x"), None),
       (2L, None, Some(9L))))
   }
+
+  test("equality-delete resolution reads candidates by FIELD ID even in " +
+      "a session that never enabled fieldId.read: renamed key columns " +
+      "of pre-rename files must match, not null out") {
+    val t = tmp()
+    VersionedTable.create(spark, t, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    VersionedTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    // rename the KEY column: pre-rename files store it as "k" — only
+    // field-id matching can resolve it under "id"
+    VersionedTable.renameColumn(spark, t, "k", "id")
+    // pending equality-delete layer keyed on the NEW name
+    VersionedTable.deleteByKeys(spark, t, Seq(2L).toDF("id"))
+    // simulate a FRESH session: the conf every other graft read path
+    // sets is off, so resolveEqualityDeletes must set it itself
+    val conf = "spark.sql.parquet.fieldId.read.enabled"
+    val saved = spark.conf.get(conf, "false")
+    try {
+      spark.conf.set(conf, "false")
+      // DSv2 scan resolves the pending layer to positions at plan time;
+      // name-matching would read key=null and serve the deleted row
+      val got = spark.read.format("graft-table").load(t).orderBy("id")
+        .as[(Long, String)].collect().toSeq
+      assert(got === Seq((1L, "a"), (3L, "c")))
+      // the copy-on-write rewrite path shares the same resolution map
+      spark.conf.set(conf, "false")
+      VersionedTable.compact(spark, t, numFiles = 1)
+      spark.conf.set(conf, "false")
+      val after = spark.read.format("graft-table").load(t).orderBy("id")
+        .as[(Long, String)].collect().toSeq
+      assert(after === Seq((1L, "a"), (3L, "c")))
+    } finally spark.conf.set(conf, saved)
+  }
 }
