@@ -29,6 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // its SQL surface: JOIN ... ON <equi> AND graft_asof(lt, rt)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RewriteAsOfJoin)
+    // catalog-level change data feed: readChangeFeed on
+    // read/readStream.table + the table_changes(...) SQL TVF
+    ext.injectResolutionRule(s =>
+      graft.sources.CdfCatalogSupport.ResolveCdfRead(s))
+    ext.injectTableFunction((new FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "table_changes"),
+      graft.sources.CdfCatalogSupport.tableChanges))
     ext.injectFunction(fn("graft_asof",
       es => graft.plans.GraftAsOfMarker(es(0), es(1))))
     ext.injectFunction(fn("graft_cosine", es => CosineSim(es(0), es(1))))

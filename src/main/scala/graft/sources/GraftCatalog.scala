@@ -91,6 +91,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def isTable(p: Path): Boolean =
     fsys.exists(new Path(p, "_commits"))
 
+  /** Warehouse location of a catalog table — the bridge `table_changes`
+    * and other path-based surfaces use to reach a catalog-identified
+    * table.
+    */
+  private[graft] def tableLocation(ident: Identifier): String = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    dir.toString
+  }
+
   // ---------- tables ----------
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

@@ -195,6 +195,20 @@ private[sources] class GraftTable(path: String, dataSchema: StructType,
       s"cannot $what a VERSION AS OF snapshot of $path — load the table " +
         "without time travel to modify it")
 
+  /** The change-data-feed twin of this table, for the analyzer rule that
+    * honors `option("readChangeFeed", true)` on catalog-identified reads
+    * ([[ResolveCdfRead]]). Refuses on a time-travel pin: the feed IS the
+    * history, a snapshot pin would contradict it.
+    */
+  private[sources] def changeFeedTable: GraftCdfTable = {
+    require(pinnedVersion.isEmpty,
+      s"readChangeFeed cannot combine with VERSION AS OF on $path — " +
+        "bound the feed with startingVersion/endingVersion instead")
+    VersionedTable.requireNoReservedCdfColumns(Some(dataSchema),
+      s"read the change feed of $path")
+    new GraftCdfTable(path, dataSchema)
+  }
+
   override def name(): String =
     s"graft-table `$path`" + pinnedVersion.fold("")(v => s"@v$v")
 

@@ -16,4 +16,12 @@ object GraftSqlShim {
 
   /** The analyzed logical plan backing `df`. */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** The session's v2 catalog manager (`private[sql]` on SessionState) —
+    * needed by `table_changes(...)` to resolve a catalog identifier to
+    * its warehouse path.
+    */
+  def catalogManager(spark: SparkSession)
+      : org.apache.spark.sql.connector.catalog.CatalogManager =
+    spark.asInstanceOf[CSparkSession].sessionState.catalogManager
 }

@@ -246,6 +246,76 @@ class CdfFeedSpec extends SparkTestBase {
     }
   }
 
+  test("catalog-level CDF: read.table / table_changes TVF / " +
+      "readStream.table all serve the path-based feed") {
+    val wh = Files.createTempDirectory("cdf_cat_wh").toString
+    spark.conf.set("spark.sql.catalog.gcdf2",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcdf2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcdf2.ns")
+    spark.sql("CREATE TABLE gcdf2.ns.t (k BIGINT, v STRING)")          // v1
+    spark.sql("INSERT INTO gcdf2.ns.t VALUES (1, 'a'), (2, 'b')")      // v2
+    spark.sql("ALTER TABLE gcdf2.ns.t SET TBLPROPERTIES " +
+      s"('${VersionedTable.CdcProperty}' = 'true')")                   // v3
+    spark.sql("UPDATE gcdf2.ns.t SET v = 'B' WHERE k = 2")             // v4
+    spark.sql("DELETE FROM gcdf2.ns.t WHERE k = 1")                    // v5
+    val path = s"$wh/ns/t"
+    val wantFull = changes(spark.read.format("graft-table")
+      .option("readChangeFeed", "true").load(path))
+    assert(wantFull === Set(
+      (1L, "a", "insert", 2L), (2L, "b", "insert", 2L),
+      (2L, "b", "update_preimage", 4L), (2L, "B", "update_postimage", 4L),
+      (1L, "a", "delete", 5L)))
+    // 1) catalog batch read with the reader option
+    assert(changes(spark.read.option("readChangeFeed", "true")
+      .table("gcdf2.ns.t")) === wantFull)
+    // the option composes with version predicates
+    assert(changes(spark.read.option("readChangeFeed", "true")
+      .table("gcdf2.ns.t").where(col("_commit_version") >= 4)) ===
+      wantFull.filter(_._4 >= 4L))
+    // 2) the SQL TVF — INCLUSIVE bounds, catalog name or raw path
+    assert(changes(spark.sql(
+      "SELECT * FROM table_changes('gcdf2.ns.t', 1)")) === wantFull)
+    assert(changes(spark.sql(
+      "SELECT * FROM table_changes('gcdf2.ns.t', 4, 4)")) ===
+      wantFull.filter(_._4 === 4L))
+    assert(changes(spark.sql(
+      s"SELECT * FROM table_changes('$path', 5)")) ===
+      wantFull.filter(_._4 === 5L))
+    // TVF output joins/filters like any relation
+    assert(spark.sql("SELECT count(*) FROM table_changes('gcdf2.ns.t', 1) " +
+      "WHERE _change_type = 'insert'").head().getLong(0) === 2L)
+    // 3) streaming over the catalog identifier drains the same feed
+    val ckpt = Files.createTempDirectory("cdf_cat_ck").toString
+    val out = Files.createTempDirectory("cdf_cat_out").toString + "/dst"
+    val q = spark.readStream.option("readChangeFeed", "true")
+      .table("gcdf2.ns.t").writeStream
+      .trigger(Trigger.AvailableNow()).option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        VersionedTable.append(spark, b, out); ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(changes(VersionedTable.read(spark, out)) === wantFull)
+    // restart: nothing re-delivered
+    val q2 = spark.readStream.option("readChangeFeed", "true")
+      .table("gcdf2.ns.t").writeStream
+      .trigger(Trigger.AvailableNow()).option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        VersionedTable.append(spark, b, out); ()
+      }.start()
+    q2.awaitTermination(120000)
+    assert(changes(VersionedTable.read(spark, out)) === wantFull)
+    // a plain read stays a plain read (no option = snapshot semantics)
+    assert(spark.read.table("gcdf2.ns.t").columns.toSeq ===
+      Seq("k", "v"))
+    // CDF + time travel contradict: refuse loudly
+    intercept[Exception] {
+      spark.read.option("readChangeFeed", "true")
+        .option("versionAsOf", "2").table("gcdf2.ns.t").collect()
+    }
+    spark.sql("DROP TABLE gcdf2.ns.t")
+  }
+
   test("_commit_version >= Long.MinValue is a no-op bound, not an " +
       "underflow that prunes everything") {
     val t = tmp()
