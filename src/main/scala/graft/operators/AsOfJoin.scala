@@ -441,18 +441,12 @@ object AsOfJoin {
     if (rightSize <= broadcastThreshold)
       broadcastBackward(left, r, leftTime, rightTime, by, valueCols, inner)
     else if (by.nonEmpty) {
+      // scale-safe probe: the hot-key threshold is applied below the
+      // collect and results cache per left-plan snapshot ([[SkewProbe]])
       val hot: Seq[Any] =
-        if (skewSampleFraction <= 0.0 || by.length != 1) Nil
-        else {
-          val lk = by.head._1
-          val counts = left.sample(skewSampleFraction)
-            .where(col(lk).isNotNull)
-            .groupBy(col(lk)).count().collect()
-          val total = counts.map(_.getLong(1)).sum
-          if (total == 0L) Nil
-          else counts.filter(_.getLong(1) >= hotKeyFraction * total)
-            .map(_.get(0)).toSeq
-        }
+        if (by.length != 1) Nil
+        else SkewProbe.hotKeys(left, by.head._1, skewSampleFraction,
+          hotKeyFraction)
       if (hot.isEmpty) merge(left, r, leftTime, rightTime, by, valueCols, inner)
       else {
         val (lk, rk) = by.head

@@ -93,6 +93,62 @@ object IntervalJoin {
       .drop("__cell")
   }
 
+  /** Skew-aware [[pointInIntervalBucketed]]: the grid join shuffles on
+    * (`__cell`, `equi`), so a hot equi key (the reference shape: one
+    * `Location` zone carrying most of the feed) concentrates every cell
+    * of that key's timeline on few reducers. When the [[SkewProbe]]
+    * sampler (shared with [[AsOfJoin.auto]]; off unless
+    * `skewSampleFraction > 0`) finds keys above `hotKeyFraction`, they
+    * re-route through a salted copy of the same plan: hot points salt
+    * DETERMINISTICALLY by `pmod(hash(point), salt)`, hot intervals
+    * replicate ×`salt`, and the join key widens to include the salt —
+    * hot reducer work ÷`salt` for ×`salt` replicated interval rows
+    * (intervals are the small side by construction). The cold tail
+    * keeps the plain one-shuffle plan; the two branches union.
+    *
+    * Inner-join semantics identical to [[pointInIntervalBucketed]]
+    * (null keys never match, so branch filters drop nothing that could
+    * appear in the output).
+    */
+  def pointInIntervalBucketedAuto(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      widthMicros: Long,
+      maxCellsPerInterval: Long = 1L << 20,
+      equi: Seq[String] = Nil,
+      skewSampleFraction: Double = 0.0,
+      hotKeyFraction: Double = 0.2,
+      salt: Int = 8): DataFrame = {
+    require(salt > 0)
+    val hot: Seq[Any] =
+      if (equi.length != 1) Nil
+      else SkewProbe.hotKeys(points, equi.head, skewSampleFraction,
+        hotKeyFraction)
+    if (hot.isEmpty)
+      pointInIntervalBucketed(points, intervals, pointCol, startCol,
+        endCol, widthMicros, "inner", maxCellsPerInterval, equi)
+    else {
+      val k = equi.head
+      val cold = pointInIntervalBucketed(
+        points.where(!col(k).isin(hot: _*)),
+        intervals.where(!col(k).isin(hot: _*)),
+        pointCol, startCol, endCol, widthMicros, "inner",
+        maxCellsPerInterval, equi)
+      val hotP = points.where(col(k).isin(hot: _*))
+        .withColumn("__salt", pmod(hash(col(pointCol)), lit(salt)))
+      val hotI = intervals.where(col(k).isin(hot: _*))
+        .withColumn("__salt",
+          explode(array((0 until salt).map(lit): _*)))
+      val hotPart = pointInIntervalBucketed(hotP, hotI, pointCol,
+        startCol, endCol, widthMicros, "inner", maxCellsPerInterval,
+        equi :+ "__salt").drop("__salt")
+      cold.unionByName(hotPart)
+    }
+  }
+
   /** Interval-overlap join: pairs where [aStart, aEnd] ∩ [bStart, bEnd] ≠ ∅
     * (closed intervals: touching endpoints overlap). With equi keys this
     * plans as a hash join + residual like [[pointInInterval]]; keyless, use

@@ -82,6 +82,38 @@ class AsOfSkewSpec extends SparkTestBase {
       s"salted fallback must not broadcast the deep hot history:\n$plan")
   }
 
+  test("skew probe is driver-bounded: a high-cardinality key space " +
+      "collects ≤ 1/hotKeyFraction rows, and results cache per plan") {
+    import graft.operators.SkewProbe
+    // 200k rows over ~50k distinct keys, one planted hot key at 30%
+    val wide = spark.range(200000).select(
+      when(col("id") % 10 < 3, lit("HOT"))
+        .otherwise(concat(lit("u"), (col("id") % 49999).cast("string")))
+        .as("k"),
+      col("id").as("x"))
+    val frac = 0.2
+    val (sampled, hotFrame) =
+      SkewProbe.probeFrames(wide, col("k"), 0.05, frac)
+    try {
+      // the frame the driver collects is bounded by construction —
+      // NOT by the number of distinct sampled keys (~tens of thousands)
+      val n = hotFrame.count()
+      assert(n <= math.ceil(1.0 / frac).toLong, s"collected $n rows")
+      assert(hotFrame.collect().map(_.getString(0)).toSet === Set("HOT"))
+    } finally { sampled.unpersist(false); () }
+    // uniform keys: the bounded frame is empty, not ~50k rows
+    val uniform = spark.range(200000).select(
+      concat(lit("u"), (col("id") % 49999).cast("string")).as("k"))
+    val (s2, h2) = SkewProbe.probeFrames(uniform, col("k"), 0.05, frac)
+    try assert(h2.count() === 0L) finally { s2.unpersist(false); () }
+    // driver-lifetime cache: the second call returns the cached result
+    // (same instance) instead of re-sampling
+    val a = SkewProbe.hotKeys(wide, "k", 0.05, frac)
+    val b = SkewProbe.hotKeys(wide, "k", 0.05, frac)
+    assert(a === Seq("HOT"))
+    assert(a eq b)
+  }
+
   test("no hot key detected: auto() keeps the single merge plan") {
     val uniform = spark.range(50000).select(
       concat(lit("k"), (col("id") % 997).cast("string")).as("k"),

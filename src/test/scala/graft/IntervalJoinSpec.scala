@@ -55,4 +55,55 @@ class IntervalJoinSpec extends SparkTestBase {
       .map(r => (r.getTimestamp(0), r.getDouble(1))).sortBy(_._1.getTime)
     assert(bucketed === plain)
   }
+
+  test("planted 60%-hot-zone: the auto variant salts the hot key, " +
+      "bounds per-reducer group size, output identical") {
+    // 100k points, 60% on ONE zone; 1000 one-minute intervals per zone.
+    // Join key is (cell, zone): every hot-zone cell lands on the same
+    // reducer chain without salting.
+    val zones = 20
+    val pts = spark.range(100000).select(
+      when(col("id") % 10 < 6, lit("HOT"))
+        .otherwise(concat(lit("z"), (col("id") % zones).cast("string")))
+        .as("zone"),
+      timestamp_micros(col("id") % 1000 * 60000000L + 1000000L +
+        (col("id") / 1000L).cast("long")).as("p_ts"), // unique micros
+      col("id").as("x"))
+    val ivs = spark.range(1000).select(
+      explode(array((lit("HOT") +: (0 until zones).map(z =>
+        lit(s"z$z"))): _*)).as("zone"),
+      timestamp_micros(col("id") * 60000000L).as("start"),
+      timestamp_micros(col("id") * 60000000L + 59999999L).as("end"),
+      col("id").as("price"))
+    val plain = IntervalJoin.pointInIntervalBucketed(pts, ivs,
+      "p_ts", "start", "end", widthMicros = 60000000L,
+      equi = Seq("zone"))
+      .select("zone", "x", "price").as[(String, Long, Long)]
+      .collect().toSet
+    val auto = IntervalJoin.pointInIntervalBucketedAuto(pts, ivs,
+      "p_ts", "start", "end", widthMicros = 60000000L,
+      equi = Seq("zone"), skewSampleFraction = 0.05, salt = 8)
+    assert(auto.select("zone", "x", "price").as[(String, Long, Long)]
+      .collect().toSet === plain)
+    // the salted hot branch bounds what one reducer group sees: max
+    // (cell, zone, salt) group ≤ ~1/salt of the hot cell's points
+    // (hash-of-timestamp salting; identical timestamps share a salt,
+    // here each point has a distinct micros offset)
+    // residues with r%10<6 are fully hot: 100 hot points in each of
+    // 600 hot cells
+    val hotPerCell = 100L
+    val maxSalted = pts.where(col("zone") === "HOT")
+      .withColumn("__cell",
+        (unix_micros(col("p_ts")) / 60000000L).cast("long"))
+      .withColumn("__salt", pmod(hash(col("p_ts")), lit(8)))
+      .groupBy("__cell", "__salt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxSalted <= hotPerCell / 8 * 3,
+      s"salting failed to spread the hot cell: max group $maxSalted")
+    // without a probe (fraction 0) the plan stays the single-join shape
+    val off = IntervalJoin.pointInIntervalBucketedAuto(pts, ivs,
+      "p_ts", "start", "end", widthMicros = 60000000L,
+      equi = Seq("zone"))
+    assert(!off.queryExecution.executedPlan.toString.contains("Union"))
+  }
 }
