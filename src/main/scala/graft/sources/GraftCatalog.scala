@@ -192,24 +192,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       p.property }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    val moves = changes.collect {
+      case m: TableChange.UpdateColumnPosition => m }
     changes.foreach {
       case _: TableChange.AddColumn | _: TableChange.SetProperty |
           _: TableChange.RemoveProperty | _: TableChange.RenameColumn |
-          _: TableChange.DeleteColumn => ()
+          _: TableChange.DeleteColumn |
+          _: TableChange.UpdateColumnPosition => ()
       case other => throw new UnsupportedOperationException(
-        s"graft-table ALTER supports ADD/RENAME/DROP COLUMN and table " +
-          s"properties, got $other")
+        s"graft-table ALTER supports ADD/RENAME/DROP COLUMN, " +
+          s"FIRST/AFTER positions and table properties, got $other")
     }
-    (renames.map(_.fieldNames) ++ drops.map(_.fieldNames)).foreach(fn =>
-      require(fn.length == 1,
-        s"nested column evolution not supported: ${fn.mkString(".")}"))
     if (sets.nonEmpty || unsets.nonEmpty)
       VersionedTable.alterProperties(spark, dir.toString, sets.toMap,
         unsets.toSeq)
+    // multi-part field names address nested struct fields (dotted path)
     renames.foreach(r => VersionedTable.renameColumn(spark, dir.toString,
-      r.fieldNames.head, r.newName))
+      r.fieldNames.mkString("."), r.newName))
     drops.foreach(d => VersionedTable.dropColumn(spark, dir.toString,
-      d.fieldNames.head))
+      d.fieldNames.mkString(".")))
+    moves.foreach { m =>
+      val pos = m.position() match {
+        case _: TableChange.First => VersionedTable.ColumnPosition.First
+        case a: TableChange.After =>
+          VersionedTable.ColumnPosition.After(a.column())
+        case other => throw new UnsupportedOperationException(
+          s"unknown column position $other")
+      }
+      VersionedTable.moveColumn(spark, dir.toString,
+        m.fieldNames.mkString("."), pos)
+    }
     if (adds.nonEmpty) {
       val fields = adds.map { a =>
         require(a.fieldNames.length == 1,

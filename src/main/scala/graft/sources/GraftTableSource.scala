@@ -309,9 +309,30 @@ private[sources] class GraftTable(path: String, dataSchema: StructType,
                 require(clean.columns.length == want.length,
                   s"cannot write ${clean.columns.toSeq} into schema $want")
                 val aligned = clean.toDF(want: _*)
+                // compare SHAPES: nested nullability and metadata (the
+                // declared schema carries parquet field ids inside
+                // struct types) legitimately differ from a query's
+                // output type; Spark's output resolution already
+                // enforced writable nullability
+                def shape(dt: org.apache.spark.sql.types.DataType)
+                    : org.apache.spark.sql.types.DataType = {
+                  import org.apache.spark.sql.types._
+                  dt match {
+                    case s: StructType => StructType(s.fields.map(f =>
+                      StructField(f.name.toLowerCase(java.util.Locale.ROOT),
+                        shape(f.dataType))))
+                    case a: ArrayType =>
+                      ArrayType(shape(a.elementType), containsNull = true)
+                    case m: MapType => MapType(shape(m.keyType),
+                      shape(m.valueType), valueContainsNull = true)
+                    case other => other
+                  }
+                }
                 val mismatched = aligned.schema.fields.zip(dataSchema.fields)
-                  .collect { case (got, exp) if got.dataType != exp.dataType =>
-                    s"${exp.name}: ${got.dataType} != ${exp.dataType}" }
+                  .collect {
+                    case (got, exp) if shape(got.dataType) !=
+                        shape(exp.dataType) =>
+                      s"${exp.name}: ${got.dataType} != ${exp.dataType}" }
                 if (mismatched.nonEmpty) throw new IllegalArgumentException(
                   s"type mismatch writing graft-table: ${mismatched.mkString(", ")}")
                 replaceCond match {

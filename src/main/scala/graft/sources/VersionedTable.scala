@@ -176,8 +176,22 @@ object VersionedTable {
       sc: org.apache.spark.sql.types.StructType): Boolean =
     sc.fields.exists(_.metadata.contains(FieldIdKey))
 
-  private def maxFieldId(sc: org.apache.spark.sql.types.StructType): Long =
-    sc.fields.flatMap(fieldId).maxOption.getOrElse(0L)
+  /** Deep max over nested structs (array elements / map values
+    * included): the high-water mark must clear NESTED ids too, or a
+    * re-added nested field could inherit a dropped one's id.
+    */
+  private def maxFieldId(sc: org.apache.spark.sql.types.StructType): Long = {
+    import org.apache.spark.sql.types._
+    def ofType(dt: DataType): Long = dt match {
+      case s: StructType =>
+        s.fields.map(f => math.max(fieldId(f).getOrElse(0L),
+          ofType(f.dataType))).maxOption.getOrElse(0L)
+      case a: ArrayType => ofType(a.elementType)
+      case m: MapType => math.max(ofType(m.keyType), ofType(m.valueType))
+      case _ => 0L
+    }
+    ofType(sc)
+  }
 
   /** High-water mark of assigned field ids: the `#fid` line, falling
     * back to the max id in the declared schema (pre-`#fid` tables).
@@ -187,21 +201,37 @@ object VersionedTable {
       .map(_.drop(FidPrefix.length).trim.toLong)
       .orElse(schemaLine(lines).map(maxFieldId)).getOrElse(0L)
 
-  /** Assign fresh ids (continuing after `from`) to fields lacking one.
-    * Returns the stamped fields and the new high-water mark.
+  /** Assign fresh ids (continuing after `from`) to fields lacking one —
+    * RECURSIVELY: fields nested in structs (directly, inside arrays, or
+    * as map keys/values) are stamped too, so nested rename/drop can
+    * resolve them by id the same way top-level evolution does (Spark's
+    * parquet field-id read/write matching is recursive). Returns the
+    * stamped fields and the new high-water mark.
     */
   private def assignIds(fields: Seq[org.apache.spark.sql.types.StructField],
       from: Long): (Seq[org.apache.spark.sql.types.StructField], Long) = {
+    import org.apache.spark.sql.types._
     var next = from
-    val out = fields.map { f =>
-      if (f.metadata.contains(FieldIdKey)) f
-      else {
-        next += 1
-        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).putLong(FieldIdKey, next).build())
-      }
+    def ofType(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(ofField))
+      case a: ArrayType => a.copy(elementType = ofType(a.elementType))
+      case m: MapType => m.copy(keyType = ofType(m.keyType),
+        valueType = ofType(m.valueType))
+      case other => other
     }
-    (out, math.max(next, out.flatMap(fieldId).maxOption.getOrElse(0L)))
+    def ofField(f: StructField): StructField = {
+      val withId =
+        if (f.metadata.contains(FieldIdKey)) f
+        else {
+          next += 1
+          f.copy(metadata = new MetadataBuilder()
+            .withMetadata(f.metadata).putLong(FieldIdKey, next).build())
+        }
+      withId.copy(dataType = ofType(withId.dataType))
+    }
+    val out = fields.map(ofField)
+    (out, math.max(next,
+      maxFieldId(org.apache.spark.sql.types.StructType(out.toArray))))
   }
 
   /** Re-stamp the declared schema's field-id metadata onto `df` (by
@@ -221,7 +251,16 @@ object VersionedTable {
         val byName = sc.fields.map(f => key(f.name) -> f).toMap
         df.select(df.schema.fields.map { f =>
           byName.get(key(f.name)) match {
-            case Some(tf) => col(f.name).as(f.name, tf.metadata)
+            case Some(tf) =>
+              // NESTED ids live inside the dataType; rewrites that
+              // rebuilt a struct (SET on a nested field) dropped them —
+              // restore via a cast to the declared type. Positional
+              // struct cast is safe here: the frame was read under the
+              // declared schema, so inner order matches.
+              val base =
+                if (f.dataType == tf.dataType) col(f.name)
+                else col(f.name).cast(tf.dataType)
+              base.as(f.name, tf.metadata)
             case None => col(f.name)
           }
         }.toSeq: _*)
@@ -2273,6 +2312,65 @@ object VersionedTable {
     }
   }
 
+  /** Gate for NESTED rename/drop: in every current data file that
+    * contains the path, the LEAF must physically carry a field id —
+    * else post-rename reads of that file would fall back to name
+    * matching, miss the new name, and silently null the column (or,
+    * for drop + re-add, resurrect dropped data). Files missing the
+    * column entirely pass (they legitimately read it as null, like any
+    * pre-evolution file). The walk matches by id where the file has
+    * one, by name otherwise, and unwraps parquet LIST/MAP machinery
+    * (whose synthetic wrapper fields never carry ids).
+    */
+  private def filesCarryLeafId(spark: SparkSession, table: String,
+      files: Seq[String],
+      pathFields: Seq[org.apache.spark.sql.types.StructField]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.{GroupType, Type}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{ListLogicalTypeAnnotation, MapLogicalTypeAnnotation}
+    def unwrap(t: Type): Type = t match {
+      case g: GroupType
+          if g.getLogicalTypeAnnotation
+            .isInstanceOf[ListLogicalTypeAnnotation] &&
+            g.getFieldCount == 1 =>
+        val rep = g.getType(0)
+        rep match {
+          // 3-level list: wrapper group holding "element"
+          case w: GroupType if w.getFieldCount == 1 => unwrap(w.getType(0))
+          case other => unwrap(other) // legacy 2-level: repeated element
+        }
+      case g: GroupType
+          if g.getLogicalTypeAnnotation
+            .isInstanceOf[MapLogicalTypeAnnotation] &&
+            g.getFieldCount == 1 =>
+        unwrap(g.getType(0).asGroupType.getType(1)) // descend map VALUES
+      case other => other
+    }
+    def leafHasId(group: GroupType,
+        rest: Seq[org.apache.spark.sql.types.StructField]): Boolean = {
+      val pf = rest.head
+      val want = fieldId(pf)
+      val found = group.getFields.asScala.find(c =>
+        want.exists(id => c.getId != null && c.getId.intValue.toLong == id))
+        .orElse(group.getFields.asScala.find(
+          _.getName.equalsIgnoreCase(pf.name)))
+      found match {
+        case None => true // column absent from this file: reads as null
+        case Some(c) if rest.length == 1 => c.getId != null
+        case Some(c) => unwrap(c) match {
+          case g: GroupType => leafHasId(g, rest.tail)
+          case _ => true // shape predates the struct: reads as null
+        }
+      }
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.forall { n =>
+      try leafHasId(readParquetFooter(conf, new Path(table, n))
+        .getFileMetaData.getSchema, pathFields)
+      catch { case _: Exception => false }
+    }
+  }
+
   /** Resolve a column name against `sc` case-insensitively (Spark's
     * resolver); throws if absent.
     */
@@ -2282,6 +2380,77 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"no such column '$name' in $table (have: " +
           sc.fieldNames.mkString(", ") + ")"))
+
+  // ---------- nested column paths (rename/drop/move inside structs) ---
+
+  /** Split a dotted column reference, preferring a literal top-level
+    * match (a column literally named "a.b" wins over the path a → b).
+    */
+  private def pathParts(sc: org.apache.spark.sql.types.StructType,
+      name: String): Seq[String] =
+    if (!name.contains('.') || sc.fields.exists(_.name.equalsIgnoreCase(name)))
+      Seq(name)
+    else name.split('.').toSeq
+
+  /** The StructField chain a path resolves through (descending arrays
+    * and map values transparently, like Spark's own nested resolution);
+    * last element is the leaf.
+    */
+  private def fieldsAlong(sc: org.apache.spark.sql.types.StructType,
+      parts: Seq[String], table: String)
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    def structOf(dt: DataType, ctx: String): StructType = dt match {
+      case s: StructType => s
+      case a: ArrayType => structOf(a.elementType, ctx)
+      case m: MapType => structOf(m.valueType, ctx)
+      case other => throw new IllegalArgumentException(
+        s"'$ctx' is a ${other.simpleString}, not a struct — cannot " +
+          "descend into it")
+    }
+    val first = resolveField(sc, parts.head, table)
+    parts.tail.foldLeft((Seq(first), first, parts.head)) {
+      case ((acc, f, ctx), p) =>
+        val nf = resolveField(structOf(f.dataType, ctx), p,
+          s"$ctx (in $table)")
+        (acc :+ nf, nf, s"$ctx.$p")
+    }._1
+  }
+
+  /** Rebuild `sc` with the struct containing the path's LEAF mapped
+    * through `fn` (the leaf is `parts.last`, a member of that struct).
+    * Descends through arrays / map values like [[fieldAt]].
+    */
+  private def transformParentStruct(
+      sc: org.apache.spark.sql.types.StructType, parts: Seq[String],
+      table: String)(
+      fn: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def drill(dt: DataType, rest: Seq[String], ctx: String): DataType =
+      dt match {
+        case s: StructType => walk(s, rest, ctx)
+        case a: ArrayType =>
+          a.copy(elementType = drill(a.elementType, rest, ctx))
+        case m: MapType =>
+          m.copy(valueType = drill(m.valueType, rest, ctx))
+        case other => throw new IllegalArgumentException(
+          s"'$ctx' is a ${other.simpleString}, not a struct — cannot " +
+            "descend into it")
+      }
+    def walk(s: StructType, rest: Seq[String], ctx: String): StructType =
+      if (rest.isEmpty) fn(s)
+      else {
+        val f = resolveField(s, rest.head, s"$ctx$table")
+        StructType(s.fields.map(x =>
+          if (x eq f)
+            x.copy(dataType =
+              drill(x.dataType, rest.tail, s"$ctx${rest.head}."))
+          else x))
+      }
+    walk(sc, parts.init, "")
+  }
 
   /** Upgrade a table WITHOUT parquet field ids to the id-carrying form
     * rename/drop evolution needs: ONE commit that (a) stamps fresh ids
@@ -2353,7 +2522,8 @@ object VersionedTable {
     */
   def renameColumn(spark: SparkSession, table: String, from: String,
       to: String, maxRetries: Int = 20): Long = {
-    require(to.nonEmpty && !to.contains("\n"), "bad target name")
+    require(to.nonEmpty && !to.contains("\n") && !to.contains("."),
+      "bad target name (rename the leaf only — no dots)")
     require(!ReservedCdfCols.exists(_.equalsIgnoreCase(to)),
       s"'$to' is a reserved change-data-feed column name")
     var attempt = 0
@@ -2361,25 +2531,35 @@ object VersionedTable {
       val (v, lines) = latestRaw(spark, table)
       val declared = schemaLine(lines).getOrElse(throw new IllegalStateException(
         s"renameColumn needs a declared schema on $table"))
-      val target = resolveField(declared, from, table)
-      require(!declared.fields.exists(f => (f ne target) &&
-        f.name.equalsIgnoreCase(to)),
-        s"column '$to' already exists in $table")
+      val parts = pathParts(declared, from)
+      val chain = fieldsAlong(declared, parts, table)
+      val target = chain.last
       require(fieldId(target).isDefined,
         s"column '$from' of $table has no field id — run " +
           "VersionedTable.materializeFieldIds first (schema-merge " +
           "evolution columns stay name-matched)")
       val files = lines.filterNot(_.startsWith("#"))
-      require(filesCarryFieldIds(spark, table, files),
-        s"$table has data files without physical field ids — a rename " +
-          "would break their reads; run VersionedTable.materializeFieldIds " +
-          "first")
-      require(!delLines(lines).exists(_._3.exists(_.equalsIgnoreCase(from))),
-        s"a pending merge-on-read delete layer keys on '$from' — run " +
-          "VersionedTable.compact to materialize it first")
-      val renamed = org.apache.spark.sql.types.StructType(
-        declared.fields.map(f =>
-          if (f ne target) f else f.copy(name = to)))
+      if (parts.length == 1)
+        require(filesCarryFieldIds(spark, table, files),
+          s"$table has data files without physical field ids — a rename " +
+            "would break their reads; run " +
+            "VersionedTable.materializeFieldIds first")
+      else
+        require(filesCarryLeafId(spark, table, files, chain),
+          s"$table has data files whose '$from' carries no physical " +
+            "field id — a rename would silently null it there; run " +
+            "VersionedTable.materializeFieldIds first")
+      require(!delLines(lines).exists(
+        _._3.exists(_.equalsIgnoreCase(parts.head))),
+        s"a pending merge-on-read delete layer keys on '${parts.head}' — " +
+          "run VersionedTable.compact to materialize it first")
+      val renamed = transformParentStruct(declared, parts, table) { st =>
+        require(!st.fields.exists(f => !(f eq target) &&
+          f.name.equalsIgnoreCase(to)),
+          s"column '$to' already exists beside '$from' in $table")
+        org.apache.spark.sql.types.StructType(st.fields.map(f =>
+          if (f eq target) f.copy(name = to) else f))
+      }
       if (tryCommit(spark, table, v + 1,
           metaLines(lines, "schema", Some(renamed)) ++ files)) return v + 1
       attempt += 1
@@ -2404,24 +2584,87 @@ object VersionedTable {
       val (v, lines) = latestRaw(spark, table)
       val declared = schemaLine(lines).getOrElse(throw new IllegalStateException(
         s"dropColumn needs a declared schema on $table"))
-      val target = resolveField(declared, name, table)
-      require(declared.fields.length > 1,
-        s"cannot drop the only column of $table")
+      val parts = pathParts(declared, name)
+      val chain = fieldsAlong(declared, parts, table)
+      val target = chain.last
       val files = lines.filterNot(_.startsWith("#"))
-      require(filesCarryFieldIds(spark, table, files),
-        s"$table has data files without physical field ids — run " +
-          "VersionedTable.materializeFieldIds first")
-      require(!delLines(lines).exists(_._3.exists(_.equalsIgnoreCase(name))),
-        s"a pending merge-on-read delete layer keys on '$name' — run " +
-          "VersionedTable.compact to materialize it first")
-      val narrowed = org.apache.spark.sql.types.StructType(
-        declared.fields.filterNot(_ eq target))
+      if (parts.length == 1)
+        require(filesCarryFieldIds(spark, table, files),
+          s"$table has data files without physical field ids — run " +
+            "VersionedTable.materializeFieldIds first")
+      else
+        require(filesCarryLeafId(spark, table, files, chain),
+          s"$table has data files whose '$name' carries no physical " +
+            "field id — a re-added same-named field would resurrect " +
+            "their data; run VersionedTable.materializeFieldIds first")
+      require(!delLines(lines).exists(
+        _._3.exists(_.equalsIgnoreCase(parts.head))),
+        s"a pending merge-on-read delete layer keys on '${parts.head}' — " +
+          "run VersionedTable.compact to materialize it first")
+      val narrowed = transformParentStruct(declared, parts, table) { st =>
+        require(st.fields.length > 1,
+          if (parts.length == 1) s"cannot drop the only column of $table"
+          else s"cannot drop the only field of struct " +
+            s"'${parts.init.mkString(".")}' in $table — drop the struct")
+        org.apache.spark.sql.types.StructType(
+          st.fields.filterNot(_ eq target))
+      }
       if (tryCommit(spark, table, v + 1,
           metaLines(lines, "schema", Some(narrowed)) ++ files)) return v + 1
       attempt += 1
     }
     throw new IllegalStateException(
       s"dropColumn lost $maxRetries commit races")
+  }
+
+  /** Column position for [[moveColumn]] / SQL `ALTER TABLE ... ALTER
+    * COLUMN x FIRST | AFTER y`.
+    */
+  sealed trait ColumnPosition
+  object ColumnPosition {
+    case object First extends ColumnPosition
+    /** after a SIBLING at the same nesting level */
+    final case class After(column: String) extends ColumnPosition
+  }
+
+  /** Reorder a (possibly nested) column within its parent struct — a
+    * METADATA-ONLY commit, no file rewrite: reads serve the declared
+    * order and resolve file columns by field id / name, so physical
+    * layout never constrains declared order (Iceberg semantics). Writes
+    * align by name, so existing writers are unaffected.
+    */
+  def moveColumn(spark: SparkSession, table: String, name: String,
+      position: ColumnPosition, maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      val declared = schemaLine(lines).getOrElse(throw new IllegalStateException(
+        s"moveColumn needs a declared schema on $table"))
+      val parts = pathParts(declared, name)
+      val target = fieldsAlong(declared, parts, table).last
+      val files = lines.filterNot(_.startsWith("#"))
+      val moved = transformParentStruct(declared, parts, table) { st =>
+        val rest = st.fields.filterNot(_ eq target)
+        val reordered = position match {
+          case ColumnPosition.First => target +: rest
+          case ColumnPosition.After(other) =>
+            require(!other.equalsIgnoreCase(parts.last),
+              s"cannot move '$name' after itself")
+            val j = rest.indexWhere(_.name.equalsIgnoreCase(other))
+            require(j >= 0, s"no sibling column '$other' beside " +
+              s"'$name' in $table (have: " +
+              rest.map(_.name).mkString(", ") + ")")
+            (rest.take(j + 1) :+ target) ++ rest.drop(j + 1)
+        }
+        org.apache.spark.sql.types.StructType(reordered)
+      }
+      if (moved == declared) return v // already in position: no commit
+      if (tryCommit(spark, table, v + 1,
+          metaLines(lines, "schema", Some(moved)) ++ files)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"moveColumn lost $maxRetries commit races")
   }
 
   private def manifestLinesAt(spark: SparkSession, table: String,

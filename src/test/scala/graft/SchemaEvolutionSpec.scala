@@ -279,6 +279,120 @@ class SchemaEvolutionSpec extends SparkTestBase {
       (2L, None, Some(9L))))
   }
 
+  test("nested field ids: rename/drop a struct member; old files " +
+      "resolve by id; arrays of structs too") {
+    val t = tmp()
+    VersionedTable.create(spark, t, StructType(Seq(
+      StructField("k", LongType),
+      StructField("s", StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType)))),
+      StructField("arr", ArrayType(StructType(Seq(
+        StructField("x", LongType))))))))
+    VersionedTable.append(spark,
+      spark.range(2).selectExpr("id AS k",
+        "named_struct('a', id * 10, 'b', concat('v', id)) AS s",
+        "array(named_struct('x', id + 100)) AS arr"), t)
+    // rename a struct member: metadata-only commit, old file resolves
+    val vRen = VersionedTable.renameColumn(spark, t, "s.b", "label")
+    val hist = VersionedTable.history(spark, t)
+      .where(col("version") === vRen).head()
+    assert(hist.getAs[Int]("files_added") === 0)
+    val now = VersionedTable.read(spark, t).orderBy("k")
+    assert(now.schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("a", "label"))
+    assert(now.selectExpr("k", "s.a", "s.label")
+      .as[(Long, Long, String)].collect().toSeq ===
+      Seq((0L, 0L, "v0"), (1L, 10L, "v1")))
+    // array-of-struct member rename resolves through the LIST level
+    VersionedTable.renameColumn(spark, t, "arr.x", "y")
+    assert(VersionedTable.read(spark, t).orderBy("k")
+      .selectExpr("arr[0].y").as[Long].collect().toSeq ===
+      Seq(100L, 101L))
+    // writes against the renamed nested schema align by the NEW name
+    VersionedTable.append(spark,
+      spark.range(2, 3).selectExpr("id AS k",
+        "named_struct('a', id * 10, 'label', concat('v', id)) AS s",
+        "array(named_struct('y', id + 100)) AS arr"), t)
+    assert(VersionedTable.read(spark, t).orderBy("k")
+      .selectExpr("k", "s.label").as[(Long, String)].collect().toSeq ===
+      Seq((0L, "v0"), (1L, "v1"), (2L, "v2")))
+    // DSv2 scan agrees (pre- and post-rename files in one scan)
+    assert(spark.read.format("graft-table").load(t).orderBy("k")
+      .selectExpr("s.label").as[String].collect().toSeq ===
+      Seq("v0", "v1", "v2"))
+    // refusals: collision beside the leaf, missing path, non-struct
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, t, "s.a", "LABEL")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, t, "s.nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, t, "k.inner", "x")
+    }
+    // drop a nested member narrows reads; sibling survives
+    VersionedTable.dropColumn(spark, t, "s.a")
+    val dropped = VersionedTable.read(spark, t)
+    assert(dropped.schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("label"))
+  }
+
+  test("moveColumn FIRST/AFTER: metadata-only reorder, catalog SQL " +
+      "surface, values follow their names") {
+    val t = tmp()
+    VersionedTable.create(spark, t, StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", DoubleType))))
+    VersionedTable.append(spark,
+      Seq((1L, "x", 0.5)).toDF("a", "b", "c"), t)
+    val vMove = VersionedTable.moveColumn(spark, t, "c",
+      VersionedTable.ColumnPosition.First)
+    assert(VersionedTable.history(spark, t)
+      .where(col("version") === vMove).head()
+      .getAs[Int]("files_added") === 0) // no rewrite
+    val r = VersionedTable.read(spark, t)
+    assert(r.columns.toSeq === Seq("c", "a", "b"))
+    assert(r.as[(Double, Long, String)].head() === ((0.5, 1L, "x")))
+    VersionedTable.moveColumn(spark, t, "c",
+      VersionedTable.ColumnPosition.After("a"))
+    assert(VersionedTable.read(spark, t).columns.toSeq ===
+      Seq("a", "c", "b"))
+    // moving to the position it already holds is a no-op commit-wise
+    val vBefore = VersionedTable.latest(spark, t)._1
+    assert(VersionedTable.moveColumn(spark, t, "c",
+      VersionedTable.ColumnPosition.After("a")) === vBefore)
+    // unknown sibling refuses
+    intercept[IllegalArgumentException] {
+      VersionedTable.moveColumn(spark, t, "c",
+        VersionedTable.ColumnPosition.After("nope"))
+    }
+    // SQL surface through the catalog
+    val wh = java.nio.file.Files.createTempDirectory("sevo_wh").toString
+    spark.conf.set("spark.sql.catalog.gsevo",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsevo.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsevo.ns")
+    spark.sql("CREATE TABLE gsevo.ns.m (x BIGINT, y STRING, z DOUBLE)")
+    spark.sql("INSERT INTO gsevo.ns.m VALUES (1, 'a', 2.0)")
+    spark.sql("ALTER TABLE gsevo.ns.m ALTER COLUMN z FIRST")
+    assert(spark.table("gsevo.ns.m").columns.toSeq ===
+      Seq("z", "x", "y"))
+    spark.sql("ALTER TABLE gsevo.ns.m ALTER COLUMN z AFTER x")
+    assert(spark.table("gsevo.ns.m").columns.toSeq ===
+      Seq("x", "z", "y"))
+    assert(spark.table("gsevo.ns.m").as[(Long, Double, String)]
+      .head() === ((1L, 2.0, "a")))
+    // nested rename via SQL too — note positional VALUES follow the
+    // REORDERED schema (x, z, y, s), the point of FIRST/AFTER
+    spark.sql("ALTER TABLE gsevo.ns.m ADD COLUMNS (s STRUCT<p: BIGINT>)")
+    spark.sql("INSERT INTO gsevo.ns.m VALUES (2, 3.0, 'b', " +
+      "named_struct('p', 7L))")
+    spark.sql("ALTER TABLE gsevo.ns.m RENAME COLUMN s.p TO q")
+    assert(spark.sql("SELECT s.q FROM gsevo.ns.m WHERE x = 2")
+      .as[Long].head() === 7L)
+    spark.sql("DROP TABLE gsevo.ns.m")
+  }
+
   test("equality-delete resolution reads candidates by FIELD ID even in " +
       "a session that never enabled fieldId.read: renamed key columns " +
       "of pre-rename files must match, not null out") {
