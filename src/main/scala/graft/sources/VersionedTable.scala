@@ -1788,15 +1788,20 @@ object VersionedTable {
         }
         val affected = files.filter(n =>
           fileIntersects(conf, new Path(table, n), key, lo, hi, isString))
+        // delete-aware snapshot read (NOT a raw parquet read): a
+        // pending merge-on-read layer may hide rows of the affected
+        // files, and a rewrite that copied them forward would give
+        // them a fresh name/higher file version that escapes both
+        // layer types — silently resurrecting deleted rows. ONE lazy
+        // frame shared by the survivor rewrite and the CDC staging
+        // (resolution work per snapshot version is cached, but the
+        // plan/setup cost isn't free either).
+        lazy val existing =
+          if (affected.isEmpty) null
+          else snapRead(spark, table, affected, lines)
         val rewritten =
           if (affected.isEmpty) Nil
           else {
-            // delete-aware snapshot read (NOT a raw parquet read): a
-            // pending merge-on-read layer may hide rows of the affected
-            // files, and a rewrite that copied them forward would give
-            // them a fresh name/higher file version that escapes both
-            // layer types — silently resurrecting deleted rows
-            val existing = snapRead(spark, table, affected, lines)
             val survivors = existing.join(updKeys, Seq(key), "left_anti")
             stage(spark, stampFieldIds(survivors, schemaLine(lines)), table)
           }
@@ -1809,7 +1814,6 @@ object VersionedTable {
           if (affected.isEmpty)
             updates.withColumn(ChangeTypeCol, lit("insert"))
           else {
-            val existing = snapRead(spark, table, affected, lines)
             val pre = existing.join(updKeys, Seq(key), "left_semi")
             val preKeys = pre.select(col(key))
             pre.withColumn(ChangeTypeCol, lit("update_preimage"))

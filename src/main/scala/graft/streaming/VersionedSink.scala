@@ -238,26 +238,34 @@ object VersionedSink {
       .option("readChangeFeed", "true").load(src)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val epoch = batch.agg(
-            org.apache.spark.sql.functions.max(col("_commit_version")))
-            .head().getLong(0)
-          val rank = org.apache.spark.sql.expressions.Window
-            .partitionBy(col(key))
-            .orderBy(col("_commit_version").desc,
-              col("_change_type").isin("insert", "update_postimage").desc)
-          val last = batch.withColumn("__rn", row_number().over(rank))
-            .where(col("__rn") === 1).drop("__rn")
-          val ups = last
-            .where(col("_change_type").isin("insert", "update_postimage"))
-            .drop("_change_type", "_commit_version")
-          val dels = last.where(col("_change_type") === "delete")
-            .select(col(key))
-          graft.sources.VersionedTable.upsert(batch.sparkSession, ups, dst,
-            key, txn = Some((writerId + "#u", epoch)))
-          graft.sources.VersionedTable.deleteByKeys(batch.sparkSession, dst,
-            dels, txn = Some((writerId + "#d", epoch)))
-        }
+        // ONE computation of the batch per trigger: the deduped
+        // last-change-per-key frame persists, and the emptiness probe,
+        // apply epoch (its max _commit_version equals the batch's —
+        // the key changed at the newest commit keeps that version),
+        // upserts and deletes all derive from it
+        val rank = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key))
+          .orderBy(col("_commit_version").desc,
+            col("_change_type").isin("insert", "update_postimage").desc)
+        val last = batch.withColumn("__rn", row_number().over(rank))
+          .where(col("__rn") === 1).drop("__rn")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!last.isEmpty) {
+            val epoch = last.agg(
+              org.apache.spark.sql.functions.max(col("_commit_version")))
+              .head().getLong(0)
+            val ups = last
+              .where(col("_change_type").isin("insert", "update_postimage"))
+              .drop("_change_type", "_commit_version")
+            val dels = last.where(col("_change_type") === "delete")
+              .select(col(key))
+            graft.sources.VersionedTable.upsert(batch.sparkSession, ups,
+              dst, key, txn = Some((writerId + "#u", epoch)))
+            graft.sources.VersionedTable.deleteByKeys(batch.sparkSession,
+              dst, dels, txn = Some((writerId + "#d", epoch)))
+          }
+        } finally { last.unpersist(false); () }
         ()
       }
       .option("checkpointLocation", checkpoint)
