@@ -415,7 +415,13 @@ private[sources] class GraftTable(path: String, dataSchema: StructType,
   }
 }
 
-private[sources] object GraftTableScan {
+private[graft] object GraftTableScan {
+  /** Diagnostic/test hook: (kept, total) files of the most recent batch
+    * planning — how much the stats-based skipping actually pruned.
+    */
+  private[graft] val lastPlanned =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
   val VersionCol = "_commit_version"
   val FileCol = "_file"
   /** reader option pinning a batch scan to one committed snapshot:
@@ -489,7 +495,33 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
     required: StructType,
     parquetFilters: Array[org.apache.spark.sql.sources.Filter])
   extends Scan
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  // Join-driven runtime pruning (the storage half of dynamic partition
+  // pruning): Spark hands the build side's key values to filter() before
+  // the batch plans, and the same manifest stats that serve static
+  // skipping drop whole files whose bounds can't contain any key. Purely
+  // an optimization — the join re-checks every surviving row.
+  @volatile private var runtimeFilters
+      : Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (options.get("runtimefilepruning").contains("false"))
+      Array.empty
+    else
+      // only columns that survived column pruning: Spark resolves these
+      // against the scan's OUTPUT, so a pruned-away column would fail
+      // analysis
+      dataSchema.fields.filter(f => required.fieldNames.contains(f.name))
+        .map(f =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .column(f.name))
+  override def filter(predicates
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit =
+    runtimeFilters = predicates.flatMap(
+      org.apache.spark.sql.GraftSqlShim.predicateToV1)
 
   /** Snapshot size from the manifest (sum of committed file lengths) —
     * lets Catalyst make a real broadcast decision when a graft-table
@@ -503,14 +535,33 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
           import scala.jdk.CollectionConverters._
           val conf = spark.sparkContext.hadoopConfiguration
           val f = new Path(path).getFileSystem(conf)
-          val (_, files) = VersionedTable.latest(spark, path)
-          val sizes = files.map(n =>
-            f.getFileStatus(new Path(path, n)).getLen).sum
-          // exact row count for free from the parquet footers (block
-          // row counts) — no data pages read
-          val rows = files.map { n =>
-            VersionedTable.readParquetFooter(conf, new Path(path, n))
-              .getBlocks.asScala.map(_.getRowCount).sum
+          val asOf = options.get(GraftTableScan.VersionAsOfOption)
+            .map(_.toLong)
+          val files = asOf match {
+            case Some(v) => VersionedTable.filesAt(spark, path, v)
+            case None => VersionedTable.latest(spark, path)._2
+          }
+          // manifest stats first: size AND exact rows with zero
+          // filesystem calls, restricted to the files the pushed
+          // filters can actually touch (so Catalyst sizes a filtered
+          // graft-table join side realistically — often the difference
+          // between a broadcast and a 100 TB shuffle); footer/status
+          // fallback only for stats-less files
+          val stats = VersionedTable.parsedStatsAt(spark, path, asOf)
+          val keys = FileStats.lookupKeys(dataSchema)
+          val kept =
+            if (parquetFilters.isEmpty || stats.isEmpty ||
+                options.get("statsskipping").contains("false")) files
+            else files.filter(n => stats.get(n).forall(
+              FileStats.fileMayMatch(_, keys, parquetFilters.toSeq)))
+          val sizes = kept.map { n =>
+            stats.get(n).flatMap(_.bytes).getOrElse(
+              f.getFileStatus(new Path(path, n)).getLen)
+          }.sum
+          val rows = kept.map { n =>
+            stats.get(n).flatMap(_.rows).getOrElse(
+              VersionedTable.readParquetFooter(conf, new Path(path, n))
+                .getBlocks.asScala.map(_.getRowCount).sum)
           }.sum
           (java.util.OptionalLong.of(sizes), java.util.OptionalLong.of(rows))
         } catch { case _: Exception =>
@@ -594,15 +645,34 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
         case Some(v) => VersionedTable.filesAt(spark, path, v)
         case None => VersionedTable.latest(spark, path)._2
       }
+      // plan-time file skipping: pushed + runtime predicates against the
+      // manifest's per-file column bounds — files that provably cannot
+      // match never become tasks. Missing stats keep the file; Spark
+      // re-evaluates every filter above the scan.
+      val stats = VersionedTable.parsedStatsAt(spark, path, asOf)
+      val effective = parquetFilters ++ runtimeFilters
+      val kept =
+        if (effective.isEmpty || stats.isEmpty ||
+            options.get("statsskipping").contains("false")) files
+        else {
+          val keys = FileStats.lookupKeys(dataSchema)
+          files.filter(n => stats.get(n).forall(
+            FileStats.fileMayMatch(_, keys, effective.toSeq)))
+        }
+      GraftTableScan.lastPlanned.set((kept.size, files.size))
       // provenance lookup only when the query asked for the version col
       val provenance =
         if (!partSchema.fieldNames.contains(GraftTableScan.VersionCol))
           Map.empty[String, Long]
         else VersionedTable.fileVersions(spark, path)
-      files.zipWithIndex.map { case (n, i) =>
+      kept.zipWithIndex.map { case (n, i) =>
         val p = new Path(path, n)
+        // commit-time byte length from the manifest stats — planning a
+        // 100k-file snapshot must not issue 100k getFileStatus RPCs
+        val len = stats.get(n).flatMap(_.bytes)
+          .getOrElse(f.getFileStatus(p).getLen)
         FileReadShim.filePartitionValues(i,
-          Seq((p.toString, f.getFileStatus(p).getLen,
+          Seq((p.toString, len,
             GraftTableScan.metaValues(partSchema,
               provenance.getOrElse(n, 0L), n))))
       }.toArray

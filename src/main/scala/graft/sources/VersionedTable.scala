@@ -103,6 +103,13 @@ object VersionedTable {
   private val PropPrefix = "#prop "
   private val FidPrefix = "#fid "
   private val CdcPrefix = "#cdc "
+  // "#stats <file> <json>": per-data-file column bounds ([[FileStats]])
+  // for plan-time skipping. NOT carried by the hand-built meta sites:
+  // [[tryCommit]] itself reconciles them every commit — carrying lines
+  // for retained files from the previous manifest, computing fresh ones
+  // from the just-written parquet footers, dropping lines whose file
+  // left the snapshot — so every writer path gets stats for free.
+  private val StatsPrefix = "#stats "
 
   /** The table property that turns on write-time CDC files. */
   val CdcProperty = "graft.enableChangeDataFeed"
@@ -381,6 +388,107 @@ object VersionedTable {
     m
   }
 
+  /** `file -> stats json` from manifest `lines`. */
+  private def statsMapOf(lines: Seq[String]): Map[String, String] =
+    lines.collect { case l if l.startsWith(StatsPrefix) =>
+      val rest = l.drop(StatsPrefix.length)
+      val cut = rest.indexOf(' ')
+      if (cut < 0) rest -> "" else rest.take(cut) -> rest.drop(cut + 1)
+    }.toMap
+
+  // Footer-derived stats of committed files cache for the driver's
+  // lifetime (files are immutable once published): an OCC retry loop
+  // re-reconciles per attempt but each footer is read once.
+  private val StatsComputeCacheMax = 65536
+  private val statsComputeCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String), String](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), String]): Boolean =
+          size() > StatsComputeCacheMax
+      })
+
+  // Parsed per-version stats maps, LRU like the bitmap cache: planning a
+  // filtered scan of a 100k-file snapshot should parse each file's JSON
+  // once per VERSION, not once per query.
+  private val StatsParsedCacheMax = 256
+  private val statsParsedCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long),
+          Map[String, FileStats.FileStat]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long),
+              Map[String, FileStats.FileStat]]): Boolean =
+          size() > StatsParsedCacheMax
+      })
+
+  /** `file -> parsed stats` of the snapshot at `asOf` (None = latest).
+    * Missing/corrupt entries are simply absent — absent files can never
+    * be skipped. Used by the DSv2 scan's plan-time file pruning.
+    */
+  private[sources] def parsedStatsAt(spark: SparkSession, table: String,
+      asOf: Option[Long]): Map[String, FileStats.FileStat] = {
+    val f = fs(spark, table)
+    val (v, lines) = asOf match {
+      case Some(x) => (x, try readManifestRaw(f, table, x)
+        catch { case _: Exception => Nil })
+      case None => latestRaw(spark, table)
+    }
+    val key = (table, v)
+    val hit = statsParsedCache.get(key)
+    if (hit != null) return hit
+    val parsed = statsMapOf(lines).flatMap { case (n, j) =>
+      FileStats.parse(j).map(n -> _)
+    }
+    statsParsedCache.put(key, parsed)
+    parsed
+  }
+
+  /** The commit-side stats protocol (see [[StatsPrefix]]): carry stats
+    * of retained files from manifest `v-1` (or from `lines` itself),
+    * compute fresh ones from the footers of files new in this commit,
+    * and keep lines only for files present in the new snapshot.
+    */
+  private def reconcileStats(spark: SparkSession, table: String, v: Long,
+      lines: Seq[String]): Seq[String] = {
+    val data = lines.filterNot(_.startsWith("#"))
+    val base = lines.filterNot(_.startsWith(StatsPrefix))
+    if (data.isEmpty) return base
+    val given = statsMapOf(lines)
+    val prev: Map[String, String] =
+      if (v <= 1) Map.empty
+      else
+        try statsMapOf(readManifestRaw(fs(spark, table), table, v - 1))
+        catch { case _: Exception => Map.empty }
+    val conf = spark.sparkContext.hadoopConfiguration
+    def computed(n: String): Option[String] = {
+      val key = (table, n)
+      Option(statsComputeCache.get(key)).orElse {
+        val s =
+          try {
+            val p = new Path(table, n)
+            val len = p.getFileSystem(conf).getFileStatus(p).getLen
+            Some(FileStats.fromFooter(readParquetFooter(conf, p), len))
+          } catch { case _: Exception => None }
+        s.foreach(statsComputeCache.put(key, _))
+        s
+      }
+    }
+    val missing = data.filterNot(n => given.contains(n) || prev.contains(n))
+    val fresh: Map[String, String] =
+      if (missing.sizeIs <= 4)
+        missing.flatMap(n => computed(n).map(n -> _)).toMap
+      else {
+        // large commits (streaming sinks, wide repartitions) read their
+        // new footers concurrently — plan-time work, IO-bound
+        import scala.collection.parallel.CollectionConverters._
+        missing.par.flatMap(n => computed(n).map(n -> _)).seq.toMap
+      }
+    base ++ data.flatMap(n =>
+      given.get(n).orElse(prev.get(n)).orElse(fresh.get(n))
+        .map(j => StatsPrefix + n + " " + j))
+  }
+
   /** Drop cached manifests of `table` — required before a path can be
     * REUSED for different content (drop/rename/abort-and-recreate).
     */
@@ -397,6 +505,18 @@ object VersionedTable {
         scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
       while (it.hasNext) { val k = it.next(); if (k._1 == table) keep += k }
       keep.foreach(bitmapCache.remove)
+    }
+    statsComputeCache.synchronized {
+      val it = statsComputeCache.keySet().iterator()
+      val keep = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val k = it.next(); if (k._1 == table) keep += k }
+      keep.foreach(statsComputeCache.remove)
+    }
+    statsParsedCache.synchronized {
+      val it = statsParsedCache.keySet().iterator()
+      val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (it.hasNext) { val k = it.next(); if (k._1 == table) keep += k }
+      keep.foreach(statsParsedCache.remove)
     }
   }
 
@@ -735,7 +855,12 @@ object VersionedTable {
     * the race for `v`.
     */
   private def tryCommit(spark: SparkSession, table: String, v: Long,
-      files: Seq[String]): Boolean = {
+      lines0: Seq[String]): Boolean = {
+    // stats are best-effort metadata: their reconciliation must never
+    // fail a commit
+    val files =
+      try reconcileStats(spark, table, v, lines0)
+      catch { case _: Exception => lines0 }
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$CommitsDir"))
     // Write the full manifest to a temp name, then publish with an ATOMIC
@@ -786,6 +911,17 @@ object VersionedTable {
       table: String, prefix: String = "part-"): Seq[String] = {
     val f = fs(spark, table)
     val tmp = new Path(table, s"_stage-${java.util.UUID.randomUUID}")
+    // int64-micros timestamps, not INT96: INT96 carries NO usable parquet
+    // footer statistics, so stats-based file skipping on event time — the
+    // #1 predicate of a time-series lake — could never fire; int64 is
+    // also the Iceberg/Delta interop encoding. Session-level conf, same
+    // technique as [[ensureFieldIdRead]] (the parquet writer only reads
+    // the session conf; readers handle both encodings per file).
+    val tsSession = df.sparkSession
+    if (tsSession.conf.get(
+        "spark.sql.parquet.outputTimestampType", "INT96") == "INT96")
+      tsSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     df.write.parquet(tmp.toString)
     val staged = scala.collection.mutable.ArrayBuffer.empty[String]
     try {

@@ -24,4 +24,13 @@ object GraftSqlShim {
   def catalogManager(spark: SparkSession)
       : org.apache.spark.sql.connector.catalog.CatalogManager =
     spark.asInstanceOf[CSparkSession].sessionState.catalogManager
+
+  /** V2 runtime-filter predicate → V1 `Filter` (`PredicateUtils.toV1` is
+    * `private[sql]`) — the graft-table scan evaluates runtime join
+    * filters against manifest file stats in this form.
+    */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
 }
