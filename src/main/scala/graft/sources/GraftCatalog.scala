@@ -165,6 +165,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident, v.toString)
   }
 
+  /** User-declared TBLPROPERTIES, minus the engine-reserved keys Spark
+    * injects into every DDL (provider/location/owner/...). These are
+    * persisted at CREATE so e.g. `TBLPROPERTIES('graft.clusterBy'='k')`
+    * takes effect from the table's first append.
+    */
+  private def userProps(properties: JMap[String, String]): Map[String, String] =
+    properties.asScala.toMap -- Seq(TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION)
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     require(partitions.isEmpty,
@@ -179,6 +190,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _: IllegalStateException => // lost the create race
         throw new TableAlreadyExistsException(ident)
     }
+    // a props commit right after create: nobody holds a handle to the
+    // ident before createTable returns, so the two-commit birth is
+    // invisible. A validation failure (bad clusterBy column, reserved
+    // CDF name) must not leave a half-created table — undo the create.
+    val props = userProps(properties)
+    if (props.nonEmpty)
+      try VersionedTable.alterProperties(spark, dir.toString, props)
+      catch {
+        case e: Throwable =>
+          VersionedTable.invalidateCache(dir.toString)
+          fsys.delete(dir, true)
+          throw e
+      }
     new GraftTable(dir.toString, schema)
   }
 
@@ -297,6 +321,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           VersionedTable.create(spark, path, ctasSchema, ifNotExists = true)
         else if (VersionedTable.tableSchema(spark, path).isEmpty)
           VersionedTable.declareSchema(spark, path, ctasSchema)
+        // TBLPROPERTIES land with the creating commit's epoch; the CTAS
+        // data itself predates them (clusterBy shapes every SUBSEQUENT
+        // write; compact() re-clusters the initial files). A validation
+        // failure throws → Spark aborts the staged table.
+        val props = userProps(properties)
+        if (props.nonEmpty)
+          VersionedTable.alterProperties(spark, path, props)
       }
       override def abortStagedChanges(): Unit = {
         // nothing was committed under this ident unless the write's

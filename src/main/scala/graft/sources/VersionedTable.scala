@@ -114,6 +114,44 @@ object VersionedTable {
   /** The table property that turns on write-time CDC files. */
   val CdcProperty = "graft.enableChangeDataFeed"
 
+  /** Clustering-on-write: a comma-separated list of top-level columns.
+    * Ingest commits ([[append]] / [[appendIdempotent]] / [[overwrite]] /
+    * [[replaceWhere]] inserts / [[upsert]] update rows) range-partition
+    * and sort the incoming frame on these columns before staging, so
+    * each data file covers a narrow key range and the manifest `#stats`
+    * bounds make plan-time file skipping selective from the FIRST
+    * commit — Delta liquid-clustering / Iceberg write-order semantics
+    * without waiting for an OPTIMIZE. [[compact]] called without
+    * explicit z-order dims re-clusters on these columns too, so
+    * compaction preserves (rather than destroys) the layout.
+    */
+  val ClusterByProperty = "graft.clusterBy"
+
+  private[sources] def clusterColsOf(lines: Seq[String]): Seq[String] =
+    propMap(lines).get(ClusterByProperty).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** Range-cluster `df` on the table's declared cluster columns. No-op
+    * without the property; a column absent from the frame (pre-schema
+    * tables can append narrower frames) skips clustering rather than
+    * failing the write — the layout is an optimization, never a gate.
+    * No explicit partition count: AQE coalesces the range exchange, so
+    * a small append stages one tight file while a large one fans out
+    * to balanced ranges.
+    */
+  private def applyClustering(df: DataFrame, lines: Seq[String]): DataFrame = {
+    val cols = clusterColsOf(lines)
+    if (cols.isEmpty) df
+    else {
+      val actual = cols.flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))
+      if (actual.length != cols.length) df
+      else {
+        val cs = actual.map(org.apache.spark.sql.functions.col)
+        df.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*)
+      }
+    }
+  }
+
   /** `_change_type` column name in CDC files / the CDF output. */
   val ChangeTypeCol = "_change_type"
 
@@ -643,6 +681,25 @@ object VersionedTable {
           lines.filterNot(_.startsWith("#")).headOption.map(f =>
             spark.read.parquet(s"$table/$f").schema)),
           s"enable $CdcProperty on $table")
+      set.get(ClusterByProperty).foreach { spec =>
+        val cols = spec.split(',').map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty,
+          s"$ClusterByProperty must name at least one column")
+        schemaLine(lines).orElse(
+          lines.filterNot(_.startsWith("#")).headOption.map(f =>
+            spark.read.parquet(s"$table/$f").schema)).foreach { sc =>
+          cols.foreach { c =>
+            val fld = sc.fields.find(_.name.equalsIgnoreCase(c))
+            require(fld.isDefined, s"$ClusterByProperty column '$c' is " +
+              s"not a top-level column of $table")
+            require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(fld.get.dataType),
+              s"$ClusterByProperty column '$c' has unorderable type " +
+                s"${fld.get.dataType.simpleString} — range clustering " +
+                "needs a sortable column")
+          }
+        }
+      }
       val next = (propMap(lines) ++ set) -- unset
       if (tryCommit(spark, table, v + 1,
           metaLines(lines, "properties", newProps = Some(next)) ++
@@ -955,12 +1012,12 @@ object VersionedTable {
     */
   def append(spark: SparkSession, df: DataFrame, table: String,
       maxRetries: Int = 20, evolveSchema: Boolean = false): Long = {
-    val declared = schemaLine(latestRaw(spark, table)._2)
-    val (aligned, extras) = declared match {
+    val lines0 = latestRaw(spark, table)._2
+    val (aligned, extras) = schemaLine(lines0) match {
       case Some(sc) => alignToSchema(df, sc, evolveSchema, table)
       case None => (df, Nil)
     }
-    val staged = stage(spark, aligned, table)
+    val staged = stage(spark, applyClustering(aligned, lines0), table)
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
@@ -999,7 +1056,7 @@ object VersionedTable {
       case Some(sc) => alignToSchema(df, sc, evolve = false, table)._1
       case None => df
     }
-    val staged = stage(spark, aligned, table)
+    val staged = stage(spark, applyClustering(aligned, lines0), table)
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
@@ -1597,8 +1654,17 @@ object VersionedTable {
       val files = lines.filterNot(_.startsWith("#"))
       if (files.isEmpty) return -1L
       val snapshot = snapRead(spark, table, files, lines)
+      val clusterCols = clusterColsOf(lines)
       val clustered =
-        if (zorderDims.isEmpty) snapshot.repartition(numFiles)
+        if (zorderDims.isEmpty && clusterCols.nonEmpty) {
+          // no explicit dims on a clustered table: compaction preserves
+          // the write-time range layout instead of destroying it with a
+          // round-robin repartition
+          val cs = clusterCols.map(org.apache.spark.sql.functions.col)
+          snapshot.repartitionByRange(numFiles, cs: _*)
+            .sortWithinPartitions(cs: _*)
+        }
+        else if (zorderDims.isEmpty) snapshot.repartition(numFiles)
         else {
           val z = graft.functions.GraftFunctions
             .zvalue(zorderBits)(zorderDims: _*)
@@ -1906,7 +1972,8 @@ object VersionedTable {
         return latest(spark, table)._1
       case _ =>
     }
-    val newFiles = stage(spark, updates, table)
+    val newFiles = stage(spark,
+      applyClustering(updates, latestRaw(spark, table)._2), table)
     var attempt = 0
     var lastRewritten: Seq[String] = Nil
     try {
@@ -2090,8 +2157,9 @@ object VersionedTable {
       predicate: org.apache.spark.sql.Column,
       maxRetries: Int = 20): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val lines1 = latestRaw(spark, table)._2
     val newFiles = stage(spark,
-      stampFieldIds(df, schemaLine(latestRaw(spark, table)._2)), table)
+      stampFieldIds(applyClustering(df, lines1), schemaLine(lines1)), table)
     var attempt = 0
     while (attempt < maxRetries) {
       val (_, lines) = latestRaw(spark, table)
@@ -2150,12 +2218,12 @@ object VersionedTable {
     */
   def overwrite(spark: SparkSession, df: DataFrame, table: String,
       maxRetries: Int = 20, evolveSchema: Boolean = false): Long = {
-    val declared = schemaLine(latestRaw(spark, table)._2)
-    val (aligned, extras) = declared match {
+    val lines0 = latestRaw(spark, table)._2
+    val (aligned, extras) = schemaLine(lines0) match {
       case Some(sc) => alignToSchema(df, sc, evolveSchema, table)
       case None => (df, Nil)
     }
-    val staged = stage(spark, aligned, table)
+    val staged = stage(spark, applyClustering(aligned, lines0), table)
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
@@ -2700,8 +2768,18 @@ object VersionedTable {
         org.apache.spark.sql.types.StructType(st.fields.map(f =>
           if (f eq target) f.copy(name = to) else f))
       }
+      // clustering follows a renamed column — the property names the
+      // same physical data before and after
+      val cc = clusterColsOf(lines)
+      val newProps =
+        if (parts.length == 1 && cc.exists(_.equalsIgnoreCase(from)))
+          Some(propMap(lines) + (ClusterByProperty ->
+            cc.map(c => if (c.equalsIgnoreCase(from)) to else c)
+              .mkString(",")))
+        else None
       if (tryCommit(spark, table, v + 1,
-          metaLines(lines, "schema", Some(renamed)) ++ files)) return v + 1
+          metaLines(lines, "schema", Some(renamed), newProps = newProps) ++
+            files)) return v + 1
       attempt += 1
     }
     throw new IllegalStateException(
@@ -2728,6 +2806,10 @@ object VersionedTable {
       val chain = fieldsAlong(declared, parts, table)
       val target = chain.last
       val files = lines.filterNot(_.startsWith("#"))
+      if (parts.length == 1)
+        require(!clusterColsOf(lines).exists(_.equalsIgnoreCase(name)),
+          s"'$name' is a $ClusterByProperty column of $table — clear or " +
+            "change the clustering property first")
       if (parts.length == 1)
         require(filesCarryFieldIds(spark, table, files),
           s"$table has data files without physical field ids — run " +
