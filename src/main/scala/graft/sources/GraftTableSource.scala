@@ -459,7 +459,8 @@ private[graft] object GraftTableScan {
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       // default output = data columns; _commit_version arrives via
       // pruneColumns only when a batch query references the metadata col
       private var required: StructType = dataSchema
@@ -483,10 +484,59 @@ private[graft] object GraftTableScan {
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
         parquetFilters
 
-      override def build(): Scan = new GraftTableScan(path, dataSchema,
-        options.asCaseSensitiveMap().asScala.toMap
-          .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v },
-        required, parquetFilters)
+      // metadata-only aggregates: an unfiltered, ungrouped COUNT/MIN/MAX
+      // resolves to ONE row from the manifest's #stats lines and the
+      // query plans a LocalTableScan — zero tasks (see StatsAggregate
+      // for the soundness gates). The snapshot is pinned HERE, at
+      // decision time, so the answer is one consistent version even if
+      // the table advances before execution.
+      private var aggResult
+          : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
+        None
+      private def planAgg(agg
+          : org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
+        if (parquetFilters.nonEmpty ||
+            options.containsKey(GraftTableScan.ReadChangeFeedOption) ||
+            "false".equalsIgnoreCase(options.getOrDefault("aggpushdown", "")))
+          None
+        else try {
+          val asOf = Option(options.get(GraftTableScan.VersionAsOfOption))
+            .map(_.toLong)
+          val (files, layers, stats) = VersionedTable.aggPlanSnapshot(
+            SparkSession.active, path, asOf)
+          StatsAggregate.plan(agg, dataSchema, files, stats, layers)
+        } catch { case _: Exception => None }
+      override def supportCompletePushDown(agg
+          : org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Boolean = {
+        aggResult = planAgg(agg)
+        aggResult.isDefined
+      }
+      // a single FINAL row is also a valid PARTIAL result (count sums,
+      // min/max fold idempotently), so the same plan serves both paths
+      override def pushAggregation(agg
+          : org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Boolean = {
+        if (aggResult.isEmpty) aggResult = planAgg(agg)
+        aggResult.isDefined
+      }
+
+      override def build(): Scan = aggResult match {
+        case Some((aggSchema, row)) =>
+          new org.apache.spark.sql.connector.read.LocalScan {
+            override def rows()
+                : Array[org.apache.spark.sql.catalyst.InternalRow] =
+              Array(row)
+            override def readSchema(): StructType = aggSchema
+            override def description(): String =
+              s"graft-table stats-aggregate $path"
+          }
+        case None => new GraftTableScan(path, dataSchema,
+          options.asCaseSensitiveMap().asScala.toMap
+            .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v },
+          required, parquetFilters)
+      }
     }
 }
 

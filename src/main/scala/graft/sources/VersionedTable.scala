@@ -482,6 +482,26 @@ object VersionedTable {
     parsed
   }
 
+  /** One manifest read answering everything the DSv2 aggregate-pushdown
+    * decision needs about the snapshot at `asOf` (None = latest): data
+    * files, whether any merge-on-read delete layer is pending (footer
+    * stats count logically-deleted rows, so a pending layer forbids
+    * stats-only answers), and the parsed per-file stats.
+    */
+  private[sources] def aggPlanSnapshot(spark: SparkSession, table: String,
+      asOf: Option[Long])
+      : (Seq[String], Boolean, Map[String, FileStats.FileStat]) = {
+    val f = fs(spark, table)
+    val (v, lines) = asOf match {
+      case Some(x) => (x, readManifestRaw(f, table, x))
+      case None => latestRaw(spark, table)
+    }
+    (lines.filterNot(_.startsWith("#")),
+      lines.exists(l =>
+        l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix)),
+      parsedStatsAt(spark, table, Some(v)))
+  }
+
   /** The commit-side stats protocol (see [[StatsPrefix]]): carry stats
     * of retained files from manifest `v-1` (or from `lines` itself),
     * compute fresh ones from the footers of files new in this commit,
