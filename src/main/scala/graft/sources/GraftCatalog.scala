@@ -176,11 +176,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
       TableCatalog.PROP_IS_MANAGED_LOCATION)
 
+  /** CREATE-time layout transforms folded into the clustering property.
+    * graft has ONE physical layout mechanism — range clustering + the
+    * manifest's per-file stats bounds — so `CLUSTER BY` maps directly,
+    * and identity / temporal (`years`/`months`/`days`/`hours`)
+    * `PARTITIONED BY` transforms map to clustering on their source
+    * columns: queries on the partition column still prune (file
+    * skipping on tight stats bounds), with none of the
+    * small-file/directory explosion hive-style partitioning hits at
+    * 100 TB key cardinalities. Hash buckets have no range equivalent
+    * and are refused. The folded spec is preflight-validated against
+    * the declared schema, so a bad layout fails the DDL itself.
+    */
+  private def layoutProps(partitions: Array[Transform],
+      properties: JMap[String, String], schema: StructType,
+      what: String): JMap[String, String] = {
+    import org.apache.spark.sql.connector.expressions._
+    if (partitions.isEmpty) {
+      Option(properties.get(VersionedTable.ClusterByProperty)).foreach(
+        VersionedTable.validateClusterSpec(_, Some(schema), what))
+      return properties
+    }
+    def single(r: NamedReference): String = {
+      require(r.fieldNames.length == 1, s"$what: nested column " +
+        s"'${r.fieldNames.mkString(".")}' cannot drive clustering")
+      r.fieldNames.head
+    }
+    val temporal = Set("years", "months", "days", "hours")
+    val cols = partitions.toSeq.flatMap {
+      case ClusterByTransform(refs) => refs.map(single)
+      case t if t.name == "identity" || temporal(t.name) =>
+        t.references.toSeq.map(single)
+      case t => throw new UnsupportedOperationException(
+        s"$what: transform '$t' has no graft-table layout equivalent — " +
+          "use CLUSTER BY, an identity or temporal PARTITIONED BY " +
+          "column, or z-order compaction after load")
+    }.distinct
+    val spec = cols.mkString(",")
+    Option(properties.get(VersionedTable.ClusterByProperty)).foreach(p =>
+      require(p.split(',').map(_.trim).filter(_.nonEmpty).toSeq == cols,
+        s"$what: declared layout ($spec) conflicts with TBLPROPERTIES " +
+          s"${VersionedTable.ClusterByProperty}='$p'"))
+    VersionedTable.validateClusterSpec(spec, Some(schema), what)
+    val m = new java.util.HashMap[String, String](properties)
+    m.put(VersionedTable.ClusterByProperty, spec)
+    m
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-table does not take partition transforms — layout is managed " +
-        "by z-order compaction (VersionedTable.compact)")
+      partitions: Array[Transform], properties0: JMap[String, String]): Table = {
+    val properties = layoutProps(partitions, properties0, schema,
+      "CREATE TABLE")
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (ident.namespace.nonEmpty && !fsys.exists(nsPath(ident.namespace)))
@@ -291,10 +337,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * never-committed directory.
     */
   override def stageCreate(ident: Identifier, ctasSchema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String])
+      partitions: Array[Transform], properties0: JMap[String, String])
       : StagedTable = {
-    require(partitions.isEmpty,
-      "graft-table does not take partition transforms")
+    // resolved OUTSIDE the anonymous StagedTable: inside it, a bare
+    // `properties` silently resolves to Table's default properties()
+    // (empty map), not this method's parameter
+    val declaredProps = userProps(layoutProps(partitions, properties0,
+      ctasSchema, "CREATE TABLE AS SELECT"))
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (ident.namespace.nonEmpty && !fsys.exists(nsPath(ident.namespace)))
@@ -325,9 +374,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // data itself predates them (clusterBy shapes every SUBSEQUENT
         // write; compact() re-clusters the initial files). A validation
         // failure throws → Spark aborts the staged table.
-        val props = userProps(properties)
-        if (props.nonEmpty)
-          VersionedTable.alterProperties(spark, path, props)
+        if (declaredProps.nonEmpty)
+          VersionedTable.alterProperties(spark, path, declaredProps)
       }
       override def abortStagedChanges(): Unit = {
         // nothing was committed under this ident unless the write's
@@ -347,10 +395,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * versions stay time-travelable under their own schemas.
     */
   override def stageReplace(ident: Identifier, replSchema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String])
+      partitions: Array[Transform], properties0: JMap[String, String])
       : StagedTable = {
-    require(partitions.isEmpty,
-      "graft-table does not take partition transforms")
+    // resolved OUTSIDE the anonymous StagedTable (see stageCreate)
+    val declaredProps = userProps(layoutProps(partitions, properties0,
+      replSchema, "REPLACE TABLE"))
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val path = dir.toString
@@ -392,7 +441,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 }
             }
         }
-      override def commitStagedChanges(): Unit =
+      override def commitStagedChanges(): Unit = {
         // plain REPLACE TABLE (no AS SELECT) never ran a write — flip
         // to an empty table under the new schema, still one commit
         if (!replaced) {
@@ -402,6 +451,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               replSchema), path, replSchema)
           ()
         }
+        // a replace-table commit carries only txn watermarks — old
+        // properties are RESET (Delta REPLACE semantics); the declared
+        // TBLPROPERTIES/layout then land fresh. Validated up front
+        // (layoutProps preflight), so this cannot fail post-flip.
+        if (declaredProps.nonEmpty)
+          VersionedTable.alterProperties(spark, path, declaredProps)
+        ()
+      }
       override def abortStagedChanges(): Unit = ()
         // nothing committed: staged-but-unreferenced files (if the
         // write died mid-flight) are invisible and reaped by vacuum

@@ -131,6 +131,30 @@ object VersionedTable {
     propMap(lines).get(ClusterByProperty).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
+  /** Validate a [[ClusterByProperty]] spec against a schema (None =
+    * pre-schema table, columns unknowable — allow). Shared by
+    * alterProperties and the catalog's CREATE-time preflight, so a bad
+    * layout fails the DDL instead of surfacing after data movement.
+    */
+  private[sources] def validateClusterSpec(spec: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      table: String): Unit = {
+    val cols = spec.split(',').map(_.trim).filter(_.nonEmpty)
+    require(cols.nonEmpty, s"$ClusterByProperty must name at least one column")
+    schema.foreach { sc =>
+      cols.foreach { c =>
+        val fld = sc.fields.find(_.name.equalsIgnoreCase(c))
+        require(fld.isDefined, s"$ClusterByProperty column '$c' is " +
+          s"not a top-level column of $table")
+        require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(fld.get.dataType),
+          s"$ClusterByProperty column '$c' has unorderable type " +
+            s"${fld.get.dataType.simpleString} — range clustering " +
+            "needs a sortable column")
+      }
+    }
+  }
+
   /** Range-cluster `df` on the table's declared cluster columns. No-op
     * without the property; a column absent from the frame (pre-schema
     * tables can append narrower frames) skips clustering rather than
@@ -701,25 +725,10 @@ object VersionedTable {
           lines.filterNot(_.startsWith("#")).headOption.map(f =>
             spark.read.parquet(s"$table/$f").schema)),
           s"enable $CdcProperty on $table")
-      set.get(ClusterByProperty).foreach { spec =>
-        val cols = spec.split(',').map(_.trim).filter(_.nonEmpty)
-        require(cols.nonEmpty,
-          s"$ClusterByProperty must name at least one column")
-        schemaLine(lines).orElse(
+      set.get(ClusterByProperty).foreach(spec =>
+        validateClusterSpec(spec, schemaLine(lines).orElse(
           lines.filterNot(_.startsWith("#")).headOption.map(f =>
-            spark.read.parquet(s"$table/$f").schema)).foreach { sc =>
-          cols.foreach { c =>
-            val fld = sc.fields.find(_.name.equalsIgnoreCase(c))
-            require(fld.isDefined, s"$ClusterByProperty column '$c' is " +
-              s"not a top-level column of $table")
-            require(org.apache.spark.sql.catalyst.expressions.RowOrdering
-              .isOrderable(fld.get.dataType),
-              s"$ClusterByProperty column '$c' has unorderable type " +
-                s"${fld.get.dataType.simpleString} — range clustering " +
-                "needs a sortable column")
-          }
-        }
-      }
+            spark.read.parquet(s"$table/$f").schema)), table))
       val next = (propMap(lines) ++ set) -- unset
       if (tryCommit(spark, table, v + 1,
           metaLines(lines, "properties", newProps = Some(next)) ++

@@ -172,4 +172,72 @@ class ClusteringSpec extends SparkTestBase {
       .map(_.getString(1)).contains("bad"))
     assert(!new java.io.File(s"$dir/ns/bad").exists())
   }
+
+  test("PARTITIONED BY / CLUSTER BY transforms map to range clustering") {
+    val dir = Files.createTempDirectory("clus_pt").toString
+    spark.conf.set("spark.sql.catalog.clp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.clp.warehouse", dir)
+    spark.sql("CREATE NAMESPACE clp.ns")
+    spark.sql("CREATE TABLE clp.ns.p (k BIGINT, s STRING) PARTITIONED BY (k)")
+    assert(VersionedTable.tableProperties(spark, s"$dir/ns/p")
+      .get(VersionedTable.ClusterByProperty) === Some("k"))
+    spark.sql("CREATE TABLE clp.ns.c (k BIGINT, s STRING) CLUSTER BY (k)")
+    assert(VersionedTable.tableProperties(spark, s"$dir/ns/c")
+      .get(VersionedTable.ClusterByProperty) === Some("k"))
+    spark.sql(
+      "CREATE TABLE clp.ns.d (ts TIMESTAMP, v DOUBLE) PARTITIONED BY (days(ts))")
+    assert(VersionedTable.tableProperties(spark, s"$dir/ns/d")
+      .get(VersionedTable.ClusterByProperty) === Some("ts"))
+    // the mapped layout actually prunes
+    noCoalesce {
+      shuffled(10).select(col("k"), col("s")).write.format("graft-table")
+        .mode("append").insertInto("clp.ns.p")
+    }
+    assert(spark.table("clp.ns.p").where(col("k") === 42).count() === 1L)
+    assert(planned._1 === 1, "PARTITIONED BY-born clustering prunes")
+    // hash buckets have no range equivalent — refused, nothing created
+    intercept[Exception] {
+      spark.sql("CREATE TABLE clp.ns.b (k BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+    }
+    assert(!new java.io.File(s"$dir/ns/b").exists())
+    // conflicting explicit property + transform is refused
+    intercept[Exception] {
+      spark.sql("CREATE TABLE clp.ns.x (k BIGINT, j BIGINT) " +
+        "PARTITIONED BY (k) TBLPROPERTIES ('graft.clusterBy'='j')")
+    }
+    assert(!new java.io.File(s"$dir/ns/x").exists())
+  }
+
+  test("CTAS with a layout clause persists it; REPLACE resets and re-declares") {
+    val dir = Files.createTempDirectory("clus_ct").toString
+    spark.conf.set("spark.sql.catalog.clr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.clr.warehouse", dir)
+    spark.sql("CREATE NAMESPACE clr.ns")
+    shuffled(11).createOrReplaceTempView("clus_src")
+    spark.sql("CREATE TABLE clr.ns.t CLUSTER BY (k) AS " +
+      "SELECT k, s FROM clus_src")
+    val path = s"$dir/ns/t"
+    assert(VersionedTable.tableProperties(spark, path)
+      .get(VersionedTable.ClusterByProperty) === Some("k"))
+    assert(spark.table("clr.ns.t").count() === 1000L)
+    // writes AFTER the CTAS cluster (the initial files predate the
+    // property; compact() would re-cluster them)
+    noCoalesce {
+      shuffled(12).select(col("k"), col("s")).write.format("graft-table")
+        .mode("append").insertInto("clr.ns.t")
+    }
+    assert(spark.table("clr.ns.t").where(col("k") === 7).count() === 2L)
+    assert(planned._1 < planned._2, "post-CTAS appends prune")
+    // REPLACE without a layout clause resets the property...
+    spark.sql("REPLACE TABLE clr.ns.t (k BIGINT, s STRING)")
+    assert(VersionedTable.tableProperties(spark, path)
+      .get(VersionedTable.ClusterByProperty) === None)
+    // ...and REPLACE ... AS SELECT with one re-declares it
+    spark.sql("REPLACE TABLE clr.ns.t CLUSTER BY (k) AS " +
+      "SELECT k, s FROM clus_src")
+    assert(VersionedTable.tableProperties(spark, path)
+      .get(VersionedTable.ClusterByProperty) === Some("k"))
+    assert(spark.table("clr.ns.t").count() === 1000L)
+  }
 }
