@@ -176,6 +176,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
       TableCatalog.PROP_IS_MANAGED_LOCATION)
 
+  private def declaredClusterCols(props: Map[String, String]): Seq[String] =
+    props.get(VersionedTable.ClusterByProperty).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   /** CREATE-time layout transforms folded into the clustering property.
     * graft has ONE physical layout mechanism — range clustering + the
     * manifest's per-file stats bounds — so `CLUSTER BY` maps directly,
@@ -349,7 +353,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (ident.namespace.nonEmpty && !fsys.exists(nsPath(ident.namespace)))
       throw new NoSuchNamespaceException(ident.namespace)
     val path = dir.toString
-    val inner = new GraftTable(path, ctasSchema)
+    val inner = new GraftTable(path, ctasSchema,
+      pendingClusterBy = declaredClusterCols(declaredProps))
     new StagedTable with SupportsWrite {
       override def name(): String = inner.name()
       @annotation.nowarn("cat=deprecation")
@@ -370,10 +375,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           VersionedTable.create(spark, path, ctasSchema, ifNotExists = true)
         else if (VersionedTable.tableSchema(spark, path).isEmpty)
           VersionedTable.declareSchema(spark, path, ctasSchema)
-        // TBLPROPERTIES land with the creating commit's epoch; the CTAS
-        // data itself predates them (clusterBy shapes every SUBSEQUENT
-        // write; compact() re-clusters the initial files). A validation
-        // failure throws → Spark aborts the staged table.
+        // TBLPROPERTIES land with the creating commit's epoch (the
+        // CTAS data was already laid out: the write clustered on the
+        // declared columns via pendingClusterBy). A validation failure
+        // throws → Spark aborts the staged table.
         if (declaredProps.nonEmpty)
           VersionedTable.alterProperties(spark, path, declaredProps)
       }
@@ -433,8 +438,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                     require(clean.columns.length == want.length,
                       s"cannot replace with ${clean.columns.toSeq} under " +
                         s"schema $want")
+                    // declared layout applies to the replacement data
+                    // itself — the property commit follows the flip
                     VersionedTable.replaceTable(data.sparkSession,
-                      clean.toDF(want: _*), path, replSchema)
+                      VersionedTable.clusterFrame(clean.toDF(want: _*),
+                        declaredClusterCols(declaredProps)),
+                      path, replSchema)
                     replaced = true
                     ()
                   }

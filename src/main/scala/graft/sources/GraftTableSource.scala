@@ -183,7 +183,12 @@ private[sources] class GraftCdfTable(path: String, dataSchema: StructType)
 
 private[sources] class GraftTable(path: String, dataSchema: StructType,
     pinnedVersion: Option[Long] = None,
-    tableProps: Map[String, String] = Map.empty)
+    tableProps: Map[String, String] = Map.empty,
+    // CTAS-only: the declared cluster columns, applied to the initial
+    // write directly — the graft.clusterBy property commit necessarily
+    // lands after the data, so the ingest-side property check cannot
+    // see it yet (and stays a no-op then: at most one range exchange)
+    pendingClusterBy: Seq[String] = Nil)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -335,14 +340,17 @@ private[sources] class GraftTable(path: String, dataSchema: StructType,
                       s"${exp.name}: ${got.dataType} != ${exp.dataType}" }
                 if (mismatched.nonEmpty) throw new IllegalArgumentException(
                   s"type mismatch writing graft-table: ${mismatched.mkString(", ")}")
+                val laid =
+                  if (pendingClusterBy.isEmpty) aligned
+                  else VersionedTable.clusterFrame(aligned, pendingClusterBy)
                 replaceCond match {
                   case Some(cond) =>
                     VersionedTable.replaceWhere(
-                      data.sparkSession, aligned, path, cond)
+                      data.sparkSession, laid, path, cond)
                   case None if overwriteAll || overwrite =>
-                    VersionedTable.overwrite(data.sparkSession, aligned, path)
+                    VersionedTable.overwrite(data.sparkSession, laid, path)
                   case None =>
-                    VersionedTable.append(data.sparkSession, aligned, path)
+                    VersionedTable.append(data.sparkSession, laid, path)
                 }
                 ()
               }

@@ -163,8 +163,15 @@ object VersionedTable {
     * a small append stages one tight file while a large one fans out
     * to balanced ranges.
     */
-  private def applyClustering(df: DataFrame, lines: Seq[String]): DataFrame = {
-    val cols = clusterColsOf(lines)
+  private def applyClustering(df: DataFrame, lines: Seq[String]): DataFrame =
+    clusterFrame(df, clusterColsOf(lines))
+
+  /** Range-cluster `df` on `cols` (see [[applyClustering]]); also used
+    * by the catalog's CTAS/RTAS writes, where the declared layout is
+    * known but its property commit necessarily lands AFTER the data.
+    */
+  private[sources] def clusterFrame(df: DataFrame, cols: Seq[String])
+      : DataFrame = {
     if (cols.isEmpty) df
     else {
       val actual = cols.flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))

@@ -215,29 +215,38 @@ class ClusteringSpec extends SparkTestBase {
     spark.conf.set("spark.sql.catalog.clr.warehouse", dir)
     spark.sql("CREATE NAMESPACE clr.ns")
     shuffled(11).createOrReplaceTempView("clus_src")
-    spark.sql("CREATE TABLE clr.ns.t CLUSTER BY (k) AS " +
-      "SELECT k, s FROM clus_src")
+    noCoalesce {
+      spark.sql("CREATE TABLE clr.ns.t CLUSTER BY (k) AS " +
+        "SELECT k, s FROM clus_src")
+    }
     val path = s"$dir/ns/t"
     assert(VersionedTable.tableProperties(spark, path)
       .get(VersionedTable.ClusterByProperty) === Some("k"))
     assert(spark.table("clr.ns.t").count() === 1000L)
-    // writes AFTER the CTAS cluster (the initial files predate the
-    // property; compact() would re-cluster them)
+    // the CTAS data ITSELF is clustered — a point query prunes before
+    // any post-CTAS write or compaction
+    assert(spark.table("clr.ns.t").where(col("k") === 500).count() === 1L)
+    assert(planned === ((1, 4)), "CTAS initial files prune")
     noCoalesce {
       shuffled(12).select(col("k"), col("s")).write.format("graft-table")
         .mode("append").insertInto("clr.ns.t")
     }
     assert(spark.table("clr.ns.t").where(col("k") === 7).count() === 2L)
-    assert(planned._1 < planned._2, "post-CTAS appends prune")
+    assert(planned === ((2, 8)), "post-CTAS appends prune too")
     // REPLACE without a layout clause resets the property...
     spark.sql("REPLACE TABLE clr.ns.t (k BIGINT, s STRING)")
     assert(VersionedTable.tableProperties(spark, path)
       .get(VersionedTable.ClusterByProperty) === None)
-    // ...and REPLACE ... AS SELECT with one re-declares it
-    spark.sql("REPLACE TABLE clr.ns.t CLUSTER BY (k) AS " +
-      "SELECT k, s FROM clus_src")
+    // ...and REPLACE ... AS SELECT with one re-declares it, clustering
+    // the replacement data itself
+    noCoalesce {
+      spark.sql("REPLACE TABLE clr.ns.t CLUSTER BY (k) AS " +
+        "SELECT k, s FROM clus_src")
+    }
     assert(VersionedTable.tableProperties(spark, path)
       .get(VersionedTable.ClusterByProperty) === Some("k"))
     assert(spark.table("clr.ns.t").count() === 1000L)
+    assert(spark.table("clr.ns.t").where(col("k") === 500).count() === 1L)
+    assert(planned._1 === 1, "RTAS replacement files prune")
   }
 }
