@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((new FunctionIdentifier("table_changes"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "table_changes"),
       graft.sources.CdfCatalogSupport.tableChanges))
+    // lake metadata tables (Iceberg t.history/t.files, Delta DESCRIBE
+    // HISTORY) as TVFs — manifest reads only, never a data scan
+    ext.injectTableFunction((new FunctionIdentifier("graft_history"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_history"),
+      graft.sources.LakeMetaFunctions.history))
+    ext.injectTableFunction((new FunctionIdentifier("graft_files"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_files"),
+      graft.sources.LakeMetaFunctions.files))
     ext.injectFunction(fn("graft_asof",
       es => graft.plans.GraftAsOfMarker(es(0), es(1))))
     ext.injectFunction(fn("graft_cosine", es => CosineSim(es(0), es(1))))

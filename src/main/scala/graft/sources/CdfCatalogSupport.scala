@@ -116,9 +116,11 @@ object CdfCatalogSupport {
   /** A name containing `/` is a raw table path; otherwise it is a
     * (possibly qualified) catalog identifier resolved against the
     * session's current catalog/namespace — which must be a
-    * [[GraftCatalog]].
+    * [[GraftCatalog]]. Shared by every lake TVF
+    * (`table_changes`, [[LakeMetaFunctions]]).
     */
-  private def resolveTablePath(spark: SparkSession, name: String): String = {
+  private[sources] def resolveTablePath(spark: SparkSession,
+      name: String): String = {
     if (name.contains('/')) return name
     val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(name)
     val cm = GraftSqlShim.catalogManager(spark)
