@@ -63,7 +63,24 @@ object FileReadShim {
     */
   def filePartitionValues(index: Int,
       files: Seq[(String, Long, Seq[Any])]): InputPartition =
-    FilePartition(index, files.map { case (path, size, values) =>
+    FilePartition(index, partitionedFiles(files))
+
+  /** A [[FilePartition]] that also reports a partition KEY (the bucket
+    * id of every file it holds) — the [[HasPartitionKey]] half of the
+    * storage-partitioned-join contract; the scan reports the matching
+    * `KeyGroupedPartitioning(bucket(n, col))`.
+    */
+  def keyedFilePartitionValues(index: Int,
+      files: Seq[(String, Long, Seq[Any])], bucketId: Int): InputPartition =
+    new FilePartition(index, partitionedFiles(files))
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+      override def partitionKey(): InternalRow =
+        new GenericInternalRow(Array[Any](bucketId))
+    }
+
+  private def partitionedFiles(
+      files: Seq[(String, Long, Seq[Any])]): Array[PartitionedFile] =
+    files.map { case (path, size, values) =>
       PartitionedFile(
         partitionValues = new GenericInternalRow(values.map {
           case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
@@ -75,7 +92,7 @@ object FileReadShim {
         locations = Array.empty,
         modificationTime = 0L,
         fileSize = size)
-    }.toArray)
+    }.toArray
 
   def emptyInternalRow: InternalRow = InternalRow.empty
 

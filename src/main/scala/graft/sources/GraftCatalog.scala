@@ -51,10 +51,47 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * no-op property changes.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  // ---------- procedures (SQL CALL maintenance surface) ----------
+
+  /** `CALL graft.compact/vacuum/restore/materialize_field_ids(...)` —
+    * see [[GraftProcedures]]. Accepted bare or under the conventional
+    * `system` namespace.
+    */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (GraftProcedures.isProcedureNamespace(namespace))
+      GraftProcedures.list(namespace)
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, this).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such procedure $name.${ident}: expected one of " +
+          GraftProcedures.list(Array.empty).map(_.name).mkString(", ")))
+
+  // ---------- functions (storage-partitioned-join support) ----------
+
+  /** The catalog function namespace holds exactly [[GraftBucketFunction]]:
+    * Spark resolves a scan's `KeyGroupedPartitioning(bucket(n, col))`
+    * keys through the table's owning catalog, so without this hook no
+    * bucketed scan could ever report a usable partitioning.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else if (fsys.exists(nsPath(namespace))) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket")
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {

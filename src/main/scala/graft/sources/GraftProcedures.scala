@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `CALL` surface for the lake's maintenance operations — the DSv2
+  * [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]] half of
+  * [[GraftCatalog]] (Iceberg's `CALL cat.system.rewrite_data_files`
+  * design, over graft's manifest protocol):
+  *
+  * {{{
+  *   CALL graft.compact('ns.t', num_files => 4, zorder_by => 'a,b')
+  *   CALL graft.vacuum('ns.t', retention_hours => 0)
+  *   CALL graft.restore('ns.t', version => 3)
+  *   CALL graft.materialize_field_ids('ns.t')
+  * }}}
+  *
+  * The `system` namespace is accepted too (`CALL graft.system.compact`).
+  * Tables resolve like every lake TVF ([[CdfCatalogSupport
+  * .resolveTablePath]]): a name with `/` is a raw path, anything else a
+  * catalog identifier. Each procedure returns a one-row result set
+  * (committed version / removed-file count) via `LocalScan` — the only
+  * scan shape Spark's `CALL` executes. All are `isDeterministic=false`:
+  * they commit table state.
+  */
+object GraftProcedures {
+
+  private val Names = Seq("compact", "vacuum", "restore",
+    "materialize_field_ids")
+
+  private[sources] def list(namespace: Array[String]): Array[Identifier] =
+    Names.map(n => Identifier.of(namespace, n)).toArray
+
+  private[sources] def isProcedureNamespace(ns: Array[String]): Boolean =
+    ns.isEmpty || (ns.length == 1 && ns.head.equalsIgnoreCase("system"))
+
+  private[sources] def load(ident: Identifier,
+      owner: GraftCatalog): Option[UnboundProcedure] =
+    if (!isProcedureNamespace(ident.namespace)) None
+    else ident.name.toLowerCase(java.util.Locale.ROOT) match {
+      case "compact" => Some(CompactProcedure(owner))
+      case "vacuum" => Some(VacuumProcedure(owner))
+      case "restore" => Some(RestoreProcedure(owner))
+      case "materialize_field_ids" => Some(MaterializeFieldIdsProcedure(owner))
+      case _ => None
+    }
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def param(name: String, dt: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+
+
+  private def oneRow(schema: StructType, values: Any*): JIterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(values.toArray))
+      override def readSchema(): StructType = schema
+    }
+    java.util.List.of(scan).iterator()
+  }
+
+  /** Boilerplate shared by the four procedures: name-forwarding,
+    * single-result-row helpers, non-determinism (all commit state), and
+    * table-argument resolution — an UNQUALIFIED name ('ns.t') resolves
+    * against the procedure's OWNING catalog (the one named in the CALL),
+    * not the session's current catalog; qualified names and raw paths
+    * go through the shared TVF resolution.
+    */
+  private abstract class MaintenanceProcedure extends UnboundProcedure
+      with BoundProcedure {
+    protected def owner: GraftCatalog
+    override def description(): String = name()
+    override def isDeterministic: Boolean = false
+    override def bind(inputType: StructType): BoundProcedure = this
+
+    protected def tablePath(input: InternalRow): String = {
+      require(!input.isNullAt(0), "table must not be null")
+      val name = input.getUTF8String(0).toString
+      if (name.contains('/'))
+        return name
+      val spark = SparkSession.active
+      val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(name)
+      if (parts.length > 1 && org.apache.spark.sql.GraftSqlShim
+          .catalogManager(spark).isCatalogRegistered(parts.head))
+        CdfCatalogSupport.resolveTablePath(spark, name)
+      else
+        owner.tableLocation(Identifier.of(parts.init.toArray, parts.last))
+    }
+  }
+
+  private case class CompactProcedure(owner: GraftCatalog)
+      extends MaintenanceProcedure {
+    override def name(): String = "compact"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("num_files", IntegerType, "4"),
+      param("zorder_by", StringType, "NULL"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = tablePath(input)
+      val numFiles = if (input.isNullAt(1)) 4 else input.getInt(1)
+      val dims =
+        if (input.isNullAt(2)) Nil
+        else input.getUTF8String(2).toString.split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty)
+          .map(org.apache.spark.sql.functions.col)
+      val v = VersionedTable.compact(spark, path, numFiles,
+        zorderDims = dims)
+      oneRow(StructType(Seq(StructField("version", LongType))), v)
+    }
+  }
+
+  private case class VacuumProcedure(owner: GraftCatalog)
+      extends MaintenanceProcedure {
+    override def name(): String = "vacuum"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("keep_from", LongType, "NULL"),
+      param("retention_hours", LongType, "168"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = tablePath(input)
+      val keepFrom =
+        if (input.isNullAt(1)) VersionedTable.latest(spark, path)._1
+        else input.getLong(1)
+      val retentionMs =
+        (if (input.isNullAt(2)) 168L else input.getLong(2)) * 3600L * 1000L
+      val removed = VersionedTable.vacuum(spark, path, keepFrom, retentionMs)
+      oneRow(StructType(Seq(StructField("files_removed", IntegerType))),
+        removed)
+    }
+  }
+
+  private case class RestoreProcedure(owner: GraftCatalog)
+      extends MaintenanceProcedure {
+    override def name(): String = "restore"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("version", LongType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = tablePath(input)
+      require(!input.isNullAt(1), "version must not be null")
+      val v = VersionedTable.restore(spark, path, input.getLong(1))
+      oneRow(StructType(Seq(
+        StructField("restored_to", LongType),
+        StructField("version", LongType))), input.getLong(1), v)
+    }
+  }
+
+  private case class MaterializeFieldIdsProcedure(owner: GraftCatalog)
+      extends MaintenanceProcedure {
+    override def name(): String = "materialize_field_ids"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("num_files", IntegerType, "4"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = tablePath(input)
+      val numFiles = if (input.isNullAt(1)) 4 else input.getInt(1)
+      val v = VersionedTable.materializeFieldIds(spark, path, numFiles)
+      oneRow(StructType(Seq(StructField("version", LongType))), v)
+    }
+  }
+}

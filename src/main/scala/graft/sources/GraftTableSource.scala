@@ -554,7 +554,36 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
     parquetFilters: Array[org.apache.spark.sql.sources.Filter])
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Bucket layout of the scanned snapshot, when it is complete and
+    * usable (every file bucket-named, no delete layers) AND the user
+    * opted into v2 bucketing. Drives BOTH [[outputPartitioning]] and
+    * the bucket-grouped [[toBatch]] planning — the two halves Spark
+    * requires to agree for a storage-partitioned join.
+    */
+  private lazy val bucketLayout: Option[(String, Int)] =
+    if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+        .equalsIgnoreCase("true")) None
+    else if (options.contains(GraftTableScan.ReadChangeFeedOption)) None
+    else
+      try VersionedTable.bucketLayoutAt(spark, path,
+        options.get(GraftTableScan.VersionAsOfOption).map(_.toLong))
+      catch { case _: Exception => None }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketLayout match {
+      case Some((c, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, c)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   // Join-driven runtime pruning (the storage half of dynamic partition
   // pruning): Spark hands the build side's key values to filter() before
@@ -723,17 +752,32 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
         if (!partSchema.fieldNames.contains(GraftTableScan.VersionCol))
           Map.empty[String, Long]
         else VersionedTable.fileVersions(spark, path)
-      kept.zipWithIndex.map { case (n, i) =>
+      def fileEntry(n: String): (String, Long, Seq[Any]) = {
         val p = new Path(path, n)
         // commit-time byte length from the manifest stats — planning a
         // 100k-file snapshot must not issue 100k getFileStatus RPCs
         val len = stats.get(n).flatMap(_.bytes)
           .getOrElse(f.getFileStatus(p).getLen)
-        FileReadShim.filePartitionValues(i,
-          Seq((p.toString, len,
-            GraftTableScan.metaValues(partSchema,
-              provenance.getOrElse(n, 0L), n))))
-      }.toArray
+        (p.toString, len,
+          GraftTableScan.metaValues(partSchema,
+            provenance.getOrElse(n, 0L), n))
+      }
+      bucketLayout match {
+        case Some((_, n)) =>
+          // one partition per present bucket, keyed for SPJ; posDeletes
+          // is empty by construction (bucketLayoutAt refuses layered
+          // snapshots), so multi-file partitions are safe
+          kept.groupBy(f => VersionedTable.bucketOfFile(f, n).get)
+            .toSeq.sortBy(_._1).zipWithIndex
+            .map { case ((bucket, names), i) =>
+              FileReadShim.keyedFilePartitionValues(i,
+                names.map(fileEntry), bucket)
+            }.toArray
+        case None =>
+          kept.zipWithIndex.map { case (nme, i) =>
+            FileReadShim.filePartitionValues(i, Seq(fileEntry(nme)))
+          }.toArray
+      }
     }
     override def createReaderFactory(): PartitionReaderFactory =
       if (posDeletes.isEmpty) readerFactory

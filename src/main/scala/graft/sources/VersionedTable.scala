@@ -131,6 +131,48 @@ object VersionedTable {
     propMap(lines).get(ClusterByProperty).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
+  /** Hash-bucketing-on-write: `"<column>,<numBuckets>"`. Every data
+    * file of a bucketed table holds rows of exactly ONE bucket
+    * (`pmod(murmur3(col), n)`, Spark's own `repartition(n, col)`
+    * hashing) and carries its bucket in its NAME (`b<i>of<n>-<uuid>`),
+    * so the DSv2 scan can report `KeyGroupedPartitioning` and Spark
+    * plans STORAGE-PARTITIONED JOINS between tables bucketed the same
+    * way — the 100 TB fact-fact join with ZERO shuffle on either side
+    * (Iceberg bucket-transform SPJ). Set-once: changing the column or
+    * bucket count would silently mis-label existing files' names, so
+    * re-SET/UNSET is refused — declare bucketing at CREATE (or once,
+    * then `compact()` to re-layout history).
+    */
+  val BucketByProperty = "graft.bucketBy"
+
+  private[sources] def bucketSpecOf(lines: Seq[String])
+      : Option[(String, Int)] =
+    propMap(lines).get(BucketByProperty).flatMap(parseBucketSpec)
+
+  private[sources] def parseBucketSpec(spec: String): Option[(String, Int)] =
+    spec.split(',').map(_.trim).filter(_.nonEmpty) match {
+      case Array(c, n) if n.forall(_.isDigit) && n.toInt > 0 =>
+        Some((c, n.toInt))
+      case _ => None
+    }
+
+  /** bucket marker inside a staged data-file name (after the `part-`
+    * prefix, so every existing file-kind dispatch by prefix holds);
+    * plan-time parse below
+    */
+  private[sources] def bucketFileName(i: Int, n: Int): String =
+    s"b${i}of$n-"
+  private val BucketNameRe = "^part-b(\\d+)of(\\d+)-.*".r
+  /** `Some(bucketId)` iff `name` was staged under a bucket layout with
+    * exactly `n` buckets — a file from an earlier/other layout never
+    * masquerades (the count is part of the name).
+    */
+  private[sources] def bucketOfFile(name: String, n: Int): Option[Int] =
+    name match {
+      case BucketNameRe(i, bn) if bn.toInt == n => Some(i.toInt)
+      case _ => None
+    }
+
   /** Validate a [[ClusterByProperty]] spec against a schema (None =
     * pre-schema table, columns unknowable — allow). Shared by
     * alterProperties and the catalog's CREATE-time preflight, so a bad
@@ -138,18 +180,18 @@ object VersionedTable {
     */
   private[sources] def validateClusterSpec(spec: String,
       schema: Option[org.apache.spark.sql.types.StructType],
-      table: String): Unit = {
+      table: String, prop: String = ClusterByProperty): Unit = {
     val cols = spec.split(',').map(_.trim).filter(_.nonEmpty)
-    require(cols.nonEmpty, s"$ClusterByProperty must name at least one column")
+    require(cols.nonEmpty, s"$prop must name at least one column")
     schema.foreach { sc =>
       cols.foreach { c =>
         val fld = sc.fields.find(_.name.equalsIgnoreCase(c))
-        require(fld.isDefined, s"$ClusterByProperty column '$c' is " +
+        require(fld.isDefined, s"$prop column '$c' is " +
           s"not a top-level column of $table")
         require(org.apache.spark.sql.catalyst.expressions.RowOrdering
           .isOrderable(fld.get.dataType),
-          s"$ClusterByProperty column '$c' has unorderable type " +
-            s"${fld.get.dataType.simpleString} — range clustering " +
+          s"$prop column '$c' has unorderable type " +
+            s"${fld.get.dataType.simpleString} — the layout " +
             "needs a sortable column")
       }
     }
@@ -164,7 +206,11 @@ object VersionedTable {
     * to balanced ranges.
     */
   private def applyClustering(df: DataFrame, lines: Seq[String]): DataFrame =
-    clusterFrame(df, clusterColsOf(lines))
+    // a bucketed table's layout is owned by [[stage]] (hash exchange +
+    // within-bucket sort on the cluster columns); a range exchange here
+    // would only be re-shuffled away
+    if (bucketSpecOf(lines).isDefined) df
+    else clusterFrame(df, clusterColsOf(lines))
 
   /** Range-cluster `df` on `cols` (see [[applyClustering]]); also used
     * by the catalog's CTAS/RTAS writes, where the declared layout is
@@ -533,6 +579,30 @@ object VersionedTable {
       parsedStatsAt(spark, table, Some(v)))
   }
 
+  /** The DSv2 scan's bucket-layout probe for the snapshot at `asOf`
+    * (None = latest): `Some((col, n))` iff the table declares bucketing,
+    * has NO pending delete layer (layered scans plan one file per
+    * partition for position filtering), and EVERY data file carries a
+    * bucket name under exactly this spec — any stray file (pre-bucketing
+    * append, foreign layout) soundly disables partition reporting until
+    * a [[compact]] re-stages it.
+    */
+  private[sources] def bucketLayoutAt(spark: SparkSession, table: String,
+      asOf: Option[Long]): Option[(String, Int)] = {
+    val f = fs(spark, table)
+    val lines = asOf match {
+      case Some(x) => readManifestRaw(f, table, x)
+      case None => latestRaw(spark, table)._2
+    }
+    bucketSpecOf(lines).filter { case (_, n) =>
+      val files = lines.filterNot(_.startsWith("#"))
+      files.nonEmpty &&
+        !lines.exists(l =>
+          l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix)) &&
+        files.forall(bucketOfFile(_, n).isDefined)
+    }
+  }
+
   /** The commit-side stats protocol (see [[StatsPrefix]]): carry stats
     * of retained files from manifest `v-1` (or from `lines` itself),
     * compute fresh ones from the footers of files new in this commit,
@@ -736,6 +806,25 @@ object VersionedTable {
         validateClusterSpec(spec, schemaLine(lines).orElse(
           lines.filterNot(_.startsWith("#")).headOption.map(f =>
             spark.read.parquet(s"$table/$f").schema)), table))
+      // bucketing is SET-ONCE (see BucketByProperty): a different spec
+      // would silently re-interpret existing files' bucket names
+      val curBucket = propMap(lines).get(BucketByProperty)
+      set.get(BucketByProperty).foreach { spec =>
+        require(parseBucketSpec(spec).isDefined,
+          s"$BucketByProperty must be '<column>,<numBuckets>' " +
+            s"(positive count), got '$spec'")
+        require(curBucket.forall(_ == spec),
+          s"$BucketByProperty is ${curBucket.get} and cannot change — " +
+            "bucket layout is fixed at declaration")
+        val (c, _) = parseBucketSpec(spec).get
+        validateClusterSpec(c, schemaLine(lines).orElse(
+          lines.filterNot(_.startsWith("#")).headOption.map(f =>
+            spark.read.parquet(s"$table/$f").schema)), table,
+          prop = BucketByProperty)
+      }
+      require(!(unset.contains(BucketByProperty) && curBucket.isDefined),
+        s"$BucketByProperty cannot be unset — bucket layout is fixed " +
+          "at declaration")
       val next = (propMap(lines) ++ set) -- unset
       if (tryCommit(spark, table, v + 1,
           metaLines(lines, "properties", newProps = Some(next)) ++
@@ -1000,8 +1089,42 @@ object VersionedTable {
   }
 
   /** Stage `df` as new data files and return their table-relative names. */
-  private def stage(spark: SparkSession, df: DataFrame,
+  /** Spark's written part-file names carry the task partition index
+    * (`part-00007-<uuid>...`); after `repartition(n, col)` that index
+    * IS the bucket id. None = unexpected name shape (stage falls back
+    * to unbucketed naming — sound, the scan just won't group).
+    */
+  private val SparkPartIdxRe = "^part-(\\d+)-.*".r
+  private def partIndexOf(name: String): Option[Int] = name match {
+    case SparkPartIdxRe(i) => Some(i.toInt)
+    case _ => None
+  }
+
+  private def stage(spark: SparkSession, df0: DataFrame,
       table: String, prefix: String = "part-"): Seq[String] = {
+    // bucket layout is applied HERE, not per call site: every data-file
+    // write of a bucketed table (append, rewrite survivors, compaction,
+    // replace) must keep files bucket-pure or the scan stops reporting
+    // KeyGroupedPartitioning. CDC/delete-layer files are row-change
+    // metadata, not snapshot data — never bucketed.
+    val bucket =
+      if (prefix != "part-") None
+      else bucketSpecOf(latestRaw(spark, table)._2).flatMap { case (c, n) =>
+        df0.columns.find(_.equalsIgnoreCase(c)).map(actual => (actual, n))
+      }
+    val df = bucket match {
+      case Some((c, n)) =>
+        val lines = latestRaw(spark, table)._2
+        val sortCols = {
+          val cc = clusterColsOf(lines)
+            .flatMap(x => df0.columns.find(_.equalsIgnoreCase(x)))
+          if (cc.nonEmpty) cc else Seq(c)
+        }
+        df0.repartition(n, org.apache.spark.sql.functions.col(c))
+          .sortWithinPartitions(
+            sortCols.map(org.apache.spark.sql.functions.col): _*)
+      case None => df0
+    }
     val f = fs(spark, table)
     val tmp = new Path(table, s"_stage-${java.util.UUID.randomUUID}")
     // int64-micros timestamps, not INT96: INT96 carries NO usable parquet
@@ -1021,7 +1144,11 @@ object VersionedTable {
       f.listStatus(tmp)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .foreach { s =>
-          val name = s"$prefix${java.util.UUID.randomUUID}.parquet"
+          val pfx = bucket.flatMap { case (_, n) =>
+            partIndexOf(s.getPath.getName).map(i =>
+              prefix + bucketFileName(i, n))
+          }.getOrElse(prefix)
+          val name = s"$pfx${java.util.UUID.randomUUID}.parquet"
           // an ignored rename failure here would commit a manifest naming a
           // file that never landed, poisoning every subsequent read — throw
           // (cleaning up files already moved) instead
@@ -1237,7 +1364,11 @@ object VersionedTable {
       // is a genuine changefeed no-op.
       val isMor = raw.exists(_.startsWith(OpPrefix + "delete-mor")) &&
         deleteLayer(raw) != deleteLayer(manifests(v - 1))
-      if (removed.isEmpty && !isMor) {
+      // a restore can be structurally add-only (re-referencing files a
+      // past rewrite removed) while still changing rows via its layer
+      // swap — never let it pass as a pure append
+      val isRestore = raw.exists(_.startsWith(OpPrefix + "restore"))
+      if (removed.isEmpty && !isMor && !isRestore) {
         // pure append (also an upsert/delete that touched no existing
         // file — its additions ARE genuinely new rows)
         val adds = cur.filterNot(prev)
@@ -1453,7 +1584,11 @@ object VersionedTable {
       else {
         // row-level commit: diff only the touched rows
         val (candPrev, candCur) =
-          if (removed.nonEmpty || added.nonEmpty) (removed, added)
+          if (op.contains("restore") && layerChanged)
+            // a restore that also changed the delete layers can alter
+            // rows of RETAINED files — diff the full snapshots
+            (prev, cur)
+          else if (removed.nonEmpty || added.nonEmpty) (removed, added)
           else {
             // merge-on-read: candidates = files the NEW layer lines reach
             val newDel = delLines(raw).toSet -- delLines(prevRaw).toSet
@@ -2314,6 +2449,98 @@ object VersionedTable {
       s"replaceTable lost $maxRetries commit races")
   }
 
+  /** RESTORE TABLE to the snapshot of `version` (Delta `RESTORE ...
+    * VERSION AS OF` semantics): ONE metadata commit re-references the
+    * target snapshot's data files, delete layers, and declared schema —
+    * no data is copied or rewritten, so restoring a 100 TB table costs
+    * one manifest write. The history is preserved (the bad commits stay
+    * time-travelable; restore itself is a new commit on top), writer txn
+    * watermarks carry FORWARD (a restore must not re-admit streaming
+    * replays), the field-id high-water never regresses (a column
+    * re-added after restore must not inherit a dropped id), and CURRENT
+    * table properties are kept (restore moves data, not configuration —
+    * matching the set-once bucket-layout contract).
+    *
+    * Requires the target manifest and every file it references to still
+    * exist — [[vacuum]] retention bounds how far back a restore can
+    * reach, and a vacuumed target fails loudly here, never partially.
+    *
+    * With [[CdcProperty]] enabled the commit stages its exact row
+    * changes (rows only in the current snapshot as `delete`, rows only
+    * in the target as `insert`), diffing just the structurally changed
+    * files unless the delete layers differ (then the full snapshots —
+    * layers reach into retained files). Changefeed consumers without
+    * CDC see it as a row-level commit (resync or opt into skipping).
+    */
+  def restore(spark: SparkSession, table: String, version: Long,
+      maxRetries: Int = 20): Long = {
+    import org.apache.spark.sql.functions.lit
+    val f = fs(spark, table)
+    require(version >= 1, s"cannot restore $table to version $version")
+    require(f.exists(commitPath(table, version)),
+      s"cannot restore $table to v$version: no such committed version " +
+        "(or its manifest was vacuumed — retention bounds restore reach)")
+    val target = readManifestRaw(f, table, version)
+    val targetFiles = target.filterNot(_.startsWith("#"))
+    val targetRefs = targetFiles ++ delLines(target).map(_._1) ++
+      delPosLines(target)
+    val gone = targetRefs.filterNot(n => f.exists(new Path(table, n)))
+    require(gone.isEmpty,
+      s"cannot restore $table to v$version: referenced file(s) " +
+        s"${gone.take(3).mkString(", ")}${if (gone.sizeIs > 3) ", …" else ""}" +
+        " were vacuumed")
+    val targetSchema = schemaLine(target)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      if (v == version) return v
+      val curFiles = lines.filterNot(_.startsWith("#"))
+      val sameState = curFiles.toSet == targetFiles.toSet &&
+        deleteLayer(lines) == deleteLayer(target) &&
+        schemaLine(lines).map(_.json) == targetSchema.map(_.json)
+      if (sameState) return v
+      val removed = curFiles.filterNot(targetFiles.contains)
+      val added = targetFiles.filterNot(curFiles.contains)
+      val layerChanged = deleteLayer(lines) != deleteLayer(target)
+      // CDC context: current props decide enablement, but the change
+      // frame is built under the TARGET schema (the declared schema
+      // after this commit) so its field-id stamping matches
+      val cdcCtx = lines.filterNot(_.startsWith(SchemaPrefix)) ++
+        targetSchema.map(SchemaPrefix + _.json)
+      val cdc = stageCdcIfEnabled(spark, table, cdcCtx, {
+        val (preFiles, postFiles) =
+          if (layerChanged) (curFiles, targetFiles) else (removed, added)
+        val pre = readFilesDeleteAware(spark, table, preFiles, targetSchema,
+          delLines(lines), keepFileCol = false, posDels = delPosLines(lines))
+        val post = readFilesDeleteAware(spark, table, postFiles,
+          targetSchema, delLines(target), keepFileCol = false,
+          posDels = delPosLines(target))
+        pre.exceptAll(post).withColumn(ChangeTypeCol, lit("delete"))
+          .unionByName(
+            post.exceptAll(pre).withColumn(ChangeTypeCol, lit("insert")))
+      })
+      commitRaceHook()
+      val (v2, lines2) = latestRaw(spark, table)
+      // strict conflict rule: ANY commit since the pinned snapshot (new
+      // files, layer change, schema change) invalidates the staged CDC
+      // diff and the no-op check — retry from scratch
+      val committed = v2 == v &&
+        tryCommit(spark, table, v2 + 1,
+          lines2.filter(_.startsWith(TxnPrefix)) ++
+            targetSchema.map(SchemaPrefix + _.json).toSeq ++
+            Seq(FidPrefix + math.max(fidOf(lines2), fidOf(target))) ++
+            propLines(propMap(lines2)) ++
+            target.filter(l => l.startsWith(DelPrefix) ||
+              l.startsWith(DelPosPrefix) || l.startsWith(StatsPrefix)) ++
+            cdc.map(CdcPrefix + _) :+ (OpPrefix + "restore") :++
+            targetFiles)
+      if (committed) return v2 + 1
+      cdc.foreach(n => f.delete(new Path(table, n), false))
+      attempt += 1
+    }
+    throw new IllegalStateException(s"restore lost $maxRetries commit races")
+  }
+
   /** Row-level DELETE: removes rows where `predicate` is TRUE (SQL
     * semantics — null keeps). Copy-on-write like [[upsert]]: one
     * pruned-and-pushed-down scan finds the files that actually contain
@@ -2804,15 +3031,21 @@ object VersionedTable {
         org.apache.spark.sql.types.StructType(st.fields.map(f =>
           if (f eq target) f.copy(name = to) else f))
       }
-      // clustering follows a renamed column — the property names the
-      // same physical data before and after
+      // clustering/bucketing follow a renamed column — the property
+      // names the same physical data before and after
       val cc = clusterColsOf(lines)
-      val newProps =
+      val props0 = propMap(lines)
+      val props1 =
         if (parts.length == 1 && cc.exists(_.equalsIgnoreCase(from)))
-          Some(propMap(lines) + (ClusterByProperty ->
+          Some(props0 + (ClusterByProperty ->
             cc.map(c => if (c.equalsIgnoreCase(from)) to else c)
               .mkString(",")))
         else None
+      val newProps = bucketSpecOf(lines) match {
+        case Some((bc, n)) if parts.length == 1 && bc.equalsIgnoreCase(from) =>
+          Some(props1.getOrElse(props0) + (BucketByProperty -> s"$to,$n"))
+        case _ => props1
+      }
       if (tryCommit(spark, table, v + 1,
           metaLines(lines, "schema", Some(renamed), newProps = newProps) ++
             files)) return v + 1
@@ -2846,6 +3079,10 @@ object VersionedTable {
         require(!clusterColsOf(lines).exists(_.equalsIgnoreCase(name)),
           s"'$name' is a $ClusterByProperty column of $table — clear or " +
             "change the clustering property first")
+      if (parts.length == 1)
+        require(!bucketSpecOf(lines).exists(_._1.equalsIgnoreCase(name)),
+          s"'$name' is the $BucketByProperty column of $table — the " +
+            "bucket layout is fixed at declaration")
       if (parts.length == 1)
         require(filesCarryFieldIds(spark, table, files),
           s"$table has data files without physical field ids — run " +
