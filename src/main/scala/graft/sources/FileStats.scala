@@ -46,10 +46,15 @@ private[graft] object FileStats {
 
   /** One file's parsed stats: total row count, on-disk byte length (files
     * are immutable, so the commit-time length holds forever — planning
-    * needs no per-file `getFileStatus` RPC), and per-key column bounds.
+    * needs no per-file `getFileStatus` RPC), per-key column bounds, and
+    * the WRITE-TIME sort order of the file's rows as a list of stats
+    * keys (`sorted` nonEmpty ⇒ the committing writer sorted the file
+    * ascending, nulls first, on those columns in that order — footer
+    * bounds can never prove inner sortedness, so only the writer may
+    * stamp this). Id-keyed entries survive column rename like bounds do.
     */
   final case class FileStat(rows: Option[Long], bytes: Option[Long],
-      cols: Map[String, ColStats])
+      cols: Map[String, ColStats], sorted: Seq[String] = Nil)
 
   // ---------------------------------------------------------------- domain
 
@@ -306,7 +311,7 @@ private[graft] object FileStats {
     */
   def fromFooter(
       md: org.apache.parquet.hadoop.metadata.ParquetMetadata,
-      fileLen: Long): String = {
+      fileLen: Long, sortedBy: Seq[String] = Nil): String = {
     import scala.jdk.CollectionConverters._
     val blocks = md.getBlocks.asScala.toSeq
     val rows = blocks.map(_.getRowCount).sum
@@ -360,7 +365,7 @@ private[graft] object FileStats {
       }
     }.take(MaxStatsCols).toSeq
     render(FileStat(Some(rows),
-      if (fileLen > 0) Some(fileLen) else None, entries.toMap))
+      if (fileLen > 0) Some(fileLen) else None, entries.toMap, sortedBy))
   }
 
   // ------------------------------------------------------------------ json
@@ -394,6 +399,8 @@ private[graft] object FileStats {
     JsonMethods.compact(JsonMethods.render(JObject(
       "n" -> stat.rows.map(r => JLong(r): JValue).getOrElse(JNothing),
       "b" -> stat.bytes.map(b => JLong(b): JValue).getOrElse(JNothing),
+      "s" -> (if (stat.sorted.isEmpty) JNothing
+        else JArray(stat.sorted.toList.map(JString(_)))),
       "c" -> JObject(cols.toList))))
   }
 
@@ -419,6 +426,10 @@ private[graft] object FileStats {
         }.toMap
         case _ => Map.empty[String, ColStats]
       }
-      Some(FileStat(rows, bytes, cols))
+      val sorted = j \ "s" match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _ => Nil
+      }
+      Some(FileStat(rows, bytes, cols, sorted))
     } catch { case _: Exception => None }
 }

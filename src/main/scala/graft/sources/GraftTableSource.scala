@@ -555,6 +555,7 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   /** Bucket layout of the scanned snapshot, when it is complete and
@@ -571,6 +572,41 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
       try VersionedTable.bucketLayoutAt(spark, path,
         options.get(GraftTableScan.VersionAsOfOption).map(_.toLong))
       catch { case _: Exception => None }
+
+  /** Sort columns every planned partition provably yields ascending /
+    * nulls-first ([[VersionedTable.reportableOrderingAt]]: write-time
+    * sorted-file markers, plus strict per-bucket range disjointness for
+    * multi-file buckets), truncated to the prefix that survived column
+    * pruning (Spark resolves the claim against the scan OUTPUT — a
+    * pruned-away column would fail analysis). Drives BOTH
+    * [[outputOrdering]] and the min-bound file order inside bucket
+    * partitions — the two halves that must agree for the claim to hold.
+    */
+  private lazy val (orderingCols: Seq[String],
+      orderingFirstKeys: Set[String]) =
+    if (options.contains(GraftTableScan.ReadChangeFeedOption))
+      (Nil, Set.empty[String])
+    else
+      try {
+        val (cols, firstKeys) = VersionedTable.reportableOrderingAt(spark,
+          path, options.get(GraftTableScan.VersionAsOfOption).map(_.toLong),
+          bucketLayout)
+        (cols.takeWhile(c =>
+          required.fieldNames.exists(_.equalsIgnoreCase(c))), firstKeys)
+      } catch { case _: Exception => (Nil, Set.empty[String]) }
+
+  /** With a reported ordering, sort-merge joins and sort-based
+    * aggregations over same-bucketed tables drop their per-partition
+    * SortExec too — on top of SPJ's dropped exchanges, the whole join
+    * plans as a pure merge.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    orderingCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      .toArray
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -766,12 +802,19 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
         case Some((_, n)) =>
           // one partition per present bucket, keyed for SPJ; posDeletes
           // is empty by construction (bucketLayoutAt refuses layered
-          // snapshots), so multi-file partitions are safe
+          // snapshots), so multi-file partitions are safe. Under an
+          // active ordering claim a bucket's files concatenate in
+          // min-bound order — the order the claim's strict-disjointness
+          // check certified.
           kept.groupBy(f => VersionedTable.bucketOfFile(f, n).get)
             .toSeq.sortBy(_._1).zipWithIndex
             .map { case ((bucket, names), i) =>
+              val ordered =
+                if (orderingCols.isEmpty || names.sizeIs <= 1) names
+                else VersionedTable.orderFilesByMin(stats,
+                  orderingFirstKeys, names)
               FileReadShim.keyedFilePartitionValues(i,
-                names.map(fileEntry), bucket)
+                ordered.map(fileEntry), bucket)
             }.toArray
         case None =>
           kept.zipWithIndex.map { case (nme, i) =>

@@ -205,14 +205,17 @@ object VersionedTable {
     * a small append stages one tight file while a large one fans out
     * to balanced ranges.
     */
-  private def applyClustering(df: DataFrame, lines: Seq[String]): DataFrame =
-    // a bucketed table's layout is owned by [[stage]] (hash exchange +
-    // within-bucket sort on the cluster columns); a range exchange here
-    // would only be re-shuffled away
-    if (bucketSpecOf(lines).isDefined) df
-    else clusterFrame(df, clusterColsOf(lines))
+  /** The table's cluster columns resolved to `df`'s actual column names
+    * — Nil when clustering is undeclared or any column is absent (then
+    * the layout cannot apply and no sort may be claimed).
+    */
+  private def appliedClusterCols(df: DataFrame, cols: Seq[String])
+      : Seq[String] = {
+    val actual = cols.flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))
+    if (cols.nonEmpty && actual.length == cols.length) actual else Nil
+  }
 
-  /** Range-cluster `df` on `cols` (see [[applyClustering]]); also used
+  /** Range-cluster `df` on `cols` (see [[stage]]'s `cluster`); also used
     * by the catalog's CTAS/RTAS writes, where the declared layout is
     * known but its property commit necessarily lands AFTER the data.
     */
@@ -603,6 +606,112 @@ object VersionedTable {
     }
   }
 
+  /** Accepted stats-key spellings of column `col` (field-id first —
+    * rename-proof — then current name) for matching the sorted-file
+    * marker and looking up its bounds.
+    */
+  private[sources] def statsKeyCandidates(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      col: String): Set[String] =
+    schema.flatMap(_.fields.find(_.name.equalsIgnoreCase(col))) match {
+      case Some(f) if f.metadata.contains(FieldIdKey) =>
+        Set("i" + f.metadata.getLong(FieldIdKey), "n" + f.name)
+      case Some(f) => Set("n" + f.name)
+      case None => Set("n" + col)
+    }
+
+  /** The DSv2 scan's sort-order probe for the snapshot at `asOf`: the
+    * longest column prefix (current-schema names) on which EVERY scan
+    * partition yields rows ascending / nulls-first. Per-file sortedness
+    * comes from the write-time `sorted` stats marker ([[FileStats
+    * .FileStat]] — footer bounds can never prove inner order, only the
+    * committing writer may stamp it). Under a bucket layout (`grouped`,
+    * the scan's one-partition-per-bucket shape) a multi-file bucket
+    * additionally needs STRICTLY disjoint, provably null-free
+    * first-column ranges, so concatenating its files in min-bound order
+    * (the order [[GraftTableScan]] then plans) stays sorted across file
+    * boundaries. Nil = claim nothing; every gate fails toward Nil, so a
+    * false claim — the one failure mode that would return WRONG query
+    * results, not slow ones — is impossible from missing metadata.
+    */
+  private[sources] def reportableOrderingAt(spark: SparkSession,
+      table: String, asOf: Option[Long],
+      grouped: Option[(String, Int)]): (Seq[String], Set[String]) = {
+    val none = (Nil, Set.empty[String])
+    val f = fs(spark, table)
+    val lines = asOf match {
+      case Some(x) => readManifestRaw(f, table, x)
+      case None => latestRaw(spark, table)._2
+    }
+    val files = lines.filterNot(_.startsWith("#"))
+    if (files.isEmpty) return none
+    val declared = grouped match {
+      // the bucketed stage() sorts by the cluster columns when declared,
+      // else by the bucket key — mirror exactly what the writer did
+      case Some((c, _)) =>
+        val cc = clusterColsOf(lines); if (cc.nonEmpty) cc else Seq(c)
+      case None => clusterColsOf(lines)
+    }
+    if (declared.isEmpty) return none
+    val schema = schemaLine(lines)
+    val keys = declared.map(statsKeyCandidates(schema, _))
+    val stats = parsedStatsAt(spark, table, asOf)
+    // longest marker prefix shared by every data file
+    var k = declared.length
+    files.foreach { n =>
+      val marker = stats.get(n).map(_.sorted).getOrElse(Nil)
+      var i = 0
+      while (i < k && marker.lift(i).exists(keys(i).contains)) i += 1
+      k = math.min(k, i)
+      if (k == 0) return none
+    }
+    val claim = (declared.take(k), keys.head)
+    grouped match {
+      case Some((_, n)) =>
+        val firstKeys = keys.head
+        val ok = files.groupBy(bucketOfFile(_, n).getOrElse(-1))
+          .values.filter(_.sizeIs > 1).forall { names =>
+            val bounds = names.map { nm =>
+              stats.get(nm).flatMap { st =>
+                firstKeys.iterator.flatMap(st.cols.get).nextOption()
+                  .filter(c => c.nulls.contains(0L) && !c.allNull)
+                  .flatMap(c => c.min.zip(c.max))
+              }
+            }
+            bounds.forall(_.isDefined) &&
+              bounds.flatten
+                .sortWith((a, b) => FileStats.cmp(a._1, b._1).exists(_ < 0))
+                .sliding(2).forall {
+                  case Seq((_, aMax), (bMin, _)) =>
+                    FileStats.cmp(aMax, bMin).exists(_ < 0)
+                  case _ => true
+                }
+          }
+        if (ok) claim else none
+      case None => claim
+    }
+  }
+
+  /** Concatenation order certified by [[reportableOrderingAt]]'s
+    * disjointness check: `names` ascending by the min bound of the
+    * first claimed sort column (boundless files — impossible under an
+    * active claim — sort first, harmlessly, as the claim is off).
+    */
+  private[sources] def orderFilesByMin(
+      stats: Map[String, FileStats.FileStat], firstKeys: Set[String],
+      names: Seq[String]): Seq[String] = {
+    def minOf(nm: String): Option[Any] = stats.get(nm)
+      .flatMap(st => firstKeys.iterator.flatMap(st.cols.get).nextOption())
+      .flatMap(_.min)
+    names.sortWith { (a, b) =>
+      (minOf(a), minOf(b)) match {
+        case (Some(x), Some(y)) => FileStats.cmp(x, y).exists(_ < 0)
+        case (None, Some(_)) => true
+        case _ => false
+      }
+    }
+  }
+
   /** The commit-side stats protocol (see [[StatsPrefix]]): carry stats
     * of retained files from manifest `v-1` (or from `lines` itself),
     * compute fresh ones from the footers of files new in this commit,
@@ -627,7 +736,8 @@ object VersionedTable {
           try {
             val p = new Path(table, n)
             val len = p.getFileSystem(conf).getFileStatus(p).getLen
-            Some(FileStats.fromFooter(readParquetFooter(conf, p), len))
+            Some(FileStats.fromFooter(readParquetFooter(conf, p), len,
+              Option(stageSortCache.get((table, n))).getOrElse(Nil)))
           } catch { case _: Exception => None }
         s.foreach(statsComputeCache.put(key, _))
         s
@@ -1101,29 +1211,36 @@ object VersionedTable {
   }
 
   private def stage(spark: SparkSession, df0: DataFrame,
-      table: String, prefix: String = "part-"): Seq[String] = {
+      table: String, prefix: String = "part-",
+      cluster: Boolean = false, sortedBy: Seq[String] = Nil): Seq[String] = {
     // bucket layout is applied HERE, not per call site: every data-file
     // write of a bucketed table (append, rewrite survivors, compaction,
     // replace) must keep files bucket-pure or the scan stops reporting
     // KeyGroupedPartitioning. CDC/delete-layer files are row-change
-    // metadata, not snapshot data — never bucketed.
-    val bucket =
-      if (prefix != "part-") None
-      else bucketSpecOf(latestRaw(spark, table)._2).flatMap { case (c, n) =>
-        df0.columns.find(_.equalsIgnoreCase(c)).map(actual => (actual, n))
-      }
+    // metadata, not snapshot data — never bucketed. `cluster` applies
+    // the declared range layout for unbucketed tables in the same spot,
+    // so the per-file `sorted` stats marker this function stamps can
+    // never disagree with the data; `sortedBy` is for callers that
+    // pre-sorted themselves (compaction's preserved range layout).
+    val lines0 = if (prefix == "part-") latestRaw(spark, table)._2 else Nil
+    val bucket = bucketSpecOf(lines0).flatMap { case (c, n) =>
+      df0.columns.find(_.equalsIgnoreCase(c)).map(actual => (actual, n))
+    }
+    val clusterCols = appliedClusterCols(df0, clusterColsOf(lines0))
+    val fileSort: Seq[String] = bucket match {
+      case Some((c, _)) => if (clusterCols.nonEmpty) clusterCols else Seq(c)
+      case None =>
+        if (cluster) clusterCols
+        else sortedBy.flatMap(x => df0.columns.find(_.equalsIgnoreCase(x)))
+    }
     val df = bucket match {
       case Some((c, n)) =>
-        val lines = latestRaw(spark, table)._2
-        val sortCols = {
-          val cc = clusterColsOf(lines)
-            .flatMap(x => df0.columns.find(_.equalsIgnoreCase(x)))
-          if (cc.nonEmpty) cc else Seq(c)
-        }
         df0.repartition(n, org.apache.spark.sql.functions.col(c))
           .sortWithinPartitions(
-            sortCols.map(org.apache.spark.sql.functions.col): _*)
-      case None => df0
+            fileSort.map(org.apache.spark.sql.functions.col): _*)
+      case None =>
+        if (cluster && clusterCols.nonEmpty) clusterFrame(df0, clusterCols)
+        else df0
     }
     val f = fs(spark, table)
     val tmp = new Path(table, s"_stage-${java.util.UUID.randomUUID}")
@@ -1164,8 +1281,43 @@ object VersionedTable {
         throw e
     }
     f.delete(tmp, true)
+    // remember the write-time sort for the stats commit (reconcileStats
+    // stamps it into the fresh `#stats` line; carry-forward keeps it)
+    if (fileSort.nonEmpty) {
+      val keys = sortStatsKeys(schemaLine(lines0), fileSort)
+      staged.foreach(n => stageSortCache.put((table, n), keys))
+    }
     staged.toSeq
   }
+
+  /** Stats keys (field-id preferred, so the marker survives column
+    * RENAME exactly like bounds do) naming `cols` under the declared
+    * schema; name-keyed for undeclared tables.
+    */
+  private def sortStatsKeys(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      cols: Seq[String]): Seq[String] =
+    cols.map { c =>
+      schema.flatMap(_.fields.find(_.name.equalsIgnoreCase(c))) match {
+        case Some(f) if f.metadata.contains(FieldIdKey) =>
+          "i" + f.metadata.getLong(FieldIdKey)
+        case Some(f) => "n" + f.name
+        case None => "n" + c
+      }
+    }
+
+  /** Write-time sort of files staged by this driver, pending their
+    * stats commit. Same lifecycle as [[statsComputeCache]].
+    */
+  private val stageSortCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String), Seq[String]](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), Seq[String]]): Boolean =
+          size() > 65536 // == StatsComputeCacheMax (declared below — a
+                         // forward val reference would read 0 at init)
+      })
 
   /** Append `df`; retries commits until it wins. Returns the committed
     * version. On a table with a declared schema the frame is aligned by
@@ -1180,7 +1332,7 @@ object VersionedTable {
       case Some(sc) => alignToSchema(df, sc, evolveSchema, table)
       case None => (df, Nil)
     }
-    val staged = stage(spark, applyClustering(aligned, lines0), table)
+    val staged = stage(spark, aligned, table, cluster = true)
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
@@ -1219,7 +1371,7 @@ object VersionedTable {
       case Some(sc) => alignToSchema(df, sc, evolve = false, table)._1
       case None => df
     }
-    val staged = stage(spark, applyClustering(aligned, lines0), table)
+    val staged = stage(spark, aligned, table, cluster = true)
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
@@ -1826,8 +1978,9 @@ object VersionedTable {
       if (files.isEmpty) return -1L
       val snapshot = snapRead(spark, table, files, lines)
       val clusterCols = clusterColsOf(lines)
+      val rangeSorted = zorderDims.isEmpty && clusterCols.nonEmpty
       val clustered =
-        if (zorderDims.isEmpty && clusterCols.nonEmpty) {
+        if (rangeSorted) {
           // no explicit dims on a clustered table: compaction preserves
           // the write-time range layout instead of destroying it with a
           // round-robin repartition
@@ -1846,7 +1999,10 @@ object VersionedTable {
             .drop("__graft_z")
         }
       val compacted = stage(spark,
-        stampFieldIds(clustered, schemaLine(lines)), table)
+        stampFieldIds(clustered, schemaLine(lines)), table,
+        // z-order interleaving is NOT a lexicographic sort — only the
+        // preserved range layout may claim the sorted-file marker
+        sortedBy = if (rangeSorted) clusterCols else Nil)
       commitRaceHook()
       val (v2, lines2) = latestRaw(spark, table)
       val files2 = lines2.filterNot(_.startsWith("#"))
@@ -2143,8 +2299,7 @@ object VersionedTable {
         return latest(spark, table)._1
       case _ =>
     }
-    val newFiles = stage(spark,
-      applyClustering(updates, latestRaw(spark, table)._2), table)
+    val newFiles = stage(spark, updates, table, cluster = true)
     var attempt = 0
     var lastRewritten: Seq[String] = Nil
     try {
@@ -2330,7 +2485,7 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val lines1 = latestRaw(spark, table)._2
     val newFiles = stage(spark,
-      stampFieldIds(applyClustering(df, lines1), schemaLine(lines1)), table)
+      stampFieldIds(df, schemaLine(lines1)), table, cluster = true)
     var attempt = 0
     while (attempt < maxRetries) {
       val (_, lines) = latestRaw(spark, table)
@@ -2394,7 +2549,7 @@ object VersionedTable {
       case Some(sc) => alignToSchema(df, sc, evolveSchema, table)
       case None => (df, Nil)
     }
-    val staged = stage(spark, applyClustering(aligned, lines0), table)
+    val staged = stage(spark, aligned, table, cluster = true)
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
