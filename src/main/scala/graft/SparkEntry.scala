@@ -1163,6 +1163,32 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- lake: clustered table top-n via LIMIT pushdown ----
+    // documents land in a range-clustered versioned table (two commits,
+    // so multiple range files), then ORDER BY the cluster key LIMIT 25
+    // plans only the files whose manifest bounds can hold the answer
+    // (SupportsPushDownTopN; partial push — Spark re-sorts above). The
+    // oracle never sees the lake: byte-identical answers prove the
+    // pruning changed nothing.
+    "lk1_clustered_topn" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_lk1").toString + "/t"
+      graft.sources.VersionedTable.create(s, tdir,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType))))
+      graft.sources.VersionedTable.alterProperties(s, tdir,
+        Map(graft.sources.VersionedTable.ClusterByProperty -> "doc_id"))
+      val half = expr("doc_id % 2 = 0")
+      graft.sources.VersionedTable.append(s, docs.where(half), tdir)
+      graft.sources.VersionedTable.append(s, docs.where(!half), tdir)
+      s.read.format("graft-table").load(tdir)
+        .orderBy("doc_id").limit(25)
+    }),
+
     // ---- sampling: source-mix resampling (the data-mixing primitive) ----
     // Downsample over-represented sources to a target mix with ONE
     // deterministic map-side filter (md5-based uniform — fully oracled,
@@ -1742,6 +1768,9 @@ object SparkEntry {
         |    (((((epoch_us(ts) // 3600000000) % 1024) >> i) & 1) << (2 * i + 1))
         |  )) AS BIGINT) AS z
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "lk1_clustered_topn" ->
+      "SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 25",
 
     // temperature mix: same ops, same order — (sqrt(n) * C) / n with
     // C = MIN(n / sqrt(n)); md5-uniform threshold as in s4

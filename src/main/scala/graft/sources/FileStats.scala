@@ -196,6 +196,106 @@ private[graft] object FileStats {
     mayMatch(a => keys.getOrElse(a, Seq("n" + a))
       .iterator.flatMap(stat.cols.get).nextOption(), filters)
 
+  // ------------------------------------------------- limit / top-n pruning
+
+  /** A file subset provably sufficient for any valid `LIMIT limit`
+    * (`topN` = None) or `ORDER BY col [DESC] LIMIT limit` (`topN` =
+    * Some(statsKeyCandidates, desc)) result over `names` — at 100 TB
+    * the difference between "read everything to show the latest 100"
+    * and reading one file. Plain LIMIT takes files until their known
+    * row counts certify `limit` rows. Top-n derives a value threshold
+    * T from the files with the cheapest bounds (ascending nulls-first:
+    * every row of a chosen file is ≤ its max or null, and nulls sort
+    * first, so all-null files contribute count without raising T;
+    * descending nulls-last: only the `rows - nulls` non-null rows
+    * count, all ≥ the file's min), then keeps exactly the files that
+    * could still hold a qualifying row. Ties at T are kept on the
+    * chosen side and excluded beyond it — any tie choice is a valid
+    * answer under SQL's non-deterministic LIMIT, exactly like Spark's
+    * own TopK. Every unknown (missing rows, bounds, null counts)
+    * fails toward keeping the file; if the knowns cannot certify
+    * `limit` rows, nothing is pruned. The caller re-applies the real
+    * limit/sort above the scan (partial pushdown), so pruning here is
+    * a pure optimization.
+    */
+  def limitPruneFiles(stat: String => Option[FileStat],
+      names: Seq[String], limit: Int,
+      topN: Option[(Set[String], Boolean)]): Seq[String] = topN match {
+    case None =>
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cum = 0L
+      val it = names.iterator
+      while (cum < limit && it.hasNext) {
+        val n = it.next(); acc += n
+        cum += stat(n).flatMap(_.rows).getOrElse(0L)
+      }
+      if (cum >= limit) acc.toSeq else names
+    case Some((keys, desc)) =>
+      def col(n: String): Option[ColStats] =
+        stat(n).flatMap(st => keys.iterator.flatMap(st.cols.get).nextOption())
+      final case class Cand(contrib: Long, bound: Option[Any])
+      val cands = names.flatMap { n =>
+        (stat(n).flatMap(_.rows), col(n)) match {
+          case (Some(r), Some(c)) =>
+            if (!desc) {
+              if (c.allNull) Some(Cand(r, None)) // nulls-only: free count
+              else c.max.map(m => Cand(r, Some(m)))
+            } else if (c.allNull) None // nulls last: contributes nothing
+            else (c.min, c.nulls) match {
+              case (Some(m), Some(z)) => Some(Cand(r - z, Some(m)))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+      // threshold from the cheapest bounds first (smallest max asc /
+      // largest min desc; bound-free null-only files cost nothing)
+      val ordered = cands.sortWith { (a, b) =>
+        (a.bound, b.bound) match {
+          case (None, Some(_)) => true
+          case (Some(x), Some(y)) =>
+            cmp(x, y).exists(c => if (desc) c > 0 else c < 0)
+          case _ => false
+        }
+      }
+      var cum = 0L
+      var thresh: Option[Any] = None
+      val it = ordered.iterator
+      while (cum < limit && it.hasNext) {
+        val c = it.next()
+        cum += c.contrib
+        c.bound.foreach { b =>
+          thresh = thresh match {
+            case Some(t) if cmp(b, t).exists(x =>
+              if (desc) x >= 0 else x <= 0) => Some(t)
+            case _ => Some(b)
+          }
+        }
+      }
+      if (cum < limit) names // cannot certify enough rows — keep all
+      else names.filter { n =>
+        col(n) match {
+          case Some(c) =>
+            val excludable =
+              if (!desc)
+                // beyond T and provably null-free (nulls sort first)
+                c.nulls.contains(0L) && !c.allNull && (thresh match {
+                  case Some(t) => c.min.exists(m => cmp(m, t).exists(_ > 0))
+                  case None => true // top-n is all nulls
+                })
+              else
+                // ≥ limit non-null rows ≥ T exist, so nulls (last) and
+                // anything provably below T are out
+                c.allNull || (thresh match {
+                  case Some(t) => c.max.exists(m => cmp(m, t).exists(_ < 0))
+                  case None => false
+                })
+            !excludable
+          case None => true
+        }
+      }
+  }
+
   // ------------------------------------------------------- footer -> stats
 
   /** Longest string bound kept verbatim; longer mins truncate (a prefix

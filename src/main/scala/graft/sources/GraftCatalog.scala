@@ -172,10 +172,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val path = dir.toString
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft-table versions are commit numbers; got '$version'")
-    }
+    // a bare number is a commit version; anything else resolves as a
+    // TAG name (named snapshot ref — `VERSION AS OF 'prod'`)
+    val v = VersionedTable.resolveVersionRef(spark, path, version)
     val schema = VersionedTable.tableSchema(spark, path, v).getOrElse {
       val files = VersionedTable.filesAt(spark, path, v) // throws if absent
       require(files.nonEmpty, s"version $v of $path is empty")
@@ -477,10 +476,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                         s"schema $want")
                     // declared layout applies to the replacement data
                     // itself — the property commit follows the flip
+                    val cc = declaredClusterCols(declaredProps)
+                      .filter(_ => declaredClusterCols(declaredProps)
+                        .forall(c => want.exists(_.equalsIgnoreCase(c))))
                     VersionedTable.replaceTable(data.sparkSession,
-                      VersionedTable.clusterFrame(clean.toDF(want: _*),
-                        declaredClusterCols(declaredProps)),
-                      path, replSchema)
+                      VersionedTable.clusterFrame(clean.toDF(want: _*), cc),
+                      path, replSchema, sortedBy = cc)
                     replaced = true
                     ()
                   }

@@ -34,7 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   private val Names = Seq("compact", "vacuum", "restore",
-    "materialize_field_ids")
+    "materialize_field_ids", "tag", "untag")
 
   private[sources] def list(namespace: Array[String]): Array[Identifier] =
     Names.map(n => Identifier.of(namespace, n)).toArray
@@ -50,6 +50,8 @@ object GraftProcedures {
       case "vacuum" => Some(VacuumProcedure(owner))
       case "restore" => Some(RestoreProcedure(owner))
       case "materialize_field_ids" => Some(MaterializeFieldIdsProcedure(owner))
+      case "tag" => Some(TagProcedure(owner))
+      case "untag" => Some(UntagProcedure(owner))
       case _ => None
     }
 
@@ -156,6 +158,48 @@ object GraftProcedures {
       oneRow(StructType(Seq(
         StructField("restored_to", LongType),
         StructField("version", LongType))), input.getLong(1), v)
+    }
+  }
+
+  /** `CALL graft.tag('ns.t', 'prod' [, version => 5])` — create/move a
+    * named snapshot ref; RESTORE-by-number, `VERSION AS OF 'prod'` and
+    * reader option versionAsOf=prod resolve it; vacuum protects it.
+    */
+  private case class TagProcedure(owner: GraftCatalog)
+      extends MaintenanceProcedure {
+    override def name(): String = "tag"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("name", StringType),
+      param("version", LongType, "NULL"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = tablePath(input)
+      require(!input.isNullAt(1), "tag name must not be null")
+      val tagName = input.getUTF8String(1).toString
+      val version =
+        if (input.isNullAt(2)) None else Some(input.getLong(2))
+      val v = VersionedTable.tag(spark, path, tagName, version)
+      val pinned = VersionedTable.tags(spark, path)(tagName)
+      oneRow(StructType(Seq(
+        StructField("tagged_version", LongType),
+        StructField("version", LongType))), pinned, v)
+    }
+  }
+
+  private case class UntagProcedure(owner: GraftCatalog)
+      extends MaintenanceProcedure {
+    override def name(): String = "untag"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("name", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = tablePath(input)
+      require(!input.isNullAt(1), "tag name must not be null")
+      val v = VersionedTable.untag(spark, path,
+        input.getUTF8String(1).toString)
+      oneRow(StructType(Seq(StructField("version", LongType))), v)
     }
   }
 

@@ -81,7 +81,7 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       return GraftTableScan.cdfSchema(dataSchema)
     }
     val asOf = Option(options.get(GraftTableScan.VersionAsOfOption))
-      .map(_.toLong)
+      .map(VersionedTable.resolveVersionRef(spark, table, _))
     // declared schema first: it is authoritative on evolved tables (data
     // files written before an ADD COLUMN lack the new column) and serves
     // empty CREATEd tables that have no file to infer from. Time travel
@@ -340,17 +340,26 @@ private[sources] class GraftTable(path: String, dataSchema: StructType,
                       s"${exp.name}: ${got.dataType} != ${exp.dataType}" }
                 if (mismatched.nonEmpty) throw new IllegalArgumentException(
                   s"type mismatch writing graft-table: ${mismatched.mkString(", ")}")
+                // clusterFrame only applies (and so only SORTS) when
+                // every declared column is present — the marker must
+                // say exactly what happened
+                val appliedCluster = pendingClusterBy.filter(_ =>
+                  pendingClusterBy.forall(c =>
+                    aligned.columns.exists(_.equalsIgnoreCase(c))))
                 val laid =
-                  if (pendingClusterBy.isEmpty) aligned
-                  else VersionedTable.clusterFrame(aligned, pendingClusterBy)
+                  if (appliedCluster.isEmpty) aligned
+                  else VersionedTable.clusterFrame(aligned, appliedCluster)
                 replaceCond match {
                   case Some(cond) =>
                     VersionedTable.replaceWhere(
-                      data.sparkSession, laid, path, cond)
+                      data.sparkSession, laid, path, cond,
+                      sortedBy = appliedCluster)
                   case None if overwriteAll || overwrite =>
-                    VersionedTable.overwrite(data.sparkSession, laid, path)
+                    VersionedTable.overwrite(data.sparkSession, laid, path,
+                      sortedBy = appliedCluster)
                   case None =>
-                    VersionedTable.append(data.sparkSession, laid, path)
+                    VersionedTable.append(data.sparkSession, laid, path,
+                      sortedBy = appliedCluster)
                 }
                 ()
               }
@@ -468,7 +477,9 @@ private[graft] object GraftTableScan {
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+      with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
       // default output = data columns; _commit_version arrives via
       // pruneColumns only when a batch query references the metadata col
       private var required: StructType = dataSchema
@@ -492,6 +503,52 @@ private[graft] object GraftTableScan {
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
         parquetFilters
 
+      // limit / top-n pushdown, always PARTIAL (Spark re-applies the
+      // real limit and sort above the scan — pruning is a pure
+      // optimization): planning then keeps only a file subset whose
+      // manifest row counts / bounds provably cover every valid
+      // result (FileStats.limitPruneFiles). Spark only offers the
+      // push when the limit sits directly on the scan, and our
+      // filters are all residual, so a Filter node blocks it — the
+      // one shape where row-count certification would be unsound.
+      private var pushedLimit: Option[Int] = None
+      private var pushedTopN: Option[(String, Boolean)] = None
+      private def limitPushAllowed(limit: Int): Boolean =
+        limit > 0 && parquetFilters.isEmpty &&
+          !options.containsKey(GraftTableScan.ReadChangeFeedOption) &&
+          !"false".equalsIgnoreCase(
+            options.getOrDefault("limitpushdown", ""))
+      override def pushLimit(limit: Int): Boolean =
+        limitPushAllowed(limit) && { pushedLimit = Some(limit); true }
+      override def isPartiallyPushed(): Boolean = true
+      override def pushTopN(
+          orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+          limit: Int): Boolean = {
+        import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+        // single top-level column, default null ordering only — the
+        // bound arithmetic in limitPruneFiles assumes exactly these
+        limitPushAllowed(limit) && orders.length == 1 && {
+          val so = orders.head
+          val colName = so.expression match {
+            case r: NamedReference if r.fieldNames.length == 1 =>
+              Some(r.fieldNames.head)
+            case _ => None
+          }
+          val desc = (so.direction, so.nullOrdering) match {
+            case (SortDirection.ASCENDING, NullOrdering.NULLS_FIRST) =>
+              Some(false)
+            case (SortDirection.DESCENDING, NullOrdering.NULLS_LAST) =>
+              Some(true)
+            case _ => None
+          }
+          (colName, desc) match {
+            case (Some(c), Some(d)) =>
+              pushedTopN = Some((c, d)); pushedLimit = Some(limit); true
+            case _ => false
+          }
+        }
+      }
+
       // metadata-only aggregates: an unfiltered, ungrouped COUNT/MIN/MAX
       // resolves to ONE row from the manifest's #stats lines and the
       // query plans a LocalTableScan — zero tasks (see StatsAggregate
@@ -510,7 +567,8 @@ private[graft] object GraftTableScan {
           None
         else try {
           val asOf = Option(options.get(GraftTableScan.VersionAsOfOption))
-            .map(_.toLong)
+            .map(VersionedTable.resolveVersionRef(
+              SparkSession.active, path, _))
           val (files, layers, stats) = VersionedTable.aggPlanSnapshot(
             SparkSession.active, path, asOf)
           StatsAggregate.plan(agg, dataSchema, files, stats, layers)
@@ -543,7 +601,7 @@ private[graft] object GraftTableScan {
         case None => new GraftTableScan(path, dataSchema,
           options.asCaseSensitiveMap().asScala.toMap
             .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v },
-          required, parquetFilters)
+          required, parquetFilters, pushedLimit, pushedTopN)
       }
     }
 }
@@ -551,12 +609,22 @@ private[graft] object GraftTableScan {
 private[sources] class GraftTableScan(path: String, dataSchema: StructType,
     options: Map[String, String],
     required: StructType,
-    parquetFilters: Array[org.apache.spark.sql.sources.Filter])
+    parquetFilters: Array[org.apache.spark.sql.sources.Filter],
+    pushedLimit: Option[Int] = None,
+    pushedTopN: Option[(String, Boolean)] = None)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** `versionAsOf` resolved ONCE per scan: a bare number is a commit
+    * version, anything else a tag name ([[VersionedTable
+    * .resolveVersionRef]]).
+    */
+  private lazy val asOfResolved: Option[Long] =
+    options.get(GraftTableScan.VersionAsOfOption)
+      .map(VersionedTable.resolveVersionRef(spark, path, _))
 
   /** Bucket layout of the scanned snapshot, when it is complete and
     * usable (every file bucket-named, no delete layers) AND the user
@@ -569,8 +637,7 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
         .equalsIgnoreCase("true")) None
     else if (options.contains(GraftTableScan.ReadChangeFeedOption)) None
     else
-      try VersionedTable.bucketLayoutAt(spark, path,
-        options.get(GraftTableScan.VersionAsOfOption).map(_.toLong))
+      try VersionedTable.bucketLayoutAt(spark, path, asOfResolved)
       catch { case _: Exception => None }
 
   /** Sort columns every planned partition provably yields ascending /
@@ -589,8 +656,7 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
     else
       try {
         val (cols, firstKeys) = VersionedTable.reportableOrderingAt(spark,
-          path, options.get(GraftTableScan.VersionAsOfOption).map(_.toLong),
-          bucketLayout)
+          path, asOfResolved, bucketLayout)
         (cols.takeWhile(c =>
           required.fieldNames.exists(_.equalsIgnoreCase(c))), firstKeys)
       } catch { case _: Exception => (Nil, Set.empty[String]) }
@@ -658,8 +724,7 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
           import scala.jdk.CollectionConverters._
           val conf = spark.sparkContext.hadoopConfiguration
           val f = new Path(path).getFileSystem(conf)
-          val asOf = options.get(GraftTableScan.VersionAsOfOption)
-            .map(_.toLong)
+          val asOf = asOfResolved
           val files = asOf match {
             case Some(v) => VersionedTable.filesAt(spark, path, v)
             case None => VersionedTable.latest(spark, path)._2
@@ -739,8 +804,7 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
   // file tagged with the version of the commit that introduced it
   // (metadata column) ----
   override def toBatch: Batch = new Batch {
-    private lazy val asOf =
-      options.get(GraftTableScan.VersionAsOfOption).map(_.toLong)
+    private lazy val asOf = asOfResolved
     // BOTH pending merge-on-read layers are served by this scan itself
     // through the ordinal-filtering reader: POSITION deletes name dead
     // (file, row-index) pairs directly; EQUALITY deletes are resolved
@@ -782,7 +846,18 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
           files.filter(n => stats.get(n).forall(
             FileStats.fileMayMatch(_, keys, effective.toSeq)))
         }
-      GraftTableScan.lastPlanned.set((kept.size, files.size))
+      // pushed LIMIT / ORDER-BY-LIMIT file pruning: only when nothing
+      // else narrows rows invisibly — any filter (static or runtime-
+      // DPP) or pending delete layer voids the manifest row counts the
+      // certification rests on. Spark re-applies the real limit above.
+      val limited =
+        if (pushedLimit.isEmpty || effective.nonEmpty || posDeletes.nonEmpty)
+          kept
+        else FileStats.limitPruneFiles(stats.get, kept, pushedLimit.get,
+          pushedTopN.map { case (c, desc) =>
+            (VersionedTable.statsKeyCandidates(Some(dataSchema), c), desc)
+          })
+      GraftTableScan.lastPlanned.set((limited.size, files.size))
       // provenance lookup only when the query asked for the version col
       val provenance =
         if (!partSchema.fieldNames.contains(GraftTableScan.VersionCol))
@@ -806,7 +881,7 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
           // active ordering claim a bucket's files concatenate in
           // min-bound order — the order the claim's strict-disjointness
           // check certified.
-          kept.groupBy(f => VersionedTable.bucketOfFile(f, n).get)
+          limited.groupBy(f => VersionedTable.bucketOfFile(f, n).get)
             .toSeq.sortBy(_._1).zipWithIndex
             .map { case ((bucket, names), i) =>
               val ordered =
@@ -817,7 +892,7 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
                 ordered.map(fileEntry), bucket)
             }.toArray
         case None =>
-          kept.zipWithIndex.map { case (nme, i) =>
+          limited.zipWithIndex.map { case (nme, i) =>
             FileReadShim.filePartitionValues(i, Seq(fileEntry(nme)))
           }.toArray
       }

@@ -110,6 +110,13 @@ object VersionedTable {
   // from the just-written parquet footers, dropping lines whose file
   // left the snapshot — so every writer path gets stats for free.
   private val StatsPrefix = "#stats "
+  // "#tag <name> <version>": named snapshot refs (Iceberg tag
+  // semantics) — time travel by name (`VERSION AS OF 'prod'`, reader
+  // option versionAsOf=prod), vacuum-protected. Carried by EVERY
+  // commit (metaLines whitelist + the hand-built replaceTable/restore
+  // meta sites); a tag pins a version, never files, so structural
+  // rewrites and restores cannot invalidate it.
+  private val TagPrefix = "#tag "
 
   /** The table property that turns on write-time CDC files. */
   val CdcProperty = "graft.enableChangeDataFeed"
@@ -282,6 +289,7 @@ object VersionedTable {
       newProps: Option[Map[String, String]] = None,
       newFid: Option[Long] = None): Seq[String] =
     prevRaw.filter(l => l.startsWith(TxnPrefix) ||
+        l.startsWith(TagPrefix) ||
         (l.startsWith(SchemaPrefix) && newSchema.isEmpty) ||
         (l.startsWith(PropPrefix) && newProps.isEmpty) ||
         (l.startsWith(FidPrefix) && newFid.isEmpty) ||
@@ -1212,7 +1220,9 @@ object VersionedTable {
 
   private def stage(spark: SparkSession, df0: DataFrame,
       table: String, prefix: String = "part-",
-      cluster: Boolean = false, sortedBy: Seq[String] = Nil): Seq[String] = {
+      cluster: Boolean = false, sortedBy: Seq[String] = Nil,
+      markerSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[String] = {
     // bucket layout is applied HERE, not per call site: every data-file
     // write of a bucketed table (append, rewrite survivors, compaction,
     // replace) must keep files bucket-pure or the scan stops reporting
@@ -1230,7 +1240,8 @@ object VersionedTable {
     val fileSort: Seq[String] = bucket match {
       case Some((c, _)) => if (clusterCols.nonEmpty) clusterCols else Seq(c)
       case None =>
-        if (cluster) clusterCols
+        val viaCluster = if (cluster) clusterCols else Nil
+        if (viaCluster.nonEmpty) viaCluster
         else sortedBy.flatMap(x => df0.columns.find(_.equalsIgnoreCase(x)))
     }
     val df = bucket match {
@@ -1247,15 +1258,19 @@ object VersionedTable {
     // int64-micros timestamps, not INT96: INT96 carries NO usable parquet
     // footer statistics, so stats-based file skipping on event time — the
     // #1 predicate of a time-series lake — could never fire; int64 is
-    // also the Iceberg/Delta interop encoding. Session-level conf, same
-    // technique as [[ensureFieldIdRead]] (the parquet writer only reads
-    // the session conf; readers handle both encodings per file).
+    // also the Iceberg/Delta interop encoding. Set around THIS write
+    // only and restored after: a session-sticky flip would silently
+    // change the encoding of the user's own unrelated parquet writes in
+    // the same session (a lake write in a notebook must not re-encode a
+    // later plain df.write). A racing concurrent stage restoring first
+    // costs one INT96 lake file its ts stats — perf, never correctness.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
     val tsSession = df.sparkSession
-    if (tsSession.conf.get(
-        "spark.sql.parquet.outputTimestampType", "INT96") == "INT96")
-      tsSession.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    df.write.parquet(tmp.toString)
+    val tsPrev = tsSession.conf.get(tsKey, "INT96")
+    if (tsPrev == "INT96")
+      tsSession.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.parquet(tmp.toString)
+    finally if (tsPrev == "INT96") tsSession.conf.set(tsKey, tsPrev)
     val staged = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       f.listStatus(tmp)
@@ -1284,7 +1299,10 @@ object VersionedTable {
     // remember the write-time sort for the stats commit (reconcileStats
     // stamps it into the fresh `#stats` line; carry-forward keeps it)
     if (fileSort.nonEmpty) {
-      val keys = sortStatsKeys(schemaLine(lines0), fileSort)
+      // REPLACE TABLE stages under a brand-new schema whose field ids
+      // the old manifest can't know — the caller passes it explicitly
+      val keys = sortStatsKeys(markerSchema.orElse(schemaLine(lines0)),
+        fileSort)
       staged.foreach(n => stageSortCache.put((table, n), keys))
     }
     staged.toSeq
@@ -1326,13 +1344,15 @@ object VersionedTable {
     * concurrently evolved schema so no writer's columns are lost).
     */
   def append(spark: SparkSession, df: DataFrame, table: String,
-      maxRetries: Int = 20, evolveSchema: Boolean = false): Long = {
+      maxRetries: Int = 20, evolveSchema: Boolean = false,
+      sortedBy: Seq[String] = Nil): Long = {
     val lines0 = latestRaw(spark, table)._2
     val (aligned, extras) = schemaLine(lines0) match {
       case Some(sc) => alignToSchema(df, sc, evolveSchema, table)
       case None => (df, Nil)
     }
-    val staged = stage(spark, aligned, table, cluster = true)
+    val staged = stage(spark, aligned, table, cluster = true,
+      sortedBy = sortedBy)
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
@@ -2481,11 +2501,12 @@ object VersionedTable {
     */
   def replaceWhere(spark: SparkSession, df: DataFrame, table: String,
       predicate: org.apache.spark.sql.Column,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20, sortedBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val lines1 = latestRaw(spark, table)._2
     val newFiles = stage(spark,
-      stampFieldIds(df, schemaLine(lines1)), table, cluster = true)
+      stampFieldIds(df, schemaLine(lines1)), table, cluster = true,
+      sortedBy = sortedBy)
     var attempt = 0
     while (attempt < maxRetries) {
       val (_, lines) = latestRaw(spark, table)
@@ -2543,13 +2564,15 @@ object VersionedTable {
     * loudly unless the consumer opted into skipping row-level commits.
     */
   def overwrite(spark: SparkSession, df: DataFrame, table: String,
-      maxRetries: Int = 20, evolveSchema: Boolean = false): Long = {
+      maxRetries: Int = 20, evolveSchema: Boolean = false,
+      sortedBy: Seq[String] = Nil): Long = {
     val lines0 = latestRaw(spark, table)._2
     val (aligned, extras) = schemaLine(lines0) match {
       case Some(sc) => alignToSchema(df, sc, evolveSchema, table)
       case None => (df, Nil)
     }
-    val staged = stage(spark, aligned, table, cluster = true)
+    val staged = stage(spark, aligned, table, cluster = true,
+      sortedBy = sortedBy)
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
@@ -2576,7 +2599,7 @@ object VersionedTable {
     */
   def replaceTable(spark: SparkSession, df: DataFrame, table: String,
       schema0: org.apache.spark.sql.types.StructType,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20, sortedBy: Seq[String] = Nil): Long = {
     require(schema0.nonEmpty, s"cannot replace $table with an empty schema")
     // ids resolved ONCE before staging (files are written with them);
     // the commit's #fid only ever moves UP past concurrent allocations
@@ -2587,11 +2610,13 @@ object VersionedTable {
     val (idFields, fid) = assignIds(bare.fields.toSeq, fid0)
     val schema = org.apache.spark.sql.types.StructType(idFields.toArray)
     val aligned = alignToSchema(df, schema, evolve = false, table)._1
-    val staged = stage(spark, aligned, table)
+    val staged = stage(spark, aligned, table, sortedBy = sortedBy,
+      markerSchema = Some(schema))
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
-      val meta = lines.filter(_.startsWith(TxnPrefix)) ++
+      val meta = lines.filter(l =>
+          l.startsWith(TxnPrefix) || l.startsWith(TagPrefix)) ++
         Seq(SchemaPrefix + schema.json,
           FidPrefix + math.max(fid, fidOf(lines)),
           OpPrefix + "replace-table")
@@ -2681,7 +2706,8 @@ object VersionedTable {
       // diff and the no-op check — retry from scratch
       val committed = v2 == v &&
         tryCommit(spark, table, v2 + 1,
-          lines2.filter(_.startsWith(TxnPrefix)) ++
+          lines2.filter(l =>
+            l.startsWith(TxnPrefix) || l.startsWith(TagPrefix)) ++
             targetSchema.map(SchemaPrefix + _.json).toSeq ++
             Seq(FidPrefix + math.max(fidOf(lines2), fidOf(target))) ++
             propLines(propMap(lines2)) ++
@@ -2695,6 +2721,91 @@ object VersionedTable {
     }
     throw new IllegalStateException(s"restore lost $maxRetries commit races")
   }
+
+  // ---------- named snapshot refs (tags) ----------
+
+  /** name → pinned version, from the latest manifest (or any `lines`). */
+  private[sources] def tagMap(lines: Seq[String]): Map[String, Long] =
+    lines.filter(_.startsWith(TagPrefix)).flatMap { l =>
+      l.drop(TagPrefix.length).split(" ") match {
+        case Array(n, v) => v.toLongOption.map(n -> _)
+        case _ => None
+      }
+    }.toMap
+
+  private def tagLines(m: Map[String, Long]): Seq[String] =
+    m.toSeq.sortBy(_._1).map { case (n, v) => s"$TagPrefix$n $v" }
+
+  /** Published tags of `table`. */
+  def tags(spark: SparkSession, table: String): Map[String, Long] =
+    tagMap(latestRaw(spark, table)._2)
+
+  private def requireTagName(name: String): Unit = require(
+    name.nonEmpty && !name.exists(c => c.isWhitespace || c == '\n') &&
+      !name.forall(_.isDigit),
+    s"tag name '$name' must be non-empty, whitespace-free, and not a " +
+      "bare number (numbers are version references)")
+
+  /** Create or move the named snapshot ref `name` to `version`
+    * (default: the current latest). One metadata commit; the tagged
+    * version's manifest and every file it references become
+    * vacuum-protected until [[untag]]. Returns the committed version
+    * (unchanged when the tag already points there).
+    */
+  def tag(spark: SparkSession, table: String, name: String,
+      version: Option[Long] = None, maxRetries: Int = 20): Long = {
+    requireTagName(name)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      val target = version.getOrElse(v)
+      require(target >= 1 && target <= v,
+        s"cannot tag $table@$target: no such committed version (latest $v)")
+      require(fs(spark, table).exists(commitPath(table, target)),
+        s"cannot tag $table@$target: its manifest was vacuumed")
+      if (tagMap(lines).get(name).contains(target)) return v
+      val next = tagMap(lines) + (name -> target)
+      if (tryCommit(spark, table, v + 1,
+          metaLines(lines, "tag").filterNot(_.startsWith(TagPrefix)) ++
+            tagLines(next) ++ lines.filterNot(_.startsWith("#"))))
+        return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"tag lost $maxRetries commit races")
+  }
+
+  /** Drop the named ref; its version stays time-travelable by number
+    * until vacuum reclaims it. No-op (current version returned) if the
+    * tag does not exist.
+    */
+  def untag(spark: SparkSession, table: String, name: String,
+      maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      if (!tagMap(lines).contains(name)) return v
+      val next = tagMap(lines) - name
+      if (tryCommit(spark, table, v + 1,
+          metaLines(lines, "untag").filterNot(_.startsWith(TagPrefix)) ++
+            tagLines(next) ++ lines.filterNot(_.startsWith("#"))))
+        return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"untag lost $maxRetries commit races")
+  }
+
+  /** A version reference as read surfaces accept it: a bare number is
+    * a commit version, anything else a tag name (loud error listing
+    * the published tags when it does not resolve).
+    */
+  def resolveVersionRef(spark: SparkSession, table: String,
+      ref: String): Long =
+    ref.trim.toLongOption.getOrElse {
+      val m = tags(spark, table)
+      m.getOrElse(ref.trim, throw new NoSuchElementException(
+        s"$table has no tag '${ref.trim}'" + (if (m.isEmpty) ""
+        else s" — published tags: ${m.keys.toSeq.sorted.mkString(", ")}")))
+    }
 
   /** Row-level DELETE: removes rows where `predicate` is TRUE (SQL
     * semantics — null keeps). Copy-on-write like [[upsert]]: one
@@ -3475,7 +3586,12 @@ object VersionedTable {
     val minDelBound = delLines(latestLines).map(_._2).minOption
     val lo = math.max(1L,
       math.min(minDelBound.fold(keepFrom)(math.min(keepFrom, _)), vMax))
-    val referenced = (lo to vMax).flatMap { v =>
+    // tagged versions are vacuum-protected: their manifests survive the
+    // low-water cut and their referenced files join the keep set
+    val tagged = tagMap(latestLines).values
+      .filter(v => v >= 1 && v <= vMax).toSet
+    val referenced = ((lo to vMax) ++ tagged.filter(_ < lo))
+      .toSeq.sorted.flatMap { v =>
       val p = commitPath(table, v)
       if (!f.exists(p)) Nil
       else {
@@ -3501,7 +3617,7 @@ object VersionedTable {
         f.delete(s.getPath, false); removed += 1
       }
     }
-    (1L until lo).foreach { v =>
+    (1L until lo).filterNot(tagged.contains).foreach { v =>
       val p = commitPath(table, v)
       if (f.exists(p)) f.delete(p, false)
     }

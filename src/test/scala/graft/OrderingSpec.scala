@@ -163,6 +163,24 @@ class OrderingSpec extends SparkTestBase {
       "every clustered append must stamp its write-time sort")
   }
 
+  test("CTAS/RTAS with CLUSTER BY stamp the marker on the initial data " +
+      "(no rewrite needed before ordering claims)") {
+    spark.sql("CREATE TABLE ord.ns.ct CLUSTER BY (k) AS " +
+      "SELECT id AS k, CAST(id AS STRING) AS v FROM range(300)")
+    val ct = statsOf(s"$wh/ns/ct")
+    assert(ct.nonEmpty && ct.values.forall(_.sorted.nonEmpty),
+      s"CTAS initial files must carry the write-time sort marker: $ct")
+    spark.sql("REPLACE TABLE ord.ns.ct CLUSTER BY (k) AS " +
+      "SELECT id AS k, CAST(id AS STRING) AS v FROM range(400, 900)")
+    val rt = statsOf(s"$wh/ns/ct")
+    assert(rt.nonEmpty && rt.values.forall(_.sorted.nonEmpty),
+      s"RTAS replacement files must carry the marker too: $rt")
+    // and the marker resolves under the NEW schema's field ids: the
+    // scan's ordering claim feeds a correct merge result
+    assert(spark.sql("SELECT count(*) FROM ord.ns.ct").head().getLong(0)
+      === 500L)
+  }
+
   test("plain unsorted appends claim nothing") {
     val t = Files.createTempDirectory("ordp").toString + "/t"
     VersionedTable.append(spark,
