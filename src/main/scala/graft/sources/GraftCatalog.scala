@@ -263,6 +263,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     m
   }
 
+  // declared so the SQL CHECK-constraint DDL reaches this catalog:
+  // CREATE TABLE (..., CONSTRAINT n CHECK (p)) and ALTER TABLE ADD
+  // CONSTRAINT route through TableInfo.constraints / AddConstraint
+  // below instead of failing analysis
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** DSv2 `Check` → the `graft.constraint.<name>` property the engine
+    * enforces; every other constraint kind (PRIMARY KEY / UNIQUE /
+    * FOREIGN KEY) is unenforceable here and refused loudly rather than
+    * recorded as a fiction.
+    */
+  private def constraintProp(
+      c: org.apache.spark.sql.connector.catalog.constraints.Constraint)
+      : (String, String) = c match {
+    case ck: org.apache.spark.sql.connector.catalog.constraints.Check
+        if ck.predicateSql() != null =>
+      VersionedTable.ConstraintPrefix + ck.name() -> ck.predicateSql()
+    case other => throw new UnsupportedOperationException(
+      s"graft-table supports CHECK constraints only, got ${other.toDDL}")
+  }
+
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table =
+    createTable(ident, info.schema(), info.partitions(),
+      withConstraintProps(info))
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties0: JMap[String, String]): Table = {
     val properties = layoutProps(partitions, properties0, schema,
@@ -304,18 +331,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val moves = changes.collect {
       case m: TableChange.UpdateColumnPosition => m }
+    val addCons = changes.collect { case a: TableChange.AddConstraint => a }
+    val dropCons = changes.collect { case d: TableChange.DropConstraint => d }
     changes.foreach {
       case _: TableChange.AddColumn | _: TableChange.SetProperty |
           _: TableChange.RemoveProperty | _: TableChange.RenameColumn |
           _: TableChange.DeleteColumn |
-          _: TableChange.UpdateColumnPosition => ()
+          _: TableChange.UpdateColumnPosition |
+          _: TableChange.AddConstraint | _: TableChange.DropConstraint => ()
       case other => throw new UnsupportedOperationException(
         s"graft-table ALTER supports ADD/RENAME/DROP COLUMN, " +
-          s"FIRST/AFTER positions and table properties, got $other")
+          s"FIRST/AFTER positions, CHECK constraints and table " +
+          s"properties, got $other")
     }
     if (sets.nonEmpty || unsets.nonEmpty)
       VersionedTable.alterProperties(spark, dir.toString, sets.toMap,
         unsets.toSeq)
+    // ADD runs the same path as a property SET — alterProperties
+    // analyzes the predicate and scans the current snapshot, so an
+    // invalid or violated constraint fails the DDL itself
+    addCons.foreach(a => VersionedTable.alterProperties(spark,
+      dir.toString, Map(constraintProp(a.constraint()))))
+    dropCons.foreach { d =>
+      val key = VersionedTable.ConstraintPrefix + d.name()
+      if (VersionedTable.tableProperties(spark, dir.toString).contains(key))
+        VersionedTable.alterProperties(spark, dir.toString,
+          Map.empty, Seq(key))
+      else if (!d.ifExists) throw new IllegalArgumentException(
+        s"no CHECK constraint '${d.name}' on $ident")
+    }
     // multi-part field names address nested struct fields (dotted path)
     renames.foreach(r => VersionedTable.renameColumn(spark, dir.toString,
       r.fieldNames.mkString("."), r.newName))
@@ -517,6 +561,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : StagedTable =
     if (tableExists(ident)) stageReplace(ident, schema, partitions, properties)
     else stageCreate(ident, schema, partitions, properties)
+
+  // TableInfo variants: fold declared CHECK constraints into the
+  // property map the StructType forms consume, so CTAS/RTAS with a
+  // constraint enforces it on the INITIAL data write too (the props —
+  // including constraints — commit before the staged data in
+  // commitStagedChanges). The interface defaults would drop them.
+  private def withConstraintProps(
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : JMap[String, String] = {
+    val props = new java.util.HashMap[String, String](info.properties())
+    info.constraints().map(constraintProp).foreach {
+      case (k, v) => props.put(k, v) }
+    props
+  }
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    stageCreate(ident, info.schema(), info.partitions(),
+      withConstraintProps(info))
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    stageReplace(ident, info.schema(), info.partitions(),
+      withConstraintProps(info))
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    stageCreateOrReplace(ident, info.schema(), info.partitions(),
+      withConstraintProps(info))
 
   // ---------- namespaces ----------
 

@@ -221,6 +221,26 @@ private[sources] class GraftTable(path: String, dataSchema: StructType,
   // catalog passes them at load, path-based loads default empty
   override def properties(): java.util.Map[String, String] =
     tableProps.asJava
+
+  // the graft.constraint.* properties surfaced through the DSv2
+  // constraint API — always ENFORCED (stage() filters every data
+  // write) and VALID (the ADD-time snapshot scan proved existing
+  // rows). Path-based loads see none (props arrive from the catalog),
+  // but the table-level filter still enforces.
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    tableProps.toSeq
+      .filter(_._1.startsWith(VersionedTable.ConstraintPrefix))
+      .sortBy(_._1)
+      .map { case (k, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix(VersionedTable.ConstraintPrefix))
+          .predicateSql(sql).enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
   // the table schema is the DATA schema: writes resolve against it
   // naturally (no ACCEPT_ANY_SCHEMA — that flag sets
   // skipSchemaResolution on DML commands, which blocks the UPDATE/MERGE

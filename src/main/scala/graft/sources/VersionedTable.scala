@@ -180,6 +180,194 @@ object VersionedTable {
       case _ => None
     }
 
+  /** CHECK constraints: `graft.constraint.<name> = <boolean SQL expr>`
+    * table properties (Delta `delta.constraints.*` semantics). SQL
+    * three-valued CHECK: a row violates only when the expression is
+    * FALSE — NULL passes, as in the standard. Enforced INLINE on every
+    * data-file write ([[stage]] folds one codegen'd filter over the
+    * frame: pass rows flow through, a violating row throws with the
+    * constraint name and the row's JSON — zero extra passes, zero
+    * shuffles, so the 100 TB ingest pays one predicate per row).
+    * ADD-time validation scans the current snapshot and refuses the
+    * property if existing rows violate, so a committed constraint is an
+    * invariant over ALL data, past and future. Rename/drop of a
+    * referenced column is refused until the constraint is dropped
+    * (UNSET TBLPROPERTIES) — silently orphaning the expression would
+    * fail every later write.
+    */
+  val ConstraintPrefix = "graft.constraint."
+
+  private[sources] def constraintsOf(lines: Seq[String]): Map[String, String] =
+    propMap(lines).collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
+
+  /** Top-level column names (lowercased) a constraint expression
+    * references — the rename/drop guard. Parse-only (never resolved):
+    * callers hold expressions that already passed ADD-time analysis.
+    */
+  private def constraintRefs(spark: SparkSession, sql: String): Set[String] =
+    try spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+    catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+      Set.empty }
+
+  /** Refuse renaming/dropping `col` (a top-level name) while any CHECK
+    * constraint references it.
+    */
+  private def requireNoConstraintOn(spark: SparkSession,
+      lines: Seq[String], col: String, table: String): Unit = {
+    val lc = col.toLowerCase(java.util.Locale.ROOT)
+    constraintsOf(lines).find { case (_, sql) =>
+      constraintRefs(spark, sql).contains(lc)
+    }.foreach { case (n, sql) =>
+      throw new IllegalArgumentException(
+        s"CHECK constraint '$n' ($sql) references column '$col' of " +
+          s"$table — drop the constraint (ALTER TABLE ... UNSET " +
+          s"TBLPROPERTIES('$ConstraintPrefix$n')) first")
+    }
+  }
+
+  /** ADD-time validation: the expression must analyze to a BOOLEAN,
+    * deterministic, non-aggregate predicate over the table schema, and
+    * (when data exists) no current row may violate it. `snapshot` is
+    * lazy — only evaluated for tables with data files.
+    */
+  private def validateConstraint(spark: SparkSession, name: String,
+      sql: String, schema: Option[org.apache.spark.sql.types.StructType],
+      snapshot: => Option[DataFrame], table: String): Unit = {
+    require(name.nonEmpty, s"constraint name must be non-empty on $table")
+    val probe = schema.map(sc =>
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        sc))
+    probe.foreach { empty =>
+      val resolved =
+        try empty.select(org.apache.spark.sql.functions.expr(sql))
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"CHECK constraint '$name' ($sql) does not analyze against " +
+              s"the schema of $table: ${e.getMessage}")
+        }
+      val out = resolved.queryExecution.analyzed.output.head
+      require(out.dataType == org.apache.spark.sql.types.BooleanType,
+        s"CHECK constraint '$name' ($sql) must be BOOLEAN, got " +
+          s"${out.dataType.simpleString}")
+      require(resolved.queryExecution.analyzed.expressions
+          .forall(_.deterministic),
+        s"CHECK constraint '$name' ($sql) is non-deterministic — it " +
+          "would pass or fail the same row arbitrarily")
+      require(!resolved.queryExecution.analyzed.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+        s"CHECK constraint '$name' ($sql) aggregates — constraints are " +
+          "per-row predicates")
+    }
+    snapshot.foreach { df =>
+      import org.apache.spark.sql.functions.{expr, lit}
+      val bad = df.where(expr(sql) <=> lit(false))
+      if (!bad.isEmpty) throw new IllegalArgumentException(
+        s"cannot add CHECK constraint '$name' ($sql) to $table: " +
+          "existing rows violate it")
+    }
+  }
+
+  /** The write-time enforcement filter: TRUE/NULL rows pass, a FALSE
+    * row throws with the constraint name and (truncated) row JSON. The
+    * error branch is lazy under codegen — passing rows never build the
+    * message.
+    */
+  private def applyConstraints(df: DataFrame,
+      constraints: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    constraints.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+      d.where(when(expr(sql) <=> lit(false), raise_error(concat(
+          lit(s"graft CHECK constraint '$name' violated: ($sql) row="),
+          substring(to_json(struct(df.columns.map(col): _*)), 1, 512)))
+        .cast(org.apache.spark.sql.types.BooleanType)).otherwise(lit(true)))
+    }
+  }
+
+  /** Column DEFAULT values, Spark's own metadata encoding: a field's
+    * `CURRENT_DEFAULT` metadata is the SQL text the analyzer folds into
+    * INSERTs that omit the column (or say `DEFAULT`); `EXISTS_DEFAULT`
+    * is the value rows written BEFORE the column existed read back.
+    * Both live in the declared `#schema` line, so they version like
+    * every other schema change and cost zero data movement.
+    */
+  val CurrentDefaultKey = "CURRENT_DEFAULT"
+  val ExistsDefaultKey = "EXISTS_DEFAULT"
+
+  /** A DEFAULT expression must be a constant: no column references
+    * (nothing to bind them to at INSERT-resolution time), analyzable,
+    * deterministic, and castable to the column type. Evaluated once
+    * here so a runtime-failing constant fails the DDL, not the insert.
+    */
+  private def validateDefault(spark: SparkSession, column: String,
+      sql: String, dt: org.apache.spark.sql.types.DataType,
+      table: String): Unit = {
+    val refs = try spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    } catch { case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+      throw new IllegalArgumentException(
+        s"DEFAULT for '$column' ($sql) on $table does not parse: " +
+          e.getMessage)
+    }
+    require(refs.isEmpty, s"DEFAULT for '$column' ($sql) on $table " +
+      s"references columns (${refs.mkString(", ")}) — defaults must be " +
+      "constant expressions")
+    val probe = try
+      spark.range(1).select(
+        org.apache.spark.sql.functions.expr(sql).cast(dt).as("d"))
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalArgumentException(
+        s"DEFAULT for '$column' ($sql) on $table does not analyze as " +
+          s"${dt.simpleString}: ${e.getMessage}")
+    }
+    require(probe.queryExecution.analyzed.expressions
+        .forall(_.deterministic),
+      s"DEFAULT for '$column' ($sql) on $table must be deterministic")
+    probe.head() // constant evaluation: a failing literal fails the DDL
+  }
+
+  /** Set (`Some(sql)`) or drop (`None`) a top-level column's
+    * CURRENT DEFAULT in one metadata commit. Affects FUTURE inserts
+    * only — `EXISTS_DEFAULT`, the read-back value for pre-column rows,
+    * is fixed when the column is born and never touched here (standard
+    * SQL `ALTER ... SET DEFAULT` semantics, same as Delta).
+    */
+  def setColumnDefault(spark: SparkSession, table: String, column: String,
+      default: Option[String], maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (v, lines) = latestRaw(spark, table)
+      val declared = schemaLine(lines).getOrElse(
+        throw new IllegalStateException(
+          s"setColumnDefault needs a declared schema on $table"))
+      val idx = declared.fields.indexWhere(_.name.equalsIgnoreCase(column))
+      require(idx >= 0, s"no top-level column '$column' in $table")
+      val f = declared.fields(idx)
+      default.foreach(sql =>
+        validateDefault(spark, column, sql, f.dataType, table))
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      default match {
+        case Some(sql) => mb.putString(CurrentDefaultKey, sql)
+        case None => mb.remove(CurrentDefaultKey)
+      }
+      val ns = org.apache.spark.sql.types.StructType(
+        declared.fields.updated(idx, f.copy(metadata = mb.build())))
+      if (tryCommit(spark, table, v + 1,
+          metaLines(lines, "set-default", newSchema = Some(ns)) ++
+            lines.filterNot(_.startsWith("#")))) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"setColumnDefault lost $maxRetries commit races")
+  }
+
   /** Validate a [[ClusterByProperty]] spec against a schema (None =
     * pre-schema table, columns unknowable — allow). Shared by
     * alterProperties and the catalog's CREATE-time preflight, so a bad
@@ -943,6 +1131,18 @@ object VersionedTable {
       require(!(unset.contains(BucketByProperty) && curBucket.isDefined),
         s"$BucketByProperty cannot be unset — bucket layout is fixed " +
           "at declaration")
+      set.filter(_._1.startsWith(ConstraintPrefix)).foreach {
+        case (k, sql) =>
+          val files = lines.filterNot(_.startsWith("#"))
+          validateConstraint(spark, k.stripPrefix(ConstraintPrefix), sql,
+            schemaLine(lines).orElse(files.headOption.map(f =>
+              spark.read.parquet(s"$table/$f").schema)),
+            if (files.isEmpty) None
+            else Some(readFilesDeleteAware(spark, table, files,
+              schemaLine(lines), delLines(lines), keepFileCol = false,
+              posDels = delPosLines(lines))),
+            table)
+      }
       val next = (propMap(lines) ++ set) -- unset
       if (tryCommit(spark, table, v + 1,
           metaLines(lines, "properties", newProps = Some(next)) ++
@@ -1218,7 +1418,7 @@ object VersionedTable {
     case _ => None
   }
 
-  private def stage(spark: SparkSession, df0: DataFrame,
+  private def stage(spark: SparkSession, df00: DataFrame,
       table: String, prefix: String = "part-",
       cluster: Boolean = false, sortedBy: Seq[String] = Nil,
       markerSchema: Option[org.apache.spark.sql.types.StructType] = None)
@@ -1232,7 +1432,21 @@ object VersionedTable {
     // so the per-file `sorted` stats marker this function stamps can
     // never disagree with the data; `sortedBy` is for callers that
     // pre-sorted themselves (compaction's preserved range layout).
-    val lines0 = if (prefix == "part-") latestRaw(spark, table)._2 else Nil
+    val lines00 = if (prefix == "part-") latestRaw(spark, table)._2 else Nil
+    // CHECK constraints ride the same central spot as layout: every
+    // snapshot-data write is guarded, CDC/delete-layer files (row-change
+    // metadata under other prefixes) never are. Applied BEFORE the
+    // bucket/cluster repartition so the predicate runs map-side on the
+    // incoming frame, not post-shuffle. Columns the DECLARED schema
+    // marks non-nullable are enforced the same way (Delta NOT NULL
+    // invariants) — without this, one null row silently poisons a
+    // schema whose readers were promised none.
+    val notNull = schemaLine(lines00).toSeq.flatMap(_.fields)
+      .filter(f => !f.nullable &&
+        df00.columns.exists(_.equalsIgnoreCase(f.name)))
+      .map(f => s"not-null:${f.name}" -> s"`${f.name}` IS NOT NULL")
+    val df0 = applyConstraints(df00, constraintsOf(lines00) ++ notNull)
+    val lines0 = lines00
     val bucket = bucketSpecOf(lines0).flatMap { case (c, n) =>
       df0.columns.find(_.equalsIgnoreCase(c)).map(actual => (actual, n))
     }
@@ -3269,6 +3483,7 @@ object VersionedTable {
       val declared = schemaLine(lines).getOrElse(throw new IllegalStateException(
         s"renameColumn needs a declared schema on $table"))
       val parts = pathParts(declared, from)
+      requireNoConstraintOn(spark, lines, parts.head, table)
       val chain = fieldsAlong(declared, parts, table)
       val target = chain.last
       require(fieldId(target).isDefined,
@@ -3338,6 +3553,7 @@ object VersionedTable {
       val declared = schemaLine(lines).getOrElse(throw new IllegalStateException(
         s"dropColumn needs a declared schema on $table"))
       val parts = pathParts(declared, name)
+      requireNoConstraintOn(spark, lines, parts.head, table)
       val chain = fieldsAlong(declared, parts, table)
       val target = chain.last
       val files = lines.filterNot(_.startsWith("#"))
