@@ -318,9 +318,18 @@ object GraftFunctions {
     * larger cell first. Null input vector → null.
     */
   case class TopCells(child: Expression,
-      centroids: Array[Array[Double]], n: Int)
+      centroids: Array[Array[Double]], n: Int,
+      bcCentroids: Option[
+        org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]] = None)
       extends UnaryExpression with CodegenFallback {
-    require(centroids.nonEmpty && n >= 1, "need >=1 centroid and n >= 1")
+    require((centroids.nonEmpty || bcCentroids.isDefined) && n >= 1,
+      "need >=1 centroid and n >= 1")
+    // Large codebooks (nlist × dim past ~1k × 1k) ride a broadcast
+    // variable — fetched once per EXECUTOR — instead of the expression
+    // object, which is serialized per TASK. Resolved lazily on first eval
+    // so the driver-side plan never materializes the array twice.
+    @transient private lazy val cents: Array[Array[Double]] =
+      bcCentroids.map(_.value).getOrElse(centroids)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure("expected array<float|double>")
@@ -346,11 +355,11 @@ object GraftFunctions {
       // NaN sentinel for "null" (dimension mismatch / zero norm) would
       // collide with a genuine NaN sim, which must sort LARGEST — use a
       // parallel null mask instead
-      val sims = new Array[Double](centroids.length)
-      val isNull = new Array[Boolean](centroids.length)
+      val sims = new Array[Double](cents.length)
+      val isNull = new Array[Boolean](cents.length)
       var c = 0
-      while (c < centroids.length) {
-        val ct = centroids(c)
+      while (c < cents.length) {
+        val ct = cents(c)
         if (ct.length != len) isNull(c) = true
         else {
           var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -367,7 +376,7 @@ object GraftFunctions {
         c += 1
       }
       // descending (sim, cell) under Spark struct ordering
-      val order = Array.range(0, centroids.length).sortWith { (a, b) =>
+      val order = Array.range(0, cents.length).sortWith { (a, b) =>
         if (isNull(a) != isNull(b)) isNull(b) // non-null before null
         else if (isNull(a)) a > b // both null: larger cell first
         else {
@@ -376,7 +385,7 @@ object GraftFunctions {
         }
       }
       org.apache.spark.sql.catalyst.util.ArrayData
-        .toArrayData(order.take(math.min(n, centroids.length)))
+        .toArrayData(order.take(math.min(n, cents.length)))
     }
     override protected def withNewChildInternal(c: Expression): TopCells =
       copy(child = c)
@@ -642,6 +651,16 @@ object GraftFunctions {
 
   def topCells(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
     SparkShim.toColumn(TopCells(SparkShim.toExpression(vec), centroids, n))
+
+  /** Broadcast-codebook variant: centroids travel as a broadcast variable
+    * (one executor-side fetch), not on the serialized expression (one copy
+    * per task). Use past ~1k cells × 1k dims.
+    */
+  def topCellsBc(vec: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      n: Int): Column =
+    SparkShim.toColumn(
+      TopCells(SparkShim.toExpression(vec), Array.empty, n, Some(bc)))
 
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     SparkShim.toColumn(PqEncode(SparkShim.toExpression(vec), codebooks))

@@ -194,17 +194,24 @@ object AsOfJoin {
 
     // Micros-epoch ordering column; cast handles TIMESTAMP_NTZ inputs too
     // (session time zone is pinned UTC, so the instant is unchanged).
-    // `negate` mirrors the time axis: "latest -t' <= -t" IS "earliest
-    // t' >= t", turning the backward machinery into the forward join.
-    def epochMicros(c: Column): Column = {
-      val us = unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    // A LongType column passes through raw — it is a PRE-COMPUTED ordering
+    // column (same contract as merge(); casting a long re-interprets it as
+    // seconds). `negate` mirrors the time axis: "latest -t' <= -t" IS
+    // "earliest t' >= t", turning the backward machinery into the forward
+    // join.
+    def epochMicros(df: DataFrame, name: String): Column = {
+      val us = df.schema(name).dataType match {
+        case LongType => col(name)
+        case _ =>
+          unix_micros(col(name).cast(org.apache.spark.sql.types.TimestampType))
+      }
       if (negate) -us else us
     }
 
     // MATCH marker __m rides along like a value column so `inner` can
     // distinguish "matched with null value" from "no match".
-    val l = left.withColumn("__t", epochMicros(col(leftTime)))
-    var r = right.withColumn("__t", epochMicros(col(rightTime)))
+    val l = left.withColumn("__t", epochMicros(left, leftTime))
+    var r = right.withColumn("__t", epochMicros(right, rightTime))
     for ((lk, rk) <- by if lk != rk) r = r.withColumnRenamed(rk, lk)
 
     val (lo, width) =
@@ -296,10 +303,12 @@ object AsOfJoin {
     * merge with O(1) state — the physical shape a native engine would
     * pick, impossible to express by composing built-ins. Same semantics
     * as [[backward]]. Prefer this for keyed as-ofs with a large right
-    * side; keyless inputs degenerate to a single partition (use
-    * [[backward]]'s time-bucketed composition there). For self-joins,
-    * alias one side first (the custom node skips Catalyst's join
-    * attribute dedup).
+    * side. Keyless calls route to [[backward]]'s time-bucketed
+    * composition automatically (the exec's keyless form would plan ONE
+    * partition — never the right shape at scale). Self-joins need no
+    * caller-side aliasing: when the two sides share attribute ids (the
+    * custom node skips Catalyst's join-attribute dedup), the right plan
+    * is re-aliased internally with fresh ids.
     *
     * Null equi keys: like pandas `merge_asof` (and [[backward]]'s window
     * partitioning), null keys group together — a null-keyed left row CAN
@@ -319,8 +328,14 @@ object AsOfJoin {
       valueCols: Seq[(String, String)],
       inner: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftSqlShim
-    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast}
     import org.apache.spark.sql.types.TimestampType
+
+    // Keyless: the exec's AllTuples distribution would plan ONE partition;
+    // the time-bucketed composition spreads the same semantics over
+    // numBuckets partitions — always the better physical shape.
+    if (by.isEmpty)
+      return backward(left, right, leftTime, rightTime, Nil, valueCols, inner)
 
     val spark = left.sparkSession
     // idempotent planner-strategy registration (also available via
@@ -330,7 +345,16 @@ object AsOfJoin {
         spark.experimental.extraStrategies :+ graft.plans.AsOfStrategy
 
     val lPlan = GraftSqlShim.analyzed(left)
-    val rPlan = GraftSqlShim.analyzed(right)
+    val rPlan0 = GraftSqlShim.analyzed(right)
+    // Self-join attribute dedup (what Catalyst's analyzer does for Join
+    // nodes, which this custom node bypasses): shared attribute ids
+    // between the sides would make the node's right-side expressions
+    // resolve against the LEFT child at binding — re-alias the right
+    // plan with fresh ids whenever the outputs overlap.
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
     val resolver = spark.sessionState.analyzer.resolver
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         name: String): Attribute =

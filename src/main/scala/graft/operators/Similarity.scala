@@ -131,7 +131,7 @@ object Similarity {
     val sample: Array[Array[Double]] = corpus
       .select(asDouble(col(vecCol)).as("v"))
       .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(sampleSize)
+      .limit(math.max(sampleSize, nlist)) // k-means needs >= nlist seeds
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
@@ -171,17 +171,38 @@ object Similarity {
     centroids
   }
 
-  /** Nearest-centroid cell id for a vector (map-side; centroids ride
-    * the native expression object — one primitive loop per row, O(1)
-    * plan size at any nlist×dim; see
-    * [[graft.functions.GraftFunctions.TopCells]]). The write-side half
-    * of the at-scale IVF layout: persist the corpus
-    * directory-partitioned by this cell so query probes prune to
-    * nprobe/nlist of the files at scan planning time.
+  /** Past this many doubles (~1 MB), the centroid table moves off the
+    * serialized expression (one copy per TASK) onto a broadcast variable
+    * (one fetch per EXECUTOR) — what lets nlist reach 4096+ cells at
+    * 1k dims without per-task serialization cost.
+    */
+  private[graft] val BroadcastCentroidDoubles: Long = 128L * 1024
+
+  /** Top-n-cell column with automatic small/large routing: small codebooks
+    * ride the [[graft.functions.GraftFunctions.TopCells]] expression
+    * object; large ones a broadcast variable. Same math either way.
+    */
+  private[graft] def topCellsAuto(vec: Column,
+      centroids: Array[Array[Double]], n: Int): Column = {
+    val doubles =
+      centroids.length.toLong * centroids.headOption.map(_.length).getOrElse(0)
+    if (doubles >= BroadcastCentroidDoubles) {
+      val bc = org.apache.spark.sql.SparkSession.active
+        .sparkContext.broadcast(centroids)
+      graft.functions.GraftFunctions.topCellsBc(vec, bc, n)
+    } else graft.functions.GraftFunctions.topCells(vec, centroids, n)
+  }
+
+  /** Nearest-centroid cell id for a vector (map-side; one primitive loop
+    * per row, O(1) plan size at any nlist×dim — centroids ride the
+    * expression object or, past [[BroadcastCentroidDoubles]], a broadcast
+    * variable; see [[topCellsAuto]]). The write-side half of the at-scale
+    * IVF layout: persist the corpus directory-partitioned by this cell so
+    * query probes prune to nprobe/nlist of the files at scan planning
+    * time.
     */
   def assignCell(vec: Column, centroids: Array[Array[Double]]): Column =
-    element_at(
-      graft.functions.GraftFunctions.topCells(asDouble(vec), centroids, 1), 1)
+    element_at(topCellsAuto(asDouble(vec), centroids, 1), 1)
 
   /** IVF approximate top-k: corpus rows are assigned once to their nearest
     * coarse centroid (map-side — centroids are plan literals); each query
@@ -204,8 +225,7 @@ object Similarity {
       assignCell(col(corpusVec), centroids))
 
     val q = queries.withColumn("__cell", explode(
-      graft.functions.GraftFunctions.topCells(
-        asDouble(col(queryVec)), centroids, probes)))
+      topCellsAuto(asDouble(col(queryVec)), centroids, probes)))
 
     val joined = c.join(broadcast(q), "__cell")
       .where(col(queryId) =!= col(corpusId))
@@ -250,8 +270,7 @@ object Similarity {
         pqDecode(col("__codes"), codebooks).as("__dv"))
 
     val qProbed = queries.withColumn("__cell", explode(
-      graft.functions.GraftFunctions.topCells(
-        asDouble(col(queryVec)), centroids, probes)))
+      topCellsAuto(asDouble(col(queryVec)), centroids, probes)))
     val q =
       if (adc) qProbed.select(col(queryId), col("__cell"),
         graft.functions.GraftFunctions

@@ -29,17 +29,31 @@ object LakeReader {
     spark.read.option("header", "true").schema(schema).csv(dir)
 
   /** Curated-zone scan. `table` is a parquet file/dir under `sfDir`.
-    * THE single place the testdata `events.ts` TIMESTAMP(NANOS) column is
-    * repaired: with `spark.sql.legacy.parquet.nanosAsLong` it reads as a
-    * nanos-epoch long, converted here to TimestampType (micros, floor).
-    * Both `SparkEntry.t` and `SqlLayer.register` route through this.
+    * THE single place the testdata `events.ts` encoding is normalized to
+    * session-zoned TimestampType, whatever the writer emitted:
+    *   - TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong` it
+    *     reads as a nanos-epoch long → timestamp_micros(ns div 1000).
+    *   - TIMESTAMP_MICROS with isAdjustedToUTC=false: Spark reads
+    *     TIMESTAMP_NTZ → cast to TimestampType (instant-preserving under
+    *     the engine's fixed UTC session timezone, so it matches what
+    *     DuckDB reads from the same file).
+    *   - TIMESTAMP (LTZ): already the target type, passed through.
+    * Both `SparkEntry.t` and `SqlLayer.register` route through this; job
+    * pipelines (`Bench`) must too, so a testdata re-encode is absorbed in
+    * one place.
     */
   def table(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
-    if (table == "events" && df.schema.fieldNames.contains("ts") &&
-      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    if (table == "events" && df.schema.fieldNames.contains("ts"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     else df
   }
 

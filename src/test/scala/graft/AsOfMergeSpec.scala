@@ -127,4 +127,54 @@ class AsOfMergeSpec extends SparkTestBase {
       by = Seq(("k", "kk")), valueCols = Seq(("v", "v")), inner = true)
     assert(inner.count() === 0)
   }
+
+  test("merge: self as-of join needs no caller-side aliasing, " +
+      "plan still one exchange+sort per side") {
+    // both sides are literally the same DataFrame — shared attribute ids
+    val df = AsOfJoin.merge(l, l, "time", "time",
+      by = Seq(("k", "k")), valueCols = Seq(("x", "prev_x")))
+    // exact matches are allowed, so each row at least matches itself
+    val got = df.select($"x", $"prev_x").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // ("a", 01:30) has earlier sibling rows but the LATEST <= is itself;
+    // every row's backward-nearest is itself (unique times per key here)
+    assert(got === Map(1.0 -> 1.0, 2.0 -> 2.0, 3.0 -> 3.0,
+      4.0 -> 4.0, 5.0 -> 5.0))
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("AsOfMergeJoin"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 2, s"want exactly 2 exchanges:\n$plan")
+    // and equivalence with the composition on a self-join
+    val b = AsOfJoin.backward(l, l, "time", "time",
+      by = Seq(("k", "k")), valueCols = Seq(("x", "prev_x")))
+      .select($"x", $"prev_x").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(b === got)
+  }
+
+  test("merge: keyless call routes to the bucketed composition " +
+      "(>1 partition, no single-partition exec)") {
+    val df = AsOfJoin.merge(l, r, "time", "time",
+      by = Nil, valueCols = Seq(("v", "v")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("AsOfMergeJoin"),
+      s"keyless must not plan the AllTuples exec:\n$plan")
+    // same answer as the explicit composition and the broadcast form
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.select($"x", $"v").collect()
+        .map(row => row.getDouble(0) ->
+          Option(row.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(m(df) === m(AsOfJoin.backward(l, r, "time", "time",
+      Nil, Seq(("v", "v")))))
+    assert(m(df) === m(AsOfJoin.broadcastBackward(l, r, "time", "time",
+      Nil, Seq(("v", "v")))))
+    // the composition spreads keyless work over the bucket grid: the
+    // main window exchange hashes on the bucket column (AQE may coalesce
+    // tiny test data afterwards, so assert the plan, not the runtime
+    // partition count — the spine's single-partition window is the
+    // O(buckets) carry frame, not the fact path)
+    assert(plan.contains("hashpartitioning(__b"),
+      s"keyless merge must exchange on the time-bucket column:\n$plan")
+  }
 }

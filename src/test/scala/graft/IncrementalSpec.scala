@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Analytics, AsOfJoin}
+import graft.sources.LakeReader
 
 class IncrementalSpec extends SparkTestBase {
   import spark.implicits._
@@ -42,8 +43,7 @@ class IncrementalSpec extends SparkTestBase {
   }
 
   test("AsOfJoin.auto picks broadcast for small right, distributed for big") {
-    val left = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val left = LakeReader.table(spark, sf, "events")
     val small = spark.read.parquet(s"$sf/orders.parquet")
       .groupBy($"o_custkey", $"o_orderdate")
       .agg(max($"o_totalprice").as("p"))

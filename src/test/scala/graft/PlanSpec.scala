@@ -49,7 +49,10 @@ class PlanSpec extends SparkTestBase {
 
   test("z1: z-value scan reads only the three needed columns") {
     val p = plan("z1_zorder")
-    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint>"),
+    // don't pin the ts parquet encoding (it has drifted nanos-long →
+    // timestamp_ntz once already) — just assert 3-column pruning
+    val read = "ReadSchema: struct<event_id:bigint,ts:[a-z_]+,user_id:bigint>".r
+    assert(read.findFirstIn(p).isDefined,
       s"columns not pruned to (event_id, ts, user_id):\n$p")
     assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
       s"map-side z computation should only exchange for the sort:\n$p")

@@ -390,4 +390,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(frames.length === 4)
     assert(frames.map(_.getInt(1)).sorted === Array(0, 1, 2, 3))
   }
+
+  test("IVF at nlist=4096: trains past the plan-literal cap, assignment " +
+      "takes the broadcast-variable path, and matches the per-task path") {
+    val dim = 32
+    val rows = spark.range(5000).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (shiftrightunsigned(xxhash64(col("id") * dim + i), 11)
+          .cast("double") / (1L << 53).toDouble) - 0.5).as("v"))
+    val cents = Similarity.trainIvfCentroids(rows, "id", "v",
+      nlist = 4096, iters = 2)
+    assert(cents.length === 4096, "sample must be widened to cover nlist")
+
+    // 4096 × 32 doubles crosses the threshold -> auto must pick broadcast
+    assert(4096L * dim >= Similarity.BroadcastCentroidDoubles)
+    val auto = Similarity.topCellsAuto(col("v"), cents, 1)
+    val bcNodes = rows.select(auto.as("c")).queryExecution.analyzed
+      .expressions.flatMap(_.collect {
+        case t: graft.functions.GraftFunctions.TopCells => t
+      })
+    assert(bcNodes.nonEmpty && bcNodes.forall(_.bcCentroids.isDefined),
+      "large codebook must ride a broadcast variable, not the expression")
+
+    // parity: broadcast path == expression-object path on every row
+    val both = rows.select(
+      element_at(graft.functions.GraftFunctions
+        .topCells(col("v"), cents, 1), 1).as("small"),
+      element_at(auto, 1).as("bc"))
+      .where(col("small") =!= col("bc"))
+    assert(both.count() === 0, "paths disagree on some rows")
+
+    // every assignment is a valid cell id
+    val rng = rows.select(element_at(auto, 1).as("c"))
+      .agg(min(col("c")), max(col("c"))).head
+    assert(rng.getInt(0) >= 0 && rng.getInt(1) < 4096)
+  }
 }
