@@ -164,8 +164,10 @@ object Bench {
               ev.where(col("event_id") % 200 === 2).select("event_id"))
             sources.VersionedTable.read(spark, t).count()
             sources.VersionedTable.compact(spark, t, numFiles = 8,
-              zorderDims = Seq(col("user_id") % 1024,
-                expr("unix_micros(ts) div 3600000000") % 1024))
+              zorderDims = Seq(
+                operators.Analytics.modDim(col("user_id"), 1024),
+                operators.Analytics.timeBucketDim(col("ts"),
+                  3600000000L, 1024)))
             // consumer tail: the append-only prefix of the history
             sources.VersionedTable.readChanges(spark, t, 1L, 2L).count()
             ()

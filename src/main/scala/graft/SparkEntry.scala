@@ -797,20 +797,15 @@ object SparkEntry {
     }),
 
     // ---- W8: event-time RANGE frame (trailing 1-hour window) ----
+    // Delegates to the operator layer (Analytics.trailingRangeStats):
     // rangeBetween on epoch micros, peer-inclusive on ties in both
     // engines; decimal-stabilized sum keeps the windowed avg exact.
-    "w8_range_window" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("__us", unix_micros(col("ts")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("__us"))
-        .rangeBetween(-3600000000L, 0)
-      ev.select(col("event_id"), col("user_id"),
-          count(col("value")).over(w).as("n_1h"),
-          (sum(col("value").cast(DecimalType(18, 2))).over(w)
-            .cast(DoubleType) / count(col("value")).over(w)).as("avg_1h"))
-        .orderBy("event_id")
-    }),
+    "w8_range_window" -> ((s, dir) =>
+      Analytics.trailingRangeStats(t(s, dir, "events"), Seq("user_id"),
+        "ts", "value", rangeMicros = 3600000000L,
+        cntCol = "n_1h", avgCol = "avg_1h")
+        .select(col("event_id"), col("user_id"), col("n_1h"), col("avg_1h"))
+        .orderBy("event_id")),
 
     // ---- W9: ranking family (ntile / percent_rank / cume_dist) ----
     // Deterministic: the order key (value, event_id) is unique per
@@ -852,20 +847,12 @@ object SparkEntry {
           asc_nulls_first("o_orderpriority"))),
 
     // ---- W2: sessionization (30-min inactivity gap) ----
-    "w2_sessionize" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
-      t(s, dir, "events")
-        .withColumn("new_s",
-          when(lag(col("ts"), 1).over(w).isNull || gap > 1800L * 1000000, 1)
-            .otherwise(0))
-        .select(col("event_id"), col("user_id"),
-          sum(col("new_s")).over(
-            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
-            .cast(IntegerType).as("session_id"))
-        .orderBy("event_id")
-    }),
+    // Delegates to the operator layer (Analytics.sessionize).
+    "w2_sessionize" -> ((s, dir) =>
+      Analytics.sessionize(t(s, dir, "events"), Seq("user_id"), "ts",
+        gapMicros = 1800L * 1000000, tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy("event_id")),
 
     // ---- similarity: blocked embedding near-dup pairs ----
     "e1_embedding_neardup" -> ((s, dir) =>
@@ -1154,14 +1141,15 @@ object SparkEntry {
     // prune files on ANY dimension (pruning proven in ZOrderSpec; this
     // query oracles the bit interleave itself against a DuckDB
     // re-derivation with shift/mask arithmetic).
-    "z1_zorder" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val uidb = (col("user_id") % 1024).cast(LongType)
-      val hrb = (expr("unix_micros(ts) div 3600000000") % 1024).cast(LongType)
-      ev.select(col("event_id"),
-          graft.functions.GraftFunctions.zvalue(10)(uidb, hrb).as("z"))
-        .orderBy("event_id")
-    }),
+    // Delegates to the operator layer (Analytics.modDim / timeBucketDim /
+    // zOrderValue — the NTZ-safe dimension builders).
+    "z1_zorder" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+          Analytics.zOrderValue(Seq(
+            Analytics.modDim(col("user_id"), 1024),
+            Analytics.timeBucketDim(col("ts"), 3600000000L, 1024)), 10)
+            .as("z"))
+        .orderBy("event_id")),
 
     // ---- lake: clustered table top-n via LIMIT pushdown ----
     // documents land in a range-clustered versioned table (two commits,

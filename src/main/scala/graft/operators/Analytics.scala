@@ -206,6 +206,97 @@ object Analytics {
           .as(valueCol): _*)
   }
 
+  /** Defensive epoch-micros of a timestamp-like column: the cast makes
+    * TIMESTAMP_NTZ (and already-zoned) inputs both land on session-zone
+    * micros — the idiom that kept the operator layer alive through the
+    * testdata's ts re-encoding (UTC session ⇒ instant-preserving). Every
+    * operator touching a time column MUST go through this, never raw
+    * `unix_micros(col(...))`.
+    */
+  def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** Sessionization (W2): assign per-key integer session ids, where a new
+    * session starts after `gapMicros` of inactivity (strict: a gap of
+    * exactly `gapMicros` continues the session). Appends `outCol` to the
+    * input row set; `tieBreak` columns make the intra-key order total when
+    * timestamps can collide (required for deterministic ids).
+    *
+    * Scale shape: ONE hash exchange on the keys, then two frame-bounded
+    * window passes inside each key's partition (lag + running sum) — no
+    * global sort, no driver state. Keys partition the work, so 100 TB of
+    * events parallelize by user; a single key's history must fit a task's
+    * spill budget (windows spill to disk, not OOM).
+    */
+  def sessionize(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      gapMicros: Long, tieBreak: Seq[String] = Nil,
+      outCol: String = "session_id"): DataFrame = {
+    require(gapMicros > 0, s"gap must be positive, got $gapMicros")
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    val gap = epochMicros(col(tsCol)) - epochMicros(prev)
+    df.withColumn("__new_s",
+        when(prev.isNull || gap > gapMicros, 1).otherwise(0))
+      .withColumn(outCol,
+        sum(col("__new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(IntegerType))
+      .drop("__new_s")
+  }
+
+  /** Event-time trailing RANGE window (W8): per key, count and exact mean
+    * of `measure` over the closed interval [t − `rangeMicros`, t] —
+    * peer-inclusive on timestamp ties, like SQL RANGE frames. Appends
+    * `cntCol` / `avgCol`. The mean goes through decimal stabilization
+    * ([[stableSum]]'s convention) so it is partition-order independent.
+    *
+    * Scale shape: one hash exchange on the keys + one sorted RANGE window
+    * inside each key's partition; the frame is bounded by time, so state
+    * per row is the in-range slice — no unbounded accumulation.
+    */
+  def trailingRangeStats(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, rangeMicros: Long,
+      cntCol: String = "n", avgCol: String = "avg"): DataFrame = {
+    require(rangeMicros >= 0, s"range must be >= 0, got $rangeMicros")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(epochMicros(col(tsCol)))
+      .rangeBetween(-rangeMicros, 0)
+    df.withColumn(cntCol, count(col(measure)).over(w))
+      .withColumn(avgCol,
+        (sum(col(measure).cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType) / count(col(measure)).over(w)))
+  }
+
+  /** Z-order dimension builders (Z1) + the interleaved cluster value.
+    * A z-value needs each dimension reduced to a small unsigned bucket
+    * range; these two cover the common cases — a modular hash of an id
+    * column and a time bucket of `widthMicros` — with the defensive
+    * timestamp idiom built in. Feed the dims to [[zOrderValue]] (query
+    * side) or `LakeWriter.zOrderWrite` / `VersionedTable.compact`
+    * (write side).
+    */
+  def modDim(c: Column, buckets: Int): Column =
+    (c % buckets).cast(LongType)
+
+  def timeBucketDim(ts: Column, widthMicros: Long, buckets: Int): Column = {
+    // floor-divide without `/` (double division of epoch micros can round
+    // a just-below-integer quotient up and shift the bucket — see
+    // gapFill): subtract the remainder first, so the division is of an
+    // exact multiple and IEEE correct rounding returns the integer
+    // quotient exactly (epoch micros < 2^53)
+    val us = epochMicros(ts)
+    (((us - pmod(us, lit(widthMicros))) / widthMicros).cast(LongType)
+      % buckets).cast(LongType)
+  }
+
+  /** Morton (bit-interleaved) z-value of the given bucket dims — the
+    * multi-dimensional data-skipping sort key. Pure map-side expression.
+    */
+  def zOrderValue(dims: Seq[Column], bits: Int = 10): Column =
+    graft.functions.GraftFunctions.zvalue(bits)(dims: _*)
+
   def gapFill(df: DataFrame, keyCols: Seq[String], tsCol: String,
       valueCol: String, stepMicros: Long): DataFrame = {
     require(stepMicros > 0, s"step must be positive, got $stepMicros")

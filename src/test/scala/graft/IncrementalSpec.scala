@@ -65,6 +65,61 @@ class IncrementalSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("sessionize: gap strictly greater than the threshold starts a new " +
+      "session; exact-gap continues; ids are per-key running ints") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("u1", 1L, ts("2024-05-01 00:00:00")),
+      ("u1", 2L, ts("2024-05-01 00:30:00")), // exactly 30min -> same session
+      ("u1", 3L, ts("2024-05-01 01:00:01")), // 30min+1s -> new session
+      ("u1", 4L, ts("2024-05-01 01:10:00")),
+      ("u2", 5L, ts("2024-05-01 00:00:00"))  // other key: own numbering
+    ).toDF("user", "id", "ts")
+    val got = Analytics.sessionize(df, Seq("user"), "ts",
+      gapMicros = 1800L * 1000000, tieBreak = Seq("id"))
+      .orderBy("id").select($"id", $"session_id")
+      .as[(Long, Int)].collect().toSeq
+    assert(got === Seq(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1))
+  }
+
+  test("trailingRangeStats: closed time frame, peer-inclusive on ties, " +
+      "stable mean") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("u1", 1L, ts("2024-05-01 00:00:00"), 1.0),
+      ("u1", 2L, ts("2024-05-01 00:40:00"), 3.0),
+      ("u1", 3L, ts("2024-05-01 01:00:00"), 5.0), // frame: all three
+      ("u1", 4L, ts("2024-05-01 01:00:00"), 7.0), // peer of id=3: same frame
+      ("u1", 5L, ts("2024-05-01 02:30:00"), 9.0)  // everything aged out
+    ).toDF("user", "id", "ts", "v")
+    val got = Analytics.trailingRangeStats(df, Seq("user"), "ts", "v",
+      rangeMicros = 3600000000L)
+      .orderBy("id").select($"id", $"n", $"avg")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 1.0),
+      (2L, 2L, 2.0),
+      (3L, 4L, 4.0), // RANGE frame includes the 01:00 peer both ways
+      (4L, 4L, 4.0),
+      (5L, 1L, 9.0)))
+  }
+
+  test("z-order dims: modDim buckets ids, timeBucketDim floors to the " +
+      "grid, zOrderValue interleaves") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq((1025L, ts("1970-01-01 02:59:59")),
+      (7L, ts("1970-01-01 03:00:00"))).toDF("uid", "ts")
+    val got = df.select(
+      Analytics.modDim($"uid", 1024),
+      Analytics.timeBucketDim($"ts", 3600000000L, 1024),
+      Analytics.zOrderValue(Seq(lit(1L), lit(2L)), 2))
+      .as[(Long, Long, Long)].collect().toSeq
+    // 1025 % 1024 = 1; 02:59:59 is hour-bucket 2, 03:00:00 is bucket 3
+    assert(got.map(r => (r._1, r._2)) === Seq((1L, 2L), (7L, 3L)))
+    // interleave(x=1(01), y=2(10)) bits: y1 x1 y0 x0 = 1 0 0 1 = 9
+    assert(got.head._3 === 9L)
+  }
+
   test("gapFill: hourly grid, cell max-downsample, forward fill") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val obs = Seq(
