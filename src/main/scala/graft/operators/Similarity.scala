@@ -171,6 +171,73 @@ object Similarity {
     centroids
   }
 
+  /** DISTRIBUTED Lloyd's k-means over the FULL corpus — the scale path
+    * when the driver-sample trainer ([[trainIvfCentroids]], the default:
+    * sample-based coarse quantizers are standard practice and its cost
+    * is bounded by the sample) is not enough: very large nlist, or a
+    * corpus whose distribution a 4k-row sample misrepresents.
+    *
+    * Per iteration: one map-side assignment pass (centroids via
+    * [[topCellsAuto]] — broadcast past the size threshold) and one
+    * partial-aggregated groupBy((cell, dim)) for the mean update. The
+    * shuffle carries only partitions × nlist × dim pre-combined rows,
+    * never raw vectors; the model (nlist × dim doubles) is the only
+    * driver-side state. Cost is iters full scans of the corpus — that is
+    * inherent to full-corpus Lloyd's, and each scan is embarrassingly
+    * parallel.
+    *
+    * DETERMINISM, the property that makes this production-usable: mean
+    * numerators accumulate as exact DECIMAL(38,18) sums, which are
+    * order- and partition-independent, so training is bit-identical
+    * under any repartitioning of the corpus (spec-pinned) — a re-run on
+    * a differently-laid-out cluster yields the same index. Plain double
+    * sums would make the centroids (and thus every downstream
+    * assignment) partition-dependent. Initialization is the same
+    * deterministic hash-ordered first-k as the driver trainer; empty
+    * cells keep their previous centroid.
+    */
+  def trainIvfCentroidsDistributed(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, iters: Int = 5): Array[Array[Double]] = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    val vecs = corpus.select(asDouble(col(vecCol)).as("__v"),
+      xxhash64(col(idCol)).as("__h"), col(idCol).as("__id"))
+    var centroids: Array[Array[Double]] = vecs
+      .orderBy(col("__h"), col("__id"))
+      .limit(nlist)
+      .select("__v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(centroids.nonEmpty, "cannot train IVF on an empty corpus")
+
+    for (_ <- 0 until iters) {
+      val assigned = vecs.select(
+        element_at(topCellsAuto(col("__v"), centroids, 1), 1).as("__cell"),
+        col("__v"))
+      // exact decimal numerators: order/partition-independent means
+      val byDim = assigned
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy(col("__cell"), col("__d"))
+        .agg(sum(col("__x").cast(DecimalType(38, 18))).as("__s"),
+          count(lit(1)).as("__n"))
+      // reassemble per-cell mean vectors distributedly (array_sort on
+      // (__d, mean) structs restores dimension order), then collect the
+      // nlist rows — the model, not the data
+      val updated = byDim
+        .select(col("__cell"), struct(col("__d"),
+          (col("__s") / col("__n")).cast(DoubleType).as("__m")).as("__dm"))
+        .groupBy(col("__cell"))
+        .agg(transform(array_sort(collect_list(col("__dm"))),
+          _.getField("__m")).as("__mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        updated.getOrElse(c, old) // empty cell keeps its centroid
+      }
+    }
+    centroids
+  }
+
   /** Past this many doubles (~1 MB), the centroid table moves off the
     * serialized expression (one copy per TASK) onto a broadcast variable
     * (one fetch per EXECUTOR) — what lets nlist reach 4096+ cells at
@@ -216,9 +283,10 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
-      sampleSize: Int = 4096): DataFrame = {
-    val centroids = trainIvfCentroids(corpus, corpusId, corpusVec,
-      nlist, iters, sampleSize)
+      sampleSize: Int = 4096,
+      pretrained: Option[Array[Array[Double]]] = None): DataFrame = {
+    val centroids = pretrained.getOrElse(trainIvfCentroids(
+      corpus, corpusId, corpusVec, nlist, iters, sampleSize))
     val probes = math.min(nprobe, centroids.length)
 
     val c = corpus.withColumn("__cell",

@@ -391,6 +391,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(frames.map(_.getInt(1)).sorted === Array(0, 1, 2, 3))
   }
 
+  test("distributed IVF training is bit-identical under repartitioning " +
+      "and feeds ivfTopK to an exact exhaustive-probe result") {
+    val dim = 8
+    val rows = spark.range(200).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (shiftrightunsigned(xxhash64(col("id") * dim + i), 11)
+          .cast("double") / (1L << 53).toDouble) - 0.5).as("v"))
+    // decimal-exact mean updates => partition layout cannot change the
+    // trained model in even the last ulp
+    val a = Similarity.trainIvfCentroidsDistributed(
+      rows.repartition(3), "id", "v", nlist = 8, iters = 3)
+    val b = Similarity.trainIvfCentroidsDistributed(
+      rows.repartition(13), "id", "v", nlist = 8, iters = 3)
+    assert(a.length === 8 && b.length === 8)
+    (a zip b).zipWithIndex.foreach { case ((ca, cb), i) =>
+      assert(ca.toSeq === cb.toSeq, s"centroid $i differs across layouts")
+    }
+    // exhaustive probe over the distributed-trained quantizer == brute
+    // force (the same invariant sim3 pins for the sample-trained one)
+    val q = rows.where(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val ivf = Similarity.ivfTopK(rows, "id", "v", q, "qid", "qv",
+      k = 5, nlist = 8, nprobe = 8, pretrained = Some(a))
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(rows, "id", "v", q, "qid", "qv", 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(ivf === brute)
+  }
+
   test("IVF at nlist=4096: trains past the plan-literal cap, assignment " +
       "takes the broadcast-variable path, and matches the per-task path") {
     val dim = 32
