@@ -317,10 +317,16 @@ object GraftFunctions {
     * (`java.lang.Double.compare` = Spark's total order), ties on sim →
     * larger cell first. Null input vector → null.
     */
+  /** `l2 = true` scores cells by NEGATED squared L2 distance instead of
+    * cosine (the PQ-codebook metric): same total order semantics
+    * (descending score, larger cell on ties), null only on dimension
+    * mismatch — a zero vector is a valid L2 point.
+    */
   case class TopCells(child: Expression,
       centroids: Array[Array[Double]], n: Int,
       bcCentroids: Option[
-        org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]] = None)
+        org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]] = None,
+      l2: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     require((centroids.nonEmpty || bcCentroids.isDefined) && n >= 1,
       "need >=1 centroid and n >= 1")
@@ -361,7 +367,14 @@ object GraftFunctions {
       while (c < cents.length) {
         val ct = cents(c)
         if (ct.length != len) isNull(c) = true
-        else {
+        else if (l2) {
+          var d2 = 0.0
+          var j = 0
+          while (j < len) {
+            val d = v(j) - ct(j); d2 += d * d; j += 1
+          }
+          sims(c) = -d2
+        } else {
           var dot = 0.0; var na = 0.0; var nb = 0.0
           var j = 0
           while (j < len) {
@@ -649,8 +662,10 @@ object GraftFunctions {
     SparkShim.toColumn(CosineSim(
       SparkShim.toExpression(a), SparkShim.toExpression(b)))
 
-  def topCells(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
-    SparkShim.toColumn(TopCells(SparkShim.toExpression(vec), centroids, n))
+  def topCells(vec: Column, centroids: Array[Array[Double]], n: Int,
+      l2: Boolean = false): Column =
+    SparkShim.toColumn(
+      TopCells(SparkShim.toExpression(vec), centroids, n, None, l2))
 
   /** Broadcast-codebook variant: centroids travel as a broadcast variable
     * (one executor-side fetch), not on the serialized expression (one copy
@@ -658,9 +673,9 @@ object GraftFunctions {
     */
   def topCellsBc(vec: Column,
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
-      n: Int): Column =
+      n: Int, l2: Boolean = false): Column =
     SparkShim.toColumn(
-      TopCells(SparkShim.toExpression(vec), Array.empty, n, Some(bc)))
+      TopCells(SparkShim.toExpression(vec), Array.empty, n, Some(bc), l2))
 
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     SparkShim.toColumn(PqEncode(SparkShim.toExpression(vec), codebooks))

@@ -250,14 +250,15 @@ object Similarity {
     * object; large ones a broadcast variable. Same math either way.
     */
   private[graft] def topCellsAuto(vec: Column,
-      centroids: Array[Array[Double]], n: Int): Column = {
+      centroids: Array[Array[Double]], n: Int,
+      l2: Boolean = false): Column = {
     val doubles =
       centroids.length.toLong * centroids.headOption.map(_.length).getOrElse(0)
     if (doubles >= BroadcastCentroidDoubles) {
       val bc = org.apache.spark.sql.SparkSession.active
         .sparkContext.broadcast(centroids)
-      graft.functions.GraftFunctions.topCellsBc(vec, bc, n)
-    } else graft.functions.GraftFunctions.topCells(vec, centroids, n)
+      graft.functions.GraftFunctions.topCellsBc(vec, bc, n, l2)
+    } else graft.functions.GraftFunctions.topCells(vec, centroids, n, l2)
   }
 
   /** Nearest-centroid cell id for a vector (map-side; one primitive loop
@@ -420,6 +421,64 @@ object Similarity {
       }
       centroids
     }
+  }
+
+  /** DISTRIBUTED full-corpus PQ training — [[trainIvfCentroidsDistributed]]'s
+    * discipline applied per subspace (the driver-sample
+    * [[trainPqCodebooks]] stays the default). Initialization is the same
+    * deterministic distinct-subvector init (driver-side, from the
+    * hash-ordered sample); each Lloyd's iteration is ONE corpus pass:
+    * every row computes its `m` subspace cell ids map-side (negated-L2
+    * [[graft.functions.GraftFunctions.TopCells]], codebooks broadcast
+    * past the size threshold), then a partial-aggregated
+    * groupBy((subspace, cell, dim)) updates means from exact DECIMAL
+    * sums — so training is bit-identical under any repartitioning of the
+    * corpus (spec-pinned), and the shuffle carries pre-combined
+    * m × ksub × dsub rows per partition, never raw vectors. Empty cells
+    * keep their codeword, like the driver trainer.
+    */
+  def trainPqCodebooksDistributed(corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, ksub: Int = 256,
+      iters: Int = 5, sampleSize: Int = 4096): Array[Array[Array[Double]]] = {
+    var codebooks = trainPqCodebooks(corpus, idCol, vecCol, m, ksub,
+      iters = 0, sampleSize = sampleSize) // init only: distinct subvectors
+    val dsub = codebooks(0)(0).length
+
+    val vecs = corpus.select(asDouble(col(vecCol)).as("__v"))
+    for (_ <- 0 until iters) {
+      val cb = codebooks // stable snapshot for the closure-free columns
+      val cellsCol = array((0 until m).map(j =>
+        element_at(topCellsAuto(
+          slice(col("__v"), j * dsub + 1, dsub), cb(j), 1, l2 = true),
+          1)): _*)
+      val byDim = vecs
+        .select(cellsCol.as("__cells"),
+          posexplode(col("__v")).as(Seq("__d", "__x")))
+        .select(
+          expr(s"__d div $dsub").cast(IntegerType).as("__j"),
+          element_at(col("__cells"),
+            expr(s"__d div $dsub").cast(IntegerType) + 1).as("__cell"),
+          (col("__d") % dsub).as("__sd"),
+          col("__x"))
+        .groupBy(col("__j"), col("__cell"), col("__sd"))
+        .agg(sum(col("__x").cast(DecimalType(38, 18))).as("__s"),
+          count(lit(1)).as("__n"))
+      val updated = byDim
+        .select(col("__j"), col("__cell"), struct(col("__sd"),
+          (col("__s") / col("__n")).cast(DoubleType).as("__m")).as("__dm"))
+        .groupBy(col("__j"), col("__cell"))
+        .agg(transform(array_sort(collect_list(col("__dm"))),
+          _.getField("__m")).as("__mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      codebooks = codebooks.zipWithIndex.map { case (book, j) =>
+        book.zipWithIndex.map { case (old, c) =>
+          updated.getOrElse((j, c), old) // empty cell keeps its codeword
+        }
+      }
+    }
+    codebooks
   }
 
   /** PQ-encode an embedding column to `m` code bytes (binary). */

@@ -420,6 +420,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf === brute)
   }
 
+  test("distributed PQ training is repartition-invariant and " +
+      "reconstructs a <=ksub-distinct corpus exactly") {
+    // subvector values drawn from 4 binary-and-decimal-exact patterns per
+    // subspace, so distinct-init covers the space and the fixed point of
+    // Lloyd's is exact reconstruction
+    val pats = Array(
+      Array(0.25, -0.5, 1.0, 0.0),
+      Array(1.0, 0.25, -0.25, 0.5),
+      Array(-0.5, 0.0, 0.25, 1.0),
+      Array(0.5, 1.0, 0.0, -0.25))
+    val data = (0 until 100).map { i =>
+      (i.toLong, pats(i % 4) ++ pats((i / 4) % 4))
+    }
+    val rows = data.toDF("id", "v")
+    val a = Similarity.trainPqCodebooksDistributed(
+      rows.repartition(3), "id", "v", m = 2, ksub = 4, iters = 3)
+    val b = Similarity.trainPqCodebooksDistributed(
+      rows.repartition(7), "id", "v", m = 2, ksub = 4, iters = 3)
+    assert(a.length === 2 && a.forall(_.length === 4))
+    (a zip b).zipWithIndex.foreach { case ((ba, bb), j) =>
+      (ba zip bb).foreach { case (ca, cb) =>
+        assert(ca.toSeq === cb.toSeq, s"subspace $j differs across layouts")
+      }
+    }
+    // decode(encode(v)) == v for every row: the codebooks converged on
+    // the exact pattern set
+    val bad = rows.select(col("v"),
+        Similarity.pqDecode(Similarity.pqEncode(col("v"), a), a).as("r"))
+      .where(col("v") =!= col("r"))
+    assert(bad.count() === 0, "distributed-trained PQ must reconstruct " +
+      "a <=ksub-distinct corpus exactly")
+  }
+
   test("IVF at nlist=4096: trains past the plan-literal cap, assignment " +
       "takes the broadcast-variable path, and matches the per-task path") {
     val dim = 32
