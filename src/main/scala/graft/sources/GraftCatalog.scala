@@ -266,9 +266,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // declared so the SQL CHECK-constraint DDL reaches this catalog:
   // CREATE TABLE (..., CONSTRAINT n CHECK (p)) and ALTER TABLE ADD
   // CONSTRAINT route through TableInfo.constraints / AddConstraint
-  // below instead of failing analysis
+  // below instead of failing analysis. COLUMN_DEFAULT_VALUE turns on
+  // the whole defaults surface: CREATE ... DEFAULT columns arrive with
+  // CURRENT_DEFAULT/EXISTS_DEFAULT field metadata (Spark constant-folds
+  // the exists value), INSERTs that omit a defaulted column are filled
+  // by the analyzer from Table.columns(), and ALTER ... ADD COLUMN /
+  // SET/DROP DEFAULT route through the TableChanges handled below.
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** DSv2 `Check` → the `graft.constraint.<name>` property the engine
     * enforces; every other constraint kind (PRIMARY KEY / UNIQUE /
@@ -294,6 +300,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties0: JMap[String, String]): Table = {
     val properties = layoutProps(partitions, properties0, schema,
       "CREATE TABLE")
+    VersionedTable.validateSchemaDefaults(spark, schema,
+      s"CREATE TABLE $ident")
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (ident.namespace.nonEmpty && !fsys.exists(nsPath(ident.namespace)))
@@ -333,16 +341,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case m: TableChange.UpdateColumnPosition => m }
     val addCons = changes.collect { case a: TableChange.AddConstraint => a }
     val dropCons = changes.collect { case d: TableChange.DropConstraint => d }
+    val setDefaults = changes.collect {
+      case u: TableChange.UpdateColumnDefaultValue => u }
     changes.foreach {
       case _: TableChange.AddColumn | _: TableChange.SetProperty |
           _: TableChange.RemoveProperty | _: TableChange.RenameColumn |
           _: TableChange.DeleteColumn |
           _: TableChange.UpdateColumnPosition |
-          _: TableChange.AddConstraint | _: TableChange.DropConstraint => ()
+          _: TableChange.AddConstraint | _: TableChange.DropConstraint |
+          _: TableChange.UpdateColumnDefaultValue => ()
       case other => throw new UnsupportedOperationException(
         s"graft-table ALTER supports ADD/RENAME/DROP COLUMN, " +
-          s"FIRST/AFTER positions, CHECK constraints and table " +
-          s"properties, got $other")
+          s"FIRST/AFTER positions, CHECK constraints, column DEFAULTs " +
+          s"and table properties, got $other")
     }
     if (sets.nonEmpty || unsets.nonEmpty)
       VersionedTable.alterProperties(spark, dir.toString, sets.toMap,
@@ -382,11 +393,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"nested ADD COLUMN not supported: ${a.fieldNames.mkString(".")}")
         require(a.position() == null,
           "FIRST/AFTER column positions not supported — columns append")
+        // ADD COLUMN ... DEFAULT: CURRENT_DEFAULT drives future inserts;
+        // EXISTS_DEFAULT (the folded literal) is what rows written
+        // BEFORE this commit read back — fixed here, at column birth,
+        // and never changed by a later SET DEFAULT (Iceberg
+        // initial-default semantics; the scan's parquet reader fills it
+        // for files lacking the field)
+        val meta = Option(a.defaultValue()) match {
+          case Some(dv) =>
+            val lit = dv.getValue()
+            val litSql = org.apache.spark.sql.catalyst.expressions
+              .Literal(lit.value(), lit.dataType()).sql
+            val cur = Option(dv.getSql).filter(_.nonEmpty).getOrElse(litSql)
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(VersionedTable.CurrentDefaultKey, cur)
+              .putString(VersionedTable.ExistsDefaultKey, litSql)
+              .build()
+          case None => org.apache.spark.sql.types.Metadata.empty
+        }
         org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
-          nullable = true) // appended columns must be nullable: old rows
+          nullable = true, // appended columns must be nullable: old rows
                            // have no value (addColumns enforces it too)
+          metadata = meta)
       }
+      VersionedTable.validateSchemaDefaults(spark,
+        org.apache.spark.sql.types.StructType(fields),
+        s"ALTER TABLE $ident ADD COLUMNS")
       VersionedTable.addColumns(spark, dir.toString, fields)
+    }
+    // SET DEFAULT carries the new SQL text; DROP DEFAULT arrives as an
+    // empty/absent value. EXISTS_DEFAULT is untouched either way.
+    setDefaults.foreach { u =>
+      require(u.fieldNames.length == 1,
+        s"nested column DEFAULT not supported: ${u.fieldNames.mkString(".")}")
+      val sql = Option(u.newCurrentDefault())
+        .flatMap(d => Option(d.getSql).filter(_.nonEmpty))
+        .orElse(Option(u.newDefaultValue()).filter(_.nonEmpty))
+      VersionedTable.setColumnDefault(spark, dir.toString,
+        u.fieldNames.head, sql)
     }
     loadTable(ident)
   }

@@ -332,6 +332,18 @@ object VersionedTable {
     probe.head() // constant evaluation: a failing literal fails the DDL
   }
 
+  /** Validate every CURRENT_DEFAULT in `schema` (catalog CREATE/ADD
+    * preflight): a bad default must fail the DDL, not the first INSERT
+    * that relies on it.
+    */
+  def validateSchemaDefaults(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, what: String): Unit =
+    schema.fields.foreach { f =>
+      if (f.metadata.contains(CurrentDefaultKey))
+        validateDefault(spark, f.name,
+          f.metadata.getString(CurrentDefaultKey), f.dataType, what)
+    }
+
   /** Set (`Some(sql)`) or drop (`None`) a top-level column's
     * CURRENT DEFAULT in one metadata commit. Affects FUTURE inserts
     * only — `EXISTS_DEFAULT`, the read-back value for pre-column rows,
