@@ -576,11 +576,12 @@ private[graft] object GraftTableScan {
       // decision time, so the answer is one consistent version even if
       // the table advances before execution.
       private var aggResult
-          : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
-        None
+          : Option[(StructType,
+            Array[org.apache.spark.sql.catalyst.InternalRow])] = None
       private def planAgg(agg
           : org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-          : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
+          : Option[(StructType,
+            Array[org.apache.spark.sql.catalyst.InternalRow])] =
         if (parquetFilters.nonEmpty ||
             options.containsKey(GraftTableScan.ReadChangeFeedOption) ||
             "false".equalsIgnoreCase(options.getOrDefault("aggpushdown", "")))
@@ -591,7 +592,11 @@ private[graft] object GraftTableScan {
               SparkSession.active, path, _))
           val (files, layers, stats) = VersionedTable.aggPlanSnapshot(
             SparkSession.active, path, asOf)
-          StatsAggregate.plan(agg, dataSchema, files, stats, layers)
+          // file→introducing-commit map, computed only if the aggregate
+          // actually groups by _commit_version (by-name param)
+          StatsAggregate.plan(agg, dataSchema, files, stats, layers,
+            try Some(VersionedTable.fileVersions(SparkSession.active, path))
+            catch { case _: Exception => None })
         } catch { case _: Exception => None }
       override def supportCompletePushDown(agg
           : org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -609,11 +614,11 @@ private[graft] object GraftTableScan {
       }
 
       override def build(): Scan = aggResult match {
-        case Some((aggSchema, row)) =>
+        case Some((aggSchema, aggRows)) =>
           new org.apache.spark.sql.connector.read.LocalScan {
             override def rows()
                 : Array[org.apache.spark.sql.catalyst.InternalRow] =
-              Array(row)
+              aggRows
             override def readSchema(): StructType = aggSchema
             override def description(): String =
               s"graft-table stats-aggregate $path"

@@ -140,6 +140,40 @@ class StatsAggSpec extends SparkTestBase {
     assert(off.head() === org.apache.spark.sql.Row(5L, 11L))
   }
 
+  test("GROUP BY _commit_version aggregates answer from the manifest — " +
+      "per-commit rows with no scan") {
+    val t = newTable() // two appends -> versions 1 and 2
+    val g = load(t).groupBy(col("_commit_version"))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("k")).as("mn"), max(col("k")).as("mx"))
+      .orderBy("_commit_version")
+    assert(statsOnly(g), g.queryExecution.executedPlan.toString)
+    val rows = g.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq === Seq(
+      (1L, 3L, 2L, 1L, 3L),   // first append: 3 rows, one null v
+      (2L, 2L, 1L, 10L, 11L)))// second: 2 rows, one null v
+    // fallback parity: the pushed answer equals a real scan's
+    val off = spark.read.format("graft-table")
+      .option("aggpushdown", "false").load(t)
+      .groupBy(col("_commit_version"))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("k")).as("mn"), max(col("k")).as("mx"))
+      .orderBy("_commit_version")
+    assert(!statsOnly(off))
+    assert(off.collect().toSeq === rows.toSeq)
+    // any OTHER grouping column still falls back
+    val other = load(t).groupBy(col("s")).agg(count(lit(1)))
+    assert(!statsOnly(other))
+    // delete layers forbid the grouped form like the global one
+    VersionedTable.deleteByKeys(spark, t, Seq(1L).toDF("k"))
+    val layered = load(t).groupBy(col("_commit_version"))
+      .agg(count(lit(1)).as("n")).orderBy("_commit_version")
+    assert(!statsOnly(layered))
+    assert(layered.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq(1L -> 2L, 2L -> 2L))
+  }
+
   test("SQL through the catalog plans metadata-only too") {
     val dir = Files.createTempDirectory("sagg_cat").toString
     spark.conf.set("spark.sql.catalog.sagg",
