@@ -418,6 +418,23 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- similarity: IVF over the DISTRIBUTED-trained quantizer ----
+    // Same exhaustive-probe == brute-force invariant as sim3, but the
+    // coarse centroids come from full-corpus Lloyd's (exact-decimal
+    // mean updates; repartition-invariance spec-pinned) instead of the
+    // driver sample — proving the scale-path trainer end-to-end against
+    // the DuckDB oracle.
+    "sim8_ivf_dist" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cents = Similarity.trainIvfCentroidsDistributed(
+        emb, "vec_id", "embedding", nlist = 16, iters = 2)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+        k = 10, nlist = 16, nprobe = 16, pretrained = Some(cents))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- similarity: top-k over a product-quantized corpus (lossy:
     // rows-only check; exact-reconstruction, error-monotonicity, and
     // recall-vs-brute-force are spec-tested in SimilaritySpec). 8 code
@@ -1919,6 +1936,19 @@ object SparkEntry {
 
     // IVF with exhaustive probing == brute force (see queries comment)
     "sim3_ivf_ann" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // distributed-trained IVF, exhaustive probe == the same brute force
+    "sim8_ivf_dist" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid, e.vec_id,
