@@ -281,14 +281,18 @@ object Analytics {
     (c % buckets).cast(LongType)
 
   def timeBucketDim(ts: Column, widthMicros: Long, buckets: Int): Column = {
-    // floor-divide without `/` (double division of epoch micros can round
-    // a just-below-integer quotient up and shift the bucket — see
-    // gapFill): subtract the remainder first, so the division is of an
-    // exact multiple and IEEE correct rounding returns the integer
-    // quotient exactly (epoch micros < 2^53)
-    val us = epochMicros(ts)
-    (((us - pmod(us, lit(widthMicros))) / widthMicros).cast(LongType)
-      % buckets).cast(LongType)
+    require(widthMicros > 0, s"bucket width must be positive, got $widthMicros")
+    // true integral division (SQL `div`): double division of epoch
+    // micros can round a just-below-integer quotient up and shift the
+    // bucket (see gapFill), and double tricks only hold below 2^53 —
+    // this is exact over the full long range, like the inline `div`
+    // expression it replaced
+    import org.apache.spark.sql.graftshim.SparkShim
+    val div = SparkShim.toColumn(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        SparkShim.toExpression(epochMicros(ts)),
+        org.apache.spark.sql.catalyst.expressions.Literal(widthMicros)))
+    (div % buckets).cast(LongType)
   }
 
   /** Morton (bit-interleaved) z-value of the given bucket dims — the

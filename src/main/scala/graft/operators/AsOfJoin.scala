@@ -118,12 +118,25 @@ object AsOfJoin {
       inner: Boolean = false): DataFrame = {
     val lt2 = "__graft_fwd_lt"
     val rt2 = "__graft_fwd_rt"
-    def negUs(c: Column): Column =
-      -unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
-    merge(left.withColumn(lt2, negUs(col(leftTime))),
-      right.withColumn(rt2, negUs(col(rightTime))),
+    def negUs(df: DataFrame, name: String): Column = -rawMicros(df, name)
+    merge(left.withColumn(lt2, negUs(left, leftTime)),
+      right.withColumn(rt2, negUs(right, rightTime)),
       lt2, rt2, by, valueCols, inner).drop(lt2)
   }
+
+  /** Micros-epoch ordering value of a time-like column — THE one
+    * conversion every strategy must share, so size-based routing can
+    * never flip row-level semantics: timestamp family casts (NTZ-safe
+    * under the UTC session), while LongType passes through RAW as a
+    * pre-computed ordering column (casting a long re-interprets it as
+    * SECONDS — a 2024 micros value overflows the timestamp range).
+    */
+  private def rawMicros(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case LongType => col(name)
+      case _ =>
+        unix_micros(col(name).cast(org.apache.spark.sql.types.TimestampType))
+    }
 
   /** Nearest as-of join: each left row takes the CLOSER of its backward
     * and forward matches (pandas `merge_asof(direction="nearest")`);
@@ -160,12 +173,19 @@ object AsOfJoin {
     val f = pass(dir = true, "f")
       .select((rid +: (valueCols.map(c => s"__f_${c._2}") :+ "__f_t"))
         .map(col): _*)
-    val us = (c: Column) =>
-      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    // same raw-long contract as every other strategy (see rawMicros);
+    // __b_t/__f_t carry the RIGHT side's time type
+    def usOf(dt: org.apache.spark.sql.types.DataType)(c: Column): Column =
+      dt match {
+        case LongType => c
+        case _ =>
+          unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+      }
     val joined = b.join(f, Seq(rid))
-    val lt = us(col(leftTime))
-    val db = lt - us(col("__b_t"))  // >= 0, null when unmatched
-    val df = us(col("__f_t")) - lt
+    val lt = usOf(left.schema(leftTime).dataType)(col(leftTime))
+    val rt = usOf(right.schema(rightTime).dataType) _
+    val db = lt - rt(col("__b_t"))  // >= 0, null when unmatched
+    val df = rt(col("__f_t")) - lt
     val pickB = col("__f_t").isNull || (col("__b_t").isNotNull && db <= df)
     val matched = col("__b_t").isNotNull || col("__f_t").isNotNull
     val outVals = valueCols.map { case (_, out) =>
@@ -200,11 +220,7 @@ object AsOfJoin {
     // "earliest t' >= t", turning the backward machinery into the forward
     // join.
     def epochMicros(df: DataFrame, name: String): Column = {
-      val us = df.schema(name).dataType match {
-        case LongType => col(name)
-        case _ =>
-          unix_micros(col(name).cast(org.apache.spark.sql.types.TimestampType))
-      }
+      val us = rawMicros(df, name)
       if (negate) -us else us
     }
 
@@ -520,8 +536,6 @@ object AsOfJoin {
       by: Seq[(String, String)] = Nil,
       valueCols: Seq[(String, String)],
       inner: Boolean = false): DataFrame = {
-    def epochMicros(c: Column): Column =
-      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
     val keys = by.map(_._1)
     val outCols = left.columns.toSeq ++ valueCols.map(_._2)
 
@@ -529,10 +543,12 @@ object AsOfJoin {
     for ((lk, rk) <- by if lk != rk) r = r.withColumnRenamed(rk, lk)
     val valIn = valueCols.map(_._1)
     // sort_array on struct orders by the first field (__t) — per-key
-    // time-sorted (time, values) arrays, one row per key
+    // time-sorted (time, values) arrays, one row per key. rawMicros:
+    // LongType ordering columns pass raw, like every other strategy —
+    // auto()'s size-based routing must never flip semantics.
     val grouped = r.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(
-        struct((epochMicros(col(rightTime)).as("__t") +: valIn.map(col)): _*)))
+        struct((rawMicros(right, rightTime).as("__t") +: valIn.map(col)): _*)))
         .as("__arr"))
 
     // Keyless form joins on a constant dummy key (NOT crossJoin): when the
@@ -544,7 +560,7 @@ object AsOfJoin {
       else left.withColumn("__one", lit(1))
         .join(broadcast(grouped.withColumn("__one", lit(1))), Seq("__one"), "left")
         .drop("__one")
-    val lt = epochMicros(col(leftTime))
+    val lt = rawMicros(left, leftTime)
     // last element with __t <= leftTime (null when none / null left time);
     // O(log n) binary search per left row (native expression)
     val pick = graft.functions.GraftFunctions.asofPick(col("__arr"), lt)

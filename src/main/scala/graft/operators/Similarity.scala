@@ -210,8 +210,9 @@ object Similarity {
     require(centroids.nonEmpty, "cannot train IVF on an empty corpus")
 
     for (_ <- 0 until iters) {
+      val ref = centroidRef(centroids) // one ship per iteration
       val assigned = vecs.select(
-        element_at(topCellsAuto(col("__v"), centroids, 1), 1).as("__cell"),
+        element_at(topCellsRef(col("__v"), ref, 1), 1).as("__cell"),
         col("__v"))
       // exact decimal numerators: order/partition-independent means
       val byDim = assigned
@@ -231,6 +232,7 @@ object Similarity {
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
         .toMap
+      destroyRef(ref) // iteration's action is complete — release blocks
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         updated.getOrElse(c, old) // empty cell keeps its centroid
       }
@@ -245,21 +247,46 @@ object Similarity {
     */
   private[graft] val BroadcastCentroidDoubles: Long = 128L * 1024
 
+  /** A centroid table, either riding expression objects (small) or a
+    * shared broadcast variable (large). Callers that use the SAME
+    * centroids in several places (corpus assign + query probe; one
+    * trainer iteration) create ONE ref and reuse it, so the table ships
+    * once; trainers destroy the broadcast when their iteration's action
+    * completes.
+    */
+  private[graft] type CentroidRef = Either[Array[Array[Double]],
+    org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]
+
+  private[graft] def centroidRef(
+      centroids: Array[Array[Double]]): CentroidRef = {
+    val doubles =
+      centroids.length.toLong * centroids.headOption.map(_.length).getOrElse(0)
+    if (doubles >= BroadcastCentroidDoubles)
+      Right(org.apache.spark.sql.SparkSession.active
+        .sparkContext.broadcast(centroids))
+    else Left(centroids)
+  }
+
+  private[graft] def destroyRef(ref: CentroidRef): Unit = ref match {
+    case Right(bc) => bc.destroy()
+    case Left(_) => ()
+  }
+
+  private[graft] def topCellsRef(vec: Column, ref: CentroidRef, n: Int,
+      l2: Boolean = false): Column = ref match {
+    case Left(a) => graft.functions.GraftFunctions.topCells(vec, a, n, l2)
+    case Right(bc) => graft.functions.GraftFunctions.topCellsBc(vec, bc, n, l2)
+  }
+
   /** Top-n-cell column with automatic small/large routing: small codebooks
     * ride the [[graft.functions.GraftFunctions.TopCells]] expression
     * object; large ones a broadcast variable. Same math either way.
+    * One-shot convenience — multi-use callers go through [[centroidRef]].
     */
   private[graft] def topCellsAuto(vec: Column,
       centroids: Array[Array[Double]], n: Int,
-      l2: Boolean = false): Column = {
-    val doubles =
-      centroids.length.toLong * centroids.headOption.map(_.length).getOrElse(0)
-    if (doubles >= BroadcastCentroidDoubles) {
-      val bc = org.apache.spark.sql.SparkSession.active
-        .sparkContext.broadcast(centroids)
-      graft.functions.GraftFunctions.topCellsBc(vec, bc, n, l2)
-    } else graft.functions.GraftFunctions.topCells(vec, centroids, n, l2)
-  }
+      l2: Boolean = false): Column =
+    topCellsRef(vec, centroidRef(centroids), n, l2)
 
   /** Nearest-centroid cell id for a vector (map-side; one primitive loop
     * per row, O(1) plan size at any nlist×dim — centroids ride the
@@ -289,12 +316,13 @@ object Similarity {
     val centroids = pretrained.getOrElse(trainIvfCentroids(
       corpus, corpusId, corpusVec, nlist, iters, sampleSize))
     val probes = math.min(nprobe, centroids.length)
+    val ref = centroidRef(centroids) // shared: corpus assign + query probe
 
     val c = corpus.withColumn("__cell",
-      assignCell(col(corpusVec), centroids))
+      element_at(topCellsRef(asDouble(col(corpusVec)), ref, 1), 1))
 
     val q = queries.withColumn("__cell", explode(
-      topCellsAuto(asDouble(col(queryVec)), centroids, probes)))
+      topCellsRef(asDouble(col(queryVec)), ref, probes)))
 
     val joined = c.join(broadcast(q), "__cell")
       .where(col(queryId) =!= col(corpusId))
@@ -326,9 +354,11 @@ object Similarity {
     val codebooks = trainPqCodebooks(corpus, corpusId, corpusVec,
       m, ksub, iters)
     val probes = math.min(nprobe, centroids.length)
+    val ref = centroidRef(centroids) // shared: corpus assign + query probe
 
     val coded = corpus
-      .withColumn("__cell", assignCell(col(corpusVec), centroids))
+      .withColumn("__cell",
+        element_at(topCellsRef(asDouble(col(corpusVec)), ref, 1), 1))
       .withColumn("__codes", pqEncode(col(corpusVec), codebooks))
     // ADC: candidates ride as m code bytes, scored via the query's lookup
     // table (O(m)/pair). Otherwise decode ONCE per corpus row; only
@@ -339,7 +369,7 @@ object Similarity {
         pqDecode(col("__codes"), codebooks).as("__dv"))
 
     val qProbed = queries.withColumn("__cell", explode(
-      topCellsAuto(asDouble(col(queryVec)), centroids, probes)))
+      topCellsRef(asDouble(col(queryVec)), ref, probes)))
     val q =
       if (adc) qProbed.select(col(queryId), col("__cell"),
         graft.functions.GraftFunctions
@@ -446,10 +476,10 @@ object Similarity {
 
     val vecs = corpus.select(asDouble(col(vecCol)).as("__v"))
     for (_ <- 0 until iters) {
-      val cb = codebooks // stable snapshot for the closure-free columns
+      val refs = codebooks.map(centroidRef) // one ship per iteration
       val cellsCol = array((0 until m).map(j =>
-        element_at(topCellsAuto(
-          slice(col("__v"), j * dsub + 1, dsub), cb(j), 1, l2 = true),
+        element_at(topCellsRef(
+          slice(col("__v"), j * dsub + 1, dsub), refs(j), 1, l2 = true),
           1)): _*)
       val byDim = vecs
         .select(cellsCol.as("__cells"),
@@ -472,6 +502,7 @@ object Similarity {
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
         .toMap
+      refs.foreach(destroyRef) // iteration's action is complete
       codebooks = codebooks.zipWithIndex.map { case (book, j) =>
         book.zipWithIndex.map { case (old, c) =>
           updated.getOrElse((j, c), old) // empty cell keeps its codeword

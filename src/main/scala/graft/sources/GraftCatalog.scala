@@ -422,13 +422,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       VersionedTable.addColumns(spark, dir.toString, fields)
     }
     // SET DEFAULT carries the new SQL text; DROP DEFAULT arrives as an
-    // empty/absent value. EXISTS_DEFAULT is untouched either way.
+    // empty/absent value. EXISTS_DEFAULT is untouched either way. A
+    // DefaultValue built from a V2 expression with NO SQL text must be
+    // refused loudly — treating it as a drop would silently null future
+    // inserts.
     setDefaults.foreach { u =>
       require(u.fieldNames.length == 1,
         s"nested column DEFAULT not supported: ${u.fieldNames.mkString(".")}")
-      val sql = Option(u.newCurrentDefault())
-        .flatMap(d => Option(d.getSql).filter(_.nonEmpty))
+      val cur = Option(u.newCurrentDefault())
+      val sql = cur.flatMap(d => Option(d.getSql).filter(_.nonEmpty))
         .orElse(Option(u.newDefaultValue()).filter(_.nonEmpty))
+      if (cur.isDefined && sql.isEmpty)
+        throw new UnsupportedOperationException(
+          s"SET DEFAULT on ${u.fieldNames.head}: expression-only default " +
+            "(no SQL text) is not supported — provide the SQL form")
       VersionedTable.setColumnDefault(spark, dir.toString,
         u.fieldNames.head, sql)
     }

@@ -153,6 +153,49 @@ class AsOfMergeSpec extends SparkTestBase {
     assert(b === got)
   }
 
+  test("LongType ordering columns are raw micros in EVERY strategy — " +
+      "size-based routing can never flip semantics") {
+    // 2024-scale epoch micros (~1.7e15): interpreting them as SECONDS
+    // overflows the timestamp range, so any strategy that still casts
+    // produces garbage and this spec catches it
+    val base = 1714521600000000L // 2024-05-01 00:00:00 UTC in micros
+    val ll = l.select($"k", (lit(base) + (col("x") * 1000000L).cast("long"))
+      .as("t_us"), $"x")
+    val rr = r.select($"kk", (lit(base) + (col("v") * 100000L).cast("long"))
+      .as("t_us"), $"v")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.select($"x", $"v").collect()
+        .map(row => row.getDouble(0) ->
+          Option(row.get(1)).map(_.asInstanceOf[Double])).toMap
+    val keyed = Seq(("k", "kk"))
+    val viaMerge = m(AsOfJoin.merge(ll, rr, "t_us", "t_us", keyed,
+      Seq(("v", "v"))))
+    val viaBackward = m(AsOfJoin.backward(ll, rr, "t_us", "t_us", keyed,
+      Seq(("v", "v"))))
+    val viaBroadcast = m(AsOfJoin.broadcastBackward(ll, rr, "t_us", "t_us",
+      keyed, Seq(("v", "v"))))
+    val viaAutoSmall = m(AsOfJoin.auto(ll, rr, "t_us", "t_us", keyed,
+      Seq(("v", "v")), broadcastThreshold = Long.MaxValue))
+    val viaAutoBig = m(AsOfJoin.auto(ll, rr, "t_us", "t_us", keyed,
+      Seq(("v", "v")), broadcastThreshold = 0))
+    assert(viaBackward === viaMerge, "backward vs merge")
+    assert(viaBroadcast === viaMerge, "broadcastBackward vs merge")
+    assert(viaAutoSmall === viaMerge, "auto(broadcast) vs merge")
+    assert(viaAutoBig === viaMerge, "auto(merge) vs merge")
+    // keyless: broadcast vs bucketed composition agree too
+    val klBroadcast = m(AsOfJoin.broadcastBackward(ll, rr, "t_us", "t_us",
+      Nil, Seq(("v", "v"))))
+    val klBackward = m(AsOfJoin.backward(ll, rr, "t_us", "t_us",
+      Nil, Seq(("v", "v"))))
+    assert(klBroadcast === klBackward, "keyless broadcast vs bucketed")
+    // forward on the same raw axis: merge path vs composition path
+    val fMerge = m(AsOfJoin.forwardMerge(ll, rr, "t_us", "t_us", keyed,
+      Seq(("v", "v"))))
+    val fComp = m(AsOfJoin.forward(ll, rr, "t_us", "t_us", keyed,
+      Seq(("v", "v")), broadcastThreshold = Long.MaxValue))
+    assert(fMerge === fComp, "forwardMerge vs forward composition")
+  }
+
   test("merge: keyless call routes to the bucketed composition " +
       "(>1 partition, no single-partition exec)") {
     val df = AsOfJoin.merge(l, r, "time", "time",
