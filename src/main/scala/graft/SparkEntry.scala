@@ -301,6 +301,21 @@ object SparkEntry {
     // ---- dedup: global sorted-neighborhood pairs (merge/purge) ----
     // One corpus-wide order by the normalized-text prefix; each doc
     // pairs with its next 7 neighbors; 3-gram Jaccard >= 0.5 verifies.
+    // ---- dedup: SemDeDup (embedding-space clustering dedup) ----
+    // k-means cells bound the pairwise-cosine term to Σ|cell|²; groups
+    // from connected components, min id survives. Cells come from
+    // k-means => rows-only here; d9b is the exact-mode twin (nlist=1 ≡
+    // all-pairs), fully oracled via the d5-style recursive CTE.
+    "d9_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, nlist = 8, iters = 2)
+        .select(col("vec_id")).orderBy("vec_id")),
+
+    "d9b_semantic_exact" -> ((s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, nlist = 1, iters = 1)
+        .select(col("vec_id")).orderBy("vec_id")),
+
     "d8_snm" -> ((s, dir) => {
       Dedup.sortedNeighborhoodPairs(docsWithNearDups(s, dir),
         "doc_id", "text",
@@ -2375,6 +2390,23 @@ object SparkEntry {
 
     // undirected reachability via recursive CTE; component = MIN reachable
     // id — the same fixpoint the distributed label propagation converges to
+    // exact-mode SemDeDup twin: nlist=1 => all-pairs cosine graph;
+    // survivors = min reachable id of each component (d5's CTE shape)
+    "d9b_semantic_exact" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.3),
+        |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs
+        |          UNION SELECT v2, v1 FROM pairs),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS label FROM embeddings
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS vec_id FROM reach
+        |GROUP BY id HAVING MIN(label) = id ORDER BY vec_id""".stripMargin,
+
     "d5_components" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.vec_id AS v1, b.vec_id AS v2

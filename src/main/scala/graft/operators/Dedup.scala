@@ -786,4 +786,57 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .dropDuplicates(idCol, idCol + "_2")
   }
+
+  // ---------- semantic (embedding-space) dedup ----------
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster the embedding space with a k-means coarse quantizer,
+    * compute pairwise cosine ONLY within each cluster, connect pairs at
+    * or above `threshold` into duplicate groups, and keep the
+    * minimum-id row of each group. Returns the SURVIVING corpus rows
+    * (all input columns).
+    *
+    * Scale shape: `nlist` bounds the quadratic term — pair work is
+    * Σ|cell|² instead of N², exactly the trick that makes
+    * embedding-level dedup feasible on a web-scale corpus. Training is
+    * the distributed full-corpus Lloyd's
+    * ([[Similarity.trainIvfCentroidsDistributed]] — repartition-
+    * invariant), assignment map-side, and group-finding reuses
+    * [[connectedComponents]] (driver union-find under the edge
+    * threshold, O(log n) star contraction above). `nlist = 1`
+    * degenerates to exact all-pairs semantic dedup — the oracle mode.
+    * Cross-cell near-duplicates are missed by design (the paper's
+    * recall/cost dial): raising nlist trades recall for cost, so
+    * survivors(nlist) is monotone non-decreasing in nlist.
+    *
+    * Pass `centroids` to reuse a trained quantizer (e.g. the corpus's
+    * IVF index) instead of re-training.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 256, iters: Int = 3,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"cosine threshold must be in (0, 1], got $threshold")
+    val cents = centroids.getOrElse(
+      Similarity.trainIvfCentroidsDistributed(corpus, idCol, vecCol,
+        nlist, iters))
+    val cell = Similarity.assignCell(col(vecCol), cents)
+    val c = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__cell", cell)
+    val a = c.select(col("__cell"), col(idCol).as("__i"),
+      col(vecCol).as("__va"))
+    val b = c.select(col("__cell"), col(idCol).as("__j"),
+      col(vecCol).as("__vb"))
+    val id2 = idCol + "_2"
+    val pairs = a.join(b, Seq("__cell"))
+      .where(col("__i") < col("__j") &&
+        Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__i").as(idCol), col("__j").as(id2))
+    val comp = connectedComponents(corpus.select(col(idCol)), pairs,
+      idCol, id2)
+    val survivors = comp.where(col(idCol) === col("component"))
+      .select(col(idCol))
+    corpus.join(survivors, Seq(idCol), "left_semi")
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
@@ -418,6 +418,27 @@ class SimilaritySpec extends SparkTestBase {
     val brute = Similarity.bruteForceTopK(rows, "id", "v", q, "qid", "qv", 5)
       .select("qid", "id").as[(Long, Long)].collect().toSet
     assert(ivf === brute)
+  }
+
+  test("semanticDedup: duplicate groups keep the min id; nlist=1 is " +
+      "exact all-pairs; splitting cells never removes a survivor") {
+    // at threshold 0.95 the near-parallel vectors {0, 1, 4} form one
+    // group (cos(0,1)≈0.993, cos(0,4)≈0.99995); 2 and 3 are orthogonal
+    val s1 = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, nlist = 1, iters = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s1 === Set(0L, 2L, 3L),
+      "group {0,1,4} must collapse to its min id 0")
+    // more cells can only MISS cross-cell pairs => groups split, and a
+    // split group's min still survives — survivors grow monotonically
+    val s4 = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, nlist = 4, iters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s4), s"nlist=1 survivors $s1 not within $s4")
+    // all columns of the surviving rows come back
+    val cols = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, nlist = 1, iters = 1).columns.toSeq
+    assert(cols === vecs.columns.toSeq)
   }
 
   test("distributed PQ training is repartition-invariant and " +
