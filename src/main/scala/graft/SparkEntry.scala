@@ -1231,6 +1231,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- sampling: token-budget mixture (data-mixing to budgets) ----
+    // Each tier contributes docs in deterministic md5-hash order until
+    // its TOKEN budget fills (crossing doc included). Window cumsum +
+    // broadcast budget join — exactly re-derivable in SQL => full hash
+    // oracle.
+    "s8_token_budget_mix" -> ((s, dir) => {
+      val sfx = expr("CAST(substring(source, 4) AS INT)")
+      val tiered = t(s, dir, "documents").select(col("doc_id"),
+        when(sfx < 14, "common").when(sfx < 18, "mid").otherwise("rare")
+          .as("source_tier"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Sampling.tokenBudgetMix(tiered, col("source_tier"), col("doc_id"),
+        col("n_tokens"),
+        Map("common" -> 15000L, "mid" -> 6000L, "rare" -> 2000L))
+        .orderBy("doc_id")
+    }),
+
     // ---- sketch: grouped frequent items (top-5 terms per language) ----
     // Same exact-configuration oracle as hh1, but under groupBy: the
     // sketch now rides Spark's partial/final hash-aggregation path (one
@@ -1809,6 +1826,24 @@ object SparkEntry {
         |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |    / 1152921504606846976.0 < k.keep
         |ORDER BY d.doc_id""".stripMargin,
+
+    // token-budget mix: same tiers, same hash order, exclusive prefix
+    // sum under the budget keeps the crossing doc
+    "s8_token_budget_mix" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 14 THEN 'common'
+        |         WHEN CAST(substr(source, 4) AS INT) < 18 THEN 'mid'
+        |         ELSE 'rare' END AS source_tier,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+        |  FROM documents),
+        |b(g, budget) AS (VALUES ('common', 15000), ('mid', 6000), ('rare', 2000)),
+        |c AS (SELECT d.doc_id, d.source_tier, d.n_tokens, b.budget,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source_tier
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM d JOIN b ON d.source_tier = b.g)
+        |SELECT doc_id, source_tier, n_tokens FROM c
+        |WHERE before < budget ORDER BY doc_id""".stripMargin,
 
     // grouped exact-configuration Misra-Gries == per-group exact top-5
     "hh2_freq_by_lang" ->

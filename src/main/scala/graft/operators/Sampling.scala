@@ -109,4 +109,34 @@ object Sampling {
       .where(hashUniform(idCol) < col("__keep"))
       .drop("__g", "__keep")
   }
+
+  /** Token-budget mixture — the data-mixing step of a training
+    * pipeline: each group (source / domain / language) contributes docs
+    * in DETERMINISTIC hash order until its token budget fills. The
+    * first doc to cross the budget is INCLUDED (exclusive-prefix-sum
+    * test: a doc is kept iff the tokens BEFORE it are under budget), so
+    * every non-empty budget is met — the concat-then-truncate
+    * convention, same as sequence packing. Groups absent from `budgets`
+    * are dropped entirely.
+    *
+    * Fully relational and exactly re-derivable in SQL: one window
+    * cumsum per group (hash of id + id tiebreak = total order), one
+    * broadcast join against the tiny budget table, one filter. At
+    * 100 TB the groups partition the window work; no global sort.
+    */
+  def tokenBudgetMix(df: DataFrame, groupCol: Column, idCol: Column,
+      tokenCol: Column, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "need at least one group budget")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = broadcast(budgets.toSeq.toDF("__g", "__budget"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(idCol.cast("string")), idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.join(b, groupCol === col("__g"))
+      .withColumn("__before", coalesce(sum(tokenCol).over(w), lit(0L)))
+      .where(col("__before") < col("__budget"))
+      .drop("__g", "__budget", "__before")
+  }
 }

@@ -137,4 +137,31 @@ class SamplingSpec extends SparkTestBase {
     assert(all.size === 2000)
     assert(q.nonEmpty && q.size < h.size && h.size < all.size)
   }
+
+  test("tokenBudgetMix: budgets fill (crossing doc included), " +
+      "unbudgeted groups drop, selection is deterministic") {
+    val rows = ((1 to 10).map(i => (i.toLong, "a", 100)) ++
+      (11 to 15).map(i => (i.toLong, "b", 100)) ++
+      (16 to 18).map(i => (i.toLong, "c", 100)))
+      .toDF("doc_id", "g", "n_tokens")
+    val kept = Sampling.tokenBudgetMix(rows, col("g"), col("doc_id"),
+      col("n_tokens"), Map("a" -> 250L, "b" -> 10000L))
+    val byG = kept.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: before-sums 0,100,200 are < 250 -> exactly 3 docs (300 tokens,
+    // the budget-crossing doc included); b: budget above total -> all 5;
+    // c: no budget -> dropped
+    assert(byG === Map("a" -> 3L, "b" -> 5L))
+    val total = kept.where(col("g") === "a")
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    assert(total >= 250L, "budget must be met when the group can fill it")
+    assert(total - 100L < 250L, "only the crossing doc may overflow")
+    // determinism: identical id set on re-run
+    val again = Sampling.tokenBudgetMix(rows, col("g"), col("doc_id"),
+      col("n_tokens"), Map("a" -> 250L, "b" -> 10000L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept.select("doc_id").as[Long].collect().toSet)
+    // all input columns survive
+    assert(kept.columns.toSeq === rows.columns.toSeq)
+  }
 }
