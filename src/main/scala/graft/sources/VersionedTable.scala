@@ -2213,6 +2213,32 @@ object VersionedTable {
     * skipping (Delta OPTIMIZE ZORDER BY's shape), and the OCC commit
     * protocol is unchanged.
     */
+  /** Byte-targeted compaction — at 100 TB you size output FILES, not
+    * their count: numFiles = ceil(snapshot bytes / target). The output
+    * size is an estimate by input bytes (the Delta OPTIMIZE heuristic:
+    * re-encoding the same data compresses about the same), and the
+    * snapshot can advance between the estimate and compact()'s own
+    * OCC loop — both fine, the target is a sizing hint, correctness
+    * belongs to compact().
+    */
+  def compactToSize(spark: SparkSession, table: String,
+      targetFileSizeBytes: Long, maxRetries: Int = 20,
+      zorderDims: Seq[org.apache.spark.sql.Column] = Nil,
+      zorderBits: Int = 16): Long = {
+    require(targetFileSizeBytes > 0,
+      s"target file size must be positive, got $targetFileSizeBytes")
+    val f = fs(spark, table)
+    val (_, lines) = latestRaw(spark, table)
+    val files = lines.filterNot(_.startsWith("#"))
+    if (files.isEmpty) return -1L
+    val total = files.map(n =>
+      f.getFileStatus(new Path(table, n)).getLen).sum
+    val n = math.min(
+      math.max(1L, (total + targetFileSizeBytes - 1) / targetFileSizeBytes),
+      Int.MaxValue.toLong).toInt
+    compact(spark, table, n, maxRetries, zorderDims, zorderBits)
+  }
+
   def compact(spark: SparkSession, table: String, numFiles: Int,
       maxRetries: Int = 20,
       zorderDims: Seq[org.apache.spark.sql.Column] = Nil,

@@ -156,6 +156,30 @@ class VersionedTableSpec extends SparkTestBase {
     }
   }
 
+  test("compactToSize derives the file count from snapshot bytes") {
+    import org.apache.spark.sql.functions._
+    val t = Files.createTempDirectory("vt_tosize").toString + "/t"
+    VersionedTable.append(spark,
+      spark.range(5000).select(col("id"), rand(7).as("v")), t)
+    VersionedTable.append(spark,
+      spark.range(5000, 10000).select(col("id"), rand(8).as("v")), t)
+    val files0 = VersionedTable.latest(spark, t)._2
+    val total = files0.map(n =>
+      new java.io.File(s"$t/$n").length).sum
+    // target = whole snapshot -> exactly one output file
+    VersionedTable.compactToSize(spark, t, targetFileSizeBytes = total * 2)
+    assert(VersionedTable.latest(spark, t)._2.size === 1)
+    assert(VersionedTable.read(spark, t).count() === 10000L)
+    // target = ~third of the (new) snapshot -> ceil(bytes/target) files
+    val total1 = VersionedTable.latest(spark, t)._2
+      .map(n => new java.io.File(s"$t/$n").length).sum
+    val target = total1 / 3 + 1
+    val want = ((total1 + target - 1) / target).toInt
+    VersionedTable.compactToSize(spark, t, targetFileSizeBytes = target)
+    assert(VersionedTable.latest(spark, t)._2.size === want)
+    assert(VersionedTable.read(spark, t).count() === 10000L)
+  }
+
   test("z-order compaction preserves data and clusters both dimensions") {
     import org.apache.spark.sql.functions._
     val t = Files.createTempDirectory("vt_zorder").toString + "/t"
