@@ -298,9 +298,6 @@ object SparkEntry {
         .orderBy("doc_id", "doc_id_2")
     }),
 
-    // ---- dedup: global sorted-neighborhood pairs (merge/purge) ----
-    // One corpus-wide order by the normalized-text prefix; each doc
-    // pairs with its next 7 neighbors; 3-gram Jaccard >= 0.5 verifies.
     // ---- dedup: SemDeDup (embedding-space clustering dedup) ----
     // k-means cells bound the pairwise-cosine term to Σ|cell|²; groups
     // from connected components, min id survives. Cells come from
@@ -316,6 +313,9 @@ object SparkEntry {
         threshold = 0.3, nlist = 1, iters = 1)
         .select(col("vec_id")).orderBy("vec_id")),
 
+    // ---- dedup: global sorted-neighborhood pairs (merge/purge) ----
+    // One corpus-wide order by the normalized-text prefix; each doc
+    // pairs with its next 7 neighbors; 3-gram Jaccard >= 0.5 verifies.
     "d8_snm" -> ((s, dir) => {
       Dedup.sortedNeighborhoodPairs(docsWithNearDups(s, dir),
         "doc_id", "text",

@@ -282,15 +282,18 @@ object Analytics {
 
   def timeBucketDim(ts: Column, widthMicros: Long, buckets: Int): Column = {
     require(widthMicros > 0, s"bucket width must be positive, got $widthMicros")
-    // true integral division (SQL `div`): double division of epoch
-    // micros can round a just-below-integer quotient up and shift the
-    // bucket (see gapFill), and double tricks only hold below 2^53 —
-    // this is exact over the full long range, like the inline `div`
-    // expression it replaced
+    // FLOOR division, exact over the full long range: subtracting the
+    // (always-positive) pmod makes the dividend an exact multiple, and
+    // the integral divide of longs avoids the double rounding that can
+    // shift a bucket (see gapFill) AND the 2^53 domain bound a
+    // double-based trick would impose. Floor (not truncate-toward-zero)
+    // so pre-epoch timestamps land in their own width-sized buckets
+    // instead of sharing a double-width bucket 0 with [0, width).
     import org.apache.spark.sql.graftshim.SparkShim
+    val us = epochMicros(ts)
     val div = SparkShim.toColumn(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        SparkShim.toExpression(epochMicros(ts)),
+        SparkShim.toExpression(us - pmod(us, lit(widthMicros))),
         org.apache.spark.sql.catalyst.expressions.Literal(widthMicros)))
     (div % buckets).cast(LongType)
   }

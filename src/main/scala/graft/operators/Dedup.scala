@@ -818,12 +818,22 @@ object Dedup {
       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine threshold must be in (0, 1], got $threshold")
-    val cents = centroids.getOrElse(
-      Similarity.trainIvfCentroidsDistributed(corpus, idCol, vecCol,
-        nlist, iters))
-    val cell = Similarity.assignCell(col(vecCol), cents)
+    // nlist=1 (the exact all-pairs mode): every row lands in the single
+    // cell regardless of centroid values — skip training entirely
+    val cell: Column =
+      if (nlist == 1 && centroids.isEmpty) lit(0)
+      else {
+        val cents = centroids.getOrElse(
+          Similarity.trainIvfCentroidsDistributed(corpus, idCol, vecCol,
+            nlist, iters))
+        Similarity.assignCell(col(vecCol), cents)
+      }
+    // materialize the assignment once: the pairs self-join reads it
+    // from BOTH sides, and without this the corpus scan + per-row
+    // nearest-centroid assignment would run twice
     val c = corpus.select(col(idCol), col(vecCol))
       .withColumn("__cell", cell)
+      .localCheckpoint(true)
     val a = c.select(col("__cell"), col(idCol).as("__i"),
       col(vecCol).as("__va"))
     val b = c.select(col("__cell"), col(idCol).as("__j"),

@@ -211,6 +211,7 @@ object Similarity {
 
     for (_ <- 0 until iters) {
       val ref = centroidRef(centroids) // one ship per iteration
+      try {
       val assigned = vecs.select(
         element_at(topCellsRef(col("__v"), ref, 1), 1).as("__cell"),
         col("__v"))
@@ -232,10 +233,10 @@ object Similarity {
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
         .toMap
-      destroyRef(ref) // iteration's action is complete — release blocks
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         updated.getOrElse(c, old) // empty cell keeps its centroid
       }
+      } finally destroyRef(ref) // release blocks even on a failed action
     }
     centroids
   }
@@ -477,6 +478,7 @@ object Similarity {
     val vecs = corpus.select(asDouble(col(vecCol)).as("__v"))
     for (_ <- 0 until iters) {
       val refs = codebooks.map(centroidRef) // one ship per iteration
+      try {
       val cellsCol = array((0 until m).map(j =>
         element_at(topCellsRef(
           slice(col("__v"), j * dsub + 1, dsub), refs(j), 1, l2 = true),
@@ -502,12 +504,12 @@ object Similarity {
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
         .toMap
-      refs.foreach(destroyRef) // iteration's action is complete
       codebooks = codebooks.zipWithIndex.map { case (book, j) =>
         book.zipWithIndex.map { case (old, c) =>
           updated.getOrElse((j, c), old) // empty cell keeps its codeword
         }
       }
+      } finally refs.foreach(destroyRef) // release even on a failed action
     }
     codebooks
   }

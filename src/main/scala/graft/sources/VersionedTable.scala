@@ -2231,8 +2231,20 @@ object VersionedTable {
     val (_, lines) = latestRaw(spark, table)
     val files = lines.filterNot(_.startsWith("#"))
     if (files.isEmpty) return -1L
-    val total = files.map(n =>
-      f.getFileStatus(new Path(table, n)).getLen).sum
+    // sizes come from the manifest's #stats lines already in hand — at
+    // a 100k-file snapshot, per-file getFileStatus RPCs would cost
+    // minutes of driver time; the filesystem is only consulted for
+    // files lacking a stats byte count (pre-stats writers), and a file
+    // vacuumed between the manifest read and the probe contributes 0 to
+    // what is only a sizing estimate (compact()'s own OCC loop owns
+    // correctness)
+    val stats = parsedStatsAt(spark, table, None)
+    val total = files.map { n =>
+      stats.get(n).flatMap(_.bytes).getOrElse {
+        try f.getFileStatus(new Path(table, n)).getLen
+        catch { case _: java.io.FileNotFoundException => 0L }
+      }
+    }.sum
     val n = math.min(
       math.max(1L, (total + targetFileSizeBytes - 1) / targetFileSizeBytes),
       Int.MaxValue.toLong).toInt

@@ -118,6 +118,13 @@ class IncrementalSpec extends SparkTestBase {
     assert(got.map(r => (r._1, r._2)) === Seq((1L, 2L), (7L, 3L)))
     // interleave(x=1(01), y=2(10)) bits: y1 x1 y0 x0 = 1 0 0 1 = 9
     assert(got.head._3 === 9L)
+    // FLOOR semantics for pre-epoch instants: 23:30 the day before is
+    // hour-quotient -1 (not truncated to 0, which would merge the hour
+    // before the epoch with the hour after into one double-width bucket)
+    val pre = Seq(Tuple1(ts("1969-12-31 23:30:00"))).toDF("ts")
+      .select(Analytics.timeBucketDim($"ts", 3600000000L, 1024))
+      .as[Long].head()
+    assert(pre === -1L, s"pre-epoch bucket must floor, got $pre")
   }
 
   test("gapFill: hourly grid, cell max-downsample, forward fill") {
