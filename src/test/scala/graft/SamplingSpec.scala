@@ -164,4 +164,41 @@ class SamplingSpec extends SparkTestBase {
     // all input columns survive
     assert(kept.columns.toSeq === rows.columns.toSeq)
   }
+
+  test("tokenBudgetMix property: kept set is a hash-order prefix, " +
+      "budget met iff the group can fill it, minimal overflow") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, s"g${rnd.nextInt(5)}", 1 + rnd.nextInt(200))
+    }.toDF("doc_id", "g", "n_tokens")
+    val budgets = Map("g0" -> 1000L, "g1" -> 1L, "g2" -> 100000L,
+      "g3" -> 500L) // g4 unbudgeted
+    val kept = Sampling.tokenBudgetMix(rows, col("g"), col("doc_id"),
+      col("n_tokens"), budgets)
+      .select("doc_id", "g", "n_tokens")
+      .as[(Long, String, Int)].collect()
+    val all = rows.select("doc_id", "g", "n_tokens")
+      .as[(Long, String, Int)].collect()
+    def hashKey(id: Long) =
+      (org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString), id)
+    val keptByG = kept.groupBy(_._2).view.mapValues(_.toSeq).toMap
+    assert(!keptByG.contains("g4"), "unbudgeted group must drop")
+    for ((g, budget) <- budgets) {
+      val groupAll = all.filter(_._2 == g).sortBy(r => hashKey(r._1))
+      val groupKept = keptByG.getOrElse(g, Nil)
+      // prefix property: kept ids are exactly the first k in hash order
+      val k = groupKept.size
+      assert(groupKept.map(_._1).toSet ===
+        groupAll.take(k).map(_._1).toSet, s"$g kept set not a prefix")
+      val total = groupKept.map(_._3.toLong).sum
+      val groupTotal = groupAll.map(_._3.toLong).sum
+      if (groupTotal >= budget) {
+        assert(total >= budget, s"$g budget unmet: $total < $budget")
+        // dropping the last kept doc must fall under budget
+        val lastLen = groupAll(k - 1)._3
+        assert(total - lastLen < budget, s"$g kept more than needed")
+      } else assert(k === groupAll.size,
+        s"$g cannot fill its budget — must keep everything")
+    }
+  }
 }

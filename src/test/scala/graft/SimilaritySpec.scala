@@ -441,6 +441,46 @@ class SimilaritySpec extends SparkTestBase {
     assert(cols === vecs.columns.toSeq)
   }
 
+  test("semanticDedup property: nlist=1 survivors match a local " +
+      "union-find reference on random vectors") {
+    val rnd = new scala.util.Random(23)
+    val dim = 6
+    // planted near-dup structure: 20 base vectors, each echoed 0-3
+    // times with tiny jitter, plus noise vectors
+    val data = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    var id = 0L
+    for (_ <- 0 until 20) {
+      val base = Array.fill(dim)(rnd.nextDouble() - 0.5)
+      data += ((id, base)); id += 1
+      for (_ <- 0 until rnd.nextInt(4)) {
+        data += ((id, base.map(_ + (rnd.nextDouble() - 0.5) * 0.01))); id += 1
+      }
+    }
+    val threshold = 0.98
+    // local reference: exact cosine (same sequential-fold formula as
+    // CosineSim), pairs >= threshold, union-by-min transitive closure
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val parent = scala.collection.mutable.Map(
+      data.map(d => d._1 -> d._1).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (i <- data.indices; j <- (i + 1) until data.size
+        if cos(data(i)._2, data(j)._2) >= threshold) {
+      val (ri, rj) = (find(data(i)._1), find(data(j)._1))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val want = data.map(_._1).filter(x => find(x) == x).toSet
+    val got = Dedup.semanticDedup(
+      data.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = threshold, nlist = 1, iters = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === want)
+  }
+
   test("distributed PQ training is repartition-invariant and " +
       "reconstructs a <=ksub-distinct corpus exactly") {
     // subvector values drawn from 4 binary-and-decimal-exact patterns per
