@@ -56,5 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_freq_items",
       es => graft.functions.FreqItems(es.head,
         es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction(fn("graft_quantile_sketch",
+      es => graft.functions.QuantileSketchAgg(es.head,
+        if (es.length > 1) es(1).eval().asInstanceOf[Number].doubleValue()
+        else 1e-4)))
+    ext.injectFunction(fn("graft_quantile_merge",
+      es => graft.functions.QuantileMergeAgg(es.head)))
+    ext.injectFunction(fn("graft_quantile_estimate",
+      es => graft.functions.QuantileEstimate(es.head, es(1))))
   }
 }

@@ -828,6 +828,24 @@ object SparkEntry {
         expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total_users"))
     }),
 
+    // ---- A22: mergeable QUANTILE sketch rollup ----
+    // The third sketch family beside HLL (a19) and Misra-Gries
+    // (hh1/hh2): persist one GK summary per hour, answer "p50/p99 over
+    // any span" by MERGING summaries — no rescan. Tiny eps here makes
+    // the lossless regime (2·eps·n < 1), where merge-of-parts ==
+    // sketch-of-whole exactly (IncrementalSpec proves it, plus the
+    // coarse-eps rank-error bound); binary sketch => rows-only check.
+    "a22_quantile_rollup" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.{quantileEstimate, quantileMerge, quantileSketch}
+      val hourly = t(s, dir, "events")
+        .groupBy(hour(col("ts")).as("hour"))
+        .agg(quantileSketch(col("value"), 1e-7).as("sk"))
+      hourly.agg(
+        count(lit(1)).as("n_hours"),
+        quantileEstimate(quantileMerge(col("sk")), lit(0.5)).as("est_p50"),
+        quantileEstimate(quantileMerge(col("sk")), lit(0.99)).as("est_p99"))
+    }),
+
     // ---- W8: event-time RANGE frame (trailing 1-hour window) ----
     // Delegates to the operator layer (Analytics.trailingRangeStats):
     // rangeBetween on epoch micros, peer-inclusive on ties in both

@@ -654,6 +654,19 @@ object GraftFunctions {
     SparkShim.toColumn(
       FreqItems(SparkShim.toExpression(item), capacity).toAggregateExpression())
 
+  /** Mergeable GK quantile sketches (see [[QuantileSketchAgg]]). */
+  def quantileSketch(value: Column, eps: Double = 1e-4): Column =
+    SparkShim.toColumn(QuantileSketchAgg(
+      SparkShim.toExpression(value), eps).toAggregateExpression())
+
+  def quantileMerge(sketch: Column): Column =
+    SparkShim.toColumn(QuantileMergeAgg(
+      SparkShim.toExpression(sketch)).toAggregateExpression())
+
+  def quantileEstimate(sketch: Column, p: Column): Column =
+    SparkShim.toColumn(QuantileEstimate(
+      SparkShim.toExpression(sketch), SparkShim.toExpression(p)))
+
   def asofPick(arr: Column, t: Column): Column =
     SparkShim.toColumn(AsOfPick(
       SparkShim.toExpression(arr), SparkShim.toExpression(t)))
@@ -964,6 +977,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_freq_items",
       es => FreqItems(es.head, es(1).eval().asInstanceOf[Number].intValue()),
       "scala_udf")
+    // mergeable GK quantile sketches (eps optional, default 1e-4)
+    reg.createOrReplaceTempFunction("graft_quantile_sketch",
+      es => QuantileSketchAgg(es.head,
+        if (es.length > 1) es(1).eval().asInstanceOf[Number].doubleValue()
+        else 1e-4), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_quantile_merge",
+      es => QuantileMergeAgg(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_quantile_estimate",
+      es => QuantileEstimate(es.head, es(1)), "scala_udf")
     // SQL as-of surface: marker function + rewrite rule + planner
     // strategy (sessions built via GraftExtensions get these injected
     // declaratively instead)

@@ -1,0 +1,199 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.QuantileSummaries
+import org.apache.spark.sql.types._
+
+/** Mergeable quantile sketches — the third sketch family of the
+  * incremental-analytics trio (HLL distinct counts: a19; Misra-Gries
+  * heavy hitters: hh1/hh2; quantiles: here). The summary is
+  * Greenwald-Khanna (Spark's own [[QuantileSummaries]], the structure
+  * behind `percentile_approx`), persisted as BYTES so a 100 TB lake can
+  * keep one small sketch per partition/hour and answer "p99 latency over
+  * any span" by MERGING sketches — no rescan of raw data. Rank error is
+  * certified: a queried quantile's true rank is within ±relativeError·n
+  * of the target; with relativeError below 1/(2n) the structure keeps
+  * every sample and answers are exact (the oracle-able configuration,
+  * same trick as hh1's full-capacity Misra-Gries).
+  *
+  * Three functions mirror the Datasketches HLL surface:
+  * `graft_quantile_sketch(x[, eps])` (agg → binary),
+  * `graft_quantile_merge(sk)` (agg → binary),
+  * `graft_quantile_estimate(sk, p)` (scalar → double).
+  */
+object QSketchCodec {
+  def serialize(qs0: QuantileSummaries): Array[Byte] = {
+    val qs = qs0.compress()
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(qs.compressThreshold)
+    out.writeDouble(qs.relativeError)
+    out.writeLong(qs.count)
+    val s = qs.sampled
+    out.writeInt(s.length)
+    s.foreach { st =>
+      out.writeDouble(st.value); out.writeLong(st.g); out.writeLong(st.delta)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): QuantileSummaries = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val ct = in.readInt()
+    val re = in.readDouble()
+    val count = in.readLong()
+    val n = in.readInt()
+    val stats = Array.fill(n) {
+      new QuantileSummaries.Stats(in.readDouble(), in.readLong(),
+        in.readLong())
+    }
+    new QuantileSummaries(ct, re, stats, count, true)
+  }
+}
+
+/** Mutable aggregation holder: GK summaries are persistent structures
+  * (insert returns a new head), so the buffer tracks the latest.
+  */
+final class QSketchBuffer(var qs: QuantileSummaries)
+
+/** `graft_quantile_sketch(x[, eps])` — build a GK sketch of a numeric
+  * column; returns the serialized summary (binary, persistable).
+  */
+case class QuantileSketchAgg(child: Expression,
+    relativeError: Double,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QSketchBuffer] with UnaryLike[Expression] {
+
+  require(relativeError > 0.0 && relativeError < 1.0,
+    s"relativeError must be in (0, 1), got $relativeError")
+
+  override def prettyName: String = "graft_quantile_sketch"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_quantile_sketch needs a numeric column, got $other")
+  }
+
+  override def createAggregationBuffer(): QSketchBuffer =
+    new QSketchBuffer(new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold, relativeError))
+
+  override def update(b: QSketchBuffer, input: InternalRow): QSketchBuffer = {
+    val v = child.eval(input)
+    if (v != null)
+      b.qs = b.qs.insert(v.asInstanceOf[Number].doubleValue())
+    b
+  }
+
+  override def merge(b: QSketchBuffer, o: QSketchBuffer): QSketchBuffer = {
+    b.qs = b.qs.compress().merge(o.qs.compress())
+    b
+  }
+
+  override def eval(b: QSketchBuffer): Any = QSketchCodec.serialize(b.qs)
+
+  override def serialize(b: QSketchBuffer): Array[Byte] =
+    QSketchCodec.serialize(b.qs)
+  override def deserialize(bytes: Array[Byte]): QSketchBuffer =
+    new QSketchBuffer(QSketchCodec.deserialize(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): QuantileSketchAgg =
+    copy(child = c)
+}
+
+/** `graft_quantile_merge(sk)` — union previously-built sketches (the
+  * rollup step: per-hour sketches → any-span sketch). Null inputs are
+  * skipped; an all-null/empty group yields an empty sketch of the first
+  * merged sketch's parameters, or null when nothing merged.
+  */
+case class QuantileMergeAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QSketchBuffer] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_quantile_merge"
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_quantile_merge needs a binary sketch column, got $other")
+  }
+
+  override def createAggregationBuffer(): QSketchBuffer =
+    new QSketchBuffer(null)
+
+  override def update(b: QSketchBuffer, input: InternalRow): QSketchBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val in = QSketchCodec.deserialize(v.asInstanceOf[Array[Byte]])
+      b.qs = if (b.qs == null) in else b.qs.compress().merge(in)
+    }
+    b
+  }
+
+  override def merge(b: QSketchBuffer, o: QSketchBuffer): QSketchBuffer = {
+    if (o.qs != null)
+      b.qs = if (b.qs == null) o.qs else b.qs.compress().merge(o.qs.compress())
+    b
+  }
+
+  override def eval(b: QSketchBuffer): Any =
+    if (b.qs == null) null else QSketchCodec.serialize(b.qs)
+
+  override def serialize(b: QSketchBuffer): Array[Byte] =
+    if (b.qs == null) Array.empty else QSketchCodec.serialize(b.qs)
+  override def deserialize(bytes: Array[Byte]): QSketchBuffer =
+    new QSketchBuffer(
+      if (bytes.isEmpty) null else QSketchCodec.deserialize(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): QuantileMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): QuantileMergeAgg =
+    copy(child = c)
+}
+
+/** `graft_quantile_estimate(sk, p)` — query a serialized sketch at
+  * quantile p ∈ [0, 1]. Null sketch / empty sketch → null.
+  */
+case class QuantileEstimate(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_quantile_estimate"
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_quantile_estimate needs (binary, double), got $other")
+    }
+
+  override def nullSafeEval(sk: Any, p: Any): Any = {
+    val qs = QSketchCodec.deserialize(sk.asInstanceOf[Array[Byte]])
+    if (qs.count == 0L) null
+    else qs.query(p.asInstanceOf[Double]).map(Double.box).orNull
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): QuantileEstimate =
+    copy(left = l, right = r)
+}

@@ -182,4 +182,44 @@ class IncrementalSpec extends SparkTestBase {
     assert(math.abs(merged - exact).toDouble / exact <= 0.05,
       s"estimate $merged too far from exact $exact")
   }
+
+  test("quantile sketches: union of parts == sketch of whole at tiny " +
+      "eps, and coarse-eps rank error is certified") {
+    val ev = LakeReader.table(spark, sf, "events").select($"user_id", $"value")
+    val ps = Seq(0.1, 0.5, 0.95, 0.99)
+    def estimates(df: org.apache.spark.sql.DataFrame, eps: String) = {
+      val whole = df.agg(expr(s"graft_quantile_sketch(value, $eps)").as("sk"))
+      ps.map(p => whole.select(
+        expr(s"graft_quantile_estimate(sk, ${p}d)")).head.getDouble(0))
+    }
+    // tiny eps: 2*eps*n < 1 => compression can never merge samples, so
+    // the whole-sketch and the merged per-part sketches retain every
+    // value and answer IDENTICALLY
+    val whole = estimates(ev, "0.0000001d")
+    val parts = ev.groupBy(expr("user_id % 7").as("part"))
+      .agg(expr("graft_quantile_sketch(value, 0.0000001d)").as("sk"))
+      .agg(expr("graft_quantile_merge(sk)").as("sk"))
+    val merged = ps.map(p => parts.select(
+      expr(s"graft_quantile_estimate(sk, ${p}d)")).head.getDouble(0))
+    assert(merged === whole,
+      "lossless-regime merge must equal sketching the whole")
+    // certified rank error at a coarse eps: the estimate is a real data
+    // value whose exact rank is within eps*n (+1 slack for boundary
+    // conventions) of the target rank
+    val sorted = ev.select($"value").as[Double].collect().sorted
+    val n = sorted.length
+    val coarse = estimates(ev, "0.01d")
+    ps.zip(coarse).foreach { case (p, est) =>
+      val lo = sorted.indexWhere(_ >= est) // first rank holding est
+      val hi = sorted.lastIndexWhere(_ <= est) + 1
+      val target = p * n
+      assert(lo <= target + 0.01 * n + 1 && hi >= target - 0.01 * n - 1,
+        s"p=$p estimate $est rank window [$lo,$hi] misses target $target")
+    }
+    // null sketch column (empty merge group) stays null
+    val empty = ev.limit(0)
+      .agg(expr("graft_quantile_merge(CAST(NULL AS BINARY))").as("sk"))
+      .select(expr("graft_quantile_estimate(sk, 0.5d)"))
+    assert(empty.head.isNullAt(0))
+  }
 }
