@@ -58,7 +58,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction(fn("graft_quantile_sketch",
       es => graft.functions.QuantileSketchAgg(es.head,
-        if (es.length > 1) es(1).eval().asInstanceOf[Number].doubleValue()
+        if (es.length > 1) graft.functions.QSketchCodec.numArg(es(1))
         else 1e-4)))
     ext.injectFunction(fn("graft_quantile_merge",
       es => graft.functions.QuantileMergeAgg(es.head)))

@@ -980,8 +980,8 @@ object GraftFunctions {
     // mergeable GK quantile sketches (eps optional, default 1e-4)
     reg.createOrReplaceTempFunction("graft_quantile_sketch",
       es => QuantileSketchAgg(es.head,
-        if (es.length > 1) es(1).eval().asInstanceOf[Number].doubleValue()
-        else 1e-4), "scala_udf")
+        if (es.length > 1) QSketchCodec.numArg(es(1)) else 1e-4),
+      "scala_udf")
     reg.createOrReplaceTempFunction("graft_quantile_merge",
       es => QuantileMergeAgg(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_quantile_estimate",

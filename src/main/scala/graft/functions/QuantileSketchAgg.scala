@@ -29,8 +29,31 @@ import org.apache.spark.sql.types._
   * `graft_quantile_estimate(sk, p)` (scalar → double).
   */
 object QSketchCodec {
+  /** Numeric-literal extraction for function-registration sites: SQL
+    * fractional literals arrive as DecimalType (0.001 is a Decimal, not
+    * a java.lang.Number), double spellings (1e-3, 0.001d) as Double.
+    */
+  def numArg(e: Expression): Double = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric literal, got $other")
+  }
+
+  /** compress() has no early return on the compressed flag and costs a
+    * full pass over sampled — skip it when already compressed
+    * (deserialized sketches and merge() results always are).
+    */
+  def ensureCompressed(qs: QuantileSummaries): QuantileSummaries =
+    if (qs.compressed) qs else qs.compress()
+
+  // NOTE: this format is intentionally field-for-field identical to
+  // Spark's ApproximatePercentile.PercentileDigestSerializer
+  // (compressThreshold, relativeError, count, sampled (value, g,
+  // delta)*) — kept hand-rolled so the PERSISTED sketch-store format is
+  // owned here, not by an upstream serializer that may change layout.
   def serialize(qs0: QuantileSummaries): Array[Byte] = {
-    val qs = qs0.compress()
+    val qs = ensureCompressed(qs0)
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(qs.compressThreshold)
@@ -89,15 +112,23 @@ case class QuantileSketchAgg(child: Expression,
     new QSketchBuffer(new QuantileSummaries(
       QuantileSummaries.defaultCompressThreshold, relativeError))
 
+  // Spark's Decimal is not a java.lang.Number — convert per input type
+  @transient private lazy val toDouble: Any => Double =
+    child.dataType match {
+      case _: DecimalType =>
+        v => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+      case _ => v => v.asInstanceOf[Number].doubleValue()
+    }
+
   override def update(b: QSketchBuffer, input: InternalRow): QSketchBuffer = {
     val v = child.eval(input)
-    if (v != null)
-      b.qs = b.qs.insert(v.asInstanceOf[Number].doubleValue())
+    if (v != null) b.qs = b.qs.insert(toDouble(v))
     b
   }
 
   override def merge(b: QSketchBuffer, o: QSketchBuffer): QSketchBuffer = {
-    b.qs = b.qs.compress().merge(o.qs.compress())
+    b.qs = QSketchCodec.ensureCompressed(b.qs)
+      .merge(QSketchCodec.ensureCompressed(o.qs))
     b
   }
 
@@ -138,18 +169,30 @@ case class QuantileMergeAgg(child: Expression,
   override def createAggregationBuffer(): QSketchBuffer =
     new QSketchBuffer(null)
 
+  // sketches built with different eps must never silently union — the
+  // merged summary's certified rank-error bound would be whichever eps
+  // it happens to carry
+  private def checkedMerge(a: QuantileSummaries,
+      b: QuantileSummaries): QuantileSummaries = {
+    require(a.relativeError == b.relativeError,
+      s"graft_quantile_merge: cannot union sketches with different " +
+        s"relativeError (${a.relativeError} vs ${b.relativeError}) — " +
+        "their certified error bounds are incompatible")
+    QSketchCodec.ensureCompressed(a).merge(QSketchCodec.ensureCompressed(b))
+  }
+
   override def update(b: QSketchBuffer, input: InternalRow): QSketchBuffer = {
     val v = child.eval(input)
     if (v != null) {
       val in = QSketchCodec.deserialize(v.asInstanceOf[Array[Byte]])
-      b.qs = if (b.qs == null) in else b.qs.compress().merge(in)
+      b.qs = if (b.qs == null) in else checkedMerge(b.qs, in)
     }
     b
   }
 
   override def merge(b: QSketchBuffer, o: QSketchBuffer): QSketchBuffer = {
     if (o.qs != null)
-      b.qs = if (b.qs == null) o.qs else b.qs.compress().merge(o.qs.compress())
+      b.qs = if (b.qs == null) o.qs else checkedMerge(b.qs, o.qs)
     b
   }
 
@@ -180,17 +223,27 @@ case class QuantileEstimate(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
 
+  // p accepts any numeric (the natural SQL spellings — 0.99 is a
+  // DECIMAL literal, 1 an INT — must not fail analysis); converted at
+  // eval. AbstractDataType is private[sql] in Spark 4, so the implicit-
+  // cast trait is not available to external expressions.
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (BinaryType, _: NumericType) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"graft_quantile_estimate needs (binary, double), got $other")
+        s"graft_quantile_estimate needs (binary, numeric), got $other")
     }
 
   override def nullSafeEval(sk: Any, p: Any): Any = {
+    val pd = p match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+    }
+    require(pd >= 0.0 && pd <= 1.0,
+      s"graft_quantile_estimate: quantile must be in [0, 1], got $pd")
     val qs = QSketchCodec.deserialize(sk.asInstanceOf[Array[Byte]])
     if (qs.count == 0L) null
-    else qs.query(p.asInstanceOf[Double]).map(Double.box).orNull
+    else qs.query(pd).map(Double.box).orNull
   }
 
   override protected def withNewChildrenInternal(

@@ -221,5 +221,29 @@ class IncrementalSpec extends SparkTestBase {
       .agg(expr("graft_quantile_merge(CAST(NULL AS BINARY))").as("sk"))
       .select(expr("graft_quantile_estimate(sk, 0.5d)"))
     assert(empty.head.isNullAt(0))
+    // SQL ergonomics: decimal eps/p literals (the natural spellings)
+    // coerce instead of crashing, and decimal VALUE columns sketch
+    val dec = ev.selectExpr("CAST(value AS DECIMAL(18,6)) AS value")
+      .agg(expr("graft_quantile_sketch(value, 0.01)").as("sk"))
+      .select(expr("graft_quantile_estimate(sk, 0.5)")).head.getDouble(0)
+    assert(!dec.isNaN)
+    // mixed-eps sketches refuse to union (incompatible error bounds)
+    val err = intercept[Exception] {
+      val s1 = ev.agg(expr("graft_quantile_sketch(value, 0.01d)").as("sk"))
+      val s2 = ev.agg(expr("graft_quantile_sketch(value, 0.001d)").as("sk"))
+      s1.unionAll(s2)
+        .agg(expr("graft_quantile_estimate(graft_quantile_merge(sk), 0.5d)"))
+        .head()
+    }
+    assert(err.getMessage.contains("relativeError") ||
+      Option(err.getCause).exists(_.getMessage.contains("relativeError")))
+    // out-of-range p fails with the function's own message
+    val bad = intercept[Exception] {
+      ev.agg(expr("graft_quantile_sketch(value, 0.01d)").as("sk"))
+        .select(expr("graft_quantile_estimate(sk, 1.5d)")).head()
+    }
+    assert(bad.getMessage.contains("quantile must be in [0, 1]") ||
+      Option(bad.getCause).exists(
+        _.getMessage.contains("quantile must be in [0, 1]")))
   }
 }

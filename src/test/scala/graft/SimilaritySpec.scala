@@ -456,6 +456,9 @@ class SimilaritySpec extends SparkTestBase {
         data += ((id, base.map(_ + (rnd.nextDouble() - 0.5) * 0.01))); id += 1
       }
     }
+    for (_ <- 0 until 30) { // standalone noise: likely-singleton rows
+      data += ((id, Array.fill(dim)(rnd.nextDouble() - 0.5))); id += 1
+    }
     val threshold = 0.98
     // local reference: exact cosine (same sequential-fold formula as
     // CosineSim), pairs >= threshold, union-by-min transitive closure
