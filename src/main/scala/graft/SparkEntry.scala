@@ -1249,6 +1249,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- text: self-trained trigram-LM perplexity (CCNet-style) ----
+    // The quality filter that needs no external model: char-trigram
+    // log-probs from the corpus itself, per-doc perplexity = exp of the
+    // decimal-stabilized mean negative logp. Self-trained => zero OOV
+    // => every arithmetic step is re-derivable in SQL (ln/exp parity
+    // with DuckDB holds like t10's ln).
+    // (ppl rounds to 6 decimals: DuckDB's ln differs from the JVM's in
+    // the last ulp on a few trigrams — the a6/a7 rounding convention
+    // absorbs it)
+    "t16_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.trigramLM(docs, "text")
+      TextAnalysis.perplexity(docs, "doc_id", "text", lm)
+        .select(col("doc_id"), round(col("ppl"), 6).as("ppl"),
+          col("n_trigrams"))
+        .orderBy("doc_id")
+    }),
+
     // ---- sampling: token-budget mixture (data-mixing to budgets) ----
     // Each tier contributes docs in deterministic md5-hash order until
     // its TOKEN budget fills (crossing doc included). Window cumsum +
@@ -1844,6 +1862,27 @@ object SparkEntry {
         |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |    / 1152921504606846976.0 < k.keep
         |ORDER BY d.doc_id""".stripMargin,
+
+    // trigram LM replayed: same normalization, positions 1..len-2,
+    // ln(count/total), decimal-exact mean, exp
+    "t16_perplexity" ->
+      """WITH norm AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |tri AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> substr(t, CAST(i AS INT), 3))) AS tri
+        |  FROM norm WHERE len(t) >= 3),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tri),
+        |lm AS (SELECT tri, ln(CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM tot)) AS logp
+        |  FROM tri GROUP BY tri),
+        |perdoc AS (SELECT d.doc_id,
+        |    CAST(SUM(CAST(lm.logp AS DECIMAL(28,18))) AS DOUBLE) AS slogp,
+        |    COUNT(*) AS n
+        |  FROM tri d JOIN lm ON d.tri = lm.tri
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, round(exp(-(slogp / n)), 6) AS ppl,
+        |  CAST(n AS INT) AS n_trigrams
+        |FROM perdoc ORDER BY doc_id""".stripMargin,
 
     // token-budget mix: same tiers, same hash order, exclusive prefix
     // sum under the budget keeps the crossing doc

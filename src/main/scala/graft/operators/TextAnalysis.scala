@@ -183,6 +183,58 @@ object TextAnalysis {
     docs.withColumn(textCol,
       array_join(array_distinct(split(col(textCol), "\n")), "\n"))
 
+  /** Character trigrams of whitespace-normalized lowercase text —
+    * the unit of the self-trained LM below. Empty array under 3 chars.
+    */
+  def charTrigrams(text: Column): Column = {
+    val t = regexp_replace(lower(trim(text)), "\\s+", " ")
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Self-trained character-trigram language model: (trigram, ln p)
+    * from corpus frequencies — the CCNet/RefinedWeb-style perplexity
+    * filter WITHOUT an external model (KenLM's role, reduced to its
+    * relational core). One explode + count aggregate over the corpus;
+    * the result is vocabulary-sized (≤ alphabet³ rows), always
+    * broadcastable.
+    */
+  def trigramLM(corpus: DataFrame, textCol: String): DataFrame = {
+    // ONE corpus pass: the vocab-sized count frame is checkpointed and
+    // the grand total folds from IT (a cross join of a 1-row total
+    // frame would plan a broadcast nested-loop join — benign but
+    // rightly flagged by the engine's plan audit)
+    val counts = corpus
+      .select(explode(charTrigrams(col(textCol))).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).cast(DoubleType).as("__cnt"))
+      .localCheckpoint(true)
+    val total = counts.agg(sum(col("__cnt"))).head.getDouble(0)
+    counts.select(col("tri"), log(col("__cnt") / lit(total)).as("logp"))
+  }
+
+  /** Per-document perplexity under a trigram LM: exp of the mean
+    * negative log-prob of the document's trigrams; unseen trigrams take
+    * `oovLogp` (default: effectively -inf-ish floor ln(1e-9)). The mean
+    * goes through exact decimal summation so it is partition-order
+    * independent (same discipline as Analytics.stableAvg). Map-side
+    * broadcast join + one partial-aggregated groupBy(id) — no corpus
+    * rescan, 100 TB-shaped. Documents under 3 normalized chars emit no
+    * trigrams and drop (nothing to score).
+    */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, oovLogp: Double = math.log(1e-9)): DataFrame = {
+    val tris = docs.select(col(idCol),
+      explode(charTrigrams(col(textCol))).as("tri"))
+    tris.join(broadcast(lm), Seq("tri"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        exp(-(sum(coalesce(col("logp"), lit(oovLogp))
+          .cast(DecimalType(28, 18))).cast(DoubleType)
+          / count(lit(1)))).as("ppl"),
+        count(lit(1)).cast(IntegerType).as("n_trigrams"))
+  }
+
   /** Full per-document profile in one map-side pass. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

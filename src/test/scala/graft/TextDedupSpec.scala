@@ -417,4 +417,34 @@ class TextDedupSpec extends SparkTestBase {
     assert(at3 === Array(
       1L -> "twice\na1", 2L -> "twice\na2", 3L -> "solo\na3"))
   }
+
+  test("trigram-LM perplexity: in-distribution text scores lower than " +
+      "junk, OOV takes the floor, short docs drop") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran to the mat"),
+      (3L, "the rat sat on the cat"),
+      (4L, "zq!7#xv 9@kp"), // junk: trigrams seen only here
+      (5L, "ab")            // under 3 chars: no trigrams
+    ).toDF("doc_id", "text")
+    val lm = TextAnalysis.trigramLM(corpus, "text")
+    val got = TextAnalysis.perplexity(corpus, "doc_id", "text", lm)
+      .orderBy("doc_id")
+      .select($"doc_id", $"ppl").as[(Long, Double)].collect().toMap
+    assert(!got.contains(5L), "sub-trigram docs have nothing to score")
+    // docs built from shared trigrams sit well below the junk doc
+    assert(Seq(1L, 2L, 3L).forall(d => got(d) < got(4L)),
+      s"in-distribution docs must beat junk: $got")
+    // an unseen doc scored against the same LM: OOV floor dominates
+    val oov = TextAnalysis.perplexity(
+      Seq((9L, "wholly unseen trigram material qqq")).toDF("doc_id", "text"),
+      "doc_id", "text", lm)
+      .select($"ppl").as[Double].head()
+    assert(oov > got(4L), "OOV-heavy text must score worst of all")
+    // determinism under repartitioning (decimal-stabilized mean)
+    val again = TextAnalysis.perplexity(corpus.repartition(7), "doc_id",
+      "text", lm).orderBy("doc_id")
+      .select($"doc_id", $"ppl").as[(Long, Double)].collect().toMap
+    assert(again === got)
+  }
 }
