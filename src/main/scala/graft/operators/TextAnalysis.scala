@@ -183,15 +183,16 @@ object TextAnalysis {
     docs.withColumn(textCol,
       array_join(array_distinct(split(col(textCol), "\n")), "\n"))
 
-  /** Character trigrams of whitespace-normalized lowercase text —
-    * the unit of the self-trained LM below. Empty array under 3 chars.
+  /** Character trigrams of whitespace-normalized lowercase text — the
+    * unit of the self-trained LM below. Empty array under 3 chars. The
+    * normalization is the expression's single child (evaluated once per
+    * row) and the gram split is one native pass
+    * ([[graft.functions.GraftFunctions.CharNgrams]]) — the
+    * transform+substr composition was O(len²) per document.
     */
-  def charTrigrams(text: Column): Column = {
-    val t = regexp_replace(lower(trim(text)), "\\s+", " ")
-    when(length(t) >= 3,
-      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  def charTrigrams(text: Column): Column =
+    graft.functions.GraftFunctions.charNgrams(
+      regexp_replace(lower(trim(text)), "\\s+", " "), 3)
 
   /** Self-trained character-trigram language model: (trigram, ln p)
     * from corpus frequencies — the CCNet/RefinedWeb-style perplexity
