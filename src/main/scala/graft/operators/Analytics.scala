@@ -212,8 +212,38 @@ object Analytics {
     * testdata's ts re-encoding (UTC session ⇒ instant-preserving). Every
     * operator touching a time column MUST go through this, never raw
     * `unix_micros(col(...))`.
+    *
+    * A value that does NOT cast to timestamp raises instead of nulling
+    * out: under ANSI-off a 2024-scale raw-micros long cast as SECONDS
+    * overflows the timestamp range to null, which would silently lump a
+    * whole key into one session. LongType columns are PRE-COMPUTED
+    * micros under the engine-wide contract (`AsOfJoin.rawMicros`) and
+    * must be resolved schema-aware via [[microsOf]], which passes them
+    * through raw.
     */
-  def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
+  def epochMicros(c: Column): Column = {
+    val ts = c.cast(TimestampType)
+    when(c.isNull, lit(null).cast(LongType))
+      .when(ts.isNull, raise_error(concat(
+        lit("graft epochMicros: value does not cast to timestamp: "),
+        c.cast(StringType),
+        lit(" (a LongType raw-micros column must go through the " +
+          "schema-aware microsOf overload — casting a long reads it " +
+          "as SECONDS)"))))
+      .otherwise(unix_micros(ts))
+  }
+
+  /** Schema-aware micros conversion — the `AsOfJoin.rawMicros` contract
+    * for the Analytics family, returned as a transformer so derived
+    * columns over the same source column (`lag(ts)` etc.) share it:
+    * LongType time columns pass through RAW as pre-computed micros;
+    * timestamp-family columns go through the defensive [[epochMicros]].
+    */
+  def microsOf(df: DataFrame, name: String): Column => Column =
+    df.schema(name).dataType match {
+      case LongType => identity
+      case _ => epochMicros
+    }
 
   /** Sessionization (W2): assign per-key integer session ids, where a new
     * session starts after `gapMicros` of inactivity (strict: a gap of
@@ -235,7 +265,8 @@ object Analytics {
     val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     val prev = lag(col(tsCol), 1).over(w)
-    val gap = epochMicros(col(tsCol)) - epochMicros(prev)
+    val us = microsOf(df, tsCol)
+    val gap = us(col(tsCol)) - us(prev)
     df.withColumn("__new_s",
         when(prev.isNull || gap > gapMicros, 1).otherwise(0))
       .withColumn(outCol,
@@ -261,7 +292,7 @@ object Analytics {
     require(rangeMicros >= 0, s"range must be >= 0, got $rangeMicros")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(epochMicros(col(tsCol)))
+      .orderBy(microsOf(df, tsCol)(col(tsCol)))
       .rangeBetween(-rangeMicros, 0)
     df.withColumn(cntCol, count(col(measure)).over(w))
       .withColumn(avgCol,
@@ -278,7 +309,10 @@ object Analytics {
     * (write side).
     */
   def modDim(c: Column, buckets: Int): Column =
-    (c % buckets).cast(LongType)
+    // pmod, not %: negative ids must land in [0, buckets) — ZValue masks
+    // dims with `& mask`, so a -1 leaking through would alias onto the
+    // TOP bucket and corrupt z-order locality
+    pmod(c, lit(buckets)).cast(LongType)
 
   def timeBucketDim(ts: Column, widthMicros: Long, buckets: Int): Column = {
     require(widthMicros > 0, s"bucket width must be positive, got $widthMicros")
@@ -295,7 +329,11 @@ object Analytics {
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         SparkShim.toExpression(us - pmod(us, lit(widthMicros))),
         org.apache.spark.sql.catalyst.expressions.Literal(widthMicros)))
-    (div % buckets).cast(LongType)
+    // pmod: pre-epoch instants have NEGATIVE hour-quotients (floor
+    // semantics keep their own width-sized buckets), but the z-dim
+    // contract is [0, buckets) — a raw % would hand ZValue a -1 that
+    // `& mask` wraps onto the top bucket
+    pmod(div, lit(buckets)).cast(LongType)
   }
 
   /** Morton (bit-interleaved) z-value of the given bucket dims — the

@@ -313,7 +313,30 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
       sampleSize: Int = 4096,
-      pretrained: Option[Array[Array[Double]]] = None): DataFrame = {
+      pretrained: Option[Array[Array[Double]]] = None): DataFrame =
+    ivfTopKReleasable(corpus, corpusId, corpusVec, queries, queryId,
+      queryVec, k, nlist, nprobe, iters, sampleSize, pretrained)._1
+
+  /** [[ivfTopK]] plus a release handle for the centroid broadcast.
+    *
+    * Broadcast lifecycle: past [[BroadcastCentroidDoubles]] the centroid
+    * table rides a broadcast variable that must outlive the LAZY result
+    * DataFrame, so [[ivfTopK]] cannot destroy it eagerly — the trainers
+    * destroy theirs per-iteration (their actions complete inside the
+    * call), but query-side broadcasts are reclaimed by Spark's
+    * ContextCleaner once the plan is GC'd. A session running many
+    * large-nlist queries back to back can accumulate broadcast blocks
+    * faster than GC notices; callers that materialize the result eagerly
+    * should invoke the returned release hook afterwards (safe to call at
+    * most once; a no-op for small plan-literal centroid tables).
+    */
+  def ivfTopKReleasable(corpus: DataFrame, corpusId: String,
+      corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+      sampleSize: Int = 4096,
+      pretrained: Option[Array[Array[Double]]] = None)
+      : (DataFrame, () => Unit) = {
     val centroids = pretrained.getOrElse(trainIvfCentroids(
       corpus, corpusId, corpusVec, nlist, iters, sampleSize))
     val probes = math.min(nprobe, centroids.length)
@@ -329,9 +352,10 @@ object Similarity {
       .where(col(queryId) =!= col(corpusId))
       .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId)).orderBy(desc("sim"), col(corpusId))
-    joined.withColumn("rank", row_number().over(w))
+    val result = joined.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("sim"), col("rank"))
+    (result, () => destroyRef(ref))
   }
 
   /** IVF × PQ — the composed at-scale ANN architecture (the FAISS

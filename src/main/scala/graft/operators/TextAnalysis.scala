@@ -210,7 +210,13 @@ object TextAnalysis {
       .select(explode(charTrigrams(col(textCol))).as("tri"))
       .groupBy("tri").agg(count(lit(1)).cast(DoubleType).as("__cnt"))
       .localCheckpoint(true)
-    val total = counts.agg(sum(col("__cnt"))).head.getDouble(0)
+    // an empty corpus (or one where every doc normalizes to < 3 chars)
+    // yields a null sum — fail with a readable error, not an NPE
+    val totalRow = counts.agg(sum(col("__cnt"))).head
+    require(!totalRow.isNullAt(0),
+      "cannot train a trigram LM: corpus is empty or no document is at " +
+        "least 3 normalized characters long")
+    val total = totalRow.getDouble(0)
     counts.select(col("tri"), log(col("__cnt") / lit(total)).as("logp"))
   }
 

@@ -402,6 +402,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val meta = Option(a.defaultValue()) match {
           case Some(dv) =>
             val lit = dv.getValue()
+            // the direct TableChange API can carry an expression-only
+            // DefaultValue (SQL text, no folded literal) — refuse it the
+            // same loud way the SET DEFAULT path below does, instead of
+            // NPEing at lit.value()
+            if (lit == null) throw new UnsupportedOperationException(
+              s"ADD COLUMN ${a.fieldNames.head}: expression-only default " +
+                "(no literal value) is not supported — provide a literal " +
+                "default")
             val litSql = org.apache.spark.sql.catalyst.expressions
               .Literal(lit.value(), lit.dataType()).sql
             val cur = Option(dv.getSql).filter(_.nonEmpty).getOrElse(litSql)

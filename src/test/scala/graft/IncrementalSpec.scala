@@ -120,11 +120,18 @@ class IncrementalSpec extends SparkTestBase {
     assert(got.head._3 === 9L)
     // FLOOR semantics for pre-epoch instants: 23:30 the day before is
     // hour-quotient -1 (not truncated to 0, which would merge the hour
-    // before the epoch with the hour after into one double-width bucket)
+    // before the epoch with the hour after into one double-width
+    // bucket), and pmod maps it into the z-dim contract range
+    // [0, buckets): -1 mod 1024 = 1023 — never a negative value that
+    // ZValue's `& mask` would silently wrap
     val pre = Seq(Tuple1(ts("1969-12-31 23:30:00"))).toDF("ts")
       .select(Analytics.timeBucketDim($"ts", 3600000000L, 1024))
       .as[Long].head()
-    assert(pre === -1L, s"pre-epoch bucket must floor, got $pre")
+    assert(pre === 1023L, s"pre-epoch bucket must floor then pmod, got $pre")
+    // negative ids: modDim is pmod too
+    val negId = Seq(Tuple1(-1L)).toDF("uid")
+      .select(Analytics.modDim($"uid", 1024)).as[Long].head()
+    assert(negId === 1023L, s"negative id must pmod into range, got $negId")
   }
 
   test("gapFill: hourly grid, cell max-downsample, forward fill") {
