@@ -305,7 +305,7 @@ object SparkEntry {
     // all-pairs), fully oracled via the d5-style recursive CTE.
     "d9_semantic_dedup" -> ((s, dir) =>
       Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.3, nlist = 8, iters = 2)
+        threshold = 0.3, nlist = 8, iters = 2, maxCellSize = 256)
         .select(col("vec_id")).orderBy("vec_id")),
 
     "d9b_semantic_exact" -> ((s, dir) =>
@@ -930,12 +930,28 @@ object SparkEntry {
           col("meta.checksum").as("checksum"))
         .orderBy("doc_id")),
 
-    // ---- multimodal: partition-wise decode (stubbed) ----
-    "mm2_decode_stub" -> ((s, dir) => {
-      val bin = Multimodal.attachBinary(t(s, dir, "documents"), "text", "image")
-      Multimodal.decodeImages(bin, "doc_id", "payload", featureDim = 8)
-        .toDF().select(col("id"), col("width"), col("height"))
-        .orderBy("id")
+    // ---- multimodal: REAL image decode (24bpp BMP header + pixel
+    // parse). Payloads are valid BMPs built per doc (dims/fill derived
+    // from doc_id; even ids encode top-down, odd bottom-up; row padding
+    // is 0xAB); the decoder sees ONLY the bytes, so width/height/
+    // pixel_sum matching the oracle's arithmetic proves the parser reads
+    // magic, signed height, bpp, pixel offset, and row stride correctly
+    // (a parser that summed padding would be off by 0xAB x pad count).
+    // Map-side expression — no shuffle, 100 TB-safe. Opaque payloads
+    // route to the stub fallback via decodeImages (spec-covered). ----
+    "mm2_decode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("payload", Multimodal.bmpEncode(
+          (lit(1) + col("doc_id") % 13).cast("int"),
+          (lit(1) + col("doc_id") % 7).cast("int"),
+          (col("doc_id") % 251).cast("int"),
+          col("doc_id") % 2 === 0))
+        .withColumn("img", Multimodal.bmpDecode(col("payload")))
+      d.select(col("doc_id"), col("img.width").as("width"),
+          col("img.height").as("height"), col("img.bpp").as("bpp"),
+          col("img.top_down").as("top_down"),
+          col("img.pixel_sum").as("pixel_sum"))
+        .orderBy("doc_id")
     }),
 
     // ---- text: corpus top-k terms (explode + count + top-k) ----
@@ -1278,9 +1294,13 @@ object SparkEntry {
         when(sfx < 14, "common").when(sfx < 18, "mid").otherwise("rare")
           .as("source_tier"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      // numShards=16: the two-phase sharded prefix sum (output identical
+      // to the single-window path, spec-pinned) — one mixture group no
+      // longer serializes through a single window task
       Sampling.tokenBudgetMix(tiered, col("source_tier"), col("doc_id"),
         col("n_tokens"),
-        Map("common" -> 15000L, "mid" -> 6000L, "rare" -> 2000L))
+        Map("common" -> 15000L, "mid" -> 6000L, "rare" -> 2000L),
+        numShards = 16)
         .orderBy("doc_id")
     }),
 
@@ -2102,6 +2122,19 @@ object SparkEntry {
     "mm1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the decoder never sees doc_id — only the encoded BMP bytes — so
+    // re-deriving dims and the padding-free pixel sum arithmetically IS
+    // the proof the parser read the header and walked the row strides
+    "mm2_decode" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 13 AS INT) AS width,
+        |  CAST(1 + doc_id % 7 AS INT) AS height,
+        |  24 AS bpp,
+        |  doc_id % 2 = 0 AS top_down,
+        |  CAST((1 + doc_id % 13) * (1 + doc_id % 7) * 3 * (doc_id % 251)
+        |    AS BIGINT) AS pixel_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // frame sampling is deterministic byte arithmetic; the corpus is

@@ -812,12 +812,28 @@ object Dedup {
     *
     * Pass `centroids` to reuse a trained quantizer (e.g. the corpus's
     * IVF index) instead of re-training.
+    *
+    * `maxCellSize` is the adversarial-skew guard (same contract as
+    * [[minhashPairs]]'s `maxBucketSize`): a boilerplate-heavy corpus
+    * concentrates near-identical embeddings into ONE cell regardless of
+    * nlist, and an uncapped in-cell self-join is B² pairs in that cell.
+    * Cells above the cap fall back to CHAIN pairing — id-sorted adjacent
+    * pairs only, linear in B. For the motivating case (a cell of
+    * near-duplicates) adjacent pairs pass the cosine check and the chain
+    * keeps the cluster transitively connected through
+    * [[connectedComponents]]; a cell mixing genuinely-dissimilar vectors
+    * can split where B² pairing would have bridged via a skipped pair —
+    * the same accepted recall trade as the LSH path. Leave at
+    * `Int.MaxValue` for the exact mode (`nlist = 1` + no cap ≡ all-pairs
+    * semantic dedup, the oracle mode).
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 256, iters: Int = 3,
-      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+      centroids: Option[Array[Array[Double]]] = None,
+      maxCellSize: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine threshold must be in (0, 1], got $threshold")
+    require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
     // nlist=1 (the exact all-pairs mode): every row lands in the single
     // cell regardless of centroid values — skip training entirely
     val cell: Column =
@@ -834,19 +850,53 @@ object Dedup {
     val c = corpus.select(col(idCol), col(vecCol))
       .withColumn("__cell", cell)
       .localCheckpoint(true)
-    val a = c.select(col("__cell"), col(idCol).as("__i"),
-      col(vecCol).as("__va"))
-    val b = c.select(col("__cell"), col(idCol).as("__j"),
-      col(vecCol).as("__vb"))
     val id2 = idCol + "_2"
-    val pairs = a.join(b, Seq("__cell"))
-      .where(col("__i") < col("__j") &&
-        Similarity.cosine(col("__va"), col("__vb")) >= threshold)
-      .select(col("__i").as(idCol), col("__j").as(id2))
+    val pairs = semanticPairs(c, idCol, vecCol, threshold, maxCellSize)
     val comp = connectedComponents(corpus.select(col(idCol)), pairs,
       idCol, id2)
     val survivors = comp.where(col(idCol) === col("component"))
       .select(col(idCol))
     corpus.join(survivors, Seq(idCol), "left_semi")
+  }
+
+  /** Verified within-cell pair generation for [[semanticDedup]] —
+    * `(idCol, idCol_2)` with cosine ≥ threshold, over a frame carrying a
+    * `__cell` column. Cells at or under `maxCellSize` pair exhaustively
+    * (|cell|² candidates); larger cells chain-pair (id-sorted adjacent
+    * rows, |cell|−1 candidates) — the hot-cell guard argued in
+    * [[semanticDedup]]'s doc. Package-visible so specs can count the
+    * emitted pair work directly.
+    */
+  private[graft] def semanticPairs(c: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, maxCellSize: Int): DataFrame = {
+    val id2 = idCol + "_2"
+    def verified(cand: DataFrame): DataFrame = cand
+      .where(col("__i") < col("__j") &&
+        Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__i").as(idCol), col("__j").as(id2))
+    def aSide(df: DataFrame): DataFrame = df.select(col("__cell"),
+      col(idCol).as("__i"), col(vecCol).as("__va"))
+    def bSide(df: DataFrame): DataFrame = df.select(col("__cell"),
+      col(idCol).as("__j"), col(vecCol).as("__vb"))
+    if (maxCellSize == Int.MaxValue) {
+      // no cap: skip the cell-sizing window entirely
+      verified(aSide(c).join(bSide(c), Seq("__cell")))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val sized = c.withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy(col("__cell"))))
+      val small = sized.where(col("__bn") <= maxCellSize).drop("__bn")
+      val smallPairs = verified(aSide(small).join(bSide(small), Seq("__cell")))
+      // oversized cells: id-sorted adjacent pairs — O(B) work per cell
+      val big = sized.where(col("__bn") > maxCellSize)
+        .withColumn("__r", row_number().over(
+          Window.partitionBy(col("__cell")).orderBy(col(idCol))))
+      val chainPairs = verified(
+        big.select(col("__cell"), col(idCol).as("__i"),
+            col(vecCol).as("__va"), (col("__r") + 1).as("__r"))
+          .join(big.select(col("__cell"), col(idCol).as("__j"),
+            col(vecCol).as("__vb"), col("__r")), Seq("__cell", "__r")))
+      smallPairs.unionAll(chainPairs)
+    }
   }
 }

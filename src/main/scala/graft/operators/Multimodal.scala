@@ -1,7 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.SparkShim
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
@@ -60,6 +65,10 @@ object Multimodal {
     * `mapPartitions` keeps per-partition decoder state (a real decoder/
     * model is loaded once per partition, not per row) — the exact shape a
     * `mapInPandas` batch UDF has in PySpark.
+    *
+    * Payloads that parse as a real self-describing format ([[parseBmp]])
+    * decode NATIVELY — header dimensions, features from the leading pixel
+    * bytes; only opaque formats fall back to [[decodeStub]].
     */
   def decodeImages(df: DataFrame, idCol: String, payloadCol: String,
       featureDim: Int = 8): Dataset[DecodedImage] = {
@@ -72,12 +81,176 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init happens here (decoder/model handle)
-        it.map { case (id, bytes) =>
-          decodeStub(id, if (bytes == null) Array.emptyByteArray else bytes,
-            featureDim)
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          parseBmp(bytes) match {
+            case Some(info) =>
+              val stride = bmpRowStride(info.width)
+              val off = java.nio.ByteBuffer.wrap(bytes)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+              val features = Array.tabulate(featureDim) { i =>
+                // leading pixel bytes of the first row, normalized
+                val x = i % (info.width * 3)
+                (bytes(off + x).toInt & 0xFF) / 255f
+              }
+              DecodedImage(id, info.width, info.height, features)
+            case None =>
+              decodeStub(id, bytes, featureDim)
+          }
         }
       }
   }
+
+  // ---------- real BMP codec (24bpp BI_RGB, BITMAPINFOHEADER) ----------
+
+  /** BMP pixel rows pad to 4-byte boundaries. */
+  private[graft] def bmpRowStride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+  /** Header + pixel facts of a parsed BMP. `pixelSum` is the unsigned sum
+    * over the PIXEL bytes only — row padding excluded, so a decoder that
+    * misreads the stride or sums padding is caught by the oracle.
+    */
+  case class BmpInfo(width: Int, height: Int, bpp: Int, topDown: Boolean,
+      pixelSum: Long)
+
+  /** Build a valid 24bpp uncompressed BMP: BITMAPFILEHEADER +
+    * BITMAPINFOHEADER (54 bytes), `height < 0` encodes top-down row
+    * order, every pixel channel is `fill`, and row padding is 0xAB —
+    * deliberately non-zero so a parser that sums padding bytes fails
+    * loudly against the arithmetic oracle. Fixture-generator role (the
+    * analog of EnergyFixtures): real ingested BMPs decode through
+    * [[parseBmp]] the same way.
+    */
+  private[graft] def encodeBmp(w: Int, h: Int, fill: Int,
+      topDown: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0, s"BMP dims must be positive, got ${w}x$h")
+    val stride = bmpRowStride(w)
+    val size = 54 + stride.toLong * h
+    require(size <= Int.MaxValue, s"BMP too large: $size bytes")
+    val b = java.nio.ByteBuffer.allocate(size.toInt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(size.toInt)
+    b.putInt(0)          // reserved
+    b.putInt(54)         // pixel array offset
+    b.putInt(40)         // BITMAPINFOHEADER size
+    b.putInt(w)
+    b.putInt(if (topDown) -h else h)
+    b.putShort(1)        // planes
+    b.putShort(24)       // bpp
+    b.putInt(0)          // BI_RGB (uncompressed)
+    b.putInt(stride * h) // image size
+    b.putInt(2835); b.putInt(2835) // 72 DPI
+    b.putInt(0); b.putInt(0)       // palette fields
+    val fb = (fill & 0xFF).toByte
+    var r = 0
+    while (r < h) {
+      var x = 0
+      while (x < w * 3) { b.put(fb); x += 1 }
+      var p = w * 3
+      while (p < stride) { b.put(0xAB.toByte); p += 1 }
+      r += 1
+    }
+    b.array()
+  }
+
+  /** Parse a 24bpp uncompressed BMP header + pixel array. Returns None
+    * (not an exception) for anything that is not such a BMP — truncated
+    * buffers, wrong magic, compressed/paletted variants — so callers can
+    * route opaque payloads to a fallback decoder. Handles bottom-up
+    * (positive height) and top-down (negative height) row order; the
+    * pixel sum skips row padding.
+    */
+  private[graft] def parseBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+    if (bytes == null || bytes.length < 54 ||
+      bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val offset = b.getInt(10)
+    val hdrSize = b.getInt(14)
+    val w = b.getInt(18)
+    val rawH = b.getInt(22)
+    val planes = b.getShort(26)
+    val bpp = b.getShort(28)
+    val compression = b.getInt(30)
+    if (hdrSize < 40 || w <= 0 || rawH == 0 || rawH == Int.MinValue ||
+      planes != 1 || bpp != 24 || compression != 0) return None
+    val h = math.abs(rawH)
+    val stride = bmpRowStride(w)
+    if (offset < 54 ||
+      offset.toLong + stride.toLong * h > bytes.length) return None
+    var sum = 0L
+    var r = 0
+    while (r < h) {
+      val rowStart = offset + r * stride
+      var x = 0
+      while (x < w * 3) { sum += bytes(rowStart + x) & 0xFF; x += 1 }
+      r += 1
+    }
+    Some(BmpInfo(w, h, bpp, rawH < 0, sum))
+  }
+
+  /** Catalyst expression over [[encodeBmp]]:
+    * `(width int, height int, fill int, top_down boolean) → binary`.
+    */
+  case class BmpEncodeExpr(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    require(children.length == 4, "bmp_encode takes (w, h, fill, topDown)")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.take(3).forall(_.dataType == IntegerType) &&
+        children(3).dataType == BooleanType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int, int, int, boolean)")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_bmp_encode"
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) null
+      else encodeBmp(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
+        vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Boolean])
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): BmpEncodeExpr =
+      copy(children = newChildren)
+  }
+
+  /** Catalyst expression over [[parseBmp]]: `binary →
+    * struct<width int, height int, bpp int, top_down boolean,
+    * pixel_sum bigint>`, null for payloads that are not a 24bpp
+    * uncompressed BMP (route those to the stub fallback).
+    */
+  case class BmpDecodeExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary")
+    override def dataType: DataType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("bpp", IntegerType),
+      StructField("top_down", BooleanType),
+      StructField("pixel_sum", LongType)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_bmp_decode"
+    override def nullSafeEval(bytes: Any): Any =
+      parseBmp(bytes.asInstanceOf[Array[Byte]]) match {
+        case Some(i) => InternalRow(i.width, i.height, i.bpp, i.topDown,
+          i.pixelSum)
+        case None => null
+      }
+    override protected def withNewChildInternal(
+        newChild: Expression): BmpDecodeExpr = copy(child = newChild)
+  }
+
+  /** Column wrapper: build a 24bpp BMP payload. */
+  def bmpEncode(w: Column, h: Column, fill: Column, topDown: Column): Column =
+    SparkShim.toColumn(BmpEncodeExpr(Seq(w, h, fill, topDown)
+      .map(SparkShim.toExpression)))
+
+  /** Column wrapper: parse a 24bpp BMP payload (null if not one). */
+  def bmpDecode(payload: Column): Column =
+    SparkShim.toColumn(BmpDecodeExpr(SparkShim.toExpression(payload)))
 
   /** ======== STUB ======== deterministic "resize": clamps the stub
     * dimensions — placeholder for a real resample kernel.

@@ -121,22 +121,70 @@ object Sampling {
     *
     * Fully relational and exactly re-derivable in SQL: one window
     * cumsum per group (hash of id + id tiebreak = total order), one
-    * broadcast join against the tiny budget table, one filter. At
-    * 100 TB the groups partition the window work; no global sort.
+    * broadcast join against the tiny budget table, one filter.
+    *
+    * SCALE: with `numShards = 1` each group's cumsum runs through ONE
+    * window task — fine when groups are many, a serialization point
+    * when one mixture group is billions of docs. `numShards > 1` runs
+    * the TWO-PHASE prefix sum: rows shard by the leading bytes of the
+    * hash key (shard boundaries are contiguous runs of the global
+    * order, so per-shard order ∥ global order), phase A aggregates
+    * per-(group, shard) token subtotals (a |groups|×shards frame),
+    * phase B takes the exclusive running sum over shards in order and
+    * broadcasts the offsets, phase C windows WITHIN (group, shard) —
+    * parallelism |groups|×shards — and adds the offset to recover the
+    * exact global exclusive prefix. Output is IDENTICAL to the
+    * single-window path (spec-pinned); the budget test, tie order, and
+    * concat-then-truncate semantics are unchanged.
     */
   def tokenBudgetMix(df: DataFrame, groupCol: Column, idCol: Column,
-      tokenCol: Column, budgets: Map[String, Long]): DataFrame = {
+      tokenCol: Column, budgets: Map[String, Long],
+      numShards: Int = 1): DataFrame = {
     require(budgets.nonEmpty, "need at least one group budget")
+    require(numShards >= 1 && numShards <= 256,
+      s"numShards must be in [1, 256], got $numShards")
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
     val b = broadcast(budgets.toSeq.toDF("__g", "__budget"))
-    val w = Window.partitionBy(groupCol)
-      .orderBy(md5(idCol.cast("string")), idCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.join(b, groupCol === col("__g"))
-      .withColumn("__before", coalesce(sum(tokenCol).over(w), lit(0L)))
-      .where(col("__before") < col("__budget"))
-      .drop("__g", "__budget", "__before")
+    val key = md5(idCol.cast("string"))
+    if (numShards == 1) {
+      val w = Window.partitionBy(groupCol)
+        .orderBy(key, idCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.join(b, groupCol === col("__g"))
+        .withColumn("__before", coalesce(sum(tokenCol).over(w), lit(0L)))
+        .where(col("__before") < col("__budget"))
+        .drop("__g", "__budget", "__before")
+    } else {
+      // shard = leading hash byte scaled to numShards — floor(v*n/256)
+      // is monotone in v, so shard k's rows ALL precede shard k+1's in
+      // the (md5, id) global order: per-shard prefixes + shard offsets
+      // compose to the exact global exclusive prefix
+      def shardOf(k: Column): Column =
+        (conv(substring(k, 1, 2), 16, 10).cast("long") * numShards / 256)
+          .cast("int")
+      val partials = df
+        .groupBy(groupCol.as("__g2"), shardOf(key).as("__shard"))
+        .agg(sum(tokenCol).cast("long").as("__bt"))
+      val wOff = Window.partitionBy(col("__g2")).orderBy(col("__shard_o"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = partials
+        .withColumnRenamed("__shard", "__shard_o")
+        .select(col("__g2"), col("__shard_o"),
+          coalesce(sum(col("__bt")).over(wOff), lit(0L)).as("__off"))
+      val wLocal = Window.partitionBy(groupCol, col("__shard"))
+        .orderBy(key, idCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("__shard", shardOf(key))
+        .join(b, groupCol === col("__g"))
+        .join(broadcast(offsets),
+          groupCol === col("__g2") && col("__shard") === col("__shard_o"))
+        .withColumn("__before",
+          coalesce(sum(tokenCol).over(wLocal), lit(0L)) + col("__off"))
+        .where(col("__before") < col("__budget"))
+        .drop("__g", "__budget", "__g2", "__shard", "__shard_o", "__off",
+          "__before")
+    }
   }
 }

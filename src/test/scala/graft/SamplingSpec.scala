@@ -201,4 +201,39 @@ class SamplingSpec extends SparkTestBase {
         s"$g cannot fill its budget — must keep everything")
     }
   }
+
+  test("tokenBudgetMix two-phase sharded prefix sum: identical output " +
+      "to the single-window path, window parallelism > 1 per group") {
+    val rnd = new scala.util.Random(31)
+    // ONE giant mixture group (the adversarial case: a single window
+    // partition at numShards=1) plus a second group for cross-group
+    // isolation
+    val rows = ((1 to 2000).map(i => (i.toLong, "web", 1 + rnd.nextInt(50))) ++
+      (2001 to 2200).map(i => (i.toLong, "code", 1 + rnd.nextInt(50))))
+      .toDF("doc_id", "g", "n_tokens")
+    val budgets = Map("web" -> 9000L, "code" -> 2500L)
+    val single = Sampling.tokenBudgetMix(rows, col("g"), col("doc_id"),
+      col("n_tokens"), budgets)
+      .select("doc_id").as[Long].collect().toSet
+    for (shards <- Seq(4, 16, 256)) {
+      val sharded = Sampling.tokenBudgetMix(rows, col("g"), col("doc_id"),
+        col("n_tokens"), budgets, numShards = shards)
+        .select("doc_id").as[Long].collect().toSet
+      assert(sharded === single,
+        s"numShards=$shards must reproduce the single-window output")
+    }
+    // scale proof: the giant group's cumsum really spreads over many
+    // (group, shard) window partitions instead of one task
+    val shardOf = (conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+      16, 10).cast("long") * 16 / 256).cast("int")
+    val occupied = rows.where(col("g") === "web")
+      .select(shardOf.as("s")).distinct().count()
+    assert(occupied > 1, "one group must occupy multiple shards")
+    // and the plan windows by (group, shard), not by group alone
+    val plan = Sampling.tokenBudgetMix(rows, col("g"), col("doc_id"),
+      col("n_tokens"), budgets, numShards = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__shard"),
+      "two-phase plan must partition window work by shard")
+  }
 }

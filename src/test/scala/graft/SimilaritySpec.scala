@@ -383,6 +383,55 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.forall(_.features.length === 4))
   }
 
+  test("BMP codec: encode/parse roundtrip covers strides, signed " +
+      "height, padding exclusion, and non-BMP rejection") {
+    // width 1..8 exercises every pad width (w*3 mod 4 = 3,2,1,0,...)
+    for (w <- 1 to 8; h <- Seq(1, 3); topDown <- Seq(false, true)) {
+      val fill = (w * 41 + h) % 251
+      val bytes = Multimodal.encodeBmp(w, h, fill, topDown)
+      val info = Multimodal.parseBmp(bytes).getOrElse(
+        fail(s"valid BMP ${w}x$h topDown=$topDown did not parse"))
+      assert(info.width === w)
+      assert(info.height === h)
+      assert(info.bpp === 24)
+      assert(info.topDown === topDown)
+      // padding bytes are 0xAB: a sum that included them would exceed this
+      assert(info.pixelSum === w.toLong * h * 3 * fill,
+        s"pixel sum must exclude row padding (${w}x$h)")
+    }
+    // rejection: too short, wrong magic, truncated pixel array
+    assert(Multimodal.parseBmp(null).isEmpty)
+    assert(Multimodal.parseBmp(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseBmp("not a bitmap at all, just text padding"
+      .getBytes("UTF-8")).isEmpty)
+    val truncated = Multimodal.encodeBmp(8, 8, 7, topDown = false).take(100)
+    assert(Multimodal.parseBmp(truncated).isEmpty,
+      "truncated pixel array must be rejected, not over-read")
+    // column expressions: decode(encode(...)) over a DataFrame
+    val df = spark.range(1, 50).select(col("id"),
+      Multimodal.bmpEncode((lit(1) + col("id") % 13).cast("int"),
+        (lit(1) + col("id") % 7).cast("int"), (col("id") % 251).cast("int"),
+        col("id") % 2 === 0).as("payload"))
+    val decoded = df.select(col("id"),
+        Multimodal.bmpDecode(col("payload")).as("img"))
+      .select(col("id"), col("img.width"), col("img.height"),
+        col("img.pixel_sum")).as[(Long, Int, Int, Long)].collect()
+    decoded.foreach { case (id, w, h, sum) =>
+      assert(w === 1 + (id % 13).toInt && h === 1 + (id % 7).toInt)
+      assert(sum === w.toLong * h * 3 * (id % 251))
+    }
+    // decodeImages routes real BMPs natively, opaque payloads to the stub
+    val mixed = Seq(
+      (1L, Multimodal.encodeBmp(5, 4, 10, topDown = false)),
+      (2L, "opaque jpeg-ish bytes".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val imgs = Multimodal.decodeImages(mixed, "doc_id", "payload", 4)
+      .collect().map(i => i.id -> i).toMap
+    assert(imgs(1L).width === 5 && imgs(1L).height === 4,
+      "BMP payload must decode through the real parser")
+    assert(imgs(2L).width !== 0, "opaque payload must fall back to stub")
+  }
+
   test("frame sampling emits n deterministic frames per doc") {
     val bin = Multimodal.attachBinary(
       Seq((1L, "some video payload bytes")).toDF("doc_id", "text"), "text", "video")
@@ -482,6 +531,49 @@ class SimilaritySpec extends SparkTestBase {
       threshold = threshold, nlist = 1, iters = 1)
       .select("vec_id").as[Long].collect().toSet
     assert(got === want)
+  }
+
+  test("semanticDedup hot-cell guard: a cell holding half the corpus " +
+      "emits O(B) chain pairs, not B², and survivors are unchanged for " +
+      "a near-duplicate cluster") {
+    // adversarial shape: 100 near-identical vectors (boilerplate corpus
+    // — they all land in ONE k-means cell no matter the nlist) plus 100
+    // PROVABLY mutually-orthogonal singletons (one-hot axes), so the
+    // expected survivor set is certain: {0} ∪ {100..199}
+    val dim = 100
+    val hot = (0L until 100L).map(i =>
+      (i, Array.fill(dim)(1.0 + i * 1e-6))) // scalar multiples: cosine = 1
+    val spread = (100L until 200L).map { i =>
+      val v = new Array[Double](dim)
+      v((i - 100L).toInt) = (i - 99L).toDouble // one-hot: pairwise cos 0
+      (i, v)
+    }
+    val df = (hot ++ spread).toDF("vec_id", "embedding")
+    val oneCell = df.select(col("vec_id"), col("embedding"))
+      .withColumn("__cell", lit(0))
+    // uncapped all-pairs inside the hot cluster: 100*99/2 = 4950 pairs
+    val uncapped = Dedup.semanticPairs(oneCell, "vec_id", "embedding",
+      threshold = 0.999, maxCellSize = Int.MaxValue).count()
+    assert(uncapped >= 4950L, s"expected >= 4950 uncapped pairs, got $uncapped")
+    // capped: the 200-row cell chain-pairs — at most B-1 = 199 verified
+    // pairs ever materialize (linear, the 100 TB-survivable bound)
+    val capped = Dedup.semanticPairs(oneCell, "vec_id", "embedding",
+      threshold = 0.999, maxCellSize = 10).count()
+    assert(capped <= 199L, s"chain pairing must emit O(B) pairs, got $capped")
+    // end-to-end: the chain keeps the near-dup cluster connected, so
+    // capped survivors == uncapped survivors (hot cluster -> min id 0;
+    // every spread vector survives as a singleton)
+    val full = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.999, nlist = 1, iters = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val guarded = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.999, nlist = 1, iters = 1, maxCellSize = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full === guarded,
+      "hot-cell chain pairing must not change survivors for a " +
+        "near-duplicate cluster")
+    assert(guarded.contains(0L) && !guarded.exists(id => id > 0 && id < 100),
+      "hot cluster must collapse to min id 0")
   }
 
   test("distributed PQ training is repartition-invariant and " +
