@@ -450,6 +450,27 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- similarity: PERSISTED ANN index lifecycle ----
+    // The index-not-a-table-scan path: build writes centroids + the
+    // cell-assigned corpus as versioned lake tables, load reconstructs
+    // the handle purely from disk, and the query probes the
+    // PRECOMPUTED cell column — no per-query training or assignment.
+    // Same deterministic trainer + exhaustive probe as sim3, so the
+    // brute-force oracle carries over unchanged; cross-session reuse,
+    // append freshness, and the PQ/ADC storage path are AnnIndexSpec's.
+    "sim9_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_sim9").toString + "/idx"
+      AnnIndex.build(s, emb, "vec_id", "embedding", idxDir,
+        nlist = 16, iters = 3)
+      val h = AnnIndex.load(s, idxDir, "vec_id", "embedding")
+      AnnIndex.topK(h, q, "qid", "qv", k = 10, nprobe = 16)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- similarity: top-k over a product-quantized corpus (lossy:
     // rows-only check; exact-reconstruction, error-monotonicity, and
     // recall-vs-brute-force are spec-tested in SimilaritySpec). 8 code
@@ -844,6 +865,28 @@ object SparkEntry {
         count(lit(1)).as("n_hours"),
         quantileEstimate(quantileMerge(col("sk")), lit(0.5)).as("est_p50"),
         quantileEstimate(quantileMerge(col("sk")), lit(0.99)).as("est_p99"))
+    }),
+
+    // ---- a22b: the GK rollup in the PROVABLY-EXACT configuration ----
+    // eps = 1e-9 < 1/(2n) at every test SF => GK never merges samples
+    // (the error budget 2·eps·n < 1 forbids it), each retained sample
+    // has g=1, delta=0, and query(q) returns THE element of rank
+    // ceil(q·n) — exactly DuckDB's quantile_disc convention (verified:
+    // both engines pick rank ceil(q·n), 1-based). So the whole
+    // sketch → serialize → merge → estimate path gets a cross-engine
+    // hash oracle, mirroring d3b/d4b/sim*b/hh1: the lossy configuration
+    // stays bound-spec'd, the lossless twin is value-exact.
+    "a22b_quantile_exact" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.{quantileEstimate, quantileMerge, quantileSketch}
+      val hourly = t(s, dir, "events")
+        .groupBy(hour(col("ts")).as("hour"))
+        .agg(quantileSketch(col("value"), 1e-9).as("sk"))
+      hourly.agg(
+        count(lit(1)).as("n_hours"),
+        quantileEstimate(quantileMerge(col("sk")), lit(0.25)).as("p25"),
+        quantileEstimate(quantileMerge(col("sk")), lit(0.5)).as("p50"),
+        quantileEstimate(quantileMerge(col("sk")), lit(0.75)).as("p75"),
+        quantileEstimate(quantileMerge(col("sk")), lit(0.99)).as("p99"))
     }),
 
     // ---- W8: event-time RANGE frame (trailing 1-hour window) ----
@@ -2074,6 +2117,20 @@ object SparkEntry {
         |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
+    // persisted-index IVF, exhaustive probe == the same brute force
+    // (index round-trips through lake tables; values are unchanged)
+    "sim9_persisted" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
     // distributed-trained IVF, exhaustive probe == the same brute force
     "sim8_ivf_dist" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
@@ -2604,5 +2661,17 @@ object SparkEntry {
         |  CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS month_start
         |FROM lineitem WHERE l_orderkey <= 2000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // lossless-regime GK: the sketch keeps every sample, query(q)
+    // returns the element of rank ceil(q*n) — DuckDB quantile_disc's
+    // exact convention (nulls ignored by both sides)
+    "a22b_quantile_exact" ->
+      """SELECT CAST(COUNT(DISTINCT EXTRACT(HOUR FROM ts)) AS BIGINT)
+        |    AS n_hours,
+        |  quantile_disc(value, 0.25) AS p25,
+        |  quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.75) AS p75,
+        |  quantile_disc(value, 0.99) AS p99
+        |FROM events""".stripMargin,
   )
 }
