@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.SparkShim
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -209,7 +209,7 @@ object GraftFunctions {
     * `list_cosine_similarity` on DOUBLE[] parity).
     */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult = {
       val ok = Seq(left, right).forall(_.dataType match {
         case ArrayType(FloatType | DoubleType, _) => true
@@ -240,12 +240,15 @@ object GraftFunctions {
       }
     }
 
-    override def nullSafeEval(l: Any, r: Any): Any = {
+    /** The one scoring body — shared verbatim by the interpreted path
+      * ([[nullSafeEval]]) and the generated code ([[doGenCode]]), so the
+      * two can never diverge. Null (not NaN/0) for dimension mismatch
+      * and zero/empty vectors: DuckDB raises on mismatch; silent
+      * truncation would propagate wrong similarities downstream.
+      */
+    def compute(l: Any, r: Any): java.lang.Double = {
       val a = toDoubles(l, left.dataType)
       val b = toDoubles(r, right.dataType)
-      // Dimension mismatch and zero/empty vectors have no defined cosine:
-      // return null (DuckDB raises on mismatch; silent truncation or a
-      // NaN from 0/0 would propagate wrong similarities downstream).
       if (a.length != b.length) return null
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -257,6 +260,25 @@ object GraftFunctions {
       }
       if (na == 0.0 || nb == 0.0) null
       else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = compute(l, r)
+
+    // Real doGenCode (not CodegenFallback): the inner loop of sim1/e1/
+    // d9 joins. The fallback would re-materialize an InternalRow and box
+    // both children per candidate PAIR; this stays inside the
+    // whole-stage span and hands the already-evaluated ArrayData refs
+    // straight to the scoring loop.
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cosineSim", this)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("cosRes")
+        s"""
+           |java.lang.Double $tmp = $ref.compute($a, $b);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.doubleValue(); }
+         """.stripMargin
+      })
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
@@ -414,7 +436,7 @@ object GraftFunctions {
     * code points → empty array.
     */
   case class CharNgrams(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(n >= 1, s"n must be >= 1, got $n")
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
@@ -426,7 +448,8 @@ object GraftFunctions {
     override def nullable: Boolean = true
     override def prettyName: String = "graft_char_ngrams"
 
-    override def nullSafeEval(input: Any): Any = {
+    /** Shared by eval and generated code (see [[CosineSim.compute]]). */
+    def compute(input: Any): ArrayData = {
       val s = input
         .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
       val cps = s.codePoints().toArray
@@ -440,6 +463,17 @@ object GraftFunctions {
         i += 1
       }
       new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input)
+
+    // Real doGenCode: t16's trigram explode evaluates this once per
+    // DOCUMENT inside a generate+aggregate span — the fallback's
+    // row-materialization there forced the whole span out of codegen.
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("charNgrams", this)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
     }
     override protected def withNewChildInternal(c: Expression): CharNgrams =
       copy(child = c)
@@ -627,7 +661,7 @@ object GraftFunctions {
     */
   case class PqAdcScore(left: Expression, right: Expression,
       normLut: Array[Double], offsets: Array[Int])
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     require(offsets.length >= 2 && offsets.head == 0 &&
       offsets.last == normLut.length, "offsets must be cumulative over normLut")
     override def checkInputDataTypes(): TypeCheckResult =
@@ -641,7 +675,8 @@ object GraftFunctions {
     override def nullable: Boolean = true
     override def prettyName: String = "graft_pq_adc_score"
 
-    override def nullSafeEval(l: Any, r: Any): Any = {
+    /** Shared by eval and generated code (see [[CosineSim.compute]]). */
+    def compute(l: Any, r: Any): java.lang.Double = {
       val codes = l.asInstanceOf[Array[Byte]]
       val lut = r.asInstanceOf[ArrayData]
       val m = offsets.length - 1
@@ -663,6 +698,22 @@ object GraftFunctions {
       }
       if (na == 0.0 || nb == 0.0) null
       else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = compute(l, r)
+
+    // Real doGenCode: the per-candidate-PAIR inner loop of sim6/sim7 —
+    // the hottest expression in the ADC search path.
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqAdcScore", this)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("adcRes")
+        s"""
+           |java.lang.Double $tmp = $ref.compute($a, $b);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.doubleValue(); }
+         """.stripMargin
+      })
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): PqAdcScore =
