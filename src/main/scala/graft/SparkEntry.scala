@@ -93,6 +93,30 @@ object SparkEntry {
       graft.sources.LakeReader.unionByName(Seq(r, n)).orderBy("name")
     }),
 
+    // ---- formats: JSON-lines round-trip (value-lossless interchange) ----
+    // events (timestamps at micros precision, doubles, embedded-JSON
+    // strings) goes out as JSON-lines and comes back through the schema'd
+    // reader BYTE-IDENTICAL — the oracle never sees the JSON, so equality
+    // proves the sink/source pair loses nothing (the micros
+    // timestampFormat is what the default would have truncated).
+    "fmt1_json_roundtrip" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_fmt1").toString + "/j"
+      graft.sources.LakeWriter.jsonOverwrite(ev, tdir)
+      graft.sources.LakeReader.jsonFolder(s, tdir, ev.schema)
+        .orderBy("event_id")
+    }),
+
+    // ---- formats: ORC round-trip (Hive-ecosystem columnar interop) ----
+    "fmt2_orc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_fmt2").toString + "/o"
+      graft.sources.LakeWriter.orcOverwrite(docs, tdir)
+      graft.sources.LakeReader.orcFolder(s, tdir).orderBy("doc_id")
+    }),
+
     // ---- P1: rename-all-columns snake_case normalization ----
     "p1_rename" -> ((s, dir) => {
       val spaced = t(s, dir, "events")
@@ -1326,6 +1350,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- text: trained Naive Bayes classifier (fastText's role) ----
+    // The LEARNED quality/language filter: multinomial NB with add-one
+    // smoothing, trained on (text, lang) and applied back over the
+    // corpus. Training = one (token, class) count shuffle; the model is
+    // vocabulary-sized and broadcast; scoring is map-side fan-out over
+    // the class list + one partial-aggregated groupBy. Every number is
+    // a ratio of exact integer counts => fully re-derivable in SQL
+    // (score rounds to 6 decimals: the t16 libm-ulp convention).
+    "t17_nb_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.trainNaiveBayes(docs, "text", "lang")
+      TextAnalysis.nbClassify(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("pred"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text: exact duplicated-span removal (ExactSubstr dedup) ----
+    // Lee et al. 2022 relationalized: k-token windows seen >1 time keep
+    // only the globally first (doc, pos) instance; later instances'
+    // token positions are cut and the doc is rebuilt. Pure integer/
+    // string ops — fully re-derivable in SQL.
+    "t18_span_dedup" -> ((s, dir) =>
+      TextAnalysis.dedupSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 5).orderBy("doc_id")),
+
     // ---- sampling: token-budget mixture (data-mixing to budgets) ----
     // Each tier contributes docs in deterministic md5-hash order until
     // its TOKEN budget fills (crossing doc included). Window cumsum +
@@ -1497,6 +1547,16 @@ object SparkEntry {
       """SELECT r_name AS name FROM region
         |UNION ALL SELECT n_name AS name FROM nation
         |ORDER BY name""".stripMargin,
+
+    // round-trips: the oracle reads the ORIGINAL parquet — equality
+    // proves the JSON/ORC sink+source pair is value-lossless
+    "fmt1_json_roundtrip" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fmt2_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p1_rename" ->
       """SELECT event_type, value AS the_value FROM events
@@ -1946,6 +2006,73 @@ object SparkEntry {
         |SELECT doc_id, round(exp(-(slogp / n)), 6) AS ppl,
         |  CAST(n AS INT) AS n_trigrams
         |FROM perdoc ORDER BY doc_id""".stripMargin,
+
+    // span dedup replayed: same 0-based positions, same first-instance
+    // rule (min doc, pos), k=5 covered-position union, ordered rebuild
+    "t18_span_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(0, len(t))) AS pos,
+        |    unnest(t) AS tok FROM d),
+        |sh AS (SELECT doc_id, unnest(range(0, len(t) - 4)) AS pos,
+        |    unnest(list_transform(range(1, len(t) - 3),
+        |      i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS sh
+        |  FROM d WHERE len(t) >= 5),
+        |r AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rk,
+        |    COUNT(*) OVER (PARTITION BY sh) AS n
+        |  FROM sh),
+        |cov AS (SELECT DISTINCT doc_id, pos + ofs AS pos
+        |  FROM r CROSS JOIN (SELECT unnest(range(0, 5)) AS ofs) o
+        |  WHERE rk > 1 AND n > 1),
+        |flag AS (SELECT t.doc_id, t.pos, t.tok, c.pos IS NOT NULL AS dup
+        |  FROM tok t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos),
+        |o AS (SELECT doc_id,
+        |    string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT dup)
+        |      AS clean_text,
+        |    CAST(COUNT(*) AS INT) AS n_tokens,
+        |    CAST(COUNT(*) FILTER (WHERE dup) AS INT) AS n_dropped
+        |  FROM flag GROUP BY doc_id)
+        |SELECT doc_id, COALESCE(clean_text, '') AS clean_text,
+        |  n_tokens, n_dropped
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // Naive Bayes replayed: same tokenization, Laplace-smoothed
+    // per-(token, class) ln-probs, decimal-exact token sums, argmax
+    // with class-name tie-break
+    "t17_nb_classifier" ->
+      """WITH lab AS (SELECT doc_id, lang AS cls, text FROM documents
+        |  WHERE lang IS NOT NULL),
+        |tok AS (SELECT doc_id, cls,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM lab),
+        |tc AS (SELECT tok, cls, CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM tok GROUP BY tok, cls),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM tc),
+        |nt AS (SELECT cls, SUM(c) AS n FROM tc GROUP BY cls),
+        |pri AS (SELECT cls, ln(CAST(COUNT(*) AS DOUBLE) /
+        |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM lab)) AS log_prior
+        |  FROM lab GROUP BY cls),
+        |ci AS (SELECT nt.cls, pri.log_prior,
+        |    ln(1.0 / (nt.n + (SELECT v FROM v))) AS oov_logp,
+        |    nt.n + (SELECT v FROM v) AS denom
+        |  FROM nt JOIN pri ON nt.cls = pri.cls),
+        |model AS (SELECT tc.tok, tc.cls, ln((tc.c + 1) / ci.denom) AS logp
+        |  FROM tc JOIN ci ON tc.cls = ci.cls),
+        |dt AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |sc AS (SELECT dt.doc_id, ci.cls, ci.log_prior +
+        |    CAST(SUM(CAST(COALESCE(m.logp, ci.oov_logp)
+        |      AS DECIMAL(28,18))) AS DOUBLE) AS score
+        |  FROM dt CROSS JOIN ci
+        |  LEFT JOIN model m ON m.tok = dt.tok AND m.cls = ci.cls
+        |  GROUP BY dt.doc_id, ci.cls, ci.log_prior),
+        |r AS (SELECT doc_id, cls, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cls) AS rk FROM sc)
+        |SELECT doc_id, cls AS pred, round(score, 6) AS score
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     // token-budget mix: same tiers, same hash order, exclusive prefix
     // sum under the budget keeps the crossing doc

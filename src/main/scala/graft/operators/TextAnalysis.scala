@@ -322,4 +322,176 @@ object TextAnalysis {
       }
       .toDF("shard", "ord", "len", "seq", "seq_offset")
   }
+
+  /** Exact duplicated-SPAN removal — the ExactSubstr deduplication of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed relationally: every k-token window
+    * that occurs more than once in the corpus keeps only its globally
+    * first occurrence (minimum (doc, position)); every other instance
+    * marks its k token positions for removal; overlapping marks merge;
+    * documents are rebuilt from the surviving tokens (so a long
+    * duplicated passage disappears from later docs while its first
+    * occurrence — and all unique text — survives verbatim).
+    *
+    * Scale shape: the shingle count is the corpus-sized shuffle (the
+    * relational stand-in for the suffix-array sort); first occurrences
+    * come from a `min(struct(doc, pos))` aggregate, which partial-
+    * aggregates map-side — a boilerplate shingle with millions of
+    * instances never funnels through one sorted window partition. The
+    * covered-position explosion is bounded by k × duplicate instances
+    * (not corpus size), and the rebuild is one partial-aggregated
+    * groupBy(doc) whose state is a single document's tokens. No floats
+    * anywhere — the whole operator is exactly re-derivable in SQL.
+    *
+    * Output: (idCol, clean_text, n_tokens, n_dropped), one row per
+    * document with non-null text; documents shorter than k tokens pass
+    * through untouched (whitespace-normalized, like every rebuild).
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 2, s"span length k must be at least 2, got $k")
+    val toked = docs.select(col(idCol).as("__id"),
+      tokens(col(textCol)).as("__t"))
+    val toks = toked.select(col("__id"),
+      posexplode(col("__t")).as(Seq("pos", "tok")))
+    // k-gram shingles with start positions, map-side (guard: sequence()
+    // on a doc shorter than k would run DESCENDING, not empty)
+    val shing = toked.where(size(col("__t")) >= k)
+      .select(col("__id"), posexplode(expr(
+        s"transform(sequence(0, size(__t) - $k), " +
+          s"i -> array_join(slice(__t, i + 1, $k), ' '))"))
+        .as(Seq("pos", "sh")))
+    val firsts = shing.groupBy("sh")
+      .agg(min(struct(col("__id"), col("pos"))).as("first"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") > 1) // unique shingles mark nothing
+      .select(col("sh"), col("first"))
+    val covered = shing.join(firsts, "sh")
+      .where(!(col("__id") === col("first.__id") &&
+        col("pos") === col("first.pos")))
+      .select(col("__id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    toks
+      .join(covered.withColumn("__dup", lit(1)), Seq("__id", "pos"), "left")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(
+        struct(col("pos"), col("tok"), col("__dup")))).as("__arr"))
+      .select(col("__id").as(idCol),
+        array_join(transform(
+          filter(col("__arr"), x => x.getField("__dup").isNull),
+          x => x.getField("tok")), " ").as("clean_text"),
+        size(col("__arr")).cast(IntegerType).as("n_tokens"),
+        size(filter(col("__arr"), x => x.getField("__dup").isNotNull))
+          .cast(IntegerType).as("n_dropped"))
+  }
+
+  /** One class of a trained [[NaiveBayesModel]]: its label, ln of the
+    * document prior, and the smoothed ln-probability an unseen token
+    * takes under it (`ln(1 / (class tokens + |V|))`).
+    */
+  final case class NaiveBayesClass(cls: String, logPrior: Double,
+      oovLogp: Double)
+
+  /** Trained multinomial Naive Bayes model: a sparse vocabulary-sized
+    * `(tok, cls, logp)` frame (always broadcastable — it is bounded by
+    * vocabulary × classes, not by corpus size) plus the per-class
+    * priors/OOV floors (bounded by the label count, held on the
+    * driver exactly like IVF centroids).
+    */
+  final case class NaiveBayesModel(tokenLogp: DataFrame,
+      classes: Seq[NaiveBayesClass])
+
+  /** Train a multinomial Naive Bayes text classifier with add-one
+    * (Laplace) smoothing — the fastText-style LEARNED classifier of
+    * CCNet/GPT-3-era quality and language filtering, reduced to its
+    * relational core: training is one corpus pass (explode tokens →
+    * count by (token, class)), the model is vocabulary-sized, and
+    * every arithmetic step is a ratio of exact integer counts — so the
+    * whole pipeline is re-derivable in SQL and hash-oracled.
+    *
+    * `ln P(tok|c) = ln((count(tok,c) + 1) / (tokens(c) + |V|))` with
+    * `|V|` the cross-class vocabulary size; priors come from document
+    * counts. Rows with a null label are excluded from training (score
+    * them with [[nbClassify]] afterwards — that is the point of a
+    * classifier). At 100 TB: the (token, class) count shuffle is the
+    * only corpus-sized exchange; class totals and priors are
+    * label-count-sized collects (same contract as k-means centroids).
+    */
+  def trainNaiveBayes(corpus: DataFrame, textCol: String,
+      labelCol: String): NaiveBayesModel = {
+    val labeled = corpus.where(col(labelCol).isNotNull)
+      .select(col(labelCol).cast(StringType).as("cls"),
+        col(textCol).as("__text"))
+    // THE corpus pass: checkpointed so vocabulary size, class totals,
+    // and the model all derive from the count frame without a rescan
+    val tc = labeled
+      .select(col("cls"), explode(tokens(col("__text"))).as("tok"))
+      .groupBy("tok", "cls").agg(count(lit(1)).cast(DoubleType).as("__c"))
+      .localCheckpoint(true)
+    val vocab = tc.select(col("tok")).distinct().count().toDouble
+    require(vocab > 0,
+      "cannot train Naive Bayes: corpus is empty or has no labeled rows")
+    // class-count-sized frames (collectable by the centroid contract);
+    // token counts are integers < 2^53 so the double sums are exact
+    val nToks = tc.groupBy("cls").agg(sum(col("__c")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val docCounts = labeled.groupBy("cls").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val totalDocs = docCounts.map(_._2).sum.toDouble
+    val classes = docCounts.sortBy(_._1).toSeq.map { case (c, n) =>
+      val denom = nToks.getOrElse(c, 0.0) + vocab
+      NaiveBayesClass(c, math.log(n.toDouble / totalDocs),
+        math.log(1.0 / denom))
+    }
+    val denomByCls = map(classes.flatMap(c =>
+      Seq(lit(c.cls), lit(nToks.getOrElse(c.cls, 0.0) + vocab))): _*)
+    val model = tc.select(col("tok"), col("cls"),
+      log((col("__c") + lit(1.0)) / element_at(denomByCls, col("cls")))
+        .as("logp"))
+    NaiveBayesModel(model, classes)
+  }
+
+  /** Per-(document, class) Naive Bayes log-scores:
+    * `score = ln prior(c) + Σ_tok ln P(tok|c)` with the model's OOV
+    * floor for tokens unseen under that class. Map-side shape: explode
+    * tokens, fan out over the (small) class list, broadcast-join the
+    * vocabulary-sized model, partial-aggregated groupBy — no corpus
+    * rescan and no driver data. The token-term sum goes through exact
+    * decimal summation (the [[perplexity]] discipline) so scores are
+    * partition-order independent. Documents whose text is null emit no
+    * tokens and drop.
+    */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+      model: NaiveBayesModel): DataFrame = {
+    require(model.classes.nonEmpty, "Naive Bayes model has no classes")
+    val clsArr = array(model.classes.map(c =>
+      struct(lit(c.cls).as("cls"), lit(c.logPrior).as("log_prior"),
+        lit(c.oovLogp).as("oov_logp"))): _*)
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), col("tok"), explode(clsArr).as("__cl"))
+      .select(col(idCol), col("tok"), col("__cl.cls").as("cls"),
+        col("__cl.log_prior").as("__prior"), col("__cl.oov_logp").as("__oov"))
+      .join(broadcast(model.tokenLogp), Seq("tok", "cls"), "left")
+      .groupBy(col(idCol), col("cls"))
+      .agg(
+        (max(col("__prior")) + sum(coalesce(col("logp"), col("__oov"))
+          .cast(DecimalType(28, 18))).cast(DoubleType)).as("score"),
+        count(lit(1)).cast(IntegerType).as("n_tokens"))
+  }
+
+  /** Argmax classification over [[nbScore]]: one row per document with
+    * the winning class and its score (ties break on class name so the
+    * answer is engine-portable). The window partitions by document —
+    * class-count-sized groups, never a scaling concern.
+    */
+  def nbClassify(docs: DataFrame, idCol: String, textCol: String,
+      model: NaiveBayesModel): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("cls"))
+    nbScore(docs, idCol, textCol, model)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col(idCol), col("cls").as("pred"), col("score"))
+  }
 }

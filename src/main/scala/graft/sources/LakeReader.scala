@@ -68,6 +68,26 @@ object LakeReader {
   def unionByName(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_ unionByName _)
 
+  /** JSON-lines scan with an explicit schema: no inference pass (which
+    * would cost a full extra read at 100 TB), malformed records null out
+    * (PERMISSIVE) matching the CSV path's cast-then-drop contract.
+    * JSON-lines splits by line like CSV, so file parallelism is
+    * unchanged; it is the landing format for API/event feeds that ship
+    * nested payloads the flat CSV path cannot carry.
+    */
+  def jsonFolder(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      // micros-precision parse, matching LakeWriter.jsonOverwrite
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(dir)
+
+  /** ORC scan — the other columnar curated format (Hive-ecosystem
+    * interop). Same pushdown story as parquet: predicate pushdown,
+    * column pruning, and stripe-level statistics skipping all apply.
+    */
+  def orcFolder(spark: SparkSession, dir: String): DataFrame =
+    spark.read.orc(dir)
+
   /** Schema-evolution tolerant scan: a long-lived lake table accumulates
     * files written under different schema versions (a feed adds a
     * column). `mergeSchema` unions the per-file parquet footers — rows

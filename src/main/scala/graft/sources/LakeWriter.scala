@@ -70,6 +70,24 @@ object LakeWriter {
   def csvOverwrite(df: DataFrame, path: String): Unit =
     df.write.format("csv").option("header", "true").mode("overwrite").save(path)
 
+  /** JSON-lines sink: the interchange format for consumers without a
+    * columnar reader (downstream services, quick inspection). Timestamps
+    * serialize as ISO-8601 under the engine's fixed UTC session zone, so
+    * a schema'd [[LakeReader.jsonFolder]] read round-trips values
+    * exactly; doubles use shortest-round-trip rendering (same
+    * guarantee).
+    */
+  def jsonOverwrite(df: DataFrame, path: String): Unit =
+    df.write
+      // Spark's default JSON timestampFormat carries milliseconds only;
+      // micros-precision instants would silently truncate on the way out
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .mode("overwrite").json(path)
+
+  /** ORC sink — Hive-ecosystem interop twin of [[overwrite]]. */
+  def orcOverwrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Small-file compaction: continuous appends (15-min cadence feeds)
     * accumulate many tiny parquet files, degrading scan planning and task
     * granularity. Rewrites the table into `numFiles` files, then swaps in
