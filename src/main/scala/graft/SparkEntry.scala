@@ -93,6 +93,18 @@ object SparkEntry {
       graft.sources.LakeReader.unionByName(Seq(r, n)).orderBy("name")
     }),
 
+    // ---- analytics: SCD type 2 dimension build from a change log ----
+    // Consecutive unchanged attributes collapse; each surviving version
+    // gets [effective_from, effective_to) validity and is_current. Two
+    // O(1)-state window passes over one per-key shuffle.
+    "a23_scd2" -> ((s, dir) =>
+      Analytics.scd2(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id")),
+        Seq("user_id"), "ts", Seq("event_type"), Seq("ts", "event_id"))
+        .orderBy("user_id", "effective_from", "event_type")),
+
     // ---- formats: JSON-lines round-trip (value-lossless interchange) ----
     // events (timestamps at micros precision, doubles, embedded-JSON
     // strings) goes out as JSON-lines and comes back through the schema'd
@@ -414,6 +426,21 @@ object SparkEntry {
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qv", 10)
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- similarity: distributed k-NN JOIN (large query side) ----
+    // EVERY corpus row is a query (self-kNN): both sides shuffle on the
+    // IVF cell — no broadcast of either side — with salted cells for
+    // skew. nprobe = nlist + salting still meets each (query, corpus)
+    // pair exactly once, so the pipeline provably equals brute force
+    // and hash-checks against the cosine oracle (the sim3 trick, at
+    // join scale).
+    "sim10_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.knnJoin(emb, "vec_id", "embedding", q, "qid", "qv",
+        k = 3, nlist = 8, nprobe = 8, saltFactor = 2)
         .orderBy("qid", "rank")
     }),
 
@@ -1547,6 +1574,37 @@ object SparkEntry {
       """SELECT r_name AS name FROM region
         |UNION ALL SELECT n_name AS name FROM nation
         |ORDER BY name""".stripMargin,
+
+    // self-kNN join in the exact configuration == all-pairs brute force
+    "sim10_knn_join" ->
+      """WITH s AS (SELECT q.vec_id AS qid, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+        |r AS (SELECT qid, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 3
+        |ORDER BY qid, rank""".stripMargin,
+
+    // SCD2 replayed: same (ts, event_id) per-key order, null-safe
+    // change detection, lead() validity stamps
+    "a23_scd2" ->
+      """WITH v AS (SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER w AS rn,
+        |    lag(event_type) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |k AS (SELECT user_id, event_type, ts, event_id FROM v
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |o AS (SELECT user_id, event_type, ts AS effective_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS effective_to
+        |  FROM k)
+        |SELECT user_id, event_type, effective_from, effective_to,
+        |  effective_to IS NULL AS is_current
+        |FROM o ORDER BY user_id, effective_from, event_type""".stripMargin,
 
     // round-trips: the oracle reads the ORIGINAL parquet — equality
     // proves the JSON/ORC sink+source pair is value-lossless

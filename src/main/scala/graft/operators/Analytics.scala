@@ -369,4 +369,41 @@ object Analytics {
         timestamp_micros(col("__gus")).as("gts") :+
         last(col("__cv"), ignoreNulls = true).over(w).as(valueCol): _*)
   }
+
+  /** Slowly-changing-dimension type 2 build from a change log: collapse
+    * consecutive rows per key whose tracked attributes did not change,
+    * then stamp each surviving version with
+    * `effective_from` (its own timestamp), `effective_to` (the next
+    * version's timestamp, null while current), and `is_current`.
+    * The classic lakehouse dimension-maintenance operator (the
+    * reference's BigQuery tables are all SCD type 1 overwrites; this is
+    * the history-preserving upgrade).
+    *
+    * `orderCols` must make the per-key order total (pass a tie-breaker
+    * id after the timestamp — a nondeterministic order would make
+    * "changed vs previous" itself nondeterministic). Attribute
+    * comparison is null-safe (`<=>`), so null→value and value→null both
+    * count as changes while null→null does not. Two window passes over
+    * the same per-key partitioning — one shuffle; per-key state is
+    * O(1) (lag/lead), never a whole group.
+    */
+  def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+      attrCols: Seq[String], orderCols: Seq[String] = Nil): DataFrame = {
+    require(attrCols.nonEmpty, "scd2 needs at least one tracked attribute")
+    import org.apache.spark.sql.expressions.Window
+    val ord = (if (orderCols.nonEmpty) orderCols else Seq(tsCol)).map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    val changed = attrCols.map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    val versions = changes
+      .withColumn("__keep", row_number().over(w) === 1 || changed)
+      .where(col("__keep")).drop("__keep")
+    val w2 = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    versions
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select((keyCols ++ attrCols).map(col) :+ col("effective_from") :+
+        col("effective_to") :+ col("is_current"): _*)
+  }
 }

@@ -662,4 +662,63 @@ object Similarity {
       .where(col("sim") >= threshold)
       .select(col(idCol), col(idCol + "_2"), col("sim"))
   }
+
+  /** Distributed k-NN JOIN: every row of a LARGE query set gets its
+    * exact-reranked top-k from the corpus. The sim1–sim7 surface
+    * broadcasts the query side (one query batch, big corpus); this is
+    * the other regime — corpus self-kNN, RAG pair mining — where BOTH
+    * sides are corpus-sized: the join shuffles on the IVF cell id, so
+    * neither side ever needs to fit in memory.
+    *
+    * Scale shape: corpus rows shuffle once on their single nearest
+    * cell; queries replicate `nprobe` ways (and `saltFactor` ways — see
+    * below). The candidate frame re-shuffles by query for the global
+    * top-k window, whose partition size is bounded by nprobe × cell
+    * size by construction, not by corpus size. A skew-hot k-means cell
+    * would bound one task at |cell queries|×|cell| pair work;
+    * `saltFactor` splits each cell's corpus rows across S tasks and
+    * replicates that cell's probing queries S ways, each (query,
+    * corpus) pair still meeting exactly once. nprobe = nlist keeps the
+    * provably-exact configuration (every pair met once ⇒ ≡ brute
+    * force), which is how the operator is hash-oracled.
+    *
+    * Centroid broadcast lifecycle matches [[ivfTopK]] (ContextCleaner
+    * reclaims large-nlist refs once the plan is GC'd).
+    */
+  def knnJoin(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+      sampleSize: Int = 4096,
+      pretrained: Option[Array[Array[Double]]] = None,
+      saltFactor: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(saltFactor >= 1, s"saltFactor must be positive, got $saltFactor")
+    val centroids = pretrained.getOrElse(trainIvfCentroids(
+      corpus, corpusId, corpusVec, nlist, iters, sampleSize))
+    val probes = math.min(nprobe, centroids.length)
+    val ref = centroidRef(centroids)
+    val c0 = corpus.withColumn("__cell",
+      element_at(topCellsRef(asDouble(col(corpusVec)), ref, 1), 1))
+    val q0 = queries.withColumn("__cell", explode(
+      topCellsRef(asDouble(col(queryVec)), ref, probes)))
+    val (c, q, keys) =
+      if (saltFactor <= 1) (c0, q0, Seq("__cell"))
+      else (
+        c0.withColumn("__salt",
+          pmod(xxhash64(col(corpusId)), lit(saltFactor)).cast("int")),
+        q0.withColumn("__salt",
+          explode(sequence(lit(0), lit(saltFactor - 1)))),
+        Seq("__cell", "__salt"))
+    // NO broadcast hint: the planner (and AQE, at runtime sizes) picks
+    // the join strategy — that is the point of this variant
+    val joined = c.join(q, keys)
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(desc("sim"), col(corpusId))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("sim"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
 }
