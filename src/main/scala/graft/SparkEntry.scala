@@ -522,6 +522,24 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- similarity: k-NN JOIN over the persisted index ----
+    // The index-backed twin of sim10: corpus cell assignments come off
+    // disk (one map-side quantizer pass at BUILD time, zero at query
+    // time); the full corpus queries itself through a cell-shuffled
+    // join. Exact configuration == the same all-pairs oracle as sim10 —
+    // proving ad-hoc, index-backed, and DuckDB agree byte-for-byte.
+    "sim11_index_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_sim11").toString + "/idx"
+      AnnIndex.build(s, emb, "vec_id", "embedding", idxDir,
+        nlist = 8, iters = 3)
+      val h = AnnIndex.load(s, idxDir, "vec_id", "embedding")
+      AnnIndex.knnJoin(h, q, "qid", "qv", k = 3, nprobe = 8,
+        saltFactor = 2).orderBy("qid", "rank")
+    }),
+
     // ---- similarity: top-k over a product-quantized corpus (lossy:
     // rows-only check; exact-reconstruction, error-monotonicity, and
     // recall-vs-brute-force are spec-tested in SimilaritySpec). 8 code
@@ -1577,6 +1595,19 @@ object SparkEntry {
 
     // self-kNN join in the exact configuration == all-pairs brute force
     "sim10_knn_join" ->
+      """WITH s AS (SELECT q.vec_id AS qid, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+        |r AS (SELECT qid, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 3
+        |ORDER BY qid, rank""".stripMargin,
+
+    // index-backed k-NN join, exact config == the same all-pairs oracle
+    "sim11_index_knn" ->
       """WITH s AS (SELECT q.vec_id AS qid, e.vec_id,
         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |      CAST(q.embedding AS DOUBLE[])) AS sim

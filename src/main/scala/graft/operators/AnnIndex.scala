@@ -204,6 +204,45 @@ object AnnIndex {
       .select(col(queryId), col(idCol), col("sim"), col("rank"))
   }
 
+  /** Distributed k-NN JOIN over a loaded index —
+    * [[Similarity.knnJoin]]'s large-query-side regime with the
+    * corpus-side cell assignment READ from the index table instead of
+    * recomputed: both sides shuffle on the stored `__cell` (no
+    * broadcast of either side), and only the query side runs the
+    * quantizer at query time. At 100 TB this is what makes
+    * corpus×corpus retrieval an index probe rather than a
+    * rescan-and-retrain; `saltFactor` splits skew-hot cells exactly as
+    * in the ad-hoc operator, every (query, corpus) pair met once.
+    */
+  def knnJoin(handle: Handle, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int, nprobe: Int,
+      saltFactor: Int = 1): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be positive, got $saltFactor")
+    val probes = math.min(nprobe, handle.nlist)
+    val ref = Similarity.centroidRef(handle.centroids)
+    val idCol = handle.idCol
+    val vecCol = handle.vecCol
+    val q0 = queries.withColumn("__cell", explode(
+      Similarity.topCellsRef(Similarity.asDouble(col(queryVec)), ref,
+        probes)))
+    val c0 = handle.corpus
+    val (c, q, keys) =
+      if (saltFactor <= 1) (c0, q0, Seq("__cell"))
+      else (
+        c0.withColumn("__salt",
+          pmod(xxhash64(col(idCol)), lit(saltFactor)).cast("int")),
+        q0.withColumn("__salt",
+          explode(sequence(lit(0), lit(saltFactor - 1)))),
+        Seq("__cell", "__salt"))
+    val joined = c.join(q, keys)
+      .where(col(queryId) =!= col(idCol))
+      .withColumn("sim", Similarity.cosine(col(vecCol), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(desc("sim"), col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(idCol), col("sim"), col("rank"))
+  }
+
   /** ADC top-k over a PQ index: candidates ride as stored code bytes and
     * score via the query's lookup table — [[Similarity.pqTopKAdc]]'s
     * shape, with encoding read from the index instead of recomputed.

@@ -62,6 +62,25 @@ class AnnIndexSpec extends SparkTestBase {
       "persisted index must reproduce the ad-hoc query exactly")
   }
 
+  test("index-backed knnJoin (large query side) equals brute force in " +
+      "the exact configuration, salted or not") {
+    val dir = Files.createTempDirectory("graft_ann_knn").toString + "/idx"
+    val rows = corpus(150)
+    AnnIndex.build(spark, rows, "id", "v", dir, nlist = 6, iters = 3)
+    val h = AnnIndex.load(spark, dir, "id", "v")
+    val allQ = rows.select(col("id").as("qid"), col("v").as("qv"))
+    val brute = Similarity.bruteForceTopK(rows, "id", "v",
+      allQ, "qid", "qv", 4)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val knn = AnnIndex.knnJoin(h, allQ, "qid", "qv", k = 4, nprobe = 6)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(knn === brute)
+    val salted = AnnIndex.knnJoin(h, allQ, "qid", "qv", k = 4, nprobe = 6,
+      saltFactor = 3)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(salted === brute)
+  }
+
   test("appendRows indexes new rows with the stored quantizer and a " +
       "reload sees them; staleness stamp tracks the source table") {
     val tmp = Files.createTempDirectory("graft_ann2").toString
