@@ -103,7 +103,12 @@ object SparkEntry {
           .select(col("user_id"), col("event_type"), col("ts"),
             col("event_id")),
         Seq("user_id"), "ts", Seq("event_type"), Seq("ts", "event_id"))
-        .orderBy("user_id", "effective_from", "event_type")),
+        // effective_to completes the sort: an A->B->A flip inside one
+        // timestamp yields two (user, from, type) ties whose remaining
+        // columns are determined by effective_to — rows agreeing on all
+        // four are bit-identical, so the order is total up to duplicates
+        .orderBy(col("user_id"), col("effective_from"), col("event_type"),
+          col("effective_to").asc_nulls_last)),
 
     // ---- formats: JSON-lines round-trip (value-lossless interchange) ----
     // events (timestamps at micros precision, doubles, embedded-JSON
@@ -1635,7 +1640,8 @@ object SparkEntry {
         |  FROM k)
         |SELECT user_id, event_type, effective_from, effective_to,
         |  effective_to IS NULL AS is_current
-        |FROM o ORDER BY user_id, effective_from, event_type""".stripMargin,
+        |FROM o ORDER BY user_id, effective_from, event_type,
+        |  effective_to ASC NULLS LAST""".stripMargin,
 
     // round-trips: the oracle reads the ORIGINAL parquet — equality
     // proves the JSON/ORC sink+source pair is value-lossless

@@ -398,10 +398,10 @@ object Analytics {
     val versions = changes
       .withColumn("__keep", row_number().over(w) === 1 || changed)
       .where(col("__keep")).drop("__keep")
-    val w2 = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    // the same immutable spec serves both passes (collapse + stamps)
     versions
       .withColumn("effective_from", col(tsCol))
-      .withColumn("effective_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("effective_to").isNull)
       .select((keyCols ++ attrCols).map(col) :+ col("effective_from") :+
         col("effective_to") :+ col("is_current"): _*)

@@ -216,31 +216,16 @@ object AnnIndex {
     */
   def knnJoin(handle: Handle, queries: DataFrame, queryId: String,
       queryVec: String, k: Int, nprobe: Int,
-      saltFactor: Int = 1): DataFrame = {
-    require(saltFactor >= 1, s"saltFactor must be positive, got $saltFactor")
+      saltFactor: Int = 1, excludeSelf: Boolean = true): DataFrame = {
     val probes = math.min(nprobe, handle.nlist)
     val ref = Similarity.centroidRef(handle.centroids)
-    val idCol = handle.idCol
-    val vecCol = handle.vecCol
     val q0 = queries.withColumn("__cell", explode(
       Similarity.topCellsRef(Similarity.asDouble(col(queryVec)), ref,
         probes)))
-    val c0 = handle.corpus
-    val (c, q, keys) =
-      if (saltFactor <= 1) (c0, q0, Seq("__cell"))
-      else (
-        c0.withColumn("__salt",
-          pmod(xxhash64(col(idCol)), lit(saltFactor)).cast("int")),
-        q0.withColumn("__salt",
-          explode(sequence(lit(0), lit(saltFactor - 1)))),
-        Seq("__cell", "__salt"))
-    val joined = c.join(q, keys)
-      .where(col(queryId) =!= col(idCol))
-      .withColumn("sim", Similarity.cosine(col(vecCol), col(queryVec)))
-    val w = Window.partitionBy(col(queryId)).orderBy(desc("sim"), col(idCol))
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryId), col(idCol), col("sim"), col("rank"))
+    // one shared tail with Similarity.knnJoin (salting, re-rank, top-k)
+    // so the ad-hoc and index-backed forms cannot diverge
+    Similarity.cellJoinTopK(handle.corpus, handle.idCol, handle.vecCol,
+      q0, queryId, queryVec, k, saltFactor, excludeSelf)
   }
 
   /** ADC top-k over a PQ index: candidates ride as stored code bytes and

@@ -690,9 +690,7 @@ object Similarity {
       k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
       sampleSize: Int = 4096,
       pretrained: Option[Array[Array[Double]]] = None,
-      saltFactor: Int = 1): DataFrame = {
-    require(k >= 1, s"k must be positive, got $k")
-    require(saltFactor >= 1, s"saltFactor must be positive, got $saltFactor")
+      saltFactor: Int = 1, excludeSelf: Boolean = true): DataFrame = {
     val centroids = pretrained.getOrElse(trainIvfCentroids(
       corpus, corpusId, corpusVec, nlist, iters, sampleSize))
     val probes = math.min(nprobe, centroids.length)
@@ -701,6 +699,24 @@ object Similarity {
       element_at(topCellsRef(asDouble(col(corpusVec)), ref, 1), 1))
     val q0 = queries.withColumn("__cell", explode(
       topCellsRef(asDouble(col(queryVec)), ref, probes)))
+    cellJoinTopK(c0, corpusId, corpusVec, q0, queryId, queryVec, k,
+      saltFactor, excludeSelf)
+  }
+
+  /** Shared tail of the k-NN JOIN family ([[knnJoin]] and
+    * `AnnIndex.knnJoin`): salted cell-shuffle join + exact re-rank +
+    * per-query top-k. Both inputs must already carry `__cell`.
+    * `excludeSelf` drops candidates whose ids match — REQUIRED for
+    * self-kNN (a row is trivially its own nearest neighbor), wrong for
+    * a heterogeneous query/corpus pair whose id spaces coincide
+    * accidentally (question 42 could never retrieve passage 42) — so
+    * callers in the two-table regime pass false.
+    */
+  private[operators] def cellJoinTopK(c0: DataFrame, corpusId: String,
+      corpusVec: String, q0: DataFrame, queryId: String, queryVec: String,
+      k: Int, saltFactor: Int, excludeSelf: Boolean): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(saltFactor >= 1, s"saltFactor must be positive, got $saltFactor")
     val (c, q, keys) =
       if (saltFactor <= 1) (c0, q0, Seq("__cell"))
       else (
@@ -712,7 +728,7 @@ object Similarity {
     // NO broadcast hint: the planner (and AQE, at runtime sizes) picks
     // the join strategy — that is the point of this variant
     val joined = c.join(q, keys)
-      .where(col(queryId) =!= col(corpusId))
+      .where(if (excludeSelf) col(queryId) =!= col(corpusId) else lit(true))
       .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId))
       .orderBy(desc("sim"), col(corpusId))

@@ -394,10 +394,15 @@ object TextAnalysis {
       oovLogp: Double)
 
   /** Trained multinomial Naive Bayes model: a sparse vocabulary-sized
-    * `(tok, cls, logp)` frame (always broadcastable — it is bounded by
-    * vocabulary × classes, not by corpus size) plus the per-class
-    * priors/OOV floors (bounded by the label count, held on the
-    * driver exactly like IVF centroids).
+    * `(tok, cls, logp)` frame plus the per-class priors/OOV floors
+    * (bounded by the label count, held on the driver exactly like IVF
+    * centroids). The token frame is vocabulary × classes — far smaller
+    * than the corpus, but vocabulary itself grows with corpus size
+    * (Heaps' law: typos, URLs, numbers), so [[nbScore]]'s broadcast has
+    * a real ceiling at web scale; train with `minCount` pruning (rare
+    * tokens carry little evidence and fall to the OOV floor anyway) to
+    * keep the model broadcast-sized, the same role feature hashing
+    * plays in fastText.
     */
   final case class NaiveBayesModel(tokenLogp: DataFrame,
       classes: Seq[NaiveBayesClass])
@@ -414,21 +419,37 @@ object TextAnalysis {
     * `|V|` the cross-class vocabulary size; priors come from document
     * counts. Rows with a null label are excluded from training (score
     * them with [[nbClassify]] afterwards — that is the point of a
-    * classifier). At 100 TB: the (token, class) count shuffle is the
-    * only corpus-sized exchange; class totals and priors are
+    * classifier). `minCount > 1` drops tokens whose CROSS-CLASS total
+    * count is below it from the vocabulary entirely (they score at the
+    * OOV floor) — the fastText-style guard that keeps the model
+    * broadcast-sized on web-scale vocabularies.
+    *
+    * At 100 TB: the (token, class) count shuffle is the only
+    * text-carrying exchange; the prior pass re-reads the LABEL column
+    * only (columnar pruning makes that second scan metadata-weight
+    * next to the token pass); class totals and priors are
     * label-count-sized collects (same contract as k-means centroids).
     */
   def trainNaiveBayes(corpus: DataFrame, textCol: String,
-      labelCol: String): NaiveBayesModel = {
+      labelCol: String, minCount: Long = 1L): NaiveBayesModel = {
+    require(minCount >= 1, s"minCount must be at least 1, got $minCount")
     val labeled = corpus.where(col(labelCol).isNotNull)
       .select(col(labelCol).cast(StringType).as("cls"),
         col(textCol).as("__text"))
-    // THE corpus pass: checkpointed so vocabulary size, class totals,
-    // and the model all derive from the count frame without a rescan
-    val tc = labeled
+    // THE token pass: checkpointed so vocabulary size, class totals,
+    // and the model all derive from the count frame without a rescan.
+    // minCount pruning is on the cross-class total (a window over the
+    // vocab-sized frame, not a corpus rescan) so a token is in the
+    // vocabulary for every class or none.
+    val tcAll = labeled
       .select(col("cls"), explode(tokens(col("__text"))).as("tok"))
       .groupBy("tok", "cls").agg(count(lit(1)).cast(DoubleType).as("__c"))
-      .localCheckpoint(true)
+    val tc = (if (minCount <= 1L) tcAll
+      else {
+        val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+        tcAll.withColumn("__tot", sum(col("__c")).over(wTok))
+          .where(col("__tot") >= minCount.toDouble).drop("__tot")
+      }).localCheckpoint(true)
     val vocab = tc.select(col("tok")).distinct().count().toDouble
     require(vocab > 0,
       "cannot train Naive Bayes: corpus is empty or has no labeled rows")

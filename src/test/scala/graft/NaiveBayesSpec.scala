@@ -57,6 +57,20 @@ class NaiveBayesSpec extends SparkTestBase {
     assert(p9 === "X", "exact tie must break on class name")
   }
 
+  test("minCount prunes rare tokens from the vocabulary cross-class") {
+    val m1 = TextAnalysis.trainNaiveBayes(corpus, "text", "label")
+    val m2 = TextAnalysis.trainNaiveBayes(corpus, "text", "label",
+      minCount = 3L)
+    val v2 = m2.tokenLogp.select("tok").distinct().as[String].collect().toSet
+    // totals: apple=3, banana=2, pear=3, dog=3, cat=3, wolf=2
+    assert(v2 === Set("apple", "pear", "dog", "cat"))
+    assert(m1.tokenLogp.select("tok").distinct().count() === 6)
+    // pruned model still separates the clearly-labeled docs
+    val pred = TextAnalysis.nbClassify(corpus, "doc_id", "text", m2)
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    assert(pred(1L) === "fruit" && pred(3L) === "animal")
+  }
+
   test("scores are bit-identical under repartitioning") {
     val big = spark.range(300).select(col("id").as("doc_id"),
       concat_ws(" ",
