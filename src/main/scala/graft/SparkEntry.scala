@@ -963,6 +963,27 @@ object SparkEntry {
         quantileEstimate(quantileMerge(col("sk")), lit(0.99)).as("p99"))
     }),
 
+    // ---- sketch: GROUPED quantile rollup (lossless-eps exact) ----
+    // The hh2 proof applied to GK sketches: one sketch per (partition,
+    // event_type) merged across the shuffle inside Spark's standard
+    // partial/final hash aggregation — no pre-bucketing stage. At
+    // lossless eps the sketch quantile equals quantile_disc, so the
+    // grouped rollup is fully hash-oracled like a22b.
+    "a24_quantiles_by_group" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.{quantileEstimate, quantileSketch}
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          quantileEstimate(quantileSketch(col("value"), 1e-9), lit(0.25))
+            .as("p25"),
+          quantileEstimate(quantileSketch(col("value"), 1e-9), lit(0.5))
+            .as("p50"),
+          quantileEstimate(quantileSketch(col("value"), 1e-9), lit(0.75))
+            .as("p75"))
+        .orderBy("event_type")
+    }),
+
     // ---- W8: event-time RANGE frame (trailing 1-hour window) ----
     // Delegates to the operator layer (Analytics.trailingRangeStats):
     // rangeBetween on epoch micros, peer-inclusive on ties in both
@@ -2895,5 +2916,13 @@ object SparkEntry {
         |  quantile_disc(value, 0.75) AS p75,
         |  quantile_disc(value, 0.99) AS p99
         |FROM events""".stripMargin,
+
+    // grouped lossless-eps GK == per-group discrete quantiles
+    "a24_quantiles_by_group" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  quantile_disc(value, 0.25) AS p25,
+        |  quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.75) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
