@@ -1214,6 +1214,18 @@ object SparkEntry {
         .orderBy(col("overlap").desc, col("doc_id"))
     }),
 
+    // ---- decontamination: span-surgical eval-leak removal ----
+    // dc1 drops whole contaminated docs; dc3 keeps them and cuts every
+    // k-gram that appears anywhere in the eval set (GPT-3's 13-gram
+    // filter made span-surgical). Same eval split as dc1/dc2.
+    "dc3_span_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.decontaminateSpans(
+        docs.where(col("doc_id") >= 50), "doc_id", "text",
+        docs.where(col("doc_id") < 50), "text", k = 4)
+        .orderBy("doc_id")
+    }),
+
     // ---- data quality: one-pass expectation check ----
     "dq1_checks" -> ((s, dir) =>
       Quality.check(t(s, dir, "orders"), Seq(
@@ -2141,6 +2153,40 @@ object SparkEntry {
         |cov AS (SELECT DISTINCT doc_id, pos + ofs AS pos
         |  FROM r CROSS JOIN (SELECT unnest(range(0, 5)) AS ofs) o
         |  WHERE rk > 1 AND n > 1),
+        |flag AS (SELECT t.doc_id, t.pos, t.tok, c.pos IS NOT NULL AS dup
+        |  FROM tok t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos),
+        |o AS (SELECT doc_id,
+        |    string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT dup)
+        |      AS clean_text,
+        |    CAST(COUNT(*) AS INT) AS n_tokens,
+        |    CAST(COUNT(*) FILTER (WHERE dup) AS INT) AS n_dropped
+        |  FROM flag GROUP BY doc_id)
+        |SELECT doc_id, COALESCE(clean_text, '') AS clean_text,
+        |  n_tokens, n_dropped
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // span decontamination replayed: distinct eval 4-grams, covered-
+    // position union over matching training shingles, ordered rebuild
+    "dc3_span_decontaminate" ->
+      """WITH tr AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id >= 50),
+        |ev AS (SELECT DISTINCT sh FROM (
+        |  SELECT unnest(list_transform(range(1, len(t) - 2),
+        |      i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS sh
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents WHERE doc_id < 50)
+        |  WHERE len(t) >= 4)),
+        |tok AS (SELECT doc_id, unnest(range(0, len(t))) AS pos,
+        |    unnest(t) AS tok FROM tr),
+        |sh AS (SELECT doc_id, unnest(range(0, len(t) - 3)) AS pos,
+        |    unnest(list_transform(range(1, len(t) - 2),
+        |      i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS sh
+        |  FROM tr WHERE len(t) >= 4),
+        |cov AS (SELECT DISTINCT s.doc_id, s.pos + ofs AS pos
+        |  FROM sh s JOIN ev ON s.sh = ev.sh
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS ofs) o),
         |flag AS (SELECT t.doc_id, t.pos, t.tok, c.pos IS NOT NULL AS dup
         |  FROM tok t LEFT JOIN cov c
         |    ON t.doc_id = c.doc_id AND t.pos = c.pos),

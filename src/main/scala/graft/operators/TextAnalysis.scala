@@ -350,17 +350,8 @@ object TextAnalysis {
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 2, s"span length k must be at least 2, got $k")
-    val toked = docs.select(col(idCol).as("__id"),
-      tokens(col(textCol)).as("__t"))
-    val toks = toked.select(col("__id"),
-      posexplode(col("__t")).as(Seq("pos", "tok")))
-    // k-gram shingles with start positions, map-side (guard: sequence()
-    // on a doc shorter than k would run DESCENDING, not empty)
-    val shing = toked.where(size(col("__t")) >= k)
-      .select(col("__id"), posexplode(expr(
-        s"transform(sequence(0, size(__t) - $k), " +
-          s"i -> array_join(slice(__t, i + 1, $k), ' '))"))
-        .as(Seq("pos", "sh")))
+    val toked = tokedFrame(docs, idCol, textCol)
+    val shing = shingleFrame(toked, k)
     val firsts = shing.groupBy("sh")
       .agg(min(struct(col("__id"), col("pos"))).as("first"),
         count(lit(1)).as("__n"))
@@ -372,7 +363,61 @@ object TextAnalysis {
       .select(col("__id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
       .distinct()
-    toks
+    rebuildMinus(toked, covered, idCol)
+  }
+
+  /** Span-level DECONTAMINATION — [[dedupSpans]]'s machinery pointed at
+    * an evaluation set (the GPT-3 report's 13-gram filter, span-surgical
+    * instead of whole-doc): every k-token window of a training document
+    * that appears ANYWHERE in `eval` is cut (all its instances — there
+    * is no legitimate first occurrence of benchmark text in training
+    * data), overlapping cuts merge, and the document is rebuilt from
+    * the surviving tokens. Whole-doc dropping by overlap ratio is
+    * [[graft.operators.Dedup.decontaminate]] (dc1); this keeps the doc
+    * and removes the leakage.
+    *
+    * Scale shape: the eval shingle set is benchmark-sized (distinct
+    * k-grams of the eval corpus) and broadcasts; training shingles are
+    * map-side; the only training-sized exchanges are the broadcast-join
+    * probe and the rebuild groupBy. No floats — fully SQL-re-derivable.
+    */
+  def decontaminateSpans(docs: DataFrame, idCol: String, textCol: String,
+      eval: DataFrame, evalTextCol: String, k: Int = 5): DataFrame = {
+    require(k >= 2, s"span length k must be at least 2, got $k")
+    val toked = tokedFrame(docs, idCol, textCol)
+    val evalShingles = shingleFrame(
+      eval.select(lit(0L).as("__id"), tokens(col(evalTextCol)).as("__t")),
+      k).select(col("sh")).distinct()
+    val covered = shingleFrame(toked, k)
+      .join(broadcast(evalShingles), "sh")
+      .select(col("__id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    rebuildMinus(toked, covered, idCol)
+  }
+
+  /** (id, token array) projection shared by the span operators. */
+  private def tokedFrame(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+
+  /** k-gram shingles with start positions, map-side (guard: sequence()
+    * on a doc shorter than k would run DESCENDING, not empty).
+    */
+  private def shingleFrame(toked: DataFrame, k: Int): DataFrame =
+    toked.where(size(col("__t")) >= k)
+      .select(col("__id"), posexplode(expr(
+        s"transform(sequence(0, size(__t) - $k), " +
+          s"i -> array_join(slice(__t, i + 1, $k), ' '))"))
+        .as(Seq("pos", "sh")))
+
+  /** Rebuild documents minus the covered token positions: one
+    * partial-aggregated groupBy(doc) whose state is a single document's
+    * tokens. Output: (idCol, clean_text, n_tokens, n_dropped).
+    */
+  private def rebuildMinus(toked: DataFrame, covered: DataFrame,
+      idCol: String): DataFrame =
+    toked.select(col("__id"), posexplode(col("__t")).as(Seq("pos", "tok")))
       .join(covered.withColumn("__dup", lit(1)), Seq("__id", "pos"), "left")
       .groupBy("__id")
       .agg(sort_array(collect_list(
@@ -384,7 +429,6 @@ object TextAnalysis {
         size(col("__arr")).cast(IntegerType).as("n_tokens"),
         size(filter(col("__arr"), x => x.getField("__dup").isNotNull))
           .cast(IntegerType).as("n_dropped"))
-  }
 
   /** One class of a trained [[NaiveBayesModel]]: its label, ln of the
     * document prior, and the smoothed ln-probability an unseen token

@@ -49,6 +49,26 @@ class SpanDedupSpec extends SparkTestBase {
     assert(out(2L)._1 === "tail one two")
   }
 
+  test("decontaminateSpans cuts EVERY instance of an eval k-gram") {
+    val eval = Seq(100L -> "the capital of france is paris")
+      .toDF("doc_id", "text")
+    val train = Seq(
+      1L -> "we know the capital of france well",
+      2L -> "capital of france is a phrase and capital of france is again",
+      3L -> "entirely unrelated text here").toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminateSpans(train, "doc_id", "text",
+      eval, "text", k = 3)
+      .select("doc_id", "clean_text", "n_dropped")
+      .as[(Long, String, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 1: "the capital of" + "capital of france" cover positions 2-5
+    assert(out(1L) === (("we know well", 4)))
+    // doc 2: BOTH instances are cut (no first-occurrence privilege);
+    // "capital of france is" covers 0-3 and 7-10
+    assert(out(2L) === (("a phrase and again", 8)))
+    assert(out(3L) === (("entirely unrelated text here", 0)))
+  }
+
   test("deterministic under repartitioning") {
     val docs = spark.range(200).select(col("id").as("doc_id"),
       concat_ws(" ", lit("shared lead in phrase"),
