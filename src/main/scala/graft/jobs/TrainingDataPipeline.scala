@@ -10,27 +10,39 @@ import graft.operators.{Dedup, TextAnalysis}
   *
   *   quality gate → exact dedup (fingerprint) → near-dup collapse
   *   (MinHash LSH pairs → connected components → survivor selection) →
-  *   benchmark decontamination → sliding-window chunking
+  *   duplicated-span removal (ExactSubstr) → benchmark decontamination
+  *   (whole-doc gate, then span-surgical cuts) → sliding-window chunking
   *
   * Every stage is one of the verified operators; this job only sequences
-  * them and accounts for rows dropped at each gate. Scale shape: stages
-  * 1-2 are map + one narrow shuffle; stage 3 is the LSH pipeline (narrow
-  * band shuffles, capped buckets) + component labeling; stage 4 is a
-  * broadcast-ish shingle join; stage 5 is map-side explode. Nothing
-  * collects the corpus to the driver.
+  * them and accounts for rows (and, for the span stages, tokens) dropped
+  * at each gate. Scale shape: stages 1-2 are map + one narrow shuffle;
+  * stage 3 is the LSH pipeline (narrow band shuffles, capped buckets) +
+  * component labeling; the span stages shuffle shingles and rebuild with
+  * one groupBy(doc); decontamination is a broadcast-ish shingle join;
+  * chunking is map-side explode. Nothing collects the corpus to the
+  * driver.
   */
 object TrainingDataPipeline {
 
-  /** Row accounting per stage — the pipeline's observability contract. */
+  /** Row/token accounting per stage — the pipeline's observability
+    * contract. Doc counts for the doc-dropping stages; token counts for
+    * the span stages (they keep docs and cut text).
+    */
   case class StageCounts(
       input: Long,
       afterQuality: Long,
       afterExactDedup: Long,
       afterNearDup: Long,
+      spanTokensDropped: Long,
       afterDecontamination: Long,
+      decontamSpanTokensDropped: Long,
       chunks: Long)
 
   /** Run the pipeline; returns (chunked corpus, per-stage counts).
+    *
+    * The span stages rebuild document text from surviving tokens
+    * (whitespace-normalized), so downstream stages see the cleaned
+    * text; null text is treated as empty rather than dropping the row.
     *
     * @param docs  (idCol, textCol, ...) corpus
     * @param bench held-out benchmark corpus for decontamination
@@ -43,6 +55,8 @@ object TrainingDataPipeline {
       minQuality: Double = 0.3,
       jaccardThreshold: Double = 0.8,
       maxOverlap: Double = 0.5,
+      spanDedupK: Int = 8,
+      decontamSpanK: Int = 8,
       chunkTokens: Int = 20,
       chunkStride: Int = 10): (DataFrame, StageCounts) = {
 
@@ -62,19 +76,38 @@ object TrainingDataPipeline {
       threshold = jaccardThreshold, maxBucketSize = 1024)
       .select(col(idCol), col(idCol + "_2"))
     val nearDeduped = Dedup.canonicalize(exact, pairs, idCol, idCol + "_2")
+      // span stages rebuild from tokens; a null text must become an
+      // empty doc, not a dropped row (the accounting would lie)
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
     val nNear = nearDeduped.count()
 
-    // 4. benchmark decontamination
-    val clean = Dedup.decontaminate(nearDeduped, idCol, textCol,
-      bench, textCol, maxOverlap = maxOverlap)
-    val nClean = clean.count()
+    // 4. duplicated-SPAN removal (passage-level: docs survive, repeated
+    // k-token windows keep only their first occurrence)
+    val spanned = TextAnalysis.dedupSpans(nearDeduped, idCol, textCol,
+      k = spanDedupK).localCheckpoint(true)
+    val spanDropped = spanned.agg(
+      coalesce(sum(col("n_dropped").cast("long")), lit(0L)))
+      .head.getLong(0)
+    val spanDocs = spanned.select(col(idCol), col("clean_text").as(textCol))
 
-    // 5. sliding-window chunking (map-side explode). Null-text docs are
-    // deliberately preserved by decontaminate (explode_outer survival) —
-    // coalesce their token array to [""] so posexplode emits one empty
-    // chunk instead of silently dropping rows that stage 4 counted
+    // 5. benchmark decontamination: whole-doc gate on overlap ratio,
+    // then span-surgical cuts of any residual eval k-grams
+    val clean = Dedup.decontaminate(spanDocs, idCol, textCol,
+      bench, textCol, maxOverlap = maxOverlap)
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+    val nClean = clean.count()
+    val surgical0 = TextAnalysis.decontaminateSpans(clean, idCol, textCol,
+      bench, textCol, k = decontamSpanK).localCheckpoint(true)
+    val surgicalDropped = surgical0.agg(
+      coalesce(sum(col("n_dropped").cast("long")), lit(0L)))
+      .head.getLong(0)
+    val surgical = surgical0.select(col(idCol),
+      col("clean_text").as(textCol))
+
+    // 6. sliding-window chunking (map-side explode); empty docs emit
+    // one empty chunk so every surviving doc stays accounted
     val toks = coalesce(TextAnalysis.tokens(col(textCol)), array(lit("")))
-    val chunked = clean.select(col(idCol),
+    val chunked = surgical.select(col(idCol),
       posexplode(transform(
         sequence(lit(0), size(toks) - 1, lit(chunkStride)),
         st => concat_ws(" ", slice(toks, st + 1, lit(chunkTokens))))))
@@ -82,6 +115,7 @@ object TrainingDataPipeline {
       .withColumnRenamed("col", "chunk_text")
     val nChunks = chunked.count()
 
-    (chunked, StageCounts(input, nQuality, nExact, nNear, nClean, nChunks))
+    (chunked, StageCounts(input, nQuality, nExact, nNear, spanDropped,
+      nClean, surgicalDropped, nChunks))
   }
 }

@@ -38,7 +38,9 @@ class TrainingDataPipelineSpec extends SparkTestBase {
     assert(counts.afterQuality === 5)          // junk 5 dropped
     assert(counts.afterExactDedup === 4)       // exact dup 4 collapsed
     assert(counts.afterNearDup === 3)          // near-dup 2 collapsed into 1
+    assert(counts.spanTokensDropped === 0)     // no repeated 8-grams left
     assert(counts.afterDecontamination === 2)  // contaminated 6 dropped
+    assert(counts.decontamSpanTokensDropped === 0) // no residual leakage
     val kept = chunks.select("doc_id").distinct()
       .as[Long].collect().sorted
     assert(kept === Array(1L, 3L))             // min-id survivors only
@@ -48,5 +50,42 @@ class TrainingDataPipelineSpec extends SparkTestBase {
       .select(graft.operators.TextAnalysis.tokenCount($"text"))
       .as[Int].collect().map(n => (n - 1) / 10 + 1).sum
     assert(counts.chunks === wantChunks)
+  }
+
+  test("span stages cut repeated passages and residual eval leakage " +
+      "while keeping the documents") {
+    // docs 1/2 share a verbatim 6-token passage (below the near-dup
+    // jaccard bar, so only the SPAN stage can catch it); doc 3 quotes
+    // a 5-token eval phrase inside otherwise-clean text (below the
+    // whole-doc overlap bar, so only the surgical stage catches it)
+    val boiler = "subscribe to our newsletter for more updates"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta eps zeta $boiler"),
+      (2L, s"$boiler totally different body about query engines and " +
+        "their optimizers in long form"),
+      (3L, "a fine document that quotes the capital of france is paris " +
+        "once among thirty other perfectly ordinary tokens of its own " +
+        "devising here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      "what is the capital of france is paris the answer"
+    ).toDF("text")
+
+    val (chunks, counts) = TrainingDataPipeline.run(docs, bench,
+      minQuality = 0.0, jaccardThreshold = 0.9, maxOverlap = 0.9,
+      spanDedupK = 7, decontamSpanK = 5)
+
+    assert(counts.afterNearDup === 3, "nothing collapses whole-doc")
+    assert(counts.spanTokensDropped === 7,
+      "doc 2 loses its 7-token boilerplate (doc 1 keeps the original)")
+    assert(counts.afterDecontamination === 3, "no whole-doc drop")
+    assert(counts.decontamSpanTokensDropped === 6,
+      "doc 3 loses the 6 tokens covered by eval 5-grams")
+    val texts = chunks.groupBy("doc_id")
+      .agg(concat_ws(" ", collect_list("chunk_text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(!texts(2L).contains("subscribe"))
+    assert(texts(1L).contains("subscribe to our newsletter"))
+    assert(!texts(3L).contains("capital of france"))
   }
 }
