@@ -56,6 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_freq_items",
       es => graft.functions.FreqItems(es.head,
         es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction(fn("graft_topk",
+      es => graft.functions.TopKPairs(es.head, es(1),
+        es(2).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction(fn("graft_quantile_sketch",
       es => graft.functions.QuantileSketchAgg(es.head,
         if (es.length > 1) graft.functions.QSketchCodec.numArg(es(1))

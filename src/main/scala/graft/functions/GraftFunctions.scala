@@ -746,6 +746,11 @@ object GraftFunctions {
     SparkShim.toColumn(
       FreqItems(SparkShim.toExpression(item), capacity).toAggregateExpression())
 
+  /** Exact bounded top-k aggregate (see [[TopKPairs]]). */
+  def topKPairs(id: Column, score: Column, k: Int): Column =
+    SparkShim.toColumn(TopKPairs(SparkShim.toExpression(id),
+      SparkShim.toExpression(score), k).toAggregateExpression())
+
   /** One-pass character n-grams (see [[CharNgrams]]). */
   def charNgrams(text: Column, n: Int): Column =
     SparkShim.toColumn(CharNgrams(SparkShim.toExpression(text), n))
@@ -1072,6 +1077,11 @@ object GraftFunctions {
     // analyzer wraps the returned AggregateFunction in AggregateExpression
     reg.createOrReplaceTempFunction("graft_freq_items",
       es => FreqItems(es.head, es(1).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
+    // graft_topk(id, score, k) — k must be a literal
+    reg.createOrReplaceTempFunction("graft_topk",
+      es => TopKPairs(es.head, es(1),
+        es(2).eval().asInstanceOf[Number].intValue()),
       "scala_udf")
     // mergeable GK quantile sketches (eps optional, default 1e-4)
     reg.createOrReplaceTempFunction("graft_quantile_sketch",

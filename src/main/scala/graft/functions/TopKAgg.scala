@@ -1,0 +1,138 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k buffer over (id, score) pairs, ordered by
+  * (score DESC, id ASC) with Spark's double semantics (NaN largest,
+  * -0.0 < 0.0 — `java.lang.Double.compare`). Holds at most 2k entries
+  * between compactions, so memory is O(k) regardless of input size;
+  * merge is union + compact, making it a mergeable summary in the
+  * Agarwal et al. sense: partial aggregation keeps ≤ k rows per
+  * (group, partition) on the wire instead of every candidate.
+  */
+final class TopKBuffer(val k: Int) {
+  var ids: Array[Long] = new Array[Long](2 * k)
+  var scores: Array[Double] = new Array[Double](2 * k)
+  var n: Int = 0
+
+  private def lt(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s2, s1) // score DESC
+    c < 0 || (c == 0 && i1 < i2) // then id ASC
+  }
+
+  /** Sort the live prefix by (score desc, id asc), keep the first k. */
+  def compact(): Unit = {
+    val idx = Array.range(0, n).sortWith((a, b) =>
+      lt(scores(a), ids(a), scores(b), ids(b)))
+    val m = math.min(n, k)
+    val nids = new Array[Long](2 * k)
+    val nscores = new Array[Double](2 * k)
+    var j = 0
+    while (j < m) { nids(j) = ids(idx(j)); nscores(j) = scores(idx(j)); j += 1 }
+    ids = nids; scores = nscores; n = m
+  }
+
+  def add(id: Long, score: Double): Unit = {
+    if (n == 2 * k) compact()
+    ids(n) = id; scores(n) = score; n += 1
+  }
+
+  def mergeIn(o: TopKBuffer): TopKBuffer = {
+    var j = 0
+    while (j < o.n) { add(o.ids(j), o.scores(j)); j += 1 }
+    this
+  }
+}
+
+/** `graft_topk(id, score, k)` — exact bounded top-k as a mergeable
+  * [[TypedImperativeAggregate]]: the aggregation-shaped replacement for
+  * `row_number() OVER (ORDER BY score DESC, id) <= k`. The window form
+  * shuffles EVERY candidate row to its group's partition and sorts
+  * there; this form partial-aggregates map-side, so the shuffle carries
+  * at most k (id, score) pairs per (group, partition) — the correct
+  * 100 TB shape for the k-NN join's final phase. Result is
+  * array<struct<id, score>> in (score DESC, id ASC) order — identical
+  * content and order to the window's rank ≤ k rows over the same input
+  * (null ids/scores are skipped: a null-similarity candidate is not a
+  * neighbor).
+  */
+case class TopKPairs(idExpr: Expression, scoreExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def left: Expression = idExpr
+  override def right: Expression = scoreExpr
+  override def prettyName: String = "graft_topk"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (idExpr.dataType, scoreExpr.dataType) match {
+      case (LongType, DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_topk needs (bigint id, double score), got $other")
+    }
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val id = idExpr.eval(input)
+    val s = scoreExpr.eval(input)
+    if (id != null && s != null)
+      b.add(id.asInstanceOf[Long], s.asInstanceOf[Double])
+    b
+  }
+
+  override def merge(b: TopKBuffer, o: TopKBuffer): TopKBuffer = b.mergeIn(o)
+
+  override def eval(b: TopKBuffer): Any = {
+    b.compact()
+    new GenericArrayData(Array.tabulate(b.n)(i =>
+      InternalRow(b.ids(i), b.scores(i))))
+  }
+
+  override def serialize(b: TopKBuffer): Array[Byte] = {
+    b.compact() // ship at most k pairs
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.k)
+    out.writeInt(b.n)
+    var i = 0
+    while (i < b.n) {
+      out.writeLong(b.ids(i)); out.writeDouble(b.scores(i)); i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val b = new TopKBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { b.add(in.readLong(), in.readDouble()); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKPairs =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): TopKPairs = copy(idExpr = l, scoreExpr = r)
+}

@@ -730,11 +730,28 @@ object Similarity {
     val joined = c.join(q, keys)
       .where(if (excludeSelf) col(queryId) =!= col(corpusId) else lit(true))
       .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(desc("sim"), col(corpusId))
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("sim"),
-        col("rank").cast(IntegerType).as("rank"))
+    val idIsLong = c.schema.fields
+      .find(_.name == corpusId).map(_.dataType).contains(LongType)
+    if (idIsLong) {
+      // bounded mergeable top-k aggregate: partial-aggregates map-side,
+      // so the per-query shuffle carries ≤ k pairs per partition instead
+      // of every candidate row (the window form sorts them all). Content
+      // and order are identical to rank ≤ k (score desc, id asc).
+      joined.groupBy(col(queryId))
+        .agg(graft.functions.GraftFunctions
+          .topKPairs(col(corpusId), col("sim"), k).as("__top"))
+        .select(col(queryId), posexplode(col("__top")).as(Seq("__rk", "__p")))
+        .select(col(queryId), col("__p.id").as(corpusId),
+          col("__p.score").as("sim"),
+          (col("__rk") + 1).cast(IntegerType).as("rank"))
+    } else {
+      // non-long ids: the window form (generic ordering)
+      val w = Window.partitionBy(col(queryId))
+        .orderBy(desc("sim"), col(corpusId))
+      joined.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col(queryId), col(corpusId), col("sim"),
+          col("rank").cast(IntegerType).as("rank"))
+    }
   }
 }
