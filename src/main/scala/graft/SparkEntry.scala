@@ -1450,6 +1450,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- text: BM25 keyword relevance (the retrieval scorer) ----
+    // Okapi BM25 over the corpus for a keyword query: saturation +
+    // length normalization on top of t10's tf-idf. Every float input is
+    // a ratio of exact counts; per-term contributions sum as decimals;
+    // round-6 output absorbs libm ln ulps.
+    "t19_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "spark"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          col("n_hits"))
+        .orderBy("doc_id")),
+
     // ---- text: exact duplicated-span removal (ExactSubstr dedup) ----
     // Lee et al. 2022 relationalized: k-token windows seen >1 time keep
     // only the globally first (doc, pos) instance; later instances'
@@ -2134,6 +2146,36 @@ object SparkEntry {
         |SELECT doc_id, round(exp(-(slogp / n)), 6) AS ppl,
         |  CAST(n AS INT) AS n_trigrams
         |FROM perdoc ORDER BY doc_id""".stripMargin,
+
+    // BM25 replayed: same counts, same float expression shape (note
+    // (1.2 + 1), not 2.2 — the folded sum and the literal are DIFFERENT
+    // doubles), decimal term sums, round-6 output
+    "t19_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+        |  FROM tok GROUP BY doc_id),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) AS s FROM lens),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM tok WHERE term IN ('hash', 'join', 'spark')
+        |  GROUP BY doc_id, term),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+        |  FROM tf GROUP BY term),
+        |idf AS (SELECT term,
+        |    ln(1.0 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5)) AS idf
+        |  FROM dfq),
+        |sc AS (SELECT tf.doc_id, idf.idf * (tf.tf * (1.2 + 1)) /
+        |    (tf.tf + 1.2 * (0.25 + 0.75 *
+        |      (lens.dl / ((SELECT s FROM st) / (SELECT n FROM st))))) AS s
+        |  FROM tf JOIN idf ON tf.term = idf.term
+        |  JOIN lens ON tf.doc_id = lens.doc_id)
+        |SELECT doc_id,
+        |  round(CAST(SUM(CAST(s AS DECIMAL(28,18))) AS DOUBLE), 6)
+        |    AS score,
+        |  CAST(COUNT(*) AS INT) AS n_hits
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // span dedup replayed: same 0-based positions, same first-instance
     // rule (min doc, pos), k=5 covered-position union, ordered rebuild

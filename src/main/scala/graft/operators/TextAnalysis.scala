@@ -132,6 +132,53 @@ object TextAnalysis {
         col("rk").cast(IntegerType).as("rk"))
   }
 
+  /** BM25 keyword relevance (Robertson et al., Okapi BM25) — the
+    * retrieval scoring [[tfidfTopK]] approximates, with saturation (k1)
+    * and length normalization (b):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * One explode pass builds per-doc lengths and query-term frequencies;
+    * N and avgdl are two driver scalars; per-term document frequencies
+    * are query-sized and broadcast. The per-term contributions go
+    * through exact decimal summation (partition-order independent), and
+    * every input to the floating math is a ratio of exact counts — so
+    * the score is re-derivable in SQL to the usual round-6 convention.
+    * Returns (idCol, score, n_hits) for documents matching ≥ 1 query
+    * term; documents with null text drop (nothing to score).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val lens = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).cast(DoubleType).as("dl"))
+    val stats = lens.agg(count(lit(1)), sum(col("dl"))).head
+    val n = stats.getLong(0).toDouble
+    require(n > 0, "bm25: corpus is empty")
+    val avgdl = stats.getDouble(1) / n
+    val tf = toks.where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).cast(DoubleType).as("df"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n) - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+    tf.join(broadcast(dfreq), "term")
+      .join(lens, idCol)
+      .withColumn("__s", col("idf") * (col("tf") * lit(k1 + 1.0))
+        / (col("tf") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * (col("dl") / lit(avgdl)))))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__s").cast(DecimalType(28, 18))).cast(DoubleType)
+          .as("score"),
+        count(lit(1)).cast(IntegerType).as("n_hits"))
+  }
+
   /** Corpus-frequency line dedup — C4-style boilerplate removal
     * ("we discard … any line occurring ≥ 3 times in the corpus"):
     * every document's lines are counted corpus-wide (normalized by
