@@ -810,6 +810,18 @@ object SparkEntry {
       Analytics.exactStats(t(s, dir, "lineitem"),
         "l_quantity", "l_extendedprice")),
 
+    // ---- A25: exact-moment OLS regression per group ----
+    // value-vs-hour trend per event type from decimal-exact moment
+    // sums: every float op is one well-defined IEEE step, so slope/
+    // intercept/r2 hash-match UNROUNDED (the built-in regr_slope's
+    // double sums could not).
+    "a25_ols" -> ((s, dir) =>
+      Analytics.olsByGroup(
+        t(s, dir, "events")
+          .select(col("event_type"), hour(col("ts")).as("hr"), col("value")),
+        Seq("event_type"), "hr", "value")
+        .orderBy("event_type")),
+
     // ---- A18: exact interpolated percentiles per group ----
     "a18_median" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -3004,6 +3016,28 @@ object SparkEntry {
         |  quantile_disc(value, 0.75) AS p75,
         |  quantile_disc(value, 0.99) AS p99
         |FROM events""".stripMargin,
+
+    // OLS replayed from the same five decimal moments, same float tree
+    "a25_ols" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(CAST(EXTRACT(HOUR FROM ts) AS INT) AS DECIMAL(18,2)) AS xd,
+        |    CAST(value AS DECIMAL(18,2)) AS yd
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT event_type,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(xd) AS DOUBLE) AS sx,
+        |    CAST(SUM(yd) AS DOUBLE) AS sy,
+        |    CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
+        |    CAST(SUM(yd * yd) AS DOUBLE) AS syy,
+        |    CAST(SUM(xd * yd) AS DOUBLE) AS sxy
+        |  FROM c GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+        |  (sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n
+        |    AS intercept,
+        |  ((sxy - sx * sy / n) * (sxy - sx * sy / n)) /
+        |    ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS r2
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // grouped lossless-eps GK == per-group discrete quantiles
     "a24_quantiles_by_group" ->

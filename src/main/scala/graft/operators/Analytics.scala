@@ -124,6 +124,42 @@ object Analytics {
         (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))).as("corr_xy"))
   }
 
+  /** Exact-moment ordinary least squares per group: slope, intercept,
+    * and r² of y on x from the five decimal-exact moment sums
+    * ([[exactStats]]'s discipline, grouped) — one partial-aggregated
+    * pass, results independent of partition layout, every float op a
+    * single well-defined IEEE step so the output is engine-portable
+    * WITHOUT rounding. The closed form the built-in `regr_slope`
+    * cannot give deterministically (its double sums are order-
+    * dependent). Groups need ≥ 2 distinct x values for a defined slope
+    * (otherwise the variance denominator is 0 → null/NaN per IEEE,
+    * surfaced as-is).
+    */
+  def olsByGroup(df: DataFrame, keyCols: Seq[String], x: String,
+      y: String, scale: Int = 2): DataFrame = {
+    val xd = col(x).cast(DecimalType(18, scale))
+    val yd = col(y).cast(DecimalType(18, scale))
+    val complete = df.where(col(x).isNotNull && col(y).isNotNull)
+    val agg = complete.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).cast(DoubleType).as("__n"),
+      sum(xd).cast(DoubleType).as("__sx"),
+      sum(yd).cast(DoubleType).as("__sy"),
+      sum(xd * xd).cast(DoubleType).as("__sxx"),
+      sum(yd * yd).cast(DoubleType).as("__syy"),
+      sum(xd * yd).cast(DoubleType).as("__sxy"))
+    val n = col("__n"); val sx = col("__sx"); val sy = col("__sy")
+    val sxx = col("__sxx"); val syy = col("__syy"); val sxy = col("__sxy")
+    val cov = sxy - sx * sy / n
+    val vx = sxx - sx * sx / n
+    val vy = syy - sy * sy / n
+    val slope = cov / vx
+    agg.select(keyCols.map(col) ++ Seq(
+      n.cast(LongType).as("n"),
+      slope.as("slope"),
+      ((sy - slope * sx) / n).as("intercept"),
+      ((cov * cov) / (vx * vy)).as("r2")): _*)
+  }
+
   /** A7 — multi-key grouped average, ordered by the aggregate descending.
     * Ref `README.md:290-300` (avg price per exact weather condition).
     * Tie-broken on the group keys so output order is total and stable.
