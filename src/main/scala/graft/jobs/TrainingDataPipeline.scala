@@ -92,9 +92,10 @@ object TrainingDataPipeline {
 
     // 5. benchmark decontamination: whole-doc gate on overlap ratio,
     // then span-surgical cuts of any residual eval k-grams
+    // (no null guard here: spanDocs' text is a rebuilt array_join —
+    // never null — and decontaminate's semi join adds nothing)
     val clean = Dedup.decontaminate(spanDocs, idCol, textCol,
       bench, textCol, maxOverlap = maxOverlap)
-      .withColumn(textCol, coalesce(col(textCol), lit("")))
     val nClean = clean.count()
     val surgical0 = TextAnalysis.decontaminateSpans(clean, idCol, textCol,
       bench, textCol, k = decontamSpanK).localCheckpoint(true)

@@ -101,19 +101,7 @@ object Analytics {
     * A7's output).
     */
   def exactStats(df: DataFrame, x: String, y: String): DataFrame = {
-    val xd = col(x).cast(DecimalType(18, 2))
-    val yd = col(y).cast(DecimalType(18, 2))
-    // pairwise-complete rows only: count(*) over rows where a measure is
-    // null would mismatch the null-skipping sums and silently skew every
-    // moment (correlation is only defined on complete pairs anyway)
-    val complete = df.where(col(x).isNotNull && col(y).isNotNull)
-    val agg = complete.agg(
-      count(lit(1)).cast(DoubleType).as("__n"),
-      sum(xd).cast(DoubleType).as("__sx"),
-      sum(yd).cast(DoubleType).as("__sy"),
-      sum(xd * xd).cast(DoubleType).as("__sxx"),
-      sum(yd * yd).cast(DoubleType).as("__syy"),
-      sum(xd * yd).cast(DoubleType).as("__sxy"))
+    val agg = momentAgg(df, Nil, x, y, scale = 2)
     val n = col("__n"); val sx = col("__sx"); val sy = col("__sy")
     val sxx = col("__sxx"); val syy = col("__syy"); val sxy = col("__sxy")
     agg.select(
@@ -122,6 +110,28 @@ object Analytics {
       sqrt((syy - sy * sy / n) / (n - 1)).as("stddev_y"),
       ((sxy - sx * sy / n) /
         (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))).as("corr_xy"))
+  }
+
+  /** The five decimal-exact moment sums (n, Σx, Σy, Σx², Σy², Σxy) as
+    * one partial-aggregated pass — THE shared discipline of
+    * [[exactStats]] and [[olsByGroup]]. Pairwise-complete rows only:
+    * count(*) over rows where a measure is null would mismatch the
+    * null-skipping sums and silently skew every moment. Decimal
+    * accumulation, one well-defined cast to double at the end, so every
+    * derived statistic is partition-order independent.
+    */
+  private def momentAgg(df: DataFrame, keyCols: Seq[String], x: String,
+      y: String, scale: Int): DataFrame = {
+    val xd = col(x).cast(DecimalType(18, scale))
+    val yd = col(y).cast(DecimalType(18, scale))
+    val complete = df.where(col(x).isNotNull && col(y).isNotNull)
+    complete.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).cast(DoubleType).as("__n"),
+      sum(xd).cast(DoubleType).as("__sx"),
+      sum(yd).cast(DoubleType).as("__sy"),
+      sum(xd * xd).cast(DoubleType).as("__sxx"),
+      sum(yd * yd).cast(DoubleType).as("__syy"),
+      sum(xd * yd).cast(DoubleType).as("__sxy"))
   }
 
   /** Exact-moment ordinary least squares per group: slope, intercept,
@@ -137,16 +147,7 @@ object Analytics {
     */
   def olsByGroup(df: DataFrame, keyCols: Seq[String], x: String,
       y: String, scale: Int = 2): DataFrame = {
-    val xd = col(x).cast(DecimalType(18, scale))
-    val yd = col(y).cast(DecimalType(18, scale))
-    val complete = df.where(col(x).isNotNull && col(y).isNotNull)
-    val agg = complete.groupBy(keyCols.map(col): _*).agg(
-      count(lit(1)).cast(DoubleType).as("__n"),
-      sum(xd).cast(DoubleType).as("__sx"),
-      sum(yd).cast(DoubleType).as("__sy"),
-      sum(xd * xd).cast(DoubleType).as("__sxx"),
-      sum(yd * yd).cast(DoubleType).as("__syy"),
-      sum(xd * yd).cast(DoubleType).as("__sxy"))
+    val agg = momentAgg(df, keyCols, x, y, scale)
     val n = col("__n"); val sx = col("__sx"); val sy = col("__sy")
     val sxx = col("__sxx"); val syy = col("__syy"); val sxy = col("__sxy")
     val cov = sxy - sx * sy / n

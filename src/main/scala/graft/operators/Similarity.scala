@@ -726,10 +726,14 @@ object Similarity {
           explode(sequence(lit(0), lit(saltFactor - 1)))),
         Seq("__cell", "__salt"))
     // NO broadcast hint: the planner (and AQE, at runtime sizes) picks
-    // the join strategy — that is the point of this variant
+    // the join strategy — that is the point of this variant.
+    // Contract (BOTH branches): a candidate with a null id or a null
+    // similarity (null vector) is not a neighbor — filtered here so the
+    // aggregate and window forms cannot diverge on nullable columns.
     val joined = c.join(q, keys)
       .where(if (excludeSelf) col(queryId) =!= col(corpusId) else lit(true))
       .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+      .where(col(corpusId).isNotNull && col("sim").isNotNull)
     val idIsLong = c.schema.fields
       .find(_.name == corpusId).map(_.dataType).contains(LongType)
     if (idIsLong) {

@@ -139,29 +139,42 @@ object TextAnalysis {
     *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
     *
-    * One explode pass builds per-doc lengths and query-term frequencies;
-    * N and avgdl are two driver scalars; per-term document frequencies
-    * are query-sized and broadcast. The per-term contributions go
-    * through exact decimal summation (partition-order independent), and
-    * every input to the floating math is a ratio of exact counts — so
-    * the score is re-derivable in SQL to the usual round-6 convention.
-    * Returns (idCol, score, n_hits) for documents matching ≥ 1 query
-    * term; documents with null text drop (nothing to score).
+    * ONE corpus pass: tokens bucket to (query term | "" for everything
+    * else) and count by (doc, bucket) — the checkpointed frame is
+    * ≤ |docs|×(|Q|+1) narrow rows, from which doc lengths, N, avgdl,
+    * document frequencies, and term frequencies all derive without
+    * re-tokenizing (the frame is doc-count-sized, so the checkpoint
+    * trades bounded executor storage for two full text re-scans).
+    * N/avgdl are driver scalars; per-term document frequencies are
+    * query-sized and broadcast. Per-term contributions go through exact
+    * decimal summation (partition-order independent), and every input
+    * to the floating math is a ratio of exact counts — so the score is
+    * re-derivable in SQL to the usual round-6 convention. Returns
+    * (idCol, score, n_hits) for documents matching ≥ 1 query term;
+    * documents with null text drop (nothing to score).
     */
   def bm25(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(queryTerms.forall(_.nonEmpty),
+      "bm25 query terms must be non-empty strings (\"\" is the bucket " +
+        "sentinel for non-query tokens)")
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-    val lens = toks.groupBy(col(idCol))
-      .agg(count(lit(1)).cast(DoubleType).as("dl"))
+    val counts = toks
+      .withColumn("term", when(col("term").isin(queryTerms: _*),
+        col("term")).otherwise(lit("")))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("c"))
+      .localCheckpoint(true)
+    // integer counts sum exactly in doubles (< 2^53)
+    val lens = counts.groupBy(col(idCol)).agg(sum(col("c")).as("dl"))
     val stats = lens.agg(count(lit(1)), sum(col("dl"))).head
     val n = stats.getLong(0).toDouble
     require(n > 0, "bm25: corpus is empty")
     val avgdl = stats.getDouble(1) / n
-    val tf = toks.where(col("term").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val tf = counts.where(col("term") =!= "")
+      .withColumnRenamed("c", "tf")
     val dfreq = tf.groupBy("term")
       .agg(count(lit(1)).cast(DoubleType).as("df"))
       .withColumn("idf",

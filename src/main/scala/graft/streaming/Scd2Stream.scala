@@ -42,14 +42,7 @@ object Scd2Stream {
   case class ClosedVersion(user_id: Long, attr: String,
       effective_from: Timestamp, effective_to: Timestamp)
 
-  private def tsToMicros(t: Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
-
-  private def microsToTs(us: Long): Timestamp = {
-    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  import TimeCodec.{tsToMicros, microsToTs}
 
   /** Maintain SCD2 versions over a change-log stream. `events` must
     * carry `user_id` (castable to long), `timeCol` (timestamp), `tieCol`
@@ -75,7 +68,11 @@ object Scd2Stream {
     val typed = events
       .withWatermark(timeCol, watermark)
       .select(col("user_id").cast(LongType).as("user_id"),
-        col(timeCol).as("ts"), col(tieCol).cast(LongType).as("tie"),
+        col(timeCol).as("ts"),
+        // null tie sorts FIRST among equal timestamps (the batch
+        // operator's asc-nulls-first), encoded as MinValue so the
+        // primitive-Long state field cannot decode-crash the query
+        coalesce(col(tieCol).cast(LongType), lit(Long.MinValue)).as("tie"),
         col(attrCol).cast("string").as("attr"))
       .where(col("user_id").isNotNull && col("ts").isNotNull)
       .as[Change]

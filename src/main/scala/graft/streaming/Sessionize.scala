@@ -36,14 +36,7 @@ object Sessionize {
     */
   case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
 
-  private def tsToMicros(t: Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
-
-  private def microsToTs(us: Long): Timestamp = {
-    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  import TimeCodec.{tsToMicros, microsToTs}
 
   case class Session(
       user_id: Long,

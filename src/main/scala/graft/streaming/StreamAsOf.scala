@@ -49,14 +49,7 @@ object StreamAsOf {
   case class AsOfOut(key: Long, ts: Timestamp, payload: String,
       asof_value: Option[Double])
 
-  private def tsToMicros(t: Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
-
-  private def microsToTs(us: Long): Timestamp = {
-    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  import TimeCodec.{tsToMicros, microsToTs}
 
   /** @param left  streaming frame with (`keyCol`, `timeCol`, `payloadCol`)
     * @param right streaming frame with (`keyCol`, `timeCol`, `valueCol`)
