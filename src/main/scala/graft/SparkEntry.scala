@@ -964,7 +964,10 @@ object SparkEntry {
     // stays bound-spec'd, the lossless twin is value-exact.
     "a22b_quantile_exact" -> ((s, dir) => {
       import graft.functions.GraftFunctions.{quantileEstimate, quantileMerge, quantileSketch}
+      // null-ts rows excluded on BOTH sides: Spark's groupBy would form
+      // a null-hour group that DuckDB's COUNT(DISTINCT hour) ignores
       val hourly = t(s, dir, "events")
+        .where(col("ts").isNotNull)
         .groupBy(hour(col("ts")).as("hour"))
         .agg(quantileSketch(col("value"), 1e-9).as("sk"))
       hourly.agg(
@@ -3015,7 +3018,7 @@ object SparkEntry {
         |  quantile_disc(value, 0.5) AS p50,
         |  quantile_disc(value, 0.75) AS p75,
         |  quantile_disc(value, 0.99) AS p99
-        |FROM events""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL""".stripMargin,
 
     // OLS replayed from the same five decimal moments, same float tree
     "a25_ols" ->

@@ -60,6 +60,22 @@ object AnnIndex {
       corpus: DataFrame,
       corpusVersion: Long) {
     def nlist: Int = centroids.length
+
+    /** ONE centroid ref (plan literal or broadcast) shared by every
+      * query against this handle — a per-call ref would re-broadcast a
+      * large-nlist codebook on each of the repeated queries an index
+      * exists to serve, accumulating executor broadcast blocks faster
+      * than ContextCleaner reclaims them.
+      */
+    private[graft] lazy val centroidRef: Similarity.CentroidRef =
+      Similarity.centroidRef(centroids)
+
+    /** Release the shared centroid broadcast (no-op for plan-literal
+      * refs). Call when done with the handle AND every DataFrame
+      * derived from it has been materialized — the lazy plans reference
+      * the broadcast.
+      */
+    def release(): Unit = Similarity.destroyRef(centroidRef)
   }
 
   /** Train, assign, encode, and persist an index. Training uses the same
@@ -189,19 +205,14 @@ object AnnIndex {
   def topK(handle: Handle, queries: DataFrame, queryId: String,
       queryVec: String, k: Int, nprobe: Int): DataFrame = {
     val probes = math.min(nprobe, handle.nlist)
-    val ref = Similarity.centroidRef(handle.centroids)
-    val idCol = handle.idCol
-    val vecCol = handle.vecCol
     val q = queries.withColumn("__cell", explode(
-      Similarity.topCellsRef(Similarity.asDouble(col(queryVec)), ref,
-        probes)))
-    val joined = handle.corpus.join(broadcast(q), "__cell")
-      .where(col(queryId) =!= col(idCol))
-      .withColumn("sim", Similarity.cosine(col(vecCol), col(queryVec)))
-    val w = Window.partitionBy(col(queryId)).orderBy(desc("sim"), col(idCol))
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryId), col(idCol), col("sim"), col("rank"))
+      Similarity.topCellsRef(Similarity.asDouble(col(queryVec)),
+        handle.centroidRef, probes)))
+    // the broadcast hint keeps the small-query-batch plan; the shared
+    // tail keeps ranking semantics identical to every other ANN form
+    Similarity.cellJoinTopK(handle.corpus, handle.idCol, handle.vecCol,
+      broadcast(q), queryId, queryVec, k, saltFactor = 1,
+      excludeSelf = true)
   }
 
   /** Distributed k-NN JOIN over a loaded index —
@@ -218,10 +229,9 @@ object AnnIndex {
       queryVec: String, k: Int, nprobe: Int,
       saltFactor: Int = 1, excludeSelf: Boolean = true): DataFrame = {
     val probes = math.min(nprobe, handle.nlist)
-    val ref = Similarity.centroidRef(handle.centroids)
     val q0 = queries.withColumn("__cell", explode(
-      Similarity.topCellsRef(Similarity.asDouble(col(queryVec)), ref,
-        probes)))
+      Similarity.topCellsRef(Similarity.asDouble(col(queryVec)),
+        handle.centroidRef, probes)))
     // one shared tail with Similarity.knnJoin (salting, re-rank, top-k)
     // so the ad-hoc and index-backed forms cannot diverge
     Similarity.cellJoinTopK(handle.corpus, handle.idCol, handle.vecCol,
@@ -238,11 +248,10 @@ object AnnIndex {
     val books = handle.codebooks.getOrElse(throw new IllegalArgumentException(
       s"index at ${handle.dir} has no PQ codebooks — build with pq=Some(...)"))
     val probes = math.min(nprobe, handle.nlist)
-    val ref = Similarity.centroidRef(handle.centroids)
     val idCol = handle.idCol
     val q = queries.withColumn("__cell", explode(
-      Similarity.topCellsRef(Similarity.asDouble(col(queryVec)), ref,
-        probes)))
+      Similarity.topCellsRef(Similarity.asDouble(col(queryVec)),
+        handle.centroidRef, probes)))
       .withColumn("__lut", graft.functions.GraftFunctions
         .pqAdcLut(Similarity.asDouble(col(queryVec)), books))
     val joined = handle.corpus

@@ -85,13 +85,11 @@ object Multimodal {
           val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           parseBmp(bytes) match {
             case Some(info) =>
-              val stride = bmpRowStride(info.width)
-              val off = java.nio.ByteBuffer.wrap(bytes)
-                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+              // pixel offset comes from the parsed header — ONE parser
               val features = Array.tabulate(featureDim) { i =>
                 // leading pixel bytes of the first row, normalized
                 val x = i % (info.width * 3)
-                (bytes(off + x).toInt & 0xFF) / 255f
+                (bytes(info.pixelOffset + x).toInt & 0xFF) / 255f
               }
               DecodedImage(id, info.width, info.height, features)
             case None =>
@@ -111,7 +109,7 @@ object Multimodal {
     * misreads the stride or sums padding is caught by the oracle.
     */
   case class BmpInfo(width: Int, height: Int, bpp: Int, topDown: Boolean,
-      pixelSum: Long)
+      pixelSum: Long, pixelOffset: Int)
 
   /** Build a valid 24bpp uncompressed BMP: BITMAPFILEHEADER +
     * BITMAPINFOHEADER (54 bytes), `height < 0` encodes top-down row
@@ -175,6 +173,10 @@ object Multimodal {
     val compression = b.getInt(30)
     if (hdrSize < 40 || w <= 0 || rawH == 0 || rawH == Int.MinValue ||
       planes != 1 || bpp != 24 || compression != 0) return None
+    // w*3+3 must not overflow Int: an adversarial width would wrap the
+    // stride negative, slip past the Long bounds check below, and crash
+    // the task on a read past the buffer instead of routing to the stub
+    if (w > (Int.MaxValue - 3) / 3) return None
     val h = math.abs(rawH)
     val stride = bmpRowStride(w)
     if (offset < 54 ||
@@ -187,7 +189,7 @@ object Multimodal {
       while (x < w * 3) { sum += bytes(rowStart + x) & 0xFF; x += 1 }
       r += 1
     }
-    Some(BmpInfo(w, h, bpp, rawH < 0, sum))
+    Some(BmpInfo(w, h, bpp, rawH < 0, sum, offset))
   }
 
   /** Catalyst expression over [[encodeBmp]]:

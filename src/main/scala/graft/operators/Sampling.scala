@@ -160,10 +160,14 @@ object Sampling {
       // shard = leading hash byte scaled to numShards — floor(v*n/256)
       // is monotone in v, so shard k's rows ALL precede shard k+1's in
       // the (md5, id) global order: per-shard prefixes + shard offsets
-      // compose to the exact global exclusive prefix
-      def shardOf(k: Column): Column =
+      // compose to the exact global exclusive prefix. A null id (null
+      // md5) maps to shard 0 — the single-window path sorts nulls
+      // FIRST, and shard 0 + the window's asc-nulls-first keeps the
+      // sharded order identical (an inner join on a null shard would
+      // silently DROP those rows instead)
+      def shardOf(k: Column): Column = coalesce(
         (conv(substring(k, 1, 2), 16, 10).cast("long") * numShards / 256)
-          .cast("int")
+          .cast("int"), lit(0))
       val partials = df
         .groupBy(groupCol.as("__g2"), shardOf(key).as("__shard"))
         .agg(sum(tokenCol).cast("long").as("__bt"))

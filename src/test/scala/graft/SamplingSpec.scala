@@ -165,6 +165,21 @@ class SamplingSpec extends SparkTestBase {
     assert(kept.columns.toSeq === rows.columns.toSeq)
   }
 
+  test("tokenBudgetMix: null ids survive the sharded path exactly like " +
+      "the single-window path") {
+    val rows = ((1 to 20).map(i => (Option(i.toLong), "a", 50)) :+
+      ((Option.empty[Long], "a", 50))).toDF("doc_id", "g", "n_tokens")
+    def ids(shards: Int) = Sampling.tokenBudgetMix(rows, col("g"),
+      col("doc_id"), col("n_tokens"), Map("a" -> 400L),
+      numShards = shards)
+      .select("doc_id").as[Option[Long]].collect().toSet
+    val single = ids(1)
+    assert(single.contains(None),
+      "null md5 sorts first: the null-id doc is in the prefix")
+    assert(ids(16) === single,
+      "sharded path must not drop null-id rows (they map to shard 0)")
+  }
+
   test("tokenBudgetMix property: kept set is a hash-order prefix, " +
       "budget met iff the group can fill it, minimal overflow") {
     val rnd = new scala.util.Random(11)

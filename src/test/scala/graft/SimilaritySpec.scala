@@ -407,6 +407,14 @@ class SimilaritySpec extends SparkTestBase {
     val truncated = Multimodal.encodeBmp(8, 8, 7, topDown = false).take(100)
     assert(Multimodal.parseBmp(truncated).isEmpty,
       "truncated pixel array must be rejected, not over-read")
+    // adversarial width whose w*3 overflows Int: the stride would wrap
+    // negative and slip past the Long bounds check — must reject, not
+    // crash the task on an out-of-bounds read
+    val evil = Multimodal.encodeBmp(4, 1, 7, topDown = false)
+    java.nio.ByteBuffer.wrap(evil)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(18, 715827883)
+    assert(Multimodal.parseBmp(evil).isEmpty,
+      "overflowing width must be rejected")
     // column expressions: decode(encode(...)) over a DataFrame
     val df = spark.range(1, 50).select(col("id"),
       Multimodal.bmpEncode((lit(1) + col("id") % 13).cast("int"),
