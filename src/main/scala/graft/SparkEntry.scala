@@ -806,20 +806,30 @@ object SparkEntry {
     }),
 
     // ---- A16: exact second-moment stats (stddev + correlation) ----
+    // (round 6: the moments are decimal-exact in both engines, but
+    // DuckDB's int128-decimal -> double cast double-rounds once the raw
+    // sum exceeds 2^53 — surfaced by the sf0.1 cross-check, data-
+    // dependent, absorbed by the a6/a7/t16 rounding convention)
     "a16_stats" -> ((s, dir) =>
       Analytics.exactStats(t(s, dir, "lineitem"),
-        "l_quantity", "l_extendedprice")),
+        "l_quantity", "l_extendedprice")
+        .select(col("n"), round(col("stddev_x"), 6).as("stddev_x"),
+          round(col("stddev_y"), 6).as("stddev_y"),
+          round(col("corr_xy"), 6).as("corr_xy"))),
 
     // ---- A25: exact-moment OLS regression per group ----
     // value-vs-hour trend per event type from decimal-exact moment
-    // sums: every float op is one well-defined IEEE step, so slope/
-    // intercept/r2 hash-match UNROUNDED (the built-in regr_slope's
-    // double sums could not).
+    // sums (round 6: the a16 DuckDB int128->double double-rounding
+    // caveat applies to large moment sums here too).
     "a25_ols" -> ((s, dir) =>
       Analytics.olsByGroup(
         t(s, dir, "events")
           .select(col("event_type"), hour(col("ts")).as("hr"), col("value")),
         Seq("event_type"), "hr", "value")
+        .select(col("event_type"), col("n"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"))
         .orderBy("event_type")),
 
     // ---- A18: exact interpolated percentiles per group ----
@@ -1505,6 +1515,20 @@ object SparkEntry {
         Map("common" -> 15000L, "mid" -> 6000L, "rare" -> 2000L),
         numShards = 16)
         .orderBy("doc_id")
+    }),
+
+    // ---- sampling: repetition-factor mix (the upsampling half) ----
+    // rare sources repeat 2.5x per epoch (2 copies + a deterministic
+    // half-probability third), mid 1x, common downsamples to 0.5 — one
+    // map-side explode, the s4/s5 md5-uniform salted ":rep".
+    "s9_repeat_mix" -> ((s, dir) => {
+      val sfx = expr("CAST(substring(source, 4) AS INT)")
+      val tiered = t(s, dir, "documents").select(col("doc_id"),
+        when(sfx < 14, "common").when(sfx < 18, "mid").otherwise("rare")
+          .as("source_tier"))
+      Sampling.repeatMix(tiered, col("source_tier"), col("doc_id"),
+        Map("common" -> 0.5, "mid" -> 1.0, "rare" -> 2.5))
+        .orderBy("doc_id", "repeat_idx")
     }),
 
     // ---- sketch: grouped frequent items (top-5 terms per language) ----
@@ -2311,6 +2335,29 @@ object SparkEntry {
         |SELECT doc_id, source_tier, n_tokens FROM c
         |WHERE before < budget ORDER BY doc_id""".stripMargin,
 
+    // repeat mix: floor copies + salted-hash fractional copy, same 2^60
+    // uniform as s4/s5
+    "s9_repeat_mix" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 14 THEN 'common'
+        |         WHEN CAST(substr(source, 4) AS INT) < 18 THEN 'mid'
+        |         ELSE 'rare' END AS source_tier
+        |  FROM documents),
+        |r AS (SELECT doc_id, source_tier,
+        |    CASE source_tier WHEN 'common' THEN 0.5
+        |         WHEN 'mid' THEN 1.0 ELSE 2.5 END AS rf
+        |  FROM d),
+        |c AS (SELECT doc_id, source_tier,
+        |    CAST(floor(rf) AS INT) +
+        |    CASE WHEN CAST(concat('0x', substr(
+        |        md5(CAST(doc_id AS VARCHAR) || ':rep'), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 < rf - floor(rf)
+        |    THEN 1 ELSE 0 END AS n
+        |  FROM r)
+        |SELECT doc_id, source_tier,
+        |  CAST(unnest(range(0, n)) AS INT) AS repeat_idx
+        |FROM c WHERE n > 0 ORDER BY doc_id, repeat_idx""".stripMargin,
+
     // grouped exact-configuration Misra-Gries == per-group exact top-5
     "hh2_freq_by_lang" ->
       """WITH tok AS (SELECT lang,
@@ -2681,9 +2728,10 @@ object SparkEntry {
         |    CAST(sum(yd*yd) AS DOUBLE) AS syy,
         |    CAST(sum(xd*yd) AS DOUBLE) AS sxy FROM p)
         |SELECT CAST(n AS BIGINT) AS n,
-        |  sqrt((sxx - sx*sx/n)/(n-1)) AS stddev_x,
-        |  sqrt((syy - sy*sy/n)/(n-1)) AS stddev_y,
-        |  (sxy - sx*sy/n)/(sqrt(sxx - sx*sx/n)*sqrt(syy - sy*sy/n)) AS corr_xy
+        |  round(sqrt((sxx - sx*sx/n)/(n-1)), 6) AS stddev_x,
+        |  round(sqrt((syy - sy*sy/n)/(n-1)), 6) AS stddev_y,
+        |  round((sxy - sx*sy/n)/(sqrt(sxx - sx*sx/n)*sqrt(syy - sy*sy/n)), 6)
+        |    AS corr_xy
         |FROM a""".stripMargin,
 
     "a10_rollup" ->
@@ -3035,11 +3083,11 @@ object SparkEntry {
         |    CAST(SUM(xd * yd) AS DOUBLE) AS sxy
         |  FROM c GROUP BY event_type)
         |SELECT event_type, CAST(n AS BIGINT) AS n,
-        |  (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
-        |  (sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n
-        |    AS intercept,
-        |  ((sxy - sx * sy / n) * (sxy - sx * sy / n)) /
-        |    ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS r2
+        |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+        |  round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n,
+        |    6) AS intercept,
+        |  round(((sxy - sx * sy / n) * (sxy - sx * sy / n)) /
+        |    ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
         |FROM m ORDER BY event_type""".stripMargin,
 
     // grouped lossless-eps GK == per-group discrete quantiles

@@ -41,6 +41,36 @@ object Sampling {
     df.where(hashUniform(idCol) < frac)
   }
 
+  /** Repetition-factor mixing — the UPSAMPLING half of data mixing
+    * ([[resampleToMix]] only discards): group g's documents appear
+    * `repeats(g)` times per epoch. The integer part emits that many
+    * copies (`repeat_idx` 0..⌊r⌋−1, map-side explode, no shuffle); the
+    * fractional part keeps one extra copy with probability r−⌊r⌋ via
+    * the same deterministic md5-uniform used everywhere (salted with
+    * ":rep" so the extra-copy population is independent of
+    * [[resampleToMix]]'s keep decisions on the same ids). r = 0 drops
+    * the group; r < 1 behaves exactly like a keep-fraction. Stable
+    * under re-runs and repartitioning; row multiplication is bounded by
+    * max(r), under the caller's control.
+    */
+  def repeatMix(df: DataFrame, groupCol: Column, idCol: Column,
+      repeats: Map[String, Double],
+      defaultRepeat: Double = 1.0): DataFrame = {
+    require(repeats.values.forall(r => r >= 0.0 && r <= 64.0) &&
+      defaultRepeat >= 0.0 && defaultRepeat <= 64.0,
+      "repeat factors must be in [0, 64]")
+    val r = repeats.foldLeft(lit(defaultRepeat)) {
+      case (acc, (g, f)) => when(groupCol === g, lit(f)).otherwise(acc)
+    }
+    val extra = (hashUniform(concat_ws(":", idCol.cast("string"),
+      lit("rep"))) < (r - floor(r))).cast("int")
+    df.withColumn("__copies", floor(r).cast("int") + extra)
+      .where(col("__copies") > 0)
+      .withColumn("repeat_idx",
+        explode(sequence(lit(0), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Reproducible global shuffle for training-example order: sort by a
     * seeded md5-derived key. Unlike `df.repartition` or `orderBy(rand)`,
     * the order is a pure function of (seed, id) — identical across

@@ -165,6 +165,34 @@ class SamplingSpec extends SparkTestBase {
     assert(kept.columns.toSeq === rows.columns.toSeq)
   }
 
+  test("repeatMix: integer copies exact, fractional copies ~p, " +
+      "deterministic, zero drops the group") {
+    val tiers = docs.withColumn("tier",
+      when(col("source") === "src0", "up")
+        .when(col("source") === "src1", "down").otherwise("unit"))
+    def run() = Sampling.repeatMix(tiers, col("tier"), col("doc_id"),
+      Map("up" -> 2.5, "down" -> 0.0), defaultRepeat = 1.0)
+    val out = run().cache()
+    // zero factor: group gone entirely
+    assert(out.where(col("tier") === "down").count() === 0)
+    // unit factor: exactly one copy each, repeat_idx 0
+    assert(out.where(col("tier") === "unit").count() === 1000)
+    assert(out.where(col("tier") === "unit" && col("repeat_idx") =!= 0)
+      .count() === 0)
+    // 2.5x: every doc has copies 0 and 1; ~half have a third
+    val up = out.where(col("tier") === "up")
+    val perDoc = up.groupBy("doc_id").count()
+      .select("count").as[Long].collect()
+    assert(perDoc.length === 500 && perDoc.forall(n => n == 2 || n == 3))
+    val three = perDoc.count(_ == 3)
+    assert(three > 200 && three < 300, s"third-copy rate $three/500 off 0.5")
+    // deterministic under re-run
+    val a = out.select("doc_id", "repeat_idx").as[(Long, Int)]
+      .collect().toSet
+    assert(a === run().select("doc_id", "repeat_idx").as[(Long, Int)]
+      .collect().toSet)
+  }
+
   test("tokenBudgetMix: null ids survive the sharded path exactly like " +
       "the single-window path") {
     val rows = ((1 to 20).map(i => (Option(i.toLong), "a", 50)) :+
