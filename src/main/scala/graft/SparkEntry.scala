@@ -1418,6 +1418,68 @@ object SparkEntry {
         .orderBy("doc_id").limit(25)
     }),
 
+    // ---- lake: incremental materialized-view maintenance over CDF ----
+    // A rollup (per event_type: rows / non-null count / exact decimal
+    // sum / avg of value) is materialized from the source's FIRST
+    // commit only, then maintained purely from the change feed across
+    // an append, a keyed upsert, and a keyed delete — the source is
+    // never rescanned after create. The oracle recomputes the same
+    // aggregate directly from the final logical state: equality proves
+    // incremental maintenance == direct computation (exact because the
+    // state sums are decimal — associative/commutative).
+    "mv1_incremental_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), col("value"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv1").toString
+      val src = root + "/src"
+      val mv = root + "/mv"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, src, StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      vt.alterProperties(s, src, Map(vt.CdcProperty -> "true"))
+      vt.append(s, ev.where(col("event_id") % 2 === 0), src)
+      IncrementalView.create(s, src, mv,
+        Seq("event_type"), Seq("value"))
+      vt.append(s, ev.where(col("event_id") % 2 === 1), src)
+      vt.upsert(s, ev.where(col("event_id") % 100 === 0)
+        .withColumn("value", lit(0.0)), src, "event_id")
+      vt.deleteByKeys(s, src,
+        ev.where(col("event_id") % 200 === 1).select("event_id"))
+      IncrementalView.refresh(s, mv)
+      IncrementalView.read(s, mv)
+        .select("event_type", "n_rows", "cnt_value", "sum_value",
+          "avg_value")
+        .orderBy("event_type")
+    }),
+
+    // ---- lake: time travel (version-as-of read) ----
+    // Three commits land on a versioned table (append evens, append
+    // odds, delete a slice); reading AS OF version 1 reproduces the
+    // first commit's content byte-for-byte, unaffected by everything
+    // after it. The oracle derives that content from the raw parquet.
+    "lk2_time_travel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_lk2").toString + "/t"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, tdir, StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("source", StringType))))
+      val even = expr("doc_id % 2 = 0")
+      vt.append(s, docs.where(even), tdir)
+      val v1 = vt.latest(s, tdir)._1
+      vt.append(s, docs.where(!even), tdir)
+      vt.delete(s, tdir, expr("doc_id % 3 = 0"))
+      s.read.format("graft-table")
+        .option("versionAsOf", v1.toString).load(tdir)
+        .orderBy("doc_id")
+    }),
+
     // ---- sampling: source-mix resampling (the data-mixing primitive) ----
     // Downsample over-represented sources to a target mix with ONE
     // deterministic map-side filter (md5-based uniform — fully oracled,
@@ -2146,6 +2208,29 @@ object SparkEntry {
 
     "lk1_clustered_topn" ->
       "SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 25",
+
+    // incremental MV vs direct recompute of the final logical state:
+    // evens+odds appended, value zeroed where event_id%100=0 (upsert),
+    // rows event_id%200=1 deleted — same decimal(38,2) sum convention
+    // on both sides
+    "mv1_incremental_rollup" ->
+      """WITH final AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 100 = 0 THEN 0.0 ELSE value END AS value
+        |  FROM events
+        |  WHERE event_id % 200 <> 1)
+        |SELECT event_type,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(value) AS cnt_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(value) AS avg_value
+        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // version-as-of 1 == the first commit's content (the even docs),
+    // regardless of the append and delete that followed
+    "lk2_time_travel" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
 
     // temperature mix: same ops, same order — (sqrt(n) * C) / n with
     // C = MIN(n / sqrt(n)); md5-uniform threshold as in s4

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.sources.VersionedTable
+
+/** Incremental materialized-view maintenance over the lake's
+  * change-data-feed — the missing half of the CDF story: [[graft.streaming.VersionedSink]]
+  * replicates a feed row-for-row; this maintains a persisted ROLLUP
+  * from it without ever rescanning the source.
+  *
+  * The view is a versioned lake table keyed by the group (so it has the
+  * full commit protocol: optimistic concurrency, time travel, CDF of
+  * its own) holding, per group, the distributive aggregate state
+  *
+  *   - `_mv_rows`  — signed row count of the group,
+  *   - `_mv_sum_<m>` — exact DECIMAL(38, scale) sum per measure,
+  *   - `_mv_n_<m>`   — non-null count per measure (so AVG is derivable
+  *     with SQL semantics: sum over non-null / count of non-null).
+  *
+  * Decimal sums make maintenance EXACT: decimal addition is associative
+  * and commutative, so folding the feed's signed deltas (+1 for
+  * `insert`/`update_postimage`, -1 for `delete`/`update_preimage`)
+  * into the state is bit-identical to recomputing the aggregate from
+  * the current snapshot — the equality the oracle checks. Double sums
+  * would drift by fold order and could never be refreshed exactly.
+  *
+  * Scale shape (100 TB lens): a [[refresh]] touches (a) the commits in
+  * the CDF window — bounded by each commit's touched files, never the
+  * table — and (b) one linear scan of the view pruned to the touched
+  * groups (semi join; AQE broadcasts the delta side when small). The
+  * source is never rescanned after [[create]]. Writes are two keyed
+  * commits at most (upsert survivors, delete emptied groups), each
+  * carrying a writer-txn watermark so a crashed-and-retried refresh is
+  * exactly-once (the Delta `txn` discipline).
+  *
+  * Reference analog: the reference recomputes its BigQuery analytics
+  * (the `Queries` folder's whole-table aggregates) from scratch every
+  * run;
+  * this is the engine-native upgrade that keeps those rollups fresh
+  * under the 12-hourly merge cadence without the rescan.
+  */
+object IncrementalView {
+
+  /** Property keys stamped on the view table. */
+  val SourceProperty = "graft.mv.source"
+  val KeysProperty = "graft.mv.keys"
+  val MeasuresProperty = "graft.mv.measures"
+  val ScaleProperty = "graft.mv.scale"
+  val SourceVersionProperty = "graft.mv.source.version"
+
+  /** Synthetic single-column group key (the view table's upsert /
+    * delete key). `\u0001`-joined, null-distinguishing encoding.
+    */
+  val KeyCol = "_mv_key"
+  val RowsCol = "_mv_rows"
+  def sumCol(m: String): String = s"_mv_sum_$m"
+  def nCol(m: String): String = s"_mv_n_$m"
+
+  private val Sep = "\u0001"
+
+  private def syntheticKey(keys: Seq[String]): Column =
+    keys.map(k => coalesce(concat(lit("v"), col(k).cast("string")),
+        lit("n")))
+      .reduce((a, b) => concat(a, lit(Sep), b))
+
+  /** Signed aggregate state of `rows` (sign = +1 for a snapshot; the
+    * CDF sign column for a delta). One shuffle on the group key.
+    */
+  private def stateOf(rows: DataFrame, keys: Seq[String],
+      measures: Seq[String], scale: Int, sign: Column): DataFrame = {
+    val aggs =
+      sum(sign).cast(LongType).as(RowsCol) +:
+        measures.flatMap { m =>
+          val v = col(m).cast(DecimalType(38, scale))
+          Seq(
+            sum(when(sign < 0, -v).otherwise(v)).cast(DecimalType(38, scale))
+              .as(sumCol(m)),
+            sum(when(col(m).isNotNull, sign).otherwise(lit(0L)))
+              .cast(LongType).as(nCol(m)))
+        }
+    rows
+      .withColumn(KeyCol, syntheticKey(keys))
+      .groupBy(col(KeyCol) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Materialize the view from the source's CURRENT snapshot and stamp
+    * the source version it reflects. One source scan — the last one the
+    * view will ever need.
+    */
+  def create(spark: SparkSession, source: String, view: String,
+      keys: Seq[String], measures: Seq[String], scale: Int = 2): Unit = {
+    require(keys.nonEmpty, "incremental view needs at least one group key")
+    require(measures.nonEmpty, "incremental view needs at least one measure")
+    val (version, _) = VersionedTable.latest(spark, source)
+    val snap = VersionedTable.read(spark, source)
+    val state = stateOf(snap, keys, measures, scale, lit(1L))
+    VersionedTable.create(spark, view, state.schema)
+    VersionedTable.append(spark, state, view)
+    VersionedTable.alterProperties(spark, view, Map(
+      SourceProperty -> source,
+      KeysProperty -> keys.mkString(","),
+      MeasuresProperty -> measures.mkString(","),
+      ScaleProperty -> scale.toString,
+      SourceVersionProperty -> version.toString))
+  }
+
+  /** Fold the source commits past the stamped version into the view via
+    * its CDF. Returns the number of source versions applied (0 = the
+    * view was already fresh; no commit is written).
+    */
+  def refresh(spark: SparkSession, view: String): Long = {
+    val props = VersionedTable.tableProperties(spark, view)
+    def prop(k: String): String = props.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"$view is not an incremental view: missing table property $k"))
+    val source = prop(SourceProperty)
+    val keys = prop(KeysProperty).split(",").toSeq
+    val measures = prop(MeasuresProperty).split(",").toSeq
+    val scale = prop(ScaleProperty).toInt
+    val from = prop(SourceVersionProperty).toLong
+    val (cur, _) = VersionedTable.latest(spark, source)
+    if (cur <= from) return 0L
+
+    val cdf = VersionedTable.readChangesCDF(spark, source, from, cur)
+    val sign = when(col(VersionedTable.ChangeTypeCol)
+        .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+    // keep a group if ANY state component moved — an update that only
+    // changes a value nets rows=0 and n=0 but a nonzero sum delta
+    val moved = measures
+      .flatMap(m => Seq(col(nCol(m)) =!= 0L,
+        coalesce(col(sumCol(m)), lit(0).cast(DecimalType(38, scale))) =!= 0))
+      .foldLeft(col(RowsCol) =!= 0L)(_ or _)
+    val delta = stateOf(cdf, keys, measures, scale, sign).where(moved)
+    if (delta.isEmpty) {
+      VersionedTable.alterProperties(spark, view,
+        Map(SourceVersionProperty -> cur.toString))
+      return cur - from
+    }
+
+    // current state of ONLY the touched groups (semi join prunes the
+    // view scan; AQE broadcasts the delta side when it is small)
+    val curState = VersionedTable.read(spark, view)
+      .join(delta.select(KeyCol), Seq(KeyCol), "left_semi")
+
+    val zeroDec = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, scale))
+    val mergedCols =
+      keys.map(k => col(s"d.$k").as(k)) ++
+        Seq((coalesce(col(s"c.$RowsCol"), lit(0L)) +
+          col(s"d.$RowsCol")).as(RowsCol)) ++
+        measures.flatMap { m =>
+          Seq(
+            (coalesce(col(s"c.${sumCol(m)}"), zeroDec) +
+              coalesce(col(s"d.${sumCol(m)}"), zeroDec))
+              .cast(DecimalType(38, scale)).as(sumCol(m)),
+            (coalesce(col(s"c.${nCol(m)}"), lit(0L)) +
+              col(s"d.${nCol(m)}")).as(nCol(m)))
+        }
+    val merged = delta.alias("d")
+      .join(curState.alias("c"), Seq(KeyCol), "left_outer")
+      .select(col(KeyCol) +: mergedCols: _*)
+
+    val viewSchemaCols = VersionedTable.read(spark, view).columns.toSeq
+    val survivors = merged.where(col(RowsCol) > 0L)
+      .select(viewSchemaCols.map(col): _*)
+    val dead = merged.where(col(RowsCol) <= 0L).select(KeyCol)
+
+    // writer-txn watermarks make a crashed-and-retried refresh
+    // exactly-once: a re-run recomputes against the already-updated
+    // view, but its writes are skipped at the stamped epoch. Distinct
+    // writer ids per op — they are independently idempotent.
+    VersionedTable.upsert(spark, survivors, view, KeyCol,
+      txn = Some(("graft-mv-upsert", cur)))
+    if (!dead.isEmpty)
+      VersionedTable.deleteByKeys(spark, view, dead,
+        txn = Some(("graft-mv-delete", cur)))
+    VersionedTable.alterProperties(spark, view,
+      Map(SourceVersionProperty -> cur.toString))
+    cur - from
+  }
+
+  /** The view as a query result: group keys + per-measure `cnt_<m>` /
+    * `sum_<m>` / `avg_<m>` with SQL semantics (sum/avg over non-null;
+    * avg null for all-null groups), doubles by the engine's exact-
+    * decimal convention. Internal state columns stay internal.
+    */
+  def read(spark: SparkSession, view: String): DataFrame = {
+    val props = VersionedTable.tableProperties(spark, view)
+    val keys = props(KeysProperty).split(",").toSeq
+    val measures = props(MeasuresProperty).split(",").toSeq
+    val out =
+      keys.map(col) ++ Seq(col(RowsCol).as("n_rows")) ++
+        measures.flatMap { m =>
+          val s = col(sumCol(m)).cast(DoubleType)
+          val n = col(nCol(m))
+          Seq(n.as(s"cnt_$m"),
+            when(n > 0L, s).as(s"sum_$m"),
+            when(n > 0L, s / n).as(s"avg_$m"))
+        }
+    VersionedTable.read(spark, view).select(out: _*)
+  }
+}

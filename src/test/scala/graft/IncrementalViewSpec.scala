@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.IncrementalView
+import graft.sources.VersionedTable
+
+/** Incremental materialized-view maintenance over the CDF: the folded
+  * state must equal a from-scratch recompute of the current snapshot
+  * after every kind of source commit, groups must appear/disappear as
+  * their membership moves, and a replayed refresh must be a no-op
+  * (writer-txn exactly-once).
+  */
+class IncrementalViewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("mv").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("g", StringType),
+    StructField("v", DoubleType)))
+
+  private def mkSource(root: String): String = {
+    val src = root + "/src"
+    VersionedTable.create(spark, src, schema)
+    VersionedTable.alterProperties(spark, src,
+      Map(VersionedTable.CdcProperty -> "true"))
+    src
+  }
+
+  /** From-scratch recompute with the same output contract as
+    * [[IncrementalView.read]].
+    */
+  private def direct(src: String): Seq[(String, Long, Long, Option[Double],
+      Option[Double])] =
+    VersionedTable.read(spark, src)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("v")).as("cnt_v"),
+        sum(col("v").cast(DecimalType(38, 2))).cast(DoubleType).as("sum_v"),
+        (sum(col("v").cast(DecimalType(38, 2))).cast(DoubleType) /
+          count(col("v"))).as("avg_v"))
+      .orderBy("g")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+
+  private def view(mv: String): Seq[(String, Long, Long, Option[Double],
+      Option[Double])] =
+    IncrementalView.read(spark, mv)
+      .orderBy("g")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+
+  test("refresh folds append, update, upsert, and delete commits into " +
+      "the exact from-scratch state; emptied groups vanish; new appear") {
+    val root = tmp()
+    val src = mkSource(root)
+    val mv = root + "/mv"
+    VersionedTable.append(spark, Seq(
+      (1L, "a", Option(1.5)), (2L, "a", Option(2.5)),
+      (3L, "b", Option(10.0)), (4L, "b", Option.empty[Double]))
+      .toDF("id", "g", "v"), src)
+    IncrementalView.create(spark, src, mv, Seq("g"), Seq("v"))
+    assert(view(mv) === direct(src))
+
+    // append introduces a brand-new group
+    VersionedTable.append(spark,
+      Seq((5L, "c", 7.0), (6L, "a", -1.0)).toDF("id", "g", "v"), src)
+    // value-only update: rows/cnt deltas net zero, sum moves
+    VersionedTable.update(spark, src, col("id") === 3L,
+      Map("v" -> lit(4.25)))
+    // upsert: one value change + one new row
+    VersionedTable.upsert(spark,
+      Seq((1L, "a", 0.0), (7L, "c", 3.0)).toDF("id", "g", "v"), src, "id")
+    // delete empties no group yet
+    VersionedTable.delete(spark, src, col("id") === 6L)
+    assert(IncrementalView.refresh(spark, mv) > 0L)
+    assert(view(mv) === direct(src))
+
+    // delete the LAST rows of group b: its view row must disappear
+    VersionedTable.delete(spark, src, col("g") === "b")
+    IncrementalView.refresh(spark, mv)
+    assert(view(mv) === direct(src))
+    assert(!view(mv).exists(_._1 == "b"))
+
+    // a group of only-null measures: cnt 0, sum/avg null, rows counted
+    VersionedTable.append(spark,
+      Seq((8L, "d", Option.empty[Double])).toDF("id", "g", "v"), src)
+    IncrementalView.refresh(spark, mv)
+    assert(view(mv) === direct(src))
+    assert(view(mv).exists(r => r._1 == "d" && r._2 == 1L && r._3 == 0L &&
+      r._4.isEmpty && r._5.isEmpty))
+  }
+
+  test("fresh view refresh is a no-op; replayed refresh cannot " +
+      "double-apply (writer-txn watermarks)") {
+    val root = tmp()
+    val src = mkSource(root)
+    val mv = root + "/mv"
+    VersionedTable.append(spark,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "g", "v"), src)
+    IncrementalView.create(spark, src, mv, Seq("g"), Seq("v"))
+    assert(IncrementalView.refresh(spark, mv) === 0L)
+    val v0 = VersionedTable.latest(spark, mv)._1
+
+    val stampBefore = VersionedTable.tableProperties(spark, mv)(
+      IncrementalView.SourceVersionProperty)
+    VersionedTable.append(spark, Seq((3L, "a", 3.0)).toDF("id", "g", "v"),
+      src)
+    assert(IncrementalView.refresh(spark, mv) > 0L)
+    val after = view(mv)
+    // simulate a crashed-then-retried refresh: roll the stamp back and
+    // run again — the writes are skipped at the stamped epoch, so the
+    // state cannot double-apply
+    VersionedTable.alterProperties(spark, mv, Map(
+      IncrementalView.SourceVersionProperty -> stampBefore))
+    IncrementalView.refresh(spark, mv)
+    assert(view(mv) === after)
+    assert(view(mv) === direct(src))
+    assert(VersionedTable.latest(spark, mv)._1 > v0)
+  }
+
+  test("multi-key grouping with null keys: null and 'null'-string " +
+      "groups stay distinct") {
+    val root = tmp()
+    val src = root + "/src"
+    val s2 = StructType(Seq(
+      StructField("id", LongType),
+      StructField("k1", StringType),
+      StructField("k2", StringType),
+      StructField("v", DoubleType)))
+    VersionedTable.create(spark, src, s2)
+    VersionedTable.alterProperties(spark, src,
+      Map(VersionedTable.CdcProperty -> "true"))
+    val mv = root + "/mv"
+    VersionedTable.append(spark, Seq(
+      (1L, Option("x"), Option("y"), Option(1.0)),
+      (2L, Option.empty[String], Option("y"), Option(2.0)),
+      (3L, Option("null"), Option("y"), Option(4.0)),
+      (4L, Option("x"), Option.empty[String], Option(8.0)))
+      .toDF("id", "k1", "k2", "v"), src)
+    IncrementalView.create(spark, src, mv, Seq("k1", "k2"), Seq("v"))
+    VersionedTable.append(spark, Seq(
+      (5L, Option.empty[String], Option("y"), Option(16.0)))
+      .toDF("id", "k1", "k2", "v"), src)
+    IncrementalView.refresh(spark, mv)
+    val got = IncrementalView.read(spark, mv)
+      .as[(Option[String], Option[String], Long, Long, Option[Double],
+        Option[Double])]
+      .collect().toSet
+    assert(got === Set(
+      (Some("x"), Some("y"), 1L, 1L, Some(1.0), Some(1.0)),
+      (None, Some("y"), 2L, 2L, Some(18.0), Some(9.0)),
+      (Some("null"), Some("y"), 1L, 1L, Some(4.0), Some(4.0)),
+      (Some("x"), None, 1L, 1L, Some(8.0), Some(8.0))))
+  }
+}
