@@ -108,24 +108,29 @@ object IncrementalView {
       SourceVersionProperty -> version.toString))
   }
 
-  /** Fold the source commits past the stamped version into the view via
-    * its CDF. Returns the number of source versions applied (0 = the
-    * view was already fresh; no commit is written).
-    */
-  def refresh(spark: SparkSession, view: String): Long = {
+  private case class Spec(source: String, keys: Seq[String],
+      measures: Seq[String], scale: Int, stampedVersion: Long)
+
+  private def specOf(spark: SparkSession, view: String): Spec = {
     val props = VersionedTable.tableProperties(spark, view)
     def prop(k: String): String = props.getOrElse(k,
       throw new IllegalArgumentException(
         s"$view is not an incremental view: missing table property $k"))
-    val source = prop(SourceProperty)
-    val keys = prop(KeysProperty).split(",").toSeq
-    val measures = prop(MeasuresProperty).split(",").toSeq
-    val scale = prop(ScaleProperty).toInt
-    val from = prop(SourceVersionProperty).toLong
-    val (cur, _) = VersionedTable.latest(spark, source)
-    if (cur <= from) return 0L
+    Spec(prop(SourceProperty), prop(KeysProperty).split(",").toSeq,
+      prop(MeasuresProperty).split(",").toSeq, prop(ScaleProperty).toInt,
+      prop(SourceVersionProperty).toLong)
+  }
 
-    val cdf = VersionedTable.readChangesCDF(spark, source, from, cur)
+  /** Fold one CDF frame (rows tagged `_change_type`) into the view state
+    * under idempotence epoch `epoch` — the shared core of the batch
+    * [[refresh]] and the streaming [[startMaintain]]. Additive state
+    * makes any partition of the feed into apply calls equivalent, as
+    * long as each call's rows are all from commits <= its epoch and the
+    * calls arrive in commit order (both maintainers guarantee it).
+    */
+  private def applyCdf(spark: SparkSession, view: String, spec: Spec,
+      cdf: DataFrame, epoch: Long): Unit = {
+    import spec.{keys, measures, scale}
     val sign = when(col(VersionedTable.ChangeTypeCol)
         .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
     // keep a group if ANY state component moved — an update that only
@@ -135,11 +140,7 @@ object IncrementalView {
         coalesce(col(sumCol(m)), lit(0).cast(DecimalType(38, scale))) =!= 0))
       .foldLeft(col(RowsCol) =!= 0L)(_ or _)
     val delta = stateOf(cdf, keys, measures, scale, sign).where(moved)
-    if (delta.isEmpty) {
-      VersionedTable.alterProperties(spark, view,
-        Map(SourceVersionProperty -> cur.toString))
-      return cur - from
-    }
+    if (delta.isEmpty) return
 
     // current state of ONLY the touched groups (semi join prunes the
     // view scan; AQE broadcasts the delta side when it is small)
@@ -168,18 +169,75 @@ object IncrementalView {
       .select(viewSchemaCols.map(col): _*)
     val dead = merged.where(col(RowsCol) <= 0L).select(KeyCol)
 
-    // writer-txn watermarks make a crashed-and-retried refresh
+    // writer-txn watermarks make a crashed-and-retried apply
     // exactly-once: a re-run recomputes against the already-updated
     // view, but its writes are skipped at the stamped epoch. Distinct
     // writer ids per op — they are independently idempotent.
     VersionedTable.upsert(spark, survivors, view, KeyCol,
-      txn = Some(("graft-mv-upsert", cur)))
+      txn = Some(("graft-mv-upsert", epoch)))
     if (!dead.isEmpty)
       VersionedTable.deleteByKeys(spark, view, dead,
-        txn = Some(("graft-mv-delete", cur)))
+        txn = Some(("graft-mv-delete", epoch)))
+  }
+
+  /** Fold the source commits past the stamped version into the view via
+    * its CDF. Returns the number of source versions applied (0 = the
+    * view was already fresh; no commit is written).
+    */
+  def refresh(spark: SparkSession, view: String): Long = {
+    val spec = specOf(spark, view)
+    val from = spec.stampedVersion
+    val (cur, _) = VersionedTable.latest(spark, spec.source)
+    if (cur <= from) return 0L
+    val cdf = VersionedTable.readChangesCDF(spark, spec.source, from, cur)
+    applyCdf(spark, view, spec, cdf, cur)
     VersionedTable.alterProperties(spark, view,
       Map(SourceVersionProperty -> cur.toString))
     cur - from
+  }
+
+  /** Continuous maintenance: the same fold, driven by the streaming
+    * change-data-feed source. Each micro-batch applies its signed delta
+    * under epoch = the batch's max `_commit_version`, so Structured
+    * Streaming's at-least-once foreachBatch replay cannot double-apply
+    * (same discipline as [[graft.streaming.VersionedSink.startReplicateCDF]]).
+    * The source-version stamp advances with each batch, so a later
+    * batch [[refresh]] continues from wherever the stream stopped.
+    *
+    * Single-maintainer contract: one maintainer (stream OR batch) at a
+    * time — the state read inside the fold must be the pre-apply
+    * snapshot.
+    */
+  def startMaintain(spark: SparkSession, view: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spec0 = specOf(spark, view)
+    spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true")
+      // exclusive: the stream begins at the first commit PAST the stamp
+      .option("startingVersion", spec0.stampedVersion.toString)
+      .load(spec0.source)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!b.isEmpty) {
+            val s = batch.sparkSession
+            val epoch = b.agg(max(col("_commit_version"))).head().getLong(0)
+            // re-read the spec each batch: the stamp moves under us
+            applyCdf(s, view, specOf(s, view), b, epoch)
+            VersionedTable.alterProperties(s, view,
+              Map(SourceVersionProperty -> epoch.toString))
+          }
+        } finally { b.unpersist(false); () }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
   }
 
   /** The view as a query result: group keys + per-measure `cnt_<m>` /

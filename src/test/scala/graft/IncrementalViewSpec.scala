@@ -124,6 +124,40 @@ class IncrementalViewSpec extends SparkTestBase {
     assert(VersionedTable.latest(spark, mv)._1 > v0)
   }
 
+  test("streaming maintainer: AvailableNow passes fold the feed to the " +
+      "same state as a from-scratch recompute, across restarts and " +
+      "row-level commits") {
+    val root = tmp()
+    val src = mkSource(root)
+    val mv = root + "/mv"
+    val ckpt = root + "/ckpt"
+    VersionedTable.append(spark,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.5))
+        .toDF("id", "g", "v"), src)
+    IncrementalView.create(spark, src, mv, Seq("g"), Seq("v"))
+
+    VersionedTable.append(spark,
+      Seq((4L, "c", 4.0), (5L, "a", 0.5)).toDF("id", "g", "v"), src)
+    VersionedTable.upsert(spark, Seq((2L, "b", -2.0)).toDF("id", "g", "v"),
+      src, "id")
+    val q1 = IncrementalView.startMaintain(spark, mv, ckpt)
+    q1.awaitTermination(120000)
+    assert(view(mv) === direct(src))
+
+    // restart from the same checkpoint after more commits, including a
+    // group-emptying delete
+    VersionedTable.delete(spark, src, col("g") === "c")
+    VersionedTable.append(spark, Seq((6L, "d", 6.0)).toDF("id", "g", "v"),
+      src)
+    val q2 = IncrementalView.startMaintain(spark, mv, ckpt)
+    q2.awaitTermination(120000)
+    assert(view(mv) === direct(src))
+    assert(!view(mv).exists(_._1 == "c"))
+
+    // the stamp advanced with the stream: a batch refresh now is a no-op
+    assert(IncrementalView.refresh(spark, mv) === 0L)
+  }
+
   test("multi-key grouping with null keys: null and 'null'-string " +
       "groups stay distinct") {
     val root = tmp()
