@@ -339,6 +339,18 @@ object SparkEntry {
         .orderBy("doc_id", "doc_id_2")
     }),
 
+    // ---- dedup: containment (overlap-coefficient) pairs ----
+    // |A∩B| / min(|A|,|B|) over the same shingle sets — the subset /
+    // quote detector: the truncated near-dups are token PREFIXES of
+    // their originals, so their shingles are a strict subset and
+    // containment is exactly 1.0 where Jaccard already dropped below
+    // 1. Same capped candidate core as d2; fully oracled.
+    "d10_containment" -> ((s, dir) => {
+      Dedup.blockedContainmentPairs(docsWithNearDups(s, dir), "doc_id",
+        "text", Seq("lang", "source"), threshold = 0.9)
+        .orderBy("doc_id", "doc_id_2")
+    }),
+
     // ---- dedup: SemDeDup (embedding-space clustering dedup) ----
     // k-means cells bound the pairwise-cosine term to Σ|cell|²; groups
     // from connected components, min id survives. Cells come from
@@ -1956,6 +1968,28 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
         |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+        |ORDER BY doc_id, doc_id_2""".stripMargin,
+
+    // same shingle sets, overlap-coefficient verifier:
+    // |A∩B| / min(|A|,|B|)
+    "d10_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(len(string_split_regex(trim(text), '\s+'))-5, 0)], ' '),
+        |    lang, source FROM documents
+        |), t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(range(greatest(len(string_split_regex(trim(text), '\s+'))-2, 1)),
+        |      i -> array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+3], ' '))) AS sh
+        |  FROM docs)
+        |SELECT a.doc_id AS doc_id, b.doc_id AS doc_id_2,
+        |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |    / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) AS sim
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |    / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.9
         |ORDER BY doc_id, doc_id_2""".stripMargin,
 
     // Sorted-neighborhood re-derived in DuckDB: the same normalized-

@@ -203,6 +203,53 @@ object GraftFunctions {
         l: Expression, r: Expression): JaccardLong = copy(left = l, right = r)
   }
 
+  /** Overlap (Szymkiewicz–Simpson) coefficient of two long arrays:
+    * |distinct(A) ∩ distinct(B)| / min(|distinct(A)|, |distinct(B)|) —
+    * equivalently max of the two directional containments, the measure
+    * that catches subset/quote inclusion where Jaccard stays low (a
+    * short doc fully quoted inside a long one has containment 1 but
+    * Jaccard |short|/|long|). 0.0 when either side is empty. Same
+    * sort-merge core and `assumeSorted` contract as [[JaccardLong]].
+    */
+  case class OverlapLong(left: Expression, right: Expression,
+      assumeSorted: Boolean = false)
+      extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      longArrayCheck(left, right)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_overlap"
+
+    private def sortedDistinct(a: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return a
+      java.util.Arrays.sort(a)
+      var n = 1
+      var i = 1
+      while (i < a.length) {
+        if (a(i) != a(n - 1)) { a(n) = a(i); n += 1 }
+        i += 1
+      }
+      if (n == a.length) a else java.util.Arrays.copyOf(a, n)
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val la = l.asInstanceOf[ArrayData].toLongArray()
+      val ra = r.asInstanceOf[ArrayData].toLongArray()
+      val a = if (assumeSorted) la else sortedDistinct(la)
+      val b = if (assumeSorted) ra else sortedDistinct(ra)
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      val den = math.min(a.length, b.length)
+      java.lang.Double.valueOf(
+        if (den == 0) 0.0 else inter.toDouble / den.toDouble)
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): OverlapLong = copy(left = l, right = r)
+  }
+
   /** Cosine similarity of two float/double arrays with sequential double
     * accumulation in index order and final `dot / (sqrt(na) * sqrt(nb))` —
     * bit-identical to a C++ loop over the same values (DuckDB
@@ -739,6 +786,18 @@ object GraftFunctions {
   /** Jaccard over arrays the caller has already sorted+deduped. */
   def jaccardSorted(a: Column, b: Column): Column =
     SparkShim.toColumn(JaccardLong(
+      SparkShim.toExpression(a), SparkShim.toExpression(b), assumeSorted = true))
+
+  /** Overlap coefficient (max directional containment; see
+    * [[OverlapLong]]).
+    */
+  def overlap(a: Column, b: Column): Column =
+    SparkShim.toColumn(OverlapLong(
+      SparkShim.toExpression(a), SparkShim.toExpression(b)))
+
+  /** Overlap over arrays the caller has already sorted+deduped. */
+  def overlapSorted(a: Column, b: Column): Column =
+    SparkShim.toColumn(OverlapLong(
       SparkShim.toExpression(a), SparkShim.toExpression(b), assumeSorted = true))
 
   /** Misra-Gries frequent-items aggregate (see [[FreqItems]]). */

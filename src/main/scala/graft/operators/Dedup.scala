@@ -187,6 +187,34 @@ object Dedup {
       .select(col(idCol), col(idCol + "_2"), col("sim"))
   }
 
+  /** Blocked CONTAINMENT near-dup pairs — the overlap coefficient
+    * |A∩B| / min(|A|,|B|) over token-`n`-gram shingle sets, i.e. the
+    * max of the two directional containments. This is the quote /
+    * subset detector Jaccard structurally misses: a short doc fully
+    * embedded in a long one scores |short|/|long| on Jaccard (→ 0 as
+    * the host grows) but 1.0 on containment. Same capped candidate
+    * core and once-per-doc shingle discipline as
+    * [[blockedShinglePairs]].
+    */
+  def blockedContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double, n: Int = 3,
+      maxBlockSize: Int = 2048, neighborhood: Int = 8,
+      snmPrefixLen: Int = 4): DataFrame = {
+    val key = substring(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""), 1, 30)
+    val cands = cappedBlockCandidates(df, idCol, key, blockCols,
+      maxBlockSize, neighborhood, snmPrefixLen)
+    val sigs = df.select(col(idCol), sort_array(array_distinct(
+      shingleHashes(TextAnalysis.tokens(col(textCol)), n))).as("__sh"))
+    cands.join(sigs, idCol)
+      .join(sigs.select(col(idCol).as(idCol + "_2"),
+        col("__sh").as("__sh2")), idCol + "_2")
+      .withColumn("sim", graft.functions.GraftFunctions
+        .overlapSorted(col("__sh"), col("__sh2")))
+      .where(col("sim") >= threshold)
+      .select(col(idCol), col(idCol + "_2"), col("sim"))
+  }
+
   /** The shared capped candidate core: id pairs (least-first) inside
     * `blockCols` blocks — EXHAUSTIVE for blocks up to `maxBlockSize`,
     * sorted-neighborhood (Hernández & Stolfo merge/purge) above it:

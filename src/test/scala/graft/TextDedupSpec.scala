@@ -219,6 +219,36 @@ class TextDedupSpec extends SparkTestBase {
     assert(snm.nonEmpty && snm.subsetOf(ids(Int.MaxValue)))
   }
 
+  test("containment pairs: token-prefix subset scores exactly 1.0 where " +
+      "Jaccard drops; overlap denominator is the smaller set") {
+    val host = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, host, "en", "s"),
+      // token prefix of 1 — shingle set is a strict subset
+      (2L, "alpha beta gamma delta epsilon", "en", "s"),
+      (3L, "unrelated words entirely different content here now", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pairs = Dedup.blockedContainmentPairs(corpus, "doc_id", "text",
+      Seq("lang", "source"), threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs === Set((1L, 2L, 1.0)))
+    // sanity: the same pair under Jaccard is 3/8 (3 shared of 8 + 3 - 3
+    // distinct shingles) — structurally below any useful threshold
+    val j = Dedup.blockedShinglePairs(corpus, "doc_id", "text",
+      Seq("lang", "source"), threshold = 0.0)
+      .where(col("doc_id") === 1L && col("doc_id_2") === 2L)
+      .select("sim").as[Double].head()
+    assert(math.abs(j - 3.0 / 8.0) < 1e-12)
+    // asymmetry folds: overlap(a,b) == overlap(b,a) == max containment
+    val ov = graft.functions.GraftFunctions.overlap _
+    val row = Seq((Array(1L, 2L, 3L), Array(2L, 3L, 4L, 5L)))
+      .toDF("a", "b")
+      .select(ov(col("a"), col("b")).as("ab"), ov(col("b"), col("a")).as("ba"),
+        ov(col("a"), typedLit(Array.empty[Long])).as("ae"))
+      .as[(Double, Double, Double)].head()
+    assert(row._1 === 2.0 / 3.0 && row._2 === 2.0 / 3.0 && row._3 === 0.0)
+  }
+
   test("capped blockedJaccardPairs emits only pairs the exhaustive form emits") {
     val corpus = spark.range(300).select(
       col("id").as("doc_id"),
