@@ -138,6 +138,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     dir.toString
   }
 
+  /** Warehouse location a NEW table of this name would occupy (the
+    * table need not exist yet — `CALL mv_create` materializes into it;
+    * once the commit protocol lands there the catalog lists it like
+    * any other table). The namespace must exist.
+    */
+  private[graft] def plannedTableLocation(ident: Identifier): String = {
+    val ns = nsPath(ident.namespace)
+    if (!fsys.exists(ns)) throw new NoSuchNamespaceException(ident.namespace)
+    tableDir(ident).toString
+  }
+
   // ---------- tables ----------
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

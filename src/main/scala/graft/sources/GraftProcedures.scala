@@ -21,6 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.vacuum('ns.t', retention_hours => 0)
   *   CALL graft.restore('ns.t', version => 3)
   *   CALL graft.materialize_field_ids('ns.t')
+  *   CALL graft.mv_create('ns.view', 'ns.t', keys => 'g', measures => 'v')
+  *   CALL graft.mv_refresh('ns.view')
   * }}}
   *
   * The `system` namespace is accepted too (`CALL graft.system.compact`).
@@ -34,7 +36,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   private val Names = Seq("compact", "vacuum", "restore",
-    "materialize_field_ids", "tag", "untag")
+    "materialize_field_ids", "tag", "untag", "mv_create", "mv_refresh")
 
   private[sources] def list(namespace: Array[String]): Array[Identifier] =
     Names.map(n => Identifier.of(namespace, n)).toArray
@@ -52,6 +54,8 @@ object GraftProcedures {
       case "materialize_field_ids" => Some(MaterializeFieldIdsProcedure(owner))
       case "tag" => Some(TagProcedure(owner))
       case "untag" => Some(UntagProcedure(owner))
+      case "mv_create" => Some(MvCreateProcedure(owner))
+      case "mv_refresh" => Some(MvRefreshProcedure(owner))
       case _ => None
     }
 
@@ -88,7 +92,11 @@ object GraftProcedures {
 
     protected def tablePath(input: InternalRow): String = {
       require(!input.isNullAt(0), "table must not be null")
-      val name = input.getUTF8String(0).toString
+      resolveName(input.getUTF8String(0).toString)
+    }
+
+    /** The same resolution for any name-typed argument. */
+    protected def resolveName(name: String): String = {
       if (name.contains('/'))
         return name
       val spark = SparkSession.active
@@ -215,6 +223,71 @@ object GraftProcedures {
       val numFiles = if (input.isNullAt(1)) 4 else input.getInt(1)
       val v = VersionedTable.materializeFieldIds(spark, path, numFiles)
       oneRow(StructType(Seq(StructField("version", LongType))), v)
+    }
+  }
+
+  /** `CALL graft.mv_create('ns.view', 'ns.src', keys => 'g',
+    * measures => 'v')` — materialize an incremental rollup view
+    * ([[graft.operators.IncrementalView]]) of `source` grouped by the
+    * comma-separated `keys` with decimal-exact sum/count state per
+    * comma-separated measure. The view name may be a raw path or an
+    * identifier in the owning catalog (it need not exist — the commit
+    * protocol lands at its warehouse location and the catalog lists it
+    * from then on). Returns the source version the view reflects.
+    */
+  private case class MvCreateProcedure(owner: GraftCatalog)
+      extends MaintenanceProcedure {
+    override def name(): String = "mv_create"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("view", StringType),
+      param("source", StringType),
+      param("keys", StringType),
+      param("measures", StringType),
+      param("scale", IntegerType, "2"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      require(!input.isNullAt(0), "view must not be null")
+      val viewName = input.getUTF8String(0).toString
+      val view =
+        if (viewName.contains('/')) viewName
+        else {
+          val parts = spark.sessionState.sqlParser
+            .parseMultipartIdentifier(viewName)
+          owner.plannedTableLocation(
+            Identifier.of(parts.init.toArray, parts.last))
+        }
+      require(!input.isNullAt(1), "source must not be null")
+      val source = resolveName(input.getUTF8String(1).toString)
+      def csv(i: Int, what: String): Seq[String] = {
+        require(!input.isNullAt(i), s"$what must not be null")
+        input.getUTF8String(i).toString.split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      }
+      val scale = if (input.isNullAt(4)) 2 else input.getInt(4)
+      graft.operators.IncrementalView.create(spark, source, view,
+        csv(2, "keys"), csv(3, "measures"), scale)
+      val stamped = VersionedTable.tableProperties(spark, view)(
+        graft.operators.IncrementalView.SourceVersionProperty).toLong
+      oneRow(StructType(Seq(StructField("source_version", LongType))),
+        stamped)
+    }
+  }
+
+  /** `CALL graft.mv_refresh('ns.view')` — fold the source commits past
+    * the view's stamp into it via the change-data-feed. Returns the
+    * number of source versions applied (0 = already fresh).
+    */
+  private case class MvRefreshProcedure(owner: GraftCatalog)
+      extends MaintenanceProcedure {
+    override def name(): String = "mv_refresh"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("view", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = tablePath(input)
+      val applied = graft.operators.IncrementalView.refresh(spark, path)
+      oneRow(StructType(Seq(StructField("versions_applied", LongType))),
+        applied)
     }
   }
 }

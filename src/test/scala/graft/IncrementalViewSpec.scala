@@ -158,6 +158,37 @@ class IncrementalViewSpec extends SparkTestBase {
     assert(IncrementalView.refresh(spark, mv) === 0L)
   }
 
+  test("SQL surface: CALL mv_create / mv_refresh maintain a catalog " +
+      "view the catalog then lists and serves") {
+    val wh = java.nio.file.Files.createTempDirectory("mv_wh").toString
+    spark.conf.set("spark.sql.catalog.gmv",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
+    spark.sql("CREATE TABLE gmv.ns.src (id BIGINT, g STRING, v DOUBLE) " +
+      s"TBLPROPERTIES ('${VersionedTable.CdcProperty}'='true')")
+    spark.sql("INSERT INTO gmv.ns.src VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    val created = spark.sql(
+      "CALL gmv.mv_create('ns.src_by_g', 'ns.src', keys => 'g', " +
+        "measures => 'v')").as[Long].head()
+    assert(created >= 1L)
+    spark.sql("INSERT INTO gmv.ns.src VALUES (3, 'a', 3.5)")
+    spark.sql("DELETE FROM gmv.ns.src WHERE id = 2")
+    val applied = spark.sql("CALL gmv.mv_refresh('ns.src_by_g')")
+      .as[Long].head()
+    assert(applied >= 1L)
+    // the view is a real catalog table now
+    assert(spark.sql("SHOW TABLES IN gmv.ns").collect()
+      .map(_.getString(1)).contains("src_by_g"))
+    assert(IncrementalView.read(spark, s"$wh/ns/src_by_g")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().toSet ===
+      Set(("a", 2L, 2L, Some(4.5), Some(2.25))))
+    // fresh view: zero versions applied
+    assert(spark.sql("CALL gmv.mv_refresh('ns.src_by_g')")
+      .as[Long].head() === 0L)
+  }
+
   test("multi-key grouping with null keys: null and 'null'-string " +
       "groups stay distinct") {
     val root = tmp()
