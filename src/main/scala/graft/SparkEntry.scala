@@ -1467,6 +1467,32 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- lake: incremental MV with an EXPRESSION key ----
+    // The canonical time-bucketed rollup (a5's hour-of-day aggregate)
+    // maintained incrementally: the group key is `hour(ts)` computed
+    // per changed row at delta time, never from a rescan.
+    "mv2_hourly_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
+        col("value"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv2").toString
+      val src = root + "/src"
+      val mv = root + "/mv"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, src, StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("value", DoubleType))))
+      vt.alterProperties(s, src, Map(vt.CdcProperty -> "true"))
+      vt.append(s, ev.where(col("event_id") % 2 === 0), src)
+      IncrementalView.create(s, src, mv,
+        Seq("hour_of_day=hour(ts)"), Seq("value"))
+      vt.append(s, ev.where(col("event_id") % 2 === 1), src)
+      vt.delete(s, src, col("event_id") % 7 === 3)
+      IncrementalView.refresh(s, mv)
+      IncrementalView.read(s, mv).orderBy("hour_of_day")
+    }),
+
     // ---- lake: time travel (version-as-of read) ----
     // Three commits land on a versioned table (append evens, append
     // odds, delete a slice); reading AS OF version 1 reproduces the
@@ -2259,6 +2285,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(value) AS avg_value
         |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // expression-keyed MV vs direct hour-of-day recompute of the final
+    // logical state (evens+odds appended, event_id%7=3 deleted)
+    "mv2_hourly_rollup" ->
+      """WITH final AS (
+        |  SELECT ts, value FROM events WHERE event_id % 7 <> 3)
+        |SELECT CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour_of_day,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(value) AS cnt_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(value) AS avg_value
+        |FROM final GROUP BY hour_of_day ORDER BY hour_of_day""".stripMargin,
 
     // version-as-of 1 == the first commit's content (the even docs),
     // regardless of the append and delete that followed

@@ -61,29 +61,53 @@ object IncrementalView {
 
   private val Sep = "\u0001"
 
-  private def syntheticKey(keys: Seq[String]): Column =
-    keys.map(k => coalesce(concat(lit("v"), col(k).cast("string")),
-        lit("n")))
-      .reduce((a, b) => concat(a, lit(Sep), b))
+  /** A key or measure spec is `name` (a source column) or `name=expr`
+    * (any deterministic SQL expression over a source row — e.g.
+    * `bucket_hour=hour(ts)` makes the time-bucketed rollup, THE
+    * canonical materialized view). Specs are `;`-separated in the
+    * table properties, hence the separator ban.
+    */
+  private[operators] def parseSpecs(
+      specs: Seq[String]): Seq[(String, Column)] =
+    specs.map { s =>
+      require(!s.contains(";"),
+        s"view key/measure '$s' must not contain ';' (property separator)")
+      s.split("=", 2) match {
+        case Array(name) => name.trim -> col(name.trim)
+        case Array(name, e) => name.trim -> expr(e.trim)
+      }
+    }
+
+  private def syntheticKey(keys: Seq[(String, Column)]): Column =
+    keys.map { case (_, k) =>
+      coalesce(concat(lit("v"), k.cast("string")), lit("n"))
+    }.reduce((a, b) => concat(a, lit(Sep), b))
 
   /** Signed aggregate state of `rows` (sign = +1 for a snapshot; the
     * CDF sign column for a delta). One shuffle on the group key.
+    * Key/measure expressions evaluate per input row BEFORE grouping, so
+    * a CDF delta computes them on exactly the changed rows.
     */
-  private def stateOf(rows: DataFrame, keys: Seq[String],
-      measures: Seq[String], scale: Int, sign: Column): DataFrame = {
+  private def stateOf(rows: DataFrame, keys: Seq[(String, Column)],
+      measures: Seq[(String, Column)], scale: Int,
+      sign: Column): DataFrame = {
     val aggs =
       sum(sign).cast(LongType).as(RowsCol) +:
-        measures.flatMap { m =>
-          val v = col(m).cast(DecimalType(38, scale))
+        measures.flatMap { case (m, mc) =>
+          val v = mc.cast(DecimalType(38, scale))
           Seq(
             sum(when(sign < 0, -v).otherwise(v)).cast(DecimalType(38, scale))
               .as(sumCol(m)),
-            sum(when(col(m).isNotNull, sign).otherwise(lit(0L)))
+            sum(when(mc.isNotNull, sign).otherwise(lit(0L)))
               .cast(LongType).as(nCol(m)))
         }
-    rows
-      .withColumn(KeyCol, syntheticKey(keys))
-      .groupBy(col(KeyCol) +: keys.map(col): _*)
+    val withKeys = keys.foldLeft(rows) { case (df, (name, k)) =>
+      df.withColumn(name, k)
+    }
+    withKeys
+      .withColumn(KeyCol, syntheticKey(keys.map { case (n, _) =>
+        n -> col(n) }))
+      .groupBy(col(KeyCol) +: keys.map { case (n, _) => col(n) }: _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 
@@ -97,13 +121,14 @@ object IncrementalView {
     require(measures.nonEmpty, "incremental view needs at least one measure")
     val (version, _) = VersionedTable.latest(spark, source)
     val snap = VersionedTable.read(spark, source)
-    val state = stateOf(snap, keys, measures, scale, lit(1L))
+    val state = stateOf(snap, parseSpecs(keys), parseSpecs(measures),
+      scale, lit(1L))
     VersionedTable.create(spark, view, state.schema)
     VersionedTable.append(spark, state, view)
     VersionedTable.alterProperties(spark, view, Map(
       SourceProperty -> source,
-      KeysProperty -> keys.mkString(","),
-      MeasuresProperty -> measures.mkString(","),
+      KeysProperty -> keys.mkString(";"),
+      MeasuresProperty -> measures.mkString(";"),
       ScaleProperty -> scale.toString,
       SourceVersionProperty -> version.toString))
   }
@@ -116,8 +141,8 @@ object IncrementalView {
     def prop(k: String): String = props.getOrElse(k,
       throw new IllegalArgumentException(
         s"$view is not an incremental view: missing table property $k"))
-    Spec(prop(SourceProperty), prop(KeysProperty).split(",").toSeq,
-      prop(MeasuresProperty).split(",").toSeq, prop(ScaleProperty).toInt,
+    Spec(prop(SourceProperty), prop(KeysProperty).split(";").toSeq,
+      prop(MeasuresProperty).split(";").toSeq, prop(ScaleProperty).toInt,
       prop(SourceVersionProperty).toLong)
   }
 
@@ -130,7 +155,11 @@ object IncrementalView {
     */
   private def applyCdf(spark: SparkSession, view: String, spec: Spec,
       cdf: DataFrame, epoch: Long): Unit = {
-    import spec.{keys, measures, scale}
+    import spec.scale
+    val keySpecs = parseSpecs(spec.keys)
+    val measureSpecs = parseSpecs(spec.measures)
+    val keys = keySpecs.map(_._1)
+    val measures = measureSpecs.map(_._1)
     val sign = when(col(VersionedTable.ChangeTypeCol)
         .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
     // keep a group if ANY state component moved — an update that only
@@ -139,7 +168,8 @@ object IncrementalView {
       .flatMap(m => Seq(col(nCol(m)) =!= 0L,
         coalesce(col(sumCol(m)), lit(0).cast(DecimalType(38, scale))) =!= 0))
       .foldLeft(col(RowsCol) =!= 0L)(_ or _)
-    val delta = stateOf(cdf, keys, measures, scale, sign).where(moved)
+    val delta = stateOf(cdf, keySpecs, measureSpecs, scale, sign)
+      .where(moved)
     if (delta.isEmpty) return
 
     // current state of ONLY the touched groups (semi join prunes the
@@ -247,8 +277,9 @@ object IncrementalView {
     */
   def read(spark: SparkSession, view: String): DataFrame = {
     val props = VersionedTable.tableProperties(spark, view)
-    val keys = props(KeysProperty).split(",").toSeq
-    val measures = props(MeasuresProperty).split(",").toSeq
+    val keys = props(KeysProperty).split(";").toSeq.map(_.split("=", 2)(0).trim)
+    val measures = props(MeasuresProperty).split(";").toSeq
+      .map(_.split("=", 2)(0).trim)
     val out =
       keys.map(col) ++ Seq(col(RowsCol).as("n_rows")) ++
         measures.flatMap { m =>

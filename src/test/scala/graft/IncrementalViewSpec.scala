@@ -189,6 +189,35 @@ class IncrementalViewSpec extends SparkTestBase {
       .as[Long].head() === 0L)
   }
 
+  test("expression keys and measures: name=expr specs evaluate per " +
+      "changed row at delta time") {
+    val root = tmp()
+    val src = mkSource(root)
+    val mv = root + "/mv"
+    VersionedTable.append(spark, Seq(
+      (10L, "a", 1.0), (11L, "a", 2.0), (25L, "b", 4.0))
+      .toDF("id", "g", "v"), src)
+    // key: id decade; measure: doubled value — both expressions
+    IncrementalView.create(spark, src, mv,
+      Seq("decade=CAST(id / 10 AS BIGINT)"), Seq("v2=v * 2"))
+    VersionedTable.append(spark, Seq((26L, "c", 8.0)).toDF("id", "g", "v"),
+      src)
+    VersionedTable.delete(spark, src, col("id") === 11L)
+    IncrementalView.refresh(spark, mv)
+    val got = IncrementalView.read(spark, mv).orderBy("decade")
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 1L, Some(2.0), Some(2.0)),
+      (2L, 2L, 2L, Some(24.0), Some(12.0))))
+    // a ';' in a spec is refused loudly (property separator)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.create(spark, src, root + "/mv_bad",
+        Seq("k=substr(g, 1, 1); drop"), Seq("v"))
+    }
+    assert(e.getMessage.contains(";"))
+  }
+
   test("multi-key grouping with null keys: null and 'null'-string " +
       "groups stay distinct") {
     val root = tmp()
