@@ -1493,6 +1493,29 @@ object SparkEntry {
       IncrementalView.read(s, mv).orderBy("hour_of_day")
     }),
 
+    // ---- lake: incremental MV with min/max measures (append-only) ----
+    // Extremes fold forward (least/greatest merge) — maintainable only
+    // while the feed is inserts; the operator refuses row-level windows.
+    "mv3_minmax_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), col("value"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv3").toString
+      val src = root + "/src"
+      val mv = root + "/mv"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, src, StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      vt.append(s, ev.where(col("event_id") % 2 === 0), src)
+      IncrementalView.create(s, src, mv, Seq("event_type"), Seq("value"),
+        minmax = Seq("value"))
+      vt.append(s, ev.where(col("event_id") % 2 === 1), src)
+      IncrementalView.refresh(s, mv)
+      IncrementalView.read(s, mv).orderBy("event_type")
+    }),
+
     // ---- lake: time travel (version-as-of read) ----
     // Three commits land on a versioned table (append evens, append
     // odds, delete a slice); reading AS OF version 1 reproduces the
@@ -2297,6 +2320,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(value) AS avg_value
         |FROM final GROUP BY hour_of_day ORDER BY hour_of_day""".stripMargin,
+
+    // min/max fold across two appends == direct extremes over the table
+    "mv3_minmax_rollup" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(value) AS cnt_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+        |  MIN(value) AS min_value,
+        |  MAX(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // version-as-of 1 == the first commit's content (the even docs),
     // regardless of the append and delete that followed

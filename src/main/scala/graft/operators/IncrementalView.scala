@@ -18,7 +18,10 @@ import graft.sources.VersionedTable
   *   - `_mv_rows`  — signed row count of the group,
   *   - `_mv_sum_<m>` — exact DECIMAL(38, scale) sum per measure,
   *   - `_mv_n_<m>`   — non-null count per measure (so AVG is derivable
-  *     with SQL semantics: sum over non-null / count of non-null).
+  *     with SQL semantics: sum over non-null / count of non-null),
+  *   - `_mv_min_<m>` / `_mv_max_<m>` — optional extremes, maintainable
+  *     only under APPEND-ONLY feeds (a delete may remove the extreme;
+  *     such a window fails loudly).
   *
   * Decimal sums make maintenance EXACT: decimal addition is associative
   * and commutative, so folding the feed's signed deltas (+1 for
@@ -48,6 +51,7 @@ object IncrementalView {
   val SourceProperty = "graft.mv.source"
   val KeysProperty = "graft.mv.keys"
   val MeasuresProperty = "graft.mv.measures"
+  val MinMaxProperty = "graft.mv.minmax"
   val ScaleProperty = "graft.mv.scale"
   val SourceVersionProperty = "graft.mv.source.version"
 
@@ -58,6 +62,8 @@ object IncrementalView {
   val RowsCol = "_mv_rows"
   def sumCol(m: String): String = s"_mv_sum_$m"
   def nCol(m: String): String = s"_mv_n_$m"
+  def minCol(m: String): String = s"_mv_min_$m"
+  def maxCol(m: String): String = s"_mv_max_$m"
 
   private val Sep = "\u0001"
 
@@ -89,10 +95,10 @@ object IncrementalView {
     * a CDF delta computes them on exactly the changed rows.
     */
   private def stateOf(rows: DataFrame, keys: Seq[(String, Column)],
-      measures: Seq[(String, Column)], scale: Int,
-      sign: Column): DataFrame = {
+      measures: Seq[(String, Column)], minmax: Seq[(String, Column)],
+      scale: Int, sign: Column): DataFrame = {
     val aggs =
-      sum(sign).cast(LongType).as(RowsCol) +:
+      (sum(sign).cast(LongType).as(RowsCol) +:
         measures.flatMap { case (m, mc) =>
           val v = mc.cast(DecimalType(38, scale))
           Seq(
@@ -100,6 +106,9 @@ object IncrementalView {
               .as(sumCol(m)),
             sum(when(mc.isNotNull, sign).otherwise(lit(0L)))
               .cast(LongType).as(nCol(m)))
+        }) ++
+        minmax.flatMap { case (m, mc) =>
+          Seq(min(mc).as(minCol(m)), max(mc).as(maxCol(m)))
         }
     val withKeys = keys.foldLeft(rows) { case (df, (name, k)) =>
       df.withColumn(name, k)
@@ -115,34 +124,49 @@ object IncrementalView {
     * the source version it reflects. One source scan — the last one the
     * view will ever need.
     */
+  /** @param minmax extra MIN/MAX-maintained measures. Min/max are not
+    *   delta-maintainable under deletes or updates (the removed row may
+    *   have BEEN the extreme), so a view carrying them accepts
+    *   APPEND-ONLY feeds — a refresh over a window containing row-level
+    *   commits fails loudly (resync by recreating the view).
+    */
   def create(spark: SparkSession, source: String, view: String,
-      keys: Seq[String], measures: Seq[String], scale: Int = 2): Unit = {
+      keys: Seq[String], measures: Seq[String], scale: Int = 2,
+      minmax: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty, "incremental view needs at least one group key")
-    require(measures.nonEmpty, "incremental view needs at least one measure")
+    require(measures.nonEmpty || minmax.nonEmpty,
+      "incremental view needs at least one measure")
     val (version, _) = VersionedTable.latest(spark, source)
     val snap = VersionedTable.read(spark, source)
     val state = stateOf(snap, parseSpecs(keys), parseSpecs(measures),
-      scale, lit(1L))
+      parseSpecs(minmax), scale, lit(1L))
     VersionedTable.create(spark, view, state.schema)
     VersionedTable.append(spark, state, view)
     VersionedTable.alterProperties(spark, view, Map(
       SourceProperty -> source,
       KeysProperty -> keys.mkString(";"),
       MeasuresProperty -> measures.mkString(";"),
+      MinMaxProperty -> minmax.mkString(";"),
       ScaleProperty -> scale.toString,
       SourceVersionProperty -> version.toString))
   }
 
   private case class Spec(source: String, keys: Seq[String],
-      measures: Seq[String], scale: Int, stampedVersion: Long)
+      measures: Seq[String], minmax: Seq[String], scale: Int,
+      stampedVersion: Long)
+
+  private def splitSpecs(s: String): Seq[String] =
+    s.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
 
   private def specOf(spark: SparkSession, view: String): Spec = {
     val props = VersionedTable.tableProperties(spark, view)
     def prop(k: String): String = props.getOrElse(k,
       throw new IllegalArgumentException(
         s"$view is not an incremental view: missing table property $k"))
-    Spec(prop(SourceProperty), prop(KeysProperty).split(";").toSeq,
-      prop(MeasuresProperty).split(";").toSeq, prop(ScaleProperty).toInt,
+    Spec(prop(SourceProperty), splitSpecs(prop(KeysProperty)),
+      splitSpecs(prop(MeasuresProperty)),
+      splitSpecs(props.getOrElse(MinMaxProperty, "")),
+      prop(ScaleProperty).toInt,
       prop(SourceVersionProperty).toLong)
   }
 
@@ -158,18 +182,30 @@ object IncrementalView {
     import spec.scale
     val keySpecs = parseSpecs(spec.keys)
     val measureSpecs = parseSpecs(spec.measures)
+    val minmaxSpecs = parseSpecs(spec.minmax)
     val keys = keySpecs.map(_._1)
     val measures = measureSpecs.map(_._1)
+    val minmax = minmaxSpecs.map(_._1)
+    // min/max state only folds forward: a delete/update may remove the
+    // extreme, which no per-group delta can repair — refuse the window
+    if (minmax.nonEmpty &&
+        !cdf.where(col(VersionedTable.ChangeTypeCol) =!= "insert").isEmpty)
+      throw new UnsupportedOperationException(
+        s"view $view carries min/max state, which is append-only " +
+          "maintainable; the feed window contains row-level commits — " +
+          "recreate the view from the current snapshot instead")
     val sign = when(col(VersionedTable.ChangeTypeCol)
         .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
     // keep a group if ANY state component moved — an update that only
-    // changes a value nets rows=0 and n=0 but a nonzero sum delta
+    // changes a value nets rows=0 and n=0 but a nonzero sum delta.
+    // (min/max groups always arrive with rows>0: the feed is inserts-
+    // only when minmax is present.)
     val moved = measures
       .flatMap(m => Seq(col(nCol(m)) =!= 0L,
         coalesce(col(sumCol(m)), lit(0).cast(DecimalType(38, scale))) =!= 0))
       .foldLeft(col(RowsCol) =!= 0L)(_ or _)
-    val delta = stateOf(cdf, keySpecs, measureSpecs, scale, sign)
-      .where(moved)
+    val delta = stateOf(cdf, keySpecs, measureSpecs, minmaxSpecs, scale,
+      sign).where(moved)
     if (delta.isEmpty) return
 
     // current state of ONLY the touched groups (semi join prunes the
@@ -189,6 +225,14 @@ object IncrementalView {
               .cast(DecimalType(38, scale)).as(sumCol(m)),
             (coalesce(col(s"c.${nCol(m)}"), lit(0L)) +
               col(s"d.${nCol(m)}")).as(nCol(m)))
+        } ++
+        minmax.flatMap { m =>
+          // least/greatest skip nulls (all-null => null) — exactly the
+          // merge of two partial extremes
+          Seq(least(col(s"c.${minCol(m)}"), col(s"d.${minCol(m)}"))
+              .as(minCol(m)),
+            greatest(col(s"c.${maxCol(m)}"), col(s"d.${maxCol(m)}"))
+              .as(maxCol(m)))
         }
     val merged = delta.alias("d")
       .join(curState.alias("c"), Seq(KeyCol), "left_outer")
@@ -277,9 +321,11 @@ object IncrementalView {
     */
   def read(spark: SparkSession, view: String): DataFrame = {
     val props = VersionedTable.tableProperties(spark, view)
-    val keys = props(KeysProperty).split(";").toSeq.map(_.split("=", 2)(0).trim)
-    val measures = props(MeasuresProperty).split(";").toSeq
-      .map(_.split("=", 2)(0).trim)
+    def names(p: String): Seq[String] =
+      splitSpecs(props.getOrElse(p, "")).map(_.split("=", 2)(0).trim)
+    val keys = names(KeysProperty)
+    val measures = names(MeasuresProperty)
+    val minmax = names(MinMaxProperty)
     val out =
       keys.map(col) ++ Seq(col(RowsCol).as("n_rows")) ++
         measures.flatMap { m =>
@@ -288,6 +334,9 @@ object IncrementalView {
           Seq(n.as(s"cnt_$m"),
             when(n > 0L, s).as(s"sum_$m"),
             when(n > 0L, s / n).as(s"avg_$m"))
+        } ++
+        minmax.flatMap { m =>
+          Seq(col(minCol(m)).as(s"min_$m"), col(maxCol(m)).as(s"max_$m"))
         }
     VersionedTable.read(spark, view).select(out: _*)
   }

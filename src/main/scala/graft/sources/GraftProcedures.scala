@@ -243,7 +243,8 @@ object GraftProcedures {
       param("source", StringType),
       param("keys", StringType),
       param("measures", StringType),
-      param("scale", IntegerType, "2"))
+      param("scale", IntegerType, "2"),
+      param("minmax", StringType, "NULL"))
     override def call(input: InternalRow): JIterator[Scan] = {
       val spark = SparkSession.active
       require(!input.isNullAt(0), "view must not be null")
@@ -258,14 +259,20 @@ object GraftProcedures {
         }
       require(!input.isNullAt(1), "source must not be null")
       val source = resolveName(input.getUTF8String(1).toString)
-      def csv(i: Int, what: String): Seq[String] = {
+      // ';'-separated like the operator's property encoding — a
+      // name=expr spec may itself contain commas (e.g. 'b=round(v, 1)')
+      def specList(i: Int, what: String): Seq[String] = {
         require(!input.isNullAt(i), s"$what must not be null")
-        input.getUTF8String(i).toString.split(',').toSeq
+        input.getUTF8String(i).toString.split(';').toSeq
           .map(_.trim).filter(_.nonEmpty)
       }
       val scale = if (input.isNullAt(4)) 2 else input.getInt(4)
+      val minmax =
+        if (input.isNullAt(5)) Nil
+        else input.getUTF8String(5).toString.split(';').toSeq
+          .map(_.trim).filter(_.nonEmpty)
       graft.operators.IncrementalView.create(spark, source, view,
-        csv(2, "keys"), csv(3, "measures"), scale)
+        specList(2, "keys"), specList(3, "measures"), scale, minmax)
       val stamped = VersionedTable.tableProperties(spark, view)(
         graft.operators.IncrementalView.SourceVersionProperty).toLong
       oneRow(StructType(Seq(StructField("source_version", LongType))),

@@ -218,6 +218,37 @@ class IncrementalViewSpec extends SparkTestBase {
     assert(e.getMessage.contains(";"))
   }
 
+  test("min/max measures fold forward under appends and refuse " +
+      "row-level windows loudly") {
+    val root = tmp()
+    val src = mkSource(root)
+    val mv = root + "/mv"
+    VersionedTable.append(spark, Seq(
+      (1L, "a", Option(3.0)), (2L, "a", Option(1.5)),
+      (3L, "b", Option.empty[Double])).toDF("id", "g", "v"), src)
+    IncrementalView.create(spark, src, mv, Seq("g"), Seq("v"),
+      minmax = Seq("v"))
+    VersionedTable.append(spark, Seq(
+      (4L, "a", Option(9.0)), (5L, "b", Option(-2.0)))
+      .toDF("id", "g", "v"), src)
+    IncrementalView.refresh(spark, mv)
+    val got = IncrementalView.read(spark, mv).orderBy("g")
+      .select("g", "min_v", "max_v")
+      .as[(String, Option[Double], Option[Double])].collect().toSeq
+    assert(got === Seq(
+      ("a", Some(1.5), Some(9.0)),
+      ("b", Some(-2.0), Some(-2.0))))
+    // a delete in the window is refused with guidance, state unchanged
+    VersionedTable.delete(spark, src, col("id") === 4L)
+    val e = intercept[UnsupportedOperationException] {
+      IncrementalView.refresh(spark, mv)
+    }
+    assert(e.getMessage.contains("append-only"))
+    assert(IncrementalView.read(spark, mv).orderBy("g")
+      .select("g", "min_v", "max_v")
+      .as[(String, Option[Double], Option[Double])].collect().toSeq === got)
+  }
+
   test("multi-key grouping with null keys: null and 'null'-string " +
       "groups stay distinct") {
     val root = tmp()
