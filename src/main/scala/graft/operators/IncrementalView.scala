@@ -73,19 +73,20 @@ object IncrementalView {
     * canonical materialized view). Specs are `;`-separated in the
     * table properties, hence the separator ban.
     */
+  /** (alias, column, isExpression) per spec. */
   private[operators] def parseSpecs(
-      specs: Seq[String]): Seq[(String, Column)] =
+      specs: Seq[String]): Seq[(String, Column, Boolean)] =
     specs.map { s =>
       require(!s.contains(";"),
         s"view key/measure '$s' must not contain ';' (property separator)")
       s.split("=", 2) match {
-        case Array(name) => name.trim -> col(name.trim)
-        case Array(name, e) => name.trim -> expr(e.trim)
+        case Array(name) => (name.trim, col(name.trim), false)
+        case Array(name, e) => (name.trim, expr(e.trim), true)
       }
     }
 
-  private def syntheticKey(keys: Seq[(String, Column)]): Column =
-    keys.map { case (_, k) =>
+  private def syntheticKey(keys: Seq[Column]): Column =
+    keys.map { k =>
       coalesce(concat(lit("v"), k.cast("string")), lit("n"))
     }.reduce((a, b) => concat(a, lit(Sep), b))
 
@@ -94,12 +95,13 @@ object IncrementalView {
     * Key/measure expressions evaluate per input row BEFORE grouping, so
     * a CDF delta computes them on exactly the changed rows.
     */
-  private def stateOf(rows: DataFrame, keys: Seq[(String, Column)],
-      measures: Seq[(String, Column)], minmax: Seq[(String, Column)],
+  private def stateOf(rows: DataFrame, keys: Seq[(String, Column, Boolean)],
+      measures: Seq[(String, Column, Boolean)],
+      minmax: Seq[(String, Column, Boolean)],
       scale: Int, sign: Column): DataFrame = {
     val aggs =
       (sum(sign).cast(LongType).as(RowsCol) +:
-        measures.flatMap { case (m, mc) =>
+        measures.flatMap { case (m, mc, _) =>
           val v = mc.cast(DecimalType(38, scale))
           Seq(
             sum(when(sign < 0, -v).otherwise(v)).cast(DecimalType(38, scale))
@@ -107,24 +109,31 @@ object IncrementalView {
             sum(when(mc.isNotNull, sign).otherwise(lit(0L)))
               .cast(LongType).as(nCol(m)))
         }) ++
-        minmax.flatMap { case (m, mc) =>
+        minmax.flatMap { case (m, mc, _) =>
           Seq(min(mc).as(minCol(m)), max(mc).as(maxCol(m)))
         }
-    val withKeys = keys.foldLeft(rows) { case (df, (name, k)) =>
+    // an expression key materializes under its alias BEFORE grouping;
+    // refuse an alias that shadows a source column — measures evaluate
+    // over the same frame and would silently read the replaced value
+    keys.foreach { case (name, _, isExpr) =>
+      require(!isExpr || !rows.columns.contains(name),
+        s"expression key alias '$name' shadows a source column — " +
+          "pick a fresh alias")
+    }
+    val withKeys = keys.foldLeft(rows) { case (df, (name, k, _)) =>
       df.withColumn(name, k)
     }
     withKeys
-      .withColumn(KeyCol, syntheticKey(keys.map { case (n, _) =>
-        n -> col(n) }))
-      .groupBy(col(KeyCol) +: keys.map { case (n, _) => col(n) }: _*)
+      .withColumn(KeyCol, syntheticKey(keys.map { case (n, _, _) => col(n) }))
+      .groupBy(col(KeyCol) +: keys.map { case (n, _, _) => col(n) }: _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Materialize the view from the source's CURRENT snapshot and stamp
     * the source version it reflects. One source scan — the last one the
     * view will ever need.
-    */
-  /** @param minmax extra MIN/MAX-maintained measures. Min/max are not
+    *
+    * @param minmax extra MIN/MAX-maintained measures. Min/max are not
     *   delta-maintainable under deletes or updates (the removed row may
     *   have BEEN the extreme), so a view carrying them accepts
     *   APPEND-ONLY feeds — a refresh over a window containing row-level

@@ -216,6 +216,13 @@ class IncrementalViewSpec extends SparkTestBase {
         Seq("k=substr(g, 1, 1); drop"), Seq("v"))
     }
     assert(e.getMessage.contains(";"))
+    // an expression key alias shadowing a source column is refused —
+    // measures would silently read the replaced value
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalView.create(spark, src, root + "/mv_bad2",
+        Seq("g=upper(g)"), Seq("v"))
+    }
+    assert(e2.getMessage.contains("shadows"))
   }
 
   test("min/max measures fold forward under appends and refuse " +
