@@ -256,6 +256,47 @@ class IncrementalViewSpec extends SparkTestBase {
       .as[(String, Option[Double], Option[Double])].collect().toSeq === got)
   }
 
+  test("property: random append/upsert/delete/update/compact sequences " +
+      "with interleaved refreshes always equal the direct recompute") {
+    val rnd = new scala.util.Random(23)
+    val root = tmp()
+    val src = mkSource(root)
+    val mv = root + "/mv"
+    val groups = Array("a", "b", "c", "d")
+    var nextId = 0L
+    def batch(n: Int): org.apache.spark.sql.DataFrame =
+      (1 to n).map { _ =>
+        nextId += 1
+        (nextId, groups(rnd.nextInt(groups.length)),
+          if (rnd.nextInt(8) == 0) Option.empty[Double]
+          else Option((rnd.nextInt(2000) - 1000) / 4.0))
+      }.toDF("id", "g", "v")
+    VersionedTable.append(spark, batch(6), src)
+    IncrementalView.create(spark, src, mv, Seq("g"), Seq("v"))
+    for (step <- 1 to 12) {
+      rnd.nextInt(5) match {
+        case 0 | 1 => VersionedTable.append(spark, batch(1 + rnd.nextInt(5)),
+          src)
+        case 2 => // upsert: mutate some existing ids + maybe a new one
+          val ids = (1 to 1 + rnd.nextInt(3))
+            .map(_ => 1L + rnd.nextInt(nextId.toInt)).distinct
+          val rows = ids.map(i => (i, groups(rnd.nextInt(groups.length)),
+            Option(rnd.nextInt(100) / 8.0)))
+          VersionedTable.upsert(spark, rows.toDF("id", "g", "v"), src, "id")
+        case 3 => // delete a random id slice
+          val lo = 1L + rnd.nextInt(nextId.toInt)
+          VersionedTable.delete(spark, src,
+            col("id").between(lo, lo + rnd.nextInt(4)))
+        case 4 => // compaction must be invisible to the feed
+          VersionedTable.compact(spark, src, numFiles = 2)
+      }
+      if (rnd.nextInt(2) == 0 || step == 12) {
+        IncrementalView.refresh(spark, mv)
+        assert(view(mv) === direct(src), s"diverged at step $step")
+      }
+    }
+  }
+
   test("multi-key grouping with null keys: null and 'null'-string " +
       "groups stay distinct") {
     val root = tmp()
