@@ -48,6 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => graft.plans.GraftAsOfMarker(es(0), es(1))))
     ext.injectFunction(fn("graft_cosine", es => CosineSim(es(0), es(1))))
     ext.injectFunction(fn("graft_jaccard", es => JaccardLong(es(0), es(1))))
+    ext.injectFunction(fn("graft_overlap", es => OverlapLong(es(0), es(1))))
     ext.injectFunction(fn("graft_simhash64", es => SimHash64(es.head)))
     ext.injectFunction(fn("graft_ngram_hashes",
       es => NgramHashes(es.head, es(1).eval().asInstanceOf[Int])))

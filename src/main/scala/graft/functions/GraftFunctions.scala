@@ -157,17 +157,18 @@ object GraftFunctions {
       copy(child = c)
   }
 
-  /** Set-Jaccard of two long arrays: |distinct(A) ∩ distinct(B)| /
-    * |distinct(A) ∪ distinct(B)| as a double (0.0 when both empty).
-    * Sort-merge over copied arrays — no boxing, no hash sets.
+  /** Shared sort-merge set-intersection core of [[JaccardLong]] /
+    * [[OverlapLong]]: copy+sort+dedup (skipped under `assumeSorted` —
+    * the caller pre-sorted+deduped once per row, so pair verification
+    * skips the per-pair O(n log n), the dominant cost when one row
+    * joins many candidates), then one merge pass. No boxing, no hash
+    * sets.
     */
-  case class JaccardLong(left: Expression, right: Expression,
-      assumeSorted: Boolean = false)
-      extends BinaryExpression with CodegenFallback {
+  private[functions] trait SetSimilarityBase extends BinaryExpression {
+    def assumeSorted: Boolean
     override def checkInputDataTypes(): TypeCheckResult =
       longArrayCheck(left, right)
     override def dataType: DataType = DoubleType
-    override def prettyName: String = "graft_jaccard"
 
     private def sortedDistinct(a: Array[Long]): Array[Long] = {
       if (a.isEmpty) return a
@@ -181,10 +182,11 @@ object GraftFunctions {
       if (n == a.length) a else java.util.Arrays.copyOf(a, n)
     }
 
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      // assumeSorted: caller pre-sorted+deduped once per row (sort_array +
-      // array_distinct), so pair verification skips the per-pair O(n log n)
-      // copy+sort — the dominant cost when one row joins many candidates.
+    /** From (intersection, |A|, |B|) to the similarity. */
+    protected def score(inter: Int, na: Int, nb: Int): Double
+
+    // public: called from generated code via a reference object
+    final def compute(l: Any, r: Any): java.lang.Double = {
       val la = l.asInstanceOf[ArrayData].toLongArray()
       val ra = r.asInstanceOf[ArrayData].toLongArray()
       val a = if (assumeSorted) la else sortedDistinct(la)
@@ -195,9 +197,35 @@ object GraftFunctions {
         else if (a(i) < b(j)) i += 1
         else j += 1
       }
-      val union = a.length + b.length - inter
-      java.lang.Double.valueOf(
-        if (union == 0) 0.0 else inter.toDouble / union.toDouble)
+      java.lang.Double.valueOf(score(inter, a.length, b.length))
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = compute(l, r)
+
+    // Real doGenCode (not CodegenFallback): the verifier runs once per
+    // candidate PAIR in d2/d10 — keep the surrounding projection inside
+    // whole-stage codegen and skip interpreted dispatch.
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("setSim", this)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("setSimRes")
+        s"""
+           |java.lang.Double $tmp = (java.lang.Double) $ref.compute($a, $b);
+           |${ev.value} = $tmp.doubleValue();
+         """.stripMargin
+      })
+    }
+  }
+
+  /** Set-Jaccard of two long arrays: |distinct(A) ∩ distinct(B)| /
+    * |distinct(A) ∪ distinct(B)| as a double (0.0 when both empty).
+    */
+  case class JaccardLong(left: Expression, right: Expression,
+      assumeSorted: Boolean = false) extends SetSimilarityBase {
+    override def prettyName: String = "graft_jaccard"
+    override protected def score(inter: Int, na: Int, nb: Int): Double = {
+      val union = na + nb - inter
+      if (union == 0) 0.0 else inter.toDouble / union.toDouble
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): JaccardLong = copy(left = l, right = r)
@@ -208,43 +236,14 @@ object GraftFunctions {
     * equivalently max of the two directional containments, the measure
     * that catches subset/quote inclusion where Jaccard stays low (a
     * short doc fully quoted inside a long one has containment 1 but
-    * Jaccard |short|/|long|). 0.0 when either side is empty. Same
-    * sort-merge core and `assumeSorted` contract as [[JaccardLong]].
+    * Jaccard |short|/|long|). 0.0 when either side is empty.
     */
   case class OverlapLong(left: Expression, right: Expression,
-      assumeSorted: Boolean = false)
-      extends BinaryExpression with CodegenFallback {
-    override def checkInputDataTypes(): TypeCheckResult =
-      longArrayCheck(left, right)
-    override def dataType: DataType = DoubleType
+      assumeSorted: Boolean = false) extends SetSimilarityBase {
     override def prettyName: String = "graft_overlap"
-
-    private def sortedDistinct(a: Array[Long]): Array[Long] = {
-      if (a.isEmpty) return a
-      java.util.Arrays.sort(a)
-      var n = 1
-      var i = 1
-      while (i < a.length) {
-        if (a(i) != a(n - 1)) { a(n) = a(i); n += 1 }
-        i += 1
-      }
-      if (n == a.length) a else java.util.Arrays.copyOf(a, n)
-    }
-
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val la = l.asInstanceOf[ArrayData].toLongArray()
-      val ra = r.asInstanceOf[ArrayData].toLongArray()
-      val a = if (assumeSorted) la else sortedDistinct(la)
-      val b = if (assumeSorted) ra else sortedDistinct(ra)
-      var i = 0; var j = 0; var inter = 0
-      while (i < a.length && j < b.length) {
-        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
-        else if (a(i) < b(j)) i += 1
-        else j += 1
-      }
-      val den = math.min(a.length, b.length)
-      java.lang.Double.valueOf(
-        if (den == 0) 0.0 else inter.toDouble / den.toDouble)
+    override protected def score(inter: Int, na: Int, nb: Int): Double = {
+      val den = math.min(na, nb)
+      if (den == 0) 0.0 else inter.toDouble / den.toDouble
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): OverlapLong = copy(left = l, right = r)
@@ -1122,6 +1121,8 @@ object GraftFunctions {
       es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_jaccard",
       es => JaccardLong(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_overlap",
+      es => OverlapLong(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine",
       es => CosineSim(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_repetition_stats",

@@ -16,13 +16,15 @@ class ExtensionsSpec extends SparkTestBase {
       val r = s2.sql(
         """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
           |       graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+          |       graft_overlap(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS o,
           |       graft_simhash64(array(42L)) AS s,
           |       graft_ngram_hashes(array('a','b','c'), 2) AS ng
           |""".stripMargin).head
       assert(r.getDouble(0) === 1.0)
       assert(r.getDouble(1) === 0.5)
-      assert(r.getLong(2) === 42L) // single hash: simhash == its bit pattern
-      assert(r.getSeq[Long](3).length === 2)
+      assert(r.getDouble(2) === 2.0 / 3.0)
+      assert(r.getLong(3) === 42L) // single hash: simhash == its bit pattern
+      assert(r.getSeq[Long](4).length === 2)
 
       // the injected planner strategy plans AsOfJoinNode declaratively
       // (no experimental.extraStrategies registration in this session)
