@@ -78,6 +78,77 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- Q5 analog: 6-way cyclic join (region-gated nation revenue) ----
+    // The TPC-H join-order stress: lineitem joins orders AND supplier,
+    // with the c_nationkey = s_nationkey edge closing the cycle. The
+    // tiny region→nation chain broadcasts; the fact-side joins shuffle
+    // on their keys and AQE picks build sides — no hint beyond the dim
+    // broadcast, the optimizer owns the order.
+    "q5_region_revenue" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast(TimestampType)
+      val hi = lit("1997-01-01").cast(TimestampType)
+      val nat = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(stableSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          4).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    // ---- Q10 analog: returned-item revenue top customers ----
+    "q10_returned_revenue" -> ((s, dir) => {
+      val lo = lit("1996-07-01").cast(TimestampType)
+      val hi = lit("1996-10-01").cast(TimestampType)
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(stableSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          4).as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ---- Q13 analog: orders-per-customer distribution (left outer) ----
+    // Customers with zero qualifying orders must appear in the c_count=0
+    // bucket — the left-outer + count(non-null) shape.
+    "q13_order_distribution" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
     // ---- S1: scan with filter pushdown + column pruning ----
     "s1_scan_prune" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -2129,6 +2200,46 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "t11_pack_sequences" ->
       """SELECT doc_id, lang,

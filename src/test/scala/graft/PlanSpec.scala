@@ -41,6 +41,24 @@ class PlanSpec extends SparkTestBase {
       s"auto() fell back to the window composition:\n$p")
   }
 
+  test("q5: cyclic 6-way join plans hash joins with broadcast dims and " +
+      "pushed date bounds") {
+    val p = plan("q5_region_revenue")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"nested loop in q5:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate"), s"date bounds not pushed:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+  }
+
+  test("q13: zero-order customers survive the left outer join") {
+    val p = plan("q13_order_distribution")
+    assert(p.contains("LeftOuter"), s"expected left outer join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
   test("a6: single-pass global aggregate (one scan, no joins)") {
     val p = plan("a6_pct_distribution")
     assert(!p.contains("Join"), s"pct distribution should be one agg:\n$p")
