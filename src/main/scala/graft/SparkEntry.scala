@@ -1587,6 +1587,34 @@ object SparkEntry {
       IncrementalView.read(s, mv).orderBy("event_type")
     }),
 
+    // ---- lake: incremental MV with approx-distinct (HLL) measures ----
+    // Mergeable sketch state folds forward exactly (order-independent
+    // insertion), under the same append-only contract as min/max.
+    // rows-only: DuckDB's approx_count_distinct is a different
+    // algorithm; the sketch-parity and exact-at-low-cardinality checks
+    // live in IncrementalViewSpec.
+    "mv4_approx_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), col("user_id"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv4").toString
+      val src = root + "/src"
+      val mv = root + "/mv"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, src, StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("user_id", LongType))))
+      vt.append(s, ev.where(col("event_id") % 2 === 0), src)
+      IncrementalView.create(s, src, mv, Seq("event_type"),
+        Seq("user_id"), approxDistinct = Seq("user_id"))
+      vt.append(s, ev.where(col("event_id") % 2 === 1), src)
+      IncrementalView.refresh(s, mv)
+      IncrementalView.read(s, mv)
+        .select("event_type", "n_rows", "approx_user_id")
+        .orderBy("event_type")
+    }),
+
     // ---- lake: time travel (version-as-of read) ----
     // Three commits land on a versioned table (append evens, append
     // odds, delete a slice); reading AS OF version 1 reproduces the

@@ -21,7 +21,10 @@ import graft.sources.VersionedTable
   *     with SQL semantics: sum over non-null / count of non-null),
   *   - `_mv_min_<m>` / `_mv_max_<m>` — optional extremes, maintainable
   *     only under APPEND-ONLY feeds (a delete may remove the extreme;
-  *     such a window fails loudly).
+  *     such a window fails loudly),
+  *   - `_mv_hll_<m>` — optional approx-COUNT(DISTINCT) as mergeable
+  *     HLL sketch bytes (union at merge, estimate at read; insert-only
+  *     like min/max — an HLL cannot un-count a deleted value).
   *
   * Decimal sums make maintenance EXACT: decimal addition is associative
   * and commutative, so folding the feed's signed deltas (+1 for
@@ -52,6 +55,7 @@ object IncrementalView {
   val KeysProperty = "graft.mv.keys"
   val MeasuresProperty = "graft.mv.measures"
   val MinMaxProperty = "graft.mv.minmax"
+  val ApproxProperty = "graft.mv.approx"
   val ScaleProperty = "graft.mv.scale"
   val SourceVersionProperty = "graft.mv.source.version"
 
@@ -64,6 +68,7 @@ object IncrementalView {
   def nCol(m: String): String = s"_mv_n_$m"
   def minCol(m: String): String = s"_mv_min_$m"
   def maxCol(m: String): String = s"_mv_max_$m"
+  def hllCol(m: String): String = s"_mv_hll_$m"
 
   private val Sep = "\u0001"
 
@@ -98,6 +103,7 @@ object IncrementalView {
   private def stateOf(rows: DataFrame, keys: Seq[(String, Column, Boolean)],
       measures: Seq[(String, Column, Boolean)],
       minmax: Seq[(String, Column, Boolean)],
+      approx: Seq[(String, Column, Boolean)],
       scale: Int, sign: Column): DataFrame = {
     val aggs =
       (sum(sign).cast(LongType).as(RowsCol) +:
@@ -111,6 +117,9 @@ object IncrementalView {
         }) ++
         minmax.flatMap { case (m, mc, _) =>
           Seq(min(mc).as(minCol(m)), max(mc).as(maxCol(m)))
+        } ++
+        approx.map { case (m, mc, _) =>
+          hll_sketch_agg(mc).as(hllCol(m))
         }
     // an expression key materializes under its alias BEFORE grouping;
     // refuse an alias that shadows a source column — measures evaluate
@@ -138,17 +147,23 @@ object IncrementalView {
     *   have BEEN the extreme), so a view carrying them accepts
     *   APPEND-ONLY feeds — a refresh over a window containing row-level
     *   commits fails loudly (resync by recreating the view).
+    * @param approxDistinct extra approx-COUNT(DISTINCT) measures carried
+    *   as mergeable HLL sketch state (Datasketches; union at merge,
+    *   estimate at read). Insert-only like min/max — an HLL cannot
+    *   un-count a deleted value. Sketch insertion is order-independent,
+    *   so the folded sketch equals the directly-computed one exactly.
     */
   def create(spark: SparkSession, source: String, view: String,
       keys: Seq[String], measures: Seq[String], scale: Int = 2,
-      minmax: Seq[String] = Nil): Unit = {
+      minmax: Seq[String] = Nil,
+      approxDistinct: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty, "incremental view needs at least one group key")
-    require(measures.nonEmpty || minmax.nonEmpty,
+    require(measures.nonEmpty || minmax.nonEmpty || approxDistinct.nonEmpty,
       "incremental view needs at least one measure")
     val (version, _) = VersionedTable.latest(spark, source)
     val snap = VersionedTable.read(spark, source)
     val state = stateOf(snap, parseSpecs(keys), parseSpecs(measures),
-      parseSpecs(minmax), scale, lit(1L))
+      parseSpecs(minmax), parseSpecs(approxDistinct), scale, lit(1L))
     VersionedTable.create(spark, view, state.schema)
     VersionedTable.append(spark, state, view)
     VersionedTable.alterProperties(spark, view, Map(
@@ -156,13 +171,14 @@ object IncrementalView {
       KeysProperty -> keys.mkString(";"),
       MeasuresProperty -> measures.mkString(";"),
       MinMaxProperty -> minmax.mkString(";"),
+      ApproxProperty -> approxDistinct.mkString(";"),
       ScaleProperty -> scale.toString,
       SourceVersionProperty -> version.toString))
   }
 
   private case class Spec(source: String, keys: Seq[String],
-      measures: Seq[String], minmax: Seq[String], scale: Int,
-      stampedVersion: Long)
+      measures: Seq[String], minmax: Seq[String], approx: Seq[String],
+      scale: Int, stampedVersion: Long)
 
   private def splitSpecs(s: String): Seq[String] =
     s.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
@@ -175,6 +191,7 @@ object IncrementalView {
     Spec(prop(SourceProperty), splitSpecs(prop(KeysProperty)),
       splitSpecs(prop(MeasuresProperty)),
       splitSpecs(props.getOrElse(MinMaxProperty, "")),
+      splitSpecs(props.getOrElse(ApproxProperty, "")),
       prop(ScaleProperty).toInt,
       prop(SourceVersionProperty).toLong)
   }
@@ -192,17 +209,20 @@ object IncrementalView {
     val keySpecs = parseSpecs(spec.keys)
     val measureSpecs = parseSpecs(spec.measures)
     val minmaxSpecs = parseSpecs(spec.minmax)
+    val approxSpecs = parseSpecs(spec.approx)
     val keys = keySpecs.map(_._1)
     val measures = measureSpecs.map(_._1)
     val minmax = minmaxSpecs.map(_._1)
-    // min/max state only folds forward: a delete/update may remove the
-    // extreme, which no per-group delta can repair — refuse the window
-    if (minmax.nonEmpty &&
+    val approx = approxSpecs.map(_._1)
+    // min/max and HLL state only fold forward: a delete/update may
+    // remove the extreme (or a counted distinct value), which no
+    // per-group delta can repair — refuse the window
+    if ((minmax.nonEmpty || approx.nonEmpty) &&
         !cdf.where(col(VersionedTable.ChangeTypeCol) =!= "insert").isEmpty)
       throw new UnsupportedOperationException(
-        s"view $view carries min/max state, which is append-only " +
-          "maintainable; the feed window contains row-level commits — " +
-          "recreate the view from the current snapshot instead")
+        s"view $view carries min/max or approx-distinct state, which is " +
+          "append-only maintainable; the feed window contains row-level " +
+          "commits — recreate the view from the current snapshot instead")
     val sign = when(col(VersionedTable.ChangeTypeCol)
         .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
     // keep a group if ANY state component moved — an update that only
@@ -213,8 +233,8 @@ object IncrementalView {
       .flatMap(m => Seq(col(nCol(m)) =!= 0L,
         coalesce(col(sumCol(m)), lit(0).cast(DecimalType(38, scale))) =!= 0))
       .foldLeft(col(RowsCol) =!= 0L)(_ or _)
-    val delta = stateOf(cdf, keySpecs, measureSpecs, minmaxSpecs, scale,
-      sign).where(moved)
+    val delta = stateOf(cdf, keySpecs, measureSpecs, minmaxSpecs,
+      approxSpecs, scale, sign).where(moved)
     if (delta.isEmpty) return
 
     // current state of ONLY the touched groups (semi join prunes the
@@ -242,6 +262,12 @@ object IncrementalView {
               .as(minCol(m)),
             greatest(col(s"c.${maxCol(m)}"), col(s"d.${maxCol(m)}"))
               .as(maxCol(m)))
+        } ++
+        approx.map { m =>
+          val c = col(s"c.${hllCol(m)}")
+          val d = col(s"d.${hllCol(m)}")
+          when(c.isNull, d).when(d.isNull, c)
+            .otherwise(hll_union(c, d)).as(hllCol(m))
         }
     val merged = delta.alias("d")
       .join(curState.alias("c"), Seq(KeyCol), "left_outer")
@@ -346,6 +372,10 @@ object IncrementalView {
         } ++
         minmax.flatMap { m =>
           Seq(col(minCol(m)).as(s"min_$m"), col(maxCol(m)).as(s"max_$m"))
+        } ++
+        names(ApproxProperty).map { m =>
+          when(col(hllCol(m)).isNotNull,
+            hll_sketch_estimate(col(hllCol(m)))).as(s"approx_$m")
         }
     VersionedTable.read(spark, view).select(out: _*)
   }

@@ -244,7 +244,8 @@ object GraftProcedures {
       param("keys", StringType),
       param("measures", StringType),
       param("scale", IntegerType, "2"),
-      param("minmax", StringType, "NULL"))
+      param("minmax", StringType, "NULL"),
+      param("approx_distinct", StringType, "NULL"))
     override def call(input: InternalRow): JIterator[Scan] = {
       val spark = SparkSession.active
       require(!input.isNullAt(0), "view must not be null")
@@ -267,12 +268,13 @@ object GraftProcedures {
           .map(_.trim).filter(_.nonEmpty)
       }
       val scale = if (input.isNullAt(4)) 2 else input.getInt(4)
-      val minmax =
-        if (input.isNullAt(5)) Nil
-        else input.getUTF8String(5).toString.split(';').toSeq
+      def optList(i: Int): Seq[String] =
+        if (input.isNullAt(i)) Nil
+        else input.getUTF8String(i).toString.split(';').toSeq
           .map(_.trim).filter(_.nonEmpty)
       graft.operators.IncrementalView.create(spark, source, view,
-        specList(2, "keys"), specList(3, "measures"), scale, minmax)
+        specList(2, "keys"), specList(3, "measures"), scale,
+        optList(5), optList(6))
       val stamped = VersionedTable.tableProperties(spark, view)(
         graft.operators.IncrementalView.SourceVersionProperty).toLong
       oneRow(StructType(Seq(StructField("source_version", LongType))),

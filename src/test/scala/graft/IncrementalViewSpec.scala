@@ -297,6 +297,49 @@ class IncrementalViewSpec extends SparkTestBase {
     }
   }
 
+  test("approx-distinct measures: folded HLL state equals the sketch " +
+      "computed directly (order-independent insertion)") {
+    val root = tmp()
+    val src = root + "/src"
+    val s2 = StructType(Seq(
+      StructField("id", LongType),
+      StructField("g", StringType),
+      StructField("u", LongType)))
+    VersionedTable.create(spark, src, s2)
+    val mv = root + "/mv"
+    VersionedTable.append(spark,
+      (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", i % 7))
+        .toDF("id", "g", "u"), src)
+    IncrementalView.create(spark, src, mv, Seq("g"), Seq("u"),
+      approxDistinct = Seq("u"))
+    VersionedTable.append(spark,
+      (41L to 90L).map(i => (i, if (i % 2 == 0) "a" else "b", i % 13))
+        .toDF("id", "g", "u"), src)
+    IncrementalView.refresh(spark, mv)
+    val got = IncrementalView.read(spark, mv)
+      .select("g", "approx_u").orderBy("g")
+      .as[(String, Long)].collect().toSeq
+    val want = VersionedTable.read(spark, src)
+      .groupBy("g")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("u"))).as("approx_u"))
+      .orderBy("g").as[(String, Long)].collect().toSeq
+    assert(got === want)
+    // at these cardinalities the sketch is exact — the check is not
+    // comparing an approximation to itself by accident
+    val exact = VersionedTable.read(spark, src)
+      .groupBy("g").agg(countDistinct(col("u")).as("d"))
+      .orderBy("g").as[(String, Long)].collect().toSeq
+    assert(got === exact)
+    // deletes are refused for HLL views too
+    VersionedTable.alterProperties(spark, src,
+      Map(VersionedTable.CdcProperty -> "true"))
+    VersionedTable.delete(spark, src, col("id") === 1L)
+    val e = intercept[UnsupportedOperationException] {
+      IncrementalView.refresh(spark, mv)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("multi-key grouping with null keys: null and 'null'-string " +
       "groups stay distinct") {
     val root = tmp()
