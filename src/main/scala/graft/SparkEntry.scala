@@ -110,6 +110,81 @@ object SparkEntry {
         .orderBy(desc("revenue"), col("n_name"))
     }),
 
+    // ---- Q7 analog: bidirectional nation-pair trade volume ----
+    // The nation SELF-join with a disjunctive pair predicate
+    // ((A,B) OR (B,A)) and a year bucket — the shape that punishes
+    // optimizers that can't push a disjunction across a self-joined dim.
+    "q7_nation_volume" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast(TimestampType)
+      val hi = lit("1998-01-01").cast(TimestampType)
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"),
+          col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"),
+          col("n_name").as("cust_nation"))
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .where((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(stableSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          4).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // ---- Q8 analog: market share (conditional agg over an 8-way join) ----
+    // NATION_3 suppliers' share of PROMO-part revenue sold to ASIA
+    // customers, per order year — CASE-gated numerator over the same
+    // aggregate rows, both sums exact-decimal then one double division.
+    "q8_market_share" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast(TimestampType)
+      val hi = lit("1998-01-01").cast(TimestampType)
+      val part = t(s, dir, "part").where(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val supNat = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+      val custNat = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+      val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supNat), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((stableSum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0.0)), 4) /
+          stableSum(vol, 4)).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
     // ---- Q10 analog: returned-item revenue top customers ----
     "q10_returned_revenue" -> ((s, dir) => {
       val lo = lit("1996-07-01").cast(TimestampType)
@@ -1501,6 +1576,25 @@ object SparkEntry {
         .orderBy("doc_id").limit(25)
     }),
 
+    // ---- A26: GROUPING SETS (completes rollup/cube trio) ----
+    // Two independent single-key groupings + the grand total in ONE
+    // pass (Expand under the hood), grouping() flags distinguishing
+    // the null-key rows from genuine nulls.
+    "a26_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("a26_ev")
+      s.sql(
+        """SELECT event_type,
+          |  CAST(hour(ts) AS INT) AS hour_of_day,
+          |  CAST(grouping(event_type) AS INT) AS g_t,
+          |  CAST(grouping(hour(ts)) AS INT) AS g_h,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM a26_ev
+          |GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
+          |ORDER BY g_t, g_h, event_type NULLS FIRST,
+          |  hour_of_day NULLS FIRST""".stripMargin)
+    }),
+
     // ---- lake: incremental materialized-view maintenance over CDF ----
     // A rollup (per event_type: rows / non-null count / exact decimal
     // sum / avg of value) is materialized from the source's FIRST
@@ -2243,6 +2337,61 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+        |    l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3'
+        |        THEN volume ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    "a26_grouping_sets" ->
+      """SELECT event_type,
+        |  CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour_of_day,
+        |  CAST(GROUPING(event_type) AS INT) AS g_t,
+        |  CAST(GROUPING(EXTRACT(HOUR FROM ts)) AS INT) AS g_h,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (EXTRACT(HOUR FROM ts)), ())
+        |ORDER BY g_t, g_h, event_type NULLS FIRST,
+        |  hour_of_day NULLS FIRST""".stripMargin,
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
