@@ -1886,6 +1886,15 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id")), col("doc_id"), seed = 42L)
         .select(col("doc_id"), col("shuffle_key"))),
 
+    // ---- sampling: deterministic round-robin source interleave ----
+    // The training ORDER half of mixing: groups cycle at equal rank, so
+    // no batch window is source-dominated. Two-level rank (no single
+    // task sorts a whole group); pure function of (seed, group, id).
+    "s10_interleave" -> ((s, dir) =>
+      Sampling.interleaveByGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), seed = 7L)),
+
     // ---- sampling: stable train/val/test split ----
     // Hash-threshold assignment (exact binary-fraction weights so the
     // cumulative thresholds are IEEE-exact in both engines): a doc's
@@ -2873,6 +2882,15 @@ object SparkEntry {
         |    AS shuffle_key
         |FROM documents
         |ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    // interleave: per-source md5-order rank, global (rank, source) cycle
+    "s10_interleave" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY
+        |    CAST(concat('0x', substr(md5(concat('7', ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT),
+        |    doc_id) AS BIGINT) AS interleave_rank
+        |FROM documents
+        |ORDER BY interleave_rank, source, doc_id""".stripMargin,
 
     // stable split: md5-uniform vs exact cumulative thresholds
     "s7_split" ->

@@ -89,6 +89,46 @@ object Sampling {
         Dedup.md5Hash60(concat_ws(":", lit(seed), idCol.cast("string"))))
       .orderBy(col("shuffle_key"), idCol)
 
+  /** Deterministic round-robin interleave across groups — the training
+    * ORDER half of data mixing (the mix operators set proportions; this
+    * sets sequence): each group's rows take their seeded md5 order, and
+    * the global order cycles the groups at equal rank, so no training
+    * window is dominated by one source even when sources differ wildly
+    * in size. Output = rows + `interleave_rank`, totally ordered by
+    * (rank, group, id) — a pure function of (seed, group, id): identical
+    * across re-runs, layouts, and engines.
+    *
+    * Scale shape: the per-group rank is computed in TWO levels (rank
+    * inside (group, high-6-bits-of-key) buckets + a cumsum of the 64
+    * narrow bucket counts per group), so no single task ever sorts a
+    * whole group — the same prefix-bucket trick as
+    * [[Dedup.cappedBlockCandidates]], exact because the bucket is the
+    * key's high bits. The output order is Spark's range sort.
+    */
+  def interleaveByGroup(df: DataFrame, groupCol: Column, idCol: Column,
+      seed: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("__ikey",
+        Dedup.md5Hash60(concat_ws(":", lit(seed), idCol.cast("string"))))
+      .withColumn("__ibkt", shiftright(col("__ikey"), 54))
+    val ranked = keyed.withColumn("__ir", row_number().over(
+      W.partitionBy(groupCol, col("__ibkt"))
+        .orderBy(col("__ikey"), idCol)))
+    val offsets = ranked.groupBy(groupCol.as("__ig"), col("__ibkt"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        W.partitionBy(col("__ig")).orderBy(col("__ibkt"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__ig"), col("__ibkt"), col("__off"))
+    ranked
+      .join(broadcast(offsets),
+        groupCol === col("__ig") && ranked("__ibkt") === offsets("__ibkt"))
+      .withColumn("interleave_rank", col("__off") + col("__ir"))
+      .drop("__ikey", "__ibkt", "__ir", "__ig", "__off", "__cnt")
+      .orderBy(col("interleave_rank"), groupCol, idCol)
+  }
+
   /** Stable train/validation/test assignment: label each row by where
     * its md5-uniform falls in the cumulative weight intervals (weights
     * are normalized; iteration follows the Seq order). Hash-based, so a

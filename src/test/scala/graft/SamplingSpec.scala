@@ -279,4 +279,39 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("__shard"),
       "two-phase plan must partition window work by shard")
   }
+
+  test("interleaveByGroup: two-level rank equals the single-window rank; " +
+      "groups cycle at equal rank; deterministic across layouts") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Sampling.interleaveByGroup(docs, col("source"), col("doc_id"),
+      seed = 7L)
+      .select("doc_id", "source", "interleave_rank")
+      .as[(Long, String, Long)].collect().toSeq
+    // reference: the plain one-window-per-group rank
+    val key = graft.operators.Dedup.md5Hash60(
+      concat_ws(":", lit(7L), col("doc_id").cast("string")))
+    val ref = docs.withColumn("interleave_rank",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(key, col("doc_id"))).cast("long"))
+      .orderBy(col("interleave_rank"), col("source"), col("doc_id"))
+      .select("doc_id", "source", "interleave_rank")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === ref, "two-level rank must equal the single-window rank")
+    // round-robin: the first |groups| rows are rank 1, one per group
+    // (equal-sized groups here => full cycles throughout)
+    val groups = docs.select("source").distinct().count().toInt
+    assert(got.take(groups).map(_._3).forall(_ == 1L))
+    assert(got.take(groups).map(_._2).distinct.size === groups)
+    // pure function of (seed, group, id): repartitioned input, same order
+    val re = Sampling.interleaveByGroup(docs.repartition(13),
+      col("source"), col("doc_id"), seed = 7L)
+      .select("doc_id", "source", "interleave_rank")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(re === got)
+    // the rank plan partitions by (group, bucket), not group alone
+    val plan = Sampling.interleaveByGroup(docs, col("source"),
+      col("doc_id"), seed = 7L).queryExecution.executedPlan.toString
+    assert(plan.contains("__ibkt"),
+      "two-level plan must partition window work by key bucket")
+  }
 }
