@@ -171,7 +171,19 @@ object Dedup {
   def blockedShinglePairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double, n: Int = 3,
       maxBlockSize: Int = 2048, neighborhood: Int = 8,
-      snmPrefixLen: Int = 4): DataFrame = {
+      snmPrefixLen: Int = 4): DataFrame =
+    blockedSetPairs(df, idCol, textCol, blockCols, threshold, n,
+      maxBlockSize, neighborhood, snmPrefixLen,
+      graft.functions.GraftFunctions.jaccardSorted)
+
+  /** Shared body of the shingle-set pair operators: capped candidates,
+    * once-per-doc sorted shingle arrays joined back by id, and a
+    * caller-chosen pair verifier over the two sorted sets.
+    */
+  private def blockedSetPairs(df: DataFrame, idCol: String,
+      textCol: String, blockCols: Seq[String], threshold: Double, n: Int,
+      maxBlockSize: Int, neighborhood: Int, snmPrefixLen: Int,
+      verifier: (Column, Column) => Column): DataFrame = {
     val key = substring(
       regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""), 1, 30)
     val cands = cappedBlockCandidates(df, idCol, key, blockCols,
@@ -181,8 +193,7 @@ object Dedup {
     cands.join(sigs, idCol)
       .join(sigs.select(col(idCol).as(idCol + "_2"),
         col("__sh").as("__sh2")), idCol + "_2")
-      .withColumn("sim", graft.functions.GraftFunctions
-        .jaccardSorted(col("__sh"), col("__sh2")))
+      .withColumn("sim", verifier(col("__sh"), col("__sh2")))
       .where(col("sim") >= threshold)
       .select(col(idCol), col(idCol + "_2"), col("sim"))
   }
@@ -199,21 +210,10 @@ object Dedup {
   def blockedContainmentPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double, n: Int = 3,
       maxBlockSize: Int = 2048, neighborhood: Int = 8,
-      snmPrefixLen: Int = 4): DataFrame = {
-    val key = substring(
-      regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""), 1, 30)
-    val cands = cappedBlockCandidates(df, idCol, key, blockCols,
-      maxBlockSize, neighborhood, snmPrefixLen)
-    val sigs = df.select(col(idCol), sort_array(array_distinct(
-      shingleHashes(TextAnalysis.tokens(col(textCol)), n))).as("__sh"))
-    cands.join(sigs, idCol)
-      .join(sigs.select(col(idCol).as(idCol + "_2"),
-        col("__sh").as("__sh2")), idCol + "_2")
-      .withColumn("sim", graft.functions.GraftFunctions
-        .overlapSorted(col("__sh"), col("__sh2")))
-      .where(col("sim") >= threshold)
-      .select(col(idCol), col(idCol + "_2"), col("sim"))
-  }
+      snmPrefixLen: Int = 4): DataFrame =
+    blockedSetPairs(df, idCol, textCol, blockCols, threshold, n,
+      maxBlockSize, neighborhood, snmPrefixLen,
+      graft.functions.GraftFunctions.overlapSorted)
 
   /** The shared capped candidate core: id pairs (least-first) inside
     * `blockCols` blocks — EXHAUSTIVE for blocks up to `maxBlockSize`,

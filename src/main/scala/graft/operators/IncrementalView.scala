@@ -76,9 +76,9 @@ object IncrementalView {
     * (any deterministic SQL expression over a source row — e.g.
     * `bucket_hour=hour(ts)` makes the time-bucketed rollup, THE
     * canonical materialized view). Specs are `;`-separated in the
-    * table properties, hence the separator ban.
+    * table properties, hence the separator ban. Returns
+    * (alias, column, isExpression) per spec.
     */
-  /** (alias, column, isExpression) per spec. */
   private[operators] def parseSpecs(
       specs: Seq[String]): Seq[(String, Column, Boolean)] =
     specs.map { s =>
@@ -90,9 +90,20 @@ object IncrementalView {
       }
     }
 
+  private val Esc = "\u0002"
+
+  /** Join the stringified key values unambiguously: null and the string
+    * "null" are distinguished ("v"/"n" prefix), and occurrences of the
+    * separator/escape INSIDE a value are escaped (esc doubled, then
+    * sep prefixed with esc), so distinct key tuples can never collide
+    * on one `_mv_key` — a collision would cross-merge two groups'
+    * states and corrupt the keyed upsert/delete.
+    */
   private def syntheticKey(keys: Seq[Column]): Column =
     keys.map { k =>
-      coalesce(concat(lit("v"), k.cast("string")), lit("n"))
+      val escaped = regexp_replace(
+        regexp_replace(k.cast("string"), Esc, Esc + Esc), Sep, Esc + Sep)
+      coalesce(concat(lit("v"), escaped), lit("n"))
     }.reduce((a, b) => concat(a, lit(Sep), b))
 
   /** Signed aggregate state of `rows` (sign = +1 for a snapshot; the
@@ -233,8 +244,22 @@ object IncrementalView {
       .flatMap(m => Seq(col(nCol(m)) =!= 0L,
         coalesce(col(sumCol(m)), lit(0).cast(DecimalType(38, scale))) =!= 0))
       .foldLeft(col(RowsCol) =!= 0L)(_ or _)
+    // the delta frame is consumed several times (emptiness probe, the
+    // semi-join build side, and the outer-join left side) — persist it
+    // so one refresh folds the CDF window ONCE, not once per action
     val delta = stateOf(cdf, keySpecs, measureSpecs, minmaxSpecs,
       approxSpecs, scale, sign).where(moved)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      applyDelta(spark, view, delta, keys, measures, minmax, approx,
+        scale, epoch)
+    } finally { delta.unpersist(false); () }
+  }
+
+  private def applyDelta(spark: SparkSession, view: String,
+      delta: DataFrame, keys: Seq[String], measures: Seq[String],
+      minmax: Seq[String], approx: Seq[String], scale: Int,
+      epoch: Long): Unit = {
     if (delta.isEmpty) return
 
     // current state of ONLY the touched groups (semi join prunes the
@@ -272,21 +297,27 @@ object IncrementalView {
     val merged = delta.alias("d")
       .join(curState.alias("c"), Seq(KeyCol), "left_outer")
       .select(col(KeyCol) +: mergedCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val viewSchemaCols = curState.columns.toSeq
+      val survivors = merged.where(col(RowsCol) > 0L)
+        .select(viewSchemaCols.map(col): _*)
+      val dead = merged.where(col(RowsCol) <= 0L).select(KeyCol)
 
-    val viewSchemaCols = VersionedTable.read(spark, view).columns.toSeq
-    val survivors = merged.where(col(RowsCol) > 0L)
-      .select(viewSchemaCols.map(col): _*)
-    val dead = merged.where(col(RowsCol) <= 0L).select(KeyCol)
-
-    // writer-txn watermarks make a crashed-and-retried apply
-    // exactly-once: a re-run recomputes against the already-updated
-    // view, but its writes are skipped at the stamped epoch. Distinct
-    // writer ids per op — they are independently idempotent.
-    VersionedTable.upsert(spark, survivors, view, KeyCol,
-      txn = Some(("graft-mv-upsert", epoch)))
-    if (!dead.isEmpty)
+      // writer-txn watermarks make a crashed-and-retried apply
+      // exactly-once: a re-run recomputes against the already-updated
+      // view, but its writes are skipped at the stamped epoch. Distinct
+      // writer ids per op — they are independently idempotent. The
+      // delete MUST run unconditionally: an empty batch still advances
+      // its watermark, and without that a retry whose recomputation
+      // (against the already-upserted state) produces spurious rows<=0
+      // groups would delete LIVE groups — the no-dead-groups first run
+      // would have left the delete watermark behind the epoch.
+      VersionedTable.upsert(spark, survivors, view, KeyCol,
+        txn = Some(("graft-mv-upsert", epoch)))
       VersionedTable.deleteByKeys(spark, view, dead,
         txn = Some(("graft-mv-delete", epoch)))
+    } finally { merged.unpersist(false); () }
   }
 
   /** Fold the source commits past the stamped version into the view via

@@ -122,8 +122,10 @@ object Sampling {
           .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
       .select(col("__ig"), col("__ibkt"), col("__off"))
     ranked
+      // null-safe on the group: a null group is its own partition in the
+      // reference single-window semantics and must not drop here
       .join(broadcast(offsets),
-        groupCol === col("__ig") && ranked("__ibkt") === offsets("__ibkt"))
+        (groupCol <=> col("__ig")) && ranked("__ibkt") === offsets("__ibkt"))
       .withColumn("interleave_rank", col("__off") + col("__ir"))
       .drop("__ikey", "__ibkt", "__ir", "__ig", "__off", "__cnt")
       .orderBy(col("interleave_rank"), groupCol, idCol)

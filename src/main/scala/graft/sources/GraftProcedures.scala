@@ -229,8 +229,9 @@ object GraftProcedures {
   /** `CALL graft.mv_create('ns.view', 'ns.src', keys => 'g',
     * measures => 'v')` — materialize an incremental rollup view
     * ([[graft.operators.IncrementalView]]) of `source` grouped by the
-    * comma-separated `keys` with decimal-exact sum/count state per
-    * comma-separated measure. The view name may be a raw path or an
+    * `;`-separated `keys` with decimal-exact sum/count state per
+    * `;`-separated measure (`;` because a `name=expr` spec may itself
+    * contain commas). The view name may be a raw path or an
     * identifier in the owning catalog (it need not exist — the commit
     * protocol lands at its warehouse location and the catalog lists it
     * from then on). Returns the source version the view reflects.
@@ -255,8 +256,19 @@ object GraftProcedures {
         else {
           val parts = spark.sessionState.sqlParser
             .parseMultipartIdentifier(viewName)
+          // accept the owner-qualified form too ('gmv.ns.view' in
+          // CALL gmv.mv_create) — same resolution every other name
+          // argument gets; creating into ANOTHER catalog is refused
+          val local =
+            if (parts.length > 1 && org.apache.spark.sql.GraftSqlShim
+                .catalogManager(spark).isCatalogRegistered(parts.head)) {
+              require(parts.head.equalsIgnoreCase(owner.name()),
+                s"mv_create creates the view in its own catalog " +
+                  s"('${owner.name()}'); got '$viewName'")
+              parts.tail
+            } else parts
           owner.plannedTableLocation(
-            Identifier.of(parts.init.toArray, parts.last))
+            Identifier.of(local.init.toArray, local.last))
         }
       require(!input.isNullAt(1), "source must not be null")
       val source = resolveName(input.getUTF8String(1).toString)

@@ -340,6 +340,63 @@ class IncrementalViewSpec extends SparkTestBase {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("crash-retry with a net-negative window cannot delete a live " +
+      "group (delete watermark advances even on empty batches)") {
+    val root = tmp()
+    val src = mkSource(root)
+    val mv = root + "/mv"
+    VersionedTable.append(spark, Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 4.0), (4L, "b", 8.0))
+      .toDF("id", "g", "v"), src)
+    IncrementalView.create(spark, src, mv, Seq("g"), Seq("v"))
+    val stampBefore = VersionedTable.tableProperties(spark, mv)(
+      IncrementalView.SourceVersionProperty)
+    // net-negative window that does NOT empty the group
+    VersionedTable.delete(spark, src, col("id").isin(1L, 2L))
+    IncrementalView.refresh(spark, mv)
+    val after = view(mv)
+    assert(after.exists(r => r._1 == "a" && r._2 == 1L))
+    // crash-retry: recomputation against the already-applied state
+    // yields merged rows = 1 + (-2) <= 0 — group 'a' looks dead. The
+    // unconditional (possibly-empty) delete of the first run advanced
+    // the graft-mv-delete watermark, so the spurious delete is skipped.
+    VersionedTable.alterProperties(spark, mv, Map(
+      IncrementalView.SourceVersionProperty -> stampBefore))
+    IncrementalView.refresh(spark, mv)
+    assert(view(mv) === after)
+    assert(view(mv) === direct(src))
+  }
+
+  test("synthetic key separator inside a key VALUE cannot collide " +
+      "distinct key tuples") {
+    val root = tmp()
+    val src = root + "/src"
+    val s2 = StructType(Seq(
+      StructField("id", LongType),
+      StructField("k1", StringType),
+      StructField("k2", StringType),
+      StructField("v", DoubleType)))
+    VersionedTable.create(spark, src, s2)
+    VersionedTable.alterProperties(spark, src,
+      Map(VersionedTable.CdcProperty -> "true"))
+    val mv = root + "/mv"
+    // ("a\u0001vb", "c") and ("a", "b\u0001vc") would collide under a
+    // naive join; the escape keeps them distinct groups
+    VersionedTable.append(spark, Seq(
+      (1L, "a\u0001vb", "c", 1.0),
+      (2L, "a", "b\u0001vc", 2.0)).toDF("id", "k1", "k2", "v"), src)
+    IncrementalView.create(spark, src, mv, Seq("k1", "k2"), Seq("v"))
+    VersionedTable.append(spark, Seq(
+      (3L, "a\u0001vb", "c", 4.0)).toDF("id", "k1", "k2", "v"), src)
+    IncrementalView.refresh(spark, mv)
+    val got = IncrementalView.read(spark, mv)
+      .select("k1", "k2", "n_rows", "sum_v")
+      .as[(String, String, Long, Option[Double])].collect().toSet
+    assert(got === Set(
+      ("a\u0001vb", "c", 2L, Some(5.0)),
+      ("a", "b\u0001vc", 1L, Some(2.0))))
+  }
+
   test("multi-key grouping with null keys: null and 'null'-string " +
       "groups stay distinct") {
     val root = tmp()

@@ -313,5 +313,16 @@ class SamplingSpec extends SparkTestBase {
       col("doc_id"), seed = 7L).queryExecution.executedPlan.toString
     assert(plan.contains("__ibkt"),
       "two-level plan must partition window work by key bucket")
+    // a null group is its own partition (null-safe offset join), not
+    // silently dropped
+    val withNull = docs.withColumn("source",
+      when(col("doc_id") < 5, lit(null).cast("string"))
+        .otherwise(col("source")))
+    val nulls = Sampling.interleaveByGroup(withNull, col("source"),
+      col("doc_id"), seed = 7L)
+    assert(nulls.count() === docs.count())
+    assert(nulls.where(col("source").isNull)
+      .select("interleave_rank").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L))
   }
 }
