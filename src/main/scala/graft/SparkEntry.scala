@@ -685,6 +685,28 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- similarity: exact embedding covariance (PCA's first half) ----
+    // d(d+1)/2 + d + 1 decimal-exact quantized moments in one map-side
+    // pass (posexplode + partial agg: the shuffle is <= 2145 narrow
+    // rows per partition at ANY corpus size); each covariance entry is
+    // one well-defined float evaluation, rounded 6 for the a16
+    // decimal->double portability convention. Fully hash-oracled.
+    "sim12_embedding_cov" -> ((s, dir) =>
+      Pca.covariance(s, t(s, dir, "embeddings"), "embedding", 64)),
+
+    // ---- similarity: PCA projection (rows-only; eigensolve not SQL) ----
+    // Deterministic end-to-end: exact moments -> cyclic Jacobi ->
+    // sign-normalized basis -> native-dot map-side projection. PcaSpec
+    // pins variance-equals-eigenvalue, whitening, and layout
+    // invariance.
+    "sim13_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Pca.fit(emb, "embedding", 64)
+      Pca.project(emb, "embedding", model, k = 4)
+        .select(col("vec_id"), col("p0"), col("p1"), col("p2"), col("p3"))
+        .orderBy("vec_id")
+    }),
+
     // ---- similarity: k-NN JOIN over the persisted index ----
     // The index-backed twin of sim10: corpus cell assignments come off
     // disk (one map-side quantizer pass at BUILD time, zero at query
@@ -3006,6 +3028,37 @@ object SparkEntry {
         |  FROM s)
         |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // exact quantized covariance re-derived from the same decimal
+    // moments: round(e,6)->DECIMAL(18,6), exact decimal products and
+    // sums, one float closed form per entry, round 6
+    "sim12_embedding_cov" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, e -> CAST(round(e, 6) AS DECIMAL(18,6))) AS x
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |arr AS (
+        |  SELECT list_concat(
+        |    list_concat([CAST(1 AS DECIMAL(38,12))],
+        |                list_transform(x, v -> CAST(v AS DECIMAL(38,12)))),
+        |    list_transform(
+        |      flatten(list_transform(range(64), i ->
+        |        list_transform(range(i, 64), j -> x[i+1] * x[j+1]))),
+        |      v -> CAST(v AS DECIMAL(38,12)))) AS a
+        |  FROM q),
+        |s AS (
+        |  SELECT r.idx AS idx, CAST(SUM(a[r.idx + 1]) AS DOUBLE) AS sd
+        |  FROM arr, range(2145) r(idx)
+        |  GROUP BY r.idx)
+        |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+        |  round((sij.sd - si.sd * sj.sd / n.sd) / n.sd, 6) AS cov
+        |FROM (SELECT a.i AS i, b.j AS j FROM range(64) a(i), range(64) b(j)
+        |      WHERE b.j >= a.i) p
+        |JOIN s n ON n.idx = 0
+        |JOIN s si ON si.idx = 1 + p.i
+        |JOIN s sj ON sj.idx = 1 + p.j
+        |JOIN s sij ON sij.idx = 65 + p.i * 64 - p.i * (p.i - 1) / 2 + (p.j - p.i)
+        |ORDER BY i, j""".stripMargin,
 
     // persisted-index IVF, exhaustive probe == the same brute force
     // (index round-trips through lake tables; values are unchanged)

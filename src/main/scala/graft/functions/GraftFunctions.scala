@@ -249,6 +249,65 @@ object GraftFunctions {
         l: Expression, r: Expression): OverlapLong = copy(left = l, right = r)
   }
 
+  /** Plain dot product of two float/double arrays, sequential double
+    * accumulation in index order — the projection kernel (PCA, linear
+    * probes). Null for dimension mismatch, like [[CosineSim]].
+    */
+  case class DotProd(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double> inputs")
+    }
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_dot"
+
+    private def toDoubles(v: Any, dt: DataType): Array[Double] = {
+      val ad = v.asInstanceOf[ArrayData]
+      dt.asInstanceOf[ArrayType].elementType match {
+        case FloatType =>
+          val f = ad.toFloatArray()
+          val d = new Array[Double](f.length)
+          var i = 0
+          while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+          d
+        case _ => ad.toDoubleArray()
+      }
+    }
+
+    def compute(l: Any, r: Any): java.lang.Double = {
+      val a = toDoubles(l, left.dataType)
+      val b = toDoubles(r, right.dataType)
+      if (a.length != b.length) return null
+      var dot = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      java.lang.Double.valueOf(dot)
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = compute(l, r)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dotProd", this)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("dotRes")
+        s"""
+           |java.lang.Double $tmp = $ref.compute($a, $b);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.doubleValue(); }
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DotProd = copy(left = l, right = r)
+  }
+
   /** Cosine similarity of two float/double arrays with sequential double
     * accumulation in index order and final `dot / (sqrt(na) * sqrt(nb))` —
     * bit-identical to a C++ loop over the same values (DuckDB
@@ -832,6 +891,10 @@ object GraftFunctions {
 
   def cosine(a: Column, b: Column): Column =
     SparkShim.toColumn(CosineSim(
+      SparkShim.toExpression(a), SparkShim.toExpression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    SparkShim.toColumn(DotProd(
       SparkShim.toExpression(a), SparkShim.toExpression(b)))
 
   def topCells(vec: Column, centroids: Array[Array[Double]], n: Int,
