@@ -110,19 +110,24 @@ object SparkEntry {
         .orderBy(desc("revenue"), col("n_name"))
     }),
 
-    // ---- Q7 analog: bidirectional nation-pair trade volume ----
+    // ---- Q7 analog: bidirectional cross-bloc trade volume ----
     // The nation SELF-join with a disjunctive pair predicate
-    // ((A,B) OR (B,A)) and a year bucket — the shape that punishes
-    // optimizers that can't push a disjunction across a self-joined dim.
+    // ((A-bloc -> B-bloc) OR (B-bloc -> A-bloc)) and a year bucket —
+    // the shape that punishes optimizers that can't push a disjunction
+    // across a self-joined dim. Blocs (nationkey < 12 vs >= 12) rather
+    // than a single nation pair so the query has rows at every SF (10
+    // suppliers at sf0.001 leave most single pairs empty).
     "q7_nation_volume" -> ((s, dir) => {
       val lo = lit("1996-01-01").cast(TimestampType)
       val hi = lit("1998-01-01").cast(TimestampType)
       val n1 = t(s, dir, "nation")
         .select(col("n_nationkey").as("s_nkey"),
-          col("n_name").as("supp_nation"))
+          col("n_name").as("supp_nation"),
+          (col("n_nationkey") < 12).as("s_west"))
       val n2 = t(s, dir, "nation")
         .select(col("n_nationkey").as("c_nkey"),
-          col("n_name").as("cust_nation"))
+          col("n_name").as("cust_nation"),
+          (col("n_nationkey") < 12).as("c_west"))
       val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
       val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
       val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
@@ -135,10 +140,8 @@ object SparkEntry {
         .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
-        .where((col("supp_nation") === "NATION_1" &&
-            col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" &&
-            col("cust_nation") === "NATION_1"))
+        .where((col("s_west") && !col("c_west")) ||
+          (!col("s_west") && col("c_west")))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(stableSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
@@ -2384,8 +2387,8 @@ object SparkEntry {
         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1998-01-01'
-        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        |    AND ((n1.n_nationkey < 12 AND n2.n_nationkey >= 12)
+        |      OR (n1.n_nationkey >= 12 AND n2.n_nationkey < 12)))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
