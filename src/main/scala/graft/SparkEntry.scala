@@ -500,6 +500,25 @@ object SparkEntry {
         .orderBy("doc_id", "doc_id_2")
     }),
 
+    // ---- dedup: probabilistic record linkage (Fellegi–Sunter) ----
+    // Candidate pairs blocked on (nation, segment); per-field
+    // log-likelihood weights (exact binary fractions, so the double
+    // score is order-exact): name levenshtein ≤ 2 → +4.0 / −1.0,
+    // account balance within 100 (exact decimal diff) → +2.5 / −0.5.
+    // Threshold 3.0 keeps exactly the name-agreeing pairs.
+    "d11_linkage" -> ((s, dir) =>
+      Dedup.linkagePairs(t(s, dir, "customer"), "c_custkey",
+        blockCols = Seq("c_nationkey", "c_mktsegment"),
+        sortKey = col("c_name"),
+        fields = Seq(
+          Dedup.LinkageField("c_name",
+            (a, b) => levenshtein(a, b) <= 2, 4.0, -1.0),
+          Dedup.LinkageField("c_acctbal",
+            (a, b) => abs(a.cast(DecimalType(18, 2)) -
+              b.cast(DecimalType(18, 2))) < 100, 2.5, -0.5)),
+        threshold = 3.0)
+        .orderBy("c_custkey", "c_custkey_2")),
+
     // ---- dedup: SemDeDup (embedding-space clustering dedup) ----
     // k-means cells bound the pairwise-cosine term to Σ|cell|²; groups
     // from connected components, min id survives. Cells come from
@@ -860,6 +879,17 @@ object SparkEntry {
         row_number().over(w).as("rn"))
         .orderBy("event_id")
     }),
+
+    // ---- time series: rolling z-score anomaly gate ----
+    // Trailing 24-row window per user (row excluded); exact decimal
+    // frame sums; fixed-order IEEE z chain the oracle mirrors.
+    "ts1_anomaly" -> ((s, dir) =>
+      Analytics.rollingZScoreAnomalies(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        lookback = 24, zThreshold = 3.0, minObs = 8,
+        tieBreak = Seq("event_id"))
+        .orderBy("user_id", "ts", "event_id")),
 
     // ---- F14: JSON field extraction (events.props) ----
     "t5_json_extract" -> ((s, dir) =>
@@ -1307,6 +1337,36 @@ object SparkEntry {
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("term"))
         .limit(20)),
+
+    // ---- text: BPE subword tokenization (train + encode) ----
+    // Distributed merge-table training over the distinct-word frame
+    // (corpus tokenized once), then a map-side native encode. Learned
+    // merges are corpus-dependent => rows-only; t17b pins the encode
+    // expression cross-engine in its exact degenerate regime.
+    "t17_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.trainBpe(docs, "text", numMerges = 40)
+      val toks = graft.functions.GraftFunctions.bpeEncode(col("text"), merges)
+      docs.select(col("doc_id"),
+        size(toks).as("n_bpe_tokens"),
+        concat_ws("|", slice(toks, 1, 5)).as("head_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text: BPE degenerate regime (empty merge table ≡ code-point
+    // symbols) — hash-oracled: token count == non-whitespace length.
+    "t17b_bpe_char" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        size(graft.functions.GraftFunctions.bpeEncode(col("text"), Nil))
+          .as("n_cp"))
+        .orderBy("doc_id")),
+
+    // ---- text: chi-square term–category association (feature
+    // selection). Doc-presence 2x2 contingency per (term, lang);
+    // fixed-order IEEE chain from exact counts — fully hash-oracled.
+    "t18_chi2" -> ((s, dir) =>
+      TextAnalysis.chiSquareTerms(t(s, dir, "documents"),
+        "doc_id", "text", "lang", minDf = 10L, k = 50)),
 
     // ---- sketch: Misra-Gries frequent items (native mergeable
     // TypedImperativeAggregate). The sketch path for t7's question: each
@@ -1920,6 +1980,17 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         col("source"), col("doc_id"), seed = 7L)),
 
+    // ---- sampling: systematic PPS (weight = n_chars, k per source) ----
+    // Deterministic md5 order + integer running-weight crossings: ≤ 20
+    // rows per source, inclusion probability ∝ document length, pure
+    // integer arithmetic — fully hash-oracled.
+    "s11_pps" -> ((s, dir) =>
+      Sampling.ppsSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        col("source"), col("doc_id"), col("n_chars"), k = 20, seed = 11L)
+        .orderBy("doc_id")),
+
     // ---- sampling: stable train/val/test split ----
     // Hash-threshold assignment (exact binary-fraction weights so the
     // cumulative thresholds are IEEE-exact in both engines): a doc's
@@ -2245,6 +2316,37 @@ object SparkEntry {
         |WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
         |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
         |ORDER BY doc_id, doc_id_2""".stripMargin,
+
+    // Fellegi–Sunter linkage: same blocks, same comparators, same
+    // exact-binary-fraction weights (null comparison → 0, the missing-
+    // data convention — vacuous here, customer fields are non-null)
+    "d11_linkage" ->
+      """SELECT a.c_custkey AS c_custkey, b.c_custkey AS c_custkey_2,
+        |  CAST(
+        |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 IS NULL THEN 0.0
+        |          WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 4.0
+        |          ELSE -1.0 END)
+        |    + (CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 IS NULL THEN 0.0
+        |            WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 THEN 2.5
+        |            ELSE -0.5 END)
+        |  AS DOUBLE) AS score
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        |  AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE CAST(
+        |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 IS NULL THEN 0.0
+        |          WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 4.0
+        |          ELSE -1.0 END)
+        |    + (CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 IS NULL THEN 0.0
+        |            WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 THEN 2.5
+        |            ELSE -0.5 END)
+        |  AS DOUBLE) >= 3.0
+        |ORDER BY c_custkey, c_custkey_2""".stripMargin,
 
     // same shingle sets, overlap-coefficient verifier:
     // |A∩B| / min(|A|,|B|)
@@ -2917,6 +3019,25 @@ object SparkEntry {
         |FROM documents
         |ORDER BY interleave_rank, source, doc_id""".stripMargin,
 
+    // systematic PPS: same seeded md5 order, integer step crossings
+    "s11_pps" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(concat('0x', substr(md5(concat('11', ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS pkey
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |), steps AS (
+        |  SELECT source AS g, (sum(n_chars) + 19) // 20 AS step
+        |  FROM keyed GROUP BY source
+        |), c AS (
+        |  SELECT k.doc_id, k.source, k.n_chars, t.step,
+        |    sum(k.n_chars) OVER (PARTITION BY k.source ORDER BY k.pkey, k.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM keyed k JOIN steps t ON k.source = t.g
+        |)
+        |SELECT doc_id, source, n_chars FROM c
+        |WHERE cum // step > (cum - n_chars) // step
+        |ORDER BY doc_id""".stripMargin,
+
     // stable split: md5-uniform vs exact cumulative thresholds
     "s7_split" ->
       """SELECT doc_id,
@@ -3191,6 +3312,26 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // rolling z-score: exact decimal frame sums, then the identical
+    // fixed-order double chain (x - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))
+    "ts1_anomaly" ->
+      """WITH fr AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    count(value) OVER w AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        |      AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id, ts, value,
+        |  (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+        |FROM fr
+        |WHERE n >= 8 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+        |  AND abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3.0
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
     "j7_asof_broadcast" ->
       """SELECT e.event_id, e.user_id, o.best_price AS asof_price
         |FROM events e ASOF JOIN (
@@ -3306,6 +3447,43 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    // BPE with an empty merge table == code-point symbols per word:
+    // the token count is exactly the non-whitespace character count
+    "t17b_bpe_char" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_cp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chi-square: same casts-first, left-associated double chain
+    "t18_chi2" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT doc_id, lang AS cat, term FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents)
+        |), tc AS (
+        |  SELECT term, cat, COUNT(*) AS n11 FROM pres GROUP BY term, cat
+        |), tt AS (
+        |  SELECT term, SUM(n11) AS nt FROM tc GROUP BY term
+        |), ct AS (
+        |  SELECT lang AS cat2, COUNT(*) AS nc FROM documents GROUP BY lang
+        |), tot AS (SELECT COUNT(*) AS nn FROM documents
+        |), sc AS (
+        |  SELECT term, cat,
+        |    CAST(n11 AS DOUBLE) AS n11d, CAST(nt AS DOUBLE) AS ntd,
+        |    CAST(nc AS DOUBLE) AS ncd, CAST(nn AS DOUBLE) AS nnd
+        |  FROM tc JOIN tt USING (term) JOIN ct ON cat = cat2 CROSS JOIN tot
+        |  WHERE nt >= 10 AND nt < nn AND nc < nn
+        |), sc2 AS (
+        |  SELECT term, cat, ntd, ncd, nnd,
+        |    n11d * (nnd - ntd - ncd + n11d)
+        |      - (ntd - n11d) * (ncd - n11d) AS diff
+        |  FROM sc
+        |)
+        |SELECT term, cat,
+        |  nnd * (diff * diff) / (ntd * (nnd - ntd) * ncd * (nnd - ncd)) AS chi2
+        |FROM sc2 ORDER BY chi2 DESC, term, cat LIMIT 50""".stripMargin,
 
     // exact-configuration Misra-Gries == exact counts, zero error
     "hh1_freq_items" ->

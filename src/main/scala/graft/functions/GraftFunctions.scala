@@ -825,7 +825,118 @@ object GraftFunctions {
       copy(left = l, right = r)
   }
 
+  /** Byte-pair-encoding application (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units"; the GPT-2 greedy
+    * variant): the text splits on whitespace, and each pre-token is
+    * encoded from its code-point symbols by repeatedly merging the
+    * adjacent pair with the LOWEST merge rank (all occurrences, left to
+    * right) until no pair is in the merge table. `merges` is the
+    * ordered table — rank = index — produced by
+    * `TextAnalysis.trainBpe` or loaded from any GPT-2-style merges
+    * file. Output: array of subword token strings; with an EMPTY table
+    * the encoding degenerates to code-point symbols (the t17b oracle
+    * regime). Null text → null.
+    *
+    * The merge table rides the serialized expression (one copy per
+    * task) — fine to the ~50k merges of a production vocab (≲1 MB);
+    * per-word memoization makes the per-row cost ~one cache hit per
+    * Zipf-repeated word. Deterministic: same text + same table → same
+    * tokens, regardless of partitioning or cache state.
+    */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with CodegenFallback {
+    require(merges.length <= 65536, "merge table capped at 65536")
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"expected a string column, got $other")
+      }
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_bpe_encode"
+
+    @transient private lazy val rank: java.util.HashMap[String, Int] = {
+      val m = new java.util.HashMap[String, Int](merges.length * 2)
+      merges.zipWithIndex.foreach { case ((l, r), i) =>
+        m.putIfAbsent(l + " " + r, i)
+      }
+      m
+    }
+    // per-word memo (bounded; cleared when full — correctness never
+    // depends on it, encodeWord is a pure function)
+    @transient private lazy val memo =
+      new java.util.HashMap[String, Array[Any]]()
+
+    private def encodeWord(w: String): Array[Any] = {
+      val cached = memo.get(w)
+      if (cached != null) return cached
+      var syms = {
+        val cps = w.codePoints().toArray
+        val a = new Array[String](cps.length)
+        var i = 0
+        while (i < cps.length) {
+          a(i) = new String(Character.toChars(cps(i))); i += 1
+        }
+        a
+      }
+      var done = syms.length < 2
+      while (!done) {
+        // lowest-rank adjacent pair
+        var best = Int.MaxValue
+        var bl: String = null; var br: String = null
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rank.getOrDefault(syms(i) + " " + syms(i + 1),
+            Int.MaxValue)
+          if (r < best) { best = r; bl = syms(i); br = syms(i + 1) }
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          // merge ALL occurrences, left to right
+          val out = new Array[String](syms.length)
+          var n = 0; var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == bl && syms(j + 1) == br) {
+              out(n) = bl + br; n += 1; j += 2
+            } else { out(n) = syms(j); n += 1; j += 1 }
+          }
+          syms = java.util.Arrays.copyOf(out, n)
+          if (syms.length < 2) done = true
+        }
+      }
+      val toks: Array[Any] = syms.map(s =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      if (memo.size >= 65536) memo.clear()
+      memo.put(w, toks)
+      toks
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val words = s.trim.split("\\s+").filter(_.nonEmpty)
+      val out = new java.util.ArrayList[Any]()
+      var i = 0
+      while (i < words.length) {
+        val toks = encodeWord(words(i))
+        var j = 0
+        while (j < toks.length) { out.add(toks(j)); j += 1 }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): BpeEncode =
+      copy(child = c)
+  }
+
   // ---- Column API ----
+
+  /** BPE subword encoding (see [[BpeEncode]]). */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    SparkShim.toColumn(BpeEncode(SparkShim.toExpression(text), merges))
 
   def ngramHashes(toks: Column, n: Int): Column =
     SparkShim.toColumn(NgramHashes(SparkShim.toExpression(toks), n))

@@ -337,6 +337,59 @@ object Analytics {
           .cast(DoubleType) / count(col(measure)).over(w)))
   }
 
+  /** Rolling z-score anomaly detection: per key, flag rows whose measure
+    * deviates from the TRAILING `lookback`-row window (the row itself
+    * excluded, so an outlier never suppresses its own detection) by more
+    * than `zThreshold` standard deviations. The classic streaming-ish
+    * outlier gate for telemetry/quality series, expressed as one sorted
+    * window per key.
+    *
+    * Cross-engine exactness: the frame's sum and sum-of-squares go
+    * through the DECIMAL(18,2) stabilization (the [[stableSum]] /
+    * [[trailingRangeStats]] convention — order-independent, so partition
+    * boundaries can't move the result), and the z arithmetic from those
+    * exact sums is a FIXED chain of IEEE double ops —
+    * `(x − s1/n) / sqrt((s2 − s1·s1/n)/(n−1))` — that any engine
+    * re-deriving it in the same order reproduces bit-for-bit (ts1's
+    * DuckDB oracle does).
+    *
+    * Rows are emitted only when the window holds at least `minObs`
+    * observations AND the window variance is strictly positive (a
+    * constant window has no scale — a deviation from it is reported by
+    * the first condition that acquires variance, not a division by
+    * zero).
+    *
+    * Scale shape: one hash exchange on the keys, one sorted ROWS window
+    * inside each key's partition — frame state is `lookback` rows, no
+    * unbounded accumulation; 100 TB of series parallelize by key.
+    */
+  def rollingZScoreAnomalies(df: DataFrame, keyCols: Seq[String],
+      tsCol: String, measure: String, lookback: Int,
+      zThreshold: Double, minObs: Int = 2,
+      tieBreak: Seq[String] = Nil, zCol: String = "z"): DataFrame = {
+    require(lookback >= 1, s"lookback must be >= 1, got $lookback")
+    require(minObs >= 2, s"minObs must be >= 2 (variance needs two), got $minObs")
+    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-lookback, -1)
+    val x = col(measure)
+    val dec = x.cast(DecimalType(18, 2))
+    val n = count(x).over(w)
+    val s1 = sum(dec).over(w).cast(DoubleType)
+    val s2 = sum((dec * dec).cast(DecimalType(38, 4))).over(w)
+      .cast(DoubleType)
+    // fixed-order IEEE chain; oracle mirrors it token-for-token
+    val variance = (s2 - s1 * s1 / n) / (n - lit(1))
+    val z = (x - s1 / n) / sqrt(variance)
+    df.withColumn("__n", n).withColumn("__var", variance)
+      .withColumn(zCol, z)
+      .where(col("__n") >= minObs && col("__var") > 0 &&
+        abs(col(zCol)) > zThreshold)
+      .drop("__n", "__var")
+  }
+
   /** Z-order dimension builders (Z1) + the interleaved cluster value.
     * A z-value needs each dimension reduced to a small unsigned bucket
     * range; these two cover the common cases — a modular hash of an id

@@ -215,6 +215,57 @@ object Dedup {
       maxBlockSize, neighborhood, snmPrefixLen,
       graft.functions.GraftFunctions.overlapSorted)
 
+  /** One field comparator for probabilistic record linkage
+    * ([[linkagePairs]]): `agree` evaluates the two sides of a candidate
+    * pair's `column` to a boolean; `wAgree` / `wDisagree` are the
+    * Fellegi–Sunter log-likelihood-ratio weights (log₂(m/u) and
+    * log₂((1−m)/(1−u)), precomputed by the caller). Choose weights that
+    * are exact binary fractions (multiples of 2⁻ᵏ for small k) — their
+    * double sums are then EXACT in any order, so the match score is
+    * bit-identical across engines and partitionings. A null comparison
+    * (missing field on either side) contributes weight 0, the standard
+    * missing-data convention.
+    */
+  final case class LinkageField(column: String,
+      agree: (Column, Column) => Column,
+      wAgree: Double, wDisagree: Double)
+
+  /** Probabilistic record linkage (Fellegi–Sunter): score candidate
+    * pairs inside `blockCols` blocks by summing per-field agreement
+    * weights, and keep pairs with `score >= threshold`. The classic
+    * entity-resolution step a pure-text dedup misses: records that
+    * describe the same entity with FIELD-level noise (a typo'd name,
+    * a drifted balance) rather than near-identical text.
+    *
+    * Candidates come from the same capped core as every blocked pair
+    * operator ([[cappedBlockCandidates]]): exhaustive inside blocks up
+    * to `maxBlockSize`, sorted-neighborhood above it — O(B·k), never
+    * B². Only ids and block keys ride the candidate shuffle; the
+    * compared fields join back by id for the surviving pairs. Output:
+    * `idCol`, `idCol_2` (least-first), `score` (double).
+    */
+  def linkagePairs(df: DataFrame, idCol: String, blockCols: Seq[String],
+      sortKey: Column, fields: Seq[LinkageField], threshold: Double,
+      maxBlockSize: Int = 2048, neighborhood: Int = 8,
+      snmPrefixLen: Int = 4): DataFrame = {
+    require(fields.nonEmpty, "need at least one linkage field")
+    val cands = cappedBlockCandidates(df, idCol, sortKey, blockCols,
+      maxBlockSize, neighborhood, snmPrefixLen)
+    val fieldCols = fields.map(_.column).distinct
+    val payload = df.select((idCol +: fieldCols).map(col): _*)
+    val payload2 = df.select(col(idCol).as(idCol + "_2") +:
+      fieldCols.map(c => col(c).as(c + "_2")): _*)
+    val score = fields.map { f =>
+      val a = f.agree(col(f.column), col(f.column + "_2"))
+      when(a.isNull, lit(0.0)).when(a, lit(f.wAgree))
+        .otherwise(lit(f.wDisagree))
+    }.reduce(_ + _)
+    cands.join(payload, idCol).join(payload2, idCol + "_2")
+      .withColumn("score", score)
+      .where(col("score") >= threshold)
+      .select(col(idCol), col(idCol + "_2"), col("score"))
+  }
+
   /** The shared capped candidate core: id pairs (least-first) inside
     * `blockCols` blocks — EXHAUSTIVE for blocks up to `maxBlockSize`,
     * sorted-neighborhood (Hernández & Stolfo merge/purge) above it:

@@ -182,6 +182,51 @@ object Sampling {
       .drop("__g", "__keep")
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling, per
+    * group: order each group's rows by the seeded md5 key (a
+    * deterministic random permutation), take the running weight sum,
+    * and keep exactly the rows whose weight interval
+    * `[cum − w, cum)` crosses a multiple of `step = ⌈totalW / k⌉` —
+    * i.e. `cum div step > (cum − w) div step`. Classic systematic PPS:
+    * at most `k` rows per group, inclusion probability proportional to
+    * weight (a row heavier than `step` is ALWAYS kept), pure integer
+    * arithmetic end to end — no RNG state, bit-identical across
+    * engines and re-runs. The quality-weighted / length-weighted
+    * sampling primitive for corpus curation, where uniform sampling
+    * ([[resampleToMix]]) over- or under-represents by document size.
+    *
+    * Rows with null or non-positive weight carry no mass and are
+    * excluded (documented contract, mirrored by the oracle).
+    *
+    * Scale shape: one broadcast of the per-group totals (|groups|
+    * rows), one hash exchange, one cumsum window per group — groups
+    * parallelize; a single billion-row group serializes through its
+    * window task, and the [[tokenBudgetMix]] two-phase prefix trick
+    * (shard by the key's leading bits, offsets broadcast back) applies
+    * verbatim if that ever binds.
+    */
+  def ppsSample(df: DataFrame, groupCol: Column, idCol: Column,
+      weightCol: Column, k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("__w", weightCol.cast("long"))
+      .where(col("__w").isNotNull && col("__w") > 0)
+      .withColumn("__pkey",
+        Dedup.md5Hash60(concat_ws(":", lit(seed), idCol.cast("string"))))
+    val steps = keyed.groupBy(groupCol.as("__pg"))
+      .agg(sum(col("__w")).as("__tot"))
+      .select(col("__pg"),
+        expr(s"(__tot + ${k - 1}) div $k").as("__step"))
+    val wOrd = Window.partitionBy(groupCol)
+      .orderBy(col("__pkey"), idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(broadcast(steps), groupCol === col("__pg"))
+      .withColumn("__cum", sum(col("__w")).over(wOrd))
+      .where(expr("__cum div __step") > expr("(__cum - __w) div __step"))
+      .drop("__w", "__pkey", "__pg", "__step", "__cum")
+  }
+
   /** Token-budget mixture — the data-mixing step of a training
     * pipeline: each group (source / domain / language) contributes docs
     * in DETERMINISTIC hash order until its token budget fills. The

@@ -132,6 +132,108 @@ object TextAnalysis {
         col("rk").cast(IntegerType).as("rk"))
   }
 
+  /** Distributed BPE merge-table training (Sennrich et al.): the corpus
+    * tokenizes ONCE into a distinct-word frequency frame (Heaps' law —
+    * vastly smaller than the corpus and the only thing the iterations
+    * touch); each merge round re-encodes that frame map-side with the
+    * merges learned so far (`GraftFunctions.BpeEncode` — constant
+    * lineage depth, no checkpointing), counts adjacent symbol pairs
+    * weighted by word frequency through one narrow shuffle, and takes
+    * the top pair (count desc, then lexicographic — deterministic,
+    * where reference implementations tie-break by dict order). Stops
+    * early when the best pair's count drops below `minPairCount`.
+    * The per-round collect is ONE row.
+    *
+    * Scale shape: numMerges small jobs over the word frame; the corpus
+    * itself is scanned exactly once. A 100 TB corpus's distinct-word
+    * frame is ~billions of rows at worst — each round is a map-side
+    * encode + a (pair → count) partial-agg shuffle, all parallel.
+    */
+  def trainBpe(corpus: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0 && numMerges <= 65536,
+      s"numMerges must be in [0, 65536], got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1")
+    val words = corpus
+      .select(explode(tokens(col(textCol))).as("__word"))
+      .where(length(col("__word")) > 0)
+      .groupBy("__word").agg(count(lit(1)).as("__cnt"))
+      .persist()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var go = numMerges > 0
+      while (go && merges.length < numMerges) {
+        val syms = graft.functions.GraftFunctions
+          .bpeEncode(col("__word"), merges.toList)
+        val top = words
+          .select(col("__cnt"), syms.as("__s"))
+          .where(size(col("__s")) >= 2)
+          .select(col("__cnt"), explode(transform(col("__s"),
+            (x, i) => struct(x.as("l"),
+              element_at(col("__s"), i + lit(2)).as("r")))).as("__p"))
+          .where(col("__p.r").isNotNull)
+          .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+          .agg(sum("__cnt").as("n"))
+          .orderBy(desc("n"), col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty || top(0).getAs[Long]("n") < minPairCount) go = false
+        else merges += ((top(0).getAs[String]("l"), top(0).getAs[String]("r")))
+      }
+      merges.toList
+    } finally { words.unpersist(); () }
+  }
+
+  /** Chi-square term–category association — feature selection for
+    * corpus curation: which terms are most predictive of a category
+    * (language, source, quality bin)? For each (term, category) whose
+    * term document-frequency is at least `minDf`, the 2×2 doc-presence
+    * contingency statistic
+    *
+    *   χ² = N·(n11·n22 − n12·n21)² / (nt·(N−nt)·nc·(N−nc))
+    *
+    * with n11 = docs in the category containing the term, nt / nc the
+    * term / category marginals, N the corpus size. Every input is an
+    * exact integer count and the χ² chain is a FIXED order of IEEE
+    * double ops (casts first, left-associated products), so the score
+    * is bit-identical across engines — no rounding convention needed,
+    * unlike the ln-based tf-idf.
+    *
+    * Scale shape: one tokenize+distinct pass (map-side explode), one
+    * shuffle to (term, category) counts; term marginals re-aggregate
+    * from that frame (no second corpus pass); category marginals and N
+    * are tiny broadcast frames. Top-k by (χ² desc, term, category) —
+    * a total order, so the cut is deterministic.
+    */
+  def chiSquareTerms(df: DataFrame, idCol: String, textCol: String,
+      catCol: String, minDf: Long, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val present = df.select(col(catCol).as("cat"), col(idCol),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    // one row per (doc, term) after the distinct — counts are presence
+    val tc = present.groupBy("term", "cat").agg(count(lit(1)).as("__n11"))
+    val termTot = tc.groupBy("term").agg(sum("__n11").as("__nt"))
+    val catTot = df.groupBy(col(catCol).as("__cat2"))
+      .agg(count(lit(1)).as("__nc"))
+    val total = df.agg(count(lit(1)).as("__nn"))
+    val n11 = col("__n11").cast(DoubleType)
+    val nt = col("__nt").cast(DoubleType)
+    val nc = col("__nc").cast(DoubleType)
+    val nn = col("__nn").cast(DoubleType)
+    val diff = n11 * (nn - nt - nc + n11) - (nt - n11) * (nc - n11)
+    val chi2 = nn * (diff * diff) /
+      (nt * (nn - nt) * nc * (nn - nc))
+    tc.join(termTot, "term").where(col("__nt") >= minDf)
+      .join(broadcast(catTot), col("cat") === col("__cat2"))
+      .crossJoin(broadcast(total))
+      // degenerate marginals (term in every doc / single-category
+      // corpus) have no 2x2 signal and a zero denominator
+      .where(col("__nt") < col("__nn") && col("__nc") < col("__nn"))
+      .withColumn("chi2", chi2)
+      .orderBy(desc("chi2"), col("term"), col("cat"))
+      .limit(k)
+      .select(col("term"), col("cat"), col("chi2"))
+  }
+
   /** BM25 keyword relevance (Robertson et al., Okapi BM25) — the
     * retrieval scoring [[tfidfTopK]] approximates, with saturation (k1)
     * and length normalization (b):
