@@ -64,6 +64,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => graft.functions.QuantileSketchAgg(es.head,
         if (es.length > 1) graft.functions.QSketchCodec.numArg(es(1))
         else 1e-4)))
+    ext.injectFunction(fn("graft_countmin",
+      es => graft.functions.CountMinAgg(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction(fn("graft_cm_merge",
+      es => graft.functions.CmMergeAgg(es.head)))
+    ext.injectFunction(fn("graft_cm_estimate",
+      es => graft.functions.CmEstimate(es.head, es(1))))
     ext.injectFunction(fn("graft_quantile_merge",
       es => graft.functions.QuantileMergeAgg(es.head)))
     ext.injectFunction(fn("graft_quantile_estimate",

@@ -1148,6 +1148,29 @@ object SparkEntry {
     // deterministic, but engine-specific binary => rows-only check;
     // IncrementalSpec proves union-of-parts == sketch-of-whole exactly
     // and the estimate lands within 5% of the true distinct count.
+    // ---- A23: mergeable Count-Min point-frequency rollup ----
+    // Fourth sketch family (HLL: distinct; MG: which are frequent; GK:
+    // quantiles; CM: how often is THIS item): one sketch per market
+    // segment, merged, then point-estimated per nation key. 25 keys in
+    // a 4x4096 sketch pairwise-collide in no row => the estimate is
+    // PROVABLY exact for this domain (independent of data volume, the
+    // key set is fixed across SFs) — fully hash-oracled against the
+    // exact group-by, THROUGH the merge path.
+    "a23_cm_rollup" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.{cmEstimate, cmMerge, countMin}
+      val cust = t(s, dir, "customer")
+      val perSeg = cust.groupBy(col("c_mktsegment"))
+        .agg(countMin(col("c_nationkey").cast(StringType), 4, 4096)
+          .as("sk"))
+      val merged = perSeg.agg(cmMerge(col("sk")).as("sk"))
+      cust.select(col("c_nationkey")).distinct()
+        .crossJoin(broadcast(merged))
+        .select(col("c_nationkey"),
+          cmEstimate(col("sk"), col("c_nationkey").cast(StringType))
+            .as("est"))
+        .orderBy("c_nationkey")
+    }),
+
     "a19_sketch_rollup" -> ((s, dir) => {
       val hourly = t(s, dir, "events")
         .groupBy(hour(col("ts")).as("hour"))
@@ -3447,6 +3470,12 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    // Count-Min in the provably-exact domain regime (25 fixed keys,
+    // no full-row collision) == exact counts, through the merge path
+    "a23_cm_rollup" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS est
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // BPE with an empty merge table == code-point symbols per word:
     // the token count is exactly the non-whitespace character count

@@ -843,6 +843,61 @@ object GraftFunctions {
     * Zipf-repeated word. Deterministic: same text + same table → same
     * tokens, regardless of partitioning or cache state.
     */
+  /** The greedy BPE word encoder shared by the [[BpeEncode]] expression
+    * (executor side) and `TextAnalysis.trainBpe`'s driver-local trainer —
+    * ONE definition, so the two paths can never segment differently.
+    * `rank` maps "l\u0000r" -> merge rank (NUL separator: cannot occur
+    * inside a symbol, since symbols come from whitespace-split words).
+    */
+  private[graft] def bpeRankMap(
+      merges: Seq[(String, String)]): java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int](merges.length * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      m.putIfAbsent(l + "\u0000" + r, i)
+    }
+    m
+  }
+
+  private[graft] def bpeEncodeWord(w: String,
+      rank: java.util.HashMap[String, Int]): Array[String] = {
+    var syms = {
+      val cps = w.codePoints().toArray
+      val a = new Array[String](cps.length)
+      var i = 0
+      while (i < cps.length) {
+        a(i) = new String(Character.toChars(cps(i))); i += 1
+      }
+      a
+    }
+    var done = syms.length < 2
+    while (!done) {
+      // lowest-rank adjacent pair
+      var best = Int.MaxValue
+      var bl: String = null; var br: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrDefault(syms(i) + "\u0000" + syms(i + 1),
+          Int.MaxValue)
+        if (r < best) { best = r; bl = syms(i); br = syms(i + 1) }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // merge ALL occurrences, left to right
+        val out = new Array[String](syms.length)
+        var n = 0; var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == bl && syms(j + 1) == br) {
+            out(n) = bl + br; n += 1; j += 2
+          } else { out(n) = syms(j); n += 1; j += 1 }
+        }
+        syms = java.util.Arrays.copyOf(out, n)
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
   case class BpeEncode(child: Expression, merges: Seq[(String, String)])
       extends UnaryExpression with CodegenFallback {
     require(merges.length <= 65536, "merge table capped at 65536")
@@ -857,13 +912,8 @@ object GraftFunctions {
     override def nullable: Boolean = true
     override def prettyName: String = "graft_bpe_encode"
 
-    @transient private lazy val rank: java.util.HashMap[String, Int] = {
-      val m = new java.util.HashMap[String, Int](merges.length * 2)
-      merges.zipWithIndex.foreach { case ((l, r), i) =>
-        m.putIfAbsent(l + " " + r, i)
-      }
-      m
-    }
+    @transient private lazy val rank: java.util.HashMap[String, Int] =
+      bpeRankMap(merges)
     // per-word memo (bounded; cleared when full — correctness never
     // depends on it, encodeWord is a pure function)
     @transient private lazy val memo =
@@ -872,42 +922,7 @@ object GraftFunctions {
     private def encodeWord(w: String): Array[Any] = {
       val cached = memo.get(w)
       if (cached != null) return cached
-      var syms = {
-        val cps = w.codePoints().toArray
-        val a = new Array[String](cps.length)
-        var i = 0
-        while (i < cps.length) {
-          a(i) = new String(Character.toChars(cps(i))); i += 1
-        }
-        a
-      }
-      var done = syms.length < 2
-      while (!done) {
-        // lowest-rank adjacent pair
-        var best = Int.MaxValue
-        var bl: String = null; var br: String = null
-        var i = 0
-        while (i < syms.length - 1) {
-          val r = rank.getOrDefault(syms(i) + " " + syms(i + 1),
-            Int.MaxValue)
-          if (r < best) { best = r; bl = syms(i); br = syms(i + 1) }
-          i += 1
-        }
-        if (best == Int.MaxValue) done = true
-        else {
-          // merge ALL occurrences, left to right
-          val out = new Array[String](syms.length)
-          var n = 0; var j = 0
-          while (j < syms.length) {
-            if (j < syms.length - 1 && syms(j) == bl && syms(j + 1) == br) {
-              out(n) = bl + br; n += 1; j += 2
-            } else { out(n) = syms(j); n += 1; j += 1 }
-          }
-          syms = java.util.Arrays.copyOf(out, n)
-          if (syms.length < 2) done = true
-        }
-      }
-      val toks: Array[Any] = syms.map(s =>
+      val toks: Array[Any] = bpeEncodeWord(w, rank).map(s =>
         org.apache.spark.unsafe.types.UTF8String.fromString(s))
       if (memo.size >= 65536) memo.clear()
       memo.put(w, toks)
@@ -987,6 +1002,19 @@ object GraftFunctions {
   def quantileSketch(value: Column, eps: Double = 1e-4): Column =
     SparkShim.toColumn(QuantileSketchAgg(
       SparkShim.toExpression(value), eps).toAggregateExpression())
+
+  /** Count-Min sketch aggregate (see [[CountMinAgg]]). */
+  def countMin(item: Column, depth: Int, width: Int): Column =
+    SparkShim.toColumn(CountMinAgg(
+      SparkShim.toExpression(item), depth, width).toAggregateExpression())
+
+  def cmMerge(sketch: Column): Column =
+    SparkShim.toColumn(CmMergeAgg(
+      SparkShim.toExpression(sketch)).toAggregateExpression())
+
+  def cmEstimate(sketch: Column, item: Column): Column =
+    SparkShim.toColumn(CmEstimate(
+      SparkShim.toExpression(sketch), SparkShim.toExpression(item)))
 
   def quantileMerge(sketch: Column): Column =
     SparkShim.toColumn(QuantileMergeAgg(
@@ -1317,6 +1345,15 @@ object GraftFunctions {
       es => TopKPairs(es.head, es(1),
         es(2).eval().asInstanceOf[Number].intValue()),
       "scala_udf")
+    // mergeable Count-Min point-frequency sketches
+    reg.createOrReplaceTempFunction("graft_countmin",
+      es => CountMinAgg(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cm_merge",
+      es => CmMergeAgg(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cm_estimate",
+      es => CmEstimate(es.head, es(1)), "scala_udf")
     // mergeable GK quantile sketches (eps optional, default 1e-4)
     reg.createOrReplaceTempFunction("graft_quantile_sketch",
       es => QuantileSketchAgg(es.head,

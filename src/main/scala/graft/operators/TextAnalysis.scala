@@ -150,7 +150,8 @@ object TextAnalysis {
     * encode + a (pair → count) partial-agg shuffle, all parallel.
     */
   def trainBpe(corpus: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L): Seq[(String, String)] = {
+      minPairCount: Long = 2L, maxLocalVocab: Long = 500000L)
+      : Seq[(String, String)] = {
     require(numMerges >= 0 && numMerges <= 65536,
       s"numMerges must be in [0, 65536], got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1")
@@ -160,27 +161,95 @@ object TextAnalysis {
       .groupBy("__word").agg(count(lit(1)).as("__cnt"))
       .persist()
     try {
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      var go = numMerges > 0
-      while (go && merges.length < numMerges) {
-        val syms = graft.functions.GraftFunctions
-          .bpeEncode(col("__word"), merges.toList)
-        val top = words
-          .select(col("__cnt"), syms.as("__s"))
-          .where(size(col("__s")) >= 2)
-          .select(col("__cnt"), explode(transform(col("__s"),
-            (x, i) => struct(x.as("l"),
-              element_at(col("__s"), i + lit(2)).as("r")))).as("__p"))
-          .where(col("__p.r").isNotNull)
-          .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
-          .agg(sum("__cnt").as("n"))
-          .orderBy(desc("n"), col("l"), col("r"))
-          .limit(1).collect()
-        if (top.isEmpty || top(0).getAs[Long]("n") < minPairCount) go = false
-        else merges += ((top(0).getAs[String]("l"), top(0).getAs[String]("r")))
+      // the word frame is Heaps'-law small; below the threshold the
+      // merge rounds run driver-local over the collected counts (same
+      // trade as Dedup's union-find-under-1M-edges) — ZERO per-merge
+      // Spark jobs. Both paths share bpeEncodeWord + the byte-wise
+      // tie-break, so they are pinned identical (BpeSpec).
+      if (words.count() <= maxLocalVocab) {
+        val wc = words.collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        trainBpeLocal(wc, numMerges, minPairCount)
+      } else {
+        val merges =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var go = numMerges > 0
+        while (go && merges.length < numMerges) {
+          val syms = graft.functions.GraftFunctions
+            .bpeEncode(col("__word"), merges.toList)
+          val top = words
+            .select(col("__cnt"), syms.as("__s"))
+            .where(size(col("__s")) >= 2)
+            .select(col("__cnt"), explode(transform(col("__s"),
+              (x, i) => struct(x.as("l"),
+                element_at(col("__s"), i + lit(2)).as("r")))).as("__p"))
+            .where(col("__p.r").isNotNull)
+            .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+            .agg(sum("__cnt").as("n"))
+            .orderBy(desc("n"), col("l"), col("r"))
+            .limit(1).collect()
+          if (top.isEmpty || top(0).getAs[Long]("n") < minPairCount)
+            go = false
+          else
+            merges += ((top(0).getAs[String]("l"),
+              top(0).getAs[String]("r")))
+        }
+        merges.toList
       }
-      merges.toList
     } finally { words.unpersist(); () }
+  }
+
+  /** Unsigned byte-wise UTF-8 comparison — Spark's string sort order
+    * (UTF8String.compareTo), NOT Java String's UTF-16 order; the local
+    * trainer must tie-break exactly like the distributed `orderBy`.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Driver-local merge rounds over the collected word-count frame:
+    * each round re-encodes every word from scratch with the merges so
+    * far (exactly what the distributed path's map-side BpeEncode does),
+    * counts every adjacent symbol pair weighted by word frequency
+    * (overlap-inclusive, like the distributed transform), and picks the
+    * top pair by (count desc, byte-wise lex l, r).
+    */
+  private def trainBpeLocal(wc: Array[(String, Long)], numMerges: Int,
+      minPairCount: Long): Seq[(String, String)] = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var go = numMerges > 0
+    while (go && merges.length < numMerges) {
+      val rank = graft.functions.GraftFunctions.bpeRankMap(merges.toList)
+      val counts =
+        new java.util.HashMap[(String, String), java.lang.Long]()
+      wc.foreach { case (w, c) =>
+        val syms = graft.functions.GraftFunctions.bpeEncodeWord(w, rank)
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), c, (x, y) => x + y)
+          i += 1
+        }
+      }
+      var bl: String = null; var br: String = null; var bn = -1L
+      counts.forEach { (k, v) =>
+        if (v > bn || (v == bn && {
+          val c = utf8Compare(k._1, bl)
+          c < 0 || (c == 0 && utf8Compare(k._2, br) < 0)
+        })) { bl = k._1; br = k._2; bn = v }
+      }
+      if (bl == null || bn < minPairCount) go = false
+      else merges += ((bl, br))
+    }
+    merges.toList
   }
 
   /** Chi-square term–category association — feature selection for

@@ -68,6 +68,14 @@ class BpeSpec extends SparkTestBase {
     assert(merges === Seq(("a", "b")))
   }
 
+  test("local and distributed trainers learn identical merges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(40)
+    val local = TextAnalysis.trainBpe(docs, "text", numMerges = 6)
+    val dist = TextAnalysis.trainBpe(docs, "text", numMerges = 6,
+      maxLocalVocab = 0L)
+    assert(local === dist)
+  }
+
   test("encode is stable under repartitioning") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     val merges = TextAnalysis.trainBpe(docs, "text", numMerges = 8)
