@@ -76,5 +76,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => graft.functions.QuantileMergeAgg(es.head)))
     ext.injectFunction(fn("graft_quantile_estimate",
       es => graft.functions.QuantileEstimate(es.head, es(1))))
+    ext.injectFunction(fn("graft_quantile_union",
+      es => graft.functions.QuantileUnion(es.head, es(1))))
   }
 }

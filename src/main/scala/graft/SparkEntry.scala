@@ -1817,6 +1817,32 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- lake: incremental MV with QUANTILE sketch measures ----
+    // GK state folds through create + refresh at lossless eps, where
+    // the merged sketch's p50 equals quantile_disc exactly (a22b's
+    // proof applied to MV maintenance) — fully hash-oracled.
+    "mv5_quantile_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), col("value"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv5").toString
+      val src = root + "/src"
+      val mv = root + "/mv"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, src, StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      vt.append(s, ev.where(col("event_id") % 2 === 0), src)
+      IncrementalView.create(s, src, mv, Seq("event_type"),
+        Seq("value"), quantile = Seq("value"), quantileEps = 1e-9)
+      vt.append(s, ev.where(col("event_id") % 2 === 1), src)
+      IncrementalView.refresh(s, mv)
+      IncrementalView.read(s, mv)
+        .select("event_type", "n_rows", "p50_value")
+        .orderBy("event_type")
+    }),
+
     // ---- lake: time travel (version-as-of read) ----
     // Three commits land on a versioned table (append evens, append
     // odds, delete a slice); reading AS OF version 1 reproduces the
@@ -2755,6 +2781,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(value) AS avg_value
         |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // folded lossless GK p50 == quantile_disc of the final state
+    "mv5_quantile_rollup" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  quantile_disc(value, 0.5) AS p50_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // expression-keyed MV vs direct hour-of-day recompute of the final
     // logical state (evens+odds appended, event_id%7=3 deleted)

@@ -1024,6 +1024,11 @@ object GraftFunctions {
     SparkShim.toColumn(QuantileEstimate(
       SparkShim.toExpression(sketch), SparkShim.toExpression(p)))
 
+  /** Scalar two-sketch union (see [[QuantileUnion]]). */
+  def quantileUnion(a: Column, b: Column): Column =
+    SparkShim.toColumn(QuantileUnion(
+      SparkShim.toExpression(a), SparkShim.toExpression(b)))
+
   def asofPick(arr: Column, t: Column): Column =
     SparkShim.toColumn(AsOfPick(
       SparkShim.toExpression(arr), SparkShim.toExpression(t)))
@@ -1363,6 +1368,8 @@ object GraftFunctions {
       es => QuantileMergeAgg(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_quantile_estimate",
       es => QuantileEstimate(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_quantile_union",
+      es => QuantileUnion(es.head, es(1)), "scala_udf")
     // SQL as-of surface: marker function + rewrite rule + planner
     // strategy (sessions built via GraftExtensions get these injected
     // declaratively instead)

@@ -68,6 +68,19 @@ object QSketchCodec {
     bos.toByteArray
   }
 
+  /** Union with the eps guard: sketches built with different eps must
+    * never silently merge — the result's certified rank-error bound
+    * would be whichever eps it happens to carry.
+    */
+  def checkedMerge(a: QuantileSummaries,
+      b: QuantileSummaries): QuantileSummaries = {
+    require(a.relativeError == b.relativeError,
+      s"cannot union quantile sketches with different " +
+        s"relativeError (${a.relativeError} vs ${b.relativeError}) — " +
+        "their certified error bounds are incompatible")
+    ensureCompressed(a).merge(ensureCompressed(b))
+  }
+
   def deserialize(bytes: Array[Byte]): QuantileSummaries = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val ct = in.readInt()
@@ -169,17 +182,9 @@ case class QuantileMergeAgg(child: Expression,
   override def createAggregationBuffer(): QSketchBuffer =
     new QSketchBuffer(null)
 
-  // sketches built with different eps must never silently union — the
-  // merged summary's certified rank-error bound would be whichever eps
-  // it happens to carry
   private def checkedMerge(a: QuantileSummaries,
-      b: QuantileSummaries): QuantileSummaries = {
-    require(a.relativeError == b.relativeError,
-      s"graft_quantile_merge: cannot union sketches with different " +
-        s"relativeError (${a.relativeError} vs ${b.relativeError}) — " +
-        "their certified error bounds are incompatible")
-    QSketchCodec.ensureCompressed(a).merge(QSketchCodec.ensureCompressed(b))
-  }
+      b: QuantileSummaries): QuantileSummaries =
+    QSketchCodec.checkedMerge(a, b)
 
   override def update(b: QSketchBuffer, input: InternalRow): QSketchBuffer = {
     val v = child.eval(input)
@@ -248,5 +253,39 @@ case class QuantileEstimate(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): QuantileEstimate =
+    copy(left = l, right = r)
+}
+
+/** `graft_quantile_union(a, b)` — SCALAR two-sketch union (the
+  * state-merge step of incremental-view maintenance, where the current
+  * and delta sketches meet row-wise in a join, not under an aggregate).
+  * Null-safe: either side null → the other.
+  */
+case class QuantileUnion(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_quantile_union"
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_quantile_union needs (binary, binary), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null) r
+    else if (r == null) l
+    else QSketchCodec.serialize(QSketchCodec.checkedMerge(
+      QSketchCodec.deserialize(l.asInstanceOf[Array[Byte]]),
+      QSketchCodec.deserialize(r.asInstanceOf[Array[Byte]])))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): QuantileUnion =
     copy(left = l, right = r)
 }

@@ -56,6 +56,8 @@ object IncrementalView {
   val MeasuresProperty = "graft.mv.measures"
   val MinMaxProperty = "graft.mv.minmax"
   val ApproxProperty = "graft.mv.approx"
+  val QuantileProperty = "graft.mv.quantile"
+  val QuantileEpsProperty = "graft.mv.quantile.eps"
   val ScaleProperty = "graft.mv.scale"
   val SourceVersionProperty = "graft.mv.source.version"
 
@@ -69,6 +71,7 @@ object IncrementalView {
   def minCol(m: String): String = s"_mv_min_$m"
   def maxCol(m: String): String = s"_mv_max_$m"
   def hllCol(m: String): String = s"_mv_hll_$m"
+  def qCol(m: String): String = s"_mv_q_$m"
 
   private val Sep = "\u0001"
 
@@ -115,6 +118,7 @@ object IncrementalView {
       measures: Seq[(String, Column, Boolean)],
       minmax: Seq[(String, Column, Boolean)],
       approx: Seq[(String, Column, Boolean)],
+      quantile: Seq[(String, Column, Boolean)], qEps: Double,
       scale: Int, sign: Column): DataFrame = {
     val aggs =
       (sum(sign).cast(LongType).as(RowsCol) +:
@@ -131,6 +135,10 @@ object IncrementalView {
         } ++
         approx.map { case (m, mc, _) =>
           hll_sketch_agg(mc).as(hllCol(m))
+        } ++
+        quantile.map { case (m, mc, _) =>
+          graft.functions.GraftFunctions.quantileSketch(mc, qEps)
+            .as(qCol(m))
         }
     // an expression key materializes under its alias BEFORE grouping;
     // refuse an alias that shadows a source column — measures evaluate
@@ -167,14 +175,18 @@ object IncrementalView {
   def create(spark: SparkSession, source: String, view: String,
       keys: Seq[String], measures: Seq[String], scale: Int = 2,
       minmax: Seq[String] = Nil,
-      approxDistinct: Seq[String] = Nil): Unit = {
+      approxDistinct: Seq[String] = Nil,
+      quantile: Seq[String] = Nil,
+      quantileEps: Double = 1e-4): Unit = {
     require(keys.nonEmpty, "incremental view needs at least one group key")
-    require(measures.nonEmpty || minmax.nonEmpty || approxDistinct.nonEmpty,
+    require(measures.nonEmpty || minmax.nonEmpty ||
+      approxDistinct.nonEmpty || quantile.nonEmpty,
       "incremental view needs at least one measure")
     val (version, _) = VersionedTable.latest(spark, source)
     val snap = VersionedTable.read(spark, source)
     val state = stateOf(snap, parseSpecs(keys), parseSpecs(measures),
-      parseSpecs(minmax), parseSpecs(approxDistinct), scale, lit(1L))
+      parseSpecs(minmax), parseSpecs(approxDistinct),
+      parseSpecs(quantile), quantileEps, scale, lit(1L))
     VersionedTable.create(spark, view, state.schema)
     VersionedTable.append(spark, state, view)
     VersionedTable.alterProperties(spark, view, Map(
@@ -183,12 +195,15 @@ object IncrementalView {
       MeasuresProperty -> measures.mkString(";"),
       MinMaxProperty -> minmax.mkString(";"),
       ApproxProperty -> approxDistinct.mkString(";"),
+      QuantileProperty -> quantile.mkString(";"),
+      QuantileEpsProperty -> quantileEps.toString,
       ScaleProperty -> scale.toString,
       SourceVersionProperty -> version.toString))
   }
 
   private case class Spec(source: String, keys: Seq[String],
       measures: Seq[String], minmax: Seq[String], approx: Seq[String],
+      quantile: Seq[String], quantileEps: Double,
       scale: Int, stampedVersion: Long)
 
   private def splitSpecs(s: String): Seq[String] =
@@ -203,6 +218,8 @@ object IncrementalView {
       splitSpecs(prop(MeasuresProperty)),
       splitSpecs(props.getOrElse(MinMaxProperty, "")),
       splitSpecs(props.getOrElse(ApproxProperty, "")),
+      splitSpecs(props.getOrElse(QuantileProperty, "")),
+      props.getOrElse(QuantileEpsProperty, "1e-4").toDouble,
       prop(ScaleProperty).toInt,
       prop(SourceVersionProperty).toLong)
   }
@@ -221,17 +238,20 @@ object IncrementalView {
     val measureSpecs = parseSpecs(spec.measures)
     val minmaxSpecs = parseSpecs(spec.minmax)
     val approxSpecs = parseSpecs(spec.approx)
+    val quantileSpecs = parseSpecs(spec.quantile)
     val keys = keySpecs.map(_._1)
     val measures = measureSpecs.map(_._1)
     val minmax = minmaxSpecs.map(_._1)
     val approx = approxSpecs.map(_._1)
+    val quantile = quantileSpecs.map(_._1)
     // min/max and HLL state only fold forward: a delete/update may
     // remove the extreme (or a counted distinct value), which no
     // per-group delta can repair — refuse the window
-    if ((minmax.nonEmpty || approx.nonEmpty) &&
+    if ((minmax.nonEmpty || approx.nonEmpty || quantile.nonEmpty) &&
         !cdf.where(col(VersionedTable.ChangeTypeCol) =!= "insert").isEmpty)
       throw new UnsupportedOperationException(
-        s"view $view carries min/max or approx-distinct state, which is " +
+        s"view $view carries min/max, approx-distinct, or quantile " +
+          "state, which is " +
           "append-only maintainable; the feed window contains row-level " +
           "commits — recreate the view from the current snapshot instead")
     val sign = when(col(VersionedTable.ChangeTypeCol)
@@ -248,18 +268,19 @@ object IncrementalView {
     // semi-join build side, and the outer-join left side) — persist it
     // so one refresh folds the CDF window ONCE, not once per action
     val delta = stateOf(cdf, keySpecs, measureSpecs, minmaxSpecs,
-      approxSpecs, scale, sign).where(moved)
+      approxSpecs, quantileSpecs, spec.quantileEps, scale, sign)
+      .where(moved)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       applyDelta(spark, view, delta, keys, measures, minmax, approx,
-        scale, epoch)
+        quantile, scale, epoch)
     } finally { delta.unpersist(false); () }
   }
 
   private def applyDelta(spark: SparkSession, view: String,
       delta: DataFrame, keys: Seq[String], measures: Seq[String],
-      minmax: Seq[String], approx: Seq[String], scale: Int,
-      epoch: Long): Unit = {
+      minmax: Seq[String], approx: Seq[String], quantile: Seq[String],
+      scale: Int, epoch: Long): Unit = {
     if (delta.isEmpty) return
 
     // current state of ONLY the touched groups (semi join prunes the
@@ -293,6 +314,11 @@ object IncrementalView {
           val d = col(s"d.${hllCol(m)}")
           when(c.isNull, d).when(d.isNull, c)
             .otherwise(hll_union(c, d)).as(hllCol(m))
+        } ++
+        quantile.map { m =>
+          // QuantileUnion is null-safe on either side
+          graft.functions.GraftFunctions.quantileUnion(
+            col(s"c.${qCol(m)}"), col(s"d.${qCol(m)}")).as(qCol(m))
         }
     val merged = delta.alias("d")
       .join(curState.alias("c"), Seq(KeyCol), "left_outer")
@@ -407,6 +433,10 @@ object IncrementalView {
         names(ApproxProperty).map { m =>
           when(col(hllCol(m)).isNotNull,
             hll_sketch_estimate(col(hllCol(m)))).as(s"approx_$m")
+        } ++
+        names(QuantileProperty).map { m =>
+          graft.functions.GraftFunctions.quantileEstimate(
+            col(qCol(m)), lit(0.5)).as(s"p50_$m")
         }
     VersionedTable.read(spark, view).select(out: _*)
   }

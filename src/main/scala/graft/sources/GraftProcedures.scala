@@ -246,7 +246,8 @@ object GraftProcedures {
       param("measures", StringType),
       param("scale", IntegerType, "2"),
       param("minmax", StringType, "NULL"),
-      param("approx_distinct", StringType, "NULL"))
+      param("approx_distinct", StringType, "NULL"),
+      param("quantile", StringType, "NULL"))
     override def call(input: InternalRow): JIterator[Scan] = {
       val spark = SparkSession.active
       require(!input.isNullAt(0), "view must not be null")
@@ -286,7 +287,7 @@ object GraftProcedures {
           .map(_.trim).filter(_.nonEmpty)
       graft.operators.IncrementalView.create(spark, source, view,
         specList(2, "keys"), specList(3, "measures"), scale,
-        optList(5), optList(6))
+        optList(5), optList(6), optList(7))
       val stamped = VersionedTable.tableProperties(spark, view)(
         graft.operators.IncrementalView.SourceVersionProperty).toLong
       oneRow(StructType(Seq(StructField("source_version", LongType))),

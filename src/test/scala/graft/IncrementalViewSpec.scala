@@ -340,6 +340,47 @@ class IncrementalViewSpec extends SparkTestBase {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("quantile measures: folded GK state answers like the sketch " +
+      "computed directly, and deletes are refused") {
+    val root = tmp()
+    val src = root + "/src"
+    val s2 = StructType(Seq(
+      StructField("id", LongType),
+      StructField("g", StringType),
+      StructField("u", LongType)))
+    VersionedTable.create(spark, src, s2)
+    val mv = root + "/mv"
+    VersionedTable.append(spark,
+      (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 3))
+        .toDF("id", "g", "u"), src)
+    // eps 1e-7 is the lossless regime at this n: the sketch keeps
+    // every sample, so p50 is the exact discrete median
+    IncrementalView.create(spark, src, mv, Seq("g"), Seq("u"),
+      quantile = Seq("u"), quantileEps = 1e-7)
+    VersionedTable.append(spark,
+      (41L to 90L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 5))
+        .toDF("id", "g", "u"), src)
+    IncrementalView.refresh(spark, mv)
+    val got = IncrementalView.read(spark, mv)
+      .select("g", "p50_u").orderBy("g")
+      .as[(String, Double)].collect().toSeq
+    val want = VersionedTable.read(spark, src)
+      .groupBy("g")
+      .agg(graft.functions.GraftFunctions.quantileEstimate(
+        graft.functions.GraftFunctions.quantileSketch(col("u"), 1e-7),
+        lit(0.5)).as("p50_u"))
+      .orderBy("g").as[(String, Double)].collect().toSeq
+    assert(got === want)
+    // deletes are refused for quantile views too
+    VersionedTable.alterProperties(spark, src,
+      Map(VersionedTable.CdcProperty -> "true"))
+    VersionedTable.delete(spark, src, col("id") === 1L)
+    val e = intercept[UnsupportedOperationException] {
+      IncrementalView.refresh(spark, mv)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("crash-retry with a net-negative window cannot delete a live " +
       "group (delete watermark advances even on empty batches)") {
     val root = tmp()
