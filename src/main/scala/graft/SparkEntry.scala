@@ -1156,7 +1156,7 @@ object SparkEntry {
     // PROVABLY exact for this domain (independent of data volume, the
     // key set is fixed across SFs) — fully hash-oracled against the
     // exact group-by, THROUGH the merge path.
-    "a23_cm_rollup" -> ((s, dir) => {
+    "a27_cm_rollup" -> ((s, dir) => {
       import graft.functions.GraftFunctions.{cmEstimate, cmMerge, countMin}
       val cust = t(s, dir, "customer")
       val perSeg = cust.groupBy(col("c_mktsegment"))
@@ -1366,7 +1366,7 @@ object SparkEntry {
     // (corpus tokenized once), then a map-side native encode. Learned
     // merges are corpus-dependent => rows-only; t17b pins the encode
     // expression cross-engine in its exact degenerate regime.
-    "t17_bpe" -> ((s, dir) => {
+    "t20_bpe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = TextAnalysis.trainBpe(docs, "text", numMerges = 40)
       val toks = graft.functions.GraftFunctions.bpeEncode(col("text"), merges)
@@ -1378,7 +1378,7 @@ object SparkEntry {
 
     // ---- text: BPE degenerate regime (empty merge table ≡ code-point
     // symbols) — hash-oracled: token count == non-whitespace length.
-    "t17b_bpe_char" -> ((s, dir) =>
+    "t20b_bpe_char" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         size(graft.functions.GraftFunctions.bpeEncode(col("text"), Nil))
           .as("n_cp"))
@@ -1387,7 +1387,7 @@ object SparkEntry {
     // ---- text: chi-square term–category association (feature
     // selection). Doc-presence 2x2 contingency per (term, lang);
     // fixed-order IEEE chain from exact counts — fully hash-oracled.
-    "t18_chi2" -> ((s, dir) =>
+    "t21_chi2" -> ((s, dir) =>
       TextAnalysis.chiSquareTerms(t(s, dir, "documents"),
         "doc_id", "text", "lang", minDf = 10L, k = 50)),
 
@@ -3505,19 +3505,19 @@ object SparkEntry {
 
     // Count-Min in the provably-exact domain regime (25 fixed keys,
     // no full-row collision) == exact counts, through the merge path
-    "a23_cm_rollup" ->
+    "a27_cm_rollup" ->
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS est
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // BPE with an empty merge table == code-point symbols per word:
     // the token count is exactly the non-whitespace character count
-    "t17b_bpe_char" ->
+    "t20b_bpe_char" ->
       """SELECT doc_id,
         |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_cp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // chi-square: same casts-first, left-associated double chain
-    "t18_chi2" ->
+    "t21_chi2" ->
       """WITH pres AS (
         |  SELECT DISTINCT doc_id, lang AS cat, term FROM (
         |    SELECT doc_id, lang,

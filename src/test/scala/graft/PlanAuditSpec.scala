@@ -13,12 +13,12 @@ class PlanAuditSpec extends SparkTestBase {
   //  - a13_cross: the cross-join operator itself
   //  - sim1/sim4/sim5: brute-force / whole-corpus re-rank baselines
   //    broadcasting a tiny query set
-  //  - t10/t18/a23: broadcast a single-row aggregate (corpus size /
+  //  - t10/t21/a27: broadcast a single-row aggregate (corpus size /
   //    merged sketch)
   private val allowed = Set(
     "a13_cross", "sim1_cosine_topk", "sim4_quantized_topk",
     "sim5_pq_topk", "sim5b_pq_exact", "sim7_pq_adc", "t10_tfidf",
-    "t18_chi2", "a23_cm_rollup")
+    "t21_chi2", "a27_cm_rollup")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
