@@ -512,7 +512,9 @@ object SparkEntry {
         sortKey = col("c_name"),
         fields = Seq(
           Dedup.LinkageField("c_name",
-            (a, b) => levenshtein(a, b) <= 2, 4.0, -1.0),
+            // banded DP (threshold form): O(len·k) cells instead of
+            // len², same predicate as plain levenshtein(a,b) <= 2
+            (a, b) => levenshtein(a, b, 2) =!= -1, 4.0, -1.0),
           Dedup.LinkageField("c_acctbal",
             (a, b) => abs(a.cast(DecimalType(18, 2)) -
               b.cast(DecimalType(18, 2))) < 100, 2.5, -0.5)),
