@@ -521,6 +521,34 @@ object SparkEntry {
         threshold = 3.0)
         .orderBy("c_custkey", "c_custkey_2")),
 
+    // ---- dedup: entity resolution end-to-end (linkage → components
+    // → golden record). d11's scored pairs feed connected components
+    // (min-id entity labels, singletons kept); per entity the golden
+    // record takes the member count and the best (max) balance —
+    // deterministic survivorship, fully hash-oracled via the d5-style
+    // recursive CTE over the SAME pair predicate.
+    "d12_entities" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val pairs = Dedup.linkagePairs(cust, "c_custkey",
+        blockCols = Seq("c_nationkey", "c_mktsegment"),
+        sortKey = col("c_name"),
+        fields = Seq(
+          Dedup.LinkageField("c_name",
+            (a, b) => levenshtein(a, b, 2) =!= -1, 4.0, -1.0),
+          Dedup.LinkageField("c_acctbal",
+            (a, b) => abs(a.cast(DecimalType(18, 2)) -
+              b.cast(DecimalType(18, 2))) < 100, 2.5, -0.5)),
+        threshold = 3.0)
+        .select(col("c_custkey"), col("c_custkey_2"))
+      Dedup.connectedComponents(cust.select(col("c_custkey")), pairs,
+        "c_custkey", "c_custkey_2")
+        .join(cust, "c_custkey")
+        .groupBy(col("component").as("entity_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(col("c_acctbal")).as("best_acctbal"))
+        .orderBy("entity_id")
+    }),
+
     // ---- dedup: SemDeDup (embedding-space clustering dedup) ----
     // k-means cells bound the pairwise-cosine term to Σ|cell|²; groups
     // from connected components, min id survives. Cells come from
@@ -2398,6 +2426,37 @@ object SparkEntry {
         |            ELSE -0.5 END)
         |  AS DOUBLE) >= 3.0
         |ORDER BY c_custkey, c_custkey_2""".stripMargin,
+
+    // entity resolution: the same score predicate feeds a recursive
+    // reachability closure; min reachable id labels the entity
+    "d12_entities" ->
+      """WITH RECURSIVE lp AS (
+        |  SELECT a.c_custkey AS v1, b.c_custkey AS v2
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_custkey < b.c_custkey
+        |  WHERE CAST(
+        |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 IS NULL THEN 0.0
+        |          WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 4.0
+        |          ELSE -1.0 END)
+        |    + (CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 IS NULL THEN 0.0
+        |            WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 THEN 2.5
+        |            ELSE -0.5 END)
+        |  AS DOUBLE) >= 3.0),
+        |edges AS (SELECT v1 AS src, v2 AS dst FROM lp
+        |          UNION SELECT v2, v1 FROM lp),
+        |reach AS (
+        |  SELECT c_custkey AS id, c_custkey AS label FROM customer
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, MIN(label) AS entity FROM reach GROUP BY id)
+        |SELECT c.entity AS entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  MAX(cu.c_acctbal) AS best_acctbal
+        |FROM comp c JOIN customer cu ON cu.c_custkey = c.id
+        |GROUP BY c.entity ORDER BY entity_id""".stripMargin,
 
     // same shingle sets, overlap-coefficient verifier:
     // |A∩B| / min(|A|,|B|)
