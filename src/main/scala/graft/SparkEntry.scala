@@ -1084,6 +1084,14 @@ object SparkEntry {
           expr("percentile(o_totalprice, 0.9)").as("p90_price"))
         .orderBy("o_orderstatus")),
 
+    // ---- A28: robust statistics (median / MAD / trimmed mean) ----
+    // Outlier-resistant per-group profile: exact percentile band +
+    // exact-decimal trimmed sum — every output cross-engine exact.
+    "a28_robust" -> ((s, dir) =>
+      Analytics.robustStats(t(s, dir, "orders"),
+        "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderstatus")),
+
     // ---- A10: rollup (hierarchical subtotals) ----
     "a10_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -3523,6 +3531,27 @@ object SparkEntry {
         |  quantile_cont(o_totalprice, 0.5) AS median_price,
         |  quantile_cont(o_totalprice, 0.9) AS p90_price
         |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // robust stats: quantile_cont == Spark percentile; deterministic
+    // band test; exact-decimal trimmed sum
+    "a28_robust" ->
+      """WITH q AS (
+        |  SELECT o_orderstatus AS g,
+        |    quantile_cont(o_totalprice, 0.5) AS med,
+        |    quantile_cont(o_totalprice, 0.05) AS qlo,
+        |    quantile_cont(o_totalprice, 0.95) AS qhi
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o.o_orderstatus,
+        |  q.med AS median_o_totalprice,
+        |  quantile_cont(abs(o.o_totalprice - q.med), 0.5)
+        |    AS mad_o_totalprice,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+        |      FILTER (WHERE o.o_totalprice BETWEEN q.qlo AND q.qhi) AS DOUBLE)
+        |    / COUNT(*) FILTER (WHERE o.o_totalprice BETWEEN q.qlo AND q.qhi)
+        |    AS trimmed_avg_o_totalprice
+        |FROM orders o JOIN q ON o.o_orderstatus = q.g
+        |GROUP BY o.o_orderstatus, q.med
         |ORDER BY o_orderstatus""".stripMargin,
 
     // exact decimal power sums -> one fixed double expression tree: both

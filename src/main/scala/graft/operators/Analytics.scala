@@ -390,6 +390,45 @@ object Analytics {
       .drop("__n", "__var")
   }
 
+  /** Robust per-group statistics — the outlier-resistant profile a
+    * quality pipeline reads before trusting means: exact median, MAD
+    * (median absolute deviation from the group median), and the
+    * [pLo, pHi]-trimmed mean (observations outside the group's
+    * percentile band dropped, remaining summed exactly).
+    *
+    * All three are cross-engine exact: Spark's sort-based `percentile`
+    * matches `quantile_cont` bit-for-bit (the a18 precedent), the
+    * deviation `abs(x − med)` is one deterministic IEEE op, and the
+    * trimmed mean is an exact-decimal sum over a deterministic band
+    * test — no variance-style moment drift anywhere.
+    *
+    * Scale shape: two aggregations over the measure (exact percentiles
+    * sort within each group's partition) with a BROADCAST of the tiny
+    * per-group band frame between them; no self-join of the data.
+    * Exact sort-based percentiles hold each group's values in its
+    * task (spilling, not OOM) — at 100 TB switch the first stage to
+    * the GK sketch quantiles (a22/a24) and keep the second unchanged.
+    */
+  def robustStats(df: DataFrame, key: String, measure: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val q = df.groupBy(col(key).as("__g")).agg(
+      expr(s"percentile($measure, 0.5)").as("__med"),
+      expr(s"percentile($measure, $pLo)").as("__qlo"),
+      expr(s"percentile($measure, $pHi)").as("__qhi"))
+    val inBand = col(measure).between(col("__qlo"), col("__qhi"))
+    df.join(broadcast(q), col(key) === col("__g"))
+      .groupBy(col(key))
+      .agg(
+        max(col("__med")).as(s"median_$measure"),
+        expr(s"percentile(abs($measure - __med), 0.5)")
+          .as(s"mad_$measure"),
+        (sum(when(inBand, col(measure).cast(DecimalType(18, 2))))
+          .cast(DoubleType) /
+          count(when(inBand, lit(1)))).as(s"trimmed_avg_$measure"))
+  }
+
   /** Z-order dimension builders (Z1) + the interleaved cluster value.
     * A z-value needs each dimension reduced to a small unsigned bucket
     * range; these two cover the common cases — a modular hash of an id
