@@ -549,6 +549,29 @@ object SparkEntry {
         .orderBy("entity_id")
     }),
 
+    // ---- graph: deterministic integer PageRank over the linkage
+    // graph (centrality beside d5/d12's components): nano-rank units,
+    // fixed 3 iterations, every update an integer multiply/floor-div/
+    // sum — bit-identical across engines, fully hash-oracled.
+    "g3_pagerank" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val pairs = Dedup.linkagePairs(cust, "c_custkey",
+        blockCols = Seq("c_nationkey", "c_mktsegment"),
+        sortKey = col("c_name"),
+        fields = Seq(
+          Dedup.LinkageField("c_name",
+            (a, b) => levenshtein(a, b, 2) =!= -1, 4.0, -1.0),
+          Dedup.LinkageField("c_acctbal",
+            (a, b) => abs(a.cast(DecimalType(18, 2)) -
+              b.cast(DecimalType(18, 2))) < 100, 2.5, -0.5)),
+        threshold = 3.0)
+        .select(col("c_custkey"), col("c_custkey_2"))
+      Graph.pageRank(cust.select(col("c_custkey")), pairs,
+        "c_custkey", "c_custkey_2", iterations = 3)
+        .select(col("c_custkey"), col("rank").as("pr_nano"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- dedup: SemDeDup (embedding-space clustering dedup) ----
     // k-means cells bound the pairwise-cosine term to Σ|cell|²; groups
     // from connected components, min id survives. Cells come from
@@ -2434,6 +2457,52 @@ object SparkEntry {
         |            ELSE -0.5 END)
         |  AS DOUBLE) >= 3.0
         |ORDER BY c_custkey, c_custkey_2""".stripMargin,
+
+    // integer PageRank: same linkage edges, three unrolled iterations
+    // of rk+1 = 150000000 + sum((rk*85 // 100) // deg) per neighbor
+    "g3_pagerank" ->
+      """WITH lp AS (
+        |  SELECT a.c_custkey AS v1, b.c_custkey AS v2
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_custkey < b.c_custkey
+        |  WHERE CAST(
+        |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 IS NULL THEN 0.0
+        |          WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 4.0
+        |          ELSE -1.0 END)
+        |    + (CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 IS NULL THEN 0.0
+        |            WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 THEN 2.5
+        |            ELSE -0.5 END)
+        |  AS DOUBLE) >= 3.0),
+        |edges AS (SELECT v1 AS src, v2 AS dst FROM lp
+        |          UNION SELECT v2, v1 FROM lp),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg
+        |        FROM edges GROUP BY src),
+        |r0 AS (SELECT c_custkey AS v, CAST(1000000000 AS BIGINT) AS r
+        |       FROM customer),
+        |c1 AS (SELECT e.dst AS v,
+        |         CAST(SUM((r.r * 85 // 100) // d.dg) AS BIGINT) AS cin
+        |       FROM edges e JOIN r0 r ON e.src = r.v
+        |         JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT r0.v, 150000000 + COALESCE(c1.cin, 0) AS r
+        |       FROM r0 LEFT JOIN c1 ON c1.v = r0.v),
+        |c2 AS (SELECT e.dst AS v,
+        |         CAST(SUM((r.r * 85 // 100) // d.dg) AS BIGINT) AS cin
+        |       FROM edges e JOIN r1 r ON e.src = r.v
+        |         JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT r1.v, 150000000 + COALESCE(c2.cin, 0) AS r
+        |       FROM r1 LEFT JOIN c2 ON c2.v = r1.v),
+        |c3 AS (SELECT e.dst AS v,
+        |         CAST(SUM((r.r * 85 // 100) // d.dg) AS BIGINT) AS cin
+        |       FROM edges e JOIN r2 r ON e.src = r.v
+        |         JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT r2.v, 150000000 + COALESCE(c3.cin, 0) AS r
+        |       FROM r2 LEFT JOIN c3 ON c3.v = r2.v)
+        |SELECT v AS c_custkey, CAST(r AS BIGINT) AS pr_nano
+        |FROM r3 ORDER BY c_custkey""".stripMargin,
 
     // entity resolution: the same score predicate feeds a recursive
     // reachability closure; min reachable id labels the entity

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Graph analytics over pair frames (the edge lists the dedup /
+  * similarity operators already produce) — the second family beside
+  * [[Dedup.connectedComponents]]: components say WHICH records belong
+  * together; centrality says which records MATTER in the link
+  * structure (hub documents in a near-dup graph, canonical entities in
+  * a linkage graph — the web-graph quality signal of a training-data
+  * pipeline).
+  *
+  * Everything here is INTEGER-SCALED: ranks live in units of
+  * `Scale` = 1e9 (nano-ranks) and every update is integer
+  * multiply/floor-divide/sum — exact, associative, and therefore
+  * bit-identical across engines, partitionings, and re-runs. A
+  * floating-point PageRank cannot be oracled (per-group double sums
+  * drift by fold order); this one hash-matches a DuckDB re-derivation.
+  */
+object Graph {
+
+  /** Rank unit: 1.0 of classic PageRank == 1e9 nano-ranks. */
+  val Scale: Long = 1000000000L
+
+  /** Deterministic damped PageRank over an UNDIRECTED pair frame, a
+    * fixed number of iterations:
+    *
+    *   r₀(v)    = Scale
+    *   rₖ₊₁(v) = ⌊(1−d)·Scale⌋ + Σ_{u ~ v} ⌊⌊d_num·rₖ(u) / d_den⌋ / deg(u)⌋
+    *
+    * with damping d = `dampNum`/`dampDen` (default 85/100). Fixed
+    * iteration count + integer floors = a pure function of the edge
+    * set: no convergence test, no float drift. Vertices with no edges
+    * keep the base mass ⌊(1−d)·Scale⌋ + their start surplus never
+    * spreads (dangling mass is dropped, not redistributed — documented
+    * difference from the stochastic-matrix formulation; fine for
+    * CENTRALITY RANKING, which only needs the relative order).
+    *
+    * Overflow headroom: rₖ(u) ≤ |V|·Scale (mass never grows), so
+    * d_num·rₖ(u) needs |V| ≲ 10⁸ at the default damping — beyond
+    * that, lower `Scale`.
+    *
+    * Scale shape: per iteration, ONE shuffle of the edge frame joined
+    * to the rank frame (hash on vertex id) + one sum by destination —
+    * the standard distributed power iteration; `iterations` is fixed
+    * and small. Edge and rank frames are re-derived per iteration from
+    * cached inputs (constant lineage depth).
+    *
+    * @param pairs   undirected pair frame (each row = one edge; both
+    *                directions are derived here, self-pairs dropped)
+    * @return (idCol, rank) — nano-rank longs, one row per vertex
+    */
+  def pageRank(vertices: DataFrame, pairs: DataFrame, idCol: String,
+      idCol2: String, iterations: Int = 3,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
+      s"damping must be in (0, 1), got $dampNum/$dampDen")
+    val base = (dampDen - dampNum) * Scale / dampDen // ⌊(1−d)·Scale⌋
+    // materialize the (possibly expensive) pair pipeline and the vertex
+    // set ONCE — the power iteration references both every round, and
+    // an un-checkpointed plan would re-derive them per reference (the
+    // connectedComponents discipline)
+    val ids = vertices.select(col(idCol).as("__v")).distinct()
+      .localCheckpoint(true)
+    val sym = pairs
+      .select(col(idCol).cast(LongType).as("__src"),
+        col(idCol2).cast(LongType).as("__dst"))
+      .unionAll(pairs.select(col(idCol2).cast(LongType).as("__src"),
+        col(idCol).cast(LongType).as("__dst")))
+      .where(col("__src") =!= col("__dst")) // after the union: BOTH sides
+      .distinct()
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    var ranks = ids.select(col("__v"), lit(Scale).as("__r"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = sym
+        .join(ranks, col("__src") === col("__v"))
+        .join(deg, "__src")
+        .select(col("__dst"),
+          expr(s"((__r * $dampNum) div $dampDen) div __deg")
+            .as("__c"))
+        .groupBy(col("__dst")).agg(sum(col("__c")).as("__in"))
+      ranks = ids
+        .join(contrib, col("__v") === col("__dst"), "left_outer")
+        .select(col("__v"),
+          (lit(base) + coalesce(col("__in"), lit(0L))).as("__r"))
+      i += 1
+    }
+    ranks.select(col("__v").as(idCol), col("__r").as("rank"))
+  }
+}

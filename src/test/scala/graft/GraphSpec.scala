@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Integer-scaled PageRank: hand-computed fixtures, determinism, and
+  * the degenerate shapes.
+  */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ranksOf(vs: Seq[Long], es: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] =
+    Graph.pageRank(vs.toDF("id"), es.toDF("id", "id2"),
+      "id", "id2", iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("regular triangle is stationary at Scale; isolated vertex keeps base") {
+    val r = ranksOf(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L), (1L, 3L)), 3)
+    assert(r(1L) === Graph.Scale && r(2L) === Graph.Scale &&
+      r(3L) === Graph.Scale)
+    assert(r(4L) === 150000000L) // ⌊0.15·Scale⌋ — no incoming mass
+  }
+
+  test("path graph matches the hand-computed two-iteration fixpoint") {
+    // 1-2, 2-3: deg(1)=deg(3)=1, deg(2)=2; worked integer arithmetic
+    val r1 = ranksOf(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)), 1)
+    assert(r1 === Map(1L -> 575000000L, 2L -> 1850000000L,
+      3L -> 575000000L))
+    val r2 = ranksOf(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)), 2)
+    assert(r2 === Map(1L -> 936250000L, 2L -> 1127500000L,
+      3L -> 936250000L))
+  }
+
+  test("self-pairs and duplicate/reversed edges do not double-count") {
+    val base = ranksOf(Seq(1L, 2L), Seq((1L, 2L)), 2)
+    val noisy = ranksOf(Seq(1L, 2L),
+      Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L)), 2)
+    assert(base === noisy)
+  }
+
+  test("ranks are invariant under repartitioning") {
+    val vs = (1L to 200L).toDF("id").repartition(7)
+    val es = (1L until 200L).map(i => (i, i + 1)).toDF("id", "id2")
+      .repartition(5)
+    val a = Graph.pageRank(vs, es, "id", "id2", 3)
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    val b = Graph.pageRank(vs.repartition(3), es.repartition(11),
+      "id", "id2", 3).orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(a === b)
+  }
+
+  test("total mass never grows (dangling mass is dropped, not created)") {
+    val vs = (1L to 50L).toDF("id")
+    val es = (1L to 49L by 2).map(i => (i, i + 1)).toDF("id", "id2")
+    val total = Graph.pageRank(vs, es, "id", "id2", 4)
+      .agg(sum(col("rank"))).head.getLong(0)
+    assert(total <= 50L * Graph.Scale)
+  }
+}
