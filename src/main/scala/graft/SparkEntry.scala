@@ -437,6 +437,29 @@ object SparkEntry {
     * text analysis, dedup (exact / n-gram Jaccard / MinHash / SimHash),
     * embedding similarity search, multimodal plumbing.
     */
+  /** The ONE customer linkage-pair pipeline d11/d12/g3 share — blocks,
+    * comparators, weights, and threshold pinned identical by
+    * construction (their three oracles all re-derive THIS predicate).
+    * Exhaustive-regime assumption: every (nation, segment) block stays
+    * under linkagePairs' 2048 cap through ~sf1 (~1200 rows/block);
+    * past that the operator falls back to sorted-neighborhood and the
+    * exhaustive-join oracles stop matching — raise maxBlockSize in
+    * step with any larger testdata.
+    */
+  private def customerLinkagePairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.linkagePairs(t(s, dir, "customer"), "c_custkey",
+      blockCols = Seq("c_nationkey", "c_mktsegment"),
+      sortKey = col("c_name"),
+      fields = Seq(
+        Dedup.LinkageField("c_name",
+          // banded DP (threshold form): O(len*k) cells instead of
+          // len^2, same predicate as plain levenshtein(a,b) <= 2
+          (a, b) => levenshtein(a, b, 2) =!= -1, 4.0, -1.0),
+        Dedup.LinkageField("c_acctbal",
+          (a, b) => abs(a.cast(DecimalType(18, 2)) -
+            b.cast(DecimalType(18, 2))) < 100, 2.5, -0.5)),
+      threshold = 3.0)
+
   private def northStar: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text: token / subword counting (map-side profile) ----
@@ -507,18 +530,7 @@ object SparkEntry {
     // account balance within 100 (exact decimal diff) → +2.5 / −0.5.
     // Threshold 3.0 keeps exactly the name-agreeing pairs.
     "d11_linkage" -> ((s, dir) =>
-      Dedup.linkagePairs(t(s, dir, "customer"), "c_custkey",
-        blockCols = Seq("c_nationkey", "c_mktsegment"),
-        sortKey = col("c_name"),
-        fields = Seq(
-          Dedup.LinkageField("c_name",
-            // banded DP (threshold form): O(len·k) cells instead of
-            // len², same predicate as plain levenshtein(a,b) <= 2
-            (a, b) => levenshtein(a, b, 2) =!= -1, 4.0, -1.0),
-          Dedup.LinkageField("c_acctbal",
-            (a, b) => abs(a.cast(DecimalType(18, 2)) -
-              b.cast(DecimalType(18, 2))) < 100, 2.5, -0.5)),
-        threshold = 3.0)
+      customerLinkagePairs(s, dir)
         .orderBy("c_custkey", "c_custkey_2")),
 
     // ---- dedup: entity resolution end-to-end (linkage → components
@@ -529,16 +541,7 @@ object SparkEntry {
     // recursive CTE over the SAME pair predicate.
     "d12_entities" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
-      val pairs = Dedup.linkagePairs(cust, "c_custkey",
-        blockCols = Seq("c_nationkey", "c_mktsegment"),
-        sortKey = col("c_name"),
-        fields = Seq(
-          Dedup.LinkageField("c_name",
-            (a, b) => levenshtein(a, b, 2) =!= -1, 4.0, -1.0),
-          Dedup.LinkageField("c_acctbal",
-            (a, b) => abs(a.cast(DecimalType(18, 2)) -
-              b.cast(DecimalType(18, 2))) < 100, 2.5, -0.5)),
-        threshold = 3.0)
+      val pairs = customerLinkagePairs(s, dir)
         .select(col("c_custkey"), col("c_custkey_2"))
       Dedup.connectedComponents(cust.select(col("c_custkey")), pairs,
         "c_custkey", "c_custkey_2")
@@ -555,16 +558,7 @@ object SparkEntry {
     // sum — bit-identical across engines, fully hash-oracled.
     "g3_pagerank" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
-      val pairs = Dedup.linkagePairs(cust, "c_custkey",
-        blockCols = Seq("c_nationkey", "c_mktsegment"),
-        sortKey = col("c_name"),
-        fields = Seq(
-          Dedup.LinkageField("c_name",
-            (a, b) => levenshtein(a, b, 2) =!= -1, 4.0, -1.0),
-          Dedup.LinkageField("c_acctbal",
-            (a, b) => abs(a.cast(DecimalType(18, 2)) -
-              b.cast(DecimalType(18, 2))) < 100, 2.5, -0.5)),
-        threshold = 3.0)
+      val pairs = customerLinkagePairs(s, dir)
         .select(col("c_custkey"), col("c_custkey_2"))
       Graph.pageRank(cust.select(col("c_custkey")), pairs,
         "c_custkey", "c_custkey_2", iterations = 3)
@@ -1209,14 +1203,17 @@ object SparkEntry {
     // deterministic, but engine-specific binary => rows-only check;
     // IncrementalSpec proves union-of-parts == sketch-of-whole exactly
     // and the estimate lands within 5% of the true distinct count.
-    // ---- A23: mergeable Count-Min point-frequency rollup ----
+    // ---- A27: mergeable Count-Min point-frequency rollup ----
     // Fourth sketch family (HLL: distinct; MG: which are frequent; GK:
     // quantiles; CM: how often is THIS item): one sketch per market
-    // segment, merged, then point-estimated per nation key. 25 keys in
-    // a 4x4096 sketch pairwise-collide in no row => the estimate is
-    // PROVABLY exact for this domain (independent of data volume, the
-    // key set is fixed across SFs) — fully hash-oracled against the
-    // exact group-by, THROUGH the merge path.
+    // segment, merged, then point-estimated per nation key. Exactness
+    // regime: the min over rows recovers the true count as soon as
+    // each key has at least ONE collision-free row — for these 25
+    // keys, rows 0/1 each carry a pair collision but rows 2 and 3 are
+    // clean, so every estimate is exact (a property of the fixed key
+    // strings, independent of data volume; CountMinSpec pins it) —
+    // fully hash-oracled against the exact group-by, THROUGH the
+    // merge path.
     "a27_cm_rollup" -> ((s, dir) => {
       import graft.functions.GraftFunctions.{cmEstimate, cmMerge, countMin}
       val cust = t(s, dir, "customer")

@@ -932,7 +932,9 @@ object GraftFunctions {
     override def nullSafeEval(input: Any): Any = {
       val s = input
         .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-      val words = s.trim.split("\\s+").filter(_.nonEmpty)
+      // split on \s only — Java trim() would ALSO strip non-\s edge
+      // control chars (<= U+0020) and diverge from the \s-based oracle
+      val words = s.split("\\s+").filter(_.nonEmpty)
       val out = new java.util.ArrayList[Any]()
       var i = 0
       while (i < words.length) {

@@ -2,8 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
-
 /** Graph analytics over pair frames (the edge lists the dedup /
   * similarity operators already produce) — the second family beside
   * [[Dedup.connectedComponents]]: components say WHICH records belong
@@ -66,11 +64,13 @@ object Graph {
     // connectedComponents discipline)
     val ids = vertices.select(col(idCol).as("__v")).distinct()
       .localCheckpoint(true)
+    // ids keep their native type (string doc ids work like numeric
+    // keys) — a cast here would null non-numeric ids and silently
+    // drop every edge
     val sym = pairs
-      .select(col(idCol).cast(LongType).as("__src"),
-        col(idCol2).cast(LongType).as("__dst"))
-      .unionAll(pairs.select(col(idCol2).cast(LongType).as("__src"),
-        col(idCol).cast(LongType).as("__dst")))
+      .select(col(idCol).as("__src"), col(idCol2).as("__dst"))
+      .unionAll(pairs.select(col(idCol2).as("__src"),
+        col(idCol).as("__dst")))
       .where(col("__src") =!= col("__dst")) // after the union: BOTH sides
       .distinct()
       .localCheckpoint(true)

@@ -209,6 +209,19 @@ object Sampling {
       weightCol: Column, k: Int, seed: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
+    // the weight column must already be integral — casting a double
+    // quality score would TRUNCATE it (0.9 -> 0, silently emptying the
+    // sample); callers pre-scale fractional weights explicitly
+    // (e.g. round(score * 1e6))
+    df.select(weightCol).schema.head.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"ppsSample needs an integral weight column, got $other — " +
+          "pre-scale fractional weights (e.g. cast(round(w * 1e6) as long))")
+    }
     val keyed = df
       .withColumn("__w", weightCol.cast("long"))
       .where(col("__w").isNotNull && col("__w") > 0)

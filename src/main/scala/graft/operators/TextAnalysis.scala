@@ -203,18 +203,9 @@ object TextAnalysis {
     * (UTF8String.compareTo), NOT Java String's UTF-16 order; the local
     * trainer must tie-break exactly like the distributed `orderBy`.
     */
-  private def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  private def utf8Compare(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** Driver-local merge rounds over the collected word-count frame:
     * each round re-encodes every word from scratch with the merges so
