@@ -1442,6 +1442,13 @@ object SparkEntry {
           .as("n_cp"))
         .orderBy("doc_id")),
 
+    // ---- text: per-source vocabulary statistics (corpus health) ----
+    // Token volume, distinct types, hapax legomena, type-token ratio —
+    // exact counts + one deterministic division; fully hash-oracled.
+    "t22_vocab_stats" -> ((s, dir) =>
+      TextAnalysis.vocabStats(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
     // ---- text: chi-square term–category association (feature
     // selection). Doc-presence 2x2 contingency per (term, lang);
     // fixed-order IEEE chain from exact counts — fully hash-oracled.
@@ -3671,6 +3678,23 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_cp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // vocab stats: exact counts; SUM(BIGINT)->HUGEINT needs the cast
+    "t22_vocab_stats" ->
+      """WITH tc AS (
+        |  SELECT source, term, COUNT(*) AS c FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE length(term) > 0
+        |  GROUP BY source, term)
+        |SELECT source,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+        |    AS type_token_ratio
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
 
     // chi-square: same casts-first, left-associated double chain
     "t21_chi2" ->

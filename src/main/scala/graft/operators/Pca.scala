@@ -61,14 +61,22 @@ object Pca {
   private[operators] def momentSumsDf(df: DataFrame, vecCol: String,
       dim: Int, scale: Int): DataFrame = {
     val dec = DecimalType(38, 2 * scale)
-    val xq = transform(col(vecCol),
-      e => round(e, scale).cast(DecimalType(18, scale)))
+    // materialize the quantized vector ONCE per row: higher-order
+    // functions are interpreted and share no subexpressions, so an
+    // inline `xq` would re-run the full 64-element round+cast for
+    // EVERY get() inside the d(d+1)/2-product loop (~274k decimal ops
+    // per row — measured 400s at sf0.1; this projection makes it one)
+    val quantized = df
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(transform(col(vecCol),
+        e => round(e, scale).cast(DecimalType(18, scale))).as("__xq"))
+    val xq = col("__xq")
     val prods = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
       transform(sequence(i, lit(dim - 1)), j =>
         (get(xq, i) * get(xq, j)).cast(dec))))
     val one = array(lit(java.math.BigDecimal.ONE).cast(dec))
     val arr = concat(one, transform(xq, v => v.cast(dec)), prods)
-    df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    quantized
       .select(posexplode(arr).as(Seq("idx", "v")))
       .groupBy("idx").agg(sum(col("v")).as("s"))
   }

@@ -243,6 +243,34 @@ object TextAnalysis {
     merges.toList
   }
 
+  /** Per-group vocabulary statistics — the corpus-health profile read
+    * before mixing sources: token volume, distinct vocabulary, hapax
+    * legomena (terms seen exactly once in the group — the Zipf tail
+    * whose share predicts OCR noise / boilerplate), and the type-token
+    * ratio. Every output is an exact count or one deterministic double
+    * division of exact counts — fully cross-engine exact.
+    *
+    * Scale shape: one tokenize pass (map-side explode) → one shuffle
+    * to (group, term) counts → one partial-aggregated reduction per
+    * group. Vocabulary-sized intermediate, never corpus-sized rows
+    * past the first shuffle.
+    */
+  def vocabStats(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val terms = df.select(col(groupCol).as("__g"),
+      explode(tokens(col(textCol))).as("__term"))
+      .where(length(col("__term")) > 0)
+    terms.groupBy(col("__g"), col("__term"))
+      .agg(count(lit(1)).as("__tc"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(
+        sum(col("__tc")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__tc") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        (count(lit(1)).cast(DoubleType) /
+          sum(col("__tc")).cast(DoubleType)).as("type_token_ratio"))
+  }
+
   /** Chi-square term–category association — feature selection for
     * corpus curation: which terms are most predictive of a category
     * (language, source, quality bin)? For each (term, category) whose

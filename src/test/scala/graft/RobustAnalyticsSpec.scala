@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, TextAnalysis}
+
+/** Edge cases of the session-7 analytics family: rolling z-score
+  * guards, robust stats on tiny groups, vocabulary statistics.
+  */
+class RobustAnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("rolling z-score: constant trailing window never divides by zero") {
+    // 10 identical values then one outlier: the outlier's window is
+    // constant (variance 0) => NOT flagged (no scale), no NaN/error
+    val rows = (1 to 10).map(i =>
+      (i.toLong, 1L, ts(f"2024-01-01 00:${i}%02d:00"), 5.0)) :+
+      ((11L, 1L, ts("2024-01-01 00:11:00"), 500.0))
+    val out = Analytics.rollingZScoreAnomalies(
+      rows.toDF("event_id", "user_id", "ts", "value"),
+      Seq("user_id"), "ts", "value", lookback = 24, zThreshold = 3.0,
+      minObs = 2, tieBreak = Seq("event_id"))
+    assert(out.count() === 0)
+  }
+
+  test("rolling z-score: flags the outlier once the window has spread") {
+    val rows = (1 to 10).map(i =>
+      (i.toLong, 1L, ts(f"2024-01-01 00:${i}%02d:00"),
+        if (i % 2 == 0) 6.0 else 4.0)) :+
+      ((11L, 1L, ts("2024-01-01 00:11:00"), 500.0))
+    val out = Analytics.rollingZScoreAnomalies(
+      rows.toDF("event_id", "user_id", "ts", "value"),
+      Seq("user_id"), "ts", "value", lookback = 24, zThreshold = 3.0,
+      minObs = 2, tieBreak = Seq("event_id")).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(11L))
+    assert(out.head.getAs[Double]("z") > 3.0)
+  }
+
+  test("rolling z-score: minObs gates early rows; row excludes itself") {
+    val rows = Seq(
+      (1L, 1L, ts("2024-01-01 00:01:00"), 1.0),
+      (2L, 1L, ts("2024-01-01 00:02:00"), 2.0),
+      (3L, 1L, ts("2024-01-01 00:03:00"), 100.0))
+    // minObs=2: row 3's window is {1.0, 2.0} (itself excluded) => z huge
+    val out = Analytics.rollingZScoreAnomalies(
+      rows.toDF("event_id", "user_id", "ts", "value"),
+      Seq("user_id"), "ts", "value", lookback = 24, zThreshold = 3.0,
+      minObs = 2, tieBreak = Seq("event_id")).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("robustStats: trimmed mean drops exactly the out-of-band tail") {
+    val df = ((1 to 99).map(_.toDouble) :+ 100000.0)
+      .map(v => ("g", v)).toDF("k", "v")
+    val r = Analytics.robustStats(df, "k", "v").head
+    // p95 band excludes the 100000 outlier; mean of the kept middle is
+    // outlier-free (well under 100)
+    assert(r.getAs[Double]("trimmed_avg_v") < 100.0)
+    // interpolated median of {1..99, 100000}: (v[49]+v[50])/2 = 50.5
+    assert(r.getAs[Double]("median_v") === 50.5)
+  }
+
+  test("vocabStats: hand-computed counts and hapax") {
+    val df = Seq(
+      ("a", "x x y"),
+      ("a", "y z"),
+      ("b", "q")).toDF("source", "text")
+    val r = TextAnalysis.vocabStats(df, "source", "text")
+      .orderBy("source").collect()
+    // group a: tokens=5, types={x,y,z}=3, hapax={z}=1
+    assert(r(0).getAs[Long]("n_tokens") === 5L)
+    assert(r(0).getAs[Long]("n_types") === 3L)
+    assert(r(0).getAs[Long]("n_hapax") === 1L)
+    assert(r(0).getAs[Double]("type_token_ratio") === 0.6)
+    // group b: 1/1/1
+    assert(r(1).getAs[Long]("n_tokens") === 1L)
+    assert(r(1).getAs[Long]("n_hapax") === 1L)
+  }
+
+  test("ppsSample refuses a fractional weight column loudly") {
+    val df = Seq((1L, "g", 0.9), (2L, "g", 0.1)).toDF("id", "g", "w")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.ppsSample(df, col("g"), col("id"),
+        col("w"), k = 1, seed = 1L)
+    }
+    assert(e.getMessage.contains("integral weight"))
+  }
+}
