@@ -84,6 +84,38 @@ object SparkEntry {
     // tiny region→nation chain broadcasts; the fact-side joins shuffle
     // on their keys and AQE picks build sides — no hint beyond the dim
     // broadcast, the optimizer owns the order.
+    // ---- Q4 analog: order-priority census over an EXISTS semi-join
+    // (returned-item correlation stands in for commit<receipt, which
+    // the synthetic lineitem lacks). Date window pushed to the orders
+    // scan; the semi join never widens rows.
+    "q4_priority_exists" -> ((s, dir) => {
+      val lo = lit("1996-07-01").cast(TimestampType)
+      val hi = lit("1997-01-01").cast(TimestampType)
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val returned = t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R").select("l_orderkey")
+      ord.join(returned, col("o_orderkey") === col("l_orderkey"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- Q6 analog: single-scan selective filter + agg — the
+    // pushdown showcase (every predicate reaches the parquet scan,
+    // zero joins, one exact-decimal global sum).
+    "q6_discount_revenue" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast(TimestampType)
+      val hi = lit("1997-01-01").cast(TimestampType)
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(stableSum(col("l_extendedprice") * col("l_discount"), 4)
+          .as("revenue"))
+    }),
+
     "q5_region_revenue" -> ((s, dir) => {
       val lo = lit("1996-01-01").cast(TimestampType)
       val hi = lit("1997-01-01").cast(TimestampType)
@@ -2636,6 +2668,26 @@ object SparkEntry {
         |FROM sig1 s1 JOIN sig2 s2 ON s1.doc_id = s2.doc_id AND s1.j = s2.j
         |GROUP BY s1.doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // q4 analog: EXISTS == semi join; same date window
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q6 analog: one scan, exact-decimal global revenue
+    "q6_discount_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,
