@@ -3571,6 +3571,8 @@ object SparkEntry {
         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
         |      AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s2
         |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
         |)

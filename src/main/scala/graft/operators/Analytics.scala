@@ -359,6 +359,14 @@ object Analytics {
     * the first condition that acquires variance, not a division by
     * zero).
     *
+    * Observation contract: a row participates (as window occupant AND
+    * as candidate) only when its time is non-null and its measure
+    * STABILIZES — non-null and inside DECIMAL(18,2) range (NaN, ±Inf,
+    * |x| ≥ 10¹⁶ cast to null and are excluded). This makes frame
+    * membership identical between this operator and its streaming twin
+    * (`streaming.AnomalyStream`), whose state cannot hold a
+    * non-stabilizable value.
+    *
     * Scale shape: one hash exchange on the keys, one sorted ROWS window
     * inside each key's partition — frame state is `lookback` rows, no
     * unbounded accumulation; 100 TB of series parallelize by key.
@@ -383,7 +391,8 @@ object Analytics {
     // fixed-order IEEE chain; oracle mirrors it token-for-token
     val variance = (s2 - s1 * s1 / n) / (n - lit(1))
     val z = (x - s1 / n) / sqrt(variance)
-    df.withColumn("__n", n).withColumn("__var", variance)
+    df.where(col(tsCol).isNotNull && x.isNotNull && dec.isNotNull)
+      .withColumn("__n", n).withColumn("__var", variance)
       .withColumn(zCol, z)
       .where(col("__n") >= minObs && col("__var") > 0 &&
         abs(col(zCol)) > zThreshold)

@@ -35,12 +35,11 @@ object AnomalyStream {
   case class Event(user_id: Long, event_id: Long, ts: Timestamp,
       value: Double)
 
-  /** Per-key state: not-yet-sealed events + the last `lookback` sealed
-    * observations as (micros, cents). Times in epoch micros, values in
-    * exact cents (the encodable forms of the batch operator's
-    * timestamp ordering and decimal quantization).
+  /** Per-key state: not-yet-sealed events (micros, event_id, raw
+    * value — cents are derivable and recomputed at seal time) + the
+    * last `lookback` sealed observations as (micros, cents).
     */
-  case class KeyState(pending: List[(Long, Long, Long, Double)],
+  case class KeyState(pending: List[(Long, Long, Double)],
       tail: List[(Long, Long)])
 
   case class Anomaly(user_id: Long, event_id: Long, ts: Timestamp,
@@ -48,28 +47,44 @@ object AnomalyStream {
 
   import TimeCodec.{microsToTs, tsToMicros}
 
-  /** Round a double to exact cents — the same value the batch path's
-    * CAST(v AS DECIMAL(18,2)) produces (HALF_UP at the second decimal).
+  /** Round a double to exact cents — the value the batch path's
+    * non-ANSI CAST(v AS DECIMAL(18,2)) produces, or None where that
+    * cast yields null (NaN, ±Inf, |v| beyond DECIMAL(18,2)): such a
+    * row is EXCLUDED by both paths (the batch operator filters on the
+    * stabilized cast — the shared observation contract).
+    *
+    * Spark casts via the double's SHORTEST decimal representation
+    * (BigDecimal.valueOf), not its exact binary expansion: 2.675
+    * (binary 2.67499…) must round to 2.68, exactly as the engine does.
     */
-  private[streaming] def toCents(v: Double): Long =
-    new java.math.BigDecimal(v)
+  private[streaming] def toCents(v: Double): Option[Long] = {
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+      return None
+    val c = java.math.BigDecimal.valueOf(v)
       .setScale(2, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+    if (c.precision - c.scale > 16) None // DECIMAL(18,2) overflow
+    else Some(c.unscaledValue().longValueExact())
+  }
 
-  /** Score `cents` (raw `x`) against the trailing window — the batch
-    * operator's exact z chain from exact integer sums: s1 = Σcents/100,
-    * s2 = Σcents²/10000 (both correctly-rounded doubles of the same
-    * rationals the decimal casts produce).
+  /** Score raw `x` against the trailing window — the batch operator's
+    * exact z chain: s1/s2 accumulate as exact BigDecimals (cents can
+    * square past 2^63; the batch side is DECIMAL(38,4)) and convert to
+    * double in ONE correctly-rounded step each, exactly like the
+    * engine's decimal→double cast, before the fixed IEEE chain.
     */
   private[streaming] def zOf(x: Double, tail: List[(Long, Long)],
       minObs: Int): Option[Double] = {
     val n = tail.length
     if (n < minObs) return None
-    var s1c = 0L
-    var s2c = 0L
-    tail.foreach { case (_, c) => s1c += c; s2c += c * c }
-    val s1 = s1c.toDouble / 100.0
-    val s2 = s2c.toDouble / 10000.0
+    var s1c = java.math.BigInteger.ZERO
+    var s2c = java.math.BigInteger.ZERO
+    tail.foreach { case (_, c) =>
+      val b = java.math.BigInteger.valueOf(c)
+      s1c = s1c.add(b)
+      s2c = s2c.add(b.multiply(b))
+    }
+    val s1 = new java.math.BigDecimal(s1c, 2).doubleValue()
+    val s2 = new java.math.BigDecimal(s2c, 4).doubleValue()
     val variance = (s2 - s1 * s1 / n) / (n - 1)
     if (variance > 0) Some((x - s1 / n) / math.sqrt(variance)) else None
   }
@@ -111,22 +126,27 @@ object AnomalyStream {
         (uid: Long, batch: Iterator[Event], state: GroupState[KeyState]) =>
           val st = state.getOption.getOrElse(KeyState(Nil, Nil))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val pending = st.pending ++ batch.map(e =>
-            (tsToMicros(e.ts), e.event_id, toCents(e.value), e.value))
+          // non-stabilizable values (NaN/Inf/out-of-range) are excluded
+          // by the shared observation contract — never enqueued, never
+          // window occupants, never job-fatal
+          val pending = st.pending ++ batch.flatMap(e =>
+            toCents(e.value).map(_ =>
+              (tsToMicros(e.ts), e.event_id, e.value)))
           // seal events the watermark has passed; score them in the
           // batch operator's (ts, event_id) order
           val (ready, open) = pending.partition(_._1 <= wmUs)
           var tail = st.tail
           val out = scala.collection.mutable.ListBuffer.empty[Anomaly]
           ready.sortBy(e => (e._1, e._2)).foreach {
-            case (us, eid, cents, x) =>
+            case (us, eid, x) =>
               // x is the RAW value — the batch z chain subtracts the
               // stabilized mean from the unquantized observation
               zOf(x, tail, minObs).foreach { z =>
                 if (math.abs(z) > zThreshold)
                   out += Anomaly(uid, eid, microsToTs(us), x, z)
               }
-              tail = (tail :+ ((us, cents))).takeRight(lookback)
+              // toCents is Some by construction (filtered at enqueue)
+              tail = (tail :+ ((us, toCents(x).get))).takeRight(lookback)
           }
           state.update(KeyState(open, tail))
           // wake this key when the watermark passes its oldest pending

@@ -25,7 +25,13 @@ class AnomalyStreamSpec extends SparkTestBase {
       s"1,$i,2024-05-01 00:${"%02d".format(i)}:00,${if (i % 2 == 0) 6.0 else 4.0}") ++
       Seq("1,21,2024-05-01 00:21:00,500.0") ++
       (22 to 25).map(i => s"1,$i,2024-05-01 00:${"%02d".format(i)}:00,5.0") ++
-      (1 to 10).map(i => s"2,${100 + i},2024-05-01 00:${"%02d".format(i)}:00,7.0")
+      (1 to 10).map(i => s"2,${100 + i},2024-05-01 00:${"%02d".format(i)}:00,7.0") ++
+      // poisoned rows: NaN, null, and a DECIMAL(18,2)-overflow value —
+      // the shared observation contract excludes all three from BOTH
+      // paths (neither window occupants nor candidates; never fatal)
+      Seq("1,60,2024-05-01 00:26:00,NaN",
+        "1,61,2024-05-01 00:27:00,",
+        "1,62,2024-05-01 00:28:00,1.0E17")
     Files.writeString(dir.resolve("b1.csv"),
       "user_id,event_id,ts,value\n" + rows.mkString("\n") + "\n")
 
