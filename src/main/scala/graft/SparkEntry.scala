@@ -116,6 +116,26 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    // ---- Q14 analog: conditional-revenue share (CASE inside an
+    // exact-decimal aggregate; broadcastable part dim; one month of
+    // lineitem via pushed shipdate bounds).
+    "q14_type_share" -> ((s, dir) => {
+      val lo = lit("1996-03-01").cast(TimestampType)
+      val hi = lit("1996-04-01").cast(TimestampType)
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val part = t(s, dir, "part").select("p_partkey", "p_type")
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 4))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "ECONOMY", rev).otherwise(zero))
+            .cast(DoubleType) /
+          sum(rev).cast(DoubleType)).as("economy_share"))
+    }),
+
     "q5_region_revenue" -> ((s, dir) => {
       val lo = lit("1996-01-01").cast(TimestampType)
       val hi = lit("1997-01-01").cast(TimestampType)
@@ -2668,6 +2688,18 @@ object SparkEntry {
         |FROM sig1 s1 JOIN sig2 s2 ON s1.doc_id = s2.doc_id AND s1.j = s2.j
         |GROUP BY s1.doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // q14 analog: 100.0 * num / den, both exact decimal sums
+    "q14_type_share" ->
+      """SELECT 100.0 *
+        |  CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS economy_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
 
     // q4 analog: EXISTS == semi join; same date window
     "q4_priority_exists" ->
