@@ -70,6 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es(2).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction(fn("graft_cm_merge",
       es => graft.functions.CmMergeAgg(es.head)))
+    ext.injectFunction(fn("graft_cm_union",
+      es => graft.functions.CmUnion(es.head, es(1))))
     ext.injectFunction(fn("graft_cm_estimate",
       es => graft.functions.CmEstimate(es.head, es(1))))
     ext.injectFunction(fn("graft_quantile_merge",

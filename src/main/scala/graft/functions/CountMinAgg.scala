@@ -223,6 +223,40 @@ case class CmMergeAgg(child: Expression,
     copy(child = c)
 }
 
+/** `graft_cm_union(a, b)` — SCALAR two-sketch union (the state-merge
+  * step of sketch-feed maintenance, where the stored and delta
+  * sketches meet row-wise in a join, not under an aggregate — the
+  * [[QuantileUnion]] pattern). Null-safe: either side null → the
+  * other. Shape mismatch throws (CmSketch.mergeIn's guard).
+  */
+case class CmUnion(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_cm_union"
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_cm_union needs (binary, binary), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null) r
+    else if (r == null) l
+    else CmCodec.serialize(
+      CmCodec.deserialize(l.asInstanceOf[Array[Byte]]).mergeIn(
+        CmCodec.deserialize(r.asInstanceOf[Array[Byte]])))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CmUnion = copy(left = l, right = r)
+}
+
 /** `graft_cm_estimate(sk, x)` — point-frequency estimate of `x` from a
   * serialized sketch: min over rows, never an undercount.
   */

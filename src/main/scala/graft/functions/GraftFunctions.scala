@@ -1018,6 +1018,11 @@ object GraftFunctions {
     SparkShim.toColumn(CmEstimate(
       SparkShim.toExpression(sketch), SparkShim.toExpression(item)))
 
+  /** Scalar two-sketch union (see [[CmUnion]]). */
+  def cmUnion(a: Column, b: Column): Column =
+    SparkShim.toColumn(CmUnion(
+      SparkShim.toExpression(a), SparkShim.toExpression(b)))
+
   def quantileMerge(sketch: Column): Column =
     SparkShim.toColumn(QuantileMergeAgg(
       SparkShim.toExpression(sketch)).toAggregateExpression())
@@ -1361,6 +1366,8 @@ object GraftFunctions {
       es => CmMergeAgg(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cm_estimate",
       es => CmEstimate(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cm_union",
+      es => CmUnion(es.head, es(1)), "scala_udf")
     // mergeable GK quantile sketches (eps optional, default 1e-4)
     reg.createOrReplaceTempFunction("graft_quantile_sketch",
       es => QuantileSketchAgg(es.head,
