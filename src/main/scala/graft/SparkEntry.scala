@@ -1494,6 +1494,15 @@ object SparkEntry {
           .as("n_cp"))
         .orderBy("doc_id")),
 
+    // ---- text: per-doc n-gram novelty (corpus-wide uniqueness) ----
+    // Fraction of each doc's distinct 3-gram shingles seen in no
+    // other doc; exact count ratio, hash-oracled (the docsWithNearDups
+    // corpus makes the truncated copies score near 0).
+    "t23_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyScore(docsWithNearDups(s, dir),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ---- text: per-source vocabulary statistics (corpus health) ----
     // Token volume, distinct types, hapax legomena, type-token ratio —
     // exact counts + one deterministic division; fully hash-oracled.
@@ -3764,6 +3773,30 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_cp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // novelty: same union corpus and shingle construction as d2's
+    // oracle; df==1 counts over distinct per-doc shingles
+    "t23_novelty" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(len(string_split_regex(trim(text), '\s+'))-5, 0)], ' ')
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_distinct(list_transform(range(greatest(len(string_split_regex(trim(text), '\s+'))-2, 1)),
+        |        i -> array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+3], ' ')))) AS s
+        |    FROM docs)
+        |), dfreq AS (
+        |  SELECT s, COUNT(*) AS dfc FROM sh GROUP BY s
+        |)
+        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM sh JOIN dfreq ON sh.s = dfreq.s
+        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
 
     // vocab stats: exact counts; SUM(BIGINT)->HUGEINT needs the cast
     "t22_vocab_stats" ->

@@ -243,6 +243,37 @@ object TextAnalysis {
     merges.toList
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's
+    * distinct token n-grams that appear in NO other document — the
+    * "how much of this text is unique corpus-wide" curation signal
+    * (high novelty = original content; near-zero = boilerplate /
+    * near-duplicate even when no single pair crosses a dedup
+    * threshold). Output: (idCol, n_shingles, novelty), the ratio an
+    * exact division of exact counts.
+    *
+    * Scale shape: one tokenize+shingle pass (map-side, the native
+    * n-gram hasher), one shuffle to global shingle document-
+    * frequencies, one re-join of the (doc, shingle) frame to its own
+    * aggregate — all shingle-frame-sized; the corpus text is scanned
+    * once. Same collision stance as the d2/d3 family: shingles
+    * compare by 64-bit hash.
+    */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), explode(array_distinct(
+      graft.functions.GraftFunctions.ngramHashes(
+        tokens(col(textCol)), n))).as("__sh"))
+    // sh is distinct per (doc, shingle) => count = document frequency
+    val dfreq = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    sh.join(dfreq, "__sh")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        (sum(when(col("__df") === 1L, 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("novelty"))
+  }
+
   /** Per-group vocabulary statistics — the corpus-health profile read
     * before mixing sources: token volume, distinct vocabulary, hapax
     * legomena (terms seen exactly once in the group — the Zipf tail
