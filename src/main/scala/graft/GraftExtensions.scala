@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.GraftFunctions._
+import graft.functions.QSketchCodec
 
 /** Session-extension entry point: registers the graft native functions at
   * session build time, so any deployment can enable them declaratively with
@@ -51,23 +52,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_overlap", es => OverlapLong(es(0), es(1))))
     ext.injectFunction(fn("graft_simhash64", es => SimHash64(es.head)))
     ext.injectFunction(fn("graft_ngram_hashes",
-      es => NgramHashes(es.head, es(1).eval().asInstanceOf[Int])))
+      es => NgramHashes(QSketchCodec.arity(es, 2, "graft_ngram_hashes").head,
+        QSketchCodec.intArg(es, 1, "graft_ngram_hashes"))))
     ext.injectFunction(fn("graft_minhash_sig",
-      es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int])))
+      es => MinHashSig(QSketchCodec.arity(es, 2, "graft_minhash_sig").head,
+        QSketchCodec.intArg(es, 1, "graft_minhash_sig"))))
     ext.injectFunction(fn("graft_freq_items",
-      es => graft.functions.FreqItems(es.head,
-        es(1).eval().asInstanceOf[Number].intValue())))
+      es => graft.functions.FreqItems(
+        QSketchCodec.arity(es, 2, "graft_freq_items").head,
+        QSketchCodec.intArg(es, 1, "graft_freq_items"))))
     ext.injectFunction(fn("graft_topk",
-      es => graft.functions.TopKPairs(es.head, es(1),
-        es(2).eval().asInstanceOf[Number].intValue())))
+      es => graft.functions.TopKPairs(
+        QSketchCodec.arity(es, 3, "graft_topk").head, es(1),
+        QSketchCodec.intArg(es, 2, "graft_topk"))))
     ext.injectFunction(fn("graft_quantile_sketch",
       es => graft.functions.QuantileSketchAgg(es.head,
         if (es.length > 1) graft.functions.QSketchCodec.numArg(es(1))
         else 1e-4)))
     ext.injectFunction(fn("graft_countmin",
-      es => graft.functions.CountMinAgg(es.head,
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].intValue())))
+      es => graft.functions.CountMinAgg(
+        QSketchCodec.arity(es, 3, "graft_countmin").head,
+        QSketchCodec.intArg(es, 1, "graft_countmin"),
+        QSketchCodec.intArg(es, 2, "graft_countmin"))))
     ext.injectFunction(fn("graft_cm_merge",
       es => graft.functions.CmMergeAgg(es.head)))
     ext.injectFunction(fn("graft_cm_union",

@@ -32,6 +32,14 @@ object SparkEntry {
 
   import Analytics.{stableAvg, stableSum}
 
+  /** Round-6 with signed-zero canonicalization: a tiny negative that
+    * rounds to zero yields `-0.0` in one engine and `0.0` in the other
+    * (numerically equal, byte-different under the driver's hash).
+    * `+ 0.0` maps `-0.0` to `+0.0` and is the identity on every other
+    * double; the oracle SQL mirrors it (`round(x, 6) + 0.0`).
+    */
+  private def r6z(c: Column): Column = round(c, 6) + lit(0.0)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -828,6 +836,33 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- similarity: PCA fit+project in the ANALYTICALLY-EXACT
+    // configuration — the eigensolve's cross-engine oracle. A
+    // fixture-derived frame built from vec_id's low bits: column i is
+    // `(i+1) * (2*bit_i(vec_id) - 1)` over the complete 256-id cycle,
+    // so every column is exactly zero-mean and pairwise-orthogonal
+    // (full 2^k design), the quantized covariance is EXACTLY
+    // diag(1, 4, 9, 16) in both engines, Jacobi is the identity
+    // (off-diagonals are true zeros), and the fitted basis is the
+    // coordinate axes in descending-eigenvalue order with the pinned
+    // sign convention. The projection is then an exact column
+    // permutation DuckDB re-derives from vec_id arithmetic alone:
+    // p0 = 4*b3, p1 = 3*b2, p2 = 2*b1, p3 = 1*b0 — every float step
+    // (0-products, +-0 folds, -0.0 centering) is IEEE-exact. ----
+    "sim13b_pca_exact" -> ((s, dir) => {
+      val bits = (0 until 4).map { i =>
+        (lit(i + 1.0) *
+          (shiftright(col("vec_id"), i).bitwiseAND(lit(1L)) * 2 - 1)
+            .cast("double"))
+      }
+      val base = t(s, dir, "embeddings").where(col("vec_id") < 256)
+        .select(col("vec_id"), array(bits: _*).as("v"))
+      val model = Pca.fit(base, "v", 4)
+      Pca.project(base, "v", model, k = 4)
+        .select(col("vec_id"), col("p0"), col("p1"), col("p2"), col("p3"))
+        .orderBy("vec_id")
+    }),
+
     // ---- similarity: k-NN JOIN over the persisted index ----
     // The index-backed twin of sim10: corpus cell assignments come off
     // disk (one map-side quantizer pass at BUILD time, zero at query
@@ -926,6 +961,28 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- similarity: ADC scoring in the provably-EXACT configuration —
+    // the sim5b corpus cap (<= 256 rows, ksub = 256 => every distinct
+    // subvector is its own codeword, d = 0, reconstruction bit-exact)
+    // pushed through the ADC LUT path, so the LUT kernel
+    // (PqAdcLut/PqAdcScore incl. its doGenCode) gets a DIRECT
+    // cross-engine oracle instead of only the indirect sim11 one.
+    // ADC sums per-subspace partials where the flat cosine folds all 64
+    // terms in order — equal top-k, ulp-level sim differences — so both
+    // sides round sims to 6 (rank is computed on each engine's own
+    // unrounded sims; r6z canonicalizes the -0.0 class). ----
+    "sim7b_adc_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") % 8 === 0)
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.pqTopKAdc(corpus, "vec_id", "embedding", q, "qid", "qv",
+        k = 10, m = 8, ksub = 256, iters = 3)
+        .select(col("qid"), col("vec_id"), r6z(col("sim")).as("sim"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- similarity: top-k over int8-quantized corpus. Lossy but
     // DETERMINISTIC: the scale-offset arithmetic is plain IEEE double
     // ops DuckDB can replay (list_transform + round), and the byte
@@ -968,6 +1025,28 @@ object SparkEntry {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("median_price"))),
+
+    // ---- A9b: the HLL sketch path in its PROVABLY-EXACT regime ----
+    // DataSketches HLL keeps raw coupons below the promotion threshold,
+    // where the estimate is the exact distinct count as long as no two
+    // domain values collide in a 26-bit coupon — checkable once for a
+    // FIXED small domain (the 25 nation keys), independent of data
+    // volume; the same trick as cm1b/hh1. Exercises sketch_agg (per
+    // mktsegment), union_agg (the rollup merge), and estimate, all
+    // hash-oracled against COUNT(DISTINCT). The a19/mv4 rollups share
+    // this estimate path.
+    "a9b_hll_exact" -> ((s, dir) => {
+      val perSeg = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(expr("hll_sketch_agg(c_nationkey)").as("sk"))
+      perSeg
+        .select(col("seg"), expr("hll_sketch_estimate(sk)").as("est_nations"))
+        .unionByName(perSeg
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .as("est_nations"))
+          .select(lit("__ALL__").as("seg"), col("est_nations")))
+        .orderBy("seg")
+    }),
 
     // ---- W1: window functions (lag delta per key) ----
     "w1_window_lag" -> ((s, dir) => {
@@ -1125,9 +1204,9 @@ object SparkEntry {
     "a16_stats" -> ((s, dir) =>
       Analytics.exactStats(t(s, dir, "lineitem"),
         "l_quantity", "l_extendedprice")
-        .select(col("n"), round(col("stddev_x"), 6).as("stddev_x"),
-          round(col("stddev_y"), 6).as("stddev_y"),
-          round(col("corr_xy"), 6).as("corr_xy"))),
+        .select(col("n"), r6z(col("stddev_x")).as("stddev_x"),
+          r6z(col("stddev_y")).as("stddev_y"),
+          r6z(col("corr_xy")).as("corr_xy"))),
 
     // ---- A25: exact-moment OLS regression per group ----
     // value-vs-hour trend per event type from decimal-exact moment
@@ -1139,9 +1218,9 @@ object SparkEntry {
           .select(col("event_type"), hour(col("ts")).as("hr"), col("value")),
         Seq("event_type"), "hr", "value")
         .select(col("event_type"), col("n"),
-          round(col("slope"), 6).as("slope"),
-          round(col("intercept"), 6).as("intercept"),
-          round(col("r2"), 6).as("r2"))
+          r6z(col("slope")).as("slope"),
+          r6z(col("intercept")).as("intercept"),
+          r6z(col("r2")).as("r2"))
         .orderBy("event_type")),
 
     // ---- A18: exact interpolated percentiles per group ----
@@ -2029,7 +2108,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val lm = TextAnalysis.trigramLM(docs, "text")
       TextAnalysis.perplexity(docs, "doc_id", "text", lm)
-        .select(col("doc_id"), round(col("ppl"), 6).as("ppl"),
+        .select(col("doc_id"), r6z(col("ppl")).as("ppl"),
           col("n_trigrams"))
         .orderBy("doc_id")
     }),
@@ -2047,7 +2126,7 @@ object SparkEntry {
       val model = TextAnalysis.trainNaiveBayes(docs, "text", "lang")
       TextAnalysis.nbClassify(docs, "doc_id", "text", model)
         .select(col("doc_id"), col("pred"),
-          round(col("score"), 6).as("score"))
+          r6z(col("score")).as("score"))
         .orderBy("doc_id")
     }),
 
@@ -2059,7 +2138,7 @@ object SparkEntry {
     "t19_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
         Seq("hash", "join", "spark"))
-        .select(col("doc_id"), round(col("score"), 6).as("score"),
+        .select(col("doc_id"), r6z(col("score")).as("score"),
           col("n_hits"))
         .orderBy("doc_id")),
 
@@ -3087,7 +3166,7 @@ object SparkEntry {
         |    COUNT(*) AS n
         |  FROM tri d JOIN lm ON d.tri = lm.tri
         |  GROUP BY d.doc_id)
-        |SELECT doc_id, round(exp(-(slogp / n)), 6) AS ppl,
+        |SELECT doc_id, round(exp(-(slogp / n)), 6) + 0.0 AS ppl,
         |  CAST(n AS INT) AS n_trigrams
         |FROM perdoc ORDER BY doc_id""".stripMargin,
 
@@ -3117,7 +3196,7 @@ object SparkEntry {
         |  JOIN lens ON tf.doc_id = lens.doc_id)
         |SELECT doc_id,
         |  round(CAST(SUM(CAST(s AS DECIMAL(28,18))) AS DOUBLE), 6)
-        |    AS score,
+        |    + 0.0 AS score,
         |  CAST(COUNT(*) AS INT) AS n_hits
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -3219,7 +3298,7 @@ object SparkEntry {
         |r AS (SELECT doc_id, cls, score,
         |    row_number() OVER (PARTITION BY doc_id
         |      ORDER BY score DESC, cls) AS rk FROM sc)
-        |SELECT doc_id, cls AS pred, round(score, 6) AS score
+        |SELECT doc_id, cls AS pred, round(score, 6) + 0.0 AS score
         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     // token-budget mix: same tiers, same hash order, exclusive prefix
@@ -3413,6 +3492,49 @@ object SparkEntry {
         |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
+    // ADC over a lossless codebook == the same brute force as sim5b;
+    // sims round to 6 on both sides (per-subspace partials vs the flat
+    // fold differ in ulps; ranks are computed on native sims)
+    "sim7b_adc_exact" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 8 = 0),
+        |s AS (SELECT q.qid, c.vec_id,
+        |    list_cosine_similarity(c.v, q.qv) AS sim
+        |  FROM c, q WHERE c.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT qid, vec_id, round(sim, 6) + 0.0 AS sim, rank
+        |FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // the analytic PCA fixture re-derived from vec_id arithmetic alone:
+    // diag(1,4,9,16) covariance => basis = coordinate axes, descending
+    // eigenvalue order, positive sign; projection = exact permutation
+    "sim13b_pca_exact" ->
+      """SELECT vec_id,
+        |  CAST(4 * (2 * ((vec_id // 8) % 2) - 1) AS DOUBLE) AS p0,
+        |  CAST(3 * (2 * ((vec_id // 4) % 2) - 1) AS DOUBLE) AS p1,
+        |  CAST(2 * (2 * ((vec_id // 2) % 2) - 1) AS DOUBLE) AS p2,
+        |  CAST(1 * (2 * (vec_id % 2) - 1) AS DOUBLE) AS p3
+        |FROM embeddings WHERE vec_id < 256 ORDER BY vec_id""".stripMargin,
+
+    // HLL in the coupon-exact regime over the fixed 25-key nation
+    // domain == COUNT(DISTINCT), through sketch_agg, union_agg, and
+    // estimate
+    "a9b_hll_exact" ->
+      """SELECT seg, est_nations FROM (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS est_nations
+        |  FROM customer GROUP BY c_mktsegment
+        |  UNION ALL
+        |  SELECT '__ALL__' AS seg,
+        |    CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS est_nations
+        |  FROM customer)
+        |ORDER BY seg""".stripMargin,
+
     // PQ in the exact configuration == brute force over the capped
     // corpus (see queries comment): ksub covers every distinct
     // subvector, so decode is the identity and sim is plain cosine
@@ -3465,7 +3587,7 @@ object SparkEntry {
         |  FROM arr, range(2145) r(idx)
         |  GROUP BY r.idx)
         |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
-        |  round((sij.sd - si.sd * sj.sd / n.sd) / n.sd, 6) AS cov
+        |  round((sij.sd - si.sd * sj.sd / n.sd) / n.sd, 6) + 0.0 AS cov
         |FROM (SELECT a.i AS i, b.j AS j FROM range(64) a(i), range(64) b(j)
         |      WHERE b.j >= a.i) p
         |JOIN s n ON n.idx = 0
@@ -3735,10 +3857,10 @@ object SparkEntry {
         |    CAST(sum(yd*yd) AS DOUBLE) AS syy,
         |    CAST(sum(xd*yd) AS DOUBLE) AS sxy FROM p)
         |SELECT CAST(n AS BIGINT) AS n,
-        |  round(sqrt((sxx - sx*sx/n)/(n-1)), 6) AS stddev_x,
-        |  round(sqrt((syy - sy*sy/n)/(n-1)), 6) AS stddev_y,
+        |  round(sqrt((sxx - sx*sx/n)/(n-1)), 6) + 0.0 AS stddev_x,
+        |  round(sqrt((syy - sy*sy/n)/(n-1)), 6) + 0.0 AS stddev_y,
         |  round((sxy - sx*sy/n)/(sqrt(sxx - sx*sx/n)*sqrt(syy - sy*sy/n)), 6)
-        |    AS corr_xy
+        |    + 0.0 AS corr_xy
         |FROM a""".stripMargin,
 
     "a10_rollup" ->
@@ -4174,11 +4296,11 @@ object SparkEntry {
         |    CAST(SUM(xd * yd) AS DOUBLE) AS sxy
         |  FROM c GROUP BY event_type)
         |SELECT event_type, CAST(n AS BIGINT) AS n,
-        |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+        |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) + 0.0 AS slope,
         |  round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n,
-        |    6) AS intercept,
+        |    6) + 0.0 AS intercept,
         |  round(((sxy - sx * sy / n) * (sxy - sx * sy / n)) /
-        |    ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+        |    ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) + 0.0 AS r2
         |FROM m ORDER BY event_type""".stripMargin,
 
     // grouped lossless-eps GK == per-group discrete quantiles

@@ -41,6 +41,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `graft_cm_estimate(sk, x)` (scalar → bigint).
   */
 final class CmSketch(val depth: Int, val width: Int) {
+  require(depth >= 1 && width >= 1 && depth.toLong * width <= (1L << 28),
+    s"CmSketch needs 1 <= depth*width <= 2^28 cells, got " +
+      s"depth=$depth width=$width (${depth.toLong * width} cells)")
   val table: Array[Long] = new Array[Long](depth * width)
   var n: Long = 0L
 
@@ -132,6 +135,14 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
   require(depth >= 1 && depth <= 32, s"depth must be in [1, 32], got $depth")
   require(width >= 1 && width <= (1 << 26),
     s"width must be in [1, 2^26], got $width")
+  // Bound the PRODUCT too: depth=32 x width=2^26 is 2^31 cells, which
+  // overflows the Int table index (NegativeArraySizeException) — and
+  // even just below that is a 16 GiB allocation per aggregation buffer.
+  // 2^28 cells (2 GiB of longs) is the largest allocatable-and-sane
+  // sketch; every accepted configuration is guaranteed constructable.
+  require(depth.toLong * width <= (1L << 28),
+    s"depth*width must be <= 2^28 cells, got ${depth.toLong * width} " +
+      s"(depth=$depth, width=$width)")
 
   override def prettyName: String = "graft_countmin"
   override def nullable: Boolean = false

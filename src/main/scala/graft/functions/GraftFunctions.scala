@@ -1330,7 +1330,8 @@ object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_minhash_sig",
-      es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]), "scala_udf")
+      es => MinHashSig(QSketchCodec.arity(es, 2, "graft_minhash_sig").head,
+        QSketchCodec.intArg(es, 1, "graft_minhash_sig")), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash64",
       es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_jaccard",
@@ -1343,25 +1344,26 @@ object GraftFunctions {
       es => RepetitionStats(es.head), "scala_udf")
     // graft_zvalue(bits, dim1, dim2, ...) — bits must be a literal
     reg.createOrReplaceTempFunction("graft_zvalue",
-      es => ZValue(es.tail, es.head.eval().asInstanceOf[Number].intValue()),
+      es => ZValue(es.tail, QSketchCodec.intArg(es, 0, "graft_zvalue")),
       "scala_udf")
     reg.createOrReplaceTempFunction("graft_quantize_roundtrip",
       es => QuantizeRoundtrip(es.head), "scala_udf")
     // graft_freq_items(item, capacity) — capacity must be a literal; the
     // analyzer wraps the returned AggregateFunction in AggregateExpression
     reg.createOrReplaceTempFunction("graft_freq_items",
-      es => FreqItems(es.head, es(1).eval().asInstanceOf[Number].intValue()),
+      es => FreqItems(QSketchCodec.arity(es, 2, "graft_freq_items").head,
+        QSketchCodec.intArg(es, 1, "graft_freq_items")),
       "scala_udf")
     // graft_topk(id, score, k) — k must be a literal
     reg.createOrReplaceTempFunction("graft_topk",
-      es => TopKPairs(es.head, es(1),
-        es(2).eval().asInstanceOf[Number].intValue()),
+      es => TopKPairs(QSketchCodec.arity(es, 3, "graft_topk").head, es(1),
+        QSketchCodec.intArg(es, 2, "graft_topk")),
       "scala_udf")
     // mergeable Count-Min point-frequency sketches
     reg.createOrReplaceTempFunction("graft_countmin",
-      es => CountMinAgg(es.head,
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      es => CountMinAgg(QSketchCodec.arity(es, 3, "graft_countmin").head,
+        QSketchCodec.intArg(es, 1, "graft_countmin"),
+        QSketchCodec.intArg(es, 2, "graft_countmin")), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cm_merge",
       es => CmMergeAgg(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cm_estimate",

@@ -40,6 +40,33 @@ object QSketchCodec {
       s"expected a numeric literal, got $other")
   }
 
+  /** Foldable-integer-literal extraction for registration sites
+    * (depth/width/k/capacity/bits args): a missing, non-foldable,
+    * null, or non-numeric arg gets a clear plan-time error instead of
+    * IndexOutOfBounds/NPE/ClassCast from a bare `es(i).eval()`.
+    */
+  def intArg(es: Seq[Expression], idx: Int, fname: String): Int = {
+    require(es.length > idx,
+      s"$fname: expected at least ${idx + 1} arguments, got ${es.length}")
+    val e = es(idx)
+    require(e.foldable,
+      s"$fname: argument #${idx + 1} must be a literal")
+    e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble.toInt
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fname: argument #${idx + 1} must be a numeric literal, " +
+          s"got ${if (other == null) "NULL" else other}")
+    }
+  }
+
+  /** Plan-time arity guard for registration-site lambdas. */
+  def arity(es: Seq[Expression], n: Int, fname: String): Seq[Expression] = {
+    require(es.length == n,
+      s"$fname: expected $n arguments, got ${es.length}")
+    es
+  }
+
   /** compress() has no early return on the compressed flag and costs a
     * full pass over sampled — skip it when already compressed
     * (deserialized sketches and merge() results always are).

@@ -101,7 +101,10 @@ object Pca {
         StructField("i", IntegerType, nullable = false),
         StructField("j", IntegerType, nullable = false),
         StructField("cov", DoubleType, nullable = false))))
-      .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+      // `+ 0.0` canonicalizes IEEE `-0.0` (a tiny negative covariance
+      // rounds to negative zero in one engine and positive zero in the
+      // other — numerically equal, byte-different under a hash).
+      .select(col("i"), col("j"), (round(col("cov"), 6) + lit(0.0)).as("cov"))
       .orderBy("i", "j")
   }
 

@@ -95,6 +95,14 @@ object AnomalyStream {
     * null key/time/value are dropped, not job-fatal (a null measure
     * carries no anomaly signal, unlike the sessionizer's sum where it
     * counts 0).
+    *
+    * Batch-parity contract: bit-equal to
+    * [[graft.operators.Analytics.rollingZScoreAnomalies]] over the
+    * watermark-sealed range for NON-NULL keys only — the stream drops
+    * null-keyed rows (they cannot enter a typed long key), while the
+    * batch window operator keeps a null key as its own partition (SQL
+    * `PARTITION BY` groups nulls). Filter null keys on the batch side
+    * before comparing.
     */
   def anomalies(
       spark: SparkSession,
@@ -132,9 +140,13 @@ object AnomalyStream {
           val pending = st.pending ++ batch.flatMap(e =>
             toCents(e.value).map(_ =>
               (tsToMicros(e.ts), e.event_id, e.value)))
-          // seal events the watermark has passed; score them in the
-          // batch operator's (ts, event_id) order
-          val (ready, open) = pending.partition(_._1 <= wmUs)
+          // seal events STRICTLY below the watermark; Spark's late-row
+          // filter only drops rows strictly older than the watermark,
+          // so a row landing exactly AT the watermark can still be
+          // admitted in a later batch — sealing at <= would have put
+          // the frontier past a row Spark can still deliver, breaking
+          // batch-parity on equal-timestamp boundary ties
+          val (ready, open) = pending.partition(_._1 < wmUs)
           var tail = st.tail
           val out = scala.collection.mutable.ListBuffer.empty[Anomaly]
           ready.sortBy(e => (e._1, e._2)).foreach {

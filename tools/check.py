@@ -27,7 +27,10 @@ def values_equal(a, b):
     except (TypeError, ValueError):
         pass
     if isinstance(a, float) and isinstance(b, float):
-        return a == b or (math.isnan(a) and math.isnan(b))
+        if math.isnan(a) and math.isnan(b):
+            return True
+        # byte-faithful like the driver's hash: -0.0 != 0.0
+        return a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
     return a == b
 
 def compare(name, spark_df, oracle_df):
