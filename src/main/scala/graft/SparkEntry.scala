@@ -1994,6 +1994,36 @@ object SparkEntry {
       IncrementalView.read(s, mv).orderBy("event_type")
     }),
 
+    // ---- lake: incremental MV under a DELETE-bearing feed ----
+    // The general maintenance path: the refresh window mixes an insert
+    // commit with a row-level delete, so the non-additive state (min/
+    // max + lossless-eps GK p50) recomputes for ONLY the touched groups
+    // from the source snapshot at the window's end version, while the
+    // additive sum/count state folds the signed CDF deltas — and the
+    // result hash-matches a direct recompute over the surviving rows.
+    "mv6_minmax_delete" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), col("value"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv6").toString
+      val src = root + "/src"
+      val mv = root + "/mv"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, src, StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      vt.append(s, ev.where(col("event_id") % 2 === 0), src)
+      IncrementalView.create(s, src, mv, Seq("event_type"), Seq("value"),
+        minmax = Seq("value"), quantile = Seq("value"),
+        quantileEps = 1e-7)
+      vt.append(s, ev.where(col("event_id") % 2 === 1), src)
+      vt.deleteByKeys(s, src,
+        ev.where(col("event_id") % 3 === 0).select("event_id"))
+      IncrementalView.refresh(s, mv)
+      IncrementalView.read(s, mv).orderBy("event_type")
+    }),
+
     // ---- lake: incremental MV with approx-distinct (HLL) measures ----
     // Mergeable sketch state folds forward exactly (order-independent
     // insertion), under the same append-only contract as min/max.
@@ -3124,6 +3154,21 @@ object SparkEntry {
         |  MIN(value) AS min_value,
         |  MAX(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the delete-bearing maintenance window == a direct recompute over
+    // the surviving rows (deletes of event_id % 3 == 0); lossless-eps
+    // GK p50 == quantile_disc (the a22b regime)
+    "mv6_minmax_delete" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(value) AS cnt_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+        |  MIN(value) AS min_value,
+        |  MAX(value) AS max_value,
+        |  quantile_disc(value, 0.5) AS p50_value
+        |FROM events WHERE event_id % 3 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // version-as-of 1 == the first commit's content (the even docs),
     // regardless of the append and delete that followed

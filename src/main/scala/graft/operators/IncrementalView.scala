@@ -19,12 +19,15 @@ import graft.sources.VersionedTable
   *   - `_mv_sum_<m>` — exact DECIMAL(38, scale) sum per measure,
   *   - `_mv_n_<m>`   — non-null count per measure (so AVG is derivable
   *     with SQL semantics: sum over non-null / count of non-null),
-  *   - `_mv_min_<m>` / `_mv_max_<m>` — optional extremes, maintainable
-  *     only under APPEND-ONLY feeds (a delete may remove the extreme;
-  *     such a window fails loudly),
+  *   - `_mv_min_<m>` / `_mv_max_<m>` — optional extremes, folded
+  *     incrementally under append-only feeds; a window containing
+  *     deletes/updates recomputes them for ONLY the touched groups
+  *     from the source snapshot at the window's end version (a delete
+  *     may have removed the extreme — no per-group delta can repair it),
   *   - `_mv_hll_<m>` — optional approx-COUNT(DISTINCT) as mergeable
-  *     HLL sketch bytes (union at merge, estimate at read; insert-only
-  *     like min/max — an HLL cannot un-count a deleted value).
+  *     HLL sketch bytes (union at merge, estimate at read; same
+  *     touched-group recompute under deletes — an HLL cannot un-count
+  *     a deleted value).
   *
   * Decimal sums make maintenance EXACT: decimal addition is associative
   * and commutative, so folding the feed's signed deltas (+1 for
@@ -140,6 +143,17 @@ object IncrementalView {
           graft.functions.GraftFunctions.quantileSketch(mc, qEps)
             .as(qCol(m))
         }
+    keyed(rows, keys)
+      .groupBy(col(KeyCol) +: keys.map { case (n, _, _) => col(n) }: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Materialize the key alias columns and the synthetic [[KeyCol]] on a
+    * source-shaped frame (shared by [[stateOf]] and the touched-group
+    * snapshot recompute).
+    */
+  private def keyed(rows: DataFrame,
+      keys: Seq[(String, Column, Boolean)]): DataFrame = {
     // an expression key materializes under its alias BEFORE grouping;
     // refuse an alias that shadows a source column — measures evaluate
     // over the same frame and would silently read the replaced value
@@ -148,13 +162,9 @@ object IncrementalView {
         s"expression key alias '$name' shadows a source column — " +
           "pick a fresh alias")
     }
-    val withKeys = keys.foldLeft(rows) { case (df, (name, k, _)) =>
+    keys.foldLeft(rows) { case (df, (name, k, _)) =>
       df.withColumn(name, k)
-    }
-    withKeys
-      .withColumn(KeyCol, syntheticKey(keys.map { case (n, _, _) => col(n) }))
-      .groupBy(col(KeyCol) +: keys.map { case (n, _, _) => col(n) }: _*)
-      .agg(aggs.head, aggs.tail: _*)
+    }.withColumn(KeyCol, syntheticKey(keys.map { case (n, _, _) => col(n) }))
   }
 
   /** Materialize the view from the source's CURRENT snapshot and stamp
@@ -163,14 +173,16 @@ object IncrementalView {
     *
     * @param minmax extra MIN/MAX-maintained measures. Min/max are not
     *   delta-maintainable under deletes or updates (the removed row may
-    *   have BEEN the extreme), so a view carrying them accepts
-    *   APPEND-ONLY feeds — a refresh over a window containing row-level
-    *   commits fails loudly (resync by recreating the view).
+    *   have BEEN the extreme), so a refresh window containing row-level
+    *   commits recomputes min/max for ONLY the touched groups from the
+    *   source snapshot at the window's end version — untouched groups
+    *   and the additive sum/count state stay incremental.
     * @param approxDistinct extra approx-COUNT(DISTINCT) measures carried
     *   as mergeable HLL sketch state (Datasketches; union at merge,
-    *   estimate at read). Insert-only like min/max — an HLL cannot
-    *   un-count a deleted value. Sketch insertion is order-independent,
-    *   so the folded sketch equals the directly-computed one exactly.
+    *   estimate at read). Folds forward under inserts; the same
+    *   touched-group recompute under deletes/updates. Sketch insertion
+    *   is order-independent, so the folded sketch equals the
+    *   directly-computed one exactly.
     */
   def create(spark: SparkSession, source: String, view: String,
       keys: Seq[String], measures: Seq[String], scale: Int = 2,
@@ -244,26 +256,29 @@ object IncrementalView {
     val minmax = minmaxSpecs.map(_._1)
     val approx = approxSpecs.map(_._1)
     val quantile = quantileSpecs.map(_._1)
-    // min/max and HLL state only fold forward: a delete/update may
+    // min/max, HLL, and GK state only fold forward: a delete/update may
     // remove the extreme (or a counted distinct value), which no
-    // per-group delta can repair — refuse the window
-    if ((minmax.nonEmpty || approx.nonEmpty || quantile.nonEmpty) &&
-        !cdf.where(col(VersionedTable.ChangeTypeCol) =!= "insert").isEmpty)
-      throw new UnsupportedOperationException(
-        s"view $view carries min/max, approx-distinct, or quantile " +
-          "state, which is " +
-          "append-only maintainable; the feed window contains row-level " +
-          "commits — recreate the view from the current snapshot instead")
+    // per-group delta can repair. A window containing row-level commits
+    // therefore switches the NON-additive state to a recompute of ONLY
+    // the touched groups from the source snapshot AT the window's end
+    // version (keyed semi-join scan — the untouched groups and the
+    // additive sum/count fold stay incremental; the source is never
+    // fully rescanned).
+    val nonAdditive = minmax.nonEmpty || approx.nonEmpty || quantile.nonEmpty
+    val recomputeTouched = nonAdditive &&
+      !cdf.where(col(VersionedTable.ChangeTypeCol) =!= "insert").isEmpty
     val sign = when(col(VersionedTable.ChangeTypeCol)
         .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
     // keep a group if ANY state component moved — an update that only
-    // changes a value nets rows=0 and n=0 but a nonzero sum delta.
-    // (min/max groups always arrive with rows>0: the feed is inserts-
-    // only when minmax is present.)
-    val moved = measures
-      .flatMap(m => Seq(col(nCol(m)) =!= 0L,
-        coalesce(col(sumCol(m)), lit(0).cast(DecimalType(38, scale))) =!= 0))
-      .foldLeft(col(RowsCol) =!= 0L)(_ or _)
+    // changes a value nets rows=0 and n=0 but a nonzero sum delta. In
+    // recompute mode keep EVERY touched group: an update can change an
+    // extreme while netting zero in every additive component.
+    val moved =
+      if (recomputeTouched) lit(true)
+      else measures
+        .flatMap(m => Seq(col(nCol(m)) =!= 0L,
+          coalesce(col(sumCol(m)), lit(0).cast(DecimalType(38, scale))) =!= 0))
+        .foldLeft(col(RowsCol) =!= 0L)(_ or _)
     // the delta frame is consumed several times (emptiness probe, the
     // semi-join build side, and the outer-join left side) — persist it
     // so one refresh folds the CDF window ONCE, not once per action
@@ -272,15 +287,38 @@ object IncrementalView {
       .where(moved)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val recomputed =
+        if (!recomputeTouched) None
+        else {
+          // snapshot at the window-end version, NOT latest: the stream
+          // maintainer's batch may be behind the source head, and state
+          // past the epoch belongs to later windows
+          val snap = VersionedTable.read(spark, spec.source, epoch)
+          val pruned = keyed(snap, keySpecs)
+            .join(delta.select(KeyCol), Seq(KeyCol), "left_semi")
+          val aggs =
+            minmaxSpecs.flatMap { case (m, mc, _) =>
+              Seq(min(mc).as(minCol(m)), max(mc).as(maxCol(m)))
+            } ++
+              approxSpecs.map { case (m, mc, _) =>
+                hll_sketch_agg(mc).as(hllCol(m))
+              } ++
+              quantileSpecs.map { case (m, mc, _) =>
+                graft.functions.GraftFunctions
+                  .quantileSketch(mc, spec.quantileEps).as(qCol(m))
+              }
+          Some(pruned.groupBy(KeyCol).agg(aggs.head, aggs.tail: _*))
+        }
       applyDelta(spark, view, delta, keys, measures, minmax, approx,
-        quantile, scale, epoch)
+        quantile, scale, epoch, recomputed)
     } finally { delta.unpersist(false); () }
   }
 
   private def applyDelta(spark: SparkSession, view: String,
       delta: DataFrame, keys: Seq[String], measures: Seq[String],
       minmax: Seq[String], approx: Seq[String], quantile: Seq[String],
-      scale: Int, epoch: Long): Unit = {
+      scale: Int, epoch: Long,
+      recomputed: Option[DataFrame] = None): Unit = {
     if (delta.isEmpty) return
 
     // current state of ONLY the touched groups (semi join prunes the
@@ -302,26 +340,39 @@ object IncrementalView {
               col(s"d.${nCol(m)}")).as(nCol(m)))
         } ++
         minmax.flatMap { m =>
-          // least/greatest skip nulls (all-null => null) — exactly the
-          // merge of two partial extremes
-          Seq(least(col(s"c.${minCol(m)}"), col(s"d.${minCol(m)}"))
-              .as(minCol(m)),
-            greatest(col(s"c.${maxCol(m)}"), col(s"d.${maxCol(m)}"))
-              .as(maxCol(m)))
+          if (recomputed.isDefined)
+            // snapshot recompute is authoritative for touched groups
+            Seq(col(s"r.${minCol(m)}").as(minCol(m)),
+              col(s"r.${maxCol(m)}").as(maxCol(m)))
+          else
+            // least/greatest skip nulls (all-null => null) — exactly the
+            // merge of two partial extremes
+            Seq(least(col(s"c.${minCol(m)}"), col(s"d.${minCol(m)}"))
+                .as(minCol(m)),
+              greatest(col(s"c.${maxCol(m)}"), col(s"d.${maxCol(m)}"))
+                .as(maxCol(m)))
         } ++
         approx.map { m =>
-          val c = col(s"c.${hllCol(m)}")
-          val d = col(s"d.${hllCol(m)}")
-          when(c.isNull, d).when(d.isNull, c)
-            .otherwise(hll_union(c, d)).as(hllCol(m))
+          if (recomputed.isDefined) col(s"r.${hllCol(m)}").as(hllCol(m))
+          else {
+            val c = col(s"c.${hllCol(m)}")
+            val d = col(s"d.${hllCol(m)}")
+            when(c.isNull, d).when(d.isNull, c)
+              .otherwise(hll_union(c, d)).as(hllCol(m))
+          }
         } ++
         quantile.map { m =>
-          // QuantileUnion is null-safe on either side
-          graft.functions.GraftFunctions.quantileUnion(
-            col(s"c.${qCol(m)}"), col(s"d.${qCol(m)}")).as(qCol(m))
+          if (recomputed.isDefined) col(s"r.${qCol(m)}").as(qCol(m))
+          else
+            // QuantileUnion is null-safe on either side
+            graft.functions.GraftFunctions.quantileUnion(
+              col(s"c.${qCol(m)}"), col(s"d.${qCol(m)}")).as(qCol(m))
         }
-    val merged = delta.alias("d")
+    val joinedBase = delta.alias("d")
       .join(curState.alias("c"), Seq(KeyCol), "left_outer")
+    val merged = recomputed
+      .map(r => joinedBase.join(r.alias("r"), Seq(KeyCol), "left_outer"))
+      .getOrElse(joinedBase)
       .select(col(KeyCol) +: mergedCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -225,8 +225,8 @@ class IncrementalViewSpec extends SparkTestBase {
     assert(e2.getMessage.contains("shadows"))
   }
 
-  test("min/max measures fold forward under appends and refuse " +
-      "row-level windows loudly") {
+  test("min/max measures fold forward under appends and recompute " +
+      "touched groups under deletes") {
     val root = tmp()
     val src = mkSource(root)
     val mv = root + "/mv"
@@ -245,15 +245,16 @@ class IncrementalViewSpec extends SparkTestBase {
     assert(got === Seq(
       ("a", Some(1.5), Some(9.0)),
       ("b", Some(-2.0), Some(-2.0))))
-    // a delete in the window is refused with guidance, state unchanged
+    // a delete in the window switches the extremes to a touched-group
+    // snapshot recompute: id 4 WAS group a's max, which no per-group
+    // delta could repair. Group b is untouched and stays incremental.
     VersionedTable.delete(spark, src, col("id") === 4L)
-    val e = intercept[UnsupportedOperationException] {
-      IncrementalView.refresh(spark, mv)
-    }
-    assert(e.getMessage.contains("append-only"))
+    IncrementalView.refresh(spark, mv)
     assert(IncrementalView.read(spark, mv).orderBy("g")
       .select("g", "min_v", "max_v")
-      .as[(String, Option[Double], Option[Double])].collect().toSeq === got)
+      .as[(String, Option[Double], Option[Double])].collect().toSeq === Seq(
+      ("a", Some(1.5), Some(3.0)),
+      ("b", Some(-2.0), Some(-2.0))))
   }
 
   test("property: random append/upsert/delete/update/compact sequences " +
@@ -297,6 +298,62 @@ class IncrementalViewSpec extends SparkTestBase {
     }
   }
 
+  test("property: min/max + quantile views equal the direct recompute " +
+      "under random append/upsert/delete sequences (touched-group " +
+      "recompute path)") {
+    val rnd = new scala.util.Random(41)
+    val root = tmp()
+    val src = mkSource(root)
+    val mv = root + "/mv"
+    val groups = Array("a", "b", "c")
+    var nextId = 0L
+    def batch(n: Int): org.apache.spark.sql.DataFrame =
+      (1 to n).map { _ =>
+        nextId += 1
+        (nextId, groups(rnd.nextInt(groups.length)),
+          if (rnd.nextInt(8) == 0) Option.empty[Double]
+          else Option((rnd.nextInt(2000) - 1000) / 4.0))
+      }.toDF("id", "g", "v")
+    VersionedTable.append(spark, batch(8), src)
+    IncrementalView.create(spark, src, mv, Seq("g"), Seq("v"),
+      minmax = Seq("v"), quantile = Seq("v"), quantileEps = 1e-7)
+    def directState(): Seq[(String, Option[Double], Option[Double],
+        Option[Double])] =
+      VersionedTable.read(spark, src).groupBy("g")
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+          graft.functions.GraftFunctions.quantileEstimate(
+            graft.functions.GraftFunctions.quantileSketch(col("v"), 1e-7),
+            lit(0.5)).as("p50"))
+        .orderBy("g")
+        .as[(String, Option[Double], Option[Double], Option[Double])]
+        .collect().toSeq
+    for (step <- 1 to 10) {
+      rnd.nextInt(4) match {
+        case 0 | 1 =>
+          VersionedTable.append(spark, batch(1 + rnd.nextInt(4)), src)
+        case 2 => // upsert: moves rows between groups / changes extremes
+          val ids = (1 to 1 + rnd.nextInt(3))
+            .map(_ => 1L + rnd.nextInt(nextId.toInt)).distinct
+          VersionedTable.upsert(spark,
+            ids.map(i => (i, groups(rnd.nextInt(groups.length)),
+              Option(rnd.nextInt(100) / 8.0))).toDF("id", "g", "v"),
+            src, "id")
+        case 3 => // delete a random id slice (may remove an extreme)
+          val lo = 1L + rnd.nextInt(nextId.toInt)
+          VersionedTable.delete(spark, src,
+            col("id").between(lo, lo + rnd.nextInt(4)))
+      }
+      if (rnd.nextInt(2) == 0 || step == 10) {
+        IncrementalView.refresh(spark, mv)
+        val got = IncrementalView.read(spark, mv).orderBy("g")
+          .select("g", "min_v", "max_v", "p50_v")
+          .as[(String, Option[Double], Option[Double], Option[Double])]
+          .collect().toSeq
+        assert(got === directState(), s"diverged at step $step")
+      }
+    }
+  }
+
   test("approx-distinct measures: folded HLL state equals the sketch " +
       "computed directly (order-independent insertion)") {
     val root = tmp()
@@ -330,18 +387,27 @@ class IncrementalViewSpec extends SparkTestBase {
       .groupBy("g").agg(countDistinct(col("u")).as("d"))
       .orderBy("g").as[(String, Long)].collect().toSeq
     assert(got === exact)
-    // deletes are refused for HLL views too
+    // a delete removing EVERY b-row with u = 1 (ids 1,15,29,53,79)
+    // must un-count that value — impossible by sketch folding, proven
+    // here via the touched-group snapshot recompute
     VersionedTable.alterProperties(spark, src,
       Map(VersionedTable.CdcProperty -> "true"))
-    VersionedTable.delete(spark, src, col("id") === 1L)
-    val e = intercept[UnsupportedOperationException] {
-      IncrementalView.refresh(spark, mv)
-    }
-    assert(e.getMessage.contains("append-only"))
+    VersionedTable.delete(spark, src,
+      col("id").isin(1L, 15L, 29L, 53L, 79L))
+    IncrementalView.refresh(spark, mv)
+    val got2 = IncrementalView.read(spark, mv)
+      .select("g", "approx_u").orderBy("g")
+      .as[(String, Long)].collect().toSeq
+    val exact2 = VersionedTable.read(spark, src)
+      .groupBy("g").agg(countDistinct(col("u")).as("d"))
+      .orderBy("g").as[(String, Long)].collect().toSeq
+    assert(got2 === exact2)
+    assert(exact2.find(_._1 == "b").get._2 ===
+      exact.find(_._1 == "b").get._2 - 1)
   }
 
   test("quantile measures: folded GK state answers like the sketch " +
-      "computed directly, and deletes are refused") {
+      "computed directly, and deletes recompute touched groups") {
     val root = tmp()
     val src = root + "/src"
     val s2 = StructType(Seq(
@@ -371,14 +437,22 @@ class IncrementalViewSpec extends SparkTestBase {
         lit(0.5)).as("p50_u"))
       .orderBy("g").as[(String, Double)].collect().toSeq
     assert(got === want)
-    // deletes are refused for quantile views too
+    // a delete now recomputes the touched group's GK state from the
+    // snapshot — the lossless-eps p50 tracks the surviving rows exactly
     VersionedTable.alterProperties(spark, src,
       Map(VersionedTable.CdcProperty -> "true"))
     VersionedTable.delete(spark, src, col("id") === 1L)
-    val e = intercept[UnsupportedOperationException] {
-      IncrementalView.refresh(spark, mv)
-    }
-    assert(e.getMessage.contains("append-only"))
+    IncrementalView.refresh(spark, mv)
+    val got2 = IncrementalView.read(spark, mv)
+      .select("g", "p50_u").orderBy("g")
+      .as[(String, Double)].collect().toSeq
+    val want2 = VersionedTable.read(spark, src)
+      .groupBy("g")
+      .agg(graft.functions.GraftFunctions.quantileEstimate(
+        graft.functions.GraftFunctions.quantileSketch(col("u"), 1e-7),
+        lit(0.5)).as("p50_u"))
+      .orderBy("g").as[(String, Double)].collect().toSeq
+    assert(got2 === want2)
   }
 
   test("crash-retry with a net-negative window cannot delete a live " +
