@@ -1542,6 +1542,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: REAL PNG decode (javax.imageio — zlib inflate +
+    // filter reconstruction). Payloads are gradient RGB PNGs built per
+    // doc (pixel (x,y) = (fill + x + y) mod 256 on all channels), so
+    // the pixel sum depends on every pixel position — only a true
+    // decode reproduces it; the oracle re-derives it arithmetically.
+    // Second self-describing format beside mm2's BMP; opaque payloads
+    // still route to the stub fallback. ----
+    "mm2b_png_decode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("payload", Multimodal.pngEncode(
+          (lit(1) + col("doc_id") % 13).cast("int"),
+          (lit(1) + col("doc_id") % 7).cast("int"),
+          (col("doc_id") % 251).cast("int")))
+        .withColumn("img", Multimodal.pngDecode(col("payload")))
+      d.select(col("doc_id"), col("img.width").as("width"),
+          col("img.height").as("height"),
+          col("img.pixel_sum").as("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text: corpus top-k terms (explode + count + top-k) ----
     "t7_top_terms" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -3717,6 +3737,21 @@ object SparkEntry {
         |  CAST((1 + doc_id % 13) * (1 + doc_id % 7) * 3 * (doc_id % 251)
         |    AS BIGINT) AS pixel_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // gradient-PNG pixel sum re-derived arithmetically: the decoder
+    // only sees the compressed bytes, so matching the per-position sum
+    // proves a real inflate + per-pixel reconstruction
+    "mm2b_png_decode" ->
+      """WITH g AS (SELECT a.i AS i, b.j AS j
+        |  FROM range(13) a(i), range(7) b(j))
+        |SELECT doc_id,
+        |  CAST(1 + doc_id % 13 AS INT) AS width,
+        |  CAST(1 + doc_id % 7 AS INT) AS height,
+        |  CAST(SUM(3 * ((doc_id % 251 + g.i + g.j) % 256)) AS BIGINT)
+        |    AS pixel_sum
+        |FROM documents, g
+        |WHERE g.i < 1 + doc_id % 13 AND g.j < 1 + doc_id % 7
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // frame sampling is deterministic byte arithmetic; the corpus is
     // ASCII-only (verified: octet_length == length for every doc at all

@@ -90,6 +90,13 @@ object Graph {
         .select(col("__v"),
           (lit(base) + coalesce(col("__in"), lit(0L))).as("__r"))
       i += 1
+      // bound the lineage: `ranks` otherwise re-plans through every
+      // prior iteration's joins, and at iterations = 50 that is a
+      // 50-join-deep plan the analyzer/optimizer chokes on. Integer
+      // ranks are exact, so materializing changes nothing but the plan
+      // (the connectedComponents discipline).
+      if (i % 10 == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("__v").as(idCol), col("__r").as("rank"))
   }

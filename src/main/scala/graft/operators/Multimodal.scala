@@ -16,10 +16,12 @@ import org.apache.spark.sql.types._
   * The Spark-side mechanics are real — schemas, partition-preserving
   * `mapPartitions` (the Scala analog of `mapInPandas`: one iterator per
   * partition, amortized per-batch setup), deterministic output shapes.
-  * The actual media decoding is STUBBED (no image/audio libraries in this
-  * environment): each stub derives a deterministic fake from the bytes so
-  * pipelines are testable end-to-end; swap [[decodeStub]] for a libjpeg/
-  * ffmpeg call in production.
+  * Two image formats decode NATIVELY: 24bpp uncompressed BMP (bespoke
+  * header+stride parser, [[parseBmp]]) and PNG (javax.imageio — in the
+  * JDK, [[parsePng]]). Formats needing external libraries (JPEG decode
+  * fidelity, audio, video) remain STUBBED: [[decodeStub]] derives a
+  * deterministic fake from the bytes so pipelines are testable
+  * end-to-end; swap it for a libjpeg/ffmpeg call in production.
   */
 object Multimodal {
 
@@ -66,9 +68,10 @@ object Multimodal {
     * model is loaded once per partition, not per row) — the exact shape a
     * `mapInPandas` batch UDF has in PySpark.
     *
-    * Payloads that parse as a real self-describing format ([[parseBmp]])
-    * decode NATIVELY — header dimensions, features from the leading pixel
-    * bytes; only opaque formats fall back to [[decodeStub]].
+    * Payloads that parse as a real self-describing format — 24bpp BMP
+    * ([[parseBmp]]) or PNG ([[parsePng]]) — decode NATIVELY: header
+    * dimensions, features from the leading pixel values; only opaque
+    * formats fall back to [[decodeStub]].
     */
   def decodeImages(df: DataFrame, idCol: String, payloadCol: String,
       featureDim: Int = 8): Dataset[DecodedImage] = {
@@ -92,8 +95,21 @@ object Multimodal {
                 (bytes(info.pixelOffset + x).toInt & 0xFF) / 255f
               }
               DecodedImage(id, info.width, info.height, features)
-            case None =>
-              decodeStub(id, bytes, featureDim)
+            case None => parsePng(bytes) match {
+              case Some(p) =>
+                // features from the leading decoded pixels (normalized
+                // red channel, row-major) — the PNG analog of the BMP
+                // leading-pixel features
+                val im = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes))
+                val features = Array.tabulate(featureDim) { i =>
+                  val px = i % (p.width * p.height)
+                  ((im.getRGB(px % p.width, px / p.width) >> 16) & 0xFF) / 255f
+                }
+                DecodedImage(id, p.width, p.height, features)
+              case None =>
+                decodeStub(id, bytes, featureDim)
+            }
           }
         }
       }
@@ -253,6 +269,126 @@ object Multimodal {
   /** Column wrapper: parse a 24bpp BMP payload (null if not one). */
   def bmpDecode(payload: Column): Column =
     SparkShim.toColumn(BmpDecodeExpr(SparkShim.toExpression(payload)))
+
+  // ---------- real PNG codec (javax.imageio — in the JDK) ----------
+
+  /** Decoded facts of a parsed PNG. `pixelSum` is the sum of all RGB
+    * channel values — PNG is lossless, so it is exact arithmetic over
+    * the encoded pixels (reaching it requires a REAL zlib inflate +
+    * filter reconstruction; no header shortcut can produce it).
+    */
+  case class PngInfo(width: Int, height: Int, pixelSum: Long)
+
+  /** Build a grayscale-gradient RGB PNG: pixel (x, y) has all three
+    * channels at `(fill + x + y) mod 256`. The gradient (not a solid
+    * fill) means the pixel sum depends on every pixel position — a
+    * decoder that guessed from the dimensions alone fails the oracle.
+    */
+  private[graft] def encodePng(w: Int, h: Int, fill: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"PNG dims must be positive, got ${w}x$h")
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (fill + x + y) & 0xFF
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a PNG payload (magic-sniffed, then a full javax.imageio
+    * decode). Returns None for anything that is not a parseable PNG so
+    * callers route opaque payloads to the fallback decoder.
+    */
+  private[graft] def parsePng(bytes: Array[Byte]): Option[PngInfo] = {
+    if (bytes == null || bytes.length < 8 ||
+      (bytes(0) & 0xFF) != 0x89 || bytes(1) != 'P'.toByte ||
+      bytes(2) != 'N'.toByte || bytes(3) != 'G'.toByte) return None
+    try {
+      val im = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (im == null) None
+      else {
+        var sum = 0L
+        var y = 0
+        while (y < im.getHeight) {
+          var x = 0
+          while (x < im.getWidth) {
+            val rgb = im.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        Some(PngInfo(im.getWidth, im.getHeight, sum))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Catalyst expression over [[encodePng]]:
+    * `(width int, height int, fill int) → binary`.
+    */
+  case class PngEncodeExpr(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    require(children.length == 3, "png_encode takes (w, h, fill)")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType == IntegerType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int, int, int)")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_png_encode"
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) null
+      else encodePng(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
+        vs(2).asInstanceOf[Int])
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): PngEncodeExpr =
+      copy(children = newChildren)
+  }
+
+  /** Catalyst expression over [[parsePng]]: `binary →
+    * struct<width int, height int, pixel_sum bigint>`, null for
+    * payloads that are not a parseable PNG.
+    */
+  case class PngDecodeExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary")
+    override def dataType: DataType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixel_sum", LongType)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_png_decode"
+    override def nullSafeEval(bytes: Any): Any =
+      parsePng(bytes.asInstanceOf[Array[Byte]]) match {
+        case Some(i) => InternalRow(i.width, i.height, i.pixelSum)
+        case None => null
+      }
+    override protected def withNewChildInternal(
+        newChild: Expression): PngDecodeExpr = copy(child = newChild)
+  }
+
+  /** Column wrapper: build a gradient RGB PNG payload. */
+  def pngEncode(w: Column, h: Column, fill: Column): Column =
+    SparkShim.toColumn(PngEncodeExpr(Seq(w, h, fill)
+      .map(SparkShim.toExpression)))
+
+  /** Column wrapper: decode a PNG payload (null if not one). */
+  def pngDecode(payload: Column): Column =
+    SparkShim.toColumn(PngDecodeExpr(SparkShim.toExpression(payload)))
 
   /** ======== STUB ======== deterministic "resize": clamps the stub
     * dimensions — placeholder for a real resample kernel.

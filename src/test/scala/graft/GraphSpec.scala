@@ -50,6 +50,23 @@ class GraphSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("deep runs: 50 iterations on a non-trivial graph complete with " +
+      "bounded lineage and are deterministic") {
+    // 200 vertices, ring + chords — enough structure that ranks keep
+    // moving for many rounds. Without the periodic localCheckpoint the
+    // plan is a 50-join-deep lineage; this must finish promptly.
+    val n = 200L
+    val vs = (0L until n).toSeq
+    val es = vs.map(i => (i, (i + 1) % n)) ++
+      vs.filter(_ % 7 == 0).map(i => (i, (i + i / 7 + 3) % n))
+    val a = ranksOf(vs, es, 50)
+    val b = ranksOf(vs, es, 50)
+    assert(a.size === n)
+    assert(a === b)
+    // mass is conserved up to floor loss: total <= |V| * Scale
+    assert(a.values.sum <= n * Graph.Scale)
+  }
+
   test("total mass never grows (dangling mass is dropped, not created)") {
     val vs = (1L to 50L).toDF("id")
     val es = (1L to 49L by 2).map(i => (i, i + 1)).toDF("id", "id2")

@@ -440,6 +440,58 @@ class SimilaritySpec extends SparkTestBase {
     assert(imgs(2L).width !== 0, "opaque payload must fall back to stub")
   }
 
+  test("PNG codec: gradient encode/decode roundtrip, non-PNG rejection, " +
+      "and native routing in decodeImages") {
+    def gradSum(w: Int, h: Int, fill: Int): Long =
+      (for (x <- 0 until w; y <- 0 until h)
+        yield 3L * ((fill + x + y) % 256)).sum
+    for (w <- Seq(1, 3, 8); h <- Seq(1, 5)) {
+      val fill = (w * 41 + h) % 251
+      val info = Multimodal.parsePng(Multimodal.encodePng(w, h, fill))
+        .getOrElse(fail(s"valid PNG ${w}x$h did not parse"))
+      assert(info.width === w && info.height === h)
+      // the gradient makes the sum position-dependent: only a real
+      // inflate + per-pixel reconstruction reproduces it
+      assert(info.pixelSum === gradSum(w, h, fill))
+    }
+    assert(Multimodal.parsePng(null).isEmpty)
+    assert(Multimodal.parsePng(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parsePng(
+      "not a png, correct length though".getBytes("UTF-8")).isEmpty)
+    val truncated = Multimodal.encodePng(8, 8, 7).take(40)
+    assert(Multimodal.parsePng(truncated).isEmpty,
+      "truncated PNG must be rejected, not crash the decode")
+    // a BMP payload is not a PNG and vice versa — the two native
+    // parsers cannot shadow each other
+    assert(Multimodal.parsePng(
+      Multimodal.encodeBmp(4, 4, 9, topDown = false)).isEmpty)
+    assert(Multimodal.parseBmp(Multimodal.encodePng(4, 4, 9)).isEmpty)
+    // column expressions: decode(encode(...)) over a DataFrame
+    val decoded = spark.range(1, 50).select(col("id"),
+        Multimodal.pngDecode(Multimodal.pngEncode(
+          (lit(1) + col("id") % 13).cast("int"),
+          (lit(1) + col("id") % 7).cast("int"),
+          (col("id") % 251).cast("int"))).as("img"))
+      .select(col("id"), col("img.width"), col("img.height"),
+        col("img.pixel_sum")).as[(Long, Int, Int, Long)].collect()
+    decoded.foreach { case (id, w, h, sum) =>
+      assert(w === 1 + (id % 13).toInt && h === 1 + (id % 7).toInt)
+      assert(sum === gradSum(w, h, (id % 251).toInt))
+    }
+    // decodeImages routes PNGs natively (dims from the real decode,
+    // features from the decoded pixels), opaque payloads to the stub
+    val mixed = Seq(
+      (1L, Multimodal.encodePng(5, 4, 10)),
+      (2L, "opaque jpeg-ish bytes".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val imgs = Multimodal.decodeImages(mixed, "doc_id", "payload", 4)
+      .collect().map(i => i.id -> i).toMap
+    assert(imgs(1L).width === 5 && imgs(1L).height === 4)
+    // pixel (0,0) = (10+0+0) = 10 -> red channel 10/255
+    assert(math.abs(imgs(1L).features(0) - 10f / 255f) < 1e-6f)
+    assert(imgs(2L).width !== 0, "opaque payload must fall back to stub")
+  }
+
   test("frame sampling emits n deterministic frames per doc") {
     val bin = Multimodal.attachBinary(
       Seq((1L, "some video payload bytes")).toDF("doc_id", "text"), "text", "video")
