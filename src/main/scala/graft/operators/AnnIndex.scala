@@ -179,12 +179,22 @@ object AnnIndex {
     * rows enter a trained FAISS IVF index — and append to the corpus
     * table. Returns the new corpus-table version. Callers re-[[load]]
     * (or re-read the handle's corpus) to query the fresh rows.
+    *
+    * `txn = Some((writerId, epoch))` makes the append idempotent per
+    * (writer, epoch) — a crashed-and-replayed streaming batch cannot
+    * double-index its rows (the [[graft.streaming.AnnFeed]] contract).
     */
   def appendRows(spark: SparkSession, dir: String, rows: DataFrame,
-      idCol: String, vecCol: String): Long = {
+      idCol: String, vecCol: String,
+      txn: Option[(String, Long)] = None): Long = {
     val h = load(spark, dir, idCol, vecCol)
-    VersionedTable.append(spark,
-      assignFrame(rows, vecCol, h.centroids, h.codebooks), corpusTable(dir))
+    val assigned = assignFrame(rows, vecCol, h.centroids, h.codebooks)
+    txn match {
+      case Some((writerId, epoch)) => VersionedTable.appendIdempotent(
+        spark, assigned, corpusTable(dir), writerId, epoch)
+      case None =>
+        VersionedTable.append(spark, assigned, corpusTable(dir))
+    }
   }
 
   /** True when the index was built from `sourceTable` (a versioned lake
