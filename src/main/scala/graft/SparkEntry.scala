@@ -2072,6 +2072,35 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- lake: incremental MV with HLL measures in the PROVABLY-EXACT
+    // regime — mv4's estimate path hash-oracled: the distinct domain is
+    // the fixed 25 nation keys (the a9b coupon-exact argument), so the
+    // folded sketch estimate == COUNT(DISTINCT) through create, an
+    // append refresh, AND a delete-bearing refresh (whose HLL state
+    // recomputes from the snapshot for the touched groups — deletes
+    // un-count a value no sketch fold could). ----
+    "mv4b_approx_exact" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"), col("c_nationkey"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv4b").toString
+      val src = root + "/src"
+      val mv = root + "/mv"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, src, StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType),
+        StructField("c_nationkey", LongType))))
+      vt.append(s, cust.where(col("c_custkey") % 2 === 0), src)
+      IncrementalView.create(s, src, mv, Seq("c_mktsegment"),
+        Seq("c_nationkey"), approxDistinct = Seq("c_nationkey"))
+      vt.append(s, cust.where(col("c_custkey") % 2 === 1), src)
+      vt.deleteByKeys(s, src,
+        cust.where(col("c_custkey") % 5 === 0).select("c_custkey"))
+      IncrementalView.refresh(s, mv)
+      IncrementalView.read(s, mv).orderBy("c_mktsegment")
+    }),
+
     // ---- lake: incremental MV with QUANTILE sketch measures ----
     // GK state folds through create + refresh at lossless eps, where
     // the merged sketch's p50 equals quantile_disc exactly (a22b's
@@ -3174,6 +3203,22 @@ object SparkEntry {
         |  MIN(value) AS min_value,
         |  MAX(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // HLL view over the fixed 25-key nation domain: coupon-exact, so
+    // the maintained estimate == COUNT(DISTINCT) over the surviving
+    // rows even through the delete-bearing window
+    "mv4b_approx_exact" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(c_nationkey) AS cnt_c_nationkey,
+        |  CAST(SUM(CAST(c_nationkey AS DECIMAL(38,2))) AS DOUBLE)
+        |    AS sum_c_nationkey,
+        |  CAST(SUM(CAST(c_nationkey AS DECIMAL(38,2))) AS DOUBLE) /
+        |    COUNT(c_nationkey) AS avg_c_nationkey,
+        |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)
+        |    AS approx_c_nationkey
+        |FROM customer WHERE c_custkey % 5 <> 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // the delete-bearing maintenance window == a direct recompute over
     // the surviving rows (deletes of event_id % 3 == 0); lossless-eps

@@ -17,8 +17,8 @@ class PlanAuditSpec extends SparkTestBase {
   //    merged sketch)
   private val allowed = Set(
     "a13_cross", "sim1_cosine_topk", "sim4_quantized_topk",
-    "sim5_pq_topk", "sim5b_pq_exact", "sim7_pq_adc", "t10_tfidf",
-    "t21_chi2", "a27_cm_rollup")
+    "sim5_pq_topk", "sim5b_pq_exact", "sim7_pq_adc", "sim7b_adc_exact",
+    "t10_tfidf", "t21_chi2", "a27_cm_rollup")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
