@@ -307,10 +307,28 @@ object Multimodal {
     * decode). Returns None for anything that is not a parseable PNG so
     * callers route opaque payloads to the fallback decoder.
     */
+  /** Largest accepted decoded size (pixels). ImageIO allocates the full
+    * frame from the UNTRUSTED IHDR dimensions before any pixel data is
+    * validated — an adversarial 60000×60000 header would OOM the
+    * executor (fatal, not catchable) off a few hundred payload bytes.
+    * 2^24 pixels ≈ a 4096×4096 frame ≈ 64 MB of ARGB — plenty for a
+    * feature-extract pipeline; larger frames route to the stub.
+    */
+  private val MaxPngPixels = 1L << 24
+
   private[graft] def parsePng(bytes: Array[Byte]): Option[PngInfo] = {
-    if (bytes == null || bytes.length < 8 ||
+    if (bytes == null || bytes.length < 33 ||
       (bytes(0) & 0xFF) != 0x89 || bytes(1) != 'P'.toByte ||
       bytes(2) != 'N'.toByte || bytes(3) != 'G'.toByte) return None
+    // IHDR is mandatory-first (offset 16: width, 20: height, big-endian)
+    // — bound the decode allocation BEFORE handing bytes to ImageIO
+    if (bytes(12) != 'I'.toByte || bytes(13) != 'H'.toByte ||
+      bytes(14) != 'D'.toByte || bytes(15) != 'R'.toByte) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    val w = bb.getInt(16)
+    val h = bb.getInt(20)
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPngPixels) return None
     try {
       val im = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.sources.VersionedTable
+import graft.streaming.NearDupFeed
+
+/** Streaming near-dup gate: within-batch and cross-batch duplicates
+  * flagged against the persisted LSH index, uniques accepted, restart
+  * processes only new files, and a replayed epoch changes nothing.
+  */
+class NearDupFeedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val textA =
+    "the quick brown fox jumps over the lazy dog again and again today"
+  private val textB =
+    "completely different content about spark distributed joins and shuffles"
+  private val textC =
+    "a third unrelated corpus line with many novel tokens in this row"
+
+  test("within-batch and cross-restart near-dups are flagged; uniques " +
+      "are accepted into the index; replayed epochs are no-ops") {
+    val root = Files.createTempDirectory("neardup")
+    val dir = root.resolve("idx").toString
+    val srcDir = root.resolve("src")
+    Files.createDirectory(srcDir)
+    val ckpt = root.resolve("ckpt").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    def stream = spark.readStream.option("header", "true")
+      .schema(schema).csv(srcDir.toString)
+
+    def decisions(): Seq[(Long, Option[Long])] =
+      NearDupFeed.readDecisions(spark, dir)
+        .select("doc_id", "dup_of").orderBy("doc_id")
+        .as[(Long, Option[Long])].collect().toSeq
+
+    // batch 1: doc 3 duplicates doc 1 WITHIN the batch
+    Files.writeString(srcDir.resolve("b1.csv"),
+      s"id,text\n1,$textA\n2,$textB\n3,$textA\n")
+    val q1 = NearDupFeed.startGate(spark, stream, dir, "id", "text",
+      checkpoint = ckpt,
+      trigger = Trigger.ProcessingTime("500 milliseconds"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(decisions() === Seq((1L, None), (2L, None), (3L, Some(1L))))
+    val sim3 = NearDupFeed.readDecisions(spark, dir)
+      .where(col("doc_id") === 3L).select("sim").as[Double].head()
+    assert(sim3 === 1.0, "identical text must verify at Jaccard 1.0")
+
+    // batch 2 after a RESTART: doc 4 duplicates doc 2 ACROSS batches
+    // (via the persisted index), doc 5 is new
+    Files.writeString(srcDir.resolve("b2.csv"),
+      s"id,text\n4,$textB\n5,$textC\n")
+    val q2 = NearDupFeed.startGate(spark, stream, dir, "id", "text",
+      checkpoint = ckpt,
+      trigger = Trigger.ProcessingTime("500 milliseconds"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(decisions() === Seq((1L, None), (2L, None), (3L, Some(1L)),
+      (4L, Some(2L)), (5L, None)))
+
+    // only accepted docs live in the index — duplicates never index
+    val indexed = VersionedTable.read(spark, NearDupFeed.shinglesTable(dir))
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed === Set(1L, 2L, 5L))
+
+    // crash-retry: re-applying batch 2 under its committed epoch (1)
+    // recomputes the same decisions and every append is skipped
+    NearDupFeed.applyBatch(spark,
+      Seq((4L, textB), (5L, textC)).toDF("id", "text"), dir,
+      "id", "text", n = 3, numHashes = 128, bands = 16, rows = 8,
+      threshold = 0.7, epoch = 1L)
+    assert(decisions().size === 5)
+    assert(VersionedTable.read(spark, NearDupFeed.bucketsTable(dir))
+      .where(col("doc_id") === 5L).count() === 16L,
+      "doc 5 must have exactly one bucket row per band — no replay dup")
+  }
+}

@@ -461,6 +461,15 @@ class SimilaritySpec extends SparkTestBase {
     val truncated = Multimodal.encodePng(8, 8, 7).take(40)
     assert(Multimodal.parsePng(truncated).isEmpty,
       "truncated PNG must be rejected, not crash the decode")
+    // an adversarial IHDR declaring a huge frame must be rejected
+    // BEFORE ImageIO allocates it (executor-OOM guard, not decode)
+    val evil = Multimodal.encodePng(4, 4, 9)
+    val ebb = java.nio.ByteBuffer.wrap(evil)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    ebb.putInt(16, 60000)
+    ebb.putInt(20, 60000)
+    assert(Multimodal.parsePng(evil).isEmpty,
+      "oversized IHDR dimensions must be rejected pre-allocation")
     // a BMP payload is not a PNG and vice versa — the two native
     // parsers cannot shadow each other
     assert(Multimodal.parsePng(
