@@ -653,6 +653,48 @@ object SparkEntry {
         .orderBy("doc_id", "doc_id_2")
     }),
 
+    // ---- dedup: STREAMING near-dup gate in its provably-exact regime.
+    // threshold = 1.0 makes "near-dup" ⟺ identical distinct 3-shingle
+    // SETS (Jaccard of equal sets is exactly 1.0, and identical
+    // signatures collide in every LSH band, so proposal is guaranteed)
+    // — SQL-re-derivable from the 3-gram strings alone. The corpus is
+    // documents + an exact duplicate of each (doc_id + 1e6), streamed
+    // as TWO ordered micro-batches (originals first) whose boundary
+    // respects id order, so the online decision "smallest matching doc
+    // among [accepted earlier-batch ∪ earlier-in-batch]" reduces to
+    // min-earlier-id — the duplicates batch is deduped against the
+    // PERSISTED index built by batch one, hash-provably. ----
+    "nd1_stream_gate" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val root = JFiles.createTempDirectory("graft_nd1").toString
+      val src = root + "/src"
+      JFiles.createDirectories(JPaths.get(src))
+      def shipOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = root + "/" + name + "_tmp"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        JFiles.move(part.toPath, JPaths.get(src, name + ".parquet"))
+        JPaths.get(src, name + ".parquet").toFile.setLastModified(mtime)
+        ()
+      }
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(size(TextAnalysis.tokens(col("text"))) >= 3)
+      val dups = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      shipOne(d, "b1", 1000000L)
+      shipOne(dups, "b2", 2000000L)
+      val stream = s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = graft.streaming.NearDupFeed.startGate(s, stream,
+        root + "/idx", "doc_id", "text", threshold = 1.0,
+        checkpoint = root + "/ckpt")
+      q.awaitTermination(300000)
+      graft.streaming.NearDupFeed.readDecisions(s, root + "/idx")
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup: MinHash + LSH candidate pairs, Jaccard-verified ----
     "d3_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
@@ -2782,6 +2824,30 @@ object SparkEntry {
 
     // Sorted-neighborhood re-derived in DuckDB: the same normalized-
     // prefix total order via row_number, successor pairing as a rank
+    // streaming gate, exact regime: threshold 1.0 ⟺ identical distinct
+    // 3-shingle sets; ordered batches make the decision min-earlier-id
+    // (window min over the shingle-set partition)
+    "nd1_stream_gate" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+        |alld AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base),
+        |keyed AS (SELECT doc_id,
+        |    array_to_string(list_sort(list_distinct(list_transform(
+        |      range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))),
+        |      chr(1)) AS key
+        |  FROM (SELECT doc_id,
+        |      string_split_regex(trim(text), '\s+') AS toks FROM alld)),
+        |d AS (SELECT doc_id,
+        |    MIN(doc_id) OVER (PARTITION BY key ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dup_of
+        |  FROM keyed)
+        |SELECT doc_id, dup_of,
+        |  CASE WHEN dup_of IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+        |       ELSE CAST(NULL AS DOUBLE) END AS sim
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // range join, the same string-shingle Jaccard as d2 (hash-set vs
     // string-set Jaccard agree — distinct-preserving hashing).
     "d8_snm" ->
