@@ -96,8 +96,19 @@ object NearDupFeed {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
+    val bucketsExisted =
+      try { VersionedTable.latest(spark, bucketsTable(dir)); true }
+      catch { case _: Exception => false }
     VersionedTable.create(spark, bucketsTable(dir), bucketsSchema,
       ifNotExists = true)
+    // cluster the bucket rows by band key on write: each batch's index
+    // probe is a (band, bkey) point-set lookup, and range-clustered
+    // files let stats skipping prune the index scan to candidate files
+    // instead of reading the whole table (the lk1 discipline — the
+    // 100 TB index read path)
+    if (!bucketsExisted)
+      VersionedTable.alterProperties(spark, bucketsTable(dir),
+        Map(VersionedTable.ClusterByProperty -> "bkey"))
     VersionedTable.create(spark, shinglesTable(dir), shinglesSchema,
       ifNotExists = true)
     VersionedTable.create(spark, decisionsTable(dir), decisionsSchema,
