@@ -1784,6 +1784,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- decontamination: STREAMING ingest-time scoring ----
+    // The online form of dc2+dc1: the eval split (doc_id < 50) is
+    // shingle-indexed once into a lake table; the training split
+    // streams through the gate and every doc gets (overlap, grams,
+    // clean) appended exactly-once. Same math as the batch report —
+    // fully hash-oracled against the dc2 SQL restricted to the train
+    // split plus the dc1 threshold predicate.
+    "dc4_stream_score" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val root = JFiles.createTempDirectory("graft_dc4").toString
+      val src = root + "/src"
+      JFiles.createDirectories(JPaths.get(src))
+      val docs = t(s, dir, "documents")
+      graft.streaming.DecontaminateFeed.indexBench(s,
+        docs.where(col("doc_id") < 50), "text", root + "/idx", n = 3)
+      val train = docs.where(col("doc_id") >= 50)
+        .select(col("doc_id"), col("text"))
+      val tmp = root + "/b1_tmp"
+      train.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      JFiles.move(part.toPath, JPaths.get(src, "b1.parquet"))
+      val stream = s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .parquet(src)
+      val q = graft.streaming.DecontaminateFeed.startScore(s, stream,
+        root + "/idx", "doc_id", "text", maxOverlap = 0.5,
+        checkpoint = root + "/ckpt")
+      q.awaitTermination(300000)
+      graft.streaming.DecontaminateFeed.readDecisions(s, root + "/idx")
+        .orderBy("doc_id")
+    }),
+
     // ---- data quality: one-pass expectation check ----
     "dq1_checks" -> ((s, dir) =>
       Quality.check(t(s, dir, "orders"), Seq(
@@ -4287,6 +4320,27 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS grams
         |FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
         |GROUP BY s.doc_id ORDER BY overlap DESC, doc_id""".stripMargin,
+
+    // dc2's report restricted to the train split + the dc1 threshold
+    // verdict — what the streaming gate must reproduce through its
+    // persisted bench index
+    "dc4_stream_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(greatest(len(tk)-2,1)),
+        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS shingle
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50)
+        |SELECT s.doc_id,
+        |  CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS overlap,
+        |  CAST(COUNT(*) AS BIGINT) AS grams,
+        |  CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) < 0.5 AS clean
+        |FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+        |WHERE s.doc_id >= 50
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "dq1_checks" ->
       """SELECT COUNT(*) AS n_rows,
