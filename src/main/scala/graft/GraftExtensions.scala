@@ -48,6 +48,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_asof",
       es => graft.plans.GraftAsOfMarker(es(0), es(1))))
     ext.injectFunction(fn("graft_cosine", es => CosineSim(es(0), es(1))))
+    ext.injectFunction(fn("graft_bmp_encode",
+      es => graft.operators.Multimodal.BmpEncodeExpr(
+        QSketchCodec.arity(es, 4, "graft_bmp_encode"))))
+    ext.injectFunction(fn("graft_bmp_decode",
+      es => graft.operators.Multimodal.BmpDecodeExpr(
+        QSketchCodec.arity(es, 1, "graft_bmp_decode").head)))
+    ext.injectFunction(fn("graft_png_encode",
+      es => graft.operators.Multimodal.PngEncodeExpr(
+        QSketchCodec.arity(es, 3, "graft_png_encode"))))
+    ext.injectFunction(fn("graft_png_decode",
+      es => graft.operators.Multimodal.PngDecodeExpr(
+        QSketchCodec.arity(es, 1, "graft_png_decode").head)))
     ext.injectFunction(fn("graft_jaccard", es => JaccardLong(es(0), es(1))))
     ext.injectFunction(fn("graft_overlap", es => OverlapLong(es(0), es(1))))
     ext.injectFunction(fn("graft_simhash64", es => SimHash64(es.head)))

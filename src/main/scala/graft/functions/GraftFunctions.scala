@@ -1348,6 +1348,19 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("graft_quantize_roundtrip",
       es => QuantizeRoundtrip(es.head), "scala_udf")
+    // image codecs (SQL surface of Multimodal.bmp*/png*)
+    reg.createOrReplaceTempFunction("graft_bmp_encode",
+      es => graft.operators.Multimodal.BmpEncodeExpr(
+        QSketchCodec.arity(es, 4, "graft_bmp_encode")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bmp_decode",
+      es => graft.operators.Multimodal.BmpDecodeExpr(
+        QSketchCodec.arity(es, 1, "graft_bmp_decode").head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_png_encode",
+      es => graft.operators.Multimodal.PngEncodeExpr(
+        QSketchCodec.arity(es, 3, "graft_png_encode")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_png_decode",
+      es => graft.operators.Multimodal.PngDecodeExpr(
+        QSketchCodec.arity(es, 1, "graft_png_decode").head), "scala_udf")
     // graft_freq_items(item, capacity) — capacity must be a literal; the
     // analyzer wraps the returned AggregateFunction in AggregateExpression
     reg.createOrReplaceTempFunction("graft_freq_items",

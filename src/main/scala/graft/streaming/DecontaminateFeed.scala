@@ -96,6 +96,9 @@ object DecontaminateFeed {
           .select(col(idCol).cast(LongType).as("doc_id"),
             col(textCol).as("__text"))
           .where(col("doc_id").isNotNull)
+          // one decision per id even from a contract-violating batch
+          // (duplicated ids would otherwise mix shingle multisets)
+          .dropDuplicates("doc_id")
         if (!docs.isEmpty) {
           // explode_outer: a null/short text keeps one null-shingle row
           // (zero overlap, zero grams) — scored, not silently dropped;

@@ -137,6 +137,9 @@ object NearDupFeed {
       .select(col(idCol).cast(LongType).as("doc_id"),
         col(textCol).as("__text"))
       .where(col("doc_id").isNotNull && col("__text").isNotNull)
+      // ids are unique by contract; a violating batch must not fan one
+      // id into duplicated decision/index rows
+      .dropDuplicates("doc_id")
     // shingles + band keys once per doc; the frame is consumed by the
     // self-join, the index probe, and the verification
     val sh = docs.select(col("doc_id"),

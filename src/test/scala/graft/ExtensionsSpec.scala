@@ -26,6 +26,20 @@ class ExtensionsSpec extends SparkTestBase {
       assert(r.getLong(3) === 42L) // single hash: simhash == its bit pattern
       assert(r.getSeq[Long](4).length === 2)
 
+      // image codecs round-trip through pure SQL
+      val img = s2.sql(
+        """SELECT graft_bmp_decode(graft_bmp_encode(3, 2, 10, false)) AS b,
+          |       graft_png_decode(graft_png_encode(3, 2, 10)) AS p
+          |""".stripMargin).head
+      val b = img.getStruct(0)
+      assert(b.getInt(0) === 3 && b.getInt(1) === 2)
+      assert(b.getLong(4) === 3L * 2 * 3 * 10) // solid-fill pixel sum
+      val p = img.getStruct(1)
+      assert(p.getInt(0) === 3 && p.getInt(1) === 2)
+      // gradient sum: 3 * sum over (x,y) of (10+x+y)
+      assert(p.getLong(2) ===
+        3L * (for (x <- 0 until 3; y <- 0 until 2) yield 10 + x + y).sum)
+
       // the injected planner strategy plans AsOfJoinNode declaratively
       // (no experimental.extraStrategies registration in this session)
       assert(!s2.experimental.extraStrategies.contains(graft.plans.AsOfStrategy))
