@@ -16,6 +16,57 @@ import graft.streaming.NearDupFeed
 class NearDupFeedSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("single-batch gate decisions equal the batch minhashPairs " +
+      "min-partner mapping at a lossy threshold") {
+    // synthetic corpus with planted near-dups: every doc i gets a twin
+    // i+1000 with the last 2 of its 12 tokens dropped (high Jaccard);
+    // unrelated docs share no shingles
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu",
+      "xi", "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+    def text(i: Int): String =
+      (0 until 12).map(j => words((i * 7 + j * 3) % words.length) +
+        (i % 5)).mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, text(i)))
+    val twins = (0 until 30).map(i =>
+      (i + 1000L, text(i).split(" ").dropRight(2).mkString(" ")))
+    val docs = (base ++ twins).toDF("doc_id", "text")
+
+    val root = Files.createTempDirectory("neardup_eq")
+    val dir = root.resolve("idx").toString
+    val srcDir = root.resolve("src")
+    Files.createDirectory(srcDir)
+    docs.coalesce(1).write.parquet(root.resolve("tmp").toString)
+    val part = root.resolve("tmp").toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, srcDir.resolve("b1.parquet"))
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(srcDir.toString)
+    val q = NearDupFeed.startGate(spark, stream, dir, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 16, threshold = 0.5,
+      checkpoint = root.resolve("ckpt").toString)
+    q.awaitTermination(120000)
+    val decisions = NearDupFeed.readDecisions(spark, dir)
+      .select("doc_id", "dup_of")
+      .as[(Long, Option[Long])].collect().toMap
+
+    // the batch operator with identical parameters: dup_of(d) must be
+    // the smallest partner below d among verified pairs
+    val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id",
+      "text", n = 3, numHashes = 128, bands = 16, threshold = 0.5)
+      .select("doc_id", "doc_id_2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "the planted twins must produce pairs")
+    val expect = (base ++ twins).map(_._1).map { d =>
+      val partners = pairs.collect {
+        case (a, b) if b == d && a < d => a
+        case (a, b) if a == d && b < d => b
+      }
+      d -> (if (partners.isEmpty) None else Some(partners.min))
+    }.toMap
+    assert(decisions === expect,
+      "online gate must equal the batch operator's min-partner mapping")
+  }
+
   private val textA =
     "the quick brown fox jumps over the lazy dog again and again today"
   private val textB =
