@@ -76,6 +76,22 @@ object NearDupFeed {
   def readDecisions(spark: SparkSession, dir: String): DataFrame =
     VersionedTable.read(spark, decisionsTable(dir))
 
+  /** Compact the index tables: every micro-batch appends one small
+    * file per table, and after thousands of batches the probe's
+    * file-pruning wins drown in open-file overhead. Compaction
+    * re-clusters the bucket rows (the table's `clusterBy` applies on
+    * rewrite), restoring range-pruned probes; it is invisible to the
+    * gate (content-identical snapshot) and safe between batches of a
+    * STOPPED stream — run it from the maintenance cadence, not inside
+    * foreachBatch (the gate's reads must see a stable snapshot).
+    */
+  def compactIndex(spark: SparkSession, dir: String,
+      numFiles: Int = 8): Unit = {
+    VersionedTable.compact(spark, bucketsTable(dir), numFiles)
+    VersionedTable.compact(spark, shinglesTable(dir), numFiles)
+    ()
+  }
+
   /** Start gating `stream` (must carry `idCol` castable to long and
     * `textCol` string). Rows with null id/text carry nothing hashable
     * and are skipped. Parameters mirror [[Dedup.minhashPairs]]; two

@@ -131,5 +131,18 @@ class NearDupFeedSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, NearDupFeed.bucketsTable(dir))
       .where(col("doc_id") === 5L).count() === 16L,
       "doc 5 must have exactly one bucket row per band — no replay dup")
+
+    // compaction between stopped-stream batches is invisible: the next
+    // batch dedups against the compacted index identically
+    NearDupFeed.compactIndex(spark, dir, numFiles = 2)
+    Files.writeString(srcDir.resolve("b3.csv"),
+      s"id,text\n6,$textC\n7,seven brand new words never indexed before\n")
+    val q3 = NearDupFeed.startGate(spark, stream, dir, "id", "text",
+      checkpoint = ckpt,
+      trigger = Trigger.ProcessingTime("500 milliseconds"))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(decisions().takeRight(2) === Seq((6L, Some(5L)), (7L, None)),
+      "post-compaction probes must still find the indexed docs")
   }
 }
