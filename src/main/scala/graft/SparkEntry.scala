@@ -1658,6 +1658,60 @@ object SparkEntry {
       TextAnalysis.chiSquareTerms(t(s, dir, "documents"),
         "doc_id", "text", "lang", minDf = 10L, k = 50)),
 
+    // ---- text: BM25 retrieval JOIN (query table x corpus) ----
+    // The inverted-index shuffle join: every query (first 4 tokens of
+    // every 53rd doc) scores against every matching doc; stop-terms
+    // with df > N/2 prune before the join (skew bound); per-(query,doc)
+    // decimal-exact scores rank through the bounded mergeable
+    // graft_topk. The text analog of sim10's k-NN join — scores are
+    // round-6 canonicalized BEFORE ranking so the oracle re-derives
+    // rank ties identically.
+    "t24_bm25_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.where(col("doc_id") % 53 === 1)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 4), " ")
+            .as("qtext"))
+      // the synthetic corpus has a ~150-term vocabulary where EVERY
+      // term has df ~ 0.8N, so the default 0.5 stop-prune would empty
+      // the query set; 0.9 keeps the prune expression in the plan
+      // (the actually-pruning configuration is spec-pinned)
+      TextAnalysis.bm25Retrieval(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 5, maxDfRatio = 0.9)
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- sampling: DSIR importance weights (Xie et al. 2023) ----
+    // Target-likeness of every doc under hashed uni+bigram bag models
+    // (target = the English slice): lambda = ln-ratio of smoothed
+    // bucket probabilities, weight = decimal-exact sum of count*lambda.
+    // Every lambda input is a ratio of exact integer counts => fully
+    // re-derivable in SQL (round-6 absorbs libm ln ulps).
+    "ds1_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.dsirWeights(docs, "doc_id", "text",
+        docs.where(col("lang") === "en"), "text", buckets = 256)
+        .select(col("doc_id"), r6z(col("weight")).as("weight"),
+          col("n_grams"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- sampling: DSIR Gumbel top-k resampling ----
+    // Sampling-without-replacement proportional to exp(w/tau) via the
+    // Gumbel-max trick with HASH-derived noise (u = (md5_60+0.5)/2^60):
+    // deterministic, partitioning-independent, SQL-re-derivable. The
+    // selection key is round-6 canonicalized before the global
+    // graft_topk (no global sort).
+    "ds2_dsir_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.dsirResample(docs, "doc_id", "text",
+        docs.where(col("lang") === "en"), "text",
+        k = 50, temperature = 2.0, seed = 7L, buckets = 256)
+        .select(col("doc_id"), r6z(col("weight")).as("weight"),
+          col("key"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // ---- sketch: Misra-Gries frequent items (native mergeable
     // TypedImperativeAggregate). The sketch path for t7's question: each
     // task keeps `capacity` counters and the shuffle carries one sketch
@@ -4190,6 +4244,122 @@ object SparkEntry {
         |SELECT term, cat,
         |  nnd * (diff * diff) / (ntd * (nnd - ntd) * ncd * (nnd - ncd)) AS chi2
         |FROM sc2 ORDER BY chi2 DESC, term, cat LIMIT 50""".stripMargin,
+
+    // BM25 retrieval join replayed: same postings, same stop-term
+    // prune (df <= N/2), same round-6-then-rank convention
+    "t24_bm25_retrieval" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM tok WHERE term <> '' GROUP BY doc_id, term),
+        |lens AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) AS s FROM lens),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+        |  FROM tf GROUP BY term),
+        |idf AS (SELECT term,
+        |    ln(1.0 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5)) AS idf
+        |  FROM dfq WHERE df <= 0.9 * (SELECT n FROM st)),
+        |q AS (SELECT doc_id AS qid, array_to_string(list_slice(
+        |      string_split_regex(trim(text), '\s+'), 1, 4), ' ') AS qtx
+        |  FROM documents WHERE doc_id % 53 = 1),
+        |qt AS (SELECT DISTINCT qid, term FROM (
+        |    SELECT qid, unnest(string_split_regex(trim(qtx), '\s+')) AS term
+        |    FROM q) WHERE term <> ''),
+        |sc AS (SELECT qt.qid, tf.doc_id,
+        |    idf.idf * (tf.tf * (1.2 + 1)) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 *
+        |        (lens.dl / ((SELECT s FROM st) / (SELECT n FROM st))))) AS s
+        |  FROM qt JOIN idf ON qt.term = idf.term
+        |  JOIN tf ON tf.term = qt.term
+        |  JOIN lens ON tf.doc_id = lens.doc_id),
+        |agg AS (SELECT qid, doc_id,
+        |    round(CAST(SUM(CAST(s AS DECIMAL(28,18))) AS DOUBLE), 6)
+        |      + 0.0 AS score
+        |  FROM sc GROUP BY qid, doc_id),
+        |rk AS (SELECT qid, doc_id, score,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM agg)
+        |SELECT qid, doc_id, score, CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // DSIR weights replayed: md5-60 hashed uni+bigram buckets (mod
+    // 256), add-1 smoothed ln-ratio, decimal-exact count*lambda sum
+    "ds1_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, lang, list_filter(
+        |    string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(list_concat(t,
+        |    list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1]))) AS g
+        |  FROM tk),
+        |bk AS (SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 256 AS b
+        |  FROM g),
+        |raw AS (SELECT doc_id, b, CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM bk GROUP BY doc_id, b),
+        |rt AS (SELECT b, SUM(c) AS cr FROM raw GROUP BY b),
+        |tt AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS ct
+        |  FROM bk WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT SUM(cr) FROM rt) AS totr,
+        |    (SELECT SUM(ct) FROM tt) AS tott),
+        |lam AS (SELECT rt.b,
+        |    ln((COALESCE(tt.ct, CAST(0 AS DOUBLE)) + CAST(1 AS DOUBLE))
+        |        / ((SELECT tott FROM tot) + CAST(256 AS DOUBLE)))
+        |    - ln((rt.cr + CAST(1 AS DOUBLE))
+        |        / ((SELECT totr FROM tot) + CAST(256 AS DOUBLE))) AS lam
+        |  FROM rt LEFT JOIN tt ON rt.b = tt.b)
+        |SELECT raw.doc_id,
+        |  round(CAST(SUM(CAST(raw.c * lam.lam AS DECIMAL(28,18)))
+        |    AS DOUBLE), 6) + 0.0 AS weight,
+        |  CAST(SUM(raw.c) AS BIGINT) AS n_grams
+        |FROM raw JOIN lam ON raw.b = lam.b
+        |GROUP BY raw.doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR Gumbel top-k replayed: key = w/2 - ln(-ln(u)), u =
+    // (md5_60('7:'||id) + 0.5) / 2^60, round-6 then rank
+    "ds2_dsir_resample" ->
+      """WITH tk AS (SELECT doc_id, lang, list_filter(
+        |    string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(list_concat(t,
+        |    list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1]))) AS g
+        |  FROM tk),
+        |bk AS (SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 256 AS b
+        |  FROM g),
+        |raw AS (SELECT doc_id, b, CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM bk GROUP BY doc_id, b),
+        |rt AS (SELECT b, SUM(c) AS cr FROM raw GROUP BY b),
+        |tt AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS ct
+        |  FROM bk WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT SUM(cr) FROM rt) AS totr,
+        |    (SELECT SUM(ct) FROM tt) AS tott),
+        |lam AS (SELECT rt.b,
+        |    ln((COALESCE(tt.ct, CAST(0 AS DOUBLE)) + CAST(1 AS DOUBLE))
+        |        / ((SELECT tott FROM tot) + CAST(256 AS DOUBLE)))
+        |    - ln((rt.cr + CAST(1 AS DOUBLE))
+        |        / ((SELECT totr FROM tot) + CAST(256 AS DOUBLE))) AS lam
+        |  FROM rt LEFT JOIN tt ON rt.b = tt.b),
+        |w AS (SELECT raw.doc_id,
+        |    CAST(SUM(CAST(raw.c * lam.lam AS DECIMAL(28,18)))
+        |      AS DOUBLE) AS weight
+        |  FROM raw JOIN lam ON raw.b = lam.b GROUP BY raw.doc_id),
+        |keyed AS (SELECT doc_id, weight,
+        |    round(weight / CAST(2 AS DOUBLE) - ln(-ln(
+        |      (CAST(concat('0x', substr(md5(concat('7', ':',
+        |        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+        |        + 0.5) / 1152921504606846976.0)), 6) + 0.0 AS key
+        |  FROM w),
+        |rk AS (SELECT doc_id, weight, key,
+        |    row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+        |  FROM keyed)
+        |SELECT doc_id, round(weight, 6) + 0.0 AS weight, key,
+        |  CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     // exact-configuration Misra-Gries == exact counts, zero error
     "hh1_freq_items" ->

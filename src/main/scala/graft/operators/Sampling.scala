@@ -321,4 +321,135 @@ object Sampling {
           "__before")
     }
   }
+
+  /** Per-document hashed n-gram feature buckets: word unigrams +
+    * bigrams of the non-empty whitespace tokens, each hashed to one of
+    * `buckets` cells by the cross-engine md5-60 hash. The map-side
+    * feature extractor [[dsirWeights]] builds on — exploded to one row
+    * per gram occurrence, columns (`idCol`, `__b`).
+    */
+  private def gramBuckets(df: DataFrame, id: Column, text: Column,
+      buckets: Int): DataFrame = {
+    val tk = filter(TextAnalysis.tokens(text), t => t =!= "")
+    // sequence(1, 0) DESCENDS in Spark — guard the single-token doc
+    val bi = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", slice(tk, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(id.as("__fid"), explode(concat(tk, bi)).as("__g"))
+      .select(col("__fid").as("__fid"),
+        pmod(Dedup.md5Hash60(col("__g")), lit(buckets.toLong)).as("__b"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed n-gram profile is,
+    *
+    *   w(d) = Σ_b c_d[b] · ( ln p̂_T[b] − ln p̂_R[b] )
+    *   p̂_X[b] = (c_X[b] + s) / (tot_X + s·B)
+    *
+    * with B = `buckets` hashed word uni+bigram features and add-`s`
+    * smoothing — the log-likelihood ratio of the doc's features under
+    * the target vs raw bag-of-ngrams models. THE published
+    * data-selection recipe for pretraining corpora (select web docs
+    * that look like Wikipedia/books): the target table only needs to
+    * be a sample; the raw corpus is never compared pairwise.
+    *
+    * Scale shape: tokenize+hash is map-side; per-doc bucket counts are
+    * ONE narrow groupBy (the frame is checkpointed and reused for the
+    * raw totals, so text is scanned once); both models are ≤ B-row
+    * frames (B defaults to 1024, capped at 2^20) — the λ = ln-ratio
+    * table broadcasts; the weight is one more groupBy with exact
+    * decimal summation (partition-order independent). Every λ input is
+    * a ratio of exact integer counts, so the weight re-derives in any
+    * SQL engine to the round-6 convention.
+    *
+    * Returns (`idCol`, weight DOUBLE (unrounded — callers round),
+    * n_grams LONG). Docs with no non-empty token have no features and
+    * drop. Weights are length-dependent (a doc sums over all its gram
+    * occurrences — the paper's formulation); resample with
+    * [[dsirResample]], which divides by `temperature` before the
+    * Gumbel top-k.
+    */
+  def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 1024, smoothing: Double = 1.0): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"dsirWeights: buckets must be in [2, 2^20], got $buckets")
+    require(smoothing > 0.0,
+      s"dsirWeights: smoothing must be positive, got $smoothing")
+    val docBuckets = gramBuckets(raw, col(idCol), col(textCol), buckets)
+      .groupBy(col("__fid"), col("__b"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint(true) // raw text tokenized once; reused 2×
+    val rawTot = docBuckets.groupBy(col("__b"))
+      .agg(sum(col("__c")).as("__cr"))
+    val tgtTot = gramBuckets(target, lit(0L), col(targetTextCol), buckets)
+      .groupBy(col("__b")).agg(count(lit(1)).cast("double").as("__ct"))
+    // integer-valued doubles < 2^53: both totals are exact
+    val totR = Option(rawTot.agg(sum(col("__cr"))).head.get(0))
+      .map(_.asInstanceOf[Double])
+      .getOrElse(throw new IllegalArgumentException(
+        "dsirWeights: raw corpus has no features"))
+    val totT = Option(tgtTot.agg(sum(col("__ct"))).head.get(0))
+      .map(_.asInstanceOf[Double])
+      .getOrElse(throw new IllegalArgumentException(
+        "dsirWeights: target corpus has no features"))
+    val lam = rawTot.join(tgtTot, Seq("__b"), "left")
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0.0)) + lit(smoothing))
+          / lit(totT + smoothing * buckets))
+          - log((col("__cr") + lit(smoothing))
+            / lit(totR + smoothing * buckets))).as("__lam"))
+    docBuckets.join(broadcast(lam), "__b")
+      .groupBy(col("__fid"))
+      .agg(sum((col("__c") * col("__lam"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 18)))
+        .cast("double").as("weight"),
+        sum(col("__c")).cast("long").as("n_grams"))
+      .withColumnRenamed("__fid", idCol)
+  }
+
+  /** DSIR selection: Gumbel top-k resampling over [[dsirWeights]] —
+    * sampling WITHOUT replacement ∝ exp(w/temperature) is exactly
+    * "keep the k largest w/τ + Gumbel(0,1) keys" (Gumbel-max trick),
+    * and the Gumbel noise here is a pure hash of (seed, id), so the
+    * draw is deterministic, partitioning-independent, and
+    * re-derivable in SQL: u = (md5_60(seed:id) + 0.5) / 2^60 ∈ (0,1),
+    * g = −ln(−ln u). `temperature → 0` degenerates to deterministic
+    * top-k by weight; large τ approaches uniform.
+    *
+    * The selection key is rounded to 6 decimals and zero-canonicalized
+    * BEFORE ranking (rank ties then resolve identically in any engine
+    * re-deriving the key, id ascending) and the global top-k runs
+    * through the bounded mergeable `graft_topk` aggregate — no global
+    * sort, ≤ k pairs per partition on the shuffle. `idCol` must be
+    * LongType (the aggregate's key contract). Returns
+    * (`idCol`, weight, key, rank) for the k selected docs.
+    */
+  def dsirResample(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, k: Int,
+      temperature: Double = 1.0, seed: Long = 0L,
+      buckets: Int = 1024, smoothing: Double = 1.0): DataFrame = {
+    require(k >= 1, s"dsirResample: k must be positive, got $k")
+    require(temperature > 0.0,
+      s"dsirResample: temperature must be positive, got $temperature")
+    require(raw.schema.fields.find(_.name == idCol).map(_.dataType)
+      .contains(org.apache.spark.sql.types.LongType),
+      "dsirResample: idCol must be LongType (graft_topk key)")
+    val w = dsirWeights(raw, idCol, textCol, target, targetTextCol,
+      buckets, smoothing)
+    val u = (Dedup.md5Hash60(concat_ws(":", lit(seed),
+      col(idCol).cast("string"))).cast("double") + lit(0.5)) /
+      lit((1L << 60).toDouble)
+    val keyed = w.withColumn("key",
+      round(col("weight") / lit(temperature) - log(-log(u)), 6) + lit(0.0))
+    keyed.agg(graft.functions.GraftFunctions
+      .topKPairs(col(idCol), col("key"), k).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__rk", "__p")))
+      .select(col("__p.id").as(idCol), col("__p.score").as("key"),
+        (col("__rk") + 1).cast("int").as("rank"))
+      .join(keyed.select(col(idCol), col("weight")), idCol)
+      .select(col(idCol), col("weight"), col("key"), col("rank"))
+  }
 }

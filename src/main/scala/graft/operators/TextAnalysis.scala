@@ -413,6 +413,93 @@ object TextAnalysis {
         count(lit(1)).cast(IntegerType).as("n_hits"))
   }
 
+  /** BM25 retrieval JOIN — the text-side analog of the k-NN join
+    * ([[graft.operators.Similarity.knnJoin]]): score EVERY query in a
+    * query table against EVERY matching document via an inverted-index
+    * shuffle join and keep the top `k` per query. This is the shape a
+    * 100 TB corpus needs for batch retrieval (hard-negative mining,
+    * RAG candidate generation, query-set evaluation): [[bm25]] handles
+    * ONE keyword query driver-side; this one handles a query TABLE
+    * with no driver loop and no broadcast of either side.
+    *
+    * Plan shape, in order:
+    *  1. ONE tokenize pass builds the postings frame (doc, term, tf) —
+    *     the inverted index — checkpointed and reused for doc lengths,
+    *     document frequencies, and the retrieval join (no re-scan).
+    *  2. N and avgdl are two driver scalars; per-term df/idf stays a
+    *     DISTRIBUTED frame keyed by term (vocabulary-sized — at corpus
+    *     scale it must not broadcast unconditionally; AQE may choose to).
+    *  3. The retrieval join shuffles postings ⋈ query terms on the term
+    *     key. Skew bound: terms whose df exceeds `maxDfRatio`·N are
+    *     pruned BEFORE the join (classic stop-term pruning — their idf
+    *     is near zero and their postings rows are the skewed ones).
+    *  4. Per-(query, doc) scores sum exactly as decimals
+    *     (partition-order independent), are rounded to 6 decimals and
+    *     zero-canonicalized BEFORE ranking (so rank ties resolve
+    *     identically in any engine re-deriving the score), and the
+    *     per-query top-k runs through the bounded mergeable
+    *     `graft_topk` aggregate — the shuffle carries ≤ k pairs per
+    *     (query, partition), never every candidate.
+    *
+    * Query term semantics: the query's DISTINCT whitespace tokens
+    * (bag-of-words retrieval ignores query-side repetition, Robertson's
+    * qtf≈1 regime). Empty tokens drop on both sides. Returns
+    * (qidCol, idCol, score, rank) for the top `k` docs per query,
+    * rank 1-based in (score DESC, doc ASC) order; queries matching no
+    * indexed term produce no rows. Both id columns must be LongType
+    * (the mergeable aggregate's key contract).
+    */
+  def bm25Retrieval(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfRatio: Double = 0.5): DataFrame = {
+    require(k >= 1, s"bm25Retrieval: k must be positive, got $k")
+    require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
+      s"bm25Retrieval: maxDfRatio must be in (0, 1], got $maxDfRatio")
+    require(Seq(docs.schema, queries.schema).zip(Seq(idCol, qidCol))
+      .forall { case (sc, c) =>
+        sc.fields.find(_.name == c).map(_.dataType).contains(LongType) },
+      "bm25Retrieval: id columns must be LongType (graft_topk key)")
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__term"))
+      .where(col("__term") =!= "")
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).cast(DoubleType).as("__tf"))
+      .localCheckpoint(true) // postings built once; reused 3×
+    // integer counts sum exactly in doubles (< 2^53)
+    val lens = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
+    val stats = lens.agg(count(lit(1)), sum(col("__dl"))).head
+    val n = stats.getLong(0).toDouble
+    require(n > 0, "bm25Retrieval: corpus is empty")
+    val avgdl = stats.getDouble(1) / n
+    val dfreq = tf.groupBy(col("__term"))
+      .agg(count(lit(1)).cast(DoubleType).as("__df"))
+      .where(col("__df") <= lit(maxDfRatio) * lit(n))
+      .withColumn("__idf",
+        log(lit(1.0) + (lit(n) - col("__df") + lit(0.5))
+          / (col("__df") + lit(0.5))))
+    val qterms = queries
+      .select(col(qidCol), explode(tokens(col(qtextCol))).as("__term"))
+      .where(col("__term") =!= "")
+      .distinct()
+    val scored = qterms
+      .join(tf.join(dfreq, "__term"), "__term")
+      .join(lens, idCol)
+      .withColumn("__s", col("__idf") * (col("__tf") * lit(k1 + 1.0))
+        / (col("__tf") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * (col("__dl") / lit(avgdl)))))
+      .groupBy(col(qidCol), col(idCol))
+      .agg((round(sum(col("__s").cast(DecimalType(28, 18)))
+        .cast(DoubleType), 6) + lit(0.0)).as("score"))
+    scored.groupBy(col(qidCol))
+      .agg(graft.functions.GraftFunctions
+        .topKPairs(col(idCol), col("score"), k).as("__top"))
+      .select(col(qidCol), posexplode(col("__top")).as(Seq("__rk", "__p")))
+      .select(col(qidCol), col("__p.id").as(idCol),
+        col("__p.score").as("score"),
+        (col("__rk") + 1).cast(IntegerType).as("rank"))
+  }
+
   /** Corpus-frequency line dedup — C4-style boilerplate removal
     * ("we discard … any line occurring ≥ 3 times in the corpus"):
     * every document's lines are counted corpus-wide (normalized by
