@@ -330,14 +330,22 @@ object Sampling {
     */
   private def gramBuckets(df: DataFrame, id: Column, text: Column,
       buckets: Int): DataFrame = {
-    val tk = filter(TextAnalysis.tokens(text), t => t =!= "")
+    // materialize the filtered token array ONCE per row: higher-order
+    // functions are interpreted and share no subexpressions, so an
+    // inline `tk` would re-run split+filter for EVERY slice() inside
+    // the bigram transform (O(len²) re-tokenization — the Pca
+    // momentSumsDf lesson; CollapseProject keeps the projection
+    // because `__tk` is referenced more than once)
+    val toked = df.select(id.as("__fid"),
+      filter(TextAnalysis.tokens(text), t => t =!= "").as("__tk"))
+    val tk = col("__tk")
     // sequence(1, 0) DESCENDS in Spark — guard the single-token doc
     val bi = when(size(tk) >= 2,
       transform(sequence(lit(1), size(tk) - 1),
         i => concat_ws(" ", slice(tk, i, lit(2)))))
       .otherwise(array().cast("array<string>"))
-    df.select(id.as("__fid"), explode(concat(tk, bi)).as("__g"))
-      .select(col("__fid").as("__fid"),
+    toked.select(col("__fid"), explode(concat(tk, bi)).as("__g"))
+      .select(col("__fid"),
         pmod(Dedup.md5Hash60(col("__g")), lit(buckets.toLong)).as("__b"))
   }
 
