@@ -1681,6 +1681,28 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- text: BM25 retrieval over a PERSISTED inverted index ----
+    // Same parameters and corpus as t24 through Bm25Index: build
+    // persists postings (term-clustered) / lens / df / stats lake
+    // tables, load sums the per-append subtotals, search reads the
+    // index (the corpus is never re-tokenized) through the SAME
+    // scoring tail as the ad-hoc form. Hash-matches t24's oracle
+    // through a disk round-trip.
+    "t24b_bm25_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.where(col("doc_id") % 53 === 1)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 4), " ")
+            .as("qtext"))
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_t24b").toString + "/idx"
+      Bm25Index.build(s, docs, "doc_id", "text", idxDir)
+      val h = Bm25Index.load(s, idxDir, "doc_id")
+      Bm25Index.search(h, queries, "qid", "qtext", k = 5,
+        maxDfRatio = 0.9)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- sampling: DSIR importance weights (Xie et al. 2023) ----
     // Target-likeness of every doc under hashed uni+bigram bag models
     // (target = the English slice): lambda = ln-ratio of smoothed
@@ -2544,6 +2566,48 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared by t24 (ad-hoc retrieval join) and t24b (persisted
+    * inverted index) — the index form must reproduce the ad-hoc result
+    * byte-for-byte through a disk round-trip.
+    */
+  private val bm25RetrievalOracle: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM tok WHERE term <> '' GROUP BY doc_id, term),
+      |lens AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(dl) AS DOUBLE) AS s FROM lens),
+      |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+      |  FROM tf GROUP BY term),
+      |idf AS (SELECT term,
+      |    ln(1.0 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5)) AS idf
+      |  FROM dfq WHERE df <= 0.9 * (SELECT n FROM st)),
+      |q AS (SELECT doc_id AS qid, array_to_string(list_slice(
+      |      string_split_regex(trim(text), '\s+'), 1, 4), ' ') AS qtx
+      |  FROM documents WHERE doc_id % 53 = 1),
+      |qt AS (SELECT DISTINCT qid, term FROM (
+      |    SELECT qid, unnest(string_split_regex(trim(qtx), '\s+')) AS term
+      |    FROM q) WHERE term <> ''),
+      |sc AS (SELECT qt.qid, tf.doc_id,
+      |    idf.idf * (tf.tf * (1.2 + 1)) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 *
+      |        (lens.dl / ((SELECT s FROM st) / (SELECT n FROM st))))) AS s
+      |  FROM qt JOIN idf ON qt.term = idf.term
+      |  JOIN tf ON tf.term = qt.term
+      |  JOIN lens ON tf.doc_id = lens.doc_id),
+      |agg AS (SELECT qid, doc_id,
+      |    round(CAST(SUM(CAST(s AS DECIMAL(28,18))) AS DOUBLE), 6)
+      |      + 0.0 AS score
+      |  FROM sc GROUP BY qid, doc_id),
+      |rk AS (SELECT qid, doc_id, score,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM agg)
+      |SELECT qid, doc_id, score, CAST(rank AS INT) AS rank
+      |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -4246,44 +4310,11 @@ object SparkEntry {
         |FROM sc2 ORDER BY chi2 DESC, term, cat LIMIT 50""".stripMargin,
 
     // BM25 retrieval join replayed: same postings, same stop-term
-    // prune (df <= N/2), same round-6-then-rank convention
-    "t24_bm25_retrieval" ->
-      """WITH tok AS (SELECT doc_id,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
-        |  FROM tok WHERE term <> '' GROUP BY doc_id, term),
-        |lens AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
-        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(dl) AS DOUBLE) AS s FROM lens),
-        |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
-        |  FROM tf GROUP BY term),
-        |idf AS (SELECT term,
-        |    ln(1.0 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5)) AS idf
-        |  FROM dfq WHERE df <= 0.9 * (SELECT n FROM st)),
-        |q AS (SELECT doc_id AS qid, array_to_string(list_slice(
-        |      string_split_regex(trim(text), '\s+'), 1, 4), ' ') AS qtx
-        |  FROM documents WHERE doc_id % 53 = 1),
-        |qt AS (SELECT DISTINCT qid, term FROM (
-        |    SELECT qid, unnest(string_split_regex(trim(qtx), '\s+')) AS term
-        |    FROM q) WHERE term <> ''),
-        |sc AS (SELECT qt.qid, tf.doc_id,
-        |    idf.idf * (tf.tf * (1.2 + 1)) /
-        |      (tf.tf + 1.2 * (0.25 + 0.75 *
-        |        (lens.dl / ((SELECT s FROM st) / (SELECT n FROM st))))) AS s
-        |  FROM qt JOIN idf ON qt.term = idf.term
-        |  JOIN tf ON tf.term = qt.term
-        |  JOIN lens ON tf.doc_id = lens.doc_id),
-        |agg AS (SELECT qid, doc_id,
-        |    round(CAST(SUM(CAST(s AS DECIMAL(28,18))) AS DOUBLE), 6)
-        |      + 0.0 AS score
-        |  FROM sc GROUP BY qid, doc_id),
-        |rk AS (SELECT qid, doc_id, score,
-        |    row_number() OVER (PARTITION BY qid
-        |      ORDER BY score DESC, doc_id) AS rank
-        |  FROM agg)
-        |SELECT qid, doc_id, score, CAST(rank AS INT) AS rank
-        |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // prune, same round-6-then-rank convention. t24b (the persisted
+    // inverted index) must reproduce the SAME result through a disk
+    // round-trip — one oracle string for both.
+    "t24_bm25_retrieval" -> bm25RetrievalOracle,
+    "t24b_bm25_index" -> bm25RetrievalOracle,
 
     // DSIR weights replayed: md5-60 hashed uni+bigram buckets (mod
     // 256), add-1 smoothed ln-ratio, decimal-exact count*lambda sum

@@ -478,6 +478,23 @@ object TextAnalysis {
       .withColumn("__idf",
         log(lit(1.0) + (lit(n) - col("__df") + lit(0.5))
           / (col("__df") + lit(0.5))))
+    bm25Tail(tf, lens, dfreq, queries, idCol, qidCol, qtextCol,
+      k, k1, b, avgdl)
+  }
+
+  /** Shared tail of the BM25 retrieval family ([[bm25Retrieval]] and
+    * `Bm25Index.search`): query-term explode/distinct, term-keyed
+    * shuffle join against the (already df-pruned, idf-carrying)
+    * postings, decimal-exact per-(query,doc) score, round-6
+    * canonicalization BEFORE ranking, bounded mergeable per-query
+    * top-k. One tail so the ad-hoc and index-backed forms cannot
+    * diverge. `tf` = (idCol, __term, __tf); `lens` = (idCol, __dl);
+    * `dfreq` = (__term, __idf) with stop-terms already removed.
+    */
+  private[operators] def bm25Tail(tf: DataFrame, lens: DataFrame,
+      dfreq: DataFrame, queries: DataFrame, idCol: String,
+      qidCol: String, qtextCol: String, k: Int, k1: Double, b: Double,
+      avgdl: Double): DataFrame = {
     val qterms = queries
       .select(col(qidCol), explode(tokens(col(qtextCol))).as("__term"))
       .where(col("__term") =!= "")
