@@ -144,6 +144,138 @@ object SparkEntry {
           sum(rev).cast(DoubleType)).as("economy_share"))
     }),
 
+    // ---- Q12 analog: conditional counting across a fact-fact join
+    // (late shipments by return flag, priority split via CASE inside
+    // exact integer counts). Timestamp arithmetic pushes to the join
+    // filter; group-by stays 3 keys wide.
+    "q12_late_lines" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- Q17 analog: correlated per-part average threshold
+    // (small-quantity orders revenue). The correlated subquery
+    // relationalizes to one partkey-grouped aggregate joined back to
+    // the fact — quantities are integers so the 0.5·avg threshold is
+    // exact in any engine.
+    "q17_small_qty" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val thresh = li.groupBy(col("l_partkey").as("pa_partkey"))
+        .agg((lit(0.5) * (sum(col("l_quantity")) / count(lit(1))))
+          .as("pa_thresh"))
+      val pt = t(s, dir, "part")
+        .where(col("p_brand") === "Brand#13" && col("p_size") < 15)
+        .select("p_partkey")
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(thresh, col("l_partkey") === col("pa_partkey"))
+        .where(col("l_quantity") < col("pa_thresh"))
+        .agg(r6z(stableSum(col("l_extendedprice"), 2) / lit(7.0))
+          .as("avg_yearly"))
+    }),
+
+    // ---- Q18 analog: HAVING semi-join — orders whose line quantity
+    // total crosses a threshold, joined back to customer. The big-CTE
+    // aggregate partial-aggregates map-side; the top-20 output orders
+    // by (totalprice DESC, orderkey) deterministically.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .where(col("total_qty") > 150.0)
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // ---- Q19 analog: disjunctive join predicate (OR-of-ANDs over
+    // brand/size/quantity) — the predicate stays on the join output
+    // but each disjunct's part-side half is pushable; revenue sums
+    // exactly as decimals.
+    "q19_disjunct_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val pt = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      def arm(brand: String, szLo: Int, szHi: Int, qLo: Double,
+          qHi: Double) =
+        col("p_brand") === brand &&
+          col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .where(arm("Brand#1", 1, 10, 5, 20) ||
+          arm("Brand#7", 5, 20, 10, 30) ||
+          arm("Brand#13", 10, 40, 1, 15))
+        .agg(stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          4).as("revenue"))
+    }),
+
+    // ---- Q21 analog: EXISTS + NOT EXISTS self-joins — suppliers who
+    // shipped the LAST line of a multi-supplier finished order
+    // (receiptdate-free adaptation of "kept the order waiting").
+    // Relationalizes to a semi-join plus an anti-join against the
+    // same fact, both keyed on the order.
+    "q21_blocking_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val l1 = li
+      val ordF = t(s, dir, "orders")
+        .where(col("o_orderstatus") === "F").select("o_orderkey")
+      val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+      val l3 = li.select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"),
+        col("l_shipdate").as("l3_shipdate"))
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
+      l1.join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .join(l2, col("l2_orderkey") === col("l_orderkey") &&
+          col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("l3_orderkey") === col("l_orderkey") &&
+          col("l3_suppkey") =!= col("l_suppkey") &&
+          col("l3_shipdate") > col("l_shipdate"), "left_anti")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(20)
+    }),
+
+    // ---- Q22 analog: scalar-average subquery + anti join — customers
+    // with above-average balance and no orders since 2000 ("idle
+    // capital" census by custkey bucket). The average is an exact
+    // decimal sum over a count; the anti join prunes with the pushed
+    // date filter.
+    "q22_idle_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+      val ab = cust.where(col("c_acctbal") > 0.0)
+        .agg(stableAvg(col("c_acctbal"), 2)).head.getDouble(0)
+      val recent = t(s, dir, "orders")
+        .where(col("o_orderdate") >=
+          lit("2000-01-01").cast(TimestampType))
+        .select("o_custkey")
+      cust.where(col("c_acctbal") > lit(ab))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_custkey") % 7).as("bucket"))
+        .agg(count(lit(1)).as("numcust"),
+          stableSum(col("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("bucket")
+    }),
+
     "q5_region_revenue" -> ((s, dir) => {
       val lo = lit("1996-01-01").cast(TimestampType)
       val hi = lit("1997-01-01").cast(TimestampType)
@@ -3084,6 +3216,86 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    // q12 analog: late lines by return flag, priority CASE split
+    "q12_late_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
+        |    ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority NOT IN
+        |    ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q17 analog: correlated per-part 0.5*avg threshold (exact —
+    // integer quantities), revenue / 7 round-6 canonicalized
+    "q17_small_qty" ->
+      """WITH pa AS (SELECT l_partkey AS pk,
+        |    0.5 * (sum(l_quantity) / COUNT(*)) AS thresh
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / 7.0, 6) + 0.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN pa ON pa.pk = l_partkey
+        |WHERE p_brand = 'Brand#13' AND p_size < 15
+        |  AND l_quantity < thresh""".stripMargin,
+
+    // q18 analog: HAVING semi-join, top-20 by (totalprice desc, key)
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 150)
+        |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    // q19 analog: OR-of-ANDs disjunctive join predicate
+    "q19_disjunct_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 5 AND 20)
+        |  OR (p_brand = 'Brand#7' AND p_size BETWEEN 5 AND 20
+        |    AND l_quantity BETWEEN 10 AND 30)
+        |  OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 40
+        |    AND l_quantity BETWEEN 1 AND 15)""".stripMargin,
+
+    // q21 analog: EXISTS (other supplier) + NOT EXISTS (later ship)
+    "q21_blocking_supplier" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    // q22 analog: exact-decimal scalar average + anti join since 2000
+    "q22_idle_customers" ->
+      """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |    AS DOUBLE) / COUNT(*) AS v
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_custkey % 7 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT v FROM ab)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // q4 analog: EXISTS == semi join; same date window
     "q4_priority_exists" ->
