@@ -758,6 +758,18 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- graph: per-vertex triangle counts (clustering structure
+    // of the linkage graph — tight duplicate cliques vs chainy
+    // bridges). Degree-ordered compact-forward counting: oriented
+    // wedge join + edge-existence join, O(sqrt m) out-degrees, pure
+    // integer counts — fully hash-oracled (the oracle's id-ordered
+    // u<v<w triples are the same triangle set).
+    "g4_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(customerLinkagePairs(s, dir)
+        .select(col("c_custkey"), col("c_custkey_2")),
+        "c_custkey", "c_custkey_2")
+        .orderBy("c_custkey")),
+
     // ---- dedup: SemDeDup (embedding-space clustering dedup) ----
     // k-means cells bound the pairwise-cosine term to Σ|cell|²; groups
     // from connected components, min id survives. Cells come from
@@ -3051,6 +3063,35 @@ object SparkEntry {
         |       FROM r2 LEFT JOIN c3 ON c3.v = r2.v)
         |SELECT v AS c_custkey, CAST(r AS BIGINT) AS pr_nano
         |FROM r3 ORDER BY c_custkey""".stripMargin,
+
+    // triangles: the id-ordered u<v<w triple join over the same pair
+    // predicate — the triangle set is orientation-invariant, so the
+    // degree-ordered Spark counting must agree exactly
+    "g4_triangles" ->
+      """WITH lp AS (
+        |  SELECT a.c_custkey AS v1, b.c_custkey AS v2
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_custkey < b.c_custkey
+        |  WHERE CAST(
+        |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 IS NULL THEN 0.0
+        |          WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 4.0
+        |          ELSE -1.0 END)
+        |    + (CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 IS NULL THEN 0.0
+        |            WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 THEN 2.5
+        |            ELSE -0.5 END)
+        |  AS DOUBLE) >= 3.0),
+        |tri AS (SELECT e1.v1 AS u, e1.v2 AS v, e2.v2 AS w
+        |  FROM lp e1 JOIN lp e2 ON e2.v1 = e1.v2
+        |  JOIN lp e3 ON e3.v1 = e1.v1 AND e3.v2 = e2.v2),
+        |pv AS (SELECT u AS vx FROM tri
+        |  UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT w FROM tri)
+        |SELECT vx AS c_custkey, CAST(COUNT(*) AS BIGINT) AS triangles
+        |FROM pv GROUP BY vx ORDER BY c_custkey""".stripMargin,
 
     // entity resolution: the same score predicate feeds a recursive
     // reachability closure; min reachable id labels the entity

@@ -73,6 +73,7 @@ object Bm25Index {
   private def frames(docs: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tf = docs
+      .where(col(idCol).isNotNull) // the doc column is non-nullable
       .select(col(idCol).cast(LongType).as("doc"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .where(col("term") =!= "")

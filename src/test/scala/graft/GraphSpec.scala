@@ -74,4 +74,45 @@ class GraphSpec extends SparkTestBase {
       .agg(sum(col("rank"))).head.getLong(0)
     assert(total <= 50L * Graph.Scale)
   }
+
+  private def triOf(es: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(es.toDF("id", "id2"), "id", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangles: K4 gives every vertex C(3,2)=3; square and star give none") {
+    val k4 = triOf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    assert(k4 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(triOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) === Map.empty)
+    assert(triOf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) === Map.empty)
+  }
+
+  test("triangles: two triangles sharing an edge count per-vertex") {
+    // {1,2,3} and {2,3,4}: vertices 2,3 are in both
+    val r = triOf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(r === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangles: orientation, duplicates, and self-pairs are normalized") {
+    val clean = triOf(Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val noisy = triOf(Seq((2L, 1L), (1L, 2L), (3L, 1L), (2L, 3L),
+      (3L, 2L), (1L, 1L)))
+    assert(clean === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(noisy === clean)
+  }
+
+  test("triangles: hub graph counts match the closed form and " +
+      "repartitioning does not change them") {
+    // wheel graph: hub 0 + ring 1..n — every ring edge forms one
+    // triangle with the hub: hub n triangles, each rim vertex 2
+    val n = 24L
+    val es = (1L to n).map(i => (0L, i)) ++
+      (1L to n).map(i => (i, i % n + 1))
+    val expected = ((1L to n).map(_ -> 2L) :+ (0L -> n)).toMap
+    assert(triOf(es) === expected)
+    val shuffled = Graph.triangleCounts(
+      es.toDF("id", "id2").repartition(13), "id", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled === expected)
+  }
 }
