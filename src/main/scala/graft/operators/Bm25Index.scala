@@ -53,8 +53,18 @@ object Bm25Index {
   val SourceVersionProperty = "graft.bm25.source.version"
 
   /** A loaded index: lazy lake-table reads plus the two driver scalars
-    * (N, avgdl — summed from the per-append stats rows at load, so a
-    * handle is a consistent snapshot of one corpus version).
+    * (N, avgdl — summed from the per-append stats rows at load).
+    *
+    * Visibility contract: the four tables commit independently
+    * (postings → lens → df → stats, stats LAST as the batch marker),
+    * so a load that runs CONCURRENTLY with an in-flight [[appendRows]]
+    * can observe the batch's postings without its totals — transiently
+    * stale idf/avgdl that converges at the batch boundary. Load
+    * between appends (the single-writer [[graft.streaming.Bm25Feed]]
+    * discipline: query handles are reloaded after a batch commits,
+    * not during one) for exact totals; a crash mid-append leaves the
+    * same transient state until the replayed epoch completes the
+    * remaining table appends.
     */
   case class Handle(
       dir: String,
@@ -72,6 +82,14 @@ object Bm25Index {
     */
   private def frames(docs: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // reject non-integral id columns up front: cast(LongType) NULLs a
+    // failed cast silently, which would index unretrievable null-doc
+    // postings while still inflating df and the corpus totals
+    docs.select(col(idCol)).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"Bm25Index: id column '$idCol' must be integral, got $other")
+    }
     val tf = docs
       .where(col(idCol).isNotNull) // the doc column is non-nullable
       .select(col(idCol).cast(LongType).as("doc"),
@@ -115,6 +133,8 @@ object Bm25Index {
     VersionedTable.create(spark, statsTable(dir), StructType(Seq(
       StructField("n_docs", LongType, nullable = false),
       StructField("sum_dl", DoubleType, nullable = false))))
+    require(!tf.isEmpty, "Bm25Index.build: corpus has no indexable " +
+      "tokens — an empty index would have undefined idf/avgdl")
     VersionedTable.append(spark, tf, postingsTable(dir))
     VersionedTable.append(spark, lens, lensTable(dir))
     VersionedTable.append(spark, dfDelta, dfTable(dir))
@@ -160,14 +180,22 @@ object Bm25Index {
       idCol: String, textCol: String,
       txn: Option[(String, Long)] = None): Long = {
     val (tf, lens, dfDelta, stats) = frames(docs, idCol, textCol)
+    // a batch with no indexable tokens (all-whitespace text) must not
+    // append a (0, NULL) stats row into the non-nullable sum_dl
+    if (tf.isEmpty)
+      return VersionedTable.latest(spark, postingsTable(dir))._1
     def put(df: DataFrame, table: String): Long = txn match {
       case Some((w, e)) => VersionedTable.appendIdempotent(spark, df, table, w, e)
       case None => VersionedTable.append(spark, df, table)
     }
+    // stats commits LAST as the batch's visibility marker: a reader
+    // whose load() observes this batch's stats row is guaranteed the
+    // postings/lens/df rows it summarizes committed before it
+    val v = put(tf, postingsTable(dir))
     put(lens, lensTable(dir))
     put(dfDelta, dfTable(dir))
     put(stats, statsTable(dir))
-    put(tf, postingsTable(dir))
+    v
   }
 
   /** True when the index was built from `sourceTable` (a versioned lake

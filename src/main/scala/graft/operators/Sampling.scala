@@ -409,6 +409,10 @@ object Sampling {
           / lit(totT + smoothing * buckets))
           - log((col("__cr") + lit(smoothing))
             / lit(totR + smoothing * buckets))).as("__lam"))
+      // <= B rows; without this every downstream action re-tokenizes
+      // the TARGET corpus (tgtTot is the only frame not covered by the
+      // docBuckets checkpoint)
+      .localCheckpoint(true)
     docBuckets.join(broadcast(lam), "__b")
       .groupBy(col("__fid"))
       .agg(sum((col("__c") * col("__lam"))
@@ -450,8 +454,11 @@ object Sampling {
     val u = (Dedup.md5Hash60(concat_ws(":", lit(seed),
       col(idCol).cast("string"))).cast("double") + lit(0.5)) /
       lit((1L << 60).toDouble)
+    // two consumers (the top-k scan + the weight join-back): without
+    // this the whole raw-side weight aggregation re-plans twice
     val keyed = w.withColumn("key",
       round(col("weight") / lit(temperature) - log(-log(u)), 6) + lit(0.0))
+      .localCheckpoint(true)
     keyed.agg(graft.functions.GraftFunctions
       .topKPairs(col(idCol), col("key"), k).as("__top"))
       .select(posexplode(col("__top")).as(Seq("__rk", "__p")))

@@ -456,6 +456,8 @@ object TextAnalysis {
     require(k >= 1, s"bm25Retrieval: k must be positive, got $k")
     require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
       s"bm25Retrieval: maxDfRatio must be in (0, 1], got $maxDfRatio")
+    require(qidCol != idCol, "bm25Retrieval: qidCol must differ from " +
+      s"idCol (both '$idCol') — the output carries one column per side")
     require(Seq(docs.schema, queries.schema).zip(Seq(idCol, qidCol))
       .forall { case (sc, c) =>
         sc.fields.find(_.name == c).map(_.dataType).contains(LongType) },
@@ -495,8 +497,11 @@ object TextAnalysis {
       dfreq: DataFrame, queries: DataFrame, idCol: String,
       qidCol: String, qtextCol: String, k: Int, k1: Double, b: Double,
       avgdl: Double): DataFrame = {
+    // the query id rides under a reserved alias so qidCol == idCol
+    // (a self-retrieval corpus) cannot make the joins ambiguous
     val qterms = queries
-      .select(col(qidCol), explode(tokens(col(qtextCol))).as("__term"))
+      .select(col(qidCol).as("__qid"),
+        explode(tokens(col(qtextCol))).as("__term"))
       .where(col("__term") =!= "")
       .distinct()
     val scored = qterms
@@ -505,14 +510,14 @@ object TextAnalysis {
       .withColumn("__s", col("__idf") * (col("__tf") * lit(k1 + 1.0))
         / (col("__tf") + lit(k1) * (lit(1.0 - b)
           + lit(b) * (col("__dl") / lit(avgdl)))))
-      .groupBy(col(qidCol), col(idCol))
+      .groupBy(col("__qid"), col(idCol))
       .agg((round(sum(col("__s").cast(DecimalType(28, 18)))
         .cast(DoubleType), 6) + lit(0.0)).as("score"))
-    scored.groupBy(col(qidCol))
+    scored.groupBy(col("__qid"))
       .agg(graft.functions.GraftFunctions
         .topKPairs(col(idCol), col("score"), k).as("__top"))
-      .select(col(qidCol), posexplode(col("__top")).as(Seq("__rk", "__p")))
-      .select(col(qidCol), col("__p.id").as(idCol),
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__rk", "__p")))
+      .select(col("__qid").as(qidCol), col("__p.id").as(idCol),
         col("__p.score").as("score"),
         (col("__rk") + 1).cast(IntegerType).as("rank"))
   }

@@ -91,6 +91,32 @@ class Bm25IndexSpec extends SparkTestBase {
     assert(got === 0L, "an all-corpus term stays stop-pruned")
   }
 
+  test("a tokenless batch is a no-op append; non-integral ids and " +
+      "empty corpora are rejected loudly") {
+    val dir = Files.createTempDirectory("graft_bm25i6").toString + "/idx"
+    Bm25Index.build(spark, corpus(30), "doc_id", "text", dir)
+    val h0 = Bm25Index.load(spark, dir, "doc_id")
+    // all-whitespace text passes null filters but yields no tokens —
+    // must not write a (0, NULL) stats row
+    val v = Bm25Index.appendRows(spark, dir,
+      Seq((999L, "   "), (998L, "")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(v === h0.version, "tokenless batch must not commit")
+    assert(Bm25Index.load(spark, dir, "doc_id").n === 30.0)
+    val eId = intercept[IllegalArgumentException] {
+      Bm25Index.build(spark,
+        Seq(("a1", "text here")).toDF("doc_id", "text"),
+        "doc_id", "text", dir + "2")
+    }
+    assert(eId.getMessage.contains("must be integral"))
+    val eEmpty = intercept[IllegalArgumentException] {
+      Bm25Index.build(spark,
+        Seq((1L, "  ")).toDF("doc_id", "text"), "doc_id", "text",
+        dir + "3")
+    }
+    assert(eEmpty.getMessage.contains("no indexable"))
+  }
+
   test("staleness stamp tracks the source lake table") {
     val tmp = Files.createTempDirectory("graft_bm25i5").toString
     val dir = tmp + "/idx"

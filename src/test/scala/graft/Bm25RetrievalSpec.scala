@@ -68,6 +68,15 @@ class Bm25RetrievalSpec extends SparkTestBase {
     assert(run(q1) === run(q2))
   }
 
+  test("qidCol == idCol is rejected loudly (output needs both columns)") {
+    val q = Seq((9L, "spark")).toDF("doc_id", "qtext")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Retrieval(docs, "doc_id", "text", q,
+        "doc_id", "qtext", k = 3)
+    }
+    assert(e.getMessage.contains("qidCol must differ"))
+  }
+
   test("deterministic across repartitioning") {
     val d = spark.range(300).select(col("id").as("doc_id"),
       concat_ws(" ", lit("alpha"),
