@@ -1847,6 +1847,23 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- sampling: leakage-safe split (near-dup clusters stay in
+    // one split — the train/test-contamination guard a per-doc hash
+    // split cannot give). Components over d5's near-dup pairs, split
+    // keyed on the min-id representative; fully hash-oracled
+    // (recursive-CTE components + the s7 md5 thresholds).
+    "s12_leakage_split" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        "label", threshold = 0.3)
+        .select(col("vec_id"), col("vec_id_2"))
+      Sampling.leakageSafeSplit(emb.select("vec_id"), "vec_id", pairs,
+        "vec_id_2",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select("vec_id", "component", "split")
+        .orderBy("vec_id")
+    }),
+
     // ---- sampling: DSIR importance weights (Xie et al. 2023) ----
     // Target-likeness of every doc under hashed uni+bigram bag models
     // (target = the English slice): lambda = ln-ratio of smoothed
@@ -4568,6 +4585,32 @@ object SparkEntry {
     // round-trip — one oracle string for both.
     "t24_bm25_retrieval" -> bm25RetrievalOracle,
     "t24b_bm25_index" -> bm25RetrievalOracle,
+
+    // leakage-safe split replayed: d5's recursive-CTE components,
+    // split thresholds on the md5-uniform of the representative
+    "s12_leakage_split" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.3),
+        |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs
+        |          UNION SELECT v2, v1 FROM pairs),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS label FROM embeddings
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, MIN(label) AS component
+        |  FROM reach GROUP BY id),
+        |keyed AS (SELECT id, component,
+        |  CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 15))
+        |    AS BIGINT) / 1152921504606846976.0 AS u FROM comp)
+        |SELECT id AS vec_id, component,
+        |  CASE WHEN u < 0.75 THEN 'train'
+        |       WHEN u < 0.875 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM keyed ORDER BY vec_id""".stripMargin,
 
     // DSIR weights replayed: md5-60 hashed uni+bigram buckets (mod
     // 256), add-1 smoothed ln-ratio, decimal-exact count*lambda sum

@@ -322,6 +322,30 @@ object Sampling {
     }
   }
 
+  /** Leakage-safe train/val/test split: assign every NEAR-DUP CLUSTER
+    * — not every document — to one split, so a near-duplicate of a
+    * training document can never land in the test set (the
+    * train/test-contamination failure mode a per-doc [[hashSplit]]
+    * cannot prevent; Lee et al. 2022 measure the resulting eval
+    * inflation). Connected components over the provided near-dup pair
+    * frame label each doc with its cluster representative (min
+    * reachable id; singletons label themselves), and the split is the
+    * md5-uniform of the REPRESENTATIVE — deterministic,
+    * partitioning-independent, and exactly re-derivable in SQL.
+    *
+    * Scale shape: inherits [[Dedup.connectedComponents]]' two regimes
+    * (driver union-find under the edge threshold, large-star/small-star
+    * O(log n) rounds above), plus one join and a map-side split
+    * assignment. `pairs` must carry columns (`idCol`, `pairCol2`).
+    * Returns `docs` + (component, split).
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      pairCol2: String, weights: Seq[(String, Double)]): DataFrame = {
+    val comps = Dedup.connectedComponents(
+      docs.select(col(idCol)), pairs, idCol, pairCol2)
+    hashSplit(docs.join(comps, idCol), col("component"), weights)
+  }
+
   /** Per-document hashed n-gram feature buckets: word unigrams +
     * bigrams of the non-empty whitespace tokens, each hashed to one of
     * `buckets` cells by the cross-engine md5-60 hash. The map-side

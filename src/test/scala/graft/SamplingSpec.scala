@@ -325,4 +325,40 @@ class SamplingSpec extends SparkTestBase {
       .select("interleave_rank").as[Long].collect().sorted.toSeq ===
       Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("leakageSafeSplit keeps every near-dup cluster in ONE split " +
+      "and matches hashSplit on the representative") {
+    val docs = spark.range(300).select(col("id").as("doc_id"))
+    // chains of 3: (0,1),(1,2), (10,11),(11,12), ... — clusters
+    // {3k, 3k+1, 3k+2} for k % 2 == 0; odd triples stay singletons
+    val pairs = spark.range(50).filter(col("id") % 2 === 0)
+      .select((col("id") * 3).as("doc_id"),
+        (col("id") * 3 + 1).as("doc_id_2"))
+      .union(spark.range(50).filter(col("id") % 2 === 0)
+        .select((col("id") * 3 + 1).as("doc_id"),
+          (col("id") * 3 + 2).as("doc_id_2")))
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+      "doc_id_2", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length === 300)
+    // every cluster has exactly one split value
+    val byComp = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byComp.values.forall(_.size == 1),
+      "a cluster must never straddle splits")
+    // clustered docs carry the min id as representative
+    val m = out.map(r => r._1 -> r._2).toMap
+    assert(m(6L) === 6L && m(7L) === 6L && m(8L) === 6L,
+      "chain {6,7,8} labels by min id")
+    assert(m(3L) === 3L, "singleton labels itself")
+    // the split equals hashSplit applied to the representative
+    val viaRep = Sampling.hashSplit(
+      out.map(r => (r._1, r._2)).toSeq.toDF("doc_id", "component"),
+      col("component"),
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.forall(r => viaRep(r._1) === r._3))
+    // all three splits actually occur across the 250 components
+    assert(out.map(_._3).toSet === Set("train", "val", "test"))
+  }
 }
