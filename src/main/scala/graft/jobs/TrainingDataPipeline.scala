@@ -3,7 +3,7 @@ package graft.jobs
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** End-to-end LLM training-data pipeline: the composition a 100 TB corpus
   * actually runs, built entirely from this engine's operators —
@@ -11,7 +11,9 @@ import graft.operators.{Dedup, TextAnalysis}
   *   quality gate → exact dedup (fingerprint) → near-dup collapse
   *   (MinHash LSH pairs → connected components → survivor selection) →
   *   duplicated-span removal (ExactSubstr) → benchmark decontamination
-  *   (whole-doc gate, then span-surgical cuts) → sliding-window chunking
+  *   (whole-doc gate, then span-surgical cuts) → DSIR target selection
+  *   (optional) → leakage-safe split (gray-zone near-dup clusters stay
+  *   in ONE split) → sliding-window chunking
   *
   * Every stage is one of the verified operators; this job only sequences
   * them and accounts for rows (and, for the span stages, tokens) dropped
@@ -19,14 +21,17 @@ import graft.operators.{Dedup, TextAnalysis}
   * stage 3 is the LSH pipeline (narrow band shuffles, capped buckets) +
   * component labeling; the span stages shuffle shingles and rebuild with
   * one groupBy(doc); decontamination is a broadcast-ish shingle join;
-  * chunking is map-side explode. Nothing collects the corpus to the
-  * driver.
+  * DSIR is two narrow count shuffles + a broadcast λ join + a bounded
+  * global top-k; the split re-runs LSH at the LOWER gray-zone threshold
+  * and labels components; chunking is map-side explode. Nothing collects
+  * the corpus to the driver.
   */
 object TrainingDataPipeline {
 
   /** Row/token accounting per stage — the pipeline's observability
     * contract. Doc counts for the doc-dropping stages; token counts for
-    * the span stages (they keep docs and cut text).
+    * the span stages (they keep docs and cut text); per-split doc
+    * counts for the split stage.
     */
   case class StageCounts(
       input: Long,
@@ -36,6 +41,8 @@ object TrainingDataPipeline {
       spanTokensDropped: Long,
       afterDecontamination: Long,
       decontamSpanTokensDropped: Long,
+      afterSelection: Long,
+      splitCounts: Map[String, Long],
       chunks: Long)
 
   /** Run the pipeline; returns (chunked corpus, per-stage counts).
@@ -57,6 +64,12 @@ object TrainingDataPipeline {
       maxOverlap: Double = 0.5,
       spanDedupK: Int = 8,
       decontamSpanK: Int = 8,
+      target: Option[DataFrame] = None,
+      selectK: Int = 1 << 20,
+      selectTemperature: Double = 1.0,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      splitJaccard: Double = 0.5,
       chunkTokens: Int = 20,
       chunkStride: Int = 10): (DataFrame, StageCounts) = {
 
@@ -105,10 +118,40 @@ object TrainingDataPipeline {
     val surgical = surgical0.select(col(idCol),
       col("clean_text").as(textCol))
 
-    // 6. sliding-window chunking (map-side explode); empty docs emit
-    // one empty chunk so every surviving doc stays accounted
+    // 6. DSIR selection toward the target distribution (optional):
+    // keep the selectK most target-like docs (deterministic Gumbel
+    // top-k over hashed-ngram importance weights)
+    val selected = target match {
+      case Some(tgt) =>
+        // bound k by the doc count entering selection: the top-k
+        // buffer holds 2k entries, and k past the corpus size buys
+        // nothing but allocation
+        val k = math.min(selectK.toLong, nClean).toInt
+        val picks = Sampling.dsirResample(surgical, idCol, textCol,
+          tgt, textCol, k = k, temperature = selectTemperature)
+          .select(col(idCol))
+        surgical.join(picks, idCol)
+      case None => surgical
+    }
+    val nSelected = selected.count()
+
+    // 7. leakage-safe split: FRESH near-dup pairs at a LOWER threshold
+    // than the dedup bar — the gray zone (splitJaccard..jaccard) that
+    // deliberately survived dedup must still never straddle train/test
+    val grayPairs = Dedup.minhashPairs(selected, idCol, textCol,
+      threshold = splitJaccard, maxBucketSize = 1024)
+      .select(col(idCol), col(idCol + "_2"))
+    val assigned = Sampling.leakageSafeSplit(selected, idCol, grayPairs,
+      idCol + "_2", splits)
+      .drop("component")
+    val splitCounts = assigned.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // 8. sliding-window chunking (map-side explode); empty docs emit
+    // one empty chunk so every surviving doc stays accounted. The
+    // split label rides through to the chunk table.
     val toks = coalesce(TextAnalysis.tokens(col(textCol)), array(lit("")))
-    val chunked = surgical.select(col(idCol),
+    val chunked = assigned.select(col(idCol), col("split"),
       posexplode(transform(
         sequence(lit(0), size(toks) - 1, lit(chunkStride)),
         st => concat_ws(" ", slice(toks, st + 1, lit(chunkTokens))))))
@@ -117,6 +160,6 @@ object TrainingDataPipeline {
     val nChunks = chunked.count()
 
     (chunked, StageCounts(input, nQuality, nExact, nNear, spanDropped,
-      nClean, surgicalDropped, nChunks))
+      nClean, surgicalDropped, nSelected, splitCounts, nChunks))
   }
 }

@@ -87,5 +87,52 @@ class TrainingDataPipelineSpec extends SparkTestBase {
     assert(!texts(2L).contains("subscribe"))
     assert(texts(1L).contains("subscribe to our newsletter"))
     assert(!texts(3L).contains("capital of france"))
+    // without a target, selection is a pass-through and the split
+    // accounting covers every surviving doc
+    assert(counts.afterSelection === 3)
+    assert(counts.splitCounts.values.sum === 3)
+  }
+
+  test("DSIR selection keeps the most target-like docs and the split " +
+      "keeps gray-zone near-dups together") {
+    val sci = "journal article about the science of proteins and cells " +
+      "with methods results and a discussion of the findings in detail"
+    val docs = Seq(
+      (1L, sci + " first"),
+      // gray-zone near-dup of 1: far above the split jaccard, below
+      // the dedup bar — must survive dedup AND share 1's split
+      (2L, sci + " second version with a couple more tokens appended " +
+        "to stay under the dedup threshold"),
+      // off-target docs use vocabulary DISJOINT from the target (their
+      // feature buckets have target count 0, so their ln-ratio weight
+      // is strongly negative; shared function words would wash it out)
+      (3L, "zzz qqq www eee rrr ttt uuu iii ooo ppp aaa sss ddd fff " +
+        "ggg hhh jjj kkk lll xxx"),
+      (4L, "journal article on the science of proteins and cells with " +
+        "methods results discussion findings worth reading in detail"),
+      (5L, "vvv bbb nnn mmm zz1 qq2 ww3 ee4 rr5 tt6 uu7 ii8 oo9 pp0 " +
+        "aa1 ss2 dd3 ff4 gg5 hh6")
+    ).toDF("doc_id", "text")
+    val bench = Seq("benchmark phrase that matches nothing").toDF("text")
+    val target = Seq((0L,
+      "the science of proteins and cells with methods results and a " +
+        "discussion of the findings journal article")).toDF("tid", "text")
+
+    val (chunks, counts) = TrainingDataPipeline.run(docs, bench,
+      minQuality = 0.0, jaccardThreshold = 0.9, maxOverlap = 0.9,
+      target = Some(target), selectK = 3, selectTemperature = 1e-9,
+      splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125),
+      splitJaccard = 0.3)
+
+    assert(counts.afterNearDup === 5, "gray-zone pair survives dedup")
+    assert(counts.afterSelection === 3)
+    val kept = chunks.select("doc_id").distinct().as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(2L) && kept.contains(4L),
+      "the three science docs out-weigh the spam under the target model")
+    assert(counts.splitCounts.values.sum === 3)
+    // docs 1 and 2 are one gray-zone cluster: identical split
+    val sp = chunks.select("doc_id", "split").distinct()
+      .as[(Long, String)].collect().toMap
+    assert(sp(1L) === sp(2L), "gray-zone near-dups must not straddle")
   }
 }
