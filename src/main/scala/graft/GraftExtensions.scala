@@ -63,6 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_jaccard", es => JaccardLong(es(0), es(1))))
     ext.injectFunction(fn("graft_overlap", es => OverlapLong(es(0), es(1))))
     ext.injectFunction(fn("graft_simhash64", es => SimHash64(es.head)))
+    ext.injectFunction(fn("graft_gopher_stats",
+      es => GopherStats(
+        QSketchCodec.arity(es, 1, "graft_gopher_stats").head)))
     ext.injectFunction(fn("graft_ngram_hashes",
       es => NgramHashes(QSketchCodec.arity(es, 2, "graft_ngram_hashes").head,
         QSketchCodec.intArg(es, 1, "graft_ngram_hashes"))))

@@ -1895,6 +1895,28 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // ---- text: the FULL Gopher repetition battery (Rae et al. 2021
+    // Table A1): top_{2,3,4}gram_char_frac + dup_{5..10}gram_char_frac
+    // in ONE native-expression pass (zero shuffle — the relational
+    // formulation would shuffle the corpus nine times). Every value is
+    // a single division of exact integer counts => bitwise
+    // cross-engine; most-frequent ties break (count DESC, chars DESC,
+    // UTF-8 byte order ASC) in both engines. The corpus has no natural
+    // repeated 5-grams, so each doc gets its own opening 10 tokens
+    // echoed at the end — the dup family then has real signal.
+    "t25_gopher" -> ((s, dir) => {
+      val echoed = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 10),
+            " ")).as("text"))
+      val g = graft.functions.GraftFunctions.gopherStats(col("text"))
+      val fields = Seq(2, 3, 4).map(n => s"top_${n}gram_char_frac") ++
+        (5 to 10).map(n => s"dup_${n}gram_char_frac")
+      echoed.withColumn("__g", g)
+        .select(col("doc_id") +: fields.map(f => col(s"__g.$f").as(f)): _*)
+        .orderBy("doc_id")
+    }),
+
     // ---- sketch: Misra-Gries frequent items (native mergeable
     // TypedImperativeAggregate). The sketch path for t7's question: each
     // task keeps `capacity` counters and the shuffle carries one sketch
@@ -2769,7 +2791,68 @@ object SparkEntry {
       |SELECT qid, doc_id, score, CAST(rank AS INT) AS rank
       |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Generated Gopher-battery oracle: per n, the gram frame (pos,
+    * gram, gram-chars), then either the top-1 row (count DESC, chars
+    * DESC, gram byte-order ASC) or the covered-position union for the
+    * dup family — the t18 covered-position pattern, once per n.
+    */
+  private val gopherOracle: String = {
+    def gram(n: Int) =
+      s"""g$n AS (SELECT doc_id, pos,
+         |    array_to_string(t[pos:pos+${n - 1}], ' ') AS gram,
+         |    len(array_to_string(t[pos:pos+${n - 1}], '')) AS gchars
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - $n + 2)) AS pos
+         |        FROM base WHERE len(t) >= $n))""".stripMargin
+    def top(n: Int) =
+      s"""top$n AS (SELECT doc_id,
+         |    CAST(cnt * gchars AS DOUBLE) / CAST(total AS DOUBLE) AS frac
+         |  FROM (SELECT doc_id, gram, gchars, COUNT(*) AS cnt,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY COUNT(*) DESC, gchars DESC, gram ASC) AS rk
+         |        FROM g$n GROUP BY doc_id, gram, gchars)
+         |  JOIN tot USING (doc_id) WHERE rk = 1 AND total > 0)""".stripMargin
+    def dup(n: Int) =
+      s"""dd$n AS (SELECT doc_id, gram FROM g$n
+         |  GROUP BY doc_id, gram HAVING COUNT(*) > 1),
+         |cov$n AS (SELECT DISTINCT g.doc_id, g.pos + ofs AS tp
+         |  FROM g$n g JOIN dd$n USING (doc_id, gram)
+         |  CROSS JOIN (SELECT unnest(range(0, $n)) AS ofs) o),
+         |f$n AS (SELECT b.doc_id,
+         |    CAST(COALESCE(SUM(len(b.t[c.tp])), 0) AS DOUBLE)
+         |      / CAST(ANY_VALUE(tot.total) AS DOUBLE) AS frac
+         |  FROM base b JOIN tot USING (doc_id)
+         |  LEFT JOIN cov$n c ON b.doc_id = c.doc_id
+         |  WHERE tot.total > 0 GROUP BY b.doc_id)""".stripMargin
+    val topNs = Seq(2, 3, 4)
+    val dupNs = (5 to 10).toSeq
+    s"""WITH docs AS (SELECT doc_id,
+       |    text || ' ' || array_to_string(list_slice(
+       |      string_split_regex(trim(text), '\\s+'), 1, 10), ' ') AS text
+       |  FROM documents),
+       |base AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS t FROM docs),
+       |tot AS (SELECT doc_id,
+       |    COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS total
+       |  FROM base),
+       |${(topNs ++ dupNs).map(gram).mkString(",\n")},
+       |${topNs.map(top).mkString(",\n")},
+       |${dupNs.map(dup).mkString(",\n")}
+       |SELECT b.doc_id,
+       |${topNs.map(n =>
+           s"  COALESCE(top$n.frac, 0.0) AS top_${n}gram_char_frac")
+         .mkString(",\n")},
+       |${dupNs.map(n =>
+           s"  COALESCE(f$n.frac, 0.0) AS dup_${n}gram_char_frac")
+         .mkString(",\n")}
+       |FROM base b
+       |${topNs.map(n => s"LEFT JOIN top$n USING (doc_id)").mkString("\n")}
+       |${dupNs.map(n => s"LEFT JOIN f$n USING (doc_id)").mkString("\n")}
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // full Gopher battery replayed (generated per n — see gopherOracle)
+    "t25_gopher" -> gopherOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

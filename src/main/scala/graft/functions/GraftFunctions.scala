@@ -1161,6 +1161,127 @@ object GraftFunctions {
   def repetitionStats(text: Column): Column =
     SparkShim.toColumn(RepetitionStats(SparkShim.toExpression(text)))
 
+  /** The FULL Gopher repetition battery (Rae et al. 2021, Table A1 —
+    * the signals [[RepetitionStats]] samples from): per document,
+    *
+    *   - `top_{2,3,4}gram_char_frac`: characters claimed by the most
+    *     frequent word n-gram (count × gram chars) over total token
+    *     characters. Most-frequent ties break by (char length DESC,
+    *     UTF-8 byte order ASC) — a total order any engine re-derives.
+    *   - `dup_{5..10}gram_char_frac`: characters of token POSITIONS
+    *     covered by any n-gram occurring more than once, counted once
+    *     per position (the paper's "take care not to count characters
+    *     multiple times").
+    *
+    * Characters = codepoints of tokens (whitespace excluded from both
+    * numerator and denominator — well-defined in SQL as len()).
+    * Tokens = `\s+` split of the space-trimmed text, empties kept
+    * (the t12/t19 cross-engine convention). One map-side pass, zero
+    * shuffle; a relational formulation would shuffle the corpus nine
+    * times.
+    */
+  case class GopherStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure("expected string")
+      }
+    private val topNs = Seq(2, 3, 4)
+    private val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    override def dataType: DataType = StructType(
+      topNs.map(n => StructField(s"top_${n}gram_char_frac", DoubleType,
+        nullable = false)) ++
+        dupNs.map(n => StructField(s"dup_${n}gram_char_frac", DoubleType,
+          nullable = false)))
+    override def prettyName: String = "graft_gopher_stats"
+
+    // UTF-8 byte order (== DuckDB/Spark string ORDER BY), not UTF-16
+    private def utf8Lt(a: String, b: String): Boolean = {
+      val ba = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(ba.length, bb.length)
+      while (i < n) {
+        val c = (ba(i) & 0xff) - (bb(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      ba.length < bb.length
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val utf8 = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val toks = utf8.trim.toString.split("\\s+", -1)
+      val chars = toks.map(t => t.codePointCount(0, t.length))
+      val total = chars.map(_.toLong).sum
+      val out = new Array[Any](topNs.length + dupNs.length)
+      var oi = 0
+      for (n <- topNs) {
+        var frac = 0.0
+        if (total > 0 && toks.length >= n) {
+          val cnt = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i + n <= toks.length) {
+            cnt.merge(toks.slice(i, i + n).mkString(" "), 1, Integer.sum)
+            i += 1
+          }
+          var bestGram: String = null
+          var bestCnt = 0
+          var bestChars = -1
+          val it = cnt.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val g = e.getKey
+            val c = e.getValue
+            // gram chars = len minus the n-1 joining spaces
+            val gc = g.codePointCount(0, g.length) - (n - 1)
+            val better = c > bestCnt ||
+              (c == bestCnt && (gc > bestChars ||
+                (gc == bestChars && utf8Lt(g, bestGram))))
+            if (better) { bestGram = g; bestCnt = c; bestChars = gc }
+          }
+          frac = bestCnt.toLong * bestChars / total.toDouble
+        }
+        out(oi) = frac; oi += 1
+      }
+      for (n <- dupNs) {
+        var frac = 0.0
+        if (total > 0 && toks.length >= n) {
+          val cnt = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i + n <= toks.length) {
+            cnt.merge(toks.slice(i, i + n).mkString(" "), 1, Integer.sum)
+            i += 1
+          }
+          val covered = new Array[Boolean](toks.length)
+          i = 0
+          while (i + n <= toks.length) {
+            if (cnt.get(toks.slice(i, i + n).mkString(" ")) > 1) {
+              var j = i
+              while (j < i + n) { covered(j) = true; j += 1 }
+            }
+            i += 1
+          }
+          var cov = 0L
+          i = 0
+          while (i < toks.length) {
+            if (covered(i)) cov += chars(i)
+            i += 1
+          }
+          frac = cov / total.toDouble
+        }
+        out(oi) = frac; oi += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(out: _*)
+    }
+    override protected def withNewChildInternal(c: Expression): GopherStats =
+      copy(child = c)
+  }
+
+  def gopherStats(text: Column): Column =
+    SparkShim.toColumn(GopherStats(SparkShim.toExpression(text)))
+
   /** Z-order (Morton) interleave of N non-negative integer dimensions,
     * `bits` low bits each: bit `i` of dimension `d` lands at output bit
     * `i * N + d`. A range-partition + sort on this value clusters rows
@@ -1342,6 +1463,9 @@ object GraftFunctions {
       es => CosineSim(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_repetition_stats",
       es => RepetitionStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_gopher_stats",
+      es => GopherStats(
+        QSketchCodec.arity(es, 1, "graft_gopher_stats").head), "scala_udf")
     // graft_zvalue(bits, dim1, dim2, ...) — bits must be a literal
     reg.createOrReplaceTempFunction("graft_zvalue",
       es => ZValue(es.tail, QSketchCodec.intArg(es, 0, "graft_zvalue")),
