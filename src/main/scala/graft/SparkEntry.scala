@@ -770,6 +770,14 @@ object SparkEntry {
         "c_custkey", "c_custkey_2")
         .orderBy("c_custkey")),
 
+    // ---- graph: local clustering coefficient — triangles over wedge
+    // capacity, 2T/d(d-1). One exact integer division per vertex.
+    "g5_clustering_coeff" -> ((s, dir) =>
+      Graph.clusteringCoefficient(customerLinkagePairs(s, dir)
+        .select(col("c_custkey"), col("c_custkey_2")),
+        "c_custkey", "c_custkey_2")
+        .orderBy("c_custkey")),
+
     // ---- dedup: SemDeDup (embedding-space clustering dedup) ----
     // k-means cells bound the pairwise-cosine term to Σ|cell|²; groups
     // from connected components, min id survives. Cells come from
@@ -3192,6 +3200,43 @@ object SparkEntry {
         |  UNION ALL SELECT w FROM tri)
         |SELECT vx AS c_custkey, CAST(COUNT(*) AS BIGINT) AS triangles
         |FROM pv GROUP BY vx ORDER BY c_custkey""".stripMargin,
+
+    // clustering coefficient: triangles + degrees over the same lp,
+    // one exact integer division; degree-1 vertices skipped
+    "g5_clustering_coeff" ->
+      """WITH lp AS (
+        |  SELECT a.c_custkey AS v1, b.c_custkey AS v2
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_custkey < b.c_custkey
+        |  WHERE CAST(
+        |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 IS NULL THEN 0.0
+        |          WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 4.0
+        |          ELSE -1.0 END)
+        |    + (CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 IS NULL THEN 0.0
+        |            WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 THEN 2.5
+        |            ELSE -0.5 END)
+        |  AS DOUBLE) >= 3.0),
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |    SELECT v1 AS v FROM lp UNION ALL SELECT v2 FROM lp)
+        |  GROUP BY v),
+        |tri AS (SELECT e1.v1 AS u, e1.v2 AS v, e2.v2 AS w
+        |  FROM lp e1 JOIN lp e2 ON e2.v1 = e1.v2
+        |  JOIN lp e3 ON e3.v1 = e1.v1 AND e3.v2 = e2.v2),
+        |tc AS (SELECT vx, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        |    SELECT u AS vx FROM tri
+        |    UNION ALL SELECT v FROM tri
+        |    UNION ALL SELECT w FROM tri)
+        |  GROUP BY vx)
+        |SELECT deg.v AS c_custkey, degree,
+        |  COALESCE(tc.triangles, 0) AS triangles,
+        |  CAST(COALESCE(tc.triangles, 0) * 2 AS DOUBLE)
+        |    / CAST(degree * (degree - 1) AS DOUBLE) AS clustering_coeff
+        |FROM deg LEFT JOIN tc ON deg.v = tc.vx
+        |WHERE degree >= 2 ORDER BY c_custkey""".stripMargin,
 
     // entity resolution: the same score predicate feeds a recursive
     // reachability closure; min reachable id labels the entity

@@ -167,4 +167,37 @@ object Graph {
       .groupBy(col("__v")).agg(count(lit(1)).as("triangles"))
       .select(col("__v").as(srcCol), col("triangles"))
   }
+
+  /** Local clustering coefficient: triangles(v) / C(deg(v), 2) — how
+    * close each vertex's neighborhood is to a clique (1.0 = the
+    * neighbors all know each other; the per-record "tight duplicate
+    * cluster vs hub bridge" signal on a near-dup/linkage graph).
+    * Degree-1 vertices have no wedge capacity and are skipped (the
+    * coefficient is undefined); vertices in no triangle report 0.0.
+    * One [[triangleCounts]] pass + the degree frame + a single exact
+    * integer division per vertex (2T / d(d−1) — bitwise re-derivable).
+    */
+  def clusteringCoefficient(pairs: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    // pairs is often an expensive derivation (LSH / linkage); pin it
+    // once — both the degree frame here and triangleCounts read it
+    val p0 = pairs.localCheckpoint(true)
+    val und = p0
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .where(col("__a") =!= col("__b") && col("__a").isNotNull)
+      .distinct()
+    val deg = und.select(col("__a").as("__v"))
+      .union(und.select(col("__b").as("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(p0, srcCol, dstCol)
+      .withColumnRenamed(srcCol, "__tv")
+    deg.where(col("degree") >= 2)
+      .join(tri, col("__v") === col("__tv"), "left_outer")
+      .select(col("__v").as(srcCol), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        ((coalesce(col("triangles"), lit(0L)) * lit(2L)).cast("double")
+          / (col("degree") * (col("degree") - lit(1L))).cast("double"))
+          .as("clustering_coeff"))
+  }
 }

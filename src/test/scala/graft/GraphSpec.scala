@@ -101,6 +101,35 @@ class GraphSpec extends SparkTestBase {
     assert(noisy === clean)
   }
 
+  test("clustering coefficient: K4 is all 1.0; wheel matches closed " +
+      "forms; degree-1 vertices are skipped") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val cc = Graph.clusteringCoefficient(k4.toDF("id", "id2"),
+      "id", "id2")
+      .select("id", "degree", "triangles", "clustering_coeff")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(cc.length === 4)
+    assert(cc.forall(r => r._2 == 3L && r._3 == 3L && r._4 == 1.0))
+    // wheel (hub 0, ring 1..8): hub coeff 2/(n-1), rim 2*2/(3*2)
+    val n = 8L
+    val wheel = (1L to n).map(i => (0L, i)) ++
+      (1L to n).map(i => (i, i % n + 1))
+    val wc = Graph.clusteringCoefficient(wheel.toDF("id", "id2"),
+      "id", "id2")
+      .select("id", "clustering_coeff").as[(Long, Double)]
+      .collect().toMap
+    assert(wc(0L) === 2.0 / (n - 1))
+    assert((1L to n).forall(i => wc(i) === 2.0 / 3.0))
+    // a pendant edge: degree-1 vertex has no row; its triangle-free
+    // deg-2 neighbor reports 0.0
+    val pend = Graph.clusteringCoefficient(
+      Seq((1L, 2L), (2L, 3L)).toDF("id", "id2"), "id", "id2")
+      .select("id", "clustering_coeff").as[(Long, Double)]
+      .collect().toMap
+    assert(pend === Map(2L -> 0.0))
+  }
+
   test("triangles: hub graph counts match the closed form and " +
       "repartitioning does not change them") {
     // wheel graph: hub 0 + ring 1..n — every ring edge forms one
