@@ -66,6 +66,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_gopher_stats",
       es => GopherStats(
         QSketchCodec.arity(es, 1, "graft_gopher_stats").head)))
+    ext.injectFunction(fn("graft_gopher_quality",
+      es => GopherQuality(
+        QSketchCodec.arity(es, 1, "graft_gopher_quality").head)))
+    ext.injectFunction(fn("graft_c4_stats",
+      es => C4Stats(
+        QSketchCodec.arity(es, 1, "graft_c4_stats").head)))
     ext.injectFunction(fn("graft_ngram_hashes",
       es => NgramHashes(QSketchCodec.arity(es, 2, "graft_ngram_hashes").head,
         QSketchCodec.intArg(es, 1, "graft_ngram_hashes"))))

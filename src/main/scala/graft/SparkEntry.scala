@@ -1925,6 +1925,100 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- text: C4 line-level cleaning battery (Raffel et al. 2020
+    // §2.2): keep lines ending in terminal punctuation with >= 3 words
+    // and no "javascript"; flag pages with "lorem ipsum" / "{" /
+    // blocklist hits; keep pages with >= 5 sentences. ONE map-side
+    // native-expression pass (the relational formulation explodes to
+    // lines and reaggregates — two corpus shuffles). The corpus has no
+    // lines or punctuation, so BOTH engines first apply the same
+    // deterministic prep (sentence breaks at ' data ', a terminal '.',
+    // doc_id-keyed flag lines) — every rule then has real signal.
+    // Exact string/integer outputs => fully hash-oracled.
+    "t26_c4" -> ((s, dir) => {
+      def rep(c: Column, a: String, b: String): Column =
+        call_function("replace", c, lit(a), lit(b))
+      def tag(m: Int, txt: String): Column =
+        when(col("doc_id") % m === 0, lit("\n" + txt)).otherwise(lit(""))
+      val prepped = concat(
+        rep(col("text"), " data ", ".\ndata "), lit("."),
+        tag(7, "you must enable javascript here."),
+        tag(11, "see the lorem ipsum filler."),
+        tag(13, "stray { brace here."),
+        tag(17, "contains badword token here."))
+      val fields = Seq("clean_text", "n_lines", "n_kept", "n_sentences",
+        "has_lorem", "has_brace", "has_bad", "keep")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.c4Stats(prepped).as("__c"))
+        .select(col("doc_id") +: fields.map(f => col(s"__c.$f").as(f)): _*)
+        .orderBy("doc_id")
+    }),
+
+    // ---- text: the Gopher QUALITY-rule battery (Rae et al. 2021
+    // Table A1 document-shape rules — word count band, mean word
+    // length, symbol-to-word ratios, bullet/ellipsis line fractions,
+    // alpha-word fraction, required stopwords) beside t25's repetition
+    // rules. Same prep convention as t26 plus symbol/bullet/ellipsis
+    // injections so every rule has signal. One map-side pass; every
+    // fraction is a single division of exact integer counts =>
+    // bitwise cross-engine, fully hash-oracled.
+    "t27_gopher_quality" -> ((s, dir) => {
+      def rep(c: Column, a: String, b: String): Column =
+        call_function("replace", c, lit(a), lit(b))
+      val prepped = rep(rep(rep(rep(col("text"),
+        " data ", ".\ndata "),
+        " slow ", " #... slow "),
+        "\ndata big", "\n- data big"),
+        "spark.\n", "spark...\n")
+      val fields = Seq("word_count", "mean_word_len", "hash_frac",
+        "ellipsis_frac", "bullet_line_frac", "ellipsis_line_frac",
+        "alpha_word_frac", "stopword_count", "keep")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.gopherQuality(prepped).as("__g"))
+        .select(col("doc_id") +: fields.map(f => col(s"__g.$f").as(f)): _*)
+        .orderBy("doc_id")
+    }),
+
+    // ---- text: CCNet-style perplexity bucketing (Wenzek et al.
+    // 2020): per language, ntile(3) over the t16 trigram-LM
+    // perplexity — head = most-fluent third, the standard
+    // quality-stratification for web-scale corpora. Ordering is
+    // (rounded ppl, doc_id) — a total order both engines re-derive
+    // (t16's round-6 values are already hash-exact cross-engine).
+    // Scale: t16's shape + one window over the per-doc frame (tiny
+    // vs the corpus scan).
+    "t28_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.trigramLM(docs, "text")
+      val ppl = TextAnalysis.perplexity(docs, "doc_id", "text", lm)
+        .select(col("doc_id"), r6z(col("ppl")).as("ppl"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id"))
+      ppl.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("bucket",
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            ntile(3).over(w)))
+        .select(col("doc_id"), col("lang"), col("ppl"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- graph: deterministic synchronous label propagation over the
+    // linkage graph — communities INSIDE d5's components (min-label
+    // tie-break + fixed 4 rounds = a pure function of the edge set,
+    // hash-oracled against an unrolled SQL re-derivation). Per round:
+    // one edge⋈label join + two partial-aggregated groupBys, the
+    // argmax as a single mergeable min(struct) — no windows.
+    "g6_lpa" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val pairs = customerLinkagePairs(s, dir)
+        .select(col("c_custkey"), col("c_custkey_2"))
+      Graph.labelPropagation(cust.select(col("c_custkey")), pairs,
+        "c_custkey", "c_custkey_2", iterations = 4)
+        .orderBy("c_custkey")
+    }),
+
     // ---- sketch: Misra-Gries frequent items (native mergeable
     // TypedImperativeAggregate). The sketch path for t7's question: each
     // task keeps `capacity` counters and the shuffle carries one sketch
@@ -2858,9 +2952,187 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** g6's oracle: synchronous min-mode LPA unrolled per round — each
+    * round a (dst, label) count + a per-dst argmax (count DESC, label
+    * ASC) row_number, isolated vertices carried by the LEFT JOIN.
+    */
+  private val lpaOracle: String = {
+    def iter(i: Int): String = {
+      val p = i - 1
+      s"""n$i AS (SELECT e.dst AS v, l.lbl,
+         |    row_number() OVER (PARTITION BY e.dst
+         |      ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
+         |  FROM edges e JOIN l$p l ON e.src = l.v GROUP BY e.dst, l.lbl),
+         |l$i AS (SELECT l$p.v, COALESCE(n.lbl, l$p.lbl) AS lbl
+         |  FROM l$p LEFT JOIN (SELECT v, lbl FROM n$i WHERE rk = 1) n
+         |    ON n.v = l$p.v)""".stripMargin
+    }
+    s"""WITH lp AS (
+       |  SELECT a.c_custkey AS v1, b.c_custkey AS v2
+       |  FROM customer a JOIN customer b
+       |    ON a.c_nationkey = b.c_nationkey
+       |    AND a.c_mktsegment = b.c_mktsegment
+       |    AND a.c_custkey < b.c_custkey
+       |  WHERE CAST(
+       |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 IS NULL THEN 0.0
+       |          WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 4.0
+       |          ELSE -1.0 END)
+       |    + (CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+       |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 IS NULL THEN 0.0
+       |            WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+       |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 THEN 2.5
+       |            ELSE -0.5 END)
+       |  AS DOUBLE) >= 3.0),
+       |edges AS (SELECT v1 AS src, v2 AS dst FROM lp
+       |          UNION SELECT v2, v1 FROM lp),
+       |l0 AS (SELECT c_custkey AS v, c_custkey AS lbl FROM customer),
+       |${(1 to 4).map(iter).mkString(",\n")}
+       |SELECT v AS c_custkey, lbl AS label FROM l4
+       |ORDER BY c_custkey""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // full Gopher battery replayed (generated per n — see gopherOracle)
     "t25_gopher" -> gopherOracle,
+
+    // C4 cleaning replayed: same prep, list_filter line predicate,
+    // replace-based sentence counting — all exact strings/ints
+    "t26_c4" ->
+      """WITH prep AS (SELECT doc_id,
+        |    replace(text, ' data ', '.' || chr(10) || 'data ') || '.'
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || 'you must enable javascript here.'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN chr(10) || 'see the lorem ipsum filler.'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN chr(10) || 'stray { brace here.' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0
+        |         THEN chr(10) || 'contains badword token here.'
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, t,
+        |    string_split(t, chr(10)) AS lines,
+        |    list_filter(list_transform(string_split(t, chr(10)),
+        |        l -> trim(l)),
+        |      x -> x <> ''
+        |        AND (right(x, 1) = '.' OR right(x, 1) = '!'
+        |             OR right(x, 1) = '?' OR right(x, 1) = '"')
+        |        AND len(string_split_regex(x, '\s+')) >= 3
+        |        AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM prep),
+        |c AS (SELECT doc_id, lines, kept,
+        |    array_to_string(kept, chr(10)) AS clean,
+        |    len(array_to_string(kept, chr(10)))
+        |      - len(replace(replace(replace(array_to_string(kept, chr(10)),
+        |          '.', ''), '!', ''), '?', '')) AS sentences,
+        |    contains(lower(t), 'lorem ipsum') AS has_lorem,
+        |    contains(t, '{') AS has_brace,
+        |    (contains(lower(t), 'badword')
+        |      OR contains(lower(t), 'nsfw')) AS has_bad
+        |  FROM base)
+        |SELECT doc_id,
+        |  clean AS clean_text,
+        |  CAST(len(lines) AS INT) AS n_lines,
+        |  CAST(len(kept) AS INT) AS n_kept,
+        |  CAST(sentences AS INT) AS n_sentences,
+        |  has_lorem, has_brace, has_bad,
+        |  (sentences >= 5 AND NOT has_lorem AND NOT has_brace
+        |    AND NOT has_bad) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Gopher quality rules replayed: same prep, list ops for word/line
+    // stats, replace-based symbol counting — every fraction ONE
+    // division of exact integer counts
+    "t27_gopher_quality" ->
+      """WITH prep AS (SELECT doc_id,
+        |    replace(replace(replace(replace(text,
+        |      ' data ', '.' || chr(10) || 'data '),
+        |      ' slow ', ' #... slow '),
+        |      chr(10) || 'data big', chr(10) || '- data big'),
+        |      'spark.' || chr(10), 'spark...' || chr(10)) AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, t,
+        |    string_split(t, chr(10)) AS lines,
+        |    string_split_regex(trim(t), '\s+') AS words
+        |  FROM prep),
+        |m AS (SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS word_count,
+        |    COALESCE(list_sum(list_transform(words, w -> len(w))), 0)
+        |      AS chars,
+        |    len(list_filter(words,
+        |      w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+        |    CAST(len(list_filter(words, w -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], w)))
+        |      AS BIGINT) AS stopword_count,
+        |    len(t) - len(replace(t, '#', '')) AS hashes,
+        |    (len(t) - len(replace(t, '...', ''))) // 3 AS ellipses,
+        |    len(lines) AS n_lines,
+        |    len(list_filter(lines, l -> trim(l) <> ''
+        |      AND (substr(trim(l), 1, 1) = '-'
+        |           OR substr(trim(l), 1, 1) = '*'
+        |           OR substr(trim(l), 1, 1) = '•'))) AS bullet_lines,
+        |    len(list_filter(lines, l -> trim(l) <> ''
+        |      AND right(trim(l), 3) = '...')) AS ellipsis_lines
+        |  FROM base)
+        |SELECT doc_id, word_count,
+        |  CAST(chars AS DOUBLE) / CAST(word_count AS DOUBLE)
+        |    AS mean_word_len,
+        |  CAST(hashes AS DOUBLE) / CAST(word_count AS DOUBLE) AS hash_frac,
+        |  CAST(ellipses AS DOUBLE) / CAST(word_count AS DOUBLE)
+        |    AS ellipsis_frac,
+        |  CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        |    AS bullet_line_frac,
+        |  CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        |    AS ellipsis_line_frac,
+        |  CAST(alpha_words AS DOUBLE) / CAST(word_count AS DOUBLE)
+        |    AS alpha_word_frac,
+        |  stopword_count,
+        |  (word_count >= 50 AND word_count <= 100000
+        |   AND CAST(chars AS DOUBLE) / CAST(word_count AS DOUBLE) >= 3.0
+        |   AND CAST(chars AS DOUBLE) / CAST(word_count AS DOUBLE) <= 10.0
+        |   AND CAST(hashes AS DOUBLE) / CAST(word_count AS DOUBLE) < 0.1
+        |   AND CAST(ellipses AS DOUBLE) / CAST(word_count AS DOUBLE) < 0.1
+        |   AND CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        |     <= 0.9
+        |   AND CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        |     <= 0.3
+        |   AND CAST(alpha_words AS DOUBLE) / CAST(word_count AS DOUBLE)
+        |     >= 0.8
+        |   AND stopword_count >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // CCNet bucketing replayed: the t16 CTE chain + per-language
+    // ntile(3) over (rounded ppl, doc_id) — a total order
+    "t28_ccnet_buckets" ->
+      """WITH norm AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |tri AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> substr(t, CAST(i AS INT), 3))) AS tri
+        |  FROM norm WHERE len(t) >= 3),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tri),
+        |lm AS (SELECT tri,
+        |    ln(CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM tot)) AS logp
+        |  FROM tri GROUP BY tri),
+        |perdoc AS (SELECT d.doc_id,
+        |    CAST(SUM(CAST(lm.logp AS DECIMAL(28,18))) AS DOUBLE) AS slogp,
+        |    COUNT(*) AS n
+        |  FROM tri d JOIN lm ON d.tri = lm.tri
+        |  GROUP BY d.doc_id),
+        |p AS (SELECT doc_id, round(exp(-(slogp / n)), 6) + 0.0 AS ppl
+        |  FROM perdoc)
+        |SELECT p.doc_id, d.lang, p.ppl,
+        |  CASE ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY p.ppl, p.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+        |  END AS bucket
+        |FROM p JOIN documents d ON p.doc_id = d.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+
+    // LPA replayed: unrolled synchronous rounds (see lpaOracle)
+    "g6_lpa" -> lpaOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1282,6 +1282,215 @@ object GraftFunctions {
   def gopherStats(text: Column): Column =
     SparkShim.toColumn(GopherStats(SparkShim.toExpression(text)))
 
+  /** SQL-trim: strip only ' ' (0x20) from both ends — the Spark/DuckDB
+    * `trim()` contract, NOT `java.lang.String.trim` (which strips all
+    * control chars <= 0x20 and would diverge from the oracle).
+    */
+  private def sqlTrim(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
+  /** C4 line-level cleaning battery (Raffel et al. 2020, §2.2) in ONE
+    * map-side pass. Lines = `\n` split (empties kept). A line is KEPT
+    * iff its space-trimmed form (a) ends in terminal punctuation
+    * (`.`, `!`, `?`, `"`), (b) has >= 3 whitespace words, and (c) does
+    * not contain "javascript" case-insensitively. Document flags:
+    * `has_lorem` ("lorem ipsum" in the lowercased text), `has_brace`
+    * (`{` anywhere), `has_bad` (any [[C4Stats.badWords]] substring of
+    * the lowercased text). `clean_text` joins the kept TRIMMED lines
+    * with `\n`; `n_sentences` counts terminal marks (`.!?`) in the
+    * cleaned text. `keep` = n_sentences >= 5 and no page flag — the
+    * paper's page-level rule over its line-level survivors. Every
+    * output is an exact string/integer function of the input, so the
+    * whole battery is hash-oracled cross-engine.
+    */
+  case class C4Stats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure("expected string")
+      }
+    override def dataType: DataType = StructType(Seq(
+      StructField("clean_text", StringType, nullable = false),
+      StructField("n_lines", IntegerType, nullable = false),
+      StructField("n_kept", IntegerType, nullable = false),
+      StructField("n_sentences", IntegerType, nullable = false),
+      StructField("has_lorem", BooleanType, nullable = false),
+      StructField("has_brace", BooleanType, nullable = false),
+      StructField("has_bad", BooleanType, nullable = false),
+      StructField("keep", BooleanType, nullable = false)))
+    override def prettyName: String = "graft_c4_stats"
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.toString
+      val lower = text.toLowerCase(java.util.Locale.ROOT)
+      val lines = text.split("\n", -1)
+      val kept = new scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < lines.length) {
+        val t = sqlTrim(lines(i))
+        val endsTerminal = t.nonEmpty && {
+          val c = t.charAt(t.length - 1)
+          c == '.' || c == '!' || c == '?' || c == '"'
+        }
+        if (endsTerminal) {
+          val words = if (t.isEmpty) 0 else t.split("\\s+", -1).length
+          if (words >= 3 &&
+              !t.toLowerCase(java.util.Locale.ROOT).contains("javascript"))
+            kept += t
+        }
+        i += 1
+      }
+      val clean = kept.mkString("\n")
+      var sentences = 0
+      i = 0
+      while (i < clean.length) {
+        val c = clean.charAt(i)
+        if (c == '.' || c == '!' || c == '?') sentences += 1
+        i += 1
+      }
+      val hasLorem = lower.contains("lorem ipsum")
+      val hasBrace = text.contains("{")
+      val hasBad = C4Stats.badWords.exists(lower.contains)
+      val keep = sentences >= 5 && !hasLorem && !hasBrace && !hasBad
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(clean),
+        lines.length, kept.length, sentences, hasLorem, hasBrace, hasBad,
+        keep)
+    }
+    override protected def withNewChildInternal(c: Expression): C4Stats =
+      copy(child = c)
+  }
+  object C4Stats {
+    /** Deterministic stand-in for C4's blocklist (the real list is a
+      * large external artifact); substring match on the lowercased page.
+      */
+    val badWords: Seq[String] = Seq("badword", "nsfw")
+  }
+
+  def c4Stats(text: Column): Column =
+    SparkShim.toColumn(C4Stats(SparkShim.toExpression(text)))
+
+  /** The Gopher QUALITY-rule battery (Rae et al. 2021, Table A1 — the
+    * document-shape rules beside [[GopherStats]]' repetition rules), in
+    * ONE map-side pass:
+    *
+    *   - `word_count`: whitespace tokens of the space-trimmed text
+    *     (the engine-wide t1 convention, empties kept).
+    *   - `mean_word_len`: total token codepoints / word_count.
+    *   - `hash_frac` / `ellipsis_frac`: `#` codepoints / non-overlapping
+    *     left-to-right `...` occurrences, each over word_count (the
+    *     paper's symbol-to-word ratios).
+    *   - `bullet_line_frac` / `ellipsis_line_frac`: fraction of `\n`
+    *     lines whose trimmed form starts with a bullet (`-`, `*`, `•`)
+    *     / ends with `...`.
+    *   - `alpha_word_frac`: fraction of words containing an ASCII
+    *     letter. `stopword_count`: tokens in the paper's 8-word list.
+    *   - `keep`: 50 <= words <= 100000, 3 <= mean len <= 10, both
+    *     symbol ratios < 0.1, bullets <= 90% of lines, ellipsis ends
+    *     <= 30%, alpha words >= 80%, >= 2 stopwords.
+    *
+    * Every fraction is ONE division of exact integer counts => bitwise
+    * cross-engine; the battery is fully hash-oracled.
+    */
+  case class GopherQuality(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure("expected string")
+      }
+    override def dataType: DataType = StructType(Seq(
+      StructField("word_count", LongType, nullable = false),
+      StructField("mean_word_len", DoubleType, nullable = false),
+      StructField("hash_frac", DoubleType, nullable = false),
+      StructField("ellipsis_frac", DoubleType, nullable = false),
+      StructField("bullet_line_frac", DoubleType, nullable = false),
+      StructField("ellipsis_line_frac", DoubleType, nullable = false),
+      StructField("alpha_word_frac", DoubleType, nullable = false),
+      StructField("stopword_count", LongType, nullable = false),
+      StructField("keep", BooleanType, nullable = false)))
+    override def prettyName: String = "graft_gopher_quality"
+
+    override def nullSafeEval(input: Any): Any = {
+      val utf8 = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val text = utf8.toString
+      val toks = utf8.trim.toString.split("\\s+", -1)
+      val words = toks.length.toLong
+      var totalChars = 0L
+      var alphaWords = 0L
+      var stopwords = 0L
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        totalChars += t.codePointCount(0, t.length)
+        var hasAlpha = false
+        var j = 0
+        while (j < t.length && !hasAlpha) {
+          val c = t.charAt(j)
+          hasAlpha = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+          j += 1
+        }
+        if (hasAlpha) alphaWords += 1
+        if (GopherQuality.stopwords.contains(t)) stopwords += 1
+        i += 1
+      }
+      var hashes = 0L
+      i = 0
+      while (i < text.length) {
+        if (text.charAt(i) == '#') hashes += 1
+        i += 1
+      }
+      // non-overlapping left-to-right, the replace-then-count semantics
+      var ellipses = 0L
+      var at = text.indexOf("...")
+      while (at >= 0) { ellipses += 1; at = text.indexOf("...", at + 3) }
+      val lines = text.split("\n", -1)
+      var bulletLines = 0L
+      var ellipsisLines = 0L
+      i = 0
+      while (i < lines.length) {
+        val t = sqlTrim(lines(i))
+        if (t.nonEmpty) {
+          val c0 = t.charAt(0)
+          if (c0 == '-' || c0 == '*' || c0 == '•') bulletLines += 1
+          if (t.endsWith("...")) ellipsisLines += 1
+        }
+        i += 1
+      }
+      val nLines = lines.length.toLong
+      val meanLen = if (words > 0) totalChars.toDouble / words else 0.0
+      val hashFrac = if (words > 0) hashes.toDouble / words else 0.0
+      val ellFrac = if (words > 0) ellipses.toDouble / words else 0.0
+      val bulletFrac = bulletLines.toDouble / nLines
+      val ellLineFrac = ellipsisLines.toDouble / nLines
+      val alphaFrac = if (words > 0) alphaWords.toDouble / words else 0.0
+      val keep = words >= 50L && words <= 100000L &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        hashFrac < 0.1 && ellFrac < 0.1 &&
+        bulletFrac <= 0.9 && ellLineFrac <= 0.3 &&
+        alphaFrac >= 0.8 && stopwords >= 2L
+      org.apache.spark.sql.catalyst.InternalRow(
+        words, meanLen, hashFrac, ellFrac, bulletFrac, ellLineFrac,
+        alphaFrac, stopwords, keep)
+    }
+    override protected def withNewChildInternal(c: Expression): GopherQuality =
+      copy(child = c)
+  }
+  object GopherQuality {
+    /** Rae et al. 2021's required-stopword list. */
+    val stopwords: Set[String] =
+      Set("the", "be", "to", "of", "and", "that", "have", "with")
+  }
+
+  def gopherQuality(text: Column): Column =
+    SparkShim.toColumn(GopherQuality(SparkShim.toExpression(text)))
+
   /** Z-order (Morton) interleave of N non-negative integer dimensions,
     * `bits` low bits each: bit `i` of dimension `d` lands at output bit
     * `i * N + d`. A range-partition + sort on this value clusters rows
@@ -1466,6 +1675,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_gopher_stats",
       es => GopherStats(
         QSketchCodec.arity(es, 1, "graft_gopher_stats").head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_gopher_quality",
+      es => GopherQuality(
+        QSketchCodec.arity(es, 1, "graft_gopher_quality").head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_c4_stats",
+      es => C4Stats(
+        QSketchCodec.arity(es, 1, "graft_c4_stats").head), "scala_udf")
     // graft_zvalue(bits, dim1, dim2, ...) — bits must be a literal
     reg.createOrReplaceTempFunction("graft_zvalue",
       es => ZValue(es.tail, QSketchCodec.intArg(es, 0, "graft_zvalue")),

@@ -168,6 +168,68 @@ object Graph {
       .select(col("__v").as(srcCol), col("triangles"))
   }
 
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007)
+    * over an undirected pair frame — the lightweight community detector
+    * beside [[Dedup.connectedComponents]]: components merge ANY linked
+    * records; LPA splits a component into densely-linked communities
+    * (template families inside one near-dup blob, entity sub-groups in
+    * a linkage graph).
+    *
+    * Labels start as the vertex id. Each round, EVERY vertex with at
+    * least one neighbor adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — a total order, so
+    * a fixed iteration count makes the result a pure function of the
+    * edge set (the async/random-order variant of the paper cannot be
+    * oracled; this one hash-matches an unrolled SQL re-derivation).
+    * Isolated vertices keep their own label.
+    *
+    * Scale shape: per iteration, one hash join of the edge frame to
+    * the label frame + two partial-aggregated groupBys (count by
+    * (dst, label), then argmax-by-struct per dst) — no windows, no
+    * collects; the argmax is `min(struct(-count, label))`, a single
+    * mergeable aggregate. Lineage is checkpointed every 10 rounds
+    * (the [[pageRank]] discipline).
+    *
+    * @param pairs undirected pair frame (either endpoint order;
+    *              self-pairs dropped, duplicates collapse)
+    * @return (idCol, label) — one row per vertex
+    */
+  def labelPropagation(vertices: DataFrame, pairs: DataFrame,
+      idCol: String, idCol2: String, iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val ids = vertices.select(col(idCol).as("__v")).distinct()
+      .localCheckpoint(true)
+    val sym = pairs
+      .select(col(idCol).as("__src"), col(idCol2).as("__dst"))
+      .unionAll(pairs.select(col(idCol2).as("__src"),
+        col(idCol).as("__dst")))
+      .where(col("__src") =!= col("__dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = ids.select(col("__v"), col("__v").as("__lbl"))
+    var i = 0
+    while (i < iterations) {
+      val freq = sym.join(labels, col("__src") === col("__v"))
+        .groupBy(col("__dst"), col("__lbl"))
+        .agg(count(lit(1)).as("__cnt"))
+      // argmax by (count DESC, label ASC) as one mergeable aggregate
+      val next = freq
+        .select(col("__dst"),
+          struct((-col("__cnt")).as("nc"), col("__lbl").as("l")).as("__s"))
+        .groupBy(col("__dst")).agg(min(col("__s")).as("__m"))
+        .select(col("__dst"), col("__m.l").as("__nl"))
+      // labels has one row per vertex every round — no ids rejoin needed
+      labels = labels
+        .join(next, col("__v") === col("__dst"), "left_outer")
+        .select(col("__v"), coalesce(col("__nl"), col("__lbl")).as("__lbl"))
+      i += 1
+      if (i % 10 == 0 && i < iterations)
+        labels = labels.localCheckpoint(true)
+    }
+    labels.select(col("__v").as(idCol), col("__lbl").as("label"))
+  }
+
   /** Local clustering coefficient: triangles(v) / C(deg(v), 2) — how
     * close each vertex's neighborhood is to a clique (1.0 = the
     * neighbors all know each other; the per-record "tight duplicate

@@ -144,4 +144,67 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(shuffled === expected)
   }
+
+  // ---------- label propagation ----------
+
+  private def lpaOf(vs: Seq[Long], es: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(vs.toDF("id"), es.toDF("id", "id2"),
+      "id", "id2", iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Independent straight-line reference: synchronous min-mode LPA. */
+  private def refLpa(vs: Seq[Long], es: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val adj = es.flatMap { case (a, b) =>
+      if (a == b) Nil else Seq(a -> b, b -> a)
+    }.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = vs.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lbl = vs.map { v =>
+        v -> adj.get(v).map { nbrs =>
+          nbrs.map(lbl).groupBy(identity).view.mapValues(_.size).toSeq
+            .sortBy { case (l, c) => (-c, l) }.head._1
+        }.getOrElse(lbl(v))
+      }.toMap
+    }
+    lbl
+  }
+
+  test("lpa: K3 converges to the min label; isolated vertex keeps its own") {
+    val vs = Seq(1L, 2L, 3L, 9L)
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(lpaOf(vs, es, 3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("lpa: star oscillates deterministically (sync rounds)") {
+    val vs = Seq(9L, 1L, 2L, 3L)
+    val es = Seq((9L, 1L), (9L, 2L), (9L, 3L))
+    // round 1: leaves adopt the hub's label, hub adopts min leaf
+    assert(lpaOf(vs, es, 1) === Map(9L -> 1L, 1L -> 9L, 2L -> 9L, 3L -> 9L))
+    // round 2: they swap back — a pure function of the round count
+    assert(lpaOf(vs, es, 2) === Map(9L -> 9L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("lpa: matches the reference on a seeded graph, all round counts, " +
+      "and is repartition-invariant") {
+    val vs = (0L until 20L).toSeq
+    val es = (0 until 45).map(i => ((i * 7L) % 20L, (i * 13L + 3L) % 20L))
+    for (k <- 1 to 5) assert(lpaOf(vs, es, k) === refLpa(vs, es, k))
+    val shuffled = Graph.labelPropagation(vs.toDF("id"),
+      es.toDF("id", "id2").repartition(13), "id", "id2", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled === refLpa(vs, es, 4))
+  }
+
+  test("lpa: bridged triangles resolve to two communities") {
+    val vs = (1L to 6L).toSeq
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    val r = lpaOf(vs, es, 4)
+    assert(r === refLpa(vs, es, 4))
+    // each triangle is internally uniform and distinct from the other
+    assert(Set(r(1L), r(2L)).size === 1 && Set(r(4L), r(5L)).size === 1)
+    assert(r(1L) !== r(5L))
+  }
 }
