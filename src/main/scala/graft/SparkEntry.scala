@@ -2019,6 +2019,34 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- graph: k-core of the linkage graph (k=2 strips pendant
+    // chains; the surviving core is the dense duplicate heart).
+    // Iterative peel to a fixpoint — integer degrees, hash-oracled
+    // against a 16-round unrolled SQL peel (the observed peel depth is
+    // <= 7 at every SF; extra unrolled rounds are no-ops at the
+    // fixpoint).
+    "g7_kcore" -> ((s, dir) =>
+      Graph.kCore(customerLinkagePairs(s, dir)
+        .select(col("c_custkey"), col("c_custkey_2")),
+        "c_custkey", "c_custkey_2", k = 2)
+        .orderBy("c_custkey")),
+
+    // ---- graph: TrustRank — g3's integer PageRank with teleport mass
+    // restricted to a trusted seed set (every 10th customer), the
+    // classic propagate-quality-from-vetted-sources corpus signal.
+    "g8_trustrank" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val pairs = customerLinkagePairs(s, dir)
+        .select(col("c_custkey"), col("c_custkey_2"))
+      Graph.trustRank(cust.select(col("c_custkey")), pairs,
+        "c_custkey", "c_custkey_2",
+        seeds = cust.where(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey")),
+        iterations = 3)
+        .select(col("c_custkey"), col("rank").as("tr_nano"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- sketch: Misra-Gries frequent items (native mergeable
     // TypedImperativeAggregate). The sketch path for t7's question: each
     // task keeps `capacity` counters and the shuffle carries one sketch
@@ -2991,9 +3019,104 @@ object SparkEntry {
        |ORDER BY c_custkey""".stripMargin
   }
 
+  /** g7's oracle: the k=2 peel unrolled 16 rounds (observed fixpoint
+    * depth <= 7 at every SF; the peel is idempotent at the fixpoint, so
+    * surplus rounds change nothing). Keep-list formulation per round.
+    */
+  private val kcoreOracle: String = {
+    def round(i: Int): String = {
+      val p = i - 1
+      s"""d$i AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+         |    SELECT a AS v FROM e$p UNION ALL SELECT b FROM e$p)
+         |  GROUP BY v),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e$p
+         |  WHERE a IN (SELECT v FROM d$i WHERE dg >= 2)
+         |    AND b IN (SELECT v FROM d$i WHERE dg >= 2))""".stripMargin
+    }
+    val n = 16
+    s"""WITH lp AS MATERIALIZED (
+       |  SELECT a.c_custkey AS v1, b.c_custkey AS v2
+       |  FROM customer a JOIN customer b
+       |    ON a.c_nationkey = b.c_nationkey
+       |    AND a.c_mktsegment = b.c_mktsegment
+       |    AND a.c_custkey < b.c_custkey
+       |  WHERE CAST(
+       |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 IS NULL THEN 0.0
+       |          WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 4.0
+       |          ELSE -1.0 END)
+       |    + (CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+       |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 IS NULL THEN 0.0
+       |            WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+       |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 THEN 2.5
+       |            ELSE -0.5 END)
+       |  AS DOUBLE) >= 3.0),
+       |e0 AS MATERIALIZED (SELECT v1 AS a, v2 AS b FROM lp),
+       |${(1 to n).map(round).mkString(",\n")}
+       |SELECT v AS c_custkey, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+       |  SELECT a AS v FROM e$n UNION ALL SELECT b FROM e$n)
+       |GROUP BY v ORDER BY c_custkey""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // full Gopher battery replayed (generated per n — see gopherOracle)
     "t25_gopher" -> gopherOracle,
+
+    // k-core replayed (generated unrolled peel — see kcoreOracle)
+    "g7_kcore" -> kcoreOracle,
+
+    // TrustRank replayed: g3's integer power iteration with r0 and the
+    // base term gated on the seed predicate (c_custkey % 10 = 0)
+    "g8_trustrank" ->
+      """WITH lp AS (
+        |  SELECT a.c_custkey AS v1, b.c_custkey AS v2
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_custkey < b.c_custkey
+        |  WHERE CAST(
+        |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 IS NULL THEN 0.0
+        |          WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 4.0
+        |          ELSE -1.0 END)
+        |    + (CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 IS NULL THEN 0.0
+        |            WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 THEN 2.5
+        |            ELSE -0.5 END)
+        |  AS DOUBLE) >= 3.0),
+        |edges AS (SELECT v1 AS src, v2 AS dst FROM lp
+        |          UNION SELECT v2, v1 FROM lp),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg
+        |        FROM edges GROUP BY src),
+        |r0 AS (SELECT c_custkey AS v,
+        |         CAST(CASE WHEN c_custkey % 10 = 0 THEN 1000000000
+        |              ELSE 0 END AS BIGINT) AS r
+        |       FROM customer),
+        |c1 AS (SELECT e.dst AS v,
+        |         CAST(SUM((r.r * 85 // 100) // d.dg) AS BIGINT) AS cin
+        |       FROM edges e JOIN r0 r ON e.src = r.v
+        |         JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT r0.v,
+        |         CASE WHEN r0.v % 10 = 0 THEN 150000000 ELSE 0 END
+        |           + COALESCE(c1.cin, 0) AS r
+        |       FROM r0 LEFT JOIN c1 ON c1.v = r0.v),
+        |c2 AS (SELECT e.dst AS v,
+        |         CAST(SUM((r.r * 85 // 100) // d.dg) AS BIGINT) AS cin
+        |       FROM edges e JOIN r1 r ON e.src = r.v
+        |         JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT r1.v,
+        |         CASE WHEN r1.v % 10 = 0 THEN 150000000 ELSE 0 END
+        |           + COALESCE(c2.cin, 0) AS r
+        |       FROM r1 LEFT JOIN c2 ON c2.v = r1.v),
+        |c3 AS (SELECT e.dst AS v,
+        |         CAST(SUM((r.r * 85 // 100) // d.dg) AS BIGINT) AS cin
+        |       FROM edges e JOIN r2 r ON e.src = r.v
+        |         JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT r2.v,
+        |         CASE WHEN r2.v % 10 = 0 THEN 150000000 ELSE 0 END
+        |           + COALESCE(c3.cin, 0) AS r
+        |       FROM r2 LEFT JOIN c3 ON c3.v = r2.v)
+        |SELECT v AS c_custkey, CAST(r AS BIGINT) AS tr_nano
+        |FROM r3 ORDER BY c_custkey""".stripMargin,
 
     // C4 cleaning replayed: same prep, list_filter line predicate,
     // replace-based sentence counting — all exact strings/ints

@@ -168,6 +168,118 @@ object Graph {
       .select(col("__v").as(srcCol), col("triangles"))
   }
 
+  /** TrustRank (Gyöngyi et al. 2004): [[pageRank]] with the teleport
+    * mass restricted to a trusted SEED set — the standard "propagate
+    * quality from vetted sources through the link structure" signal for
+    * corpus curation (seeds = curated domains/documents; low TrustRank
+    * far from any seed = likely spam/SEO content).
+    *
+    *   r₀(v)    = Scale·[v ∈ S]
+    *   rₖ₊₁(v) = ⌊(1−d)·Scale⌋·[v ∈ S] + Σ_{u ~ v} ⌊⌊d_num·rₖ(u)/d_den⌋/deg(u)⌋
+    *
+    * Same integer-exact contract, per-iteration shape, and overflow
+    * headroom as [[pageRank]] (which is the special case S = V).
+    *
+    * @param seeds single-column frame of trusted vertex ids (its FIRST
+    *              column is read; extra rows not in `vertices` are
+    *              ignored by the join)
+    */
+  def trustRank(vertices: DataFrame, pairs: DataFrame, idCol: String,
+      idCol2: String, seeds: DataFrame, iterations: Int = 3,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
+      s"damping must be in (0, 1), got $dampNum/$dampDen")
+    val base = (dampDen - dampNum) * Scale / dampDen
+    val seedIds = seeds.select(col(seeds.columns.head).as("__v"))
+      .distinct()
+    // one frame carrying the seed flag — referenced every iteration
+    val ids = vertices.select(col(idCol).as("__v")).distinct()
+      .join(seedIds.select(col("__v"), lit(1L).as("__s")),
+        Seq("__v"), "left_outer")
+      .select(col("__v"), coalesce(col("__s"), lit(0L)).as("__seed"))
+      .localCheckpoint(true)
+    val sym = pairs
+      .select(col(idCol).as("__src"), col(idCol2).as("__dst"))
+      .unionAll(pairs.select(col(idCol2).as("__src"),
+        col(idCol).as("__dst")))
+      .where(col("__src") =!= col("__dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    var ranks = ids.select(col("__v"), (col("__seed") * Scale).as("__r"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = sym
+        .join(ranks, col("__src") === col("__v"))
+        .join(deg, "__src")
+        .select(col("__dst"),
+          expr(s"((__r * $dampNum) div $dampDen) div __deg").as("__c"))
+        .groupBy(col("__dst")).agg(sum(col("__c")).as("__in"))
+      ranks = ids
+        .join(contrib, col("__v") === col("__dst"), "left_outer")
+        .select(col("__v"),
+          (col("__seed") * base + coalesce(col("__in"), lit(0L)))
+            .as("__r"))
+      i += 1
+      if (i % 10 == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("__v").as(idCol), col("__r").as("rank"))
+  }
+
+  /** k-core: the maximal subgraph where every vertex has degree >= k —
+    * the density filter for link graphs (a near-dup cluster's k-core is
+    * its template heart; chainy false-positive bridges peel away). The
+    * standard iterative peel: drop vertices with degree < k, recompute,
+    * repeat until a fixpoint. Each round is one degree aggregation plus
+    * two keep-list hash joins over the surviving edge frame (which only
+    * shrinks); the fixpoint test is a 1-long count action per round.
+    * Rounds are data-bounded (the graph's degeneracy peel depth), capped
+    * by `maxRounds` — at the cap the PARTIAL peel is returned, still a
+    * pure function of (edges, k, maxRounds), exact and oracle-able.
+    *
+    * Pure integer counting => hash-oracled against an unrolled SQL
+    * re-derivation (extra unrolled rounds past the fixpoint are no-ops).
+    *
+    * @return (idCol, degree) for k-core members — degree WITHIN the core
+    */
+  def kCore(pairs: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 256,
+      s"maxRounds must be in [1, 256], got $maxRounds")
+    var edges = pairs
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .where(col("__a") =!= col("__b") && col("__a").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val deg = edges.select(col("__a").as("__v"))
+        .unionAll(edges.select(col("__b").as("__v")))
+        .groupBy(col("__v")).agg(count(lit(1)).as("__dg"))
+        .localCheckpoint(true) // read 3×: the fixpoint count + two joins
+      if (deg.where(col("__dg") < k).isEmpty) done = true
+      else {
+        val keep = deg.where(col("__dg") >= k)
+        edges = edges
+          .join(keep.select(col("__v").as("__a")), "__a")
+          .join(keep.select(col("__v").as("__b")), "__b")
+          .select(col("__a"), col("__b"))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    edges.select(col("__a").as("__v"))
+      .unionAll(edges.select(col("__b").as("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as("degree"))
+      .select(col("__v").as(srcCol), col("degree"))
+  }
+
   /** Deterministic synchronous label propagation (Raghavan et al. 2007)
     * over an undirected pair frame — the lightweight community detector
     * beside [[Dedup.connectedComponents]]: components merge ANY linked

@@ -197,6 +197,71 @@ class GraphSpec extends SparkTestBase {
     assert(shuffled === refLpa(vs, es, 4))
   }
 
+  // ---------- k-core ----------
+
+  private def coreOf(es: Seq[(Long, Long)], k: Int,
+      maxRounds: Int = 64): Map[Long, Long] =
+    Graph.kCore(es.toDF("id", "id2"), "id", "id2", k, maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kcore: pendant chain peels away, the triangle core survives") {
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    // round 1 drops 5 (degree 1), round 2 drops the now-pendant 4
+    assert(coreOf(es, 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kcore: K4 is its own 3-core; the 4-core is empty") {
+    val es = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(coreOf(es.toSeq, 3) ===
+      (1L to 4L).map(_ -> 3L).toMap)
+    assert(coreOf(es.toSeq, 4) === Map.empty)
+  }
+
+  test("kcore: maxRounds returns the exact partial peel") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // one round removes only the endpoints; the middle survives
+    assert(coreOf(path, 2, maxRounds = 1) ===
+      Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+    assert(coreOf(path, 2) === Map.empty) // full peel: a path has no 2-core
+  }
+
+  test("kcore: duplicate/reversed/self edges normalize; repartition-" +
+      "invariant") {
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 3L),
+      (1L, 2L))
+    assert(coreOf(es, 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val shuffled = Graph.kCore(es.toDF("id", "id2").repartition(7),
+      "id", "id2", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  // ---------- TrustRank ----------
+
+  private def trustOf(vs: Seq[Long], es: Seq[(Long, Long)],
+      seeds: Seq[Long], iters: Int): Map[Long, Long] =
+    Graph.trustRank(vs.toDF("id"), es.toDF("id", "id2"), "id", "id2",
+      seeds.toDF("id"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("trustrank: seeding every vertex IS pageRank") {
+    val vs = Seq(1L, 2L, 3L, 4L)
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(trustOf(vs, es, vs, 3) === ranksOf(vs, es, 3))
+  }
+
+  test("trustrank: seed path closed form; non-seeds start from zero") {
+    val r = trustOf(Seq(1L, 2L), Seq((1L, 2L)), Seq(1L), 1)
+    // 2 gets ⌊⌊0.85·Scale⌋/1⌋ from the seed; the seed keeps only its
+    // base (nothing flows back from 2's zero start)
+    assert(r === Map(1L -> 150000000L, 2L -> 850000000L))
+  }
+
+  test("trustrank: isolated vertices — seed keeps base, non-seed stays 0") {
+    val r = trustOf(Seq(7L, 8L), Seq.empty, Seq(7L), 3)
+    assert(r === Map(7L -> 150000000L, 8L -> 0L))
+  }
+
   test("lpa: bridged triangles resolve to two communities") {
     val vs = (1L to 6L).toSeq
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
