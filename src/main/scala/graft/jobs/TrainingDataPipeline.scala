@@ -8,7 +8,9 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
 /** End-to-end LLM training-data pipeline: the composition a 100 TB corpus
   * actually runs, built entirely from this engine's operators —
   *
-  *   quality gate → exact dedup (fingerprint) → near-dup collapse
+  *   rule gates (C4 line cleaning + Gopher shape rules, opt-in for
+  *   punctuated corpora) → quality gate → exact dedup (fingerprint) →
+  *   near-dup collapse
   *   (MinHash LSH pairs → connected components → survivor selection) →
   *   duplicated-span removal (ExactSubstr) → benchmark decontamination
   *   (whole-doc gate, then span-surgical cuts) → DSIR target selection
@@ -35,6 +37,7 @@ object TrainingDataPipeline {
     */
   case class StageCounts(
       input: Long,
+      afterRuleGates: Long,
       afterQuality: Long,
       afterExactDedup: Long,
       afterNearDup: Long,
@@ -59,6 +62,8 @@ object TrainingDataPipeline {
       bench: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
+      c4Clean: Boolean = false,
+      gopherRules: Boolean = false,
       minQuality: Double = 0.3,
       jaccardThreshold: Double = 0.8,
       maxOverlap: Double = 0.5,
@@ -75,8 +80,28 @@ object TrainingDataPipeline {
 
     val input = docs.count()
 
+    // 0. rule-based gates (both map-only, both opt-in — they assume
+    // punctuated, line-structured text, which not every corpus has):
+    // C4 line cleaning REWRITES the text to its surviving lines and
+    // drops pages failing the sentence/flag rules; the Gopher battery
+    // then drops documents failing the shape rules on the CLEANED text.
+    val c4ed = if (c4Clean) {
+      val c = graft.functions.GraftFunctions
+        .c4Stats(coalesce(col(textCol), lit("")))
+      docs.withColumn("__c4", c)
+        .where(col("__c4.keep"))
+        .withColumn(textCol, col("__c4.clean_text"))
+        .drop("__c4")
+    } else docs
+    val ruleGated = if (gopherRules)
+      c4ed.where(graft.functions.GraftFunctions
+        .gopherQuality(coalesce(col(textCol), lit(""))).getField("keep"))
+    else c4ed
+    val nRuleGated =
+      if (c4Clean || gopherRules) ruleGated.count() else input
+
     // 1. quality gate (map-only)
-    val quality = docs
+    val quality = ruleGated
       .where(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
     val nQuality = quality.count()
 
@@ -159,7 +184,8 @@ object TrainingDataPipeline {
       .withColumnRenamed("col", "chunk_text")
     val nChunks = chunked.count()
 
-    (chunked, StageCounts(input, nQuality, nExact, nNear, spanDropped,
+    (chunked, StageCounts(input, nRuleGated, nQuality, nExact, nNear,
+      spanDropped,
       nClean, surgicalDropped, nSelected, splitCounts, nChunks))
   }
 }

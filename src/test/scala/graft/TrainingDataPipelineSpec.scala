@@ -93,6 +93,42 @@ class TrainingDataPipelineSpec extends SparkTestBase {
     assert(counts.splitCounts.values.sum === 3)
   }
 
+  test("opt-in rule gates: C4 rewrites pages to surviving lines and " +
+      "drops thin pages; Gopher shape rules drop short documents") {
+    // 12-token sentences with sentence-unique vocabulary (no repeated
+    // 8-gram can exist, so the span stage stays out of the accounting)
+    def sentence(i: Int): String =
+      s"the s${i}ax s${i}bx s${i}cx s${i}dx s${i}ex s${i}fx s${i}gx " +
+        s"s${i}hx s${i}ix of s$i." // mean word length 3.75, inside [3, 10]
+    val body1 = (1 to 5).map(sentence).mkString("\n")   // 60 words, clean
+    val body4 = (6 to 10).map(sentence).mkString("\n")
+    val docs = Seq(
+      (1L, body1),
+      (2L, "only two sentences here.\nanother short one here."), // < 5
+      (3L, (1 to 5).map(i => s"t${i}x t${i}y t${i}z.").mkString("\n")),
+      // 5 sentences but 15 words — C4 keeps it, Gopher's 50-word floor
+      // drops it
+      (4L, body4 + "\nplease enable javascript to view this.")
+    ).toDF("doc_id", "text")
+    val bench = Seq("benchmark phrase that matches nothing").toDF("text")
+
+    val (chunks, counts) = TrainingDataPipeline.run(docs, bench,
+      c4Clean = true, gopherRules = true, minQuality = 0.0,
+      jaccardThreshold = 0.9, maxOverlap = 0.9)
+
+    assert(counts.input === 4)
+    assert(counts.afterRuleGates === 2) // 2 too thin for C4, 3 for Gopher
+    assert(counts.afterQuality === 2 && counts.afterNearDup === 2)
+    assert(counts.spanTokensDropped === 0)
+    val kept = chunks.select("doc_id").distinct().as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+    // the javascript line was cut by the C4 REWRITE, not a page drop
+    val t4 = chunks.where($"doc_id" === 4L)
+      .agg(concat_ws(" ", collect_list("chunk_text"))).as[String].head
+    assert(!t4.toLowerCase.contains("javascript"))
+    assert(t4.contains("s6ax"))
+  }
+
   test("DSIR selection keeps the most target-like docs and the split " +
       "keeps gray-zone near-dups together") {
     val sci = "journal article about the science of proteins and cells " +
