@@ -60,6 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_png_decode",
       es => graft.operators.Multimodal.PngDecodeExpr(
         QSketchCodec.arity(es, 1, "graft_png_decode").head)))
+    ext.injectFunction(fn("graft_wav_encode",
+      es => graft.operators.Multimodal.WavEncodeExpr(
+        QSketchCodec.arity(es, 4, "graft_wav_encode"))))
+    ext.injectFunction(fn("graft_wav_decode",
+      es => graft.operators.Multimodal.WavDecodeExpr(
+        QSketchCodec.arity(es, 1, "graft_wav_decode").head)))
     ext.injectFunction(fn("graft_jaccard", es => JaccardLong(es(0), es(1))))
     ext.injectFunction(fn("graft_overlap", es => OverlapLong(es(0), es(1))))
     ext.injectFunction(fn("graft_simhash64", es => SimHash64(es.head)))

@@ -1756,6 +1756,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: REAL WAV decode (RIFF chunk walk + signed LE
+    // 16-bit PCM sample sum) — the audio format beside mm2's BMP and
+    // mm2b's PNG. Payloads are wrapping-ramp PCM built per doc, so the
+    // sample sum depends on every sample position; the oracle
+    // re-derives it arithmetically. Opaque payloads route to None/stub.
+    "mm4_wav_decode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("payload", Multimodal.wavEncode(
+          (lit(1) + col("doc_id") % 2).cast("int"),
+          (lit(8000) + (col("doc_id") % 3) * 4000).cast("int"),
+          (lit(1) + col("doc_id") % 9).cast("int"),
+          (col("doc_id") % 65521).cast("int")))
+        .withColumn("au", Multimodal.wavDecode(col("payload")))
+      d.select(col("doc_id"), col("au.channels").as("channels"),
+          col("au.sample_rate").as("sample_rate"),
+          col("au.bits").as("bits"),
+          col("au.n_frames").as("n_frames"),
+          col("au.sample_sum").as("sample_sum"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text: corpus top-k terms (explode + count + top-k) ----
     "t7_top_terms" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -4806,6 +4827,23 @@ object SparkEntry {
         |    AS pixel_sum
         |FROM documents, g
         |WHERE g.i < 1 + doc_id % 13 AND g.j < 1 + doc_id % 7
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // ramp-PCM sample sum re-derived arithmetically: the decoder only
+    // sees RIFF bytes, so matching the per-position signed sum proves a
+    // real chunk walk + LE int16 sample scan (seed wrap included)
+    "mm4_wav_decode" ->
+      """WITH k AS (SELECT unnest(range(18)) AS i)
+        |SELECT doc_id,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |  16 AS bits,
+        |  CAST(1 + doc_id % 9 AS BIGINT) AS n_frames,
+        |  CAST(SUM((doc_id % 65521 + k.i) % 65536)
+        |    - 32768 * (1 + doc_id % 2) * (1 + doc_id % 9) AS BIGINT)
+        |    AS sample_sum
+        |FROM documents, k
+        |WHERE k.i < (1 + doc_id % 2) * (1 + doc_id % 9)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // frame sampling is deterministic byte arithmetic; the corpus is

@@ -1700,6 +1700,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_png_decode",
       es => graft.operators.Multimodal.PngDecodeExpr(
         QSketchCodec.arity(es, 1, "graft_png_decode").head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_wav_encode",
+      es => graft.operators.Multimodal.WavEncodeExpr(
+        QSketchCodec.arity(es, 4, "graft_wav_encode")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_wav_decode",
+      es => graft.operators.Multimodal.WavDecodeExpr(
+        QSketchCodec.arity(es, 1, "graft_wav_decode").head), "scala_udf")
     // graft_freq_items(item, capacity) — capacity must be a literal; the
     // analyzer wraps the returned AggregateFunction in AggregateExpression
     reg.createOrReplaceTempFunction("graft_freq_items",

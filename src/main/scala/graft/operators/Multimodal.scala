@@ -408,6 +408,165 @@ object Multimodal {
   def pngDecode(payload: Column): Column =
     SparkShim.toColumn(PngDecodeExpr(SparkShim.toExpression(payload)))
 
+  // ---------- real WAV codec (RIFF/WAVE, 16-bit PCM) ----------
+
+  /** Decoded facts of a parsed PCM WAV. `sampleSum` is the sum of every
+    * signed 16-bit sample across channels — the audio analog of the
+    * image pixel sums: exact arithmetic over the payload a header-only
+    * shortcut cannot produce.
+    */
+  case class WavInfo(channels: Int, sampleRate: Int, bits: Int,
+      nFrames: Long, sampleSum: Long)
+
+  /** Build a valid RIFF/WAVE file, 16-bit PCM: sample k (frame-major,
+    * channel-minor) = ((seed + k) mod 65536) − 32768 — a wrapping ramp,
+    * so the sum depends on every sample position. Fixture-generator
+    * role; real ingested WAVs decode through [[parseWav]] the same way.
+    */
+  private[graft] def encodeWav(channels: Int, sampleRate: Int,
+      frames: Int, seed: Int): Array[Byte] = {
+    require(channels > 0 && channels <= 16 && frames > 0 && sampleRate > 0,
+      s"bad WAV params: channels=$channels rate=$sampleRate frames=$frames")
+    val n = channels.toLong * frames
+    require(n * 2 <= Int.MaxValue - 44, s"WAV too large: $n samples")
+    val dataSize = (n * 2).toInt
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1)                         // PCM
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * channels * 2)   // byte rate
+    b.putShort((channels * 2).toShort)    // block align
+    b.putShort(16)                        // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var k = 0L
+    while (k < n) {
+      val v = ((seed + k) % 65536 - 32768).toShort
+      b.putShort(v)
+      k += 1
+    }
+    b.array()
+  }
+
+  /** Parse a RIFF/WAVE 16-bit PCM payload: walk the chunk list (any
+    * order, unknown chunks skipped), read `fmt `, then sum the signed
+    * little-endian samples of `data`. Returns None — not an exception —
+    * for anything else (wrong magic, non-PCM, truncated or adversarial
+    * chunk sizes), so callers route opaque payloads to the fallback.
+    */
+  private[graft] def parseWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (bytes == null || bytes.length < 44) return None
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(at: Int): String =
+      new String(bytes, at, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var channels = 0
+    var rate = 0
+    var bits = 0
+    var fmtOk = false
+    var dataAt = -1
+    var dataLen = 0
+    // every read is bounds-checked against the REAL buffer, not the
+    // declared RIFF size — adversarial chunk lengths route to None
+    while (pos + 8 <= bytes.length && (dataAt < 0 || !fmtOk)) {
+      val id = tag(pos)
+      val len = b.getInt(pos + 4)
+      // Long arithmetic: an adversarial length near Int.MaxValue would
+      // wrap the Int bound check negative and slip past it
+      if (len < 0 || pos.toLong + 8 + len > bytes.length) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        val audioFormat = b.getShort(pos + 8)
+        channels = b.getShort(pos + 10)
+        rate = b.getInt(pos + 12)
+        bits = b.getShort(pos + 22)
+        if (audioFormat != 1 || channels <= 0 || rate <= 0 || bits != 16)
+          return None
+        fmtOk = true
+      } else if (id == "data") {
+        dataAt = pos + 8
+        dataLen = len
+      }
+      pos += 8 + len + (len & 1) // RIFF chunks pad to even offsets
+    }
+    if (!fmtOk || dataAt < 0 || dataLen % 2 != 0) return None
+    val n = dataLen / 2
+    if (n % channels != 0) return None
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += b.getShort(dataAt + i * 2); i += 1 }
+    Some(WavInfo(channels, rate, bits, n.toLong / channels, sum))
+  }
+
+  /** Catalyst expression over [[encodeWav]]:
+    * `(channels int, sample_rate int, frames int, seed int) → binary`.
+    */
+  case class WavEncodeExpr(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    require(children.length == 4,
+      "wav_encode takes (channels, sampleRate, frames, seed)")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType == IntegerType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int, int, int, int)")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_wav_encode"
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) null
+      else encodeWav(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
+        vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int])
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): WavEncodeExpr =
+      copy(children = newChildren)
+  }
+
+  /** Catalyst expression over [[parseWav]]: `binary →
+    * struct<channels int, sample_rate int, bits int, n_frames bigint,
+    * sample_sum bigint>`, null for payloads that are not 16-bit PCM
+    * WAV (route those to the stub fallback).
+    */
+  case class WavDecodeExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary")
+    override def dataType: DataType = StructType(Seq(
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("sample_sum", LongType)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_wav_decode"
+    override def nullSafeEval(bytes: Any): Any =
+      parseWav(bytes.asInstanceOf[Array[Byte]]) match {
+        case Some(w) => InternalRow(w.channels, w.sampleRate, w.bits,
+          w.nFrames, w.sampleSum)
+        case None => null
+      }
+    override protected def withNewChildInternal(
+        newChild: Expression): WavDecodeExpr = copy(child = newChild)
+  }
+
+  /** Column wrapper: build a 16-bit PCM WAV payload. */
+  def wavEncode(channels: Column, sampleRate: Column, frames: Column,
+      seed: Column): Column =
+    SparkShim.toColumn(WavEncodeExpr(Seq(channels, sampleRate, frames,
+      seed).map(SparkShim.toExpression)))
+
+  /** Column wrapper: parse a 16-bit PCM WAV payload (null if not one). */
+  def wavDecode(payload: Column): Column =
+    SparkShim.toColumn(WavDecodeExpr(SparkShim.toExpression(payload)))
+
   /** ======== STUB ======== deterministic "resize": clamps the stub
     * dimensions — placeholder for a real resample kernel.
     */

@@ -29,7 +29,8 @@ class ExtensionsSpec extends SparkTestBase {
       // image codecs round-trip through pure SQL
       val img = s2.sql(
         """SELECT graft_bmp_decode(graft_bmp_encode(3, 2, 10, false)) AS b,
-          |       graft_png_decode(graft_png_encode(3, 2, 10)) AS p
+          |       graft_png_decode(graft_png_encode(3, 2, 10)) AS p,
+          |       graft_wav_decode(graft_wav_encode(2, 8000, 3, 5)) AS w
           |""".stripMargin).head
       val b = img.getStruct(0)
       assert(b.getInt(0) === 3 && b.getInt(1) === 2)
@@ -39,6 +40,11 @@ class ExtensionsSpec extends SparkTestBase {
       // gradient sum: 3 * sum over (x,y) of (10+x+y)
       assert(p.getLong(2) ===
         3L * (for (x <- 0 until 3; y <- 0 until 2) yield 10 + x + y).sum)
+      val w = img.getStruct(2)
+      assert(w.getInt(0) === 2 && w.getInt(1) === 8000 && w.getInt(2) === 16)
+      // ramp sum over 6 samples from seed 5
+      assert(w.getLong(3) === 3L &&
+        w.getLong(4) === (0 until 6).map(k => 5 + k - 32768L).sum)
 
       // the injected planner strategy plans AsOfJoinNode declaratively
       // (no experimental.extraStrategies registration in this session)

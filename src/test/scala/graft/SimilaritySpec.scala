@@ -440,6 +440,55 @@ class SimilaritySpec extends SparkTestBase {
     assert(imgs(2L).width !== 0, "opaque payload must fall back to stub")
   }
 
+  test("WAV codec: ramp encode/parse roundtrip, chunk-walker hardening, " +
+      "and non-WAV rejection") {
+    def rampSum(channels: Int, frames: Int, seed: Int): Long =
+      (0L until channels.toLong * frames)
+        .map(k => (seed + k) % 65536 - 32768).sum
+    for (ch <- Seq(1, 2, 3); fr <- Seq(1, 9, 40); seed <- Seq(0, 7, 65520)) {
+      val info = Multimodal.parseWav(
+        Multimodal.encodeWav(ch, 8000, fr, seed)).getOrElse(
+        fail(s"valid WAV ch=$ch frames=$fr seed=$seed did not parse"))
+      assert(info.channels === ch && info.sampleRate === 8000 &&
+        info.bits === 16 && info.nFrames === fr)
+      // the wrapping ramp makes the sum position-dependent: only a real
+      // sample walk reproduces it (seed 65520 exercises the wrap)
+      assert(info.sampleSum === rampSum(ch, fr, seed))
+    }
+    assert(Multimodal.parseWav(null).isEmpty)
+    assert(Multimodal.parseWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseWav(
+      ("RIFFxxxxNOPE" + "y" * 40).getBytes("US-ASCII")).isEmpty)
+    val truncated = Multimodal.encodeWav(2, 8000, 40, 7).take(60)
+    assert(Multimodal.parseWav(truncated).isEmpty,
+      "truncated data chunk must be rejected, not over-read")
+    // adversarial chunk length near Int.MaxValue: Int arithmetic would
+    // wrap the bounds check negative and read out of bounds
+    val evil = Multimodal.encodeWav(1, 8000, 4, 7)
+    java.nio.ByteBuffer.wrap(evil)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue - 4)
+    assert(Multimodal.parseWav(evil).isEmpty,
+      "overflowing chunk length must be rejected")
+    // the three native parsers cannot shadow each other
+    assert(Multimodal.parseWav(
+      Multimodal.encodeBmp(4, 4, 9, topDown = false)).isEmpty)
+    assert(Multimodal.parseBmp(Multimodal.encodeWav(1, 8000, 4, 7)).isEmpty)
+    assert(Multimodal.parsePng(Multimodal.encodeWav(1, 8000, 4, 7)).isEmpty)
+    // column expressions: decode(encode(...)) over a DataFrame
+    val decoded = spark.range(1, 50).select(col("id"),
+        Multimodal.wavDecode(Multimodal.wavEncode(
+          (lit(1) + col("id") % 2).cast("int"), lit(8000),
+          (lit(1) + col("id") % 9).cast("int"),
+          (col("id") % 65521).cast("int"))).as("au"))
+      .select(col("id"), col("au.channels"), col("au.n_frames"),
+        col("au.sample_sum")).as[(Long, Int, Long, Long)].collect()
+    decoded.foreach { case (id, ch, fr, sum) =>
+      assert(ch === 1 + (id % 2).toInt && fr === 1 + (id % 9))
+      assert(sum === rampSum(ch, fr.toInt, (id % 65521).toInt))
+    }
+  }
+
   test("PNG codec: gradient encode/decode roundtrip, non-PNG rejection, " +
       "and native routing in decodeImages") {
     def gradSum(w: Int, h: Int, fill: Int): Long =
