@@ -2068,6 +2068,22 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- graph: multi-source BFS hop distance from the TrustRank
+    // seed set — "how many links from any vetted source?" Frontier
+    // propagation with early exit; ≤-8-hop relaxation contract, NULL
+    // beyond; hash-oracled against an unrolled SQL relaxation.
+    "g9_seed_distance" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val pairs = customerLinkagePairs(s, dir)
+        .select(col("c_custkey"), col("c_custkey_2"))
+      Graph.seedDistance(cust.select(col("c_custkey")), pairs,
+        "c_custkey", "c_custkey_2",
+        seeds = cust.where(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey")),
+        maxHops = 8)
+        .orderBy("c_custkey")
+    }),
+
     // ---- sketch: Misra-Gries frequent items (native mergeable
     // TypedImperativeAggregate). The sketch path for t7's question: each
     // task keeps `capacity` counters and the shuffle carries one sketch
@@ -3078,12 +3094,54 @@ object SparkEntry {
        |GROUP BY v ORDER BY c_custkey""".stripMargin
   }
 
+  /** g9's oracle: the ≤-maxHops min-distance relaxation unrolled —
+    * round i takes the min of round i−1 and one more edge step. BFS
+    * frontier propagation computes exactly this set of distances.
+    */
+  private val seedDistOracle: String = {
+    def step(i: Int): String = {
+      val p = i - 1
+      s"""s$i AS MATERIALIZED (SELECT v, MIN(d) AS d FROM (
+         |    SELECT v, d FROM s$p
+         |    UNION ALL SELECT e.dst AS v, s.d + 1 AS d
+         |    FROM edges e JOIN s$p s ON e.src = s.v) GROUP BY v)""".stripMargin
+    }
+    val n = 8
+    s"""WITH lp AS MATERIALIZED (
+       |  SELECT a.c_custkey AS v1, b.c_custkey AS v2
+       |  FROM customer a JOIN customer b
+       |    ON a.c_nationkey = b.c_nationkey
+       |    AND a.c_mktsegment = b.c_mktsegment
+       |    AND a.c_custkey < b.c_custkey
+       |  WHERE CAST(
+       |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 IS NULL THEN 0.0
+       |          WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 4.0
+       |          ELSE -1.0 END)
+       |    + (CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+       |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 IS NULL THEN 0.0
+       |            WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+       |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 THEN 2.5
+       |            ELSE -0.5 END)
+       |  AS DOUBLE) >= 3.0),
+       |edges AS MATERIALIZED (SELECT v1 AS src, v2 AS dst FROM lp
+       |          UNION SELECT v2, v1 FROM lp),
+       |s0 AS MATERIALIZED (SELECT c_custkey AS v, 0 AS d FROM customer
+       |  WHERE c_custkey % 10 = 0),
+       |${(1 to n).map(step).mkString(",\n")}
+       |SELECT c.c_custkey, CAST(s$n.d AS INT) AS hops
+       |FROM customer c LEFT JOIN s$n ON s$n.v = c.c_custkey
+       |ORDER BY c.c_custkey""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // full Gopher battery replayed (generated per n — see gopherOracle)
     "t25_gopher" -> gopherOracle,
 
     // k-core replayed (generated unrolled peel — see kcoreOracle)
     "g7_kcore" -> kcoreOracle,
+
+    // seed distance replayed (generated relaxation — see seedDistOracle)
+    "g9_seed_distance" -> seedDistOracle,
 
     // TrustRank replayed: g3's integer power iteration with r0 and the
     // base term gated on the seed predicate (c_custkey % 10 = 0)

@@ -229,6 +229,63 @@ object Graph {
     ranks.select(col("__v").as(idCol), col("__r").as("rank"))
   }
 
+  /** Multi-source BFS hop distance from a seed set, capped at `maxHops`
+    * — [[trustRank]]'s structural sibling (how many links from any
+    * vetted source is this record?), the standard spam-distance /
+    * crawl-depth signal. Returns every vertex with its minimum hop
+    * count to a seed, NULL when no seed is within `maxHops` — i.e. the
+    * ≤-maxHops relaxation, a pure function of (edges, seeds, maxHops)
+    * that an unrolled SQL re-derivation reproduces exactly.
+    *
+    * Scale shape: classic frontier BFS — each round joins ONLY the
+    * newly-settled frontier (not the whole settled set) to the edge
+    * frame, anti-joins out already-settled vertices, and stops early on
+    * an empty frontier (one 1-long count action per round). Work is
+    * O(edges touched per level), the same discipline as
+    * [[Dedup.connectedComponents]]'s frontier variants.
+    *
+    * @param seeds single-column frame of seed vertex ids
+    * @return (idCol, hops) — hops is NULL for unreached vertices
+    */
+  def seedDistance(vertices: DataFrame, pairs: DataFrame, idCol: String,
+      idCol2: String, seeds: DataFrame, maxHops: Int = 8): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64,
+      s"maxHops must be in [1, 64], got $maxHops")
+    val ids = vertices.select(col(idCol).as("__v")).distinct()
+      .localCheckpoint(true)
+    val sym = pairs
+      .select(col(idCol).as("__src"), col(idCol2).as("__dst"))
+      .unionAll(pairs.select(col(idCol2).as("__src"),
+        col(idCol).as("__dst")))
+      .where(col("__src") =!= col("__dst"))
+      .distinct()
+      .localCheckpoint(true)
+    // seeds outside the vertex set must not leak into the output
+    var settled = ids.join(
+      seeds.select(col(seeds.columns.head).as("__v")).distinct(), "__v")
+      .select(col("__v"), lit(0).as("__d"))
+      .localCheckpoint(true)
+    var frontier = settled
+    var hop = 0
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val next = sym
+        .join(frontier, col("__src") === col("__v"))
+        .select(col("__dst").as("__v")).distinct()
+        .join(settled.select(col("__v")), Seq("__v"), "left_anti")
+        .select(col("__v"), lit(hop).as("__d"))
+        .localCheckpoint(true) // read 3×: emptiness, union, next frontier
+      if (next.isEmpty) exhausted = true
+      else {
+        settled = settled.unionAll(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    ids.join(settled, Seq("__v"), "left_outer")
+      .select(col("__v").as(idCol), col("__d").as("hops"))
+  }
+
   /** k-core: the maximal subgraph where every vertex has degree >= k —
     * the density filter for link graphs (a near-dup cluster's k-core is
     * its template heart; chainy false-positive bridges peel away). The

@@ -262,6 +262,50 @@ class GraphSpec extends SparkTestBase {
     assert(r === Map(7L -> 150000000L, 8L -> 0L))
   }
 
+  // ---------- seed distance ----------
+
+  private def distOf(vs: Seq[Long], es: Seq[(Long, Long)],
+      seeds: Seq[Long], maxHops: Int = 8): Map[Long, Option[Int]] =
+    Graph.seedDistance(vs.toDF("id"), es.toDF("id", "id2"), "id", "id2",
+      seeds.toDF("id"), maxHops)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+
+  test("seed distance: path graph BFS closed form with NULL past the cap") {
+    val vs = (1L to 6L).toSeq
+    val es = (1L to 5L).map(i => (i, i + 1))
+    assert(distOf(vs, es, Seq(1L)) === Map(1L -> Some(0), 2L -> Some(1),
+      3L -> Some(2), 4L -> Some(3), 5L -> Some(4), 6L -> Some(5)))
+    assert(distOf(vs, es, Seq(1L), maxHops = 3) === Map(1L -> Some(0),
+      2L -> Some(1), 3L -> Some(2), 4L -> Some(3), 5L -> None, 6L -> None))
+  }
+
+  test("seed distance: multi-source takes the MIN; isolated and " +
+      "unknown seeds handled") {
+    val vs = (1L to 5L).toSeq ++ Seq(9L) // 9 isolated
+    val es = (1L to 4L).map(i => (i, i + 1))
+    // seeds at both ends + a seed id not in the vertex set (ignored)
+    val r = distOf(vs, es, Seq(1L, 5L, 77L))
+    assert(r === Map(1L -> Some(0), 2L -> Some(1), 3L -> Some(2),
+      4L -> Some(1), 5L -> Some(0), 9L -> None))
+  }
+
+  test("seed distance: early exit on exhausted frontier is exact and " +
+      "repartition-invariant") {
+    // two components; seeds only reach one of them
+    val vs = (1L to 6L).toSeq
+    val es = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L))
+    val want = Map(1L -> Some(0), 2L -> Some(1), 3L -> Some(2),
+      4L -> None, 5L -> None, 6L -> None)
+    assert(distOf(vs, es, Seq(1L), maxHops = 64) === want)
+    val shuffled = Graph.seedDistance(vs.toDF("id"),
+      es.toDF("id", "id2").repartition(7), "id", "id2",
+      Seq(1L).toDF("id"), 64)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(shuffled === want)
+  }
+
   test("lpa: bridged triangles resolve to two communities") {
     val vs = (1L to 6L).toSeq
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
