@@ -107,6 +107,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => graft.functions.CmUnion(es.head, es(1))))
     ext.injectFunction(fn("graft_cm_estimate",
       es => graft.functions.CmEstimate(es.head, es(1))))
+    ext.injectFunction(fn("graft_theta",
+      es => graft.functions.ThetaSketchAgg(
+        QSketchCodec.arity(es, 2, "graft_theta").head,
+        QSketchCodec.intArg(es, 1, "graft_theta"))))
+    ext.injectFunction(fn("graft_theta_merge",
+      es => graft.functions.ThetaMergeAgg(
+        QSketchCodec.arity(es, 1, "graft_theta_merge").head)))
+    ext.injectFunction(fn("graft_theta_estimate",
+      es => graft.functions.ThetaEstimate(
+        QSketchCodec.arity(es, 1, "graft_theta_estimate").head)))
+    ext.injectFunction(fn("graft_theta_setop",
+      es => {
+        val a = QSketchCodec.arity(es, 3, "graft_theta_setop")
+        graft.functions.ThetaSetOp(a.head, a(1), a(2))
+      }))
     ext.injectFunction(fn("graft_quantile_merge",
       es => graft.functions.QuantileMergeAgg(es.head)))
     ext.injectFunction(fn("graft_quantile_estimate",

@@ -1242,6 +1242,40 @@ object SparkEntry {
         .orderBy("seg")
     }),
 
+    // ---- A30: theta sketches — distinct counts WITH set algebra ----
+    // The fourth mergeable sketch family (HLL: distinct; Misra-Gries:
+    // which items; Count-Min: how often; theta: distinct AND
+    // intersect/difference across groups — "how many keys appear in
+    // BOTH segments", which HLL cannot answer). Run in the provably-
+    // exact regime (k=512 >= the 25-key domain => theta stays 1 and
+    // every estimate is the exact hash-set algebra), so build, merge
+    // rollup, AND both set ops get a cross-engine hash oracle; the
+    // lossy regime is bound-spec'd in ThetaSketchSpec.
+    "a30_theta" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.{theta, thetaEstimate, thetaMerge, thetaSetOp}
+      val perSeg = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(theta(col("c_nationkey").cast(StringType), 512).as("sk"))
+        .localCheckpoint(true) // 5-row frame read by 4 consumers
+      val ests = perSeg.select(col("seg"),
+        thetaEstimate(col("sk")).cast("long").as("nations"))
+      val all = perSeg.agg(thetaMerge(col("sk")).as("sk"))
+        .select(lit("__ALL__").as("seg"),
+          thetaEstimate(col("sk")).cast("long").as("nations"))
+      val bm = perSeg.where(col("seg") === "BUILDING")
+        .select(col("sk").as("a"))
+        .crossJoin(broadcast(perSeg.where(col("seg") === "MACHINERY")
+          .select(col("sk").as("b")))) // 1 row × 1 row
+      val inter = bm.select(lit("__B_AND_M__").as("seg"),
+        thetaEstimate(thetaSetOp(col("a"), col("b"), "intersect"))
+          .cast("long").as("nations"))
+      val diff = bm.select(lit("__B_NOT_M__").as("seg"),
+        thetaEstimate(thetaSetOp(col("a"), col("b"), "difference"))
+          .cast("long").as("nations"))
+      ests.unionByName(all).unionByName(inter).unionByName(diff)
+        .orderBy("seg")
+    }),
+
     // ---- W1: window functions (lag delta per key) ----
     "w1_window_lag" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -3142,6 +3176,23 @@ object SparkEntry {
 
     // seed distance replayed (generated relaxation — see seedDistOracle)
     "g9_seed_distance" -> seedDistOracle,
+
+    // theta exact regime: every estimate IS the distinct-set algebra
+    "a30_theta" ->
+      """WITH b AS (SELECT DISTINCT c_nationkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |m AS (SELECT DISTINCT c_nationkey FROM customer
+        |  WHERE c_mktsegment = 'MACHINERY')
+        |SELECT c_mktsegment AS seg,
+        |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS nations
+        |FROM customer GROUP BY 1
+        |UNION ALL SELECT '__ALL__',
+        |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) FROM customer
+        |UNION ALL SELECT '__B_AND_M__', CAST(COUNT(*) AS BIGINT) FROM b
+        |  WHERE c_nationkey IN (SELECT c_nationkey FROM m)
+        |UNION ALL SELECT '__B_NOT_M__', CAST(COUNT(*) AS BIGINT) FROM b
+        |  WHERE c_nationkey NOT IN (SELECT c_nationkey FROM m)
+        |ORDER BY seg""".stripMargin,
 
     // TrustRank replayed: g3's integer power iteration with r0 and the
     // base term gated on the seed predicate (c_custkey % 10 = 0)

@@ -1023,6 +1023,26 @@ object GraftFunctions {
     SparkShim.toColumn(CmUnion(
       SparkShim.toExpression(a), SparkShim.toExpression(b)))
 
+  /** Theta sketch aggregate (see [[ThetaSketchAgg]]). */
+  def theta(item: Column, k: Int): Column =
+    SparkShim.toColumn(ThetaSketchAgg(
+      SparkShim.toExpression(item), k).toAggregateExpression())
+
+  def thetaMerge(sketch: Column): Column =
+    SparkShim.toColumn(ThetaMergeAgg(
+      SparkShim.toExpression(sketch)).toAggregateExpression())
+
+  def thetaEstimate(sketch: Column): Column =
+    SparkShim.toColumn(ThetaEstimate(SparkShim.toExpression(sketch)))
+
+  /** Scalar set algebra over two sketches (see [[ThetaSetOp]]). */
+  def thetaSetOp(a: Column, b: Column, op: String): Column =
+    SparkShim.toColumn(ThetaSetOp(SparkShim.toExpression(a),
+      SparkShim.toExpression(b),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(op),
+        StringType)))
+
   def quantileMerge(sketch: Column): Column =
     SparkShim.toColumn(QuantileMergeAgg(
       SparkShim.toExpression(sketch)).toAggregateExpression())
@@ -1728,6 +1748,21 @@ object GraftFunctions {
       es => CmEstimate(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cm_union",
       es => CmUnion(es.head, es(1)), "scala_udf")
+    // mergeable theta sketches (distinct counts WITH set algebra)
+    reg.createOrReplaceTempFunction("graft_theta",
+      es => ThetaSketchAgg(QSketchCodec.arity(es, 2, "graft_theta").head,
+        QSketchCodec.intArg(es, 1, "graft_theta")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_theta_merge",
+      es => ThetaMergeAgg(
+        QSketchCodec.arity(es, 1, "graft_theta_merge").head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_theta_estimate",
+      es => ThetaEstimate(
+        QSketchCodec.arity(es, 1, "graft_theta_estimate").head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_theta_setop",
+      es => {
+        val a = QSketchCodec.arity(es, 3, "graft_theta_setop")
+        ThetaSetOp(a.head, a(1), a(2))
+      }, "scala_udf")
     // mergeable GK quantile sketches (eps optional, default 1e-4)
     reg.createOrReplaceTempFunction("graft_quantile_sketch",
       es => QuantileSketchAgg(es.head,

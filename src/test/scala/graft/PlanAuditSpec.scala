@@ -15,10 +15,12 @@ class PlanAuditSpec extends SparkTestBase {
   //    broadcasting a tiny query set
   //  - t10/t21/a27: broadcast a single-row aggregate (corpus size /
   //    merged sketch)
+  //  - a30_theta: 1-row x 1-row broadcast pairing of two group sketches
+  //    for the set-algebra demo
   private val allowed = Set(
     "a13_cross", "sim1_cosine_topk", "sim4_quantized_topk",
     "sim5_pq_topk", "sim5b_pq_exact", "sim7_pq_adc", "sim7b_adc_exact",
-    "t10_tfidf", "t21_chi2", "a27_cm_rollup")
+    "t10_tfidf", "t21_chi2", "a27_cm_rollup", "a30_theta")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
