@@ -1276,6 +1276,23 @@ object SparkEntry {
         .orderBy("seg")
     }),
 
+    // ---- A31: exact weighted quantiles per group — the smallest value
+    // whose cumulative weight reaches p of the total (quantity-weighted
+    // price points). Rational quantile points keep every threshold test
+    // exact decimal arithmetic => hash-oracled against the identical
+    // cumulative-weight SQL.
+    "a31_weighted_quantiles" -> ((s, dir) =>
+      Analytics.weightedQuantiles(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"),
+          col("l_quantity")),
+        "l_returnflag", "price", "l_quantity",
+        Seq(("p25", 1, 4), ("wmedian", 1, 2), ("p75", 3, 4)))
+        .select(col("l_returnflag"), col("p25").cast("double").as("p25"),
+          col("wmedian").cast("double").as("wmedian"),
+          col("p75").cast("double").as("p75"))
+        .orderBy("l_returnflag")),
+
     // ---- W1: window functions (lag delta per key) ----
     "w1_window_lag" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -3176,6 +3193,24 @@ object SparkEntry {
 
     // seed distance replayed (generated relaxation — see seedDistOracle)
     "g9_seed_distance" -> seedDistOracle,
+
+    // weighted quantiles replayed: same (group, value) pre-agg, same
+    // cumulative-weight windows, same exact rational threshold tests
+    "a31_weighted_quantiles" ->
+      """WITH byval AS (SELECT l_returnflag,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT l_returnflag, v,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM byval)
+        |SELECT l_returnflag,
+        |  CAST(MIN(CASE WHEN cw * 4 >= tw * 1 THEN v END) AS DOUBLE) AS p25,
+        |  CAST(MIN(CASE WHEN cw * 2 >= tw * 1 THEN v END) AS DOUBLE)
+        |    AS wmedian,
+        |  CAST(MIN(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS DOUBLE) AS p75
+        |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // theta exact regime: every estimate IS the distinct-set algebra
     "a30_theta" ->

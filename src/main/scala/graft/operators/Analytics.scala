@@ -438,6 +438,42 @@ object Analytics {
           count(when(inBand, lit(1)))).as(s"trimmed_avg_$measure"))
   }
 
+  /** Exact WEIGHTED quantiles per group: the p-quantile is the smallest
+    * value whose cumulative weight reaches p of the total — the
+    * token-weighted statistic a corpus pipeline needs (median quality
+    * weighted by token count, not per-document). Quantile points are
+    * RATIONALS (name, num, den) so the threshold test
+    * den·cum ≥ num·total stays exact decimal arithmetic end to end (a
+    * double p would put an ulp on the boundary and flip the picked
+    * value between engines). Scale shape: one (group, value)
+    * pre-aggregation shuffle (so ties collapse BEFORE the window and
+    * the result is independent of row order), one window over the
+    * distinct-value frame — not the corpus — and one min per group.
+    */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String,
+      points: Seq[(String, Int, Int)]): DataFrame = {
+    require(points.nonEmpty, "need at least one quantile point")
+    points.foreach { case (n, num, den) =>
+      require(num >= 0 && den > 0 && num <= den,
+        s"quantile $n must be a rational in [0, 1], got $num/$den")
+    }
+    val byVal = df.groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(sum(col(weightCol).cast(DecimalType(18, 2))).as("__w"))
+    val byValue = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__v"))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val cum = byVal
+      .withColumn("__cw", sum(col("__w")).over(byValue))
+      .withColumn("__tw", sum(col("__w")).over(whole))
+    val aggs = points.map { case (name, num, den) =>
+      min(when(col("__cw") * den >= col("__tw") * num, col("__v")))
+        .as(name)
+    }
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Z-order dimension builders (Z1) + the interleaved cluster value.
     * A z-value needs each dimension reduced to a small unsigned bucket
     * range; these two cover the common cases — a modular hash of an id

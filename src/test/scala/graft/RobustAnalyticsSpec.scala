@@ -86,4 +86,45 @@ class RobustAnalyticsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("integral weight"))
   }
+
+  // ---------- weighted quantiles ----------
+
+  private def wq(rows: Seq[(String, Int, Int)],
+      points: Seq[(String, Int, Int)]): Map[String, Seq[BigDecimal]] =
+    Analytics.weightedQuantiles(
+      rows.toDF("g", "v", "w"), "g", "v", "w", points)
+      .collect().map(r => r.getString(0) ->
+        (1 until r.length).map(i => BigDecimal(r.get(i).toString))).toMap
+
+  test("weighted quantiles: unit weights reduce to ordinary quantiles") {
+    val rows = (1 to 4).map(v => ("g", v, 1))
+    val r = wq(rows, Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)))
+    assert(r("g") === Seq(BigDecimal(1), BigDecimal(2), BigDecimal(3)))
+  }
+
+  test("weighted quantiles: a heavy value dominates every point and " +
+      "duplicate rows collapse like summed weights") {
+    val rows = Seq(("g", 10, 1), ("g", 20, 98), ("g", 30, 1))
+    val r = wq(rows, Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)))
+    assert(r("g") === Seq(20, 20, 20).map(BigDecimal(_)))
+    // (20, 98) split into 98 unit rows: same pre-aggregated frame
+    val split = Seq(("g", 10, 1), ("g", 30, 1)) ++
+      (1 to 98).map(_ => ("g", 20, 1))
+    assert(wq(split, Seq(("p50", 1, 2))) ===
+      Map("g" -> Seq(BigDecimal(20))))
+  }
+
+  test("weighted quantiles: per-group independence, p0/p1 endpoints, " +
+      "and input-order invariance") {
+    val rows = Seq(("a", 1, 1), ("a", 5, 3), ("b", 7, 2), ("b", 2, 2))
+    val pts = Seq(("lo", 0, 1), ("med", 1, 2), ("hi", 1, 1))
+    val r = wq(rows, pts)
+    assert(r("a") === Seq(1, 5, 5).map(BigDecimal(_)))
+    assert(r("b") === Seq(2, 2, 7).map(BigDecimal(_)))
+    assert(wq(scala.util.Random.shuffle(rows), pts) === r)
+    intercept[IllegalArgumentException] {
+      Analytics.weightedQuantiles(rows.toDF("g", "v", "w"), "g", "v", "w",
+        Seq(("bad", 3, 2)))
+    }
+  }
 }
