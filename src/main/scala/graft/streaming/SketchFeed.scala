@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
-import graft.functions.GraftFunctions.{cmUnion, countMin}
+import graft.functions.GraftFunctions.{cmUnion, countMin, theta, thetaSetOp}
 import graft.sources.VersionedTable
 
 /** Streaming sketch maintenance — a Count-Min sketch PER TIME WINDOW
@@ -79,6 +79,58 @@ object SketchFeed {
                 cmUnion(col("c.sk"), col("d.sk")).as("sk"))
             VersionedTable.upsert(s, merged, table, "w_start",
               txn = Some(("graft-cm-feed", batchId)))
+          }
+        } finally { delta.unpersist(false); () }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** [[startCountMin]]'s sibling for DISTINCT counts with set algebra: a
+    * theta sketch per window, same exactly-once upsert discipline. The
+    * stored rows answer any-span distinct counts (`graft_theta_merge` +
+    * estimate) and cross-window set questions ("how many keys appear in
+    * BOTH hours" via `graft_theta_setop`) without rescanning events.
+    * Replays and duplicates are free: theta insertion is idempotent, so
+    * a key seen twice in a window adds no mass.
+    */
+  def startTheta(
+      spark: SparkSession,
+      stream: DataFrame,
+      timeCol: String,
+      itemCol: String,
+      windowSeconds: Long,
+      k: Int,
+      table: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1")
+    val winUs = windowSeconds * 1000000L
+    VersionedTable.create(spark, table, tableSchema, ifNotExists = true)
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row],
+          batchId: Long) =>
+        val s = batch.sparkSession
+        val delta = batch.toDF()
+          .where(col(timeCol).isNotNull && col(itemCol).isNotNull)
+          .groupBy(expr(s"(unix_micros($timeCol) div ${winUs}L) * ${winUs}L")
+            .as("w_start"))
+          .agg(theta(col(itemCol).cast(StringType), k).as("sk"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!delta.isEmpty) {
+            val cur = VersionedTable.read(s, table)
+              .join(delta.select("w_start"), Seq("w_start"), "left_semi")
+            val merged = delta.alias("d")
+              .join(cur.alias("c"), Seq("w_start"), "left_outer")
+              .select(col("w_start"),
+                when(col("c.sk").isNull, col("d.sk"))
+                  .otherwise(thetaSetOp(col("c.sk"), col("d.sk"), "union"))
+                  .as("sk"))
+            VersionedTable.upsert(s, merged, table, "w_start",
+              txn = Some(("graft-theta-feed", batchId)))
           }
         } finally { delta.unpersist(false); () }
         ()
