@@ -1293,6 +1293,24 @@ object SparkEntry {
           col("p75").cast("double").as("p75"))
         .orderBy("l_returnflag")),
 
+    // ---- J12: interval coverage (gaps-and-islands) — merge each
+    // user's overlapping event intervals ([ts, ts + 60..659s), duration
+    // keyed on event_id) and report islands / covered span / longest
+    // island. Pure integer micros => hash-oracled against the identical
+    // running-max island derivation in SQL.
+    "j12_interval_coverage" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) +
+            (lit(60L) + col("event_id") % 600) * 1000000L).as("e"))
+      Analytics.intervalCoverage(iv, Seq("user_id"), "s", "e")
+        .select(col("user_id"), col("n_islands"),
+          col("covered").as("covered_us"),
+          col("max_island").as("max_island_us"))
+        .orderBy("user_id")
+    }),
+
     // ---- W1: window functions (lag delta per key) ----
     "w1_window_lag" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -3211,6 +3229,31 @@ object SparkEntry {
         |    AS wmedian,
         |  CAST(MIN(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS DOUBLE) AS p75
         |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // interval coverage replayed: same running-max island flags, same
+    // two-level aggregation — exact integer micros throughout
+    "j12_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (60 + event_id % 600) * 1000000 AS e
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |m AS (SELECT user_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |fl AS (SELECT user_id, s, e,
+        |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nf
+        |  FROM m),
+        |isl AS (SELECT user_id, s, e,
+        |    SUM(nf) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+        |  FROM fl),
+        |g AS (SELECT user_id, iid, MIN(s) AS i_s, MAX(e) AS i_e
+        |  FROM isl GROUP BY user_id, iid)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(i_e - i_s) AS BIGINT) AS covered_us,
+        |  CAST(MAX(i_e - i_s) AS BIGINT) AS max_island_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // theta exact regime: every estimate IS the distinct-set algebra
     "a30_theta" ->

@@ -438,6 +438,44 @@ object Analytics {
           count(when(inBand, lit(1)))).as(s"trimmed_avg_$measure"))
   }
 
+  /** Interval coverage per key: merge overlapping-or-touching
+    * `[start, end)` intervals into islands (the gaps-and-islands
+    * pattern — session coverage, machine uptime, time-in-state) and
+    * report per key the island count, total covered span, and longest
+    * island. Pure integer arithmetic over the interval bounds — exact
+    * and engine-portable.
+    *
+    * An island starts where `start` exceeds the running max of all
+    * earlier ends (ties in the sort order cannot flip the result: of
+    * two identical intervals, whichever sorts first opens the island
+    * and the other lands inside it). Scale shape: one window over the
+    * per-key sorted intervals + two narrow groupBys — no joins; a
+    * skewed key serializes only its own partition (the inherent
+    * sequential dependency of coverage).
+    */
+  def intervalCoverage(df: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val W = org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val ordered = W.partitionBy(keys: _*)
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(ordered.rowsBetween(W.unboundedPreceding, -1))
+    val newIsland = when(prevMax.isNull ||
+      col(startCol) > prevMax, 1L).otherwise(0L)
+    val islands = df
+      .withColumn("__nf", newIsland)
+      .withColumn("__iid", sum(col("__nf"))
+        .over(ordered.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy(keys :+ col("__iid"): _*)
+      .agg(min(col(startCol)).as("__is"), max(col(endCol)).as("__ie"))
+    islands.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered"),
+        max(col("__ie") - col("__is")).as("max_island"))
+  }
+
   /** Exact WEIGHTED quantiles per group: the p-quantile is the smallest
     * value whose cumulative weight reaches p of the total — the
     * token-weighted statistic a corpus pipeline needs (median quality

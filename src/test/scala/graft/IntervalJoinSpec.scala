@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.IntervalJoin
+import graft.operators.{Analytics, IntervalJoin}
 
 class IntervalJoinSpec extends SparkTestBase {
   import spark.implicits._
@@ -105,5 +105,35 @@ class IntervalJoinSpec extends SparkTestBase {
       "p_ts", "start", "end", widthMicros = 60000000L,
       equi = Seq("zone"))
     assert(!off.queryExecution.executedPlan.toString.contains("Union"))
+  }
+
+  // ---------- interval coverage (gaps and islands) ----------
+
+  private def cov(rows: Seq[(String, Long, Long)]): Map[String, (Long, Long, Long)] =
+    Analytics.intervalCoverage(rows.toDF("k", "s", "e"), Seq("k"), "s", "e")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("interval coverage: overlap, touch, nest, and gap closed forms") {
+    val r = cov(Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L),   // overlap -> [0,20)
+      ("a", 20L, 30L),                  // touching merges -> [0,30)
+      ("a", 100L, 200L), ("a", 120L, 150L), // nested -> [100,200)
+      ("b", 0L, 1L)))
+    assert(r("a") === ((2L, 130L, 100L)))
+    assert(r("b") === ((1L, 1L, 1L)))
+  }
+
+  test("interval coverage: identical intervals and input order do not " +
+      "change islands") {
+    val rows = Seq(("k", 10L, 20L), ("k", 10L, 20L), ("k", 30L, 40L))
+    val want = Map("k" -> ((2L, 20L, 10L)))
+    assert(cov(rows) === want)
+    assert(cov(rows.reverse) === want)
+    val shuffled = Analytics.intervalCoverage(
+      rows.toDF("k", "s", "e").repartition(7), Seq("k"), "s", "e")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(shuffled === want)
   }
 }
