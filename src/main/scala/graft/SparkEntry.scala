@@ -184,6 +184,143 @@ object SparkEntry {
           .as("avg_yearly"))
     }),
 
+    // ---- Q2 analog: correlated MIN subquery — for each size-15 part,
+    // the European supplier(s) whose lineitem price achieves the part's
+    // minimum. Relationalized to a per-part min aggregate joined back
+    // (the q17 discipline); exact decimal prices so the equality join
+    // is engine-portable.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val eur = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val esup = t(s, dir, "supplier")
+        .join(broadcast(eur), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast(DecimalType(18, 2)).as("bal"),
+          col("n_name"))
+      val pt = t(s, dir, "part").where(col("p_size") === 15)
+        .select("p_partkey", "p_name")
+      val offers = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("cost"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(esup, col("l_suppkey") === col("s_suppkey"))
+      val mc = offers.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("cost")).as("min_cost"))
+      offers.join(mc, col("p_partkey") === col("mk") &&
+          col("cost") === col("min_cost"))
+        .select(col("bal").cast(DoubleType).as("s_acctbal"),
+          col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
+          col("min_cost").cast(DoubleType).as("min_cost"))
+        .distinct()
+        .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"),
+          col("p_partkey"))
+    }),
+
+    // ---- Q9 analog: profit by supplier nation and order year over a
+    // part-name filter. Profit = 2·revenue − retail·qty, ALL decimal
+    // (the ×2 avoids a 0.5 literal that would demote to double) —
+    // exact until the final cast.
+    "q9_profit" -> ((s, dir) => {
+      val pt = t(s, dir, "part").where(col("p_name").contains("r"))
+        .select("p_partkey", "p_retailprice")
+      val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4)) * lit(2) -
+        col("p_retailprice").cast(DecimalType(18, 2)) *
+        col("l_quantity").cast(DecimalType(18, 2))
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount).cast(DoubleType).as("profit"))
+        .orderBy(col("n_name"), desc("o_year"))
+    }),
+
+    // ---- Q11 analog: group HAVING against a global scalar — supplier
+    // line values above 1.05× the mean share. The scalar is a 1-row
+    // broadcast; the threshold test is integer-scaled decimal
+    // (val·n·20 > t·21), scale-free and exact.
+    "q11_important_values" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .as("val"))
+      val tot = v.agg(sum(col("val")).as("t"), count(lit(1)).as("n"))
+      v.crossJoin(broadcast(tot))
+        .where(col("val") * col("n") * 20 > col("t") * 21)
+        .select(col("l_suppkey"), col("val").cast(DoubleType).as("value"))
+        .orderBy(desc("value"), col("l_suppkey"))
+    }),
+
+    // ---- Q15 analog: top supplier(s) by quarterly revenue — the view
+    // + scalar-max shape as a rank-1 window over the SUPPLIER-sized
+    // revenue frame (single task, dimension-bounded; ties all kept).
+    "q15_top_supplier" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast(TimestampType)
+      val hi = lit("1996-04-01").cast(TimestampType)
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("r"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(desc("r"))
+      rev.withColumn("k", rank().over(w)).where(col("k") === 1)
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("r").cast(DoubleType).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- Q16 analog: distinct supplier counts per part attribute,
+    // excluding flagged suppliers — NOT IN as a broadcast left-anti
+    // (keys are non-null, so the semantics coincide).
+    "q16_supplier_parts" -> ((s, dir) => {
+      val excl = t(s, dir, "supplier").where(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("x"))
+      val pt = t(s, dir, "part")
+        .where(col("p_type") =!= "PROMO" && col("p_brand") =!= "Brand#5")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(excl), col("l_suppkey") === col("x"), "left_anti")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // ---- Q20 analog: nested IN chain — suppliers that shipped > 80
+    // units of any 'small%' part, as HAVING aggregate → distinct →
+    // left-semi (no per-row subqueries anywhere).
+    "q20_volume_suppliers" -> ((s, dir) => {
+      val pk = t(s, dir, "part").where(col("p_name").startsWith("small"))
+        .select("p_partkey")
+      val heavy = t(s, dir, "lineitem")
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"))
+        .where(col("q") > 80)
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name")).distinct()
+        .orderBy("s_name")
+    }),
+
     // ---- Q18 analog: HAVING semi-join — orders whose line quantity
     // total crosses a threshold, joined back to customer. The big-CTE
     // aggregate partial-aggregates map-side; the top-20 output orders
@@ -3254,6 +3391,89 @@ object SparkEntry {
         |  CAST(SUM(i_e - i_s) AS BIGINT) AS covered_us,
         |  CAST(MAX(i_e - i_s) AS BIGINT) AS max_island_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Q2 analog replayed: per-part min joined back on exact decimals
+    "q2_min_cost_supplier" ->
+      """WITH eur AS (SELECT n_nationkey, n_name FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (SELECT p_partkey, p_name, s_suppkey, s_name,
+        |    CAST(s_acctbal AS DECIMAL(18,2)) AS bal, n_name,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_size = 15
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN eur ON s_nationkey = n_nationkey),
+        |mc AS (SELECT p_partkey AS mk, MIN(cost) AS min_cost
+        |  FROM offers GROUP BY 1)
+        |SELECT DISTINCT CAST(bal AS DOUBLE) AS s_acctbal, s_name, n_name,
+        |  p_partkey, p_name, CAST(min_cost AS DOUBLE) AS min_cost
+        |FROM offers JOIN mc ON p_partkey = mk AND cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    // Q9 analog replayed: all-decimal profit (2·revenue − retail·qty)
+    "q9_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4)) * 2
+        |    - CAST(p_retailprice AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%r%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+
+    // Q11 analog replayed: integer-scaled decimal threshold vs the
+    // global scalar (val·n·20 > t·21 ⇔ share > 1.05× mean)
+    "q11_important_values" ->
+      """WITH v AS (SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(val) AS t, COUNT(*) AS n FROM v)
+        |SELECT l_suppkey, CAST(val AS DOUBLE) AS value
+        |FROM v, tot WHERE val * n * 20 > t * 21
+        |ORDER BY value DESC, l_suppkey""".stripMargin,
+
+    // Q15 analog replayed: rank-1 over exact decimal revenue, ties kept
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1),
+        |rk AS (SELECT l_suppkey, r, rank() OVER (ORDER BY r DESC) AS k
+        |  FROM rev)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        |FROM rk JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE k = 1 ORDER BY s_suppkey""".stripMargin,
+
+    // Q16 analog replayed: NOT IN over non-null keys == anti join
+    "q16_supplier_parts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |  AND p_type <> 'PROMO' AND p_brand <> 'Brand#5'
+        |WHERE l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Q20 analog replayed: HAVING aggregate inside the IN chain
+    "q20_volume_suppliers" ->
+      """WITH heavy AS (SELECT l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 80)
+        |SELECT DISTINCT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+        |ORDER BY s_name""".stripMargin,
 
     // theta exact regime: every estimate IS the distinct-set algebra
     "a30_theta" ->

@@ -17,10 +17,13 @@ class PlanAuditSpec extends SparkTestBase {
   //    merged sketch)
   //  - a30_theta: 1-row x 1-row broadcast pairing of two group sketches
   //    for the set-algebra demo
+  //  - q11: the q11 shape IS a group HAVING against a broadcast 1-row
+  //    global scalar
   private val allowed = Set(
     "a13_cross", "sim1_cosine_topk", "sim4_quantized_topk",
     "sim5_pq_topk", "sim5b_pq_exact", "sim7_pq_adc", "sim7b_adc_exact",
-    "t10_tfidf", "t21_chi2", "a27_cm_rollup", "a30_theta")
+    "t10_tfidf", "t21_chi2", "a27_cm_rollup", "a30_theta",
+    "q11_important_values")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
