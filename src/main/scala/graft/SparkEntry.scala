@@ -2808,6 +2808,36 @@ object SparkEntry {
       IncrementalView.read(s, mv).orderBy("c_mktsegment")
     }),
 
+    // ---- lake: incremental MV with THETA sketch measures ---- the
+    // distinct-count-with-set-algebra state in maintained rollups:
+    // folds forward under appends (sketch union), touched-group
+    // snapshot recompute under deletes (a sketch cannot un-count).
+    // Exact regime (k=512 >= the 25-key domain) => the maintained
+    // estimate == COUNT(DISTINCT) over the surviving rows, hash-oracled
+    // through create + append refresh + delete-bearing refresh.
+    "mv7_theta_rollup" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"), col("c_nationkey"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv7").toString
+      val src = root + "/src"
+      val mv = root + "/mv"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, src, StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType),
+        StructField("c_nationkey", LongType))))
+      vt.append(s, cust.where(col("c_custkey") % 2 === 0), src)
+      IncrementalView.create(s, src, mv, Seq("c_mktsegment"),
+        Seq("c_nationkey"), thetaDistinct = Seq("c_nationkey"),
+        thetaK = 512)
+      vt.append(s, cust.where(col("c_custkey") % 2 === 1), src)
+      vt.deleteByKeys(s, src,
+        cust.where(col("c_custkey") % 5 === 0).select("c_custkey"))
+      IncrementalView.refresh(s, mv)
+      IncrementalView.read(s, mv).orderBy("c_mktsegment")
+    }),
+
     // ---- lake: incremental MV with QUANTILE sketch measures ----
     // GK state folds through create + refresh at lossless eps, where
     // the merged sketch's p50 equals quantile_disc exactly (a22b's
@@ -3474,6 +3504,22 @@ object SparkEntry {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
         |ORDER BY s_name""".stripMargin,
+
+    // theta view over the fixed 25-key nation domain: exact regime, so
+    // the maintained estimate == COUNT(DISTINCT) over the surviving
+    // rows even through the delete-bearing window
+    "mv7_theta_rollup" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(c_nationkey) AS cnt_c_nationkey,
+        |  CAST(SUM(CAST(c_nationkey AS DECIMAL(38,2))) AS DOUBLE)
+        |    AS sum_c_nationkey,
+        |  CAST(SUM(CAST(c_nationkey AS DECIMAL(38,2))) AS DOUBLE) /
+        |    COUNT(c_nationkey) AS avg_c_nationkey,
+        |  CAST(COUNT(DISTINCT c_nationkey) AS DOUBLE)
+        |    AS theta_c_nationkey
+        |FROM customer WHERE c_custkey % 5 <> 0
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     // theta exact regime: every estimate IS the distinct-set algebra
     "a30_theta" ->

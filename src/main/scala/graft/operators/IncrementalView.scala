@@ -27,7 +27,12 @@ import graft.sources.VersionedTable
   *   - `_mv_hll_<m>` — optional approx-COUNT(DISTINCT) as mergeable
   *     HLL sketch bytes (union at merge, estimate at read; same
   *     touched-group recompute under deletes — an HLL cannot un-count
-  *     a deleted value).
+  *     a deleted value),
+  *   - `_mv_th_<m>` — optional distinct counts as mergeable THETA
+  *     sketch bytes ([[graft.functions.ThetaSketchAgg]]) — same fold /
+  *     recompute rules as HLL, but the stored state additionally
+  *     answers cross-group set algebra (intersection / difference via
+  *     `graft_theta_setop` over the view rows), which HLL cannot.
   *
   * Decimal sums make maintenance EXACT: decimal addition is associative
   * and commutative, so folding the feed's signed deltas (+1 for
@@ -61,6 +66,8 @@ object IncrementalView {
   val ApproxProperty = "graft.mv.approx"
   val QuantileProperty = "graft.mv.quantile"
   val QuantileEpsProperty = "graft.mv.quantile.eps"
+  val ThetaProperty = "graft.mv.theta"
+  val ThetaKProperty = "graft.mv.theta.k"
   val ScaleProperty = "graft.mv.scale"
   val SourceVersionProperty = "graft.mv.source.version"
 
@@ -75,6 +82,7 @@ object IncrementalView {
   def maxCol(m: String): String = s"_mv_max_$m"
   def hllCol(m: String): String = s"_mv_hll_$m"
   def qCol(m: String): String = s"_mv_q_$m"
+  def thetaCol(m: String): String = s"_mv_th_$m"
 
   private val Sep = "\u0001"
 
@@ -122,6 +130,7 @@ object IncrementalView {
       minmax: Seq[(String, Column, Boolean)],
       approx: Seq[(String, Column, Boolean)],
       quantile: Seq[(String, Column, Boolean)], qEps: Double,
+      theta: Seq[(String, Column, Boolean)], thetaK: Int,
       scale: Int, sign: Column): DataFrame = {
     val aggs =
       (sum(sign).cast(LongType).as(RowsCol) +:
@@ -142,6 +151,11 @@ object IncrementalView {
         quantile.map { case (m, mc, _) =>
           graft.functions.GraftFunctions.quantileSketch(mc, qEps)
             .as(qCol(m))
+        } ++
+        theta.map { case (m, mc, _) =>
+          graft.functions.GraftFunctions
+            .theta(mc.cast(org.apache.spark.sql.types.StringType), thetaK)
+            .as(thetaCol(m))
         }
     keyed(rows, keys)
       .groupBy(col(KeyCol) +: keys.map { case (n, _, _) => col(n) }: _*)
@@ -189,16 +203,20 @@ object IncrementalView {
       minmax: Seq[String] = Nil,
       approxDistinct: Seq[String] = Nil,
       quantile: Seq[String] = Nil,
-      quantileEps: Double = 1e-4): Unit = {
+      quantileEps: Double = 1e-4,
+      thetaDistinct: Seq[String] = Nil,
+      thetaK: Int = 4096): Unit = {
     require(keys.nonEmpty, "incremental view needs at least one group key")
     require(measures.nonEmpty || minmax.nonEmpty ||
-      approxDistinct.nonEmpty || quantile.nonEmpty,
+      approxDistinct.nonEmpty || quantile.nonEmpty ||
+      thetaDistinct.nonEmpty,
       "incremental view needs at least one measure")
     val (version, _) = VersionedTable.latest(spark, source)
     val snap = VersionedTable.read(spark, source)
     val state = stateOf(snap, parseSpecs(keys), parseSpecs(measures),
       parseSpecs(minmax), parseSpecs(approxDistinct),
-      parseSpecs(quantile), quantileEps, scale, lit(1L))
+      parseSpecs(quantile), quantileEps,
+      parseSpecs(thetaDistinct), thetaK, scale, lit(1L))
     VersionedTable.create(spark, view, state.schema)
     VersionedTable.append(spark, state, view)
     VersionedTable.alterProperties(spark, view, Map(
@@ -209,6 +227,8 @@ object IncrementalView {
       ApproxProperty -> approxDistinct.mkString(";"),
       QuantileProperty -> quantile.mkString(";"),
       QuantileEpsProperty -> quantileEps.toString,
+      ThetaProperty -> thetaDistinct.mkString(";"),
+      ThetaKProperty -> thetaK.toString,
       ScaleProperty -> scale.toString,
       SourceVersionProperty -> version.toString))
   }
@@ -216,6 +236,7 @@ object IncrementalView {
   private case class Spec(source: String, keys: Seq[String],
       measures: Seq[String], minmax: Seq[String], approx: Seq[String],
       quantile: Seq[String], quantileEps: Double,
+      theta: Seq[String], thetaK: Int,
       scale: Int, stampedVersion: Long)
 
   private def splitSpecs(s: String): Seq[String] =
@@ -232,6 +253,8 @@ object IncrementalView {
       splitSpecs(props.getOrElse(ApproxProperty, "")),
       splitSpecs(props.getOrElse(QuantileProperty, "")),
       props.getOrElse(QuantileEpsProperty, "1e-4").toDouble,
+      splitSpecs(props.getOrElse(ThetaProperty, "")),
+      props.getOrElse(ThetaKProperty, "4096").toInt,
       prop(ScaleProperty).toInt,
       prop(SourceVersionProperty).toLong)
   }
@@ -251,11 +274,13 @@ object IncrementalView {
     val minmaxSpecs = parseSpecs(spec.minmax)
     val approxSpecs = parseSpecs(spec.approx)
     val quantileSpecs = parseSpecs(spec.quantile)
+    val thetaSpecs = parseSpecs(spec.theta)
     val keys = keySpecs.map(_._1)
     val measures = measureSpecs.map(_._1)
     val minmax = minmaxSpecs.map(_._1)
     val approx = approxSpecs.map(_._1)
     val quantile = quantileSpecs.map(_._1)
+    val thetaM = thetaSpecs.map(_._1)
     // min/max, HLL, and GK state only fold forward: a delete/update may
     // remove the extreme (or a counted distinct value), which no
     // per-group delta can repair. A window containing row-level commits
@@ -264,7 +289,8 @@ object IncrementalView {
     // version (keyed semi-join scan — the untouched groups and the
     // additive sum/count fold stay incremental; the source is never
     // fully rescanned).
-    val nonAdditive = minmax.nonEmpty || approx.nonEmpty || quantile.nonEmpty
+    val nonAdditive = minmax.nonEmpty || approx.nonEmpty ||
+      quantile.nonEmpty || thetaM.nonEmpty
     val recomputeTouched = nonAdditive &&
       !cdf.where(col(VersionedTable.ChangeTypeCol) =!= "insert").isEmpty
     val sign = when(col(VersionedTable.ChangeTypeCol)
@@ -283,7 +309,8 @@ object IncrementalView {
     // semi-join build side, and the outer-join left side) — persist it
     // so one refresh folds the CDF window ONCE, not once per action
     val delta = stateOf(cdf, keySpecs, measureSpecs, minmaxSpecs,
-      approxSpecs, quantileSpecs, spec.quantileEps, scale, sign)
+      approxSpecs, quantileSpecs, spec.quantileEps,
+      thetaSpecs, spec.thetaK, scale, sign)
       .where(moved)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -306,17 +333,23 @@ object IncrementalView {
               quantileSpecs.map { case (m, mc, _) =>
                 graft.functions.GraftFunctions
                   .quantileSketch(mc, spec.quantileEps).as(qCol(m))
+              } ++
+              thetaSpecs.map { case (m, mc, _) =>
+                graft.functions.GraftFunctions
+                  .theta(mc.cast(org.apache.spark.sql.types.StringType),
+                    spec.thetaK).as(thetaCol(m))
               }
           Some(pruned.groupBy(KeyCol).agg(aggs.head, aggs.tail: _*))
         }
       applyDelta(spark, view, delta, keys, measures, minmax, approx,
-        quantile, scale, epoch, recomputed)
+        quantile, thetaM, scale, epoch, recomputed)
     } finally { delta.unpersist(false); () }
   }
 
   private def applyDelta(spark: SparkSession, view: String,
       delta: DataFrame, keys: Seq[String], measures: Seq[String],
       minmax: Seq[String], approx: Seq[String], quantile: Seq[String],
+      thetaM: Seq[String],
       scale: Int, epoch: Long,
       recomputed: Option[DataFrame] = None): Unit = {
     if (delta.isEmpty) return
@@ -367,6 +400,16 @@ object IncrementalView {
             // QuantileUnion is null-safe on either side
             graft.functions.GraftFunctions.quantileUnion(
               col(s"c.${qCol(m)}"), col(s"d.${qCol(m)}")).as(qCol(m))
+        } ++
+        thetaM.map { m =>
+          if (recomputed.isDefined) col(s"r.${thetaCol(m)}").as(thetaCol(m))
+          else {
+            val c = col(s"c.${thetaCol(m)}")
+            val d = col(s"d.${thetaCol(m)}")
+            when(c.isNull, d).when(d.isNull, c)
+              .otherwise(graft.functions.GraftFunctions
+                .thetaSetOp(c, d, "union")).as(thetaCol(m))
+          }
         }
     val joinedBase = delta.alias("d")
       .join(curState.alias("c"), Seq(KeyCol), "left_outer")
@@ -488,6 +531,11 @@ object IncrementalView {
         names(QuantileProperty).map { m =>
           graft.functions.GraftFunctions.quantileEstimate(
             col(qCol(m)), lit(0.5)).as(s"p50_$m")
+        } ++
+        names(ThetaProperty).map { m =>
+          when(col(thetaCol(m)).isNotNull,
+            graft.functions.GraftFunctions.thetaEstimate(col(thetaCol(m))))
+            .as(s"theta_$m")
         }
     VersionedTable.read(spark, view).select(out: _*)
   }

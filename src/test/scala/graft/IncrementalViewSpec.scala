@@ -406,6 +406,46 @@ class IncrementalViewSpec extends SparkTestBase {
       exact.find(_._1 == "b").get._2 - 1)
   }
 
+  test("theta measures: folded sketch state equals COUNT(DISTINCT) in " +
+      "the exact regime, and deletes recompute touched groups") {
+    val root = tmp()
+    val src = root + "/src"
+    val s2 = StructType(Seq(
+      StructField("id", LongType),
+      StructField("g", StringType),
+      StructField("u", LongType)))
+    VersionedTable.create(spark, src, s2)
+    val mv = root + "/mv"
+    VersionedTable.append(spark,
+      (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", i % 7))
+        .toDF("id", "g", "u"), src)
+    IncrementalView.create(spark, src, mv, Seq("g"), Seq("u"),
+      thetaDistinct = Seq("u"), thetaK = 256)
+    VersionedTable.append(spark,
+      (41L to 90L).map(i => (i, if (i % 2 == 0) "a" else "b", i % 13))
+        .toDF("id", "g", "u"), src)
+    IncrementalView.refresh(spark, mv)
+    def got(): Seq[(String, Double)] = IncrementalView.read(spark, mv)
+      .select("g", "theta_u").orderBy("g")
+      .as[(String, Double)].collect().toSeq
+    def exact(): Seq[(String, Double)] = VersionedTable.read(spark, src)
+      .groupBy("g").agg(countDistinct(col("u")).cast("double").as("d"))
+      .orderBy("g").as[(String, Double)].collect().toSeq
+    val e1 = exact()
+    assert(got() === e1)
+    // a delete removing EVERY b-row with u = 1 must un-count that
+    // value — impossible by sketch folding, proven via the
+    // touched-group snapshot recompute
+    VersionedTable.alterProperties(spark, src,
+      Map(VersionedTable.CdcProperty -> "true"))
+    VersionedTable.delete(spark, src,
+      col("id").isin(1L, 15L, 29L, 53L, 79L))
+    IncrementalView.refresh(spark, mv)
+    val e2 = exact()
+    assert(got() === e2)
+    assert(e2.find(_._1 == "b").get._2 === e1.find(_._1 == "b").get._2 - 1)
+  }
+
   test("quantile measures: folded GK state answers like the sketch " +
       "computed directly, and deletes recompute touched groups") {
     val root = tmp()
