@@ -66,6 +66,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_wav_decode",
       es => graft.operators.Multimodal.WavDecodeExpr(
         QSketchCodec.arity(es, 1, "graft_wav_decode").head)))
+    ext.injectFunction(fn("graft_wav_frames",
+      es => graft.operators.Multimodal.WavFramesExpr(
+        QSketchCodec.arity(es, 3, "graft_wav_frames").head,
+        QSketchCodec.intArg(es, 1, "graft_wav_frames"),
+        QSketchCodec.intArg(es, 2, "graft_wav_frames"))))
+    ext.injectFunction(fn("graft_feature_hash",
+      es => FeatureHash(
+        QSketchCodec.arity(es, 2, "graft_feature_hash").head,
+        QSketchCodec.intArg(es, 1, "graft_feature_hash"))))
+    ext.injectFunction(fn("graft_damerau",
+      es => { val a = QSketchCodec.arity(es, 2, "graft_damerau")
+        DamerauLevenshtein(a(0), a(1)) }))
     ext.injectFunction(fn("graft_jaccard", es => JaccardLong(es(0), es(1))))
     ext.injectFunction(fn("graft_overlap", es => OverlapLong(es(0), es(1))))
     ext.injectFunction(fn("graft_simhash64", es => SimHash64(es.head)))

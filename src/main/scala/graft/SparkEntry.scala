@@ -692,6 +692,20 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- O5: global row numbering without the one-task window ----
+    // row_number() OVER (ORDER BY …) with no PARTITION BY funnels the
+    // whole frame through ONE task — the canonical scale cliff. The
+    // operator range-partitions, sorts each run, and zipWithIndex
+    // stitches prefix offsets over the ONE shuffled RDD (both passes
+    // see the same boundaries — the correctness anchor). o_orderkey is
+    // unique, so the numbering is a deterministic total order the
+    // oracle re-derives.
+    "o5_global_rownum" -> ((s, dir) =>
+      Analytics.globalRowNumber(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        sortCols = Seq("o_orderkey"))
+        .orderBy("o_orderkey")),
+
     // ---- J1: equi + point-in-interval join ----
     "j1_interval" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1469,6 +1483,22 @@ object SparkEntry {
         tieBreak = Seq("event_id"))
         .orderBy("user_id", "ts", "event_id")),
 
+    // ---- time series: two-sided CUSUM change-point gate ----
+    // Drift detector beside ts1's spike gate — a slow mean shift never
+    // produces one extreme z, but CUSUM accumulates every excursion.
+    // Floor-at-zero recurrence in closed form (running sum minus its
+    // clamped prefix min): pure window algebra, exact decimal end to
+    // end, alarms bit-identical across engines.
+    "ts2_cusum" -> ((s, dir) =>
+      Analytics.cusum(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        target = new java.math.BigDecimal("50.00"),
+        slack = new java.math.BigDecimal("10.00"),
+        threshold = new java.math.BigDecimal("300.00"),
+        tieBreak = Seq("event_id"))
+        .orderBy("user_id", "ts", "event_id")),
+
     // ---- F14: JSON field extraction (events.props) ----
     "t5_json_extract" -> ((s, dir) =>
       t(s, dir, "events").select(col("event_id"),
@@ -1834,6 +1864,19 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- A32: per-group winsorization at discrete quantiles ----
+    // Outlier clamp whose thresholds are ACTUAL data values (lossless-
+    // eps GK == quantile_disc, the a24 proof), so every clamped output
+    // is byte-identical cross-engine: group-count-sized threshold agg,
+    // broadcast join, map-side CASE — the frame itself never shuffles.
+    "a32_winsorize" -> ((s, dir) =>
+      Analytics.winsorize(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        groupCol = "event_type", valueCol = "value",
+        lo = 0.05, hi = 0.95)
+        .select("event_id", "event_type", "value", "value_w")
+        .orderBy("event_id")),
+
     // ---- W8: event-time RANGE frame (trailing 1-hour window) ----
     // Delegates to the operator layer (Analytics.trailingRangeStats):
     // rangeBetween on epoch micros, peer-inclusive on ties in both
@@ -1983,6 +2026,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: per-frame audio features over decoded PCM ----
+    // The feature-extraction stage after mm4's decode: the flat sample
+    // stream splits into 16-sample frames every 8 (full frames only);
+    // energy Σs², peak max|s|, and consecutive-sample zero crossings
+    // are exact integers over the decoded bytes — the oracle re-derives
+    // every sample arithmetically from the ramp, so matching all three
+    // per frame proves decode + framing + the feature kernels at once.
+    "mm5_audio_frames" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("payload", Multimodal.wavEncode(
+          (lit(1) + col("doc_id") % 2).cast("int"),
+          lit(8000).cast("int"),
+          (lit(24) + col("doc_id") % 40).cast("int"),
+          (col("doc_id") % 65521).cast("int")))
+        .withColumn("fr",
+          explode(Multimodal.wavFrames(col("payload"), 16, 8)))
+      d.select(col("doc_id"), col("fr.frame_idx").as("frame_idx"),
+          col("fr.energy").as("energy"), col("fr.peak").as("peak"),
+          col("fr.zero_cross").as("zero_cross"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // ---- text: corpus top-k terms (explode + count + top-k) ----
     "t7_top_terms" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -2029,6 +2094,40 @@ object SparkEntry {
     "t22_vocab_stats" -> ((s, dir) =>
       TextAnalysis.vocabStats(t(s, dir, "documents"), "source", "text")
         .orderBy("source")),
+
+    // ---- text: hashing-trick count vectorizer (feature hashing) ----
+    // Stateless text→feature map: bucket = md5-60(token) mod 64, one
+    // native zero-shuffle pass per doc (no vocabulary to build or
+    // broadcast — the property that matters at 100 TB, where a
+    // vocabulary-indexed vectorizer needs a corpus-wide agg + join).
+    // Exploded to (doc_id, bucket, n) sparse form; exact integer
+    // counts, fully hash-oracled via the d4b md5-60 convention.
+    "t29_feature_hash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          graft.functions.GraftFunctions.featureHash(col("text"), 64)))
+        .where(col("col") > 0)
+        .select(col("doc_id"), col("pos").as("bucket"), col("col").as("n"))
+        .orderBy("doc_id", "bucket")),
+
+    // ---- text: unrestricted Damerau–Levenshtein (transposition-aware
+    // edit distance). t9's neighbor-pair shape plus a DL(s, reverse(s))
+    // column — a reversal is transposition-dense, so the two distances
+    // genuinely diverge and the Lowrance–Wagner recurrence (not just the
+    // Levenshtein subset) is what the oracle hashes. Integer-exact.
+    "t30_damerau" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        substring(col("text"), 1, 40).as("head40"))
+      val d2 = d.select((col("doc_id") - 1).as("doc_id"),
+        col("head40").as("head40_next"))
+      d.join(d2, "doc_id")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions
+            .damerau(col("head40"), col("head40_next")).as("dl_next"),
+          graft.functions.GraftFunctions
+            .damerau(col("head40"), reverse(col("head40"))).as("dl_rev"))
+        .orderBy("doc_id")
+    }),
 
     // ---- text: chi-square term–category association (feature
     // selection). Doc-presence 2x2 contingency per (term, lang);
@@ -3877,6 +3976,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
+    // the distributed two-phase numbering must equal the textbook
+    // single-window definition exactly (unique sort key ⇒ total order)
+    "o5_global_rownum" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  row_number() OVER (ORDER BY o_orderkey) AS rn
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "j1_interval" ->
       """SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
         |FROM lineitem l JOIN orders o
@@ -5299,6 +5405,36 @@ object SparkEntry {
         |WHERE k.i < (1 + doc_id % 2) * (1 + doc_id % 9)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // every sample of every full frame re-derived from the ramp; the
+    // per-frame energy / peak / zero-crossing integers then prove the
+    // real decode + framing + feature kernels in one hash. range() is
+    // NOT lateral in DuckDB 1.0 — fixed ranges with the bound in WHERE.
+    "mm5_audio_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 65521 AS seed,
+        |         (1 + doc_id % 2) * (24 + doc_id % 40) AS n
+        |  FROM documents
+        |), fi AS (SELECT unnest(range(16)) AS f),
+        |ki AS (SELECT unnest(range(16)) AS k),
+        |fr AS (
+        |  SELECT doc_id, seed, CAST(fi.f AS INT) AS frame_idx
+        |  FROM p, fi WHERE fi.f * 8 + 16 <= n
+        |), s AS (
+        |  SELECT doc_id, frame_idx,
+        |    ((seed + frame_idx * 8 + ki.k) % 65536) - 32768 AS v,
+        |    CASE WHEN ki.k > 0
+        |      THEN ((seed + frame_idx * 8 + ki.k - 1) % 65536) - 32768
+        |    END AS prev
+        |  FROM fr, ki
+        |)
+        |SELECT doc_id, frame_idx,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(max(abs(v)) AS INT) AS peak,
+        |  CAST(count(*) FILTER (WHERE prev IS NOT NULL
+        |    AND (prev < 0) <> (v < 0)) AS INT) AS zero_cross
+        |FROM s GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     // frame sampling is deterministic byte arithmetic; the corpus is
     // ASCII-only (verified: octet_length == length for every doc at all
     // SFs), so DuckDB's char-indexed substr/ascii equals Spark's
@@ -5370,6 +5506,37 @@ object SparkEntry {
         |FROM fr
         |WHERE n >= 8 AND (s2 - s1 * s1 / n) / (n - 1) > 0
         |  AND abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3.0
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // CUSUM closed form re-derived: running decimal sum of deviations
+    // minus its zero-clamped prefix min, per side; exact decimal
+    // comparisons so the alarm set is bit-identical
+    "ts2_cusum" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(value AS DECIMAL(18,2)) AS x
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL
+        |), runs AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    sum(x - 60.00) OVER w AS wp,
+        |    sum(40.00 - x) OVER w AS wn
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), scores AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(wp - least(min(wp) OVER w, 0) AS DECIMAL(38,2)) AS s_pos,
+        |    CAST(wn - least(min(wn) OVER w, 0) AS DECIMAL(38,2)) AS s_neg
+        |  FROM runs
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, ts, value, s_pos, s_neg,
+        |  CASE WHEN s_pos > 300.00 AND s_neg > 300.00 THEN 'both'
+        |       WHEN s_pos > 300.00 THEN 'hi' ELSE 'lo' END AS side
+        |FROM scores WHERE s_pos > 300.00 OR s_neg > 300.00
         |ORDER BY user_id, ts, event_id""".stripMargin,
 
     "j7_asof_broadcast" ->
@@ -5562,6 +5729,34 @@ object SparkEntry {
         |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
         |    AS type_token_ratio
         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+
+    // feature hashing: the d4b md5-60 convention (first 15 hex chars
+    // parsed base-16) mod 64 re-derives every bucket count exactly
+    "t29_feature_hash" ->
+      """SELECT doc_id, CAST(bucket AS INT) AS bucket,
+        |  CAST(count(*) AS INT) AS n
+        |FROM (
+        |  SELECT d.doc_id,
+        |    CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS BIGINT) % 64
+        |      AS bucket
+        |  FROM documents d,
+        |    unnest(string_split_regex(trim(d.text), '\s+')) AS t(tok)
+        |  WHERE trim(d.text) <> ''
+        |)
+        |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+
+    // DuckDB's damerau_levenshtein IS the unrestricted Lowrance–Wagner
+    // variant (DL('CA','ABC') = 2, probed) — integer-for-integer oracle
+    "t30_damerau" ->
+      """WITH h AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS head40 FROM documents
+        |)
+        |SELECT a.doc_id,
+        |  CAST(damerau_levenshtein(a.head40, b.head40) AS INT) AS dl_next,
+        |  CAST(damerau_levenshtein(a.head40, reverse(a.head40)) AS INT)
+        |    AS dl_rev
+        |FROM h a JOIN h b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
 
     // chi-square: same casts-first, left-associated double chain
     "t21_chi2" ->
@@ -6066,5 +6261,23 @@ object SparkEntry {
         |  quantile_disc(value, 0.5) AS p50,
         |  quantile_disc(value, 0.75) AS p75
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // winsorize: discrete-quantile thresholds are data values, so the
+    // clamped column is byte-identical; CASE (not least/greatest, whose
+    // null handling differs across engines) keeps null measures null
+    "a32_winsorize" ->
+      """WITH th AS (
+        |  SELECT event_type,
+        |    quantile_disc(value, 0.05) AS lo,
+        |    quantile_disc(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN e.value IS NULL THEN NULL
+        |       WHEN e.value < t.lo THEN t.lo
+        |       WHEN e.value > t.hi THEN t.hi
+        |       ELSE e.value END AS value_w
+        |FROM events e JOIN th t ON e.event_type = t.event_type
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

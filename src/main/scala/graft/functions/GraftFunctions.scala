@@ -584,6 +584,175 @@ object GraftFunctions {
       copy(child = c)
   }
 
+  /** Hashing-trick (feature-hashing) vectorizer: whitespace tokens of a
+    * document → one fixed-width Int count vector, bucket =
+    * md5-60(token) mod `numBuckets` — the stateless text→feature map
+    * (Weinberger et al. 2009): no vocabulary to build, broadcast, or
+    * keep consistent across 100 TB of partitions, so featurization is a
+    * pure map-side pass with ZERO shuffles (an explode+groupBy
+    * formulation shuffles every token). The bucket hash is the engine's
+    * cross-engine md5-60 convention ([[graft.operators.Dedup.md5Hash60]]:
+    * first 15 hex chars of md5, parsed base-16), so an external SQL
+    * engine re-derives every count exactly. Empty/blank text → the
+    * all-zero vector; null → null.
+    */
+  case class FeatureHash(child: Expression, numBuckets: Int)
+      extends UnaryExpression {
+    require(numBuckets >= 1 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [1, 2^20], got $numBuckets")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected a string column, got $other")
+    }
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_feature_hash"
+
+    /** Shared by eval and generated code (see [[CosineSim.compute]]). */
+    def compute(input: Any): ArrayData = {
+      val s = input
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.trim
+      val counts = new Array[Int](numBuckets)
+      if (s.nonEmpty) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val toks = s.split("\\s+")
+        var i = 0
+        while (i < toks.length) {
+          val d = md.digest(
+            toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 15 hex chars of the md5 = bytes 0..6 big-endian plus
+          // the high nibble of byte 7 — identical to Spark's
+          // conv(substr(md5(t), 1, 15), 16, 10)
+          var h = 0L
+          var j = 0
+          while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+          h = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+          counts((h % numBuckets).toInt) += 1
+          md.reset()
+          i += 1
+        }
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(counts)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("featureHash", this)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): FeatureHash =
+      copy(child = c)
+  }
+
+  /** Unrestricted Damerau–Levenshtein distance (Lowrance–Wagner 1975):
+    * minimum insertions + deletions + substitutions + transpositions of
+    * two ADJACENT characters, where a transposed pair MAY be edited
+    * again afterwards — the variant DuckDB's `damerau_levenshtein`
+    * implements (DL("CA","ABC") = 2, where the restricted/OSA variant
+    * says 3), so every output is integer-oracle-able. Transpositions
+    * matter for record linkage: "recieve"/"receive" is DL 1 but
+    * Levenshtein 2, so a lev≤1 blocking gate misses the most common
+    * human typo class.
+    *
+    * The full (n+2)×(m+2) DP matrix is required (the transposition
+    * recurrence reaches back to an arbitrary earlier row via the
+    * last-seen-character index), so cost is O(n·m) time AND space —
+    * inputs are capped at [[DamerauLevenshtein.MaxLen]] chars and
+    * longer ones return null rather than silently burning quadratic
+    * memory; linkage callers feed short keys (names, heads), never
+    * whole documents. Comparison is by UTF-16 unit, identical to
+    * codepoints on ASCII (the testdata corpus is ASCII-only, verified)
+    * and to any engine's on the BMP.
+    */
+  case class DamerauLevenshtein(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType == StringType)
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string inputs")
+    }
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_damerau"
+
+    def compute(l: Any, r: Any): java.lang.Integer = {
+      val s = l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.toCharArray
+      val t = r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.toCharArray
+      val n = s.length
+      val m = t.length
+      if (n > DamerauLevenshtein.MaxLen || m > DamerauLevenshtein.MaxLen)
+        return null
+      if (n == 0) return Integer.valueOf(m)
+      if (m == 0) return Integer.valueOf(n)
+      val inf = n + m
+      // h is the (n+2)×(m+2) Lowrance–Wagner matrix, flattened
+      val w = m + 2
+      val h = new Array[Int]((n + 2) * w)
+      h(0) = inf
+      var i = 0
+      while (i <= n) { h((i + 1) * w + 1) = i; h((i + 1) * w) = inf; i += 1 }
+      var j = 0
+      while (j <= m) { h(w + j + 1) = j; h(j + 1) = inf; j += 1 }
+      // last row where each character of the alphabet occurred in s
+      val da = new java.util.HashMap[Character, Integer]()
+      i = 1
+      while (i <= n) {
+        var db = 0
+        j = 1
+        while (j <= m) {
+          val i1 = { val v = da.get(t(j - 1)); if (v == null) 0 else v.intValue() }
+          val j1 = db
+          val cost = if (s(i - 1) == t(j - 1)) { db = j; 0 } else 1
+          var best = h(i * w + j) + cost          // substitute / match
+          val ins = h((i + 1) * w + j) + 1        // insert
+          if (ins < best) best = ins
+          val del = h(i * w + j + 1) + 1          // delete
+          if (del < best) best = del
+          val tr = h(i1 * w + j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
+          if (tr < best) best = tr                // transpose + gap edits
+          h((i + 1) * w + j + 1) = best
+          j += 1
+        }
+        da.put(s(i - 1), i)
+        i += 1
+      }
+      Integer.valueOf(h((n + 1) * w + m + 1))
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = compute(l, r)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("damerau", this)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("dlRes")
+        s"""
+           |java.lang.Integer $tmp = $ref.compute($a, $b);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.intValue(); }
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DamerauLevenshtein =
+      copy(left = l, right = r)
+  }
+
+  object DamerauLevenshtein {
+    /** Inputs longer than this return null — the O(n·m) matrix for two
+      * 4096-char strings is ~64 MiB of Int, the sane per-row ceiling.
+      */
+    val MaxLen = 4096
+  }
+
   /** Product-quantization encode: the vector splits into `m` equal
     * subspaces; each emits ONE byte — the index of the nearest (L2)
     * centroid in that subspace's codebook. 64 float dims become 8 bytes
@@ -999,6 +1168,17 @@ object GraftFunctions {
   /** One-pass character n-grams (see [[CharNgrams]]). */
   def charNgrams(text: Column, n: Int): Column =
     SparkShim.toColumn(CharNgrams(SparkShim.toExpression(text), n))
+
+  /** Hashing-trick count vectorizer (see [[FeatureHash]]). */
+  def featureHash(text: Column, numBuckets: Int): Column =
+    SparkShim.toColumn(FeatureHash(SparkShim.toExpression(text), numBuckets))
+
+  /** Unrestricted Damerau–Levenshtein distance (see
+    * [[DamerauLevenshtein]]).
+    */
+  def damerau(left: Column, right: Column): Column =
+    SparkShim.toColumn(DamerauLevenshtein(
+      SparkShim.toExpression(left), SparkShim.toExpression(right)))
 
   /** Mergeable GK quantile sketches (see [[QuantileSketchAgg]]). */
   def quantileSketch(value: Column, eps: Double = 1e-4): Column =
@@ -1726,6 +1906,18 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_wav_decode",
       es => graft.operators.Multimodal.WavDecodeExpr(
         QSketchCodec.arity(es, 1, "graft_wav_decode").head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_wav_frames",
+      es => graft.operators.Multimodal.WavFramesExpr(
+        QSketchCodec.arity(es, 3, "graft_wav_frames").head,
+        QSketchCodec.intArg(es, 1, "graft_wav_frames"),
+        QSketchCodec.intArg(es, 2, "graft_wav_frames")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_feature_hash",
+      es => FeatureHash(
+        QSketchCodec.arity(es, 2, "graft_feature_hash").head,
+        QSketchCodec.intArg(es, 1, "graft_feature_hash")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_damerau",
+      es => { val a = QSketchCodec.arity(es, 2, "graft_damerau")
+        DamerauLevenshtein(a(0), a(1)) }, "scala_udf")
     // graft_freq_items(item, capacity) — capacity must be a literal; the
     // analyzer wraps the returned AggregateFunction in AggregateExpression
     reg.createOrReplaceTempFunction("graft_freq_items",

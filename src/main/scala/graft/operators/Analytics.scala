@@ -399,6 +399,134 @@ object Analytics {
       .drop("__n", "__var")
   }
 
+  /** Two-sided CUSUM change-point detection per key (Page 1954) — the
+    * drift detector beside [[rollingZScoreAnomalies]]'s spike detector:
+    * a z-score gate misses a slow mean shift that never produces one
+    * extreme observation; CUSUM accumulates every small excursion.
+    *
+    * Recurrences (k⁺ = target + slack, k⁻ = target − slack):
+    *   s⁺_t = max(0, s⁺_{t−1} + (x_t − k⁺))
+    *   s⁻_t = max(0, s⁻_{t−1} + (k⁻ − x_t))
+    * alarm when either side exceeds `threshold`. Computed via the
+    * closed form s_t = W_t − min(0, min_{j≤t} W_j) over the running sum
+    * W of the deviations — two window passes (running sum, then running
+    * min of it) instead of a sequential scan, so the operator is pure
+    * window algebra: one hash exchange on the keys, one sort per key,
+    * both window passes reuse that sort. 100 TB of series parallelize
+    * by key; no per-key state beyond the frame.
+    *
+    * Everything is exact decimal — the running sums, the mins, and the
+    * threshold compare — so alarms are bit-identical across engines and
+    * partition layouts. Observation contract matches the ts1 anomaly
+    * gate: rows with null time or a measure that does not stabilize to
+    * DECIMAL(18,2) are excluded.
+    */
+  def cusum(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, target: java.math.BigDecimal,
+      slack: java.math.BigDecimal, threshold: java.math.BigDecimal,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(slack.signum >= 0, s"slack must be >= 0, got $slack")
+    require(threshold.signum > 0, s"threshold must be > 0, got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val kUp = lit(target.add(slack))
+    val kDn = lit(target.subtract(slack))
+    val runs = df
+      .where(col(tsCol).isNotNull && col(measure).isNotNull && dec.isNotNull)
+      .withColumn("__wp", sum(dec - kUp).over(w))
+      .withColumn("__wn", sum(kDn - dec).over(w))
+    // CUSUM closed form: the floor-at-zero recurrence equals the running
+    // sum minus its lowest prefix (clamped at the virtual W_0 = 0)
+    val scores = runs
+      .withColumn("s_pos",
+        (col("__wp") - least(min(col("__wp")).over(w), lit(0)))
+          .cast(DecimalType(38, 2)))
+      .withColumn("s_neg",
+        (col("__wn") - least(min(col("__wn")).over(w), lit(0)))
+          .cast(DecimalType(38, 2)))
+    val th = lit(threshold)
+    scores
+      .where(col("s_pos") > th || col("s_neg") > th)
+      .withColumn("side",
+        when(col("s_pos") > th && col("s_neg") > th, "both")
+          .when(col("s_pos") > th, "hi").otherwise("lo"))
+      .drop("__wp", "__wn")
+  }
+
+  /** Global 1-based row number in `sortCols` order WITHOUT the
+    * single-task global window: `row_number() OVER (ORDER BY …)` puts
+    * 100 TB through ONE task (Spark's empty-partitionBy window), which
+    * is the canonical scale cliff. Here the frame range-partitions on
+    * the sort key, each partition sorts its own run, and
+    * `RDD.zipWithIndex` stitches the global index: a partition-count
+    * job collects per-partition sizes into prefix offsets, then the
+    * numbering pass adds `offset(partition) + local`. Both jobs run
+    * over the SAME shuffled RDD instance, so the range shuffle is
+    * written once and its files reused — and, critically, both passes
+    * see identical partition boundaries. (A two-branch DataFrame
+    * formulation is NOT safe here: column pruning specializes each
+    * branch's scan, the range exchanges stop being equal, ReuseExchange
+    * passes them by, and two independently-sampled RangePartitioners
+    * disagree on boundaries — observed as duplicated row numbers. The
+    * single-RDD shape is the correctness anchor, not a style choice.)
+    *
+    * `sortCols` must be a total order (add a unique tie-break) for the
+    * numbering to be deterministic.
+    */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[String],
+      out: String = "rn", numPartitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "globalRowNumber needs at least one sort col")
+    val spark = df.sparkSession
+    val np = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val order = sortCols.map(col(_).asc)
+    val sorted = df
+      .repartitionByRange(np, order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(out, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
+  /** Per-group winsorization: clamp `valueCol` into the group's
+    * [`lo`, `hi`] discrete quantiles — the outlier treatment that keeps
+    * every output an ACTUAL data value (unlike interpolated-percentile
+    * clamps, whose thresholds are synthetic floats no engine agrees
+    * on bit-for-bit). Thresholds come from the lossless-eps GK sketch
+    * (== `quantile_disc`, the a22b/a24 proof), one partial-aggregated
+    * shuffle of group-count rows; the clamp itself is a broadcast join
+    * + map-side CASE, so 100 TB winsorizes in one pass over the data
+    * with the big side never reshuffled. Null measures stay null; rows
+    * whose group key is null drop (inner-join key semantics, matching
+    * SQL `JOIN … USING`).
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double = 0.05, hi: Double = 0.95,
+      outCol: String = "value_w"): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"need 0 <= lo <= hi <= 1")
+    import graft.functions.GraftFunctions.{quantileEstimate, quantileSketch}
+    val thresholds = df
+      .groupBy(col(groupCol))
+      .agg(
+        quantileEstimate(quantileSketch(col(valueCol), 1e-9), lit(lo))
+          .as("__lo"),
+        quantileEstimate(quantileSketch(col(valueCol), 1e-9), lit(hi))
+          .as("__hi"))
+    df.join(broadcast(thresholds), groupCol)
+      .withColumn(outCol,
+        when(col(valueCol).isNull, lit(null))
+          .when(col(valueCol) < col("__lo"), col("__lo"))
+          .when(col(valueCol) > col("__hi"), col("__hi"))
+          .otherwise(col(valueCol)))
+      .drop("__lo", "__hi")
+  }
+
   /** Robust per-group statistics — the outlier-resistant profile a
     * quality pipeline reads before trusting means: exact median, MAD
     * (median absolute deviation from the group median), and the

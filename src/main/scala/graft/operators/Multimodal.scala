@@ -457,7 +457,20 @@ object Multimodal {
     * for anything else (wrong magic, non-PCM, truncated or adversarial
     * chunk sizes), so callers route opaque payloads to the fallback.
     */
-  private[graft] def parseWav(bytes: Array[Byte]): Option[WavInfo] = {
+  /** Located/validated chunk facts of a 16-bit PCM WAV: `dataAt` is the
+    * byte offset of the first sample, `nSamples` the (channel-
+    * interleaved) sample count.
+    */
+  private case class WavChunks(channels: Int, rate: Int, bits: Int,
+      dataAt: Int, nSamples: Int)
+
+  /** The RIFF chunk walk shared by [[parseWav]] and [[wavFrameStats]]:
+    * locate `fmt ` + `data` (any order, unknown chunks skipped) and
+    * validate 16-bit PCM framing. Returns None — not an exception —
+    * for anything else (wrong magic, non-PCM, truncated or adversarial
+    * chunk sizes), so callers route opaque payloads to the fallback.
+    */
+  private def wavChunks(bytes: Array[Byte]): Option[WavChunks] = {
     if (bytes == null || bytes.length < 44) return None
     val b = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -497,10 +510,65 @@ object Multimodal {
     if (!fmtOk || dataAt < 0 || dataLen % 2 != 0) return None
     val n = dataLen / 2
     if (n % channels != 0) return None
-    var sum = 0L
-    var i = 0
-    while (i < n) { sum += b.getShort(dataAt + i * 2); i += 1 }
-    Some(WavInfo(channels, rate, bits, n.toLong / channels, sum))
+    Some(WavChunks(channels, rate, bits, dataAt, n))
+  }
+
+  private[graft] def parseWav(bytes: Array[Byte]): Option[WavInfo] = {
+    wavChunks(bytes).map { c =>
+      val b = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sum = 0L
+      var i = 0
+      while (i < c.nSamples) { sum += b.getShort(c.dataAt + i * 2); i += 1 }
+      WavInfo(c.channels, c.rate, c.bits, c.nSamples.toLong / c.channels,
+        sum)
+    }
+  }
+
+  /** Per-frame exact features of a 16-bit PCM WAV: the payload's flat
+    * (channel-interleaved) sample stream splits into full frames of
+    * `frameLen` samples every `hop` samples; each frame reports
+    *   energy      = Σ s²            (exact, ≤ 2³⁰ per sample ⇒ Long),
+    *   peak        = max |s|         (32768 for the −32768 sample),
+    *   zero_cross  = sign changes between CONSECUTIVE samples inside
+    *                 the frame, zero counted as non-negative.
+    * Trailing samples that do not fill a frame are dropped (only full
+    * frames are comparable across payload lengths). All three are
+    * integer arithmetic over the decoded samples — a header-only
+    * shortcut cannot produce them, and an external engine re-derives
+    * them bit-exactly. None for anything that is not 16-bit PCM WAV.
+    */
+  private[graft] def wavFrameStats(bytes: Array[Byte], frameLen: Int,
+      hop: Int): Option[Array[(Int, Long, Int, Int)]] = {
+    wavChunks(bytes).map { c =>
+      val b = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val nFrames =
+        if (c.nSamples < frameLen) 0 else (c.nSamples - frameLen) / hop + 1
+      val out = new Array[(Int, Long, Int, Int)](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        val start = f * hop
+        var energy = 0L
+        var peak = 0
+        var zc = 0
+        var i = 0
+        var prevNeg = false
+        while (i < frameLen) {
+          val s = b.getShort(c.dataAt + (start + i) * 2).toInt
+          energy += s.toLong * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          i += 1
+        }
+        out(f) = (f, energy, peak, zc)
+        f += 1
+      }
+      out
+    }
   }
 
   /** Catalyst expression over [[encodeWav]]:
@@ -556,6 +624,48 @@ object Multimodal {
     override protected def withNewChildInternal(
         newChild: Expression): WavDecodeExpr = copy(child = newChild)
   }
+
+  /** Catalyst expression over [[wavFrameStats]]: `binary →
+    * array<struct<frame_idx int, energy bigint, peak int,
+    * zero_cross int>>`, null for payloads that are not 16-bit PCM WAV.
+    * `frameLen`/`hop` are operator parameters (plan literals), not
+    * per-row columns — one framing grid per query, as a feature
+    * pipeline wants.
+    */
+  case class WavFramesExpr(child: Expression, frameLen: Int, hop: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(frameLen >= 2 && frameLen <= (1 << 20),
+      s"frameLen must be in [2, 2^20], got $frameLen")
+    require(hop >= 1 && hop <= frameLen,
+      s"hop must be in [1, frameLen], got $hop")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false),
+      StructField("zero_cross", IntegerType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_wav_frames"
+    override def nullSafeEval(bytes: Any): Any =
+      wavFrameStats(bytes.asInstanceOf[Array[Byte]], frameLen, hop) match {
+        case Some(frames) =>
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            frames.map { case (f, e, p, z) =>
+              InternalRow(f, e, p, z): Any
+            })
+        case None => null
+      }
+    override protected def withNewChildInternal(
+        newChild: Expression): WavFramesExpr = copy(child = newChild)
+  }
+
+  /** Column wrapper: per-frame exact audio features of a PCM WAV. */
+  def wavFrames(payload: Column, frameLen: Int, hop: Int): Column =
+    SparkShim.toColumn(WavFramesExpr(SparkShim.toExpression(payload),
+      frameLen, hop))
 
   /** Column wrapper: build a 16-bit PCM WAV payload. */
   def wavEncode(channels: Column, sampleRate: Column, frames: Column,
