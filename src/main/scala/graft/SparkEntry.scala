@@ -1877,6 +1877,29 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "value_w")
         .orderBy("event_id")),
 
+    // ---- A33: hopping-window aggregation (30 min every 15 min) ----
+    // Spark's native window() generator: each row expands map-side into
+    // its 2 overlapping windows, then ONE partial-agg shuffle on
+    // (window, event_type) — no self-join or grid build, and the same
+    // expression runs under Structured Streaming. The oracle re-derives
+    // the 2-window assignment with epoch_us arithmetic.
+    "a33_hopping" -> ((s, dir) =>
+      Analytics.hoppingAvg(t(s, dir, "events"), Seq("event_type"),
+        "ts", "value", "30 minutes", "15 minutes")
+        .orderBy("window_start", "event_type")),
+
+    // ---- A34: per-group 2D Pareto frontier (skyline) ----
+    // Sort-sweep, not the quadratic NOT-EXISTS dominance scan: distinct
+    // pairs, one partitioned window sort, survive iff y beats the
+    // running max over strictly-preceding (x DESC, y DESC) rows. The
+    // oracle runs the SAME sweep in SQL — exact decimal/date compares,
+    // so the frontier sets are identical.
+    "a34_pareto" -> ((s, dir) =>
+      Analytics.paretoFrontier2D(t(s, dir, "orders"),
+        Seq("o_orderpriority"), "o_totalprice", "o_orderdate")
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+          col("o_orderdate"))),
+
     // ---- W8: event-time RANGE frame (trailing 1-hour window) ----
     // Delegates to the operator layer (Analytics.trailingRangeStats):
     // rangeBetween on epoch micros, peer-inclusive on ties in both
@@ -6279,5 +6302,46 @@ object SparkEntry {
         |       ELSE e.value END AS value_w
         |FROM events e JOIN th t ON e.event_type = t.event_type
         |ORDER BY e.event_id""".stripMargin,
+
+    // hopping windows: every event lands in exactly window/slide = 2
+    // windows — the floor-to-slide start and the one 15 min earlier;
+    // exact-decimal average (the a5/a7 stabilization)
+    "a33_hopping" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL
+        |), w AS (
+        |  SELECT event_type, value,
+        |    (us // 900000000) * 900000000 - k.o AS ws
+        |  FROM e, (VALUES (CAST(0 AS BIGINT)),
+        |                  (CAST(900000000 AS BIGINT))) k(o)
+        |)
+        |SELECT make_timestamp(ws) AS window_start,
+        |  make_timestamp(ws + 1800000000) AS window_end,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value)
+        |    AS avg_value
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // pareto: the same sort-sweep in SQL — a distinct (x,y) survives
+    // iff its y beats the running max over strictly-preceding rows in
+    // (x DESC, y DESC) order; all compares exact (decimal, date)
+    "a34_pareto" ->
+      """WITH d AS (
+        |  SELECT DISTINCT o_orderpriority, o_totalprice, o_orderdate
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |), s AS (
+        |  SELECT o_orderpriority, o_totalprice, o_orderdate,
+        |    max(o_orderdate) OVER (
+        |      PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderdate DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+        |  FROM d
+        |)
+        |SELECT o_orderpriority, o_totalprice, o_orderdate
+        |FROM s WHERE cm IS NULL OR o_orderdate > cm
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderdate""".stripMargin,
   )
 }

@@ -494,6 +494,52 @@ object Analytics {
     spark.createDataFrame(indexed, schema)
   }
 
+  /** Hopping (sliding) time-window aggregation: count + exact-decimal
+    * average per `windowDur` window sliding every `slideDur`, per key —
+    * Spark's native `window()` generator, so each row map-side expands
+    * into its windowDur/slideDur windows and the aggregate is ONE
+    * standard partial-agg shuffle on (window, keys); no self-join, no
+    * grid build, and the identical expression runs under Structured
+    * Streaming with a watermark. Rows with null time are excluded (they
+    * belong to no window).
+    */
+  def hoppingAvg(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, windowDur: String, slideDur: String): DataFrame = {
+    val grouped = df.where(col(tsCol).isNotNull)
+      .groupBy(window(col(tsCol), windowDur, slideDur) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        stableAvg(col(measure)).as("avg_" + measure))
+    grouped.select(Seq(col("window.start").as("window_start"),
+      col("window.end").as("window_end")) ++ keyCols.map(col) ++
+      Seq(col("n"), col("avg_" + measure)): _*)
+  }
+
+  /** Per-group 2D Pareto frontier (skyline), maximizing both `xCol` and
+    * `yCol`: the points no other group member weakly dominates. The
+    * naive formulation is the quadratic NOT-EXISTS dominance scan; this
+    * is the sort-sweep instead — distinct (x, y) pairs, one window sort
+    * per group on (x DESC, y DESC), and a point survives iff its y
+    * exceeds the running max y of all strictly-preceding rows. One
+    * distinct shuffle + one partitioned sort, both on the group key:
+    * 100 TB of groups sweep in parallel, and no group ever pays n².
+    * Frontier semantics are over DISTINCT pairs (duplicates of a
+    * frontier point collapse); rows with null x/y are excluded.
+    */
+  def paretoFrontier2D(df: DataFrame, keyCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((keyCols.map(col) :+ col(xCol)) :+ col(yCol): _*)
+      .distinct()
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(xCol).desc, col(yCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("__cm", max(col(yCol)).over(w))
+      .where(col("__cm").isNull || col(yCol) > col("__cm"))
+      .drop("__cm")
+  }
+
   /** Per-group winsorization: clamp `valueCol` into the group's
     * [`lo`, `hi`] discrete quantiles — the outlier treatment that keeps
     * every output an ACTUAL data value (unlike interpolated-percentile
