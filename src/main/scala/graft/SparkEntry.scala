@@ -1499,6 +1499,84 @@ object SparkEntry {
         tieBreak = Seq("event_id"))
         .orderBy("user_id", "ts", "event_id")),
 
+    // ---- time series: per-key EWMA smoother ----
+    // Sequential recurrence folded once per key; stabilized DECIMAL(18,2)
+    // inputs, fixed IEEE step α·x + (1−α)·e the oracle's recursive CTE
+    // mirrors token-for-token. Emitted RAW (the ts1 convention): the
+    // chains are bit-identical, while round(·,6) itself diverges across
+    // engines here — α = ¼ makes …4375-boundary values common, and
+    // DuckDB rounds 77.20343749999999 UP where exact HALF_UP goes down.
+    "ts3_ewma" -> ((s, dir) =>
+      Analytics.ewma(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        alpha = 0.25, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          col("ewma"))
+        .orderBy("user_id", "ts", "event_id")),
+
+    // ---- time series: lag-pair autocorrelation function ----
+    // Pearson over (x_t, x_{t+lag}) pairs per key: exact decimal moment
+    // sums (the ts1 idiom), one bounded band self-join (fan-out <= maxLag),
+    // final correlation is a fixed-order IEEE chain mirrored in the oracle.
+    "ts4_autocorr" -> ((s, dir) =>
+      Analytics.autocorrelation(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        maxLag = 3, tieBreak = Seq("event_id"), minPairs = 5)
+        .orderBy("user_id", "lag")),
+
+    // ---- text: PMI collocation mining (top adjacent bigrams) ----
+    // Exact unigram/bigram counts; the only floats are the pure-IEEE
+    // ratio (drives the top-k cut + ordering) and the final ln
+    // (round-6 canonicalized). minCount gates hapax-pair PMI blowup.
+    "t31_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 3, topK = 50)
+        .select(col("term_a"), col("term_b"), col("n_pair"),
+          r6z(col("pmi")).as("pmi"))
+        .orderBy(desc("pmi"), col("term_a"), col("term_b"))),
+
+    // ---- sampling: exactly-k-per-group bottom-k (distributed reservoir) ----
+    // One mergeable bounded top-k aggregate over the md5 priority —
+    // shuffle carries <= k pairs per (group, partition), never the rows;
+    // winners rejoin by semi-join. Fully hash-oracled (priority asc,
+    // id asc == the window form).
+    "s13_bottomk" -> ((s, dir) =>
+      Sampling.bottomKSample(t(s, dir, "documents"), col("lang"),
+        col("doc_id"), k = 20)
+        .orderBy("doc_id")),
+
+    // ---- similarity: MMR-diversified top-k rerank ----
+    // Greedy λ·rel − (1−λ)·maxSim over a distributed top-poolSize
+    // relevance pool with all cosines precomputed by the native kernel;
+    // the oracle unrolls the k rounds and reproduces every selection
+    // bit-for-bit (λ = 0.75 so 1−λ is binary-exact).
+    "sim14_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.mmrTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+        k = 4, poolSize = 8, lambda = 0.75)
+        .select(col("qid"), col("vec_id"), r6z(col("mmr")).as("mmr"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- analytics: per-group Shannon entropy (class balance) ----
+    // Exact category counts; ln terms rounded to 6 (t16 convention).
+    "a35_entropy" -> ((s, dir) =>
+      Analytics.entropy(t(s, dir, "events"), Seq("user_id"), "event_type")
+        .select(col("user_id"), col("n"), r6z(col("entropy")).as("entropy"))
+        .orderBy("user_id")),
+
+    // ---- analytics: per-group Gini coefficient (concentration) ----
+    // Exact decimal moments (rank x value products), one fixed-order
+    // IEEE chain — raw emission, bit-identical across engines.
+    "a36_gini" -> ((s, dir) =>
+      Analytics.gini(t(s, dir, "events"), Seq("user_id"), "value")
+        .orderBy("user_id")),
+
     // ---- F14: JSON field extraction (events.props) ----
     "t5_json_extract" -> ((s, dir) =>
       t(s, dir, "events").select(col("event_id"),
@@ -5561,6 +5639,212 @@ object SparkEntry {
         |       WHEN s_pos > 300.00 THEN 'hi' ELSE 'lo' END AS side
         |FROM scores WHERE s_pos > 300.00 OR s_neg > 300.00
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // EWMA: sequential recurrence re-derived by a recursive CTE over the
+    // per-key row numbering; identical stabilization and the identical
+    // IEEE step 0.25*x + 0.75*e; round-6 canonicalized
+    "ts3_ewma" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, ts, event_id, x, rn, x AS e FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.ts, o.event_id, o.x, o.rn,
+        |         CAST(0.25 AS DOUBLE) * o.x + CAST(0.75 AS DOUBLE) * r.e
+        |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, ts, event_id, x AS value, e AS ewma
+        |FROM r ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // lag-pair ACF: exact decimal moment sums over the banded self-join,
+    // then the identical fixed-order correlation chain
+    "ts4_autocorr" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS x,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |p AS MATERIALIZED (
+        |  SELECT a.user_id, CAST(b.rn - a.rn AS INT) AS lag,
+        |         a.x AS xa, b.x AS xb
+        |  FROM o a JOIN o b ON b.user_id = a.user_id
+        |    AND b.rn > a.rn AND b.rn <= a.rn + 3),
+        |s AS MATERIALIZED (
+        |  SELECT user_id, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(xa) AS DOUBLE) AS sx, CAST(SUM(xb) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(xa * xa AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(xb * xb AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(xa * xb AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY user_id, lag)
+        |SELECT user_id, lag, n_pairs,
+        |  (CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+        |  (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
+        |   sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) AS acf
+        |FROM s
+        |WHERE n_pairs >= 5 AND
+        |  (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
+        |   sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) > 0
+        |ORDER BY user_id, lag""".stripMargin,
+
+    // PMI: exact counts; the pure-IEEE ratio orders and cuts; ln rounds
+    // to 6 (+0.0 canonicalizes the -0.0 class). Bigrams come from a
+    // fixed-size index frame (DuckDB range() is not lateral — the mm2b
+    // precedent).
+    "t31_pmi" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |uni AS MATERIALIZED (SELECT unnest(t) AS term FROM toks),
+        |uc AS MATERIALIZED (SELECT term, count(*) AS cu FROM uni GROUP BY term),
+        |tot AS (SELECT count(*) AS u FROM uni),
+        |mx AS (SELECT max(len(t)) AS m FROM toks),
+        |idx AS MATERIALIZED (
+        |  SELECT CAST(i AS INT) AS i
+        |  FROM (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) z),
+        |bi AS MATERIALIZED (
+        |  SELECT t[i] AS term_a, t[i + 1] AS term_b
+        |  FROM toks JOIN idx ON idx.i < len(t)),
+        |bc AS MATERIALIZED (
+        |  SELECT term_a, term_b, count(*) AS n_pair
+        |  FROM bi GROUP BY 1, 2 HAVING count(*) >= 3),
+        |nb AS (SELECT count(*) AS n FROM bi),
+        |j AS MATERIALIZED (
+        |  SELECT bc.term_a, bc.term_b, bc.n_pair,
+        |    (CAST(bc.n_pair AS DOUBLE) * CAST(tot.u AS DOUBLE) *
+        |     CAST(tot.u AS DOUBLE)) /
+        |    (CAST(nb.n AS DOUBLE) * CAST(ca.cu AS DOUBLE) *
+        |     CAST(cb.cu AS DOUBLE)) AS ratio
+        |  FROM bc JOIN uc ca ON ca.term = bc.term_a
+        |          JOIN uc cb ON cb.term = bc.term_b, tot, nb),
+        |top AS MATERIALIZED (
+        |  SELECT * FROM j ORDER BY ratio DESC, term_a, term_b LIMIT 50)
+        |SELECT term_a, term_b, CAST(n_pair AS BIGINT) AS n_pair,
+        |       round(ln(ratio), 6) + 0.0 AS pmi
+        |FROM top ORDER BY pmi DESC, term_a, term_b""".stripMargin,
+
+    // bottom-k sampling == the window form over the same md5 priority
+    "s13_bottomk" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |               AS BIGINT) / 1152921504606846976.0, doc_id) AS rn
+        |  FROM documents) z
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // MMR: the greedy rounds unrolled — each round's argmax re-derived
+    // from the same engine-exact cosines and the identical score chain
+    // 0.75*rel - 0.25*maxSim (round 1 penalizes an empty set: - 0.25*0)
+    "sim14_mmr" ->
+      """WITH q AS MATERIALIZED (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |rel0 AS MATERIALIZED (
+        |  SELECT q.qid, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS rel
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |cand AS MATERIALIZED (
+        |  SELECT qid, vec_id, v, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY rel DESC, vec_id) AS rk FROM rel0) z WHERE rk <= 8),
+        |ps AS MATERIALIZED (
+        |  SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb,
+        |         list_cosine_similarity(a.v, b.v) AS s
+        |  FROM cand a JOIN cand b ON b.qid = a.qid AND b.vec_id <> a.vec_id),
+        |sel1 AS MATERIALIZED (
+        |  SELECT qid, vec_id, mmr FROM (
+        |    SELECT qid, vec_id, mmr, row_number() OVER (PARTITION BY qid
+        |      ORDER BY mmr DESC, vec_id) AS rn
+        |    FROM (SELECT qid, vec_id,
+        |            CAST(0.75 AS DOUBLE) * rel
+        |              - CAST(0.25 AS DOUBLE) * CAST(0 AS DOUBLE) AS mmr
+        |          FROM cand) z1) z2 WHERE rn = 1),
+        |su1 AS (SELECT qid, vec_id FROM sel1),
+        |s2 AS MATERIALIZED (
+        |  SELECT c.qid, c.vec_id,
+        |    CAST(0.75 AS DOUBLE) * c.rel - CAST(0.25 AS DOUBLE) * m.ms AS mmr
+        |  FROM cand c JOIN (
+        |    SELECT ps.qid, ps.ca, MAX(ps.s) AS ms
+        |    FROM ps JOIN su1 t ON t.qid = ps.qid AND t.vec_id = ps.cb
+        |    GROUP BY ps.qid, ps.ca) m ON m.qid = c.qid AND m.ca = c.vec_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM su1 t
+        |                    WHERE t.qid = c.qid AND t.vec_id = c.vec_id)),
+        |sel2 AS MATERIALIZED (
+        |  SELECT qid, vec_id, mmr FROM (
+        |    SELECT qid, vec_id, mmr, row_number() OVER (PARTITION BY qid
+        |      ORDER BY mmr DESC, vec_id) AS rn FROM s2) z2 WHERE rn = 1),
+        |su2 AS (SELECT * FROM su1 UNION ALL SELECT qid, vec_id FROM sel2),
+        |s3 AS MATERIALIZED (
+        |  SELECT c.qid, c.vec_id,
+        |    CAST(0.75 AS DOUBLE) * c.rel - CAST(0.25 AS DOUBLE) * m.ms AS mmr
+        |  FROM cand c JOIN (
+        |    SELECT ps.qid, ps.ca, MAX(ps.s) AS ms
+        |    FROM ps JOIN su2 t ON t.qid = ps.qid AND t.vec_id = ps.cb
+        |    GROUP BY ps.qid, ps.ca) m ON m.qid = c.qid AND m.ca = c.vec_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM su2 t
+        |                    WHERE t.qid = c.qid AND t.vec_id = c.vec_id)),
+        |sel3 AS MATERIALIZED (
+        |  SELECT qid, vec_id, mmr FROM (
+        |    SELECT qid, vec_id, mmr, row_number() OVER (PARTITION BY qid
+        |      ORDER BY mmr DESC, vec_id) AS rn FROM s3) z2 WHERE rn = 1),
+        |su3 AS (SELECT * FROM su2 UNION ALL SELECT qid, vec_id FROM sel3),
+        |s4 AS MATERIALIZED (
+        |  SELECT c.qid, c.vec_id,
+        |    CAST(0.75 AS DOUBLE) * c.rel - CAST(0.25 AS DOUBLE) * m.ms AS mmr
+        |  FROM cand c JOIN (
+        |    SELECT ps.qid, ps.ca, MAX(ps.s) AS ms
+        |    FROM ps JOIN su3 t ON t.qid = ps.qid AND t.vec_id = ps.cb
+        |    GROUP BY ps.qid, ps.ca) m ON m.qid = c.qid AND m.ca = c.vec_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM su3 t
+        |                    WHERE t.qid = c.qid AND t.vec_id = c.vec_id)),
+        |sel4 AS MATERIALIZED (
+        |  SELECT qid, vec_id, mmr FROM (
+        |    SELECT qid, vec_id, mmr, row_number() OVER (PARTITION BY qid
+        |      ORDER BY mmr DESC, vec_id) AS rn FROM s4) z2 WHERE rn = 1)
+        |SELECT qid, vec_id, round(mmr, 6) + 0.0 AS mmr, rank FROM (
+        |  SELECT qid, vec_id, mmr, CAST(1 AS INT) AS rank FROM sel1
+        |  UNION ALL SELECT qid, vec_id, mmr, CAST(2 AS INT) FROM sel2
+        |  UNION ALL SELECT qid, vec_id, mmr, CAST(3 AS INT) FROM sel3
+        |  UNION ALL SELECT qid, vec_id, mmr, CAST(4 AS INT) FROM sel4) u
+        |ORDER BY qid, rank""".stripMargin,
+
+    // entropy: exact counts, ln terms, round-6 canonicalized
+    "a35_entropy" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT user_id, event_type, count(*) AS c FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+        |        SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS st
+        |      FROM c GROUP BY user_id)
+        |SELECT user_id, n,
+        |  round(ln(CAST(n AS DOUBLE)) - st / CAST(n AS DOUBLE), 6) + 0.0
+        |    AS entropy
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    // Gini: exact decimal rank-weighted sums, identical final chain;
+    // rank ties permute only equal values so SUM(i*x) is tie-invariant
+    "a36_gini" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS x,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(value AS DECIMAL(18,2))) AS i
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL
+        |    AND CAST(value AS DECIMAL(18,2)) >= 0),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(x * i AS DECIMAL(38,2))) AS DOUBLE) AS six
+        |      FROM o GROUP BY user_id)
+        |SELECT user_id, n,
+        |  (CAST(2 AS DOUBLE) * six - (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE))
+        |    * sx) / (CAST(n AS DOUBLE) * sx) AS gini
+        |FROM s WHERE sx > 0 ORDER BY user_id""".stripMargin,
 
     "j7_asof_broadcast" ->
       """SELECT e.event_id, e.user_id, o.best_price AS asof_price

@@ -773,6 +773,183 @@ object Analytics {
     * the same per-key partitioning — one shuffle; per-key state is
     * O(1) (lag/lead), never a whole group.
     */
+  /** Per-group Shannon entropy of a categorical column:
+    * H = ln(n) − (Σ c·ln c)/n over the category counts c — the
+    * class-balance / source-diversity diagnostic a mixing pipeline
+    * reads next to the a6 share distribution. Counts are exact; the
+    * ln-term sum is the only float (category cardinality per group is
+    * small, and presentation rounds to 6 — the t16 ln convention).
+    * Null categories are excluded. Two partial-agg shuffles of count
+    * rows — at 100 TB the data is touched once.
+    */
+  def entropy(df: DataFrame, keyCols: Seq[String], catCol: String,
+      outCol: String = "entropy"): DataFrame = {
+    val counts = df.where(col(catCol).isNotNull)
+      .groupBy(keyCols.map(col) :+ col(catCol): _*)
+      .agg(count(lit(1)).as("__c"))
+    counts
+      .withColumn("__t",
+        col("__c").cast(DoubleType) * log(col("__c").cast(DoubleType)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__c")).as("n"), sum(col("__t")).as("__st"))
+      .withColumn(outCol,
+        log(col("n").cast(DoubleType)) -
+          col("__st") / col("n").cast(DoubleType))
+      .drop("__st")
+  }
+
+  /** Per-group Gini coefficient of a non-negative measure — the
+    * inequality/concentration diagnostic (how skewed is token mass
+    * across sources? value across users?):
+    * G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with x ascending, i its
+    * 1-based rank. Every moment is exact (DECIMAL(18,2)-stabilized
+    * measure, rank×value products summed as DECIMAL(38,2)); the final
+    * G is one fixed-order IEEE chain an oracle mirrors token-for-token.
+    * Rank ties (equal x) permute only equal values, so Σ i·x is
+    * tie-order invariant — no tie-break column needed. Rows with null /
+    * non-stabilizing / negative measures are excluded; groups with
+    * Σx = 0 are dropped (G undefined).
+    *
+    * Shape: one hash exchange on the keys, one sorted rank window per
+    * key, one partial-agg — series parallelize by group.
+    */
+  def gini(df: DataFrame, keyCols: Seq[String], measure: String,
+      outCol: String = "gini"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val base = df
+      .where(col(measure).isNotNull && dec.isNotNull && dec >= 0)
+      .select(keyCols.map(col) :+ dec.as("__x"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__x"))
+    val sums = base.withColumn("__i", row_number().over(w))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).cast(DoubleType).as("__sx"),
+        sum((col("__x") * col("__i")).cast(DecimalType(38, 2)))
+          .cast(DoubleType).as("__six"))
+    val nD = col("n").cast(DoubleType)
+    sums.where(col("__sx") > 0)
+      .withColumn(outCol,
+        (lit(2.0) * col("__six") - (nD + lit(1.0)) * col("__sx")) /
+          (nD * col("__sx")))
+      .drop("__sx", "__six")
+  }
+
+  /** Per-key exponentially weighted moving average:
+    * e₁ = x₁, e_t = α·x_t + (1−α)·e_{t−1} — the classic smoother beside
+    * ts1's spike gate and ts2's drift gate. The recurrence is inherently
+    * sequential per key, so each key's series is folded ONCE inside its
+    * own task (sorted `collect_list` + a sequential HOF `aggregate`) —
+    * 100 TB of series parallelize by key, and the per-key state is the
+    * series itself (the same bound any sequential recurrence carries;
+    * keys here are users/devices/sensors with bounded history, not the
+    * corpus).
+    *
+    * Determinism: the measure stabilizes to DECIMAL(18,2) first (the
+    * ts1/ts2 observation contract — null time or non-stabilizing
+    * measure excludes the row), the fold order is the total order
+    * (`tsCol`, `tieBreak`…), and each step is the fixed IEEE chain
+    * `α·x + (1−α)·e` that an oracle's recursive CTE mirrors
+    * token-for-token. `1−α` is computed once here, as one IEEE
+    * subtraction — mirror the same literal on the oracle side.
+    */
+  def ewma(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, alpha: Double, tieBreak: Seq[String] = Nil,
+      outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(keyCols.nonEmpty, "ewma needs at least one key column")
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val ordNames = tsCol +: tieBreak
+    val rowStruct = struct(
+      ordNames.map(col) :+ dec.cast(DoubleType).as("__x"): _*)
+    val grouped = df
+      .where(col(tsCol).isNotNull && col(measure).isNotNull && dec.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(rowStruct)).as("__s"))
+    val init = struct(lit(true).as("first"), lit(0.0).as("prev"),
+      array().cast(ArrayType(DoubleType)).as("arr"))
+    val step = (acc: Column, e: Column) => {
+      val ev = when(acc.getField("first"), e.getField("__x"))
+        .otherwise(lit(alpha) * e.getField("__x") +
+          lit(1.0 - alpha) * acc.getField("prev"))
+      struct(lit(false).as("first"), ev.as("prev"),
+        concat(acc.getField("arr"), array(ev)).as("arr"))
+    }
+    val folded = grouped.withColumn("__e",
+      aggregate(col("__s"), init, step, _.getField("arr")))
+    folded
+      .select(keyCols.map(col) :+ col("__e") :+
+        posexplode(col("__s")).as(Seq("__i", "__r")): _*)
+      .select(keyCols.map(col) ++
+        ordNames.map(n => col(s"__r.$n").as(n)) ++ Seq(
+          col("__r.__x").as(measure),
+          element_at(col("__e"), col("__i") + 1).as(outCol)): _*)
+  }
+
+  /** Per-key autocorrelation function: for each lag ℓ in 1..`maxLag`,
+    * the Pearson correlation of the pairs (x_t, x_{t+ℓ}) within the key
+    * (the lag-pair ACF variant — no global-mean subtraction, so every
+    * moment is an exact decimal sum and the only floating point is the
+    * final correlation chain, identical across engines).
+    *
+    * Shape: one row_number window per key (the total order is
+    * (`tsCol`, `tieBreak`…)), then ONE self-join on the key with a
+    * bounded band predicate `rn+1 ≤ rn' ≤ rn+maxLag` — a hash join
+    * whose per-row fan-out is at most `maxLag`, never a cartesian.
+    * Sums are DECIMAL(18,2)/(38,4)-exact (the ts1 idiom); the final
+    * `r = (n·sxy − sx·sy) / (√(n·sxx − sx²) · √(n·syy − sy²))` is a
+    * fixed-order IEEE chain the oracle mirrors token-for-token.
+    * Lags with fewer than `minPairs` pairs or a degenerate (zero)
+    * denominator are dropped.
+    */
+  def autocorrelation(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, maxLag: Int, tieBreak: Seq[String] = Nil,
+      minPairs: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    require(minPairs >= 2, s"minPairs must be >= 2, got $minPairs")
+    import org.apache.spark.sql.expressions.Window
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val series = df
+      .where(col(tsCol).isNotNull && col(measure).isNotNull && dec.isNotNull)
+      .select(keyCols.map(col) :+ dec.as("__x") :+
+        row_number().over(w).as("__rn"): _*)
+    val a = series.select(
+      keyCols.map(c => col(c).as(s"__k_$c")) :+ col("__x").as("__xa") :+
+        col("__rn").as("__ra"): _*)
+    val b = series.select(
+      keyCols.map(c => col(c).as(s"__j_$c")) :+ col("__x").as("__xb") :+
+        col("__rn").as("__rb"): _*)
+    val keyEq = keyCols.map(c => col(s"__k_$c") === col(s"__j_$c"))
+      .reduce(_ && _)
+    val pairs = a.join(b, keyEq &&
+      col("__rb") > col("__ra") &&
+      col("__rb") <= col("__ra") + lit(maxLag))
+      .withColumn("lag", (col("__rb") - col("__ra")).cast(IntegerType))
+    val sums = pairs
+      .groupBy(keyCols.map(c => col(s"__k_$c").as(c)) :+ col("lag"): _*)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("__xa")).cast(DoubleType).as("__sx"),
+        sum(col("__xb")).cast(DoubleType).as("__sy"),
+        sum((col("__xa") * col("__xa")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("__sxx"),
+        sum((col("__xb") * col("__xb")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("__syy"),
+        sum((col("__xa") * col("__xb")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("__sxy"))
+    val nD = col("n_pairs").cast(DoubleType)
+    val num = nD * col("__sxy") - col("__sx") * col("__sy")
+    val den = sqrt(nD * col("__sxx") - col("__sx") * col("__sx")) *
+      sqrt(nD * col("__syy") - col("__sy") * col("__sy"))
+    sums
+      .withColumn("__den", den)
+      .where(col("n_pairs") >= minPairs && col("__den") > 0)
+      .withColumn("acf", num / col("__den"))
+      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy", "__den")
+  }
+
   def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
       attrCols: Seq[String], orderCols: Seq[String] = Nil): DataFrame = {
     require(attrCols.nonEmpty, "scd2 needs at least one tracked attribute")

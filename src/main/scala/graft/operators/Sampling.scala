@@ -240,6 +240,38 @@ object Sampling {
       .drop("__w", "__pkey", "__pg", "__step", "__cum")
   }
 
+  /** Exactly-k-per-group uniform sample (distributed reservoir):
+    * within each group, the k rows whose md5-derived priority
+    * ([[hashUniform]]) is smallest — the "bottom-k sampling" identity:
+    * hashing every id with one fixed function and keeping the k
+    * smallest IS a uniform k-subset, and unlike an RNG reservoir it is
+    * deterministic, partition-independent, mergeable, and re-derivable
+    * in any engine with md5().
+    *
+    * Scale shape: ONE pass with the bounded mergeable top-k aggregate
+    * (`graft_topk` on the negated priority) — the shuffle carries at
+    * most k (id, priority) pairs per (group, partition), never the
+    * data rows (the `row_number()` window form would shuffle and sort
+    * the whole corpus per group) — then a semi-join brings back the
+    * winners' full rows (AQE broadcasts the groups×k winner frame).
+    *
+    * `idCol` must be integral and unique per group (it is both the
+    * priority seed and the tie-break). Groups with ≤ k rows keep all
+    * their rows.
+    */
+  def bottomKSample(df: DataFrame, groupCol: Column, idCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val winners = df
+      .groupBy(groupCol.as("__bg"))
+      .agg(graft.functions.GraftFunctions.topKPairs(
+        idCol.cast("long"), -hashUniform(idCol), k).as("__w"))
+      .select(col("__bg"), explode(col("__w.id")).as("__bid"))
+    df.join(winners,
+      groupCol <=> col("__bg") && idCol.cast("long") === col("__bid"),
+      "left_semi")
+  }
+
   /** Token-budget mixture — the data-mixing step of a training
     * pipeline: each group (source / domain / language) contributes docs
     * in DETERMINISTIC hash order until its token budget fills. The

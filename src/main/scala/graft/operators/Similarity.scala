@@ -758,4 +758,109 @@ object Similarity {
           col("rank").cast(IntegerType).as("rank"))
     }
   }
+
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998): greedy
+    * re-ranking of a relevance candidate pool so results are both
+    * relevant and mutually dissimilar —
+    * score(d) = λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s),
+    * ties on (score DESC, id ASC), round 1 penalizes against an empty
+    * set (maxSim = 0).
+    *
+    * Scale shape: the candidate pool (`poolSize` per query) comes from
+    * the DISTRIBUTED relevance pass ([[bruteForceTopK]] here; swap in
+    * [[ivfTopK]] / `AnnIndex.knnJoin` for 100 TB corpora — the rerank
+    * is pool-only and never touches the corpus again). All cosine
+    * arithmetic — query-candidate AND candidate-candidate — is computed
+    * distributed by the native kernel BEFORE the greedy phase, so the
+    * per-query sequential step is pure double compare/multiply over
+    * poolSize² precomputed sims: bounded state, one task per query,
+    * queries parallelize freely.
+    *
+    * Determinism: the greedy chain `λ·rel − (1−λ)·maxSim` is fixed-order
+    * IEEE over engine-exact cosines — an oracle that unrolls the k
+    * rounds reproduces every selection bit-for-bit. Pass λ whose 1−λ is
+    * exact in binary (0.5, 0.75, …) so the oracle can mirror the
+    * literal.
+    *
+    * `corpusId`/`queryId` must be integral (the pool state keys on
+    * longs). Queries with fewer than k candidates emit what they have.
+    */
+  def mmrTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, poolSize: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"need 1 <= k <= poolSize, got k=$k poolSize=$poolSize")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val oneMinus = 1.0 - lambda
+    val cands = bruteForceTopK(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, poolSize)
+      .select(col(queryId).cast(LongType).as("__q"),
+        col(corpusId).cast(LongType).as("__c"), col("sim").as("__rel"))
+    val vecs = corpus.select(col(corpusId).cast(LongType).as("__vid"),
+      asDouble(col(corpusVec)).as("__v"))
+    val withVec = cands.join(vecs, col("__c") === col("__vid"))
+      .select(col("__q"), col("__c"), col("__rel"), col("__v"))
+    val left = withVec.select(col("__q"), col("__c").as("__ca"),
+      col("__v").as("__va"))
+    val right = withVec.select(col("__q").as("__q2"),
+      col("__c").as("__cb"), col("__v").as("__vb"))
+    val pairSims = left.join(right,
+      col("__q") === col("__q2") && col("__ca") =!= col("__cb"))
+      .select(col("__q"), col("__ca"), col("__cb"),
+        cosine(col("__va"), col("__vb")).as("__s"))
+    val relAgg = withVec.groupBy("__q")
+      .agg(sort_array(collect_list(struct(col("__c"), col("__rel"))))
+        .as("__rels"))
+    val pairAgg = pairSims.groupBy("__q")
+      .agg(collect_list(struct(col("__ca"), col("__cb"), col("__s")))
+        .as("__sims"))
+    val grouped = relAgg.join(pairAgg, Seq("__q"), "left_outer")
+      .select(col("__q"), col("__rels"),
+        coalesce(col("__sims"),
+          array().cast(ArrayType(StructType(Seq(
+            StructField("__ca", LongType, nullable = false),
+            StructField("__cb", LongType, nullable = false),
+            StructField("__s", DoubleType, nullable = false)))))
+        ).as("__sims"))
+      .as[(Long, Seq[(Long, Double)], Seq[(Long, Long, Double)])]
+    val picked = grouped.flatMap { case (q, rels, sims) =>
+      val simMap = sims.map { case (a, b, s) => (a, b) -> s }.toMap
+      val remaining = scala.collection.mutable.LinkedHashMap(rels: _*)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double, Int)]
+      var round = 1
+      while (round <= k && remaining.nonEmpty) {
+        var bestId = -1L
+        var bestScore = Double.NegativeInfinity
+        var first = true
+        remaining.foreach { case (c, rel) =>
+          // true max over the selected set (cosines can be negative —
+          // clamping at 0 would diverge from SQL MAX); empty set = 0.0
+          var maxSim = 0.0
+          if (selected.nonEmpty) {
+            maxSim = Double.NegativeInfinity
+            selected.foreach { s =>
+              val v = simMap((c, s))
+              if (v > maxSim) maxSim = v
+            }
+          }
+          val score = lambda * rel - oneMinus * maxSim
+          if (first || score > bestScore ||
+              (score == bestScore && c < bestId)) {
+            bestId = c; bestScore = score; first = false
+          }
+        }
+        remaining.remove(bestId)
+        selected += bestId
+        out += ((q, bestId, bestScore, round))
+        round += 1
+      }
+      out
+    }
+    picked.toDF(queryId, corpusId, "mmr", "rank")
+      .withColumn("rank", col("rank").cast(IntegerType))
+  }
 }

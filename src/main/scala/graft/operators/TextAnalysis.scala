@@ -258,6 +258,60 @@ object TextAnalysis {
     * once. Same collision stance as the d2/d3 family: shingles
     * compare by 64-bit hash.
     */
+  /** PMI collocation mining: the corpus's top adjacent-bigram
+    * collocations by pointwise mutual information,
+    * pmi(a,b) = ln( (c_ab/n) / ((c_a/u)·(c_b/u)) ) with c_ab the
+    * adjacent-pair count (n pairs total) and c_a/c_b unigram counts
+    * (u tokens total) — the classic phrase detector (Church & Hanks
+    * 1990; word2vec's phrase pass uses the same statistic).
+    *
+    * Every count is exact; the ONLY floats are the final ratio (pure
+    * IEEE arithmetic over exact integers, identical across engines —
+    * it drives the top-k cut and the tie-broken ordering) and the ln
+    * (emitted raw here; presentation layers round it, since ln's last
+    * ulp is libm-specific). Rare-pair noise is gated by `minCount`
+    * (PMI famously explodes on hapax pairs).
+    *
+    * Shape: two explode+count aggregations (bigram, unigram), two
+    * equi-joins of the minCount-surviving pairs against the vocab
+    * frame, two one-row scalar frames broadcast by crossJoin — no
+    * quadratic term anywhere; 100 TB tokenizes map-side and shuffles
+    * only (term) / (term_a, term_b) count rows.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5, topK: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = tokens(col(textCol))
+    val uniBase = df.select(explode(toks).as("term"))
+    val uni = uniBase.groupBy("term").agg(count(lit(1)).as("__cu"))
+    val totU = uniBase.select(count(lit(1)).as("__u"))
+    val biBase = df.select(toks.as("__t")).where(size(col("__t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("__p"))
+      .select(col("__p.a").as("term_a"), col("__p.b").as("term_b"))
+    val pairCounts = biBase.groupBy("term_a", "term_b")
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    val totB = biBase.select(count(lit(1)).as("__n"))
+    val ua = uni.select(col("term").as("term_a"), col("__cu").as("__ca"))
+    val ub = uni.select(col("term").as("term_b"), col("__cu").as("__cb"))
+    val ratio = (col("n_pair").cast(DoubleType) *
+      col("__u").cast(DoubleType) * col("__u").cast(DoubleType)) /
+      (col("__n").cast(DoubleType) * col("__ca").cast(DoubleType) *
+        col("__cb").cast(DoubleType))
+    pairCounts
+      .join(ua, "term_a").join(ub, "term_b")
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+      .withColumn("__ratio", ratio)
+      .orderBy(desc("__ratio"), col("term_a"), col("term_b"))
+      .limit(topK)
+      .select(col("term_a"), col("term_b"), col("n_pair"),
+        log(col("__ratio")).as("pmi"))
+  }
+
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val sh = df.select(col(idCol), explode(array_distinct(

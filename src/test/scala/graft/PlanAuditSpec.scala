@@ -19,11 +19,15 @@ class PlanAuditSpec extends SparkTestBase {
   //    for the set-algebra demo
   //  - q11: the q11 shape IS a group HAVING against a broadcast 1-row
   //    global scalar
+  //  - sim14_mmr: the relevance pool comes from the sim1 brute-force
+  //    baseline (tiny query set broadcast against the corpus)
+  //  - t31_pmi: two 1-row total-count frames (unigrams, bigrams)
+  //    broadcast-crossed into the pair frame
   private val allowed = Set(
     "a13_cross", "sim1_cosine_topk", "sim4_quantized_topk",
     "sim5_pq_topk", "sim5b_pq_exact", "sim7_pq_adc", "sim7b_adc_exact",
     "t10_tfidf", "t21_chi2", "a27_cm_rollup", "a30_theta",
-    "q11_important_values")
+    "q11_important_values", "sim14_mmr", "t31_pmi")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+
+/** EWMA + autocorrelation (ts3/ts4 family). */
+class SmoothingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ewma: hand-computed recurrence, alpha = 0.5") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+      ("b", 1L, 4.0)).toDF("k", "ts", "v")
+    val out = Analytics.ewma(df, Seq("k"), "ts", "v", alpha = 0.5)
+      .orderBy("k", "ts")
+      .select("k", "ts", "ewma").as[(String, Long, Double)].collect()
+    assert(out === Array(
+      ("a", 1L, 10.0), ("a", 2L, 15.0), ("a", 3L, 22.5), ("b", 1L, 4.0)))
+  }
+
+  test("ewma: alpha = 1 reproduces the (stabilized) series") {
+    val df = Seq(("a", 1L, 1.25), ("a", 2L, 7.5), ("a", 3L, -2.0))
+      .toDF("k", "ts", "v")
+    val out = Analytics.ewma(df, Seq("k"), "ts", "v", alpha = 1.0)
+      .orderBy("ts").select("ewma").as[Double].collect()
+    assert(out === Array(1.25, 7.5, -2.0))
+  }
+
+  test("ewma: observation contract excludes null ts / null / non-stabilizing") {
+    val df = Seq(
+      ("a", Option(1L), Option(10.0)),
+      ("a", None, Option(99.0)),       // null time: excluded
+      ("a", Option(2L), None),          // null measure: excluded
+      ("a", Option(3L), Option(Double.NaN)), // does not stabilize
+      ("a", Option(4L), Option(20.0))).toDF("k", "ts", "v")
+    val out = Analytics.ewma(df, Seq("k"), "ts", "v", alpha = 0.5)
+      .orderBy("ts").select("ts", "ewma").as[(Long, Double)].collect()
+    assert(out === Array((1L, 10.0), (4L, 15.0)))
+  }
+
+  test("ewma: partition-layout independent") {
+    val df = spark.range(200).select(
+      (col("id") % 7).as("k"), col("id").as("ts"),
+      (col("id") * 13 % 101).cast("double").as("v"))
+    val a = Analytics.ewma(df, Seq("k"), "ts", "v", 0.25)
+      .orderBy("k", "ts").collect()
+    val b = Analytics.ewma(df.repartition(11), Seq("k"), "ts", "v", 0.25)
+      .orderBy("k", "ts").collect()
+    assert(a === b)
+  }
+
+  test("ewma: tie-break column makes equal timestamps deterministic") {
+    val df = Seq(("a", 1L, 1L, 2.0), ("a", 1L, 2L, 4.0), ("a", 2L, 3L, 8.0))
+      .toDF("k", "ts", "eid", "v")
+    val out = Analytics.ewma(df, Seq("k"), "ts", "v", 0.5,
+      tieBreak = Seq("eid")).orderBy("ts", "eid")
+      .select("ewma").as[Double].collect()
+    assert(out === Array(2.0, 3.0, 5.5))
+  }
+
+  test("autocorrelation: affine series correlates to ~1 at every lag") {
+    val df = spark.range(1, 41).select(lit("k").as("k"),
+      col("id").as("ts"), col("id").cast("double").as("v"))
+    val out = Analytics.autocorrelation(df, Seq("k"), "ts", "v", maxLag = 3)
+      .orderBy("lag").select("lag", "n_pairs", "acf")
+      .as[(Int, Long, Double)].collect()
+    assert(out.map(_._1) === Array(1, 2, 3))
+    assert(out.map(_._2) === Array(39L, 38L, 37L))
+    out.foreach { case (_, _, r) => assert(math.abs(r - 1.0) < 1e-12) }
+  }
+
+  test("autocorrelation: alternating series flips sign by lag parity") {
+    val df = spark.range(0, 30).select(lit("k").as("k"), col("id").as("ts"),
+      when(col("id") % 2 === 0, 1.0).otherwise(-1.0).as("v"))
+    val out = Analytics.autocorrelation(df, Seq("k"), "ts", "v", maxLag = 2)
+      .orderBy("lag").select("lag", "acf").as[(Int, Double)].collect()
+    assert(math.abs(out(0)._2 + 1.0) < 1e-12, s"lag1 ${out(0)._2}")
+    assert(math.abs(out(1)._2 - 1.0) < 1e-12, s"lag2 ${out(1)._2}")
+  }
+
+  test("autocorrelation: constant series (zero variance) emits nothing") {
+    val df = spark.range(0, 20).select(lit("k").as("k"), col("id").as("ts"),
+      lit(5.0).as("v"))
+    assert(Analytics.autocorrelation(df, Seq("k"), "ts", "v", 2).count() === 0)
+  }
+
+  test("autocorrelation: minPairs gates short lags; keys independent") {
+    // key a: length 5 => lag3 has 2 pairs (< 3, dropped)
+    val a = (1 to 5).map(i => ("a", i.toLong, i * i % 7 + 0.5))
+    val b = (1 to 12).map(i => ("b", i.toLong, (i * 5 % 11).toDouble))
+    val df = (a ++ b).toDF("k", "ts", "v")
+    val out = Analytics.autocorrelation(df, Seq("k"), "ts", "v", maxLag = 3)
+      .select("k", "lag").as[(String, Int)].collect().toSet
+    assert(!out.contains(("a", 3)))
+    assert(out.contains(("b", 3)))
+  }
+
+  test("autocorrelation: partition-layout independent") {
+    val df = spark.range(300).select((col("id") % 5).as("k"),
+      col("id").as("ts"), (col("id") * 17 % 97).cast("double").as("v"))
+    val x = Analytics.autocorrelation(df, Seq("k"), "ts", "v", 4)
+      .orderBy("k", "lag").collect()
+    val y = Analytics.autocorrelation(df.repartition(13), Seq("k"), "ts",
+      "v", 4).orderBy("k", "lag").collect()
+    assert(x === y)
+  }
+}
