@@ -48,6 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_asof",
       es => graft.plans.GraftAsOfMarker(es(0), es(1))))
     ext.injectFunction(fn("graft_cosine", es => CosineSim(es(0), es(1))))
+    ext.injectFunction(fn("graft_hamming",
+      es => { val a = QSketchCodec.arity(es, 2, "graft_hamming")
+        graft.functions.GraftFunctions.HammingDist(a(0), a(1)) }))
     ext.injectFunction(fn("graft_bmp_encode",
       es => graft.operators.Multimodal.BmpEncodeExpr(
         QSketchCodec.arity(es, 4, "graft_bmp_encode"))))

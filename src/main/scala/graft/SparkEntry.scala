@@ -1066,6 +1066,38 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- similarity: 1-bit (sign) binary quantization + Hamming ----
+    // Pack sign bits into 32-bit words (32× smaller than float32), rank
+    // by popcount-of-XOR, exact-cosine re-rank the top 50 candidates.
+    // The whole pipeline is deterministic and SQL-expressible, so it is
+    // hash-oracled END-TO-END — no exact-twin needed even though the
+    // retrieval itself is lossy.
+    "sim15_binary_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.binaryTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+        dim = 64, k = 10, candidates = 50)
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- similarity: ANN recall@k evaluation harness ----
+    // Measures what the binary-quantized ranking costs in recall before
+    // any re-rank: |hamming top-10 ∩ exact top-10| / 10 per query. The
+    // evaluation join every index config should pass through before a
+    // 100 TB index build commits to it.
+    "sim16_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val approx = Similarity.binaryTopK(emb, "vec_id", "embedding",
+        q, "qid", "qv", dim = 64, k = 10, candidates = 10)
+      val truth = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", q, "qid", "qv", 10)
+      Similarity.recallAtK(approx, truth, "qid", "vec_id", 10)
+        .orderBy("qid")
+    }),
+
     // ---- similarity: distributed k-NN JOIN (large query side) ----
     // EVERY corpus row is a query (self-kNN): both sides shuffle on the
     // IVF cell — no broadcast of either side — with salted cells for
@@ -1546,6 +1578,20 @@ object SparkEntry {
       Sampling.bottomKSample(t(s, dir, "documents"), col("lang"),
         col("doc_id"), k = 20)
         .orderBy("doc_id")),
+
+    // ---- sampling: deterministic negatives for contrastive training ----
+    // Each anchor draws 5 pseudo-random corpus docs through ONE
+    // position equi-join (no broadcast of the corpus, no RNG state);
+    // exact-dup fingerprints are the exclusion key, so a byte-identical
+    // copy of the anchor can never be served as its negative.
+    "s14_negatives" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("fp", md5(col("text")))
+      val anchors = docs.where(col("doc_id") < 50)
+        .select(col("doc_id").as("anchor_id"), col("fp"))
+      Sampling.negativeSample(docs, "doc_id", "fp", anchors, "anchor_id",
+        k = 5)
+        .orderBy("anchor_id", "slot")
+    }),
 
     // ---- similarity: MMR-diversified top-k rerank ----
     // Greedy λ·rel − (1−λ)·maxSim over a distributed top-poolSize
@@ -2659,6 +2705,13 @@ object SparkEntry {
     // ---- data quality: duplicate-key census ----
     "dq2_dup_keys" -> ((s, dir) =>
       Quality.duplicateKeys(t(s, dir, "events"), Seq("user_id", "event_type"))),
+
+    // ---- data quality: shuffle-key skew profile ----
+    // The pre-flight a join/groupBy key gets before a 100 TB shuffle:
+    // heaviest keys, their share, and the straggler multiplier skew_x
+    // (= the salt factor that would level the hot task).
+    "dq3_key_skew" -> ((s, dir) =>
+      Quality.keySkew(t(s, dir, "events"), "user_id", 10)),
 
     // ---- histogram: fixed-width value buckets ----
     "a14_histogram" -> ((s, dir) =>
@@ -5278,6 +5331,71 @@ object SparkEntry {
         |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
+    // binary sign-bit pack mirrored 1:1 (32-bit words, bit j of word w =
+    // embedding[32w+j] > 0), Hamming = popcount(xor) word-wise, exact
+    // cosine re-rank of the Hamming top-50
+    "sim15_binary_topk" ->
+      """WITH p AS (SELECT vec_id,
+        |    (SELECT COALESCE(SUM(CASE WHEN embedding[j+1] > 0
+        |       THEN (1::BIGINT << j) ELSE 0 END), 0)
+        |     FROM generate_series(0,31) t(j)) AS w0,
+        |    (SELECT COALESCE(SUM(CASE WHEN embedding[j+33] > 0
+        |       THEN (1::BIGINT << j) ELSE 0 END), 0)
+        |     FROM generate_series(0,31) t(j)) AS w1,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, w0 AS q0, w1 AS q1, v AS qv
+        |  FROM p WHERE vec_id < 5),
+        |h AS (SELECT q.qid, p.vec_id,
+        |    bit_count(xor(p.w0, q.q0)) + bit_count(xor(p.w1, q.q1)) AS ham,
+        |    p.v, q.qv
+        |  FROM p, q WHERE p.vec_id <> q.qid),
+        |c AS (SELECT qid, vec_id, v, qv,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS hrank
+        |  FROM h),
+        |r AS (SELECT qid, vec_id, list_cosine_similarity(v, qv) AS sim
+        |  FROM c WHERE hrank <= 50),
+        |f AS (SELECT qid, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM r)
+        |SELECT qid, vec_id, sim, rank FROM f WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // recall@10 of the Hamming-only ranking vs exact cosine
+    "sim16_recall" ->
+      """WITH p AS (SELECT vec_id,
+        |    (SELECT COALESCE(SUM(CASE WHEN embedding[j+1] > 0
+        |       THEN (1::BIGINT << j) ELSE 0 END), 0)
+        |     FROM generate_series(0,31) t(j)) AS w0,
+        |    (SELECT COALESCE(SUM(CASE WHEN embedding[j+33] > 0
+        |       THEN (1::BIGINT << j) ELSE 0 END), 0)
+        |     FROM generate_series(0,31) t(j)) AS w1,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, w0 AS q0, w1 AS q1, v AS qv
+        |  FROM p WHERE vec_id < 5),
+        |h AS (SELECT q.qid, p.vec_id,
+        |    bit_count(xor(p.w0, q.q0)) + bit_count(xor(p.w1, q.q1)) AS ham
+        |  FROM p, q WHERE p.vec_id <> q.qid),
+        |approx AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS hrank
+        |    FROM h) WHERE hrank <= 10),
+        |s AS (SELECT q.qid, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |truth AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |    FROM s) WHERE rank <= 10),
+        |f AS (SELECT t.qid, COUNT(a.vec_id) AS hits
+        |  FROM truth t LEFT JOIN approx a
+        |    ON t.qid = a.qid AND t.vec_id = a.vec_id
+        |  GROUP BY t.qid)
+        |SELECT qid, hits, CAST(hits AS DOUBLE) / 10 AS recall
+        |FROM f ORDER BY qid""".stripMargin,
+
     // IVFPQ with both layers exact == the same brute force as sim5b
     "sim6b_ivfpq_exact" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
@@ -5736,6 +5854,24 @@ object SparkEntry {
         |               AS BIGINT) / 1152921504606846976.0, doc_id) AS rn
         |  FROM documents) z
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // pseudo-random corpus positions (Knuth-hash order), slot probes
+    // (a·2654435761 + (j+1)·40503) mod N, self/fingerprint exclusions
+    "s14_negatives" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |pos AS (SELECT doc_id AS neg_id, fp AS nfp,
+        |    row_number() OVER (
+        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) - 1 AS p
+        |  FROM d),
+        |n AS (SELECT COUNT(*) AS cnt FROM documents),
+        |a AS (SELECT doc_id AS anchor_id, fp AS afp FROM d WHERE doc_id < 50),
+        |s AS (SELECT anchor_id, afp, CAST(j AS INT) AS slot,
+        |    (anchor_id * 2654435761 + (j + 1) * 40503) % cnt AS p
+        |  FROM a, n, generate_series(0, 4) t(j))
+        |SELECT s.anchor_id, s.slot, pos.neg_id
+        |FROM s JOIN pos USING (p)
+        |WHERE pos.neg_id <> s.anchor_id AND pos.nfp IS DISTINCT FROM s.afp
+        |ORDER BY anchor_id, slot""".stripMargin,
 
     // MMR: the greedy rounds unrolled — each round's argmax re-derived
     // from the same engine-exact cosines and the identical score chain
@@ -6367,6 +6503,18 @@ object SparkEntry {
         |  CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS excess_rows
         |FROM (SELECT user_id, event_type, COUNT(*) AS n FROM events
         |      GROUP BY user_id, event_type) WHERE n > 1""".stripMargin,
+
+    "dq3_key_skew" ->
+      """WITH k AS (SELECT user_id, COUNT(*) AS cnt
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |  COUNT(*) AS n_keys FROM k)
+        |SELECT user_id, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) * 100 / total, 4) + 0.0 AS share_pct,
+        |  ROUND(CAST(cnt AS DOUBLE) * n_keys / total, 4) + 0.0 AS skew_x,
+        |  n_keys, total AS total_rows
+        |FROM k, g
+        |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
 
     "t6_scrub" ->
       """SELECT doc_id, md5(

@@ -44,6 +44,44 @@ object Quality {
       .agg(count(lit(1)).as("dup_keys"),
         coalesce(sum(col("n") - 1), lit(0L)).as("excess_rows"))
 
+  /** Shuffle-key skew profile: the pre-flight diagnostic to run BEFORE
+    * committing a join/groupBy key at scale. One count aggregation on
+    * the key, one tiny global-stats broadcast back over the per-key
+    * frame; emits the `topN` heaviest keys with
+    *
+    *   - `cnt`        exact rows under the key (null keys count as a key,
+    *                  like the shuffle they model),
+    *   - `share_pct`  round(cnt·100/total, 4) — this key's share of all
+    *                  rows,
+    *   - `skew_x`     round(cnt·n_keys/total, 4) — load relative to a
+    *                  perfectly uniform key (1.0 = no skew); this is the
+    *                  multiplier on the straggler task's runtime and the
+    *                  salt factor that would level it.
+    *
+    * Counts are exact integers, the two ratios are single double
+    * divisions of them (cross-engine bit-equal; `+0.0` canonicalizes the
+    * zero-share case). Scale: the per-key frame is grouped map-side
+    * first; only `topN` rows survive, and the global stats frame is ONE
+    * row — nothing key-cardinality-sized reaches the driver.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val perKey = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = perKey.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("__total"),
+      count(lit(1)).as("__n_keys"))
+    perKey.crossJoin(broadcast(totals))
+      .withColumn("share_pct",
+        round(col("cnt").cast("double") * 100.0 / col("__total"), 4) + lit(0.0))
+      .withColumn("skew_x",
+        round(col("cnt").cast("double") * col("__n_keys") / col("__total"), 4)
+          + lit(0.0))
+      .orderBy(desc("cnt"), col(keyCol))
+      .limit(topN)
+      .select(col(keyCol), col("cnt"), col("share_pct"), col("skew_x"),
+        col("__n_keys").as("n_keys"), col("__total").as("total_rows"))
+  }
+
   /** Fail-fast gate: throws if any rule is violated. */
   def enforce(df: DataFrame, rules: Seq[Rule]): Unit = {
     val row = check(df, rules).head()

@@ -378,6 +378,49 @@ object Sampling {
     hashSplit(docs.join(comps, idCol), col("component"), weights)
   }
 
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor row draws up to `k` pseudo-random corpus rows, EXCLUDING
+    * itself and any row whose `excludeCol` equals the anchor's (pass an
+    * exact-dup fingerprint / near-dup component / label there so a
+    * disguised positive can never be served as a negative).
+    *
+    * Mechanism: every corpus row gets a pseudo-random position
+    * `p ∈ [0, N)` (Knuth-hash ordering + the distributed
+    * [[Analytics.globalRowNumber]] — no single-task global window);
+    * anchor a's slot j probes position `(a·2654435761 + (j+1)·40503)
+    * mod N`. The whole draw is then ONE equi-join on the position —
+    * nothing corpus-sized replicates, broadcasts, or reaches the
+    * driver, and the result is independent of partitioning.
+    *
+    * Contract: sampling is with replacement across slots (two slots of
+    * one anchor can collide), and excluded probes are dropped, not
+    * redrawn — callers get `≤ k` negatives per anchor, deterministic
+    * and exactly re-derivable in SQL (the s14 oracle).
+    */
+  def negativeSample(corpus: DataFrame, idCol: String, excludeCol: String,
+      anchors: DataFrame, anchorId: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val pos = Analytics.globalRowNumber(
+      corpus.select(col(idCol), col(excludeCol))
+        .withColumn("__h", (col(idCol) * lit(2654435761L)) % lit(1000000007L)),
+      sortCols = Seq("__h", idCol), out = "__rn")
+      .withColumn("__p", col("__rn") - 1)
+      .select(col("__p"), col(idCol).as("neg_id"),
+        col(excludeCol).as("__neg_ex"))
+    val n = corpus.select(count(lit(1)).as("__n"))
+    val slots = anchors
+      .select(col(anchorId), col(excludeCol).as("__a_ex"))
+      .crossJoin(broadcast(n))
+      .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__p",
+        (col(anchorId) * lit(2654435761L) + (col("slot") + 1) * lit(40503L))
+          % col("__n"))
+    slots.join(pos, Seq("__p"))
+      .where(col("neg_id") =!= col(anchorId) &&
+        !(col("__neg_ex") <=> col("__a_ex")))
+      .select(col(anchorId), col("slot"), col("neg_id"))
+  }
+
   /** Per-document hashed n-gram feature buckets: word unigrams +
     * bigrams of the non-empty whitespace tokens, each hashed to one of
     * `buckets` cells by the cross-engine md5-60 hash. The map-side

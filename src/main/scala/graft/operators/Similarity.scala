@@ -641,6 +641,105 @@ object Similarity {
   def quantizeRoundtrip(vec: Column): Column =
     graft.functions.GraftFunctions.quantizeRoundtrip(vec)
 
+  // ---------- 1-bit (sign) binary quantization + Hamming retrieval ----------
+
+  /** Pack the sign bits of a float/double embedding into 32-bit words
+    * (`array<bigint>`, word w bit (j−32w) set iff `vec[j] > 0`). 32 bits
+    * per BIGINT word — not 64 — keeps every word in `[0, 2^32)`, so the
+    * packed value is plain non-negative integer arithmetic in ANY engine
+    * (a 64-bit pack would put bit 63 in the sign position and make the
+    * cross-engine value representation-dependent). 32× smaller at rest
+    * than float32; `exact 0.0` and NaN both pack to 0, deterministically.
+    *
+    * Pure column expressions (one pass per row at write/index time, not
+    * in the join), mirrored 1:1 by the sim15 oracle's SQL.
+    */
+  def binarySignPack(vec: Column, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val words = (0 until (dim + 31) / 32).map { w =>
+      val lo = w * 32
+      val hi = math.min(lo + 31, dim - 1)
+      (lo to hi).map { j =>
+        when(get(vec, lit(j)) > lit(0.0), lit(1L << (j - lo)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    array(words: _*)
+  }
+
+  /** Hamming distance between two [[binarySignPack]] signatures — the
+    * native popcount-of-XOR kernel
+    * ([[graft.functions.GraftFunctions.HammingDist]], real codegen). */
+  def hammingDist(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.hamming(a, b)
+
+  /** Binary-quantized top-k: rank the corpus by Hamming distance on
+    * packed sign bits, keep `candidates` per query, exact-cosine re-rank
+    * to the final k. The modern memory-bound retrieval shape: the
+    * Hamming scan touches 2 longs per corpus row instead of 64 floats
+    * (~32× less bandwidth), and only |candidates| rows ever reach the
+    * float re-ranker. Wholly deterministic (ties on ascending corpus
+    * id), so the FULL pipeline — packing, Hamming ranking, re-rank — is
+    * SQL-expressible and hash-oracled end-to-end (no exact-twin needed).
+    *
+    * Scale shape: queries broadcast (the sim1 regime); the corpus scan
+    * carries only (id, packed words, vec) and the per-query candidate
+    * window is bounded by `candidates`, not corpus size. For the
+    * corpus×corpus regime, pack once and reuse through [[knnJoin]]'s
+    * cell shuffle instead.
+    */
+  def binaryTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      dim: Int, k: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val c = corpus.select(col(corpusId), col(corpusVec),
+      binarySignPack(col(corpusVec), dim).as("__cw"))
+    val q = queries.select(col(queryId), col(queryVec),
+      binarySignPack(col(queryVec), dim).as("__qw"))
+    val wHam = Window.partitionBy(col(queryId))
+      .orderBy(col("__ham"), col(corpusId))
+    val wSim = Window.partitionBy(col(queryId))
+      .orderBy(desc("sim"), col(corpusId))
+    c.join(broadcast(q))
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("__ham", hammingDist(col("__cw"), col("__qw")))
+      .withColumn("__hrank", row_number().over(wHam))
+      .where(col("__hrank") <= candidates)
+      .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+      .withColumn("rank", row_number().over(wSim))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("sim"), col("rank"))
+  }
+
+  /** Recall@k of an approximate retrieval result against a ground-truth
+    * result: per query, |approx top-k ∩ truth top-k| / k. Both inputs
+    * are `(queryCol, idCol, rank)` frames (any extra columns ignored);
+    * rows past rank k on either side are ignored, and a query present
+    * in `truth` but absent from `approx` scores 0 — missing queries are
+    * a recall failure, not a join dropout. The standard ANN evaluation
+    * harness: run it over [[binaryTopK]]/[[lshTopK]]/[[ivfTopK]] output
+    * vs [[bruteForceTopK]] to measure what a quantization config costs
+    * before committing an index build to it.
+    *
+    * Scale: one hash semi-join on (query, id) + one count per query —
+    * both sides are k×|queries|, never corpus-sized.
+    */
+  def recallAtK(approx: DataFrame, truth: DataFrame, queryCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val a = approx.where(col("rank") <= k)
+      .select(col(queryCol), col(idCol))
+    val t = truth.where(col("rank") <= k)
+      .select(col(queryCol), col(idCol))
+    val hits = t.join(a, Seq(queryCol, idCol), "left_semi")
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("hits"))
+    t.select(col(queryCol)).distinct()
+      .join(hits, Seq(queryCol), "left_outer")
+      .select(col(queryCol),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast(DoubleType) / k).as("recall"))
+  }
+
   /** Blocked near-duplicate pairs: within `blockCol` groups (e.g. a
     * cluster/label/LSH-bucket column), all pairs with cosine ≥ threshold.
     */

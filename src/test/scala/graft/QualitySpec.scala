@@ -34,4 +34,29 @@ class QualitySpec extends SparkTestBase {
     assert(row.getLong(0) === 1)  // one duplicated key tuple
     assert(row.getLong(1) === 2)  // two excess rows
   }
+
+  test("keySkew ranks heavy keys with exact share and skew multiplier") {
+    // key a: 6 rows, b: 2, c: 2 → total 10, 3 keys
+    val d = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val got = Quality.keySkew(d, "k", 2)
+      .select("k", "cnt", "share_pct", "skew_x", "n_keys", "total_rows")
+      .collect()
+    assert(got.length === 2)
+    val top = got.head
+    assert(top.getString(0) === "a" && top.getLong(1) === 6L)
+    assert(top.getDouble(2) === 60.0)  // 6/10
+    assert(top.getDouble(3) === 1.8)   // 6·3/10
+    assert(top.getLong(4) === 3L && top.getLong(5) === 10L)
+    // tie between b and c breaks on key ascending
+    assert(got(1).getString(0) === "b" && got(1).getDouble(3) === 0.6)
+  }
+
+  test("keySkew counts a null key as its own key (like the shuffle)") {
+    val d = Seq(Some("a"), Some("a"), None, None, None).toDF("k")
+    val got = Quality.keySkew(d, "k", 5).collect()
+    assert(got.length === 2)
+    assert(got.head.isNullAt(0) && got.head.getLong(1) === 3L)
+    assert(got.head.getDouble(2) === 60.0)
+  }
 }

@@ -361,4 +361,46 @@ class SamplingSpec extends SparkTestBase {
     // all three splits actually occur across the 250 components
     assert(out.map(_._3).toSet === Set("train", "val", "test"))
   }
+
+  test("negativeSample: deterministic, ≤ k per anchor, never a positive") {
+    // docs 0..39; doc 1 is a byte-identical copy of doc 0 (same fp)
+    val docs = spark.range(40)
+      .select(col("id").as("doc_id"),
+        when(col("id") <= 1, lit("same"))
+          .otherwise(concat(lit("t"), col("id"))).as("text"))
+      .withColumn("fp", md5(col("text")))
+    val anchors = docs.where(col("doc_id") < 4)
+      .select(col("doc_id").as("anchor_id"), col("fp"))
+    val out = Sampling.negativeSample(docs, "doc_id", "fp",
+      anchors, "anchor_id", k = 5)
+      .orderBy("anchor_id", "slot")
+      .as[(Long, Int, Long)].collect()
+
+    // ≤ k per anchor
+    val perAnchor = out.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.values.forall(_ <= 5))
+    // no self-negatives, and anchor 0 never draws its exact dup (doc 1)
+    assert(out.forall { case (a, _, n) => a != n })
+    assert(!out.exists { case (a, _, n) =>
+      (a == 0L && n == 1L) || (a == 1L && n == 0L) })
+    // deterministic across runs and repartitionings
+    val again = Sampling.negativeSample(docs.repartition(7), "doc_id", "fp",
+      anchors, "anchor_id", k = 5)
+      .orderBy("anchor_id", "slot")
+      .as[(Long, Int, Long)].collect()
+    assert(out.toSeq === again.toSeq)
+    // slots are the deterministic probe positions: re-derive by hand
+    val n = 40L
+    val posOrder = (0L until n).sortBy(id => ((id * 2654435761L) % 1000000007L, id))
+    val byPos = posOrder.zipWithIndex.map { case (id, p) => p.toLong -> id }.toMap
+    val fpOf = (id: Long) => if (id <= 1L) "same" else "t" + id
+    val expect = for {
+      a <- 0L until 4L
+      j <- 0 until 5
+      p = (a * 2654435761L + (j + 1) * 40503L) % n
+      neg = byPos(p)
+      if neg != a && fpOf(neg) != fpOf(a)
+    } yield (a, j, neg)
+    assert(out.toSeq === expect.toSeq)
+  }
 }
