@@ -63,6 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_png_decode",
       es => graft.operators.Multimodal.PngDecodeExpr(
         QSketchCodec.arity(es, 1, "graft_png_decode").head)))
+    ext.injectFunction(fn("graft_png_resize",
+      es => graft.operators.Multimodal.PngResizeExpr(
+        QSketchCodec.arity(es, 3, "graft_png_resize"))))
     ext.injectFunction(fn("graft_wav_encode",
       es => graft.operators.Multimodal.WavEncodeExpr(
         QSketchCodec.arity(es, 4, "graft_wav_encode"))))

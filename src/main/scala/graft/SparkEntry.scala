@@ -2152,6 +2152,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: nearest-neighbor image resize (REAL decode) ----
+    // Target pixel (x,y) samples source (⌊x·w/w2⌋, ⌊y·h/h2⌋); the
+    // resized pixel sum over the gradient fixture is pure integer
+    // arithmetic, so the oracle re-derives it without decoding a byte —
+    // proving a real inflate + per-target-pixel sample, stride included.
+    "mm6_resize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("payload", Multimodal.pngEncode(
+          (lit(1) + col("doc_id") % 13).cast("int"),
+          (lit(1) + col("doc_id") % 7).cast("int"),
+          (col("doc_id") % 251).cast("int")))
+        .withColumn("img", Multimodal.pngResize(col("payload"),
+          (lit(1) + col("doc_id") % 5).cast("int"),
+          (lit(1) + col("doc_id") % 4).cast("int")))
+      d.select(col("doc_id"), col("img.width").as("width"),
+          col("img.height").as("height"),
+          col("img.pixel_sum").as("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: REAL WAV decode (RIFF chunk walk + signed LE
     // 16-bit PCM sample sum) — the audio format beside mm2's BMP and
     // mm2b's PNG. Payloads are wrapping-ramp PCM built per doc, so the
@@ -5605,6 +5625,23 @@ object SparkEntry {
         |    AS pixel_sum
         |FROM documents, g
         |WHERE g.i < 1 + doc_id % 13 AND g.j < 1 + doc_id % 7
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // NN-resize sum re-derived arithmetically: target (x,y) samples the
+    // gradient at (x·w // w2, y·h // h2) — integer floor division, so
+    // the whole resized frame is exact integer arithmetic
+    "mm6_resize" ->
+      """WITH g AS (SELECT a.i AS x, b.j AS y
+        |  FROM range(5) a(i), range(4) b(j))
+        |SELECT doc_id,
+        |  CAST(1 + doc_id % 5 AS INT) AS width,
+        |  CAST(1 + doc_id % 4 AS INT) AS height,
+        |  CAST(SUM(3 * ((doc_id % 251
+        |      + (g.x * (1 + doc_id % 13)) // (1 + doc_id % 5)
+        |      + (g.y * (1 + doc_id % 7)) // (1 + doc_id % 4)) % 256))
+        |    AS BIGINT) AS pixel_sum
+        |FROM documents, g
+        |WHERE g.x < 1 + doc_id % 5 AND g.y < 1 + doc_id % 4
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // ramp-PCM sample sum re-derived arithmetically: the decoder only

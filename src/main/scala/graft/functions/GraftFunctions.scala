@@ -1957,6 +1957,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_png_decode",
       es => graft.operators.Multimodal.PngDecodeExpr(
         QSketchCodec.arity(es, 1, "graft_png_decode").head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_png_resize",
+      es => graft.operators.Multimodal.PngResizeExpr(
+        QSketchCodec.arity(es, 3, "graft_png_resize")), "scala_udf")
     reg.createOrReplaceTempFunction("graft_wav_encode",
       es => graft.operators.Multimodal.WavEncodeExpr(
         QSketchCodec.arity(es, 4, "graft_wav_encode")), "scala_udf")

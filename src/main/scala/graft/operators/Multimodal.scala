@@ -316,7 +316,13 @@ object Multimodal {
     */
   private val MaxPngPixels = 1L << 24
 
-  private[graft] def parsePng(bytes: Array[Byte]): Option[PngInfo] = {
+  /** Guarded PNG → BufferedImage: magic + IHDR sniff and the
+    * [[MaxPngPixels]] allocation bound BEFORE ImageIO sees the bytes
+    * (shared by [[parsePng]] and [[resizePngNn]] so the two paths can
+    * never diverge on what counts as a decodable PNG).
+    */
+  private def decodePngImage(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (bytes == null || bytes.length < 33 ||
       (bytes(0) & 0xFF) != 0x89 || bytes(1) != 'P'.toByte ||
       bytes(2) != 'N'.toByte || bytes(3) != 'G'.toByte) return None
@@ -330,24 +336,55 @@ object Multimodal {
     val h = bb.getInt(20)
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPngPixels) return None
     try {
-      val im = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      if (im == null) None
-      else {
-        var sum = 0L
-        var y = 0
-        while (y < im.getHeight) {
-          var x = 0
-          while (x < im.getWidth) {
-            val rgb = im.getRGB(x, y)
-            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
-            x += 1
-          }
-          y += 1
-        }
-        Some(PngInfo(im.getWidth, im.getHeight, sum))
-      }
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private[graft] def parsePng(bytes: Array[Byte]): Option[PngInfo] =
+    decodePngImage(bytes).map { im =>
+      var sum = 0L
+      var y = 0
+      while (y < im.getHeight) {
+        var x = 0
+        while (x < im.getWidth) {
+          val rgb = im.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      PngInfo(im.getWidth, im.getHeight, sum)
+    }
+
+  /** Nearest-neighbor resize of a decoded PNG to `w2`×`h2`: target pixel
+    * (x, y) samples source pixel (⌊x·w/w2⌋, ⌊y·h/h2⌋) — the standard NN
+    * convention (exact integer index arithmetic, no filtering, no
+    * float rounding), so the resized pixel sum is re-derivable
+    * arithmetically by an oracle that never decodes a byte. Returns the
+    * resized facts; None for anything [[decodePngImage]] rejects.
+    */
+  private[graft] def resizePngNn(bytes: Array[Byte], w2: Int,
+      h2: Int): Option[PngInfo] = {
+    if (w2 <= 0 || h2 <= 0 || w2.toLong * h2 > MaxPngPixels) return None
+    decodePngImage(bytes).map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h2) {
+        val sy = (y.toLong * h / h2).toInt
+        var x = 0
+        while (x < w2) {
+          val sx = (x.toLong * w / w2).toInt
+          val rgb = im.getRGB(sx, sy)
+          sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      PngInfo(w2, h2, sum)
+    }
   }
 
   /** Catalyst expression over [[encodePng]]:
@@ -399,6 +436,39 @@ object Multimodal {
         newChild: Expression): PngDecodeExpr = copy(child = newChild)
   }
 
+  /** Catalyst expression over [[resizePngNn]]:
+    * `(payload binary, w2 int, h2 int) → struct(width, height,
+    * pixel_sum)` — a REAL decode + per-target-pixel NN sample, null for
+    * non-PNG payloads or unallocatable target dims.
+    */
+  case class PngResizeExpr(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    require(children.length == 3, "png_resize takes (payload, w2, h2)")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.head.dataType == BinaryType &&
+        children.tail.forall(_.dataType == IntegerType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int, int)")
+    override def dataType: DataType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixel_sum", LongType)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_png_resize"
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) return null
+      resizePngNn(vs(0).asInstanceOf[Array[Byte]],
+        vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Int]) match {
+        case Some(i) => InternalRow(i.width, i.height, i.pixelSum)
+        case None => null
+      }
+    }
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): PngResizeExpr = copy(children = cs)
+  }
+
   /** Column wrapper: build a gradient RGB PNG payload. */
   def pngEncode(w: Column, h: Column, fill: Column): Column =
     SparkShim.toColumn(PngEncodeExpr(Seq(w, h, fill)
@@ -407,6 +477,11 @@ object Multimodal {
   /** Column wrapper: decode a PNG payload (null if not one). */
   def pngDecode(payload: Column): Column =
     SparkShim.toColumn(PngDecodeExpr(SparkShim.toExpression(payload)))
+
+  /** Column wrapper: nearest-neighbor resize of a PNG payload. */
+  def pngResize(payload: Column, w2: Column, h2: Column): Column =
+    SparkShim.toColumn(PngResizeExpr(Seq(payload, w2, h2)
+      .map(SparkShim.toExpression)))
 
   // ---------- real WAV codec (RIFF/WAVE, 16-bit PCM) ----------
 

@@ -550,6 +550,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(imgs(2L).width !== 0, "opaque payload must fall back to stub")
   }
 
+  test("PNG NN-resize samples ⌊x·w/w2⌋ exactly; guards mirror the decoder") {
+    def nnSum(w: Int, h: Int, fill: Int, w2: Int, h2: Int): Long =
+      (for (x <- 0 until w2; y <- 0 until h2)
+        yield 3L * ((fill + x * w / w2 + y * h / h2) % 256)).sum
+    // down- and up-scale, identity, and 1-pixel extremes
+    for ((w, h, w2, h2) <- Seq((8, 5, 3, 2), (2, 2, 7, 5), (4, 3, 4, 3),
+        (6, 6, 1, 1), (1, 1, 4, 4))) {
+      val fill = (w * 37 + h * 11 + w2) % 251
+      val info = Multimodal
+        .resizePngNn(Multimodal.encodePng(w, h, fill), w2, h2)
+        .getOrElse(fail(s"resize ${w}x$h -> ${w2}x$h2 did not decode"))
+      assert(info.width === w2 && info.height === h2)
+      assert(info.pixelSum === nnSum(w, h, fill, w2, h2))
+    }
+    // identity resize == plain decode
+    val bytes = Multimodal.encodePng(9, 4, 17)
+    assert(Multimodal.resizePngNn(bytes, 9, 4).get.pixelSum ===
+      Multimodal.parsePng(bytes).get.pixelSum)
+    // non-PNG payloads and unallocatable targets are null, not errors
+    assert(Multimodal.resizePngNn("nope".getBytes("UTF-8"), 2, 2).isEmpty)
+    assert(Multimodal.resizePngNn(bytes, 0, 2).isEmpty)
+    assert(Multimodal.resizePngNn(bytes, 1 << 15, 1 << 15).isEmpty,
+      "oversized TARGET dims must be rejected pre-allocation")
+    // the column expression routes nulls and non-PNGs to null rows
+    val out = Seq(
+      (1L, Multimodal.encodePng(5, 4, 10)),
+      (2L, "opaque".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.pngResize(col("payload"),
+        lit(2), lit(3)).as("img"))
+      .select(col("doc_id"), col("img.width"), col("img.pixel_sum"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getLong(2)))))
+      .toMap
+    assert(out(1L) === Some((2, nnSum(5, 4, 10, 2, 3))))
+    assert(out(2L).isEmpty)
+  }
+
   test("frame sampling emits n deterministic frames per doc") {
     val bin = Multimodal.attachBinary(
       Seq((1L, "some video payload bytes")).toDF("doc_id", "text"), "text", "video")
