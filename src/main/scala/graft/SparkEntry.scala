@@ -2863,6 +2863,19 @@ object SparkEntry {
             .as("z"))
         .orderBy("event_id")),
 
+    // ---- layout: 2-D Hilbert clustering key ----
+    // The level-by-level rotate/reflect walk has sequential state (no
+    // per-bit closed form like the z-value), so the oracle re-derives
+    // it with a 10-round recursive CTE — a genuinely independent
+    // re-implementation of the curve.
+    "z2_hilbert" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+          Analytics.hilbertValue(
+            Analytics.modDim(col("user_id"), 1024),
+            Analytics.timeBucketDim(col("ts"), 3600000000L, 1024), 10)
+            .as("h"))
+        .orderBy("event_id")),
+
     // ---- lake: clustered table top-n via LIMIT pushdown ----
     // documents land in a range-clustered versioned table (two commits,
     // so multiple range files), then ORDER BY the cluster key LIMIT 25
@@ -4918,6 +4931,33 @@ object SparkEntry {
         |    (((((epoch_us(ts) // 3600000000) % 1024) >> i) & 1) << (2 * i + 1))
         |  )) AS BIGINT) AS z
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the classic xy2d walk unrolled as a recursive CTE: each round
+    // consumes level s (512 → 1), adds s²·((3rx) XOR ry), and
+    // rotates/reflects the frame; the s = 0 row carries the final index
+    "z2_hilbert" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_id,
+        |    CAST(user_id % 1024 AS BIGINT) AS x,
+        |    CAST((epoch_us(ts) // 3600000000) % 1024 AS BIGINT) AS y
+        |  FROM events),
+        |walk AS (
+        |  SELECT event_id, x, y, CAST(512 AS BIGINT) AS s,
+        |    CAST(0 AS BIGINT) AS d
+        |  FROM pts
+        |  UNION ALL
+        |  SELECT event_id,
+        |    CASE WHEN (y // s) % 2 = 1 THEN x
+        |         WHEN (x // s) % 2 = 1 THEN 1023 - y
+        |         ELSE y END AS x,
+        |    CASE WHEN (y // s) % 2 = 1 THEN y
+        |         WHEN (x // s) % 2 = 1 THEN 1023 - x
+        |         ELSE x END AS y,
+        |    s // 2 AS s,
+        |    d + s * s * xor(3 * ((x // s) % 2), (y // s) % 2) AS d
+        |  FROM walk WHERE s > 0)
+        |SELECT event_id, d AS h FROM walk WHERE s = 0
+        |ORDER BY event_id""".stripMargin,
 
     "lk1_clustered_topn" ->
       "SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 25",

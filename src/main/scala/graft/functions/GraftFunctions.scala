@@ -1797,6 +1797,64 @@ object GraftFunctions {
   def zvalue(bits: Int)(dims: Column*): Column =
     SparkShim.toColumn(ZValue(dims.map(SparkShim.toExpression), bits))
 
+  /** 2-D Hilbert-curve index (order `bits`): maps a point on the
+    * 2^bits × 2^bits grid to its position along the Hilbert curve — the
+    * other standard multi-dimensional clustering key beside [[ZValue]],
+    * with strictly better locality (every curve step is a unit grid
+    * step, so a range of d values is a compact blob, not z-order's
+    * quadrant jumps). The classic bit-level walk: per level s (high to
+    * low), quadrant (rx, ry) contributes s²·((3rx) XOR ry), then the
+    * frame rotates/reflects for the next level. Sequential state per
+    * level — NOT per-bit-independent like the z-value — which is why
+    * the z2 oracle is a recursive CTE rather than a `list_transform`.
+    *
+    * Inputs are masked to `bits` low bits (callers bucket/normalize
+    * first, the ZValue convention); any null dimension nulls the index.
+    */
+  case class HilbertValue(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression with CodegenFallback {
+    require(bits >= 1 && bits <= 31,
+      s"bits must be in [1, 31] so d = s²-sums fit a positive long, got $bits")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (Seq(left, right).forall(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("expected integral dimensions")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hilbert"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val side = 1L << bits
+      val mask = side - 1
+      var x = l.asInstanceOf[Number].longValue() & mask
+      var y = r.asInstanceOf[Number].longValue() & mask
+      var s = side >> 1
+      var d = 0L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0L) {
+          if (rx == 1L) {
+            x = mask - x
+            y = mask - y
+          }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): HilbertValue =
+      copy(left = l, right = r)
+  }
+
+  def hilbert(bits: Int)(x: Column, y: Column): Column =
+    SparkShim.toColumn(HilbertValue(
+      SparkShim.toExpression(x), SparkShim.toExpression(y), bits))
+
   /** Fused dequantize(quantize(v)) for int8 scale-offset quantization —
     * the values a quantized corpus actually re-ranks with, in ONE
     * primitive loop per vector instead of two `transform` HOF walks
@@ -1942,6 +2000,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_zvalue",
       es => ZValue(es.tail, QSketchCodec.intArg(es, 0, "graft_zvalue")),
       "scala_udf")
+    // graft_hilbert(bits, x, y) — bits must be a literal
+    reg.createOrReplaceTempFunction("graft_hilbert",
+      es => { val a = QSketchCodec.arity(es, 3, "graft_hilbert")
+        HilbertValue(a(1), a(2),
+          QSketchCodec.intArg(es, 0, "graft_hilbert")) }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_quantize_roundtrip",
       es => QuantizeRoundtrip(es.head), "scala_udf")
     // image codecs (SQL surface of Multimodal.bmp*/png*)

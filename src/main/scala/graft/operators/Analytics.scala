@@ -728,6 +728,12 @@ object Analytics {
   def zOrderValue(dims: Seq[Column], bits: Int = 10): Column =
     graft.functions.GraftFunctions.zvalue(bits)(dims: _*)
 
+  /** 2-D Hilbert clustering key (see
+    * [[graft.functions.GraftFunctions.HilbertValue]]): better range
+    * locality than [[zOrderValue]] at the cost of 2 dims only. */
+  def hilbertValue(x: Column, y: Column, bits: Int = 10): Column =
+    graft.functions.GraftFunctions.hilbert(bits)(x, y)
+
   def gapFill(df: DataFrame, keyCols: Seq[String], tsCol: String,
       valueCol: String, stepMicros: Long): DataFrame = {
     require(stepMicros > 0, s"step must be positive, got $stepMicros")

@@ -72,4 +72,40 @@ class ZOrderSpec extends SparkTestBase {
     assert(zRows <= 65536L / 4,
       s"z-order should prune most files via parquet stats, scanned $zRows")
   }
+
+  test("hilbert index: known small curves, bijectivity, unit-step locality") {
+    // order-1 (2x2) curve: (0,0)→0, (0,1)→1, (1,1)→2, (1,0)→3
+    val order1 = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+      .select(GraftFunctions.hilbert(1)(col("x"), col("y")))
+      .as[Long].collect()
+    assert(order1 === Array(0L, 1L, 2L, 3L))
+    // order-2 (4x4): the full canonical sequence
+    val grid = for (x <- 0L until 4L; y <- 0L until 4L) yield (x, y)
+    val d2 = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        GraftFunctions.hilbert(2)(col("x"), col("y")).as("d"))
+      .as[(Long, Long, Long)].collect().map { case (x, y, d) => (x, y) -> d }
+      .toMap
+    assert(d2((0L, 0L)) === 0L && d2((1L, 0L)) === 1L &&
+      d2((1L, 1L)) === 2L && d2((0L, 1L)) === 3L, "first sub-square is ⊐")
+    assert(d2((3L, 0L)) === 15L && d2((2L, 0L)) === 14L &&
+      d2((3L, 3L)) === 10L)
+    // bijective over the grid, and consecutive d are unit grid steps —
+    // the locality property z-order does NOT have
+    assert(d2.values.toSeq.sorted === (0L until 16L))
+    val byD = d2.map(_.swap)
+    (0L until 15L).foreach { d =>
+      val (x0, y0) = byD(d); val (x1, y1) = byD(d + 1)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1L,
+        s"step $d -> ${d + 1} must be a unit move")
+    }
+    // inputs masked to bits; null dim nulls the index
+    val masked = spark.range(1)
+      .select(GraftFunctions.hilbert(2)(lit(4L + 3L), lit(16L + 0L)))
+      .as[Long].head()
+    assert(masked === d2((3L, 0L)))
+    val nul = Seq((Option.empty[Long], 1L)).toDF("a", "b")
+      .select(GraftFunctions.hilbert(4)(col("a"), col("b"))).head
+    assert(nul.isNullAt(0), "null dim must null the hilbert index")
+  }
 }
