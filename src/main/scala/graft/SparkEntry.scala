@@ -1098,6 +1098,19 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // ---- similarity: Matryoshka truncated-prefix retrieval ----
+    // Rank by cosine on the first 16 of 64 dimensions (4× less data
+    // read), exact full-dim re-rank of the top 50. Deterministic, so
+    // like sim15 it is hash-oracled end-to-end despite being lossy.
+    "sim17_matryoshka" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.matryoshkaTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+        prefixDim = 16, k = 10, candidates = 50)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- similarity: distributed k-NN JOIN (large query side) ----
     // EVERY corpus row is a query (self-kNN): both sides shuffle on the
     // IVF cell — no broadcast of either side — with salted cells for
@@ -5415,6 +5428,31 @@ object SparkEntry {
         |  FROM h),
         |r AS (SELECT qid, vec_id, list_cosine_similarity(v, qv) AS sim
         |  FROM c WHERE hrank <= 50),
+        |f AS (SELECT qid, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM r)
+        |SELECT qid, vec_id, sim, rank FROM f WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // prefix cosine on embedding[1:16] (slice-then-normalize), exact
+    // full-dim re-rank of the prefix top-50
+    "sim17_matryoshka" ->
+      """WITH p AS (SELECT vec_id,
+        |    CAST(embedding[1:16] AS DOUBLE[]) AS pre,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, pre AS qpre, v AS qv
+        |  FROM p WHERE vec_id < 5),
+        |h AS (SELECT q.qid, p.vec_id,
+        |    list_cosine_similarity(p.pre, q.qpre) AS psim, p.v, q.qv
+        |  FROM p, q WHERE p.vec_id <> q.qid),
+        |c AS (SELECT qid, vec_id, v, qv,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY psim DESC, vec_id) AS prank
+        |  FROM h),
+        |r AS (SELECT qid, vec_id, list_cosine_similarity(v, qv) AS sim
+        |  FROM c WHERE prank <= 50),
         |f AS (SELECT qid, vec_id, sim,
         |    CAST(row_number() OVER (PARTITION BY qid
         |      ORDER BY sim DESC, vec_id) AS INT) AS rank

@@ -711,6 +711,47 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("sim"), col("rank"))
   }
 
+  /** Matryoshka (MRL-style) truncated retrieval: rank the corpus by
+    * cosine over the FIRST `prefixDim` dimensions only, keep
+    * `candidates` per query, exact full-dimension re-rank to the final
+    * k. Matryoshka-trained embeddings pack the coarse signal into the
+    * prefix, so a 16-of-64 prefix scan reads 4× less data with most of
+    * the ranking quality — the dimension-truncation analog of
+    * [[binaryTopK]]'s bit truncation (measure the trade with
+    * [[recallAtK]] before committing). Prefix cosine normalizes over
+    * the PREFIX (slice first, then the one native kernel) — truncation
+    * then renormalization, the MRL convention. Deterministic ties (asc
+    * corpus id) make the whole pipeline SQL-expressible and
+    * hash-oracled end-to-end.
+    *
+    * Scale shape: identical to [[binaryTopK]] — queries broadcast, the
+    * corpus scan carries (id, prefix, vec), candidate windows bounded
+    * by `candidates`.
+    */
+  def matryoshkaTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      prefixDim: Int, k: Int, candidates: Int): DataFrame = {
+    require(prefixDim > 0, s"prefixDim must be positive, got $prefixDim")
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val c = corpus.select(col(corpusId), col(corpusVec),
+      slice(asDouble(col(corpusVec)), 1, prefixDim).as("__cp"))
+    val q = queries.select(col(queryId), col(queryVec),
+      slice(asDouble(col(queryVec)), 1, prefixDim).as("__qp"))
+    val wPre = Window.partitionBy(col(queryId))
+      .orderBy(desc("__psim"), col(corpusId))
+    val wSim = Window.partitionBy(col(queryId))
+      .orderBy(desc("sim"), col(corpusId))
+    c.join(broadcast(q))
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("__psim", cosine(col("__cp"), col("__qp")))
+      .withColumn("__prank", row_number().over(wPre))
+      .where(col("__prank") <= candidates)
+      .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+      .withColumn("rank", row_number().over(wSim))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("sim"), col("rank"))
+  }
+
   /** Recall@k of an approximate retrieval result against a ground-truth
     * result: per query, |approx top-k ∩ truth top-k| / k. Both inputs
     * are `(queryCol, idCol, rank)` frames (any extra columns ignored);

@@ -79,6 +79,37 @@ class BinaryQuantSpec extends SparkTestBase {
     assert(fast.toSeq === brute.toSeq)
   }
 
+  test("matryoshkaTopK: full prefix + full candidates equals brute force") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 1.9 + d * 0.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = emb.where($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val full = Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", prefixDim = 8, k = 5, candidates = 40)
+      .orderBy("qid", "rank").collect()
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", 5)
+      .orderBy("qid", "rank").collect()
+    assert(full.toSeq === brute.toSeq)
+  }
+
+  test("matryoshkaTopK ranks candidates on the PREFIX cosine only") {
+    // corpus vector A: identical prefix to the query, junk tail;
+    // B: orthogonal prefix, identical tail. candidates=1 must pick A.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f, 0.5f)), // the query
+      (1L, Array(1.0f, 0.0f, -0.9f, 0.2f)), // A: same prefix
+      (2L, Array(0.0f, 1.0f, 0.5f, 0.5f)) // B: orthogonal prefix, same tail
+    ).toDF("vec_id", "embedding")
+    val q = emb.where($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val got = Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", prefixDim = 2, k = 1, candidates = 1)
+      .select("vec_id").as[Long].collect()
+    assert(got === Array(1L), "prefix filter must admit A, not B")
+  }
+
   test("recallAtK: exact self-comparison is 1.0; disjoint is 0.0") {
     val truth = Seq((0L, 10L, 1), (0L, 11L, 2), (1L, 20L, 1), (1L, 21L, 2))
       .toDF("qid", "vec_id", "rank")
