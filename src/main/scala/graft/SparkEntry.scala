@@ -3188,6 +3188,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- lake: deep table CLONE ----
+    // Write docs into a versioned table with a delete layer, clone it,
+    // rewrite THE SOURCE, and read the clone: byte-identical answers
+    // prove the clone carried the exact snapshot state (files + delete
+    // layer) and is independent of the source's later life. The oracle
+    // never sees the lake.
+    "lk3_clone" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_lk3").toString
+      val vt = graft.sources.VersionedTable
+      vt.append(s, docs, tdir + "/src")
+      vt.delete(s, tdir + "/src", expr("doc_id % 3 = 0"))
+      vt.cloneTable(s, tdir + "/src", tdir + "/dst")
+      vt.overwrite(s, docs.limit(1), tdir + "/src") // source moves on
+      vt.read(s, tdir + "/dst").orderBy("doc_id")
+    }),
+
     // ---- sampling: source-mix resampling (the data-mixing primitive) ----
     // Downsample over-represented sources to a target mix with ONE
     // deterministic map-side filter (md5-based uniform — fully oracled,
@@ -5057,6 +5076,10 @@ object SparkEntry {
     "lk2_time_travel" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+
+    "lk3_clone" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
 
     // temperature mix: same ops, same order — (sqrt(n) * C) / n with
     // C = MIN(n / sqrt(n)); md5-uniform threshold as in s4

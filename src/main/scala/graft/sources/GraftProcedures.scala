@@ -36,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   private val Names = Seq("compact", "vacuum", "restore",
-    "materialize_field_ids", "tag", "untag", "mv_create", "mv_refresh")
+    "materialize_field_ids", "tag", "untag", "mv_create", "mv_refresh",
+    "clone")
 
   private[sources] def list(namespace: Array[String]): Array[Identifier] =
     Names.map(n => Identifier.of(namespace, n)).toArray
@@ -56,6 +57,7 @@ object GraftProcedures {
       case "untag" => Some(UntagProcedure(owner))
       case "mv_create" => Some(MvCreateProcedure(owner))
       case "mv_refresh" => Some(MvRefreshProcedure(owner))
+      case "clone" => Some(CloneProcedure(owner))
       case _ => None
     }
 
@@ -166,6 +168,31 @@ object GraftProcedures {
       oneRow(StructType(Seq(
         StructField("restored_to", LongType),
         StructField("version", LongType))), input.getLong(1), v)
+    }
+  }
+
+  /** `CALL graft.clone('ns.src', 'ns.dst' [, version => 5])` — deep-copy
+    * a snapshot into a NEW independent table (see
+    * [[VersionedTable.cloneTable]]). Null version = latest.
+    */
+  private case class CloneProcedure(owner: GraftCatalog)
+      extends MaintenanceProcedure {
+    override def name(): String = "clone"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("source", StringType),
+      param("target", StringType),
+      param("version", LongType, "NULL"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val src = tablePath(input)
+      require(!input.isNullAt(1), "target must not be null")
+      val dst = resolveName(input.getUTF8String(1).toString)
+      val ver = if (input.isNullAt(2)) None else Some(input.getLong(2))
+      val v = VersionedTable.cloneTable(spark, src, dst, ver)
+      oneRow(StructType(Seq(
+        StructField("cloned_to", StringType),
+        StructField("version", LongType))),
+        org.apache.spark.unsafe.types.UTF8String.fromString(dst), v)
     }
   }
 

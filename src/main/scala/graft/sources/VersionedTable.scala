@@ -3835,6 +3835,66 @@ object VersionedTable {
     collectBitmaps(spark, deadParts.reduce(_ unionByName _), table, maxBytes)
   }
 
+  /** Deep CLONE: materialize `source`@`version` (default: latest) as a
+    * NEW independent table at `target` — data files, delete layer,
+    * schema (field ids included), stats, and properties are carried
+    * byte-for-byte, so the clone preserves the source's exact layout
+    * (clustering, bucketing, file-level min/max pruning) without a
+    * rewrite, and is immediately safe against source `vacuum`/drops
+    * (the files are COPIED — the manifest format deliberately keeps
+    * file refs table-relative, so a Delta-style shallow clone cannot
+    * exist here and a dangling-reference failure mode cannot either).
+    * The usual uses: dev/test snapshots of a production table, a
+    * pre-migration backup, or pinning a training corpus at a version
+    * beyond the source's retention horizon.
+    *
+    * Source history does NOT carry over (txn watermarks, tags, CDC
+    * files are per-table commit history, not state): the clone is born
+    * at version 1 with op `clone`. Cost is one file copy per referenced
+    * file — no Spark job, no shuffle, no decode.
+    */
+  def cloneTable(spark: SparkSession, source: String, target: String,
+      version: Option[Long] = None): Long = {
+    val f = fs(spark, source)
+    val v = version.getOrElse(latestRaw(spark, source)._1)
+    require(v >= 1, s"cannot clone $source: no committed version")
+    require(f.exists(commitPath(source, v)),
+      s"cannot clone $source@v$v: no such committed version " +
+        "(or its manifest was vacuumed — retention bounds clone reach)")
+    val lines = readManifestRaw(f, source, v)
+    val dataFiles = lines.filterNot(_.startsWith("#"))
+    val refs = dataFiles ++ delLines(lines).map(_._1) ++ delPosLines(lines)
+    val gone = refs.filterNot(n => f.exists(new Path(source, n)))
+    require(gone.isEmpty,
+      s"cannot clone $source@v$v: referenced file(s) " +
+        s"${gone.take(3).mkString(", ")}${if (gone.sizeIs > 3) ", …" else ""}" +
+        " were vacuumed")
+    val (tv, _) = latestRaw(spark, target)
+    require(tv == 0, s"clone target $target already exists (version $tv)")
+    val tf = fs(spark, target)
+    val conf = spark.sparkContext.hadoopConfiguration
+    refs.distinct.foreach { n =>
+      val dst = new Path(target, n)
+      tf.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(
+        f, new Path(source, n), tf, dst, false, false, conf)
+    }
+    // v1 manifest = the source snapshot's STATE lines (schema, fid,
+    // props, delete layer, stats) + op + data files; history lines
+    // (txn/tag/cdc) are intentionally absent
+    val state = lines.filter(l => l.startsWith(SchemaPrefix) ||
+      l.startsWith(FidPrefix) || l.startsWith(PropPrefix) ||
+      l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix) ||
+      l.startsWith(StatsPrefix))
+    val committed = tryCommit(spark, target, 1L,
+      state ++ Seq(OpPrefix + "clone") ++ dataFiles)
+    // target-exists was checked above; a racer creating the same target
+    // concurrently is the only way to lose v1
+    require(committed,
+      s"clone lost the v1 commit race on $target (concurrent create?)")
+    1L
+  }
+
   def vacuum(spark: SparkSession, table: String, keepFrom: Long,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     val f = fs(spark, table)
