@@ -117,7 +117,8 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
       param("num_files", IntegerType, "4"),
-      param("zorder_by", StringType, "NULL"))
+      param("zorder_by", StringType, "NULL"),
+      param("curve", StringType, "'zorder'"))
     override def call(input: InternalRow): JIterator[Scan] = {
       val spark = SparkSession.active
       val path = tablePath(input)
@@ -127,8 +128,10 @@ object GraftProcedures {
         else input.getUTF8String(2).toString.split(',').toSeq
           .map(_.trim).filter(_.nonEmpty)
           .map(org.apache.spark.sql.functions.col)
+      val curve =
+        if (input.isNullAt(3)) "zorder" else input.getUTF8String(3).toString
       val v = VersionedTable.compact(spark, path, numFiles,
-        zorderDims = dims)
+        zorderDims = dims, curve = curve)
       oneRow(StructType(Seq(StructField("version", LongType))), v)
     }
   }

@@ -2254,7 +2254,12 @@ object VersionedTable {
   def compact(spark: SparkSession, table: String, numFiles: Int,
       maxRetries: Int = 20,
       zorderDims: Seq[org.apache.spark.sql.Column] = Nil,
-      zorderBits: Int = 16): Long = {
+      zorderBits: Int = 16,
+      curve: String = "zorder"): Long = {
+    require(curve == "zorder" || curve == "hilbert",
+      s"curve must be 'zorder' or 'hilbert', got '$curve'")
+    require(curve != "hilbert" || zorderDims.size == 2,
+      s"the hilbert curve is 2-D: pass exactly 2 dims, got ${zorderDims.size}")
     var attempt = 0
     while (attempt < maxRetries) {
       val (_, lines) = latestRaw(spark, table)
@@ -2274,8 +2279,14 @@ object VersionedTable {
         }
         else if (zorderDims.isEmpty) snapshot.repartition(numFiles)
         else {
-          val z = graft.functions.GraftFunctions
-            .zvalue(zorderBits)(zorderDims: _*)
+          // hilbert: unit-step locality — a file's key range is a compact
+          // blob, so min/max pruning on BOTH dims beats z-order's
+          // quadrant jumps for the same rewrite cost
+          val z =
+            if (curve == "hilbert") graft.functions.GraftFunctions
+              .hilbert(zorderBits)(zorderDims(0), zorderDims(1))
+            else graft.functions.GraftFunctions
+              .zvalue(zorderBits)(zorderDims: _*)
           snapshot.withColumn("__graft_z", z)
             .repartitionByRange(numFiles,
               org.apache.spark.sql.functions.col("__graft_z"))

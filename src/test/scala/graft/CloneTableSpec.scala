@@ -81,6 +81,34 @@ class CloneTableSpec extends SparkTestBase {
     }
   }
 
+  test("compact with curve => hilbert rewrites losslessly and validates dims") {
+    val dir = Files.createTempDirectory("vt_hilb").toString
+    val t = dir + "/t"
+    val df = spark.range(4096).select(
+      (col("id") % 64).cast("int").as("k"),
+      (col("id") / 64).cast("string").as("v"))
+    VersionedTable.append(spark, df, t)
+    val before = VersionedTable.read(spark, t)
+      .as[(Int, String)].collect().sorted.toSeq
+    val v = VersionedTable.compact(spark, t, numFiles = 4,
+      zorderDims = Seq(col("k"), col("v").cast("int")), curve = "hilbert")
+    assert(v === 2L)
+    assert(VersionedTable.read(spark, t)
+      .as[(Int, String)].collect().sorted.toSeq === before,
+      "hilbert compaction must be a pure rewrite")
+    // dimensionality contract: hilbert is strictly 2-D
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.compact(spark, t, 4,
+        zorderDims = Seq(col("k")), curve = "hilbert")
+    }
+    assert(e.getMessage.contains("2 dims") ||
+      e.getMessage.contains("2-D"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.compact(spark, t, 4,
+        zorderDims = Seq(col("k"), col("k")), curve = "peano")
+    }
+  }
+
   test("CALL clone(...) procedure clones by path and by catalog name") {
     val dir = Files.createTempDirectory("vt_clone5").toString
     spark.conf.set("spark.sql.catalog.gclone",
