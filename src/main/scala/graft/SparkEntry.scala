@@ -3207,6 +3207,33 @@ object SparkEntry {
       vt.read(s, tdir + "/dst").orderBy("doc_id")
     }),
 
+    // ---- lake: bloom-filter point lookup ----
+    // documents land UNCLUSTERED on fingerprint (every file's [min,max]
+    // overlaps — bounds can't prune) in a table with parquet-native
+    // blooms on fp; the needle lookup answers byte-identically to the
+    // oracle that never sees the lake, while the blooms cut the planned
+    // files (spec-asserted in BloomSkipSpec; here the gate is the answer).
+    "lk4_bloom_lookup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"), col("lang"))
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_lk4").toString + "/t"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, tdir, StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("fp", StringType),
+        StructField("lang", StringType))))
+      vt.alterProperties(s, tdir, Map(
+        "graft.bloom.columns" -> "fp", "graft.bloom.ndv" -> "100000"))
+      vt.append(s, docs.repartition(8), tdir)
+      val needles = docs.where(col("doc_id") % 97 === 0)
+        .select(col("fp")).distinct()
+      s.read.format("graft-table").load(tdir)
+        .join(broadcast(needles), Seq("fp"))
+        .select(col("doc_id"), col("fp"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // ---- sampling: source-mix resampling (the data-mixing primitive) ----
     // Downsample over-represented sources to a target mix with ONE
     // deterministic map-side filter (md5-based uniform — fully oracled,
@@ -5080,6 +5107,12 @@ object SparkEntry {
     "lk3_clone" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+
+    "lk4_bloom_lookup" ->
+      """SELECT doc_id, md5(text) AS fp, lang FROM documents
+        |WHERE md5(text) IN (
+        |  SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 97 = 0)
+        |ORDER BY doc_id""".stripMargin,
 
     // temperature mix: same ops, same order — (sqrt(n) * C) / n with
     // C = MIN(n / sqrt(n)); md5-uniform threshold as in s4

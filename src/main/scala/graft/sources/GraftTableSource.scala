@@ -863,13 +863,31 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
       // re-evaluates every filter above the scan.
       val stats = VersionedTable.parsedStatsAt(spark, path, asOf)
       val effective = parquetFilters ++ runtimeFilters
-      val kept =
+      val kept0 =
         if (effective.isEmpty || stats.isEmpty ||
             options.get("statsskipping").contains("false")) files
         else {
           val keys = FileStats.lookupKeys(dataSchema)
           files.filter(n => stats.get(n).forall(
             FileStats.fileMayMatch(_, keys, effective.toSeq)))
+        }
+      // second pass, point lookups only: parquet-native bloom probes on
+      // the bounds-survivors of tables that opted in (footer + bloom
+      // header reads, no data pages — see BloomSkip)
+      val kept =
+        if (effective.isEmpty ||
+          options.get("bloomskipping").contains("false")) kept0
+        else {
+          val bloomCols = VersionedTable.bloomColumnsAt(spark, path, asOf)
+          val probes =
+            if (bloomCols.isEmpty) Nil
+            else BloomSkip.probesOf(effective.toSeq, bloomCols)
+          if (probes.isEmpty) kept0
+          else {
+            val conf = spark.sparkContext.hadoopConfiguration
+            kept0.filter(n => BloomSkip.fileMayMatch(
+              conf, new Path(path, n), probes))
+          }
         }
       // pushed LIMIT / ORDER-BY-LIMIT file pruning: only when nothing
       // else narrows rows invisibly — any filter (static or runtime-

@@ -641,6 +641,23 @@ object VersionedTable {
           != "true")
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
+  /** Lower-cased simple column names opted into parquet-native bloom
+    * filters via the `graft.bloom.columns` property (see [[BloomSkip]]).
+    */
+  private[sources] def bloomColumnsOf(lines: Seq[String]): Set[String] =
+    propMap(lines).get("graft.bloom.columns")
+      .map(_.split(',').iterator.map(
+        _.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** [[bloomColumnsOf]] at a pinned version (None = latest). */
+  private[sources] def bloomColumnsAt(spark: SparkSession, table: String,
+      asOf: Option[Long]): Set[String] = bloomColumnsOf(asOf match {
+    case Some(v) => readManifestRaw(fs(spark, table), table, v)
+    case None => latestRaw(spark, table)._2
+  })
+
   private def propMap(lines: Seq[String]): Map[String, String] =
     lines.collect { case l if l.startsWith(PropPrefix) =>
       val rest = l.drop(PropPrefix.length)
@@ -1495,7 +1512,20 @@ object VersionedTable {
     val tsPrev = tsSession.conf.get(tsKey, "INT96")
     if (tsPrev == "INT96")
       tsSession.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.write.parquet(tmp.toString)
+    // opt-in parquet-NATIVE bloom filters (graft.bloom.columns property):
+    // written inside the data files by the standard writer, probed at
+    // plan time for point lookups (see BloomSkip). Per-write options —
+    // nothing session-sticky. NDV hint via graft.bloom.ndv (per-file
+    // expected distincts; default 100k keeps blooms ~100 KB).
+    val bloomCols = bloomColumnsOf(lines00)
+      .flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))
+    val ndv = propMap(lines00).get("graft.bloom.ndv")
+      .flatMap(_.toLongOption).getOrElse(100000L)
+    val writer = bloomCols.foldLeft(df.write) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    try writer.parquet(tmp.toString)
     finally if (tsPrev == "INT96") tsSession.conf.set(tsKey, tsPrev)
     val staged = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
