@@ -1560,6 +1560,28 @@ object SparkEntry {
           col("ewma"))
         .orderBy("user_id", "ts", "event_id")),
 
+    // ---- time series: time-weighted average (TWAP) ----
+    // Step-function semantics: each value holds until the next
+    // observation; the weighted sum is ONE exact decimal aggregate and
+    // the only float step is the final round(·,6) division.
+    "ts5_twap" -> ((s, dir) =>
+      Analytics.twap(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        tieBreak = Seq("event_id"))
+        .orderBy("user_id")),
+
+    // ---- time series: OHLC bars (candlestick downsampling) ----
+    // open/close via mergeable min_by/max_by on the total (ts, event_id)
+    // order — one partial-agg shuffle, no window; all four picks are
+    // exact stored values.
+    "ts6_ohlc" -> ((s, dir) =>
+      Analytics.ohlcBars(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        bucketMicros = 3600000000L, tieBreak = Seq("event_id"))
+        .orderBy("user_id", "bucket")),
+
     // ---- time series: lag-pair autocorrelation function ----
     // Pearson over (x_t, x_{t+lag}) pairs per key: exact decimal moment
     // sums (the ts1 idiom), one bounded band self-join (fan-out <= maxLag),
@@ -5949,6 +5971,46 @@ object SparkEntry {
         |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         |SELECT user_id, ts, event_id, x AS value, e AS ewma
         |FROM r ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // TWAP: step-function weights as exact decimal·µs products, one
+    // final canonicalized double division
+    "ts5_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    TRY_CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |d AS (SELECT user_id, v,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+        |  FROM e),
+        |g AS (SELECT user_id,
+        |    SUM(CAST(v * dt AS DECIMAL(38,2))) AS wsum,
+        |    CAST(SUM(dt) AS BIGINT) AS span,
+        |    COUNT(*) AS n_segments
+        |  FROM d WHERE dt IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_segments, span AS span_us,
+        |  ROUND(CAST(wsum AS DOUBLE) / CAST(span AS DOUBLE), 6) + 0.0 AS twap
+        |FROM g WHERE span > 0 ORDER BY user_id""".stripMargin,
+
+    // OHLC: open/close re-derived with total-order row_numbers (the
+    // engine uses min_by/max_by on the same order — identical picks)
+    "ts6_ohlc" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    (epoch_us(ts) - ((epoch_us(ts) % 3600000000 + 3600000000)
+        |       % 3600000000)) // 3600000000 AS bucket
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY us, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY us DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+        |  MAX(CASE WHEN ra = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
+        |  COUNT(*) AS n
+        |FROM r GROUP BY user_id, bucket
+        |ORDER BY user_id, bucket""".stripMargin,
 
     // lag-pair ACF: exact decimal moment sums over the banded self-join,
     // then the identical fixed-order correlation chain

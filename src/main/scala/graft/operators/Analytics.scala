@@ -892,6 +892,80 @@ object Analytics {
           element_at(col("__e"), col("__i") + 1).as(outCol)): _*)
   }
 
+  /** Per-key time-weighted average (TWAP): each observation's value
+    * holds from its timestamp to the NEXT observation's (step-function
+    * semantics — the standard market/telemetry convention), so
+    * TWAP = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_N − t₁). A plain AVG over-weights
+    * bursts; this is the average that survives irregular sampling.
+    *
+    * Exactness: values quantize to DECIMAL(18,2) (the ewma contract),
+    * durations are exact micros longs, the weighted sum is one exact
+    * DECIMAL(38,2) aggregate, and the ONLY float step is the final
+    * division, round(·,6)-canonicalized — fully hash-oracled. Keys with
+    * fewer than 2 valid observations have no span and are excluded.
+    * Scale: one lead() window per key + one partial-agg shuffle.
+    */
+  def twap(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "twap needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol).asc +: tieBreak.map(col(_).asc)): _*)
+    val stepped = df
+      .where(col(tsCol).isNotNull && dec.isNotNull)
+      .withColumn("__us", unix_micros(col(tsCol).cast(TimestampType)))
+      .withColumn("__dt", lead(col("__us"), 1).over(w) - col("__us"))
+      .where(col("__dt").isNotNull) // the last observation bounds, not adds
+    stepped
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum((dec * col("__dt")).cast(DecimalType(38, 2))).as("__wsum"),
+        sum(col("__dt")).as("__span"),
+        count(lit(1)).as("n_segments"))
+      .where(col("__span") > 0)
+      .select(keyCols.map(col) ++ Seq(
+        col("n_segments"),
+        col("__span").as("span_us"),
+        (round(col("__wsum").cast(DoubleType) /
+          col("__span").cast(DoubleType), 6) + lit(0.0)).as("twap")): _*)
+  }
+
+  /** Per-key OHLC bars (candlestick downsampling): for each fixed
+    * time bucket, the first (open), max (high), min (low), and last
+    * (close) value plus the observation count — THE standard lossy
+    * time-series compaction before charting/feature extraction. All
+    * four picks are exact stored values (no arithmetic): open/close via
+    * mergeable `min_by`/`max_by` on the (ts, tieBreak) struct — one
+    * partial-agg shuffle on (key, bucket), no window, deterministic
+    * because tieBreak must make the ordering total.
+    */
+  def ohlcBars(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, bucketMicros: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(bucketMicros > 0, s"bucket must be positive, got $bucketMicros")
+    require(keyCols.nonEmpty, "ohlcBars needs at least one key column")
+    val us = unix_micros(col(tsCol).cast(TimestampType))
+    val ord = struct((col("__us") +: tieBreak.map(col)): _*)
+    // exact floor division of longs (the timeBucketDim idiom): a double
+    // divide would wobble buckets past 2^53 µs
+    import org.apache.spark.sql.graftshim.SparkShim
+    val floorDiv = (c: Column) => SparkShim.toColumn(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        SparkShim.toExpression(c - pmod(c, lit(bucketMicros))),
+        org.apache.spark.sql.catalyst.expressions.Literal(bucketMicros)))
+    df.where(col(tsCol).isNotNull && col(measure).isNotNull)
+      .withColumn("__us", us)
+      .withColumn("__bucket", floorDiv(col("__us")).cast(LongType))
+      .groupBy(keyCols.map(col) :+ col("__bucket").as("bucket"): _*)
+      .agg(
+        min_by(col(measure), ord).as("open"),
+        max(col(measure)).as("high"),
+        min(col(measure)).as("low"),
+        max_by(col(measure), ord).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** Per-key autocorrelation function: for each lag ℓ in 1..`maxLag`,
     * the Pearson correlation of the pairs (x_t, x_{t+ℓ}) within the key
     * (the lag-pair ACF variant — no global-mean subtraction, so every

@@ -105,4 +105,53 @@ class SmoothingSpec extends SparkTestBase {
       "v", 4).orderBy("k", "lag").collect()
     assert(x === y)
   }
+
+  test("twap: hand-computed step weights; last observation only bounds") {
+    // key a: 10 for 10s, then 20 for 20s → (100 + 400) / 30 = 16.666667;
+    // the value at t=30 (999) holds nothing and must not contribute
+    val df = Seq(
+      ("a", 0L, 10.0), ("a", 10L, 20.0), ("a", 30L, 999.0),
+      ("b", 5L, 7.0) // single observation: no span → excluded
+    ).toDF("k", "sec", "v")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Analytics.twap(df, Seq("k"), "ts", "v")
+      .select("k", "n_segments", "span_us", "twap")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out === Array(("a", 2L, 30000000L, 16.666667)))
+  }
+
+  test("twap: zero-length segments weigh nothing; layout independent") {
+    val df = Seq(
+      ("a", 1L, 0L, 100.0), // same ts as the next row: dt = 0
+      ("a", 2L, 0L, 5.0), ("a", 3L, 10L, 5.0))
+      .toDF("k", "id", "sec", "v")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val run = (d: org.apache.spark.sql.DataFrame) =>
+      Analytics.twap(d, Seq("k"), "ts", "v", tieBreak = Seq("id"))
+        .select("k", "twap").as[(String, Double)].collect()
+    val out = run(df)
+    assert(out === Array(("a", 5.0))) // 100·0 + 5·10 over 10
+    assert(run(df.repartition(7)).toSeq === out.toSeq)
+  }
+
+  test("ohlcBars: open/high/low/close per bucket, hand-checked") {
+    val df = Seq(
+      // bucket 0 (0..59s): open 3 (earliest), high 9, low 1, close 1
+      ("a", 1L, 5L, 3.0), ("a", 2L, 20L, 9.0), ("a", 3L, 40L, 1.0),
+      // bucket 1: single row — all four equal
+      ("a", 4L, 70L, 6.0),
+      // equal timestamps: the id tie-break decides open/close
+      ("b", 1L, 10L, 2.0), ("b", 2L, 10L, 8.0)
+    ).toDF("k", "id", "sec", "v")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Analytics.ohlcBars(df, Seq("k"), "ts", "v",
+      bucketMicros = 60000000L, tieBreak = Seq("id"))
+      .orderBy("k", "bucket")
+      .select("k", "bucket", "open", "high", "low", "close", "n")
+      .as[(String, Long, Double, Double, Double, Double, Long)].collect()
+    assert(out === Array(
+      ("a", 0L, 3.0, 9.0, 1.0, 1.0, 3L),
+      ("a", 1L, 6.0, 6.0, 6.0, 6.0, 1L),
+      ("b", 0L, 2.0, 8.0, 2.0, 8.0, 2L)))
+  }
 }
