@@ -1560,6 +1560,17 @@ object SparkEntry {
           col("ewma"))
         .orderBy("user_id", "ts", "event_id")),
 
+    // ---- evaluation: deterministic Poisson-bootstrap mean CI ----
+    // 40 replicates whose row weights are map-side md5-uniform Poisson(1)
+    // quantiles — no RNG state, no resampled-data shuffle (B narrow rows
+    // per key); rank-based interval over the replicate means.
+    "a37_bootstrap_ci" -> ((s, dir) =>
+      Analytics.bootstrapMeanCI(
+        t(s, dir, "events").select("event_id", "user_id", "value"),
+        keyCols = Seq("user_id"), idCol = col("event_id"),
+        measure = "value", replicates = 40, kLo = 1, kHi = 39)
+        .orderBy("user_id")),
+
     // ---- time series: time-weighted average (TWAP) ----
     // Step-function semantics: each value holds until the next
     // observation; the weighted sum is ONE exact decimal aggregate and
@@ -5971,6 +5982,48 @@ object SparkEntry {
         |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         |SELECT user_id, ts, event_id, x AS value, e AS ewma
         |FROM r ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // Poisson bootstrap re-derived: identical md5-uniform, identical
+    // Poisson(1) cumulative literals, identical rank-based interval
+    "a37_bootstrap_ci" ->
+      """WITH v AS (SELECT user_id, event_id,
+        |    TRY_CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |x AS (SELECT user_id, b, v,
+        |    CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR),
+        |      ':', CAST(b AS VARCHAR))), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 AS u
+        |  FROM v, generate_series(0, 39) t(b)),
+        |w AS (SELECT user_id, b, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM x),
+        |r AS (SELECT user_id, b, SUM(v * w) AS ws, SUM(w) AS n
+        |  FROM w GROUP BY user_id, b),
+        |m AS (SELECT user_id, b,
+        |    CAST(ws AS DOUBLE) / n + 0.0 AS m
+        |  FROM r WHERE n > 0),
+        |rk AS (SELECT user_id, b, m,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY m, b) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM m),
+        |ci AS (SELECT user_id,
+        |    MAX(CASE WHEN rnk = LEAST(1, cnt) THEN m END) AS ci_lo,
+        |    MAX(CASE WHEN rnk = LEAST(39, cnt) THEN m END) AS ci_hi,
+        |    COUNT(*) AS b_used
+        |  FROM rk GROUP BY user_id),
+        |p AS (SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(v) AS DOUBLE) / COUNT(*) + 0.0 AS mean
+        |  FROM v GROUP BY user_id)
+        |SELECT p.user_id, p.n, p.mean, ci.ci_lo, ci.ci_hi, ci.b_used
+        |FROM p JOIN ci USING (user_id) ORDER BY user_id""".stripMargin,
 
     // TWAP: step-function weights as exact decimal·µs products, one
     // final canonicalized double division

@@ -892,6 +892,93 @@ object Analytics {
           element_at(col("__e"), col("__i") + 1).as(outCol)): _*)
   }
 
+  /** Poisson(1) cumulative probabilities P(X ≤ k), k = 0..7 — spelled as
+    * EXACT double literals shared by the Scala plan and the oracle SQL
+    * (e^{-1}-derived; re-deriving them with `math.exp` in one engine and
+    * a literal in the other would diverge in the last ulp).
+    */
+  private[operators] val PoissonCum = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253)
+
+  /** Deterministic Poisson-bootstrap confidence interval for a per-group
+    * mean — the evaluation harness that turns "the corpus metric moved"
+    * into "moved beyond resampling noise", in ONE pass with no RNG
+    * state. The classic bootstrap multinomial-resamples n rows B times
+    * (O(n·B) shuffled data); the Poisson bootstrap replaces each row's
+    * replicate count with an INDEPENDENT Poisson(1) weight, which makes
+    * every weight a map-side function of (row id, replicate) — here the
+    * md5-uniform quantile-inverted through [[PoissonCum]], so the whole
+    * procedure is reproducible across engines, partitionings, and runs.
+    *
+    * The interval is rank-based (no interpolation): replicate means
+    * sorted ascending (ties on replicate id), ci_lo = the `kLo`-th,
+    * ci_hi = the `kHi`-th (clamped to the replicates that survived; a
+    * replicate whose total weight is 0 is dropped). Replicate means and
+    * the point mean follow the exact-decimal-sums + one canonicalized
+    * double division convention (a7).
+    *
+    * Scale: rows explode ×B map-side into a (key, b) partial-agg — the
+    * shuffle carries B narrow rows per key, never resampled data; the
+    * per-key ranking window is B rows.
+    */
+  def bootstrapMeanCI(df: DataFrame, keyCols: Seq[String], idCol: Column,
+      measure: String, replicates: Int = 40,
+      kLo: Int = 1, kHi: Int = 39): DataFrame = {
+    require(keyCols.nonEmpty, "bootstrapMeanCI needs at least one key")
+    require(replicates >= 4 && replicates <= 1024,
+      s"replicates must be in [4, 1024], got $replicates")
+    require(1 <= kLo && kLo <= kHi && kHi <= replicates,
+      s"need 1 <= kLo <= kHi <= replicates, got ($kLo, $kHi)")
+    import org.apache.spark.sql.expressions.Window
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val valid = df.where(dec.isNotNull)
+      .select(keyCols.map(col) :+ dec.as("__v") :+
+        idCol.cast(StringType).as("__id"): _*)
+    val u = Sampling.hashUniform(
+      concat(col("__id"), lit(":"), col("__b").cast(StringType)))
+    val weight = PoissonCum.zipWithIndex.reverse
+      .foldLeft(lit(PoissonCum.size): Column) { case (acc, (t, k)) =>
+        when(u < lit(t), lit(k)).otherwise(acc)
+      }
+    val reps = valid
+      .withColumn("__b", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__w", weight)
+      .groupBy(keyCols.map(col) :+ col("__b"): _*)
+      .agg(sum(col("__v") * col("__w")).as("__ws"),
+        sum(col("__w")).as("__n"))
+      .where(col("__n") > 0)
+      // NO round(): the decimal sums stay far below 2^53 unscaled, so
+      // decimal→double is correctly rounded in BOTH engines and the one
+      // IEEE division is bit-identical — while round(·,6) would
+      // re-introduce the half-up-at-representation-boundary divergence
+      // it usually papers over (observed at sf0.1: 32.0646875 rounding
+      // ...688 in one engine, ...687 in the other)
+      .withColumn("__m",
+        col("__ws").cast(DoubleType) / col("__n") + lit(0.0))
+    val wRank = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__m"), col("__b"))
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val ranked = reps
+      .withColumn("__r", row_number().over(wRank))
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+    val ci = ranked.groupBy(keyCols.map(col): _*)
+      .agg(
+        max(when(col("__r") === least(lit(kLo), col("__cnt")), col("__m")))
+          .as("ci_lo"),
+        max(when(col("__r") === least(lit(kHi), col("__cnt")), col("__m")))
+          .as("ci_hi"),
+        count(lit(1)).as("b_used"))
+    val point = valid.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__v")).cast(DoubleType) / count(lit(1))
+          + lit(0.0)).as("mean"))
+    point.join(ci, keyCols)
+      .select(keyCols.map(col) ++ Seq(col("n"), col("mean"),
+        col("ci_lo"), col("ci_hi"), col("b_used")): _*)
+  }
+
   /** Per-key time-weighted average (TWAP): each observation's value
     * holds from its timestamp to the NEXT observation's (step-function
     * semantics — the standard market/telemetry convention), so

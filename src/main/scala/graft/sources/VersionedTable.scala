@@ -3984,6 +3984,19 @@ object VersionedTable {
         f.delete(s.getPath, false); removed += 1
       }
     }
+    // a writer killed between its parquet write and the staging rename
+    // leaves a whole `_stage-<uuid>` directory behind — never referenced
+    // by any manifest, invisible to the root file sweep above (it only
+    // lists FILES). Reclaim stage dirs older than the retention window;
+    // a live stage is younger than any sane retention by construction
+    // (staging is one write + rename, not a long-lived residency).
+    f.listStatus(new Path(table))
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("_stage-") &&
+        s.getModificationTime <= cutoff)
+      .foreach { s =>
+        if (f.delete(s.getPath, true)) removed += 1
+      }
     (1L until lo).filterNot(tagged.contains).foreach { v =>
       val p = commitPath(table, v)
       if (f.exists(p)) f.delete(p, false)

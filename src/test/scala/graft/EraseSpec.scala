@@ -79,6 +79,23 @@ class EraseSpec extends SparkTestBase {
     }
   }
 
+  test("vacuum reclaims crashed-writer _stage directories past retention") {
+    val t = Files.createTempDirectory("orphan").toString + "/t"
+    VersionedTable.append(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    // simulate a writer killed between its parquet write and the rename
+    val stray = Paths.get(t, "_stage-deadbeef")
+    Files.createDirectories(stray)
+    Files.writeString(stray.resolve("part-0.parquet"), "orphan bytes")
+    // within retention: untouched (could be a live stage)
+    VersionedTable.vacuum(spark, t,
+      keepFrom = 1L, retentionMs = 3600L * 1000)
+    assert(Files.exists(stray), "a young stage dir must be respected")
+    // past retention: reclaimed, table unharmed
+    VersionedTable.vacuum(spark, t, keepFrom = 1L, retentionMs = 0L)
+    assert(!Files.exists(stray), "an orphaned stage dir must be reclaimed")
+    assert(VersionedTable.read(spark, t).count() === 1)
+  }
+
   test("erasure works under merge-on-read deletes too (layer files vacuumed)") {
     val prev = spark.conf.get("spark.sql.parquet.compression.codec", "snappy")
     spark.conf.set("spark.sql.parquet.compression.codec", "uncompressed")

@@ -134,6 +134,40 @@ class SmoothingSpec extends SparkTestBase {
     assert(run(df.repartition(7)).toSeq === out.toSeq)
   }
 
+  test("bootstrapMeanCI: degenerate data, interval sanity, determinism") {
+    // constant column: every replicate mean is the constant → the
+    // interval collapses onto it exactly
+    val const = spark.range(200)
+      .select(lit("a").as("k"), col("id"), lit(7.0).as("v"))
+    val c = Analytics.bootstrapMeanCI(const, Seq("k"), col("id"), "v",
+      replicates = 16, kLo = 1, kHi = 15)
+      .select("n", "mean", "ci_lo", "ci_hi", "b_used")
+      .as[(Long, Double, Double, Double, Long)].head()
+    assert(c === ((200L, 7.0, 7.0, 7.0, 16L)))
+
+    // varied data: interval ordered and bracketing the point estimate,
+    // all replicates survive, and the result is layout-independent
+    val df = spark.range(500).select(
+      (col("id") % 2).cast("string").as("k"), col("id"),
+      (col("id") % 97).cast("double").as("v"))
+    val run = (d: org.apache.spark.sql.DataFrame) =>
+      Analytics.bootstrapMeanCI(d, Seq("k"), col("id"), "v",
+        replicates = 40, kLo = 1, kHi = 39)
+        .orderBy("k")
+        .select("k", "n", "mean", "ci_lo", "ci_hi", "b_used")
+        .as[(String, Long, Double, Double, Double, Long)].collect()
+    val out = run(df)
+    assert(out.length === 2)
+    out.foreach { case (_, n, mean, lo, hi, b) =>
+      assert(n === 250L && b === 40L)
+      assert(lo <= hi)
+      assert(lo <= mean && mean <= hi,
+        s"rank-1/39 interval should bracket the mean: $lo $mean $hi")
+      assert(hi - lo > 0, "real variance must give a real interval")
+    }
+    assert(run(df.repartition(13)).toSeq === out.toSeq)
+  }
+
   test("ohlcBars: open/high/low/close per bucket, hand-checked") {
     val df = Seq(
       // bucket 0 (0..59s): open 3 (earliest), high 9, low 1, close 1
