@@ -23,11 +23,21 @@ class PlanAuditSpec extends SparkTestBase {
   //    baseline (tiny query set broadcast against the corpus)
   //  - t31_pmi: two 1-row total-count frames (unigrams, bigrams)
   //    broadcast-crossed into the pair frame
+  //  - sim15/sim16/sim17: the binary-Hamming / recall-eval / matryoshka
+  //    retrieval paths score the corpus against a broadcast tiny query
+  //    set (the sim1 baseline shape; candidates bound the re-rank)
+  //  - dq3_key_skew: per-key counts crossed with the broadcast 1-ROW
+  //    global-stats frame (total, n_keys)
+  //  - s14_negatives: anchors crossed with the broadcast 1-ROW corpus
+  //    count (N) to compute probe positions; the draw itself is an
+  //    equi-join on position
   private val allowed = Set(
     "a13_cross", "sim1_cosine_topk", "sim4_quantized_topk",
     "sim5_pq_topk", "sim5b_pq_exact", "sim7_pq_adc", "sim7b_adc_exact",
     "t10_tfidf", "t21_chi2", "a27_cm_rollup", "a30_theta",
-    "q11_important_values", "sim14_mmr", "t31_pmi")
+    "q11_important_values", "sim14_mmr", "t31_pmi",
+    "sim15_binary_topk", "sim16_recall", "sim17_matryoshka",
+    "dq3_key_skew", "s14_negatives")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
