@@ -3240,6 +3240,43 @@ object SparkEntry {
       vt.read(s, tdir + "/dst").orderBy("doc_id")
     }),
 
+    // ---- governance: corpus snapshot diff report via CDF ----
+    // Two corpus revisions (odds added, the %10 docs dropped) diffed
+    // WITHOUT rescanning either snapshot: the change feed between the
+    // versions rolls up per language into docs added/removed and the
+    // net token delta — the "what changed in the training set" report a
+    // corpus release needs. The oracle re-derives the same report from
+    // the documents table arithmetically.
+    "dc5_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_dc5").toString + "/t"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, tdir, StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("text", StringType))))
+      vt.alterProperties(s, tdir, Map(vt.CdcProperty -> "true"))
+      vt.append(s, docs.where(col("doc_id") % 2 === 0), tdir)
+      val v1 = vt.latest(s, tdir)._1
+      vt.append(s, docs.where(col("doc_id") % 2 === 1), tdir)
+      vt.delete(s, tdir, expr("doc_id % 10 = 0"))
+      val ins = col(vt.ChangeTypeCol) === "insert"
+      // (fromVersion, toVersion] — exclusive-from, so v1 itself is the
+      // base snapshot and both later commits are in the window
+      vt.readChangesCDF(s, tdir, fromVersion = v1)
+        .withColumn("__tk",
+          TextAnalysis.tokenCount(col("text")).cast(LongType))
+        .groupBy(col("lang"))
+        .agg(
+          sum(when(ins, 1L).otherwise(0L)).as("docs_added"),
+          sum(when(!ins, 1L).otherwise(0L)).as("docs_removed"),
+          sum(when(ins, col("__tk")).otherwise(-col("__tk")))
+            .as("token_delta"))
+        .orderBy("lang")
+    }),
+
     // ---- lake: bloom-filter point lookup ----
     // documents land UNCLUSTERED on fingerprint (every file's [min,max]
     // overlaps — bounds can't prune) in a table with parquet-native
@@ -5146,6 +5183,24 @@ object SparkEntry {
         |WHERE md5(text) IN (
         |  SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 97 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // the CDF between the revisions = inserts(odds) + deletes(evens %10)
+    // re-derived arithmetically; tokens = the t1 whitespace formula
+    "dc5_corpus_diff" ->
+      """WITH ch AS (
+        |  SELECT lang, 1 AS i,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tk
+        |  FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT lang, 0 AS i,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tk
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0)
+        |SELECT lang,
+        |  CAST(SUM(i) AS BIGINT) AS docs_added,
+        |  CAST(SUM(1 - i) AS BIGINT) AS docs_removed,
+        |  CAST(SUM(CASE WHEN i = 1 THEN tk ELSE -tk END) AS BIGINT)
+        |    AS token_delta
+        |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
 
     // temperature mix: same ops, same order — (sqrt(n) * C) / n with
     // C = MIN(n / sqrt(n)); md5-uniform threshold as in s4
