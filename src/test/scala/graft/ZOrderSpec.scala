@@ -73,6 +73,34 @@ class ZOrderSpec extends SparkTestBase {
       s"z-order should prune most files via parquet stats, scanned $zRows")
   }
 
+  test("hilbert compaction prunes BOTH dimensions via a versioned table") {
+    import graft.sources.{GraftTableScan, VersionedTable}
+    // 64k rows over the same 256x256 grid, appended round-robin (no
+    // layout), then laid out by compact(curve = hilbert)
+    val df = spark.range(65536).select(
+      (col("id") % 256).as("uid"),
+      (col("id") / 256).cast("long").as("hr"),
+      col("id").as("payload"))
+    val t = Files.createTempDirectory("hilb_prune").toString + "/t"
+    VersionedTable.append(spark, df.repartition(8), t)
+    VersionedTable.compact(spark, t, numFiles = 64,
+      zorderDims = Seq(col("uid"), col("hr")), curve = "hilbert")
+    def planned(cond: org.apache.spark.sql.Column): (Int, Int) = {
+      val got = spark.read.format("graft-table").load(t)
+        .where(cond).count()
+      assert(got === 8L * 256L)
+      GraftTableScan.lastPlanned.get()
+    }
+    // the curve's unit-step locality keeps each file a compact blob in
+    // (uid, hr) space, so a band predicate on EITHER dimension prunes
+    val (pHr, totalHr) = planned(col("hr") < 8)
+    assert(totalHr === 64 && pHr <= 16,
+      s"hr band should plan few of 64 hilbert files, planned $pHr")
+    val (pUid, _) = planned(col("uid") < 8)
+    assert(pUid <= 16,
+      s"uid band should plan few of 64 hilbert files, planned $pUid")
+  }
+
   test("hilbert index: known small curves, bijectivity, unit-step locality") {
     // order-1 (2x2) curve: (0,0)→0, (0,1)→1, (1,1)→2, (1,0)→3
     val order1 = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
