@@ -1560,6 +1560,19 @@ object SparkEntry {
           col("ewma"))
         .orderBy("user_id", "ts", "event_id")),
 
+    // ---- evaluation: Mann–Whitney rank-sum test (A/B metric shift) ----
+    // Even- vs odd-user events per event_type; midrank ties keep every
+    // statistic an exact integer (×2), AUC is one double division.
+    "a38_ranksum" -> ((s, dir) =>
+      Analytics.rankSumTest(
+        t(s, dir, "events")
+          .where(col("user_id").isNotNull) // a null id belongs to no arm
+          .withColumn("grp",
+            when(col("user_id") % 2 === 0, "a").otherwise("b")),
+        keyCols = Seq("event_type"), groupCol = "grp",
+        groupA = "a", groupB = "b", measure = "value")
+        .orderBy("event_type")),
+
     // ---- evaluation: deterministic Poisson-bootstrap mean CI ----
     // 40 replicates whose row weights are map-side md5-uniform Poisson(1)
     // quantiles — no RNG state, no resampled-data shuffle (B narrow rows
@@ -6037,6 +6050,32 @@ object SparkEntry {
         |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         |SELECT user_id, ts, event_id, x AS value, e AS ewma
         |FROM r ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // midrank rank sums re-derived from per-value cumulative counts —
+    // every statistic exact integer; AUC one double division
+    "a38_ranksum" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp, value
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |v AS (SELECT event_type, value AS v, COUNT(*) AS cnt,
+        |    CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca
+        |  FROM e GROUP BY event_type, value),
+        |c AS (SELECT event_type, v, cnt, ca,
+        |    COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+        |  FROM v),
+        |g AS (SELECT event_type,
+        |    CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cnt - ca) AS BIGINT) AS n_b,
+        |    CAST(SUM(ca * (2 * lt + cnt + 1)) AS BIGINT) AS r1_x2
+        |  FROM c GROUP BY event_type)
+        |SELECT event_type, n_a, n_b, r1_x2,
+        |  r1_x2 - n_a * (n_a + 1) AS u1_x2,
+        |  CAST(r1_x2 - n_a * (n_a + 1) AS DOUBLE)
+        |    / (2.0 * n_a * n_b) + 0.0 AS auc
+        |FROM g WHERE n_a > 0 AND n_b > 0
+        |ORDER BY event_type""".stripMargin,
 
     // Poisson bootstrap re-derived: identical md5-uniform, identical
     // Poisson(1) cumulative literals, identical rank-based interval

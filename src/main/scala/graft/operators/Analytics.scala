@@ -979,6 +979,49 @@ object Analytics {
         col("ci_lo"), col("ci_hi"), col("b_used")): _*)
   }
 
+  /** Per-key Mann–Whitney rank-sum test between two groups — the
+    * nonparametric "did treatment B shift the metric vs A" check that
+    * needs no distributional assumption (the complement of
+    * [[bootstrapMeanCI]]'s resampling view). Emits EXACT integer
+    * statistics: with midrank tie handling every rank is a multiple of
+    * ½, so `r1_x2` (twice group A's rank sum) and `u1_x2` (twice the U
+    * statistic) are exact BIGINTs; `auc` = U₁/(n₁n₂) — the probability
+    * a random A observation exceeds a random B one (common-language
+    * effect size / AUC) — is ONE double division of exact integers.
+    *
+    * Scale: ranks come from per-key cumulative counts over DISTINCT
+    * values (a domain-sized window partitioned by key), never a global
+    * row-sized window; one groupBy shuffle + one windowed pass.
+    */
+  def rankSumTest(df: DataFrame, keyCols: Seq[String], groupCol: String,
+      groupA: String, groupB: String, measure: String): DataFrame = {
+    require(keyCols.nonEmpty, "rankSumTest needs at least one key column")
+    require(groupA != groupB, "the two groups must differ")
+    import org.apache.spark.sql.expressions.Window
+    val vals = df
+      .where(col(groupCol).isin(groupA, groupB) && col(measure).isNotNull)
+      .groupBy(keyCols.map(col) :+ col(measure).as("__v"): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals.withColumn("__lt",
+      coalesce(sum(col("__cnt")).over(w), lit(0L)))
+    ranked.groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("__ca")).as("n_a"),
+        sum(col("__cnt") - col("__ca")).as("n_b"),
+        // 2·R1 = Σ_values ca · (2·cumLt + cnt + 1)  (midranks doubled)
+        sum(col("__ca") * (lit(2) * col("__lt") + col("__cnt") + 1))
+          .as("r1_x2"))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("u1_x2",
+        col("r1_x2") - col("n_a") * (col("n_a") + 1))
+      .withColumn("auc",
+        col("u1_x2").cast(DoubleType) /
+          (lit(2.0) * col("n_a") * col("n_b")) + lit(0.0))
+  }
+
   /** Per-key time-weighted average (TWAP): each observation's value
     * holds from its timestamp to the NEXT observation's (step-function
     * semantics — the standard market/telemetry convention), so

@@ -134,6 +134,32 @@ class SmoothingSpec extends SparkTestBase {
     assert(run(df.repartition(7)).toSeq === out.toSeq)
   }
 
+  test("rankSumTest: hand-computed U with midrank ties; AUC extremes") {
+    // key k: A = {1, 3, 3}, B = {2, 3, 5}
+    // sorted: 1(A) 2(B) 3 3 3(AAB ties, midrank 4) 5(B)
+    // R1 = 1 + 4 + 4 = 9 → r1_x2 = 18; U1 = 9 − 3·4/2 = 3 → u1_x2 = 6
+    // AUC = 3 / 9 = 0.3333…
+    val df = Seq(
+      ("k", "a", 1.0), ("k", "a", 3.0), ("k", "a", 3.0),
+      ("k", "b", 2.0), ("k", "b", 3.0), ("k", "b", 5.0),
+      // a second key where A dominates completely → AUC = 1
+      ("d", "a", 10.0), ("d", "a", 11.0), ("d", "b", 1.0),
+      // a group C row must be ignored entirely
+      ("k", "c", 100.0)
+    ).toDF("key", "grp", "v")
+    val out = Analytics.rankSumTest(df, Seq("key"), "grp", "a", "b", "v")
+      .orderBy("key")
+      .select("key", "n_a", "n_b", "r1_x2", "u1_x2", "auc")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(out === Array(
+      ("d", 2L, 1L, 10L, 4L, 1.0), // R1 = 2+3 = 5, U1 = 5−3 = 2, AUC 2/2
+      ("k", 3L, 3L, 18L, 6L, 6.0 / 18.0)))
+    // symmetry: swapping the arms complements the AUC
+    val sw = Analytics.rankSumTest(df, Seq("key"), "grp", "b", "a", "v")
+      .where(col("key") === "k").select("auc").as[Double].head()
+    assert(math.abs(sw + 6.0 / 18.0 - 1.0) < 1e-15)
+  }
+
   test("bootstrapMeanCI: degenerate data, interval sanity, determinism") {
     // constant column: every replicate mean is the constant → the
     // interval collapses onto it exactly
