@@ -979,6 +979,35 @@ object Analytics {
         col("ci_lo"), col("ci_hi"), col("b_used")): _*)
   }
 
+  /** [[ohlcBars]] re-expressed on Spark's time-window generator instead
+    * of a long bucket id — SEMANTICALLY the same bars (window_start =
+    * bucket·width for epoch-aligned widths, spec-pinned), but the
+    * grouping key is an event-time window, which is what Structured
+    * Streaming's watermark can close: the identical expression runs
+    * under `readStream` in append mode and emits exactly the batch bars
+    * for every sealed window. min_by/max_by are mergeable aggregates,
+    * so partial aggregation and streaming state both stay narrow.
+    */
+  def ohlcBarsWindowed(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, windowDur: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "ohlcBarsWindowed needs at least one key")
+    val ord = struct(
+      (unix_micros(col(tsCol).cast(TimestampType)) +: tieBreak.map(col)): _*)
+    df.where(col(tsCol).isNotNull && col(measure).isNotNull)
+      .groupBy(window(col(tsCol), windowDur) +: keyCols.map(col): _*)
+      .agg(
+        min_by(col(measure), ord).as("open"),
+        max(col(measure)).as("high"),
+        min(col(measure)).as("low"),
+        max_by(col(measure), ord).as("close"),
+        count(lit(1)).as("n"))
+      .select(Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++ keyCols.map(col) ++
+        Seq(col("open"), col("high"), col("low"), col("close"),
+          col("n")): _*)
+  }
+
   /** Per-key Mann–Whitney rank-sum test between two groups — the
     * nonparametric "did treatment B shift the metric vs A" check that
     * needs no distributional assumption (the complement of
