@@ -2455,6 +2455,15 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // ---- data selection: leave-one-group-out influence ----
+    // First-order data valuation per source: group mean vs the mean of
+    // everything else — the one-pass "which source drags the metric"
+    // screen that feeds resampleToMix.
+    "ds3_loo_influence" -> ((s, dir) =>
+      Analytics.leaveOneOutInfluence(
+        t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("source")),
+
     // ---- text: the FULL Gopher repetition battery (Rae et al. 2021
     // Table A1): top_{2,3,4}gram_char_frac + dup_{5..10}gram_char_frac
     // in ONE native-expression pass (zero shuffle — the relational
@@ -6679,6 +6688,22 @@ object SparkEntry {
 
     // DSIR Gumbel top-k replayed: key = w/2 - ln(-ln(u)), u =
     // (md5_60('7:'||id) + 0.5) / 2^60, round-6 then rank
+    // exact decimal group sums, every double ONE division (or one
+    // subtraction of two) of exact values — round-free (a37 convention)
+    "ds3_loo_influence" ->
+      """WITH p AS (SELECT source,
+        |    SUM(CAST(n_chars AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+        |  FROM documents
+        |  WHERE CAST(n_chars AS DECIMAL(18,2)) IS NOT NULL
+        |  GROUP BY source),
+        |t AS (SELECT SUM(s) AS tt, CAST(SUM(n) AS BIGINT) AS nn FROM p)
+        |SELECT source, n,
+        |  CAST(s AS DOUBLE) / n + 0.0 AS mean_group,
+        |  CAST(tt - s AS DOUBLE) / (nn - n) + 0.0 AS mean_rest,
+        |  ((CAST(s AS DOUBLE) / n + 0.0)
+        |    - (CAST(tt - s AS DOUBLE) / (nn - n) + 0.0)) + 0.0 AS influence
+        |FROM p, t WHERE nn > n ORDER BY source""".stripMargin,
+
     "ds2_dsir_resample" ->
       """WITH tk AS (SELECT doc_id, lang, list_filter(
         |    string_split_regex(trim(text), '\s+'), t -> t <> '') AS t

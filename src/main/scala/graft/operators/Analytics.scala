@@ -979,6 +979,38 @@ object Analytics {
         col("ci_lo"), col("ci_hi"), col("b_used")): _*)
   }
 
+  /** Leave-one-group-out influence — first-order data valuation: for
+    * each group (source/domain/shard), the group's mean of `measure`
+    * vs the mean of EVERYTHING ELSE, and their difference. `influence`
+    * > 0 means removing the group would LOWER the corpus metric — the
+    * one-pass screen for "which source is dragging quality" before a
+    * remix ([[Sampling.resampleToMix]] consumes the verdict).
+    *
+    * One partial-agg shuffle on the group + a broadcast 1-ROW totals
+    * frame; sums are exact decimals and every emitted double is a
+    * single division (or one subtraction of two) of exact values —
+    * round-free (the a37 convention), valid while the decimal sums stay
+    * below 2^53 unscaled. Groups that ARE the whole corpus (no rest to
+    * compare against) are excluded.
+    */
+  def leaveOneOutInfluence(df: DataFrame, groupCol: String,
+      measure: String): DataFrame = {
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val per = df.where(dec.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sum(dec).as("__s"), count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("__s")).as("__t"), sum(col("n")).as("__n"))
+    val meanGroup = col("__s").cast(DoubleType) / col("n") + lit(0.0)
+    val meanRest = (col("__t") - col("__s")).cast(DoubleType) /
+      (col("__n") - col("n")) + lit(0.0)
+    per.crossJoin(broadcast(tot))
+      .where(col("__n") > col("n"))
+      .select(col(groupCol), col("n"),
+        meanGroup.as("mean_group"),
+        meanRest.as("mean_rest"),
+        (meanGroup - meanRest + lit(0.0)).as("influence"))
+  }
+
   /** [[ohlcBars]] re-expressed on Spark's time-window generator instead
     * of a long bucket id — SEMANTICALLY the same bars (window_start =
     * bucket·width for epoch-aligned widths, spec-pinned), but the

@@ -31,13 +31,15 @@ class PlanAuditSpec extends SparkTestBase {
   //  - s14_negatives: anchors crossed with the broadcast 1-ROW corpus
   //    count (N) to compute probe positions; the draw itself is an
   //    equi-join on position
+  //  - ds3_loo_influence: per-group sums crossed with the broadcast
+  //    1-ROW grand-total frame
   private val allowed = Set(
     "a13_cross", "sim1_cosine_topk", "sim4_quantized_topk",
     "sim5_pq_topk", "sim5b_pq_exact", "sim7_pq_adc", "sim7b_adc_exact",
     "t10_tfidf", "t21_chi2", "a27_cm_rollup", "a30_theta",
     "q11_important_values", "sim14_mmr", "t31_pmi",
     "sim15_binary_topk", "sim16_recall", "sim17_matryoshka",
-    "dq3_key_skew", "s14_negatives")
+    "dq3_key_skew", "s14_negatives", "ds3_loo_influence")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -134,6 +134,23 @@ class SmoothingSpec extends SparkTestBase {
     assert(run(df.repartition(7)).toSeq === out.toSeq)
   }
 
+  test("leaveOneOutInfluence: hand-computed deltas; whole-corpus group excluded") {
+    // a: {10, 20} mean 15; b: {40} mean 40; all = 70/3
+    // a: rest mean = 40   → influence 15 − 40 = −25
+    // b: rest mean = 15   → influence 40 − 15 = +25
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 40.0)).toDF("src", "v")
+    val out = Analytics.leaveOneOutInfluence(df, "src", "v")
+      .orderBy("src")
+      .select("src", "n", "mean_group", "mean_rest", "influence")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out === Array(
+      ("a", 2L, 15.0, 40.0, -25.0), ("b", 1L, 40.0, 15.0, 25.0)))
+    // a single-group corpus has no "rest": nothing to compare against
+    val solo = Analytics.leaveOneOutInfluence(
+      Seq(("only", 1.0)).toDF("src", "v"), "src", "v").count()
+    assert(solo === 0L)
+  }
+
   test("rankSumTest: hand-computed U with midrank ties; AUC extremes") {
     // key k: A = {1, 3, 3}, B = {2, 3, 5}
     // sorted: 1(A) 2(B) 3 3 3(AAB ties, midrank 4) 5(B)
