@@ -1573,6 +1573,19 @@ object SparkEntry {
         groupA = "a", groupB = "b", measure = "value")
         .orderBy("event_type")),
 
+    // ---- evaluation: two-sample Kolmogorov–Smirnov statistic ----
+    // Max empirical-CDF gap between even- and odd-user events per
+    // event_type; cross-multiplied integer gaps, one double division.
+    "a39_ks" -> ((s, dir) =>
+      Analytics.ksTest(
+        t(s, dir, "events")
+          .where(col("user_id").isNotNull)
+          .withColumn("grp",
+            when(col("user_id") % 2 === 0, "a").otherwise("b")),
+        keyCols = Seq("event_type"), groupCol = "grp",
+        groupA = "a", groupB = "b", measure = "value")
+        .orderBy("event_type")),
+
     // ---- evaluation: deterministic Poisson-bootstrap mean CI ----
     // 40 replicates whose row weights are map-side md5-uniform Poisson(1)
     // quantiles — no RNG state, no resampled-data shuffle (B narrow rows
@@ -6059,6 +6072,35 @@ object SparkEntry {
         |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         |SELECT user_id, ts, event_id, x AS value, e AS ewma
         |FROM r ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // KS re-derived: the same per-value cumulative counts, gap
+    // cross-multiplied to stay integer, max per key
+    "a39_ks" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp, value
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |v AS (SELECT event_type, value AS v,
+        |    CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM e GROUP BY event_type, value),
+        |c AS (SELECT event_type, v, ca, cb,
+        |    SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+        |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+        |  FROM v),
+        |g AS (SELECT event_type,
+        |    CAST(MAX(na) AS BIGINT) AS n_a,
+        |    CAST(MAX(nb) AS BIGINT) AS n_b,
+        |    CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+        |  FROM c GROUP BY event_type)
+        |SELECT event_type, n_a, n_b, d_num,
+        |  CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) + 0.0 AS d
+        |FROM g WHERE n_a > 0 AND n_b > 0
+        |ORDER BY event_type""".stripMargin,
 
     // midrank rank sums re-derived from per-value cumulative counts —
     // every statistic exact integer; AUC one double division

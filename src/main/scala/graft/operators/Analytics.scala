@@ -1040,6 +1040,47 @@ object Analytics {
           col("n")): _*)
   }
 
+  /** Per-key two-sample Kolmogorov–Smirnov statistic — the maximum gap
+    * between the two groups' empirical CDFs: where [[rankSumTest]]
+    * detects a location shift, KS detects ANY distributional difference
+    * (spread, shape, modality). Exact integers throughout: the gap at
+    * value v is |cumA(v)·n_b − cumB(v)·n_a| (cross-multiplied to avoid
+    * fractions), `d_num` is its maximum, and `d` = d_num/(n_a·n_b) is
+    * the ONE double division. Same scale shape as the rank-sum test:
+    * cumulative windows over per-key DISTINCT values, never a global
+    * row window.
+    */
+  def ksTest(df: DataFrame, keyCols: Seq[String], groupCol: String,
+      groupA: String, groupB: String, measure: String): DataFrame = {
+    require(keyCols.nonEmpty, "ksTest needs at least one key column")
+    require(groupA != groupB, "the two groups must differ")
+    import org.apache.spark.sql.expressions.Window
+    val vals = df
+      .where(col(groupCol).isin(groupA, groupB) && col(measure).isNotNull)
+      .groupBy(keyCols.map(col) :+ col(measure).as("__v"): _*)
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val wCum = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val cum = vals
+      .withColumn("__cumA", sum(col("__ca")).over(wCum))
+      .withColumn("__cumB", sum(col("__cb")).over(wCum))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+    cum.groupBy(keyCols.map(col): _*)
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        max(abs(col("__cumA") * col("__nb") - col("__cumB") * col("__na")))
+          .as("d_num"))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("d",
+        col("d_num").cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType) + lit(0.0))
+  }
+
   /** Per-key Mann–Whitney rank-sum test between two groups — the
     * nonparametric "did treatment B shift the metric vs A" check that
     * needs no distributional assumption (the complement of

@@ -134,6 +134,27 @@ class SmoothingSpec extends SparkTestBase {
     assert(run(df.repartition(7)).toSeq === out.toSeq)
   }
 
+  test("ksTest: hand-computed max CDF gap; identical samples give D = 0") {
+    // A = {1, 2}, B = {2, 3}: CDFs at 1: (1/2, 0) gap cross-mult
+    // |1·2 − 0·2| = 2; at 2: (2/2, 1/2) → |2·2 − 1·2| = 2; at 3:
+    // (2/2, 2/2) → 0. d_num = 2, D = 2/4 = 0.5
+    val df = Seq(("k", "a", 1.0), ("k", "a", 2.0),
+      ("k", "b", 2.0), ("k", "b", 3.0)).toDF("key", "grp", "v")
+    val out = Analytics.ksTest(df, Seq("key"), "grp", "a", "b", "v")
+      .select("key", "n_a", "n_b", "d_num", "d")
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(out === (("k", 2L, 2L, 2L, 0.5)))
+    // identical samples: every gap zero
+    val same = Seq(("k", "a", 5.0), ("k", "b", 5.0)).toDF("key", "grp", "v")
+    assert(Analytics.ksTest(same, Seq("key"), "grp", "a", "b", "v")
+      .select("d").as[Double].head() === 0.0)
+    // disjoint supports: D = 1 (the CDFs separate completely)
+    val disj = Seq(("k", "a", 1.0), ("k", "a", 2.0),
+      ("k", "b", 9.0)).toDF("key", "grp", "v")
+    assert(Analytics.ksTest(disj, Seq("key"), "grp", "a", "b", "v")
+      .select("d").as[Double].head() === 1.0)
+  }
+
   test("leaveOneOutInfluence: hand-computed deltas; whole-corpus group excluded") {
     // a: {10, 20} mean 15; b: {40} mean 40; all = 70/3
     // a: rest mean = 40   → influence 15 − 40 = −25
