@@ -1608,6 +1608,16 @@ object SparkEntry {
         tieBreak = Seq("event_id"))
         .orderBy("user_id")),
 
+    // ---- time series: windowed TWAP (per-day step-function integral) ----
+    // Segments split exactly across day buckets (overlap-clipped
+    // decimal·µs products); fan-out guarded, one (key, bucket) shuffle.
+    "ts7_twap_windowed" -> ((s, dir) =>
+      Analytics.twapWindowed(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        windowMicros = 86400000000L, tieBreak = Seq("event_id"))
+        .orderBy("user_id", "bucket")),
+
     // ---- time series: OHLC bars (candlestick downsampling) ----
     // open/close via mergeable min_by/max_by on the total (ts, event_id)
     // order — one partial-agg shuffle, no window; all four picks are
@@ -6188,6 +6198,36 @@ object SparkEntry {
         |SELECT user_id, n_segments, span AS span_us,
         |  ROUND(CAST(wsum AS DOUBLE) / CAST(span AS DOUBLE), 6) + 0.0 AS twap
         |FROM g WHERE span > 0 ORDER BY user_id""".stripMargin,
+
+    // windowed TWAP re-derived: the same segments, lateral
+    // generate_series over the day buckets each spans, exact clipping
+    "ts7_twap_windowed" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    TRY_CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |d AS (SELECT user_id, v, us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        |  FROM e),
+        |s AS (SELECT user_id, v, us, nxt FROM d
+        |  WHERE nxt IS NOT NULL AND nxt > us),
+        |x AS (SELECT user_id, v, us, nxt,
+        |    unnest(range(us // 86400000000,
+        |      (nxt - 1) // 86400000000 + 1)) AS bucket
+        |  FROM s),
+        |o AS (SELECT user_id, bucket, v,
+        |    LEAST(nxt, (bucket + 1) * 86400000000)
+        |      - GREATEST(us, bucket * 86400000000) AS ov
+        |  FROM x),
+        |g AS (SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+        |    SUM(CAST(v * ov AS DECIMAL(38,2))) AS ii,
+        |    CAST(SUM(ov) AS BIGINT) AS covered_us,
+        |    COUNT(*) AS n_segments
+        |  FROM o GROUP BY user_id, bucket)
+        |SELECT user_id, bucket, n_segments, covered_us,
+        |  CAST(ii AS DOUBLE) / covered_us + 0.0 AS twap
+        |FROM g WHERE covered_us > 0
+        |ORDER BY user_id, bucket""".stripMargin,
 
     // OHLC: open/close re-derived with total-order row_numbers (the
     // engine uses min_by/max_by on the same order — identical picks)

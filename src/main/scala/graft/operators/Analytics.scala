@@ -1163,6 +1163,69 @@ object Analytics {
           col("__span").cast(DoubleType), 6) + lit(0.0)).as("twap")): _*)
   }
 
+  /** Windowed TWAP: [[twap]] broken into fixed time buckets — each
+    * observation's value holds until the key's NEXT observation, and a
+    * segment spanning several windows contributes its exact overlap to
+    * each (the step-function integral, clipped per window). Emits one
+    * row per (key, bucket) with covered time > 0: `twap` =
+    * integral/covered, `covered_us`, `n_segments`. The last observation
+    * closes the integral (contributes nothing), matching [[twap]].
+    *
+    * Scale shape: one lead() window per key, then each segment explodes
+    * into the windows it overlaps — fan-out = segment span / window
+    * width, guarded by `maxWindowsPerSegment` (a data-quality segment
+    * spanning years × small windows would otherwise detonate the
+    * explode; the guard raises rather than silently clipping coverage).
+    * One partial-agg shuffle on (key, bucket) after the map-side split.
+    *
+    * Exactness: decimal·µs overlap products summed exactly; the final
+    * quotient is raw IEEE (the a37 convention) — valid while
+    * value·window·scale stays below 2^53 (≈ values ≤ 10⁴ on day windows).
+    */
+  def twapWindowed(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, windowMicros: Long, tieBreak: Seq[String] = Nil,
+      maxWindowsPerSegment: Int = 1 << 16): DataFrame = {
+    require(keyCols.nonEmpty, "twapWindowed needs at least one key column")
+    require(windowMicros > 0, s"window must be positive, got $windowMicros")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.SparkShim
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol).asc +: tieBreak.map(col(_).asc)): _*)
+    val floorDiv = (c: Column) => SparkShim.toColumn(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        SparkShim.toExpression(c - pmod(c, lit(windowMicros))),
+        org.apache.spark.sql.catalyst.expressions.Literal(windowMicros)))
+    val stepped = df
+      .where(col(tsCol).isNotNull && dec.isNotNull)
+      .withColumn("__us", unix_micros(col(tsCol).cast(TimestampType)))
+      .withColumn("__next", lead(col("__us"), 1).over(w))
+      .where(col("__next").isNotNull && col("__next") > col("__us"))
+      .withColumn("__w0", floorDiv(col("__us")).cast(LongType))
+      .withColumn("__w1", floorDiv(col("__next") - 1).cast(LongType))
+    val guarded = stepped.withColumn("__w1",
+      when(col("__w1") - col("__w0") < lit(maxWindowsPerSegment.toLong),
+        col("__w1"))
+        .otherwise(raise_error(concat(
+          lit(s"twapWindowed: a segment spans > $maxWindowsPerSegment " +
+            "windows (segment start µs "), col("__us"), lit(")")))))
+    guarded
+      .withColumn("bucket", explode(sequence(col("__w0"), col("__w1"))))
+      .withColumn("__ov",
+        least(col("__next"), (col("bucket") + 1) * windowMicros) -
+          greatest(col("__us"), col("bucket") * windowMicros))
+      .groupBy(keyCols.map(col) :+ col("bucket"): _*)
+      .agg(
+        sum((dec * col("__ov")).cast(DecimalType(38, 2))).as("__int"),
+        sum(col("__ov")).as("covered_us"),
+        count(lit(1)).as("n_segments"))
+      .where(col("covered_us") > 0)
+      .select(keyCols.map(col) ++ Seq(col("bucket"), col("n_segments"),
+        col("covered_us"),
+        (col("__int").cast(DoubleType) / col("covered_us") + lit(0.0))
+          .as("twap")): _*)
+  }
+
   /** Per-key OHLC bars (candlestick downsampling): for each fixed
     * time bucket, the first (open), max (high), min (low), and last
     * (close) value plus the observation count — THE standard lossy

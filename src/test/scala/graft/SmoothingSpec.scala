@@ -232,6 +232,47 @@ class SmoothingSpec extends SparkTestBase {
     assert(run(df.repartition(13)).toSeq === out.toSeq)
   }
 
+  test("twapWindowed: exact cross-window segment splitting, hand-checked") {
+    // window = 10s. key a: v=10 from t=5 to t=25 (spans w0,w1,w2),
+    // then v=40 from t=25 to t=28 (w2 only).
+    // w0: 10 for 5s → 10; w1: 10 for 10s → 10;
+    // w2: 10 for 5s + 40 for 3s → (50+120)/8 = 21.25
+    val df = Seq(("a", 5L, 10.0), ("a", 25L, 40.0), ("a", 28L, 0.0))
+      .toDF("k", "sec", "v")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Analytics.twapWindowed(df, Seq("k"), "ts", "v",
+      windowMicros = 10000000L)
+      .orderBy("bucket")
+      .select("bucket", "n_segments", "covered_us", "twap")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out === Array(
+      (0L, 1L, 5000000L, 10.0),
+      (1L, 1L, 10000000L, 10.0),
+      (2L, 2L, 8000000L, 21.25)))
+    // windowed integrals recombine to the global TWAP
+    val global = Analytics.twap(df, Seq("k"), "ts", "v")
+      .select("twap").as[Double].head()
+    val recombined = out.map { case (_, _, c, t) => t * c }.sum /
+      out.map(_._3).sum
+    // ts5's global twap is round(·,6)-canonicalized; the windowed
+    // quotients are raw — agreement to the rounding grain
+    assert(math.abs(recombined - global) < 5e-6)
+  }
+
+  test("twapWindowed: the fan-out guard raises instead of clipping") {
+    val df = Seq(("a", 0L, 1.0), ("a", 1000L, 2.0), ("a", 1001L, 0.0))
+      .toDF("k", "sec", "v")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    // first segment spans 1000s / 1s windows = 1000 > 8 max
+    val e = intercept[Exception] {
+      Analytics.twapWindowed(df, Seq("k"), "ts", "v",
+        windowMicros = 1000000L, maxWindowsPerSegment = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("twapWindowed")))
+  }
+
   test("ohlcBars: open/high/low/close per bucket, hand-checked") {
     val df = Seq(
       // bucket 0 (0..59s): open 3 (earliest), high 9, low 1, close 1
