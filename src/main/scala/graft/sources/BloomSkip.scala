@@ -73,6 +73,31 @@ private[graft] object BloomSkip {
     }
   }
 
+  /** [[fileMayMatch]] over a file list, order-preserving, probed with a
+    * bounded thread pool: a point lookup on an UNCLUSTERED column is
+    * exactly the case where min/max keeps every file, so the probe set
+    * can be the whole snapshot — serial footer reads would make
+    * planning O(files) in wall-clock on a 100k-file table. 16 in-flight
+    * probes bound both the speedup and the driver file-handle pressure.
+    */
+  def filterFiles(conf: Configuration, table: String, files: Seq[String],
+      probes: Probes): Seq[String] = {
+    if (probes.isEmpty || files.isEmpty) return files
+    if (files.sizeIs <= 2)
+      return files.filter(n => fileMayMatch(conf, new Path(table, n), probes))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.size))
+    try {
+      val futs = files.map { n =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean =
+            fileMayMatch(conf, new Path(table, n), probes)
+        })
+      }
+      files.zip(futs).collect { case (n, f) if f.get() => n }
+    } finally pool.shutdown()
+  }
+
   /** May `file` satisfy every probe conjunct? Opens the reader ONCE and
     * probes all conjuncts against each row group's blooms.
     */

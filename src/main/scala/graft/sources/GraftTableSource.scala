@@ -885,8 +885,7 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
           if (probes.isEmpty) kept0
           else {
             val conf = spark.sparkContext.hadoopConfiguration
-            kept0.filter(n => BloomSkip.fileMayMatch(
-              conf, new Path(path, n), probes))
+            BloomSkip.filterFiles(conf, path, kept0, probes)
           }
         }
       // pushed LIMIT / ORDER-BY-LIMIT file pruning: only when nothing
