@@ -3285,6 +3285,27 @@ object SparkEntry {
       vt.read(s, tdir + "/dst").orderBy("doc_id")
     }),
 
+    // ---- governance: schema drift report (field-id keyed) ----
+    // A table evolves (add + rename + drop + retype-by-replace is not
+    // allowed, so drop/add); the drift between v1 and latest classifies
+    // every change EXACTLY from the field ids — no name heuristics. The
+    // oracle is the literal expected report.
+    "dq4_schema_drift" -> ((s, dir) => {
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_dq4").toString + "/t"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, tdir, StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("legacy_score", DoubleType))))
+      val v1 = vt.latest(s, tdir)._1
+      vt.addColumns(s, tdir, Seq(StructField("quality", DoubleType)))
+      vt.renameColumn(s, tdir, "lang", "language")
+      vt.dropColumn(s, tdir, "legacy_score")
+      vt.schemaDiff(s, tdir, v1, vt.latest(s, tdir)._1)
+        .orderBy("change", "column")
+    }),
+
     // ---- governance: corpus snapshot diff report via CDF ----
     // Two corpus revisions (odds added, the %10 docs dropped) diffed
     // WITHOUT rescanning either snapshot: the change feed between the
@@ -5228,6 +5249,15 @@ object SparkEntry {
         |WHERE md5(text) IN (
         |  SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 97 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // the literal expected drift report
+    "dq4_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('added', 'quality', 'double'),
+        |  ('removed', 'legacy_score', 'double'),
+        |  ('renamed', 'language', 'was lang'))
+        |  AS t(change, "column", detail)
+        |ORDER BY change, "column"""".stripMargin,
 
     // the CDF between the revisions = inserts(odds) + deletes(evens %10)
     // re-derived arithmetically; tokens = the t1 whitespace formula

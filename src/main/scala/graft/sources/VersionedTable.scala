@@ -3876,6 +3876,51 @@ object VersionedTable {
     collectBitmaps(spark, deadParts.reduce(_ unionByName _), table, maxBytes)
   }
 
+  /** Field-id-keyed schema drift between two versions — the "what
+    * changed in this table's shape" report for consumers pinned to an
+    * old reader schema. Because every declared column carries a parquet
+    * field id from birth, drift classifies EXACTLY (no name-matching
+    * heuristics): same id + new name = `renamed`, same id + new type =
+    * `retyped` (both when applicable), id only in `toVersion` = `added`,
+    * id only in `fromVersion` = `removed`. Manifest-only — no data file
+    * is touched. Versions without a declared schema yield an error
+    * (pre-schema tables infer from files; their drift is undefined).
+    */
+  def schemaDiff(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val f = fs(spark, table)
+    def schemaAt(v: Long): org.apache.spark.sql.types.StructType = {
+      require(f.exists(commitPath(table, v)),
+        s"schemaDiff: $table has no committed version $v")
+      schemaLine(readManifestRaw(f, table, v)).getOrElse(
+        throw new IllegalArgumentException(
+          s"schemaDiff: $table@v$v has no declared schema"))
+    }
+    val from = schemaAt(fromVersion).fields.flatMap(fl =>
+      fieldId(fl).map(_ -> fl)).toMap
+    val to = schemaAt(toVersion).fields.flatMap(fl =>
+      fieldId(fl).map(_ -> fl)).toMap
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    (from.keySet ++ to.keySet).toSeq.sorted.foreach { id =>
+      (from.get(id), to.get(id)) match {
+        case (Some(a), None) =>
+          rows += (("removed", a.name, a.dataType.simpleString))
+        case (None, Some(b)) =>
+          rows += (("added", b.name, b.dataType.simpleString))
+        case (Some(a), Some(b)) =>
+          if (a.name != b.name)
+            rows += (("renamed", b.name, s"was ${a.name}"))
+          if (a.dataType != b.dataType)
+            rows += (("retyped", b.name,
+              s"${a.dataType.simpleString} -> ${b.dataType.simpleString}"))
+        case _ =>
+      }
+    }
+    import spark.implicits._
+    rows.toSeq.sortBy(r => (r._1, r._2))
+      .toDF("change", "column", "detail")
+  }
+
   /** Deep CLONE: materialize `source`@`version` (default: latest) as a
     * NEW independent table at `target` — data files, delete layer,
     * schema (field ids included), stats, and properties are carried
