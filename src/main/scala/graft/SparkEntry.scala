@@ -1098,6 +1098,15 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // ---- similarity: embedding mean-drift monitor ----
+    // Per-dimension cohort means (even vs odd labels) and gaps — the
+    // distribution-shift report after a remix/model refresh. Exact
+    // quantized-decimal sums; every double ONE division/subtraction.
+    "sim18_mean_drift" -> ((s, dir) =>
+      Pca.meanDrift(t(s, dir, "embeddings"), "embedding", dim = 64,
+        cohortA = col("label") % 2 === 0)
+        .orderBy("d")),
+
     // ---- similarity: Matryoshka truncated-prefix retrieval ----
     // Rank by cosine on the first 16 of 64 dimensions (4× less data
     // read), exact full-dim re-rank of the top 50. Deterministic, so
@@ -5804,6 +5813,28 @@ object SparkEntry {
     // exact quantized covariance re-derived from the same decimal
     // moments: round(e,6)->DECIMAL(18,6), exact decimal products and
     // sums, one float closed form per entry, round 6
+    // per-dim cohort means re-derived from the same round-6 quantized
+    // decimals (the sim12 discipline, mean terms only)
+    "sim18_mean_drift" ->
+      """WITH b AS (SELECT label % 2 = 0 AS a,
+        |    list_transform(embedding,
+        |      e -> CAST(round(e, 6) AS DECIMAL(18,6))) AS x,
+        |    unnest(range(0, 64)) AS d
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |g AS (SELECT CAST(d AS INT) AS d,
+        |    SUM(CASE WHEN a THEN x[CAST(d + 1 AS INT)] END) AS sa,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    SUM(CASE WHEN NOT a THEN x[CAST(d + 1 AS INT)] END) AS sb,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM b GROUP BY d)
+        |SELECT d, n_a, n_b,
+        |  CAST(sa AS DOUBLE) / n_a + 0.0 AS mean_a,
+        |  CAST(sb AS DOUBLE) / n_b + 0.0 AS mean_b,
+        |  ((CAST(sa AS DOUBLE) / n_a + 0.0)
+        |    - (CAST(sb AS DOUBLE) / n_b + 0.0)) + 0.0 AS gap
+        |FROM g WHERE n_a > 0 AND n_b > 0 ORDER BY d""".stripMargin,
+
     "sim12_embedding_cov" ->
       """WITH q AS (
         |  SELECT list_transform(embedding, e -> CAST(round(e, 6) AS DECIMAL(18,6))) AS x

@@ -166,6 +166,42 @@ object Pca {
     df.select(col("*") +: cols: _*)
   }
 
+  /** Per-dimension embedding mean drift between two cohorts — the
+    * distribution-shift monitor for an embedding space: after a model
+    * refresh / corpus remix, which dimensions moved and by how much.
+    * One row per dimension with each cohort's mean and the gap. The
+    * report is per-dim ON PURPOSE: a single aggregate norm would chain
+    * 64 float additions whose ORDER both engines must match; per-dim
+    * values are each ONE division (or one subtraction of two) of exact
+    * quantized-decimal sums — the covariance discipline
+    * ([[momentSumsDf]]) without the pairwise terms.
+    *
+    * Scale: posexplode to (dim, value) → one partial-agg shuffle of at
+    * most dim × partitions narrow rows; nothing corpus-sized moves.
+    */
+  def meanDrift(df: DataFrame, vecCol: String, dim: Int,
+      cohortA: Column, scale: Int = 6): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val quant = transform(col(vecCol),
+      e => round(e, scale).cast(DecimalType(18, scale)))
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(cohortA.as("__a"), posexplode(quant).as(Seq("d", "__x")))
+      .groupBy(col("d"))
+      .agg(
+        sum(when(col("__a"), col("__x"))).as("__sa"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), col("__x"))).as("__sb"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("mean_a",
+        col("__sa").cast(DoubleType) / col("n_a") + lit(0.0))
+      .withColumn("mean_b",
+        col("__sb").cast(DoubleType) / col("n_b") + lit(0.0))
+      .select(col("d"), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"),
+        (col("mean_a") - col("mean_b") + lit(0.0)).as("gap"))
+  }
+
   /** Deterministic cyclic Jacobi eigensolver for a symmetric matrix:
     * fixed sweep order (row-major upper triangle), fixed rotation
     * formulas, fixed convergence threshold — same input, same output,

@@ -116,4 +116,32 @@ class PcaSpec extends SparkTestBase {
     assert(model2.eigenvalues.toSeq === model.eigenvalues.toSeq)
     assert(model2.basis.map(_.toSeq).toSeq === model.basis.map(_.toSeq).toSeq)
   }
+
+  test("meanDrift: hand-computed per-dim cohort gaps; contracts") {
+    // cohort A: (1, 10), (3, 30) → means (2, 20); B: (5, 100) → (5, 100)
+    val df = Seq(
+      (0, Array(1.0f, 10.0f)), (0, Array(3.0f, 30.0f)),
+      (1, Array(5.0f, 100.0f)),
+      (0, Array(9.0f)), // wrong dim: excluded
+      (1, null.asInstanceOf[Array[Float]]) // null vec: excluded
+    ).toDF("label", "v")
+    val out = Pca.meanDrift(df, "v", dim = 2, cohortA = col("label") === 0)
+      .orderBy("d")
+      .select("d", "n_a", "n_b", "mean_a", "mean_b", "gap")
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+    assert(out === Array(
+      (0, 2L, 1L, 2.0, 5.0, -3.0),
+      (1, 2L, 1L, 20.0, 100.0, -80.0)))
+    // a dimension disappears if either cohort is empty
+    val oneSided = Pca.meanDrift(
+      Seq((0, Array(1.0f))).toDF("label", "v"), "v", 1,
+      col("label") === 0).count()
+    assert(oneSided === 0L)
+    // layout-independence
+    val again = Pca.meanDrift(df.repartition(5), "v", 2,
+      col("label") === 0).orderBy("d")
+      .select("d", "n_a", "n_b", "mean_a", "mean_b", "gap")
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+    assert(again.toSeq === out.toSeq)
+  }
 }
