@@ -39,12 +39,19 @@ object StreamIntervalJoin {
     *                    contract above
     * @param select     output columns (built against the joined frame);
     *                    empty = all columns from both sides
+    * @param joinType   "inner" (default) or "left_outer" — left-outer
+    *                    emits an unmatched point ONCE, null-padded, when
+    *                    the watermark proves no in-bound interval can
+    *                    still arrive (Spark's outer stream-stream
+    *                    semantics under the same state bound)
     */
   def pointInInterval(
       points: DataFrame, pKey: String, pTime: String,
       intervals: DataFrame, iKey: String, iStart: String, iEnd: String,
       watermark: String, maxDuration: String,
-      select: Seq[Column] = Nil): DataFrame = {
+      select: Seq[Column] = Nil, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner or left_outer, got '$joinType'")
     val p = points.withWatermark(pTime, watermark).alias("p")
     val i = intervals.withWatermark(iStart, watermark).alias("i")
     val joined = p.join(i,
@@ -52,7 +59,8 @@ object StreamIntervalJoin {
         col(s"p.$pTime") >= col(s"i.$iStart") &&
         col(s"p.$pTime") <=
           col(s"i.$iStart") + expr(s"INTERVAL $maxDuration") &&
-        col(s"p.$pTime") <= col(s"i.$iEnd"))
+        col(s"p.$pTime") <= col(s"i.$iEnd"),
+      joinType)
     if (select.isEmpty) joined else joined.select(select: _*)
   }
 }

@@ -107,6 +107,47 @@ class StreamIntervalJoinSpec extends SparkTestBase {
     assert(got.contains((2L, "c", 3.0)))
   }
 
+  test("left_outer: unmatched points emit null-padded exactly once") {
+    val pDir = Files.createTempDirectory("ss_ivl_lo_p")
+    val iDir = Files.createTempDirectory("ss_ivl_lo_i")
+    Files.writeString(pDir.resolve("p1.csv"),
+      """key,ts,payload
+        |1,2024-05-01 00:10:00,matched
+        |2,2024-05-01 00:10:00,orphan
+        |""".stripMargin)
+    Files.writeString(iDir.resolve("i1.csv"),
+      """zone,start,end,price
+        |1,2024-05-01 00:00:00,2024-05-01 00:30:00,7.5
+        |""".stripMargin)
+    val q = StreamIntervalJoin.pointInInterval(
+      spark.readStream.option("header", "true").schema(pSchema)
+        .csv(pDir.toString), "key", "ts",
+      spark.readStream.option("header", "true").schema(iSchema)
+        .csv(iDir.toString), "zone", "start", "end",
+      watermark = "10 minutes", maxDuration = "1 hour",
+      select = Seq(col("p.payload"), col("i.price")),
+      joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_ivl_lo").start()
+    q.processAllAvailable()
+    // advance the watermark so the orphan's no-match is provable
+    Files.writeString(pDir.resolve("p2.csv"),
+      """key,ts,payload
+        |9,2024-05-01 06:00:00,tick
+        |""".stripMargin)
+    Files.writeString(iDir.resolve("i2.csv"),
+      """zone,start,end,price
+        |9,2024-05-01 06:00:00,2024-05-01 06:01:00,0.0
+        |""".stripMargin)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_ivl_lo")
+      .where(col("payload") =!= "tick")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(got === Set(("matched", Some(7.5)), ("orphan", None)))
+  }
+
   test("maxDuration is a contract: matches past the bound are not emitted") {
     val pDir = Files.createTempDirectory("ss_ivl_p2")
     val iDir = Files.createTempDirectory("ss_ivl_i2")
