@@ -1606,6 +1606,56 @@ object SparkEntry {
         measure = "value", replicates = 40, kLo = 1, kHi = 39)
         .orderBy("user_id")),
 
+    // ---- evaluation: one-pass pairwise correlation matrix ----
+    // ONE moment aggregate (exact decimal sums) feeds every pair; the
+    // table is scanned once however many columns correlate.
+    "a40_corr_matrix" -> ((s, dir) =>
+      Analytics.corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("col_x"), col("col_y"), col("n"),
+          r6z(col("corr")).as("corr"))
+        .orderBy("col_x", "col_y")),
+
+    // ---- evaluation: Spearman rank correlation, exact midranks ----
+    // Doubled midranks are exact integers (2·avg position of a tie
+    // group); ranks come from the two-phase global row numbering and
+    // the statistic is Pearson over exact-decimal rank moments.
+    "a41_spearman" -> ((s, dir) =>
+      Analytics.spearman(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice")
+        .select(col("n"), r6z(col("rho")).as("rho"))),
+
+    // ---- evaluation: Welch's unequal-variance t-test ----
+    // Even- vs odd-user events, exact power sums per arm in one
+    // conditional-aggregate pass; t and Welch–Satterthwaite df are a
+    // fixed double tree.
+    "a42_welch" -> ((s, dir) =>
+      Analytics.welchTTest(
+        t(s, dir, "events")
+          .where(col("user_id").isNotNull) // a null id belongs to no arm
+          .withColumn("grp",
+            when(col("user_id") % 2 === 0, "a").otherwise("b")),
+        groupCol = "grp", measure = "value", groupA = "a", groupB = "b")
+        .select(col("n_a"), col("n_b"),
+          r6z(col("mean_a")).as("mean_a"), r6z(col("mean_b")).as("mean_b"),
+          r6z(col("var_a")).as("var_a"), r6z(col("var_b")).as("var_b"),
+          r6z(col("t_stat")).as("t_stat"), r6z(col("df")).as("df"))),
+
+    // ---- evaluation: chi-square independence cells ----
+    // event_type × hour contingency table with exact-integer expected/
+    // contribution numerators — each double is one correctly-rounded
+    // division, so the per-cell table is hash-oracle-able (the scalar
+    // Σ is pinned separately by a sorted fold, spec-verified).
+    "a43_chi2_cells" -> ((s, dir) =>
+      Analytics.chi2Cells(
+        t(s, dir, "events").where(col("ts").isNotNull)
+          .withColumn("hr", hour(col("ts"))),
+        "event_type", "hr")
+        .select(col("event_type"), col("hr"), col("observed"),
+          r6z(col("expected")).as("expected"),
+          r6z(col("contrib")).as("contrib"))
+        .orderBy("event_type", "hr")),
+
     // ---- time series: time-weighted average (TWAP) ----
     // Step-function semantics: each value holds until the next
     // observation; the weighted sum is ONE exact decimal aggregate and
@@ -6240,6 +6290,124 @@ object SparkEntry {
         |  FROM v GROUP BY user_id)
         |SELECT p.user_id, p.n, p.mean, ci.ci_lo, ci.ci_hi, ci.b_used
         |FROM p JOIN ci USING (user_id) ORDER BY user_id""".stripMargin,
+
+    // one-pass correlation matrix: the a16 exact-moment discipline over
+    // every pair from ONE set of decimal sums
+    "a40_corr_matrix" ->
+      """WITH p AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x0,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS x1,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS x2 FROM lineitem
+        |  WHERE CAST(l_quantity AS DECIMAL(18,2)) IS NOT NULL
+        |    AND CAST(l_extendedprice AS DECIMAL(18,2)) IS NOT NULL
+        |    AND CAST(l_discount AS DECIMAL(18,2)) IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x0) AS DOUBLE) AS s0, CAST(sum(x1) AS DOUBLE) AS s1,
+        |    CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x0*x0) AS DOUBLE) AS p00,
+        |    CAST(sum(x0*x1) AS DOUBLE) AS p01,
+        |    CAST(sum(x0*x2) AS DOUBLE) AS p02,
+        |    CAST(sum(x1*x1) AS DOUBLE) AS p11,
+        |    CAST(sum(x1*x2) AS DOUBLE) AS p12,
+        |    CAST(sum(x2*x2) AS DOUBLE) AS p22 FROM p)
+        |SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+        |  round(corr, 6) + 0.0 AS corr FROM (
+        |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+        |    (p01 - s0*s1/n) / (sqrt(p00 - s0*s0/n)*sqrt(p11 - s1*s1/n))
+        |      AS corr FROM a
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', n,
+        |    (p02 - s0*s2/n) / (sqrt(p00 - s0*s0/n)*sqrt(p22 - s2*s2/n))
+        |    FROM a
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', n,
+        |    (p12 - s1*s2/n) / (sqrt(p11 - s1*s1/n)*sqrt(p22 - s2*s2/n))
+        |    FROM a)
+        |ORDER BY col_x, col_y""".stripMargin,
+
+    // Spearman: doubled midranks are exact integers ((2·Σpos)//cnt per
+    // distinct value — Σpos over a tie group is invariant to how the
+    // row_number falls inside it), then Pearson over exact rank moments
+    "a41_spearman" ->
+      """WITH p AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem
+        |  WHERE CAST(l_quantity AS DECIMAL(18,2)) IS NOT NULL
+        |    AND CAST(l_extendedprice AS DECIMAL(18,2)) IS NOT NULL),
+        |rx AS (SELECT v, (2*sum(rn)) // count(*) AS ra FROM
+        |  (SELECT x AS v, row_number() OVER (ORDER BY x) AS rn FROM p)
+        |  GROUP BY v),
+        |ry AS (SELECT v, (2*sum(rn)) // count(*) AS rb FROM
+        |  (SELECT y AS v, row_number() OVER (ORDER BY y) AS rn FROM p)
+        |  GROUP BY v),
+        |j AS (SELECT CAST(ra AS DECIMAL(18,0)) AS ra,
+        |    CAST(rb AS DECIMAL(18,0)) AS rb
+        |  FROM p JOIN rx ON p.x = rx.v JOIN ry ON p.y = ry.v),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(ra) AS DOUBLE) AS sx, CAST(sum(rb) AS DOUBLE) AS sy,
+        |    CAST(sum(ra*ra) AS DOUBLE) AS sxx,
+        |    CAST(sum(rb*rb) AS DOUBLE) AS syy,
+        |    CAST(sum(ra*rb) AS DOUBLE) AS sxy FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((sxy - sx*sy/n) /
+        |    (sqrt(sxx - sx*sx/n)*sqrt(syy - sy*sy/n)), 6) + 0.0 AS rho
+        |FROM a""".stripMargin,
+
+    // Welch: exact power sums per arm via FILTER, then the identical
+    // fixed double tree for t and the Welch–Satterthwaite df
+    "a42_welch" ->
+      """WITH s AS (SELECT
+        |    CAST(count(*) FILTER (WHERE user_id % 2 = 0
+        |      AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL)
+        |      AS DOUBLE) AS na,
+        |    CAST(count(*) FILTER (WHERE user_id % 2 <> 0
+        |      AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL)
+        |      AS DOUBLE) AS nb,
+        |    CAST(sum(TRY_CAST(value AS DECIMAL(18,2)))
+        |      FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS sa,
+        |    CAST(sum(TRY_CAST(value AS DECIMAL(18,2)))
+        |      FILTER (WHERE user_id % 2 <> 0) AS DOUBLE) AS sb,
+        |    CAST(sum(CAST(TRY_CAST(value AS DECIMAL(18,2)) *
+        |        TRY_CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS qa,
+        |    CAST(sum(CAST(TRY_CAST(value AS DECIMAL(18,2)) *
+        |        TRY_CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      FILTER (WHERE user_id % 2 <> 0) AS DOUBLE) AS qb
+        |  FROM events WHERE user_id IS NOT NULL),
+        |m AS (SELECT na, nb, sa/na AS ma, sb/nb AS mb,
+        |    (qa - sa*sa/na)/(na - 1) AS va,
+        |    (qb - sb*sb/nb)/(nb - 1) AS vb FROM s),
+        |v AS (SELECT na, nb, ma, mb, va, vb,
+        |    va/na AS s2a, vb/nb AS s2b FROM m)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(ma, 6) + 0.0 AS mean_a, round(mb, 6) + 0.0 AS mean_b,
+        |  round(va, 6) + 0.0 AS var_a, round(vb, 6) + 0.0 AS var_b,
+        |  round((ma - mb)/sqrt(s2a + s2b), 6) + 0.0 AS t_stat,
+        |  round((s2a + s2b)*(s2a + s2b) /
+        |    (s2a*s2a/(na - 1) + s2b*s2b/(nb - 1)), 6) + 0.0 AS df
+        |FROM v""".stripMargin,
+
+    // chi-square cells: every expected/contribution is ONE correctly-
+    // rounded division of exact integers — deterministic per cell
+    "a43_chi2_cells" ->
+      """WITH c AS (SELECT event_type AS a,
+        |    CAST(EXTRACT(HOUR FROM ts) AS INT) AS b, count(*) AS observed
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT a, CAST(sum(observed) AS DECIMAL(12,0)) AS rt
+        |  FROM c GROUP BY a),
+        |k AS (SELECT b, CAST(sum(observed) AS DECIMAL(12,0)) AS ct
+        |  FROM c GROUP BY b),
+        |n AS (SELECT CAST(sum(observed) AS DECIMAL(12,0)) AS nn FROM c),
+        |d AS (SELECT c.a, c.b, c.observed, r.rt, k.ct, n.nn,
+        |    CAST(CAST(c.observed AS DECIMAL(12,0)) * n.nn - r.rt * k.ct
+        |      AS DECIMAL(19,0)) AS dev
+        |  FROM c JOIN r USING (a) JOIN k USING (b) CROSS JOIN n)
+        |SELECT a AS event_type, b AS hr, CAST(observed AS BIGINT)
+        |    AS observed,
+        |  round(CAST(rt * ct AS DOUBLE) / CAST(nn AS DOUBLE), 6) + 0.0
+        |    AS expected,
+        |  round(CAST(dev * dev AS DOUBLE) / CAST(rt * ct * nn AS DOUBLE),
+        |    6) + 0.0 AS contrib
+        |FROM d ORDER BY event_type, hr""".stripMargin,
 
     // TWAP: step-function weights as exact decimal·µs products, one
     // final canonicalized double division

@@ -1344,4 +1344,185 @@ object Analytics {
       .select((keyCols ++ attrCols).map(col) :+ col("effective_from") :+
         col("effective_to") :+ col("is_current"): _*)
   }
+
+  /** One-pass pairwise Pearson correlation matrix over `cols`: ONE
+    * aggregate computes every moment (n, Σxᵢ, Σxᵢxⱼ for i ≤ j — all
+    * exact decimals, the [[exactStats]] discipline), then the single
+    * moment row explodes into the k·(k−1)/2 pair rows. At 100 TB this is
+    * one map-side-combined scan whatever k is — k scans (or k²/2 corr()
+    * calls) would re-read the table per pair, and the built-in streaming
+    * co-moment agg is merge-order dependent in the last ulp anyway.
+    *
+    * Rows with a null in ANY of `cols` are excluded (listwise-complete:
+    * every pair sees the same n, which is what makes one moment pass
+    * valid for the whole matrix — pairwise-complete would need per-pair
+    * null masks and per-pair n).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+      scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    // completeness is judged on the CAST value (an unrepresentable
+    // measure casts to null under non-ANSI semantics and must leave the
+    // row out of every moment, or n and the sums would disagree)
+    val complete = df.where(cols
+      .map(col(_).cast(DecimalType(18, scale)).isNotNull).reduce(_ && _))
+    val dec = cols.map(c => col(c).cast(DecimalType(18, scale)))
+    val k = cols.size
+    val moments: Seq[Column] =
+      count(lit(1)).cast(DoubleType).as("__n") +:
+      (cols.indices.map(i => sum(dec(i)).cast(DoubleType).as(s"__s$i")) ++
+        (for { i <- cols.indices; j <- i until k } yield
+          sum((dec(i) * dec(j)).cast(DecimalType(38, 2 * scale)))
+            .cast(DoubleType).as(s"__p${i}_$j")))
+    val agg = complete.agg(moments.head, moments.tail: _*)
+    val n = col("__n")
+    def cen(i: Int, j: Int) =
+      col(s"__p${i}_$j") - col(s"__s$i") * col(s"__s$j") / n
+    val pairs = for { i <- cols.indices; j <- (i + 1) until k } yield
+      struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+        (cen(i, j) / (sqrt(cen(i, i)) * sqrt(cen(j, j)))).as("corr"))
+    agg.select(n.cast(LongType).as("__nl"),
+        explode(array(pairs: _*)).as("__p"))
+      .select(col("__p.col_x").as("col_x"), col("__p.col_y").as("col_y"),
+        col("__nl").as("n"), col("__p.corr").as("corr"))
+  }
+
+  /** Spearman rank correlation, exactly. The average rank of a tied
+    * group is (first + last)/2, so TWICE the average rank is an exact
+    * integer: per distinct value, 2·avg(position) = 2·Σpos/cnt, and the
+    * positions come from [[globalRowNumber]] (value-ordered; the
+    * assignment WITHIN a tie group is arbitrary but Σpos over the group
+    * is invariant, so the doubled midrank is deterministic). Rows then
+    * join back to their two integer ranks and the statistic is Pearson
+    * over exact-decimal rank moments — float enters only in the final
+    * fixed expression tree (ρ is invariant under the ×2 rank scaling).
+    *
+    * Scale shape: two rank maps (distinct-value-sized, built with the
+    * two-phase range-partitioned row numbering — no single-task window),
+    * two equi-joins, one moment aggregate. Nothing driver-side.
+    */
+  def spearman(df: DataFrame, x: String, y: String,
+      scale: Int = 2): DataFrame = {
+    val complete = df
+      .select(col(x).cast(DecimalType(18, scale)).as("__x"),
+        col(y).cast(DecimalType(18, scale)).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    def rankMap(c: String, out: String): DataFrame =
+      globalRowNumber(complete.select(col(c).as("__v")), Seq("__v"), "__rn")
+        .groupBy("__v")
+        // exact: 2·Σpos is always divisible by cnt (pos are consecutive);
+        // the sum accumulates as decimal so Σpos cannot overflow a long
+        // at any corpus size, and `div` of the exactly-divisible decimal
+        // is the true quotient
+        .agg(expr("(2 * sum(cast(__rn as decimal(38,0)))) div count(1)")
+          .as(out))
+    val rx = rankMap("__x", "__ra")
+    val ry = rankMap("__y", "__rb")
+    val ranked = complete
+      .join(rx, complete("__x") === rx("__v")).drop("__v")
+      .join(ry, complete("__y") === ry("__v")).drop("__v")
+    val ra = col("__ra").cast(DecimalType(18, 0))
+    val rb = col("__rb").cast(DecimalType(18, 0))
+    val sums = ranked.agg(
+      count(lit(1)).cast(DoubleType).as("__n"),
+      sum(ra).cast(DoubleType).as("__sx"),
+      sum(rb).cast(DoubleType).as("__sy"),
+      sum((ra * ra).cast(DecimalType(38, 0))).cast(DoubleType).as("__sxx"),
+      sum((rb * rb).cast(DecimalType(38, 0))).cast(DoubleType).as("__syy"),
+      sum((ra * rb).cast(DecimalType(38, 0))).cast(DoubleType).as("__sxy"))
+    val n = col("__n")
+    sums.select(
+      n.cast(LongType).as("n"),
+      ((col("__sxy") - col("__sx") * col("__sy") / n) /
+        (sqrt(col("__sxx") - col("__sx") * col("__sx") / n) *
+          sqrt(col("__syy") - col("__sy") * col("__sy") / n))).as("rho"))
+  }
+
+  /** Welch's unequal-variance t-test between two arms, from exact
+    * decimal power sums gathered in ONE conditional-aggregate pass
+    * (sum FILTER per arm — no self-join, no two scans). Mean and
+    * sample variance per arm come out of the exact sums; the t
+    * statistic and the Welch–Satterthwaite degrees of freedom are a
+    * fixed double expression tree on top, bit-identical across engines.
+    */
+  def welchTTest(df: DataFrame, groupCol: String, measure: String,
+      groupA: String, groupB: String, scale: Int = 2): DataFrame = {
+    val xd = col(measure).cast(DecimalType(18, scale))
+    // membership requires a representable measure (cast-not-null), so
+    // the arm counts and the arm sums always see the same rows
+    val inA = col(groupCol) === groupA && xd.isNotNull
+    val inB = col(groupCol) === groupB && xd.isNotNull
+    val sums = df.agg(
+      sum(when(inA, 1L).otherwise(0L)).cast(DoubleType).as("__na"),
+      sum(when(inB, 1L).otherwise(0L)).cast(DoubleType).as("__nb"),
+      sum(when(inA, xd)).cast(DoubleType).as("__sa"),
+      sum(when(inB, xd)).cast(DoubleType).as("__sb"),
+      sum(when(inA, (xd * xd).cast(DecimalType(38, 2 * scale))))
+        .cast(DoubleType).as("__qa"),
+      sum(when(inB, (xd * xd).cast(DecimalType(38, 2 * scale))))
+        .cast(DoubleType).as("__qb"))
+    val na = col("__na"); val nb = col("__nb")
+    val ma = col("__sa") / na; val mb = col("__sb") / nb
+    val va = (col("__qa") - col("__sa") * col("__sa") / na) / (na - 1)
+    val vb = (col("__qb") - col("__sb") * col("__sb") / nb) / (nb - 1)
+    val sa2 = va / na; val sb2 = vb / nb
+    val t = (ma - mb) / sqrt(sa2 + sb2)
+    val dfW = (sa2 + sb2) * (sa2 + sb2) /
+      (sa2 * sa2 / (na - 1) + sb2 * sb2 / (nb - 1))
+    sums.select(
+      na.cast(LongType).as("n_a"), nb.cast(LongType).as("n_b"),
+      ma.as("mean_a"), mb.as("mean_b"),
+      va.as("var_a"), vb.as("var_b"),
+      t.as("t_stat"), dfW.as("df"))
+  }
+
+  /** Chi-square independence: the per-cell contingency table between two
+    * categorical columns with observed count, expected count, and the
+    * cell's χ² contribution. All counts and the contribution's
+    * numerator/denominator are exact integers — expected = rowTot·colTot
+    * / N and contribution = (o·N − rowTot·colTot)² / (rowTot·colTot·N) —
+    * so each double is ONE correctly-rounded division of exact decimals,
+    * deterministic across engines. (The scalar Σ statistic is a
+    * partition-order-dependent double sum; [[chi2Statistic]] pins it
+    * with a sorted fold for in-engine use — the oracle-able artifact is
+    * this exact per-cell table.)
+    *
+    * Shape: one groupBy(a,b) count, two marginal re-aggs of THAT result
+    * (cells, not rows), broadcast-joined back — the source is scanned
+    * once however large it is.
+    */
+  def chi2Cells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val complete = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+    val cells = complete.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy(col(aCol))
+      .agg(sum(col("observed")).as("__rt"))
+    val colTot = cells.groupBy(col(bCol))
+      .agg(sum(col("observed")).as("__ct"))
+    val nTot = cells.agg(sum(col("observed")).as("__N"))
+    val o = col("observed").cast(DecimalType(38, 0))
+    val rt = col("__rt").cast(DecimalType(38, 0))
+    val ct = col("__ct").cast(DecimalType(38, 0))
+    val nn = col("__N").cast(DecimalType(38, 0))
+    val dev = (o * nn - rt * ct).cast(DecimalType(38, 0))
+    cells
+      .join(broadcast(rowTot), aCol).join(broadcast(colTot), bCol)
+      .crossJoin(broadcast(nTot))
+      .select(col(aCol), col(bCol), col("observed"),
+        ((rt * ct).cast(DoubleType) / nn.cast(DoubleType)).as("expected"),
+        ((dev * dev).cast(DoubleType) /
+          (rt * ct * nn).cast(DoubleType)).as("contrib"))
+  }
+
+  /** The scalar χ² statistic from [[chi2Cells]], summed in a PINNED
+    * order (sorted array fold) so the double total is deterministic —
+    * cells are few (|A|·|B|), so the fold is one tiny post-agg step. */
+  def chi2Statistic(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chi2Cells(df, aCol, bCol)
+      .agg(sort_array(collect_list(struct(col(aCol), col(bCol),
+        col("contrib")))).as("__cells"),
+        count(lit(1)).as("n_cells"))
+      .select(col("n_cells"),
+        aggregate(col("__cells"), lit(0.0),
+          (acc, c) => acc + c.getField("contrib")).as("chi2"))
 }

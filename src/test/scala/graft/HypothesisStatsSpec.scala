@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+
+/** Correlation matrix, Spearman, Welch t-test, chi-square independence
+  * (a40–a43 family). */
+class HypothesisStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- corrMatrix ----
+
+  test("corrMatrix: perfectly linear pair has corr 1, anti-linear -1") {
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (4.0, 8.0, -4.0)).toDF("x", "y", "z")
+    val out = Analytics.corrMatrix(df, Seq("x", "y", "z"))
+      .orderBy("col_x", "col_y")
+      .select("col_x", "col_y", "n", "corr")
+      .as[(String, String, Long, Double)].collect()
+    assert(out.length === 3)
+    assert(out.forall(_._3 == 4L))
+    val m = out.map(r => (r._1, r._2) -> r._4).toMap
+    assert(math.abs(m(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(m(("x", "z")) + 1.0) < 1e-12)
+    assert(math.abs(m(("y", "z")) + 1.0) < 1e-12)
+  }
+
+  test("corrMatrix: every pair agrees with exactStats' pairwise corr") {
+    val df = Seq((1.0, 5.0, 9.0), (2.0, 3.0, 1.0), (3.0, 8.0, 4.0),
+      (4.0, 1.0, 7.0), (5.0, 9.0, 2.0), (6.0, 2.0, 8.0))
+      .toDF("a", "b", "c")
+    val mat = Analytics.corrMatrix(df, Seq("a", "b", "c"))
+      .select("col_x", "col_y", "corr")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for ((x, y) <- Seq(("a", "b"), ("a", "c"), ("b", "c"))) {
+      val single = Analytics.exactStats(df, x, y)
+        .select("corr_xy").as[Double].head()
+      assert(mat((x, y)) === single,
+        s"pair ($x,$y): matrix ${mat((x, y))} vs exactStats $single")
+    }
+  }
+
+  test("corrMatrix: a null in ANY column drops the row from every pair") {
+    val df = Seq(
+      (Option(1.0), Option(1.0), Option(1.0)),
+      (Option(2.0), Option(2.0), None), // listwise: out of ALL pairs
+      (Option(3.0), Option(3.0), Option(3.0)),
+      (Option(4.0), Option(4.0), Option(4.0)))
+      .toDF("x", "y", "z")
+    val out = Analytics.corrMatrix(df, Seq("x", "y", "z"))
+      .select("n").as[Long].collect()
+    assert(out.forall(_ == 3L))
+  }
+
+  // ---- spearman ----
+
+  test("spearman: any strictly monotone map has rho exactly 1") {
+    // y = x^3 is non-linear (Pearson < 1) but rank-perfect
+    val df = (1 to 20).map(i => (i.toDouble, math.pow(i.toDouble, 3)))
+      .toDF("x", "y")
+    val (n, rho) = Analytics.spearman(df, "x", "y")
+      .as[(Long, Double)].head()
+    assert(n === 20L)
+    assert(rho === 1.0)
+  }
+
+  test("spearman: reversed order gives exactly -1") {
+    val df = (1 to 15).map(i => (i.toDouble, (16 - i).toDouble))
+      .toDF("x", "y")
+    val rho = Analytics.spearman(df, "x", "y")
+      .select("rho").as[Double].head()
+    assert(rho === -1.0)
+  }
+
+  test("spearman: midranks under ties match the closed form") {
+    // x: 1,1,2 -> doubled midranks 3,3,6 ; y: 5,7,7 -> 2,5,5
+    // rho = Pearson((3,2),(3,5),(6,5)) = 0.5
+    val df = Seq((1.0, 5.0), (1.0, 7.0), (2.0, 7.0)).toDF("x", "y")
+    val rho = Analytics.spearman(df, "x", "y")
+      .select("rho").as[Double].head()
+    assert(math.abs(rho - 0.5) < 1e-12)
+  }
+
+  // ---- welchTTest ----
+
+  test("welch: hand-computed two-sample statistic") {
+    // a: 1,2,3,4 (mean 2.5, var 5/3) ; b: 2,4,6 (mean 4, var 4)
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0).map(("b", _))).toDF("grp", "v")
+    val r = Analytics.welchTTest(df, "grp", "v", "a", "b")
+      .select("n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
+        "t_stat", "df")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .head()
+    assert(r._1 === 4L); assert(r._2 === 3L)
+    assert(r._3 === 2.5); assert(r._4 === 4.0)
+    assert(math.abs(r._5 - 5.0 / 3) < 1e-12)
+    assert(math.abs(r._6 - 4.0) < 1e-12)
+    val s2a = (5.0 / 3) / 4; val s2b = 4.0 / 3
+    val expectT = (2.5 - 4.0) / math.sqrt(s2a + s2b)
+    val expectDf = math.pow(s2a + s2b, 2) /
+      (s2a * s2a / 3 + s2b * s2b / 2)
+    assert(math.abs(r._7 - expectT) < 1e-12)
+    assert(math.abs(r._8 - expectDf) < 1e-12)
+  }
+
+  test("welch: identical arms give t = 0") {
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("b", _))).toDF("grp", "v")
+    val t = Analytics.welchTTest(df, "grp", "v", "a", "b")
+      .select("t_stat").as[Double].head()
+    assert(t === 0.0)
+  }
+
+  test("welch: unrepresentable measure leaves the arm count too") {
+    val df = Seq(("a", Option(1.0)), ("a", Option(2.0)), ("a", None),
+      ("b", Option(3.0)), ("b", Option(Double.NaN))).toDF("grp", "v")
+    val (na, nb) = Analytics.welchTTest(df, "grp", "v", "a", "b")
+      .select("n_a", "n_b").as[(Long, Long)].head()
+    assert(na === 2L) // null out
+    assert(nb === 1L) // NaN cast -> null: out of count AND sums
+  }
+
+  // ---- chi2 ----
+
+  test("chi2Cells: independent margins give contrib 0 everywhere") {
+    // perfectly independent 2x2: counts proportional to margins
+    val rows = Seq.fill(20)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val out = Analytics.chi2Cells(rows.toDF("u", "v"), "u", "v")
+      .select("observed", "expected", "contrib")
+      .as[(Long, Double, Double)].collect()
+    assert(out.length === 4)
+    assert(out.forall { case (o, e, c) => o.toDouble == e && c == 0.0 })
+  }
+
+  test("chi2Cells + chi2Statistic: hand-computed 2x2") {
+    // obs: (a,x)=10 (a,y)=20 (b,x)=20 (b,y)=10 ; all expected = 15
+    // chi2 = 4 * (5^2/15) = 20/3
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val df = rows.toDF("u", "v")
+    val cells = Analytics.chi2Cells(df, "u", "v")
+      .orderBy("u", "v")
+      .select("observed", "expected", "contrib")
+      .as[(Long, Double, Double)].collect()
+    assert(cells.map(_._1).toSeq === Seq(10L, 20L, 20L, 10L))
+    assert(cells.forall(_._2 == 15.0))
+    cells.foreach(c => assert(math.abs(c._3 - 25.0 / 15) < 1e-12))
+    val (nCells, chi2) = Analytics.chi2Statistic(df, "u", "v")
+      .as[(Long, Double)].head()
+    assert(nCells === 4L)
+    assert(math.abs(chi2 - 20.0 / 3) < 1e-12)
+  }
+
+  test("chi2Statistic: sorted fold is partition-order independent") {
+    val rows = (1 to 200).map(i => (s"g${i % 5}", s"h${i % 7}"))
+    val one = Analytics.chi2Statistic(
+      rows.toDF("u", "v").coalesce(1), "u", "v")
+      .select("chi2").as[Double].head()
+    val many = Analytics.chi2Statistic(
+      rows.toDF("u", "v").repartition(13), "u", "v")
+      .select("chi2").as[Double].head()
+    assert(one === many) // bitwise: the fold order is pinned by sort
+  }
+}

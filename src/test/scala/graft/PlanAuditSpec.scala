@@ -33,13 +33,16 @@ class PlanAuditSpec extends SparkTestBase {
   //    equi-join on position
   //  - ds3_loo_influence: per-group sums crossed with the broadcast
   //    1-ROW grand-total frame
+  //  - a43_chi2_cells: contingency CELLS (not rows) crossed with the
+  //    broadcast 1-ROW grand-total N
   private val allowed = Set(
     "a13_cross", "sim1_cosine_topk", "sim4_quantized_topk",
     "sim5_pq_topk", "sim5b_pq_exact", "sim7_pq_adc", "sim7b_adc_exact",
     "t10_tfidf", "t21_chi2", "a27_cm_rollup", "a30_theta",
     "q11_important_values", "sim14_mmr", "t31_pmi",
     "sim15_binary_topk", "sim16_recall", "sim17_matryoshka",
-    "dq3_key_skew", "s14_negatives", "ds3_loo_influence")
+    "dq3_key_skew", "s14_negatives", "ds3_loo_influence",
+    "a43_chi2_cells")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
