@@ -1710,6 +1710,50 @@ object SparkEntry {
           r6z(col("pmi")).as("pmi"))
         .orderBy(desc("pmi"), col("term_a"), col("term_b"))),
 
+    // ---- text: HTML/markup stripping (web-crawl boilerplate) ----
+    // Deterministic HTML is wrapped around each document (title, style
+    // and script blocks with markup-looking payloads, entities, a
+    // footer), then stripped back to text: block removal first, tags,
+    // entity decode (&amp; last), whitespace collapse. All column
+    // expressions, one map-side scan.
+    "t32_markup_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>D"), col("doc_id"),
+        lit("</title><style>p { color: red; }</style>" +
+          "<script>if (1 < 2) { x = \"&amp;\"; }</script></head>" +
+          "<body><h1>Doc &#39;"), col("doc_id"),
+        lit("&#39;</h1><!-- build 7 --><p>"),
+        replace(col("text"), lit("\n"), lit("</p><p>")),
+        lit("</p><footer>A &amp; B&nbsp;|&nbsp;&lt;end&gt;" +
+          "</footer></body></html>"))
+      TextAnalysis.markupStats(
+        t(s, dir, "documents").select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+        .select(col("doc_id"), col("n_tags"), col("clean_len"),
+          col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text: URL canonicalization + registered domain ----
+    // Deterministic mixed-case URLs with default port, utm_* tracking
+    // params, unsorted params, and a fragment are built per event; the
+    // canonical form lowercases scheme+host, strips :443, drops utm_*,
+    // sorts the rest bytewise, and drops the fragment. Map-side only.
+    "t33_url_normalize" -> ((s, dir) =>
+      TextAnalysis.normalizeUrls(
+        t(s, dir, "events")
+          .where(col("event_id").isNotNull && col("user_id").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("event_id"),
+            concat(lit("HTTPS://WWW.Site"), pmod(col("user_id"), lit(50)),
+              lit(".COM:443/Ev/"), col("event_type"),
+              lit("?utm_source=feed&id="), col("event_id"),
+              lit("&Zone=us#sec")).as("url")),
+        "url")
+        .select(col("event_id"), col("canon_url"), col("host"),
+          col("domain"))
+        .orderBy("event_id")),
+
     // ---- sampling: exactly-k-per-group bottom-k (distributed reservoir) ----
     // One mergeable bounded top-k aggregate over the md5 priority —
     // shuffle carries <= k pairs per (group, partition), never the rows;
@@ -6545,6 +6589,77 @@ object SparkEntry {
         |SELECT term_a, term_b, CAST(n_pair AS BIGINT) AS n_pair,
         |       round(ln(ratio), 6) + 0.0 AS pmi
         |FROM top ORDER BY pmi DESC, term_a, term_b""".stripMargin,
+
+    // markup strip: identical regex chain (Java ∩ RE2 subset, 'g' in
+    // DuckDB), block removal before tag removal, &amp; decoded last
+    "t32_markup_strip" ->
+      """WITH h AS (SELECT doc_id, concat(
+        |    '<html><head><title>D', doc_id,
+        |    '</title><style>p { color: red; }</style>',
+        |    '<script>if (1 < 2) { x = "&amp;"; }</script></head>',
+        |    '<body><h1>Doc &#39;', doc_id,
+        |    '&#39;</h1><!-- build 7 --><p>',
+        |    replace(text, chr(10), '</p><p>'),
+        |    '</p><footer>A &amp; B&nbsp;|&nbsp;&lt;end&gt;',
+        |    '</footer></body></html>') AS html
+        |  FROM documents),
+        |s AS (SELECT doc_id, html,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      html,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g') AS t0
+        |  FROM h),
+        |e AS (SELECT doc_id, html,
+        |    replace(replace(replace(replace(replace(replace(t0,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t1
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT)
+        |    AS n_tags,
+        |  CAST(length(trim(regexp_replace(t1, '[ \t\n\r]+', ' ', 'g')))
+        |    AS BIGINT) AS clean_len,
+        |  trim(regexp_replace(t1, '[ \t\n\r]+', ' ', 'g')) AS clean_text
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    // URL canonicalization: same regex splits; pmod mirrored with
+    // ((x % 50) + 50) % 50; param pipeline is string_split ->
+    // list_filter -> list_sort -> array_to_string
+    "t33_url_normalize" ->
+      """WITH u AS (SELECT event_id, concat(
+        |    'HTTPS://WWW.Site', ((user_id % 50) + 50) % 50,
+        |    '.COM:443/Ev/', event_type,
+        |    '?utm_source=feed&id=', event_id, '&Zone=us#sec') AS url
+        |  FROM events WHERE event_id IS NOT NULL
+        |    AND user_id IS NOT NULL AND event_type IS NOT NULL),
+        |p AS (SELECT event_id, regexp_replace(url, '#.*', '') AS nofrag
+        |  FROM u),
+        |q AS (SELECT event_id, nofrag,
+        |    lower(regexp_extract(nofrag,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nofrag,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(nofrag,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(nofrag, '\?([^#]*)', 1) AS qs FROM p),
+        |r AS (SELECT event_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |         ELSE auth END AS host,
+        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
+        |      x -> x <> '' AND substr(x, 1, 4) <> 'utm_')), '&') AS kept
+        |  FROM q)
+        |SELECT event_id,
+        |  concat(scheme, '://', host, path,
+        |    CASE WHEN kept = '' THEN '' ELSE concat('?', kept) END)
+        |    AS canon_url,
+        |  host,
+        |  regexp_extract(regexp_replace(host, ':[0-9]+$', ''),
+        |    '([^.:]+\.[^.:]+)$', 1) AS domain
+        |FROM r ORDER BY event_id""".stripMargin,
 
     // bottom-k sampling == the window form over the same md5 priority
     "s13_bottomk" ->

@@ -1003,4 +1003,106 @@ object TextAnalysis {
       .where(col("__rk") === 1)
       .select(col(idCol), col("cls").as("pred"), col("score"))
   }
+
+  // ---- markup stripping (boilerplate removal for web-crawl text) ----
+
+  /** HTML/markup → plain text as ONE chained column expression (no UDF,
+    * fully codegen'd): script/style/comment BLOCKS go first (contents
+    * and all — a tag-only strip would leak javascript into the corpus),
+    * then remaining tags, then the five entities that appear in
+    * attribute-escaped text (`&lt; &gt; &quot; &#39; &nbsp;` and LAST
+    * `&amp;` — decoding it earlier would double-decode `&amp;lt;`),
+    * then whitespace runs collapse to one space. Every regex is in the
+    * Java-regex ∩ RE2 common subset (no backreferences) so the DuckDB
+    * oracle runs the identical patterns.
+    */
+  def stripMarkup(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    val amp = replace(decoded, lit("&amp;"), lit("&"))
+    trim(regexp_replace(amp, "[ \\t\\n\\r]+", " "))
+  }
+
+  /** Count of markup tags in the raw html (pre-strip) — the audit
+    * measure published next to the cleaned text. */
+  def markupTagCount(html: Column): Column =
+    regexp_count(html, lit("<[^>]+>")).cast(LongType)
+
+  /** Per-document markup extraction: cleaned text + tag count + cleaned
+    * length. Map-side only — one scan at any corpus size. */
+  def markupStats(docs: DataFrame, idCol: String,
+      htmlCol: String): DataFrame =
+    docs.select(col(idCol),
+      markupTagCount(col(htmlCol)).as("n_tags"),
+      stripMarkup(col(htmlCol)).as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")).cast(LongType))
+
+  // ---- URL canonicalization (crawl dedup / per-domain stats) ----
+
+  /** Canonical form of a URL: lowercase scheme and host, default port
+    * stripped (:443 under https, :80 under http), tracking params
+    * (`utm_*`) dropped, remaining query params sorted bytewise, fragment
+    * removed, empty path normalized to `/`. Pure column expressions —
+    * the regexes live in the Java ∩ RE2 subset and the param pipeline is
+    * split → filter → array_sort → array_join, all of which DuckDB
+    * mirrors (string_split / list_filter / list_sort /
+    * array_to_string), so canonical forms are oracle-comparable.
+    * Path and param VALUES keep their case (they are case-sensitive per
+    * RFC 3986; only scheme+host are case-insensitive).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(
+      regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .otherwise(auth)
+    val rawPath = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = array_join(
+      array_sort(filter(split(query, "&"),
+        p => p =!= "" && substring(p, 1, 4) =!= "utm_")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** The lowercased host of a URL with any default port stripped (the
+    * host part of [[canonicalUrl]]). */
+  def urlHost(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(
+      regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .otherwise(auth)
+  }
+
+  /** Naive registered domain: the last two dot-labels of the host (no
+    * public-suffix list in a zero-dependency engine — co.uk-style
+    * suffixes group one level too coarse, documented contract). */
+  def urlDomain(url: Column): Column =
+    regexp_extract(regexp_replace(urlHost(url), ":[0-9]+$", ""),
+      "([^.:]+\\.[^.:]+)$", 1)
+
+  /** Per-row URL normalization: canonical url + host + registered
+    * domain. Map-side only. */
+  def normalizeUrls(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("canon_url", canonicalUrl(col(urlCol)))
+      .withColumn("host", urlHost(col(urlCol)))
+      .withColumn("domain", urlDomain(col(urlCol)))
 }
