@@ -1677,6 +1677,22 @@ object SparkEntry {
         windowMicros = 86400000000L, tieBreak = Seq("event_id"))
         .orderBy("user_id", "bucket")),
 
+    // ---- time series: Holt double exponential smoothing ----
+    // Level + trend recursion per user over the (ts, event_id) total
+    // order; one sorted fold per key, fixed IEEE steps with exact α/β
+    // literals (0.5 / 0.25) that the oracle's recursive CTE replays.
+    // user_id < 20 bounds the oracle recursion depth, not the operator.
+    "ts8_holt" -> ((s, dir) =>
+      Analytics.holt(
+        t(s, dir, "events")
+          .where(col("user_id").isNotNull && col("user_id") < 20)
+          .select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        alpha = 0.5, beta = 0.25, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          r6z(col("level")).as("level"), r6z(col("trend")).as("trend"))
+        .orderBy("user_id", "ts", "event_id")),
+
     // ---- time series: OHLC bars (candlestick downsampling) ----
     // open/close via mergeable min_by/max_by on the total (ts, event_id)
     // order — one partial-agg shuffle, no window; all four picks are
@@ -6501,6 +6517,31 @@ object SparkEntry {
         |  CAST(ii AS DOUBLE) / covered_us + 0.0 AS twap
         |FROM g WHERE covered_us > 0
         |ORDER BY user_id, bucket""".stripMargin,
+
+    // Holt: the recursive CTE replays the identical IEEE steps over the
+    // identical (ts, event_id) order; 0.5/0.25/0.75 are the exact
+    // doubles the engine's 1-α / 1-β subtractions produce
+    "ts8_holt" ->
+      """WITH RECURSIVE e AS (SELECT user_id AS k, ts, event_id AS tie,
+        |    CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND user_id < 20
+        |    AND ts IS NOT NULL AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |o AS (SELECT k, ts, tie, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts, tie) AS rn
+        |  FROM e),
+        |rec AS (
+        |  SELECT k, ts, tie, x, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.k, o.ts, o.tie, o.x, o.rn,
+        |    0.5 * o.x + 0.5 * (rec.l + rec.b) AS l,
+        |    0.25 * ((0.5 * o.x + 0.5 * (rec.l + rec.b)) - rec.l)
+        |      + 0.75 * rec.b AS b
+        |  FROM rec JOIN o ON o.k = rec.k AND o.rn = rec.rn + 1)
+        |SELECT k AS user_id, ts, tie AS event_id, x AS value,
+        |  round(l, 6) + 0.0 AS level, round(b, 6) + 0.0 AS trend
+        |FROM rec ORDER BY user_id, ts, event_id""".stripMargin,
 
     // OHLC: open/close re-derived with total-order row_numbers (the
     // engine uses min_by/max_by on the same order — identical picks)

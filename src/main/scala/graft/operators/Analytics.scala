@@ -892,6 +892,68 @@ object Analytics {
           element_at(col("__e"), col("__i") + 1).as(outCol)): _*)
   }
 
+  /** Per-key Holt double exponential smoothing (level + linear trend):
+    *   l₁ = x₁, b₁ = 0;
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1}),
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}.
+    * The EWMA shape extended with a trend state — same execution plan as
+    * [[ewma]]: sorted `collect_list` per key + ONE sequential HOF fold,
+    * so keys parallelize and each series folds exactly once inside its
+    * task. Same observation contract (null time / non-stabilizing
+    * measure excluded), same determinism argument: every step is a fixed
+    * IEEE chain over the total (tsCol, tieBreak…) order that a recursive
+    * CTE mirrors token-for-token, with `1−α` / `1−β` computed once here
+    * as single IEEE subtractions (mirror the resulting literals on the
+    * oracle side).
+    */
+  def holt(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, alpha: Double, beta: Double,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1], got $beta")
+    require(keyCols.nonEmpty, "holt needs at least one key column")
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val ordNames = tsCol +: tieBreak
+    val rowStruct = struct(
+      ordNames.map(col) :+ dec.cast(DoubleType).as("__x"): _*)
+    val grouped = df
+      .where(col(tsCol).isNotNull && col(measure).isNotNull && dec.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(rowStruct)).as("__s"))
+    val init = struct(lit(true).as("first"),
+      lit(0.0).as("l"), lit(0.0).as("b"),
+      array().cast(ArrayType(DoubleType)).as("ls"),
+      array().cast(ArrayType(DoubleType)).as("bs"))
+    val a = lit(alpha); val a1 = lit(1.0 - alpha)
+    val g = lit(beta); val g1 = lit(1.0 - beta)
+    val step = (acc: Column, e: Column) => {
+      val x = e.getField("__x")
+      val pl = acc.getField("l"); val pb = acc.getField("b")
+      val nl = when(acc.getField("first"), x)
+        .otherwise(a * x + a1 * (pl + pb))
+      // nl appears twice: the duplicated expression tree evaluates to
+      // the identical double, which is exactly how the oracle's CTE
+      // spells it (SQL cannot reference a same-select alias either)
+      val nb = when(acc.getField("first"), lit(0.0))
+        .otherwise(g * (nl - pl) + g1 * pb)
+      struct(lit(false).as("first"), nl.as("l"), nb.as("b"),
+        concat(acc.getField("ls"), array(nl)).as("ls"),
+        concat(acc.getField("bs"), array(nb)).as("bs"))
+    }
+    val folded = grouped.withColumn("__f",
+      aggregate(col("__s"), init, step,
+        acc => struct(acc.getField("ls").as("ls"),
+          acc.getField("bs").as("bs"))))
+    folded
+      .select(keyCols.map(col) :+ col("__f") :+
+        posexplode(col("__s")).as(Seq("__i", "__r")): _*)
+      .select(keyCols.map(col) ++
+        ordNames.map(n => col(s"__r.$n").as(n)) ++ Seq(
+          col("__r.__x").as(measure),
+          element_at(col("__f.ls"), col("__i") + 1).as("level"),
+          element_at(col("__f.bs"), col("__i") + 1).as("trend")): _*)
+  }
+
   /** Poisson(1) cumulative probabilities P(X ≤ k), k = 0..7 — spelled as
     * EXACT double literals shared by the Scala plan and the oracle SQL
     * (e^{-1}-derived; re-deriving them with `math.exp` in one engine and

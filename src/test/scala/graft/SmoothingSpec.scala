@@ -293,4 +293,57 @@ class SmoothingSpec extends SparkTestBase {
       ("a", 1L, 6.0, 6.0, 6.0, 6.0, 1L),
       ("b", 0L, 2.0, 8.0, 2.0, 8.0, 2L)))
   }
+
+  test("holt: hand-computed level/trend recurrence, alpha=0.5 beta=0.5") {
+    // x = 10, 20, 30:
+    //   t1: l=10, b=0
+    //   t2: l=.5*20+.5*10=15,   b=.5*(15-10)+.5*0=2.5
+    //   t3: l=.5*30+.5*17.5=23.75, b=.5*(23.75-15)+.5*2.5=5.625
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0))
+      .toDF("k", "ts", "v")
+    val out = Analytics.holt(df, Seq("k"), "ts", "v",
+      alpha = 0.5, beta = 0.5)
+      .orderBy("ts").select("level", "trend")
+      .as[(Double, Double)].collect()
+    assert(out === Array((10.0, 0.0), (15.0, 2.5), (23.75, 5.625)))
+  }
+
+  test("holt: beta = 0 degenerates to ewma of the measure") {
+    val df = Seq(("a", 1L, 4.0), ("a", 2L, 8.0), ("a", 3L, 1.0),
+      ("a", 4L, 9.0)).toDF("k", "ts", "v")
+    val lv = Analytics.holt(df, Seq("k"), "ts", "v",
+      alpha = 0.5, beta = 0.0)
+      .orderBy("ts").select("level").as[Double].collect()
+    val ew = Analytics.ewma(df, Seq("k"), "ts", "v", alpha = 0.5)
+      .orderBy("ts").select("ewma").as[Double].collect()
+    assert(lv === ew)
+    val tr = Analytics.holt(df, Seq("k"), "ts", "v",
+      alpha = 0.5, beta = 0.0)
+      .orderBy("ts").select("trend").as[Double].collect()
+    assert(tr.forall(_ == 0.0))
+  }
+
+  test("holt: observation contract + partition-count independence") {
+    val base = Seq(
+      ("a", Option(1L), Option(10.0)),
+      ("a", None, Option(99.0)),             // null time: excluded
+      ("a", Option(2L), None),                // null measure: excluded
+      ("a", Option(3L), Option(Double.NaN)),  // non-stabilizing
+      ("a", Option(4L), Option(20.0)),
+      ("b", Option(1L), Option(7.0)))
+    val one = Analytics.holt(base.toDF("k", "ts", "v").coalesce(1),
+      Seq("k"), "ts", "v", alpha = 0.5, beta = 0.25)
+      .orderBy("k", "ts").select("k", "ts", "level", "trend")
+      .as[(String, Long, Double, Double)].collect()
+    val many = Analytics.holt(base.toDF("k", "ts", "v").repartition(7),
+      Seq("k"), "ts", "v", alpha = 0.5, beta = 0.25)
+      .orderBy("k", "ts").select("k", "ts", "level", "trend")
+      .as[(String, Long, Double, Double)].collect()
+    assert(one === many) // sorted fold: bitwise partition-independent
+    assert(one.map(r => (r._1, r._2)).toSeq ===
+      Seq(("a", 1L), ("a", 4L), ("b", 1L)))
+    // t4 on series (10, 20): l=.5*20+.5*10=15, b=.25*5+.75*0=1.25
+    assert(one(1)._3 === 15.0)
+    assert(one(1)._4 === 1.25)
+  }
 }
