@@ -3404,6 +3404,32 @@ object SparkEntry {
       vt.read(s, tdir + "/dst").orderBy("doc_id")
     }),
 
+    // ---- lake: write-audit-publish staging session ----
+    // Base = even docs; two staged writes add the odds (invisible —
+    // pre_publish_rows pins the isolation), the audit view sees
+    // everything, publish lands both writes as ONE version. Zero-copy:
+    // staging is the ordinary distributed write, publish commits names.
+    "lk5_wap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_lk5").toString + "/t"
+      val vt = graft.sources.VersionedTable
+      vt.append(s, docs.where(col("doc_id") % 2 === 0), tdir)
+      val w = graft.sources.Wap
+      val h1 = w.write(s, w.begin(s, tdir, "rel-1"),
+        docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 5 =!= 0))
+      val h2 = w.write(s, h1,
+        docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 0))
+      val prePublish = vt.read(s, tdir).count() // staged rows invisible
+      val audited = w.auditView(s, h2).count()  // auditor sees them all
+      w.publish(s, h2)
+      vt.read(s, tdir)
+        .withColumn("pre_publish_rows", lit(prePublish))
+        .withColumn("audited_rows", lit(audited))
+        .orderBy("doc_id")
+    }),
+
     // ---- governance: schema drift report (field-id keyed) ----
     // A table evolves (add + rename + drop + retype-by-replace is not
     // allowed, so drop/add); the drift between v1 and latest classifies
@@ -5362,6 +5388,16 @@ object SparkEntry {
     "lk3_clone" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+
+    // WAP: final table = all docs; the two count columns pin isolation
+    // (pre-publish readers saw only the even base) and the audit view
+    // (base + staged = everything)
+    "lk5_wap" ->
+      """SELECT doc_id, lang, source,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+        |    AS pre_publish_rows,
+        |  (SELECT count(*) FROM documents) AS audited_rows
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "lk4_bloom_lookup" ->
       """SELECT doc_id, md5(text) AS fp, lang FROM documents

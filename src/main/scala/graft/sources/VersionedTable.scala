@@ -1673,15 +1673,36 @@ object VersionedTable {
       s"appendIdempotent lost $maxRetries commit races")
   }
 
+  /** Stage `df` into the table dir (aligned to the declared schema,
+    * constraints + layout applied — the central [[stage]] guarantees)
+    * WITHOUT committing: the write-audit-publish entry point. The
+    * returned file names are invisible to every reader until a commit
+    * references them.
+    */
+  private[sources] def stageAligned(spark: SparkSession, df: DataFrame,
+      table: String): Seq[String] = {
+    val lines0 = latestRaw(spark, table)._2
+    val aligned = schemaLine(lines0) match {
+      case Some(sc) => alignToSchema(df, sc, evolve = false, table)._1
+      case None => df
+    }
+    stage(spark, aligned, table, cluster = true)
+  }
+
   /** Commit files ALREADY WRITTEN into the table dir (by distributed
     * streaming writers) as an idempotent epoch append: if `writerId`
     * already committed `epoch`, the files are deleted and the current
     * version returned — the exactly-once core of the native streaming
     * sink, same contract as [[appendIdempotent]].
+    *
+    * `requireVersion` makes the commit STRICT: if the table's latest
+    * version is no longer the expected one, throw WITHOUT deleting the
+    * staged files — the caller (WAP publish) keeps its session open to
+    * rebase or abort.
     */
   private[sources] def commitStagedIdempotent(spark: SparkSession,
       table: String, files: Seq[String], writerId: String, epoch: Long,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20, requireVersion: Option[Long] = None): Long = {
     val f = fs(spark, table)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1690,6 +1711,11 @@ object VersionedTable {
       if (txns.get(writerId).exists(_ >= epoch)) {
         files.foreach(n => f.delete(new Path(table, n), false))
         return v
+      }
+      requireVersion.filter(_ != v).foreach { expect =>
+        throw new IllegalStateException(
+          s"strict publish on $table expected base version $expect " +
+            s"but found $v (concurrent commit); session left open")
       }
       val next = lines.filter(l => l.startsWith(SchemaPrefix) || l.startsWith(FidPrefix) ||
         l.startsWith(DelPrefix) || l.startsWith(DelPosPrefix) ||
@@ -4041,6 +4067,18 @@ object VersionedTable {
         s.getModificationTime <= cutoff)
       .foreach { s =>
         if (f.delete(s.getPath, true)) removed += 1
+      }
+    // abandoned write-audit-publish sessions: their staged .parquet
+    // files fall to the unreferenced sweep above; the session marker is
+    // reclaimed on the same retention clock (a live WAP session is
+    // younger than any sane retention — the [[Wap]] contract)
+    f.listStatus(new Path(table))
+      .filter(s => s.isFile &&
+        s.getPath.getName.startsWith("_wap-") &&
+        s.getPath.getName.endsWith(".marker") &&
+        s.getModificationTime <= cutoff)
+      .foreach { s =>
+        if (f.delete(s.getPath, false)) removed += 1
       }
     (1L until lo).filterNot(tagged.contains).foreach { v =>
       val p = commitPath(table, v)
