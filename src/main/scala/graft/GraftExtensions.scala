@@ -66,6 +66,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_png_resize",
       es => graft.operators.Multimodal.PngResizeExpr(
         QSketchCodec.arity(es, 3, "graft_png_resize"))))
+    ext.injectFunction(fn("graft_qoi_encode",
+      es => graft.operators.Multimodal.QoiEncodeExpr(
+        QSketchCodec.arity(es, 3, "graft_qoi_encode"))))
+    ext.injectFunction(fn("graft_qoi_decode",
+      es => graft.operators.Multimodal.QoiDecodeExpr(
+        QSketchCodec.arity(es, 1, "graft_qoi_decode").head)))
     ext.injectFunction(fn("graft_wav_encode",
       es => graft.operators.Multimodal.WavEncodeExpr(
         QSketchCodec.arity(es, 4, "graft_wav_encode"))))

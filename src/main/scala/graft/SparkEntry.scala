@@ -2353,6 +2353,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: QOI decode (from-scratch spec codec) ----
+    // The gradient fixture round-trips through a full QOI encoder
+    // (DIFF/LUMA/INDEX/RUN/RGB chunks all exercised) and a STREAMING
+    // decoder (O(1) memory — no pixel buffer); matching the
+    // arithmetically re-derived pixel sum proves every chunk op.
+    "mm7_qoi_decode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("payload", Multimodal.qoiEncode(
+          (lit(1) + col("doc_id") % 13).cast("int"),
+          (lit(1) + col("doc_id") % 7).cast("int"),
+          (col("doc_id") % 251).cast("int")))
+        .withColumn("img", Multimodal.qoiDecode(col("payload")))
+      d.select(col("doc_id"), col("img.width").as("width"),
+          col("img.height").as("height"),
+          col("img.channels").as("channels"),
+          col("img.pixel_sum").as("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: nearest-neighbor image resize (REAL decode) ----
     // Target pixel (x,y) samples source (⌊x·w/w2⌋, ⌊y·h/h2⌋); the
     // resized pixel sum over the gradient fixture is pure integer
@@ -6095,6 +6114,21 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(1 + doc_id % 13 AS INT) AS width,
         |  CAST(1 + doc_id % 7 AS INT) AS height,
+        |  CAST(SUM(3 * ((doc_id % 251 + g.i + g.j) % 256)) AS BIGINT)
+        |    AS pixel_sum
+        |FROM documents, g
+        |WHERE g.i < 1 + doc_id % 13 AND g.j < 1 + doc_id % 7
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // QOI decode: the same gradient sum as mm2b — the payload bytes are
+    // QOI chunks, so matching it proves the full chunk-op decoder
+    "mm7_qoi_decode" ->
+      """WITH g AS (SELECT a.i AS i, b.j AS j
+        |  FROM range(13) a(i), range(7) b(j))
+        |SELECT doc_id,
+        |  CAST(1 + doc_id % 13 AS INT) AS width,
+        |  CAST(1 + doc_id % 7 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
         |  CAST(SUM(3 * ((doc_id % 251 + g.i + g.j) % 256)) AS BIGINT)
         |    AS pixel_sum
         |FROM documents, g

@@ -2023,6 +2023,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_png_resize",
       es => graft.operators.Multimodal.PngResizeExpr(
         QSketchCodec.arity(es, 3, "graft_png_resize")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_qoi_encode",
+      es => graft.operators.Multimodal.QoiEncodeExpr(
+        QSketchCodec.arity(es, 3, "graft_qoi_encode")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_qoi_decode",
+      es => graft.operators.Multimodal.QoiDecodeExpr(
+        QSketchCodec.arity(es, 1, "graft_qoi_decode").head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_wav_encode",
       es => graft.operators.Multimodal.WavEncodeExpr(
         QSketchCodec.arity(es, 4, "graft_wav_encode")), "scala_udf")

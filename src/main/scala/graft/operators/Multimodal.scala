@@ -783,4 +783,209 @@ object Multimodal {
           .cast(IntegerType))
       .select(col(idCol), col("frame_idx"), col("frame_offset"), col("frame_byte"))
   }
+
+  // ---- QOI (Quite OK Image) codec: a full from-scratch implementation
+  // of the public one-page spec (qoiformat.org) — header, all six chunk
+  // ops (RGB/RGBA/INDEX/DIFF/LUMA/RUN, wraparound byte diffs, the
+  // r·3+g·5+b·7+a·11 mod 64 running index), strict end marker. The
+  // decoder is STREAMING: 64-entry index + previous pixel + running sum,
+  // O(1) memory whatever the frame size — no pixel buffer is ever
+  // allocated, so unlike the ImageIO path there is no header-driven
+  // allocation to bound (dims are still sanity-capped).
+
+  case class QoiInfo(width: Int, height: Int, channels: Int,
+      pixelSum: Long)
+
+  @inline private def qoiPack(r: Int, g: Int, b: Int, a: Int): Int =
+    (r << 24) | (g << 16) | (b << 8) | a
+
+  @inline private def qoiHash(r: Int, g: Int, b: Int, a: Int): Int =
+    (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+  /** Encode the shared grayscale-gradient fixture ((fill + x + y) mod
+    * 256 on all three channels) as RGB QOI. The gradient drives DIFF
+    * (+1 steps), LUMA/RGB (row wraps), INDEX (revisited colors) and RUN
+    * (1-wide frames) — a decoder that shortcuts any op fails the oracle.
+    */
+  private[graft] def encodeQoi(w: Int, h: Int, fill: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"QOI dims must be positive, got ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream(14 + w * h + 8)
+    out.write('q'); out.write('o'); out.write('i'); out.write('f')
+    def be(i: Int): Unit = { out.write((i >>> 24) & 0xFF)
+      out.write((i >>> 16) & 0xFF); out.write((i >>> 8) & 0xFF)
+      out.write(i & 0xFF) }
+    be(w); be(h); out.write(3); out.write(0)
+    val index = new Array[Int](64)
+    var pr = 0; var pg = 0; var pb = 0
+    var prev = qoiPack(0, 0, 0, 255)
+    var run = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (fill + x + y) & 0xFF
+        val cur = qoiPack(v, v, v, 255)
+        if (cur == prev) {
+          run += 1
+          if (run == 62) { out.write(0xC0 | (run - 1)); run = 0 }
+        } else {
+          if (run > 0) { out.write(0xC0 | (run - 1)); run = 0 }
+          val idx = qoiHash(v, v, v, 255)
+          if (index(idx) == cur) out.write(idx)
+          else {
+            index(idx) = cur
+            // wraparound signed byte diffs, exactly as the spec reads
+            val dr = ((v - pr + 128) & 0xFF) - 128
+            val dg = ((v - pg + 128) & 0xFF) - 128
+            val db = ((v - pb + 128) & 0xFF) - 128
+            if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 &&
+              db >= -2 && db <= 1)
+              out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            else if (dg >= -32 && dg <= 31 && (dr - dg) >= -8 &&
+              (dr - dg) <= 7 && (db - dg) >= -8 && (db - dg) <= 7) {
+              out.write(0x80 | (dg + 32))
+              out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+            } else {
+              out.write(0xFE); out.write(v); out.write(v); out.write(v)
+            }
+          }
+          prev = cur; pr = v; pg = v; pb = v
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (run > 0) out.write(0xC0 | (run - 1))
+    var i = 0
+    while (i < 7) { out.write(0); i += 1 }
+    out.write(1)
+    out.toByteArray
+  }
+
+  /** Streaming QOI decode → (width, height, channels, Σ(r+g+b)).
+    * None for anything that is not a spec-complete QOI payload: bad
+    * magic, bad dims/channels/colorspace, a chunk stream that ends
+    * early, overruns the pixel count, or is missing the end marker.
+    */
+  private[graft] def parseQoi(bytes: Array[Byte]): Option[QoiInfo] = {
+    if (bytes == null || bytes.length < 23 ||
+      bytes(0) != 'q'.toByte || bytes(1) != 'o'.toByte ||
+      bytes(2) != 'i'.toByte || bytes(3) != 'f'.toByte) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    val w = bb.getInt(4); val h = bb.getInt(8)
+    val channels = bytes(12).toInt; val colorspace = bytes(13).toInt
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPngPixels ||
+      (channels != 3 && channels != 4) ||
+      (colorspace != 0 && colorspace != 1)) return None
+    val total = w.toLong * h
+    val index = new Array[Int](64)
+    var r = 0; var g = 0; var b = 0; var a = 255
+    var produced = 0L; var sum = 0L
+    var pos = 14
+    val dataEnd = bytes.length - 8
+    while (produced < total) {
+      if (pos >= dataEnd) return None // chunk stream ended early
+      val b1 = bytes(pos) & 0xFF; pos += 1
+      if (b1 == 0xFE) {
+        if (pos + 3 > dataEnd) return None
+        r = bytes(pos) & 0xFF; g = bytes(pos + 1) & 0xFF
+        b = bytes(pos + 2) & 0xFF; pos += 3
+      } else if (b1 == 0xFF) {
+        if (pos + 4 > dataEnd) return None
+        r = bytes(pos) & 0xFF; g = bytes(pos + 1) & 0xFF
+        b = bytes(pos + 2) & 0xFF; a = bytes(pos + 3) & 0xFF; pos += 4
+      } else (b1 >>> 6) match {
+        case 0 =>
+          val px = index(b1)
+          r = (px >>> 24) & 0xFF; g = (px >>> 16) & 0xFF
+          b = (px >>> 8) & 0xFF; a = px & 0xFF
+        case 1 =>
+          r = (r + ((b1 >>> 4) & 3) - 2) & 0xFF
+          g = (g + ((b1 >>> 2) & 3) - 2) & 0xFF
+          b = (b + (b1 & 3) - 2) & 0xFF
+        case 2 =>
+          if (pos + 1 > dataEnd) return None
+          val vg = (b1 & 0x3F) - 32
+          val b2 = bytes(pos) & 0xFF; pos += 1
+          r = (r + vg + ((b2 >>> 4) & 0xF) - 8) & 0xFF
+          g = (g + vg) & 0xFF
+          b = (b + vg + (b2 & 0xF) - 8) & 0xFF
+        case _ =>
+          val run = (b1 & 0x3F) + 1
+          if (run > 62 || produced + run > total) return None
+          sum += run.toLong * (r + g + b)
+          produced += run
+      }
+      if ((b1 >>> 6) != 3 || b1 == 0xFE || b1 == 0xFF) {
+        // every non-run chunk yields exactly one pixel and refreshes
+        // the running index (a no-op for INDEX chunks, per the spec)
+        index(qoiHash(r, g, b, a)) = qoiPack(r, g, b, a)
+        sum += (r + g + b).toLong
+        produced += 1
+      }
+    }
+    // strict end marker: seven 0x00 then 0x01, and nothing else pending
+    if (pos != dataEnd) return None
+    var i = 0
+    while (i < 7) { if (bytes(dataEnd + i) != 0) return None; i += 1 }
+    if (bytes(dataEnd + 7) != 1) return None
+    Some(QoiInfo(w, h, channels, sum))
+  }
+
+  /** Catalyst expression: `(w int, h int, fill int) → binary` QOI. */
+  case class QoiEncodeExpr(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    require(children.length == 3, "qoi_encode takes (w, h, fill)")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType == IntegerType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int, int, int)")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_qoi_encode"
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) null
+      else encodeQoi(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
+        vs(2).asInstanceOf[Int])
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): QoiEncodeExpr =
+      copy(children = newChildren)
+  }
+
+  /** Catalyst expression over [[parseQoi]]: `binary → struct<width,
+    * height, channels int, pixel_sum bigint>`, null for non-QOI. */
+  case class QoiDecodeExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary")
+    override def dataType: DataType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("pixel_sum", LongType)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_qoi_decode"
+    override def nullSafeEval(bytes: Any): Any =
+      parseQoi(bytes.asInstanceOf[Array[Byte]]) match {
+        case Some(i) => InternalRow(i.width, i.height, i.channels,
+          i.pixelSum)
+        case None => null
+      }
+    override protected def withNewChildInternal(
+        newChild: Expression): QoiDecodeExpr = copy(child = newChild)
+  }
+
+  /** `(w, h, fill) → binary` QOI column. */
+  def qoiEncode(w: Column, h: Column, fill: Column): Column =
+    SparkShim.toColumn(QoiEncodeExpr(Seq(w, h, fill)
+      .map(SparkShim.toExpression)))
+
+  /** `binary → struct(width, height, channels, pixel_sum)` column. */
+  def qoiDecode(payload: Column): Column =
+    SparkShim.toColumn(QoiDecodeExpr(SparkShim.toExpression(payload)))
 }
