@@ -1641,6 +1641,17 @@ object SparkEntry {
           r6z(col("var_a")).as("var_a"), r6z(col("var_b")).as("var_b"),
           r6z(col("t_stat")).as("t_stat"), r6z(col("df")).as("df"))),
 
+    // ---- evaluation: Kendall tau-b over the value-pair contingency ----
+    // Exact concordant/discordant counts from the O(k²)-over-CELLS
+    // strict self-join (never O(n²) over rows); untied-pair denominators
+    // are division-free exact decimals; tau is the only float.
+    "a44_kendall" -> ((s, dir) =>
+      Analytics.kendallTau(t(s, dir, "lineitem"),
+        "l_quantity", "l_discount")
+        .select(col("n"), col("n_cells"),
+          col("concordant"), col("discordant"),
+          r6z(col("tau_b")).as("tau_b"))),
+
     // ---- evaluation: chi-square independence cells ----
     // event_type × hour contingency table with exact-integer expected/
     // contribution numerators — each double is one correctly-rounded
@@ -6514,6 +6525,33 @@ object SparkEntry {
         |  round((s2a + s2b)*(s2a + s2b) /
         |    (s2a*s2a/(na - 1) + s2b*s2b/(nb - 1)), 6) + 0.0 AS df
         |FROM v""".stripMargin,
+
+    // Kendall tau-b: same strict cell joins, HUGEINT-exact counts,
+    // identical final double tree
+    "a44_kendall" ->
+      """WITH p AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS y FROM lineitem
+        |  WHERE CAST(l_quantity AS DECIMAL(18,2)) IS NOT NULL
+        |    AND CAST(l_discount AS DECIMAL(18,2)) IS NOT NULL),
+        |c AS (SELECT x, y, count(*) AS n FROM p GROUP BY x, y),
+        |cd AS (SELECT
+        |    COALESCE(SUM(CASE WHEN b.y > a.y THEN a.n * b.n END), 0) AS cc,
+        |    COALESCE(SUM(CASE WHEN b.y < a.y THEN a.n * b.n END), 0) AS dd
+        |  FROM c a JOIN c b ON b.x > a.x),
+        |mx AS (SELECT x, SUM(n) AS m FROM c GROUP BY x),
+        |my AS (SELECT y, SUM(n) AS m FROM c GROUP BY y),
+        |ux AS (SELECT COALESCE(SUM(a.m * b.m), 0) AS u
+        |  FROM mx a JOIN mx b ON b.x > a.x),
+        |uy AS (SELECT COALESCE(SUM(a.m * b.m), 0) AS u
+        |  FROM my a JOIN my b ON b.y > a.y),
+        |tot AS (SELECT SUM(n) AS nn, COUNT(*) AS k FROM c)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS n_cells,
+        |  CAST(cc AS DOUBLE) AS concordant, CAST(dd AS DOUBLE)
+        |    AS discordant,
+        |  round((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) /
+        |    (sqrt(CAST(ux.u AS DOUBLE)) * sqrt(CAST(uy.u AS DOUBLE))), 6)
+        |    + 0.0 AS tau_b
+        |FROM tot, cd, ux, uy""".stripMargin,
 
     // chi-square cells: every expected/contribution is ONE correctly-
     // rounded division of exact integers — deterministic per cell

@@ -1538,6 +1538,74 @@ object Analytics {
       t.as("t_stat"), dfW.as("df"))
   }
 
+  /** Kendall rank correlation (τ-b), exactly, at any scale. The naive
+    * statistic is O(n²) over ROWS; over the VALUE-PAIR contingency it is
+    * O(k²) over CELLS: with n_ab = |{rows: x=a, y=b}|,
+    *   C = Σ n_ab·n_cd over cell pairs with c>a, d>b (concordant),
+    *   D = Σ n_ab·n_cd over cell pairs with c>a, d<b (discordant),
+    *   τ_b = (C − D) / (√(n0−t_x)·√(n0−t_y)),
+    * n0 = n(n−1)/2, t_x/t_y the tied-pair counts from the marginals.
+    * Every sum is an exact decimal (n can exceed 2^63 pairs); the τ
+    * itself is the only float, a fixed tree of correctly-rounded casts.
+    *
+    * Scale shape: one groupBy(x,y) count scans the table once; the
+    * strict self-join runs over CELLS (|X|·|Y| of them — measures with
+    * bounded distinct domains, the operator's documented contract), so
+    * the quadratic term never touches row counts. Intended for the
+    * quantity/discount-style columns a 100 TB fact table actually has;
+    * a continuous measure should be bucketed first.
+    */
+  def kendallTau(df: DataFrame, x: String, y: String,
+      scale: Int = 2): DataFrame = {
+    val xd = col(x).cast(DecimalType(18, scale))
+    val yd = col(y).cast(DecimalType(18, scale))
+    val complete = df.select(xd.as("__x"), yd.as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = complete.groupBy("__x", "__y")
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("__n"))
+    val a = cells.select(col("__x").as("__ax"), col("__y").as("__ay"),
+      col("__n").as("__na"))
+    val b = cells.select(col("__x").as("__bx"), col("__y").as("__by"),
+      col("__n").as("__nb"))
+    // every unordered cell pair meets exactly once (strict x order)
+    val cd = a.join(b, col("__bx") > col("__ax"))
+      .agg(
+        coalesce(sum(when(col("__by") > col("__ay"),
+          (col("__na") * col("__nb")).cast(DecimalType(38, 0)))),
+          lit(0).cast(DecimalType(38, 0))).as("__C"),
+        coalesce(sum(when(col("__by") < col("__ay"),
+          (col("__na") * col("__nb")).cast(DecimalType(38, 0)))),
+          lit(0).cast(DecimalType(38, 0))).as("__D"))
+    // n0 − t_key (pairs NOT tied on the key) computed DIRECTLY as
+    // Σ_{a<c} m_a·m_c over the marginal — division-free, so no
+    // cross-engine decimal-division semantics ever enter
+    def untiedPairs(keyCol: String, out: String): DataFrame = {
+      val m = cells.groupBy(keyCol)
+        .agg(sum(col("__n")).cast(DecimalType(38, 0)).as("__m"))
+      val l = m.select(col(keyCol).as("__ka"), col("__m").as("__ma"))
+      val r = m.select(col(keyCol).as("__kb"), col("__m").as("__mb"))
+      l.join(r, col("__kb") > col("__ka"))
+        .agg(coalesce(sum((col("__ma") * col("__mb"))
+          .cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0)))
+          .as(out))
+    }
+    val totals = cells.agg(
+      sum(col("__n")).cast(DecimalType(38, 0)).as("__nn"),
+      count(lit(1)).as("n_cells"))
+    val joined = totals
+      .crossJoin(broadcast(cd))
+      .crossJoin(broadcast(untiedPairs("__x", "__ux")))
+      .crossJoin(broadcast(untiedPairs("__y", "__uy")))
+    val cD = col("__C").cast(DoubleType); val dD = col("__D").cast(DoubleType)
+    joined.select(
+      col("__nn").cast(LongType).as("n"),
+      col("n_cells"),
+      cD.as("concordant"), dD.as("discordant"),
+      ((cD - dD) /
+        (sqrt(col("__ux").cast(DoubleType)) *
+          sqrt(col("__uy").cast(DoubleType)))).as("tau_b"))
+  }
+
   /** Chi-square independence: the per-cell contingency table between two
     * categorical columns with observed count, expected count, and the
     * cell's χ² contribution. All counts and the contribution's

@@ -155,6 +155,64 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(math.abs(chi2 - 20.0 / 3) < 1e-12)
   }
 
+  // ---- kendallTau ----
+
+  test("kendallTau: strictly monotone data has tau exactly 1 / -1") {
+    val up = (1 to 12).map(i => (i.toDouble, (i * 3).toDouble))
+      .toDF("x", "y")
+    val r1 = Analytics.kendallTau(up, "x", "y")
+      .select("n", "concordant", "discordant", "tau_b")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r1._1 === 12L)
+    assert(r1._2 === 66.0) // 12*11/2 pairs, all concordant
+    assert(r1._3 === 0.0)
+    // sqrt(66)*sqrt(66) != 66 in doubles — tau is 1 up to one ulp
+    assert(math.abs(r1._4 - 1.0) < 1e-12)
+    val down = (1 to 12).map(i => (i.toDouble, (13 - i).toDouble))
+      .toDF("x", "y")
+    assert(math.abs(Analytics.kendallTau(down, "x", "y")
+      .select("tau_b").as[Double].head() + 1.0) < 1e-12)
+  }
+
+  test("kendallTau: hand-computed tau-b with ties") {
+    // rows: (1,1) (1,2) (2,1) (2,2) (2,2)
+    // cells: (1,1)=1 (1,2)=1 (2,1)=1 (2,2)=2
+    // C = 1*2 (=(1,1)->(2,2)x2) + ... concordant: (1,1)x(2,2): 1*2 = 2
+    // D = (1,2)x(2,1): 1*1 = 1
+    // untied x: m1=2, m2=3 -> 6 ; untied y: m1=2, m2=3 -> 6
+    // tau = (2-1)/(sqrt(6)*sqrt(6)) = 1/6
+    val df = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0),
+      (2.0, 2.0)).toDF("x", "y")
+    val r = Analytics.kendallTau(df, "x", "y")
+      .select("n", "n_cells", "concordant", "discordant", "tau_b")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert((r._1, r._2, r._3, r._4) === ((5L, 4L, 2.0, 1.0)))
+    assert(math.abs(r._5 - 1.0 / 6) < 1e-12)
+  }
+
+  test("kendallTau: independent checker over random-ish data " +
+    "(naive O(n^2) pairs)") {
+    val rows = (1 to 40).map(i =>
+      (((i * 7) % 11).toDouble, ((i * 13) % 5).toDouble))
+    var c = 0L; var d = 0L; var ux = 0L; var uy = 0L
+    for (i <- rows.indices; j <- (i + 1) until rows.size) {
+      val sx = math.signum(rows(j)._1 - rows(i)._1)
+      val sy = math.signum(rows(j)._2 - rows(i)._2)
+      if (sx != 0) ux += 1
+      if (sy != 0) uy += 1
+      if (sx * sy > 0) c += 1
+      if (sx * sy < 0) d += 1
+    }
+    val want = (c - d).toDouble / (math.sqrt(ux.toDouble) *
+      math.sqrt(uy.toDouble))
+    val got = Analytics.kendallTau(rows.toDF("x", "y"), "x", "y")
+      .select("concordant", "discordant", "tau_b")
+      .as[(Double, Double, Double)].head()
+    assert(got._1 === c.toDouble)
+    assert(got._2 === d.toDouble)
+    assert(math.abs(got._3 - want) < 1e-12)
+  }
+
   test("chi2Statistic: sorted fold is partition-order independent") {
     val rows = (1 to 200).map(i => (s"g${i % 5}", s"h${i % 7}"))
     val one = Analytics.chi2Statistic(

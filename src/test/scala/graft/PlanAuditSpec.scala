@@ -35,6 +35,9 @@ class PlanAuditSpec extends SparkTestBase {
   //    1-ROW grand-total frame
   //  - a43_chi2_cells: contingency CELLS (not rows) crossed with the
   //    broadcast 1-ROW grand-total N
+  //  - a44_kendall: strict (>) self-join over contingency CELLS and
+  //    marginal values — |X|·|Y| rows, never the table — plus 1-row
+  //    total frames crossed together
   private val allowed = Set(
     "a13_cross", "sim1_cosine_topk", "sim4_quantized_topk",
     "sim5_pq_topk", "sim5b_pq_exact", "sim7_pq_adc", "sim7b_adc_exact",
@@ -42,7 +45,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q11_important_values", "sim14_mmr", "t31_pmi",
     "sim15_binary_topk", "sim16_recall", "sim17_matryoshka",
     "dq3_key_skew", "s14_negatives", "ds3_loo_influence",
-    "a43_chi2_cells")
+    "a43_chi2_cells", "a44_kendall")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
