@@ -40,6 +40,14 @@ object SparkEntry {
     */
   private def r6z(c: Column): Column = round(c, 6) + lit(0.0)
 
+  /** The sim19 DCG discount table as a SQL VALUES body — the ONE
+    * source of the quantized weights shared by the Spark plan and the
+    * oracle (see [[graft.operators.Similarity.dcgWeights]]). */
+  private lazy val ndcgWeightRows: String =
+    graft.operators.Similarity.dcgWeights(10).zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, CAST($w AS DECIMAL(9,6)))" }
+      .mkString(", ")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -1095,6 +1103,28 @@ object SparkEntry {
       val truth = Similarity.bruteForceTopK(
         emb, "vec_id", "embedding", q, "qid", "qv", 10)
       Similarity.recallAtK(approx, truth, "qid", "vec_id", 10)
+        .orderBy("qid")
+    }),
+
+    // ---- similarity: NDCG@10 of prefix-dim retrieval vs exact ----
+    // Approx = cosine on the first 16 of 64 dims (a REAL lossy ranking);
+    // truth pool = exact top-50. Relevance and discounts are quantized
+    // six-decimal decimals, so DCG/IDCG are exact sums and NDCG is one
+    // double division per query.
+    "sim19_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val truth = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", q, "qid", "qv", 50)
+      val emb16 = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("emb16"))
+      val q16 = q.select(col("qid"), slice(col("qv"), 1, 16).as("qv16"))
+      val approx = Similarity.bruteForceTopK(
+        emb16, "vec_id", "emb16", q16, "qid", "qv16", 10)
+      Similarity.ndcgAtK(approx, truth, "qid", "vec_id", "sim", 10)
+        .select(col("qid"), col("dcg"), col("idcg"),
+          r6z(col("ndcg")).as("ndcg"))
         .orderBy("qid")
     }),
 
@@ -5795,6 +5825,49 @@ object SparkEntry {
         |  FROM s)
         |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // NDCG@10: exact-decimal DCG/IDCG (quantized relevance × the SAME
+    // quantized discount literals the engine uses), pooled relevance
+    // from the exact top-50, approx = prefix-dim cosine ranking
+    "sim19_ndcg" ->
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |tr AS (SELECT q.qid, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |      AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |t AS (SELECT qid, vec_id, rel, rank FROM (
+        |    SELECT qid, vec_id, CAST(round(sim, 6) AS DECIMAL(9,6)) AS rel,
+        |      CAST(row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |    FROM tr) z WHERE rank <= 50),
+        |ap AS (SELECT qid, vec_id, rank FROM (
+        |    SELECT q.qid, e.vec_id,
+        |      CAST(row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(
+        |          CAST(e.embedding[1:16] AS DOUBLE[]), q.qv[1:16]) DESC,
+        |          e.vec_id) AS INT) AS rank
+        |    FROM embeddings e, q WHERE e.vec_id <> q.qid) z
+        |  WHERE rank <= 10),
+        |w AS (SELECT * FROM (VALUES $ndcgWeightRows) tw(rank, w)),
+        |dcg AS (SELECT a.qid,
+        |    SUM(CAST(COALESCE(t.rel, CAST(0 AS DECIMAL(9,6))) * w.w
+        |      AS DECIMAL(28,12))) AS dcg
+        |  FROM ap a JOIN w USING (rank)
+        |  LEFT JOIN t ON t.qid = a.qid AND t.vec_id = a.vec_id
+        |  GROUP BY a.qid),
+        |idcg AS (SELECT t.qid,
+        |    SUM(CAST(t.rel * w.w AS DECIMAL(28,12))) AS idcg
+        |  FROM t JOIN w ON w.rank = t.rank WHERE t.rank <= 10
+        |  GROUP BY t.qid)
+        |SELECT i.qid,
+        |  CAST(COALESCE(d.dcg, 0) AS DOUBLE) AS dcg,
+        |  CAST(i.idcg AS DOUBLE) AS idcg,
+        |  CASE WHEN i.idcg = 0 THEN NULL
+        |       ELSE round(CAST(COALESCE(d.dcg, 0) AS DOUBLE) /
+        |         CAST(i.idcg AS DOUBLE), 6) + 0.0 END AS ndcg
+        |FROM idcg i LEFT JOIN dcg d USING (qid)
+        |ORDER BY qid""".stripMargin,
 
     "sim1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -781,6 +781,70 @@ object Similarity {
         (coalesce(col("hits"), lit(0L)).cast(DoubleType) / k).as("recall"))
   }
 
+  /** The DCG discount table round(1/log₂(i+1), 6), i = 1..k, as exact
+    * six-decimal BigDecimals — the operator and any oracle must share
+    * these LITERALS (re-deriving log₂ in two engines risks the last
+    * ulp; a fixed quantized table cannot).
+    */
+  private[graft] def dcgWeights(k: Int): Seq[java.math.BigDecimal] =
+    (1 to k).map { i =>
+      new java.math.BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+
+  /** NDCG@k of an approximate ranking against an exact one, with graded
+    * relevance = the TRUE similarity (quantized to DECIMAL(9,6)).
+    * DCG = Σ rel_q(doc@i)·w_i over the approx top-k, IDCG the same over
+    * the exact top-k; both sums are EXACT decimals (quantized relevance
+    * × quantized discount), so the result is partition-order and
+    * engine independent — the only float is the final division.
+    *
+    * Pooled-judgment contract: relevance is looked up from the `truth`
+    * frame (the pool); an approx pick outside the pool counts 0, the
+    * standard pooled-evaluation convention. `truth` should therefore be
+    * computed with a pool depth ≥ the worst expected approx excursion.
+    *
+    * Scale shape: two rank-filtered frames, one equi-join onto the
+    * pool, two group-by-query sums — queries parallelize, nothing is
+    * corpus-quadratic here (the rankings themselves came from the
+    * retrieval operators under audit).
+    */
+  def ndcgAtK(approx: DataFrame, truth: DataFrame, queryCol: String,
+      idCol: String, simCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ws = dcgWeights(k)
+    def wCol(rankCol: Column): Column =
+      ws.zipWithIndex.foldLeft(lit(null).cast(DecimalType(9, 6))) {
+        case (acc, (w, i)) =>
+          when(rankCol === (i + 1), lit(w).cast(DecimalType(9, 6)))
+            .otherwise(acc)
+      }
+    val zero6 = lit(0).cast(DecimalType(9, 6))
+    val relq = round(col(simCol), 6).cast(DecimalType(9, 6))
+    val rel = truth.select(col(queryCol), col(idCol), relq.as("__rel"))
+    val dcg = approx.where(col("rank") <= k)
+      .join(rel, Seq(queryCol, idCol), "left_outer")
+      .select(col(queryCol),
+        (coalesce(col("__rel"), zero6) * wCol(col("rank")))
+          .cast(DecimalType(28, 12)).as("__t"))
+      .groupBy(col(queryCol))
+      .agg(sum(col("__t")).cast(DecimalType(38, 12)).as("__dcg"))
+    val idcg = truth.where(col("rank") <= k)
+      .select(col(queryCol),
+        (relq * wCol(col("rank")))
+          .cast(DecimalType(28, 12)).as("__t"))
+      .groupBy(col(queryCol))
+      .agg(sum(col("__t")).cast(DecimalType(38, 12)).as("__idcg"))
+    val zero12 = lit(0).cast(DecimalType(38, 12))
+    idcg.join(dcg, Seq(queryCol), "left_outer")
+      .select(col(queryCol),
+        coalesce(col("__dcg"), zero12).cast(DoubleType).as("dcg"),
+        col("__idcg").cast(DoubleType).as("idcg"),
+        when(col("__idcg") === 0, lit(null).cast(DoubleType))
+          .otherwise(coalesce(col("__dcg"), zero12).cast(DoubleType) /
+            col("__idcg").cast(DoubleType)).as("ndcg"))
+  }
+
   /** Blocked near-duplicate pairs: within `blockCol` groups (e.g. a
     * cluster/label/LSH-bucket column), all pairs with cosine ≥ threshold.
     */

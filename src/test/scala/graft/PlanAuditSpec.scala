@@ -45,7 +45,10 @@ class PlanAuditSpec extends SparkTestBase {
     "q11_important_values", "sim14_mmr", "t31_pmi",
     "sim15_binary_topk", "sim16_recall", "sim17_matryoshka",
     "dq3_key_skew", "s14_negatives", "ds3_loo_influence",
-    "a43_chi2_cells", "a44_kendall")
+    "a43_chi2_cells", "a44_kendall",
+    // sim19: both rankings are the sim1 brute-force shape (tiny query
+    // set broadcast against the corpus)
+    "sim19_ndcg")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -799,4 +799,45 @@ class SimilaritySpec extends SparkTestBase {
       .agg(min(col("c")), max(col("c"))).head
     assert(rng.getInt(0) >= 0 && rng.getInt(1) < 4096)
   }
+
+  test("ndcgAtK: a perfect ranking scores exactly 1.0, and the " +
+    "discount table matches round(1/log2(i+1), 6)") {
+    val truth = Seq(
+      (1L, 10L, 0.9, 1), (1L, 11L, 0.8, 2), (1L, 12L, 0.7, 3))
+      .toDF("qid", "vec_id", "sim", "rank")
+    val r = Similarity.ndcgAtK(truth, truth, "qid", "vec_id", "sim", 3)
+      .select("dcg", "idcg", "ndcg").as[(Double, Double, Double)].head()
+    // dcg == idcg as EXACT decimals -> the division is exactly 1.0
+    assert(r._1 === r._2)
+    assert(r._3 === 1.0)
+    val w = Similarity.dcgWeights(3).map(_.doubleValue)
+    assert(w(0) === 1.0)
+    assert(math.abs(w(1) - 1.0 / (math.log(3) / math.log(2))) < 1e-6)
+    assert(r._2 === 0.9 * w(0) + 0.8 * w(1) + 0.7 * w(2))
+  }
+
+  test("ndcgAtK: swapped top-2 and an out-of-pool pick score the " +
+    "hand-computed value") {
+    val truth = Seq(
+      (1L, 10L, 0.5, 1), (1L, 11L, 0.25, 2))
+      .toDF("qid", "vec_id", "sim", "rank")
+    // approx: truth#2 first, then a doc OUTSIDE the pool (rel 0)
+    val approx = Seq((1L, 11L, 0.99, 1), (1L, 99L, 0.98, 2))
+      .toDF("qid", "vec_id", "sim", "rank")
+    val r = Similarity.ndcgAtK(approx, truth, "qid", "vec_id", "sim", 2)
+      .select("dcg", "idcg", "ndcg").as[(Double, Double, Double)].head()
+    // weights: w1 = 1.000000, w2 = 0.630930
+    assert(r._1 === 0.25 * 1.0) // rel(11)=0.25 at rank 1, rel 0 at rank 2
+    assert(r._2 === 0.5 * 1.0 + 0.25 * 0.630930)
+    assert(math.abs(r._3 - r._1 / r._2) < 1e-12)
+  }
+
+  test("ndcgAtK: relevance comes from the pool, not the approx scores") {
+    val truth = Seq((1L, 10L, 0.5, 1)).toDF("qid", "vec_id", "sim", "rank")
+    // approx claims a wild similarity — ndcg must ignore it
+    val approx = Seq((1L, 10L, 123.0, 1)).toDF("qid", "vec_id", "sim", "rank")
+    val n = Similarity.ndcgAtK(approx, truth, "qid", "vec_id", "sim", 1)
+      .select("ndcg").as[Double].head()
+    assert(n === 1.0)
+  }
 }
