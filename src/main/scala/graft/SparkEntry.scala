@@ -1682,6 +1682,18 @@ object SparkEntry {
           col("concordant"), col("discordant"),
           r6z(col("tau_b")).as("tau_b"))),
 
+    // ---- evaluation: Theil–Sen robust slope + intercept ----
+    // Weighted lower medians over the value-pair cell frame (the a44
+    // contract: O(k²) over bounded distinct domains, one table scan);
+    // equal rational slopes round to the identical double, so the
+    // ordering is engine-independent and division-free.
+    "a45_theil_sen" -> ((s, dir) =>
+      Analytics.theilSen(t(s, dir, "lineitem"),
+        "l_quantity", "l_discount")
+        .select(col("n"), col("n_cells"), col("n_pairs"),
+          r6z(col("slope")).as("slope"),
+          r6z(col("intercept")).as("intercept"))),
+
     // ---- evaluation: chi-square independence cells ----
     // event_type × hour contingency table with exact-integer expected/
     // contribution numerators — each double is one correctly-rounded
@@ -6598,6 +6610,40 @@ object SparkEntry {
         |  round((s2a + s2b)*(s2a + s2b) /
         |    (s2a*s2a/(na - 1) + s2b*s2b/(nb - 1)), 6) + 0.0 AS df
         |FROM v""".stripMargin,
+
+    // Theil–Sen: identical cell-pair frame, RANGE-cumulative weighted
+    // lower medians, LIMIT 1 selection
+    "a45_theil_sen" ->
+      """WITH p AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS y FROM lineitem
+        |  WHERE CAST(l_quantity AS DECIMAL(18,2)) IS NOT NULL
+        |    AND CAST(l_discount AS DECIMAL(18,2)) IS NOT NULL),
+        |c AS (SELECT x, y, CAST(count(*) AS DECIMAL(38,0)) AS n
+        |  FROM p GROUP BY x, y),
+        |pr AS (SELECT CAST(b.y - a.y AS DECIMAL(19,2)) AS num,
+        |    CAST(b.x - a.x AS DECIMAL(19,2)) AS den,
+        |    CAST(a.n * b.n AS DECIMAL(38,0)) AS w
+        |  FROM c a JOIN c b ON b.x > a.x),
+        |k AS (SELECT CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS k, w
+        |  FROM pr),
+        |s AS (SELECT k, SUM(w) OVER (ORDER BY k) AS cum,
+        |    SUM(w) OVER () AS tot, COUNT(*) OVER () AS np FROM k),
+        |sl AS (SELECT k AS slope, np AS n_pairs FROM s
+        |  WHERE cum * 2 >= tot ORDER BY k LIMIT 1),
+        |r AS (SELECT c.n AS w, sl.slope, sl.n_pairs,
+        |    CAST(c.y AS DOUBLE) - sl.slope * CAST(c.x AS DOUBLE) AS r
+        |  FROM c CROSS JOIN sl),
+        |t AS (SELECT slope, n_pairs, r, SUM(w) OVER (ORDER BY r) AS cum,
+        |    SUM(w) OVER () AS tot FROM r),
+        |ic AS (SELECT slope, n_pairs, r AS intercept,
+        |    CAST(tot AS BIGINT) AS n FROM t
+        |  WHERE cum * 2 >= tot ORDER BY r LIMIT 1)
+        |SELECT ic.n,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cells,
+        |  CAST(ic.n_pairs AS BIGINT) AS n_pairs,
+        |  round(ic.slope, 6) + 0.0 AS slope,
+        |  round(ic.intercept, 6) + 0.0 AS intercept
+        |FROM ic""".stripMargin,
 
     // Kendall tau-b: same strict cell joins, HUGEINT-exact counts,
     // identical final double tree

@@ -1606,6 +1606,76 @@ object Analytics {
           sqrt(col("__uy").cast(DoubleType)))).as("tau_b"))
   }
 
+  /** Theil–Sen robust regression over the value-pair contingency: slope
+    * = the WEIGHTED lower median of pairwise slopes (y_c−y_a)/(x_c−x_a)
+    * across cell pairs (weight n_a·n_c), intercept = the weighted lower
+    * median of per-cell residuals y − slope·x (weight n). Exactness
+    * argument: slopes compare through their correctly-rounded double
+    * value — two EQUAL rationals always round to the SAME double
+    * (num/den division of exactly-represented decimals is correctly
+    * rounded), so the value ordering is engine-independent and peers
+    * share a RANGE-frame cumulative weight; "lower median" = the
+    * smallest value whose doubled running weight reaches the total (no
+    * division anywhere in the selection).
+    *
+    * Scale shape: the [[kendallTau]] contract — one groupBy(x,y) scan,
+    * then cell-pair work (O(k²) over bounded distinct domains, never
+    * rows); the median windows order CELL-pair frames, not the table.
+    */
+  def theilSen(df: DataFrame, x: String, y: String,
+      scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val xd = col(x).cast(DecimalType(18, scale))
+    val yd = col(y).cast(DecimalType(18, scale))
+    val complete = df.select(xd.as("__x"), yd.as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = complete.groupBy("__x", "__y")
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("__n"))
+    val a = cells.select(col("__x").as("__ax"), col("__y").as("__ay"),
+      col("__n").as("__na"))
+    val b = cells.select(col("__x").as("__bx"), col("__y").as("__by"),
+      col("__n").as("__nb"))
+    val pairs = a.join(b, col("__bx") > col("__ax"))
+      .select(
+        (col("__by") - col("__ay")).cast(DecimalType(19, scale))
+          .as("__num"),
+        (col("__bx") - col("__ax")).cast(DecimalType(19, scale))
+          .as("__den"),
+        (col("__na") * col("__nb")).cast(DecimalType(38, 0)).as("__w"))
+      .withColumn("__k",
+        col("__num").cast(DoubleType) / col("__den").cast(DoubleType))
+    val wSlope = Window.orderBy(col("__k"))
+    val slopeRow = pairs
+      .withColumn("__cum", sum(col("__w")).over(wSlope))
+      .withColumn("__tot", sum(col("__w")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("__np", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .where(col("__cum") * 2 >= col("__tot"))
+      .orderBy(col("__k")).limit(1)
+      .select(col("__k").as("slope"), col("__np").as("n_pairs"))
+    val resid = cells.crossJoin(broadcast(slopeRow))
+      .select(col("__n").as("__w"), col("slope"), col("n_pairs"),
+        (col("__y").cast(DoubleType) -
+          col("slope") * col("__x").cast(DoubleType)).as("__r"))
+    val wInt = Window.orderBy(col("__r"))
+    val interceptRow = resid
+      .withColumn("__cum", sum(col("__w")).over(wInt))
+      .withColumn("__tot", sum(col("__w")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .where(col("__cum") * 2 >= col("__tot"))
+      .orderBy(col("__r")).limit(1)
+      .select(col("slope"), col("n_pairs"), col("__r").as("intercept"),
+        col("__tot").cast(LongType).as("n"))
+    interceptRow.crossJoin(broadcast(
+        cells.agg(count(lit(1)).as("n_cells"))))
+      .select(col("n"), col("n_cells"), col("n_pairs"),
+        col("slope"), col("intercept"))
+  }
+
   /** Chi-square independence: the per-cell contingency table between two
     * categorical columns with observed count, expected count, and the
     * cell's χ² contribution. All counts and the contribution's

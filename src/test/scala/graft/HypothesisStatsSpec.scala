@@ -213,6 +213,44 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(math.abs(got._3 - want) < 1e-12)
   }
 
+  // ---- theilSen ----
+
+  test("theilSen: exact line is recovered, immune to one wild outlier") {
+    // y = 2x + 3 on x = 1..9, plus one wild point — OLS would tilt,
+    // the median slope must not
+    val clean = (1 to 9).map(i => (i.toDouble, 2.0 * i + 3))
+    val df = (clean :+ ((5.0, 500.0))).toDF("x", "y")
+    val r = Analytics.theilSen(df, "x", "y")
+      .select("n", "slope", "intercept").as[(Long, Double, Double)].head()
+    assert(r._1 === 10L)
+    assert(r._2 === 2.0)
+    assert(r._3 === 3.0)
+  }
+
+  test("theilSen: weighted lower-median convention, hand-computed") {
+    // points: (1,1)x3, (2,2)x1 -> slopes: one pair (1,1)-(2,2) w=3
+    //   slope = 1; residuals r = y - x: 0 for all -> intercept 0
+    val df = (Seq.fill(3)((1.0, 1.0)) :+ ((2.0, 2.0))).toDF("x", "y")
+    val r = Analytics.theilSen(df, "x", "y")
+      .select("n", "n_cells", "n_pairs", "slope", "intercept")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r === ((4L, 2L, 1L, 1.0, 0.0)))
+  }
+
+  test("theilSen: even total weight picks the LOWER median") {
+    // cells: (0,0), (1,1), (2,4) each once -> pair slopes:
+    //   (0,0)-(1,1): 1 ; (0,0)-(2,4): 2 ; (1,1)-(2,4): 3
+    // weights all 1, total 3 -> median = slope 2... use 4 points for
+    // an even case: add (3,5): slopes 1,2,3, (1->3):2, (2->3):1, (0->3):5/3
+    // sorted: 1,1,5/3,2,2,3 (w=1 each, tot=6) -> lower median = 5/3
+    val df = Seq((0.0, 0.0), (1.0, 1.0), (2.0, 4.0), (3.0, 5.0))
+      .toDF("x", "y")
+    val r = Analytics.theilSen(df, "x", "y")
+      .select("n_pairs", "slope").as[(Long, Double)].head()
+    assert(r._1 === 6L)
+    assert(r._2 === 5.0 / 3.0)
+  }
+
   test("chi2Statistic: sorted fold is partition-order independent") {
     val rows = (1 to 200).map(i => (s"g${i % 5}", s"h${i % 7}"))
     val one = Analytics.chi2Statistic(

@@ -46,6 +46,8 @@ class PlanAuditSpec extends SparkTestBase {
     "sim15_binary_topk", "sim16_recall", "sim17_matryoshka",
     "dq3_key_skew", "s14_negatives", "ds3_loo_influence",
     "a43_chi2_cells", "a44_kendall",
+    // a45: the a44 cell-pair frame plus 1-row slope/total broadcasts
+    "a45_theil_sen",
     // sim19: both rankings are the sim1 brute-force shape (tiny query
     // set broadcast against the corpus)
     "sim19_ndcg")
