@@ -48,6 +48,13 @@ object SparkEntry {
       .map { case (w, i) => s"(${i + 1}, CAST($w AS DECIMAL(9,6)))" }
       .mkString(", ")
 
+  /** The a46 Benford expectation table as a SQL VALUES body (same
+    * shared-literal discipline as [[ndcgWeightRows]]). */
+  private lazy val benfordRows: String =
+    graft.operators.Analytics.benfordExpected.zipWithIndex
+      .map { case (e, i) => s"(${i + 1}, CAST($e AS DECIMAL(9,6)))" }
+      .mkString(", ")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -1681,6 +1688,16 @@ object SparkEntry {
         .select(col("n"), col("n_cells"),
           col("concordant"), col("discordant"),
           r6z(col("tau_b")).as("tau_b"))),
+
+    // ---- quality: Benford first-digit audit ----
+    // First significant digit extracted LEXICALLY (first [1-9] of the
+    // decimal rendering — no cross-engine log10), counted per digit,
+    // compared to the quantized Benford expectations.
+    "a46_benford" -> ((s, dir) =>
+      Analytics.benfordDigits(t(s, dir, "lineitem"), "l_extendedprice")
+        .select(col("digit"), col("n_digit"), r6z(col("share")).as("share"),
+          col("expected"), r6z(col("gap")).as("gap"))
+        .orderBy("digit")),
 
     // ---- evaluation: Theil–Sen robust slope + intercept ----
     // Weighted lower medians over the value-pair cell frame (the a44
@@ -6610,6 +6627,30 @@ object SparkEntry {
         |  round((s2a + s2b)*(s2a + s2b) /
         |    (s2a*s2a/(na - 1) + s2b*s2b/(nb - 1)), 6) + 0.0 AS df
         |FROM v""".stripMargin,
+
+    // Benford: lexical first significant digit ([1-9] of the decimal
+    // rendering — DECIMAL(18,2) renders identically in both engines),
+    // shared quantized expectation literals
+    "a46_benford" ->
+      s"""WITH v AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS xd
+        |  FROM lineitem
+        |  WHERE CAST(l_extendedprice AS DECIMAL(18,2)) IS NOT NULL
+        |    AND CAST(l_extendedprice AS DECIMAL(18,2)) > 0),
+        |c AS (SELECT CAST(regexp_extract(CAST(xd AS VARCHAR), '[1-9]', 0)
+        |      AS INT) AS digit, count(*) AS nd
+        |  FROM v GROUP BY 1),
+        |tot AS (SELECT SUM(nd) AS nn FROM c),
+        |e AS (SELECT * FROM (VALUES $benfordRows) te(digit, expect)),
+        |d AS (SELECT CAST(i AS INT) AS digit FROM range(1, 10) t(i))
+        |SELECT d.digit, CAST(COALESCE(c.nd, 0) AS BIGINT) AS n_digit,
+        |  round(CAST(COALESCE(c.nd, 0) AS DOUBLE) /
+        |    CAST(tot.nn AS DOUBLE), 6) + 0.0 AS share,
+        |  CAST(e.expect AS DOUBLE) AS expected,
+        |  round(CAST(COALESCE(c.nd, 0) AS DOUBLE) /
+        |    CAST(tot.nn AS DOUBLE) - CAST(e.expect AS DOUBLE), 6) + 0.0
+        |    AS gap
+        |FROM d LEFT JOIN c USING (digit) JOIN e USING (digit)
+        |CROSS JOIN tot ORDER BY d.digit""".stripMargin,
 
     // Theil–Sen: identical cell-pair frame, RANGE-cumulative weighted
     // lower medians, LIMIT 1 selection

@@ -1606,6 +1606,54 @@ object Analytics {
           sqrt(col("__uy").cast(DoubleType)))).as("tau_b"))
   }
 
+  /** The Benford first-digit expectations log₁₀(1+1/d), d = 1..9,
+    * quantized to six decimals — shared literals for plan and oracle
+    * (the [[graft.operators.Similarity.dcgWeights]] discipline). */
+  private[graft] def benfordExpected: Seq[java.math.BigDecimal] =
+    (1 to 9).map { d =>
+      new java.math.BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+
+  /** Benford first-digit audit of a positive measure — the classic
+    * fabricated-data / unit-mixing screen. The first SIGNIFICANT digit
+    * is extracted lexically (first [1-9] of the decimal rendering, so
+    * 0.05 → 5 and 123.45 → 1 — no log10 whose last ulp could differ
+    * across engines), counted per digit, and compared to the quantized
+    * Benford expectation. `share` is one double division per digit;
+    * `gap` one subtraction. Rows with a null/≤0 measure are excluded.
+    * One map-side-combined count shuffle (9 groups) + a 1-row total.
+    */
+  def benfordDigits(df: DataFrame, measure: String,
+      scale: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val xd = col(measure).cast(DecimalType(18, scale))
+    val digit = regexp_extract(xd.cast(StringType), "[1-9]", 0)
+      .cast(IntegerType)
+    val counts = df.where(xd.isNotNull && xd > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_digit"))
+    val digits = spark.range(1, 10)
+      .select(col("id").cast(IntegerType).as("digit"))
+    val expected = benfordExpected.zipWithIndex
+      .foldLeft(lit(null).cast(DecimalType(9, 6))) { case (acc, (e, i)) =>
+        when(col("digit") === (i + 1), lit(e).cast(DecimalType(9, 6)))
+          .otherwise(acc)
+      }
+    val total = counts.agg(sum(col("n_digit")).as("__N"))
+    digits
+      .join(counts, Seq("digit"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n_digit"), lit(0L)).as("n_digit"),
+        (coalesce(col("n_digit"), lit(0L)).cast(DoubleType) /
+          col("__N").cast(DoubleType)).as("share"),
+        expected.cast(DoubleType).as("expected"),
+        ((coalesce(col("n_digit"), lit(0L)).cast(DoubleType) /
+          col("__N").cast(DoubleType)) -
+          expected.cast(DoubleType)).as("gap"))
+  }
+
   /** Theil–Sen robust regression over the value-pair contingency: slope
     * = the WEIGHTED lower median of pairwise slopes (y_c−y_a)/(x_c−x_a)
     * across cell pairs (weight n_a·n_c), intercept = the weighted lower

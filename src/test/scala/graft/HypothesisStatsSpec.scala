@@ -213,6 +213,41 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(math.abs(got._3 - want) < 1e-12)
   }
 
+  // ---- benfordDigits ----
+
+  test("benfordDigits: lexical first significant digit, all 9 rows " +
+    "emitted, exclusion contract") {
+    val df = Seq(Option(123.45), Option(0.05), Option(900.0),
+      Option(9.99), Option(-77.0) /* excluded */, Option(0.0) /* excl */,
+      None /* excluded */).toDF("v")
+    val out = Analytics.benfordDigits(df, "v")
+      .orderBy("digit")
+      .select("digit", "n_digit", "share")
+      .as[(Int, Long, Double)].collect()
+    assert(out.length === 9) // digits with zero hits still appear
+    val m = out.map(r => r._1 -> r._2).toMap
+    assert(m(1) === 1L) // 123.45
+    assert(m(5) === 1L) // 0.05 -> first SIGNIFICANT digit 5
+    assert(m(9) === 2L) // 900.00 and 9.99
+    assert(out.map(_._2).sum === 4L)
+    assert(out.find(_._1 == 9).get._3 === 0.5)
+  }
+
+  test("benfordDigits: expectations are the quantized Benford table " +
+    "and shares sum to 1") {
+    // 2^k for k=0..30 is classically Benford-ish; just pin the table
+    val df = (0 to 30).map(k => math.pow(2.0, k)).toDF("v")
+    val out = Analytics.benfordDigits(df, "v")
+      .orderBy("digit").select("digit", "expected", "share")
+      .as[(Int, Double, Double)].collect()
+    val want = Analytics.benfordExpected.map(_.doubleValue)
+    assert(out.map(_._2).toSeq === want)
+    assert(math.abs(want.sum - 1.0) < 1e-4) // table itself ~ sums to 1
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-12)
+    // leading digit of powers of two: 1 appears most (Benford behavior)
+    assert(out.head._3 === out.map(_._3).max)
+  }
+
   // ---- theilSen ----
 
   test("theilSen: exact line is recovered, immune to one wild outlier") {

@@ -48,6 +48,8 @@ class PlanAuditSpec extends SparkTestBase {
     "a43_chi2_cells", "a44_kendall",
     // a45: the a44 cell-pair frame plus 1-row slope/total broadcasts
     "a45_theil_sen",
+    // a46: nine digit rows crossed with the broadcast 1-ROW total
+    "a46_benford",
     // sim19: both rankings are the sim1 brute-force shape (tiny query
     // set broadcast against the corpus)
     "sim19_ndcg")
