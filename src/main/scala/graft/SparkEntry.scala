@@ -1689,6 +1689,19 @@ object SparkEntry {
           col("concordant"), col("discordant"),
           r6z(col("tau_b")).as("tau_b"))),
 
+    // ---- time series: Mann–Kendall monotone-trend test per user ----
+    // Exact integer S and tie-corrected variance numerator over the
+    // (ts, event_id) order; continuity-corrected z is one fixed double
+    // tree. Per-key O(m²) with bounded per-key history (ewma contract).
+    "ts9_mann_kendall" -> ((s, dir) =>
+      Analytics.mannKendall(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        keyCol = "user_id", tsCol = "ts", measure = "value",
+        tieBreak = "event_id")
+        .select(col("key").as("user_id"), col("n"), col("s"),
+          col("var18"), r6z(col("z")).as("z"))
+        .orderBy("user_id")),
+
     // ---- quality: Benford first-digit audit ----
     // First significant digit extracted LEXICALLY (first [1-9] of the
     // decimal rendering — no cross-engine log10), counted per digit,
@@ -6627,6 +6640,37 @@ object SparkEntry {
         |  round((s2a + s2b)*(s2a + s2b) /
         |    (s2a*s2a/(na - 1) + s2b*s2b/(nb - 1)), 6) + 0.0 AS df
         |FROM v""".stripMargin,
+
+    // Mann–Kendall: pair signs re-derived with a per-key self-join on
+    // the (us, tie) order; exact integer S/var18, identical z tree
+    "ts9_mann_kendall" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+        |    event_id AS tie,
+        |    CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |sp AS (SELECT a.k,
+        |    SUM(CASE WHEN b.x > a.x THEN 1
+        |             WHEN b.x < a.x THEN -1 ELSE 0 END) AS s
+        |  FROM e a JOIN e b ON b.k = a.k
+        |    AND (b.us > a.us OR (b.us = a.us AND b.tie > a.tie))
+        |  GROUP BY a.k),
+        |m AS (SELECT k, count(*) AS m FROM e GROUP BY k),
+        |t AS (SELECT k, SUM(t*(t-1)*(2*t+5)) AS tt FROM
+        |  (SELECT k, x, count(*) AS t FROM e GROUP BY k, x) z
+        |  GROUP BY k),
+        |v AS (SELECT m.k, m.m, COALESCE(sp.s, 0) AS s,
+        |    m.m*(m.m-1)*(2*m.m+5) - COALESCE(t.tt, 0) AS v18
+        |  FROM m LEFT JOIN sp USING (k) LEFT JOIN t USING (k))
+        |SELECT k AS user_id, CAST(m AS BIGINT) AS n,
+        |  CAST(s AS BIGINT) AS s, CAST(v18 AS BIGINT) AS var18,
+        |  round(CASE WHEN s = 0 THEN 0.0
+        |    WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) /
+        |      sqrt(CAST(v18 AS DOUBLE) / 18.0)
+        |    ELSE (CAST(s AS DOUBLE) + 1.0) /
+        |      sqrt(CAST(v18 AS DOUBLE) / 18.0) END, 6) + 0.0 AS z
+        |FROM v ORDER BY user_id""".stripMargin,
 
     // Benford: lexical first significant digit ([1-9] of the decimal
     // rendering — DECIMAL(18,2) renders identically in both engines),

@@ -1606,6 +1606,71 @@ object Analytics {
           sqrt(col("__uy").cast(DoubleType)))).as("tau_b"))
   }
 
+  /** Mann–Kendall monotone-trend test per key: over the (ts, tie)
+    * total order, S = Σ_{i<j} sgn(x_j − x_i) (exact integer), the
+    * tie-corrected variance numerator
+    * var18 = m(m−1)(2m+5) − Σ_t t(t−1)(2t+5) (exact integer; variance
+    * = var18/18), and the continuity-corrected z = (S∓1)/√(var18/18) —
+    * a fixed double tree. S = 0 pins z = 0 exactly (S ≠ 0 implies
+    * var18 > 0, so the division is always defined).
+    *
+    * Per-key O(m²) pair scan inside `mapGroups` — keys parallelize and
+    * m is a bounded per-key history (the ewma/holt contract: users/
+    * devices/sensors, not the corpus). m is required < 2⁶³ᐟ³-safe
+    * (≈ 1M) so m(m−1)(2m+5) stays an exact long.
+    *
+    * Observation contract: rows with null key/time or a measure that
+    * does not stabilize to DECIMAL(18,2) are excluded (shared with
+    * ts3/ts8); keys cast to long.
+    */
+  def mannKendall(df: DataFrame, keyCol: String, tsCol: String,
+      measure: String, tieBreak: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df.select(
+      col(keyCol).cast(LongType).as("k"),
+      col(tsCol).cast(TimestampType).as("ts"),
+      col(tieBreak).cast(LongType).as("tie"),
+      col(measure).cast(DecimalType(18, 2)).cast(DoubleType).as("x"))
+      .where(col("k").isNotNull && col("ts").isNotNull &&
+        col("tie").isNotNull && col("x").isNotNull)
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    prepared.groupByKey(_._1).mapGroups { (k, it) =>
+      // micros, not getTime ms — sub-millisecond order must match the
+      // oracle's epoch_us ordering
+      val xs = it.map { case (_, ts, tie, x) =>
+        (Math.floorDiv(ts.getTime, 1000L) * 1000000L +
+          ts.getNanos / 1000L, tie, x)
+      }.toArray.sortBy(r => (r._1, r._2))
+      val m = xs.length
+      require(m < 1000000,
+        s"mannKendall key $k has $m observations; the exact long " +
+          "variance arithmetic is bounded at 1M per key")
+      var s = 0L
+      var i = 0
+      while (i < m) {
+        var j = i + 1
+        while (j < m) {
+          val d = xs(j)._3 - xs(i)._3
+          if (d > 0) s += 1 else if (d < 0) s -= 1
+          j += 1
+        }
+        i += 1
+      }
+      val mL = m.toLong
+      val tieSum = xs.groupBy(_._3).valuesIterator
+        .map { g => val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }
+        .sum
+      val var18 = mL * (mL - 1) * (2 * mL + 5) - tieSum
+      val z =
+        if (s == 0L) 0.0
+        else if (s > 0L) (s.toDouble - 1.0) /
+          math.sqrt(var18.toDouble / 18.0)
+        else (s.toDouble + 1.0) / math.sqrt(var18.toDouble / 18.0)
+      (k, mL, s, var18, z)
+    }.toDF("key", "n", "s", "var18", "z")
+  }
+
   /** The Benford first-digit expectations log₁₀(1+1/d), d = 1..9,
     * quantized to six decimals — shared literals for plan and oracle
     * (the [[graft.operators.Similarity.dcgWeights]] discipline). */

@@ -323,6 +323,60 @@ class SmoothingSpec extends SparkTestBase {
     assert(tr.forall(_ == 0.0))
   }
 
+  test("mannKendall: monotone series has S = m(m-1)/2 and the " +
+    "hand-computed z") {
+    val df = (1 to 10).map(i => ("a", i.toLong, i.toLong, i * 2.0))
+      .toDF("grp", "id", "tsl", "v")
+      .withColumn("ts", col("tsl").cast("timestamp"))
+      .withColumn("k", lit(1L))
+    val r = Analytics.mannKendall(df, "k", "ts", "v", "id")
+      .select("n", "s", "var18", "z")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r._1 === 10L)
+    assert(r._2 === 45L) // all 45 pairs ascending
+    assert(r._3 === 10L * 9 * 25) // no ties
+    assert(r._4 === 44.0 / math.sqrt(2250.0 / 18.0))
+  }
+
+  test("mannKendall: ties reduce var18, constant series pins z = 0") {
+    val const = (1 to 6).map(i => (1L, i.toLong, 5.0))
+      .toDF("k", "tsl", "v")
+      .withColumn("ts", col("tsl").cast("timestamp"))
+      .withColumn("id", col("tsl"))
+    val rc = Analytics.mannKendall(const, "k", "ts", "v", "id")
+      .select("s", "var18", "z").as[(Long, Long, Double)].head()
+    assert(rc._1 === 0L)
+    assert(rc._2 === 6L * 5 * 17 - 6L * 5 * 17) // one tie group of 6
+    assert(rc._3 === 0.0)
+    // one tie pair: values 1,1,2 -> S = 2, var18 = 3*2*11 - 2*1*9 = 48
+    val tied = Seq((1L, 1L, 1.0), (1L, 2L, 1.0), (1L, 3L, 2.0))
+      .toDF("k", "tsl", "v")
+      .withColumn("ts", col("tsl").cast("timestamp"))
+      .withColumn("id", col("tsl"))
+    val rt = Analytics.mannKendall(tied, "k", "ts", "v", "id")
+      .select("s", "var18", "z").as[(Long, Long, Double)].head()
+    assert(rt._1 === 2L)
+    assert(rt._2 === 48L)
+    assert(rt._3 === 1.0 / math.sqrt(48.0 / 18.0))
+  }
+
+  test("mannKendall: descending series is the negative mirror and " +
+    "partition count does not matter") {
+    val rows = (1 to 12).map(i => (7L, i.toLong, (13 - i).toDouble))
+    def run(parts: Int) = Analytics.mannKendall(
+      rows.toDF("k", "tsl", "v")
+        .withColumn("ts", col("tsl").cast("timestamp"))
+        .withColumn("id", col("tsl")).repartition(parts),
+      "k", "ts", "v", "id")
+      .select("s", "z").as[(Long, Double)].head()
+    val (s1, z1) = run(1)
+    val (s7, z7) = run(7)
+    assert(s1 === -66L)
+    assert(s1 === s7)
+    assert(z1 === z7)
+    assert(z1 < 0)
+  }
+
   test("holt: observation contract + partition-count independence") {
     val base = Seq(
       ("a", Option(1L), Option(10.0)),
