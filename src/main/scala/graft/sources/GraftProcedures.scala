@@ -37,7 +37,7 @@ object GraftProcedures {
 
   private val Names = Seq("compact", "vacuum", "restore",
     "materialize_field_ids", "tag", "untag", "mv_create", "mv_refresh",
-    "clone")
+    "clone", "layout_report", "cluster_health")
 
   private[sources] def list(namespace: Array[String]): Array[Identifier] =
     Names.map(n => Identifier.of(namespace, n)).toArray
@@ -58,6 +58,8 @@ object GraftProcedures {
       case "mv_create" => Some(MvCreateProcedure(owner))
       case "mv_refresh" => Some(MvRefreshProcedure(owner))
       case "clone" => Some(CloneProcedure(owner))
+      case "layout_report" => Some(LayoutReportProcedure(owner))
+      case "cluster_health" => Some(ClusterHealthProcedure(owner))
       case _ => None
     }
 
@@ -196,6 +198,63 @@ object GraftProcedures {
         StructField("cloned_to", StringType),
         StructField("version", LongType))),
         org.apache.spark.unsafe.types.UTF8String.fromString(dst), v)
+    }
+  }
+
+  /** `CALL graft.layout_report('ns.t' [, target_file_bytes => N])` —
+    * the [[TableHealth.layoutReport]] fragmentation report from one
+    * manifest read. */
+  private case class LayoutReportProcedure(owner: GraftCatalog)
+      extends MaintenanceProcedure {
+    override def name(): String = "layout_report"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("target_file_bytes", LongType, "NULL"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = tablePath(input)
+      val target = if (input.isNullAt(1)) 128L * 1024 * 1024
+        else input.getLong(1)
+      val r = TableHealth.layoutReport(spark, path, target).head()
+      oneRow(StructType(Seq(
+        StructField("version", LongType),
+        StructField("n_files", LongType),
+        StructField("n_rows", LongType),
+        StructField("total_bytes", LongType),
+        StructField("avg_file_bytes", LongType),
+        StructField("small_files", LongType),
+        StructField("small_file_fraction", DoubleType),
+        StructField("recommended_files", LongType))),
+        r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7))
+    }
+  }
+
+  /** `CALL graft.cluster_health('ns.t', 'col')` — the
+    * [[TableHealth.boundsOverlap]] clustering-health report. */
+  private case class ClusterHealthProcedure(owner: GraftCatalog)
+      extends MaintenanceProcedure {
+    override def name(): String = "cluster_health"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("column", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = tablePath(input)
+      require(!input.isNullAt(1), "column must not be null")
+      val colName = input.getUTF8String(1).toString
+      val r = TableHealth.boundsOverlap(spark, path, colName).head()
+      oneRow(StructType(Seq(
+        StructField("column", StringType),
+        StructField("n_files", LongType),
+        StructField("files_with_bounds", LongType),
+        StructField("overlapping_pairs", LongType),
+        StructField("possible_pairs", LongType),
+        StructField("overlap_fraction", DoubleType))),
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          r.getString(0)),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))
     }
   }
 
