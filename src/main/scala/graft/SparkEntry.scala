@@ -1833,6 +1833,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- text: PII scrubbing (training-data redaction) ----
+    // Deterministic PII (email, credit card, SSN-shape, +phone, IPv4)
+    // is injected per document, then redacted to category tokens with
+    // per-category hit counts — one chained regexp pass, RE2∩Java
+    // patterns, zero shuffles.
+    "t34_pii_scrub" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" Contact user"), col("doc_id"),
+          lit("@example.com or +1555"),
+          lpad((col("doc_id") % 10000).cast("string"), 7, "0"),
+          lit(" ip 10.0."), col("doc_id") % 256,
+          lit("."), (col("doc_id") * 3) % 256,
+          lit(" ssn 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" card 4111 1111 1111 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+          .as("text"))
+      TextAnalysis.piiReport(injected, "doc_id", "text")
+        .select(col("doc_id"), col("n_email"), col("n_cc"), col("n_ssn"),
+          col("n_phone"), col("n_ip"), col("n_pii"), col("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text: URL canonicalization + registered domain ----
     // Deterministic mixed-case URLs with default port, utm_* tracking
     // params, unsorted params, and a fragment are built per event; the
@@ -6976,6 +7000,50 @@ object SparkEntry {
         |    AS BIGINT) AS clean_len,
         |  trim(regexp_replace(t1, '[ \t\n\r]+', ' ', 'g')) AS clean_text
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // PII scrub: identical pattern chain (order matters: cc before
+    // phone shapes, ssn 3-2-4 before phone), counts on the ORIGINAL
+    // text via regexp_extract_all
+    "t34_pii_scrub" ->
+      """WITH d AS (SELECT doc_id, concat(text,
+        |    ' Contact user', doc_id, '@example.com or +1555',
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0'),
+        |    ' ip 10.0.', doc_id % 256, '.', (doc_id * 3) % 256,
+        |    ' ssn 123-45-',
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |    ' card 4111 1111 1111 ',
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{4}([ -][0-9]{4}){3}\b')) AS BIGINT) AS n_cc,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+[0-9]{7,15}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text,
+        |      '\b[0-9]{4}([ -][0-9]{4}){3}\b'))
+        |    + len(regexp_extract_all(text,
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+        |    + len(regexp_extract_all(text, '\+[0-9]{7,15}'))
+        |    + len(regexp_extract_all(text,
+        |      '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_pii,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |    '\b[0-9]{4}([ -][0-9]{4}){3}\b', '<CC>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g') AS scrubbed
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // URL canonicalization: same regex splits; pmod mirrored with
     // ((x % 50) + 50) % 50; param pipeline is string_split ->

@@ -1105,4 +1105,48 @@ object TextAnalysis {
     df.withColumn("canon_url", canonicalUrl(col(urlCol)))
       .withColumn("host", urlHost(col(urlCol)))
       .withColumn("domain", urlDomain(col(urlCol)))
+
+  // ---- PII scrubbing (training-data redaction) ----
+
+  /** The PII pattern table, ordered: (category, RE2∩Java regex,
+    * replacement token). Order matters — the credit-card pattern must
+    * fire before the generic digit runs it contains, the SSN shape
+    * (3-2-4) before the phone shapes. All patterns avoid lookarounds
+    * and backreferences so the oracle can run them verbatim.
+    */
+  private[graft] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    ("cc", "\\b[0-9]{4}([ -][0-9]{4}){3}\\b", "<CC>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<ID>"),
+    ("phone", "\\+[0-9]{7,15}", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>"))
+
+  /** Replace every PII hit with its category token — one chained,
+    * codegen'd `regexp_replace` pass, map-side. */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, re, tok)) =>
+      regexp_replace(c, re, tok)
+    }
+
+  /** Per-document PII report: scrubbed text plus a hit count per
+    * category (counted on the ORIGINAL text — patterns are mutually
+    * non-overlapping by construction, so counts are independent of the
+    * replacement order). One scan, zero shuffles.
+    */
+  def piiReport(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(
+      docs.select(col(idCol), col(textCol))) {
+      case (d, (cat, re, _)) =>
+        d.withColumn(s"n_$cat",
+          regexp_count(col(textCol), lit(re)).cast(LongType))
+    }
+    counted
+      .withColumn("scrubbed", scrubPii(col(textCol)))
+      .withColumn("n_pii",
+        PiiPatterns.map { case (cat, _, _) => col(s"n_$cat") }
+          .reduce(_ + _))
+      .drop(textCol)
+  }
 }

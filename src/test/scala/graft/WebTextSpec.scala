@@ -79,6 +79,43 @@ class WebTextSpec extends SparkTestBase {
     assert(d === "example.com")
   }
 
+  // ---- PII scrubbing ----
+
+  test("scrubPii: each category redacts to its token") {
+    val s = Seq((1L,
+      "mail a.b+c@test.org, card 4111 1111 1111 1234, " +
+        "ssn 123-45-6789, call +15551234567, host 192.168.0.1 end"))
+      .toDF("id", "t")
+      .select(TextAnalysis.scrubPii(col("t"))).as[String].head()
+    assert(s === "mail <EMAIL>, card <CC>, ssn <ID>, call <PHONE>, " +
+      "host <IP> end")
+  }
+
+  test("piiReport: per-category counts on the original text") {
+    val df = Seq(
+      (1L, "x@y.io and z@w.co plus 10.0.0.1"),
+      (2L, "clean text, no secrets"),
+      (3L, "123-45-6789 123-45-0000")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiReport(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_email", "n_ip", "n_ssn", "n_pii")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out(0) === ((2L, 1L, 0L, 3L)))
+    assert(out(1) === ((0L, 0L, 0L, 0L)))
+    assert(out(2) === ((0L, 0L, 2L, 2L)))
+  }
+
+  test("scrubPii: ordering protects the credit card from the partial " +
+    "SSN-shape and boundaries hold") {
+    // 4-4-4-4 digit groups must become <CC>, never a partial <ID> hit;
+    // a 5-octet dotted run is NOT an IP (no \b match on the inner run)
+    val r = Seq((1L, "4111-1111-1111-1111 and 1.2.3.4.5"))
+      .toDF("id", "t")
+      .select(TextAnalysis.scrubPii(col("t"))).as[String].head()
+    assert(r.contains("<CC>"))
+    assert(!r.contains("<ID>"))
+  }
+
   test("normalizeUrls: two URLs differing only in canon-irrelevant " +
     "parts collide") {
     val df = Seq(
