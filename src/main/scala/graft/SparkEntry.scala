@@ -3062,6 +3062,17 @@ object SparkEntry {
     "dq2_dup_keys" -> ((s, dir) =>
       Quality.duplicateKeys(t(s, dir, "events"), Seq("user_id", "event_type"))),
 
+    // ---- data quality: referential-integrity (FK orphan) report ----
+    // events.user_id → customer.c_custkey: one left-anti join against
+    // the distinct parent keys; null FKs reported separately (SQL FK
+    // semantics never flag them).
+    "dq5_fk_orphans" -> ((s, dir) =>
+      Quality.fkOrphans(t(s, dir, "events"), t(s, dir, "customer"),
+        Seq("user_id"), Seq("c_custkey"))
+        .select(col("n_rows"), col("n_null_fk"), col("n_checked"),
+          col("n_orphan_rows"), col("n_orphan_keys"),
+          r6z(col("orphan_fraction")).as("orphan_fraction"))),
+
     // ---- data quality: shuffle-key skew profile ----
     // The pre-flight a join/groupBy key gets before a 100 TB shuffle:
     // heaviest keys, their share, and the straggler multiplier skew_x
@@ -7755,6 +7766,25 @@ object SparkEntry {
         |  CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS excess_rows
         |FROM (SELECT user_id, event_type, COUNT(*) AS n FROM events
         |      GROUP BY user_id, event_type) WHERE n > 1""".stripMargin,
+
+    // FK orphans: NOT IN over the non-null parent keys re-derives the
+    // anti-join; null FKs counted apart, fraction one double division
+    "dq5_fk_orphans" ->
+      """WITH ch AS (SELECT user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |o AS (SELECT user_id FROM ch WHERE user_id NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+        |SELECT
+        |  (SELECT count(*) FROM events) AS n_rows,
+        |  (SELECT count(*) FROM events WHERE user_id IS NULL)
+        |    AS n_null_fk,
+        |  (SELECT count(*) FROM ch) AS n_checked,
+        |  (SELECT count(*) FROM o) AS n_orphan_rows,
+        |  (SELECT count(DISTINCT user_id) FROM o) AS n_orphan_keys,
+        |  round(CASE WHEN (SELECT count(*) FROM ch) = 0 THEN 0.0
+        |    ELSE CAST((SELECT count(*) FROM o) AS DOUBLE) /
+        |      CAST((SELECT count(*) FROM ch) AS DOUBLE) END, 6) + 0.0
+        |    AS orphan_fraction""".stripMargin,
 
     "dq3_key_skew" ->
       """WITH k AS (SELECT user_id, COUNT(*) AS cnt

@@ -82,6 +82,43 @@ object Quality {
         col("__n_keys").as("n_keys"), col("__total").as("total_rows"))
   }
 
+  /** Referential-integrity report: how many child rows carry a foreign
+    * key with no matching parent row. `n_null_fk` rows (any fk column
+    * null) are reported separately — SQL FK semantics never flag them
+    * as violations. Orphans come from ONE left-anti join against the
+    * DISTINCT parent keys (at 100 TB that is the standard shuffled
+    * anti-join, broadcast when the key set is small); the report row
+    * assembles exact counts, with the fraction as one double division.
+    */
+  def fkOrphans(child: DataFrame, parent: DataFrame,
+      fkCols: Seq[String], pkCols: Seq[String]): DataFrame = {
+    require(fkCols.nonEmpty && fkCols.size == pkCols.size,
+      "fkOrphans needs matching, non-empty fk/pk column lists")
+    val fkComplete = fkCols.map(col(_).isNotNull).reduce(_ && _)
+    val checked = child.where(fkComplete)
+    val parentKeys = parent
+      .select(pkCols.map(col): _*)
+      .where(pkCols.map(col(_).isNotNull).reduce(_ && _))
+      .toDF(fkCols: _*)
+      .distinct()
+    val orphans = checked.select(fkCols.map(col): _*)
+      .join(parentKeys, fkCols, "left_anti")
+    val base = child.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(!fkComplete, 1L).otherwise(0L)).as("n_null_fk"),
+      sum(when(fkComplete, 1L).otherwise(0L)).as("n_checked"))
+    val orph = orphans.agg(
+      count(lit(1)).as("n_orphan_rows"),
+      count_distinct(col(fkCols.head),
+        fkCols.tail.map(col): _*).as("n_orphan_keys"))
+    base.crossJoin(broadcast(orph))
+      .select(col("n_rows"), col("n_null_fk"), col("n_checked"),
+        col("n_orphan_rows"), col("n_orphan_keys"),
+        when(col("n_checked") === 0, lit(0.0))
+          .otherwise(col("n_orphan_rows").cast("double") /
+            col("n_checked").cast("double")).as("orphan_fraction"))
+  }
+
   /** Fail-fast gate: throws if any rule is violated. */
   def enforce(df: DataFrame, rules: Seq[Rule]): Unit = {
     val row = check(df, rules).head()

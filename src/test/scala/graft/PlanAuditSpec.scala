@@ -50,6 +50,8 @@ class PlanAuditSpec extends SparkTestBase {
     "a45_theil_sen",
     // a46: nine digit rows crossed with the broadcast 1-ROW total
     "a46_benford",
+    // dq5: base counts crossed with the broadcast 1-ROW orphan counts
+    "dq5_fk_orphans",
     // sim19: both rankings are the sim1 brute-force shape (tiny query
     // set broadcast against the corpus)
     "sim19_ndcg")

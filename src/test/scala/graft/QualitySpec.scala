@@ -59,4 +59,36 @@ class QualitySpec extends SparkTestBase {
     assert(got.head.isNullAt(0) && got.head.getLong(1) === 3L)
     assert(got.head.getDouble(2) === 60.0)
   }
+
+  test("fkOrphans: orphan rows/keys counted, null FKs set aside") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L),
+      Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Quality.fkOrphans(child, parent, Seq("fk"), Seq("pk"))
+      .select("n_rows", "n_null_fk", "n_checked", "n_orphan_rows",
+        "n_orphan_keys", "orphan_fraction")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(r._1 === 7L)
+    assert(r._2 === 1L)      // the null FK is not a violation
+    assert(r._3 === 6L)
+    assert(r._4 === 3L)      // three rows point at missing key 9
+    assert(r._5 === 1L)      // ... which is one distinct orphan key
+    assert(r._6 === 0.5)
+  }
+
+  test("fkOrphans: clean references and composite keys report zero") {
+    val child = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k1", "k2")
+    val parent = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("p1", "p2")
+    val r = Quality.fkOrphans(child, parent,
+      Seq("k1", "k2"), Seq("p1", "p2"))
+      .select("n_orphan_rows", "orphan_fraction")
+      .as[(Long, Double)].head()
+    assert(r === ((0L, 0.0)))
+    // composite: a partial match is STILL an orphan
+    val child2 = Seq((1L, "zzz")).toDF("k1", "k2")
+    val r2 = Quality.fkOrphans(child2, parent,
+      Seq("k1", "k2"), Seq("p1", "p2"))
+      .select("n_orphan_rows").as[Long].head()
+    assert(r2 === 1L)
+  }
 }
