@@ -1833,6 +1833,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- text: sentence segmentation (chunking preprocessing) ----
+    // The fixture corpus has no punctuation, so terminators are
+    // injected deterministically (every " table " becomes a sentence
+    // break, plus a !?-run tail); raw-position indexes keep gaps where
+    // an empty piece was dropped (contract).
+    "t35_sentences" -> ((s, dir) =>
+      TextAnalysis.sentences(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(replace(col("text"), lit(" table "), lit(". ")),
+            lit("! Fin?! Done. ")).as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id", "sentence_idx")),
+
     // ---- text: PII scrubbing (training-data redaction) ----
     // Deterministic PII (email, credit card, SSN-shape, +phone, IPv4)
     // is injected per document, then redacted to category tokens with
@@ -7011,6 +7024,27 @@ object SparkEntry {
         |    AS BIGINT) AS clean_len,
         |  trim(regexp_replace(t1, '[ \t\n\r]+', ' ', 'g')) AS clean_text
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // sentence segmentation: raw-split positions via the t31 idx-join
+    // pattern, empties filtered AFTER numbering (index gaps intended)
+    "t35_sentences" ->
+      """WITH d AS (SELECT doc_id,
+        |    concat(replace(text, ' table ', '. '), '! Fin?! Done. ')
+        |      AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    string_split_regex(text, '[.!?]+[ \t\n\r]+') AS parts
+        |  FROM d),
+        |mx AS (SELECT max(len(parts)) AS m FROM s),
+        |idx AS (SELECT CAST(i AS INT) AS i FROM
+        |  (SELECT unnest(range(1, (SELECT m FROM mx) + 1)) AS i) z),
+        |e AS (SELECT doc_id, idx.i AS sentence_idx,
+        |    trim(parts[idx.i]) AS sentence
+        |  FROM s JOIN idx ON idx.i <= len(parts))
+        |SELECT doc_id, sentence_idx, sentence,
+        |  CAST(length(sentence) AS BIGINT) AS n_chars
+        |FROM e WHERE sentence <> ''
+        |ORDER BY doc_id, sentence_idx""".stripMargin,
 
     // PII scrub: identical pattern chain (order matters: cc before
     // phone shapes, ssn 3-2-4 before phone), counts on the ORIGINAL

@@ -1106,6 +1106,25 @@ object TextAnalysis {
       .withColumn("host", urlHost(col(urlCol)))
       .withColumn("domain", urlDomain(col(urlCol)))
 
+  // ---- sentence segmentation (chunking preprocessing) ----
+
+  /** Split documents into sentences on terminator runs followed by
+    * whitespace (`[.!?]+\s+` — RE2∩Java, no lookbehind, so the split
+    * CONSUMES the terminator except on the final sentence; documented
+    * contract, the downstream chunkers only need stable boundaries).
+    * Emits (id, sentence_idx 1-based, sentence, n_chars), empty pieces
+    * dropped. Map-side explode — one scan, no shuffle.
+    */
+  def sentences(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), "[.!?]+[ \\t\\n\\r]+"))
+          .as(Seq("__i", "__s")))
+      .select(col(idCol), (col("__i") + 1).as("sentence_idx"),
+        trim(col("__s")).as("sentence"))
+      .where(col("sentence") =!= "")
+      .withColumn("n_chars", length(col("sentence")).cast(LongType))
+
   // ---- PII scrubbing (training-data redaction) ----
 
   /** The PII pattern table, ordered: (category, RE2∩Java regex,

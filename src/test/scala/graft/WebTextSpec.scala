@@ -79,6 +79,32 @@ class WebTextSpec extends SparkTestBase {
     assert(d === "example.com")
   }
 
+  // ---- sentence segmentation ----
+
+  test("sentences: terminator runs split, final punctuation stays on " +
+    "the last sentence") {
+    val df = Seq((1L, "First one. Second!! Third?? The last one."))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.sentences(df, "doc_id", "text")
+      .orderBy("sentence_idx")
+      .select("sentence_idx", "sentence", "n_chars")
+      .as[(Int, String, Long)].collect()
+    assert(out.map(_._2).toSeq === Seq(
+      "First one", "Second", "Third", "The last one."))
+    assert(out.map(_._1).toSeq === Seq(1, 2, 3, 4))
+    assert(out.head._3 === 9L)
+  }
+
+  test("sentences: empty pieces are dropped but keep index gaps") {
+    // ". . x" -> raw parts ("", "", "x"... actually ". " then ". "
+    val df = Seq((1L, "a. .  b.   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.sentences(df, "doc_id", "text")
+      .orderBy("sentence_idx")
+      .select("sentence_idx", "sentence").as[(Int, String)].collect()
+    assert(out.map(_._2).forall(_.nonEmpty))
+    assert(out.map(_._1).toSeq === out.map(_._1).toSeq.sorted)
+  }
+
   // ---- PII scrubbing ----
 
   test("scrubPii: each category redacts to its token") {
