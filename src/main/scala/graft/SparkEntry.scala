@@ -1702,6 +1702,28 @@ object SparkEntry {
           col("var18"), r6z(col("z")).as("z"))
         .orderBy("user_id")),
 
+    // ---- prep: per-group mode (deterministic tie-break) ----
+    "a47_mode" -> ((s, dir) =>
+      Normalize.modePerGroup(
+        t(s, dir, "events").where(col("user_id").isNotNull),
+        Seq("user_id"), "event_type")
+        .orderBy("user_id")),
+
+    // ---- prep: per-group median imputation ----
+    // Nulls injected deterministically (event_id % 7) are filled with
+    // the per-event_type exact median; everything else passes through.
+    "p7_impute_median" -> ((s, dir) =>
+      Normalize.imputeMedian(
+        t(s, dir, "events")
+          .where(col("event_id").isNotNull && col("event_type").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            when(col("event_id") % 7 === 0, lit(null).cast("double"))
+              .otherwise(col("value")).as("value")),
+        Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"),
+          r6z(col("value")).as("value"))
+        .orderBy("event_id")),
+
     // ---- quality: Benford first-digit audit ----
     // First significant digit extracted LEXICALLY (first [1-9] of the
     // decimal rendering — no cross-engine log10), counted per digit,
@@ -6719,6 +6741,32 @@ object SparkEntry {
         |    ELSE (CAST(s AS DOUBLE) + 1.0) /
         |      sqrt(CAST(v18 AS DOUBLE) / 18.0) END, 6) + 0.0 AS z
         |FROM v ORDER BY user_id""".stripMargin,
+
+    // mode: max count, ties to the smallest value — one row_number
+    "a47_mode" ->
+      """SELECT user_id, mode, n_mode FROM (
+        |  SELECT user_id, event_type AS mode,
+        |    count(*) AS n_mode,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY count(*) DESC, event_type) AS rk
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY user_id, event_type) z
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    // impute: quantile_cont == Spark's sort-based percentile (a18
+    // precedent); injected nulls filled per group, the rest pass through
+    "p7_impute_median" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM e WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  round(COALESCE(e.value, m.med), 6) + 0.0 AS value
+        |FROM e LEFT JOIN m USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     // Benford: lexical first significant digit ([1-9] of the decimal
     // rendering — DECIMAL(18,2) renders identically in both engines),

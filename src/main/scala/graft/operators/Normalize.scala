@@ -83,4 +83,44 @@ object Normalize {
     df.select(specs.map { case (in, out, dt) =>
       col(in).cast(dt).as(out)
     }.toIndexedSeq: _*)
+
+  /** Most frequent value per group (deterministic: ties break to the
+    * SMALLEST value, so the answer is engine-portable). Nulls are never
+    * a mode (they are what imputation fills). One count aggregate, one
+    * group-local window over value-count rows — group cardinality sized,
+    * never row sized.
+    */
+  def modePerGroup(df: DataFrame, keyCols: Seq[String],
+      valCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "modePerGroup needs at least one key")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(valCol).isNotNull)
+      .groupBy((keyCols :+ valCol).map(col): _*)
+      .agg(count(lit(1)).as("n_mode"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(desc("n_mode"), col(valCol))
+    counts.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(keyCols.map(col) :+ col(valCol).as("mode") :+
+        col("n_mode"): _*)
+  }
+
+  /** Median imputation: null `measure` values are replaced by the
+    * per-group exact median (Spark's sort-based `percentile`, which is
+    * bit-equal to `quantile_cont` — the a18 precedent); non-null values
+    * pass through untouched and an all-null group stays null. The
+    * median frame is group-count-sized and broadcast — the data is
+    * scanned twice but never shuffled on rows.
+    */
+  def imputeMedian(df: DataFrame, keyCols: Seq[String],
+      measure: String): DataFrame = {
+    require(keyCols.nonEmpty, "imputeMedian needs at least one key")
+    val med = df.where(col(measure).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(expr(s"percentile($measure, 0.5)").as("__med"))
+    df.join(broadcast(med), keyCols, "left_outer")
+      .withColumn(measure,
+        coalesce(col(measure), col("__med")))
+      .drop("__med")
+  }
 }

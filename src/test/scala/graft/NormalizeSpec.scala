@@ -63,4 +63,31 @@ class NormalizeSpec extends SparkTestBase {
     assert(out.columns.toSeq === Seq("temp_f", "zone"))
     assert(out.head.getFloat(0) === 3.5f)
   }
+
+  test("modePerGroup: max count wins, ties break to the smallest value") {
+    import spark.implicits._
+    val df = Seq(("u1", "b"), ("u1", "b"), ("u1", "a"),
+      ("u2", "z"), ("u2", "y"), // tie -> 'y'
+      ("u3", null)).toDF("k", "v")
+    val out = Normalize.modePerGroup(df, Seq("k"), "v")
+      .orderBy("k").select("k", "mode", "n_mode")
+      .as[(String, String, Long)].collect()
+    assert(out === Array(("u1", "b", 2L), ("u2", "y", 1L)))
+    // u3: only nulls -> no mode row at all
+  }
+
+  test("imputeMedian: nulls filled per group, non-nulls untouched, " +
+    "all-null group stays null") {
+    import spark.implicits._
+    val df = Seq(("g1", Some(1.0)), ("g1", Some(3.0)), ("g1", None),
+      ("g2", Some(10.0)), ("g2", None),
+      ("g3", None)).toDF("g", "v")
+    val out = Normalize.imputeMedian(df, Seq("g"), "v")
+      .orderBy("g", "v").select("g", "v")
+      .as[(String, Option[Double])].collect()
+    assert(out === Array(
+      ("g1", Some(1.0)), ("g1", Some(2.0)), ("g1", Some(3.0)),
+      ("g2", Some(10.0)), ("g2", Some(10.0)),
+      ("g3", None)))
+  }
 }
