@@ -1702,6 +1702,22 @@ object SparkEntry {
           col("var18"), r6z(col("z")).as("z"))
         .orderBy("user_id")),
 
+    // ---- evaluation: two-proportion z-test (A/B conversion) ----
+    // Purchase rate, even- vs odd-user arms: exact counts in one pass,
+    // rates/pooled/z a fixed double tree.
+    "a48_prop_test" -> ((s, dir) =>
+      Analytics.propTest(
+        t(s, dir, "events")
+          .where(col("user_id").isNotNull)
+          .withColumn("grp",
+            when(col("user_id") % 2 === 0, "a").otherwise("b")),
+        groupCol = "grp", success = col("event_type") === "purchase",
+        groupA = "a", groupB = "b")
+        .select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+          r6z(col("rate_a")).as("rate_a"), r6z(col("rate_b")).as("rate_b"),
+          r6z(col("rate_pooled")).as("rate_pooled"),
+          r6z(col("z")).as("z"))),
+
     // ---- prep: per-group mode (deterministic tie-break) ----
     "a47_mode" -> ((s, dir) =>
       Normalize.modePerGroup(
@@ -6741,6 +6757,30 @@ object SparkEntry {
         |    ELSE (CAST(s AS DOUBLE) + 1.0) /
         |      sqrt(CAST(v18 AS DOUBLE) / 18.0) END, 6) + 0.0 AS z
         |FROM v ORDER BY user_id""".stripMargin,
+
+    // two-proportion z: exact counts via FILTER, identical double tree
+    "a48_prop_test" ->
+      """WITH s AS (SELECT
+        |    count(*) FILTER (WHERE user_id % 2 = 0) AS na,
+        |    count(*) FILTER (WHERE user_id % 2 <> 0) AS nb,
+        |    count(*) FILTER (WHERE user_id % 2 = 0
+        |      AND event_type = 'purchase') AS xa,
+        |    count(*) FILTER (WHERE user_id % 2 <> 0
+        |      AND event_type = 'purchase') AS xb
+        |  FROM events WHERE user_id IS NOT NULL),
+        |d AS (SELECT na, nb, xa, xb,
+        |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+        |    CAST(xa AS DOUBLE) AS xad, CAST(xb AS DOUBLE) AS xbd FROM s),
+        |r AS (SELECT na, nb, xa, xb, nad, nbd,
+        |    xad/nad AS pa, xbd/nbd AS pb,
+        |    (xad + xbd)/(nad + nbd) AS pool FROM d)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(xa AS BIGINT) AS x_a, CAST(xb AS BIGINT) AS x_b,
+        |  round(pa, 6) + 0.0 AS rate_a, round(pb, 6) + 0.0 AS rate_b,
+        |  round(pool, 6) + 0.0 AS rate_pooled,
+        |  round((pa - pb) /
+        |    sqrt(pool*(1.0 - pool)*(1.0/nad + 1.0/nbd)), 6) + 0.0 AS z
+        |FROM r""".stripMargin,
 
     // mode: max count, ties to the smallest value — one row_number
     "a47_mode" ->

@@ -1789,6 +1789,37 @@ object Analytics {
         col("slope"), col("intercept"))
   }
 
+  /** Two-proportion z-test — the A/B conversion-rate primitive. One
+    * conditional-aggregate pass collects exact trial/success counts per
+    * arm; rates, the pooled rate, and the z statistic are a fixed double
+    * tree over them. `success` is any boolean column expression;
+    * rows outside both arms are ignored.
+    */
+  def propTest(df: DataFrame, groupCol: String, success: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val inA = col(groupCol) === groupA
+    val inB = col(groupCol) === groupB
+    val s = success.cast(BooleanType)
+    val sums = df.agg(
+      sum(when(inA, 1L).otherwise(0L)).as("__na"),
+      sum(when(inB, 1L).otherwise(0L)).as("__nb"),
+      sum(when(inA && s, 1L).otherwise(0L)).as("__xa"),
+      sum(when(inB && s, 1L).otherwise(0L)).as("__xb"))
+    val na = col("__na").cast(DoubleType)
+    val nb = col("__nb").cast(DoubleType)
+    val xa = col("__xa").cast(DoubleType)
+    val xb = col("__xb").cast(DoubleType)
+    val pa = xa / na; val pb = xb / nb
+    val pool = (xa + xb) / (na + nb)
+    val z = (pa - pb) /
+      sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb))
+    sums.select(
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      col("__xa").as("x_a"), col("__xb").as("x_b"),
+      pa.as("rate_a"), pb.as("rate_b"), pool.as("rate_pooled"),
+      z.as("z"))
+  }
+
   /** Chi-square independence: the per-cell contingency table between two
     * categorical columns with observed count, expected count, and the
     * cell's χ² contribution. All counts and the contribution's

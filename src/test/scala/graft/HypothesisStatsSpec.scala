@@ -213,6 +213,39 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(math.abs(got._3 - want) < 1e-12)
   }
 
+  // ---- propTest ----
+
+  test("propTest: hand-computed two-proportion z") {
+    // arm a: 3/6 convert; arm b: 1/4 convert
+    val rows = Seq.fill(3)(("a", true)) ++ Seq.fill(3)(("a", false)) ++
+      Seq.fill(1)(("b", true)) ++ Seq.fill(3)(("b", false)) ++
+      Seq(("c", true)) // outside both arms: ignored
+    val df = rows.toDF("grp", "ok")
+    val r = Analytics.propTest(df, "grp", col("ok"), "a", "b")
+      .select("n_a", "n_b", "x_a", "x_b", "rate_a", "rate_b",
+        "rate_pooled", "z")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .head()
+    assert((r._1, r._2, r._3, r._4) === ((6L, 4L, 3L, 1L)))
+    assert(r._5 === 0.5)
+    assert(r._6 === 0.25)
+    assert(r._7 === 0.4)
+    val want = (0.5 - 0.25) /
+      math.sqrt(0.4 * 0.6 * (1.0 / 6 + 1.0 / 4))
+    assert(math.abs(r._8 - want) < 1e-12)
+  }
+
+  test("propTest: identical arms give z = 0; null success not counted") {
+    val rows = Seq(("a", Some(true)), ("a", Some(false)), ("a", None),
+      ("b", Some(true)), ("b", Some(false)), ("b", None))
+    val r = Analytics.propTest(rows.toDF("grp", "ok"), "grp",
+      col("ok"), "a", "b")
+      .select("n_a", "x_a", "z").as[(Long, Long, Double)].head()
+    assert(r._1 === 3L) // null-success rows still count as trials
+    assert(r._2 === 1L) // ... but never as successes
+    assert(r._3 === 0.0)
+  }
+
   // ---- benfordDigits ----
 
   test("benfordDigits: lexical first significant digit, all 9 rows " +
