@@ -1094,10 +1094,71 @@ object TextAnalysis {
 
   /** Naive registered domain: the last two dot-labels of the host (no
     * public-suffix list in a zero-dependency engine — co.uk-style
-    * suffixes group one level too coarse, documented contract). */
+    * suffixes group one level too coarse, documented contract; see
+    * [[urlDomainPsl]] for the snapshot-backed form). */
   def urlDomain(url: Column): Column =
     regexp_extract(regexp_replace(urlHost(url), ":[0-9]+$", ""),
       "([^.:]+\\.[^.:]+)$", 1)
+
+  /** Trimmed snapshot of the public suffix list (publicsuffix.org,
+    * ICANN section — public data): the 2-label registry suffixes of
+    * the highest-traffic ccTLDs. Under these, a registrable domain is
+    * THREE labels (`shop.co.uk`), not two — the naive [[urlDomain]]
+    * collapses every `*.co.uk` site into one key, which merges
+    * unrelated domains in per-domain dedup/quality rollups. Trimmed =
+    * 2-label entries only; deeper/wildcard PSL rules (e.g. the
+    * `*.ck`-style wildcards and 3-label city registries) fall back to
+    * the naive form — documented contract, replace the snapshot to
+    * widen. Sorted, deduped; the oracle shares the literal list.
+    */
+  private[graft] val PublicSuffixes2: Seq[String] = Seq(
+    "ac.il", "ac.in", "ac.jp", "ac.ke", "ac.kr", "ac.nz", "ac.th",
+    "ac.uk", "ac.za", "ad.jp", "asn.au", "co.id", "co.il", "co.in",
+    "co.jp", "co.ke", "co.kr", "co.nz", "co.th", "co.uk", "co.ve",
+    "co.za", "com.ar", "com.au", "com.bd", "com.bo", "com.br",
+    "com.cn", "com.co", "com.do", "com.ec", "com.eg", "com.gt",
+    "com.hk", "com.hn", "com.mx", "com.my", "com.ng", "com.ni",
+    "com.pa", "com.pe", "com.ph", "com.pk", "com.py", "com.sa",
+    "com.sg", "com.sv", "com.tr", "com.tw", "com.ua", "com.uy",
+    "com.ve", "com.vn", "ed.jp", "edu.ar", "edu.au", "edu.bd",
+    "edu.br", "edu.cn", "edu.co", "edu.eg", "edu.hk", "edu.in",
+    "edu.mx", "edu.my", "edu.ng", "edu.pk", "edu.ph", "edu.sa",
+    "edu.sg", "edu.tr", "edu.ua", "edu.vn", "firm.in", "gen.in",
+    "gen.nz", "gen.tr", "go.id", "go.jp", "go.ke", "go.kr", "go.th",
+    "gob.ar", "gob.mx", "gob.pe", "gov.au", "gov.bd", "gov.br",
+    "gov.cn", "gov.co", "gov.eg", "gov.hk", "gov.il", "gov.in",
+    "gov.my", "gov.ng", "gov.ph", "gov.pk", "gov.sa", "gov.sg",
+    "gov.tr", "gov.ua", "gov.uk", "gov.vn", "gov.za", "gr.jp",
+    "id.au", "idv.hk", "idv.tw", "in.th", "in.ua", "ind.in",
+    "lg.jp", "ltd.uk", "me.uk", "med.sa", "muni.il", "ne.jp",
+    "ne.ke", "ne.kr", "net.ar", "net.au", "net.bd", "net.br",
+    "net.cn", "net.co", "net.eg", "net.hk", "net.il", "net.in",
+    "net.mx", "net.my", "net.ng", "net.nz", "net.pe", "net.ph",
+    "net.pk", "net.sa", "net.sg", "net.tr", "net.tw", "net.ua",
+    "net.uk", "net.vn", "net.za", "nic.in", "nom.co", "or.id",
+    "or.jp", "or.ke", "or.kr", "or.th", "org.ar", "org.au",
+    "org.bd", "org.br", "org.cn", "org.co", "org.eg", "org.hk",
+    "org.il", "org.in", "org.mx", "org.my", "org.ng", "org.nz",
+    "org.pe", "org.ph", "org.pk", "org.sa", "org.sg", "org.tr",
+    "org.tw", "org.ua", "org.uk", "org.vn", "org.za", "pe.kr",
+    "plc.uk", "re.kr", "res.in", "sc.ke", "sch.id", "sch.sa",
+    "sch.uk", "web.id", "web.tr", "web.za")
+
+  /** PSL-aware registered domain: when the host's last two labels are
+    * a public suffix from the snapshot, the registrable domain is the
+    * last THREE labels (`shop.co.uk`); otherwise the naive last-two
+    * form. The membership test is a literal `isin` (compiles to a
+    * Catalyst `InSet` hash probe — O(1) per row, codegen'd, map-side,
+    * no join, no broadcast state to manage at 100 TB).
+    */
+  def urlDomainPsl(url: Column): Column = {
+    val host = regexp_replace(urlHost(url), ":[0-9]+$", "")
+    val labels = split(host, "\\.")
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    when(size(labels) >= 3 && last2.isin(PublicSuffixes2: _*),
+      concat_ws(".", slice(labels, -3, 3)))
+      .otherwise(regexp_extract(host, "([^.:]+\\.[^.:]+)$", 1))
+  }
 
   /** Per-row URL normalization: canonical url + host + registered
     * domain. Map-side only. */
@@ -1149,20 +1210,24 @@ object TextAnalysis {
     }
 
   /** Per-document PII report: scrubbed text plus a hit count per
-    * category (counted on the ORIGINAL text — patterns are mutually
-    * non-overlapping by construction, so counts are independent of the
-    * replacement order). One scan, zero shuffles.
+    * category. Each category is counted on the text AFTER the previous
+    * categories' replacements — exactly the hits [[scrubPii]] replaces,
+    * so shapes that overlap across categories (`user@10.0.0.1` matches
+    * both the email and IPv4 patterns) are attributed once, to the
+    * first pattern in the chain, never double-counted. One scan, zero
+    * shuffles.
     */
   def piiReport(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val counted = PiiPatterns.foldLeft(
-      docs.select(col(idCol), col(textCol))) {
-      case (d, (cat, re, _)) =>
-        d.withColumn(s"n_$cat",
-          regexp_count(col(textCol), lit(re)).cast(LongType))
+    val (counted, scrubbed) = PiiPatterns.foldLeft(
+      (docs.select(col(idCol), col(textCol)), col(textCol))) {
+      case ((d, cur), (cat, re, tok)) =>
+        (d.withColumn(s"n_$cat",
+          regexp_count(cur, lit(re)).cast(LongType)),
+          regexp_replace(cur, re, tok))
     }
     counted
-      .withColumn("scrubbed", scrubPii(col(textCol)))
+      .withColumn("scrubbed", scrubbed)
       .withColumn("n_pii",
         PiiPatterns.map { case (cat, _, _) => col(s"n_$cat") }
           .reduce(_ + _))

@@ -1699,17 +1699,29 @@ object VersionedTable {
     * version is no longer the expected one, throw WITHOUT deleting the
     * staged files — the caller (WAP publish) keeps its session open to
     * rebase or abort.
+    *
+    * `deleteOnDuplicate` separates the two retry contracts. The
+    * streaming sink re-STAGES fresh duplicate files on retry, so the
+    * already-committed branch must delete them (true, the default). A
+    * WAP publish retries with the SAME file names the first commit may
+    * already reference — deleting them would corrupt the committed
+    * manifest (silent data loss), so Wap.publish passes false: on a
+    * duplicate the files are left alone (they are committed data), and
+    * on a lost-races failure they also survive so the still-open
+    * session marker never lists deleted files.
     */
   private[sources] def commitStagedIdempotent(spark: SparkSession,
       table: String, files: Seq[String], writerId: String, epoch: Long,
-      maxRetries: Int = 20, requireVersion: Option[Long] = None): Long = {
+      maxRetries: Int = 20, requireVersion: Option[Long] = None,
+      deleteOnDuplicate: Boolean = true): Long = {
     val f = fs(spark, table)
     var attempt = 0
     while (attempt < maxRetries) {
       val (v, lines) = latestRaw(spark, table)
       val txns = txnMap(lines)
       if (txns.get(writerId).exists(_ >= epoch)) {
-        files.foreach(n => f.delete(new Path(table, n), false))
+        if (deleteOnDuplicate)
+          files.foreach(n => f.delete(new Path(table, n), false))
         return v
       }
       requireVersion.filter(_ != v).foreach { expect =>
@@ -1726,7 +1738,8 @@ object VersionedTable {
         return v + 1
       attempt += 1
     }
-    files.foreach(n => f.delete(new Path(table, n), false))
+    if (deleteOnDuplicate)
+      files.foreach(n => f.delete(new Path(table, n), false))
     throw new IllegalStateException(
       s"streaming epoch commit lost $maxRetries races")
   }

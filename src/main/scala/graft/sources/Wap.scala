@@ -144,19 +144,32 @@ object Wap {
     val f = fsOf(spark, h.table)
     require(f.exists(markerPath(h.table, h.wapId)),
       s"WAP session '${h.wapId}' on ${h.table} is not open")
+    // deleteOnDuplicate=false: a crashed-and-retried publish re-commits
+    // the SAME file names the first commit already referenced — the
+    // streaming-sink duplicate path (delete the retry's fresh copies)
+    // would here delete committed data out from under the manifest
     val v = VersionedTable.commitStagedIdempotent(spark, h.table,
       h.files, writerId = s"graft-wap-${h.wapId}", epoch = 1L,
       requireVersion = if (requireBaseUnchanged) Some(h.baseVersion)
-        else None)
+        else None,
+      deleteOnDuplicate = false)
     f.delete(markerPath(h.table, h.wapId), false)
     VersionedTable.invalidateCache(h.table)
     v
   }
 
-  /** Discard the session: staged files deleted now, marker removed. */
+  /** Discard the session: staged files deleted now, marker removed.
+    * The MARKER is the authority on what is still un-committed: a stale
+    * handle held past a successful publish must not delete the
+    * now-committed data files, so abort requires the session to still
+    * be open and deletes exactly the files the marker lists. */
   def abort(spark: SparkSession, h: Handle): Unit = {
     val f = fsOf(spark, h.table)
-    h.files.foreach(n => f.delete(new Path(h.table, n), false))
+    require(f.exists(markerPath(h.table, h.wapId)),
+      s"WAP session '${h.wapId}' on ${h.table} is not open (already " +
+        "published or aborted) — nothing to abort")
+    val cur = readMarker(f, h.table, h.wapId)
+    cur.files.foreach(n => f.delete(new Path(h.table, n), false))
     f.delete(markerPath(h.table, h.wapId), false)
   }
 }

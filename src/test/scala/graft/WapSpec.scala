@@ -114,6 +114,50 @@ class WapSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, t).count() === 3)
   }
 
+  test("crash between commit and marker delete: retried publish keeps " +
+    "the committed data files intact") {
+    val t = freshTable("crashwin")
+    val h = Wap.write(spark, Wap.begin(spark, t, "rel-7"),
+      Seq((3L, "c")).toDF("id", "v"))
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(t, "_wap-rel-7.marker")
+    // capture what the crashed process's marker looked like
+    val markerBytes = {
+      val len = f.getFileStatus(marker).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(marker); try in.readFully(buf) finally in.close()
+      buf
+    }
+    val v1 = Wap.publish(spark, h)
+    // simulate the crash window: commit landed but the marker delete
+    // never ran — restore the marker as the dead process left it
+    val out = f.create(marker, true)
+    try out.write(markerBytes) finally out.close()
+    // new process retries: resume + publish with the SAME file names
+    val r = Wap.resume(spark, t, "rel-7")
+    val v2 = Wap.publish(spark, r)
+    assert(v2 === v1) // idempotent: no second version
+    // the regression: the duplicate branch used to DELETE the files the
+    // first commit references — all rows must still be readable
+    assert(VersionedTable.read(spark, t).as[(Long, String)].collect()
+      .toSet === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(r.files.forall(n =>
+      f.exists(new org.apache.hadoop.fs.Path(t, n))))
+  }
+
+  test("abort on a stale handle after publish refuses instead of " +
+    "deleting committed data") {
+    val t = freshTable("staleabort")
+    val h = Wap.write(spark, Wap.begin(spark, t, "rel-8"),
+      Seq((3L, "c")).toDF("id", "v"))
+    Wap.publish(spark, h)
+    intercept[IllegalArgumentException] {
+      Wap.abort(spark, h) // session closed — must not touch the table
+    }
+    assert(VersionedTable.read(spark, t).count() === 3)
+  }
+
   test("concurrent sessions stage independently and publish in turn") {
     val t = freshTable("multi")
     val a = Wap.write(spark, Wap.begin(spark, t, "rel-a"),

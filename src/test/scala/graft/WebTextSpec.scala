@@ -117,7 +117,8 @@ class WebTextSpec extends SparkTestBase {
       "host <IP> end")
   }
 
-  test("piiReport: per-category counts on the original text") {
+  test("piiReport: per-category counts match what the chained scrub " +
+    "replaces") {
     val df = Seq(
       (1L, "x@y.io and z@w.co plus 10.0.0.1"),
       (2L, "clean text, no secrets"),
@@ -131,6 +132,22 @@ class WebTextSpec extends SparkTestBase {
     assert(out(2) === ((0L, 0L, 2L, 2L)))
   }
 
+  test("piiReport: cross-category overlap is attributed once, to the " +
+    "first pattern in the chain") {
+    // the SSN-shaped local part is INSIDE the email span; the email
+    // replacement consumes the whole span, so n_ssn must be 0 and n_pii
+    // must equal the number of actual replacements in the scrubbed text
+    val out = TextAnalysis.piiReport(
+      Seq((1L, "mail 123-45-6789@foo.com ok")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("n_email", "n_ssn", "n_pii", "scrubbed")
+      .as[(Long, Long, Long, String)].head()
+    assert(out._1 === 1L)
+    assert(out._2 === 0L)
+    assert(out._3 === 1L)
+    assert(out._4 === "mail <EMAIL> ok")
+  }
+
   test("scrubPii: ordering protects the credit card from the partial " +
     "SSN-shape and boundaries hold") {
     // 4-4-4-4 digit groups must become <CC>, never a partial <ID> hit;
@@ -140,6 +157,22 @@ class WebTextSpec extends SparkTestBase {
       .select(TextAnalysis.scrubPii(col("t"))).as[String].head()
     assert(r.contains("<CC>"))
     assert(!r.contains("<ID>"))
+  }
+
+  test("urlDomainPsl: multi-label registry suffixes keep three labels, " +
+    "plain TLDs keep two, sub-2-label hosts fall back") {
+    val out = Seq(
+      "https://www.shop.co.uk/a",        // PSL: shop.co.uk
+      "http://a.b.site.com.au:80/x",     // PSL: site.com.au
+      "https://deep.sub.example.com/y",  // plain: example.com
+      "https://co.uk/",                  // bare suffix: 2 labels -> naive
+      "https://localhost/z")             // 1 label: no domain
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"), TextAnalysis.urlDomainPsl(col("url")).as("d"))
+      .orderBy("id").as[(Long, String)].collect().map(_._2)
+    assert(out === Array("shop.co.uk", "site.com.au", "example.com",
+      "co.uk", ""))
   }
 
   test("normalizeUrls: two URLs differing only in canon-irrelevant " +
