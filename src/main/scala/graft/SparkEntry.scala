@@ -1618,6 +1618,67 @@ object SparkEntry {
         tieBreak = Seq("event_id"))
         .orderBy("user_id", "ts", "event_id")),
 
+    // ---- time series: the STREAMING CUSUM twin under the driver
+    // oracle (the nd1 pattern: stream lifecycles are oracle-able).
+    // The events table streams as one data batch plus two far-future
+    // neutral marker batches that advance the watermark and fire the
+    // event-time timeouts, so every data row seals; the sealed alarms
+    // are then bit-equal to ts2's closed form by the CusumStream parity
+    // contract — the SAME type-pinned oracle SQL re-derives them.
+    "ts2s_cusum_stream" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val root = JFiles.createTempDirectory("graft_ts2s").toString
+      val src = root + "/src"
+      JFiles.createDirectories(JPaths.get(src))
+      def shipOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = root + "/" + name + "_tmp"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        JFiles.move(part.toPath, JPaths.get(src, name + ".parquet"))
+        JPaths.get(src, name + ".parquet").toFile.setLastModified(mtime)
+        ()
+      }
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id").cast(LongType).as("user_id"),
+          col("event_id").cast(LongType).as("event_id"),
+          col("ts"), col("value").cast("double").as("value"))
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      def marker(eid: Long, offMs: Long): DataFrame = {
+        import s.implicits._
+        Seq((-1L, eid,
+          new java.sql.Timestamp(maxTs.getTime + offMs), 50.0))
+          .toDF("user_id", "event_id", "ts", "value")
+      }
+      shipOne(ev, "b1", 1000000L)
+      shipOne(marker(-1L, 48L * 3600 * 1000), "b2", 2000000L)
+      shipOne(marker(-2L, 48L * 3600 * 1000 + 1000), "b3", 3000000L)
+      val stream = s.readStream.schema(StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("event_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val alarms = graft.streaming.CusumStream.alarms(s, stream,
+        "ts", "value",
+        target = new java.math.BigDecimal("50.00"),
+        slack = new java.math.BigDecimal("10.00"),
+        threshold = new java.math.BigDecimal("300.00"),
+        watermark = "1 hour")
+      val qn = JPaths.get(root).getFileName.toString // unique per call
+      val q = alarms.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .option("checkpointLocation", root + "/ckpt").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn).where(col("user_id") >= 0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("s_pos").cast(DecimalType(38, 2)).as("s_pos"),
+          col("s_neg").cast(DecimalType(38, 2)).as("s_neg"), col("side"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // ---- time series: per-key EWMA smoother ----
     // Sequential recurrence folded once per key; stabilized DECIMAL(18,2)
     // inputs, fixed IEEE step α·x + (1−α)·e the oracle's recursive CTE
@@ -1841,6 +1902,61 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("event_id"), col("value"),
           r6z(col("level")).as("level"), r6z(col("trend")).as("trend"))
         .orderBy("user_id", "ts", "event_id")),
+
+    // ---- time series: the STREAMING Holt twin under the driver
+    // oracle (same lifecycle as ts2s: one data batch, two marker
+    // batches seal everything; HoltStream's IEEE steps are bit-equal
+    // to the batch fold, so ts8's recursive-CTE oracle re-derives the
+    // sealed points verbatim).
+    "ts8s_holt_stream" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val root = JFiles.createTempDirectory("graft_ts8s").toString
+      val src = root + "/src"
+      JFiles.createDirectories(JPaths.get(src))
+      def shipOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = root + "/" + name + "_tmp"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        JFiles.move(part.toPath, JPaths.get(src, name + ".parquet"))
+        JPaths.get(src, name + ".parquet").toFile.setLastModified(mtime)
+        ()
+      }
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("user_id") < 20 &&
+          col("event_id").isNotNull)
+        .select(col("user_id").cast(LongType).as("user_id"),
+          col("event_id").cast(LongType).as("event_id"),
+          col("ts"), col("value").cast("double").as("value"))
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      def marker(eid: Long, offMs: Long): DataFrame = {
+        import s.implicits._
+        Seq((-1L, eid,
+          new java.sql.Timestamp(maxTs.getTime + offMs), 50.0))
+          .toDF("user_id", "event_id", "ts", "value")
+      }
+      shipOne(ev, "b1", 1000000L)
+      shipOne(marker(-1L, 48L * 3600 * 1000), "b2", 2000000L)
+      shipOne(marker(-2L, 48L * 3600 * 1000 + 1000), "b3", 3000000L)
+      val stream = s.readStream.schema(StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("event_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val pts = graft.streaming.HoltStream.smoothed(s, stream,
+        "ts", "value", alpha = 0.5, beta = 0.25, watermark = "1 hour")
+      val qn = JPaths.get(root).getFileName.toString // unique per call
+      val q = pts.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .option("checkpointLocation", root + "/ckpt").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn).where(col("user_id") >= 0)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          r6z(col("level")).as("level"), r6z(col("trend")).as("trend"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
 
     // ---- time series: OHLC bars (candlestick downsampling) ----
     // open/close via mergeable min_by/max_by on the total (ts, event_id)
@@ -6569,6 +6685,43 @@ object SparkEntry {
         |FROM scores WHERE s_pos > 300.00 OR s_neg > 300.00
         |ORDER BY user_id, ts, event_id""".stripMargin,
 
+    // streaming CUSUM twin: the sealed alarms ARE ts2's closed form
+    // (CusumStream parity contract), so the oracle is the identical
+    // type-pinned SQL — plus the stream's typed-key observation
+    // contract (null user_id/event_id rows cannot enter a long key)
+    "ts2s_cusum_stream" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(value AS DECIMAL(18,2)) AS x
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL
+        |), runs AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(sum(CAST(x - CAST(60.00 AS DECIMAL(18,2))
+        |      AS DECIMAL(28,2))) OVER w AS DECIMAL(38,2)) AS wp,
+        |    CAST(sum(CAST(CAST(40.00 AS DECIMAL(18,2)) - x
+        |      AS DECIMAL(28,2))) OVER w AS DECIMAL(38,2)) AS wn
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), scores AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(wp - least(CAST(min(wp) OVER w AS DECIMAL(38,2)),
+        |      CAST(0 AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS s_pos,
+        |    CAST(wn - least(CAST(min(wn) OVER w AS DECIMAL(38,2)),
+        |      CAST(0 AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS s_neg
+        |  FROM runs
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, ts, value, s_pos, s_neg,
+        |  CASE WHEN s_pos > 300.00 AND s_neg > 300.00 THEN 'both'
+        |       WHEN s_pos > 300.00 THEN 'hi' ELSE 'lo' END AS side
+        |FROM scores WHERE s_pos > 300.00 OR s_neg > 300.00
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
     // EWMA: sequential recurrence re-derived by a recursive CTE over the
     // per-key row numbering; identical stabilization and the identical
     // IEEE step 0.25*x + 0.75*e; round-6 canonicalized
@@ -7027,6 +7180,32 @@ object SparkEntry {
       """WITH RECURSIVE e AS (SELECT user_id AS k, ts, event_id AS tie,
         |    CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x
         |  FROM events WHERE user_id IS NOT NULL AND user_id < 20
+        |    AND ts IS NOT NULL AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |o AS (SELECT k, ts, tie, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts, tie) AS rn
+        |  FROM e),
+        |rec AS (
+        |  SELECT k, ts, tie, x, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.k, o.ts, o.tie, o.x, o.rn,
+        |    0.5 * o.x + 0.5 * (rec.l + rec.b) AS l,
+        |    0.25 * ((0.5 * o.x + 0.5 * (rec.l + rec.b)) - rec.l)
+        |      + 0.75 * rec.b AS b
+        |  FROM rec JOIN o ON o.k = rec.k AND o.rn = rec.rn + 1)
+        |SELECT k AS user_id, ts, tie AS event_id, x AS value,
+        |  round(l, 6) + 0.0 AS level, round(b, 6) + 0.0 AS trend
+        |FROM rec ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // streaming Holt twin: sealed points == the batch fold (HoltStream
+    // parity), so the recursive CTE is ts8's verbatim — plus the
+    // stream's typed-key event_id filter
+    "ts8s_holt_stream" ->
+      """WITH RECURSIVE e AS (SELECT user_id AS k, ts, event_id AS tie,
+        |    CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND user_id < 20
+        |    AND event_id IS NOT NULL
         |    AND ts IS NOT NULL AND value IS NOT NULL
         |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
         |o AS (SELECT k, ts, tie, x,

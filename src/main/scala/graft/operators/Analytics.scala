@@ -1553,16 +1553,29 @@ object Analytics {
     * bounded distinct domains, the operator's documented contract), so
     * the quadratic term never touches row counts. Intended for the
     * quantity/discount-style columns a 100 TB fact table actually has;
-    * a continuous measure should be bucketed first.
+    * a continuous measure should be bucketed first. The contract is
+    * ENFORCED: the cell frame is materialized (localCheckpoint — it is
+    * ≤ `maxCells` rows by contract, and the O(cells²) join reuses it)
+    * and a loud require refuses a domain past `maxCells` BEFORE the
+    * quadratic join can run, instead of silently blowing up on a
+    * continuous column.
     */
   def kendallTau(df: DataFrame, x: String, y: String,
-      scale: Int = 2): DataFrame = {
+      scale: Int = 2, maxCells: Long = 65536): DataFrame = {
+    require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
     val xd = col(x).cast(DecimalType(18, scale))
     val yd = col(y).cast(DecimalType(18, scale))
     val complete = df.select(xd.as("__x"), yd.as("__y"))
       .where(col("__x").isNotNull && col("__y").isNotNull)
     val cells = complete.groupBy("__x", "__y")
       .agg(count(lit(1)).cast(DecimalType(38, 0)).as("__n"))
+      .localCheckpoint(true)
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"kendallTau: $nCells distinct ($x, $y) cells exceeds " +
+        s"maxCells=$maxCells — the cell self-join is O(cells²); bucket " +
+        "the continuous measure first (round / width_bucket) or raise " +
+        "maxCells knowingly")
     val a = cells.select(col("__x").as("__ax"), col("__y").as("__ay"),
       col("__n").as("__na"))
     val b = cells.select(col("__x").as("__bx"), col("__y").as("__by"),

@@ -213,6 +213,24 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(math.abs(got._3 - want) < 1e-12)
   }
 
+  test("kendallTau: refuses a domain past maxCells loudly, before the " +
+    "quadratic cell join") {
+    // 300 distinct (x, y) cells against maxCells = 100: the documented
+    // bounded-domain contract must fail fast with the bucket-first hint,
+    // not silently run an O(cells²) join on a continuous column
+    val rows = (1 to 300).map(i => (i.toDouble + 0.01 * i, i.toDouble))
+    val e = intercept[IllegalArgumentException] {
+      Analytics.kendallTau(rows.toDF("x", "y"), "x", "y",
+        maxCells = 100)
+    }
+    assert(e.getMessage.contains("maxCells"))
+    assert(e.getMessage.contains("bucket"))
+    // the same data passes once bucketed (or with the cap raised)
+    val ok = Analytics.kendallTau(rows.toDF("x", "y"), "x", "y",
+      maxCells = 1000)
+    assert(ok.select("n").as[Long].head() === 300L)
+  }
+
   // ---- propTest ----
 
   test("propTest: hand-computed two-proportion z") {
