@@ -1742,6 +1742,23 @@ object SparkEntry {
           r6z(col("corr")).as("corr"))
         .orderBy("col_x", "col_y")),
 
+    // ---- evaluation: Monte-Carlo randomization test (the permutation
+    // test's unconditional sibling) for the even- vs odd-user mean
+    // difference per event type. B=50 hash-derived binomial relabelings
+    // (the a37 explode shape — no per-replicate global sort); every
+    // replicate decision cross-multiplied into exact integer cents so
+    // nothing flips on a float ulp — fully hash-oracled.
+    "a50_randomization" -> ((s, dir) =>
+      Analytics.randomizationTest(
+        t(s, dir, "events")
+          .where(col("user_id").isNotNull && col("event_id").isNotNull)
+          .withColumn("grp",
+            when(pmod(col("user_id"), lit(2)) === 0, "a").otherwise("b")),
+        keyCols = Seq("event_type"), groupCol = "grp",
+        groupA = "a", groupB = "b", measure = "value",
+        idCol = col("event_id"), replicates = 50)
+        .orderBy("event_type")),
+
     // ---- evaluation: Spearman rank correlation, exact midranks ----
     // Doubled midranks are exact integers (2·avg position of a tie
     // group); ranks come from the two-phase global row numbering and
@@ -2071,6 +2088,30 @@ object SparkEntry {
         .select(col("event_id"), col("canon_url"), col("host"),
           col("domain"))
         .orderBy("event_id")),
+
+    // ---- text: Unicode NFC normalization (web-scrape hygiene) ----
+    // Injected combining sequences (e+U+0301, i+U+0308, A+U+030A) and a
+    // precomposed/decomposed é pair collapse to identical precomposed
+    // form — the pass that makes canonical-equivalent spellings equal
+    // BEFORE any md5 fingerprint/shingle step. Native codegen'd
+    // expression (JDK Normalizer == DuckDB nfc_normalize, both UAX #15).
+    "t36_unicode_nfc" -> ((s, dir) => {
+      // explicit escapes: decomposed combining marks in the shared
+      // fixture (e+U+0301, i+U+0308, A+U+030A), then a precomposed-
+      // vs-decomposed \u00e9 pair by doc parity
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" cafe\u0301 nai\u0308ve A\u030a "),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("\u00e9"))
+            .otherwise(lit("e\u0301"))).as("text"))
+      injected.select(col("doc_id"),
+        graft.functions.GraftFunctions.unicodeNormalize(col("text"))
+          .as("nfc_text"),
+        length(col("text")).cast(LongType).as("n_raw"),
+        length(graft.functions.GraftFunctions
+          .unicodeNormalize(col("text"))).cast(LongType).as("n_nfc"))
+        .orderBy("doc_id")
+    }),
 
     // ---- text: PSL-aware registered domain (t33's documented gap) ----
     // Hosts rotate through multi-label registry suffixes (co.uk,
@@ -3368,6 +3409,53 @@ object SparkEntry {
           lit("boiler"),
           concat(lit("id: "), col("doc_id").cast(StringType))).as("text"))
       TextAnalysis.dedupLinesWithinDoc(docs, "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- dedup: best-of-cluster survivor selection. d2's near-dup
+    // pairs feed connected components (d5's labels), but the survivor
+    // is the HIGHEST-QUALITY member (t2's score, min id on ties) — the
+    // production keep-the-best-duplicate policy, where d1/d5's min-id
+    // convention can keep a truncated twin over its clean original.
+    // Every building block is individually hash-oracled; this is their
+    // composition under one hash.
+    "d14_best_of_cluster" -> ((s, dir) => {
+      val corpus = docsWithNearDups(s, dir)
+      val pairs = Dedup.blockedShinglePairs(corpus, "doc_id", "text",
+        Seq("lang", "source"), threshold = 0.5)
+        .select(col("doc_id"), col("doc_id_2"))
+      val comp = Dedup.connectedComponents(
+        corpus.select(col("doc_id")), pairs, "doc_id", "doc_id_2")
+      val q = corpus.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      comp.join(q, "doc_id")
+        .groupBy(col("component").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("quality"),
+            (-col("doc_id")).as("__negid"))).as("__best"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("__best.__negid")).as("survivor_id"),
+          col("__best.quality").as("quality"))
+        .orderBy("cluster_id")
+    }),
+
+    // ---- dedup: CORPUS-level boilerplate line removal (CCNet/C4's
+    // cross-document step, beside t15's intra-doc form). Every doc
+    // carries a universal banner plus an even-docs-only footer; a
+    // per-small-group line sits at the document-frequency threshold
+    // boundary (below it at sf0.01, above at sf0.1 — the oracle
+    // recomputes either way). Survivors reassemble in original order.
+    "d13_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          lit("accept cookies to continue"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("promo footer")).otherwise(lit("")),
+          concat(lit("grp: "),
+            pmod(col("doc_id"), lit(200)).cast(StringType)),
+          concat(lit("id: "), col("doc_id").cast(StringType))).as("text"))
+      TextAnalysis.stripBoilerplate(docs, "doc_id", "text",
+        minDocFreq = 4)
         .orderBy("doc_id")
     }),
 
@@ -6798,6 +6886,59 @@ object SparkEntry {
         |FROM g WHERE n_a > 0 AND n_b > 0
         |ORDER BY event_type""".stripMargin,
 
+    // randomization test re-derived: identical md5-uniform draws,
+    // identical binomial threshold NA/(NA+NB), HUGEINT cross-products
+    // mirror the engine's DECIMAL(38,0) exactly
+    "a50_randomization" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+        |    CAST(TRY_CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c,
+        |    event_id
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |obs AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN grp = 'a' THEN c ELSE 0 END) AS HUGEINT) AS sa0,
+        |    CAST(SUM(CASE WHEN grp = 'b' THEN c ELSE 0 END) AS HUGEINT) AS sb0,
+        |    CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+        |    CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb0
+        |  FROM e GROUP BY event_type
+        |  HAVING na0 > 0 AND nb0 > 0),
+        |t AS (SELECT *, abs(sa0 * nb0 - sb0 * na0) AS tobs FROM obs),
+        |r AS (SELECT e.event_type, g.b, e.c,
+        |    CASE WHEN CAST(concat('0x', substr(md5(concat(
+        |        CAST(e.event_id AS VARCHAR), ':', CAST(g.b AS VARCHAR))),
+        |        1, 15)) AS BIGINT) / 1152921504606846976.0
+        |      < CAST(t.na0 AS DOUBLE) / CAST(t.na0 + t.nb0 AS DOUBLE)
+        |      THEN 1 ELSE 0 END AS a,
+        |    t.na0, t.nb0, t.tobs
+        |  FROM e JOIN t ON e.event_type = t.event_type,
+        |    generate_series(0, 49) g(b)),
+        |p AS (SELECT event_type, b,
+        |    CAST(SUM(CASE WHEN a = 1 THEN c ELSE 0 END) AS HUGEINT) AS sa,
+        |    CAST(SUM(CASE WHEN a = 0 THEN c ELSE 0 END) AS HUGEINT) AS sb,
+        |    CAST(SUM(a) AS BIGINT) AS na,
+        |    CAST(SUM(1 - a) AS BIGINT) AS nb,
+        |    MAX(na0) AS na0, MAX(nb0) AS nb0, MAX(tobs) AS tobs
+        |  FROM r GROUP BY event_type, b
+        |  HAVING na > 0 AND nb > 0),
+        |x AS (SELECT event_type,
+        |    CASE WHEN abs(sa * nb - sb * na) * (na0 * nb0)
+        |      >= tobs * (na * nb) THEN 1 ELSE 0 END AS extreme
+        |  FROM p)
+        |SELECT o.event_type,
+        |  o.na0 AS n_a, o.nb0 AS n_b,
+        |  (CAST(o.sa0 AS DOUBLE) / CAST(o.na0 AS DOUBLE)
+        |    - CAST(o.sb0 AS DOUBLE) / CAST(o.nb0 AS DOUBLE)) / 100.0
+        |    + 0.0 AS mean_diff,
+        |  CAST(COUNT(*) AS BIGINT) AS b_used,
+        |  CAST(SUM(x.extreme) AS BIGINT) AS n_extreme,
+        |  (1.0 + CAST(SUM(x.extreme) AS DOUBLE))
+        |    / (CAST(COUNT(*) AS DOUBLE) + 1.0) + 0.0 AS p_value
+        |FROM t o JOIN x ON o.event_type = x.event_type
+        |GROUP BY o.event_type, o.na0, o.nb0, o.sa0, o.sb0
+        |ORDER BY o.event_type""".stripMargin,
+
     // Poisson bootstrap re-derived: identical md5-uniform, identical
     // Poisson(1) cumulative literals, identical rank-based interval
     "a37_bootstrap_ci" ->
@@ -7452,6 +7593,19 @@ object SparkEntry {
         |  regexp_extract(regexp_replace(host, ':[0-9]+$', ''),
         |    '([^.:]+\.[^.:]+)$', 1) AS domain
         |FROM r ORDER BY event_id""".stripMargin,
+
+    // NFC: identical injected combining sequences via chr(); DuckDB
+    // nfc_normalize and the JDK Normalizer both implement UAX #15
+    "t36_unicode_nfc" ->
+      """WITH d AS (SELECT doc_id, concat(text,
+        |    ' cafe', chr(769), ' nai', chr(776), 've A', chr(778), ' ',
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(233)
+        |         ELSE 'e' || chr(769) END) AS text
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(text) AS nfc_text,
+        |  CAST(length(text) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_nfc
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // PSL domain: same host split; the suffix snapshot rides in as ONE
     // shared IN-list literal (pslInList), naive form as the fallback
@@ -8307,6 +8461,81 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // best-of-cluster: d2's pair predicate + d5's recursive components
+    // + t2's quality, composed; survivor = max quality, min id on ties
+    "d14_best_of_cluster" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(len(string_split_regex(trim(text), '\s+'))-5, 0)], ' '),
+        |    lang, source FROM documents
+        |), t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(range(greatest(len(string_split_regex(trim(text), '\s+'))-2, 1)),
+        |      i -> array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+3], ' '))) AS sh
+        |  FROM docs),
+        |lp AS (
+        |  SELECT a.doc_id AS v1, b.doc_id AS v2
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+        |    AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT v1 AS src, v2 AS dst FROM lp
+        |          UNION SELECT v2, v1 FROM lp),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS label FROM docs
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+        |q AS (SELECT doc_id, ROUND(
+        |  LEAST(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+        |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) > 0.2
+        |     THEN 0.0
+        |     ELSE 1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 5 END) * 0.3
+        |  + LEAST(CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+        |      / CAST(GREATEST(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+        |  , 6) AS quality FROM docs),
+        |j AS (SELECT c.cluster_id, q.doc_id, q.quality
+        |  FROM comp c JOIN q ON q.doc_id = c.id),
+        |m AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |    MAX(quality) AS best_q
+        |  FROM j GROUP BY cluster_id)
+        |SELECT m.cluster_id, m.n_members,
+        |  MIN(j.doc_id) AS survivor_id, m.best_q AS quality
+        |FROM m JOIN j ON j.cluster_id = m.cluster_id
+        |  AND j.quality = m.best_q
+        |GROUP BY m.cluster_id, m.n_members, m.best_q
+        |ORDER BY m.cluster_id""".stripMargin,
+
+    // corpus boilerplate: distinct-doc line frequency >= 4 drops the
+    // line everywhere; survivors reassemble by ordinal
+    "d13_boilerplate" ->
+      """WITH d AS (SELECT doc_id, concat_ws(chr(10), text,
+        |    'accept cookies to continue',
+        |    CASE WHEN doc_id % 2 = 0 THEN 'promo footer' ELSE '' END,
+        |    concat('grp: ', CAST(doc_id % 200 AS VARCHAR)),
+        |    concat('id: ', CAST(doc_id AS VARCHAR))) AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |        i -> struct_pack(ord := i, line := ls[i]))) AS u FROM s),
+        |f AS (SELECT u.line AS bline FROM l WHERE u.line <> ''
+        |  GROUP BY u.line HAVING count(DISTINCT doc_id) >= 4),
+        |k AS (SELECT doc_id, u.ord AS ord, u.line AS line FROM l
+        |  WHERE u.line NOT IN (SELECT bline FROM f)),
+        |g AS (SELECT doc_id,
+        |    array_to_string(list(line ORDER BY ord), chr(10)) AS clean_text,
+        |    count(*) AS kept
+        |  FROM k GROUP BY doc_id),
+        |tt AS (SELECT doc_id, count(*) AS total FROM l GROUP BY doc_id)
+        |SELECT tt.doc_id,
+        |  coalesce(g.clean_text, '') AS clean_text,
+        |  CAST(coalesce(g.kept, 0) AS BIGINT) AS n_lines_kept,
+        |  CAST(tt.total - coalesce(g.kept, 0) AS BIGINT) AS n_lines_dropped
+        |FROM tt LEFT JOIN g ON tt.doc_id = g.doc_id
+        |ORDER BY tt.doc_id""".stripMargin,
 
     // first-occurrence line dedup == keep min ordinal per (doc, line)
     "t15_intradoc_dedup" ->

@@ -634,6 +634,56 @@ object GraftFunctions {
       copy(child = c)
   }
 
+  /** Unicode normalization (java.text.Normalizer — the JDK's ICU-free
+    * implementation of UAX #15): the web-scrape hygiene pass that makes
+    * `café` (precomposed U+00E9) and `cafe´` (e + combining U+0301)
+    * the SAME string before any fingerprint/dedup/shingle step — the
+    * md5-exact dedup family treats byte-different canonical-equivalent
+    * spellings as distinct documents otherwise. NFC is the
+    * cross-engine-oracled form (DuckDB `nfc_normalize`); NFD/NFKC/NFKD
+    * ride on the same codepath for callers that need compatibility
+    * folding (ﬁ → fi) and are spec-pinned. Map-side, codegen'd,
+    * no state — normalization at 100 TB is a pure scan transform.
+    */
+  case class UnicodeNormalize(child: Expression, form: String)
+      extends UnaryExpression {
+    require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+      s"form must be NFC/NFD/NFKC/NFKD, got '$form'")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected a string column, got $other")
+    }
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_unicode_normalize"
+
+    @transient private lazy val normForm =
+      java.text.Normalizer.Form.valueOf(form)
+
+    /** Shared by eval and generated code (see [[CosineSim.compute]]). */
+    def compute(input: Any): org.apache.spark.unsafe.types.UTF8String = {
+      val s = input
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      // isNormalized is a cheap scan that short-circuits the common
+      // already-NFC case (ASCII and most web text) without allocating
+      if (java.text.Normalizer.isNormalized(s, normForm))
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      else org.apache.spark.unsafe.types.UTF8String
+        .fromString(java.text.Normalizer.normalize(s, normForm))
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unicodeNormalize", this)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(
+        c: Expression): UnicodeNormalize = copy(child = c)
+  }
+
   /** Hashing-trick (feature-hashing) vectorizer: whitespace tokens of a
     * document → one fixed-width Int count vector, bucket =
     * md5-60(token) mod `numBuckets` — the stateless text→feature map
@@ -1222,6 +1272,10 @@ object GraftFunctions {
   /** Hashing-trick count vectorizer (see [[FeatureHash]]). */
   def featureHash(text: Column, numBuckets: Int): Column =
     SparkShim.toColumn(FeatureHash(SparkShim.toExpression(text), numBuckets))
+
+  /** Unicode normalization (see [[UnicodeNormalize]]). */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    SparkShim.toColumn(UnicodeNormalize(SparkShim.toExpression(text), form))
 
   /** Unrestricted Damerau–Levenshtein distance (see
     * [[DamerauLevenshtein]]).

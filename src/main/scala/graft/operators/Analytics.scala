@@ -1186,6 +1186,99 @@ object Analytics {
           (lit(2.0) * col("n_a") * col("n_b")) + lit(0.0))
   }
 
+  /** Monte-Carlo randomization test for a two-group difference in
+    * means — the permutation test's unconditional sibling. Replicate b
+    * reassigns every observation independently to pseudo-group A with
+    * the OBSERVED group-A proportion via the hash-uniform draw
+    * u(id, b): binomial (unconditional) relabeling, NOT the exact
+    * conditional permutation — an exact permutation must rank all n
+    * rows inside every replicate (one task per replicate at 100 TB),
+    * while this is the a37 bootstrap shape: one map-side explode of
+    * `replicates` narrow rows per observation, then per-(key, b)
+    * partial aggregation. Under exchangeable labels the binomial null
+    * is the standard unconditional randomization null; the conditional
+    * and unconditional tests coincide as n grows.
+    *
+    * Every replicate decision is EXACT: the two-sided comparison
+    * |ā − b̄| ≥ |Ā − B̄| is cross-multiplied into integer cents,
+    *   |sa·nb − sb·na| · (NA·NB)  vs  |SA·NB − SB·NA| · (na·nb),
+    * with DECIMAL(38,0) products (cents sums stay far below 10^19 and
+    * the products below 10^30 — exact), so no replicate ever flips on
+    * a float ulp and the whole test is hash-oracled (DuckDB mirrors
+    * with HUGEINT). p = (1 + #extreme) / (B + 1), the standard add-one
+    * randomization estimate.
+    */
+  def randomizationTest(df: DataFrame, keyCols: Seq[String],
+      groupCol: String, groupA: String, groupB: String, measure: String,
+      idCol: Column, replicates: Int = 50): DataFrame = {
+    require(keyCols.nonEmpty, "randomizationTest needs at least one key")
+    require(groupA != groupB, "the two groups must differ")
+    require(replicates >= 9 && replicates <= 1024,
+      s"replicates must be in [9, 1024], got $replicates")
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val d38 = DecimalType(38, 0)
+    val base = df
+      .where(col(groupCol).isin(groupA, groupB) && dec.isNotNull)
+      .select(keyCols.map(col) :+
+        (dec * 100).cast(DecimalType(20, 0)).as("__c") :+
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia") :+
+        idCol.cast(StringType).as("__id"): _*)
+    val obs = base.groupBy(keyCols.map(col): _*)
+      .agg(
+        coalesce(sum(when(col("__ia") === 1L, col("__c"))), lit(0))
+          .cast(d38).as("__gsa"),
+        coalesce(sum(when(col("__ia") === 0L, col("__c"))), lit(0))
+          .cast(d38).as("__gsb"),
+        sum(col("__ia")).as("__gna"),
+        sum(lit(1L) - col("__ia")).as("__gnb"))
+      .where(col("__gna") > 0 && col("__gnb") > 0)
+      .withColumn("__tobs",
+        abs(col("__gsa") * col("__gnb") - col("__gsb") * col("__gna"))
+          .cast(d38))
+    // pseudo-group A with the observed proportion; ONE IEEE division
+    // + compare, spelled identically in the oracle
+    val pA = col("__gna").cast(DoubleType) /
+      (col("__gna") + col("__gnb")).cast(DoubleType)
+    val reps = base
+      .join(broadcast(obs.select(keyCols.map(col) :+ col("__gna") :+
+        col("__gnb") :+ col("__gsa") :+ col("__gsb") :+
+        col("__tobs"): _*)), keyCols)
+      .withColumn("__b", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__a",
+        Sampling.hashUniform(concat(col("__id"), lit(":"),
+          col("__b").cast(StringType))) < pA)
+      .groupBy(keyCols.map(col) :+ col("__b"): _*)
+      .agg(
+        coalesce(sum(when(col("__a"), col("__c"))), lit(0))
+          .cast(d38).as("__sa"),
+        coalesce(sum(when(!col("__a"), col("__c"))), lit(0))
+          .cast(d38).as("__sb"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__nb"),
+        max(col("__gna")).as("__gna"), max(col("__gnb")).as("__gnb"),
+        max(col("__gsa")).as("__gsa"), max(col("__gsb")).as("__gsb"),
+        max(col("__tobs")).as("__tobs"))
+      .where(col("__na") > 0 && col("__nb") > 0)
+      .withColumn("__extreme",
+        when(abs(col("__sa") * col("__nb") - col("__sb") * col("__na"))
+          .cast(d38) * (col("__gna") * col("__gnb")).cast(d38) >=
+          col("__tobs") * (col("__na") * col("__nb")).cast(d38),
+          1L).otherwise(0L))
+    reps.groupBy(keyCols.map(col): _*)
+      .agg(
+        max(col("__gna")).as("n_a"), max(col("__gnb")).as("n_b"),
+        ((max(col("__gsa")).cast(DoubleType) /
+            max(col("__gna")).cast(DoubleType) -
+          max(col("__gsb")).cast(DoubleType) /
+            max(col("__gnb")).cast(DoubleType)) / 100.0 + lit(0.0))
+          .as("mean_diff"),
+        count(lit(1)).as("b_used"),
+        sum(col("__extreme")).as("n_extreme"))
+      .withColumn("p_value",
+        (lit(1.0) + col("n_extreme").cast(DoubleType)) /
+          (col("b_used").cast(DoubleType) + 1.0) + lit(0.0))
+  }
+
   /** Per-key time-weighted average (TWAP): each observation's value
     * holds from its timestamp to the NEXT observation's (step-function
     * semantics — the standard market/telemetry convention), so

@@ -627,6 +627,48 @@ object TextAnalysis {
     docs.withColumn(textCol,
       array_join(array_distinct(split(col(textCol), "\n")), "\n"))
 
+  /** Corpus-level boilerplate removal — the CCNet/C4 line-dedup step
+    * that [[dedupLinesWithinDoc]]'s intra-document form cannot do: a
+    * non-empty line appearing in at least `minDocFreq` DISTINCT
+    * documents (cookie banners, nav bars, license footers) is dropped
+    * from EVERY document; the survivors reassemble in original order.
+    * Emits (id, clean_text, n_lines_kept, n_lines_dropped); a document
+    * whose every line is boilerplate survives with empty text (the
+    * length/quality gates downstream are the right place to drop it).
+    *
+    * Scale shape: one explode, one distinct + partial-agg count per
+    * line, one anti-join of the (small, post-threshold) boilerplate
+    * set against the exploded lines, one per-doc ordered reassembly —
+    * all standard shuffles, nothing driver-sized, no windows.
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int): DataFrame = {
+    require(minDocFreq >= 2,
+      s"minDocFreq must be >= 2 (1 would drop every line), got $minDocFreq")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__ord", "__line")))
+    val boiler = lines.where(col("__line") =!= "")
+      .select(col(idCol), col("__line")).distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocFreq)
+      .select("__line")
+    val kept = lines.join(boiler, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__ord"), col("__line")))),
+          e => e.getField("__line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+    val totals = lines.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__total"))
+    totals.join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("__total") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_dropped"))
+  }
+
   /** Character trigrams of whitespace-normalized lowercase text — the
     * unit of the self-trained LM below. Empty array under 3 chars. The
     * normalization is the expression's single child (evaluated once per

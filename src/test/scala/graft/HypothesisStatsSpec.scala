@@ -231,6 +231,32 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(ok.select("n").as[Long].head() === 300L)
   }
 
+  test("randomizationTest: identical groups give p = 1; a strong " +
+    "separation gives a small p and the exact mean diff") {
+    // identical groups: observed |diff| is 0, every replicate is at
+    // least as extreme, so the add-one estimate is exactly 1
+    val same = ((1 to 20).map(i => ("k", "a", i.toLong, 10.0)) ++
+      (1 to 20).map(i => ("k", "b", 100L + i, 10.0)))
+      .toDF("k", "grp", "id", "v")
+    val r1 = Analytics.randomizationTest(same, Seq("k"), "grp", "a", "b",
+      "v", col("id"), replicates = 50)
+      .select("mean_diff", "p_value").as[(Double, Double)].head()
+    assert(r1._1 === 0.0)
+    assert(r1._2 === 1.0)
+    // strong separation: no binomial relabeling reproduces the split
+    // (hash-deterministic), so only the +1 smoothing survives
+    val sep = ((1 to 30).map(i => ("k", "a", i.toLong, 100.0)) ++
+      (1 to 30).map(i => ("k", "b", 100L + i, 1.0)))
+      .toDF("k", "grp", "id", "v")
+    val r2 = Analytics.randomizationTest(sep, Seq("k"), "grp", "a", "b",
+      "v", col("id"), replicates = 50)
+      .select("n_a", "n_b", "mean_diff", "p_value")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r2._1 === 30L && r2._2 === 30L)
+    assert(r2._3 === 99.0)
+    assert(r2._4 < 0.1)
+  }
+
   // ---- propTest ----
 
   test("propTest: hand-computed two-proportion z") {

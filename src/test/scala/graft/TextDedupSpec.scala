@@ -477,4 +477,70 @@ class TextDedupSpec extends SparkTestBase {
       .select($"doc_id", $"ppl").as[(Long, Double)].collect().toMap
     assert(again === got)
   }
+
+  test("stripBoilerplate: lines in >= minDocFreq docs vanish " +
+    "everywhere, order preserved, empty lines never count as evidence") {
+    val corpus = Seq(
+      (1L, "alpha\nBANNER\nbody one\n\nBANNER"),
+      (2L, "BANNER\nbody two"),
+      (3L, "body three\nBANNER\nrare pair"),
+      (4L, "rare pair\nonly here"),
+      (5L, "\n\n")) // blank-only doc: blanks are kept, never boilerplate
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(corpus, "doc_id", "text",
+      minDocFreq = 3)
+      .orderBy("doc_id")
+      .select("clean_text", "n_lines_kept", "n_lines_dropped")
+      .as[(String, Long, Long)].collect()
+    // BANNER (3 docs) dropped; "rare pair" (2 docs) kept
+    assert(out(0) === (("alpha\nbody one\n", 3L, 2L)))
+    assert(out(1) === (("body two", 1L, 1L)))
+    assert(out(2) === (("body three\nrare pair", 2L, 1L)))
+    assert(out(3) === (("rare pair\nonly here", 2L, 0L)))
+    assert(out(4) === (("\n\n", 3L, 0L)))
+  }
+
+  test("best-of-cluster: the survivor is the highest-quality member, " +
+    "not the lowest id (d14's policy vs d1/d5's min-id convention)") {
+    // doc 1 is a low-quality truncation of doc 2; near-dup pairing puts
+    // them in one component; the survivor must be 2 (higher quality)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy", "en", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog. " +
+        "a full sentence of the corpus, and it is longer and cleaner.",
+        "en", "web"),
+      (3L, "unrelated text entirely about something else here",
+        "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val pairs = Dedup.blockedShinglePairs(corpus, "doc_id", "text",
+      Seq("lang", "source"), threshold = 0.3)
+      .select(col("doc_id"), col("doc_id_2"))
+    val comp = Dedup.connectedComponents(
+      corpus.select(col("doc_id")), pairs, "doc_id", "doc_id_2")
+    val q = corpus.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val best = comp.join(q, "doc_id")
+      .groupBy(col("component"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("n"))).as("b"))
+      .select(col("component"), (-col("b.n")).as("survivor_id"))
+      .orderBy("component")
+      .as[(Long, Long)].collect()
+    assert(best.length === 2)
+    assert(best(0) === ((1L, 2L))) // cluster {1,2} survived by 2
+    assert(best(1) === ((3L, 3L)))
+  }
+
+  test("stripBoilerplate: a doc that is ALL boilerplate survives with " +
+    "empty text and full drop count") {
+    val corpus = Seq(
+      (1L, "B1\nB2"), (2L, "B1\nB2"), (3L, "B1\nB2\nunique")) // df = 3
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(corpus, "doc_id", "text",
+      minDocFreq = 3)
+      .orderBy("doc_id")
+      .select("clean_text", "n_lines_kept", "n_lines_dropped")
+      .as[(String, Long, Long)].collect()
+    assert(out(0) === (("", 0L, 2L)))
+    assert(out(1) === (("", 0L, 2L)))
+    assert(out(2) === (("unique", 1L, 2L)))
+  }
 }

@@ -159,6 +159,36 @@ class WebTextSpec extends SparkTestBase {
     assert(!r.contains("<ID>"))
   }
 
+  test("unicodeNormalize: NFC collapses combining sequences so " +
+    "canonical-equivalent spellings fingerprint identically") {
+    import graft.functions.GraftFunctions.unicodeNormalize
+    val out = Seq(
+      (1L, "cafe\u0301"),  // e + combining acute (decomposed)
+      (2L, "caf\u00e9"),   // precomposed
+      (3L, "plain ascii"),
+      (4L, "A\u030a"))     // A + combining ring -> U+00C5
+      .toDF("id", "t")
+      .select(col("id"), unicodeNormalize(col("t")).as("n"),
+        length(unicodeNormalize(col("t"))).as("len"))
+      .orderBy("id").as[(Long, String, Int)].collect()
+    assert(out(0)._2 === out(1)._2) // the dedup property
+    assert(out(0)._3 === 4)
+    assert(out(2)._2 === "plain ascii") // identity on normalized input
+    assert(out(3)._2 === "\u00c5")
+    // NFKC additionally folds compatibility forms (the fi ligature)
+    val nfkc = Seq(Tuple1("e\ufb01cient")).toDF("t")
+      .select(unicodeNormalize(col("t"), "NFKC")).as[String].head()
+    assert(nfkc === "eficient")
+    // nulls pass through; bad form refused loudly
+    val n = Seq(Tuple1(null: String)).toDF("t")
+      .select(unicodeNormalize(col("t"))).as[String].head()
+    assert(n === null)
+    intercept[IllegalArgumentException] {
+      Seq(Tuple1("x")).toDF("t")
+        .select(unicodeNormalize(col("t"), "NFX")).collect()
+    }
+  }
+
   test("urlDomainPsl: multi-label registry suffixes keep three labels, " +
     "plain TLDs keep two, sub-2-label hosts fall back") {
     val out = Seq(
