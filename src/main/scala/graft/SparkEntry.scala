@@ -3412,6 +3412,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- join: BAND join (|Δvalue| <= 0.05 within event type) — the
+    // sensor-reconciliation theta join. Exact integer-cents bucketing
+    // (floor(cents/5) grid, ±1 fan-out) turns it into a plain equi
+    // join; no float ever decides membership, so the pair set hashes
+    // against DuckDB's naive theta join.
+    "j13_band_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_id").isNotNull && col("event_type").isNotNull)
+      val a = ev.select(col("event_id"), col("event_type"), col("value"))
+      val b = ev.select(col("event_id").as("event_id_2"),
+        col("event_type").as("event_type_2"), col("value").as("value_2"))
+      IntervalJoin.bandJoin(a, b, "value", "value_2",
+        new java.math.BigDecimal("0.05"),
+        blockCols = Seq(("event_type", "event_type_2")))
+        .where(col("event_id") < col("event_id_2"))
+        .select(col("event_id"), col("event_id_2"), col("event_type"),
+          col("diff_cents"))
+        .orderBy("event_id", "event_id_2")
+    }),
+
     // ---- dedup: best-of-cluster survivor selection. d2's near-dup
     // pairs feed connected components (d5's labels), but the survivor
     // is the HIGHEST-QUALITY member (t2's score, min id on ties) — the
@@ -8461,6 +8481,22 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // band join: naive theta join on the same exact integer cents
+    "j13_band_join" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL)
+        |SELECT a.event_id AS event_id, b.event_id AS event_id_2,
+        |  a.event_type AS event_type,
+        |  b.c - a.c AS diff_cents
+        |FROM e a JOIN e b
+        |  ON a.event_type = b.event_type
+        |  AND a.event_id < b.event_id
+        |  AND abs(a.c - b.c) <= 5
+        |ORDER BY event_id, event_id_2""".stripMargin,
 
     // best-of-cluster: d2's pair predicate + d5's recursive components
     // + t2's quality, composed; survivor = max quality, min id on ties

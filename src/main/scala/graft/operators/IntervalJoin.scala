@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Point-in-interval joins (SURVEY.md §2.3 J1).
   *
@@ -164,6 +164,60 @@ object IntervalJoin {
     val cond = (equi.map { case (l, r) => l === r } :+
       (aStart <= bEnd && bStart <= aEnd)).reduce(_ && _)
     a.join(b, cond, joinType)
+  }
+
+  /** Band join: all (left, right) pairs with |leftVal − rightVal| ≤ eps
+    * (plus optional equi block columns) — the sensor-reconciliation /
+    * price-matching theta join Spark would otherwise plan as a
+    * broadcast nested loop. Values quantize to exact integer cents
+    * (the engine's DECIMAL(18,2) discipline; `eps` must carry scale
+    * ≤ 2), each left row fans out to its bucket ±1 on the
+    * floor(cents / epsCents) grid, and the join is a plain EQUI join
+    * on (blocks…, bucket) with the exact |Δcents| ≤ epsCents filter on
+    * top — no float ever decides membership, so the pair set is
+    * hash-oracle-able against a naive theta join. A real-valued pair
+    * within eps can never be missed: on the exact integer grid the two
+    * bucket indices differ by at most 1.
+    *
+    * Scale shape: 3× left fan-out, one hash shuffle each side on
+    * narrow keys, zero cartesian risk; a value-skewed bucket
+    * parallelizes across blocks. Emits all pairs including (x, x) on a
+    * self join — filter `id < id_2` downstream for unordered pairs.
+    * The two inputs must have disjoint column names (rename before
+    * joining; silent ambiguity is worse than the require).
+    */
+  def bandJoin(left: DataFrame, right: DataFrame,
+      leftVal: String, rightVal: String, eps: java.math.BigDecimal,
+      blockCols: Seq[(String, String)] = Nil): DataFrame = {
+    require(eps.signum > 0, s"eps must be > 0, got $eps")
+    require(eps.scale <= 2,
+      s"eps must have scale <= 2 (cents-exact contract), got $eps")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left and right must have disjoint column names; both have: " +
+        overlap.mkString(", "))
+    val epsC = eps.movePointRight(2).longValueExact()
+    def cents(c: Column): Column =
+      (c.cast(DecimalType(18, 2)) * 100).cast(LongType)
+    // exact floor division for possibly-negative cents: c − pmod(c, e)
+    // is exactly divisible by e, so the double `/` is integral-valued
+    // (exact below 2^53) and the cast recovers the long bucket index
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(epsC))) / epsC).cast(LongType)
+    val l = left.where(cents(col(leftVal)).isNotNull)
+      .withColumn("__lc", cents(col(leftVal)))
+      .withColumn("__bucket",
+        explode(array(bucketOf(col("__lc")) - 1, bucketOf(col("__lc")),
+          bucketOf(col("__lc")) + 1)))
+    val r = right.where(cents(col(rightVal)).isNotNull)
+      .withColumn("__rc", cents(col(rightVal)))
+      .withColumn("__bucket", bucketOf(col("__rc")))
+    val cond = (blockCols.map { case (a, b) => col(a) === col(b) } :+
+      (l("__bucket") === r("__bucket"))).reduce(_ && _)
+    l.join(r, cond)
+      .where(abs(col("__lc") - col("__rc")) <= epsC)
+      .withColumn("diff_cents", col("__rc") - col("__lc"))
+      .drop("__lc", "__rc").drop(l("__bucket")).drop(r("__bucket"))
   }
 
   /** Plan-quality guard (SURVEY §7.4.5): fail fast if the physical plan
