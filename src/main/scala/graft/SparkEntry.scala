@@ -850,6 +850,62 @@ object SparkEntry {
     graft.sources.VersionedTable.read(s, tbl)
   }
 
+  /** The streaming-twin lifecycle shared by ts1s/ts2s/ts3s/ts8s: ship
+    * `ev` (user_id/event_id/ts/value) as ONE parquet batch plus two
+    * far-future neutral marker batches (sentinel user −1, value 50.0)
+    * whose event times advance the watermark past every data row and
+    * fire the event-time timeouts, so the whole data range seals.
+    * Returns (root, source): a file stream delivering the three
+    * batches in mtime order, one per trigger. Filter `user_id >= 0`
+    * on the emitted rows (a single neutral marker observation can
+    * never alarm, but it must not enter the hash either).
+    */
+  private def streamTwinSource(s: SparkSession, ev: DataFrame,
+      tag: String): (String, DataFrame) = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = JFiles.createTempDirectory(s"graft_$tag").toString
+    val src = root + "/src"
+    JFiles.createDirectories(JPaths.get(src))
+    def shipOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = root + "/" + name + "_tmp"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      JFiles.move(part.toPath, JPaths.get(src, name + ".parquet"))
+      JPaths.get(src, name + ".parquet").toFile.setLastModified(mtime)
+      ()
+    }
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    def marker(eid: Long, offMs: Long): DataFrame = {
+      import s.implicits._
+      Seq((-1L, eid, new java.sql.Timestamp(maxTs.getTime + offMs), 50.0))
+        .toDF("user_id", "event_id", "ts", "value")
+    }
+    shipOne(ev, "b1", 1000000L)
+    shipOne(marker(-1L, 48L * 3600 * 1000), "b2", 2000000L)
+    shipOne(marker(-2L, 48L * 3600 * 1000 + 1000), "b3", 3000000L)
+    val stream = s.readStream.schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    (root, stream)
+  }
+
+  /** Run a streaming twin to completion through a memory sink and
+    * return the sealed non-marker rows (see [[streamTwinSource]]). */
+  private def runStreamTwin(s: SparkSession, root: String,
+      out: DataFrame): DataFrame = {
+    val qn = java.nio.file.Paths.get(root).getFileName.toString
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .option("checkpointLocation", root + "/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).where(col("user_id") >= 0)
+  }
+
   private def northStar: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text: token / subword counting (map-side profile) ----
@@ -1626,53 +1682,19 @@ object SparkEntry {
     // are then bit-equal to ts2's closed form by the CusumStream parity
     // contract — the SAME type-pinned oracle SQL re-derives them.
     "ts2s_cusum_stream" -> ((s, dir) => {
-      import java.nio.file.{Files => JFiles, Paths => JPaths}
-      val root = JFiles.createTempDirectory("graft_ts2s").toString
-      val src = root + "/src"
-      JFiles.createDirectories(JPaths.get(src))
-      def shipOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = root + "/" + name + "_tmp"
-        df.coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        JFiles.move(part.toPath, JPaths.get(src, name + ".parquet"))
-        JPaths.get(src, name + ".parquet").toFile.setLastModified(mtime)
-        ()
-      }
       val ev = t(s, dir, "events")
         .where(col("user_id").isNotNull && col("event_id").isNotNull)
         .select(col("user_id").cast(LongType).as("user_id"),
           col("event_id").cast(LongType).as("event_id"),
           col("ts"), col("value").cast("double").as("value"))
-      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-      def marker(eid: Long, offMs: Long): DataFrame = {
-        import s.implicits._
-        Seq((-1L, eid,
-          new java.sql.Timestamp(maxTs.getTime + offMs), 50.0))
-          .toDF("user_id", "event_id", "ts", "value")
-      }
-      shipOne(ev, "b1", 1000000L)
-      shipOne(marker(-1L, 48L * 3600 * 1000), "b2", 2000000L)
-      shipOne(marker(-2L, 48L * 3600 * 1000 + 1000), "b3", 3000000L)
-      val stream = s.readStream.schema(StructType(Seq(
-          StructField("user_id", LongType),
-          StructField("event_id", LongType),
-          StructField("ts", TimestampType),
-          StructField("value", DoubleType))))
-        .option("maxFilesPerTrigger", 1).parquet(src)
+      val (root, stream) = streamTwinSource(s, ev, "ts2s")
       val alarms = graft.streaming.CusumStream.alarms(s, stream,
         "ts", "value",
         target = new java.math.BigDecimal("50.00"),
         slack = new java.math.BigDecimal("10.00"),
         threshold = new java.math.BigDecimal("300.00"),
         watermark = "1 hour")
-      val qn = JPaths.get(root).getFileName.toString // unique per call
-      val q = alarms.toDF().writeStream.outputMode("append")
-        .format("memory").queryName(qn)
-        .option("checkpointLocation", root + "/ckpt").start()
-      q.processAllAvailable()
-      q.stop()
-      s.table(qn).where(col("user_id") >= 0)
+      runStreamTwin(s, root, alarms.toDF())
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
           col("s_pos").cast(DecimalType(38, 2)).as("s_pos"),
           col("s_neg").cast(DecimalType(38, 2)).as("s_neg"), col("side"))
@@ -1926,52 +1948,57 @@ object SparkEntry {
     // to the batch fold, so ts8's recursive-CTE oracle re-derives the
     // sealed points verbatim).
     "ts8s_holt_stream" -> ((s, dir) => {
-      import java.nio.file.{Files => JFiles, Paths => JPaths}
-      val root = JFiles.createTempDirectory("graft_ts8s").toString
-      val src = root + "/src"
-      JFiles.createDirectories(JPaths.get(src))
-      def shipOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = root + "/" + name + "_tmp"
-        df.coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        JFiles.move(part.toPath, JPaths.get(src, name + ".parquet"))
-        JPaths.get(src, name + ".parquet").toFile.setLastModified(mtime)
-        ()
-      }
       val ev = t(s, dir, "events")
         .where(col("user_id").isNotNull && col("user_id") < 20 &&
           col("event_id").isNotNull)
         .select(col("user_id").cast(LongType).as("user_id"),
           col("event_id").cast(LongType).as("event_id"),
           col("ts"), col("value").cast("double").as("value"))
-      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-      def marker(eid: Long, offMs: Long): DataFrame = {
-        import s.implicits._
-        Seq((-1L, eid,
-          new java.sql.Timestamp(maxTs.getTime + offMs), 50.0))
-          .toDF("user_id", "event_id", "ts", "value")
-      }
-      shipOne(ev, "b1", 1000000L)
-      shipOne(marker(-1L, 48L * 3600 * 1000), "b2", 2000000L)
-      shipOne(marker(-2L, 48L * 3600 * 1000 + 1000), "b3", 3000000L)
-      val stream = s.readStream.schema(StructType(Seq(
-          StructField("user_id", LongType),
-          StructField("event_id", LongType),
-          StructField("ts", TimestampType),
-          StructField("value", DoubleType))))
-        .option("maxFilesPerTrigger", 1).parquet(src)
+      val (root, stream) = streamTwinSource(s, ev, "ts8s")
       val pts = graft.streaming.HoltStream.smoothed(s, stream,
         "ts", "value", alpha = 0.5, beta = 0.25, watermark = "1 hour")
-      val qn = JPaths.get(root).getFileName.toString // unique per call
-      val q = pts.toDF().writeStream.outputMode("append")
-        .format("memory").queryName(qn)
-        .option("checkpointLocation", root + "/ckpt").start()
-      q.processAllAvailable()
-      q.stop()
-      s.table(qn).where(col("user_id") >= 0)
+      runStreamTwin(s, root, pts.toDF())
         .select(col("user_id"), col("ts"), col("event_id"), col("value"),
           r6z(col("level")).as("level"), r6z(col("trend")).as("trend"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // ---- time series: the STREAMING rolling-z anomaly twin under the
+    // driver oracle (same lifecycle; AnomalyStream's parity contract
+    // makes the sealed alarms ts1's exact rows, so the oracle is ts1's
+    // SQL plus the stream's typed-key filters).
+    "ts1s_anomaly_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id").cast(LongType).as("user_id"),
+          col("event_id").cast(LongType).as("event_id"),
+          col("ts"), col("value").cast("double").as("value"))
+      val (root, stream) = streamTwinSource(s, ev, "ts1s")
+      val alarms = graft.streaming.AnomalyStream.anomalies(s, stream,
+        "ts", "value", lookback = 24, zThreshold = 3.0, minObs = 8,
+        watermark = "1 hour")
+      runStreamTwin(s, root, alarms.toDF())
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("z"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // ---- time series: the STREAMING EWMA twin under the driver
+    // oracle (same lifecycle; EwmaStream replays the identical IEEE
+    // step, so ts3's recursive-CTE oracle re-derives the sealed
+    // points verbatim).
+    "ts3s_ewma_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id").cast(LongType).as("user_id"),
+          col("event_id").cast(LongType).as("event_id"),
+          col("ts"), col("value").cast("double").as("value"))
+      val (root, stream) = streamTwinSource(s, ev, "ts3s")
+      val pts = graft.streaming.EwmaStream.smoothed(s, stream,
+        "ts", "value", alpha = 0.25, watermark = "1 hour")
+      runStreamTwin(s, root, pts.toDF())
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          col("ewma"))
         .orderBy("user_id", "ts", "event_id")
     }),
 
@@ -6792,6 +6819,48 @@ object SparkEntry {
         |       WHEN s_pos > 300.00 THEN 'hi' ELSE 'lo' END AS side
         |FROM scores WHERE s_pos > 300.00 OR s_neg > 300.00
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // streaming anomaly twin: ts1's SQL + the stream's typed-key filter
+    "ts1s_anomaly_stream" ->
+      """WITH fr AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    count(value) OVER w AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        |      AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s2
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id, ts, value,
+        |  (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+        |FROM fr
+        |WHERE n >= 8 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+        |  AND abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3.0
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // streaming EWMA twin: ts3's recursive CTE + the typed-key filter
+    "ts3s_ewma_stream" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, ts, event_id, x, rn, x AS e FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.ts, o.event_id, o.x, o.rn,
+        |         CAST(0.25 AS DOUBLE) * o.x + CAST(0.75 AS DOUBLE) * r.e
+        |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, ts, event_id, x AS value, e AS ewma
+        |FROM r ORDER BY user_id, ts, event_id""".stripMargin,
 
     // streaming CUSUM twin: the sealed alarms ARE ts2's closed form
     // (CusumStream parity contract), so the oracle is the identical
