@@ -4058,6 +4058,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- evaluation: classifier confusion metrics. t17's Naive-Bayes
+    // predictions against the true labels — per-class n_true/n_pred/tp
+    // are exact integers (two partial-agg passes + one full-outer class
+    // join, never a per-row matrix), and precision/recall/F1 are each
+    // ONE integer division (F1 = 2·tp/(n_pred+n_true) — the harmonic
+    // form without the p·r intermediate).
+    "a51_confusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.trainNaiveBayes(docs, "text", "lang")
+      val joined = docs.where(col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.nbClassify(docs, "doc_id", "text", model)
+          .select(col("doc_id"), col("pred")), "doc_id")
+      val byTrue = joined.groupBy(col("lang").as("cls"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+            .as("tp"))
+      val byPred = joined.groupBy(col("pred").as("cls"))
+        .agg(count(lit(1)).as("n_pred"))
+      byTrue.join(byPred, Seq("cls"), "full_outer")
+        .select(col("cls"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .withColumn("precision",
+          when(col("n_pred") > 0,
+            col("tp").cast(DoubleType) / col("n_pred") + lit(0.0))
+            .otherwise(lit(0.0)))
+        .withColumn("recall",
+          when(col("n_true") > 0,
+            col("tp").cast(DoubleType) / col("n_true") + lit(0.0))
+            .otherwise(lit(0.0)))
+        .withColumn("f1",
+          when(col("n_pred") + col("n_true") > 0,
+            lit(2.0) * col("tp") / (col("n_pred") + col("n_true"))
+              + lit(0.0))
+            .otherwise(lit(0.0)))
+        .orderBy("cls")
+    }),
+
     // ---- text: BM25 keyword relevance (the retrieval scorer) ----
     // Okapi BM25 over the corpus for a keyword query: saturation +
     // length normalization on top of t10's tf-idf. Every float input is
@@ -6087,6 +6127,64 @@ object SparkEntry {
         |      ORDER BY score DESC, cls) AS rk FROM sc)
         |SELECT doc_id, cls AS pred, round(score, 6) + 0.0 AS score
         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // confusion metrics: t17's prediction chain verbatim, then exact
+    // integer class counts; each metric is one division
+    "a51_confusion" ->
+      """WITH lab AS (SELECT doc_id, lang AS cls, text FROM documents
+        |  WHERE lang IS NOT NULL),
+        |tok AS (SELECT doc_id, cls,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM lab),
+        |tc AS (SELECT tok, cls, CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM tok GROUP BY tok, cls),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM tc),
+        |nt AS (SELECT cls, SUM(c) AS n FROM tc GROUP BY cls),
+        |pri AS (SELECT cls, ln(CAST(COUNT(*) AS DOUBLE) /
+        |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM lab)) AS log_prior
+        |  FROM lab GROUP BY cls),
+        |ci AS (SELECT nt.cls, pri.log_prior,
+        |    ln(1.0 / (nt.n + (SELECT v FROM v))) AS oov_logp,
+        |    nt.n + (SELECT v FROM v) AS denom
+        |  FROM nt JOIN pri ON nt.cls = pri.cls),
+        |model AS (SELECT tc.tok, tc.cls, ln((tc.c + 1) / ci.denom) AS logp
+        |  FROM tc JOIN ci ON tc.cls = ci.cls),
+        |dt AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |sc AS (SELECT dt.doc_id, ci.cls, ci.log_prior +
+        |    CAST(SUM(CAST(COALESCE(m.logp, ci.oov_logp)
+        |      AS DECIMAL(28,18))) AS DOUBLE) AS score
+        |  FROM dt CROSS JOIN ci
+        |  LEFT JOIN model m ON m.tok = dt.tok AND m.cls = ci.cls
+        |  GROUP BY dt.doc_id, ci.cls, ci.log_prior),
+        |r AS (SELECT doc_id, cls, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cls) AS rk FROM sc),
+        |pred AS (SELECT doc_id, cls AS pred FROM r WHERE rk = 1),
+        |j AS (SELECT lab.doc_id, lab.cls AS lang, pred.pred
+        |  FROM lab JOIN pred ON lab.doc_id = pred.doc_id),
+        |bt AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_true,
+        |    CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp
+        |  FROM j GROUP BY lang),
+        |bp AS (SELECT pred AS cls, CAST(COUNT(*) AS BIGINT) AS n_pred
+        |  FROM j GROUP BY pred)
+        |SELECT COALESCE(bt.cls, bp.cls) AS cls,
+        |  COALESCE(bt.n_true, 0) AS n_true,
+        |  COALESCE(bp.n_pred, 0) AS n_pred,
+        |  COALESCE(bt.tp, 0) AS tp,
+        |  CASE WHEN COALESCE(bp.n_pred, 0) > 0
+        |    THEN CAST(COALESCE(bt.tp, 0) AS DOUBLE) / bp.n_pred + 0.0
+        |    ELSE 0.0 END AS precision,
+        |  CASE WHEN COALESCE(bt.n_true, 0) > 0
+        |    THEN CAST(bt.tp AS DOUBLE) / bt.n_true + 0.0
+        |    ELSE 0.0 END AS recall,
+        |  CASE WHEN COALESCE(bp.n_pred, 0) + COALESCE(bt.n_true, 0) > 0
+        |    THEN 2.0 * COALESCE(bt.tp, 0)
+        |      / (COALESCE(bp.n_pred, 0) + COALESCE(bt.n_true, 0)) + 0.0
+        |    ELSE 0.0 END AS f1
+        |FROM bt FULL OUTER JOIN bp ON bt.cls = bp.cls
+        |ORDER BY cls""".stripMargin,
 
     // token-budget mix: same tiers, same hash order, exclusive prefix
     // sum under the budget keeps the crossing doc
