@@ -1963,6 +1963,27 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // ---- time series: Kaplan–Meier survival per cohort ----
+    // Subject = user; observation time = whole days between first and
+    // last event; deterministic censoring marker (every 5th user is
+    // censored); cohort = user_id % 3. Exact integer risk sets; the
+    // survival product folds in time order, one division + one
+    // multiply per step — the oracle's recursive CTE replays it
+    // bit-for-bit (raw emission, ts3 convention).
+    "ts10_survival" -> ((s, dir) => {
+      val subjects = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(floor((unix_micros(max(col("ts"))) -
+          unix_micros(min(col("ts")))) / lit(86400000000L))
+          .cast(LongType).as("t_days"))
+        .select(col("user_id"), col("t_days"),
+          (pmod(col("user_id"), lit(5)) =!= 0).as("churned"),
+          pmod(col("user_id"), lit(3)).as("cohort"))
+      Analytics.kaplanMeier(subjects, Seq("cohort"), "t_days", "churned")
+        .orderBy("cohort", "t")
+    }),
+
     // ---- time series: the STREAMING rolling-z anomaly twin under the
     // driver oracle (same lifecycle; AnomalyStream's parity contract
     // makes the sealed alarms ts1's exact rows, so the oracle is ts1's
@@ -6917,6 +6938,44 @@ object SparkEntry {
         |       WHEN s_pos > 300.00 THEN 'hi' ELSE 'lo' END AS side
         |FROM scores WHERE s_pos > 300.00 OR s_neg > 300.00
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // Kaplan–Meier re-derived: same integer risk sets, recursive CTE
+    // replays the per-cohort time-ordered product (1.0·x ≡ x in IEEE,
+    // so the base case drops the identity multiply)
+    "ts10_survival" ->
+      """WITH RECURSIVE subj AS (SELECT user_id,
+        |    CAST(floor((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+        |      / 86400000000) AS BIGINT) AS t_days,
+        |    ((user_id % 5) + 5) % 5 <> 0 AS churned,
+        |    ((user_id % 3) + 3) % 3 AS cohort
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |st AS (SELECT cohort, t_days AS t,
+        |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY cohort, t_days),
+        |rk AS (SELECT cohort, t, d, c,
+        |    CAST(SUM(d + c) OVER (PARTITION BY cohort) -
+        |      COALESCE(SUM(d + c) OVER (PARTITION BY cohort ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn
+        |  FROM st),
+        |rec AS (
+        |  SELECT cohort, t, d, c, n, rn,
+        |    CASE WHEN d > 0 THEN CAST(n - d AS DOUBLE) / n
+        |         ELSE CAST(1.0 AS DOUBLE) END AS s
+        |  FROM rk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rk.cohort, rk.t, rk.d, rk.c, rk.n, rk.rn,
+        |    CASE WHEN rk.d > 0
+        |      THEN rec.s * (CAST(rk.n - rk.d AS DOUBLE) / rk.n)
+        |      ELSE rec.s END
+        |  FROM rec JOIN rk ON rk.cohort = rec.cohort
+        |    AND rk.rn = rec.rn + 1)
+        |SELECT cohort, t, n AS n_risk, d AS n_events, c AS n_censored,
+        |  s AS survival
+        |FROM rec ORDER BY cohort, t""".stripMargin,
 
     // streaming anomaly twin: ts1's SQL + the stream's typed-key filter
     "ts1s_anomaly_stream" ->

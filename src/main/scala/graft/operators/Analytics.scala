@@ -954,6 +954,73 @@ object Analytics {
           element_at(col("__f.bs"), col("__i") + 1).as("trend")): _*)
   }
 
+  /** Kaplan–Meier survival curves per cohort — the churn/retention
+    * estimator ("what fraction of users survive past day t?") under
+    * right-censoring: a subject contributes an event at its observed
+    * time, or leaves the risk set silently when censored. Per cohort
+    * over distinct event times t (ascending):
+    *   S(t) = Π_{u ≤ t, d_u > 0} (n_u − d_u) / n_u
+    * with d_u = events at u, n_u = subjects still at risk entering u
+    * (exact integers from one groupBy + one cumulative window).
+    * Censored-only times stay in the output (n_censored > 0, survival
+    * unchanged) — the standard KM step function.
+    *
+    * Determinism: the product folds sequentially over the per-cohort
+    * time-sorted step list (the holt shape — collect, sort_array,
+    * aggregate), each step ONE correctly-rounded division then ONE
+    * multiply, so the doubles are bit-identical to the oracle's
+    * recursive CTE replaying the same order. Emitted RAW (the ts3
+    * convention — round(·,6) is the divergence risk, not the cure).
+    *
+    * Scale shape: groupBy (cohort, t) partial-agg, a per-cohort window
+    * over DISTINCT TIMES (not subjects — the collected list is one
+    * entry per distinct time, the curve's own size; a cohort's curve
+    * beyond ~10^6 steps should be time-bucketed first), one explode.
+    */
+  def kaplanMeier(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      eventCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "kaplanMeier needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val steps = df
+      .where(col(timeCol).isNotNull && col(timeCol) >= 0 &&
+        col(eventCol).isNotNull)
+      .groupBy(keyCols.map(col) :+ col(timeCol).cast(LongType).as("__t"): _*)
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("__d"),
+        sum(when(col(eventCol), 0L).otherwise(1L)).as("__c"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__t"))
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val risked = steps
+      .withColumn("__n",
+        sum(col("__d") + col("__c")).over(wAll) -
+          coalesce(sum(col("__d") + col("__c"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // sequential survival fold over the time-sorted step list
+    val grouped = risked.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__t"), col("__d"),
+        col("__c"), col("__n")))).as("__s"))
+    val init = struct(lit(1.0).as("s"),
+      array().cast(ArrayType(DoubleType)).as("ss"))
+    val step = (acc: Column, e: Column) => {
+      val ns = when(e.getField("__d") > 0,
+        acc.getField("s") *
+          ((e.getField("__n") - e.getField("__d")).cast(DoubleType) /
+            e.getField("__n")))
+        .otherwise(acc.getField("s"))
+      struct(ns.as("s"), concat(acc.getField("ss"), array(ns)).as("ss"))
+    }
+    grouped
+      .withColumn("__f", aggregate(col("__s"), init, step,
+        acc => acc.getField("ss")))
+      .select(keyCols.map(col) :+ col("__f") :+
+        posexplode(col("__s")).as(Seq("__i", "__r")): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("__r.__t").as("t"),
+        col("__r.__n").as("n_risk"),
+        col("__r.__d").as("n_events"),
+        col("__r.__c").as("n_censored"),
+        element_at(col("__f"), col("__i") + 1).as("survival")): _*)
+  }
+
   /** Poisson(1) cumulative probabilities P(X ≤ k), k = 0..7 — spelled as
     * EXACT double literals shared by the Scala plan and the oracle SQL
     * (e^{-1}-derived; re-deriving them with `math.exp` in one engine and

@@ -373,4 +373,39 @@ class HypothesisStatsSpec extends SparkTestBase {
       .select("chi2").as[Double].head()
     assert(one === many) // bitwise: the fold order is pinned by sort
   }
+
+  test("kaplanMeier: the textbook curve — censoring shrinks the risk " +
+    "set without a survival step, a final event drops it to zero") {
+    val subjects = Seq(
+      ("k", 1L, true), ("k", 2L, true), ("k", 2L, false),
+      ("k", 3L, true), ("k", 4L, false), ("k", 5L, true))
+      .toDF("cohort", "t_days", "churned")
+    val got = Analytics.kaplanMeier(subjects, Seq("cohort"),
+      "t_days", "churned")
+      .orderBy("t")
+      .select("t", "n_risk", "n_events", "n_censored", "survival")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // replay the exact fold arithmetic
+    val s1 = 1.0 * (5.0 / 6)
+    val s2 = s1 * (4.0 / 5)
+    val s3 = s2 * (2.0 / 3)
+    assert(got === Array(
+      (1L, 6L, 1L, 0L, s1),
+      (2L, 5L, 1L, 1L, s2),
+      (3L, 3L, 1L, 0L, s3),
+      (4L, 2L, 0L, 1L, s3), // censored-only step: survival unchanged
+      (5L, 1L, 1L, 0L, 0.0)))
+  }
+
+  test("kaplanMeier: partition-layout independent (the fold order is " +
+    "pinned by the sort, not the shuffle)") {
+    val subjects = (1 to 200).map(i =>
+      ((i % 3).toString, (i * 7 % 13).toLong, i % 4 != 0))
+      .toDF("cohort", "t_days", "churned")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Analytics.kaplanMeier(df, Seq("cohort"), "t_days", "churned")
+        .orderBy("cohort", "t")
+        .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(run(subjects.repartition(13)) === run(subjects.coalesce(1)))
+  }
 }
