@@ -3460,6 +3460,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- join: as-of with TOLERANCE (merge_asof parity) — each event
+    // takes the latest same-user anchor reading, but a match more than
+    // one hour stale nulls out (a reading past its validity window must
+    // not enrich silently). Rides auto()'s strategy selection; the gap
+    // test is one map-side micros filter.
+    "j14_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+      val anchors = ev.where(col("event_id") % 10 === 0)
+        .groupBy(col("user_id").as("a_user"), col("ts").as("a_ts"))
+        .agg(max(col("value")).as("anchor_value"))
+      AsOfJoin.backwardTolerant(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        anchors, "ts", "a_ts", by = Seq(("user_id", "a_user")),
+        valueCols = Seq(("anchor_value", "anchor_value")),
+        toleranceMicros = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("anchor_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- join: BAND join (|Δvalue| <= 0.05 within event type) — the
     // sensor-reconciliation theta join. Exact integer-cents bucketing
     // (floor(cents/5) grid, ±1 fan-out) turns it into a plain equi
@@ -8707,6 +8727,24 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // tolerance as-of: DuckDB ASOF LEFT JOIN + the same 1-hour gap gate
+    "j14_asof_tolerance" ->
+      """WITH a AS (SELECT user_id AS a_user, ts AS a_ts,
+        |    MAX(value) AS anchor_value
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id % 10 = 0
+        |  GROUP BY user_id, ts),
+        |e AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN a.a_ts IS NOT NULL
+        |         AND epoch_us(e.ts) - epoch_us(a.a_ts) <= 3600000000
+        |       THEN a.anchor_value END AS anchor_value
+        |FROM e ASOF LEFT JOIN a
+        |  ON e.user_id = a.a_user AND e.ts >= a.a_ts
+        |ORDER BY e.event_id""".stripMargin,
 
     // band join: naive theta join on the same exact integer cents
     "j13_band_join" ->

@@ -335,6 +335,49 @@ object AsOfJoin {
     * behavior. Pre-filter `right.where(col(k).isNotNull)` if you want
     * SQL semantics here.
     */
+  /** Backward as-of with pandas `merge_asof`'s `tolerance`: a match
+    * farther than `toleranceMicros` behind the left time is NO match —
+    * its value columns null out (or, with `inner`, the left row drops),
+    * exactly pandas' semantics (tolerance bounds the gap; exact matches
+    * always qualify). A stale quote/config/sensor reading past its
+    * validity window must not enrich a fact row silently — that is the
+    * production reason tolerance exists.
+    *
+    * Implementation: ONE extra value column (the matched right time)
+    * rides through [[auto]]'s strategy selection — broadcast, merge
+    * exec, or bucketed composition, unchanged — and the gap test is a
+    * map-side post-filter on exact epoch micros. No second join, no
+    * new physical operator, every existing as-of plan shape keeps
+    * working at its chosen scale.
+    */
+  def backwardTolerant(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[(String, String)] = Nil,
+      valueCols: Seq[(String, String)],
+      toleranceMicros: Long,
+      inner: Boolean = false): DataFrame = {
+    require(toleranceMicros >= 0,
+      s"tolerance must be >= 0 micros, got $toleranceMicros")
+    val tcol = "__asof_matched_time"
+    require(!left.columns.contains(tcol),
+      s"left side may not contain the reserved column $tcol")
+    val out = auto(left, right, leftTime, rightTime, by,
+      valueCols :+ ((rightTime, tcol)), inner = false)
+    def micros(c: String): Column = out.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _ => col(c).cast(LongType)
+    }
+    val ok = col(tcol).isNotNull &&
+      (micros(leftTime) - micros(tcol)) <= toleranceMicros
+    val gated = valueCols.foldLeft(out) { case (d, (_, alias)) =>
+      d.withColumn(alias, when(ok, col(alias)))
+    }
+    (if (inner) gated.where(ok) else gated).drop(tcol)
+  }
+
   def merge(
       left: DataFrame,
       right: DataFrame,

@@ -308,4 +308,28 @@ class AsOfJoinSpec extends SparkTestBase {
       .select($"tag", $"v").as[(String, Double)].collect().toSet
     assert(got === Set(("early", 7.0)))
   }
+
+  test("backwardTolerant: pandas tolerance semantics — inclusive gap, " +
+    "exact match qualifies, stale match nulls, inner drops") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-05-01 00:$m%02d:00")
+    val l = Seq((1L, "k", ts(10)), (2L, "k", ts(15)), (3L, "k", ts(30)),
+      (4L, "k", ts(5)), (5L, "z", ts(10)))
+      .toDF("id", "k", "time")
+    val r = Seq(("k", ts(5), 50.0), ("k", ts(10), 100.0))
+      .toDF("rk", "rtime", "v")
+    val out = AsOfJoin.backwardTolerant(l, r, "time", "rtime",
+      by = Seq(("k", "rk")), valueCols = Seq(("v", "v")),
+      toleranceMicros = 5L * 60 * 1000000) // 5 minutes
+      .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(100.0)) // exact match (gap 0)
+    assert(out(2L) === Some(100.0)) // gap == tolerance: inclusive
+    assert(out(3L) === None)        // latest match 20 min stale
+    assert(out(4L) === Some(50.0))  // exact at the earlier anchor
+    assert(out(5L) === None)        // no right key at all
+    val inner = AsOfJoin.backwardTolerant(l, r, "time", "rtime",
+      by = Seq(("k", "rk")), valueCols = Seq(("v", "v")),
+      toleranceMicros = 5L * 60 * 1000000, inner = true)
+      .select($"id").as[Long].collect().toSet
+    assert(inner === Set(1L, 2L, 4L))
+  }
 }
