@@ -3480,6 +3480,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- join: FORWARD as-of with tolerance — "the next same-user
+    // anchor reading, unless it's more than an hour out". j14's
+    // mirrored axis; same one-extra-column gate.
+    "j15_asof_fwd_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+      val anchors = ev.where(col("event_id") % 10 === 0)
+        .groupBy(col("user_id").as("a_user"), col("ts").as("a_ts"))
+        .agg(max(col("value")).as("anchor_value"))
+      AsOfJoin.forwardTolerant(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        anchors, "ts", "a_ts", by = Seq(("user_id", "a_user")),
+        valueCols = Seq(("anchor_value", "anchor_value")),
+        toleranceMicros = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("anchor_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- join: BAND join (|Δvalue| <= 0.05 within event type) — the
     // sensor-reconciliation theta join. Exact integer-cents bucketing
     // (floor(cents/5) grid, ±1 fan-out) turns it into a plain equi
@@ -8744,6 +8762,25 @@ object SparkEntry {
         |       THEN a.anchor_value END AS anchor_value
         |FROM e ASOF LEFT JOIN a
         |  ON e.user_id = a.a_user AND e.ts >= a.a_ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    // forward tolerance as-of: DuckDB forward ASOF (l.ts <= r.ts) +
+    // the mirrored gap gate
+    "j15_asof_fwd_tolerance" ->
+      """WITH a AS (SELECT user_id AS a_user, ts AS a_ts,
+        |    MAX(value) AS anchor_value
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id % 10 = 0
+        |  GROUP BY user_id, ts),
+        |e AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN a.a_ts IS NOT NULL
+        |         AND epoch_us(a.a_ts) - epoch_us(e.ts) <= 3600000000
+        |       THEN a.anchor_value END AS anchor_value
+        |FROM e ASOF LEFT JOIN a
+        |  ON e.user_id = a.a_user AND e.ts <= a.a_ts
         |ORDER BY e.event_id""".stripMargin,
 
     // band join: naive theta join on the same exact integer cents

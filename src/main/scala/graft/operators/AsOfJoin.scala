@@ -361,21 +361,56 @@ object AsOfJoin {
       inner: Boolean = false): DataFrame = {
     require(toleranceMicros >= 0,
       s"tolerance must be >= 0 micros, got $toleranceMicros")
-    val tcol = "__asof_matched_time"
-    require(!left.columns.contains(tcol),
-      s"left side may not contain the reserved column $tcol")
-    val out = auto(left, right, leftTime, rightTime, by,
-      valueCols :+ ((rightTime, tcol)), inner = false)
+    require(!left.columns.contains(TolerantTimeCol),
+      s"left side may not contain the reserved column $TolerantTimeCol")
+    tolerantGate(
+      auto(left, right, leftTime, rightTime, by,
+        valueCols :+ ((rightTime, TolerantTimeCol)), inner = false),
+      leftTime, valueCols, toleranceMicros, inner, forwardGap = false)
+  }
+
+  /** Forward as-of with tolerance: the earliest at-or-after match, but
+    * only within `toleranceMicros` AHEAD — "the next reading, unless
+    * it's too far out to stand in for now". Same one-extra-column
+    * mechanism as [[backwardTolerant]], over [[forward]]'s mirrored
+    * axis.
+    */
+  def forwardTolerant(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[(String, String)] = Nil,
+      valueCols: Seq[(String, String)],
+      toleranceMicros: Long,
+      inner: Boolean = false): DataFrame = {
+    require(toleranceMicros >= 0,
+      s"tolerance must be >= 0 micros, got $toleranceMicros")
+    require(!left.columns.contains(TolerantTimeCol),
+      s"left side may not contain the reserved column $TolerantTimeCol")
+    tolerantGate(
+      forward(left, right, leftTime, rightTime, by,
+        valueCols :+ ((rightTime, TolerantTimeCol)), inner = false),
+      leftTime, valueCols, toleranceMicros, inner, forwardGap = true)
+  }
+
+  private val TolerantTimeCol = "__asof_matched_time"
+
+  private def tolerantGate(out: DataFrame, leftTime: String,
+      valueCols: Seq[(String, String)], toleranceMicros: Long,
+      inner: Boolean, forwardGap: Boolean): DataFrame = {
     def micros(c: String): Column = out.schema(c).dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
       case _ => col(c).cast(LongType)
     }
-    val ok = col(tcol).isNotNull &&
-      (micros(leftTime) - micros(tcol)) <= toleranceMicros
+    val gap =
+      if (forwardGap) micros(TolerantTimeCol) - micros(leftTime)
+      else micros(leftTime) - micros(TolerantTimeCol)
+    val ok = col(TolerantTimeCol).isNotNull && gap <= toleranceMicros
     val gated = valueCols.foldLeft(out) { case (d, (_, alias)) =>
       d.withColumn(alias, when(ok, col(alias)))
     }
-    (if (inner) gated.where(ok) else gated).drop(tcol)
+    (if (inner) gated.where(ok) else gated).drop(TolerantTimeCol)
   }
 
   def merge(

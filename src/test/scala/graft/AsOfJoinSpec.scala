@@ -332,4 +332,20 @@ class AsOfJoinSpec extends SparkTestBase {
       .select($"id").as[Long].collect().toSet
     assert(inner === Set(1L, 2L, 4L))
   }
+
+  test("forwardTolerant: the mirrored gap — next match within the " +
+    "window, too-far-ahead nulls") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-05-01 00:$m%02d:00")
+    val l = Seq((1L, "k", ts(5)), (2L, "k", ts(10)), (3L, "k", ts(40)))
+      .toDF("id", "k", "time")
+    val r = Seq(("k", ts(10), 100.0), ("k", ts(60), 600.0))
+      .toDF("rk", "rtime", "v")
+    val out = AsOfJoin.forwardTolerant(l, r, "time", "rtime",
+      by = Seq(("k", "rk")), valueCols = Seq(("v", "v")),
+      toleranceMicros = 5L * 60 * 1000000)
+      .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(100.0)) // 5 min ahead == tolerance
+    assert(out(2L) === Some(100.0)) // exact
+    assert(out(3L) === None)        // next match 20 min ahead
+  }
 }
