@@ -32,27 +32,46 @@ def newest_artifact():
 
 
 def load_queries(path):
-    """The artifact may hold one or two one-line JSON objects, or a raw
-    stdout capture; take the last parseable line's `queries` map."""
-    queries = None
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
+    """Accepts Bench stdout (one or two one-line JSON objects), a raw
+    capture, or the driver's wrapper format ({"tail": "...",
+    "parsed": {...}}); returns the richest `queries` map found."""
+    best = {}
+
+    def consider(obj):
+        nonlocal best
+        if isinstance(obj, dict):
+            q = obj.get("queries")
+            if isinstance(q, dict) and len(q) > len(best):
+                best = q
+            for v in obj.values():  # driver wrapper: nested objects
+                if isinstance(v, dict):
+                    consider(v)
+                elif isinstance(v, str):
+                    scan(v)
+
+    def scan(text):
+        for m in re.finditer(r'\{"metric".*?"queries".*?\}(?=\n|$)', text):
             try:
-                obj = json.loads(line)
+                consider(json.loads(m.group(0)))
             except json.JSONDecodeError:
-                # stdout capture: find the last {...} span on the line
-                m = re.search(r'\{"metric".*\}', line)
-                if not m:
-                    continue
-                obj = json.loads(m.group(0))
-            if isinstance(obj, dict) and "queries" in obj:
-                queries = obj["queries"]
-    if not queries:
+                pass
+
+    raw = open(path).read()
+    try:
+        consider(json.loads(raw))
+    except json.JSONDecodeError:
+        pass
+    for line in raw.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                consider(json.loads(line))
+            except json.JSONDecodeError:
+                scan(line)
+    scan(raw)
+    if not best:
         sys.exit(f"no 'queries' map found in {path}")
-    return queries
+    return best
 
 
 def loadavg():
