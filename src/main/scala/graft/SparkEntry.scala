@@ -1764,6 +1764,15 @@ object SparkEntry {
           r6z(col("corr")).as("corr"))
         .orderBy("col_x", "col_y")),
 
+    // ---- evaluation: per-group skewness + excess kurtosis from one
+    // exact-decimal power-sum pass (the a16 discipline, two moments
+    // higher) — the long-tail / heavy-tail diagnostic a metric gets
+    // before anyone trusts its mean.
+    "a52_moments" -> ((s, dir) =>
+      Analytics.momentsProfile(t(s, dir, "events"),
+        Seq("event_type"), "value")
+        .orderBy("event_type")),
+
     // ---- evaluation: Monte-Carlo randomization test (the permutation
     // test's unconditional sibling) for the even- vs odd-user mean
     // difference per event type. B=50 hash-derived binomial relabelings
@@ -7169,6 +7178,40 @@ object SparkEntry {
         |    / (2.0 * n_a * n_b) + 0.0 AS auc
         |FROM g WHERE n_a > 0 AND n_b > 0
         |ORDER BY event_type""".stripMargin,
+
+    // moments re-derived: same pinned decimal widths (x2 in (18,4) so
+    // every product stays inside DuckDB's 38-digit multiply), one
+    // double cast per sum, the identical IEEE tree
+    "a52_moments" ->
+      """WITH b AS (SELECT event_type,
+        |    TRY_CAST(value AS DECIMAL(18,2)) AS x,
+        |    CAST(TRY_CAST(value AS DECIMAL(18,2))
+        |      * TRY_CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4)) AS x2
+        |  FROM events
+        |  WHERE TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |a AS (SELECT event_type,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS s1,
+        |    CAST(SUM(x2) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(x2 * CAST(x AS DECIMAL(10,2))
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,8))) AS DOUBLE) AS s4
+        |  FROM b GROUP BY event_type),
+        |c AS (SELECT event_type, n, s1, s2, s3, s4,
+        |    s1 / n AS m,
+        |    s2 / n - (s1 / n) * (s1 / n) AS v
+        |  FROM a)
+        |SELECT event_type,
+        |  CAST(n AS BIGINT) AS n,
+        |  round(m, 6) + 0.0 AS mean,
+        |  CASE WHEN v > 0 THEN round(
+        |    (s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m)
+        |      / (sqrt(v) * v), 6) + 0.0 END AS skewness,
+        |  CASE WHEN v > 0 THEN round(
+        |    (s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n)
+        |      - 3.0 * m * m * m * m) / (v * v) - 3.0, 6) + 0.0
+        |    END AS kurtosis_excess
+        |FROM c ORDER BY event_type""".stripMargin,
 
     // randomization test re-derived: identical md5-uniform draws,
     // identical binomial threshold NA/(NA+NB), HUGEINT cross-products

@@ -112,6 +112,49 @@ object Analytics {
         (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))).as("corr_xy"))
   }
 
+  /** Per-group shape-of-distribution profile: skewness g₁ and excess
+    * kurtosis g₂ from the four decimal-exact power sums — the "is this
+    * metric long-tailed / heavy-tailed?" question a quality or latency
+    * column gets before anyone trusts its mean. Raw-moment identities
+    * over ONE partial-aggregated pass (no second centering scan):
+    *   m = s₁/n, v = s₂/n − m²
+    *   g₁ = (s₃/n − 3m·s₂/n + 2m³) / v^{3/2}
+    *   g₂ = (s₄/n − 4m·s₃/n + 6m²·s₂/n − 3m⁴) / v² − 3
+    * Power sums accumulate as exact decimals with pinned per-step
+    * widths — x² lands in DECIMAL(18,4) so the x³/x⁴ products stay
+    * inside 38 digits in BOTH engines' width rules (DuckDB errors past
+    * 38 rather than rescaling): the contract is |measure| < 10⁷ at
+    * scale 2 (unit-scale a wider measure first). Each sum casts to
+    * double ONCE and the statistics are a fixed IEEE tree (round-6
+    * canonicalized). Groups with zero variance emit null.
+    */
+  def momentsProfile(df: DataFrame, keyCols: Seq[String],
+      measure: String): DataFrame = {
+    val d = col(measure).cast(DecimalType(18, 2))
+    val x2 = (d * d).cast(DecimalType(18, 4))
+    val agg = df.where(d.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast(DoubleType).as("__n"),
+        sum(d).cast(DoubleType).as("__s1"),
+        sum(x2).cast(DoubleType).as("__s2"),
+        sum((x2 * d).cast(DecimalType(38, 6))).cast(DoubleType).as("__s3"),
+        sum((x2 * x2).cast(DecimalType(38, 8))).cast(DoubleType).as("__s4"))
+    val n = col("__n")
+    val m = col("__s1") / n
+    val v = col("__s2") / n - m * m
+    val g1 = (col("__s3") / n - lit(3.0) * m * (col("__s2") / n) +
+      lit(2.0) * m * m * m) / (sqrt(v) * v)
+    val g2 = (col("__s4") / n - lit(4.0) * m * (col("__s3") / n) +
+      lit(6.0) * m * m * (col("__s2") / n) -
+      lit(3.0) * m * m * m * m) / (v * v) - lit(3.0)
+    agg.select(keyCols.map(col) ++ Seq(
+      n.cast(LongType).as("n"),
+      (round(m, 6) + lit(0.0)).as("mean"),
+      when(v > 0, round(g1, 6) + lit(0.0)).as("skewness"),
+      when(v > 0, round(g2, 6) + lit(0.0)).as("kurtosis_excess")): _*)
+  }
+
   /** The five decimal-exact moment sums (n, Σx, Σy, Σx², Σy², Σxy) as
     * one partial-aggregated pass — THE shared discipline of
     * [[exactStats]] and [[olsByGroup]]. Pairwise-complete rows only:

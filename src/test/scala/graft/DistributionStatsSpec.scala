@@ -80,4 +80,32 @@ class DistributionStatsSpec extends SparkTestBase {
       .orderBy("k").collect()
     assert(a === b)
   }
+
+  test("momentsProfile: symmetric data has zero skew, a two-point " +
+    "mass has kurtosis_excess -2, constants emit null") {
+    val df = Seq.tabulate(8)(i => ("sym", (i % 4 + 1).toDouble)) ++
+      Seq.fill(5)(("two", 0.0)) ++ Seq.fill(5)(("two", 10.0)) ++
+      Seq.fill(4)(("const", 7.0))
+    val out = Analytics.momentsProfile(df.toDF("k", "v"), Seq("k"), "v")
+      .orderBy("k")
+      .select("k", "n", "mean", "skewness", "kurtosis_excess")
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect()
+    val const = out(0); val sym = out(1); val two = out(2)
+    assert(const === (("const", 4L, 7.0, None, None)))
+    assert(sym._4 === Some(0.0)) // uniform over {1,2,3,4}: symmetric
+    // a balanced Bernoulli has the minimum possible kurtosis: g2 = -2
+    assert(two === (("two", 10L, 5.0, Some(0.0), Some(-2.0))))
+  }
+
+  test("momentsProfile: partition-layout independent (exact decimal " +
+    "power sums)") {
+    val df = (1 to 300).map(i => ((i % 2).toString, (i * 17 % 97) / 4.0))
+      .toDF("k", "v")
+    val a = Analytics.momentsProfile(df.coalesce(1), Seq("k"), "v")
+      .orderBy("k").collect()
+    val b = Analytics.momentsProfile(df.repartition(13), Seq("k"), "v")
+      .orderBy("k").collect()
+    assert(a === b)
+  }
 }
