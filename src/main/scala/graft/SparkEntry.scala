@@ -3469,6 +3469,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- window: multi-touch attribution — every same-user touch in
+    // the 7 days up to a conversion shares the credit equally (1/k).
+    // One equi+BETWEEN interval join (j1's audited shape) + one
+    // per-conversion count window; credit is a single division per
+    // row, never an order-dependent float sum.
+    "w10_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull)
+      val convs = ev.where(pmod(col("event_id"), lit(17)) === 0)
+        .select(col("user_id").as("c_user"),
+          col("event_id").as("conv_id"), col("ts").as("c_ts"))
+      val touches = ev.where(pmod(col("event_id"), lit(17)) =!= 0)
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("ts").as("t_ts"))
+      IntervalJoin.pointInInterval(touches, convs,
+        pointCol = col("t_ts"),
+        startCol = col("c_ts") - expr("INTERVAL 7 DAYS"),
+        endCol = col("c_ts"),
+        equi = Seq((col("user_id"), col("c_user"))))
+        .withColumn("k",
+          count(lit(1)).over(Window.partitionBy(col("conv_id"))))
+        .select(col("conv_id"), col("touch_id"), col("k"),
+          (lit(1.0) / col("k") + lit(0.0)).as("credit"))
+        .orderBy("conv_id", "touch_id")
+    }),
+
     // ---- join: as-of with TOLERANCE (merge_asof parity) — each event
     // takes the latest same-user anchor reading, but a match more than
     // one hour stale nulls out (a reading past its validity window must
@@ -8788,6 +8816,26 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // attribution: same equi+BETWEEN pairs, same per-conversion k,
+    // same single division
+    "w10_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |c AS (SELECT user_id AS c_user, event_id AS conv_id, ts AS c_ts
+        |  FROM e WHERE event_id % 17 = 0),
+        |t AS (SELECT user_id, event_id AS touch_id, ts AS t_ts
+        |  FROM e WHERE event_id % 17 <> 0),
+        |j AS (SELECT c.conv_id, t.touch_id
+        |  FROM t JOIN c ON t.user_id = c.c_user
+        |    AND t.t_ts BETWEEN c.c_ts - INTERVAL 7 DAY AND c.c_ts),
+        |k AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM j GROUP BY conv_id)
+        |SELECT j.conv_id, j.touch_id, k.k,
+        |  1.0 / k.k + 0.0 AS credit
+        |FROM j JOIN k ON j.conv_id = k.conv_id
+        |ORDER BY j.conv_id, j.touch_id""".stripMargin,
 
     // tolerance as-of: DuckDB ASOF LEFT JOIN + the same 1-hour gap gate
     "j14_asof_tolerance" ->
