@@ -107,20 +107,28 @@ object Bench {
     // carries its own load stamp for the end-of-run defense pass below
     val perRepLoad = scala.collection.mutable.LinkedHashMap
       .empty[String, Seq[Double]]
+    // ONE timed-rep protocol for the main loop and the contention
+    // defense below: elapsed seconds + the rep's load stamp (max of
+    // before/after), both recorded — two hand-rolled copies would
+    // drift and skew either the per-rep list or the contended flag
+    def timedRep(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        Option[(Double, Double)] = {
+      val l0 = loadAvg()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val l = math.max(l0, loadAvg())
+      perRep(name) = perRep.getOrElse(name, Nil) :+ dt
+      perRepLoad(name) = perRepLoad.getOrElse(name, Nil) :+ l
+      Some((dt, l))
+    }
     val results: Seq[(String, Double)] = picked.toSeq.flatMap {
       case (name, fn) =>
         var lastErr: Option[Throwable] = None
-        def runOnce(): Option[Double] = {
-          val l0 = loadAvg()
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).count()
-            val dt = (System.nanoTime() - t0) / 1e9
-            perRepLoad(name) =
-              perRepLoad.getOrElse(name, Nil) :+ math.max(l0, loadAvg())
-            Some(dt)
-          } catch { case e: Throwable => lastErr = Some(e); None }
-        }
+        def runOnce(): Option[Double] =
+          try timedRep(name, fn).map(_._1)
+          catch { case e: Throwable => lastErr = Some(e); None }
         var times = (1 to reps).flatMap(_ => runOnce())
         // adaptive: wide spread => contended rep => extra reps tighten
         // the min (reps=1 profiling runs skip this — no spread to read)
@@ -134,7 +142,6 @@ object Bench {
           lastErr.foreach(e => System.err.println(
             s"BENCH WARN: $name failed ${reps + extra - times.size}/${
               reps + extra} reps: " + e.getClass.getSimpleName))
-          perRep(name) = times
           Some(name -> times.min)
         }
     }
@@ -159,14 +166,7 @@ object Bench {
           var tries = 0
           var stillBusy = true
           while (tries < 2 && stillBusy) {
-            val l0 = loadAvg()
-            val t0 = System.nanoTime()
-            try {
-              fn(spark, sfDir).count()
-              val dt = (System.nanoTime() - t0) / 1e9
-              val l = math.max(l0, loadAvg())
-              perRep(n) = perRep(n) :+ dt
-              perRepLoad(n) = perRepLoad(n) :+ l
+            try timedRep(n, fn).foreach { case (dt, l) =>
               if (dt < resultMap(n)) resultMap(n) = dt
               stillBusy = l > busyLoad
             } catch { case _: Throwable => stillBusy = false }

@@ -894,7 +894,13 @@ object SparkEntry {
   }
 
   /** Run a streaming twin to completion through a memory sink and
-    * return the sealed non-marker rows (see [[streamTwinSource]]). */
+    * return the sealed non-marker rows (see [[streamTwinSource]]).
+    * Per-invocation state is RECLAIMED before returning: the sealed
+    * rows move to a localCheckpoint, then the memory-sink view drops
+    * and the temp root (shipped batches + stream checkpoint) deletes —
+    * without this, every bench rep of every twin leaks a full
+    * events-table copy on disk and a sealed result set in driver
+    * memory for the JVM's lifetime. */
   private def runStreamTwin(s: SparkSession, root: String,
       out: DataFrame): DataFrame = {
     val qn = java.nio.file.Paths.get(root).getFileName.toString
@@ -903,7 +909,15 @@ object SparkEntry {
       .option("checkpointLocation", root + "/ckpt").start()
     q.processAllAvailable()
     q.stop()
-    s.table(qn).where(col("user_id") >= 0)
+    val sealedRows = s.table(qn).where(col("user_id") >= 0)
+      .localCheckpoint(true)
+    s.catalog.dropTempView(qn)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    sealedRows
   }
 
   private def northStar: Map[String, (SparkSession, String) => DataFrame] = Map(

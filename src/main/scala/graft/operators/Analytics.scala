@@ -130,7 +130,16 @@ object Analytics {
     */
   def momentsProfile(df: DataFrame, keyCols: Seq[String],
       measure: String): DataFrame = {
-    val d = col(measure).cast(DecimalType(18, 2))
+    // the |x| < 10^7 contract is ENFORCED, not assumed: past it the
+    // x² cast would overflow to null under non-ANSI and the row would
+    // silently drop out of s2/s3/s4 while staying in n/s1 — wrong
+    // moments with no error (the kendallTau loud-guard discipline)
+    val d0 = col(measure).cast(DecimalType(18, 2))
+    val d = when(d0.isNull || abs(d0) < 10000000L, d0)
+      .otherwise(raise_error(concat(
+        lit(s"momentsProfile: |$measure| = "), abs(d0).cast(StringType),
+        lit(" breaks the |measure| < 1e7 exact-width contract — " +
+          "unit-scale the measure first"))).cast(DecimalType(18, 2)))
     val x2 = (d * d).cast(DecimalType(18, 4))
     val agg = df.where(d.isNotNull)
       .groupBy(keyCols.map(col): _*)

@@ -199,11 +199,14 @@ object IntervalJoin {
     val epsC = eps.movePointRight(2).longValueExact()
     def cents(c: Column): Column =
       (c.cast(DecimalType(18, 2)) * 100).cast(LongType)
-    // exact floor division for possibly-negative cents: c − pmod(c, e)
-    // is exactly divisible by e, so the double `/` is integral-valued
-    // (exact below 2^53) and the cast recovers the long bucket index
+    // exact floor division for possibly-negative cents at ANY
+    // DECIMAL(18,2) magnitude: c − pmod(c, e) is exactly divisible by
+    // e, and the division runs in DECIMAL (a double `/` would round
+    // the numerator past 2^53 and put a true pair two buckets apart,
+    // silently outside the ±1 fan-out)
     def bucketOf(c: Column): Column =
-      ((c - pmod(c, lit(epsC))) / epsC).cast(LongType)
+      ((c - pmod(c, lit(epsC))).cast(DecimalType(38, 0)) / epsC)
+        .cast(LongType)
     val l = left.where(cents(col(leftVal)).isNotNull)
       .withColumn("__lc", cents(col(leftVal)))
       .withColumn("__bucket",

@@ -159,15 +159,30 @@ object Wap {
   }
 
   /** Discard the session: staged files deleted now, marker removed.
-    * The MARKER is the authority on what is still un-committed: a stale
-    * handle held past a successful publish must not delete the
-    * now-committed data files, so abort requires the session to still
-    * be open and deletes exactly the files the marker lists. */
+    * Two guards protect committed data: the session must still be open
+    * (marker present — a stale handle after a clean publish/abort
+    * refuses), and the writer-txn watermark must NOT already record
+    * this id — a publish that committed but crashed BEFORE deleting
+    * its marker leaves a marker whose files the manifest now
+    * references; aborting that "session" would delete live data, so it
+    * is refused with a pointer to the committed state (the marker is
+    * cleaned up instead, completing the interrupted publish). */
   def abort(spark: SparkSession, h: Handle): Unit = {
     val f = fsOf(spark, h.table)
     require(f.exists(markerPath(h.table, h.wapId)),
       s"WAP session '${h.wapId}' on ${h.table} is not open (already " +
         "published or aborted) — nothing to abort")
+    if (VersionedTable
+        .lastCommittedEpoch(spark, h.table, s"graft-wap-${h.wapId}")
+        .nonEmpty) {
+      // crash window between commit and marker delete: the files are
+      // committed data — finish the publish's cleanup, refuse the abort
+      f.delete(markerPath(h.table, h.wapId), false)
+      throw new IllegalStateException(
+        s"WAP id '${h.wapId}' already PUBLISHED on ${h.table} (crash " +
+          "between commit and marker cleanup) — the staged files are " +
+          "committed data; marker removed, nothing aborted")
+    }
     val cur = readMarker(f, h.table, h.wapId)
     cur.files.foreach(n => f.delete(new Path(h.table, n), false))
     f.delete(markerPath(h.table, h.wapId), false)

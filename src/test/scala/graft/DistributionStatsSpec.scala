@@ -98,6 +98,22 @@ class DistributionStatsSpec extends SparkTestBase {
     assert(two === (("two", 10L, 5.0, Some(0.0), Some(-2.0))))
   }
 
+  test("momentsProfile: the |measure| < 1e7 width contract is enforced " +
+    "loudly, and nulls still pass through silently") {
+    val e = intercept[Exception] {
+      Analytics.momentsProfile(
+        Seq(("k", 1.0), ("k", 5.0e7)).toDF("k", "v"), Seq("k"), "v")
+        .collect()
+    }
+    assert(e.getMessage.contains("1e7"))
+    // nulls are excluded by the observation filter, never the guard
+    val ok = Analytics.momentsProfile(
+      Seq(("k", Some(1.0)), ("k", None), ("k", Some(3.0)))
+        .toDF("k", "v"), Seq("k"), "v")
+      .select("n").as[Long].head()
+    assert(ok === 2L)
+  }
+
   test("momentsProfile: partition-layout independent (exact decimal " +
     "power sums)") {
     val df = (1 to 300).map(i => ((i % 2).toString, (i * 17 % 97) / 4.0))

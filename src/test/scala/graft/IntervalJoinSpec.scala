@@ -139,10 +139,12 @@ class IntervalJoinSpec extends SparkTestBase {
 
   test("bandJoin: exact cents boundary inclusive, cross-bucket pairs " +
     "found, negatives handled, plan stays an equi join") {
-    val a = Seq((1L, 1.00), (2L, 1.04), (3L, -0.03), (4L, 10.00))
-      .toDF("id_a", "va")
-    val b = Seq((10L, 1.05), (11L, 0.94), (12L, 0.02), (13L, 10.06))
-      .toDF("id_b", "vb")
+    // the 9e13 pair sits past 2^53 in cents: a double-division bucket
+    // index would round and silently drop it (decimal division holds)
+    val a = Seq((1L, 1.00), (2L, 1.04), (3L, -0.03), (4L, 10.00),
+      (5L, 90071992547410.00)).toDF("id_a", "va")
+    val b = Seq((10L, 1.05), (11L, 0.94), (12L, 0.02), (13L, 10.06),
+      (14L, 90071992547410.05)).toDF("id_b", "vb")
     val out = IntervalJoin.bandJoin(a, b, "va", "vb",
       new java.math.BigDecimal("0.05"))
       .select("id_a", "id_b", "diff_cents")
@@ -150,8 +152,9 @@ class IntervalJoinSpec extends SparkTestBase {
     // (1.00, 1.05): |Δ|=5 inclusive AND crosses the floor(c/5) bucket
     // boundary (100/5=20, 105/5=21); (-0.03, 0.02): negative left,
     // |Δ|=5, buckets -1 and 0; (10.00, 10.06): |Δ|=6 excluded;
-    // (1.00, 0.94): |Δ|=6 excluded
-    assert(out === Set((1L, 10L, 5L), (2L, 10L, 1L), (3L, 12L, 5L)))
+    // (1.00, 0.94): |Δ|=6 excluded; the 9e13 pair survives past 2^53
+    assert(out === Set((1L, 10L, 5L), (2L, 10L, 1L), (3L, 12L, 5L),
+      (5L, 14L, 5L)))
     // no nested loop: the band join must plan as a hash/sort-merge join
     IntervalJoin.assertNoNestedLoop(
       IntervalJoin.bandJoin(a, b, "va", "vb",

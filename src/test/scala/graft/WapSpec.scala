@@ -146,6 +146,33 @@ class WapSpec extends SparkTestBase {
       f.exists(new org.apache.hadoop.fs.Path(t, n))))
   }
 
+  test("abort in the publish crash window refuses, cleans the marker, " +
+    "and keeps the committed data") {
+    val t = freshTable("crashabort")
+    val h = Wap.write(spark, Wap.begin(spark, t, "rel-9"),
+      Seq((3L, "c")).toDF("id", "v"))
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(t, "_wap-rel-9.marker")
+    val markerBytes = {
+      val len = f.getFileStatus(marker).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(marker); try in.readFully(buf) finally in.close()
+      buf
+    }
+    Wap.publish(spark, h)
+    // crash window: commit landed, marker delete never ran
+    val out = f.create(marker, true)
+    try out.write(markerBytes) finally out.close()
+    // an operator abandons the release: abort must NOT delete the
+    // now-committed files — it refuses and completes the marker cleanup
+    val r = Wap.resume(spark, t, "rel-9")
+    intercept[IllegalStateException] { Wap.abort(spark, r) }
+    assert(!f.exists(marker)) // interrupted publish's cleanup completed
+    assert(VersionedTable.read(spark, t).as[(Long, String)].collect()
+      .toSet === Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("abort on a stale handle after publish refuses instead of " +
     "deleting committed data") {
     val t = freshTable("staleabort")
