@@ -1986,6 +1986,20 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // ---- time series: additive seasonal decomposition ----
+    // Trend = centered 24-row moving average, seasonal = per-hour mean
+    // of the exact detrended series, residual = the rest. Every sum an
+    // exact decimal, every float a fixed division chain — raw-emitted,
+    // fully hash-oracled.
+    "ts11_decompose" -> ((s, dir) =>
+      Analytics.seasonalDecompose(
+        t(s, dir, "events")
+          .where(col("user_id").isNotNull && col("user_id") < 20)
+          .select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        period = 24, tieBreak = Seq("event_id"))
+        .orderBy("user_id", "ts", "event_id")),
+
     // ---- time series: Kaplan–Meier survival per cohort ----
     // Subject = user; observation time = whole days between first and
     // last event; deterministic censoring marker (every 5th user is
@@ -7027,6 +7041,37 @@ object SparkEntry {
         |       WHEN s_pos > 300.00 THEN 'hi' ELSE 'lo' END AS side
         |FROM scores WHERE s_pos > 300.00 OR s_neg > 300.00
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // decomposition re-derived: same centered ROWS window, exact
+    // decimal sums, identical division chains
+    "ts11_decompose" ->
+      """WITH b AS (SELECT user_id, event_id, ts,
+        |    TRY_CAST(value AS DECIMAL(18,2)) AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND user_id < 20 AND ts IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |win AS (SELECT user_id, event_id, ts, x,
+        |    COUNT(x) OVER w AS cnt,
+        |    SUM(x) OVER w AS s
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+        |f AS (SELECT user_id, event_id, ts, x, s,
+        |    CAST(24 * x - s AS DECIMAL(38,2)) AS d,
+        |    EXTRACT(hour FROM ts) AS phase
+        |  FROM win WHERE cnt = 24),
+        |p AS (SELECT user_id, phase,
+        |    CAST(SUM(d) AS DECIMAL(38,2)) AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS np
+        |  FROM f GROUP BY user_id, phase)
+        |SELECT f.user_id, f.event_id, f.ts,
+        |  CAST(f.x AS DOUBLE) AS value,
+        |  CAST(f.s AS DOUBLE) / 24 + 0.0 AS trend,
+        |  CAST(p.g AS DOUBLE) / (24.0 * p.np) + 0.0 AS seasonal,
+        |  CAST(f.x AS DOUBLE) - CAST(f.s AS DOUBLE) / 24
+        |    - CAST(p.g AS DOUBLE) / (24.0 * p.np) + 0.0 AS residual
+        |FROM f JOIN p ON f.user_id = p.user_id AND f.phase = p.phase
+        |ORDER BY f.user_id, f.ts, f.event_id""".stripMargin,
 
     // Kaplan–Meier re-derived: same integer risk sets, recursive CTE
     // replays the per-cohort time-ordered product (1.0·x ≡ x in IEEE,

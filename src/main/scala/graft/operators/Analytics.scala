@@ -1006,6 +1006,67 @@ object Analytics {
           element_at(col("__f.bs"), col("__i") + 1).as("trend")): _*)
   }
 
+  /** Additive seasonal decomposition per key — the classical
+    * trend/seasonal/residual split (STL's moving-average ancestor)
+    * over the observation SEQUENCE: trend is a centered `period`-row
+    * moving average, the seasonal component is the per-phase mean of
+    * the detrended series (phase = hour-of-day for the default
+    * period 24), and the residual is what remains. Rows without a full
+    * centered window (the series edges) are excluded, as classical
+    * decomposition does.
+    *
+    * Determinism discipline: the ONLY sums are exact decimals — the
+    * trend window sum S, and the per-phase sum G of the exact
+    * detrended-×period value (period·x − S, still a decimal). Every
+    * emitted float is a fixed chain from those exacts:
+    * trend = S/period, seasonal = G/(period·n_phase),
+    * residual = x − trend − seasonal — so the output is
+    * partition-order independent and hash-oracled, no rounding needed.
+    *
+    * Scale shape: one per-key window (keys parallelize), one
+    * (key, phase) partial-agg, one broadcast-sized join back (phases
+    * per key = period). The window is ROWS-based: decomposition over
+    * the observation sequence, the right frame for regularly-sampled
+    * feeds; gap-fill first (g1) if the sampling is irregular.
+    */
+  def seasonalDecompose(df: DataFrame, keyCols: Seq[String],
+      tsCol: String, measure: String, period: Int = 24,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "seasonalDecompose needs a key column")
+    require(period >= 2 && period <= 10000,
+      s"period must be in [2, 10000], got $period")
+    import org.apache.spark.sql.expressions.Window
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val order = (col(tsCol).asc +: tieBreak.map(col(_).asc))
+    val half = period / 2
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-half, period - half - 1)
+    val windowed = df
+      .where(col(tsCol).isNotNull && dec.isNotNull)
+      .withColumn("__x", dec)
+      .withColumn("__cnt", count(col("__x")).over(w))
+      .withColumn("__s", sum(col("__x")).over(w))
+      .where(col("__cnt") === period) // full centered window only
+      .withColumn("__d", (lit(period) * col("__x") - col("__s"))
+        .cast(DecimalType(38, 2))) // period·x − S: exact detrended ×period
+      .withColumn("__phase", hour(col(tsCol)))
+    val phase = windowed
+      .groupBy(keyCols.map(col) :+ col("__phase"): _*)
+      .agg(sum(col("__d")).cast(DecimalType(38, 2)).as("__g"),
+        count(lit(1)).as("__np"))
+    val joined = windowed.join(phase, keyCols :+ "__phase")
+    val trend = col("__s").cast(DoubleType) / period
+    val seasonal = col("__g").cast(DoubleType) /
+      (lit(period.toDouble) * col("__np"))
+    joined.select(keyCols.map(col) ++ tieBreak.map(col) ++ Seq(
+      col(tsCol),
+      col("__x").cast(DoubleType).as(measure),
+      (trend + lit(0.0)).as("trend"),
+      (seasonal + lit(0.0)).as("seasonal"),
+      (col("__x").cast(DoubleType) - trend - seasonal + lit(0.0))
+        .as("residual")): _*)
+  }
+
   /** Kaplan–Meier survival curves per cohort — the churn/retention
     * estimator ("what fraction of users survive past day t?") under
     * right-censoring: a subject contributes an event at its observed

@@ -374,6 +374,30 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(one === many) // bitwise: the fold order is pinned by sort
   }
 
+  test("seasonalDecompose: a pure hourly pattern over a constant base " +
+    "recovers it exactly — constant trend, per-hour seasonal, zero " +
+    "residual, edges excluded") {
+    val rows = (0 until 48).map { i =>
+      (1L, i.toLong,
+        java.sql.Timestamp.valueOf(
+          f"2024-05-0${1 + i / 24}%d ${i % 24}%02d:00:00"),
+        10.0 + (i % 24))
+    }.toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.seasonalDecompose(rows, Seq("user_id"), "ts",
+      "value", period = 24, tieBreak = Seq("event_id"))
+      .orderBy("event_id")
+      .select("event_id", "value", "trend", "seasonal", "residual")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    // full centered windows exist for rows 12..36 only
+    assert(out.map(_._1).toSeq === (12L to 36L))
+    out.foreach { case (id, v, t, s, r) =>
+      assert(t === 21.5) // 10 + mean(0..23), every window = one cycle
+      assert(s === (id % 24) - 11.5)
+      assert(v === 10.0 + (id % 24))
+      assert(r === 0.0)
+    }
+  }
+
   test("kaplanMeier: the textbook curve — censoring shrinks the risk " +
     "set without a survival step, a final event drops it to zero") {
     val subjects = Seq(
