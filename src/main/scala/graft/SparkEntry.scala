@@ -1928,6 +1928,41 @@ object SparkEntry {
           r6z(col("contrib")).as("contrib"))
         .orderBy("event_type", "hr")),
 
+    // ---- evaluation: calibration bins + ECE. A real train/score
+    // split: even event_ids train a per-hour positive-rate model
+    // (P(value>60) — every score one exact-count division), odd
+    // event_ids are scored and binned. ECE telescopes to
+    // Σ|Σscores_b − n_pos_b|/N — one exact-decimal division.
+    "a53_calibration" -> ((s, dir) => {
+      // per-hour task with an hour-varying threshold, so the trained
+      // scores span the whole [0,1] axis and populate most bins
+      val hr = hour(col("ts"))
+      val ev = t(s, dir, "events")
+        .where(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), hr.as("hr"),
+          (col("value") > lit(10.0) + hr.cast(DoubleType) * lit(8.0))
+            .cast("int").as("label"))
+      val rates = ev.where(col("event_id") % 2 === 0)
+        .groupBy("hr")
+        .agg((sum(col("label")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("score"))
+      val scored = ev.where(col("event_id") % 2 === 1)
+        .join(rates, "hr").select(col("score"), col("label"))
+      Analytics.calibrationBins(scored, "score", "label", bins = 10)
+        .orderBy("bin")
+    }),
+
+    // ---- evaluation: Cramér's V effect size for the same
+    // contingency — the [0,1] association strength χ² lacks. χ² total
+    // accumulates per-cell contributions through DECIMAL(28,18)
+    // (fold-order independent) and recovers empty-cell mass in closed
+    // form (N − Σexpected); V is one sqrt of one division.
+    "a54_cramers_v" -> ((s, dir) =>
+      Analytics.cramersV(
+        t(s, dir, "events").where(col("ts").isNotNull)
+          .withColumn("hr", hour(col("ts"))),
+        "event_type", "hr")),
+
     // ---- time series: time-weighted average (TWAP) ----
     // Step-function semantics: each value holds until the next
     // observation; the weighted sum is ONE exact decimal aggregate and
@@ -1937,6 +1972,17 @@ object SparkEntry {
         t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
         keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
         tieBreak = Seq("event_id"))
+        .orderBy("user_id")),
+
+    // ---- time series: MASE — is there 7-periodic structure? Seasonal-
+    // naive MAE over naive MAE per user; exact decimal error sums, each
+    // MAE one division, MASE spelled as the division of the two MAE
+    // doubles on both engines. Constant series (naive MAE 0) excluded.
+    "ts12_mase" -> ((s, dir) =>
+      Analytics.maseEval(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        season = 7, tieBreak = Seq("event_id"))
         .orderBy("user_id")),
 
     // ---- time series: windowed TWAP (per-day step-function integral) ----
@@ -2894,6 +2940,21 @@ object SparkEntry {
         .orderBy(desc("n"), col("term"))
         .limit(20)),
 
+    // ---- text: Jensen–Shannon divergence between per-language unigram
+    // distributions — the bounded symmetric "how different are these
+    // domains?" distance; shared-term contributions decimal-stabilized,
+    // disjoint mass recovered in closed form (½·ln2·(2−Σp−Σq)).
+    "t38_js_divergence" -> ((s, dir) =>
+      TextAnalysis.jsDivergence(t(s, dir, "documents"), "lang", "text")
+        .orderBy("lang_a", "lang_b")),
+
+    // ---- text: Zipf fit — OLS of ln(freq) on ln(rank) over the top-
+    // 100 terms. Slope far from -1 (or low R²) flags template floods /
+    // scraped spam; moments decimal-stabilized, closed form spelled
+    // identically in the oracle.
+    "t37_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topK = 100)),
+
     // ---- text: BPE subword tokenization (train + encode) ----
     // Distributed merge-table training over the distinct-word frame
     // (corpus tokenized once), then a map-side native encode. Learned
@@ -3231,6 +3292,17 @@ object SparkEntry {
         maxHops = 8)
         .orderBy("c_custkey")
     }),
+
+    // ---- graph: neighborhood link prediction over the linkage graph —
+    // the "review next" queue: non-adjacent pairs sharing neighbors,
+    // scored by common-neighbor count, Jaccard (one integer division),
+    // and Adamic–Adar (per-middle 1/ln(deg) doubles accumulated through
+    // DECIMAL(28,18) so the sum is fold-order independent; round-6
+    // absorbs the wide-decimal→double cast ulp on both engines).
+    "g10_link_prediction" -> ((s, dir) =>
+      Graph.linkPrediction(linkageEdges(s, dir),
+        "c_custkey", "c_custkey_2")
+        .orderBy("c_custkey", "c_custkey_2")),
 
     // ---- sketch: Misra-Gries frequent items (native mergeable
     // TypedImperativeAggregate). The sketch path for t7's question: each
@@ -4222,6 +4294,17 @@ object SparkEntry {
         .orderBy("cls")
     }),
 
+    // ---- evaluation: Cohen's kappa — chance-corrected agreement
+    // between the t3 heuristic language-ID rater and the reference
+    // `lang` labels. After clearing denominators, kappa is ONE
+    // division of exact integers (agree·N − Σrt·ct over N² − Σrt·ct).
+    "a55_kappa" -> ((s, dir) =>
+      Analytics.cohenKappa(
+        t(s, dir, "documents").where(col("lang").isNotNull)
+          .select(TextAnalysis.langId(col("text")).as("pred"),
+            col("lang")),
+        "pred", "lang")),
+
     // ---- text: BM25 keyword relevance (the retrieval scorer) ----
     // Okapi BM25 over the corpus for a keyword query: saturation +
     // length normalization on top of t10's tf-idf. Every float input is
@@ -4645,6 +4728,54 @@ object SparkEntry {
        |ORDER BY c.c_custkey""".stripMargin
   }
 
+  /** g10's oracle: the same wedge formulation — middles under the
+    * degree cap pair their endpoints, existing edges anti-joined out,
+    * Adamic–Adar terms as DECIMAL(28,18) exact sums (round-6 after the
+    * double cast absorbs the int128→double rounding on both engines).
+    */
+  private val linkPredOracle: String =
+    """WITH lp AS MATERIALIZED (
+      |  SELECT a.c_custkey AS v1, b.c_custkey AS v2
+      |  FROM customer a JOIN customer b
+      |    ON a.c_nationkey = b.c_nationkey
+      |    AND a.c_mktsegment = b.c_mktsegment
+      |    AND a.c_custkey < b.c_custkey
+      |  WHERE CAST(
+      |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 IS NULL THEN 0.0
+      |          WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 4.0
+      |          ELSE -1.0 END)
+      |    + (CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+      |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 IS NULL THEN 0.0
+      |            WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+      |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 THEN 2.5
+      |            ELSE -0.5 END)
+      |  AS DOUBLE) >= 3.0),
+      |edges AS (SELECT v1 AS src, v2 AS dst FROM lp
+      |          UNION ALL SELECT v2, v1 FROM lp),
+      |deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS dg
+      |        FROM edges GROUP BY src),
+      |mids AS (SELECT e.src AS mid, e.dst AS endp, d.dg AS mdeg
+      |         FROM edges e JOIN deg d ON d.v = e.src
+      |         WHERE d.dg <= 10000),
+      |wg AS (SELECT e1.endp AS u, e2.endp AS w,
+      |         CAST(1.0 / ln(CAST(e1.mdeg AS DOUBLE)) AS DECIMAL(28,18))
+      |           AS aa
+      |       FROM mids e1 JOIN mids e2
+      |         ON e1.mid = e2.mid AND e1.endp < e2.endp),
+      |nw AS (SELECT u, w, CAST(COUNT(*) AS BIGINT) AS cn,
+      |         SUM(aa) AS aas
+      |       FROM wg
+      |       WHERE NOT EXISTS (SELECT 1 FROM lp
+      |         WHERE lp.v1 = wg.u AND lp.v2 = wg.w)
+      |       GROUP BY u, w)
+      |SELECT nw.u AS c_custkey, nw.w AS c_custkey_2,
+      |  cn AS common_neighbors,
+      |  CAST(cn AS DOUBLE) / CAST(du.dg + dw.dg - cn AS DOUBLE) + 0.0
+      |    AS jaccard,
+      |  round(CAST(aas AS DOUBLE), 6) + 0.0 AS adamic_adar
+      |FROM nw JOIN deg du ON du.v = nw.u JOIN deg dw ON dw.v = nw.w
+      |ORDER BY c_custkey, c_custkey_2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // full Gopher battery replayed (generated per n — see gopherOracle)
     "t25_gopher" -> gopherOracle,
@@ -4654,6 +4785,9 @@ object SparkEntry {
 
     // seed distance replayed (generated relaxation — see seedDistOracle)
     "g9_seed_distance" -> seedDistOracle,
+
+    // link prediction replayed (wedge + anti-join — see linkPredOracle)
+    "g10_link_prediction" -> linkPredOracle,
 
     // weighted quantiles replayed: same (group, value) pre-agg, same
     // cumulative-weight windows, same exact rational threshold tests
@@ -7679,6 +7813,139 @@ object SparkEntry {
         |    6) + 0.0 AS contrib
         |FROM d ORDER BY event_type, hr""".stripMargin,
 
+    // calibration: the same train/score split and bin algebra; ECE as
+    // one exact-decimal division
+    "a53_calibration" ->
+      """WITH ev AS (SELECT event_id,
+        |    CAST(EXTRACT(HOUR FROM ts) AS INT) AS hr,
+        |    CASE WHEN value > 10.0
+        |        + CAST(CAST(EXTRACT(HOUR FROM ts) AS INT) AS DOUBLE) * 8.0
+        |      THEN 1 ELSE 0 END AS label
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |rates AS (SELECT hr,
+        |    CAST(SUM(label) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |      AS score
+        |  FROM ev WHERE event_id % 2 = 0 GROUP BY hr),
+        |test AS (SELECT r.score, e.label FROM ev e
+        |  JOIN rates r ON e.hr = r.hr WHERE e.event_id % 2 = 1),
+        |binned AS (SELECT CAST(LEAST(floor(score * 10), 9) AS INT)
+        |      AS bin,
+        |    CAST(score AS DECIMAL(28,18)) AS sc,
+        |    CAST(label AS BIGINT) AS y
+        |  FROM test),
+        |per AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos, SUM(sc) AS ssum
+        |  FROM binned GROUP BY bin),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    SUM(abs(ssum - CAST(n_pos AS DECIMAL(38,18)))) AS gapsum
+        |  FROM per)
+        |SELECT bin, n, n_pos,
+        |  round(CAST(ssum AS DOUBLE) / n, 6) + 0.0 AS mean_score,
+        |  round(CAST(n_pos AS DOUBLE) / n, 6) + 0.0 AS frac_pos,
+        |  round(abs(CAST(ssum AS DOUBLE) / n - CAST(n_pos AS DOUBLE) / n),
+        |    6) + 0.0 AS gap,
+        |  round(CAST(gapsum AS DOUBLE) / nn, 6) + 0.0 AS ece
+        |FROM per, tot ORDER BY bin""".stripMargin,
+
+    // Cohen's kappa: the t3 language-ID CASE replayed over the
+    // labelled docs; kappa as one exact-integer division
+    "a55_kappa" ->
+      """WITH lab AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE lang IS NOT NULL),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('the','a','of','and','is'))) AS s_en,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('el','la','de','que','y'))) AS s_es,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('le','la','de','et','est'))) AS s_fr,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('的','是','了','在','和'))) AS s_zh
+        |FROM lab),
+        |p AS (SELECT s.doc_id, lab.lang, CASE
+        |  WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_en > 0 THEN 'en'
+        |  WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_es > 0 THEN 'es'
+        |  WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_de > 0 THEN 'de'
+        |  WHEN s_fr = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+        |  WHEN s_zh = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+        |  ELSE 'und' END AS pred
+        |FROM s JOIN lab USING (doc_id)),
+        |cells AS (SELECT pred, lang, count(*) AS c FROM p GROUP BY 1, 2),
+        |rt AS (SELECT pred AS k, CAST(SUM(c) AS DECIMAL(38,0)) AS rt
+        |  FROM cells GROUP BY pred),
+        |ct AS (SELECT lang AS k, CAST(SUM(c) AS DECIMAL(38,0)) AS ct
+        |  FROM cells GROUP BY lang),
+        |pe AS (SELECT COALESCE(SUM(rt.rt * ct.ct),
+        |    CAST(0 AS DECIMAL(38,0))) AS pe_num
+        |  FROM rt JOIN ct USING (k)),
+        |tot AS (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS n,
+        |    CAST(SUM(CASE WHEN pred = lang THEN c ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS agree
+        |  FROM cells)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+        |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS po,
+        |  round(CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE), 6) + 0.0
+        |    AS pe,
+        |  CASE WHEN CAST(n * n - pe_num AS DOUBLE) > 0
+        |    THEN round(CAST(agree * n - pe_num AS DOUBLE)
+        |      / CAST(n * n - pe_num AS DOUBLE), 6) + 0.0
+        |    ELSE NULL END AS kappa
+        |FROM tot, pe""".stripMargin,
+
+    // Cramér's V: the same cells; the χ² total sums the one-division
+    // contributions through DECIMAL(28,18) exactly as the engine does
+    "a54_cramers_v" ->
+      """WITH c AS (SELECT event_type AS a,
+        |    CAST(EXTRACT(HOUR FROM ts) AS INT) AS b, count(*) AS observed
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT a, CAST(sum(observed) AS DECIMAL(12,0)) AS rt
+        |  FROM c GROUP BY a),
+        |k AS (SELECT b, CAST(sum(observed) AS DECIMAL(12,0)) AS ct
+        |  FROM c GROUP BY b),
+        |n AS (SELECT CAST(sum(observed) AS DECIMAL(12,0)) AS nn FROM c),
+        |d AS (SELECT c.a, c.b, c.observed, r.rt, k.ct, n.nn,
+        |    CAST(CAST(c.observed AS DECIMAL(12,0)) * n.nn - r.rt * k.ct
+        |      AS DECIMAL(19,0)) AS dev
+        |  FROM c JOIN r USING (a) JOIN k USING (b) CROSS JOIN n),
+        |s AS (SELECT
+        |    SUM(CAST(CAST(dev * dev AS DOUBLE)
+        |      / CAST(rt * ct * nn AS DOUBLE) AS DECIMAL(28,18)))
+        |    + (CAST((SELECT nn FROM n) AS DECIMAL(28,18))
+        |       - SUM(CAST(CAST(rt * ct AS DOUBLE) / CAST(nn AS DOUBLE)
+        |           AS DECIMAL(28,18)))) AS chi2d,
+        |    CAST(SUM(observed) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS nr,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS nk
+        |  FROM d)
+        |SELECT n, nr AS n_rows, nk AS n_cols,
+        |  (nr - 1) * (nk - 1) AS dof,
+        |  round(CAST(chi2d AS DOUBLE), 6) + 0.0 AS chi2,
+        |  round(sqrt(CAST(chi2d AS DOUBLE)
+        |    / CAST(n * (least(nr, nk) - 1) AS DOUBLE)), 6) + 0.0
+        |    AS cramers_v
+        |FROM s""".stripMargin,
+
+    // MASE: the same lag algebra — exact decimal |diff| sums, MAEs as
+    // one division each, MASE as the division of the two MAE doubles
+    "ts12_mase" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |d AS (SELECT user_id, v,
+        |    lag(v, 1) OVER w AS p1,
+        |    lag(v, 7) OVER w AS p7
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(abs(v - p1)) AS s1,
+        |    CAST(COUNT(abs(v - p1)) AS BIGINT) AS n1,
+        |    SUM(abs(v - p7)) AS sm,
+        |    CAST(COUNT(abs(v - p7)) AS BIGINT) AS nm
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, n, n1 AS n_naive, nm AS n_seasonal,
+        |  round(CAST(s1 AS DOUBLE) / n1, 6) + 0.0 AS mae_naive,
+        |  round(CAST(sm AS DOUBLE) / nm, 6) + 0.0 AS mae_seasonal,
+        |  round((CAST(sm AS DOUBLE) / nm) / (CAST(s1 AS DOUBLE) / n1), 6)
+        |    + 0.0 AS mase
+        |FROM g WHERE s1 > 0 AND nm > 0 ORDER BY user_id""".stripMargin,
+
     // TWAP: step-function weights as exact decimal·µs products, one
     // final canonicalized double division
     "ts5_twap" ->
@@ -8318,6 +8585,77 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    // JS divergence: same per-slice probabilities, same shared-term
+    // decimal sums, same closed-form disjoint mass
+    "t38_js_divergence" ->
+      """WITH base AS (SELECT lang AS s,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents WHERE lang IS NOT NULL),
+        |counts AS (SELECT s, t, count(*) AS c FROM base
+        |  WHERE length(t) > 0 GROUP BY s, t),
+        |totals AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM counts GROUP BY s),
+        |probs AS (SELECT counts.s, t,
+        |    CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+        |  FROM counts JOIN totals ON counts.s = totals.s),
+        |shared AS (SELECT a.s AS sa, b.s AS sb,
+        |    CAST(COUNT(*) AS BIGINT) AS nsh,
+        |    SUM(CAST(a.p * ln(2.0 * a.p / (a.p + b.p))
+        |      AS DECIMAL(28,18))) AS ca,
+        |    SUM(CAST(b.p * ln(2.0 * b.p / (a.p + b.p))
+        |      AS DECIMAL(28,18))) AS cb,
+        |    SUM(CAST(a.p AS DECIMAL(28,18))) AS ma,
+        |    SUM(CAST(b.p AS DECIMAL(28,18))) AS mb
+        |  FROM probs a JOIN probs b ON a.t = b.t AND a.s < b.s
+        |  GROUP BY a.s, b.s),
+        |grid AS (SELECT ta.s AS ga, tb.s AS gb, ta.n AS n_a, tb.n AS n_b
+        |  FROM totals ta JOIN totals tb ON ta.s < tb.s),
+        |j AS (SELECT ga, gb, n_a, n_b,
+        |    COALESCE(nsh, 0) AS n_terms_shared,
+        |    (((COALESCE(CAST(ca AS DOUBLE), 0.0)
+        |      + ln(2.0) * (1.0 - COALESCE(CAST(ma AS DOUBLE), 0.0)))
+        |      + COALESCE(CAST(cb AS DOUBLE), 0.0))
+        |      + ln(2.0) * (1.0 - COALESCE(CAST(mb AS DOUBLE), 0.0)))
+        |      * 0.5 AS nats
+        |  FROM grid LEFT JOIN shared ON ga = sa AND gb = sb)
+        |SELECT ga AS lang_a, gb AS lang_b, n_a, n_b, n_terms_shared,
+        |  round(nats, 6) + 0.0 AS jsd_nats,
+        |  round(nats / ln(2.0), 6) + 0.0 AS jsd_bits
+        |FROM j ORDER BY lang_a, lang_b""".stripMargin,
+
+    // Zipf fit: same top-100 rank table, same decimal-stabilized OLS
+    // moments, same fixed-order closed form
+    "t37_zipf" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(text),
+        |    '\s+')) AS tok FROM documents),
+        |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks
+        |  WHERE length(tok) > 0 GROUP BY tok),
+        |top AS (SELECT freq,
+        |    row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+        |  FROM tf ORDER BY freq DESC, tok LIMIT 100),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |  CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(28,18)))
+        |    AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(28,18)))
+        |    AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+        |    AS DECIMAL(28,18))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+        |    AS DECIMAL(28,18))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(ln(CAST(freq AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+        |    AS DECIMAL(28,18))) AS DOUBLE) AS syy
+        |  FROM top)
+        |SELECT k,
+        |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) + 0.0
+        |    AS slope,
+        |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+        |    / k, 6) + 0.0 AS intercept,
+        |  CASE WHEN (k * syy - sy * sy) > 0
+        |    THEN round(((k * sxy - sx * sy) * (k * sxy - sx * sy))
+        |      / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) + 0.0
+        |    ELSE NULL END AS r2
+        |FROM m""".stripMargin,
 
     // Count-Min in the provably-exact domain regime (25 fixed keys,
     // no full-row collision) == exact counts, through the merge path

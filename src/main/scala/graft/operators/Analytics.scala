@@ -1660,6 +1660,158 @@ object Analytics {
       .drop("__sx", "__sy", "__sxx", "__syy", "__sxy", "__den")
   }
 
+  /** MASE — mean absolute scaled error (Hyndman & Koehler 2006) of the
+    * m-step seasonal-naive forecaster, per key:
+    *
+    *   MASE = mean|xₜ − xₜ₋ₘ| / mean|xₜ − xₜ₋₁|
+    *
+    * The scale-free "is there m-periodic structure?" score: MASE < 1
+    * means repeating last season beats repeating the last value — the
+    * pre-flight check before fitting a seasonal model ([[holt]],
+    * [[decompose]]) per key across millions of keys.
+    *
+    * Determinism: values quantize to DECIMAL(18,2) at the boundary
+    * (the [[twap]] cast), absolute differences sum exactly per key,
+    * and each MAE is ONE division; MASE is spelled as the division of
+    * the two MAE doubles on both engines. Keys with a zero naive MAE
+    * (constant series — MASE undefined) are excluded.
+    *
+    * Scale shape: two lags over one per-key window (keys parallelize;
+    * no global window) + one per-key aggregate — a single shuffle on
+    * the key.
+    */
+  def maseEval(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, season: Int = 7,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(season >= 2, s"season must be >= 2, got $season")
+    import org.apache.spark.sql.expressions.Window
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val diffed = df
+      .where(col(tsCol).isNotNull && col(measure).isNotNull)
+      .select((keyCols ++ tieBreak).distinct.map(col) :+ col(tsCol) :+
+        dec.as("__x"): _*)
+      .withColumn("__e1", abs(col("__x") - lag(col("__x"), 1).over(w)))
+      .withColumn("__em",
+        abs(col("__x") - lag(col("__x"), season).over(w)))
+    val mae1 = col("__s1").cast(DoubleType) / col("n_naive")
+    val maem = col("__sm").cast(DoubleType) / col("n_seasonal")
+    diffed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__e1")).as("__s1"),
+        count(col("__e1")).as("n_naive"),
+        sum(col("__em")).as("__sm"),
+        count(col("__em")).as("n_seasonal"))
+      .where(col("__s1") > 0 && col("n_seasonal") > 0)
+      .select(keyCols.map(col) :+ col("n") :+ col("n_naive") :+
+        col("n_seasonal") :+
+        (round(mae1, 6) + lit(0.0)).as("mae_naive") :+
+        (round(maem, 6) + lit(0.0)).as("mae_seasonal") :+
+        (round(maem / mae1, 6) + lit(0.0)).as("mase"): _*)
+  }
+
+  /** Calibration (reliability) bins + expected calibration error for a
+    * probabilistic binary classifier: fixed-width bins over the
+    * predicted score, each with mean predicted probability vs the
+    * empirical positive rate — the "does 0.8 mean 80%?" audit.
+    *
+    * ECE folds to exact algebra: the standard
+    * Σ_b (n_b/N)·|mean_score_b − frac_pos_b| telescopes to
+    * Σ_b |Σscores_b − n_pos_b| / N, so with scores accumulated in
+    * DECIMAL(28,18) the ECE is ONE division of an exact decimal by an
+    * exact count — no per-bin double chain. Per-bin mean/frac/gap are
+    * each a fixed sequence of one-division doubles; round-6 absorbs
+    * the wide-decimal→double cast ulp.
+    *
+    * Scale shape: one map-side bin assignment + one groupBy(bin) over
+    * the scored rows (B ≤ a few hundred groups), then all algebra on
+    * the B-row bin table. One scan, one shuffle.
+    *
+    * @param scoreCol predicted probability in [0, 1] (scores exactly
+    *                 1.0 land in the top bin)
+    * @param labelCol binary outcome (numeric 0/1 or boolean)
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100000,
+      s"bins must be in [2, 100000], got $bins")
+    val d = DecimalType(28, 18)
+    val bin = least(floor(col(scoreCol) * bins), lit(bins - 1L))
+      .cast(IntegerType)
+    val per = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(bin.as("bin"), col(scoreCol).cast(d).as("__sc"),
+        col(labelCol).cast(LongType).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__sc")).as("__ssum"))
+    val tot = per.agg(sum(col("n")).as("__N"),
+      sum(abs(col("__ssum") - col("n_pos").cast(DecimalType(38, 18))))
+        .as("__gapsum"))
+    val meanScore = col("__ssum").cast(DoubleType) / col("n")
+    val fracPos = col("n_pos").cast(DoubleType) / col("n")
+    per.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (round(meanScore, 6) + lit(0.0)).as("mean_score"),
+        (round(fracPos, 6) + lit(0.0)).as("frac_pos"),
+        (round(abs(meanScore - fracPos), 6) + lit(0.0)).as("gap"),
+        (round(col("__gapsum").cast(DoubleType) / col("__N"), 6)
+          + lit(0.0)).as("ece"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical raters (annotator vs annotator, classifier vs
+    * reference labels):
+    *
+    *   κ = (pₒ − pₑ) / (1 − pₑ)
+    *     = (agree·N − Σ_c rt_c·ct_c) / (N² − Σ_c rt_c·ct_c)
+    *
+    * — after clearing denominators, ONE division of exact integers
+    * (agree, N, and the marginal products are all exact counts in
+    * DECIMAL(38,0), so N up to ~10¹⁸ never overflows N²). pₒ and pₑ
+    * are each one exact division too; everything hash-oracles.
+    *
+    * Degenerate case pₑ = 1 (both raters constant and equal — κ is
+    * 0/0) yields NULL kappa rather than a crash.
+    *
+    * Scale shape: one groupBy(a,b) count over the source, then all
+    * algebra on the CELL table (|A|·|B| rows) — marginals re-agg the
+    * cells, the per-class product joins class-to-class. One scan,
+    * one shuffle.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val rt = cells.groupBy(col("__a").as("__ka"))
+      .agg(sum(col("__c")).as("__rt"))
+    val ct = cells.groupBy(col("__b").as("__kb"))
+      .agg(sum(col("__c")).as("__ct"))
+    // classes only one rater ever uses contribute 0 to pₑ — inner join
+    val peNum = rt.join(ct, col("__ka") === col("__kb"))
+      .agg(coalesce(sum(col("__rt").cast(d38) * col("__ct").cast(d38)),
+        lit(0).cast(d38)).as("__pe_num"))
+    val tot = cells.agg(
+      sum(col("__c")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+        .as("__agree"))
+    val n = col("__n").cast(d38)
+    val agree = col("__agree").cast(d38)
+    val kNum = (agree * n - col("__pe_num")).cast(DoubleType)
+    val kDen = (n * n - col("__pe_num")).cast(DoubleType)
+    tot.crossJoin(peNum)
+      .select(col("__n").cast(LongType).as("n"),
+        col("__agree").cast(LongType).as("n_agree"),
+        (round(agree.cast(DoubleType) / n.cast(DoubleType), 6)
+          + lit(0.0)).as("po"),
+        (round(col("__pe_num").cast(DoubleType) /
+          (n * n).cast(DoubleType), 6) + lit(0.0)).as("pe"),
+        (when(kDen > 0, round(kNum / kDen, 6) + lit(0.0))
+          .otherwise(lit(null).cast(DoubleType))).as("kappa"))
+  }
+
   def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
       attrCols: Seq[String], orderCols: Seq[String] = Nil): DataFrame = {
     require(attrCols.nonEmpty, "scd2 needs at least one tracked attribute")
@@ -2155,4 +2307,44 @@ object Analytics {
       .select(col("n_cells"),
         aggregate(col("__cells"), lit(0.0),
           (acc, c) => acc + c.getField("contrib")).as("chi2"))
+
+  /** Cramér's V — the [0,1] effect size the χ² statistic lacks
+    * (χ² grows with N even for a fixed association strength):
+    *
+    *   V = √( χ² / (N · (min(r,c) − 1)) )
+    *
+    * over the same contingency as [[chi2Cells]]. [[chi2Cells]] carries
+    * only OBSERVED cells; an empty cell's χ² contribution is exactly
+    * its expected count, and Σexpected over the FULL r×c grid is N, so
+    * the zero-cell mass is recovered in closed form:
+    *
+    *   χ²_full = Σ_observed contrib + (N − Σ_observed expected)
+    *
+    * — no grid densification, no second scan. Unlike
+    * [[chi2Statistic]]'s sorted double fold, both sums here accumulate
+    * the (already one-division-exact) per-cell doubles through
+    * DECIMAL(28,18), so the total is fold-order independent and the
+    * whole row hash-oracles; round-6 absorbs the wide-decimal → double
+    * cast ulp. One aggregate over the CELL table (|A|·|B| rows), never
+    * the source rows.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = chi2Cells(df, aCol, bCol)
+    val chi2Full = col("__chi2d") +
+      (col("__n").cast(DecimalType(28, 18)) - col("__expd"))
+    cells
+      .agg(sum(col("contrib").cast(DecimalType(28, 18))).as("__chi2d"),
+        sum(col("expected").cast(DecimalType(28, 18))).as("__expd"),
+        sum(col("observed")).as("__n"),
+        countDistinct(col(aCol)).as("__r"),
+        countDistinct(col(bCol)).as("__k"))
+      .select(col("__n").cast(LongType).as("n"),
+        col("__r").as("n_rows"), col("__k").as("n_cols"),
+        ((col("__r") - 1) * (col("__k") - 1)).as("dof"),
+        (round(chi2Full.cast(DoubleType), 6) + lit(0.0))
+          .as("chi2"),
+        (round(sqrt(chi2Full.cast(DoubleType) /
+          (col("__n") * (least(col("__r"), col("__k")) - 1))
+            .cast(DoubleType)), 6) + lit(0.0)).as("cramers_v"))
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 /** Graph analytics over pair frames (the edge lists the dedup /
   * similarity operators already produce) — the second family beside
   * [[Dedup.connectedComponents]]: components say WHICH records belong
@@ -430,5 +431,89 @@ object Graph {
         ((coalesce(col("triangles"), lit(0L)) * lit(2L)).cast("double")
           / (col("degree") * (col("degree") - lit(1L))).cast("double"))
           .as("clustering_coeff"))
+  }
+
+  /** Link prediction over an undirected pair frame: scores every
+    * NON-adjacent vertex pair that shares at least one neighbor with
+    * the three classic neighborhood measures —
+    *
+    *   common_neighbors(u,w) = |N(u) ∩ N(w)|
+    *   jaccard(u,w)          = |N(u) ∩ N(w)| / |N(u) ∪ N(w)|
+    *   adamic_adar(u,w)      = Σ_{v ∈ N(u) ∩ N(w)} 1 / ln(deg(v))
+    *
+    * (Liben-Nowell & Kleinberg 2003). In a linkage/near-dup graph
+    * these flag the record pairs the pairwise comparator MISSED but
+    * the link structure implies — the standard "review next" queue.
+    *
+    * Determinism: common/union counts are exact integers; jaccard is
+    * ONE integer division. Each Adamic–Adar term 1/ln(deg) is one
+    * correctly-rounded double from an exact integer (deg(v) ≥ 2
+    * always — v is adjacent to both u and w — so ln > 0), and terms
+    * accumulate through DECIMAL(28,18) so the per-pair sum is
+    * fold-order independent and re-derivable in SQL.
+    *
+    * Scale shape: the wedge join is edges ⋈ edges hash-shuffled on
+    * the shared middle vertex — Σ_v deg(v)² candidate rows, the
+    * inherent cost of neighborhood link prediction. A hub vertex of
+    * degree d contributes d² wedges; `maxDegree` drops middles above
+    * the cap BEFORE the join (the standard production bound — hubs
+    * carry no signal: 1/ln(deg) → 0), keeping the fan-out
+    * O(maxDegree · m). The existing-edge rejection is one anti join
+    * on the canonical (min, max) pair key, no broadcast of either
+    * side required.
+    *
+    * @param pairs     undirected pair frame (one row per edge, either
+    *                  endpoint order; self-pairs dropped, duplicates
+    *                  collapse)
+    * @param maxDegree middle vertices with deg > maxDegree are
+    *                  excluded from wedge generation (hub guard)
+    * @return (srcCol, dstCol, common_neighbors, jaccard, adamic_adar)
+    *         with srcCol < dstCol, for non-adjacent pairs with ≥ 1
+    *         common neighbor
+    */
+  def linkPrediction(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 10000): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val und = pairs
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .where(col("__a") =!= col("__b") && col("__a").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val sym = und.select(col("__a").as("__src"), col("__b").as("__dst"))
+      .unionAll(und.select(col("__b").as("__src"), col("__a").as("__dst")))
+    val deg = sym.groupBy(col("__src").as("__v"))
+      .agg(count(lit(1)).as("__deg"))
+    // wedges through each middle vertex v: (u, w) with u < w, weighted
+    // by v's Adamic–Adar contribution. The middle's degree rides along
+    // so the weight is computed map-side, once per wedge.
+    val mids = sym.join(deg.where(col("__deg") <= maxDegree),
+        col("__src") === col("__v"))
+      .select(col("__src").as("__mid"), col("__dst").as("__end"),
+        col("__deg").as("__mdeg"))
+    val wedges = mids.as("e1")
+      .join(mids.as("e2"),
+        col("e1.__mid") === col("e2.__mid") &&
+          col("e1.__end") < col("e2.__end"))
+      .select(col("e1.__end").as("__u"), col("e2.__end").as("__w"),
+        (lit(1.0) / log(col("e1.__mdeg").cast("double")))
+          .cast(DecimalType(28, 18)).as("__aa"))
+    val scored = wedges
+      .join(und, col("__u") === col("__a") && col("__w") === col("__b"),
+        "left_anti")
+      .groupBy(col("__u"), col("__w"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("__aa")).cast("double").as("__aad"))
+    scored
+      .join(deg.select(col("__v").as("__u"), col("__deg").as("__du")),
+        "__u")
+      .join(deg.select(col("__v").as("__w"), col("__deg").as("__dw")),
+        "__w")
+      .select(col("__u").as(srcCol), col("__w").as(dstCol),
+        col("common_neighbors"),
+        (col("common_neighbors").cast("double") /
+          (col("__du") + col("__dw") - col("common_neighbors"))
+            .cast("double") + lit(0.0)).as("jaccard"),
+        (round(col("__aad"), 6) + lit(0.0)).as("adamic_adar"))
   }
 }

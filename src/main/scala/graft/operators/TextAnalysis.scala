@@ -356,6 +356,134 @@ object TextAnalysis {
           sum(col("__tc")).cast(DoubleType)).as("type_token_ratio"))
   }
 
+  /** Jensen–Shannon divergence between the unigram distributions of
+    * every pair of corpus slices (languages, sources, time buckets) —
+    * the symmetric, bounded [0, ln 2] distribution distance for "how
+    * different is this domain's vocabulary?" (the corpus-mixing /
+    * drift question; cf. DSIR's importance weights, which need exactly
+    * these per-slice unigram models).
+    *
+    * Decomposition that never densifies the term × slice grid: over
+    * SHARED terms, JSD(p,q) = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q));
+    * a term one side lacks contributes exactly ½p·ln 2, so the
+    * disjoint mass is ½·ln 2·((1−Σ_shared p) + (1−Σ_shared q)) in
+    * closed form. Two slices sharing nothing get the ln 2 maximum.
+    *
+    * Determinism: every p is ONE division of exact counts; each
+    * contribution is a fixed IEEE op sequence from there, accumulated
+    * through DECIMAL(28,18) (fold-order independent); the final
+    * assembly is spelled identically in the oracle; round-6 absorbs
+    * the wide-decimal→double cast ulp.
+    *
+    * Scale shape: one tokenize shuffle to (slice, term) counts, one
+    * term-keyed join for the shared-term contributions (both sides
+    * shuffle on term — no broadcast of a vocabulary). Slice
+    * cardinality is expected SMALL (languages, domains, buckets): the
+    * join fans out per slice pair sharing a term.
+    */
+  def jsDivergence(df: DataFrame, sliceCol: String,
+      textCol: String): DataFrame = {
+    val d = DecimalType(28, 18)
+    val counts = df.where(col(sliceCol).isNotNull)
+      .select(col(sliceCol).as("__s"),
+        explode(tokens(col(textCol))).as("__t"))
+      .where(length(col("__t")) > 0)
+      .groupBy(col("__s"), col("__t")).agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col("__s")).agg(sum(col("__c")).as("__n"))
+      .localCheckpoint(true) // tiny; reread by probs AND the pair grid
+    val probs = counts.join(totals, "__s")
+      .select(col("__s"), col("__t"),
+        (col("__c").cast(DoubleType) / col("__n").cast(DoubleType))
+          .as("__p"))
+    val a = probs.select(col("__s").as("__sa"), col("__t"),
+      col("__p").as("__pa"))
+    val b = probs.select(col("__s").as("__sb"), col("__t").as("__tb"),
+      col("__p").as("__pb"))
+    val m = col("__pa") + col("__pb")
+    val shared = a
+      .join(b, col("__t") === col("__tb") && col("__sa") < col("__sb"))
+      .groupBy(col("__sa"), col("__sb"))
+      .agg(count(lit(1)).as("__nsh"),
+        sum((col("__pa") * log(lit(2.0) * col("__pa") / m)).cast(d))
+          .as("__ca"),
+        sum((col("__pb") * log(lit(2.0) * col("__pb") / m)).cast(d))
+          .as("__cb"),
+        sum(col("__pa").cast(d)).as("__ma"),
+        sum(col("__pb").cast(d)).as("__mb"))
+    val grid = totals.select(col("__s").as("__ga"), col("__n").as("n_a"))
+      .join(totals.select(col("__s").as("__gb"), col("__n").as("n_b")),
+        col("__ga") < col("__gb"))
+    val ln2 = log(lit(2.0))
+    val nats = (((coalesce(col("__ca").cast(DoubleType), lit(0.0)) +
+      ln2 * (lit(1.0) - coalesce(col("__ma").cast(DoubleType),
+        lit(0.0)))) +
+      coalesce(col("__cb").cast(DoubleType), lit(0.0))) +
+      ln2 * (lit(1.0) - coalesce(col("__mb").cast(DoubleType),
+        lit(0.0)))) * lit(0.5)
+    grid.join(shared,
+        col("__ga") === col("__sa") && col("__gb") === col("__sb"),
+        "left_outer")
+      .select(col("__ga").as(sliceCol + "_a"),
+        col("__gb").as(sliceCol + "_b"),
+        col("n_a"), col("n_b"),
+        coalesce(col("__nsh"), lit(0L)).as("n_terms_shared"),
+        (round(nats, 6) + lit(0.0)).as("jsd_nats"),
+        (round(nats / ln2, 6) + lit(0.0)).as("jsd_bits"))
+  }
+
+  /** Zipf fit — OLS of ln(frequency) on ln(rank) over the corpus's
+    * `topK` terms. Natural corpora follow freq ∝ rank^(−s) with
+    * s ≈ 1; a slope far from −1 (or a low R²) is a corpus-health
+    * smell: template/boilerplate floods flatten the head, scraped
+    * spam fattens the tail (the [[vocabStats]] question, answered
+    * against the whole rank curve instead of two scalars).
+    *
+    * Determinism: ranks and frequencies are exact integers
+    * (freq desc, term asc — a total order); each ln and each product
+    * is one correctly-rounded IEEE op from exact inputs, and the five
+    * OLS moments accumulate through DECIMAL(28,18) so the sums are
+    * fold-order independent. The closed-form slope/intercept/R² are
+    * then a FIXED sequence of double ops, spelled identically in the
+    * oracle; round-6 absorbs the wide-decimal→double cast ulp.
+    *
+    * Scale shape: one tokenize shuffle to term counts, a top-K cut
+    * (K rows — the only single-task step is ranking K rows), one
+    * moment aggregate. The corpus is scanned once.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topK: Int = 100)
+      : DataFrame = {
+    require(topK >= 3, s"topK must be >= 3, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(explode(tokens(col(textCol))).as("__term"))
+      .where(length(col("__term")) > 0)
+      .groupBy(col("__term")).agg(count(lit(1)).as("__freq"))
+      .orderBy(desc("__freq"), asc("__term"))
+      .limit(topK)
+    // rank the K survivors — a K-row single partition by construction
+    val ranked = tf.withColumn("__rank", row_number()
+      .over(Window.orderBy(desc("__freq"), asc("__term"))))
+    val d = DecimalType(28, 18)
+    val x = log(col("__rank").cast(DoubleType))
+    val y = log(col("__freq").cast(DoubleType))
+    val m = ranked.agg(
+      count(lit(1)).as("k"),
+      sum(x.cast(d)).cast(DoubleType).as("__sx"),
+      sum(y.cast(d)).cast(DoubleType).as("__sy"),
+      sum((x * x).cast(d)).cast(DoubleType).as("__sxx"),
+      sum((x * y).cast(d)).cast(DoubleType).as("__sxy"),
+      sum((y * y).cast(d)).cast(DoubleType).as("__syy"))
+    val kD = col("k").cast(DoubleType)
+    val cxy = kD * col("__sxy") - col("__sx") * col("__sy")
+    val cxx = kD * col("__sxx") - col("__sx") * col("__sx")
+    val cyy = kD * col("__syy") - col("__sy") * col("__sy")
+    m.select(col("k"),
+      (round(cxy / cxx, 6) + lit(0.0)).as("slope"),
+      (round((col("__sy") - (cxy / cxx) * col("__sx")) / kD, 6)
+        + lit(0.0)).as("intercept"),
+      (when(cyy > 0, round((cxy * cxy) / (cxx * cyy), 6) + lit(0.0))
+        .otherwise(lit(null).cast(DoubleType))).as("r2"))
+  }
+
   /** Chi-square term–category association — feature selection for
     * corpus curation: which terms are most predictive of a category
     * (language, source, quality bin)? For each (term, category) whose

@@ -306,6 +306,60 @@ class GraphSpec extends SparkTestBase {
     assert(shuffled === want)
   }
 
+  // ---------- link prediction ----------
+
+  private def lpOf(es: Seq[(Long, Long)], maxDeg: Int = 10000)
+      : Map[(Long, Long), (Long, Double, Double)] =
+    Graph.linkPrediction(es.toDF("id", "id2"), "id", "id2", maxDeg)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("link prediction: path and square closed forms") {
+    // path 1-2-3: only candidate (1,3) via middle 2 (deg 2)
+    assert(lpOf(Seq((1L, 2L), (2L, 3L))) ===
+      Map((1L, 3L) -> ((1L, 1.0, r6(1.0 / math.log(2))))))
+    // square: (1,3) and (2,4), each via two degree-2 middles
+    val sq = lpOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))
+    val want = (2L, 1.0, r6(2.0 / math.log(2)))
+    assert(sq === Map((1L, 3L) -> want, (2L, 4L) -> want))
+  }
+
+  test("link prediction: adjacent pairs are never scored (K4 is empty)") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(lpOf(k4.toSeq) === Map.empty)
+  }
+
+  test("link prediction: hub guard drops high-degree middles; jaccard " +
+      "uses the true union") {
+    val star = (1L to 5L).map(i => (0L, i))
+    // all 10 leaf pairs share only the hub (deg 5)
+    val full = lpOf(star)
+    assert(full.size === 10)
+    assert(full((1L, 2L)) === ((1L, 1.0, r6(1.0 / math.log(5)))))
+    // cap below the hub degree: no wedges survive
+    assert(lpOf(star, maxDeg = 4) === Map.empty)
+    // chain 1-2-3-4: (1,3) via 2, (2,4) via 3, (1,4) nothing (no
+    // common neighbor); deg(2)=deg(3)=2 so jaccard(1,3)=1/(1+2-1)
+    val chain = lpOf(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(chain.keySet === Set((1L, 3L), (2L, 4L)))
+    assert(chain((1L, 3L)) === ((1L, 0.5, r6(1.0 / math.log(2)))))
+  }
+
+  test("link prediction: normalization and repartition invariance") {
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (1L, 5L))
+    val a = lpOf(es)
+    val b = Graph.linkPrediction(
+      es.toDF("id", "id2").repartition(7), "id", "id2", 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("lpa: bridged triangles resolve to two communities") {
     val vs = (1L to 6L).toSeq
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),

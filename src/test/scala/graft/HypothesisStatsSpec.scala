@@ -155,6 +155,79 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(math.abs(chi2 - 20.0 / 3) < 1e-12)
   }
 
+  // ---- Cramér's V ----
+
+  test("cramersV: independent margins give V = 0; a perfect 2x2 " +
+      "association gives V = 1") {
+    val indep = Seq.fill(20)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val v0 = Analytics.cramersV(indep.toDF("u", "v"), "u", "v")
+      .select("n", "n_rows", "n_cols", "dof", "chi2", "cramers_v")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(v0 === ((60L, 2L, 2L, 1L, 0.0, 0.0)))
+    // diagonal-only: chi2 = N, V = sqrt(N / (N*1)) = 1
+    val diag = Seq.fill(25)(("a", "x")) ++ Seq.fill(15)(("b", "y"))
+    val v1 = Analytics.cramersV(diag.toDF("u", "v"), "u", "v")
+      .select("n", "dof", "chi2", "cramers_v")
+      .as[(Long, Long, Double, Double)].head()
+    assert(v1._1 === 40L && v1._2 === 1L)
+    assert(math.abs(v1._3 - 40.0) < 1e-6 && math.abs(v1._4 - 1.0) < 1e-9)
+  }
+
+  test("cramersV: hand-computed 2x2 matches chi2Statistic; min(r,c) " +
+      "normalizes a rectangular table") {
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r = Analytics.cramersV(rows.toDF("u", "v"), "u", "v")
+      .select("n", "n_rows", "n_cols", "dof", "chi2", "cramers_v")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(r._1 === 60L && r._4 === 1L)
+    assert(math.abs(r._5 - 20.0 / 3) < 1e-6)
+    assert(math.abs(r._6 - math.sqrt((20.0 / 3) / 60.0)) < 1e-6)
+    // 3x2 table: dof = 2, V divides by min(3,2)-1 = 1
+    val rect = Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y")) ++
+      Seq.fill(5)(("c", "x"))
+    val r2 = Analytics.cramersV(rect.toDF("u", "v"), "u", "v")
+      .select("n_rows", "n_cols", "dof")
+      .as[(Long, Long, Long)].head()
+    assert(r2 === ((3L, 2L, 2L)))
+  }
+
+  // ---- Cohen's kappa ----
+
+  test("cohenKappa: hand-computed 2x2; perfect agreement is exactly 1") {
+    // yes/yes=20, no/no=15, yes/no=10, no/yes=5:
+    // po = 35/50, pe = (30*25 + 20*25)/2500 = 0.5, kappa = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(10)(("y", "n")) ++ Seq.fill(5)(("n", "y"))
+    val r = Analytics.cohenKappa(rows.toDF("r1", "r2"), "r1", "r2")
+      .select("n", "n_agree", "po", "pe", "kappa")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(r === ((50L, 35L, 0.7, 0.5, 0.4)))
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c"), ("a", "a"))
+    assert(Analytics.cohenKappa(perfect.toDF("r1", "r2"), "r1", "r2")
+      .select("kappa").as[Double].head() === 1.0)
+  }
+
+  test("cohenKappa: marginally independent raters give kappa 0; " +
+      "constant equal raters give NULL (0/0); disjoint label sets " +
+      "give pe = 0 so kappa = po") {
+    // counts = product of margins: (y,y)=6 (y,n)=14 (n,y)=9 (n,n)=21
+    val indep = Seq.fill(6)(("y", "y")) ++ Seq.fill(14)(("y", "n")) ++
+      Seq.fill(9)(("n", "y")) ++ Seq.fill(21)(("n", "n"))
+    val k0 = Analytics.cohenKappa(indep.toDF("r1", "r2"), "r1", "r2")
+      .select("kappa").as[Double].head()
+    assert(k0 === 0.0)
+    val const = Seq.fill(7)(("x", "x"))
+    val kNull = Analytics.cohenKappa(const.toDF("r1", "r2"), "r1", "r2")
+      .select("kappa").collect().head
+    assert(kNull.isNullAt(0))
+    val disjoint = Seq(("a", "b"), ("a", "b"), ("c", "d"))
+    val kd = Analytics.cohenKappa(disjoint.toDF("r1", "r2"), "r1", "r2")
+      .select("po", "pe", "kappa").as[(Double, Double, Double)].head()
+    assert(kd === ((0.0, 0.0, 0.0)))
+  }
+
   // ---- kendallTau ----
 
   test("kendallTau: strictly monotone data has tau exactly 1 / -1") {

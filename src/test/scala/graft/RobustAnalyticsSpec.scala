@@ -61,6 +61,82 @@ class RobustAnalyticsSpec extends SparkTestBase {
     assert(r.getAs[Double]("median_v") === 50.5)
   }
 
+  test("zipfFit: an exact power law is recovered with slope -1, R² = 1") {
+    // freq = 840 / rank for ranks 1..8 (840 = lcm(1..8), all integer):
+    // ln freq = ln 840 - 1 * ln rank exactly
+    val words = (1 to 8).map(r => s"w$r" -> 840 / r)
+    val docs = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val r = TextAnalysis.zipfFit(docs, "text", topK = 8)
+      .select("k", "slope", "intercept", "r2")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 === 8L)
+    assert(math.abs(r._2 - (-1.0)) < 1e-6)
+    assert(math.abs(r._3 - math.log(840)) < 1e-6)
+    assert(math.abs(r._4 - 1.0) < 1e-6)
+  }
+
+  test("zipfFit: flat frequencies give slope 0 and NULL R²; topK " +
+      "bounds the fit; the guard is loud") {
+    val docs = Seq("aa bb cc dd ee").toDF("text")
+    val flat = TextAnalysis.zipfFit(docs, "text", topK = 5)
+      .select("k", "slope", "r2").collect().head
+    assert(flat.getLong(0) === 5L && flat.getDouble(1) === 0.0)
+    assert(flat.isNullAt(2))
+    // topK smaller than vocab: only the head is fitted
+    val capped = TextAnalysis.zipfFit(
+      Seq("x x x x y y z").toDF("text"), "text", topK = 3)
+      .select("k").as[Long].head()
+    assert(capped === 3L)
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.zipfFit(docs, "text", topK = 2)
+    }
+  }
+
+  test("jsDivergence: identical slices give 0, disjoint slices give " +
+      "exactly ln 2 (1 bit)") {
+    val df = Seq(("a", "x y z x"), ("b", "x y z x"), ("c", "q r s"))
+      .toDF("s", "text")
+    val out = TextAnalysis.jsDivergence(df, "s", "text")
+      .select("s_a", "s_b", "n_terms_shared", "jsd_nats", "jsd_bits")
+      .as[(String, String, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out.size === 3)
+    assert(out(("a", "b")) === ((3L, 0.0, 0.0)))
+    val ln2r = BigDecimal(math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("a", "c")) === ((0L, ln2r, 1.0)))
+    assert(out(("b", "c")) === ((0L, ln2r, 1.0)))
+  }
+
+  test("jsDivergence: hand-computed two-slice overlap") {
+    // A: x x y  (x 2/3, y 1/3) ; B: x y y y  (x 1/4, y 3/4)
+    val df = Seq(("A", "x x y"), ("B", "x y y y")).toDF("s", "text")
+    val r = TextAnalysis.jsDivergence(df, "s", "text")
+      .select("n_a", "n_b", "n_terms_shared", "jsd_nats")
+      .as[(Long, Long, Long, Double)].head()
+    val (pax, pay, pbx, pby) = (2.0 / 3, 1.0 / 3, 0.25, 0.75)
+    def c(p: Double, q: Double) = p * math.log(2 * p / (p + q))
+    val want = 0.5 * (c(pax, pbx) + c(pay, pby) + c(pbx, pax) +
+      c(pby, pay))
+    assert(r._1 === 3L && r._2 === 4L && r._3 === 2L)
+    assert(math.abs(r._4 - want) < 1e-6)
+  }
+
+  test("jsDivergence: null slices drop; partial overlap bounded in " +
+      "(0, ln 2); repartition-invariant") {
+    val df = Seq(("A", "x y"), ("B", "y z"), (null, "x y z"))
+      .toDF("s", "text")
+    val r = TextAnalysis.jsDivergence(df, "s", "text")
+      .select("s_a", "s_b", "jsd_nats").as[(String, String, Double)]
+      .collect()
+    assert(r.length === 1 && r.head._1 === "A" && r.head._2 === "B")
+    assert(r.head._3 > 0.0 && r.head._3 < math.log(2))
+    val shuffled = TextAnalysis.jsDivergence(df.repartition(7), "s",
+      "text").select("jsd_nats").as[Double].head()
+    assert(shuffled === r.head._3)
+  }
+
   test("vocabStats: hand-computed counts and hapax") {
     val df = Seq(
       ("a", "x x y"),
