@@ -1974,6 +1974,21 @@ object SparkEntry {
         tieBreak = Seq("event_id"))
         .orderBy("user_id")),
 
+    // ---- time series: cross-correlation — does click activity lead
+    // error activity, and by how many hours? Hourly count series on a
+    // shared epoch-hour index, Pearson at lags 0..6; exact moments,
+    // the ts4 fixed IEEE corr sequence.
+    "ts13_xcorr" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("ts").isNotNull)
+      def series(tp: String) = ev.where(col("event_type") === tp)
+        .groupBy(expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000")
+          .as("idx"))
+        .agg(count(lit(1)).as("cnt"))
+      Analytics.crossCorrelation(series("click"), series("error"),
+        "idx", "cnt", maxLag = 6)
+        .orderBy("lag")
+    }),
+
     // ---- time series: MASE — is there 7-periodic structure? Seasonal-
     // naive MAE over naive MAE per user; exact decimal error sums, each
     // MAE one division, MASE spelled as the division of the two MAE
@@ -4086,6 +4101,34 @@ object SparkEntry {
       vt.read(s, tdir + "/dst").orderBy("doc_id")
     }),
 
+    // ---- lake: compaction (OPTIMIZE) ----
+    // Three fragmented appends + a row-level delete, then compact to 2
+    // files: the read-back must be byte-identical to the logical
+    // snapshot (deletes materialized, nothing lost/duplicated), and
+    // the live file count must actually shrink to the target — the
+    // small-files maintenance every streaming-ingest table needs.
+    "lk6_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_lk6").toString + "/t"
+      val vt = graft.sources.VersionedTable
+      vt.append(s, docs.where(col("doc_id") % 3 === 0).repartition(4),
+        tdir)
+      vt.append(s, docs.where(col("doc_id") % 3 === 1).repartition(4),
+        tdir)
+      vt.append(s, docs.where(col("doc_id") % 3 === 2).repartition(4),
+        tdir)
+      vt.delete(s, tdir, expr("doc_id % 5 = 0"))
+      val before = vt.latest(s, tdir)._2.size
+      vt.compact(s, tdir, numFiles = 2)
+      val after = vt.latest(s, tdir)._2.size
+      vt.read(s, tdir)
+        .withColumn("files_after", lit(after))
+        .withColumn("shrank", lit(before > after))
+        .orderBy("doc_id")
+    }),
+
     // ---- lake: write-audit-publish staging session ----
     // Base = even docs; two staged writes add the odds (invisible —
     // pre_publish_rows pins the isolation), the audit view sees
@@ -6189,6 +6232,13 @@ object SparkEntry {
         |  SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 97 = 0)
         |ORDER BY doc_id""".stripMargin,
 
+    // compaction: the logical snapshot survives (deletes materialized,
+    // nothing lost or duplicated); the file count lands on the target
+    "lk6_compact" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(2 AS INT) AS files_after, TRUE AS shrank
+        |FROM documents WHERE doc_id % 5 <> 0 ORDER BY doc_id""".stripMargin,
+
     // the literal expected drift report
     "dq4_schema_drift" ->
       """SELECT * FROM (VALUES
@@ -7922,6 +7972,38 @@ object SparkEntry {
         |    / CAST(n * (least(nr, nk) - 1) AS DOUBLE)), 6) + 0.0
         |    AS cramers_v
         |FROM s""".stripMargin,
+
+    // cross-correlation: same hourly index series, same exact moments,
+    // the ts4 fixed IEEE corr sequence
+    "ts13_xcorr" ->
+      """WITH ha AS (SELECT epoch_us(date_trunc('hour', ts)) // 3600000000
+        |      AS idx,
+        |    CAST(CAST(count(*) AS BIGINT) AS DECIMAL(18,2)) AS xa
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'click'
+        |  GROUP BY 1),
+        |hb AS (SELECT epoch_us(date_trunc('hour', ts)) // 3600000000
+        |      AS idx,
+        |    CAST(CAST(count(*) AS BIGINT) AS DECIMAL(18,2)) AS xb
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'error'
+        |  GROUP BY 1),
+        |p AS (SELECT l.lag, ha.xa, hb.xb
+        |  FROM ha CROSS JOIN (SELECT unnest(range(0, 7)) AS lag) l
+        |  JOIN hb ON hb.idx = ha.idx + l.lag),
+        |s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(xa) AS DOUBLE) AS sx, CAST(SUM(xb) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(xa * xa AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(xb * xb AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(xa * xb AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY lag)
+        |SELECT CAST(lag AS INT) AS lag, n_pairs,
+        |  (CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+        |  (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
+        |   sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) AS xcorr
+        |FROM s
+        |WHERE n_pairs >= 3 AND
+        |  (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
+        |   sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) > 0
+        |ORDER BY lag""".stripMargin,
 
     // MASE: the same lag algebra — exact decimal |diff| sums, MAEs as
     // one division each, MASE as the division of the two MAE doubles

@@ -1812,6 +1812,60 @@ object Analytics {
           .otherwise(lit(null).cast(DoubleType))).as("kappa"))
   }
 
+  /** Cross-correlation between two regular series at lags 0..maxLag:
+    * Pearson corr(aᵢ, bᵢ₊ₗ) over the buckets both series observe —
+    * "does series A lead series B, and by how much?" (the lag with the
+    * peak |xcorr| is the lead/lag estimate; at lag 0 this is plain
+    * correlation of the two series).
+    *
+    * Both inputs are (index, value) frames on a SHARED integer index
+    * (epoch-hour buckets, row numbers) — sparse indices pair only
+    * where both sides exist, exactly like [[autocorrelation]]'s
+    * observation-index convention. Values quantize to DECIMAL(18,2);
+    * all five moments are exact decimal sums per lag; the corr is the
+    * same fixed IEEE sequence [[autocorrelation]] pins.
+    *
+    * Scale shape: the lag fan-out is a map-side explode of A by
+    * (maxLag+1), then ONE hash join on the (shifted) index and one
+    * (lag) aggregate — no window, no sort; series length and lag
+    * count bound the work.
+    */
+  def crossCorrelation(a: DataFrame, b: DataFrame, idxCol: String,
+      valCol: String, maxLag: Int, minPairs: Int = 3): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 10000,
+      s"maxLag must be in [0, 10000], got $maxLag")
+    require(minPairs >= 2, s"minPairs must be >= 2, got $minPairs")
+    val dec = DecimalType(18, 2)
+    val av = a.where(col(idxCol).isNotNull && col(valCol).isNotNull)
+      .select(col(idxCol).cast(LongType).as("__ia"),
+        col(valCol).cast(dec).as("__xa"))
+    val bv = b.where(col(idxCol).isNotNull && col(valCol).isNotNull)
+      .select(col(idxCol).cast(LongType).as("__ib"),
+        col(valCol).cast(dec).as("__xb"))
+    val fanned = av.select(col("__ia"), col("__xa"),
+      explode(sequence(lit(0), lit(maxLag))).as("lag"))
+    val pairs = fanned.join(bv,
+      col("__ib") === col("__ia") + col("lag"))
+    val sums = pairs.groupBy(col("lag").cast(IntegerType).as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__xa")).cast(DoubleType).as("__sx"),
+        sum(col("__xb")).cast(DoubleType).as("__sy"),
+        sum((col("__xa") * col("__xa")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("__sxx"),
+        sum((col("__xb") * col("__xb")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("__syy"),
+        sum((col("__xa") * col("__xb")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("__sxy"))
+    val nD = col("n_pairs").cast(DoubleType)
+    val num = nD * col("__sxy") - col("__sx") * col("__sy")
+    val den = sqrt(nD * col("__sxx") - col("__sx") * col("__sx")) *
+      sqrt(nD * col("__syy") - col("__sy") * col("__sy"))
+    sums.withColumn("__den", den)
+      .where(col("n_pairs") >= minPairs && col("__den") > 0)
+      .withColumn("xcorr", num / col("__den"))
+      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy", "__den")
+  }
+
   def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
       attrCols: Seq[String], orderCols: Seq[String] = Nil): DataFrame = {
     require(attrCols.nonEmpty, "scd2 needs at least one tracked attribute")

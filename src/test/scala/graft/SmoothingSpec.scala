@@ -377,6 +377,60 @@ class SmoothingSpec extends SparkTestBase {
     assert(z1 < 0)
   }
 
+  test("crossCorrelation: a series correlates perfectly with its own " +
+      "shift, exactly at the shift lag") {
+    val vals = Seq(5.0, 1.0, 8.0, 2.0, 9.0, 3.0, 7.0, 4.0, 6.0, 0.0,
+      5.5, 2.5)
+    val a = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("idx", "v")
+    val b = vals.zipWithIndex.map { case (v, i) => (i.toLong + 3, v) }
+      .toDF("idx", "v")
+    val out = Analytics.crossCorrelation(a, b, "idx", "v", maxLag = 5)
+      .select("lag", "n_pairs", "xcorr")
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(3)._2 === 12L && math.abs(out(3)._3 - 1.0) < 1e-12)
+    assert(out.keys.forall(l => l >= 0 && l <= 5))
+    assert(out.filter(_._1 != 3).values.forall(_._3 < 0.999))
+  }
+
+  test("crossCorrelation: negated series gives exactly -1 at lag 0; " +
+      "constant side is excluded (zero variance); minPairs prunes " +
+      "thin overlaps") {
+    val vals = Seq(1.0, 4.0, 2.0, 8.0, 5.0, 7.0)
+    val a = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("idx", "v")
+    val neg = vals.zipWithIndex.map { case (v, i) => (i.toLong, -v) }
+      .toDF("idx", "v")
+    val r0 = Analytics.crossCorrelation(a, neg, "idx", "v", maxLag = 0)
+      .select("xcorr").as[Double].collect()
+    assert(r0.length === 1 && math.abs(r0.head + 1.0) < 1e-12)
+    val const = vals.indices.map(i => (i.toLong, 2.0)).toDF("idx", "v")
+    assert(Analytics.crossCorrelation(a, const, "idx", "v", maxLag = 0)
+      .count() === 0L)
+    // overlap at lag 4 is only 2 pairs < minPairs=3
+    val short = Analytics.crossCorrelation(a, a, "idx", "v", maxLag = 4)
+      .select("lag").as[Int].collect().toSet
+    assert(!short.contains(4) && short.contains(0))
+  }
+
+  test("crossCorrelation: sparse indices pair only where both exist " +
+      "and the result is repartition-invariant") {
+    val a = Seq((0L, 1.0), (1L, 5.0), (2L, 3.0), (4L, 7.0), (5L, 2.0),
+      (7L, 6.0)).toDF("idx", "v")
+    val b = Seq((0L, 2.0), (2L, 6.0), (3L, 1.0), (4L, 9.0), (5L, 4.0),
+      (6L, 8.0)).toDF("idx", "v")
+    val x = Analytics.crossCorrelation(a, b, "idx", "v", maxLag = 2)
+      .select("lag", "n_pairs", "xcorr")
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    // lag 0 overlap: idx 0,2,4,5 -> 4 pairs
+    assert(x.find(_._1 == 0).get._2 === 4L)
+    val y = Analytics.crossCorrelation(a.repartition(7),
+      b.repartition(5), "idx", "v", maxLag = 2)
+      .select("lag", "n_pairs", "xcorr")
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(x === y)
+  }
+
   test("holt: observation contract + partition-count independence") {
     val base = Seq(
       ("a", Option(1L), Option(10.0)),
