@@ -1952,6 +1952,17 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // ---- evaluation: Wilson score intervals — the binomial CI that
+    // holds up at extreme rates; per-type exceedance rate with exact
+    // n/k and a fixed IEEE interval sequence (z enters only as z·z).
+    "a56_wilson" -> ((s, dir) =>
+      Analytics.wilsonInterval(
+        t(s, dir, "events").where(col("value").isNotNull)
+          .select(col("event_type"),
+            (col("value") > 60.0).cast("int").as("hit")),
+        "event_type", "hit")
+        .orderBy("event_type")),
+
     // ---- evaluation: Cramér's V effect size for the same
     // contingency — the [0,1] association strength χ² lacks. χ² total
     // accumulates per-cell contributions through DECIMAL(28,18)
@@ -2954,6 +2965,14 @@ object SparkEntry {
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("term"))
         .limit(20)),
+
+    // ---- text: Flesch reading-ease — the classic readability quality
+    // feature; words/syllable-runs/sentence-runs are exact regexp
+    // counts, the score a fixed IEEE sequence (no rounding needed).
+    "t39_readability" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fleschScore(col("text")).as("flesch"))
+        .orderBy("doc_id")),
 
     // ---- text: Jensen–Shannon divergence between per-language unigram
     // distributions — the bounded symmetric "how different are these
@@ -7863,6 +7882,38 @@ object SparkEntry {
         |    6) + 0.0 AS contrib
         |FROM d ORDER BY event_type, hr""".stripMargin,
 
+    // Wilson: the same exact counts and the same fixed IEEE sequence
+    // (1.96 * 1.96 spelled as the product, never the literal 3.8416)
+    "a56_wilson" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value > 60.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n, k,
+        |  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS rate,
+        |  round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+        |      / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+        |    - 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |      + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE)))
+        |      / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) + 0.0
+        |    AS wilson_lo,
+        |  round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+        |      / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+        |    + 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |      + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE)))
+        |      / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) + 0.0
+        |    AS wilson_hi
+        |FROM g ORDER BY event_type""".stripMargin,
+
     // calibration: the same train/score split and bin algebra; ECE as
     // one exact-decimal division
     "a53_calibration" ->
@@ -8667,6 +8718,25 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    // Flesch: the same three regexp counts and the same fixed double
+    // sequence — \S+ and the character classes are in the Java∩RE2
+    // shared subset
+    "t39_readability" ->
+      """SELECT doc_id,
+        |  CASE WHEN CAST(len(regexp_extract_all(trim(text), '\S+'))
+        |      AS DOUBLE) > 0
+        |    THEN 206.835
+        |      - 1.015 * (CAST(len(regexp_extract_all(trim(text), '\S+'))
+        |          AS DOUBLE)
+        |        / CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')),
+        |          1) AS DOUBLE))
+        |      - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+        |          '[aeiouy]+')) AS DOUBLE)
+        |        / CAST(len(regexp_extract_all(trim(text), '\S+'))
+        |          AS DOUBLE))
+        |    ELSE NULL END AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // JS divergence: same per-slice probabilities, same shared-term
     // decimal sums, same closed-form disjoint mass

@@ -1760,6 +1760,42 @@ object Analytics {
           + lit(0.0)).as("ece"))
   }
 
+  /** Wilson score interval — the binomial confidence interval that
+    * behaves at the extremes (small n, rates near 0/1) where the
+    * normal ±z·√(p(1−p)/n) interval degenerates; per group:
+    *
+    *   center = (p̂ + z²/2n) / (1 + z²/n)
+    *   half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+    *
+    * The per-group answer to "is this conversion/defect rate really
+    * above X?" across millions of groups. n and k are exact counts;
+    * the interval is a FIXED sequence of IEEE ops from them (z enters
+    * only as z·z, spelled as the product on both engines — the literal
+    * 3.8416 is a different double), so scores are bit-identical with
+    * no rounding convention; round-6 is kept for house style only.
+    *
+    * One groupBy over the source — map-side combine, one shuffle.
+    */
+  def wilsonInterval(df: DataFrame, groupCol: String, successCol: String,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val g = df.where(col(successCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(successCol).cast(LongType)).as("k"))
+    val nD = col("n").cast(DoubleType)
+    val phat = col("k").cast(DoubleType) / nD
+    val z2 = lit(z) * lit(z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (phat + z2 / (lit(2.0) * nD)) / denom
+    val half = lit(z) * sqrt(phat * (lit(1.0) - phat) / nD +
+      z2 / (lit(4.0) * nD * nD)) / denom
+    g.select(col(groupCol), col("n"), col("k"),
+      (round(phat, 6) + lit(0.0)).as("rate"),
+      (round(center - half, 6) + lit(0.0)).as("wilson_lo"),
+      (round(center + half, 6) + lit(0.0)).as("wilson_hi"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two
     * categorical raters (annotator vs annotator, classifier vs
     * reference labels):

@@ -356,6 +356,35 @@ object TextAnalysis {
           sum(col("__tc")).cast(DoubleType)).as("type_token_ratio"))
   }
 
+  /** Flesch reading-ease — the classic length-weighted readability
+    * score, a standard quality-filter feature beside [[qualityScore]]
+    * and the Gopher rules:
+    *
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * with the standard relational approximations: words = whitespace
+    * tokens, syllables = vowel-group count (consecutive [aeiouy] runs
+    * — word boundaries split runs, so the per-word sum IS the whole-
+    * text count: one regexp_count, no per-word loop), sentences =
+    * terminator runs [.!?]+ floored at 1. All three are exact integer
+    * counts; the score is a fixed IEEE sequence of two divisions —
+    * bit-identical across engines, no rounding convention needed.
+    * Zero-word docs yield NULL (no text to score).
+    *
+    * Map-side only: one scan, zero shuffles at any corpus size.
+    */
+  def fleschScore(text: Column): Column = {
+    val words = regexp_count(trim(text), lit("\\S+")).cast(DoubleType)
+    val syll = regexp_count(lower(text), lit("[aeiouy]+"))
+      .cast(DoubleType)
+    val sents = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+      .cast(DoubleType)
+    when(words > 0,
+      lit(206.835) - lit(1.015) * (words / sents) -
+        lit(84.6) * (syll / words))
+      .otherwise(lit(null).cast(DoubleType))
+  }
+
   /** Jensen–Shannon divergence between the unigram distributions of
     * every pair of corpus slices (languages, sources, time buckets) —
     * the symmetric, bounded [0, ln 2] distribution distance for "how

@@ -193,6 +193,35 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(r2 === ((3L, 2L, 2L)))
   }
 
+  // ---- Wilson interval ----
+
+  test("wilsonInterval: hand-computed 50/100; boundary rates give " +
+      "exact 0 / 1 endpoints; interval tightens with n") {
+    val df = (Seq.fill(50)(("a", 1)) ++ Seq.fill(50)(("a", 0)) ++
+      Seq.fill(10)(("b", 1)) ++ Seq.fill(20)(("c", 0)) ++
+      (Seq.fill(5)(("d", 1)) ++ Seq.fill(5)(("d", 0))))
+      .toDF("g", "hit")
+    val out = Analytics.wilsonInterval(df, "g", "hit")
+      .select("g", "n", "k", "rate", "wilson_lo", "wilson_hi")
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val (z, n) = (1.96, 100.0)
+    val z2 = z * z
+    val denom = 1.0 + z2 / n
+    val center = (0.5 + z2 / (2.0 * n)) / denom
+    val half = z * math.sqrt(0.5 * 0.5 / n + z2 / (4.0 * n * n)) / denom
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("a")._2 === 100L && out("a")._4 === 0.5)
+    assert(out("a")._5 === r6(center - half))
+    assert(out("a")._6 === r6(center + half))
+    // all successes / all failures: the closed endpoint is exact
+    assert(out("b")._4 === 1.0 && out("b")._6 === 1.0)
+    assert(out("c")._4 === 0.0 && out("c")._5 === 0.0)
+    // same rate, smaller n -> wider interval
+    assert(out("d")._5 < out("a")._5 && out("d")._6 > out("a")._6)
+  }
+
   // ---- Cohen's kappa ----
 
   test("cohenKappa: hand-computed 2x2; perfect agreement is exactly 1") {

@@ -15,6 +15,22 @@ class TextDedupSpec extends SparkTestBase {
     (5L, "THE  Quick   brown fox jumps over the lazy dog") // fingerprint-dup of 1 (case+ws)
   ).toDF("doc_id", "text")
 
+  test("fleschScore: hand-computed counts; empty and null text are NULL") {
+    import spark.implicits._
+    // "The cat sat. It ran!" -> words 5, sentences 2,
+    // vowel groups: e,a,a,I,a = 5 -> 206.835 - 1.015*2.5 - 84.6*1.0
+    val out = Seq((1L, "The cat sat. It ran!"), (2L, ""), (3L, null),
+      (4L, "zzz pfft"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.fleschScore(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) === Some(206.835 - 1.015 * 2.5 - 84.6 * 1.0))
+    assert(out(2L) === None && out(3L) === None)
+    // no vowels: syllables 0, sentences floor to 1
+    assert(out(4L) === Some(206.835 - 1.015 * 2.0 - 84.6 * 0.0))
+  }
+
   test("exact dedup keeps lowest id per identical text") {
     val surv = Dedup.exactSurvivors(docs, col("text"), col("doc_id"))
       .orderBy("survivor_id").as[Long].collect()
