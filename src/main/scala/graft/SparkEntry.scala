@@ -3884,6 +3884,50 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- lake: incrementally-maintained REGRESSION (model as a view).
+    // OLS of value on hour-of-day per event_type, kept fresh from the
+    // change feed: the view maintains the exact-decimal moment sums
+    // (Σx, Σy, Σxy, Σx² as expression measures — signed-delta foldable,
+    // so an upsert and a delete maintain the model without a rescan);
+    // slope/intercept derive at read time. The oracle recomputes the
+    // coefficients directly from the final logical state.
+    "mv8_ols_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          hour(col("ts")).cast(DoubleType).as("x"),
+          col("value").as("y"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv8").toString
+      val src = root + "/src"
+      val mv = root + "/mv"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, src, StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("x", DoubleType),
+        StructField("y", DoubleType))))
+      vt.alterProperties(s, src, Map(vt.CdcProperty -> "true"))
+      vt.append(s, ev.where(col("event_id") % 2 === 0), src)
+      IncrementalView.create(s, src, mv, Seq("event_type"),
+        Seq("x", "y", "xy=x * y", "xx=x * x"), scale = 6)
+      vt.append(s, ev.where(col("event_id") % 2 === 1), src)
+      vt.upsert(s, ev.where(col("event_id") % 100 === 0)
+        .withColumn("y", lit(0.0)), src, "event_id")
+      vt.deleteByKeys(s, src,
+        ev.where(col("event_id") % 200 === 1).select("event_id"))
+      IncrementalView.refresh(s, mv)
+      val r = IncrementalView.read(s, mv)
+      val n = col("cnt_x").cast(DoubleType)
+      val slope = (n * col("sum_xy") - col("sum_x") * col("sum_y")) /
+        (n * col("sum_xx") - col("sum_x") * col("sum_x"))
+      r.select(col("event_type"), col("cnt_x").as("n"),
+          (round(slope, 6) + lit(0.0)).as("slope"),
+          (round((col("sum_y") - slope * col("sum_x")) / n, 6)
+            + lit(0.0)).as("intercept"))
+        .orderBy("event_type")
+    }),
+
     // ---- lake: incremental MV with an EXPRESSION key ----
     // The canonical time-bucketed rollup (a5's hour-of-day aggregate)
     // maintained incrementally: the group key is `hour(ts)` computed
@@ -6164,6 +6208,30 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(value) AS avg_value
         |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // incrementally-maintained OLS == direct recompute of the final
+    // logical state's exact-decimal moments
+    "mv8_ols_rollup" ->
+      """WITH final AS (
+        |  SELECT event_type,
+        |    CAST(CAST(EXTRACT(HOUR FROM ts) AS INT) AS DOUBLE) AS x,
+        |    CASE WHEN event_id % 100 = 0 THEN 0.0 ELSE value END AS y
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_id % 200 <> 1),
+        |m AS (SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        |  FROM final GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+        |    AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |    / n, 6) + 0.0 AS intercept
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // folded lossless GK p50 == quantile_disc of the final state
     "mv5_quantile_rollup" ->

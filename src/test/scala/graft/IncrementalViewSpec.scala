@@ -225,6 +225,39 @@ class IncrementalViewSpec extends SparkTestBase {
     assert(e2.getMessage.contains("shadows"))
   }
 
+  test("regression-as-a-view: maintained moment measures recover the " +
+      "exact line after an append and a delete") {
+    // y = 3x + 1 plus one off-line point that is then DELETED — the
+    // moments must fold back to the exact line
+    val root = tmp()
+    val src = root + "/src"
+    VersionedTable.create(spark, src, StructType(Seq(
+      StructField("id", LongType),
+      StructField("x", DoubleType),
+      StructField("y", DoubleType))))
+    VersionedTable.alterProperties(spark, src,
+      Map(VersionedTable.CdcProperty -> "true"))
+    val mv = root + "/mv"
+    val line = (1 to 6).map(i => (i.toLong, i.toDouble, 3.0 * i + 1))
+    VersionedTable.append(spark,
+      line.take(3).toDF("id", "x", "y"), src)
+    IncrementalView.create(spark, src, mv, Seq("k=1"),
+      Seq("x", "y", "xy=x * y", "xx=x * x"), scale = 6)
+    VersionedTable.append(spark,
+      (line.drop(3) :+ ((99L, 2.0, -50.0))).toDF("id", "x", "y"), src)
+    VersionedTable.delete(spark, src, col("id") === 99L)
+    IncrementalView.refresh(spark, mv)
+    val r = IncrementalView.read(spark, mv)
+      .select(col("cnt_x").cast("double").as("n"), col("sum_x"),
+        col("sum_y"), col("sum_xy"), col("sum_xx"))
+      .as[(Double, Double, Double, Double, Double)].head()
+    val (n, sx, sy, sxy, sxx) = r
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(n === 6.0)
+    assert(slope === 3.0)
+    assert((sy - slope * sx) / n === 1.0)
+  }
+
   test("min/max measures fold forward under appends and recompute " +
       "touched groups under deletes") {
     val root = tmp()
