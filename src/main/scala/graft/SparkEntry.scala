@@ -2113,6 +2113,28 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // ---- streaming: the SESSIONIZE twin under the driver oracle —
+    // flatMapGroupsWithState + event-time timeout runs its full
+    // lifecycle (one data batch, two watermark-advancing markers seal
+    // every session) and the sealed session boundaries/counts must
+    // equal a direct SQL gap-split. Bounds and counts are order-
+    // independent, so the oracle needs no fold replay; the session
+    // value totals are spec-pinned (SessionizeStreamSpec).
+    "w2s_sessionize_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id").cast(LongType).as("user_id"),
+          col("event_id").cast(LongType).as("event_id"),
+          col("ts"), col("value").cast("double").as("value"))
+      val (root, stream) = streamTwinSource(s, ev, "w2s")
+      val sess = graft.streaming.Sessionize.sessions(s, stream,
+        "ts", "value", gapSeconds = 1800, watermark = "1 hour")
+      runStreamTwin(s, root, sess.toDF())
+        .select(col("user_id"), col("session_start"),
+          col("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // ---- time series: the STREAMING EWMA twin under the driver
     // oracle (same lifecycle; EwmaStream replays the identical IEEE
     // step, so ts3's recursive-CTE oracle re-derives the sealed
@@ -6208,6 +6230,27 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(value) AS avg_value
         |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // streaming sessionize: sealed sessions == direct SQL gap split
+    // (bounds and counts are fold-order independent)
+    "w2s_sessionize_stream" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, ts
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |d AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // incrementally-maintained OLS == direct recompute of the final
     // logical state's exact-decimal moments
