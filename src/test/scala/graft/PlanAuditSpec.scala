@@ -54,7 +54,17 @@ class PlanAuditSpec extends SparkTestBase {
     "dq5_fk_orphans",
     // sim19: both rankings are the sim1 brute-force shape (tiny query
     // set broadcast against the corpus)
-    "sim19_ndcg")
+    "sim19_ndcg",
+    // a53: B bin rows crossed with the broadcast 1-ROW (N, Σ|gap|)
+    // ECE frame
+    "a53_calibration",
+    // a54: the a43 cell frame (chi2Cells' broadcast 1-ROW grand total)
+    "a54_cramers_v",
+    // a55: the 1-ROW (n, agree) total crossed with the 1-ROW Σrt·ct
+    "a55_kappa",
+    // t38: the slice-pair grid is a ~|slices|² inequality join over the
+    // tiny per-slice totals frame (languages, not rows)
+    "t38_js_divergence")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
