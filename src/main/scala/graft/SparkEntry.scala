@@ -3360,6 +3360,19 @@ object SparkEntry {
         "c_custkey", "c_custkey_2")
         .orderBy("c_custkey", "c_custkey_2")),
 
+    // ---- graph: co-purchase projection with lift — the bipartite
+    // (order, part) table becomes a weighted item-item edge list with
+    // exact support and one-division lift; the market-basket /
+    // association-rule primitive and the other way the g-family gets
+    // its edge lists.
+    "g11_copurchase" -> ((s, dir) =>
+      Analytics.coOccurrencePairs(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("basket"),
+            col("l_partkey").as("item")),
+        "basket", "item", minSupport = 2)
+        .orderBy("item_a", "item_b")),
+
     // ---- sketch: Misra-Gries frequent items (native mergeable
     // TypedImperativeAggregate). The sketch path for t7's question: each
     // task keeps `capacity` counters and the shuffle carries one sketch
@@ -4916,6 +4929,34 @@ object SparkEntry {
 
     // link prediction replayed (wedge + anti-join — see linkPredOracle)
     "g10_link_prediction" -> linkPredOracle,
+
+    // co-purchase projection: same distinct + self-join + exact-decimal
+    // lift products
+    "g11_copurchase" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sz AS (SELECT b, count(*) AS bs FROM bi GROUP BY b),
+        |kept AS (SELECT bi.b, bi.i FROM bi JOIN sz ON bi.b = sz.b
+        |  WHERE sz.bs <= 1000),
+        |it AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM kept
+        |  GROUP BY i),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM kept),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_baskets
+        |  FROM kept a JOIN kept b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.n_baskets, ia.ni AS n_a,
+        |  ib.ni AS n_b,
+        |  round(CAST(CAST(p.n_baskets AS DECIMAL(38,0))
+        |      * CAST(nb.nb AS DECIMAL(38,0)) AS DOUBLE)
+        |    / CAST(CAST(ia.ni AS DECIMAL(38,0))
+        |      * CAST(ib.ni AS DECIMAL(38,0)) AS DOUBLE), 6) + 0.0
+        |    AS lift
+        |FROM p JOIN it ia ON ia.i = p.item_a
+        |JOIN it ib ON ib.i = p.item_b
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
 
     // weighted quantiles replayed: same (group, value) pre-agg, same
     // cumulative-weight windows, same exact rational threshold tests

@@ -1848,6 +1848,63 @@ object Analytics {
           .otherwise(lit(null).cast(DoubleType))).as("kappa"))
   }
 
+  /** Co-occurrence pair mining (the bipartite projection / market-
+    * basket step): items sharing a basket become weighted edges with
+    * the classic association stats —
+    *
+    *   support(a,b) = #baskets containing both
+    *   lift(a,b)    = support·N / (n_a·n_b)
+    *
+    * (lift > 1 ⟺ co-occurrence above independence). The projection
+    * of (order, part), (doc, shingle), (user, item) into an item-item
+    * graph is how the g-family gets edge lists from transactional
+    * data.
+    *
+    * Determinism: every output is an exact count or ONE division of
+    * exact DECIMAL(38,0) products (overflow-proof past 2⁶³).
+    *
+    * Scale shape: distinct (basket, item) once, one self-join hash-
+    * shuffled on basket — fan-out C(k,2) per basket, so `maxBasketSize`
+    * excludes degenerate hub baskets BEFORE the join (the wedge bound,
+    * same contract as linkPrediction's maxDegree); `minSupport` cuts
+    * the long tail before the marginal joins.
+    */
+  def coOccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2, maxBasketSize: Int = 1000): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2,
+      s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val d38 = DecimalType(38, 0)
+    val bi = df.where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val sizes = bi.groupBy(col("__b")).agg(count(lit(1)).as("__bs"))
+    val kept = bi.join(sizes.where(col("__bs") <= maxBasketSize), "__b")
+      .select(col("__b"), col("__i"))
+      .localCheckpoint(true) // read by the self-join AND both marginals
+    val itemTot = kept.groupBy(col("__i").as("__it"))
+      .agg(count(lit(1)).as("__ni"))
+    val tot = kept.agg(countDistinct(col("__b")).as("__nb"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .where(col("n_baskets") >= minSupport)
+    pairs
+      .join(itemTot.select(col("__it").as("item_a"),
+        col("__ni").as("n_a")), "item_a")
+      .join(itemTot.select(col("__it").as("item_b"),
+        col("__ni").as("n_b")), "item_b")
+      .crossJoin(broadcast(tot))
+      .select(col("item_a"), col("item_b"), col("n_baskets"),
+        col("n_a"), col("n_b"),
+        (round((col("n_baskets").cast(d38) * col("__nb").cast(d38))
+          .cast(DoubleType) /
+          (col("n_a").cast(d38) * col("n_b").cast(d38))
+            .cast(DoubleType), 6) + lit(0.0)).as("lift"))
+  }
+
   /** Cross-correlation between two regular series at lags 0..maxLag:
     * Pearson corr(aᵢ, bᵢ₊ₗ) over the buckets both series observe —
     * "does series A lead series B, and by how much?" (the lag with the

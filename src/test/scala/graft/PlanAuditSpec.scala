@@ -64,7 +64,10 @@ class PlanAuditSpec extends SparkTestBase {
     "a55_kappa",
     // t38: the slice-pair grid is a ~|slices|² inequality join over the
     // tiny per-slice totals frame (languages, not rows)
-    "t38_js_divergence")
+    "t38_js_divergence",
+    // g11: surviving pairs crossed with the broadcast 1-ROW basket
+    // total for the lift denominator
+    "g11_copurchase")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

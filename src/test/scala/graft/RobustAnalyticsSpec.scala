@@ -93,6 +93,43 @@ class RobustAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("coOccurrencePairs: hand-computed supports and lifts; duplicate " +
+      "(basket, item) rows collapse") {
+    val rows = Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "q"), (3L, "q"), (2L, "x"))
+    val out = Analytics.coOccurrencePairs(rows.toDF("b", "i"), "b", "i",
+      minSupport = 1)
+      .select("item_a", "item_b", "n_baskets", "n_a", "n_b", "lift")
+      .as[(String, String, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6)))
+      .toMap
+    assert(out.size === 4)
+    assert(out(("x", "y")) === ((2L, 3L, 2L, 1.0))) // 2*3/(3*2)
+    assert(out(("y", "z")) === ((1L, 2L, 1L, 1.5))) // 1*3/(2*1)
+    assert(out(("q", "x")) === ((1L, 1L, 3L, 1.0))) // 1*3/(1*3)
+    assert(out(("x", "z")) === ((1L, 3L, 1L, 1.0)))
+  }
+
+  test("coOccurrencePairs: minSupport prunes, maxBasketSize drops hub " +
+      "baskets before the join, guards are loud") {
+    val rows = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z")) ++ (1 to 10).map(i => (9L, s"h$i"))
+    val df = rows.toDF("b", "i")
+    val sup2 = Analytics.coOccurrencePairs(df, "b", "i", minSupport = 2)
+      .select("item_a", "item_b").as[(String, String)].collect().toSet
+    assert(sup2 === Set(("x", "y")))
+    // the 10-item basket is excluded entirely at maxBasketSize = 5 —
+    // none of its C(10,2) pairs appear, and its items leave the
+    // marginals (x,y lift uses N = 3 kept baskets)
+    val capped = Analytics.coOccurrencePairs(df, "b", "i",
+      minSupport = 1, maxBasketSize = 5)
+      .select("item_a").as[String].collect()
+    assert(!capped.exists(_.startsWith("h")))
+    assertThrows[IllegalArgumentException] {
+      Analytics.coOccurrencePairs(df, "b", "i", minSupport = 0)
+    }
+  }
+
   test("jsDivergence: identical slices give 0, disjoint slices give " +
       "exactly ln 2 (1 bit)") {
     val df = Seq(("a", "x y z x"), ("b", "x y z x"), ("c", "q r s"))
