@@ -2325,6 +2325,16 @@ object SparkEntry {
         col("doc_id"), k = 20)
         .orderBy("doc_id")),
 
+    // ---- sampling: exact-k proportional apportionment ----
+    // Largest-remainder allocation across languages (exact integer
+    // seats), each stratum filled in deterministic md5 order — the
+    // "exactly 100 docs, proportional to the mix" eval-set contract.
+    "s15_apportion" -> ((s, dir) =>
+      Sampling.apportionSample(t(s, dir, "documents"), "lang", "doc_id",
+        k = 100)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // ---- sampling: deterministic negatives for contrastive training ----
     // Each anchor draws 5 pseudo-random corpus docs through ONE
     // position equi-join (no broadcast of the corpus, no RNG state);
@@ -3553,6 +3563,16 @@ object SparkEntry {
         .select(col("n_rows"), col("n_null_fk"), col("n_checked"),
           col("n_orphan_rows"), col("n_orphan_keys"),
           r6z(col("orphan_fraction")).as("orphan_fraction"))),
+
+    // ---- data quality: ingest-volume anomaly monitor ----
+    // Per (event_type, day) counts scored against the type's own
+    // median/MAD (robust to the anomalies themselves); every day is
+    // emitted with its flag — exact counts, the a28 percentile
+    // convention, one deterministic comparison.
+    "dq6_volume_anomaly" -> ((s, dir) =>
+      Quality.volumeAnomalies(t(s, dir, "events"), "event_type", "ts",
+        threshold = 3.0)
+        .orderBy("event_type", "day")),
 
     // ---- data quality: shuffle-key skew profile ----
     // The pre-flight a join/groupBy key gets before a 100 TB shuffle:
@@ -8607,6 +8627,29 @@ object SparkEntry {
         |  FROM documents) z
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
+    // apportionment: same integer seats, same md5 fill order
+    "s15_apportion" ->
+      """WITH d AS (SELECT * FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT lang AS s, CAST(count(*) AS BIGINT) AS ng
+        |  FROM d GROUP BY lang),
+        |t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n FROM c),
+        |q AS (SELECT s, ng, (ng * 100) // t.n AS base,
+        |    (ng * 100) % t.n AS rem
+        |  FROM c, t),
+        |sb AS (SELECT CAST(SUM(base) AS BIGINT) AS sb FROM q),
+        |a AS (SELECT s, base + CASE
+        |    WHEN row_number() OVER (ORDER BY rem DESC, s ASC)
+        |      <= 100 - sb.sb THEN 1 ELSE 0 END AS alloc
+        |  FROM q, sb),
+        |r AS (SELECT d.*, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(concat('0x',
+        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |      doc_id) AS rn
+        |  FROM d)
+        |SELECT doc_id, text, lang, source, n_chars
+        |FROM r JOIN a ON r.lang = a.s
+        |WHERE rn <= alloc ORDER BY doc_id""".stripMargin,
+
     // pseudo-random corpus positions (Knuth-hash order), slot probes
     // (a·2654435761 + (j+1)·40503) mod N, self/fingerprint exclusions
     "s14_negatives" ->
@@ -9380,6 +9423,26 @@ object SparkEntry {
         |    ELSE CAST((SELECT count(*) FROM o) AS DOUBLE) /
         |      CAST((SELECT count(*) FROM ch) AS DOUBLE) END, 6) + 0.0
         |    AS orphan_fraction""".stripMargin,
+
+    // volume anomalies: same daily counts, same quantile_cont
+    // median/MAD, same one comparison
+    "dq6_volume_anomaly" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+        |  FROM daily GROUP BY event_type),
+        |mad AS (SELECT d.event_type,
+        |    quantile_cont(abs(CAST(d.n AS DOUBLE) - med.med), 0.5) AS mad
+        |  FROM daily d JOIN med USING (event_type)
+        |  GROUP BY d.event_type)
+        |SELECT d.event_type, d.day, d.n,
+        |  med.med AS median_n, mad.mad AS mad_n,
+        |  abs(CAST(d.n AS DOUBLE) - med.med) > 3.0 * mad.mad
+        |    AS is_anomaly
+        |FROM daily d JOIN med USING (event_type)
+        |JOIN mad USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
 
     "dq3_key_skew" ->
       """WITH k AS (SELECT user_id, COUNT(*) AS cnt

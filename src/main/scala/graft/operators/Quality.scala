@@ -119,6 +119,43 @@ object Quality {
             col("n_checked").cast("double")).as("orphan_fraction"))
   }
 
+  /** Ingest-volume anomaly report — the "did yesterday's load look
+    * wrong?" monitor: per (key, day) row counts scored against the
+    * key's own robust center (median) and scale (MAD), so one bad day
+    * can't poison the baseline the way a mean/stddev monitor poisons
+    * itself. A day flags when |n − median| > threshold·MAD; MAD = 0
+    * (perfectly steady history) flags ANY deviation.
+    *
+    * Counts are exact; median/MAD use the exact interpolated
+    * percentile both engines share (the robustStats convention), and
+    * the flag is one deterministic double comparison. Emits EVERY
+    * (key, day) with its flag — the monitor's full picture, not just
+    * the alarms.
+    *
+    * Scale shape: one groupBy(key, day) over the source, then all
+    * scoring on the per-day frame (days × keys rows) — two tiny
+    * re-aggs broadcast back. One scan, one shuffle.
+    */
+  def volumeAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+      threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val daily = df.where(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), date_trunc("DAY", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy(col(keyCol).as("__g"))
+      .agg(expr("percentile(n, 0.5)").as("__med"))
+    val withMed = daily.join(broadcast(med), col(keyCol) === col("__g"))
+      .drop("__g")
+    val mad = withMed.groupBy(col(keyCol).as("__g2"))
+      .agg(expr("percentile(abs(CAST(n AS DOUBLE) - __med), 0.5)")
+        .as("__mad"))
+    withMed.join(broadcast(mad), col(keyCol) === col("__g2"))
+      .select(col(keyCol), col("day"), col("n"),
+        col("__med").as("median_n"), col("__mad").as("mad_n"),
+        (abs(col("n").cast("double") - col("__med")) >
+          lit(threshold) * col("__mad")).as("is_anomaly"))
+  }
+
   /** Fail-fast gate: throws if any rule is violated. */
   def enforce(df: DataFrame, rules: Seq[Rule]): Unit = {
     val row = check(df, rules).head()

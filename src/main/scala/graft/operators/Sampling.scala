@@ -259,6 +259,57 @@ object Sampling {
     * priority seed and the tie-break). Groups with ≤ k rows keep all
     * their rows.
     */
+  /** Exact-size proportional sample — allocate EXACTLY `k` rows across
+    * strata by the largest-remainder (Hamilton) method, then take each
+    * stratum's quota in deterministic hash order. Fraction-based
+    * samplers ([[resampleToMix]], s3's per-group quotas) hit the target
+    * only in expectation or per group; this is the "give me exactly
+    * 100k docs, proportional to the language mix" contract an eval-set
+    * builder needs.
+    *
+    *   base_g = ⌊k·n_g/N⌋,  leftover k − Σbase seats go to the largest
+    *   remainders k·n_g mod N (ties by stratum value) — all exact
+    *   integer arithmetic, so the allocation hash-oracles.
+    *
+    * Output size is exactly k whenever every allocation fits its
+    * stratum (base_g ≤ n_g always; a +1 seat can exceed only when
+    * k > N − |strata|). Null strata are excluded.
+    *
+    * Scale shape: one count per stratum, allocation algebra on the
+    * |strata|-row frame (its ranking window is a single tiny task by
+    * design), one per-stratum row_number window over the data (strata
+    * parallelize), one broadcast semi-join.
+    */
+  def apportionSample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(col(strataCol).isNotNull)
+    val counts = base.groupBy(col(strataCol).as("__s"))
+      .agg(count(lit(1)).as("__ng"))
+    val tot = counts.agg(sum(col("__ng")).as("__N"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .select(col("__s"), col("__ng"),
+        expr(s"(__ng * CAST($k AS BIGINT)) div __N").as("__base"),
+        expr(s"(__ng * CAST($k AS BIGINT)) % __N").as("__rem"))
+    val sb = quota.agg(sum(col("__base")).as("__sb"))
+    val alloc = quota.crossJoin(broadcast(sb))
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(desc("__rem"), asc("__s"))))
+      .select(col("__s"),
+        (col("__base") +
+          when(col("__rk") <= lit(k.toLong) - col("__sb"), 1L)
+            .otherwise(0L)).as("__alloc"))
+    base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(Dedup.md5Hash60(col(idCol).cast("string")).asc,
+            col(idCol).asc)))
+      .join(broadcast(alloc), col(strataCol) === col("__s"))
+      .where(col("__rn") <= col("__alloc"))
+      .drop("__rn", "__s", "__alloc")
+  }
+
   def bottomKSample(df: DataFrame, groupCol: Column, idCol: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

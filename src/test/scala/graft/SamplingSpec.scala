@@ -11,6 +11,46 @@ class SamplingSpec extends SparkTestBase {
     col("id").as("doc_id"),
     concat(lit("src"), (col("id") % 4).cast("string")).as("source")).cache()
 
+  test("apportionSample: exactly k rows, largest-remainder seats, " +
+      "deterministic and repartition-invariant") {
+    // strata 1000/600/400 of 2000, k=7: quotas 3.5/2.1/1.4 ->
+    // base 3/2/1 (sum 6), the one leftover seat goes to the largest
+    // remainder (src0's .5)
+    val strata = docs.withColumn("g",
+      when(col("doc_id") < 1000, "a")
+        .when(col("doc_id") < 1600, "b").otherwise("c"))
+    val out = Sampling.apportionSample(strata, "g", "doc_id", 7)
+      .select("g", "doc_id").as[(String, Long)].collect()
+    assert(out.length === 7)
+    val per = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(per === Map("a" -> 4, "b" -> 2, "c" -> 1))
+    val again = Sampling.apportionSample(strata.repartition(13), "g",
+      "doc_id", 7).select("g", "doc_id").as[(String, Long)].collect()
+    assert(out.toSet === again.toSet)
+  }
+
+  test("apportionSample: proportionality at larger k, null strata " +
+      "excluded, ties broken by stratum value") {
+    val strata = docs.withColumn("g",
+      when(col("doc_id") % 4 === 3, lit(null: String))
+        .otherwise(concat(lit("g"), (col("doc_id") % 4).cast("string"))))
+    // three 500-row strata (g0,g1,g2), 500 null rows dropped
+    val out = Sampling.apportionSample(strata, "g", "doc_id", 99)
+      .select("g").as[String].collect()
+    assert(out.length === 99)
+    val per = out.groupBy(identity).view.mapValues(_.length).toMap
+    // 99/3 splits exactly 33/33/33
+    assert(per === Map("g0" -> 33, "g1" -> 33, "g2" -> 33))
+    // equal remainders: k=2 over three equal strata -> base 0 each,
+    // remainders tie, seats go to the lexicographically first strata
+    val two = Sampling.apportionSample(strata, "g", "doc_id", 2)
+      .select("g").as[String].collect().sorted.toSeq
+    assert(two === Seq("g0", "g1"))
+    assertThrows[IllegalArgumentException] {
+      Sampling.apportionSample(strata, "g", "doc_id", 0)
+    }
+  }
+
   test("resampleToMix keeps ~fraction per group, deterministically") {
     val mix = Map("src0" -> 0.5, "src1" -> 0.0)
     def run() = Sampling.resampleToMix(docs, col("source"), col("doc_id"),
