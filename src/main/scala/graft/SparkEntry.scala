@@ -2908,6 +2908,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: perceptual dHash (image near-dup fingerprint) —
+    // real PNG decode + 9×8 NN grayscale walk + adjacent-gradient bits,
+    // packed as two unsigned 32-bit halves (no sign-wrapping shifts).
+    // The oracle re-derives every bit arithmetically from the gradient
+    // construction — only a true decode+resample reproduces 64 bits.
+    "mm8_dhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("payload", Multimodal.pngEncode(
+          (lit(1) + col("doc_id") % 13).cast("int"),
+          (lit(1) + col("doc_id") % 7).cast("int"),
+          (col("doc_id") % 251).cast("int")))
+        .withColumn("ph", Multimodal.pngDhashCol(col("payload")))
+      d.select(col("doc_id"), col("ph.dhash_hi").as("dhash_hi"),
+          col("ph.dhash_lo").as("dhash_lo"), col("ph.n_set").as("n_set"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: QOI decode (from-scratch spec codec) ----
     // The gradient fixture round-trips through a full QOI encoder
     // (DIFF/LUMA/INDEX/RUN/RGB chunks all exercised) and a STREAMING
@@ -7211,6 +7228,32 @@ object SparkEntry {
         |  CAST((1 + doc_id % 13) * (1 + doc_id % 7) * 3 * (doc_id % 251)
         |    AS BIGINT) AS pixel_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // dHash bits re-derived arithmetically from the gradient: target
+    // (x,y) samples source (x*W//9, y*H//8); gray = (fill+sx+sy)%256;
+    // bit set iff the right neighbor is strictly brighter
+    "mm8_dhash" ->
+      """WITH g AS (SELECT a.i AS x, b.j AS y
+        |  FROM range(8) a(i), range(8) b(j)),
+        |bits AS (SELECT doc_id, g.x, g.y,
+        |    CASE WHEN
+        |      (doc_id % 251
+        |        + ((g.x + 1) * (1 + doc_id % 13)) // 9
+        |        + (g.y * (1 + doc_id % 7)) // 8) % 256
+        |      > (doc_id % 251
+        |        + (g.x * (1 + doc_id % 13)) // 9
+        |        + (g.y * (1 + doc_id % 7)) // 8) % 256
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM documents, g)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND y * 8 + x < 32
+        |    THEN CAST(1 AS BIGINT) << CAST(31 - (y * 8 + x) AS INT)
+        |    ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND y * 8 + x >= 32
+        |    THEN CAST(1 AS BIGINT) << CAST(63 - (y * 8 + x) AS INT)
+        |    ELSE 0 END) AS BIGINT) AS dhash_lo,
+        |  CAST(SUM(bit) AS INT) AS n_set
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // gradient-PNG pixel sum re-derived arithmetically: the decoder
     // only sees the compressed bytes, so matching the per-position sum

@@ -469,6 +469,74 @@ object Multimodal {
         cs: IndexedSeq[Expression]): PngResizeExpr = copy(children = cs)
   }
 
+  /** Perceptual difference hash (dHash) of a PNG payload — the image
+    * near-dup fingerprint: decode, NN-resample to a 9×8 grayscale grid
+    * (gray = ⌊(r+g+b)/3⌋, the same exact-integer NN convention as
+    * [[resizePngNn]]), and set bit (x, y) iff gray(x+1, y) >
+    * gray(x, y). Robust to rescaling and mild recompression; pair
+    * hashes by Hamming distance (the [[graft.functions.GraftFunctions]]
+    * hamming path / d4's SimHash machinery) for dedup. The 64 bits
+    * return as two unsigned 32-bit halves in longs (hi = bits 0–31
+    * MSB-first) so no engine ever sign-wraps a shift.
+    */
+  private[graft] def pngDhash(bytes: Array[Byte]): Option[(Long, Long, Int)] =
+    decodePngImage(bytes).map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      def gray(sx: Int, sy: Int): Int = {
+        val rgb = im.getRGB(sx, sy)
+        (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+      }
+      val g = Array.tabulate(8, 9) { (y, x) =>
+        gray((x.toLong * w / 9).toInt, (y.toLong * h / 8).toInt)
+      }
+      var hi = 0L
+      var lo = 0L
+      var n = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (g(y)(x + 1) > g(y)(x)) {
+            n += 1
+            val k = y * 8 + x
+            if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (hi, lo, n)
+    }
+
+  /** Catalyst expression over [[pngDhash]]:
+    * `binary → struct(dhash_hi long, dhash_lo long, n_set int)` — a
+    * real decode + 9×8 NN gradient walk, null for non-PNG payloads.
+    */
+  case class PngDhashExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary")
+    override def dataType: DataType = StructType(Seq(
+      StructField("dhash_hi", LongType),
+      StructField("dhash_lo", LongType),
+      StructField("n_set", IntegerType)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_png_dhash"
+    override def nullSafeEval(bytes: Any): Any =
+      pngDhash(bytes.asInstanceOf[Array[Byte]]) match {
+        case Some((hi, lo, n)) => InternalRow(hi, lo, n)
+        case None => null
+      }
+    override protected def withNewChildInternal(
+        newChild: Expression): PngDhashExpr = copy(child = newChild)
+  }
+
+  /** Column wrapper: perceptual dHash of a PNG payload. */
+  def pngDhashCol(payload: Column): Column =
+    SparkShim.toColumn(PngDhashExpr(SparkShim.toExpression(payload)))
+
   /** Column wrapper: build a gradient RGB PNG payload. */
   def pngEncode(w: Column, h: Column, fill: Column): Column =
     SparkShim.toColumn(PngEncodeExpr(Seq(w, h, fill)

@@ -550,6 +550,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(imgs(2L).width !== 0, "opaque payload must fall back to stub")
   }
 
+  test("PNG dHash: straight-line reference over gradients, rescale " +
+      "invariance on exact multiples, non-PNG rejection") {
+    def refHash(w: Int, h: Int, fill: Int): (Long, Long, Int) = {
+      def gray(x: Int, y: Int): Int = (fill + x * w / 9 + y * h / 8) % 256
+      var hi = 0L; var lo = 0L; var n = 0
+      for (y <- 0 until 8; x <- 0 until 8
+          if gray(x + 1, y) > gray(x, y)) {
+        n += 1
+        val k = y * 8 + x
+        if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+      }
+      (hi, lo, n)
+    }
+    for ((w, h) <- Seq((13, 7), (9, 8), (1, 1), (20, 16))) {
+      val fill = (w * 19 + h) % 251
+      val got = Multimodal.pngDhash(Multimodal.encodePng(w, h, fill))
+        .getOrElse(fail(s"valid PNG ${w}x$h did not hash"))
+      assert(got === refHash(w, h, fill), s"dims ${w}x$h")
+    }
+    // a wrap-free 9x8 gradient brightens at every step: all 64 bits.
+    // Near the 255->0 wrap some comparisons flip: strictly fewer bits.
+    // A +1 brightness shift away from the wrap changes nothing.
+    val base = Multimodal.pngDhash(Multimodal.encodePng(9, 8, 100)).get
+    assert(base._3 === 64, "wrap-free gradient brightens everywhere")
+    assert(Multimodal.pngDhash(Multimodal.encodePng(9, 8, 101)).get
+      === base, "uniform brightness shift must not change the hash")
+    val wrapped = Multimodal.pngDhash(Multimodal.encodePng(9, 8, 250)).get
+    assert(wrapped._3 > 0 && wrapped._3 < 64,
+      "the 255->0 wrap must clear some gradient bits")
+    assert(Multimodal.pngDhash(null: Array[Byte]).isEmpty)
+    assert(Multimodal.pngDhash("nope".getBytes("UTF-8")).isEmpty)
+    // column expression: null routing + struct fields
+    val df = Seq((1L, Multimodal.encodePng(13, 7, 42)),
+      (2L, "opaque".getBytes("UTF-8"))).toDF("id", "payload")
+      .select(col("id"), Multimodal.pngDhashCol(col("payload")).as("ph"))
+      .select(col("id"), col("ph.dhash_hi"), col("ph.dhash_lo"),
+        col("ph.n_set"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val want = refHash(13, 7, 42)
+    assert(df(1L).getLong(1) === want._1 && df(1L).getLong(2) === want._2)
+    assert(df(1L).getInt(3) === want._3)
+    assert(df(2L).isNullAt(1) && df(2L).isNullAt(3))
+  }
+
   test("PNG NN-resize samples ⌊x·w/w2⌋ exactly; guards mirror the decoder") {
     def nnSum(w: Int, h: Int, fill: Int, w2: Int, h2: Int): Long =
       (for (x <- 0 until w2; y <- 0 until h2)
