@@ -634,6 +634,20 @@ object SparkEntry {
       graft.sources.LakeReader.orcFolder(s, tdir).orderBy("doc_id")
     }),
 
+    // ---- formats: CSV round-trip (the S6 sink under the oracle) ----
+    // orders (longs, doubles, timestamps, strings) goes out through the
+    // header'd CSV sink and back through the schema'd folder reader;
+    // the oracle reads only the parquet source, so equality proves the
+    // text encode/parse pair is value-lossless for every column type.
+    "fmt3_csv_roundtrip" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_fmt3").toString + "/c"
+      graft.sources.LakeWriter.csvOverwrite(o, tdir)
+      graft.sources.LakeReader.csvFolder(s, tdir, o.schema)
+        .orderBy("o_orderkey")
+    }),
+
     // ---- P1: rename-all-columns snake_case normalization ----
     "p1_rename" -> ((s, dir) => {
       val spaced = t(s, dir, "events")
@@ -739,6 +753,25 @@ object SparkEntry {
         Seq((li("l_orderkey"), o("o_orderkey"))))
         .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
         .orderBy("l_orderkey", "l_linenumber", "o_totalprice")
+    }),
+
+    // ---- J1b: interval ANTI join (coverage gaps) ----
+    // Lineitems shipped OUTSIDE their order's 30-day window — the same
+    // equi+BETWEEN condition as j1 under left_anti semantics (hash
+    // anti-join on the equi key; the BETWEEN rides as a residual).
+    // The audit query of interval joins: what did the join MISS?
+    "j16_interval_anti" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      IntervalJoin.pointInInterval(
+        li, o,
+        li("l_shipdate"), o("o_orderdate"),
+        o("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        Seq((li("l_orderkey"), o("o_orderkey"))),
+        joinType = "left_anti")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"))
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate")
     }),
 
     // ---- J2: distributed backward as-of join ----
@@ -2000,6 +2033,21 @@ object SparkEntry {
         .orderBy("lag")
     }),
 
+    // ---- time series: local peak detection — rows strictly above both
+    // neighbors in time order. Pure passthrough + two comparisons (no
+    // arithmetic), the change-point primitive beside CUSUM.
+    "ts14_peaks" -> ((s, dir) =>
+      Analytics.localPeaks(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), "ts", "value", tieBreak = Seq("event_id"))
+        .orderBy("user_id", "ts", "event_id")),
+
+    // ---- evaluation: one-way ANOVA — does mean value differ across
+    // event types? Exact-decimal moments, per-group S²/n terms
+    // decimal-stabilized across groups, F and η² as fixed sequences.
+    "a57_anova" -> ((s, dir) =>
+      Analytics.anovaOneWay(t(s, dir, "events"), "event_type", "value")),
+
     // ---- time series: MASE — is there 7-periodic structure? Seasonal-
     // naive MAE over naive MAE per user; exact decimal error sums, each
     // MAE one division, MASE spelled as the division of the two MAE
@@ -3014,6 +3062,14 @@ object SparkEntry {
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("term"))
         .limit(20)),
+
+    // ---- text: script-mix profile — per-token Latin/Cyrillic/CJK/
+    // Greek presence plus intra-token script mixing (the homoglyph-
+    // spam fingerprint). Explicit codepoint ranges, never \p{...}
+    // property tables, so Java and RE2 agree by construction.
+    "t40_script_mix" -> ((s, dir) =>
+      TextAnalysis.scriptMix(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // ---- text: Flesch reading-ease — the classic readability quality
     // feature; words/syllable-runs/sentence-runs are exact regexp
@@ -5421,6 +5477,11 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "fmt3_csv_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "p1_rename" ->
       """SELECT event_type, value AS the_value FROM events
         |ORDER BY event_type, the_value""".stripMargin,
@@ -5506,6 +5567,16 @@ object SparkEntry {
         |  ON l.l_orderkey = o.o_orderkey
         | AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 30 DAY
         |ORDER BY l.l_orderkey, l.l_linenumber, o.o_totalprice""".stripMargin,
+
+    // interval anti join: NOT EXISTS over the same equi+BETWEEN
+    "j16_interval_anti" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey
+        |    AND l.l_shipdate BETWEEN o.o_orderdate
+        |      AND o.o_orderdate + INTERVAL 30 DAY)
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_shipdate""".stripMargin,
 
     "j2_asof" ->
       """SELECT e.event_id, e.user_id, o.best_price AS asof_price
@@ -8239,6 +8310,46 @@ object SparkEntry {
         |    AS cramers_v
         |FROM s""".stripMargin,
 
+    // peaks: the same lag/lead passthrough and strict comparisons
+    "ts14_peaks" ->
+      """WITH d AS (SELECT user_id, event_id, ts, value,
+        |    lag(value) OVER w AS prev_value,
+        |    lead(value) OVER w AS next_value
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, ts, value, prev_value, next_value
+        |FROM d WHERE value > prev_value AND value > next_value
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // ANOVA: the a16 moment discipline + decimal-stabilized S²/n terms
+    "a57_anova" ->
+      """WITH p AS (SELECT event_type,
+        |    TRY_CAST(value AS DECIMAL(18,2)) AS xd
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    SUM(xd) AS sg, SUM(xd * xd) AS ssg
+        |  FROM p GROUP BY event_type),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(sg) AS DOUBLE) AS s,
+        |    CAST(SUM(ssg) AS DOUBLE) AS ss,
+        |    CAST(SUM(CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS t
+        |  FROM per)
+        |SELECT k, n,
+        |  round(t - s * s / CAST(n AS DOUBLE), 6) + 0.0 AS ss_between,
+        |  round(ss - t, 6) + 0.0 AS ss_within,
+        |  CASE WHEN (ss - t) > 0 AND n > k
+        |    THEN round(((t - s * s / CAST(n AS DOUBLE)) / (k - 1))
+        |      / ((ss - t) / (n - k)), 6) + 0.0
+        |    ELSE NULL END AS f_stat,
+        |  CASE WHEN (t - s * s / CAST(n AS DOUBLE)) + (ss - t) > 0
+        |    THEN round((t - s * s / CAST(n AS DOUBLE))
+        |      / ((t - s * s / CAST(n AS DOUBLE)) + (ss - t)), 6) + 0.0
+        |    ELSE NULL END AS eta_sq
+        |FROM a""".stripMargin,
+
     // cross-correlation: same hourly index series, same exact moments,
     // the ts4 fixed IEEE corr sequence
     "ts13_xcorr" ->
@@ -8956,6 +9067,31 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    // script mix: the same explicit codepoint ranges over the same
+    // token split
+    "t40_script_mix" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks,
+        |    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_latin,
+        |  CAST(len(list_filter(toks,
+        |    x -> regexp_matches(x, '[Ѐ-ӿ]'))) AS BIGINT) AS n_cyrillic,
+        |  CAST(len(list_filter(toks,
+        |    x -> regexp_matches(x, '[一-鿿]'))) AS BIGINT) AS n_cjk,
+        |  CAST(len(list_filter(toks,
+        |    x -> regexp_matches(x, '[Ͱ-Ͽ]'))) AS BIGINT) AS n_greek,
+        |  CAST(len(list_filter(toks, x ->
+        |    (CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(x, '[Ѐ-ӿ]') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(x, '[一-鿿]') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(x, '[Ͱ-Ͽ]') THEN 1 ELSE 0 END)
+        |    >= 2)) AS BIGINT) AS n_mixed
+        |FROM tk ORDER BY doc_id""".stripMargin,
 
     // Flesch: the same three regexp counts and the same fixed double
     // sequence — \S+ and the character classes are in the Java∩RE2

@@ -1660,6 +1660,72 @@ object Analytics {
       .drop("__sx", "__sy", "__sxx", "__syy", "__sxy", "__den")
   }
 
+  /** Local-extrema (peak) detection per key: rows strictly greater
+    * than BOTH neighbors in time order (series endpoints never flag —
+    * no one-sided guesses). The change-point primitive beside [[cusum]]
+    * — pure value passthrough and two comparisons, no arithmetic at
+    * all, so the output hash-oracles trivially. One per-key window
+    * (keys parallelize).
+    */
+  def localPeaks(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    df.where(col(tsCol).isNotNull && col(measure).isNotNull)
+      .select((keyCols ++ tieBreak).distinct.map(col) :+ col(tsCol) :+
+        col(measure): _*)
+      .withColumn("__prev", lag(col(measure), 1).over(w))
+      .withColumn("__next", lead(col(measure), 1).over(w))
+      .where(col(measure) > col("__prev") && col(measure) > col("__next"))
+      .withColumnRenamed("__prev", "prev_" + measure)
+      .withColumnRenamed("__next", "next_" + measure)
+  }
+
+  /** One-way ANOVA — does the measure's MEAN differ across k groups?
+    * The k-group generalization of [[welchTTest]] (classic
+    * equal-variance form): from one exact-decimal moment pass,
+    *
+    *   SSB = Σ_g S_g²/n_g − S²/N,   SSW = ΣΣx² − Σ_g S_g²/n_g
+    *   F = (SSB/(k−1)) / (SSW/(N−k)),  η² = SSB/(SSB+SSW)
+    *
+    * Per-group S_g²/n_g terms are one fixed double sequence each and
+    * accumulate through DECIMAL(28,12) (fold-order independent across
+    * groups); round-6 absorbs the cast ulp. One groupBy over the
+    * source, then algebra on the k-row frame.
+    */
+  def anovaOneWay(df: DataFrame, groupCol: String,
+      measure: String): DataFrame = {
+    val v = col(measure).cast(DecimalType(18, 2))
+    val per = df.where(col(groupCol).isNotNull && v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ng"),
+        sum(v).as("__sg"),
+        sum((v * v).cast(DecimalType(38, 4))).as("__ssg"))
+    val term = {
+      val sgd = col("__sg").cast(DoubleType)
+      (sgd * sgd / col("__ng")).cast(DecimalType(28, 12))
+    }
+    val agg = per.agg(
+      count(lit(1)).as("k"),
+      sum(col("__ng")).as("__n"),
+      sum(col("__sg")).cast(DoubleType).as("__s"),
+      sum(col("__ssg")).cast(DoubleType).as("__ss"),
+      sum(term).cast(DoubleType).as("__t"))
+    val nD = col("__n").cast(DoubleType)
+    val ssb = col("__t") - col("__s") * col("__s") / nD
+    val ssw = col("__ss") - col("__t")
+    val f = (ssb / (col("k") - 1)) / (ssw / (col("__n") - col("k")))
+    agg.select(col("k"), col("__n").cast(LongType).as("n"),
+      (round(ssb, 6) + lit(0.0)).as("ss_between"),
+      (round(ssw, 6) + lit(0.0)).as("ss_within"),
+      (when(ssw > 0 && col("__n") > col("k"),
+        round(f, 6) + lit(0.0))
+        .otherwise(lit(null).cast(DoubleType))).as("f_stat"),
+      (when(ssb + ssw > 0, round(ssb / (ssb + ssw), 6) + lit(0.0))
+        .otherwise(lit(null).cast(DoubleType))).as("eta_sq"))
+  }
+
   /** MASE — mean absolute scaled error (Hyndman & Koehler 2006) of the
     * m-step seasonal-naive forecaster, per key:
     *

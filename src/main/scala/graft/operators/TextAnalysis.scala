@@ -356,6 +356,38 @@ object TextAnalysis {
           sum(col("__tc")).cast(DoubleType)).as("type_token_ratio"))
   }
 
+  /** Script-mix profile — the homoglyph-spoof / encoding-mess signal a
+    * web-crawl filter needs: per document, how many whitespace tokens
+    * contain Latin, Cyrillic, CJK, or Greek characters, and how many
+    * mix ≥ 2 of those scripts INSIDE one token (the confusable-spam
+    * fingerprint — "pаypal" with a Cyrillic а). Script classes are
+    * EXPLICIT codepoint ranges (not \p{...} property tables, which
+    * differ between regex engines), so Java and RE2 agree by
+    * construction. Higher-order array ops over the token split — pure
+    * map-side, zero shuffles.
+    */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val latin = "[A-Za-z]"
+    val cyr = "[Ѐ-ӿ]"
+    val cjk = "[一-鿿]"
+    val greek = "[Ͱ-Ͽ]"
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    def nWith(re: String): Column =
+      size(filter(toks, t => t.rlike(re))).cast(LongType)
+    val nScripts = (t: Column) =>
+      Seq(latin, cyr, cjk, greek)
+        .map(re => when(t.rlike(re), 1).otherwise(0))
+        .reduce(_ + _)
+    df.select(col(idCol),
+      size(toks).cast(LongType).as("n_tokens"),
+      nWith(latin).as("n_latin"),
+      nWith(cyr).as("n_cyrillic"),
+      nWith(cjk).as("n_cjk"),
+      nWith(greek).as("n_greek"),
+      size(filter(toks, t => nScripts(t) >= 2)).cast(LongType)
+        .as("n_mixed"))
+  }
+
   /** Flesch reading-ease — the classic length-weighted readability
     * score, a standard quality-filter feature beside [[qualityScore]]
     * and the Gopher rules:

@@ -193,6 +193,39 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(r2 === ((3L, 2L, 2L)))
   }
 
+  // ---- one-way ANOVA ----
+
+  test("anovaOneWay: hand-computed three-group F; identical groups " +
+      "give F ~ 0; k=1 or constant data yield NULL F") {
+    // groups: a = {1,2,3}, b = {2,3,4}, c = {5,6,7}
+    // means 2,3,6; grand 11/3; SSW = 2+2+2 = 6
+    // SSB = 3*((2-11/3)^2 + (3-11/3)^2 + (6-11/3)^2) = 3*(25+4+49)/9 = 26
+    // F = (26/2)/(6/6) = 13
+    val rows = Seq(1, 2, 3).map(("a", _)) ++ Seq(2, 3, 4).map(("b", _)) ++
+      Seq(5, 6, 7).map(("c", _))
+    val r = Analytics.anovaOneWay(
+      rows.map { case (g, v) => (g, v.toDouble) }.toDF("g", "v"),
+      "g", "v")
+      .select("k", "n", "ss_between", "ss_within", "f_stat", "eta_sq")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(r._1 === 3L && r._2 === 9L)
+    assert(math.abs(r._3 - 26.0) < 1e-6)
+    assert(math.abs(r._4 - 6.0) < 1e-6)
+    assert(math.abs(r._5 - 13.0) < 1e-6)
+    assert(math.abs(r._6 - 26.0 / 32.0) < 1e-6)
+    // three identical groups: SSB = 0, F = 0
+    val same = (1 to 3).flatMap(g =>
+      Seq(1.0, 2.0, 3.0).map((s"g$g", _))).toDF("g", "v")
+    val f0 = Analytics.anovaOneWay(same, "g", "v")
+      .select("ss_between", "f_stat").as[(Double, Double)].head()
+    assert(f0._1 === 0.0 && f0._2 === 0.0)
+    // constant data: SSW = 0 -> F undefined (NULL)
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0))
+      .toDF("g", "v")
+    assert(Analytics.anovaOneWay(const, "g", "v")
+      .select("f_stat").collect().head.isNullAt(0))
+  }
+
   // ---- Wilson interval ----
 
   test("wilsonInterval: hand-computed 50/100; boundary rates give " +

@@ -67,7 +67,10 @@ class PlanAuditSpec extends SparkTestBase {
     "t38_js_divergence",
     // g11: surviving pairs crossed with the broadcast 1-ROW basket
     // total for the lift denominator
-    "g11_copurchase")
+    "g11_copurchase",
+    // s15: the |strata|-row quota frame crossed with the 1-ROW total
+    // and 1-ROW seat-sum frames (allocation algebra, never data rows)
+    "s15_apportion")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

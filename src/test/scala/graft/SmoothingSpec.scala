@@ -377,6 +377,28 @@ class SmoothingSpec extends SparkTestBase {
     assert(z1 < 0)
   }
 
+  test("localPeaks: strict interior maxima only — endpoints, plateaus, " +
+      "and valleys never flag; keys independent") {
+    val rows = Seq(
+      // key a: 1 5 2 7 7 3 9 -> one peak (the 5): the plateau's 7s are
+      // not strictly greater than each other, 9 is an endpoint
+      ("a", Seq(1.0, 5.0, 2.0, 7.0, 7.0, 3.0, 9.0)),
+      ("b", Seq(4.0, 1.0, 6.0, 2.0))).flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (k, i.toLong, i.toLong, v) }
+    }.toDF("k", "event_id", "ts", "value")
+    val out = Analytics.localPeaks(rows, Seq("k"), "ts", "value",
+      tieBreak = Seq("event_id"))
+      .select("k", "event_id", "value", "prev_value", "next_value")
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(out === Set(("a", 1L, 5.0, 1.0, 2.0),
+      ("b", 2L, 6.0, 1.0, 2.0)))
+    // constant series: no peaks
+    val const = (0 to 5).map(i => ("c", i.toLong, i.toLong, 2.0))
+      .toDF("k", "event_id", "ts", "value")
+    assert(Analytics.localPeaks(const, Seq("k"), "ts", "value",
+      Seq("event_id")).count() === 0L)
+  }
+
   test("crossCorrelation: a series correlates perfectly with its own " +
       "shift, exactly at the shift lag") {
     val vals = Seq(5.0, 1.0, 8.0, 2.0, 9.0, 3.0, 7.0, 4.0, 6.0, 0.0,

@@ -31,6 +31,23 @@ class TextDedupSpec extends SparkTestBase {
     assert(out(4L) === Some(206.835 - 1.015 * 2.0 - 84.6 * 0.0))
   }
 
+  test("scriptMix: per-token script presence and intra-token mixing") {
+    import spark.implicits._
+    val out = Seq(
+      (1L, "hello мир 世界 payмent αβ"),
+      (2L, "plain ascii only."),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.scriptMix(out, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (1 to 6).map(x.getLong).toSeq).toMap
+    // doc 1: 5 tokens; latin in {hello, payмent}, cyrillic in
+    // {мир, payмent}, cjk in {世界}, greek in {αβ}; payмent mixes two
+    assert(r(1L) === Seq(5L, 2L, 2L, 1L, 1L, 1L))
+    assert(r(2L) === Seq(3L, 3L, 0L, 0L, 0L, 0L))
+    assert(r(3L) === Seq(0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("exact dedup keeps lowest id per identical text") {
     val surv = Dedup.exactSurvivors(docs, col("text"), col("doc_id"))
       .orderBy("survivor_id").as[Long].collect()
