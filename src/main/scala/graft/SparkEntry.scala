@@ -2042,6 +2042,23 @@ object SparkEntry {
         Seq("user_id"), "ts", "value", tieBreak = Seq("event_id"))
         .orderBy("user_id", "ts", "event_id")),
 
+    // ---- time series: threshold streaks (gaps-and-islands over a
+    // predicate) — longest above-60 run and excursion count per user;
+    // pure integer counting, the SLA/overload profile.
+    "ts15_streaks" -> ((s, dir) =>
+      Analytics.thresholdStreaks(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), "ts", col("value") > 60.0,
+        tieBreak = Seq("event_id"))
+        .orderBy("user_id")),
+
+    // ---- graph: degree assortativity — do hubs link to hubs (social
+    // shape, r>0) or to leaves (star/spam shape, r<0)? One exact-moment
+    // pass over the linkage edges, the a16 corr sequence.
+    "g12_assortativity" -> ((s, dir) =>
+      Graph.degreeAssortativity(linkageEdges(s, dir),
+        "c_custkey", "c_custkey_2")),
+
     // ---- evaluation: one-way ANOVA — does mean value differ across
     // event types? Exact-decimal moments, per-group S²/n terms
     // decimal-stabilized across groups, F and η² as fixed sequences.
@@ -8309,6 +8326,70 @@ object SparkEntry {
         |    / CAST(n * (least(nr, nk) - 1) AS DOUBLE)), 6) + 0.0
         |    AS cramers_v
         |FROM s""".stripMargin,
+
+    // streaks: the same island algebra over the same predicate
+    "ts15_streaks" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value > 60.0 AS f
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |d AS (SELECT user_id, event_id, ts, f,
+        |    CASE WHEN lag(f) OVER w IS NULL OR f <> lag(f) OVER w
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |i AS (SELECT user_id, f,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM d),
+        |g AS (SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM i WHERE f GROUP BY user_id, isl)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  CAST(MAX(len) AS BIGINT) AS max_streak,
+        |  CAST(SUM(len) AS BIGINT) AS n_above
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // assortativity: same symmetric edges + degree joins + the a16
+    // fixed corr sequence over exact-decimal degree moments
+    "g12_assortativity" ->
+      """WITH lp AS MATERIALIZED (
+        |  SELECT a.c_custkey AS v1, b.c_custkey AS v2
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_custkey < b.c_custkey
+        |  WHERE CAST(
+        |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 IS NULL THEN 0.0
+        |          WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 4.0
+        |          ELSE -1.0 END)
+        |    + (CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 IS NULL THEN 0.0
+        |            WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+        |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 THEN 2.5
+        |            ELSE -0.5 END)
+        |  AS DOUBLE) >= 3.0),
+        |edges AS (SELECT v1 AS src, v2 AS dst FROM lp
+        |          UNION ALL SELECT v2, v1 FROM lp),
+        |deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS dg
+        |        FROM edges GROUP BY src),
+        |wd AS (SELECT da.dg AS da, db.dg AS db
+        |  FROM edges e JOIN deg da ON da.v = e.src
+        |  JOIN deg db ON db.v = e.dst),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(da AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(db AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(da AS DECIMAL(38,0))
+        |      * CAST(da AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(db AS DECIMAL(38,0))
+        |      * CAST(db AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(da AS DECIMAL(38,0))
+        |      * CAST(db AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |  FROM wd)
+        |SELECT n // 2 AS n_edges,
+        |  CASE WHEN (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) > 0
+        |    THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0
+        |    ELSE NULL END AS assortativity
+        |FROM m""".stripMargin,
 
     // peaks: the same lag/lead passthrough and strict comparisons
     "ts14_peaks" ->

@@ -1660,6 +1660,39 @@ object Analytics {
       .drop("__sx", "__sy", "__sxx", "__syy", "__sxy", "__den")
   }
 
+  /** Threshold-streak (run-length) profile per key: contiguous runs of
+    * rows satisfying `flag` in time order — "longest stretch above the
+    * limit", "how many excursions" (uptime/SLA/overload analysis; the
+    * gaps-and-islands pattern of [[intervalCoverage]] applied to a
+    * predicate instead of intervals). Pure integer counting over one
+    * per-key window + two narrow aggregates — exact, no arithmetic on
+    * the measure beyond the predicate itself.
+    *
+    * @param flag deterministic boolean over a row (e.g. value > 60)
+    */
+  def thresholdStreaks(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      flag: Column, tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val flagged = df.where(col(tsCol).isNotNull)
+      .withColumn("__f", flag)
+      .where(col("__f").isNotNull)
+    val islands = flagged
+      .withColumn("__chg",
+        when(lag(col("__f"), 1).over(w).isNull ||
+          col("__f") =!= lag(col("__f"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col("__f"))
+      .groupBy(keyCols.map(col) :+ col("__isl"): _*)
+      .agg(count(lit(1)).as("__len"))
+    islands.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("max_streak"),
+        sum(col("__len")).as("n_above"))
+  }
+
   /** Local-extrema (peak) detection per key: rows strictly greater
     * than BOTH neighbors in time order (series endpoints never flag —
     * no one-sided guesses). The change-point primitive beside [[cusum]]

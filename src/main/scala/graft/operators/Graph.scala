@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 /** Graph analytics over pair frames (the edge lists the dedup /
   * similarity operators already produce) — the second family beside
   * [[Dedup.connectedComponents]]: components say WHICH records belong
@@ -431,6 +431,58 @@ object Graph {
         ((coalesce(col("triangles"), lit(0L)) * lit(2L)).cast("double")
           / (col("degree") * (col("degree") - lit(1L))).cast("double"))
           .as("clustering_coeff"))
+  }
+
+  /** Degree assortativity — the Pearson correlation of endpoint
+    * degrees over every (directed) edge (Newman 2002): r > 0 means
+    * hubs link to hubs (social-graph shape), r < 0 means hubs link to
+    * leaves (star/spam shape). THE one-number structural health check
+    * of a linkage or near-dup graph, from one exact-moment pass over
+    * the edge list.
+    *
+    * Determinism: degrees are exact counts; the five moments sum
+    * degree products through DECIMAL(38,0) (overflow-proof, fold-order
+    * free); r is the a16 fixed IEEE sequence, round-6.
+    *
+    * Scale shape: two hash joins of the symmetric edge list against
+    * the degree frame + one global aggregate — no windows, nothing
+    * quadratic.
+    */
+  def degreeAssortativity(pairs: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val und = pairs
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .where(col("__a") =!= col("__b") && col("__a").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val sym = und.select(col("__a").as("__src"), col("__b").as("__dst"))
+      .unionAll(und.select(col("__b").as("__src"), col("__a").as("__dst")))
+    val deg = sym.groupBy(col("__src").as("__v"))
+      .agg(count(lit(1)).as("__deg"))
+    val withDeg = sym
+      .join(deg.select(col("__v").as("__src"), col("__deg").as("__da")),
+        "__src")
+      .join(deg.select(col("__v").as("__dst"), col("__deg").as("__db")),
+        "__dst")
+    val m = withDeg.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__da").cast(d38)).cast(DoubleType).as("__sx"),
+      sum(col("__db").cast(d38)).cast(DoubleType).as("__sy"),
+      sum((col("__da").cast(d38) * col("__da").cast(d38)))
+        .cast(DoubleType).as("__sxx"),
+      sum((col("__db").cast(d38) * col("__db").cast(d38)))
+        .cast(DoubleType).as("__syy"),
+      sum((col("__da").cast(d38) * col("__db").cast(d38)))
+        .cast(DoubleType).as("__sxy"))
+    val nD = col("__n").cast(DoubleType)
+    val num = nD * col("__sxy") - col("__sx") * col("__sy")
+    val den = sqrt(nD * col("__sxx") - col("__sx") * col("__sx")) *
+      sqrt(nD * col("__syy") - col("__sy") * col("__sy"))
+    m.select(expr("__n div 2").as("n_edges"),
+      (when(den > 0, round(num / den, 6) + lit(0.0))
+        .otherwise(lit(null).cast(DoubleType))).as("assortativity"))
   }
 
   /** Link prediction over an undirected pair frame: scores every

@@ -360,6 +360,32 @@ class GraphSpec extends SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  // ---------- degree assortativity ----------
+
+  test("degree assortativity: a star is maximally disassortative " +
+      "(r = -1), a regular graph has zero variance (NULL), and a " +
+      "barbell of hubs is positive") {
+    def rOf(es: Seq[(Long, Long)]): (Long, Option[Double]) = {
+      val row = Graph.degreeAssortativity(es.toDF("id", "id2"),
+        "id", "id2").collect().head
+      (row.getLong(0),
+        if (row.isNullAt(1)) None else Some(row.getDouble(1)))
+    }
+    // star K1,4: every edge joins deg 4 to deg 1 -> r = -1 exactly
+    val star = (1L to 4L).map(i => (0L, i))
+    val (ne, r) = rOf(star)
+    assert(ne === 4L)
+    assert(math.abs(r.get + 1.0) < 1e-9)
+    // triangle: all degrees 2 -> zero variance -> NULL
+    assert(rOf(Seq((1L, 2L), (2L, 3L), (1L, 3L)))._2 === None)
+    // two K3s joined hub-to-hub: high-degree ends meet -> r > -1 and
+    // the mixed structure is not NULL
+    val barbell = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val rb = rOf(barbell)._2.get
+    assert(rb < 0.0 && rb > -1.0)
+  }
+
   test("lpa: bridged triangles resolve to two communities") {
     val vs = (1L to 6L).toSeq
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),

@@ -399,6 +399,26 @@ class SmoothingSpec extends SparkTestBase {
       Seq("event_id")).count() === 0L)
   }
 
+  test("thresholdStreaks: hand-computed islands; all-below keys absent; " +
+      "single run counted once") {
+    import graft.operators.Analytics
+    // a: F T T F T T T F -> runs of 2 and 3; b: all true -> one run of 4
+    // c: all false -> no row
+    val vals = Map(
+      "a" -> Seq(1.0, 9.0, 9.0, 1.0, 9.0, 9.0, 9.0, 1.0),
+      "b" -> Seq(9.0, 9.0, 9.0, 9.0),
+      "c" -> Seq(1.0, 1.0))
+    val df = vals.toSeq.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (k, i.toLong, i.toLong, v) }
+    }.toDF("k", "event_id", "ts", "value")
+    val out = Analytics.thresholdStreaks(df, Seq("k"), "ts",
+      col("value") > 5.0, tieBreak = Seq("event_id"))
+      .select("k", "n_streaks", "max_streak", "n_above")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map("a" -> ((2L, 3L, 5L)), "b" -> ((1L, 4L, 4L))))
+  }
+
   test("crossCorrelation: a series correlates perfectly with its own " +
       "shift, exactly at the shift lag") {
     val vals = Seq(5.0, 1.0, 8.0, 2.0, 9.0, 3.0, 7.0, 4.0, 6.0, 0.0,
