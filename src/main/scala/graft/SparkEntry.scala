@@ -1144,6 +1144,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup: LSH banding S-curve — the tuning table read BEFORE a
+    // 100 TB minhashPairs run: candidate probability per Jaccard level
+    // for the d3 configuration (16 bands × 8 rows). Closed form,
+    // round-6 absorbs pow ulps.
+    "d15_lsh_curve" -> ((s, dir) =>
+      Dedup.lshTuningCurve(s, bands = 16, rows = 8).orderBy("s")),
+
     // ---- dedup: MinHash + LSH candidate pairs, Jaccard-verified ----
     "d3_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
@@ -2041,6 +2048,16 @@ object SparkEntry {
         t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
         Seq("user_id"), "ts", "value", tieBreak = Seq("event_id"))
         .orderBy("user_id", "ts", "event_id")),
+
+    // ---- prep: robust scaling — (x − median)/IQR per event_type, the
+    // outlier-immune feature standardization; exact percentiles, one
+    // subtraction + one division per row.
+    "p8_robust_scale" -> ((s, dir) =>
+      Analytics.robustScale(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        "event_type", "value")
+        .select("event_id", "event_type", "value", "scaled_value")
+        .orderBy("event_id")),
 
     // ---- time series: threshold streaks (gaps-and-islands over a
     // predicate) — longest above-60 run and excursion count per user;
@@ -8326,6 +8343,27 @@ object SparkEntry {
         |    / CAST(n * (least(nr, nk) - 1) AS DOUBLE)), 6) + 0.0
         |    AS cramers_v
         |FROM s""".stripMargin,
+
+    // LSH S-curve: the same closed form over the same grid
+    "d15_lsh_curve" ->
+      """SELECT CAST(i AS DOUBLE) / 20.0 AS s,
+        |  round(1.0 - power(1.0 - power(CAST(i AS DOUBLE) / 20.0, 8.0),
+        |    16.0), 6) + 0.0 AS p_candidate
+        |FROM (SELECT unnest(range(1, 20)) AS i) ORDER BY s""".stripMargin,
+
+    // robust scaling: the same percentile frame and per-row division
+    "p8_robust_scale" ->
+      """WITH q AS (SELECT event_type AS g,
+        |    quantile_cont(value, 0.5) AS med,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN (q.q3 - q.q1) > 0
+        |    THEN round((e.value - q.med) / (q.q3 - q.q1), 6) + 0.0
+        |    ELSE NULL END AS scaled_value
+        |FROM events e JOIN q ON e.event_type = q.g
+        |ORDER BY e.event_id""".stripMargin,
 
     // streaks: the same island algebra over the same predicate
     "ts15_streaks" ->

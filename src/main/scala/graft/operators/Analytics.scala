@@ -664,6 +664,30 @@ object Analytics {
           count(when(inBand, lit(1)))).as(s"trimmed_avg_$measure"))
   }
 
+  /** Robust scaling — (x − median) / IQR per group, the feature-
+    * engineering standard that outliers cannot poison the way
+    * (x − mean)/stddev lets them (the [[robustStats]] center/scale
+    * applied row-wise). Groups with IQR = 0 (constant bulk) emit NULL
+    * scaled values rather than dividing by zero. One tiny percentile
+    * frame broadcast back over one scan; exact interpolated
+    * percentiles (the a28 convention), one subtraction + one division
+    * per row, round-6.
+    */
+  def robustScale(df: DataFrame, keyCol: String,
+      measure: String): DataFrame = {
+    val q = df.groupBy(col(keyCol).as("__g")).agg(
+      expr(s"percentile($measure, 0.5)").as("__med"),
+      expr(s"percentile($measure, 0.25)").as("__q1"),
+      expr(s"percentile($measure, 0.75)").as("__q3"))
+    val iqr = col("__q3") - col("__q1")
+    df.join(broadcast(q), col(keyCol) === col("__g"))
+      .withColumn("scaled_" + measure,
+        when(iqr > 0,
+          round((col(measure) - col("__med")) / iqr, 6) + lit(0.0))
+          .otherwise(lit(null).cast(DoubleType)))
+      .drop("__g", "__med", "__q1", "__q3")
+  }
+
   /** Interval coverage per key: merge overlapping-or-touching
     * `[start, end)` intervals into islands (the gaps-and-islands
     * pattern — session coverage, machine uptime, time-in-state) and

@@ -978,4 +978,28 @@ object Dedup {
       smallPairs.unionAll(chainPairs)
     }
   }
+
+  /** The LSH banding S-curve — candidate probability at Jaccard s for a
+    * (bands, rows) MinHash configuration:
+    *
+    *   p(s) = 1 − (1 − s^rows)^bands
+    *
+    * The tuning table an operator reads BEFORE running [[minhashPairs]]
+    * at 100 TB: where the curve crosses ~0.5 is the effective
+    * threshold ((1/b)^(1/r)), the left tail is the false-candidate
+    * mass, the right tail the miss rate. Pure closed-form math on a
+    * `gridSteps`-row frame; round-6 absorbs the engines' pow ulps.
+    */
+  def lshTuningCurve(spark: org.apache.spark.sql.SparkSession,
+      bands: Int, rows: Int, gridSteps: Int = 19): DataFrame = {
+    require(bands >= 1 && rows >= 1,
+      s"bands/rows must be >= 1, got $bands/$rows")
+    require(gridSteps >= 1 && gridSteps <= 100000,
+      s"gridSteps must be in [1, 100000], got $gridSteps")
+    val s = col("id").cast(DoubleType) / (gridSteps + 1).toDouble
+    spark.range(1, gridSteps + 1)
+      .select(s.as("s"),
+        (round(lit(1.0) - pow(lit(1.0) - pow(s, rows.toDouble),
+          bands.toDouble), 6) + lit(0.0)).as("p_candidate"))
+  }
 }

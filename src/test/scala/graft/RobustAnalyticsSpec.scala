@@ -93,6 +93,29 @@ class RobustAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("robustScale: hand-computed median/IQR scaling; constant bulk " +
+      "gives NULL; outliers cannot move the scale") {
+    // group a: 1..5 -> med 3, q1 2, q3 4, iqr 2
+    val a = (1 to 5).map(v => ("a", v.toLong, v.toDouble))
+    // group b: constant -> iqr 0 -> NULL scaled
+    val b = (1 to 4).map(i => ("b", 10L + i, 7.0))
+    val df = (a ++ b).toDF("g", "id", "v")
+    val out = Analytics.robustScale(df, "g", "v")
+      .select("g", "id", "scaled_v").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(("a", 1L)) === Some(-1.0))
+    assert(out(("a", 3L)) === Some(0.0))
+    assert(out(("a", 5L)) === Some(1.0))
+    assert(out(("b", 11L)) === None)
+    // one wild outlier: median/IQR barely move (vs mean/stddev)
+    val c = ((1 to 9).map(v => ("c", v.toLong, v.toDouble)) :+
+      (("c", 99L, 1e9))).toDF("g", "id", "v")
+    val mid = Analytics.robustScale(c, "g", "v")
+      .where(col("id") === 5L).select("scaled_v").as[Double].head()
+    assert(math.abs(mid) < 0.2, s"median row must stay near 0, got $mid")
+  }
+
   test("coOccurrencePairs: hand-computed supports and lifts; duplicate " +
       "(basket, item) rows collapse") {
     val rows = Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "x"), (2L, "y"),

@@ -31,6 +31,27 @@ class TextDedupSpec extends SparkTestBase {
     assert(out(4L) === Some(206.835 - 1.015 * 2.0 - 84.6 * 0.0))
   }
 
+  test("lshTuningCurve: monotone S-curve with closed-form endpoints " +
+      "and the (1/b)^(1/r) threshold crossing") {
+    val c = Dedup.lshTuningCurve(spark, bands = 16, rows = 8)
+      .orderBy("s").select("s", "p_candidate")
+      .as[(Double, Double)].collect()
+    assert(c.length === 19)
+    assert(c.map(_._2).sliding(2).forall(p => p(0) <= p(1)),
+      "candidate probability must be monotone in similarity")
+    def ref(s: Double) = BigDecimal(
+      1.0 - math.pow(1.0 - math.pow(s, 8.0), 16.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    c.foreach { case (s, p) => assert(p === ref(s), s"s=$s") }
+    // the 50% crossing sits near (1/16)^(1/8) ~ 0.69: first grid
+    // point at or past it is 14/20
+    val cross = c.filter(_._2 >= 0.5).map(_._1).min
+    assert(cross === 14.0 / 20.0, "first grid point past the crossing")
+    assertThrows[IllegalArgumentException] {
+      Dedup.lshTuningCurve(spark, bands = 0, rows = 8)
+    }
+  }
+
   test("scriptMix: per-token script presence and intra-token mixing") {
     import spark.implicits._
     val out = Seq(
