@@ -1219,6 +1219,20 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- similarity: metadata-FILTERED exact kNN (hybrid search) —
+    // the predicate rides the label equi-join, so only same-label
+    // vectors ever score: the "top-k within this tenant/language"
+    // retrieval shape every production vector store needs.
+    "sim20_filtered_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      Similarity.filteredBruteTopK(emb, "vec_id", "embedding", "label",
+        q, "qid", "qv", "qlabel", 10)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- similarity: 1-bit (sign) binary quantization + Hamming ----
     // Pack sign bits into 32-bit words (32× smaller than float32), rank
     // by popcount-of-XOR, exact-cosine re-rank the top 50 candidates.
@@ -1817,6 +1831,30 @@ object SparkEntry {
         .select(col("col_x"), col("col_y"), col("n"),
           r6z(col("corr")).as("corr"))
         .orderBy("col_x", "col_y")),
+
+    // ---- evaluation: partial correlation — quantity vs price with
+    // discount held fixed; three pairwise r's from corrMatrix's one
+    // moment pass, the partial form one more fixed IEEE sequence.
+    "a59_partial_corr" -> ((s, dir) =>
+      Analytics.partialCorrelation(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice", "l_discount")),
+
+    // ---- funnel: conversion latency — first view → first purchase
+    // per user, exact integer seconds; only users whose first purchase
+    // follows their first view (the funnel direction).
+    "w11_conversion_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("ts").isNotNull)
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+      val p = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("ts")).as("first_purchase"))
+      v.join(p, "user_id")
+        .where(col("first_purchase") >= col("first_view"))
+        .select(col("user_id"), col("first_view"), col("first_purchase"),
+          expr("(unix_micros(first_purchase) - unix_micros(first_view))" +
+            " div 1000000").as("latency_s"))
+        .orderBy("user_id")
+    }),
 
     // ---- evaluation: per-group skewness + excess kurtosis from one
     // exact-decimal power-sum pass (the a16 discipline, two moments
@@ -7950,6 +7988,73 @@ object SparkEntry {
         |    (p12 - s1*s2/n) / (sqrt(p11 - s1*s1/n)*sqrt(p22 - s2*s2/n))
         |    FROM a)
         |ORDER BY col_x, col_y""".stripMargin,
+
+    // partial correlation: the a40 moments, three pairwise r's, one
+    // more fixed sequence
+    "a59_partial_corr" ->
+      """WITH p AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x0,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS x1,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS x2 FROM lineitem
+        |  WHERE CAST(l_quantity AS DECIMAL(18,2)) IS NOT NULL
+        |    AND CAST(l_extendedprice AS DECIMAL(18,2)) IS NOT NULL
+        |    AND CAST(l_discount AS DECIMAL(18,2)) IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x0) AS DOUBLE) AS s0, CAST(sum(x1) AS DOUBLE) AS s1,
+        |    CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x0*x0) AS DOUBLE) AS p00,
+        |    CAST(sum(x0*x1) AS DOUBLE) AS p01,
+        |    CAST(sum(x0*x2) AS DOUBLE) AS p02,
+        |    CAST(sum(x1*x1) AS DOUBLE) AS p11,
+        |    CAST(sum(x1*x2) AS DOUBLE) AS p12,
+        |    CAST(sum(x2*x2) AS DOUBLE) AS p22 FROM p),
+        |r AS (SELECT CAST(n AS BIGINT) AS n,
+        |    (p01 - s0*s1/n) / (sqrt(p00 - s0*s0/n)*sqrt(p11 - s1*s1/n))
+        |      AS rxy,
+        |    (p02 - s0*s2/n) / (sqrt(p00 - s0*s0/n)*sqrt(p22 - s2*s2/n))
+        |      AS rxz,
+        |    (p12 - s1*s2/n) / (sqrt(p11 - s1*s1/n)*sqrt(p22 - s2*s2/n))
+        |      AS ryz
+        |  FROM a)
+        |SELECT n, round(rxy, 6) + 0.0 AS r_xy,
+        |  round(rxz, 6) + 0.0 AS r_xz,
+        |  round(ryz, 6) + 0.0 AS r_yz,
+        |  CASE WHEN abs(round(rxz, 6)) < 1 AND abs(round(ryz, 6)) < 1
+        |    THEN round((rxy - rxz * ryz)
+        |      / (sqrt(1.0 - rxz * rxz) * sqrt(1.0 - ryz * ryz)), 6) + 0.0
+        |    ELSE NULL END AS r_xy_given_z
+        |FROM r""".stripMargin,
+
+    // conversion latency: the same two first-event frames, one integer
+    // division
+    "w11_conversion_latency" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS first_view FROM events
+        |  WHERE ts IS NOT NULL AND event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT user_id, MIN(ts) AS first_purchase FROM events
+        |  WHERE ts IS NOT NULL AND event_type = 'purchase'
+        |  GROUP BY user_id)
+        |SELECT v.user_id, first_view, first_purchase,
+        |  (epoch_us(first_purchase) - epoch_us(first_view)) // 1000000
+        |    AS latency_s
+        |FROM v JOIN p USING (user_id)
+        |WHERE first_purchase >= first_view
+        |ORDER BY user_id""".stripMargin,
+
+    // filtered kNN: sim1's cosine with the label predicate on the join
+    "sim20_filtered_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+        |    label AS qlabel
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id, e.label,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |      AS sim
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.qid AND e.label = q.qlabel),
+        |r AS (SELECT qid, vec_id, label, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT qid, vec_id, label, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
 
     // Spearman: doubled midranks are exact integers ((2·Σpos)//cnt per
     // distinct value — Σpos over a tie group is invariant to how the

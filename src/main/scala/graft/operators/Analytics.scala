@@ -664,6 +664,42 @@ object Analytics {
           count(when(inBand, lit(1)))).as(s"trimmed_avg_$measure"))
   }
 
+  /** Partial correlation — corr(x, y) with z held fixed:
+    *
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √(1−r_xz²)·√(1−r_yz²)
+    *
+    * the "is the x–y association real or just z pulling both?"
+    * question (price vs quantity controlling discount). Built on
+    * [[corrMatrix]]'s one exact-moment pass, so the three pairwise
+    * r's are bit-identical across engines and the partial form is one
+    * more fixed IEEE sequence; NULL when either control correlation
+    * is ±1 (the formula degenerates).
+    */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val m = corrMatrix(df, Seq(xCol, yCol, zCol))
+    def pick(a: String, b: String): Column =
+      max(when(col("col_x") === a && col("col_y") === b, col("corr")))
+    val agg = m.agg(max(col("n")).as("n"),
+      pick(xCol, yCol).as("__rxy"),
+      pick(xCol, zCol).as("__rxz"),
+      pick(yCol, zCol).as("__ryz"))
+    val par = (col("__rxy") - col("__rxz") * col("__ryz")) /
+      (sqrt(lit(1.0) - col("__rxz") * col("__rxz")) *
+        sqrt(lit(1.0) - col("__ryz") * col("__ryz")))
+    // degeneracy gate on the ROUNDED r's: an exactly-collinear control
+    // can read 1 ± ulp after the sqrt pair, so the raw value is the
+    // wrong thing to compare with 1
+    agg.select(col("n"),
+      (round(col("__rxy"), 6) + lit(0.0)).as("r_xy"),
+      (round(col("__rxz"), 6) + lit(0.0)).as("r_xz"),
+      (round(col("__ryz"), 6) + lit(0.0)).as("r_yz"),
+      (when(abs(round(col("__rxz"), 6)) < 1 &&
+        abs(round(col("__ryz"), 6)) < 1,
+        round(par, 6) + lit(0.0))
+        .otherwise(lit(null).cast(DoubleType))).as("r_xy_given_z"))
+  }
+
   /** Robust scaling — (x − median) / IQR per group, the feature-
     * engineering standard that outliers cannot poison the way
     * (x − mean)/stddev lets them (the [[robustStats]] center/scale

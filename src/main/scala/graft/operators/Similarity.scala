@@ -49,6 +49,32 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("sim"), col("rank"))
   }
 
+  /** Metadata-filtered exact kNN (hybrid search): [[bruteForceTopK]]
+    * with a predicate riding the join — each query scores ONLY corpus
+    * rows whose `filterCol` equals its `queryFilter` (tenant, language,
+    * label). The equi key turns the broadcast cross into a hash-
+    * partitioned candidate set, so a selective filter makes this
+    * CHEAPER than unfiltered brute force, not a post-filter that
+    * starves k.
+    */
+  def filteredBruteTopK(corpus: DataFrame, corpusId: String,
+      corpusVec: String, filterCol: String, queries: DataFrame,
+      queryId: String, queryVec: String, queryFilter: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val joined = corpus.join(broadcast(queries),
+        col(filterCol) === col(queryFilter))
+      .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(desc("sim"), col(corpusId))
+    joined
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col(filterCol), col("sim"),
+        col("rank"))
+  }
+
   // single shared mixer — see GraftFunctions.splitmix64
   private def splitmix64(x0: Long): Long =
     graft.functions.GraftFunctions.splitmix64(x0)

@@ -193,6 +193,44 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(r2 === ((3L, 2L, 2L)))
   }
 
+  // ---- partial correlation ----
+
+  test("partialCorrelation: controlling the confounder removes a " +
+      "spurious association; straight-line reference; degenerate " +
+      "control gives NULL") {
+    // x = z + noise-ish, y = z exactly: corr(x,y) is high purely
+    // through z; partialling z out collapses it
+    val rows = Seq(
+      (1.0, 10.0, 10.0), (2.25, 20.0, 20.0), (2.75, 30.0, 30.0),
+      (4.5, 40.0, 40.0), (4.75, 50.0, 50.0), (6.0, 60.0, 60.0),
+      (6.5, 70.0, 70.0), (8.25, 80.0, 80.0))
+    val df = rows.toDF("x", "y", "z")
+    val r = Analytics.partialCorrelation(df, "x", "y", "z")
+      .select("n", "r_xy", "r_xz", "r_yz", "r_xy_given_z")
+      .collect().head
+    assert(r.getLong(0) === 8L)
+    assert(r.getDouble(1) > 0.99) // raw association looks strong
+    assert(r.getDouble(3) === 1.0) // y IS z
+    assert(r.isNullAt(4), "r_yz = 1 degenerates the partial form")
+    // independent reference on a non-degenerate triple
+    val rows2 = Seq((1.0, 2.0, 1.5), (2.0, 1.0, 2.5), (3.0, 4.0, 2.0),
+      (4.0, 3.0, 4.5), (5.0, 6.0, 3.0), (6.0, 5.0, 5.5))
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size
+      val (sa, sb) = (a.sum, b.sum)
+      val num = n * a.zip(b).map(p => p._1 * p._2).sum - sa * sb
+      num / (math.sqrt(n * a.map(v => v * v).sum - sa * sa) *
+        math.sqrt(n * b.map(v => v * v).sum - sb * sb))
+    }
+    val (xs, ys, zs) = (rows2.map(_._1), rows2.map(_._2), rows2.map(_._3))
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val want = (rxy - rxz * ryz) /
+      (math.sqrt(1 - rxz * rxz) * math.sqrt(1 - ryz * ryz))
+    val got = Analytics.partialCorrelation(rows2.toDF("x", "y", "z"),
+      "x", "y", "z").select("r_xy_given_z").as[Double].head()
+    assert(math.abs(got - want) < 1e-6)
+  }
+
   // ---- one-way ANOVA ----
 
   test("anovaOneWay: hand-computed three-group F; identical groups " +

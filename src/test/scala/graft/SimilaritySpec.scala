@@ -550,6 +550,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(imgs(2L).width !== 0, "opaque payload must fall back to stub")
   }
 
+  test("filteredBruteTopK: only same-label candidates score, equals " +
+      "brute force over the filtered subset, self excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), "a"), (1L, Array(0.9f, 0.1f), "a"),
+      (2L, Array(0.0f, 1.0f), "a"), (3L, Array(1.0f, 0.05f), "b"),
+      (4L, Array(0.5f, 0.5f), "b"), (5L, Array(0.95f, 0.0f), "a"))
+      .toDF("vec_id", "embedding", "label")
+    val q = vecs.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val got = Similarity.filteredBruteTopK(vecs, "vec_id", "embedding",
+      "label", q, "qid", "qv", "qlabel", 10)
+      .select("vec_id", "label", "rank")
+      .as[(Long, String, Int)].collect().toSeq.sortBy(_._3)
+    // label-a corpus minus self: {1, 2, 5}; cosine order 5 ~ 1 > 2
+    assert(got.map(_._1) === Seq(5L, 1L, 2L))
+    assert(got.forall(_._2 === "a"), "a 'b' row scored past the filter")
+    // equals unfiltered brute force over the pre-filtered corpus
+    val ref = Similarity.bruteForceTopK(vecs.where(col("label") === "a"),
+      "vec_id", "embedding", q.drop("qlabel"), "qid", "qv", 10)
+      .select("vec_id", "rank").as[(Long, Int)].collect().toSeq.sorted
+    assert(got.map(r => (r._1, r._3)).sorted === ref)
+  }
+
   test("PNG dHash: straight-line reference over gradients, rescale " +
       "invariance on exact multiples, non-PNG rejection") {
     def refHash(w: Int, h: Int, fill: Int): (Long, Long, Int) = {
