@@ -2233,6 +2233,33 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // ---- streaming: the SCD2 twin under the driver oracle — the
+    // change-log dimension maintainer runs its full lifecycle and the
+    // sealed CLOSED versions must equal the batch gap-split (the open
+    // head of each key never seals — exactly the stream contract).
+    // event_type rides as an ordinal double so the state's attr string
+    // renders identically in both engines.
+    "a23s_scd2_stream" -> ((s, dir) => {
+      val code = when(col("event_type") === "click", 1.0)
+        .when(col("event_type") === "error", 2.0)
+        .when(col("event_type") === "purchase", 3.0)
+        .when(col("event_type") === "signup", 4.0)
+        .when(col("event_type") === "view", 5.0)
+        .otherwise(0.0)
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id").cast(LongType).as("user_id"),
+          col("event_id").cast(LongType).as("event_id"),
+          col("ts"), code.as("value"))
+      val (root, stream) = streamTwinSource(s, ev, "a23s")
+      val closed = graft.streaming.Scd2Stream.closedVersions(s, stream,
+        "ts", "event_id", "value", watermark = "1 hour")
+      runStreamTwin(s, root, closed.toDF())
+        .select(col("user_id"), col("attr"), col("effective_from"),
+          col("effective_to"))
+        .orderBy("user_id", "effective_from", "attr")
+    }),
+
     // ---- streaming: the SESSIONIZE twin under the driver oracle —
     // flatMapGroupsWithState + event-time timeout runs its full
     // lifecycle (one data batch, two watermark-advancing markers seal
@@ -4611,6 +4638,36 @@ object SparkEntry {
             col("lang")),
         "pred", "lang")),
 
+    // ---- evaluation: McNemar's paired test — is the NB classifier
+    // actually better than the heuristic language-ID on the SAME docs?
+    // Only the discordant pair counts matter: χ² = (b−c)²/(b+c), one
+    // division of exact integers.
+    "a60_mcnemar" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lab = docs.where(col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"))
+      val a = docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred_a"))
+      val model = TextAnalysis.trainNaiveBayes(docs, "text", "lang")
+      val b = TextAnalysis.nbClassify(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("pred").as("pred_b"))
+      val flags = lab.join(a, "doc_id").join(b, "doc_id")
+        .select((col("pred_a") === col("lang")).as("ra"),
+          (col("pred_b") === col("lang")).as("rb"))
+      val agg = flags.agg(count(lit(1)).as("n"),
+        sum(when(col("ra") && !col("rb"), 1L).otherwise(0L))
+          .as("n_a_only"),
+        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L))
+          .as("n_b_only"))
+      val d = col("n_a_only") - col("n_b_only")
+      val tot = col("n_a_only") + col("n_b_only")
+      agg.select(col("n"), col("n_a_only"), col("n_b_only"),
+        (when(tot > 0,
+          round((d * d).cast(DoubleType) / tot.cast(DoubleType), 6)
+            + lit(0.0))
+          .otherwise(lit(null).cast(DoubleType))).as("mcnemar_chi2"))
+    }),
+
     // ---- text: BM25 keyword relevance (the retrieval scorer) ----
     // Okapi BM25 over the corpus for a keyword query: saturation +
     // length normalization on top of t10's tf-idf. Every float input is
@@ -6451,6 +6508,30 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(value) AS avg_value
         |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // streaming SCD2: sealed closed versions == the a23 gap split,
+    // open heads excluded
+    "a23s_scd2_stream" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    CASE event_type WHEN 'click' THEN 1.0 WHEN 'error' THEN 2.0
+        |      WHEN 'purchase' THEN 3.0 WHEN 'signup' THEN 4.0
+        |      WHEN 'view' THEN 5.0 ELSE 0.0 END AS code
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |v AS (SELECT user_id, code, ts, event_id,
+        |    row_number() OVER w AS rn, lag(code) OVER w AS prev
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |k AS (SELECT user_id, code, ts, event_id FROM v
+        |  WHERE rn = 1 OR code IS DISTINCT FROM prev),
+        |o AS (SELECT user_id, CAST(code AS VARCHAR) AS attr,
+        |    ts AS effective_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS effective_to
+        |  FROM k)
+        |SELECT user_id, attr, effective_from, effective_to
+        |FROM o WHERE effective_to IS NOT NULL
+        |ORDER BY user_id, effective_from, attr""".stripMargin,
 
     // streaming sessionize: sealed sessions == direct SQL gap split
     // (bounds and counts are fold-order independent)
@@ -8372,6 +8453,70 @@ object SparkEntry {
         |    6) + 0.0 AS gap,
         |  round(CAST(gapsum AS DOUBLE) / nn, 6) + 0.0 AS ece
         |FROM per, tot ORDER BY bin""".stripMargin,
+
+    // McNemar: the a51 NB replay and the a55 language-ID replay joined
+    // on the labelled docs; χ² as one exact-integer division
+    "a60_mcnemar" ->
+      """WITH lab AS (SELECT doc_id, lang AS cls, text FROM documents
+        |  WHERE lang IS NOT NULL),
+        |tok AS (SELECT doc_id, cls,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM lab),
+        |tc AS (SELECT tok, cls, CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM tok GROUP BY tok, cls),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM tc),
+        |nt AS (SELECT cls, SUM(c) AS n FROM tc GROUP BY cls),
+        |pri AS (SELECT cls, ln(CAST(COUNT(*) AS DOUBLE) /
+        |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM lab)) AS log_prior
+        |  FROM lab GROUP BY cls),
+        |ci AS (SELECT nt.cls, pri.log_prior,
+        |    ln(1.0 / (nt.n + (SELECT v FROM v))) AS oov_logp,
+        |    nt.n + (SELECT v FROM v) AS denom
+        |  FROM nt JOIN pri ON nt.cls = pri.cls),
+        |model AS (SELECT tc.tok, tc.cls, ln((tc.c + 1) / ci.denom) AS logp
+        |  FROM tc JOIN ci ON tc.cls = ci.cls),
+        |dt AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |sc AS (SELECT dt.doc_id, ci.cls, ci.log_prior +
+        |    CAST(SUM(CAST(COALESCE(m.logp, ci.oov_logp)
+        |      AS DECIMAL(28,18))) AS DOUBLE) AS score
+        |  FROM dt CROSS JOIN ci
+        |  LEFT JOIN model m ON m.tok = dt.tok AND m.cls = ci.cls
+        |  GROUP BY dt.doc_id, ci.cls, ci.log_prior),
+        |r AS (SELECT doc_id, cls, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cls) AS rk FROM sc),
+        |predb AS (SELECT doc_id, cls AS pred_b FROM r WHERE rk = 1),
+        |s2 AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('the','a','of','and','is'))) AS s_en,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('el','la','de','que','y'))) AS s_es,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('le','la','de','et','est'))) AS s_fr,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('的','是','了','在','和'))) AS s_zh
+        |FROM lab),
+        |preda AS (SELECT doc_id, CASE
+        |  WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_en > 0 THEN 'en'
+        |  WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_es > 0 THEN 'es'
+        |  WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_de > 0 THEN 'de'
+        |  WHEN s_fr = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+        |  WHEN s_zh = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+        |  ELSE 'und' END AS pred_a
+        |FROM s2),
+        |j AS (SELECT lab.cls AS lang, preda.pred_a, predb.pred_b
+        |  FROM lab JOIN preda USING (doc_id) JOIN predb USING (doc_id)),
+        |m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN pred_a = lang AND pred_b <> lang
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+        |    CAST(SUM(CASE WHEN pred_a <> lang AND pred_b = lang
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only
+        |  FROM j)
+        |SELECT n, n_a_only, n_b_only,
+        |  CASE WHEN n_a_only + n_b_only > 0
+        |    THEN round(CAST((n_a_only - n_b_only) * (n_a_only - n_b_only)
+        |        AS DOUBLE)
+        |      / CAST(n_a_only + n_b_only AS DOUBLE), 6) + 0.0
+        |    ELSE NULL END AS mcnemar_chi2
+        |FROM m2""".stripMargin,
 
     // Cohen's kappa: the t3 language-ID CASE replayed over the
     // labelled docs; kappa as one exact-integer division
