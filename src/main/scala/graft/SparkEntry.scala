@@ -4419,6 +4419,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- lake: commit history (DESCRIBE HISTORY) ----
+    // A known commit sequence (create, two pinned-partitioning appends,
+    // a coalesced overwrite) must report exact per-version op kinds and
+    // file deltas straight from the manifests — no data files touched.
+    // The oracle is the literal expected report (the dq4 convention).
+    "lk7_history" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_lk7").toString + "/t"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, tdir, StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType))))
+      vt.append(s, docs.where(col("doc_id") % 2 === 0).repartition(2),
+        tdir)
+      vt.append(s, docs.where(col("doc_id") % 2 === 1).repartition(3),
+        tdir)
+      vt.overwrite(s, docs.limit(100).repartition(1), tdir)
+      vt.history(s, tdir)
+        .select(col("version"), col("op"), col("files_added"),
+          col("files_removed"))
+        .orderBy("version")
+    }),
+
     // ---- lake: write-audit-publish staging session ----
     // Base = even docs; two staged writes add the odds (invisible —
     // pre_publish_rows pins the isolation), the audit view sees
@@ -6663,6 +6687,17 @@ object SparkEntry {
         |WHERE md5(text) IN (
         |  SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 97 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // history: the literal expected report (op kinds + file deltas of
+    // the pinned commit sequence)
+    "lk7_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'create', 0, 0),
+        |  (CAST(2 AS BIGINT), 'append', 2, 0),
+        |  (CAST(3 AS BIGINT), 'append', 3, 0),
+        |  (CAST(4 AS BIGINT), 'overwrite', 1, 5))
+        |AS t(version, op, files_added, files_removed)
+        |ORDER BY version""".stripMargin,
 
     // compaction: the logical snapshot survives (deletes materialized,
     // nothing lost or duplicated); the file count lands on the target
