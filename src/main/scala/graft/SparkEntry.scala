@@ -635,10 +635,12 @@ object SparkEntry {
     }),
 
     // ---- formats: CSV round-trip (the S6 sink under the oracle) ----
-    // orders (longs, doubles, timestamps, strings) goes out through the
-    // header'd CSV sink and back through the schema'd folder reader;
-    // the oracle reads only the parquet source, so equality proves the
-    // text encode/parse pair is value-lossless for every column type.
+    // orders (longs, doubles, date-granular timestamps, strings) goes
+    // out through the header'd CSV sink and back through the schema'd
+    // folder reader; the oracle reads only the parquet source. The CSV
+    // pair is lossless at the sink's documented milli-second timestamp
+    // granularity (micros interchange is fmt1's JSON pair — see
+    // LakeWriter.csvOverwrite).
     "fmt3_csv_roundtrip" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val tdir = java.nio.file.Files
@@ -8624,9 +8626,10 @@ object SparkEntry {
         |SELECT n, nr AS n_rows, nk AS n_cols,
         |  (nr - 1) * (nk - 1) AS dof,
         |  round(CAST(chi2d AS DOUBLE), 6) + 0.0 AS chi2,
-        |  round(sqrt(CAST(chi2d AS DOUBLE)
-        |    / CAST(n * (least(nr, nk) - 1) AS DOUBLE)), 6) + 0.0
-        |    AS cramers_v
+        |  CASE WHEN least(nr, nk) > 1
+        |    THEN round(sqrt(CAST(chi2d AS DOUBLE)
+        |      / CAST(n * (least(nr, nk) - 1) AS DOUBLE)), 6) + 0.0
+        |    ELSE NULL END AS cramers_v
         |FROM s""".stripMargin,
 
     // LSH S-curve: the same closed form over the same grid
@@ -8650,12 +8653,14 @@ object SparkEntry {
         |FROM events e JOIN q ON e.event_type = q.g
         |ORDER BY e.event_id""".stripMargin,
 
-    // streaks: the same island algebra over the same predicate
+    // streaks: the same island algebra over the same predicate (null
+    // flags stay in the sequence and break adjacency)
     "ts15_streaks" ->
       """WITH e AS (SELECT user_id, event_id, ts, value > 60.0 AS f
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |  FROM events WHERE ts IS NOT NULL),
         |d AS (SELECT user_id, event_id, ts, f,
-        |    CASE WHEN lag(f) OVER w IS NULL OR f <> lag(f) OVER w
+        |    CASE WHEN row_number() OVER w = 1
+        |      OR f IS DISTINCT FROM lag(f) OVER w
         |      THEN 1 ELSE 0 END AS chg
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |i AS (SELECT user_id, f,
@@ -8744,7 +8749,7 @@ object SparkEntry {
         |SELECT k, n,
         |  round(t - s * s / CAST(n AS DOUBLE), 6) + 0.0 AS ss_between,
         |  round(ss - t, 6) + 0.0 AS ss_within,
-        |  CASE WHEN (ss - t) > 0 AND n > k
+        |  CASE WHEN k > 1 AND (ss - t) > 0 AND n > k
         |    THEN round(((t - s * s / CAST(n AS DOUBLE)) / (k - 1))
         |      / ((ss - t) / (n - k)), 6) + 0.0
         |    ELSE NULL END AS f_stat,

@@ -27,6 +27,19 @@ object Analytics {
   def stableSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
+  /** The FIXED IEEE Pearson sequence over five exact double moments —
+    * (n·Σxy − Σx·Σy, √(n·Σxx − Σx²)·√(n·Σyy − Σy²)). Shared by
+    * [[autocorrelation]], [[crossCorrelation]], and
+    * [[Graph.degreeAssortativity]] so the op order that makes the
+    * correlation hash-oracle-able is single-sourced: a reordering in
+    * one consumer can no longer silently break only that operator.
+    */
+  private[operators] def pearsonNumDen(n: Column, sx: Column,
+      sy: Column, sxx: Column, syy: Column,
+      sxy: Column): (Column, Column) =
+    (n * sxy - sx * sy,
+      sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+
   /** Exact mean: exact decimal sum divided by count, in double. */
   def stableAvg(c: Column, scale: Int = 2): Column =
     stableSum(c, scale) / count(c)
@@ -716,7 +729,9 @@ object Analytics {
       expr(s"percentile($measure, 0.25)").as("__q1"),
       expr(s"percentile($measure, 0.75)").as("__q3"))
     val iqr = col("__q3") - col("__q1")
-    df.join(broadcast(q), col(keyCol) === col("__g"))
+    // null-SAFE join: rows with a null group key keep their own
+    // (null-group) scale and ROWS ARE NEVER DROPPED by a transform
+    df.join(broadcast(q), col(keyCol) <=> col("__g"))
       .withColumn("scaled_" + measure,
         when(iqr > 0,
           round((col(measure) - col("__med")) / iqr, 6) + lit(0.0))
@@ -1709,10 +1724,9 @@ object Analytics {
           .cast(DoubleType).as("__syy"),
         sum((col("__xa") * col("__xb")).cast(DecimalType(38, 4)))
           .cast(DoubleType).as("__sxy"))
-    val nD = col("n_pairs").cast(DoubleType)
-    val num = nD * col("__sxy") - col("__sx") * col("__sy")
-    val den = sqrt(nD * col("__sxx") - col("__sx") * col("__sx")) *
-      sqrt(nD * col("__syy") - col("__sy") * col("__sy"))
+    val (num, den) = pearsonNumDen(col("n_pairs").cast(DoubleType),
+      col("__sx"), col("__sy"), col("__sxx"), col("__syy"),
+      col("__sxy"))
     sums
       .withColumn("__den", den)
       .where(col("n_pairs") >= minPairs && col("__den") > 0)
@@ -1735,13 +1749,17 @@ object Analytics {
     import org.apache.spark.sql.expressions.Window
     val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
-    val flagged = df.where(col(tsCol).isNotNull)
+    // a NULL flag (unknown measurement) stays in the sequence and
+    // BREAKS adjacency — two runs separated by a data gap must not
+    // merge into one inflated streak. Null-safe change detection
+    // (<=> negated) treats true→null→true as three segments; only
+    // the true segments survive the final filter.
+    val prev = lag(col("__f"), 1).over(w)
+    val islands = df.where(col(tsCol).isNotNull)
       .withColumn("__f", flag)
-      .where(col("__f").isNotNull)
-    val islands = flagged
       .withColumn("__chg",
-        when(lag(col("__f"), 1).over(w).isNull ||
-          col("__f") =!= lag(col("__f"), 1).over(w), 1L).otherwise(0L))
+        when(row_number().over(w) === 1 || !(col("__f") <=> prev), 1L)
+          .otherwise(0L))
       .withColumn("__isl", sum(col("__chg"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .where(col("__f"))
@@ -1812,7 +1830,7 @@ object Analytics {
     agg.select(col("k"), col("__n").cast(LongType).as("n"),
       (round(ssb, 6) + lit(0.0)).as("ss_between"),
       (round(ssw, 6) + lit(0.0)).as("ss_within"),
-      (when(ssw > 0 && col("__n") > col("k"),
+      (when(col("k") > 1 && ssw > 0 && col("__n") > col("k"),
         round(f, 6) + lit(0.0))
         .otherwise(lit(null).cast(DoubleType))).as("f_stat"),
       (when(ssb + ssw > 0, round(ssb / (ssb + ssw), 6) + lit(0.0))
@@ -2108,10 +2126,9 @@ object Analytics {
           .cast(DoubleType).as("__syy"),
         sum((col("__xa") * col("__xb")).cast(DecimalType(38, 4)))
           .cast(DoubleType).as("__sxy"))
-    val nD = col("n_pairs").cast(DoubleType)
-    val num = nD * col("__sxy") - col("__sx") * col("__sy")
-    val den = sqrt(nD * col("__sxx") - col("__sx") * col("__sx")) *
-      sqrt(nD * col("__syy") - col("__sy") * col("__sy"))
+    val (num, den) = pearsonNumDen(col("n_pairs").cast(DoubleType),
+      col("__sx"), col("__sy"), col("__sxx"), col("__syy"),
+      col("__sxy"))
     sums.withColumn("__den", den)
       .where(col("n_pairs") >= minPairs && col("__den") > 0)
       .withColumn("xcorr", num / col("__den"))
@@ -2649,8 +2666,12 @@ object Analytics {
         ((col("__r") - 1) * (col("__k") - 1)).as("dof"),
         (round(chi2Full.cast(DoubleType), 6) + lit(0.0))
           .as("chi2"),
-        (round(sqrt(chi2Full.cast(DoubleType) /
-          (col("__n") * (least(col("__r"), col("__k")) - 1))
-            .cast(DoubleType)), 6) + lit(0.0)).as("cramers_v"))
+        // a 1×k (or k×1) table has no association to measure: gate
+        // the min(r,c)−1 denominator instead of dividing by zero
+        (when(least(col("__r"), col("__k")) > 1,
+          round(sqrt(chi2Full.cast(DoubleType) /
+            (col("__n") * (least(col("__r"), col("__k")) - 1))
+              .cast(DoubleType)), 6) + lit(0.0))
+          .otherwise(lit(null).cast(DoubleType))).as("cramers_v"))
   }
 }

@@ -433,6 +433,29 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** Canonical undirected edge set of a pair frame, its symmetric
+    * directed expansion, and per-vertex degrees — the normalization
+    * every whole-graph operator starts from, extracted so the
+    * null/self-loop/duplicate policy can never silently diverge
+    * between operators. `und` is localCheckpoint-pinned: callers read
+    * it (and its derivatives) several times.
+    */
+  private def canonicalEdges(pairs: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val und = pairs
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .where(col("__a") =!= col("__b") && col("__a").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val sym = und.select(col("__a").as("__src"), col("__b").as("__dst"))
+      .unionAll(und.select(col("__b").as("__src"),
+        col("__a").as("__dst")))
+    val deg = sym.groupBy(col("__src").as("__v"))
+      .agg(count(lit(1)).as("__deg"))
+    (und, sym, deg)
+  }
+
   /** Degree assortativity — the Pearson correlation of endpoint
     * degrees over every (directed) edge (Newman 2002): r > 0 means
     * hubs link to hubs (social-graph shape), r < 0 means hubs link to
@@ -451,16 +474,7 @@ object Graph {
   def degreeAssortativity(pairs: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val und = pairs
-      .select(least(col(srcCol), col(dstCol)).as("__a"),
-        greatest(col(srcCol), col(dstCol)).as("__b"))
-      .where(col("__a") =!= col("__b") && col("__a").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
-    val sym = und.select(col("__a").as("__src"), col("__b").as("__dst"))
-      .unionAll(und.select(col("__b").as("__src"), col("__a").as("__dst")))
-    val deg = sym.groupBy(col("__src").as("__v"))
-      .agg(count(lit(1)).as("__deg"))
+    val (_, sym, deg) = canonicalEdges(pairs, srcCol, dstCol)
     val withDeg = sym
       .join(deg.select(col("__v").as("__src"), col("__deg").as("__da")),
         "__src")
@@ -476,10 +490,9 @@ object Graph {
         .cast(DoubleType).as("__syy"),
       sum((col("__da").cast(d38) * col("__db").cast(d38)))
         .cast(DoubleType).as("__sxy"))
-    val nD = col("__n").cast(DoubleType)
-    val num = nD * col("__sxy") - col("__sx") * col("__sy")
-    val den = sqrt(nD * col("__sxx") - col("__sx") * col("__sx")) *
-      sqrt(nD * col("__syy") - col("__sy") * col("__sy"))
+    val (num, den) = Analytics.pearsonNumDen(
+      col("__n").cast(DoubleType), col("__sx"), col("__sy"),
+      col("__sxx"), col("__syy"), col("__sxy"))
     m.select(expr("__n div 2").as("n_edges"),
       (when(den > 0, round(num / den, 6) + lit(0.0))
         .otherwise(lit(null).cast(DoubleType))).as("assortativity"))
@@ -514,6 +527,14 @@ object Graph {
     * on the canonical (min, max) pair key, no broadcast of either
     * side required.
     *
+    * Cap semantics: ALL THREE measures count only common neighbors
+    * with deg ≤ maxDegree, while the Jaccard denominator keeps the
+    * FULL endpoint degrees — so when the cap actually drops a shared
+    * hub, common_neighbors and jaccard are LOWER BOUNDS on the exact
+    * values (never overestimates), and adamic_adar loses only terms
+    * that were ≤ 1/ln(maxDegree) anyway. At the default cap the
+    * measures are exact for any graph whose max degree stays under it.
+    *
     * @param pairs     undirected pair frame (one row per edge, either
     *                  endpoint order; self-pairs dropped, duplicates
     *                  collapse)
@@ -526,16 +547,7 @@ object Graph {
   def linkPrediction(pairs: DataFrame, srcCol: String, dstCol: String,
       maxDegree: Int = 10000): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
-    val und = pairs
-      .select(least(col(srcCol), col(dstCol)).as("__a"),
-        greatest(col(srcCol), col(dstCol)).as("__b"))
-      .where(col("__a") =!= col("__b") && col("__a").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
-    val sym = und.select(col("__a").as("__src"), col("__b").as("__dst"))
-      .unionAll(und.select(col("__b").as("__src"), col("__a").as("__dst")))
-    val deg = sym.groupBy(col("__src").as("__v"))
-      .agg(count(lit(1)).as("__deg"))
+    val (und, sym, deg) = canonicalEdges(pairs, srcCol, dstCol)
     // wedges through each middle vertex v: (u, w) with u < w, weighted
     // by v's Adamic–Adar contribution. The middle's degree rides along
     // so the weight is computed map-side, once per wedge.

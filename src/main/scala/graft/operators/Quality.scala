@@ -139,17 +139,19 @@ object Quality {
   def volumeAnomalies(df: DataFrame, keyCol: String, tsCol: String,
       threshold: Double = 3.0): DataFrame = {
     require(threshold > 0, s"threshold must be positive, got $threshold")
+    // null-SAFE joins: a null key (unclassified stream) is a real
+    // series and must stay monitored, not silently vanish
     val daily = df.where(col(tsCol).isNotNull)
       .groupBy(col(keyCol), date_trunc("DAY", col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"))
     val med = daily.groupBy(col(keyCol).as("__g"))
       .agg(expr("percentile(n, 0.5)").as("__med"))
-    val withMed = daily.join(broadcast(med), col(keyCol) === col("__g"))
+    val withMed = daily.join(broadcast(med), col(keyCol) <=> col("__g"))
       .drop("__g")
     val mad = withMed.groupBy(col(keyCol).as("__g2"))
       .agg(expr("percentile(abs(CAST(n AS DOUBLE) - __med), 0.5)")
         .as("__mad"))
-    withMed.join(broadcast(mad), col(keyCol) === col("__g2"))
+    withMed.join(broadcast(mad), col(keyCol) <=> col("__g2"))
       .select(col(keyCol), col("day"), col("n"),
         col("__med").as("median_n"), col("__mad").as("mad_n"),
         (abs(col("n").cast("double") - col("__med")) >

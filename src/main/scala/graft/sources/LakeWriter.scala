@@ -66,7 +66,13 @@ object LakeWriter {
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
-  /** S6 — CSV sink with header. Ref `mergeHistoricalWeather.py:62-66`. */
+  /** S6 — CSV sink with header. Ref `mergeHistoricalWeather.py:62-66`.
+    * Timestamps go out in Spark's DEFAULT CSV format, which carries
+    * milliseconds only — date/second/milli-granular instants round-trip
+    * through [[LakeReader.csvFolder]] losslessly, micros-precision ones
+    * truncate (use [[jsonOverwrite]] for micros-lossless text
+    * interchange; the reference's CSV feeds are second-granular).
+    */
   def csvOverwrite(df: DataFrame, path: String): Unit =
     df.write.format("csv").option("header", "true").mode("overwrite").save(path)
 

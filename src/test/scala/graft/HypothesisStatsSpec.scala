@@ -191,6 +191,10 @@ class HypothesisStatsSpec extends SparkTestBase {
       .select("n_rows", "n_cols", "dof")
       .as[(Long, Long, Long)].head()
     assert(r2 === ((3L, 2L, 2L)))
+    // a 1×k table has no association to measure: min(r,c)=1 -> NULL V
+    val flat = Seq(("a", "x"), ("b", "x"), ("c", "x")).toDF("u", "v")
+    assert(Analytics.cramersV(flat, "u", "v")
+      .select("cramers_v").collect().head.isNullAt(0))
   }
 
   // ---- partial correlation ----

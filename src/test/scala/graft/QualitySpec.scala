@@ -60,6 +60,28 @@ class QualitySpec extends SparkTestBase {
     assert(got.head.getDouble(2) === 60.0)
   }
 
+  test("volumeAnomalies: a spike day flags against the key's own " +
+      "median/MAD; NULL keys stay monitored as their own series") {
+    import org.apache.spark.sql.functions._
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 10:00:00")
+    // key a: 9 steady days of 4 rows + one 40-row spike day;
+    // key NULL: steady (never flags) — but it must APPEAR
+    val rows =
+      (1 to 9).flatMap(d => Seq.fill(4)(("a", day(d)))) ++
+        Seq.fill(40)(("a", day(10))) ++
+        (1 to 5).flatMap(d => Seq.fill(3)((null: String, day(d))))
+    val out = Quality.volumeAnomalies(rows.toDF("k", "ts"), "k", "ts")
+      .select(col("k"), col("day"), col("n"), col("is_anomaly"))
+      .collect()
+    val aDays = out.filter(r => r.getString(0) == "a")
+    assert(aDays.length === 10)
+    val flagged = aDays.filter(_.getBoolean(3))
+    assert(flagged.length === 1 && flagged.head.getLong(2) === 40L)
+    val nullDays = out.filter(_.isNullAt(0))
+    assert(nullDays.length === 5, "null-key series must stay monitored")
+    assert(nullDays.forall(!_.getBoolean(3)))
+  }
+
   test("fkOrphans: orphan rows/keys counted, null FKs set aside") {
     val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L),
       Some(9L), None).toDF("fk")

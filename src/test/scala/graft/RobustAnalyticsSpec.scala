@@ -114,6 +114,16 @@ class RobustAnalyticsSpec extends SparkTestBase {
     val mid = Analytics.robustScale(c, "g", "v")
       .where(col("id") === 5L).select("scaled_v").as[Double].head()
     assert(math.abs(mid) < 0.2, s"median row must stay near 0, got $mid")
+    // a transform NEVER drops rows: null group keys form their own
+    // group and scale within it
+    val withNull = (Seq(("a", 1L, 1.0), ("a", 2L, 3.0)) ++
+      Seq((null: String, 3L, 1.0), (null: String, 4L, 5.0)))
+      .toDF("g", "id", "v")
+    val scaled = Analytics.robustScale(withNull, "g", "v")
+    assert(scaled.count() === 4L, "null-key rows must survive")
+    // null group {1, 5}: med 3, iqr 2 -> scaled(5) = 1.0
+    assert(scaled.where(col("g").isNull && col("id") === 4L)
+      .select("scaled_v").as[Double].head() === 1.0)
   }
 
   test("coOccurrencePairs: hand-computed supports and lifts; duplicate " +

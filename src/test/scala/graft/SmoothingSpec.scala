@@ -399,6 +399,20 @@ class SmoothingSpec extends SparkTestBase {
       Seq("event_id")).count() === 0L)
   }
 
+  test("thresholdStreaks: a NULL measurement breaks adjacency — runs " +
+      "across a data gap never merge") {
+    import graft.operators.Analytics
+    // T NULL T: two separate 1-long streaks, never one 2-long streak
+    val rows = Seq(("a", 0L, 0L, Some(9.0)), ("a", 1L, 1L, None),
+      ("a", 2L, 2L, Some(9.0)))
+      .toDF("k", "event_id", "ts", "value")
+    val r = Analytics.thresholdStreaks(rows, Seq("k"), "ts",
+      col("value") > 5.0, tieBreak = Seq("event_id"))
+      .select("n_streaks", "max_streak", "n_above")
+      .as[(Long, Long, Long)].head()
+    assert(r === ((2L, 1L, 2L)))
+  }
+
   test("thresholdStreaks: hand-computed islands; all-below keys absent; " +
       "single run counted once") {
     import graft.operators.Analytics
