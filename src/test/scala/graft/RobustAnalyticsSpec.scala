@@ -163,6 +163,44 @@ class RobustAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("coOccurrencePairs property: matches a straight-line reference " +
+      "on seeded baskets, including all lifts") {
+    val items = "abcdefgh"
+    val baskets = (0 until 30).map { b =>
+      val picks = (0 until 8).filter(i => ((b * 7 + i * 13) % 5) < 2)
+        .map(i => items(i).toString)
+      b.toLong -> picks
+    }.filter(_._2.nonEmpty)
+    val df = baskets.flatMap { case (b, is) => is.map((b, _)) }
+      .toDF("b", "i")
+    val got = Analytics.coOccurrencePairs(df, "b", "i", minSupport = 1)
+      .select("item_a", "item_b", "n_baskets", "n_a", "n_b", "lift")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // straight-line reference
+    val sets = baskets.map { case (_, is) => is.toSet }
+    val nB = sets.size
+    val itemCount = items.map(c => c.toString ->
+      sets.count(_.contains(c.toString))).toMap
+    val ref = (for {
+      a <- items.map(_.toString); b <- items.map(_.toString)
+      if a < b
+      sup = sets.count(s => s.contains(a) && s.contains(b))
+      if sup >= 1
+    } yield (a, b) -> sup).toMap
+    assert(got.keySet === ref.keySet)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    ref.foreach { case ((a, b), sup) =>
+      val row = got((a, b))
+      assert(row._3 === sup.toLong)
+      assert(row._4 === itemCount(a).toLong &&
+        row._5 === itemCount(b).toLong)
+      assert(row._6 === r6(sup.toDouble * nB /
+        (itemCount(a).toDouble * itemCount(b))))
+    }
+  }
+
   test("jsDivergence: identical slices give 0, disjoint slices give " +
       "exactly ln 2 (1 bit)") {
     val df = Seq(("a", "x y z x"), ("b", "x y z x"), ("c", "q r s"))

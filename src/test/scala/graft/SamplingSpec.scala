@@ -51,6 +51,30 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("apportionSample property: output size is exactly k and every " +
+      "stratum within one seat of its exact quota, across k and " +
+      "skewed strata shapes") {
+    // heavily skewed strata: 1400 / 350 / 150 / 100 of 2000
+    val strata = docs.withColumn("g",
+      when(col("doc_id") < 1400, "big")
+        .when(col("doc_id") < 1750, "mid")
+        .when(col("doc_id") < 1900, "small").otherwise("tiny"))
+    val counts = Map("big" -> 1400.0, "mid" -> 350.0,
+      "small" -> 150.0, "tiny" -> 100.0)
+    for (k <- Seq(1, 7, 97, 500, 1999)) {
+      val per = Sampling.apportionSample(strata, "g", "doc_id", k)
+        .groupBy("g").count()
+        .as[(String, Long)].collect().toMap.withDefaultValue(0L)
+      assert(per.values.sum === k.toLong, s"k=$k must hit exactly")
+      counts.foreach { case (g, n) =>
+        val quota = k * n / 2000.0
+        assert(per(g) >= math.floor(quota).toLong &&
+          per(g) <= math.ceil(quota).toLong,
+          s"k=$k stratum $g got ${per(g)}, quota $quota")
+      }
+    }
+  }
+
   test("resampleToMix keeps ~fraction per group, deterministically") {
     val mix = Map("src0" -> 0.5, "src1" -> 0.0)
     def run() = Sampling.resampleToMix(docs, col("source"), col("doc_id"),
