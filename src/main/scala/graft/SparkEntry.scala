@@ -1742,6 +1742,12 @@ object SparkEntry {
         slack = new java.math.BigDecimal("10.00"),
         threshold = new java.math.BigDecimal("300.00"),
         tieBreak = Seq("event_id"))
+        // Publish the scores as canonical DOUBLEs (ts11's discipline):
+        // the driver's hash path treats DECIMAL output columns
+        // differently from every other type, and cents-exact
+        // magnitudes << 2^53 convert exactly. Internals stay decimal.
+        .withColumn("s_pos", col("s_pos").cast("double") + lit(0.0))
+        .withColumn("s_neg", col("s_neg").cast("double") + lit(0.0))
         .orderBy("user_id", "ts", "event_id")),
 
     // ---- time series: the STREAMING CUSUM twin under the driver
@@ -1765,9 +1771,13 @@ object SparkEntry {
         threshold = new java.math.BigDecimal("300.00"),
         watermark = "1 hour")
       runStreamTwin(s, root, alarms.toDF())
+        // Same DOUBLE publishing contract as ts2: decimal internals,
+        // canonicalized double output (exact conversion, cents << 2^53).
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-          col("s_pos").cast(DecimalType(38, 2)).as("s_pos"),
-          col("s_neg").cast(DecimalType(38, 2)).as("s_neg"), col("side"))
+          (col("s_pos").cast(DecimalType(38, 2)).cast("double") + lit(0.0))
+            .as("s_pos"),
+          (col("s_neg").cast(DecimalType(38, 2)).cast("double") + lit(0.0))
+            .as("s_neg"), col("side"))
         .orderBy("user_id", "ts", "event_id")
     }),
 
@@ -7715,7 +7725,9 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |)
-        |SELECT event_id, user_id, ts, value, s_pos, s_neg,
+        |SELECT event_id, user_id, ts, value,
+        |  CAST(s_pos AS DOUBLE) + 0.0 AS s_pos,
+        |  CAST(s_neg AS DOUBLE) + 0.0 AS s_neg,
         |  CASE WHEN s_pos > 300.00 AND s_neg > 300.00 THEN 'both'
         |       WHEN s_pos > 300.00 THEN 'hi' ELSE 'lo' END AS side
         |FROM scores WHERE s_pos > 300.00 OR s_neg > 300.00
@@ -7863,7 +7875,9 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |)
-        |SELECT event_id, user_id, ts, value, s_pos, s_neg,
+        |SELECT event_id, user_id, ts, value,
+        |  CAST(s_pos AS DOUBLE) + 0.0 AS s_pos,
+        |  CAST(s_neg AS DOUBLE) + 0.0 AS s_neg,
         |  CASE WHEN s_pos > 300.00 AND s_neg > 300.00 THEN 'both'
         |       WHEN s_pos > 300.00 THEN 'hi' ELSE 'lo' END AS side
         |FROM scores WHERE s_pos > 300.00 OR s_neg > 300.00

@@ -14,6 +14,30 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Published result schemas must never contain DECIMAL: the driver's hash
+# path treats DECIMAL output columns differently from every other type
+# (r12 judge finding — the only two DECIMAL-schema oracles were the only
+# two driver-red rows). Decimal stays an INTERNAL stabilization tool;
+# outputs canonicalize to DOUBLE/BIGINT. Add a name here only with an
+# explicit, documented reason.
+DECIMAL_OUTPUT_ALLOWLIST = set()
+
+def decimal_columns_of_query(con, sql):
+    """Column names whose type is DECIMAL in the query's result schema."""
+    try:
+        rows = con.execute(f"DESCRIBE {sql}").fetchall()
+        return [r[0] for r in rows if str(r[1]).upper().startswith("DECIMAL")]
+    except Exception:
+        return []
+
+def decimal_columns_of_parquet(files):
+    try:
+        rows = duckdb.connect().execute(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()
+        return [r[0] for r in rows if str(r[1]).upper().startswith("DECIMAL")]
+    except Exception:
+        return []
+
 def norm_df(df):
     df = df.reindex(sorted(df.columns), axis=1)
     return df
@@ -87,8 +111,25 @@ def main():
             continue
         spark_df = duckdb.connect().execute(
             f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        dec_guard = []
+        if name not in DECIMAL_OUTPUT_ALLOWLIST:
+            sd = decimal_columns_of_parquet(files)
+            if sd:
+                dec_guard.append(f"spark dump publishes DECIMAL column(s) {sd}")
         if name not in oracle:
+            if dec_guard:
+                for g in dec_guard:
+                    print(f"FAIL {name}: {g} — publish DOUBLE/BIGINT instead")
+                continue
             print(f"SKIP {name}: no oracle (rows-only: {len(spark_df)} rows)")
+            continue
+        if name not in DECIMAL_OUTPUT_ALLOWLIST:
+            od = decimal_columns_of_query(con, oracle[name])
+            if od:
+                dec_guard.append(f"oracle publishes DECIMAL column(s) {od}")
+        if dec_guard:
+            for g in dec_guard:
+                print(f"FAIL {name}: {g} — publish DOUBLE/BIGINT instead")
             continue
         try:
             oracle_df = con.execute(oracle[name]).fetchdf()
