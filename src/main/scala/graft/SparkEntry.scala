@@ -4158,12 +4158,17 @@ object SparkEntry {
       IncrementalView.refresh(s, mv)
       val r = IncrementalView.read(s, mv)
       val n = col("cnt_x").cast(DoubleType)
-      val slope = (n * col("sum_xy") - col("sum_x") * col("sum_y")) /
-        (n * col("sum_xx") - col("sum_x") * col("sum_x"))
+      // Degeneracy gate (the anova/assortativity/xcorr discipline): a
+      // group with zero x-variance (all rows in one hour) has a
+      // singular normal equation — NULL coefficients, never Inf/NaN.
+      val denom = n * col("sum_xx") - col("sum_x") * col("sum_x")
+      val slope = (n * col("sum_xy") - col("sum_x") * col("sum_y")) / denom
       r.select(col("event_type"), col("cnt_x").as("n"),
-          (round(slope, 6) + lit(0.0)).as("slope"),
-          (round((col("sum_y") - slope * col("sum_x")) / n, 6)
-            + lit(0.0)).as("intercept"))
+          when(denom > 0, round(slope, 6) + lit(0.0))
+            .otherwise(lit(null).cast(DoubleType)).as("slope"),
+          when(denom > 0,
+            round((col("sum_y") - slope * col("sum_x")) / n, 6) + lit(0.0))
+            .otherwise(lit(null).cast(DoubleType)).as("intercept"))
         .orderBy("event_type")
     }),
 
@@ -4293,6 +4298,11 @@ object SparkEntry {
         StructField("c_custkey", LongType),
         StructField("c_mktsegment", StringType),
         StructField("c_nationkey", LongType))))
+      // CDC on (the realistic config for a CDF-consumed source, like
+      // mv1/mv2/mv8): the delete commit writes its exact changes, so
+      // refresh reads them instead of re-deriving via EXCEPT ALL.
+      // mv6 deliberately stays CDC-off to keep the derived path covered.
+      vt.alterProperties(s, src, Map(vt.CdcProperty -> "true"))
       vt.append(s, cust.where(col("c_custkey") % 2 === 0), src)
       IncrementalView.create(s, src, mv, Seq("c_mktsegment"),
         Seq("c_nationkey"), approxDistinct = Seq("c_nationkey"))
@@ -4322,6 +4332,7 @@ object SparkEntry {
         StructField("c_custkey", LongType),
         StructField("c_mktsegment", StringType),
         StructField("c_nationkey", LongType))))
+      vt.alterProperties(s, src, Map(vt.CdcProperty -> "true"))
       vt.append(s, cust.where(col("c_custkey") % 2 === 0), src)
       IncrementalView.create(s, src, mv, Seq("c_mktsegment"),
         Seq("c_nationkey"), thetaDistinct = Seq("c_nationkey"),
@@ -6608,10 +6619,13 @@ object SparkEntry {
         |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
         |  FROM final GROUP BY event_type)
         |SELECT event_type, n,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
-        |    AS slope,
-        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-        |    / n, 6) + 0.0 AS intercept
+        |  CASE WHEN (n * sxx - sx * sx) > 0
+        |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+        |    ELSE NULL END AS slope,
+        |  CASE WHEN (n * sxx - sx * sx) > 0
+        |    THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        |      * sx) / n, 6) + 0.0
+        |    ELSE NULL END AS intercept
         |FROM m ORDER BY event_type""".stripMargin,
 
     // folded lossless GK p50 == quantile_disc of the final state
@@ -8664,7 +8678,7 @@ object SparkEntry {
         |  CASE WHEN (q.q3 - q.q1) > 0
         |    THEN round((e.value - q.med) / (q.q3 - q.q1), 6) + 0.0
         |    ELSE NULL END AS scaled_value
-        |FROM events e JOIN q ON e.event_type = q.g
+        |FROM events e JOIN q ON e.event_type IS NOT DISTINCT FROM q.g
         |ORDER BY e.event_id""".stripMargin,
 
     // streaks: the same island algebra over the same predicate (null
@@ -8758,7 +8772,7 @@ object SparkEntry {
         |    CAST(SUM(sg) AS DOUBLE) AS s,
         |    CAST(SUM(ssg) AS DOUBLE) AS ss,
         |    CAST(SUM(CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
-        |      AS DECIMAL(28,12))) AS DOUBLE) AS t
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS t
         |  FROM per)
         |SELECT k, n,
         |  round(t - s * s / CAST(n AS DOUBLE), 6) + 0.0 AS ss_between,
@@ -10036,15 +10050,17 @@ object SparkEntry {
         |  FROM daily GROUP BY event_type),
         |mad AS (SELECT d.event_type,
         |    quantile_cont(abs(CAST(d.n AS DOUBLE) - med.med), 0.5) AS mad
-        |  FROM daily d JOIN med USING (event_type)
+        |  FROM daily d JOIN med
+        |    ON d.event_type IS NOT DISTINCT FROM med.event_type
         |  GROUP BY d.event_type)
         |SELECT d.event_type, d.day, d.n,
         |  med.med AS median_n, mad.mad AS mad_n,
         |  abs(CAST(d.n AS DOUBLE) - med.med) > 3.0 * mad.mad
         |    AS is_anomaly
-        |FROM daily d JOIN med USING (event_type)
-        |JOIN mad USING (event_type)
-        |ORDER BY event_type, day""".stripMargin,
+        |FROM daily d JOIN med
+        |  ON d.event_type IS NOT DISTINCT FROM med.event_type
+        |JOIN mad ON d.event_type IS NOT DISTINCT FROM mad.event_type
+        |ORDER BY d.event_type, d.day""".stripMargin,
 
     "dq3_key_skew" ->
       """WITH k AS (SELECT user_id, COUNT(*) AS cnt

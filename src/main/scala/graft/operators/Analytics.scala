@@ -1801,8 +1801,10 @@ object Analytics {
     *   F = (SSB/(k−1)) / (SSW/(N−k)),  η² = SSB/(SSB+SSW)
     *
     * Per-group S_g²/n_g terms are one fixed double sequence each and
-    * accumulate through DECIMAL(28,12) (fold-order independent across
-    * groups); round-6 absorbs the cast ulp. One groupBy over the
+    * accumulate through DECIMAL(38,12) (fold-order independent across
+    * groups; 26 integer digits — a (28,12) cast nulls out past 1e16
+    * and would silently drop the group from SSB/SSW under non-ANSI
+    * semantics). Round-6 absorbs the cast ulp. One groupBy over the
     * source, then algebra on the k-row frame.
     */
   def anovaOneWay(df: DataFrame, groupCol: String,
@@ -1815,7 +1817,7 @@ object Analytics {
         sum((v * v).cast(DecimalType(38, 4))).as("__ssg"))
     val term = {
       val sgd = col("__sg").cast(DoubleType)
-      (sgd * sgd / col("__ng")).cast(DecimalType(28, 12))
+      (sgd * sgd / col("__ng")).cast(DecimalType(38, 12))
     }
     val agg = per.agg(
       count(lit(1)).as("k"),
@@ -2375,10 +2377,13 @@ object Analytics {
     * a fixed double tree. S = 0 pins z = 0 exactly (S ≠ 0 implies
     * var18 > 0, so the division is always defined).
     *
-    * Per-key O(m²) pair scan inside `mapGroups` — keys parallelize and
-    * m is a bounded per-key history (the ewma/holt contract: users/
-    * devices/sensors, not the corpus). m is required < 2⁶³ᐟ³-safe
-    * (≈ 1M) so m(m−1)(2m+5) stays an exact long.
+    * Per-key O(m log m) inside `mapGroups`: S = P − T − 2D with
+    * P = m(m−1)/2 total pairs, T = Σ t(t−1)/2 tied pairs, and D the
+    * strict inversion count from one merge sort — every term an exact
+    * long, so S is bit-identical to the definitional pair scan (pinned
+    * by a property test). Keys parallelize; a 100k-observation key
+    * costs ~1.7M comparisons in its task, not 5×10⁹. m is required
+    * < 2⁶³ᐟ³-safe (≈ 1M) so m(m−1)(2m+5) stays an exact long.
     *
     * Observation contract: rows with null key/time or a measure that
     * does not stabilize to DECIMAL(18,2) are excluded (shared with
@@ -2407,18 +2412,15 @@ object Analytics {
       require(m < 1000000,
         s"mannKendall key $k has $m observations; the exact long " +
           "variance arithmetic is bounded at 1M per key")
-      var s = 0L
-      var i = 0
-      while (i < m) {
-        var j = i + 1
-        while (j < m) {
-          val d = xs(j)._3 - xs(i)._3
-          if (d > 0) s += 1 else if (d < 0) s -= 1
-          j += 1
-        }
-        i += 1
-      }
       val mL = m.toLong
+      // S = (#concordant − #discordant) = P − T − 2D: concordant +
+      // discordant = P − T (pairs that are not ties), discordant = the
+      // strict inversions D of the time-ordered value sequence
+      val pairs = mL * (mL - 1) / 2
+      val tiedPairs = xs.groupBy(_._3).valuesIterator
+        .map { g => val t = g.length.toLong; t * (t - 1) / 2 }.sum
+      val s = pairs - tiedPairs -
+        2L * strictInversions(xs.map(_._3))
       val tieSum = xs.groupBy(_._3).valuesIterator
         .map { g => val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }
         .sum
@@ -2430,6 +2432,33 @@ object Analytics {
         else (s.toDouble + 1.0) / math.sqrt(var18.toDouble / 18.0)
       (k, mL, s, var18, z)
     }.toDF("key", "n", "s", "var18", "z")
+  }
+
+  /** Strict inversions (pairs i < j with a(i) > a(j)) by merge sort —
+    * exact long count, ties never counted (the `<=` keeps equal runs
+    * stable and un-inverted). Mutates its input. O(m log m) where the
+    * definitional pair scan is O(m²); bit-equal by MannKendallSpec's
+    * property test.
+    */
+  private[graft] def strictInversions(a: Array[Double]): Long = {
+    val buf = new Array[Double](a.length)
+    def go(lo: Int, hi: Int): Long = // [lo, hi)
+      if (hi - lo <= 1) 0L
+      else {
+        val mid = (lo + hi) >>> 1
+        var inv = go(lo, mid) + go(mid, hi)
+        var i = lo; var j = mid; var k = lo
+        while (i < mid && j < hi) {
+          if (a(i) <= a(j)) { buf(k) = a(i); i += 1 }
+          else { buf(k) = a(j); j += 1; inv += (mid - i) }
+          k += 1
+        }
+        while (i < mid) { buf(k) = a(i); i += 1; k += 1 }
+        while (j < hi) { buf(k) = a(j); j += 1; k += 1 }
+        System.arraycopy(buf, lo, a, lo, hi - lo)
+        inv
+      }
+    go(0, a.length)
   }
 
   /** The Benford first-digit expectations log₁₀(1+1/d), d = 1..9,

@@ -267,7 +267,8 @@ object IncrementalView {
     * calls arrive in commit order (both maintainers guarantee it).
     */
   private def applyCdf(spark: SparkSession, view: String, spec: Spec,
-      cdf: DataFrame, epoch: Long): Unit = {
+      cdf: DataFrame, epoch: Long,
+      insertOnlyHint: Option[Boolean] = None): Unit = {
     import spec.scale
     val keySpecs = parseSpecs(spec.keys)
     val measureSpecs = parseSpecs(spec.measures)
@@ -291,8 +292,16 @@ object IncrementalView {
     // fully rescanned).
     val nonAdditive = minmax.nonEmpty || approx.nonEmpty ||
       quantile.nonEmpty || thetaM.nonEmpty
-    val recomputeTouched = nonAdditive &&
-      !cdf.where(col(VersionedTable.ChangeTypeCol) =!= "insert").isEmpty
+    // The batch refresh already knows from the commit LOG whether the
+    // window can contain non-insert rows (insertOnlyHint) — deciding
+    // from metadata skips a whole evaluation of the CDF derivation on
+    // the hot pure-append path. Only a caller without the log view
+    // (the streaming maintainer's persisted batch) pays the row probe.
+    val recomputeTouched = nonAdditive && (insertOnlyHint match {
+      case Some(insertOnly) => !insertOnly
+      case None =>
+        !cdf.where(col(VersionedTable.ChangeTypeCol) =!= "insert").isEmpty
+    })
     val sign = when(col(VersionedTable.ChangeTypeCol)
         .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
     // keep a group if ANY state component moved — an update that only
@@ -450,7 +459,9 @@ object IncrementalView {
     val (cur, _) = VersionedTable.latest(spark, spec.source)
     if (cur <= from) return 0L
     val cdf = VersionedTable.readChangesCDF(spark, spec.source, from, cur)
-    applyCdf(spark, view, spec, cdf, cur)
+    applyCdf(spark, view, spec, cdf, cur,
+      insertOnlyHint =
+        Some(VersionedTable.insertOnlyRange(spark, spec.source, from, cur)))
     VersionedTable.alterProperties(spark, view,
       Map(SourceVersionProperty -> cur.toString))
     cur - from

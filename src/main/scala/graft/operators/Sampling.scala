@@ -271,9 +271,12 @@ object Sampling {
     *   remainders k·n_g mod N (ties by stratum value) — all exact
     *   integer arithmetic, so the allocation hash-oracles.
     *
-    * Output size is exactly k whenever every allocation fits its
-    * stratum (base_g ≤ n_g always; a +1 seat can exceed only when
-    * k > N − |strata|). Null strata are excluded.
+    * Output size is exactly min(k, N) — TOTAL: for k < N,
+    * base_g = ⌊k·n_g/N⌋ ≤ n_g − 1, so a +1 seat always fits; for
+    * k = N every base is exactly n_g with zero leftover seats; and for
+    * k > N (exactly-k impossible without replacement) every base is
+    * already ≥ n_g, the per-stratum cap binds everywhere, and the
+    * sample is the whole population. Null strata are excluded.
     *
     * Scale shape: one count per stratum, allocation algebra on the
     * |strata|-row frame (its ranking window is a single tiny task by
@@ -297,9 +300,12 @@ object Sampling {
       .withColumn("__rk",
         row_number().over(Window.orderBy(desc("__rem"), asc("__s"))))
       .select(col("__s"),
-        (col("__base") +
+        // cap at the stratum size: only ever binds when k > N (see
+        // Scaladoc) — it turns the impossible-k case into "all rows"
+        // instead of a silent shortfall
+        least(col("__base") +
           when(col("__rk") <= lit(k.toLong) - col("__sb"), 1L)
-            .otherwise(0L)).as("__alloc"))
+            .otherwise(0L), col("__ng")).as("__alloc"))
     base
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(strataCol))

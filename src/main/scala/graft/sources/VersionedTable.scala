@@ -1372,6 +1372,38 @@ object VersionedTable {
   }
 
   /** All committed versions, ascending; empty for a new table. */
+  /** Op markers of the retained commits in `(fromVersion, toVersion]` —
+    * manifest metadata only, no data files touched. Lets an incremental
+    * consumer decide from the LOG whether a CDF window can contain
+    * non-insert rows (every op `append`/`compact`/`schema`/`properties`/
+    * `set-default` contributes nothing or only inserts) instead of
+    * paying a derivation scan to probe the rows themselves.
+    */
+  def opsInRange(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long): Seq[Option[String]] = {
+    val f = fs(spark, table)
+    ((math.max(fromVersion, 0L) + 1) to toVersion)
+      .filter(v => v >= 1 && f.exists(commitPath(table, v)))
+      .map { v =>
+        readManifestRaw(f, table, v).collectFirst {
+          case l if l.startsWith(OpPrefix) => l.drop(OpPrefix.length)
+        }
+      }
+  }
+
+  /** Whether every retained commit in `(fromVersion, toVersion]` is one
+    * whose CDF contribution is insert-only (or empty). False the moment
+    * any commit is row-level (upsert/update/delete/replace/restore/...)
+    * or pre-dates the op marker — callers then take the general path.
+    */
+  def insertOnlyRange(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): Boolean = {
+    val safe = Set("append", "compact", "schema", "properties",
+      "set-default", "create")
+    opsInRange(spark, table, fromVersion, toVersion)
+      .forall(_.exists(safe.contains))
+  }
+
   def versions(spark: SparkSession, table: String): Seq[Long] = {
     val f = fs(spark, table)
     val dir = new Path(s"$table/$CommitsDir")

@@ -75,6 +75,22 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("apportionSample: min(k, N) totality — k = N returns everything " +
+      "exactly, k > N returns the whole population instead of a " +
+      "silent shortfall") {
+    val strata = docs.limit(30).withColumn("g",
+      when(col("doc_id") < 20, "a").otherwise("b"))
+    // k == N: every base is exactly n_g, zero leftover seats
+    assert(Sampling.apportionSample(strata, "g", "doc_id", 30)
+      .count() === 30L)
+    // k > N: the per-stratum cap binds everywhere -> all rows
+    assert(Sampling.apportionSample(strata, "g", "doc_id", 100)
+      .count() === 30L)
+    // k just under N with a stratum that must absorb a +1 seat
+    assert(Sampling.apportionSample(strata, "g", "doc_id", 29)
+      .count() === 29L)
+  }
+
   test("resampleToMix keeps ~fraction per group, deterministically") {
     val mix = Map("src0" -> 0.5, "src1" -> 0.0)
     def run() = Sampling.resampleToMix(docs, col("source"), col("doc_id"),

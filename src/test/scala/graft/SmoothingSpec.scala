@@ -377,6 +377,43 @@ class SmoothingSpec extends SparkTestBase {
     assert(z1 < 0)
   }
 
+  test("mannKendall: merge-count S is bit-equal to the definitional " +
+    "O(m^2) pair scan on random tied sequences") {
+    def pairScanS(xs: Array[Double]): Long = {
+      var s = 0L
+      var i = 0
+      while (i < xs.length) {
+        var j = i + 1
+        while (j < xs.length) {
+          val d = xs(j) - xs(i)
+          if (d > 0) s += 1 else if (d < 0) s -= 1
+          j += 1
+        }
+        i += 1
+      }
+      s
+    }
+    def mergeCountS(xs: Array[Double]): Long = {
+      val m = xs.length.toLong
+      val tied = xs.groupBy(identity).valuesIterator
+        .map { g => val t = g.length.toLong; t * (t - 1) / 2 }.sum
+      m * (m - 1) / 2 - tied - 2L * Analytics.strictInversions(xs.clone())
+    }
+    val rnd = new scala.util.Random(13)
+    (0 until 50).foreach { trial =>
+      // heavy-tie domain (0..9) half the trials, wide doubles the other
+      val n = rnd.nextInt(200)
+      val xs = Array.fill(n)(
+        if (trial % 2 == 0) rnd.nextInt(10).toDouble
+        else rnd.nextDouble() * 100)
+      assert(mergeCountS(xs) === pairScanS(xs), s"trial $trial n=$n")
+    }
+    // degenerate shapes
+    assert(mergeCountS(Array.empty[Double]) === 0L)
+    assert(mergeCountS(Array(3.0)) === 0L)
+    assert(mergeCountS(Array(2.0, 2.0, 2.0)) === 0L)
+  }
+
   test("localPeaks: strict interior maxima only — endpoints, plateaus, " +
       "and valleys never flag; keys independent") {
     val rows = Seq(
