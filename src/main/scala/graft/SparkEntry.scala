@@ -895,6 +895,42 @@ object SparkEntry {
     * on the emitted rows (a single neutral marker observation can
     * never alarm, but it must not enter the hash either).
     */
+  /** Recursive delete of a lifecycle query's temp root — every
+    * stream-twin/feed entry reclaims its shipped batches, checkpoints,
+    * and lake tables before returning (the [[runStreamTwin]] contract:
+    * bench reps must not leak disk for the JVM's lifetime). */
+  private def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** Ship each frame as ONE parquet file under `root/src` (mtime
+    * ordered) and return a file stream that delivers them one batch per
+    * trigger — the generic half of [[streamTwinSource]] for feeds that
+    * need no watermark markers (foreachBatch appenders: AnnFeed,
+    * SketchFeed). */
+  private def fileStreamBatches(s: SparkSession, root: String,
+      batches: Seq[DataFrame]): DataFrame = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val src = root + "/src"
+    JFiles.createDirectories(JPaths.get(src))
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = root + s"/b${i}_tmp"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      JFiles.move(part.toPath, JPaths.get(src, s"b$i.parquet"))
+      JPaths.get(src, s"b$i.parquet").toFile
+        .setLastModified(1000000L * (i + 1))
+      rmTree(tmp)
+    }
+    s.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+  }
+
   private def streamTwinSource(s: SparkSession, ev: DataFrame,
       tag: String): (String, DataFrame) = {
     import java.nio.file.{Files => JFiles, Paths => JPaths}
@@ -947,11 +983,7 @@ object SparkEntry {
     val sealedRows = s.table(qn).where(col("user_id") >= 0)
       .localCheckpoint(true)
     s.catalog.dropTempView(qn)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new java.io.File(root))
+    rmTree(root)
     sealedRows
   }
 
@@ -1404,6 +1436,39 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- similarity/streaming: ANN-index MAINTENANCE under the
+    // oracle — the AnnFeed lifecycle (the nd1 pattern: stream
+    // lifecycles are oracle-able). Build the IVF index on the even
+    // half of the corpus, stream the odd half in two AvailableNow
+    // batches (cell-assigned with the STORED quantizer, appended
+    // under writer-txn epochs so a replayed batch cannot double-
+    // index), reload, and query with an exhaustive probe. nprobe =
+    // nlist makes cell assignment irrelevant to the RESULT, so the
+    // maintained index answers EXACTLY sim9's brute-force oracle over
+    // the full corpus — the hash proves every streamed row landed in
+    // the index, and none landed twice.
+    "sim9s_ann_stream" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sim9s").toString
+      val idxDir = root + "/idx"
+      AnnIndex.build(s, emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idxDir, nlist = 16, iters = 3)
+      val stream = fileStreamBatches(s, root, Seq(
+        emb.where(col("vec_id") % 4 === 1),
+        emb.where(col("vec_id") % 4 === 3)))
+      val fq = graft.streaming.AnnFeed.startAppend(s, stream, idxDir,
+        "vec_id", "embedding", root + "/ckpt")
+      fq.awaitTermination(300000) // AvailableNow self-terminates
+      val h = AnnIndex.load(s, idxDir, "vec_id", "embedding")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val out = AnnIndex.topK(h, q, "qid", "qv", k = 10, nprobe = 16)
+        .orderBy("qid", "rank").localCheckpoint(true)
+      rmTree(root)
+      out
+    }),
+
     // ---- similarity: exact embedding covariance (PCA's first half) ----
     // d(d+1)/2 + d + 1 decimal-exact quantized moments in one map-side
     // pass (posexplode + partial agg: the shuffle is <= 2145 narrow
@@ -1670,6 +1735,40 @@ object SparkEntry {
           .cast("long").as("nations"))
       ests.unionByName(all).unionByName(inter).unionByName(diff)
         .orderBy("seg")
+    }),
+
+    // ---- sketches/streaming: per-window THETA maintenance under the
+    // oracle — the SketchFeed lifecycle. Events stream in two
+    // AvailableNow batches; each batch folds a theta sketch per
+    // touched day window and upserts it keyed by window start under
+    // writer-txn epochs (exactly-once across replays). Exact regime:
+    // the item domain (user_id % 500) is far under k = 4096, so every
+    // stored sketch retains its full key set and the estimate IS the
+    // distinct count — the maintained table hash-matches DuckDB's
+    // direct per-day COUNT(DISTINCT), proving window alignment, the
+    // cross-batch union, and the upsert discipline all at once.
+    "sk1_theta_stream" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.thetaEstimate
+      val ev = t(s, dir, "events")
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"), col("ts"),
+          (col("user_id") % 500).cast(StringType).as("slot"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sk1").toString
+      val table = root + "/sketches"
+      val stream = fileStreamBatches(s, root, Seq(
+        ev.where(col("event_id") % 2 === 0).drop("event_id"),
+        ev.where(col("event_id") % 2 === 1).drop("event_id")))
+      val fq = graft.streaming.SketchFeed.startTheta(s, stream,
+        "ts", "slot", windowSeconds = 86400L, k = 4096,
+        table = table, checkpoint = root + "/ckpt")
+      fq.awaitTermination(300000) // AvailableNow self-terminates
+      val out = graft.sources.VersionedTable.read(s, table)
+        .select(col("w_start"),
+          thetaEstimate(col("sk")).cast(LongType).as("n_slots"))
+        .orderBy("w_start").localCheckpoint(true)
+      rmTree(root)
+      out
     }),
 
     // ---- A31: exact weighted quantiles per group — the smallest value
@@ -7450,6 +7549,30 @@ object SparkEntry {
         |  FROM s)
         |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // streamed ANN maintenance with an exhaustive probe == the same
+    // brute force over the FULL corpus (sim9's oracle verbatim): the
+    // hash proves the two streamed batches landed exactly once
+    "sim9s_ann_stream" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // streamed per-day theta maintenance in the exact regime == the
+    // direct per-day distinct count (window floor in epoch micros)
+    "sk1_theta_stream" ->
+      """SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS w_start,
+        |  CAST(COUNT(DISTINCT user_id % 500) AS BIGINT) AS n_slots
+        |FROM events
+        |WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // distributed-trained IVF, exhaustive probe == the same brute force
     "sim8_ivf_dist" ->
