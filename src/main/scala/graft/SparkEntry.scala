@@ -776,6 +776,39 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_shipdate")
     }),
 
+    // ---- J17: point-in-time join against an SCD2 dimension — the
+    // canonical lakehouse dimension lookup ("what was the user's state
+    // half an hour after each event?"). The SCD2 versions tile each
+    // key's timeline half-open [from, to), so PIT == backward as-of on
+    // effective_from once empty flip versions (from == to, the a23
+    // same-timestamp case) are dropped: from is then strictly
+    // increasing per key and the as-of match is unique — one
+    // distributed as-of instead of an interval join. Probes shifted
+    // +30min make the mapping non-trivial (half land in LATER
+    // versions than their own).
+    "j17_scd2_pit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+      val dim = Analytics.scd2(ev, Seq("user_id"), "ts",
+        Seq("event_type"), Seq("ts", "event_id"))
+        .where(col("effective_to").isNull ||
+          col("effective_to") > col("effective_from"))
+      val probes = ev.where(col("event_id") % 10 === 7)
+        .select(col("event_id"), col("user_id"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("pts"))
+      AsOfJoin.auto(probes, dim,
+        leftTime = "pts", rightTime = "effective_from",
+        by = Seq(("user_id", "user_id")),
+        valueCols = Seq(("event_type", "attr_at_ts"),
+          ("effective_from", "effective_from")),
+        inner = true)
+        .select(col("event_id"), col("user_id"), col("pts"),
+          col("attr_at_ts"), col("effective_from"))
+        .orderBy("event_id")
+    }),
+
     // ---- J2: distributed backward as-of join ----
     "j2_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -2141,6 +2174,27 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // ---- evaluation: Brier score + Murphy decomposition — the proper
+    // scoring rule over the SAME scored test set as a53: reliability
+    // (miscalibration mass), resolution (sharpness over the base
+    // rate), uncertainty, and the binned identity's residual. One
+    // exact-decimal pass over quantized squares; round-6 outputs.
+    "a61_brier" -> ((s, dir) => {
+      val hr = hour(col("ts"))
+      val ev = t(s, dir, "events")
+        .where(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), hr.as("hr"),
+          (col("value") > lit(10.0) + hr.cast(DoubleType) * lit(8.0))
+            .cast("int").as("label"))
+      val rates = ev.where(col("event_id") % 2 === 0)
+        .groupBy("hr")
+        .agg((sum(col("label")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("score"))
+      val scored = ev.where(col("event_id") % 2 === 1)
+        .join(rates, "hr").select(col("score"), col("label"))
+      Analytics.brierDecomposition(scored, "score", "label", bins = 10)
+    }),
+
     // ---- evaluation: Wilson score intervals — the binomial CI that
     // holds up at extreme rates; per-type exceedance rate with exact
     // n/k and a fixed IEEE interval sequence (z enters only as z·z).
@@ -2434,6 +2488,19 @@ object SparkEntry {
         maxLag = 3, tieBreak = Seq("event_id"), minPairs = 5)
         .orderBy("user_id", "lag")),
 
+    // ---- time series: Ljung–Box white-noise test per key — is there
+    // ANY serial structure left? Q = m(m+2)·Σρ_k²/(m−k) over ts4's
+    // deterministic lag-pair ACF; per-lag terms fold through
+    // DECIMAL(38,18). Null-key series are excluded up front (the
+    // equi-join contract, made explicit).
+    "ts16_ljung_box" -> ((s, dir) =>
+      Analytics.ljungBox(
+        t(s, dir, "events").where(col("user_id").isNotNull)
+          .select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        maxLag = 3, tieBreak = Seq("event_id"), minPairs = 5)
+        .orderBy("user_id")),
+
     // ---- text: PMI collocation mining (top adjacent bigrams) ----
     // Exact unigram/bigram counts; the only floats are the pure-IEEE
     // ratio (drives the top-k cut + ordering) and the final ln
@@ -2444,6 +2511,17 @@ object SparkEntry {
         .select(col("term_a"), col("term_b"), col("n_pair"),
           r6z(col("pmi")).as("pmi"))
         .orderBy(desc("pmi"), col("term_a"), col("term_b"))),
+
+    // ---- text: Dunning log-likelihood-ratio collocations — the
+    // significance-aware sibling of t31's PMI (G² over the full 2×2
+    // bigram-slot contingency; exact cell counts, fixed IEEE ln
+    // sequence, round-6 for output, raw double for the cut).
+    "t41_llr" -> ((s, dir) =>
+      TextAnalysis.llrCollocations(t(s, dir, "documents"), "text",
+        minCount = 3, topK = 50)
+        .select(col("term_a"), col("term_b"), col("n_pair"),
+          r6z(col("llr")).as("llr"))
+        .orderBy(desc("llr"), col("term_a"), col("term_b"))),
 
     // ---- text: HTML/markup stripping (web-crawl boilerplate) ----
     // Deterministic HTML is wrapped around each document (title, style
@@ -3653,6 +3731,16 @@ object SparkEntry {
         "c_custkey", "c_custkey_2")
         .orderBy("c_custkey", "c_custkey_2")),
 
+    // ---- graph: hop-bounded harmonic centrality over the linkage
+    // graph — the hub score that stays defined on disconnected
+    // components (unreachable pairs add 0, not ∞): Σ 1/d within 3
+    // hops via exact frontier BFS over pair state; per-distance
+    // counts fold n_d/d through DECIMAL(38,18).
+    "g13_harmonic" -> ((s, dir) =>
+      Graph.harmonicCentrality(linkageEdges(s, dir),
+        "c_custkey", "c_custkey_2", maxHops = 3)
+        .orderBy("c_custkey")),
+
     // ---- graph: co-purchase projection with lift — the bipartite
     // (order, part) table becomes a weighted item-item edge list with
     // exact support and one-division lift; the market-basket /
@@ -3856,6 +3944,17 @@ object SparkEntry {
       Quality.volumeAnomalies(t(s, dir, "events"), "event_type", "ts",
         threshold = 3.0)
         .orderBy("event_type", "day")),
+
+    // ---- data quality: sequence-gap audit — which id ranges never
+    // landed? The "rejected at ingest" set here is readings above the
+    // 95.0 sensor ceiling; the report is every maximal missing run as
+    // (gap_start, gap_end, n_missing), exact integers, found with two
+    // hash anti-joins (no global window over the data — only the
+    // gap-count-sized boundary lists get numbered).
+    "dq7_id_gaps" -> ((s, dir) =>
+      Quality.idGaps(
+        t(s, dir, "events").where(col("value") <= 95.0), "event_id")
+        .orderBy("gap_start")),
 
     // ---- data quality: shuffle-key skew profile ----
     // The pre-flight a join/groupBy key gets before a 100 TB shuffle:
@@ -5285,7 +5384,60 @@ object SparkEntry {
       |FROM nw JOIN deg du ON du.v = nw.u JOIN deg dw ON dw.v = nw.w
       |ORDER BY c_custkey, c_custkey_2""".stripMargin
 
+  /** g13's oracle: exact hop-3 closure by layered joins — d2/d3 are
+    * the one-step expansions EXCEPT everything already closer; per-u
+    * distance counts fold n_d/d through DECIMAL(38,18) like the
+    * engine.
+    */
+  private val harmonicOracle: String =
+    """WITH lp AS MATERIALIZED (
+      |  SELECT a.c_custkey AS v1, b.c_custkey AS v2
+      |  FROM customer a JOIN customer b
+      |    ON a.c_nationkey = b.c_nationkey
+      |    AND a.c_mktsegment = b.c_mktsegment
+      |    AND a.c_custkey < b.c_custkey
+      |  WHERE CAST(
+      |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 IS NULL THEN 0.0
+      |          WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 4.0
+      |          ELSE -1.0 END)
+      |    + (CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+      |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 IS NULL THEN 0.0
+      |            WHEN abs(CAST(a.c_acctbal AS DECIMAL(18,2))
+      |                     - CAST(b.c_acctbal AS DECIMAL(18,2))) < 100 THEN 2.5
+      |            ELSE -0.5 END)
+      |  AS DOUBLE) >= 3.0),
+      |edges AS MATERIALIZED (SELECT v1 AS src, v2 AS dst FROM lp
+      |          UNION SELECT v2, v1 FROM lp),
+      |d1 AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges),
+      |d2 AS MATERIALIZED (
+      |  SELECT u, v FROM (
+      |    SELECT DISTINCT x.u AS u, e.dst AS v
+      |    FROM d1 x JOIN edges e ON e.src = x.v
+      |    WHERE x.u <> e.dst) q
+      |  EXCEPT SELECT u, v FROM d1),
+      |d3 AS MATERIALIZED (
+      |  SELECT u, v FROM (
+      |    SELECT DISTINCT x.u AS u, e.dst AS v
+      |    FROM d2 x JOIN edges e ON e.src = x.v
+      |    WHERE x.u <> e.dst) q
+      |  EXCEPT SELECT u, v FROM d1
+      |  EXCEPT SELECT u, v FROM d2),
+      |alld AS (SELECT u, v, 1 AS d FROM d1
+      |  UNION ALL SELECT u, v, 2 FROM d2
+      |  UNION ALL SELECT u, v, 3 FROM d3),
+      |per AS (SELECT u, d, CAST(COUNT(*) AS BIGINT) AS nd
+      |  FROM alld GROUP BY u, d),
+      |agg AS (SELECT u, CAST(SUM(nd) AS BIGINT) AS n_reached,
+      |    SUM(CAST(CAST(nd AS DOUBLE) / CAST(d AS DOUBLE)
+      |      AS DECIMAL(38,18))) AS h
+      |  FROM per GROUP BY u)
+      |SELECT u AS c_custkey, n_reached,
+      |  round(CAST(h AS DOUBLE), 6) + 0.0 AS harmonic
+      |FROM agg ORDER BY c_custkey""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // harmonic centrality replayed (layered closure — see harmonicOracle)
+    "g13_harmonic" -> harmonicOracle,
     // full Gopher battery replayed (generated per n — see gopherOracle)
     "t25_gopher" -> gopherOracle,
 
@@ -5741,6 +5893,35 @@ object SparkEntry {
         |  effective_to IS NULL AS is_current
         |FROM o ORDER BY user_id, effective_from, event_type,
         |  effective_to ASC NULLS LAST""".stripMargin,
+
+    // PIT join: the a23 dimension rebuilt (null keys/times excluded,
+    // empty flip versions dropped), probes matched by the half-open
+    // [from, to) tiling — the direct interval spelling equals the
+    // engine's as-of by the tiling argument
+    "j17_scd2_pit" ->
+      """WITH ev AS (SELECT user_id, event_type, ts, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |v AS (SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER w AS rn,
+        |    lag(event_type) OVER w AS prev
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |k AS (SELECT user_id, event_type, ts, event_id FROM v
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |dim AS (SELECT user_id, event_type, ts AS effective_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS effective_to
+        |  FROM k
+        |  QUALIFY effective_to IS NULL OR effective_to > effective_from),
+        |probes AS (SELECT event_id, user_id,
+        |    ts + INTERVAL 30 MINUTE AS pts
+        |  FROM ev WHERE event_id % 10 = 7)
+        |SELECT p.event_id, p.user_id, p.pts,
+        |  d.event_type AS attr_at_ts, d.effective_from
+        |FROM probes p JOIN dim d ON p.user_id = d.user_id
+        |  AND d.effective_from <= p.pts
+        |  AND (d.effective_to IS NULL OR p.pts < d.effective_to)
+        |ORDER BY p.event_id""".stripMargin,
 
     // round-trips: the oracle reads the ORIGINAL parquet — equality
     // proves the JSON/ORC sink+source pair is value-lossless
@@ -8642,6 +8823,68 @@ object SparkEntry {
         |  round(CAST(gapsum AS DOUBLE) / nn, 6) + 0.0 AS ece
         |FROM per, tot ORDER BY bin""".stripMargin,
 
+    // Brier + Murphy decomposition: the a53 scored test set, per-row
+    // squares and per-bin terms quantized to DECIMAL(38,18) and summed
+    // exactly; every division/round spelled as the engine computed it
+    "a61_brier" ->
+      """WITH ev AS (SELECT event_id,
+        |    CAST(EXTRACT(HOUR FROM ts) AS INT) AS hr,
+        |    CASE WHEN value > 10.0
+        |        + CAST(CAST(EXTRACT(HOUR FROM ts) AS INT) AS DOUBLE) * 8.0
+        |      THEN 1 ELSE 0 END AS label
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |rates AS (SELECT hr,
+        |    CAST(SUM(label) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |      AS score
+        |  FROM ev WHERE event_id % 2 = 0 GROUP BY hr),
+        |test AS (SELECT r.score, e.label FROM ev e
+        |  JOIN rates r ON e.hr = r.hr WHERE e.event_id % 2 = 1),
+        |binned AS (SELECT CAST(LEAST(floor(score * 10), 9) AS INT) AS b,
+        |    CAST(score AS DECIMAL(38,18)) AS sc,
+        |    CAST(label AS BIGINT) AS y,
+        |    CAST((score - CAST(label AS DOUBLE))
+        |      * (score - CAST(label AS DOUBLE)) AS DECIMAL(38,18)) AS sq
+        |  FROM test),
+        |per AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS pos, SUM(sc) AS ssum,
+        |    SUM(sq) AS sqsum
+        |  FROM binned GROUP BY b),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(pos) AS BIGINT) AS pp, SUM(sqsum) AS sq FROM per),
+        |terms AS (SELECT
+        |    CAST(CAST(n AS DOUBLE) *
+        |      ((CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * (CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      AS DECIMAL(38,18)) AS rl,
+        |    CAST(CAST(n AS DOUBLE) *
+        |      ((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+        |       * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)))
+        |      AS DECIMAL(38,18)) AS rs
+        |  FROM per, tot),
+        |f AS (SELECT nn, pp, sq, SUM(rl) AS rl, SUM(rs) AS rs
+        |  FROM terms, tot GROUP BY nn, pp, sq)
+        |SELECT nn AS n,
+        |  round(CAST(sq AS DOUBLE) / CAST(nn AS DOUBLE), 6) + 0.0
+        |    AS brier,
+        |  round(CAST(rl AS DOUBLE) / CAST(nn AS DOUBLE), 6) + 0.0
+        |    AS reliability,
+        |  round(CAST(rs AS DOUBLE) / CAST(nn AS DOUBLE), 6) + 0.0
+        |    AS resolution,
+        |  round((CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    * (1.0 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)), 6) + 0.0
+        |    AS uncertainty,
+        |  round(CAST(sq AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    - (CAST(rl AS DOUBLE) / CAST(nn AS DOUBLE)
+        |       - CAST(rs AS DOUBLE) / CAST(nn AS DOUBLE)
+        |       + (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+        |         * (1.0 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))), 6)
+        |    + 0.0 AS residual
+        |FROM f""".stripMargin,
+
     // McNemar: the a51 NB replay and the a55 language-ID replay joined
     // on the labelled docs; χ² as one exact-integer division
     "a60_mcnemar" ->
@@ -9117,6 +9360,108 @@ object SparkEntry {
         |  (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
         |   sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) > 0
         |ORDER BY user_id, lag""".stripMargin,
+
+    // Ljung–Box: ts4's ACF oracle extended with the per-key length and
+    // the exact-decimal term fold; null-key series excluded up front
+    "ts16_ljung_box" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS x,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND ts IS NOT NULL AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |p AS MATERIALIZED (
+        |  SELECT a.user_id, CAST(b.rn - a.rn AS INT) AS lag,
+        |         a.x AS xa, b.x AS xb
+        |  FROM o a JOIN o b ON b.user_id = a.user_id
+        |    AND b.rn > a.rn AND b.rn <= a.rn + 3),
+        |s AS MATERIALIZED (
+        |  SELECT user_id, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(xa) AS DOUBLE) AS sx, CAST(SUM(xb) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(xa * xa AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(xb * xb AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(xa * xb AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY user_id, lag),
+        |acf AS (SELECT user_id, lag,
+        |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+        |    (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
+        |     sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) AS acf
+        |  FROM s
+        |  WHERE n_pairs >= 5 AND
+        |    (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
+        |     sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) > 0),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS m
+        |  FROM o GROUP BY user_id),
+        |tm AS (SELECT a.user_id, m.m,
+        |    CAST((a.acf * a.acf) /
+        |      (CAST(m.m AS DOUBLE) - CAST(a.lag AS DOUBLE))
+        |      AS DECIMAL(38,18)) AS term
+        |  FROM acf a JOIN m ON a.user_id = m.user_id)
+        |SELECT user_id, m AS n, CAST(COUNT(*) AS BIGINT) AS n_lags,
+        |  round(CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) + 2.0)
+        |    * CAST(SUM(term) AS DOUBLE), 6) + 0.0 AS q_stat
+        |FROM tm GROUP BY user_id, m ORDER BY user_id""".stripMargin,
+
+    // Dunning G² collocations: exact 2x2 slot contingency per bigram,
+    // zero cells contribute zero, fixed left-assoc IEEE fold; the raw
+    // double cuts/orders, round-6 publishes (t31's discipline)
+    "t41_llr" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |mx AS (SELECT max(len(t)) AS m FROM toks),
+        |idx AS MATERIALIZED (
+        |  SELECT CAST(i AS INT) AS i
+        |  FROM (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) z),
+        |bi AS MATERIALIZED (
+        |  SELECT t[i] AS term_a, t[i + 1] AS term_b
+        |  FROM toks JOIN idx ON idx.i < len(t)),
+        |bc AS MATERIALIZED (
+        |  SELECT term_a, term_b, count(*) AS n_pair
+        |  FROM bi GROUP BY 1, 2 HAVING count(*) >= 3),
+        |ca AS MATERIALIZED (SELECT term_a, count(*) AS ca
+        |  FROM bi GROUP BY term_a),
+        |cb AS MATERIALIZED (SELECT term_b, count(*) AS cb
+        |  FROM bi GROUP BY term_b),
+        |nb AS (SELECT count(*) AS n FROM bi),
+        |j AS MATERIALIZED (
+        |  SELECT bc.term_a, bc.term_b, bc.n_pair,
+        |    2.0 * (
+        |      (CASE WHEN CAST(bc.n_pair AS DOUBLE) > 0.0
+        |        THEN CAST(bc.n_pair AS DOUBLE)
+        |          * ln((CAST(bc.n_pair AS DOUBLE) * CAST(nb.n AS DOUBLE))
+        |            / (CAST(ca.ca AS DOUBLE) * CAST(cb.cb AS DOUBLE)))
+        |        ELSE 0.0 END
+        |      + CASE WHEN CAST(ca.ca - bc.n_pair AS DOUBLE) > 0.0
+        |        THEN CAST(ca.ca - bc.n_pair AS DOUBLE)
+        |          * ln((CAST(ca.ca - bc.n_pair AS DOUBLE)
+        |              * CAST(nb.n AS DOUBLE))
+        |            / (CAST(ca.ca AS DOUBLE)
+        |              * (CAST(nb.n AS DOUBLE) - CAST(cb.cb AS DOUBLE))))
+        |        ELSE 0.0 END)
+        |      + CASE WHEN CAST(cb.cb - bc.n_pair AS DOUBLE) > 0.0
+        |        THEN CAST(cb.cb - bc.n_pair AS DOUBLE)
+        |          * ln((CAST(cb.cb - bc.n_pair AS DOUBLE)
+        |              * CAST(nb.n AS DOUBLE))
+        |            / ((CAST(nb.n AS DOUBLE) - CAST(ca.ca AS DOUBLE))
+        |              * CAST(cb.cb AS DOUBLE)))
+        |        ELSE 0.0 END
+        |      + CASE WHEN CAST(nb.n - ca.ca - cb.cb + bc.n_pair AS DOUBLE)
+        |          > 0.0
+        |        THEN CAST(nb.n - ca.ca - cb.cb + bc.n_pair AS DOUBLE)
+        |          * ln((CAST(nb.n - ca.ca - cb.cb + bc.n_pair AS DOUBLE)
+        |              * CAST(nb.n AS DOUBLE))
+        |            / ((CAST(nb.n AS DOUBLE) - CAST(ca.ca AS DOUBLE))
+        |              * (CAST(nb.n AS DOUBLE) - CAST(cb.cb AS DOUBLE))))
+        |        ELSE 0.0 END) AS g2
+        |  FROM bc JOIN ca ON ca.term_a = bc.term_a
+        |          JOIN cb ON cb.term_b = bc.term_b, nb),
+        |top AS MATERIALIZED (
+        |  SELECT * FROM j ORDER BY g2 DESC, term_a, term_b LIMIT 50)
+        |SELECT term_a, term_b, CAST(n_pair AS BIGINT) AS n_pair,
+        |       round(g2, 6) + 0.0 AS llr
+        |FROM top ORDER BY llr DESC, term_a, term_b""".stripMargin,
 
     // PMI: exact counts; the pure-IEEE ratio orders and cuts; ln rounds
     // to 6 (+0.0 canonicalizes the -0.0 class). Bigrams come from a
@@ -10184,6 +10529,17 @@ object SparkEntry {
         |  ON d.event_type IS NOT DISTINCT FROM med.event_type
         |JOIN mad ON d.event_type IS NOT DISTINCT FROM mad.event_type
         |ORDER BY d.event_type, d.day""".stripMargin,
+
+    // id gaps: the same missing-run report via one global lead()
+    // (fine at oracle scale; the engine uses anti-joins + the o5
+    // numbering instead of a global window)
+    "dq7_id_gaps" ->
+      """WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_id IS NOT NULL AND value <= 95.0),
+        |n AS (SELECT id AS a, lead(id) OVER (ORDER BY id) AS b FROM ids)
+        |SELECT a + 1 AS gap_start, b - 1 AS gap_end,
+        |  (b - 1) - (a + 1) + 1 AS n_missing
+        |FROM n WHERE b > a + 1 ORDER BY gap_start""".stripMargin,
 
     "dq3_key_skew" ->
       """WITH k AS (SELECT user_id, COUNT(*) AS cnt

@@ -1734,6 +1734,46 @@ object Analytics {
       .drop("__sx", "__sy", "__sxx", "__syy", "__sxy", "__den")
   }
 
+  /** Ljung–Box white-noise test per key over [[autocorrelation]]'s
+    * lag-pair ACF:
+    *
+    *   Q = m(m+2) Σ_{k≤maxLag} ρ_k²/(m−k)
+    *
+    * the "is there ANY serial structure left" screen run on residuals
+    * after a fit ([[ewma]]/[[holt]]) — large Q rejects white noise.
+    * Only lags that pass the ACF's own gates (n_pairs ≥ minPairs,
+    * positive denominator) enter; `n_lags` reports how many did, so a
+    * short or constant series is visibly partial rather than silently
+    * zero.
+    *
+    * Determinism: each lag's ρ_k²/(m−k) is one fixed IEEE sequence from
+    * the already-deterministic ACF, quantized to DECIMAL(38,18) and
+    * summed exactly over ≤ maxLag terms; Q is one double product,
+    * round-6. Scale shape: the ACF's shuffles plus one |keys|-sized
+    * count join — keys parallelize, no new per-row work.
+    */
+  def ljungBox(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, maxLag: Int, tieBreak: Seq[String] = Nil,
+      minPairs: Int = 3): DataFrame = {
+    val acf = autocorrelation(df, keyCols, tsCol, measure, maxLag,
+      tieBreak, minPairs)
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val m = df
+      .where(col(tsCol).isNotNull && col(measure).isNotNull && dec.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__m"))
+    val mD = col("__m").cast(DoubleType)
+    val term = ((col("acf") * col("acf")) /
+      (mD - col("lag").cast(DoubleType))).cast(DecimalType(38, 18))
+    acf.join(m, keyCols)
+      .groupBy((keyCols.map(col) :+ col("__m")): _*)
+      .agg(count(lit(1)).as("n_lags"), sum(term).as("__tsum"))
+      .select(keyCols.map(col) :+
+        col("__m").cast(LongType).as("n") :+ col("n_lags") :+
+        ((round(mD * (mD + lit(2.0)) * col("__tsum").cast(DoubleType), 6)
+          + lit(0.0)).as("q_stat")): _*)
+  }
+
   /** Threshold-streak (run-length) profile per key: contiguous runs of
     * rows satisfying `flag` in time order — "longest stretch above the
     * limit", "how many excursions" (uptime/SLA/overload analysis; the
@@ -1937,6 +1977,71 @@ object Analytics {
         (round(abs(meanScore - fracPos), 6) + lit(0.0)).as("gap"),
         (round(col("__gapsum").cast(DoubleType) / col("__N"), 6)
           + lit(0.0)).as("ece"))
+  }
+
+  /** Brier score with the Murphy (1973) decomposition — the proper
+    * scoring rule behind [[calibrationBins]]'s reliability diagram, as
+    * one row:
+    *
+    *   brier = Σ(s−y)²/N,   rel = Σ_b n_b(p̄_b − ȳ_b)²/N,
+    *   res = Σ_b n_b(ȳ_b − ȳ)²/N,   unc = ȳ(1−ȳ)
+    *
+    * (brier ≈ rel − res + unc up to within-bin score variance — the
+    * binned decomposition's usual residual, reported as `residual` so
+    * the identity is auditable). rel is "how miscalibrated", res "how
+    * much sharper than the base rate" — the pair that says WHY a model
+    * scores what it scores.
+    *
+    * Determinism: each per-row square and per-bin term is one fixed
+    * IEEE sequence, quantized to DECIMAL(38,18) and summed exactly
+    * (fold-order independent); the final divisions round-6.
+    *
+    * Scale shape: one groupBy(bin) over the source (map-side combine,
+    * ≤ `bins` groups), then algebra on the bins-row frame.
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100000,
+      s"bins must be in [2, 100000], got $bins")
+    val d18 = DecimalType(38, 18)
+    val bin = least(floor(col(scoreCol) * bins), lit(bins - 1L))
+      .cast(IntegerType)
+    val s = col(scoreCol).cast(DoubleType)
+    val y = col(labelCol).cast(LongType)
+    val sq = ((s - y.cast(DoubleType)) * (s - y.cast(DoubleType)))
+      .cast(d18)
+    val per = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(bin.as("__b"), s.as("__s"), y.as("__y"), sq.as("__sq"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"),
+        sum(col("__s").cast(d18)).as("__ssum"),
+        sum(col("__sq")).as("__sqsum"))
+    // global columns prefixed __g*, never by case: Spark resolution is
+    // case-insensitive and __N beside __n is AMBIGUOUS_REFERENCE
+    val tot = per.agg(sum(col("__n")).as("__gn"),
+      sum(col("__pos")).as("__gp"), sum(col("__sqsum")).as("__gsq"))
+    val nD = col("__n").cast(DoubleType)
+    val pbarB = col("__ssum").cast(DoubleType) / nD
+    val ybarB = col("__pos").cast(DoubleType) / nD
+    val ybar = col("__gp").cast(DoubleType) / col("__gn").cast(DoubleType)
+    val relTerm = (nD * ((pbarB - ybarB) * (pbarB - ybarB))).cast(d18)
+    val resTerm = (nD * ((ybarB - ybar) * (ybarB - ybar))).cast(d18)
+    val folded = per.crossJoin(broadcast(tot))
+      .groupBy(col("__gn"), col("__gp"), col("__gsq"))
+      .agg(sum(relTerm).as("__grl"), sum(resTerm).as("__grs"))
+    val nnD = col("__gn").cast(DoubleType)
+    val yb = col("__gp").cast(DoubleType) / nnD
+    val brier = col("__gsq").cast(DoubleType) / nnD
+    val rel = col("__grl").cast(DoubleType) / nnD
+    val res = col("__grs").cast(DoubleType) / nnD
+    val unc = yb * (lit(1.0) - yb)
+    folded.select(col("__gn").cast(LongType).as("n"),
+      (round(brier, 6) + lit(0.0)).as("brier"),
+      (round(rel, 6) + lit(0.0)).as("reliability"),
+      (round(res, 6) + lit(0.0)).as("resolution"),
+      (round(unc, 6) + lit(0.0)).as("uncertainty"),
+      (round(brier - (rel - res + unc), 6) + lit(0.0)).as("residual"))
   }
 
   /** Wilson score interval — the binomial confidence interval that

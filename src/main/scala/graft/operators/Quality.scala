@@ -158,6 +158,41 @@ object Quality {
           lit(threshold) * col("__mad")).as("is_anomaly"))
   }
 
+  /** Missing-range report over an integer id column — the ingest
+    * completeness audit ("which sequence ranges never landed?"): every
+    * maximal run of absent ids strictly inside [min, max] as
+    * (gap_start, gap_end, n_missing), exact integers.
+    *
+    * Scale shape — NO global window over the ids: a gap boundary is a
+    * LOCAL property (id present, id±1 absent), found with two hash
+    * self-joins (anti on id−1 ⇒ run starts, anti on id+1 ⇒ run ends);
+    * start/end lists then pair k-th-with-k-th through
+    * [[Analytics.globalRowNumber]]'s range-partitioned numbering (the
+    * lists alternate strictly, and they are GAP-count sized — tiny
+    * relative to the data — so even their numbering pass is cheap).
+    */
+  def idGaps(df: DataFrame, idCol: String): DataFrame = {
+    val ids = df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("__id")).distinct()
+      .localCheckpoint(true) // read 5x: bounds + both sides of 2 joins
+    val bounds = ids.agg(min(col("__id")).as("__lo"),
+      max(col("__id")).as("__hi"))
+    // id present with id+1 absent (and not the global max) opens a gap
+    val opens = ids.join(ids.select((col("__id") - 1L).as("__id")),
+        Seq("__id"), "left_anti")
+      .crossJoin(broadcast(bounds)).where(col("__id") < col("__hi"))
+      .select((col("__id") + 1L).as("gap_start"))
+    val closes = ids.join(ids.select((col("__id") + 1L).as("__id")),
+        Seq("__id"), "left_anti")
+      .crossJoin(broadcast(bounds)).where(col("__id") > col("__lo"))
+      .select((col("__id") - 1L).as("gap_end"))
+    Analytics.globalRowNumber(opens, Seq("gap_start"), out = "__k")
+      .join(Analytics.globalRowNumber(closes, Seq("gap_end"), out = "__k"),
+        "__k")
+      .select(col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1L).as("n_missing"))
+  }
+
   /** Fail-fast gate: throws if any rule is violated. */
   def enforce(df: DataFrame, rules: Seq[Rule]): Unit = {
     val row = check(df, rules).head()

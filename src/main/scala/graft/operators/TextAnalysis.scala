@@ -312,6 +312,67 @@ object TextAnalysis {
         log(col("__ratio")).as("pmi"))
   }
 
+  /** Dunning log-likelihood-ratio (G², 1993) collocations — the
+    * significance-aware sibling of [[pmiCollocations]]: PMI over-ranks
+    * hapax pairs (gated there by minCount), while G² weighs the full
+    * 2×2 contingency of bigram slots
+    *
+    *   k11 = c(ab),  k12 = c(a·) − c(ab),  k21 = c(·b) − c(ab),
+    *   k22 = B − k11 − k12 − k21
+    *
+    * with G² = 2·Σ k·ln(k·B / (rowsum·colsum)), zero-count cells
+    * contributing zero mass. c(a·)/c(·b) are FIRST/SECOND-slot bigram
+    * counts (not unigram counts), so the contingency is exactly over B
+    * bigram events and every cell is a nonneg exact integer.
+    *
+    * Determinism: counts are exact; each cell term is one fixed IEEE
+    * ln sequence, the four terms fold in a fixed order, ranking uses
+    * the raw double, output rounds 6. Scale: one tokenize pass, two
+    * (slot, term) count shuffles + one pair-count shuffle — the PMI
+    * shape with two narrow extra aggregates.
+    */
+  def llrCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5, topK: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = tokens(col(textCol))
+    val biBase = df.select(toks.as("__t")).where(size(col("__t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("__p"))
+      .select(col("__p.a").as("term_a"), col("__p.b").as("term_b"))
+    val pairCounts = biBase.groupBy("term_a", "term_b")
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    val firstSlot = biBase.groupBy("term_a").agg(count(lit(1)).as("__ca"))
+    val secondSlot = biBase.groupBy("term_b").agg(count(lit(1)).as("__cb"))
+    val totB = biBase.select(count(lit(1)).as("__n"))
+    val k11 = col("n_pair").cast(DoubleType)
+    val k12 = (col("__ca") - col("n_pair")).cast(DoubleType)
+    val k21 = (col("__cb") - col("n_pair")).cast(DoubleType)
+    val k22 = (col("__n") - col("__ca") - col("__cb") + col("n_pair"))
+      .cast(DoubleType)
+    val nD = col("__n").cast(DoubleType)
+    val caD = col("__ca").cast(DoubleType)
+    val cbD = col("__cb").cast(DoubleType)
+    // rowsums: (k11+k12)=c(a.), (k21+k22)=n-c(a.); colsums: c(.b), n-c(.b)
+    def cell(k: Column, rowSum: Column, colSum: Column): Column =
+      when(k > 0.0, k * log(k * nD / (rowSum * colSum))).otherwise(lit(0.0))
+    val g2 = lit(2.0) * (cell(k11, caD, cbD) +
+      cell(k12, caD, nD - cbD) +
+      cell(k21, nD - caD, cbD) +
+      cell(k22, nD - caD, nD - cbD))
+    pairCounts
+      .join(firstSlot, "term_a").join(secondSlot, "term_b")
+      .crossJoin(broadcast(totB))
+      .withColumn("__g2", g2)
+      .orderBy(desc("__g2"), col("term_a"), col("term_b"))
+      .limit(topK)
+      .select(col("term_a"), col("term_b"), col("n_pair"),
+        col("__g2").as("llr"))
+  }
+
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val sh = df.select(col(idCol), explode(array_distinct(

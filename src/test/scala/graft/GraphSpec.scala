@@ -396,4 +396,41 @@ class GraphSpec extends SparkTestBase {
     assert(Set(r(1L), r(2L)).size === 1 && Set(r(4L), r(5L)).size === 1)
     assert(r(1L) !== r(5L))
   }
+
+  // ---- harmonic centrality (g13) ----
+
+  test("harmonicCentrality: hand-computed path graph, hop bound " +
+      "truncates, disconnected components stay finite") {
+    // path 1-2-3-4-5 plus isolated edge 8-9
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("a", "b")
+    val h3 = Graph.harmonicCentrality(es, "a", "b", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // node 3 reaches 1,2,4,5 at d=2,1,1,2: h = 2*1 + 2*0.5 = 3.0
+    assert(h3(3L) === ((4L, 3.0)))
+    // node 1 reaches 2,3,4 within 3 hops (5 is 4 away): 1 + .5 + 1/3
+    assert(h3(1L)._1 === 3L)
+    assert(math.abs(h3(1L)._2 - (1.0 + 0.5 + 1.0 / 3.0)) < 1e-6)
+    // the isolated pair only sees each other
+    assert(h3(8L) === ((1L, 1.0)) && h3(9L) === ((1L, 1.0)))
+    // hop bound 1 = plain degree
+    val h1 = Graph.harmonicCentrality(es, "a", "b", maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1(3L) === 2L && h1(1L) === 1L)
+  }
+
+  test("harmonicCentrality: duplicate/reversed/self-loop edges " +
+      "canonicalize; partitioning does not matter") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 2L), (2L, 3L))
+      .toDF("a", "b")
+    def run(parts: Int) =
+      Graph.harmonicCentrality(noisy.repartition(parts), "a", "b", 3)
+        .orderBy("a").collect().toSeq
+    val r = run(1)
+    assert(r === run(7))
+    // triangle-free path 1-2-3: node 1 sees 2 (d1) and 3 (d2)
+    assert(r.map(x => (x.getLong(0), x.getLong(1))) ===
+      Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
 }

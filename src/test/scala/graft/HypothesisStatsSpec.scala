@@ -609,4 +609,78 @@ class HypothesisStatsSpec extends SparkTestBase {
         .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
     assert(run(subjects.repartition(13)) === run(subjects.coalesce(1)))
   }
+
+  // ---- Brier decomposition (a61) ----
+
+  test("brierDecomposition: hand-computed two-bin case and the " +
+      "Murphy identity within the binned residual") {
+    // bin 0: scores .1 .1, labels 0 0 -> pbar .1, ybar 0
+    // bin 9: scores .9 .9, labels 1 0 -> pbar .9, ybar .5
+    val df = Seq((0.1, 0), (0.1, 0), (0.9, 1), (0.9, 0))
+      .toDF("score", "label")
+    val r = Analytics.brierDecomposition(df, "score", "label", bins = 10)
+      .select("n", "brier", "reliability", "resolution", "uncertainty",
+        "residual")
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(r._1 === 4L)
+    // brier = (.01 + .01 + .01 + .81) / 4 = .21
+    assert(math.abs(r._2 - 0.21) < 1e-9)
+    // ybar = .25; rel = (2*.01 + 2*.16)/4 = .085
+    assert(math.abs(r._3 - 0.085) < 1e-9)
+    // res = (2*.0625 + 2*.0625)/4 = .0625; unc = .25*.75 = .1875
+    assert(math.abs(r._4 - 0.0625) < 1e-9)
+    assert(math.abs(r._5 - 0.1875) < 1e-9)
+    // scores are constant within each bin => the identity is exact
+    assert(math.abs(r._6) < 1e-9)
+  }
+
+  test("brierDecomposition: perfect and constant forecasters") {
+    val perfect = Seq((0.95, 1), (0.95, 1), (0.05, 0))
+      .toDF("score", "label")
+    val p = Analytics.brierDecomposition(perfect, "score", "label", 10)
+      .select("brier").as[Double].head()
+    assert(p < 0.01)
+    // constant base-rate forecast: resolution 0, rel ~ 0
+    val const = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0))
+      .toDF("score", "label")
+    val c = Analytics.brierDecomposition(const, "score", "label", 10)
+      .select("brier", "reliability", "resolution", "uncertainty")
+      .as[(Double, Double, Double, Double)].head()
+    assert(c._1 === 0.25 && c._2 === 0.0 && c._3 === 0.0 && c._4 === 0.25)
+  }
+
+  // ---- Ljung–Box (ts16) ----
+
+  test("ljungBox: alternating series has huge Q, the lag terms fold " +
+      "deterministically across partitionings") {
+    val rows = (1 to 40).map(i =>
+      (1L, i.toLong, i.toLong, if (i % 2 == 0) 10.0 else -10.0))
+    def run(parts: Int) = Analytics.ljungBox(
+      rows.toDF("k", "tsl", "id", "v").repartition(parts)
+        .withColumn("ts", col("tsl").cast("timestamp")),
+      Seq("k"), "ts", "v", maxLag = 3, tieBreak = Seq("id"),
+      minPairs = 5)
+      .select("k", "n", "n_lags", "q_stat")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val r = run(1)
+    assert(r === run(7))
+    assert(r.head._2 === 40L && r.head._3 === 3L)
+    // |acf(1)| ~ 1, acf(2) ~ 1, acf(3) ~ -1 => Q near its maximum
+    assert(r.head._4 > 100.0)
+  }
+
+  test("ljungBox: short series below minPairs yields no row; " +
+      "observation contract excludes null time/measure") {
+    val rows = Seq(
+      (1L, Option(1L), Option(1.0)), (1L, Option(2L), Option(2.0)),
+      (1L, None, Option(9.0)), (1L, Option(3L), None),
+      (2L, Option(1L), Option(5.0)))
+    val out = Analytics.ljungBox(
+      rows.toDF("k", "tsl", "v")
+        .withColumn("ts", col("tsl").cast("timestamp"))
+        .withColumn("id", col("tsl")),
+      Seq("k"), "ts", "v", maxLag = 3, tieBreak = Seq("id"),
+      minPairs = 5)
+    assert(out.count() === 0L)
+  }
 }

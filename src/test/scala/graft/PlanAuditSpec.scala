@@ -70,7 +70,16 @@ class PlanAuditSpec extends SparkTestBase {
     "g11_copurchase",
     // s15: the |strata|-row quota frame crossed with the 1-ROW total
     // and 1-ROW seat-sum frames (allocation algebra, never data rows)
-    "s15_apportion")
+    "s15_apportion",
+    // a61: B bin rows crossed with the broadcast 1-ROW global totals
+    // (N, positives, Σsq) for the Murphy decomposition
+    "a61_brier",
+    // t41: the t31 shape — the 1-ROW bigram total broadcast-crossed
+    // into the pair frame
+    "t41_llr",
+    // dq7: boundary candidates crossed with the broadcast 1-ROW
+    // (min, max) bounds frame
+    "dq7_id_gaps")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

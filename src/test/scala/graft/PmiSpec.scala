@@ -60,4 +60,47 @@ class PmiSpec extends SparkTestBase {
       .orderBy("term_a", "term_b").collect()
     assert(a === b)
   }
+
+  // ---- Dunning log-likelihood ratio (t41) ----
+
+  test("llr: hand-computed 2x2 contingency on a tiny corpus") {
+    val docs = Seq("x y", "x y", "x z").toDF("text")
+    val out = TextAnalysis.llrCollocations(docs, "text",
+      minCount = 1, topK = 10)
+      .select("term_a", "term_b", "n_pair", "llr")
+      .as[(String, String, Long, Double)].collect()
+    val m = out.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // bigram slots: B=3 events; first-slot c(x.)=3, second c(.y)=2 c(.z)=1
+    // (x,y): k11=2 k12=1 k21=0 k22=0
+    def cell(k: Double, rs: Double, cs: Double, n: Double): Double =
+      if (k > 0) k * math.log(k * n / (rs * cs)) else 0.0
+    val gXY = 2.0 * (cell(2, 3, 2, 3) + cell(1, 3, 1, 3) +
+      cell(0, 0, 2, 3) + cell(0, 0, 1, 3))
+    assert(m(("x", "y"))._1 === 2L)
+    assert(math.abs(m(("x", "y"))._2 - gXY) < 1e-12)
+  }
+
+  test("llr: zero cells contribute zero mass and G2 is nonnegative; " +
+      "independent-ish pairs score below locked collocations") {
+    // 'a b' always co-occur (locked); 'c' pairs with many seconds
+    val docs = Seq("a b", "a b", "a b", "c d", "c e", "c f", "d c")
+      .toDF("text")
+    val out = TextAnalysis.llrCollocations(docs, "text",
+      minCount = 1, topK = 20)
+      .select("term_a", "term_b", "llr")
+      .as[(String, String, Double)].collect()
+    assert(out.forall(_._3 >= -1e-12))
+    val m = out.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("a", "b")) > m(("c", "d")))
+  }
+
+  test("llr: deterministic across partitioning") {
+    val docs = (0 until 80).map(i =>
+      s"w${i % 7} w${(i * 3) % 5} w${i % 7} tail").toDF("text")
+    val a = TextAnalysis.llrCollocations(docs, "text", 2, 25)
+      .orderBy("term_a", "term_b").collect()
+    val b = TextAnalysis.llrCollocations(docs.repartition(9), "text", 2, 25)
+      .orderBy("term_a", "term_b").collect()
+    assert(a === b)
+  }
 }

@@ -113,4 +113,34 @@ class QualitySpec extends SparkTestBase {
       .select("n_orphan_rows").as[Long].head()
     assert(r2 === 1L)
   }
+
+  // ---- idGaps (dq7) ----
+
+  test("idGaps: every maximal missing run inside [min, max], exact " +
+      "bounds, duplicates and nulls ignored") {
+    val ids = Seq(1L, 2L, 2L, 5L, 6L, 9L, 15L)
+      .map(Option(_)).:+(None: Option[Long]).toDF("id")
+    val out = Quality.idGaps(ids, "id")
+      .orderBy("gap_start")
+      .select("gap_start", "gap_end", "n_missing")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((3L, 4L, 2L), (7L, 8L, 2L), (10L, 14L, 5L)))
+  }
+
+  test("idGaps: contiguous and singleton inputs report no gaps; " +
+      "partitioning does not matter") {
+    import org.apache.spark.sql.functions.col
+    assert(Quality.idGaps(
+      Seq(4L, 5L, 6L, 7L).toDF("id"), "id").count() === 0L)
+    assert(Quality.idGaps(Seq(42L).toDF("id"), "id").count() === 0L)
+    val big = spark.range(0, 2000).select(col("id"))
+      .where(col("id") % 13 =!= 5 || col("id") < 100)
+    val one = Quality.idGaps(big.coalesce(1), "id")
+      .orderBy("gap_start").collect()
+    val many = Quality.idGaps(big.repartition(17), "id")
+      .orderBy("gap_start").collect()
+    assert(one === many)
+    // every gap is exactly one missing id (the %13 singles past 100)
+    assert(one.forall(_.getLong(2) === 1L))
+  }
 }
