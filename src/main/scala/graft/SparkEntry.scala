@@ -1804,6 +1804,41 @@ object SparkEntry {
       out
     }),
 
+    // ---- sketches/streaming: per-window COUNT-MIN maintenance under
+    // the oracle — SketchFeed's other half (sk1 proves theta; this
+    // proves the cell-wise CM union through the same two-batch
+    // exactly-once lifecycle). a27's provably-exact regime: ≤5 event
+    // types against depth 4 × width 4096 — the min-row estimate for
+    // every (window, type) probe equals the exact per-day count.
+    "sk2_cm_stream" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.cmEstimate
+      val ev = t(s, dir, "events")
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sk2").toString
+      val table = root + "/sketches"
+      val stream = fileStreamBatches(s, root, Seq(
+        ev.where(col("event_id") % 2 === 0).drop("event_id"),
+        ev.where(col("event_id") % 2 === 1).drop("event_id")))
+      val fq = graft.streaming.SketchFeed.startCountMin(s, stream,
+        "ts", "event_type", windowSeconds = 86400L,
+        depth = 4, width = 4096, table = table,
+        checkpoint = root + "/ckpt")
+      fq.awaitTermination(300000) // AvailableNow self-terminates
+      val probes = ev.select(
+        expr("(unix_micros(ts) div 86400000000L) * 86400000000L")
+          .as("w_start"),
+        col("event_type")).distinct()
+      val out = graft.sources.VersionedTable.read(s, table)
+        .join(probes, "w_start")
+        .select(col("w_start"), col("event_type"),
+          cmEstimate(col("sk"), col("event_type")).as("est"))
+        .orderBy("w_start", "event_type").localCheckpoint(true)
+      rmTree(root)
+      out
+    }),
+
     // ---- A31: exact weighted quantiles per group — the smallest value
     // whose cumulative weight reaches p of the total (quantity-weighted
     // price points). Rational quantile points keep every threshold test
@@ -4370,6 +4405,48 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- lake: incremental JOIN view — the maintained star-schema
+    // rollup. The view is revenue-ish state grouped by a DIMENSION
+    // attribute (nation name) that exists in no fact row: every CDF
+    // delta inner-joins the dim table at apply time (exactly the
+    // changed rows hit the join, the fact table is never rescanned),
+    // then folds signed state as usual — through an append, a keyed
+    // upsert, and a delete-bearing refresh. Dim contract: immutable
+    // join keys (static here). Oracle recomputes the final join
+    // directly.
+    "mv9_join_view" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey"),
+        col("c_acctbal").cast(DoubleType).as("acctbal"))
+      val nat = t(s, dir, "nation").select(col("n_nationkey"),
+        col("n_name"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv9").toString
+      val src = root + "/fact"
+      val dimT = root + "/dim"
+      val mv = root + "/mv"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, dimT, StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType))))
+      vt.append(s, nat, dimT)
+      vt.create(s, src, StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_nationkey", LongType),
+        StructField("acctbal", DoubleType))))
+      vt.alterProperties(s, src, Map(vt.CdcProperty -> "true"))
+      vt.append(s, cust.where(col("c_custkey") % 2 === 0), src)
+      IncrementalView.create(s, src, mv, Seq("n_name"), Seq("acctbal"),
+        dim = Some(dimT), dimJoin = Seq(("c_nationkey", "n_nationkey")))
+      vt.append(s, cust.where(col("c_custkey") % 2 === 1), src)
+      vt.upsert(s, cust.where(col("c_custkey") % 100 === 3)
+        .withColumn("acctbal", lit(0.0)), src, "c_custkey")
+      vt.deleteByKeys(s, src,
+        cust.where(col("c_custkey") % 5 === 0).select("c_custkey"))
+      IncrementalView.refresh(s, mv)
+      IncrementalView.read(s, mv).orderBy("n_name")
+    }),
+
     // ---- lake: incremental MV with an EXPRESSION key ----
     // The canonical time-bucketed rollup (a5's hour-of-day aggregate)
     // maintained incrementally: the group key is `hour(ts)` computed
@@ -6908,6 +6985,23 @@ object SparkEntry {
         |    ELSE NULL END AS intercept
         |FROM m ORDER BY event_type""".stripMargin,
 
+    // join view: the maintained fold == the direct join+group of the
+    // final logical fact state against the static dimension
+    "mv9_join_view" ->
+      """WITH final AS (
+        |  SELECT c_nationkey,
+        |    CASE WHEN c_custkey % 100 = 3 THEN 0.0
+        |         ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal
+        |  FROM customer WHERE c_custkey % 5 <> 0)
+        |SELECT n.n_name, COUNT(*) AS n_rows,
+        |  COUNT(acctbal) AS cnt_acctbal,
+        |  CAST(SUM(CAST(acctbal AS DECIMAL(38,2))) AS DOUBLE)
+        |    AS sum_acctbal,
+        |  CAST(SUM(CAST(acctbal AS DECIMAL(38,2))) AS DOUBLE)
+        |    / COUNT(acctbal) AS avg_acctbal
+        |FROM final f JOIN nation n ON f.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
     // folded lossless GK p50 == quantile_disc of the final state
     "mv5_quantile_rollup" ->
       """SELECT event_type, COUNT(*) AS n_rows,
@@ -7754,6 +7848,15 @@ object SparkEntry {
         |FROM events
         |WHERE ts IS NOT NULL AND user_id IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // streamed per-day count-min maintenance in a27's exact regime ==
+    // the direct per-day per-type count
+    "sk2_cm_stream" ->
+      """SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS w_start,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS est
+        |FROM events
+        |WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // distributed-trained IVF, exhaustive probe == the same brute force
     "sim8_ivf_dist" ->

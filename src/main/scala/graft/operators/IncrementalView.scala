@@ -70,6 +70,10 @@ object IncrementalView {
   val ThetaKProperty = "graft.mv.theta.k"
   val ScaleProperty = "graft.mv.scale"
   val SourceVersionProperty = "graft.mv.source.version"
+  /** Optional JOIN enrichment: a dimension table inner-joined into the
+    * fact rows before aggregation — at create AND at every delta. */
+  val DimProperty = "graft.mv.dim"
+  val DimJoinProperty = "graft.mv.dimjoin"
 
   /** Synthetic single-column group key (the view table's upsert /
     * delete key). `\u0001`-joined, null-distinguishing encoding.
@@ -205,14 +209,23 @@ object IncrementalView {
       quantile: Seq[String] = Nil,
       quantileEps: Double = 1e-4,
       thetaDistinct: Seq[String] = Nil,
-      thetaK: Int = 4096): Unit = {
+      thetaK: Int = 4096,
+      dim: Option[String] = None,
+      dimJoin: Seq[(String, String)] = Nil): Unit = {
     require(keys.nonEmpty, "incremental view needs at least one group key")
     require(measures.nonEmpty || minmax.nonEmpty ||
       approxDistinct.nonEmpty || quantile.nonEmpty ||
       thetaDistinct.nonEmpty,
       "incremental view needs at least one measure")
+    require(dim.isEmpty == dimJoin.isEmpty,
+      "dim and dimJoin come together (the join-enriched view)")
+    dimJoin.foreach { case (f, dc) =>
+      require(!f.contains(";") && !dc.contains(";") &&
+        !f.contains("=") && !dc.contains("="),
+        s"join key '$f=$dc' must not contain ';' or '='") }
     val (version, _) = VersionedTable.latest(spark, source)
-    val snap = VersionedTable.read(spark, source)
+    val snap = enriched(spark, VersionedTable.read(spark, source),
+      dim, dimJoin)
     val state = stateOf(snap, parseSpecs(keys), parseSpecs(measures),
       parseSpecs(minmax), parseSpecs(approxDistinct),
       parseSpecs(quantile), quantileEps,
@@ -230,14 +243,18 @@ object IncrementalView {
       ThetaProperty -> thetaDistinct.mkString(";"),
       ThetaKProperty -> thetaK.toString,
       ScaleProperty -> scale.toString,
-      SourceVersionProperty -> version.toString))
+      SourceVersionProperty -> version.toString,
+      DimProperty -> dim.getOrElse(""),
+      DimJoinProperty ->
+        dimJoin.map { case (f, d) => s"$f=$d" }.mkString(";")))
   }
 
   private case class Spec(source: String, keys: Seq[String],
       measures: Seq[String], minmax: Seq[String], approx: Seq[String],
       quantile: Seq[String], quantileEps: Double,
       theta: Seq[String], thetaK: Int,
-      scale: Int, stampedVersion: Long)
+      scale: Int, stampedVersion: Long,
+      dim: Option[String], dimJoin: Seq[(String, String)])
 
   private def splitSpecs(s: String): Seq[String] =
     s.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
@@ -256,8 +273,39 @@ object IncrementalView {
       splitSpecs(props.getOrElse(ThetaProperty, "")),
       props.getOrElse(ThetaKProperty, "4096").toInt,
       prop(ScaleProperty).toInt,
-      prop(SourceVersionProperty).toLong)
+      prop(SourceVersionProperty).toLong,
+      props.get(DimProperty).filter(_.nonEmpty),
+      splitSpecs(props.getOrElse(DimJoinProperty, "")).map { p =>
+        val a = p.split("=", 2)
+        (a(0).trim, a(1).trim)
+      })
   }
+
+  /** Inner-join the dimension's CURRENT snapshot into fact-shaped rows
+    * (a CDF delta keeps its `_change_type` tag through the join). The
+    * dim side's join columns drop so a shared name can never turn
+    * ambiguous downstream.
+    *
+    * Exactness contract: a fold-maintained join view needs every
+    * already-folded fact row to join to the SAME dim row when its
+    * delete/update arrives later — i.e. dim rows must be immutable on
+    * the join key (static or append-only dimension; version an SCD the
+    * usual way and join on the version key instead). Fact rows without
+    * a match carry nothing, and so do their deletes — consistent.
+    */
+  private def enriched(spark: SparkSession, rows: DataFrame,
+      dim: Option[String], dimJoin: Seq[(String, String)]): DataFrame =
+    dim match {
+      case None => rows
+      case Some(d) =>
+        require(dimJoin.nonEmpty, "join view needs at least one join key")
+        val dimDf = VersionedTable.read(spark, d)
+        val cond = dimJoin.map { case (f, dc) => rows(f) === dimDf(dc) }
+          .reduce(_ && _)
+        dimJoin.foldLeft(rows.join(dimDf, cond, "inner")) {
+          case (df, (_, dc)) => df.drop(dimDf(dc))
+        }
+    }
 
   /** Fold one CDF frame (rows tagged `_change_type`) into the view state
     * under idempotence epoch `epoch` — the shared core of the batch
@@ -316,8 +364,12 @@ object IncrementalView {
         .foldLeft(col(RowsCol) =!= 0L)(_ or _)
     // the delta frame is consumed several times (emptiness probe, the
     // semi-join build side, and the outer-join left side) — persist it
-    // so one refresh folds the CDF window ONCE, not once per action
-    val delta = stateOf(cdf, keySpecs, measureSpecs, minmaxSpecs,
+    // so one refresh folds the CDF window ONCE, not once per action.
+    // A join view enriches the delta rows against the dimension FIRST
+    // (exactly the changed rows hit the join, never the fact table).
+    val delta = stateOf(
+      enriched(spark, cdf, spec.dim, spec.dimJoin),
+      keySpecs, measureSpecs, minmaxSpecs,
       approxSpecs, quantileSpecs, spec.quantileEps,
       thetaSpecs, spec.thetaK, scale, sign)
       .where(moved)
@@ -329,7 +381,9 @@ object IncrementalView {
           // snapshot at the window-end version, NOT latest: the stream
           // maintainer's batch may be behind the source head, and state
           // past the epoch belongs to later windows
-          val snap = VersionedTable.read(spark, spec.source, epoch)
+          val snap = enriched(spark,
+            VersionedTable.read(spark, spec.source, epoch),
+            spec.dim, spec.dimJoin)
           val pruned = keyed(snap, keySpecs)
             .join(delta.select(KeyCol), Seq(KeyCol), "left_semi")
           val aggs =

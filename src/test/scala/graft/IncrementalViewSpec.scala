@@ -619,4 +619,70 @@ class IncrementalViewSpec extends SparkTestBase {
       (Some("null"), Some("y"), 1L, 1L, Some(4.0), Some(4.0)),
       (Some("x"), None, 1L, 1L, Some(8.0), Some(8.0))))
   }
+
+  // ---- join-enriched view (mv9) ----
+
+  test("join view: deltas enrich against the dimension; dim-miss rows " +
+      "carry nothing in AND out; fold equals direct join recompute " +
+      "through append + upsert + delete") {
+    val root = tmp()
+    val src = mkSource(root)
+    val dim = root + "/dim"
+    VersionedTable.create(spark, dim, StructType(Seq(
+      StructField("dk", StringType), StructField("dname", StringType))))
+    VersionedTable.append(spark,
+      Seq(("a", "Alpha"), ("b", "Beta")).toDF("dk", "dname"), dim)
+    // g is the FK; id 4 points at a missing dim key 'z'
+    VersionedTable.append(spark, Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0), (4L, "z", 99.0))
+      .toDF("id", "g", "v"), src)
+    val view = root + "/mv"
+    IncrementalView.create(spark, src, view,
+      Seq("dname"), Seq("v"),
+      dim = Some(dim), dimJoin = Seq(("g", "dk")))
+    def state(): Map[String, (Long, Double)] =
+      IncrementalView.read(spark, view)
+        .select("dname", "n_rows", "sum_v")
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(state() === Map("Alpha" -> ((2L, 30.0)), "Beta" -> ((1L, 5.0))))
+    // append (one more dim-miss that must stay invisible), upsert, delete
+    VersionedTable.append(spark, Seq((5L, "b", 7.0), (6L, "z", 1.0))
+      .toDF("id", "g", "v"), src)
+    VersionedTable.upsert(spark,
+      Seq((2L, "a", 2.0)).toDF("id", "g", "v"), src, "id")
+    VersionedTable.deleteByKeys(spark, src, Seq(3L).toDF("id"))
+    assert(IncrementalView.refresh(spark, view) === 3L)
+    assert(state() === Map("Alpha" -> ((2L, 12.0)), "Beta" -> ((1L, 7.0))))
+    // the delete of a dim-miss row is also invisible (no phantom group)
+    VersionedTable.deleteByKeys(spark, src, Seq(4L, 6L).toDF("id"))
+    IncrementalView.refresh(spark, view)
+    assert(state() === Map("Alpha" -> ((2L, 12.0)), "Beta" -> ((1L, 7.0))))
+  }
+
+  test("join view: non-additive state recomputes touched groups " +
+      "through the SAME enrichment under a delete") {
+    val root = tmp()
+    val src = mkSource(root)
+    val dim = root + "/dim"
+    VersionedTable.create(spark, dim, StructType(Seq(
+      StructField("dk", StringType), StructField("dname", StringType))))
+    VersionedTable.append(spark,
+      Seq(("a", "Alpha")).toDF("dk", "dname"), dim)
+    VersionedTable.append(spark, Seq(
+      (1L, "a", 10.0), (2L, "a", 99.0), (3L, "a", 5.0))
+      .toDF("id", "g", "v"), src)
+    val view = root + "/mv"
+    IncrementalView.create(spark, src, view,
+      Seq("dname"), Seq("v"), minmax = Seq("v"),
+      dim = Some(dim), dimJoin = Seq(("g", "dk")))
+    // deleting the max forces the touched-group snapshot recompute,
+    // which must run through the dim join too (else dname can't group)
+    VersionedTable.deleteByKeys(spark, src, Seq(2L).toDF("id"))
+    IncrementalView.refresh(spark, view)
+    val r = IncrementalView.read(spark, view)
+      .select("dname", "n_rows", "min_v", "max_v")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(r === Seq(("Alpha", 2L, 5.0, 10.0)))
+  }
 }
