@@ -2230,6 +2230,29 @@ object SparkEntry {
       Analytics.brierDecomposition(scored, "score", "label", bins = 10)
     }),
 
+    // ---- evaluation: paired t-test — within-unit AM-vs-PM consumption
+    // shift (each user supplies both arms, between-user variance
+    // cancels). d is an exact decimal difference of two exact sums;
+    // the t statistic is one fixed IEEE tree, round-6, gated.
+    "a62_paired_t" -> ((s, dir) =>
+      Analytics.pairedTTest(
+        t(s, dir, "events").where(col("ts").isNotNull),
+        "user_id", "value",
+        armA = hour(col("ts")) < 12, armB = hour(col("ts")) >= 12)),
+
+    // ---- time series: Page–Hinkley drift detector — CUSUM's sibling
+    // against the series' own running mean (no target to configure);
+    // exact-decimal alarm selection, canonical DOUBLE scores.
+    "ts17_page_hinkley" -> ((s, dir) =>
+      Analytics.pageHinkley(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        delta = 0.5, lambda = new java.math.BigDecimal("500.00"),
+        tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("ph_pos"), col("ph_neg"), col("side"))
+        .orderBy("user_id", "ts", "event_id")),
+
     // ---- evaluation: Wilson score intervals — the binomial CI that
     // holds up at extreme rates; per-type exceedance rate with exact
     // n/k and a fixed IEEE interval sequence (z enters only as z·z).
@@ -8925,6 +8948,86 @@ object SparkEntry {
         |    6) + 0.0 AS gap,
         |  round(CAST(gapsum AS DOUBLE) / nn, 6) + 0.0 AS ece
         |FROM per, tot ORDER BY bin""".stripMargin,
+
+    // paired t: exact per-user arm sums and decimal differences, the
+    // identical IEEE t tree, degenerate gates mirrored
+    "a62_paired_t" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(COALESCE(SUM(CASE
+        |        WHEN CAST(EXTRACT(HOUR FROM ts) AS INT) < 12
+        |        THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |      AS DECIMAL(38,2)) AS xa,
+        |    CAST(COALESCE(SUM(CASE
+        |        WHEN CAST(EXTRACT(HOUR FROM ts) AS INT) >= 12
+        |        THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |      AS DECIMAL(38,2)) AS xb
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL
+        |  GROUP BY user_id),
+        |d AS (SELECT CAST(xa - xb AS DECIMAL(28,2)) AS dd FROM per),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dd) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(dd * dd AS DECIMAL(38,4))) AS DOUBLE) AS sdd
+        |  FROM d)
+        |SELECT n,
+        |  round(sd / CAST(n AS DOUBLE), 6) + 0.0 AS mean_diff,
+        |  CASE WHEN n > 1 AND (CAST(n AS DOUBLE) * sdd - sd * sd) > 0
+        |    THEN round((sd / CAST(n AS DOUBLE)) * sqrt(CAST(n AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * sdd - sd * sd)
+        |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+        |      + 0.0
+        |    ELSE NULL END AS t_stat
+        |FROM a""".stripMargin,
+
+    // Page–Hinkley: running-mean deviations quantized DECIMAL(38,12),
+    // exact running sums and prefix mins decide alarms; published
+    // scores round-6 after the wide-decimal→double cast
+    "ts17_page_hinkley" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(value AS DECIMAL(18,2)) AS x
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL
+        |), runs AS (
+        |  SELECT event_id, user_id, ts, value, x,
+        |    CAST(sum(CAST(x AS DECIMAL(28,2))) OVER w AS DECIMAL(38,2))
+        |      AS s,
+        |    CAST(count(*) OVER w AS BIGINT) AS t
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), g AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+        |      - 0.5 AS DECIMAL(38,12)) AS gp,
+        |    CAST(CAST(s AS DOUBLE) / CAST(t AS DOUBLE) - CAST(x AS DOUBLE)
+        |      - 0.5 AS DECIMAL(38,12)) AS gn
+        |  FROM runs
+        |), m AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(sum(gp) OVER w AS DECIMAL(38,12)) AS mp,
+        |    CAST(sum(gn) OVER w AS DECIMAL(38,12)) AS mn
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), ph AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(mp - min(mp) OVER w AS DECIMAL(38,12)) AS php,
+        |    CAST(mn - min(mn) OVER w AS DECIMAL(38,12)) AS phn
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, ts, value,
+        |  round(CAST(php AS DOUBLE), 6) + 0.0 AS ph_pos,
+        |  round(CAST(phn AS DOUBLE), 6) + 0.0 AS ph_neg,
+        |  CASE WHEN php > 500.00 AND phn > 500.00 THEN 'both'
+        |       WHEN php > 500.00 THEN 'hi' ELSE 'lo' END AS side
+        |FROM ph WHERE php > 500.00 OR phn > 500.00
+        |ORDER BY user_id, ts, event_id""".stripMargin,
 
     // Brier + Murphy decomposition: the a53 scored test set, per-row
     // squares and per-bin terms quantized to DECIMAL(38,18) and summed

@@ -521,6 +521,66 @@ object Analytics {
       .drop("__wp", "__wn")
   }
 
+  /** Page–Hinkley drift detector per key — [[cusum]]'s sibling for the
+    * SELF-REFERENCED mean: deviations accumulate against the series'
+    * own running mean x̄_t = S_t/t (no target to configure), two-sided:
+    *
+    *   g⁺_t = x_t − x̄_t − δ,   M⁺_T = Σ_{t≤T} g⁺_t,
+    *   alarm when M⁺_T − min_{s≤T} M⁺_s > λ   (g⁻/M⁻ mirrored)
+    *
+    * — the change detector for streams whose baseline is unknown or
+    * slowly wandering (Page 1954; the standard PH form with the
+    * inclusive running mean).
+    *
+    * Determinism: x stabilizes to DECIMAL(18,2), S_t is an exact
+    * running decimal; each g_t is ONE fixed IEEE sequence
+    * (x − S/t − δ as doubles) quantized to DECIMAL(38,12), so the
+    * running M sums and prefix mins are exact and alarms are
+    * bit-identical across engines and partition layouts. Published
+    * scores are canonical DOUBLEs (the no-DECIMAL output contract).
+    *
+    * Scale shape: one per-key sort feeding four window passes over the
+    * same frame — keys parallelize, no per-key state beyond the frame.
+    */
+  def pageHinkley(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, delta: Double, lambda: java.math.BigDecimal,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(delta >= 0, s"delta must be >= 0, got $delta")
+    require(lambda.signum > 0, s"lambda must be > 0, got $lambda")
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val q = DecimalType(38, 12)
+    val runs = df
+      .where(col(tsCol).isNotNull && col(measure).isNotNull && dec.isNotNull)
+      .withColumn("__s", sum(dec).over(w))
+      .withColumn("__t", count(lit(1)).over(w))
+    val mean = col("__s").cast(DoubleType) / col("__t").cast(DoubleType)
+    val x = dec.cast(DoubleType)
+    val scored = runs
+      .withColumn("__gp", (x - mean - lit(delta)).cast(q))
+      .withColumn("__gn", (mean - x - lit(delta)).cast(q))
+      .withColumn("__mp", sum(col("__gp")).over(w))
+      .withColumn("__mn", sum(col("__gn")).over(w))
+      .withColumn("__php", col("__mp") - min(col("__mp")).over(w))
+      .withColumn("__phn", col("__mn") - min(col("__mn")).over(w))
+    val th = lit(lambda)
+    scored
+      .where(col("__php") > th || col("__phn") > th)
+      .withColumn("side",
+        when(col("__php") > th && col("__phn") > th, "both")
+          .when(col("__php") > th, "hi").otherwise("lo"))
+      // round-6 after the wide-decimal→double cast (a16 discipline:
+      // raw int128 past 2^53 double-rounds differently in DuckDB)
+      .withColumn("ph_pos",
+        round(col("__php").cast(DoubleType), 6) + lit(0.0))
+      .withColumn("ph_neg",
+        round(col("__phn").cast(DoubleType), 6) + lit(0.0))
+      .drop("__s", "__t", "__gp", "__gn", "__mp", "__mn", "__php", "__phn")
+  }
+
   /** Global 1-based row number in `sortCols` order WITHOUT the
     * single-task global window: `row_number() OVER (ORDER BY …)` puts
     * 100 TB through ONE task (Spark's empty-partitionBy window), which
@@ -1977,6 +2037,50 @@ object Analytics {
         (round(abs(meanScore - fracPos), 6) + lit(0.0)).as("gap"),
         (round(col("__gapsum").cast(DoubleType) / col("__N"), 6)
           + lit(0.0)).as("ece"))
+  }
+
+  /** Paired t-test over per-unit difference pairs — the sibling of
+    * [[welchTTest]] for WITHIN-unit comparisons (each unit supplies
+    * both arms, so between-unit variance cancels): per unit the
+    * caller-defined pair sums (exact decimals) difference to d_u, and
+    *
+    *   t = d̄·√n / s_d,   s_d² = (n·Σd² − (Σd)²) / (n(n−1))
+    *
+    * Determinism: d is an exact DECIMAL(38,2) difference of two exact
+    * sums; Σd and Σd² (operands pre-cast DECIMAL(28,2) → int128
+    * multiply) are exact; t is one fixed IEEE tree from them, round-6.
+    * Degenerate gates: n ≤ 1 or zero variance → NULL t.
+    *
+    * One groupBy(unit) + one 1-row aggregate — two shuffles, both
+    * map-side combined.
+    *
+    * @param armA rows counted into the unit's first-arm sum
+    * @param armB rows counted into the unit's second-arm sum
+    */
+  def pairedTTest(df: DataFrame, unitCol: String, measure: String,
+      armA: Column, armB: Column): DataFrame = {
+    val v = col(measure).cast(DecimalType(18, 2))
+    val z = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))
+    val per = df.where(col(unitCol).isNotNull && v.isNotNull)
+      .groupBy(col(unitCol))
+      .agg(
+        coalesce(sum(when(armA, v)), z).cast(DecimalType(38, 2)).as("__xa"),
+        coalesce(sum(when(armB, v)), z).cast(DecimalType(38, 2)).as("__xb"))
+    val d = (col("__xa") - col("__xb")).cast(DecimalType(28, 2))
+    val agg = per.select(d.as("__d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__d")).cast(DoubleType).as("__sd"),
+        sum((col("__d") * col("__d")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("__sdd"))
+    val nD = col("n").cast(DoubleType)
+    val meanD = col("__sd") / nD
+    val varNum = nD * col("__sdd") - col("__sd") * col("__sd")
+    val sd = sqrt(varNum / (nD * (nD - lit(1.0))))
+    val tStat = meanD * sqrt(nD) / sd
+    agg.select(col("n"),
+      (round(meanD, 6) + lit(0.0)).as("mean_diff"),
+      when(col("n") > 1 && varNum > 0, round(tStat, 6) + lit(0.0))
+        .otherwise(lit(null).cast(DoubleType)).as("t_stat"))
   }
 
   /** Brier score with the Murphy (1973) decomposition — the proper

@@ -99,4 +99,75 @@ class CusumSpec extends SparkTestBase {
     assert(BigDecimal(last.getAs[java.math.BigDecimal]("s_pos")) ===
       BigDecimal(176))
   }
+
+  // ---- Page–Hinkley (ts17) ----
+
+  /** Textbook PH recurrence with the inclusive running mean, double
+    * deviations quantized to 12 decimals like the operator. */
+  private def phReference(xs: Seq[Double], delta: Double)
+      : Seq[(BigDecimal, BigDecimal)] = {
+    var s = BigDecimal(0)
+    var mp = BigDecimal(0)
+    var mn = BigDecimal(0)
+    var minP: BigDecimal = null
+    var minN: BigDecimal = null
+    xs.zipWithIndex.map { case (x, i) =>
+      s += BigDecimal(x)
+      val mean = s.toDouble / (i + 1).toDouble // the operator's double div
+      def q(d: Double) = BigDecimal(d).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP)
+      mp += q(x - mean - delta)
+      mn += q(mean - x - delta)
+      // prefix min INCLUDES the current row (the frame has no virtual 0)
+      minP = if (minP == null) mp else minP.min(mp)
+      minN = if (minN == null) mn else minN.min(mn)
+      (mp - minP, mn - minN)
+    }
+  }
+
+  test("pageHinkley: a mean shift alarms on the hi side where the " +
+      "stable prefix stays silent; scores match the recurrence") {
+    val values = Seq.fill(20)(50.0) ++ Seq.fill(20)(58.0)
+    val rows = values.zipWithIndex.map { case (v, i) =>
+      (1L, i.toLong, ts(f"2024-01-01 00:${i}%02d:00"), v)
+    }
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.pageHinkley(df, Seq("user_id"), "ts", "value",
+      delta = 0.5, lambda = new java.math.BigDecimal("30.00"),
+      tieBreak = Seq("event_id"))
+      .orderBy("event_id").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("side") == "hi"))
+    val ref = phReference(values, 0.5)
+    val byId = out.map(r =>
+      r.getAs[Long]("event_id") -> r.getAs[Double]("ph_pos")).toMap
+    // every alarm row's score equals the recurrence, rounded 6
+    byId.foreach { case (id, ph) =>
+      val want = ref(id.toInt)._1.setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(ph - want) < 1e-9, s"row $id")
+    }
+    // the stable prefix never alarms at this lambda
+    assert(byId.keys.min >= 20L)
+  }
+
+  test("pageHinkley: constant series never alarms; partition count " +
+      "does not matter; null time/measure rows are excluded") {
+    val flat = (0 until 30).map(i =>
+      (1L, i.toLong, ts(f"2024-01-01 00:${i}%02d:00"), 42.0))
+    val none = Analytics.pageHinkley(
+      flat.toDF("user_id", "event_id", "ts", "value"),
+      Seq("user_id"), "ts", "value", 0.1,
+      new java.math.BigDecimal("1.00"), Seq("event_id"))
+    assert(none.count() === 0L)
+    val drift = (0 until 40).map(i =>
+      (1L, i.toLong, ts(f"2024-01-01 00:${i}%02d:00"), 50.0 + i * 0.8))
+    def run(parts: Int) = Analytics.pageHinkley(
+      drift.toDF("user_id", "event_id", "ts", "value").repartition(parts),
+      Seq("user_id"), "ts", "value", 0.5,
+      new java.math.BigDecimal("10.00"), Seq("event_id"))
+      .orderBy("event_id")
+      .select("event_id", "ph_pos", "ph_neg", "side").collect().toSeq
+    assert(run(1) === run(7))
+  }
 }

@@ -649,6 +649,38 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(c._1 === 0.25 && c._2 === 0.0 && c._3 === 0.0 && c._4 === 0.25)
   }
 
+  // ---- paired t-test (a62) ----
+
+  test("pairedTTest: hand-computed differences, missing arms count " +
+      "as zero, degenerate gates") {
+    // unit 1: arms (10, 4) -> d=6; unit 2: (5, 3) -> d=2;
+    // unit 3: A only (7, -) -> d=7
+    val df = Seq(
+      (1L, "a", 10.0), (1L, "b", 4.0),
+      (2L, "a", 5.0), (2L, "b", 3.0),
+      (3L, "a", 7.0)).toDF("u", "arm", "v")
+    val r = Analytics.pairedTTest(df, "u", "v",
+      armA = col("arm") === "a", armB = col("arm") === "b")
+      .select("n", "mean_diff", "t_stat")
+      .as[(Long, Double, Option[Double])].head()
+    assert(r._1 === 3L)
+    assert(r._2 === 5.0)
+    // d = (6, 2, 7): sd^2 = 7, t = 5*sqrt(3)/sqrt(7)
+    val want = 5.0 * math.sqrt(3.0) / math.sqrt(7.0)
+    assert(math.abs(r._3.get - want) < 1e-6)
+    // constant differences -> zero variance -> NULL t
+    val const = Seq((1L, "a", 5.0), (2L, "a", 5.0)).toDF("u", "arm", "v")
+    val c = Analytics.pairedTTest(const, "u", "v",
+      armA = col("arm") === "a", armB = col("arm") === "b")
+      .select("t_stat").as[Option[Double]].head()
+    assert(c.isEmpty)
+    // single unit -> NULL t
+    val one = Analytics.pairedTTest(df.where(col("u") === 1L), "u", "v",
+      armA = col("arm") === "a", armB = col("arm") === "b")
+      .select("n", "t_stat").as[(Long, Option[Double])].head()
+    assert(one === ((1L, None)))
+  }
+
   // ---- Ljung–Box (ts16) ----
 
   test("ljungBox: alternating series has huge Q, the lag terms fold " +
