@@ -2230,6 +2230,20 @@ object SparkEntry {
       Analytics.brierDecomposition(scored, "score", "label", bins = 10)
     }),
 
+    // ---- time series: additive Holt–Winters per key — ts8's Holt
+    // plus a 24-component seasonal state (triple smoothing for series
+    // with drift AND a daily cycle). Sorted fold, warm-up rows not
+    // emitted; raw doubles (the ts3/ts8 bit-identical-chain
+    // convention), oracled by a recursive CTE carrying the seasonal
+    // LIST.
+    "ts18_holt_winters" -> ((s, dir) =>
+      Analytics.holtWinters(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        alpha = 0.5, beta = 0.25, gamma = 0.5, period = 24,
+        tieBreak = Seq("event_id"))
+        .orderBy("user_id", "ts", "event_id")),
+
     // ---- evaluation: paired t-test — within-unit AM-vs-PM consumption
     // shift (each user supplies both arms, between-user variance
     // cancels). d is an exact decimal difference of two exact sums;
@@ -8948,6 +8962,52 @@ object SparkEntry {
         |    6) + 0.0 AS gap,
         |  round(CAST(gapsum AS DOUBLE) / nn, 6) + 0.0 AS ece
         |FROM per, tot ORDER BY bin""".stripMargin,
+
+    // Holt–Winters: the ts3/ts8 recursive-CTE pattern with the
+    // seasonal state carried as a LIST; init level is one exact
+    // decimal sum / 24, every step spells the engine's duplicated
+    // l' tree token-for-token
+    "ts18_holt_winters" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS xd,
+        |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |k AS (SELECT user_id FROM o GROUP BY user_id
+        |  HAVING COUNT(*) > 24),
+        |init AS (SELECT o.user_id,
+        |    CAST(SUM(CAST(o.xd AS DECIMAL(38,2))) AS DOUBLE) / 24.0 AS l0
+        |  FROM o JOIN k USING (user_id) WHERE o.rn <= 24
+        |  GROUP BY o.user_id),
+        |seas0 AS (SELECT o.user_id,
+        |    list(o.x - i.l0 ORDER BY o.rn) AS seas
+        |  FROM o JOIN init i USING (user_id) WHERE o.rn <= 24
+        |  GROUP BY o.user_id),
+        |r AS (
+        |  SELECT i.user_id, 24 AS rn, i.l0 AS l,
+        |    CAST(0.0 AS DOUBLE) AS b,
+        |    s.seas AS seas, CAST(NULL AS DOUBLE) AS s_out
+        |  FROM init i JOIN seas0 s USING (user_id)
+        |  UNION ALL
+        |  SELECT o.user_id, CAST(o.rn AS INT),
+        |    0.5 * (o.x - r.seas[1]) + 0.5 * (r.l + r.b),
+        |    0.25 * ((0.5 * (o.x - r.seas[1]) + 0.5 * (r.l + r.b)) - r.l)
+        |      + 0.75 * r.b,
+        |    r.seas[2:] ||
+        |      [0.5 * (o.x - (0.5 * (o.x - r.seas[1])
+        |         + 0.5 * (r.l + r.b))) + 0.5 * r.seas[1]],
+        |    0.5 * (o.x - (0.5 * (o.x - r.seas[1])
+        |      + 0.5 * (r.l + r.b))) + 0.5 * r.seas[1]
+        |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT r.user_id, o.ts, o.event_id, o.x AS value,
+        |  r.l AS level, r.b AS trend, r.s_out AS seasonal
+        |FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn
+        |WHERE r.rn > 24
+        |ORDER BY r.user_id, o.ts, o.event_id""".stripMargin,
 
     // paired t: exact per-user arm sums and decimal differences, the
     // identical IEEE t tree, degenerate gates mirrored

@@ -1141,6 +1141,97 @@ object Analytics {
           element_at(col("__f.bs"), col("__i") + 1).as("trend")): _*)
   }
 
+  /** Additive Holt–Winters per key — [[holt]] plus a seasonal state of
+    * `period` components (the triple-smoothing forecaster for series
+    * with BOTH drift and a repeating cycle):
+    *
+    *   init (t = m):  l = mean(x_1..x_m),  b = 0,  s_i = x_i − l
+    *   t > m:         l' = α(x_t − s_{t−m}) + (1−α)(l + b)
+    *                  b' = β(l' − l) + (1−β)b
+    *                  s' = γ(x_t − l') + (1−γ)s_{t−m}
+    *
+    * (the standard simple initialization; rows t ≤ m carry the warm-up
+    * and are not emitted, like [[seasonalDecompose]]'s edges). Keys
+    * with ≤ `period` observations emit nothing.
+    *
+    * Determinism: the init level is an exact-decimal sum divided once;
+    * every step is a fixed IEEE tree over doubles with l' SPELLED
+    * TWICE in b'/s' (SQL cannot reference a same-select alias, so the
+    * engine duplicates the same expression tree — the [[holt]]
+    * convention), making the chains bit-identical to the oracle's
+    * recursive CTE, which carries the seasonal state as a LIST.
+    *
+    * Scale shape: the [[holt]] sorted fold — one shuffle to collect
+    * each key's series, one map-side fold; keys parallelize, state is
+    * O(period) per key. The per-key history contract (users/devices/
+    * sensors) bounds the collected array like ewma/holt.
+    */
+  def holtWinters(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, alpha: Double, beta: Double, gamma: Double,
+      period: Int, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1], got $beta")
+    require(gamma >= 0 && gamma <= 1, s"gamma must be in [0, 1], got $gamma")
+    require(period >= 2 && period <= 10000,
+      s"period must be in [2, 10000], got $period")
+    require(keyCols.nonEmpty, "holtWinters needs at least one key column")
+    val m = period
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val ordNames = tsCol +: tieBreak
+    val rowStruct = struct(
+      ordNames.map(col) :+ dec.as("__xd") :+
+        dec.cast(DoubleType).as("__x"): _*)
+    val grouped = df
+      .where(col(tsCol).isNotNull && col(measure).isNotNull && dec.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(rowStruct)).as("__s"))
+      .where(size(col("__s")) > m)
+    val warm = slice(col("__s"), 1, m)
+    val zeroDec = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))
+    val l0 = aggregate(warm, zeroDec,
+      (acc, e) => (acc + e.getField("__xd")).cast(DecimalType(38, 2)))
+      .cast(DoubleType) / lit(m.toDouble)
+    val rest = slice(col("__s"), lit(m + 1), size(col("__s")) - m)
+    val a = lit(alpha); val a1 = lit(1.0 - alpha)
+    val g = lit(beta); val g1 = lit(1.0 - beta)
+    val c = lit(gamma); val c1 = lit(1.0 - gamma)
+    val da = ArrayType(DoubleType)
+    val init = struct(col("__l0").as("l"), lit(0.0).as("b"),
+      transform(warm, e => e.getField("__x") - col("__l0")).as("seas"),
+      array().cast(da).as("ls"), array().cast(da).as("bs"),
+      array().cast(da).as("ss"))
+    val step = (acc: Column, e: Column) => {
+      val x = e.getField("__x")
+      val pl = acc.getField("l"); val pb = acc.getField("b")
+      val sm = element_at(acc.getField("seas"), 1)
+      val nl = a * (x - sm) + a1 * (pl + pb)
+      // nl is spelled (not referenced) in nb/ns — the holt convention
+      val nb = g * (nl - pl) + g1 * pb
+      val ns = c * (x - nl) + c1 * sm
+      struct(nl.as("l"), nb.as("b"),
+        concat(slice(acc.getField("seas"), 2, m - 1), array(ns))
+          .as("seas"),
+        concat(acc.getField("ls"), array(nl)).as("ls"),
+        concat(acc.getField("bs"), array(nb)).as("bs"),
+        concat(acc.getField("ss"), array(ns)).as("ss"))
+    }
+    val folded = grouped
+      .withColumn("__l0", l0)
+      .withColumn("__f", aggregate(rest, init, step,
+        acc => struct(acc.getField("ls").as("ls"),
+          acc.getField("bs").as("bs"), acc.getField("ss").as("ss"))))
+      .withColumn("__rest", rest)
+    folded
+      .select(keyCols.map(col) :+ col("__f") :+
+        posexplode(col("__rest")).as(Seq("__i", "__r")): _*)
+      .select(keyCols.map(col) ++
+        ordNames.map(n => col(s"__r.$n").as(n)) ++ Seq(
+          col("__r.__x").as(measure),
+          element_at(col("__f.ls"), col("__i") + 1).as("level"),
+          element_at(col("__f.bs"), col("__i") + 1).as("trend"),
+          element_at(col("__f.ss"), col("__i") + 1).as("seasonal")): _*)
+  }
+
   /** Additive seasonal decomposition per key — the classical
     * trend/seasonal/residual split (STL's moving-average ancestor)
     * over the observation SEQUENCE: trend is a centered `period`-row

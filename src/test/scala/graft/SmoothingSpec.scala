@@ -377,6 +377,41 @@ class SmoothingSpec extends SparkTestBase {
     assert(z1 < 0)
   }
 
+  test("holtWinters: hand recurrence with period 2, warm-up rows not " +
+      "emitted, short keys dropped, partition invariance") {
+    // key 1: x = 10, 20, 14, 26, 18 with m = 2
+    // init (t=2): l = 15, b = 0, seas = (-5, 5)
+    val xs = Seq(10.0, 20.0, 14.0, 26.0, 18.0)
+    val rows = xs.zipWithIndex.map { case (v, i) =>
+      (1L, i.toLong, i.toLong, v) } ++
+      Seq((2L, 0L, 0L, 7.0), (2L, 1L, 1L, 9.0)) // exactly m rows: dropped
+    def run(parts: Int) = Analytics.holtWinters(
+      rows.toDF("k", "tsl", "id", "v").repartition(parts)
+        .withColumn("ts", col("tsl").cast("timestamp")),
+      Seq("k"), "ts", "v", alpha = 0.5, beta = 0.25, gamma = 0.5,
+      period = 2, tieBreak = Seq("id"))
+      .orderBy("k", "ts")
+      .select("k", "v", "level", "trend", "seasonal")
+      .as[(Long, Double, Double, Double, Double)].collect().toSeq
+    val out = run(1)
+    assert(out === run(7))
+    assert(out.map(_._1).distinct === Seq(1L)) // key 2 has no t > m
+    assert(out.size === 3) // t = 3, 4, 5
+    // reference fold
+    var l = 15.0; var b = 0.0; var seas = Vector(-5.0, 5.0)
+    val want = xs.drop(2).map { x =>
+      val sm = seas(0)
+      val nl = 0.5 * (x - sm) + 0.5 * (l + b)
+      val nb = 0.25 * (nl - l) + 0.75 * b
+      val ns = 0.5 * (x - nl) + 0.5 * sm
+      seas = seas.drop(1) :+ ns; l = nl; b = nb
+      (nl, nb, ns)
+    }
+    out.zip(want).foreach { case (got, (wl, wb, ws)) =>
+      assert(got._3 === wl); assert(got._4 === wb); assert(got._5 === ws)
+    }
+  }
+
   test("mannKendall: merge-count S is bit-equal to the definitional " +
     "O(m^2) pair scan on random tied sequences") {
     def pairScanS(xs: Array[Double]): Long = {
