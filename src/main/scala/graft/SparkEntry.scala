@@ -2244,6 +2244,28 @@ object SparkEntry {
         tieBreak = Seq("event_id"))
         .orderBy("user_id", "ts", "event_id")),
 
+    // ---- time series: the STREAMING Page–Hinkley twin under the
+    // driver oracle (the ts2s pattern) — sealed alarms are bit-equal
+    // to ts17's window closed form by the PageHinkleyStream parity
+    // contract; the SAME oracle SQL re-derives them plus the stream's
+    // typed-key observation contract.
+    "ts17s_ph_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id").cast(LongType).as("user_id"),
+          col("event_id").cast(LongType).as("event_id"),
+          col("ts"), col("value").cast("double").as("value"))
+      val (root, stream) = streamTwinSource(s, ev, "ts17s")
+      val alarms = graft.streaming.PageHinkleyStream.alarms(s, stream,
+        "ts", "value", delta = 0.5,
+        lambda = new java.math.BigDecimal("500.00"),
+        watermark = "1 hour")
+      runStreamTwin(s, root, alarms.toDF())
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("ph_pos"), col("ph_neg"), col("side"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // ---- evaluation: paired t-test — within-unit AM-vs-PM consumption
     // shift (each user supplies both arms, between-user variance
     // cancels). d is an exact decimal difference of two exact sums;
@@ -9050,6 +9072,55 @@ object SparkEntry {
         |    CAST(value AS DECIMAL(18,2)) AS x
         |  FROM events
         |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL
+        |), runs AS (
+        |  SELECT event_id, user_id, ts, value, x,
+        |    CAST(sum(CAST(x AS DECIMAL(28,2))) OVER w AS DECIMAL(38,2))
+        |      AS s,
+        |    CAST(count(*) OVER w AS BIGINT) AS t
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), g AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+        |      - 0.5 AS DECIMAL(38,12)) AS gp,
+        |    CAST(CAST(s AS DOUBLE) / CAST(t AS DOUBLE) - CAST(x AS DOUBLE)
+        |      - 0.5 AS DECIMAL(38,12)) AS gn
+        |  FROM runs
+        |), m AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(sum(gp) OVER w AS DECIMAL(38,12)) AS mp,
+        |    CAST(sum(gn) OVER w AS DECIMAL(38,12)) AS mn
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), ph AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(mp - min(mp) OVER w AS DECIMAL(38,12)) AS php,
+        |    CAST(mn - min(mn) OVER w AS DECIMAL(38,12)) AS phn
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, ts, value,
+        |  round(CAST(php AS DOUBLE), 6) + 0.0 AS ph_pos,
+        |  round(CAST(phn AS DOUBLE), 6) + 0.0 AS ph_neg,
+        |  CASE WHEN php > 500.00 AND phn > 500.00 THEN 'both'
+        |       WHEN php > 500.00 THEN 'hi' ELSE 'lo' END AS side
+        |FROM ph WHERE php > 500.00 OR phn > 500.00
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // streaming PH twin: the sealed alarms ARE ts17's closed form
+    // (PageHinkleyStream parity contract) plus the stream's typed-key
+    // observation contract
+"ts17s_ph_stream" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(value AS DECIMAL(18,2)) AS x
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND user_id IS NOT NULL AND event_id IS NOT NULL
         |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL
         |), runs AS (
         |  SELECT event_id, user_id, ts, value, x,
