@@ -4039,6 +4039,87 @@ object SparkEntry {
         threshold = 3.0)
         .orderBy("event_type", "day")),
 
+    // ---- prep: lexical schema advisor over an all-string landing —
+    // the reference's CSV shape profiled in ONE pass: per column,
+    // recognizer match counts and the narrowest covering type
+    // (explicit anchored regexes shared with the oracle; engine casts
+    // disagree on string edge cases and never decide here). The
+    // renderings below are the identity-stable ones (ints, decimals,
+    // dates, zero-fraction timestamps) so both engines profile the
+    // same strings.
+    "p9_schema_advisor" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val raw = o.select(
+        col("o_orderkey").cast(StringType).as("id_str"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast(StringType)
+          .as("price_str"),
+        col("o_orderdate").cast(DateType).cast(StringType).as("date_str"),
+        col("o_orderdate").cast(TimestampType).cast(StringType)
+          .as("ts_str"),
+        col("o_orderpriority").as("priority_str"),
+        when(col("o_orderkey") % 10 === 0, lit(null: String))
+          .otherwise(col("o_orderkey").cast(StringType)).as("mixed_str"))
+      Normalize.schemaAdvisor(raw, Seq("id_str", "price_str", "date_str",
+        "ts_str", "priority_str", "mixed_str"))
+        .orderBy("col_name")
+    }),
+
+    // ---- data quality: source↔mirror reconciliation — the CDC
+    // replication loop under the driver oracle. A CDF-enabled source
+    // takes an append + keyed upsert + delete; VersionedSink's
+    // streaming mirror applies the feed exactly-once; the report is a
+    // FULL-OUTER per-key comparison (row counts both sides, rows only
+    // one side, value mismatches) plus the exact value total. The
+    // oracle derives the final logical state independently, so a
+    // mirror that dropped/duplicated/mis-applied anything reddens.
+    "dq8_mirror_reconcile" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_id").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          col("value").cast(DoubleType).as("value"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_dq8").toString
+      val src = root + "/src"
+      val dst = root + "/dst"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, src, StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      vt.alterProperties(s, src, Map(vt.CdcProperty -> "true"))
+      vt.append(s, ev.where(col("event_id") % 2 === 0), src)
+      vt.append(s, ev.where(col("event_id") % 2 === 1), src)
+      vt.upsert(s, ev.where(col("event_id") % 100 === 3)
+        .withColumn("value", lit(0.0)), src, "event_id")
+      vt.deleteByKeys(s, src,
+        ev.where(col("event_id") % 7 === 0).select("event_id"))
+      val q = graft.streaming.VersionedSink.startReplicateCDF(s,
+        src, dst, "dq8-mirror", "event_id", root + "/ckpt")
+      q.awaitTermination(300000)
+      // presence markers, not data columns: a NULL attribute must not
+      // read as "row absent" on either side
+      val a = vt.read(s, src).select(col("event_id"), lit(1L).as("pa"),
+        col("event_type").as("ta"), col("value").as("va"))
+      val b = vt.read(s, dst).select(col("event_id"), lit(1L).as("pb"),
+        col("event_type").as("tb"), col("value").as("vb"))
+      val out = a.join(b, Seq("event_id"), "full_outer")
+        .agg(
+          count(col("pa")).as("n_src"),
+          count(col("pb")).as("n_dst"),
+          sum(when(col("pa").isNotNull && col("pb").isNull, 1L)
+            .otherwise(0L)).as("n_only_src"),
+          sum(when(col("pa").isNull && col("pb").isNotNull, 1L)
+            .otherwise(0L)).as("n_only_dst"),
+          sum(when(col("pa").isNotNull && col("pb").isNotNull &&
+            (!(col("ta") <=> col("tb")) || !(col("va") <=> col("vb"))),
+            1L).otherwise(0L)).as("n_mismatch"),
+          sum(col("vb").cast(DecimalType(38, 2)))
+            .cast(DoubleType).as("sum_value_dst"))
+        .localCheckpoint(true)
+      rmTree(root)
+      out
+    }),
+
     // ---- data quality: sequence-gap audit — which id ranges never
     // landed? The "rejected at ingest" set here is readings above the
     // 95.0 sensor ceiling; the report is every maximal missing run as
@@ -10866,6 +10947,82 @@ object SparkEntry {
         |  ON d.event_type IS NOT DISTINCT FROM med.event_type
         |JOIN mad ON d.event_type IS NOT DISTINCT FROM mad.event_type
         |ORDER BY d.event_type, d.day""".stripMargin,
+
+    // schema advisor: the identical anchored recognizers over the
+    // identical identity-stable renderings, one block per column
+    "p9_schema_advisor" -> {
+      val cols = Seq(
+        ("id_str", "CAST(o_orderkey AS VARCHAR)"),
+        ("price_str",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("date_str", "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"),
+        ("ts_str", "CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR)"),
+        ("priority_str", "o_orderpriority"),
+        ("mixed_str",
+          "CASE WHEN o_orderkey % 10 = 0 THEN NULL " +
+            "ELSE CAST(o_orderkey AS VARCHAR) END"))
+      val blocks = cols.map { case (name, e) =>
+        s"""SELECT '$name' AS col_name,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN v IS NULL OR v = '' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null,
+           |  CAST(SUM(CASE WHEN regexp_matches(v, '^-?[0-9]+$$')
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+           |  CAST(SUM(CASE WHEN regexp_matches(v,
+           |      '^-?[0-9]+\\.[0-9]+$$')
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_double,
+           |  CAST(SUM(CASE WHEN regexp_matches(v,
+           |      '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$')
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
+           |  CAST(SUM(CASE WHEN regexp_matches(v,
+           |      '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?$$')
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+           |  CASE
+           |    WHEN COUNT(*) - SUM(CASE WHEN v IS NULL OR v = ''
+           |      THEN 1 ELSE 0 END) = 0 THEN 'string'
+           |    WHEN SUM(CASE WHEN regexp_matches(v, '^-?[0-9]+$$')
+           |        THEN 1 ELSE 0 END)
+           |      = COUNT(*) - SUM(CASE WHEN v IS NULL OR v = ''
+           |        THEN 1 ELSE 0 END) THEN 'bigint'
+           |    WHEN SUM(CASE WHEN regexp_matches(v, '^-?[0-9]+$$')
+           |        THEN 1 ELSE 0 END)
+           |      + SUM(CASE WHEN regexp_matches(v,
+           |          '^-?[0-9]+\\.[0-9]+$$') THEN 1 ELSE 0 END)
+           |      = COUNT(*) - SUM(CASE WHEN v IS NULL OR v = ''
+           |        THEN 1 ELSE 0 END) THEN 'double'
+           |    WHEN SUM(CASE WHEN regexp_matches(v,
+           |        '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$') THEN 1 ELSE 0 END)
+           |      = COUNT(*) - SUM(CASE WHEN v IS NULL OR v = ''
+           |        THEN 1 ELSE 0 END) THEN 'date'
+           |    WHEN SUM(CASE WHEN regexp_matches(v,
+           |        '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?$$')
+           |        THEN 1 ELSE 0 END)
+           |      = COUNT(*) - SUM(CASE WHEN v IS NULL OR v = ''
+           |        THEN 1 ELSE 0 END) THEN 'timestamp'
+           |    ELSE 'string' END AS suggested
+           |FROM (SELECT $e AS v FROM orders) q_$name""".stripMargin
+      }
+      blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    // mirror reconciliation: the oracle derives the final logical
+    // state directly from the fixture — matched mirrors mean zeros in
+    // every discrepancy column and the exact value total
+    "dq8_mirror_reconcile" ->
+      """WITH final AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 100 = 3 THEN 0.0
+        |         ELSE CAST(value AS DOUBLE) END AS value
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND event_id % 7 <> 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_src,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dst,
+        |  CAST(0 AS BIGINT) AS n_only_src,
+        |  CAST(0 AS BIGINT) AS n_only_dst,
+        |  CAST(0 AS BIGINT) AS n_mismatch,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE)
+        |    AS sum_value_dst
+        |FROM final""".stripMargin,
 
     // id gaps: the same missing-run report via one global lead()
     // (fine at oracle scale; the engine uses anti-joins + the o5

@@ -105,6 +105,57 @@ object Normalize {
         col("n_mode"): _*)
   }
 
+  /** Lexical schema advisor for ALL-STRING landings (the reference's
+    * CSV shape, §2.1 S1): per column, count how many values match each
+    * type recognizer and suggest the narrowest type covering every
+    * non-null value. Recognizers are EXPLICIT anchored regexes (the
+    * Java∩RE2 subset, shared verbatim with the oracle) — never engine
+    * casts, which disagree across engines on string edge cases
+    * ('12.5' → BIGINT truncates in one engine and nulls in another; an
+    * ingest advisor must not inherit that).
+    *
+    * Suggestion ladder (first complete cover wins): bigint → double
+    * (longs promote) → date → timestamp → string; empty strings count
+    * as null, an all-null column stays string.
+    *
+    * ONE aggregate pass computes every column's counts (map-side
+    * combine — at 100 TB the advice costs one scan, not one per
+    * column); the per-column rows then unfold from the single row.
+    */
+  def schemaAdvisor(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "schemaAdvisor needs at least one column")
+    val LongRe = "^-?[0-9]+$"
+    val DoubleRe = "^-?[0-9]+\\.[0-9]+$"
+    val DateRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+    val TsRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2} " +
+      "[0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?$"
+    val structs = cols.map { c =>
+      val v = col(c).cast(StringType)
+      def n(cond: Column) = sum(when(cond, 1L).otherwise(0L))
+      struct(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        n(v.isNull || v === "").as("n_null"),
+        n(v.rlike(LongRe)).as("n_long"),
+        n(v.rlike(DoubleRe)).as("n_double"),
+        n(v.rlike(DateRe)).as("n_date"),
+        n(v.rlike(TsRe)).as("n_ts"))
+    }
+    val nonNull = col("c.n_rows") - col("c.n_null")
+    df.agg(array(structs: _*).as("__a"))
+      .select(explode(col("__a")).as("c"))
+      .select(col("c.col_name").as("col_name"),
+        col("c.n_rows").as("n_rows"), col("c.n_null").as("n_null"),
+        col("c.n_long").as("n_long"), col("c.n_double").as("n_double"),
+        col("c.n_date").as("n_date"), col("c.n_ts").as("n_ts"),
+        when(nonNull === 0L, "string")
+          .when(col("c.n_long") === nonNull, "bigint")
+          .when(col("c.n_long") + col("c.n_double") === nonNull, "double")
+          .when(col("c.n_date") === nonNull, "date")
+          .when(col("c.n_ts") === nonNull, "timestamp")
+          .otherwise("string").as("suggested"))
+  }
+
   /** Median imputation: null `measure` values are replaced by the
     * per-group exact median (Spark's sort-based `percentile`, which is
     * bit-equal to `quantile_cont` — the a18 precedent); non-null values

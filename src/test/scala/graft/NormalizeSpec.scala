@@ -90,4 +90,30 @@ class NormalizeSpec extends SparkTestBase {
       ("g2", Some(10.0)), ("g2", Some(10.0)),
       ("g3", None)))
   }
+
+  test("schemaAdvisor: suggestion ladder, null/empty handling, " +
+      "mixed columns fall back to string") {
+    val df = Seq(
+      ("1", "1.5", "2024-01-02", "2024-01-02 03:04:05", "a", null),
+      ("-22", "7", "2024-12-31", "2024-01-02 03:04:05.125", "2x", ""),
+      ("3", "-0.25", "2024-06-15", "2024-01-02 03:04:05", "", "9"))
+      .toDF("ints", "nums", "days", "times", "mixed", "sparse")
+    val out = Normalize.schemaAdvisor(df,
+      Seq("ints", "nums", "days", "times", "mixed", "sparse"))
+      .orderBy("col_name")
+      .select("col_name", "n_rows", "n_null", "suggested")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      ("days", 3L, 0L, "date"),
+      ("ints", 3L, 0L, "bigint"),
+      ("mixed", 3L, 1L, "string"), // "a"/"2x" match nothing
+      ("nums", 3L, 0L, "double"),  // longs promote into double
+      ("sparse", 3L, 2L, "bigint"),
+      ("times", 3L, 0L, "timestamp")))
+    // all-null column stays string
+    val empty = Seq((null: String), "", null).toDF("c")
+    val e = Normalize.schemaAdvisor(empty, Seq("c"))
+      .select("n_null", "suggested").as[(Long, String)].head()
+    assert(e === ((3L, "string")))
+  }
 }
