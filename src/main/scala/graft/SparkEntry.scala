@@ -3221,6 +3221,23 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("n_1h"), col("avg_1h"))
         .orderBy("event_id")),
 
+    // ---- W12: rolling trailing-window correlation — per-user
+    // trendiness: value against hours-since-2024 over the last 24
+    // observations (the rolling-beta primitive). Exact decimal window
+    // moments, the shared pearsonNumDen chain, raw doubles (every
+    // conversion < 2^53 at these magnitudes).
+    "w12_rolling_corr" -> ((s, dir) =>
+      Analytics.rollingCorrelation(
+        t(s, dir, "events")
+          .withColumn("hrs",
+            (expr("unix_micros(ts) div 3600000000L") - 473352L)
+              .cast(DoubleType)),
+        keyCols = Seq("user_id"), tsCol = "ts",
+        xCol = "value", yCol = "hrs", windowRows = 24,
+        tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("roll_corr"))
+        .orderBy("event_id")),
+
     // ---- W9: ranking family (ntile / percent_rank / cume_dist) ----
     // Deterministic: the order key (value, event_id) is unique per
     // partition, so rank == row_number and the (rank-1)/(n-1) and
@@ -11333,6 +11350,39 @@ object SparkEntry {
         |  FROM l GROUP BY doc_id, u.line)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // rolling correlation: identical window moments (operand-pinned
+    // decimal products), the identical pearson chain, raw doubles
+    "w12_rolling_corr" ->
+      """WITH b AS (SELECT event_id, user_id, ts,
+        |    CAST(value AS DECIMAL(18,2)) AS x,
+        |    CAST(CAST((epoch_us(ts) // 3600000000) - 473352 AS DOUBLE)
+        |      AS DECIMAL(18,2)) AS y
+        |  FROM events
+        |  WHERE ts IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |s AS (SELECT event_id, user_id,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |    CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,4))) OVER w AS DOUBLE)
+        |      AS sxx,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(38,4))) OVER w AS DOUBLE)
+        |      AS syy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,4))) OVER w AS DOUBLE)
+        |      AS sxy
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |   sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS roll_corr
+        |FROM s
+        |WHERE n = 24 AND
+        |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |   sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) > 0
+        |ORDER BY event_id""".stripMargin,
 
     // unique order key per partition => rank==row_number, divisions are
     // the same IEEE ops in both engines

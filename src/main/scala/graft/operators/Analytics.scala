@@ -1925,6 +1925,56 @@ object Analytics {
           + lit(0.0)).as("q_stat")): _*)
   }
 
+  /** Rolling trailing-window Pearson correlation between two measures
+    * per key — the "rolling beta" primitive (pairs monitoring, sensor
+    * cross-checks, trendiness when `y` is a time index): over the last
+    * `windowRows` observations at every row,
+    *
+    *   ρ = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²))
+    *
+    * Rows before a full window, and windows with a degenerate
+    * denominator (constant x or y), are excluded.
+    *
+    * Determinism: both measures stabilize to DECIMAL(18,2); every
+    * window sum is exact decimal (product operands pinned to
+    * DECIMAL(38,4)), and ρ is the shared [[pearsonNumDen]] IEEE chain
+    * over their exact double conversions — emitted RAW (the ts4
+    * convention; with in-contract magnitudes every conversion is below
+    * 2^53 and bit-exact).
+    *
+    * Scale shape: one per-key sort feeding six sums over ONE window
+    * frame — keys parallelize, no per-key state beyond the frame.
+    */
+  def rollingCorrelation(df: DataFrame, keyCols: Seq[String],
+      tsCol: String, xCol: String, yCol: String, windowRows: Int,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(windowRows >= 3 && windowRows <= 1000000,
+      s"windowRows must be in [3, 1000000], got $windowRows")
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(windowRows - 1).toLong, Window.currentRow)
+    val x = col(xCol).cast(DecimalType(18, 2))
+    val y = col(yCol).cast(DecimalType(18, 2))
+    val p = DecimalType(38, 4)
+    val base = df.where(col(tsCol).isNotNull &&
+      x.isNotNull && y.isNotNull)
+    val sums = base
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(x).over(w).cast(DoubleType))
+      .withColumn("__sy", sum(y).over(w).cast(DoubleType))
+      .withColumn("__sxx", sum((x * x).cast(p)).over(w).cast(DoubleType))
+      .withColumn("__syy", sum((y * y).cast(p)).over(w).cast(DoubleType))
+      .withColumn("__sxy", sum((x * y).cast(p)).over(w).cast(DoubleType))
+    val (num, den) = pearsonNumDen(col("__n").cast(DoubleType),
+      col("__sx"), col("__sy"), col("__sxx"), col("__syy"), col("__sxy"))
+    sums
+      .withColumn("__den", den)
+      .where(col("__n") === windowRows.toLong && col("__den") > 0)
+      .withColumn("roll_corr", num / col("__den"))
+      .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy", "__den")
+  }
+
   /** Threshold-streak (run-length) profile per key: contiguous runs of
     * rows satisfying `flag` in time order — "longest stretch above the
     * limit", "how many excursions" (uptime/SLA/overload analysis; the

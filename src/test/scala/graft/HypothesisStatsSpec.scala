@@ -649,6 +649,37 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(c._1 === 0.25 && c._2 === 0.0 && c._3 === 0.0 && c._4 === 0.25)
   }
 
+  // ---- rolling correlation (w12) ----
+
+  test("rollingCorrelation: perfect linear window reads 1, " +
+      "anti-linear -1, constant windows are gated, partial windows " +
+      "are not emitted") {
+    // x tracks y exactly for 6 rows, then mirrors it for 6
+    val rows = (0 until 6).map(i =>
+      (1L, i.toLong, i.toLong, i * 2.0)) ++
+      (6 until 12).map(i => (1L, i.toLong, i.toLong, -i * 2.0)) ++
+      (0 until 5).map(i => (2L, i.toLong, i.toLong, 7.0)) // constant x
+    val df = rows.toDF("k", "tsl", "idx", "v")
+      .withColumn("ts", col("tsl").cast("timestamp"))
+      .withColumn("y", col("idx").cast("double"))
+    val out = Analytics.rollingCorrelation(df, Seq("k"), "ts",
+      "v", "y", windowRows = 3, tieBreak = Seq("idx"))
+      .select("k", "idx", "roll_corr")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // key 2 (constant x) never emits; key 1 rows 0,1 lack a full window
+    assert(out.forall(_._1 == 1L))
+    assert(out.map(_._2).min === 2L)
+    val m = out.map(r => r._2 -> r._3).toMap
+    assert(math.abs(m(2L) - 1.0) < 1e-12)  // fully ascending window
+    assert(math.abs(m(11L) + 1.0) < 1e-12) // fully descending window
+    // partition invariance
+    val again = Analytics.rollingCorrelation(df.repartition(7), Seq("k"),
+      "ts", "v", "y", 3, Seq("idx"))
+      .select("k", "idx", "roll_corr")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(out === again)
+  }
+
   // ---- paired t-test (a62) ----
 
   test("pairedTTest: hand-computed differences, missing arms count " +
