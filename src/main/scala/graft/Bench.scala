@@ -191,7 +191,11 @@ object Bench {
       benches.lastOption.map { f =>
         val txt = try java.nio.file.Files.readString(f.toPath)
           catch { case _: Exception => "" }
-        val pair = """\\?"([a-z][a-z0-9_]*)\\?":([0-9]+(?:\.[0-9]+)?)""".r
+        // times in the full-precision line are raw Double toString —
+        // sub-millisecond entries render in scientific notation, and a
+        // mantissa-only match would turn 9.0E-4 into a phantom 9 s prior
+        val pair =
+          """\\?"([a-z][a-z0-9_]*)\\?":([0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
         pair.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filter { case (k, _) => picked.contains(k) }
@@ -360,7 +364,10 @@ object Bench {
     // (the r1-r3 artifacts stored only a tail and the full line
     // overflowed it). The compact line keeps the SLOWEST queries — the
     // ones perf grading needs — and says how many tiny ones it dropped.
-    val fullQs = all.map { case (k, v) => s"\"" + k + "\":" + v }
+    // fixed-point rendering: raw Double toString goes scientific below
+    // 1e-3, which both weakens JSON consumers and (pre-fix) poisoned
+    // the next round's prior-artifact parse
+    val fullQs = all.map { case (k, v) => f""""$k":$v%.6f""" }
       .mkString("{", ",", "}")
     val repsJson = perRep.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"

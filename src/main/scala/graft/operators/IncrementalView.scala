@@ -71,9 +71,11 @@ object IncrementalView {
   val ScaleProperty = "graft.mv.scale"
   val SourceVersionProperty = "graft.mv.source.version"
   /** Optional JOIN enrichment: a dimension table inner-joined into the
-    * fact rows before aggregation — at create AND at every delta. */
+    * fact rows before aggregation — at create AND at every delta,
+    * always AS OF the version stamped at create time. */
   val DimProperty = "graft.mv.dim"
   val DimJoinProperty = "graft.mv.dimjoin"
+  val DimVersionProperty = "graft.mv.dim.version"
 
   /** Synthetic single-column group key (the view table's upsert /
     * delete key). `\u0001`-joined, null-distinguishing encoding.
@@ -224,8 +226,12 @@ object IncrementalView {
         !f.contains("=") && !dc.contains("="),
         s"join key '$f=$dc' must not contain ';' or '='") }
     val (version, _) = VersionedTable.latest(spark, source)
+    // pin the dim snapshot ONCE: every later delta joins this exact
+    // version (see [[enriched]] — exactness by construction)
+    val dimVersion = dim.map(d =>
+      VersionedTable.latest(spark, d)._1).getOrElse(0L)
     val snap = enriched(spark, VersionedTable.read(spark, source),
-      dim, dimJoin)
+      dim, dimJoin, dimVersion)
     val state = stateOf(snap, parseSpecs(keys), parseSpecs(measures),
       parseSpecs(minmax), parseSpecs(approxDistinct),
       parseSpecs(quantile), quantileEps,
@@ -246,7 +252,8 @@ object IncrementalView {
       SourceVersionProperty -> version.toString,
       DimProperty -> dim.getOrElse(""),
       DimJoinProperty ->
-        dimJoin.map { case (f, d) => s"$f=$d" }.mkString(";")))
+        dimJoin.map { case (f, d) => s"$f=$d" }.mkString(";"),
+      DimVersionProperty -> dimVersion.toString))
   }
 
   private case class Spec(source: String, keys: Seq[String],
@@ -254,7 +261,8 @@ object IncrementalView {
       quantile: Seq[String], quantileEps: Double,
       theta: Seq[String], thetaK: Int,
       scale: Int, stampedVersion: Long,
-      dim: Option[String], dimJoin: Seq[(String, String)])
+      dim: Option[String], dimJoin: Seq[(String, String)],
+      dimVersion: Long)
 
   private def splitSpecs(s: String): Seq[String] =
     s.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
@@ -278,28 +286,34 @@ object IncrementalView {
       splitSpecs(props.getOrElse(DimJoinProperty, "")).map { p =>
         val a = p.split("=", 2)
         (a(0).trim, a(1).trim)
-      })
+      },
+      props.getOrElse(DimVersionProperty, "0").toLong)
   }
 
-  /** Inner-join the dimension's CURRENT snapshot into fact-shaped rows
-    * (a CDF delta keeps its `_change_type` tag through the join). The
-    * dim side's join columns drop so a shared name can never turn
-    * ambiguous downstream.
+  /** Inner-join the dimension AS OF the version stamped at view-create
+    * time into fact-shaped rows (a CDF delta keeps its `_change_type`
+    * tag through the join). The dim side's join columns drop so a
+    * shared name can never turn ambiguous downstream.
     *
-    * Exactness contract: a fold-maintained join view needs every
-    * already-folded fact row to join to the SAME dim row when its
-    * delete/update arrives later — i.e. dim rows must be immutable on
-    * the join key (static or append-only dimension; version an SCD the
-    * usual way and join on the version key instead). Fact rows without
-    * a match carry nothing, and so do their deletes — consistent.
+    * Exactness by construction: PINNING the dim version makes the
+    * enrichment a pure function of the fact row, so a fact row's
+    * delete/update joins to exactly what its insert joined to — a dim
+    * key appearing (or a row changing) AFTER create can never corrupt
+    * already-folded state, and the delta fold and the touched-group
+    * recompute inside one refresh can never see two dim states. A
+    * moved dimension means a different view: rebuild (the standard MV
+    * contract), or version the SCD and join on the version key. Fact
+    * rows without a match carry nothing, and so do their deletes —
+    * consistent.
     */
   private def enriched(spark: SparkSession, rows: DataFrame,
-      dim: Option[String], dimJoin: Seq[(String, String)]): DataFrame =
+      dim: Option[String], dimJoin: Seq[(String, String)],
+      dimVersion: Long): DataFrame =
     dim match {
       case None => rows
       case Some(d) =>
         require(dimJoin.nonEmpty, "join view needs at least one join key")
-        val dimDf = VersionedTable.read(spark, d)
+        val dimDf = VersionedTable.read(spark, d, dimVersion)
         val cond = dimJoin.map { case (f, dc) => rows(f) === dimDf(dc) }
           .reduce(_ && _)
         dimJoin.foldLeft(rows.join(dimDf, cond, "inner")) {
@@ -368,7 +382,7 @@ object IncrementalView {
     // A join view enriches the delta rows against the dimension FIRST
     // (exactly the changed rows hit the join, never the fact table).
     val delta = stateOf(
-      enriched(spark, cdf, spec.dim, spec.dimJoin),
+      enriched(spark, cdf, spec.dim, spec.dimJoin, spec.dimVersion),
       keySpecs, measureSpecs, minmaxSpecs,
       approxSpecs, quantileSpecs, spec.quantileEps,
       thetaSpecs, spec.thetaK, scale, sign)
@@ -383,7 +397,7 @@ object IncrementalView {
           // past the epoch belongs to later windows
           val snap = enriched(spark,
             VersionedTable.read(spark, spec.source, epoch),
-            spec.dim, spec.dimJoin)
+            spec.dim, spec.dimJoin, spec.dimVersion)
           val pruned = keyed(snap, keySpecs)
             .join(delta.select(KeyCol), Seq(KeyCol), "left_semi")
           val aggs =

@@ -1383,9 +1383,13 @@ object VersionedTable {
       toVersion: Long): Seq[Option[String]] = {
     val f = fs(spark, table)
     ((math.max(fromVersion, 0L) + 1) to toVersion)
-      .filter(v => v >= 1 && f.exists(commitPath(table, v)))
+      .filter(_ >= 1)
       .map { v =>
-        readManifestRaw(f, table, v).collectFirst {
+        // a vacuumed manifest is UNKNOWN (None), never skipped — a
+        // caller like insertOnlyRange must not certify a window whose
+        // commits it cannot see
+        if (!f.exists(commitPath(table, v))) None
+        else readManifestRaw(f, table, v).collectFirst {
           case l if l.startsWith(OpPrefix) => l.drop(OpPrefix.length)
         }
       }

@@ -660,6 +660,41 @@ class IncrementalViewSpec extends SparkTestBase {
     assert(state() === Map("Alpha" -> ((2L, 12.0)), "Beta" -> ((1L, 7.0))))
   }
 
+  test("join view: the dim version is PINNED at create — a key that " +
+      "lands in the dimension later never enriches, so a folded " +
+      "dim-miss row's delete cannot corrupt state") {
+    val root = tmp()
+    val src = mkSource(root)
+    val dim = root + "/dim"
+    VersionedTable.create(spark, dim, StructType(Seq(
+      StructField("dk", StringType), StructField("dname", StringType))))
+    VersionedTable.append(spark,
+      Seq(("a", "Alpha")).toDF("dk", "dname"), dim)
+    VersionedTable.append(spark, Seq(
+      (1L, "a", 10.0), (2L, "z", 99.0)) // 'z' missing from the dim
+      .toDF("id", "g", "v"), src)
+    val view = root + "/mv"
+    IncrementalView.create(spark, src, view,
+      Seq("dname"), Seq("v"),
+      dim = Some(dim), dimJoin = Seq(("g", "dk")))
+    // the dim gains 'z' AFTER create (an append-only dim in the wild)
+    VersionedTable.append(spark,
+      Seq(("z", "Zeta")).toDF("dk", "dname"), dim)
+    // deleting the folded dim-miss row must carry nothing out: were the
+    // delete enriched against the CURRENT dim it would join to Zeta and
+    // subtract state that was never added (n_rows = -1)
+    VersionedTable.deleteByKeys(spark, src, Seq(2L).toDF("id"))
+    // a new fact row for 'z' also stays invisible — pinned enrichment
+    // is a pure function; a moved dimension means a rebuilt view
+    VersionedTable.append(spark,
+      Seq((3L, "z", 5.0)).toDF("id", "g", "v"), src)
+    IncrementalView.refresh(spark, view)
+    val got = IncrementalView.read(spark, view)
+      .select("dname", "n_rows", "sum_v")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(("Alpha", 1L, 10.0)))
+  }
+
   test("join view: non-additive state recomputes touched groups " +
       "through the SAME enrichment under a delete") {
     val root = tmp()
