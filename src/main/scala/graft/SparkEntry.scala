@@ -809,6 +809,39 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- J18: hierarchical as-of with a global fallback — "use the
+    // key's own calibration series when it has one, else the
+    // fleet-wide series". Per-key as-of (inner) takes every probe it
+    // can; an anti-join routes the remainder (keys without a series,
+    // or probes before their series starts) through the keyless
+    // global as-of; the source column says which path answered.
+    "j18_asof_fallback" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = t(s, dir, "orders")
+      val perUser = o.where(col("o_custkey") % 3 === 0)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("best_price"))
+      val global = o.groupBy(col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("best_price"))
+      val matched = AsOfJoin.auto(ev, perUser,
+        leftTime = "ts", rightTime = "o_orderdate",
+        by = Seq(("user_id", "o_custkey")),
+        valueCols = Seq(("best_price", "asof_price")), inner = true)
+        .withColumn("source", lit("user"))
+      val rest = ev.join(matched.select("event_id"),
+        Seq("event_id"), "left_anti")
+      val fell = AsOfJoin.backward(rest, global,
+        leftTime = "ts", rightTime = "o_orderdate", by = Nil,
+        valueCols = Seq(("best_price", "asof_price")), inner = true)
+        .withColumn("source", lit("global"))
+      matched.select("event_id", "user_id", "asof_price", "source")
+        .unionByName(
+          fell.select("event_id", "user_id", "asof_price", "source"))
+        .orderBy("event_id")
+    }),
+
     // ---- J2: distributed backward as-of join ----
     "j2_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -2265,6 +2298,28 @@ object SparkEntry {
           col("ph_pos"), col("ph_neg"), col("side"))
         .orderBy("user_id", "ts", "event_id")
     }),
+
+    // ---- evaluation: effect sizes — Cohen's d / Hedges' g per event
+    // type between the even- and odd-user arms (a38/a42's split); the
+    // magnitude companion to significance, exact moments, gated.
+    "a63_effect_size" -> ((s, dir) =>
+      Analytics.effectSize(
+        t(s, dir, "events")
+          .where(col("user_id").isNotNull)
+          .withColumn("grp",
+            when(col("user_id") % 2 === 0, "a").otherwise("b")),
+        keyCols = Seq("event_type"), groupCol = "grp",
+        groupA = "a", groupB = "b", measure = "value")
+        .orderBy("event_type")),
+
+    // ---- sampling: deterministic stratified k-fold assignment — the
+    // cross-validation split builder (round-robin in md5 order within
+    // each language stratum; per-stratum fold sizes differ by ≤ 1).
+    "s16_kfold" -> ((s, dir) =>
+      Sampling.kFoldAssign(t(s, dir, "documents"), "lang", "doc_id",
+        k = 5)
+        .select("doc_id", "lang", "fold")
+        .orderBy("doc_id")),
 
     // ---- evaluation: paired t-test — within-unit AM-vs-PM consumption
     // shift (each user supplies both arms, between-user variance
@@ -8228,6 +8283,28 @@ object SparkEntry {
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
 
+    // hierarchical as-of: per-key ASOF takes what it can, the anti-join
+    // remainder goes through the keyless global ASOF
+    "j18_asof_fallback" ->
+      """WITH ev AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE user_id IS NOT NULL),
+        |pu AS (SELECT o_custkey AS cust, o_orderdate AS d,
+        |    MAX(o_totalprice) AS bp
+        |  FROM orders WHERE o_custkey % 3 = 0 GROUP BY 1, 2),
+        |g AS (SELECT o_orderdate AS d, MAX(o_totalprice) AS bp
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT ev.event_id, ev.user_id, pu.bp AS asof_price
+        |  FROM ev ASOF JOIN pu
+        |    ON ev.user_id = pu.cust AND ev.ts >= pu.d),
+        |r AS (SELECT * FROM ev
+        |  WHERE event_id NOT IN (SELECT event_id FROM m)),
+        |f AS (SELECT r.event_id, r.user_id, g.bp AS asof_price
+        |  FROM r ASOF JOIN g ON r.ts >= g.d)
+        |SELECT event_id, user_id, asof_price, 'user' AS source FROM m
+        |UNION ALL
+        |SELECT event_id, user_id, asof_price, 'global' AS source FROM f
+        |ORDER BY event_id""".stripMargin,
+
     "f2_offset_parse" ->
       """SELECT o_orderkey,
         |  CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '-05:00',
@@ -9128,6 +9205,60 @@ object SparkEntry {
         |FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn
         |WHERE r.rn > 24
         |ORDER BY r.user_id, o.ts, o.event_id""".stripMargin,
+
+    // effect sizes: identical conditional exact moments, the identical
+    // pooled-variance IEEE tree (CTE aliases equal the engine's
+    // duplicated trees — duplication never changes a deterministic
+    // double), gates mirrored
+    "a63_effect_size" ->
+      """WITH p AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+        |    CAST(value AS DECIMAL(18,2)) AS xd
+        |  FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |a AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN grp = 'a' THEN xd END) AS DOUBLE) AS sa,
+        |    CAST(SUM(CASE WHEN grp = 'a'
+        |      THEN CAST(xd * xd AS DECIMAL(38,4)) END) AS DOUBLE) AS ssa,
+        |    CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN grp = 'b' THEN xd END) AS DOUBLE) AS sb,
+        |    CAST(SUM(CASE WHEN grp = 'b'
+        |      THEN CAST(xd * xd AS DECIMAL(38,4)) END) AS DOUBLE) AS ssb
+        |  FROM p GROUP BY event_type),
+        |e AS (SELECT event_type, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    sa / CAST(n_a AS DOUBLE) AS ma, sb / CAST(n_b AS DOUBLE) AS mb,
+        |    (CAST(n_a AS DOUBLE) * ssa - sa * sa)
+        |      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS va,
+        |    (CAST(n_b AS DOUBLE) * ssb - sb * sb)
+        |      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS vb
+        |  FROM a),
+        |f AS (SELECT event_type, n_a, n_b, na, nb, ma, mb,
+        |    ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)
+        |      AS pooled
+        |  FROM e)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND pooled > 0
+        |    THEN round((ma - mb) / sqrt(pooled), 6) + 0.0
+        |    ELSE NULL END AS cohens_d,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND pooled > 0
+        |    THEN round(((ma - mb) / sqrt(pooled))
+        |      * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)), 6) + 0.0
+        |    ELSE NULL END AS hedges_g
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // k-fold: the identical md5-order round-robin per stratum
+    "s16_kfold" ->
+      """SELECT doc_id, lang,
+        |  CAST((row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(concat('0x',
+        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |      doc_id) - 1) % 5 AS INT) AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // paired t: exact per-user arm sums and decimal differences, the
     // identical IEEE t tree, degenerate gates mirrored

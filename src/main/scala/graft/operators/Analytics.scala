@@ -2180,6 +2180,55 @@ object Analytics {
           + lit(0.0)).as("ece"))
   }
 
+  /** Cohen's d and Hedges' g effect sizes per key — the magnitude
+    * companion to [[welchTTest]]'s significance (a tiny p with a
+    * trivial d is the classic big-data trap):
+    *
+    *   d = (m̄_A − m̄_B) / s_p,
+    *   s_p² = ((n_A−1)v_A + (n_B−1)v_B) / (n_A+n_B−2),
+    *   g = d · (1 − 3/(4(n_A+n_B) − 9))   (small-sample correction)
+    *
+    * Exact decimal power sums per arm in ONE conditional-aggregate
+    * pass; d and g are fixed IEEE trees, round-6. Keys with an arm
+    * under 2 observations or zero pooled variance report NULL.
+    */
+  def effectSize(df: DataFrame, keyCols: Seq[String], groupCol: String,
+      groupA: String, groupB: String, measure: String): DataFrame = {
+    require(keyCols.nonEmpty, "effectSize needs at least one key column")
+    val v = col(measure).cast(DecimalType(18, 2))
+    val inA = col(groupCol) === groupA
+    val inB = col(groupCol) === groupB
+    def n(cond: Column) = sum(when(cond, 1L).otherwise(0L))
+    def sm(cond: Column) =
+      sum(when(cond, v)).cast(DoubleType)
+    def ss(cond: Column) =
+      sum(when(cond, (v * v).cast(DecimalType(38, 4)))).cast(DoubleType)
+    val agg = df
+      .where(v.isNotNull && (inA || inB))
+      .groupBy(keyCols.map(col): _*)
+      .agg(n(inA).as("n_a"), sm(inA).as("__sa"), ss(inA).as("__ssa"),
+        n(inB).as("n_b"), sm(inB).as("__sb"), ss(inB).as("__ssb"))
+    val na = col("n_a").cast(DoubleType)
+    val nb = col("n_b").cast(DoubleType)
+    val ma = col("__sa") / na
+    val mb = col("__sb") / nb
+    val va = (na * col("__ssa") - col("__sa") * col("__sa")) /
+      (na * (na - lit(1.0)))
+    val vb = (nb * col("__ssb") - col("__sb") * col("__sb")) /
+      (nb * (nb - lit(1.0)))
+    val pooled = ((na - lit(1.0)) * va + (nb - lit(1.0)) * vb) /
+      (na + nb - lit(2.0))
+    val d = (ma - mb) / sqrt(pooled)
+    val g = d * (lit(1.0) - lit(3.0) /
+      (lit(4.0) * (na + nb) - lit(9.0)))
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L && pooled > 0
+    agg.select(keyCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+      when(ok, round(d, 6) + lit(0.0))
+        .otherwise(lit(null).cast(DoubleType)).as("cohens_d"),
+      when(ok, round(g, 6) + lit(0.0))
+        .otherwise(lit(null).cast(DoubleType)).as("hedges_g")): _*)
+  }
+
   /** Paired t-test over per-unit difference pairs — the sibling of
     * [[welchTTest]] for WITHIN-unit comparisons (each unit supplies
     * both arms, so between-unit variance cancels): per unit the

@@ -316,6 +316,28 @@ object Sampling {
       .drop("__rn", "__s", "__alloc")
   }
 
+  /** Deterministic stratified k-fold assignment — the cross-validation
+    * split builder: within each stratum, rows take folds round-robin
+    * in md5-hash order, so per-stratum fold sizes differ by at most
+    * one, the assignment is RNG-free and re-derivable in any engine
+    * with md5(), and train/eval splits are `fold =!= i` / `fold === i`
+    * filters. A null stratum is a real stratum (the dq6 discipline).
+    *
+    * Scale shape: one per-stratum window (strata parallelize; the
+    * per-stratum numbering is the same bounded-history contract as
+    * s15's quota take).
+    */
+  def kFoldAssign(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2, 1000], got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(Dedup.md5Hash60(col(idCol).cast("string")).asc,
+        col(idCol).asc)
+    df.withColumn("fold",
+      ((row_number().over(w) - 1L) % k).cast("int"))
+  }
+
   def bottomKSample(df: DataFrame, groupCol: Column, idCol: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -649,6 +649,37 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(c._1 === 0.25 && c._2 === 0.0 && c._3 === 0.0 && c._4 === 0.25)
   }
 
+  // ---- effect sizes (a63) ----
+
+  test("effectSize: hand-computed Cohen's d and the Hedges correction; " +
+      "degenerate arms gate to NULL") {
+    // arm a: 1, 3 (m=2, v=2); arm b: 5, 9 (m=7, v=8); pooled = 5
+    val df = Seq(("k", "a", 1.0), ("k", "a", 3.0),
+      ("k", "b", 5.0), ("k", "b", 9.0)).toDF("key", "grp", "v")
+    val r = Analytics.effectSize(df, Seq("key"), "grp", "a", "b", "v")
+      .select("n_a", "n_b", "cohens_d", "hedges_g")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(r._1 === 2L && r._2 === 2L)
+    val d = (2.0 - 7.0) / math.sqrt(5.0)
+    assert(math.abs(r._3.get - BigDecimal(d).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    val g = d * (1.0 - 3.0 / (4.0 * 4.0 - 9.0))
+    assert(math.abs(r._4.get - BigDecimal(g).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    // single-observation arm, and constant arms -> NULL
+    val one = Analytics.effectSize(
+      Seq(("k", "a", 1.0), ("k", "b", 2.0), ("k", "b", 3.0))
+        .toDF("key", "grp", "v"), Seq("key"), "grp", "a", "b", "v")
+      .select("cohens_d").as[Option[Double]].head()
+    assert(one.isEmpty)
+    val const = Analytics.effectSize(
+      Seq(("k", "a", 5.0), ("k", "a", 5.0), ("k", "b", 5.0),
+        ("k", "b", 5.0)).toDF("key", "grp", "v"),
+      Seq("key"), "grp", "a", "b", "v")
+      .select("cohens_d").as[Option[Double]].head()
+    assert(const.isEmpty)
+  }
+
   // ---- rolling correlation (w12) ----
 
   test("rollingCorrelation: perfect linear window reads 1, " +

@@ -91,6 +91,28 @@ class SamplingSpec extends SparkTestBase {
       .count() === 29L)
   }
 
+  test("kFoldAssign: balanced within strata (sizes differ by <= 1), " +
+      "deterministic, null stratum is a real stratum") {
+    val strata = docs.limit(103).withColumn("g",
+      when(col("doc_id") % 3 === 0, lit(null: String))
+        .otherwise((col("doc_id") % 3).cast("string")))
+    val out = Sampling.kFoldAssign(strata, "g", "doc_id", 4)
+      .select("g", "fold").as[(Option[String], Int)].collect().toSeq
+    assert(out.size === 103)
+    assert(out.map(_._2).toSet === Set(0, 1, 2, 3))
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      val sizes = rows.groupBy(_._2).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"stratum $g unbalanced")
+    }
+    // the null stratum got assigned too
+    assert(out.exists(_._1.isEmpty))
+    val again = Sampling.kFoldAssign(strata.repartition(11), "g",
+      "doc_id", 4).select("g", "fold")
+      .as[(Option[String], Int)].collect().toSeq
+    assert(out.sortBy(r => (r._1.toString, r._2)) ===
+      again.sortBy(r => (r._1.toString, r._2)))
+  }
+
   test("resampleToMix keeps ~fraction per group, deterministically") {
     val mix = Map("src0" -> 0.5, "src1" -> 0.0)
     def run() = Sampling.resampleToMix(docs, col("source"), col("doc_id"),
