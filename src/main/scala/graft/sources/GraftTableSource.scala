@@ -455,9 +455,31 @@ private[sources] class GraftTable(path: String, dataSchema: StructType,
 private[graft] object GraftTableScan {
   /** Diagnostic/test hook: (kept, total) files of the most recent batch
     * planning — how much the stats-based skipping actually pruned.
+    * GLOBAL and therefore racy under parallel suites — prefer
+    * [[plannedFor]], which is keyed by table path.
     */
   private[graft] val lastPlanned =
     new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  /** Per-table planning telemetry: last (kept, total) for each table
+    * path — immune to concurrent scans of OTHER tables (the global
+    * hook's parallel-suite race). Keys normalize through the Hadoop
+    * Path URI so `file:/x/t` and `/x/t` compare equal.
+    */
+  private[graft] val plannedByTable =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  private def normPath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  private[graft] def recordPlanned(table: String, v: (Int, Int)): Unit = {
+    lastPlanned.set(v)
+    plannedByTable.put(normPath(table), v)
+    ()
+  }
+
+  private[graft] def plannedFor(table: String): (Int, Int) =
+    plannedByTable.getOrDefault(normPath(table), (0, 0))
 
   val VersionCol = "_commit_version"
   val FileCol = "_file"
@@ -899,7 +921,7 @@ private[sources] class GraftTableScan(path: String, dataSchema: StructType,
           pushedTopN.map { case (c, desc) =>
             (VersionedTable.statsKeyCandidates(Some(dataSchema), c), desc)
           })
-      GraftTableScan.lastPlanned.set((limited.size, files.size))
+      GraftTableScan.recordPlanned(path, (limited.size, files.size))
       // provenance lookup only when the query asked for the version col
       val provenance =
         if (!partSchema.fieldNames.contains(GraftTableScan.VersionCol))

@@ -38,7 +38,8 @@ class BloomSkipSpec extends SparkTestBase {
     VersionedTable.append(spark, df, t)
   }
 
-  private def planned: (Int, Int) = GraftTableScan.lastPlanned.get()
+  // per-table telemetry: the global hook races under parallel suites
+  private def planned(t: String): (Int, Int) = GraftTableScan.plannedFor(t)
   private def load(t: String) = spark.read.format("graft-table").load(t)
 
   test("point lookups on a scattered column plan only the bloom-hit files") {
@@ -54,7 +55,7 @@ class BloomSkipSpec extends SparkTestBase {
     assert(load(t).where(col("fp") === probe).count() ===
       spark.range(4000).where(col("id") * 2654435761L % 4001 === probe)
         .count())
-    val (p1, total1) = planned
+    val (p1, total1) = planned(t)
     assert(total1 === 8 && p1 <= 2,
       s"bloom probe should plan ~1 of 8 files, planned $p1")
 
@@ -63,24 +64,24 @@ class BloomSkipSpec extends SparkTestBase {
     // probabilistically, so allow a stray false-positive file; the
     // ANSWER is exact regardless
     assert(load(t).where(col("fp") === 3683L).count() === 0L)
-    assert(planned._1 <= 1,
-      s"absent value should plan ~0 files, planned ${planned._1}")
+    assert(planned(t)._1 <= 1,
+      s"absent value should plan ~0 files, planned ${planned(t)._1}")
 
     // string column blooms prune the same way
     assert(load(t).where(col("s") === f"doc-$probe%06d").count() >= 1L)
-    assert(planned._1 <= 2, "string bloom must prune")
+    assert(planned(t)._1 <= 2, "string bloom must prune")
 
     // small IN-set: union of per-value hits
     val probes = Seq(11L, 222L, 3333L).map(_ * 2654435761L % 4001)
     assert(load(t).where(col("fp").isin(probes: _*)).count() === 3L)
-    assert(planned._1 <= 4, "IN-set bloom probes must prune")
+    assert(planned(t)._1 <= 4, "IN-set bloom probes must prune")
 
     // bloomskipping=false parity: same answers, no bloom pruning
     val viaBloom = load(t).where(col("fp") === probe).count()
     val raw = spark.read.format("graft-table")
       .option("bloomskipping", "false").load(t)
       .where(col("fp") === probe).count()
-    assert(planned._1 === 8, "opt-out must scan all files")
+    assert(planned(t)._1 === 8, "opt-out must scan all files")
     assert(raw === viaBloom)
   }
 
@@ -88,7 +89,7 @@ class BloomSkipSpec extends SparkTestBase {
     val t = Files.createTempDirectory("bloom_b").toString + "/t"
     scattered(t, withBlooms = false)
     assert(load(t).where(col("fp") === 42L).count() <= 1L)
-    assert(planned._1 === 8, "no blooms, overlapping bounds: full scan")
+    assert(planned(t)._1 === 8, "no blooms, overlapping bounds: full scan")
   }
 
   test("range predicates and nulls never consult blooms; answers exact") {
@@ -96,7 +97,7 @@ class BloomSkipSpec extends SparkTestBase {
     scattered(t, withBlooms = true)
     // range predicate: blooms can't answer it; bounds on k still do
     assert(load(t).where(col("k") < 500).count() === 500L)
-    assert(planned._1 === 1, "k is range-clustered: bounds prune")
+    assert(planned(t)._1 === 1, "k is range-clustered: bounds prune")
     // a full scan query stays byte-identical to the parquet truth
     val viaLake = load(t).orderBy("k").collect()
     val direct = spark.range(4000).toDF("k")
@@ -112,7 +113,7 @@ class BloomSkipSpec extends SparkTestBase {
     VersionedTable.compact(spark, t, numFiles = 4)
     val probe = 123L * 2654435761L % 4001
     assert(load(t).where(col("fp") === probe).count() === 1L)
-    val (p, total) = planned
+    val (p, total) = planned(t)
     assert(total === 4 && p <= 2,
       s"post-compaction blooms should prune, planned $p of $total")
   }

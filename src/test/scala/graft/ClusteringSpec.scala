@@ -17,7 +17,8 @@ import graft.sources.{GraftCatalog, GraftTableScan, VersionedTable}
 class ClusteringSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def planned: (Int, Int) = GraftTableScan.lastPlanned.get()
+  // per-table telemetry: the global hook races under parallel suites
+  private def planned(t: String): (Int, Int) = GraftTableScan.plannedFor(t)
   private def load(t: String) = spark.read.format("graft-table").load(t)
 
   /** Shuffled 1000-row frame: k in [0,1000) in RANDOM row order, so any
@@ -56,16 +57,16 @@ class ClusteringSpec extends SparkTestBase {
     val (_, files) = VersionedTable.latest(spark, t)
     assert(files.size === 4, "clustered append fans out to 4 range files")
     assert(load(t).where(col("k") === 555).count() === 1L)
-    assert(planned === ((1, 4)),
+    assert(planned(t) === ((1, 4)),
       "a point lookup on shuffled-but-clustered input plans ONE file")
     assert(load(t).where(col("k").between(10, 240)).count() === 231L)
-    assert(planned._1 === 1, "250-row ranges: [10,240] sits in one file")
+    assert(planned(t)._1 === 1, "250-row ranges: [10,240] sits in one file")
 
     // a second unsorted append clusters independently — the point
     // query now hits exactly one file per commit
     noCoalesce { VersionedTable.append(spark, shuffled(2), t) }
     assert(load(t).where(col("k") === 555).count() === 2L)
-    assert(planned === ((2, 8)))
+    assert(planned(t) === ((2, 8)))
   }
 
   test("a frame missing a cluster column still appends (layout, not gate)") {
@@ -111,7 +112,7 @@ class ClusteringSpec extends SparkTestBase {
     noCoalesce { VersionedTable.append(spark,
       shuffled(4).withColumnRenamed("k", "key"), t) }
     assert(load(t).where(col("key") === 77).count() === 2L)
-    assert(planned === ((2, 8)), "pre- and post-rename files both prune")
+    assert(planned(t) === ((2, 8)), "pre- and post-rename files both prune")
     val e = intercept[IllegalArgumentException] {
       VersionedTable.dropColumn(spark, t, "key")
     }
@@ -128,7 +129,7 @@ class ClusteringSpec extends SparkTestBase {
     val (_, files) = VersionedTable.latest(spark, t)
     assert(files.size === 4)
     assert(load(t).where(col("k") === 321).count() === 2L)
-    assert(planned === ((1, 4)),
+    assert(planned(t) === ((1, 4)),
       "compaction re-clusters instead of round-robining the layout away")
     // answers survive the re-layout
     assert(load(t).agg(sum("k")).head().getLong(0) === 2L * 999 * 1000 / 2)
@@ -144,7 +145,7 @@ class ClusteringSpec extends SparkTestBase {
     }
     assert(load(t).where(col("k") === 55).select("v").head().getDouble(0)
       === -1.0)
-    val (p, n) = planned
+    val (p, n) = planned(t)
     assert(p < n, "post-upsert point lookup still skips files")
   }
 
@@ -162,7 +163,7 @@ class ClusteringSpec extends SparkTestBase {
         .mode("append").insertInto("clc.ns.t")
     }
     assert(spark.table("clc.ns.t").where(col("k") === 123).count() === 1L)
-    assert(planned._1 === 1, "catalog-born clustering prunes")
+    assert(planned(s"$dir/ns/t")._1 === 1, "catalog-born clustering prunes")
     // an invalid clusterBy column fails the DDL and leaves NO table
     intercept[Exception] {
       spark.sql("CREATE TABLE clc.ns.bad (k BIGINT) " +
@@ -194,7 +195,7 @@ class ClusteringSpec extends SparkTestBase {
         .mode("append").insertInto("clp.ns.p")
     }
     assert(spark.table("clp.ns.p").where(col("k") === 42).count() === 1L)
-    assert(planned._1 === 1, "PARTITIONED BY-born clustering prunes")
+    assert(planned(s"$dir/ns/p")._1 === 1, "PARTITIONED BY-born clustering prunes")
     // hash buckets have no range equivalent — refused, nothing created
     intercept[Exception] {
       spark.sql("CREATE TABLE clp.ns.b (k BIGINT) " +
@@ -226,13 +227,13 @@ class ClusteringSpec extends SparkTestBase {
     // the CTAS data ITSELF is clustered — a point query prunes before
     // any post-CTAS write or compaction
     assert(spark.table("clr.ns.t").where(col("k") === 500).count() === 1L)
-    assert(planned === ((1, 4)), "CTAS initial files prune")
+    assert(planned(path) === ((1, 4)), "CTAS initial files prune")
     noCoalesce {
       shuffled(12).select(col("k"), col("s")).write.format("graft-table")
         .mode("append").insertInto("clr.ns.t")
     }
     assert(spark.table("clr.ns.t").where(col("k") === 7).count() === 2L)
-    assert(planned === ((2, 8)), "post-CTAS appends prune too")
+    assert(planned(path) === ((2, 8)), "post-CTAS appends prune too")
     // REPLACE without a layout clause resets the property...
     spark.sql("REPLACE TABLE clr.ns.t (k BIGINT, s STRING)")
     assert(VersionedTable.tableProperties(spark, path)
@@ -247,6 +248,6 @@ class ClusteringSpec extends SparkTestBase {
       .get(VersionedTable.ClusterByProperty) === Some("k"))
     assert(spark.table("clr.ns.t").count() === 1000L)
     assert(spark.table("clr.ns.t").where(col("k") === 500).count() === 1L)
-    assert(planned._1 === 1, "RTAS replacement files prune")
+    assert(planned(path)._1 === 1, "RTAS replacement files prune")
   }
 }

@@ -19,7 +19,8 @@ import graft.sources.{GraftTableScan, VersionedTable}
 class LimitPushdownSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def planned: (Int, Int) = GraftTableScan.lastPlanned.get()
+  // per-table telemetry: the global hook races under parallel suites
+  private def planned(t: String): (Int, Int) = GraftTableScan.plannedFor(t)
   private def load(t: String) = spark.read.format("graft-table").load(t)
 
   private def noCoalesce[A](body: => A): A = {
@@ -49,20 +50,20 @@ class LimitPushdownSpec extends SparkTestBase {
     val t = clustered()
     val asc = load(t).orderBy("k").limit(5).collect().map(_.getLong(0))
     assert(asc.toSeq === (0L until 5L))
-    assert(planned === ((1, 4)), "top-n must plan only the lowest-range file")
+    assert(planned(t) === ((1, 4)), "top-n must plan only the lowest-range file")
     val desc = load(t).orderBy(col("k").desc).limit(5)
       .collect().map(_.getLong(0))
     assert(desc.toSeq === (999L to 995L by -1L))
-    assert(planned === ((1, 4)), "desc top-n plans only the highest-range file")
+    assert(planned(t) === ((1, 4)), "desc top-n plans only the highest-range file")
   }
 
   test("bare LIMIT plans just enough files by row count") {
     val t = clustered()
     assert(load(t).limit(3).collect().length === 3)
-    assert(planned === ((1, 4)))
+    assert(planned(t) === ((1, 4)))
     // a limit bigger than the table keeps everything and still answers
     assert(load(t).limit(5000).collect().length === 1000)
-    assert(planned === ((4, 4)))
+    assert(planned(t) === ((4, 4)))
   }
 
   test("any filter voids the certification: no limit pruning") {
@@ -70,7 +71,7 @@ class LimitPushdownSpec extends SparkTestBase {
     val r = load(t).where(col("v") >= 0.0).orderBy("k").limit(5)
       .collect().map(_.getLong(0))
     assert(r.toSeq === (0L until 5L))
-    assert(planned._1 === 4, "filtered rows per file are unknown — " +
+    assert(planned(t)._1 === 4, "filtered rows per file are unknown — " +
       "row-count certification must not fire")
   }
 
@@ -90,7 +91,7 @@ class LimitPushdownSpec extends SparkTestBase {
     val desc = load(t).orderBy(col("k").desc).limit(2)
       .collect().map(_.getLong(0))
     assert(desc.toSeq === Seq(3L, 2L))
-    assert(planned === ((1, 2)),
+    assert(planned(t) === ((1, 2)),
       "DESC nulls-last: the all-null file is provably outside top-n")
   }
 
@@ -99,7 +100,7 @@ class LimitPushdownSpec extends SparkTestBase {
     VersionedTable.deleteByKeys(spark, t, Seq(0L, 1L).toDF("k"))
     val r = load(t).orderBy("k").limit(3).collect().map(_.getLong(0))
     assert(r.toSeq === Seq(2L, 3L, 4L))
-    assert(planned._1 === 4,
+    assert(planned(t)._1 === 4,
       "deleted rows make manifest row counts overcount — keep all files")
   }
 }

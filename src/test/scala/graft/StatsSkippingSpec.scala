@@ -31,7 +31,8 @@ class StatsSkippingSpec extends SparkTestBase {
     VersionedTable.append(spark, df, t)
   }
 
-  private def planned: (Int, Int) = GraftTableScan.lastPlanned.get()
+  // per-table telemetry: the global hook races under parallel suites
+  private def planned(t: String): (Int, Int) = GraftTableScan.plannedFor(t)
 
   private def load(t: String) = spark.read.format("graft-table").load(t)
 
@@ -42,34 +43,34 @@ class StatsSkippingSpec extends SparkTestBase {
     assert(files.size === 10, "fixture should be 10 range-clustered files")
 
     assert(load(t).where(col("k") === 555).count() === 1L)
-    assert(planned === ((1, 10)), "point lookup plans exactly one file")
+    assert(planned(t) === ((1, 10)), "point lookup plans exactly one file")
 
     assert(load(t).where(col("k").between(120, 280)).count() === 161L)
-    assert(planned === ((2, 10)), "range filter plans the two hit files")
+    assert(planned(t) === ((2, 10)), "range filter plans the two hit files")
 
     assert(load(t).where(col("s") === "doc-0042").count() === 1L)
-    assert(planned === ((1, 10)), "string bounds prune")
+    assert(planned(t) === ((1, 10)), "string bounds prune")
 
     assert(load(t).where(col("s").startsWith("doc-09")).count() === 100L)
-    assert(planned === ((1, 10)), "startsWith prunes by prefix bounds")
+    assert(planned(t) === ((1, 10)), "startsWith prunes by prefix bounds")
 
     // int64-micros timestamps (stage() upgrades INT96 sessions) make
     // event-time predicates skippable — the #1 predicate of a lake
     assert(load(t)
       .where(col("ts") < expr("timestamp_micros(200 * 3600000000)"))
       .count() === 200L)
-    assert(planned === ((2, 10)), "timestamp bounds prune")
+    assert(planned(t) === ((2, 10)), "timestamp bounds prune")
 
     assert(load(t).where(col("nv").isNotNull).count() === 100L)
-    assert(planned === ((1, 10)), "all-null files skipped by IsNotNull")
+    assert(planned(t) === ((1, 10)), "all-null files skipped by IsNotNull")
 
     assert(load(t).where(col("nv").isNull).count() === 900L)
-    assert(planned === ((9, 10)),
+    assert(planned(t) === ((9, 10)),
       "file 7 records zero nulls in nv, so IsNull skips exactly it")
 
     // an impossible predicate plans nothing at all
     assert(load(t).where(col("k") === 5000).count() === 0L)
-    assert(planned === ((0, 10)))
+    assert(planned(t) === ((0, 10)))
   }
 
   test("skipped answers equal unskipped answers (option off)") {
@@ -77,11 +78,11 @@ class StatsSkippingSpec extends SparkTestBase {
     clustered(t)
     val pred = col("k").between(42, 357) && col("v") < 30.0
     val fast = load(t).where(pred).select("k", "s", "v").collect().toSet
-    assert(planned._1 < planned._2, "predicate should have pruned")
+    assert(planned(t)._1 < planned(t)._2, "predicate should have pruned")
     val slow = spark.read.format("graft-table")
       .option("statsSkipping", "false").load(t)
       .where(pred).select("k", "s", "v").collect().toSet
-    assert(planned === ((10, 10)), "option off plans everything")
+    assert(planned(t) === ((10, 10)), "option off plans everything")
     assert(fast === slow)
   }
 
@@ -95,7 +96,7 @@ class StatsSkippingSpec extends SparkTestBase {
         .repartitionByRange(10, col("k")).sortWithinPartitions("k"), t)
     VersionedTable.renameColumn(spark, t, "k", "key")
     assert(load(t).where(col("key") === 17).count() === 1L)
-    assert(planned === ((1, 10)),
+    assert(planned(t) === ((1, 10)),
       "stats written under the old name still prune via the field id")
   }
 
@@ -112,7 +113,7 @@ class StatsSkippingSpec extends SparkTestBase {
     assert(mf.delete() && tmp.renameTo(mf))
     VersionedTable.invalidateCache(t)
     assert(load(t).where(col("k") === 555).count() === 1L)
-    assert(planned === ((10, 10)), "no stats -> no skipping, no failure")
+    assert(planned(t) === ((10, 10)), "no stats -> no skipping, no failure")
   }
 
   test("every commit carries stats forward; metadata-only commits too") {
@@ -132,7 +133,7 @@ class StatsSkippingSpec extends SparkTestBase {
       "one #stats line per live data file, including carried-forward ones")
     // and the new single-row file is immediately skippable
     assert(load(t).where(col("k") === 2000).count() === 1L)
-    assert(planned === ((1, 11)))
+    assert(planned(t) === ((1, 11)))
   }
 
   test("merge-on-read delete layers compose with file skipping") {
@@ -147,7 +148,7 @@ class StatsSkippingSpec extends SparkTestBase {
     assert(load(t).where(col("k").between(120, 129)).as[(Long, String)]
       .collect().map(_._1).sorted.toSeq ===
       Seq(121L, 122L, 123L, 124L, 126L, 127L, 128L, 129L))
-    assert(planned._1 <= 2, "skipping still prunes under a delete layer")
+    assert(planned(t)._1 <= 2, "skipping still prunes under a delete layer")
   }
 
   test("runtime join filters prune files before tasks launch (storage DPP)") {
@@ -160,9 +161,9 @@ class StatsSkippingSpec extends SparkTestBase {
       .where(col("bucket") === 2) // k in [100, 149]
     val got = load(t).join(dim, "k").count()
     assert(got === 50L)
-    val (kept, total) = planned
+    val (kept, total) = planned(t)
     assert(total === 10)
     assert(kept < 10,
-      s"runtime In-filter from the join should prune files, planned $kept/$total")
+      s"runtime In-filter from the join should prune files, planned(t) $kept/$total")
   }
 }

@@ -89,7 +89,7 @@ class ZOrderSpec extends SparkTestBase {
       val got = spark.read.format("graft-table").load(t)
         .where(cond).count()
       assert(got === 8L * 256L)
-      GraftTableScan.lastPlanned.get()
+      GraftTableScan.plannedFor(t)
     }
     // the curve's unit-step locality keeps each file a compact blob in
     // (uid, hr) space, so a band predicate on EITHER dimension prunes
