@@ -95,9 +95,13 @@ class BloomSkipSpec extends SparkTestBase {
   test("range predicates and nulls never consult blooms; answers exact") {
     val t = Files.createTempDirectory("bloom_c").toString + "/t"
     scattered(t, withBlooms = true)
-    // range predicate: blooms can't answer it; bounds on k still do
+    // range predicate: blooms can't answer it; bounds on k still do.
+    // <= 2, not == 1: repartitionByRange SAMPLES its boundaries (seeded
+    // by the global rdd id), so under a full parallel suite the k=500
+    // split can land just past the predicate and legitimately straddle
+    // two files — the pruning claim (8 -> ~1) is what matters
     assert(load(t).where(col("k") < 500).count() === 500L)
-    assert(planned(t)._1 === 1, "k is range-clustered: bounds prune")
+    assert(planned(t)._1 <= 2, "k is range-clustered: bounds prune")
     // a full scan query stays byte-identical to the parquet truth
     val viaLake = load(t).orderBy("k").collect()
     val direct = spark.range(4000).toDF("k")
