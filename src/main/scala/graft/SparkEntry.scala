@@ -2672,6 +2672,16 @@ object SparkEntry {
           r6z(col("llr")).as("llr"))
         .orderBy(desc("llr"), col("term_a"), col("term_b"))),
 
+    // ---- text: RAKE keyphrase extraction — maximal stopword-free
+    // runs scored by Σ degree/freq of their words; exact counts, one
+    // division per word, decimal-exact ordering and cut, round-6
+    // published score.
+    "t42_rake" -> ((s, dir) =>
+      TextAnalysis.rakeKeyphrases(t(s, dir, "documents"),
+        "doc_id", "text",
+        stopwords = Seq("a", "the", "of", "to", "and", "in", "is", "on"),
+        topK = 50)),
+
     // ---- text: HTML/markup stripping (web-crawl boilerplate) ----
     // Deterministic HTML is wrapped around each document (title, style
     // and script blocks with markup-looking payloads, entities, a
@@ -9969,6 +9979,51 @@ object SparkEntry {
         |  round(CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) + 2.0)
         |    * CAST(SUM(term) AS DOUBLE), 6) + 0.0 AS q_stat
         |FROM tm GROUP BY user_id, m ORDER BY user_id""".stripMargin,
+
+    // RAKE: the identical islands (stopword-prefix run ids), word
+    // degree/freq stats, and decimal-exact score ordering
+    "t42_rake" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |mx AS (SELECT max(len(t)) AS m FROM toks),
+        |idx AS MATERIALIZED (
+        |  SELECT CAST(i AS INT) AS i
+        |  FROM (SELECT unnest(range(1, (SELECT m FROM mx) + 1)) AS i) z),
+        |pos AS MATERIALIZED (
+        |  SELECT doc_id, idx.i AS i, t[idx.i] AS tok
+        |  FROM toks JOIN idx ON idx.i <= len(t)),
+        |m AS (SELECT doc_id, i, tok,
+        |    tok IN ('a','the','of','to','and','in','is','on') AS stop,
+        |    SUM(CASE WHEN tok IN ('a','the','of','to','and','in','is','on')
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        |  FROM pos),
+        |ph AS MATERIALIZED (
+        |  SELECT doc_id, isl, string_agg(tok, ' ' ORDER BY i) AS phrase,
+        |    CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM m WHERE NOT stop AND len(tok) > 0
+        |  GROUP BY doc_id, isl),
+        |stats AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(len) AS BIGINT) AS deg
+        |  FROM (SELECT len, unnest(string_split(phrase, ' ')) AS w
+        |        FROM ph) q
+        |  GROUP BY w),
+        |uniqp AS MATERIALIZED (
+        |  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |  FROM ph GROUP BY phrase),
+        |sc AS (SELECT p.phrase,
+        |    SUM(CAST(CAST(s.deg AS DOUBLE) / CAST(s.freq AS DOUBLE)
+        |      AS DECIMAL(38,18))) AS s
+        |  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+        |        FROM uniqp) p
+        |  JOIN stats s ON s.w = p.w
+        |  GROUP BY p.phrase)
+        |SELECT u.phrase, u.n_occurrences,
+        |  round(CAST(sc.s AS DOUBLE), 6) + 0.0 AS rake_score
+        |FROM uniqp u JOIN sc ON u.phrase = sc.phrase
+        |ORDER BY sc.s DESC, u.phrase LIMIT 50""".stripMargin,
 
     // Dunning G² collocations: exact 2x2 slot contingency per bigram,
     // zero cells contribute zero, fixed left-assoc IEEE fold; the raw

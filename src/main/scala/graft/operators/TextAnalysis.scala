@@ -373,6 +373,65 @@ object TextAnalysis {
         col("__g2").as("llr"))
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010) — corpus-level:
+    * candidate phrases are maximal stopword-free token runs within
+    * each document; each word scores degree/frequency (degree = Σ of
+    * the lengths of the phrase instances containing it, frequency =
+    * its instance count); a phrase scores the sum of its words'
+    * scores (with multiplicity). The cheap, language-light keyphrase
+    * miner that needs only a stopword list.
+    *
+    * Determinism: all counts exact; each word score is ONE double
+    * division; phrase scores fold the per-word doubles through
+    * DECIMAL(38,18) (fold-order free), and BOTH the top-k cut and the
+    * output order use that exact decimal (desc, then phrase) — the
+    * published score is the round-6 double.
+    *
+    * Scale shape: one tokenize pass, one per-doc position window
+    * (docs parallelize), two vocabulary-sized count shuffles, one
+    * phrase-text aggregation — never an all-pairs structure.
+    */
+  def rakeKeyphrases(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], topK: Int = 50): DataFrame = {
+    require(stopwords.nonEmpty, "RAKE needs a stopword list")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("__doc"),
+      posexplode(tokens(col(textCol))).as(Seq("__i", "__tok")))
+    val isStop = col("__tok").isInCollection(stopwords)
+    val w = Window.partitionBy(col("__doc")).orderBy(col("__i"))
+    val phrases = base
+      .withColumn("__isl", sum(when(isStop, 1L).otherwise(0L)).over(w))
+      // an empty token only arises from an empty/whitespace doc (the
+      // tokenizer splits trimmed text) — it must not form a "" phrase
+      .where(!isStop && length(col("__tok")) > 0)
+      .groupBy(col("__doc"), col("__isl"))
+      .agg(sort_array(collect_list(struct(col("__i"), col("__tok"))))
+        .as("__ts"))
+      .select(
+        concat_ws(" ", expr("transform(__ts, x -> x.__tok)")).as("phrase"),
+        size(col("__ts")).cast("long").as("__len"))
+    val stats = phrases
+      .select(col("__len"), explode(split(col("phrase"), " ")).as("__w"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+    val uniq = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val wscore = (col("__deg").cast(DoubleType) /
+      col("__freq").cast(DoubleType)).cast(DecimalType(38, 18))
+    val scored = uniq
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("__w"))
+      .join(stats, "__w")
+      .groupBy(col("phrase"))
+      .agg(sum(wscore).as("__sc"))
+    uniq.join(scored, "phrase")
+      .orderBy(col("__sc").desc, col("phrase"))
+      .limit(topK)
+      .select(col("phrase"), col("n_occurrences"),
+        (round(col("__sc").cast(DoubleType), 6) + lit(0.0))
+          .as("rake_score"))
+  }
+
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val sh = df.select(col(idCol), explode(array_distinct(

@@ -61,6 +61,39 @@ class PmiSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  // ---- RAKE keyphrases (t42) ----
+
+  test("rake: phrases split at stopwords, scores are degree/freq sums, " +
+      "repeated phrases count instances") {
+    val docs = Seq(
+      (1L, "deep learning of deep learning"),
+      (2L, "deep learning and fast systems"),
+      (3L, "fast systems")).toDF("id", "text")
+    val out = TextAnalysis.rakeKeyphrases(docs, "id", "text",
+      stopwords = Seq("of", "and"), topK = 10)
+      .select("phrase", "n_occurrences", "rake_score")
+      .as[(String, Long, Double)].collect()
+    val m = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    // phrase instances: "deep learning" x3, "fast systems" x2
+    assert(m("deep learning")._1 === 3L)
+    assert(m("fast systems")._1 === 2L)
+    // deep: freq 3, deg 6 -> 2; learning same; fast: freq 2, deg 4 -> 2
+    assert(m("deep learning")._2 === 4.0)
+    assert(m("fast systems")._2 === 4.0)
+  }
+
+  test("rake: all-stopword and empty docs yield nothing; word " +
+      "multiplicity inside one phrase counts twice") {
+    val docs = Seq((1L, "of and of"), (2L, ""), (3L, "big big"))
+      .toDF("id", "text")
+    val out = TextAnalysis.rakeKeyphrases(docs, "id", "text",
+      stopwords = Seq("of", "and"), topK = 10)
+      .select("phrase", "rake_score").as[(String, Double)].collect()
+    // only "big big": word 'big' freq 1 (one phrase), deg 2, score
+    // 2/1 counted twice (multiplicity) = 4
+    assert(out.toSeq === Seq(("big big", 4.0)))
+  }
+
   // ---- Dunning log-likelihood ratio (t41) ----
 
   test("llr: hand-computed 2x2 contingency on a tiny corpus") {
