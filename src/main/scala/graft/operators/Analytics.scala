@@ -1032,7 +1032,8 @@ object Analytics {
     * e₁ = x₁, e_t = α·x_t + (1−α)·e_{t−1} — the classic smoother beside
     * ts1's spike gate and ts2's drift gate. The recurrence is inherently
     * sequential per key, so each key's series is folded ONCE inside its
-    * own task (sorted `collect_list` + a sequential HOF `aggregate`) —
+    * own task (sorted `collect_list` + the native linear-time
+    * [[graft.functions.SeqFolds.EwmaFold]] kernel, loud 50M/key bound) —
     * 100 TB of series parallelize by key, and the per-key state is the
     * series itself (the same bound any sequential recurrence carries;
     * keys here are users/devices/sensors with bounded history, not the
@@ -1059,17 +1060,12 @@ object Analytics {
       .where(col(tsCol).isNotNull && col(measure).isNotNull && dec.isNotNull)
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(rowStruct)).as("__s"))
-    val init = struct(lit(true).as("first"), lit(0.0).as("prev"),
-      array().cast(ArrayType(DoubleType)).as("arr"))
-    val step = (acc: Column, e: Column) => {
-      val ev = when(acc.getField("first"), e.getField("__x"))
-        .otherwise(lit(alpha) * e.getField("__x") +
-          lit(1.0 - alpha) * acc.getField("prev"))
-      struct(lit(false).as("first"), ev.as("prev"),
-        concat(acc.getField("arr"), array(ev)).as("arr"))
-    }
+    // native linear fold (SeqFolds.EwmaFold): the HOF-aggregate
+    // formulation copied the accumulated output array every step —
+    // O(m²) element copies per key, a scale defect for deep keys
     val folded = grouped.withColumn("__e",
-      aggregate(col("__s"), init, step, _.getField("arr")))
+      graft.functions.SeqFolds.ewmaFold(
+        transform(col("__s"), _.getField("__x")), alpha))
     folded
       .select(keyCols.map(col) :+ col("__e") :+
         posexplode(col("__s")).as(Seq("__i", "__r")): _*)
@@ -1084,7 +1080,8 @@ object Analytics {
     *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1}),
     *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}.
     * The EWMA shape extended with a trend state — same execution plan as
-    * [[ewma]]: sorted `collect_list` per key + ONE sequential HOF fold,
+    * [[ewma]]: sorted `collect_list` per key + ONE native linear fold
+    * ([[graft.functions.SeqFolds.HoltFold]], loud 50M/key bound),
     * so keys parallelize and each series folds exactly once inside its
     * task. Same observation contract (null time / non-stabilizing
     * measure excluded), same determinism argument: every step is a fixed
@@ -1107,30 +1104,12 @@ object Analytics {
       .where(col(tsCol).isNotNull && col(measure).isNotNull && dec.isNotNull)
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(rowStruct)).as("__s"))
-    val init = struct(lit(true).as("first"),
-      lit(0.0).as("l"), lit(0.0).as("b"),
-      array().cast(ArrayType(DoubleType)).as("ls"),
-      array().cast(ArrayType(DoubleType)).as("bs"))
-    val a = lit(alpha); val a1 = lit(1.0 - alpha)
-    val g = lit(beta); val g1 = lit(1.0 - beta)
-    val step = (acc: Column, e: Column) => {
-      val x = e.getField("__x")
-      val pl = acc.getField("l"); val pb = acc.getField("b")
-      val nl = when(acc.getField("first"), x)
-        .otherwise(a * x + a1 * (pl + pb))
-      // nl appears twice: the duplicated expression tree evaluates to
-      // the identical double, which is exactly how the oracle's CTE
-      // spells it (SQL cannot reference a same-select alias either)
-      val nb = when(acc.getField("first"), lit(0.0))
-        .otherwise(g * (nl - pl) + g1 * pb)
-      struct(lit(false).as("first"), nl.as("l"), nb.as("b"),
-        concat(acc.getField("ls"), array(nl)).as("ls"),
-        concat(acc.getField("bs"), array(nb)).as("bs"))
-    }
+    // native linear fold (SeqFolds.HoltFold) — the oracle's CTE spells
+    // nl twice inside nb; the kernel computes it once, which is
+    // bit-identical (duplicated tree over the same inputs = same double)
     val folded = grouped.withColumn("__f",
-      aggregate(col("__s"), init, step,
-        acc => struct(acc.getField("ls").as("ls"),
-          acc.getField("bs").as("bs"))))
+      graft.functions.SeqFolds.holtFold(
+        transform(col("__s"), _.getField("__x")), alpha, beta))
     folded
       .select(keyCols.map(col) :+ col("__f") :+
         posexplode(col("__s")).as(Seq("__i", "__r")): _*)
@@ -1192,34 +1171,17 @@ object Analytics {
       (acc, e) => (acc + e.getField("__xd")).cast(DecimalType(38, 2)))
       .cast(DoubleType) / lit(m.toDouble)
     val rest = slice(col("__s"), lit(m + 1), size(col("__s")) - m)
-    val a = lit(alpha); val a1 = lit(1.0 - alpha)
-    val g = lit(beta); val g1 = lit(1.0 - beta)
-    val c = lit(gamma); val c1 = lit(1.0 - gamma)
-    val da = ArrayType(DoubleType)
-    val init = struct(col("__l0").as("l"), lit(0.0).as("b"),
-      transform(warm, e => e.getField("__x") - col("__l0")).as("seas"),
-      array().cast(da).as("ls"), array().cast(da).as("bs"),
-      array().cast(da).as("ss"))
-    val step = (acc: Column, e: Column) => {
-      val x = e.getField("__x")
-      val pl = acc.getField("l"); val pb = acc.getField("b")
-      val sm = element_at(acc.getField("seas"), 1)
-      val nl = a * (x - sm) + a1 * (pl + pb)
-      // nl is spelled (not referenced) in nb/ns — the holt convention
-      val nb = g * (nl - pl) + g1 * pb
-      val ns = c * (x - nl) + c1 * sm
-      struct(nl.as("l"), nb.as("b"),
-        concat(slice(acc.getField("seas"), 2, m - 1), array(ns))
-          .as("seas"),
-        concat(acc.getField("ls"), array(nl)).as("ls"),
-        concat(acc.getField("bs"), array(nb)).as("bs"),
-        concat(acc.getField("ss"), array(ns)).as("ss"))
-    }
+    // native linear fold (SeqFolds.HoltWintersFold): the seasonal state
+    // is a true ring buffer (the HOF fold re-sliced all `period`
+    // components every step ON TOP of the O(m²) output concat); nl is
+    // spelled twice in the oracle's CTE but computed once here — the
+    // holt convention, bit-identical either way
     val folded = grouped
       .withColumn("__l0", l0)
-      .withColumn("__f", aggregate(rest, init, step,
-        acc => struct(acc.getField("ls").as("ls"),
-          acc.getField("bs").as("bs"), acc.getField("ss").as("ss"))))
+      .withColumn("__f", graft.functions.SeqFolds.holtWintersFold(
+        transform(rest, _.getField("__x")),
+        transform(warm, e => e.getField("__x") - col("__l0")),
+        col("__l0"), alpha, beta, gamma))
       .withColumn("__rest", rest)
     folded
       .select(keyCols.map(col) :+ col("__f") :+
@@ -1337,19 +1299,13 @@ object Analytics {
     val grouped = risked.groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col("__t"), col("__d"),
         col("__c"), col("__n")))).as("__s"))
-    val init = struct(lit(1.0).as("s"),
-      array().cast(ArrayType(DoubleType)).as("ss"))
-    val step = (acc: Column, e: Column) => {
-      val ns = when(e.getField("__d") > 0,
-        acc.getField("s") *
-          ((e.getField("__n") - e.getField("__d")).cast(DoubleType) /
-            e.getField("__n")))
-        .otherwise(acc.getField("s"))
-      struct(ns.as("s"), concat(acc.getField("ss"), array(ns)).as("ss"))
-    }
+    // native linear fold (SeqFolds.KaplanMeierFold): one division, one
+    // multiply per step over preallocated arrays — same IEEE chain the
+    // HOF fold and the recursive-CTE oracle evaluate
     grouped
-      .withColumn("__f", aggregate(col("__s"), init, step,
-        acc => acc.getField("ss")))
+      .withColumn("__f", graft.functions.SeqFolds.kmFold(
+        transform(col("__s"), _.getField("__d")),
+        transform(col("__s"), _.getField("__n"))))
       .select(keyCols.map(col) :+ col("__f") :+
         posexplode(col("__s")).as(Seq("__i", "__r")): _*)
       .select(keyCols.map(col) ++ Seq(
