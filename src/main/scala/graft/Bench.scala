@@ -185,10 +185,21 @@ object Bench {
     // artifact's query maps (keys are intersected with the live query
     // set, so metadata fields can't collide).
     val prevTimes: Map[String, Double] = {
-      val dir = new java.io.File(".")
-      val benches = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-      benches.lastOption.map { f =>
+      // repo root, not process CWD (ADVICE r13): walk up to build.sbt
+      var root = new java.io.File(".").getAbsoluteFile
+      while (root != null && !new java.io.File(root, "build.sbt").exists())
+        root = root.getParentFile
+      val dir = Option(root).getOrElse(new java.io.File("."))
+      def roundNum(name: String, re: scala.util.matching.Regex): Int =
+        name match { case re(n) => n.toInt; case _ => -1 }
+      def newest(re: scala.util.matching.Regex): Option[java.io.File] = {
+        val fs = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => re.pattern.matcher(f.getName).matches())
+        // numeric round sort (lexicographic put r9 after r13 — ADVICE)
+        if (fs.isEmpty) None
+        else Some(fs.maxBy(f => roundNum(f.getName, re)))
+      }
+      def parse(f: java.io.File): Map[String, Double] = {
         val txt = try java.nio.file.Files.readString(f.toPath)
           catch { case _: Exception => "" }
         // times in the full-precision line are raw Double toString —
@@ -200,9 +211,23 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filter { case (k, _) => picked.contains(k) }
           .toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
-      }.getOrElse(Map.empty)
+      }
+      // Two prior sources, merged by MIN (the best-known TRUE cost):
+      // the previous round's driver artifact, plus the builder's closing
+      // IDLE bench (BENCH_idle_rN.json — r13 verdict: it seeds a prior
+      // for entries new this round, which the driver artifact can't)
+      val driverPrior = newest("""BENCH_r(\d+)\.json""".r)
+        .map(parse).getOrElse(Map.empty)
+      val idlePrior = newest("""BENCH_idle_r(\d+)\.json""".r)
+        .map(parse).getOrElse(Map.empty)
+      (driverPrior.keySet ++ idlePrior.keySet).map { k =>
+        k -> (driverPrior.get(k).toSeq ++ idlePrior.get(k).toSeq).min
+      }.toMap
     }
-    val PrevRatioLimit = 3.0
+    // 1.5x, down from 3.0 (r13 verdict: 2.4-2.8x contention inflations
+    // sailed under the 3x trigger three rounds running; the judge's bar
+    // is "no entry >1.5x its idle truth unflagged")
+    val PrevRatioLimit = 1.5
     def slowVsPrev(n: String): Boolean =
       prevTimes.get(n).exists(p =>
         p > 0.05 && resultMap(n) > MinRetrySec &&
@@ -367,18 +392,28 @@ object Bench {
     // fixed-point rendering: raw Double toString goes scientific below
     // 1e-3, which both weakens JSON consumers and (pre-fix) poisoned
     // the next round's prior-artifact parse
-    val fullQs = all.map { case (k, v) => f""""$k":$v%.6f""" }
+    // Locale.ROOT, not the f-interpolator (ADVICE r13): on a JVM whose
+    // default locale uses comma decimals, f"%.6f" emits invalid JSON —
+    // which would silently defeat the prior-artifact parse above
+    def fix(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, "%." + places + "f",
+        Double.box(v))
+    val fullQs = all.map { case (k, v) => "\"" + k + "\":" + fix(v, 6) }
       .mkString("{", ",", "}")
     val repsJson = perRep.map { case (k, ts) =>
-      s"\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+      s"\"" + k + "\":[" + ts.map(t => fix(t, 3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val loadJson = s"""{"start":$loadStart,"end":$loadEnd,"max":$loadMax,"cpus":${
       Runtime.getRuntime.availableProcessors}}"""
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val suspJson = suspectVsPrev.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"reps":$repsJson,"load":$loadJson,"contended":$contJson,"suspect_vs_prev":$suspJson,"errors":$errs,"sf":"$sfDir"}""")
+    // busy-run marker (r13 verdict): when the window's peak load passed
+    // cpus/4, the artifact's numbers need an idle reconciliation pass
+    // (tools/idlebench.py) before they are read as engine truth
+    val needsIdle = loadMax > Runtime.getRuntime.availableProcessors / 4.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"reps":$repsJson,"load":$loadJson,"contended":$contJson,"suspect_vs_prev":$suspJson,"needs_idle_recheck":$needsIdle,"errors":$errs,"sf":"$sfDir"}""")
     def short(v: Double): String = {
-      val s = f"$v%.2f"
+      val s = fix(v, 2)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
@@ -392,7 +427,7 @@ object Bench {
       // sub-second queries) must self-identify in the artifact the judge
       // actually reads, not just the full line
       s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":${
-        bySlowest.take(n).mkString("{", ",", "}")}$om,"load":$loadJson,"contended":$contJson,"suspect_vs_prev":$suspJson,"errors":$errs,"sf":"${
+        bySlowest.take(n).mkString("{", ",", "}")}$om,"load":$loadJson,"contended":$contJson,"suspect_vs_prev":$suspJson,"needs_idle_recheck":$needsIdle,"errors":$errs,"sf":"${
         new java.io.File(sfDir).getName}"}"""
     }
     println((all.size to 0 by -1).view.map(compact).find(_.length <= budget)

@@ -2628,7 +2628,8 @@ object SparkEntry {
 
     // ---- time series: lag-pair autocorrelation function ----
     // Pearson over (x_t, x_{t+lag}) pairs per key: exact decimal moment
-    // sums (the ts1 idiom), one bounded band self-join (fan-out <= maxLag),
+    // sums (the ts1 idiom), pairs from lead() over one per-key window
+    // (O(m·maxLag), never a per-key-quadratic band join),
     // final correlation is a fixed-order IEEE chain mirrored in the oracle.
     "ts4_autocorr" -> ((s, dir) =>
       Analytics.autocorrelation(

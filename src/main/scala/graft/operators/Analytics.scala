@@ -1784,10 +1784,13 @@ object Analytics {
     * moment is an exact decimal sum and the only floating point is the
     * final correlation chain, identical across engines).
     *
-    * Shape: one row_number window per key (the total order is
-    * (`tsCol`, `tieBreak`…)), then ONE self-join on the key with a
-    * bounded band predicate `rn+1 ≤ rn' ≤ rn+maxLag` — a hash join
-    * whose per-row fan-out is at most `maxLag`, never a cartesian.
+    * Shape: ONE per-key window sort (the total order is
+    * (`tsCol`, `tieBreak`…)) computing `lead(x, k)` for every lag in
+    * one WindowExec pass, then a map-side explode to (lag, x_t, x_{t+ℓ})
+    * rows — O(m·maxLag) per key. (A key-equality self-join with a
+    * row-number band LOOKS bounded but compares every row pair inside
+    * each key's join group — O(m²) in key depth; caught by
+    * `scalecheck.py --longkey` at 75x on a 10x-deep key.)
     * Sums are DECIMAL(18,2)/(38,4)-exact (the ts1 idiom); the final
     * `r = (n·sxy − sx·sy) / (√(n·sxx − sx²) · √(n·syy − sy²))` is a
     * fixed-order IEEE chain the oracle mirrors token-for-token.
@@ -1803,24 +1806,28 @@ object Analytics {
     val dec = col(measure).cast(DecimalType(18, 2))
     val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
-    val series = df
+    // lag-k pairs via lead() over ONE per-key window sort — O(m·maxLag)
+    // per key. The previous formulation self-joined on key equality with
+    // a row-number band, which compares every pair INSIDE each key's
+    // join group: O(m²) per key, invisible to the 10x row sweep (keys
+    // stay shallow) but 75x at 10x KEY DEPTH (scalecheck --longkey).
+    // The pair multiset is identical and the sums below are exact
+    // decimals (order-independent), so results are bit-unchanged.
+    val base = df
       .where(col(tsCol).isNotNull && col(measure).isNotNull && dec.isNotNull)
-      .select(keyCols.map(col) :+ dec.as("__x") :+
-        row_number().over(w).as("__rn"): _*)
-    val a = series.select(
-      keyCols.map(c => col(c).as(s"__k_$c")) :+ col("__x").as("__xa") :+
-        col("__rn").as("__ra"): _*)
-    val b = series.select(
-      keyCols.map(c => col(c).as(s"__j_$c")) :+ col("__x").as("__xb") :+
-        col("__rn").as("__rb"): _*)
-    val keyEq = keyCols.map(c => col(s"__k_$c") === col(s"__j_$c"))
-      .reduce(_ && _)
-    val pairs = a.join(b, keyEq &&
-      col("__rb") > col("__ra") &&
-      col("__rb") <= col("__ra") + lit(maxLag))
-      .withColumn("lag", (col("__rb") - col("__ra")).cast(IntegerType))
+      .select(keyCols.map(col) ++ (tsCol +: tieBreak).map(col) :+
+        dec.as("__x"): _*)
+    val leads = base.withColumn("__ps", array((1 to maxLag).map(k =>
+      struct(lit(k).as("lag"), lead(col("__x"), k).over(w).as("xb"))): _*))
+    val pairs = leads
+      .select(keyCols.map(col) :+ col("__x").as("__xa") :+
+        explode(col("__ps")).as("__p"): _*)
+      .where(col("__p").getField("xb").isNotNull)
+      .select(keyCols.map(col) :+ col("__xa") :+
+        col("__p").getField("lag").as("lag") :+
+        col("__p").getField("xb").as("__xb"): _*)
     val sums = pairs
-      .groupBy(keyCols.map(c => col(s"__k_$c").as(c)) :+ col("lag"): _*)
+      .groupBy(keyCols.map(col) :+ col("lag"): _*)
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(col("__xa")).cast(DoubleType).as("__sx"),

@@ -323,17 +323,22 @@ object Sampling {
     * with md5(), and train/eval splits are `fold =!= i` / `fold === i`
     * filters. A null stratum is a real stratum (the dq6 discipline).
     *
+    * Determinism contract: `idCol` must be UNIQUE within each stratum,
+    * or extra `tieBreak` columns must complete a total order — md5 and
+    * the id tiebreak are identical for duplicate ids, which would leave
+    * the fold assignment arbitrary across runs/engines (ADVICE r13).
+    *
     * Scale shape: one per-stratum window (strata parallelize; the
     * per-stratum numbering is the same bounded-history contract as
     * s15's quota take).
     */
   def kFoldAssign(df: DataFrame, strataCol: String, idCol: String,
-      k: Int): DataFrame = {
+      k: Int, tieBreak: Seq[String] = Nil): DataFrame = {
     require(k >= 2 && k <= 1000, s"k must be in [2, 1000], got $k")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(Dedup.md5Hash60(col(idCol).cast("string")).asc,
-        col(idCol).asc)
+      .orderBy(Dedup.md5Hash60(col(idCol).cast("string")).asc +:
+        col(idCol).asc +: tieBreak.map(col(_).asc): _*)
     df.withColumn("fold",
       ((row_number().over(w) - 1L) % k).cast("int"))
   }

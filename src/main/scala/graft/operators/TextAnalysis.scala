@@ -327,7 +327,9 @@ object TextAnalysis {
     *
     * Determinism: counts are exact; each cell term is one fixed IEEE
     * ln sequence, the four terms fold in a fixed order, ranking uses
-    * the raw double, output rounds 6. Scale: one tokenize pass, two
+    * the raw double, and `llr` is returned RAW — a caller that
+    * publishes it cross-engine rounds at the call site (t41 publishes
+    * round-6; ADVICE r13). Scale: one tokenize pass, two
     * (slot, term) count shuffles + one pair-count shuffle — the PMI
     * shape with two narrow extra aggregates.
     */

@@ -113,6 +113,22 @@ class SamplingSpec extends SparkTestBase {
       again.sortBy(r => (r._1.toString, r._2)))
   }
 
+  test("kFoldAssign: duplicate ids within a stratum need tieBreak for " +
+      "a total order (ADVICE r13)") {
+    // two rows share (stratum, id); md5 + id tiebreak alone cannot
+    // order them — tieBreak completes the total order and pins which
+    // row takes which fold across layouts
+    val df = Seq(("g", 1L, "p"), ("g", 1L, "q"), ("g", 2L, "r"))
+      .toDF("g", "id", "tag")
+    val a = Sampling.kFoldAssign(df, "g", "id", 2, tieBreak = Seq("tag"))
+      .select("tag", "fold").as[(String, Int)].collect().sortBy(_._1)
+    val b = Sampling.kFoldAssign(df.repartition(7), "g", "id", 2,
+      tieBreak = Seq("tag"))
+      .select("tag", "fold").as[(String, Int)].collect().sortBy(_._1)
+    assert(a === b)
+    assert(a.map(_._2).distinct.length === 2) // both folds used
+  }
+
   test("resampleToMix keeps ~fraction per group, deterministically") {
     val mix = Map("src0" -> 0.5, "src1" -> 0.0)
     def run() = Sampling.resampleToMix(docs, col("source"), col("doc_id"),

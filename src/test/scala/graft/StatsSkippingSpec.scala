@@ -164,6 +164,6 @@ class StatsSkippingSpec extends SparkTestBase {
     val (kept, total) = planned(t)
     assert(total === 10)
     assert(kept < 10,
-      s"runtime In-filter from the join should prune files, planned(t) $kept/$total")
+      s"runtime In-filter from the join should prune files, planned $kept/$total")
   }
 }
