@@ -4670,6 +4670,54 @@ object SparkEntry {
       IncrementalView.read(s, mv).orderBy("n_name")
     }),
 
+    // ---- lake: join view REBASED onto an evolved dimension ----
+    // The mv9 lifecycle with an SCD move in the middle: the dimension
+    // renames half its members AFTER the view has folded history at the
+    // old pin; rebaseDim recomputes the state at the new pin (equal by
+    // construction to a from-scratch create there), and the deltas that
+    // follow join the NEW pin. The oracle is the full final fact state
+    // joined to the RENAMED dimension — correct only if both the
+    // rebase and the post-rebase refresh honor the new version.
+    "mv9b_rebase_dim" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey"),
+        col("c_acctbal").cast(DoubleType).as("acctbal"))
+      val nat = t(s, dir, "nation").select(col("n_nationkey"),
+        col("n_name"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv9b").toString
+      val src = root + "/fact"
+      val dimT = root + "/dim"
+      val mv = root + "/mv"
+      val vt = graft.sources.VersionedTable
+      vt.create(s, dimT, StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType))))
+      vt.append(s, nat, dimT)
+      vt.create(s, src, StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_nationkey", LongType),
+        StructField("acctbal", DoubleType))))
+      vt.alterProperties(s, src, Map(vt.CdcProperty -> "true"))
+      vt.append(s, cust.where(col("c_custkey") % 2 === 0), src)
+      IncrementalView.create(s, src, mv, Seq("n_name"), Seq("acctbal"),
+        dim = Some(dimT), dimJoin = Seq(("c_nationkey", "n_nationkey")))
+      vt.append(s, cust.where(col("c_custkey") % 2 === 1), src)
+      IncrementalView.refresh(s, mv) // folded at the OLD names
+      // the dimension evolves: even nation keys get renamed
+      vt.upsert(s, nat.where(col("n_nationkey") % 2 === 0)
+        .withColumn("n_name", concat(lit("R_"), col("n_name"))),
+        dimT, "n_nationkey")
+      IncrementalView.rebaseDim(s, mv) // re-pin mid-history
+      // post-rebase deltas must join the NEW pin
+      vt.upsert(s, cust.where(col("c_custkey") % 100 === 3)
+        .withColumn("acctbal", lit(0.0)), src, "c_custkey")
+      vt.deleteByKeys(s, src,
+        cust.where(col("c_custkey") % 5 === 0).select("c_custkey"))
+      IncrementalView.refresh(s, mv)
+      IncrementalView.read(s, mv).orderBy("n_name")
+    }),
+
     // ---- lake: incremental MV with an EXPRESSION key ----
     // The canonical time-bucketed rollup (a5's hour-of-day aggregate)
     // maintained incrementally: the group key is `hour(ts)` computed
@@ -7224,6 +7272,29 @@ object SparkEntry {
         |    / COUNT(acctbal) AS avg_acctbal
         |FROM final f JOIN nation n ON f.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    // rebased join view: same final fact state, joined to the RENAMED
+    // dimension (the new pin) — green only if rebaseDim recomputed the
+    // pre-rebase history AND the post-rebase deltas joined the new pin
+    "mv9b_rebase_dim" ->
+      """WITH dim2 AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey % 2 = 0 THEN 'R_' || n_name
+        |         ELSE n_name END AS n_name
+        |  FROM nation),
+        |final AS (
+        |  SELECT c_nationkey,
+        |    CASE WHEN c_custkey % 100 = 3 THEN 0.0
+        |         ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal
+        |  FROM customer WHERE c_custkey % 5 <> 0)
+        |SELECT d.n_name, COUNT(*) AS n_rows,
+        |  COUNT(acctbal) AS cnt_acctbal,
+        |  CAST(SUM(CAST(acctbal AS DECIMAL(38,2))) AS DOUBLE)
+        |    AS sum_acctbal,
+        |  CAST(SUM(CAST(acctbal AS DECIMAL(38,2))) AS DOUBLE)
+        |    / COUNT(acctbal) AS avg_acctbal
+        |FROM final f JOIN dim2 d ON f.c_nationkey = d.n_nationkey
+        |GROUP BY d.n_name ORDER BY d.n_name""".stripMargin,
 
     // folded lossless GK p50 == quantile_disc of the final state
     "mv5_quantile_rollup" ->

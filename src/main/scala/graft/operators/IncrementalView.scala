@@ -535,6 +535,44 @@ object IncrementalView {
     cur - from
   }
 
+  /** Rebase a join-enriched view onto a NEW pinned dimension version —
+    * the explicit lifecycle op for an evolved SCD dimension (the
+    * alternative was drop+recreate). The folded state is recomputed in
+    * full from the source snapshot AS OF the view's stamped source
+    * version, enriched at the new dim pin, and swapped in with ONE
+    * overwrite commit — by construction the result is identical to a
+    * from-scratch [[create]] at (source@stampedVersion,
+    * dim@newVersion), and every subsequent [[refresh]] /
+    * [[startMaintain]] delta joins the new pin (specOf re-reads the
+    * stamped properties). Defaults to the dimension's latest version.
+    * Returns the version rebased onto (a no-op when already there).
+    *
+    * Scale shape: one source-snapshot scan + the dim join + one
+    * grouped fold — the create() cost, paid explicitly and rarely
+    * (dimension moves are events, not a steady state); the fact-table
+    * CDF history is never replayed.
+    */
+  def rebaseDim(spark: SparkSession, view: String,
+      dimVersion: Option[Long] = None): Long = {
+    val spec = specOf(spark, view)
+    val d = spec.dim.getOrElse(throw new IllegalArgumentException(
+      s"$view is not a join view — no dimension to rebase"))
+    val newVer = dimVersion.getOrElse(VersionedTable.latest(spark, d)._1)
+    if (newVer == spec.dimVersion) return newVer
+    val snap = enriched(spark,
+      VersionedTable.read(spark, spec.source, spec.stampedVersion),
+      spec.dim, spec.dimJoin, newVer)
+    val state = stateOf(snap, parseSpecs(spec.keys),
+      parseSpecs(spec.measures), parseSpecs(spec.minmax),
+      parseSpecs(spec.approx), parseSpecs(spec.quantile),
+      spec.quantileEps, parseSpecs(spec.theta), spec.thetaK,
+      spec.scale, lit(1L))
+    VersionedTable.overwrite(spark, state, view)
+    VersionedTable.alterProperties(spark, view,
+      Map(DimVersionProperty -> newVer.toString))
+    newVer
+  }
+
   /** Continuous maintenance: the same fold, driven by the streaming
     * change-data-feed source. Each micro-batch applies its signed delta
     * under epoch = the batch's max `_commit_version`, so Structured

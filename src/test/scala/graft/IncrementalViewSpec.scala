@@ -720,4 +720,76 @@ class IncrementalViewSpec extends SparkTestBase {
       .as[(String, Long, Double, Double)].collect().toSeq
     assert(r === Seq(("Alpha", 2L, 5.0, 10.0)))
   }
+
+  test("rebaseDim mid-history == from-scratch create at the new dim " +
+      "version; post-rebase deltas join the new pin; same-version " +
+      "rebase is a no-op") {
+    def dimOf(root: String): String = {
+      val dim = root + "/dim"
+      VersionedTable.create(spark, dim, StructType(Seq(
+        StructField("dk", StringType), StructField("dname", StringType))))
+      VersionedTable.append(spark,
+        Seq(("a", "Alpha"), ("b", "Beta")).toDF("dk", "dname"), dim)
+      dim
+    }
+    def state(view: String): Seq[(String, Long, Double)] =
+      IncrementalView.read(spark, view)
+        .select("dname", "n_rows", "sum_v")
+        .as[(String, Long, Double)].collect().toSeq.sorted
+
+    // --- the lived history: create at dim v1, fold, dim moves, rebase
+    val root = tmp()
+    val src = mkSource(root)
+    val dim = dimOf(root)
+    VersionedTable.append(spark, Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+      .toDF("id", "g", "v"), src)
+    val view = root + "/mv"
+    IncrementalView.create(spark, src, view, Seq("dname"), Seq("v"),
+      dim = Some(dim), dimJoin = Seq(("g", "dk")))
+    VersionedTable.append(spark,
+      Seq((4L, "b", 7.0)).toDF("id", "g", "v"), src)
+    IncrementalView.refresh(spark, view) // folded at v1 names
+    // dim evolves: 'a' renames, and a NEW member 'z' appears
+    VersionedTable.upsert(spark,
+      Seq(("a", "Alpha2"), ("z", "Zeta")).toDF("dk", "dname"), dim, "dk")
+    val newVer = IncrementalView.rebaseDim(spark, view)
+    assert(IncrementalView.rebaseDim(spark, view) === newVer) // no-op
+    // post-rebase deltas: a row for the NEW dim member must now enrich
+    VersionedTable.append(spark,
+      Seq((5L, "z", 3.0)).toDF("id", "g", "v"), src)
+    VersionedTable.deleteByKeys(spark, src, Seq(2L).toDF("id"))
+    IncrementalView.refresh(spark, view)
+    val lived = state(view)
+
+    // --- the counterfactual: from-scratch create at the new dim
+    // version over the same final source state
+    val root2 = tmp()
+    val src2 = mkSource(root2)
+    val dim2 = dimOf(root2)
+    VersionedTable.upsert(spark,
+      Seq(("a", "Alpha2"), ("z", "Zeta")).toDF("dk", "dname"), dim2, "dk")
+    VersionedTable.append(spark, Seq(
+      (1L, "a", 10.0), (3L, "b", 5.0), (4L, "b", 7.0), (5L, "z", 3.0))
+      .toDF("id", "g", "v"), src2)
+    val view2 = root2 + "/mv"
+    IncrementalView.create(spark, src2, view2, Seq("dname"), Seq("v"),
+      dim = Some(dim2), dimJoin = Seq(("g", "dk")))
+    assert(lived === state(view2))
+    assert(lived === Seq(("Alpha2", 1L, 10.0), ("Beta", 2L, 12.0),
+      ("Zeta", 1L, 3.0)))
+  }
+
+  test("rebaseDim refuses a dimension-less view") {
+    val root = tmp()
+    val src = mkSource(root)
+    VersionedTable.append(spark,
+      Seq((1L, "a", 1.0)).toDF("id", "g", "v"), src)
+    val view = root + "/mv"
+    IncrementalView.create(spark, src, view, Seq("g"), Seq("v"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.rebaseDim(spark, view)
+    }
+    assert(e.getMessage.contains("no dimension"))
+  }
 }
