@@ -862,6 +862,84 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- join: STREAM-STREAM as-of over a bounded feed ----
+    // Both sides continuous (flatMapGroupsWithState argmax state, not a
+    // built-in join shape); each left emits exactly once when the shared
+    // watermark seals it, so over a sealed feed the answer IS the batch
+    // j2 as-of — same DuckDB ASOF JOIN oracle. Markers on BOTH sides
+    // push the watermark past all real event time.
+    "j2s_asof_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_id").isNotNull &&
+          col("ts").isNotNull)
+        .select(col("user_id").cast(LongType).as("user_id"), col("ts"),
+          col("event_id").cast(LongType).cast(StringType).as("payload"))
+      val quotes = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("best_price"))
+        .select(col("o_custkey").cast(LongType).as("user_id"),
+          col("o_orderdate").cast(TimestampType).as("ts"),
+          col("best_price").cast(DoubleType).as("value"))
+      val maxT = ev.select(max(col("ts")).as("m")).unionAll(
+        quotes.select(max(col("ts")).as("m"))).agg(max(col("m")))
+        .head.getTimestamp(0)
+      def far(off: Long) =
+        new java.sql.Timestamp(maxT.getTime + 48L * 3600 * 1000 + off)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_j2s").toString
+      val lStream = fileStream(s, root, "left", Seq(ev,
+        markerLike(ev, "ts", far(0)), markerLike(ev, "ts", far(1000))))
+      val rStream = fileStream(s, root, "right", Seq(quotes,
+        markerLike(quotes, "ts", far(0)),
+        markerLike(quotes, "ts", far(1000))))
+      val out = graft.streaming.StreamAsOf.backward(s,
+        lStream, "user_id", "ts", "payload",
+        rStream, "user_id", "ts", "value", watermark = "1 hour")
+      runStreamTwinFiltered(s, root, out.toDF()
+        .select(col("key").as("user_id"), col("payload"),
+          col("asof_value")), col("user_id") >= 0)
+        .where(col("asof_value").isNotNull) // inner: the j2 contract
+        .select(col("payload").cast(LongType).as("event_id"),
+          col("user_id"), col("asof_value").as("asof_price"))
+        .orderBy("event_id")
+    }),
+
+    // ---- join: STREAM-STREAM point-in-interval over a bounded feed ----
+    // The built-in watermarked stream-stream join shape (equi + closed
+    // time range + maxDuration state bound); over a sealed feed the
+    // inner answer IS batch j1 — same oracle. maxDuration 31d > the
+    // 30-day intervals, so the state bound never cuts a real match.
+    "j1s_interval_stream" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_shipdate").cast(TimestampType).as("p_ts"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"),
+        col("o_orderdate").cast(TimestampType).as("i_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .cast(TimestampType).as("i_end"))
+      val maxT = li.select(max(col("p_ts")).as("m")).unionAll(
+        o.select(max(col("i_end")).as("m"))).agg(max(col("m")))
+        .head.getTimestamp(0)
+      def far(off: Long) =
+        new java.sql.Timestamp(maxT.getTime + 48L * 3600 * 1000 + off)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_j1s").toString
+      val pStream = fileStream(s, root, "points", Seq(li,
+        markerLike(li, "p_ts", far(0)), markerLike(li, "p_ts", far(1000))))
+      val iStream = fileStream(s, root, "intervals", Seq(o,
+        markerLike(o, "i_start", far(0)),
+        markerLike(o, "i_start", far(1000))))
+      val out = graft.streaming.StreamIntervalJoin.pointInInterval(
+        pStream, "l_orderkey", "p_ts",
+        iStream, "o_orderkey", "i_start", "i_end",
+        watermark = "1 hour", maxDuration = "31 days",
+        select = Seq(col("p.l_orderkey"), col("p.l_linenumber"),
+          col("i.o_totalprice")))
+      runStreamTwinFiltered(s, root, out, col("l_orderkey") >= 0)
+        .orderBy("l_orderkey", "l_linenumber", "o_totalprice")
+    }),
+
     // ---- join: FORWARD as-of (earliest right at-or-after each left;
     // merge_asof direction="forward") — backward's machinery on the
     // negated time axis, oracled against DuckDB ASOF JOIN with <= ----
@@ -1039,18 +1117,68 @@ object SparkEntry {
     * events-table copy on disk and a sealed result set in driver
     * memory for the JVM's lifetime. */
   private def runStreamTwin(s: SparkSession, root: String,
-      out: DataFrame): DataFrame = {
+      out: DataFrame): DataFrame =
+    runStreamTwinFiltered(s, root, out, col("user_id") >= 0)
+
+  /** [[runStreamTwin]] with a caller-chosen seal filter (the stream-
+    * stream twins key on other columns than `user_id`). */
+  private def runStreamTwinFiltered(s: SparkSession, root: String,
+      out: DataFrame, seal: Column): DataFrame = {
     val qn = java.nio.file.Paths.get(root).getFileName.toString
     val q = out.writeStream.outputMode("append")
       .format("memory").queryName(qn)
       .option("checkpointLocation", root + "/ckpt").start()
     q.processAllAvailable()
     q.stop()
-    val sealedRows = s.table(qn).where(col("user_id") >= 0)
+    val sealedRows = s.table(qn).where(seal)
       .localCheckpoint(true)
     s.catalog.dropTempView(qn)
     rmTree(root)
     sealedRows
+  }
+
+  /** Ship each batch as ONE mtime-ordered parquet file under
+    * `root/sub/` and open it as a maxFilesPerTrigger=1 file stream —
+    * the nd1 harness generalized so a STREAM-STREAM join can feed two
+    * sides from one root (each side's batch i lands in micro-batch i).
+    */
+  private def fileStream(s: SparkSession, root: String, sub: String,
+      batches: Seq[DataFrame]): DataFrame = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val src = root + "/" + sub
+    JFiles.createDirectories(JPaths.get(src))
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = root + s"/${sub}_tmp$i"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      JFiles.move(part.toPath, JPaths.get(src, s"b$i.parquet"))
+      JPaths.get(src, s"b$i.parquet").toFile
+        .setLastModified(1000000L * (i + 1))
+      ()
+    }
+    s.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+  }
+
+  /** One-row watermark-advancing marker with `df`'s exact schema:
+    * `tsCol` = the given far-future time, numeric columns = −1 (the
+    * seal filter drops them), everything else null. Two of these per
+    * side push the shared watermark past all real event time and give
+    * the state store the extra micro-batch its event-time timeouts
+    * need to flush.
+    */
+  private def markerLike(df: DataFrame, tsCol: String,
+      ts: java.sql.Timestamp): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      if (f.name == tsCol) lit(ts).cast(f.dataType).as(f.name)
+      else f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          lit(-1).cast(f.dataType).as(f.name)
+        case _ => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.sparkSession.range(1).select(cols.toSeq: _*)
   }
 
   private def northStar: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6389,6 +6517,25 @@ object SparkEntry {
         |  FROM orders GROUP BY o_custkey, o_orderdate) o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    // stream-stream as-of over the sealed feed == the batch as-of
+    "j2s_asof_stream" ->
+      """SELECT e.event_id, e.user_id, o.best_price AS asof_price
+        |FROM events e ASOF JOIN (
+        |  SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS best_price
+        |  FROM orders GROUP BY o_custkey, o_orderdate) o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |WHERE e.user_id IS NOT NULL AND e.event_id IS NOT NULL
+        |  AND e.ts IS NOT NULL
+        |ORDER BY e.event_id""".stripMargin,
+
+    // stream-stream point-in-interval over the sealed feed == batch j1
+    "j1s_interval_stream" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
+        |FROM lineitem l JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey
+        | AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 30 DAY
+        |ORDER BY l.l_orderkey, l.l_linenumber, o.o_totalprice""".stripMargin,
 
     "j10_asof_forward" ->
       """SELECT o.o_orderkey, o.o_custkey, e.ev_value AS next_value
