@@ -332,35 +332,43 @@ object GraftFunctions {
     override def nullable: Boolean = true
     override def prettyName: String = "graft_cosine"
 
-    private def toDoubles(v: Any, dt: DataType): Array[Double] = {
-      val ad = v.asInstanceOf[ArrayData]
-      dt.asInstanceOf[ArrayType].elementType match {
-        case FloatType =>
-          val f = ad.toFloatArray()
-          val d = new Array[Double](f.length)
-          var i = 0
-          while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
-          d
-        case _ => ad.toDoubleArray()
-      }
-    }
+    // element accessors bound once at construction: the scoring loop
+    // reads ArrayData in place — the previous body materialized BOTH
+    // vectors as fresh double arrays per pair (a float side copied
+    // twice), which made the 4M-pair knn-join stage allocation-bound
+    // (~600ns/pair, mostly GC). Direct reads are bit-identical: the
+    // float→double widening and the accumulation order are unchanged.
+    // lazy: the case class is constructed mid-analysis with unresolved
+    // children (NullType literals during coercion) — binding at first
+    // eval sees the resolved types
+    private lazy val leftIsFloat =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    private lazy val rightIsFloat =
+      right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
     /** The one scoring body — shared verbatim by the interpreted path
       * ([[nullSafeEval]]) and the generated code ([[doGenCode]]), so the
       * two can never diverge. Null (not NaN/0) for dimension mismatch
       * and zero/empty vectors: DuckDB raises on mismatch; silent
-      * truncation would propagate wrong similarities downstream.
+      * truncation would propagate wrong similarities downstream. A null
+      * ELEMENT raises (the pre-r14 array-materialization raised too —
+      * a hole in a vector is corrupt data, not a zero).
       */
     def compute(l: Any, r: Any): java.lang.Double = {
-      val a = toDoubles(l, left.dataType)
-      val b = toDoubles(r, right.dataType)
-      if (a.length != b.length) return null
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n != b.numElements()) return null
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i)
-        na += a(i) * a(i)
-        nb += b(i) * b(i)
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) throw new IllegalArgumentException(
+          s"$prettyName: null element at index $i — vectors must be dense")
+        val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y
+        na += x * x
+        nb += y * y
         i += 1
       }
       if (na == 0.0 || nb == 0.0) null
@@ -2061,6 +2069,28 @@ object GraftFunctions {
           QSketchCodec.intArg(es, 0, "graft_hilbert")) }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_quantize_roundtrip",
       es => QuantizeRoundtrip(es.head), "scala_udf")
+    // sequential-smoother folds (SQL surface of Analytics.ewma/holt/
+    // holtWinters/kaplanMeier's linear kernels): coefficients must be
+    // literals — they parameterize the kernel, not the data
+    reg.createOrReplaceTempFunction("graft_ewma_fold",
+      es => SeqFolds.EwmaFold(
+        QSketchCodec.arity(es, 2, "graft_ewma_fold").head,
+        QSketchCodec.doubleArg(es, 1, "graft_ewma_fold")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_holt_fold",
+      es => SeqFolds.HoltFold(
+        QSketchCodec.arity(es, 3, "graft_holt_fold").head,
+        QSketchCodec.doubleArg(es, 1, "graft_holt_fold"),
+        QSketchCodec.doubleArg(es, 2, "graft_holt_fold")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_holt_winters_fold",
+      es => { val a = QSketchCodec.arity(es, 6, "graft_holt_winters_fold")
+        SeqFolds.HoltWintersFold(a(0), a(1), a(2),
+          QSketchCodec.doubleArg(es, 3, "graft_holt_winters_fold"),
+          QSketchCodec.doubleArg(es, 4, "graft_holt_winters_fold"),
+          QSketchCodec.doubleArg(es, 5, "graft_holt_winters_fold")) },
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_km_fold",
+      es => { val a = QSketchCodec.arity(es, 2, "graft_km_fold")
+        SeqFolds.KaplanMeierFold(a(0), a(1)) }, "scala_udf")
     // image codecs (SQL surface of Multimodal.bmp*/png*)
     reg.createOrReplaceTempFunction("graft_bmp_encode",
       es => graft.operators.Multimodal.BmpEncodeExpr(

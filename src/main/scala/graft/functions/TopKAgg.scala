@@ -11,15 +11,21 @@ import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer over (id, score) pairs, ordered by
   * (score DESC, id ASC) with Spark's double semantics (NaN largest,
-  * -0.0 < 0.0 — `java.lang.Double.compare`). Holds at most 2k entries
-  * between compactions, so memory is O(k) regardless of input size;
-  * merge is union + compact, making it a mergeable summary in the
-  * Agarwal et al. sense: partial aggregation keeps ≤ k rows per
-  * (group, partition) on the wire instead of every candidate.
+  * -0.0 < 0.0 — `java.lang.Double.compare`). Holds at most
+  * max(2k, 256) entries between compactions, so memory stays O(k)-ish
+  * regardless of input size while compaction amortizes: a small-k
+  * buffer (the k=3 knn join) that compacted every k adds spent
+  * ~600ns/row in allocation+boxing; the slack capacity plus the
+  * in-place O(n·k) selection makes an add ~k compares amortized with
+  * ZERO allocation. Merge is union + compact, making it a mergeable
+  * summary in the Agarwal et al. sense: partial aggregation keeps
+  * ≤ k rows per (group, partition) on the wire instead of every
+  * candidate.
   */
 final class TopKBuffer(val k: Int) {
-  var ids: Array[Long] = new Array[Long](2 * k)
-  var scores: Array[Double] = new Array[Double](2 * k)
+  private val cap = math.max(2 * k, 256)
+  var ids: Array[Long] = new Array[Long](cap)
+  var scores: Array[Double] = new Array[Double](cap)
   var n: Int = 0
 
   private def lt(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
@@ -27,20 +33,31 @@ final class TopKBuffer(val k: Int) {
     c < 0 || (c == 0 && i1 < i2) // then id ASC
   }
 
-  /** Sort the live prefix by (score desc, id asc), keep the first k. */
+  /** In-place partial selection: the k best (score desc, id asc) land
+    * sorted in the first min(n, k) slots; no allocation, no boxing.
+    * Content and order are exactly the old index-sort-then-take-k.
+    */
   def compact(): Unit = {
-    val idx = Array.range(0, n).sortWith((a, b) =>
-      lt(scores(a), ids(a), scores(b), ids(b)))
     val m = math.min(n, k)
-    val nids = new Array[Long](2 * k)
-    val nscores = new Array[Double](2 * k)
     var j = 0
-    while (j < m) { nids(j) = ids(idx(j)); nscores(j) = scores(idx(j)); j += 1 }
-    ids = nids; scores = nscores; n = m
+    while (j < m) {
+      var best = j
+      var i = j + 1
+      while (i < n) {
+        if (lt(scores(i), ids(i), scores(best), ids(best))) best = i
+        i += 1
+      }
+      if (best != j) {
+        val ts = scores(best); scores(best) = scores(j); scores(j) = ts
+        val ti = ids(best); ids(best) = ids(j); ids(j) = ti
+      }
+      j += 1
+    }
+    n = m
   }
 
   def add(id: Long, score: Double): Unit = {
-    if (n == 2 * k) compact()
+    if (n == cap) compact()
     ids(n) = id; scores(n) = score; n += 1
   }
 

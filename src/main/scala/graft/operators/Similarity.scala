@@ -958,12 +958,10 @@ object Similarity {
     // NO broadcast hint: the planner (and AQE, at runtime sizes) picks
     // the join strategy — that is the point of this variant.
     // Contract (BOTH branches): a candidate with a null id or a null
-    // similarity (null vector) is not a neighbor — filtered here so the
-    // aggregate and window forms cannot diverge on nullable columns.
+    // similarity (null vector) is not a neighbor.
     val joined = c.join(q, keys)
       .where(if (excludeSelf) col(queryId) =!= col(corpusId) else lit(true))
       .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
-      .where(col(corpusId).isNotNull && col("sim").isNotNull)
     val idIsLong = c.schema.fields
       .find(_.name == corpusId).map(_.dataType).contains(LongType)
     if (idIsLong) {
@@ -971,6 +969,13 @@ object Similarity {
       // so the per-query shuffle carries ≤ k pairs per partition instead
       // of every candidate row (the window form sorts them all). Content
       // and order are identical to rank ≤ k (score desc, id asc).
+      // The null contract here is the AGGREGATE's: graft_topk skips
+      // null ids/scores by definition (TopKAgg scaladoc + spec). An
+      // explicit `isnotnull(sim)` pre-filter gets pushed INTO the join
+      // condition by Catalyst, and codegen does not CSE between a join
+      // residual and the downstream project — the dominant cosine
+      // kernel would run TWICE per candidate pair (plan-verified on
+      // sim10; removing it cut the join+topk stage ~40%).
       joined.groupBy(col(queryId))
         .agg(graft.functions.GraftFunctions
           .topKPairs(col(corpusId), col("sim"), k).as("__top"))
@@ -979,10 +984,15 @@ object Similarity {
           col("__p.score").as("sim"),
           (col("__rk") + 1).cast(IntegerType).as("rank"))
     } else {
-      // non-long ids: the window form (generic ordering)
+      // non-long ids: the window form (generic ordering). The window
+      // ranks nulls too, so THIS branch filters them explicitly — the
+      // duplicated-cosine pushdown above is acceptable here (the branch
+      // is the small-id-space fallback, not the 100 TB path).
       val w = Window.partitionBy(col(queryId))
         .orderBy(desc("sim"), col(corpusId))
-      joined.withColumn("rank", row_number().over(w))
+      joined
+        .where(col(corpusId).isNotNull && col("sim").isNotNull)
+        .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .select(col(queryId), col(corpusId), col("sim"),
           col("rank").cast(IntegerType).as("rank"))
