@@ -2754,6 +2754,37 @@ object SparkEntry {
         bucketMicros = 3600000000L, tieBreak = Seq("event_id"))
         .orderBy("user_id", "bucket")),
 
+    // ---- evaluation: cohort retention matrix (daily periods) ----
+    // first-activity day = cohort; exact distinct-active counts per
+    // (cohort, age); retention = one division.
+    "a64_retention" -> ((s, dir) =>
+      Analytics.retentionMatrix(
+        t(s, dir, "events").select("user_id", "ts"),
+        userCol = "user_id", tsCol = "ts")
+        .orderBy("cohort", "age")),
+
+    // ---- sequence: first-order Markov transition matrix ----
+    // lead() pairs per user in (ts, event_id) order, exact global
+    // counts, one division for P(to|from).
+    "w13_transitions" -> ((s, dir) =>
+      Analytics.transitionMatrix(
+        t(s, dir, "events")
+          .select("event_id", "user_id", "ts", "event_type"),
+        keyCols = Seq("user_id"), tsCol = "ts", stateCol = "event_type",
+        tieBreak = Seq("event_id"))
+        .orderBy("from_state", "to_state")),
+
+    // ---- time series: single changepoint per key (binary
+    // segmentation's split criterion) — prefix-sum SSE over exact
+    // decimal windows, argmin by (score, ts, event_id) ----
+    "ts19_changepoint" -> ((s, dir) =>
+      Analytics.changepoint(
+        t(s, dir, "events").where(col("user_id").isNotNull)
+          .select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        minSeg = 5, tieBreak = Seq("event_id"))
+        .orderBy("user_id")),
+
     // ---- time series: lag-pair autocorrelation function ----
     // Pearson over (x_t, x_{t+lag}) pairs per key: exact decimal moment
     // sums (the ts1 idiom), pairs from lead() over one per-key window
@@ -4342,6 +4373,14 @@ object SparkEntry {
         t(s, dir, "events").where(col("value") <= 95.0), "event_id")
         .orderBy("gap_start")),
 
+    // ---- data quality: functional-dependency audit ----
+    // Does user_id -> event_type hold? (It shouldn't — the violation
+    // counts are the signal.) Exact two-level aggregation.
+    "dq9_fd_audit" -> ((s, dir) =>
+      Quality.fdViolations(
+        t(s, dir, "events").select("user_id", "event_type"),
+        lhs = Seq("user_id"), rhs = "event_type")),
+
     // ---- data quality: shuffle-key skew profile ----
     // The pre-flight a join/groupBy key gets before a 100 TB shuffle:
     // heaviest keys, their share, and the straggler multiplier skew_x
@@ -5579,6 +5618,30 @@ object SparkEntry {
           |  ON e.user_id = o.o_custkey AND graft_asof(e.ts, o.o_orderdate)
           |ORDER BY e.event_id""".stripMargin)
         .select(col("event_id"), col("user_id"), col("asof_price"))
+    }),
+
+    // ---- SQL surface of the sequential smoother: hand-rolled analyst
+    // SQL over the REGISTERED graft_ewma_fold kernel reproduces ts3
+    // exactly (same recursive-CTE oracle) — the fold family is
+    // reachable from SQL, not just the Scala API.
+    "sql5_ewma" -> ((s, dir) => {
+      graft.sql.SqlLayer.register(s, dir, Seq("events"))
+      s.sql(
+        """WITH g AS (
+          |  SELECT user_id,
+          |    sort_array(collect_list(struct(ts, event_id,
+          |      CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x))) AS s
+          |  FROM events
+          |  WHERE ts IS NOT NULL AND value IS NOT NULL
+          |    AND CAST(value AS DECIMAL(18,2)) IS NOT NULL
+          |  GROUP BY user_id),
+          |f AS (SELECT user_id, s,
+          |        graft_ewma_fold(transform(s, r -> r.x), 0.25D) AS e
+          |      FROM g)
+          |SELECT user_id, r.ts, r.event_id, r.x AS value,
+          |       element_at(e, i + 1) AS ewma
+          |FROM f LATERAL VIEW posexplode(s) AS i, r
+          |ORDER BY user_id, ts, event_id""".stripMargin)
     }),
 
     // ---- F2: zone-offset timestamp parsing (yyyy-MM-dd HH:mm:ssXXX) ----
@@ -8788,6 +8851,102 @@ object SparkEntry {
         |SELECT user_id, ts, event_id, x AS value, e AS ewma
         |FROM r ORDER BY user_id, ts, event_id""".stripMargin,
 
+    // retention re-derived: same day buckets, first-activity cohorts,
+    // distinct-active counts, one division
+    "a64_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000 AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |cohorts AS (SELECT u, min(p) AS c FROM active GROUP BY u),
+        |sizes AS (SELECT c, count(*) AS size FROM cohorts GROUP BY c),
+        |cells AS (
+        |  SELECT c AS cohort, a.p - c AS age, count(*) AS n_active
+        |  FROM active a JOIN cohorts USING (u) GROUP BY 1, 2)
+        |SELECT cohort, age, n_active, size AS cohort_size,
+        |  CAST(n_active AS DOUBLE) / CAST(size AS DOUBLE) AS retention
+        |FROM cells JOIN sizes ON cells.cohort = sizes.c
+        |ORDER BY cohort, age""".stripMargin,
+
+    // transitions re-derived: the same lead pairs and conditional share
+    "w13_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_state
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (
+        |  SELECT from_state, to_state, count(*) AS n_transitions
+        |  FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n_transitions,
+        |  CAST(n_transitions AS DOUBLE)
+        |    / CAST(sum(n_transitions) OVER (PARTITION BY from_state)
+        |           AS DOUBLE) AS p
+        |FROM c ORDER BY from_state, to_state""".stripMargin,
+
+    // changepoint re-derived: the same prefix-sum SSE argmin
+    "ts19_changepoint" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |c AS (
+        |  SELECT user_id, ts, event_id,
+        |    count(*) OVER wr AS nl,
+        |    CAST(sum(x) OVER wr AS DECIMAL(38,2)) AS sxl,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,4))) OVER wr
+        |      AS DECIMAL(38,4)) AS s2l,
+        |    count(*) OVER wa AS n,
+        |    CAST(sum(x) OVER wa AS DECIMAL(38,2)) AS sx,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,4))) OVER wa
+        |      AS DECIMAL(38,4)) AS s2
+        |  FROM b
+        |  WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wa AS (PARTITION BY user_id)),
+        |s AS (
+        |  SELECT *,
+        |    (CAST(s2l AS DOUBLE)
+        |       - CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE)
+        |         / CAST(nl AS DOUBLE))
+        |    + (CAST(CAST(s2 - s2l AS DECIMAL(38,4)) AS DOUBLE)
+        |       - CAST(CAST(sx - sxl AS DECIMAL(38,2)) AS DOUBLE)
+        |         * CAST(CAST(sx - sxl AS DECIMAL(38,2)) AS DOUBLE)
+        |         / CAST(n - nl AS DOUBLE)) AS score
+        |  FROM c WHERE nl >= 5 AND n - nl >= 5),
+        |p AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY score, ts, event_id) AS rk FROM s)
+        |SELECT user_id, n, ts AS cp_ts, nl AS n_left,
+        |  CAST(sxl AS DOUBLE) / CAST(nl AS DOUBLE) AS mean_left,
+        |  CAST(CAST(sx - sxl AS DECIMAL(38,2)) AS DOUBLE)
+        |    / CAST(n - nl AS DOUBLE) AS mean_right,
+        |  (CAST(s2 AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    - score AS gain
+        |FROM p WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    // the SQL-surface twin folds the identical recurrence
+    "sql5_ewma" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, ts, event_id, x, rn, x AS e FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.ts, o.event_id, o.x, o.rn,
+        |         CAST(0.25 AS DOUBLE) * o.x + CAST(0.75 AS DOUBLE) * r.e
+        |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, ts, event_id, x AS value, e AS ewma
+        |FROM r ORDER BY user_id, ts, event_id""".stripMargin,
+
     // KS re-derived: the same per-value cumulative counts, gap
     // cross-multiplied to stay integer, max per key
     "a39_ks" ->
@@ -11456,6 +11615,19 @@ object SparkEntry {
         |SELECT a + 1 AS gap_start, b - 1 AS gap_end,
         |  (b - 1) - (a + 1) + 1 AS n_missing
         |FROM n WHERE b > a + 1 ORDER BY gap_start""".stripMargin,
+
+    // FD audit re-derived: same two-level exact aggregation
+    "dq9_fd_audit" ->
+      """WITH g AS (
+        |  SELECT user_id, count(DISTINCT event_type) AS d, count(*) AS n
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_keys,
+        |  CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_keys,
+        |  CAST(sum(CASE WHEN d > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_violating_rows,
+        |  max(d) AS max_rhs_per_key
+        |FROM g""".stripMargin,
 
     "dq3_key_skew" ->
       """WITH k AS (SELECT user_id, COUNT(*) AS cnt

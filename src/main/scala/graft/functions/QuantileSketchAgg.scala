@@ -60,6 +60,23 @@ object QSketchCodec {
     }
   }
 
+  /** Foldable-double-literal extraction — [[intArg]]'s sibling for
+    * smoothing coefficients (α/β/γ) at SQL registration sites. */
+  def doubleArg(es: Seq[Expression], idx: Int, fname: String): Double = {
+    require(es.length > idx,
+      s"$fname: expected at least ${idx + 1} arguments, got ${es.length}")
+    val e = es(idx)
+    require(e.foldable,
+      s"$fname: argument #${idx + 1} must be a literal")
+    e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$fname: argument #${idx + 1} must be a numeric literal, " +
+          s"got ${if (other == null) "NULL" else other}")
+    }
+  }
+
   /** Plan-time arity guard for registration-site lambdas. */
   def arity(es: Seq[Expression], n: Int, fname: String): Seq[Expression] = {
     require(es.length == n,

@@ -1938,6 +1938,148 @@ object Analytics {
       .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy", "__den")
   }
 
+  /** Cohort retention matrix — the product-analytics classic: users
+    * bucketed by FIRST-ACTIVITY period (the cohort), then for each
+    * later period the count of that cohort's users active in it, plus
+    * the share of the cohort size. `periodMicros` sets the bucket (day
+    * = 86400e6, week = 7×). Age 0 is the cohort period itself
+    * (retention 1.0 by construction — kept as the denominators' own
+    * audit row).
+    *
+    * Determinism: first-activity is a min over exact micros, counts
+    * are exact distinct users, retention is one double division.
+    * Scale shape: one per-user min agg, one (user, period) distinct
+    * agg, one (cohort, age) count agg — three partial-agg shuffles,
+    * no window, no join back to the event log.
+    */
+  def retentionMatrix(df: DataFrame, userCol: String, tsCol: String,
+      periodMicros: Long = 86400000000L): DataFrame = {
+    require(periodMicros > 0, s"periodMicros must be > 0, got $periodMicros")
+    val bucket = (unix_micros(col(tsCol)) -
+      pmod(unix_micros(col(tsCol)), lit(periodMicros))) / lit(periodMicros)
+    val active = df
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), bucket.cast(LongType).as("__p"))
+      .distinct()
+    val cohorts = active.groupBy(col("__u"))
+      .agg(min(col("__p")).as("__c"))
+    val sizes = cohorts.groupBy(col("__c")).agg(count(lit(1)).as("__size"))
+    active.join(cohorts, "__u")
+      .groupBy(col("__c").as("cohort"), (col("__p") - col("__c")).as("age"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes.select(col("__c").as("cohort"), col("__size")), "cohort")
+      .select(col("cohort"), col("age"), col("n_active"),
+        col("__size").as("cohort_size"),
+        (col("n_active").cast(DoubleType) /
+          col("__size").cast(DoubleType)).as("retention"))
+  }
+
+  /** First-order Markov transition matrix over per-key event sequences:
+    * count (state_t → state_{t+1}) pairs within each key's time order,
+    * aggregate the counts globally, and attach the row-conditional
+    * probability P(to | from) = n / Σ_from n. The sequence-structure
+    * profile of an event log (what follows what) — and the building
+    * block for sequence-aware sampling in a training-data pipeline.
+    *
+    * Determinism: pairs come from `lead` over the (tsCol, tieBreak…)
+    * total order, counts are exact, and `p` is one double division.
+    * Scale shape: one per-key window sort, one (from, to) partial-agg
+    * shuffle, one tiny per-from window over the state alphabet.
+    */
+  def transitionMatrix(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      stateCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "transitionMatrix needs at least one key")
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val pairs = df
+      .where(col(tsCol).isNotNull && col(stateCol).isNotNull)
+      .withColumn("__to", lead(col(stateCol), 1).over(w))
+      .where(col("__to").isNotNull)
+    val counts = pairs
+      .groupBy(col(stateCol).as("from_state"), col("__to").as("to_state"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val wFrom = Window.partitionBy(col("from_state"))
+    counts.withColumn("p",
+      col("n_transitions").cast(DoubleType) /
+        sum(col("n_transitions")).over(wFrom).cast(DoubleType))
+  }
+
+  /** Single changepoint per key — the first step of binary segmentation
+    * (Scott & Knott's split criterion): over the time-ordered series,
+    * the split index t minimizing SSE(x_1..x_t) + SSE(x_{t+1}..x_n),
+    * with SSE(s) = Σx² − (Σx)²/|s| — the point where the mean shifts
+    * most. Emits one row per key with ≥ 2·`minSeg` observations:
+    * the split time, both segment means, and the variance-reduction
+    * `gain` = SSE(all) − min split SSE (0 for a flat series).
+    *
+    * Determinism: every moment is an exact decimal window sum (running
+    * + whole-partition); the right segment's sums are exact decimal
+    * subtractions; each candidate's score is ONE fixed double chain
+    * over those exacts, and the argmin orders by (score, ts, tieBreak)
+    * — identical doubles in any engine replaying the same chain, so
+    * the pick matches the oracle's row_number()=1.
+    *
+    * Scale shape: two per-key windows (running + total) and one
+    * per-key rank — keys parallelize, O(n) per key, no self-join, no
+    * collect. The O(n²) alternative (re-summing each candidate split)
+    * is exactly what the prefix-sum formulation avoids.
+    */
+  def changepoint(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, minSeg: Int = 5,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(minSeg >= 2 && minSeg <= 1000000,
+      s"minSeg must be in [2, 1000000], got $minSeg")
+    require(keyCols.nonEmpty, "changepoint needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val x = col(measure).cast(DecimalType(18, 2))
+    val p = DecimalType(38, 4)
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val wRun = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val sums = df
+      .where(col(tsCol).isNotNull && x.isNotNull)
+      .select(keyCols.map(col) ++ (tsCol +: tieBreak).map(col) :+
+        x.as("__x"): _*)
+      .withColumn("__nl", count(lit(1)).over(wRun))
+      .withColumn("__sxl",
+        sum(col("__x")).over(wRun).cast(DecimalType(38, 2)))
+      .withColumn("__s2l",
+        sum((col("__x") * col("__x")).cast(p)).over(wRun).cast(p))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__sx",
+        sum(col("__x")).over(wAll).cast(DecimalType(38, 2)))
+      .withColumn("__s2",
+        sum((col("__x") * col("__x")).cast(p)).over(wAll).cast(p))
+    def sse(n: Column, sx: Column, s2: Column): Column = {
+      val sxd = sx.cast(DoubleType)
+      s2.cast(DoubleType) - sxd * sxd / n.cast(DoubleType)
+    }
+    val nl = col("__nl")
+    val nr = col("__n") - col("__nl")
+    val sxr = (col("__sx") - col("__sxl")).cast(DecimalType(38, 2))
+    val s2r = (col("__s2") - col("__s2l")).cast(p)
+    val cand = sums
+      .where(nl >= minSeg.toLong && nr >= minSeg.toLong)
+      .withColumn("__score",
+        sse(nl, col("__sxl"), col("__s2l")) + sse(nr, sxr, s2r))
+    val wPick = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__score").asc +: order: _*)
+    cand
+      .withColumn("__rk", row_number().over(wPick))
+      .where(col("__rk") === 1)
+      .select(keyCols.map(col) ++ Seq(
+        col("__n").as("n"),
+        col(tsCol).as("cp_ts"),
+        col("__nl").as("n_left"),
+        (col("__sxl").cast(DoubleType) / nl.cast(DoubleType))
+          .as("mean_left"),
+        (sxr.cast(DoubleType) / nr.cast(DoubleType)).as("mean_right"),
+        (sse(col("__n"), col("__sx"), col("__s2")) - col("__score"))
+          .as("gain")): _*)
+  }
+
   /** Threshold-streak (run-length) profile per key: contiguous runs of
     * rows satisfying `flag` in time order — "longest stretch above the
     * limit", "how many excursions" (uptime/SLA/overload analysis; the

@@ -82,6 +82,31 @@ object Quality {
         col("__n_keys").as("n_keys"), col("__total").as("total_rows"))
   }
 
+  /** Functional-dependency audit: does `lhs → rhs` actually hold in the
+    * data? One summary row: total distinct lhs keys, how many map to
+    * MORE than one distinct rhs value (the violations), the rows those
+    * keys cover, and the worst key's rhs cardinality. The schema-design
+    * / dirty-dimension screen: a claimed natural key with violations
+    * is not a key, and an SCD attribute with violations needs
+    * versioning before it can join. Nulls in rhs follow COUNT DISTINCT
+    * semantics (ignored) — an all-null rhs key has cardinality 0, not
+    * a violation.
+    *
+    * Scale shape: one (lhs, rhs-distinct) partial agg + one global
+    * fold — exact integers, no window, no join.
+    */
+  def fdViolations(df: DataFrame, lhs: Seq[String],
+      rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "fdViolations needs at least one lhs column")
+    df.groupBy(lhs.map(col): _*)
+      .agg(count_distinct(col(rhs)).as("__d"), count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("__d") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+        sum(when(col("__d") > 1, col("__n")).otherwise(0L))
+          .as("n_violating_rows"),
+        max(col("__d")).as("max_rhs_per_key"))
+  }
+
   /** Referential-integrity report: how many child rows carry a foreign
     * key with no matching parent row. `n_null_fk` rows (any fk column
     * null) are reported separately — SQL FK semantics never flag them

@@ -84,4 +84,49 @@ object SqlLayer {
     df.createOrReplaceTempView(name)
     df
   }
+
+  // ---- named-view factories over the whole-operator analytics the SQL
+  // grammar can't express directly (the asofView pattern): each
+  // materializes the operator's output as a temp view, so the SQL-only
+  // analyst reaches the r13 family too. The sequential-fold SCALAR
+  // kernels are additionally registered as SQL functions by
+  // `GraftFunctions.register` (graft_ewma_fold / graft_holt_fold /
+  // graft_holt_winters_fold / graft_km_fold) for hand-rolled SQL.
+
+  def holtWintersView(spark: SparkSession, name: String, table: String,
+      keys: Seq[String], tsCol: String, measure: String,
+      alpha: Double, beta: Double, gamma: Double, period: Int,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val df = graft.operators.Analytics.holtWinters(
+      spark.table(table), keys, tsCol, measure, alpha, beta, gamma,
+      period, tieBreak)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  def rollingCorrView(spark: SparkSession, name: String, table: String,
+      keys: Seq[String], tsCol: String, xCol: String, yCol: String,
+      windowRows: Int, tieBreak: Seq[String] = Nil): DataFrame = {
+    val df = graft.operators.Analytics.rollingCorrelation(
+      spark.table(table), keys, tsCol, xCol, yCol, windowRows, tieBreak)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  def rakeView(spark: SparkSession, name: String, table: String,
+      idCol: String, textCol: String, stopwords: Seq[String],
+      topK: Int = 50): DataFrame = {
+    val df = graft.operators.TextAnalysis.rakeKeyphrases(
+      spark.table(table), idCol, textCol, stopwords, topK)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  def llrView(spark: SparkSession, name: String, table: String,
+      textCol: String, minCount: Long = 5, topK: Int = 100): DataFrame = {
+    val df = graft.operators.TextAnalysis.llrCollocations(
+      spark.table(table), textCol, minCount, topK)
+    df.createOrReplaceTempView(name)
+    df
+  }
 }

@@ -143,4 +143,18 @@ class QualitySpec extends SparkTestBase {
     // every gap is exactly one missing id (the %13 singles past 100)
     assert(one.forall(_.getLong(2) === 1L))
   }
+
+  test("fdViolations: violating keys, covered rows, null rhs ignored") {
+    val df = Seq(
+      ("k1", Some("a")), ("k1", Some("a")),          // clean key
+      ("k2", Some("a")), ("k2", Some("b")), ("k2", Some("b")), // violates
+      ("k3", None), ("k3", None),                     // all-null rhs: d=0
+      ("k4", Some("x")), ("k4", None))                // null ignored: d=1
+      .toDF("k", "v")
+    val r = Quality.fdViolations(df, Seq("k"), "v").head
+    assert(r.getLong(0) === 4L) // n_keys
+    assert(r.getLong(1) === 1L) // only k2 violates
+    assert(r.getLong(2) === 3L) // k2's rows
+    assert(r.getLong(3) === 2L) // worst cardinality
+  }
 }

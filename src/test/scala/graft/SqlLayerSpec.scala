@@ -112,4 +112,51 @@ class SqlLayerSpec extends SparkTestBase {
     // reconstruction error bounded by scale/2 = (3-1)/255/2
     assert(math.abs(row.getDouble(2) - 2.0) <= 1.0 / 255 + 1e-12)
   }
+
+  test("sequential-fold kernels are reachable from plain SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  graft_ewma_fold(array(10.0D, 20.0D, 30.0D), 0.5)[2] AS e3,
+        |  graft_holt_fold(array(10.0D, 20.0D), 0.5, 0.5).ls[1] AS l2,
+        |  graft_km_fold(array(2L, 0L), array(10L, 8L))[1] AS s2
+        |""".stripMargin).head
+    assert(row.getDouble(0) === 22.5) // 0.5*30 + 0.5*(0.5*20 + 0.5*10)
+    assert(row.getDouble(1) === 15.0) // 0.5*20 + 0.5*(10 + 0)
+    assert(row.getDouble(2) === 0.8) // (10-2)/10 carried by the 0-step
+    // coefficients must be literals (kernel parameters, not data)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_ewma_fold(array(1.0D), CAST(rand() AS DOUBLE))")
+        .head
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
+  test("r13 analytics family is reachable through named-view factories") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, 1L, 1L, 10.0, 1.0), (1L, 2L, 2L, 20.0, 2.0),
+      (1L, 3L, 3L, 30.0, 3.0), (1L, 4L, 4L, 40.0, 4.0))
+      .toDF("k", "ts", "eid", "x", "y")
+      .createOrReplaceTempView("sql_series")
+    Seq((1L, "good data pipeline", "good data pipeline quality"))
+      .toDF("doc_id", "a", "text").createOrReplaceTempView("sql_docs")
+    SqlLayer.rollingCorrView(spark, "v_corr", "sql_series",
+      Seq("k"), "ts", "x", "y", windowRows = 3, tieBreak = Seq("eid"))
+    val corr = spark.sql(
+      "SELECT roll_corr FROM v_corr ORDER BY ts DESC LIMIT 1").head.getDouble(0)
+    assert(math.abs(corr - 1.0) < 1e-9) // perfectly linear pair
+    SqlLayer.rakeView(spark, "v_rake", "sql_docs", "doc_id", "text",
+      stopwords = Seq("the", "and"), topK = 5)
+    assert(spark.sql("SELECT count(*) FROM v_rake").head.getLong(0) >= 1L)
+    SqlLayer.llrView(spark, "v_llr", "sql_docs", "text", minCount = 1,
+      topK = 5)
+    assert(spark.sql(
+      "SELECT count(*) FROM v_llr WHERE term_a = 'good'").head.getLong(0)
+      >= 1L)
+    SqlLayer.holtWintersView(spark, "v_hw", "sql_series",
+      Seq("k"), "ts", "x", alpha = 0.5, beta = 0.5, gamma = 0.5,
+      period = 2, tieBreak = Seq("eid"))
+    assert(spark.sql("SELECT count(*) FROM v_hw").head.getLong(0) === 2L)
+  }
 }
