@@ -2449,6 +2449,15 @@ object SparkEntry {
         .select("doc_id", "lang", "fold")
         .orderBy("doc_id")),
 
+    // ---- sampling: deterministic shard manifest — the export step of
+    // a training pipeline (hash shards + the audit artifact: counts,
+    // weight balance, id ranges, order-free checksum).
+    "s17_shard_manifest" -> ((s, dir) =>
+      Sampling.shardManifest(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        idCol = "doc_id", numShards = 16, weightCol = "n_chars")
+        .orderBy("shard")),
+
     // ---- evaluation: paired t-test — within-unit AM-vs-PM consumption
     // shift (each user supplies both arms, between-user variance
     // cancels). d is an exact decimal difference of two exact sums;
@@ -9647,6 +9656,19 @@ object SparkEntry {
         |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
         |      doc_id) - 1) % 5 AS INT) AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // shard manifest re-derived: same md5-60 shards, exact aggregates
+    "s17_shard_manifest" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT CAST(h % 16 AS INT) AS shard, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_weight,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(h % 1000003) AS BIGINT) AS checksum
+        |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // paired t: exact per-user arm sums and decimal differences, the
     // identical IEEE t tree, degenerate gates mirrored

@@ -343,6 +343,41 @@ object Sampling {
       ((row_number().over(w) - 1L) % k).cast("int"))
   }
 
+  /** Deterministic shard assignment for training-data export: shard =
+    * md5-60(id) mod `numShards` — RNG-free, layout-independent, and
+    * re-derivable in any engine with md5(), so a re-run (or a different
+    * engine) shards identically. The export step every training
+    * pipeline ends with (webdataset/streaming shards): hash sharding
+    * balances by LLN without a shuffle-by-count pass.
+    */
+  def shardAssign(df: DataFrame, idCol: String,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1 && numShards <= 1000000,
+      s"numShards must be in [1, 1000000], got $numShards")
+    df.where(col(idCol).isNotNull)
+      .withColumn("shard",
+        pmod(Dedup.md5Hash60(col(idCol).cast("string")),
+          lit(numShards.toLong)).cast("int"))
+  }
+
+  /** Per-shard manifest over [[shardAssign]]: row count, total weight
+    * (e.g. tokens/chars — the shard-size balance check), id range, and
+    * an order-free content checksum (sum of md5-60(id) mod 1000003 —
+    * exact integers, so two manifests match iff the shard holds the
+    * same id multiset). ONE partial-agg shuffle; at 100 TB this is the
+    * audit artifact shipped beside the shards.
+    */
+  def shardManifest(df: DataFrame, idCol: String, numShards: Int,
+      weightCol: String): DataFrame =
+    shardAssign(df, idCol, numShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(weightCol).cast("long")).as("total_weight"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"),
+        sum(pmod(Dedup.md5Hash60(col(idCol).cast("string")),
+          lit(1000003L))).as("checksum"))
+
   def bottomKSample(df: DataFrame, groupCol: Column, idCol: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

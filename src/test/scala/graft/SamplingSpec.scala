@@ -129,6 +129,25 @@ class SamplingSpec extends SparkTestBase {
     assert(a.map(_._2).distinct.length === 2) // both folds used
   }
 
+  test("shardAssign/shardManifest: deterministic, layout-independent, " +
+      "complete (manifest counts sum to the corpus)") {
+    val df = docs.limit(200)
+      .select(col("doc_id"), (col("doc_id") % 7 + 1).as("n_chars"))
+    val a = Sampling.shardManifest(df, "doc_id", 8, "n_chars")
+      .orderBy("shard").collect()
+    val b = Sampling.shardManifest(df.repartition(9), "doc_id", 8,
+      "n_chars").orderBy("shard").collect()
+    assert(a === b)
+    assert(a.map(_.getLong(1)).sum === 200L)
+    // assignment itself is stable row-for-row
+    val s1 = Sampling.shardAssign(df, "doc_id", 8)
+      .select("doc_id", "shard").as[(Long, Int)].collect().sortBy(_._1)
+    val s2 = Sampling.shardAssign(df.repartition(5), "doc_id", 8)
+      .select("doc_id", "shard").as[(Long, Int)].collect().sortBy(_._1)
+    assert(s1 === s2)
+    assert(s1.map(_._2).forall(s => s >= 0 && s < 8))
+  }
+
   test("resampleToMix keeps ~fraction per group, deterministically") {
     val mix = Map("src0" -> 0.5, "src1" -> 0.0)
     def run() = Sampling.resampleToMix(docs, col("source"), col("doc_id"),
