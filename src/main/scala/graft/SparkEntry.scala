@@ -2763,6 +2763,28 @@ object SparkEntry {
         bucketMicros = 3600000000L, tieBreak = Seq("event_id"))
         .orderBy("user_id", "bucket")),
 
+    // ---- evaluation: split conformal prediction intervals ----
+    // Per-user calibration-mean predictor on even event_ids, rank-based
+    // residual quantile (90% intervals), coverage flags on the odd half.
+    "a65_conformal" -> ((s, dir) => {
+      val dec = col("value").cast(DecimalType(18, 2))
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("value").isNotNull &&
+          dec.isNotNull)
+        .select(col("event_id"), col("user_id"),
+          dec.cast(DoubleType).as("y"))
+      val calRaw = ev.where(pmod(col("event_id"), lit(2)) === 0)
+      val pred = calRaw.groupBy("user_id")
+        .agg(stableAvg(col("y")).as("yhat"))
+      val cal = calRaw.join(pred, "user_id")
+      val test = ev.where(pmod(col("event_id"), lit(2)) === 1)
+        .join(pred, "user_id")
+      Analytics.conformalInterval(cal, test, "yhat", "y", alphaPct = 10)
+        .select(col("event_id"), col("user_id"), col("yhat").as("pred"),
+          col("y").as("actual"), col("lo"), col("hi"), col("covered"))
+        .orderBy("event_id")
+    }),
+
     // ---- evaluation: cohort retention matrix (daily periods) ----
     // first-activity day = cohort; exact distinct-active counts per
     // (cohort, age); retention = one division.
@@ -8859,6 +8881,37 @@ object SparkEntry {
         |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         |SELECT user_id, ts, event_id, x AS value, e AS ewma
         |FROM r ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // conformal re-derived: same canonical doubles, same integer rank,
+    // the k-th smallest residual is tie-invariant
+    "a65_conformal" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS y
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |p AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / count(y)
+        |      AS yhat
+        |  FROM e WHERE event_id % 2 = 0 GROUP BY user_id),
+        |r AS (
+        |  SELECT abs(e.y - p.yhat) AS r
+        |  FROM e JOIN p USING (user_id) WHERE e.event_id % 2 = 0),
+        |rk AS (
+        |  SELECT least(((count(*) + 1) * 90 + 99) // 100, count(*))
+        |    AS rank FROM r),
+        |q AS (
+        |  SELECT min(r) AS q FROM
+        |    (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM r), rk
+        |  WHERE rn >= rank)
+        |SELECT e.event_id, e.user_id, p.yhat AS pred, e.y AS actual,
+        |  p.yhat - q.q AS lo, p.yhat + q.q AS hi,
+        |  (e.y >= p.yhat - q.q AND e.y <= p.yhat + q.q) AS covered
+        |FROM e JOIN p USING (user_id), q
+        |WHERE e.event_id % 2 = 1
+        |ORDER BY event_id""".stripMargin,
 
     // retention re-derived: same day buckets, first-activity cohorts,
     // distinct-active counts, one division

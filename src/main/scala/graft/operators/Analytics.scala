@@ -1938,6 +1938,65 @@ object Analytics {
       .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy", "__den")
   }
 
+  /** Split conformal prediction intervals — the distribution-free
+    * uncertainty wrapper for ANY point predictor (Vovk et al.; the
+    * modern eval-harness staple): the calibration set's absolute
+    * residuals |y − ŷ| are ranked, q = the ⌈(n+1)·(1−α)⌉-th smallest
+    * (rank-based, NO interpolation — exact and engine-portable), and
+    * every test prediction gets the interval [ŷ − q, ŷ + q] plus its
+    * coverage flag. Guarantees ≥ 1−α marginal coverage for
+    * exchangeable data, whatever the model.
+    *
+    * `alphaPct` is an integer percent (10 = 90% intervals) so the rank
+    * is exact integer arithmetic: rank = ⌈(n+1)(100−α)/100⌉ clamped to
+    * n. Determinism: residuals are fixed double chains; the k-th
+    * smallest of an identical multiset is identical in any engine
+    * (ties don't matter — the VALUE at a rank is tie-invariant).
+    *
+    * Scale shape: residuals partial-agg to DISTINCT values before the
+    * one ordered cumulative window (the a31 weighted-quantile
+    * discipline — the window runs over the residual value domain, not
+    * the calibration rows); q broadcasts to the test side as a 1-row
+    * frame.
+    */
+  def conformalInterval(cal: DataFrame, test: DataFrame,
+      predCol: String, actualCol: String, alphaPct: Int): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 50,
+      s"alphaPct must be in [1, 50], got $alphaPct")
+    import org.apache.spark.sql.expressions.Window
+    val resid = abs(col(actualCol).cast(DoubleType) -
+      col(predCol).cast(DoubleType))
+    val counts = cal
+      .where(col(predCol).isNotNull && col(actualCol).isNotNull)
+      .select(resid.as("__r"))
+      .groupBy(col("__r")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val q = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__gn", sum(col("__c")).over(wAll))
+      .withColumn("__rank", {
+        // rank = ceil((n+1)(100−α)/100) in exact integer arithmetic:
+        // (a+99) div 100 via the subtract-mod idiom (`/` on longs is
+        // double division in Spark; the subtraction makes it exact)
+        val a99 = (col("__gn") + 1L) * lit((100 - alphaPct).toLong) + 99L
+        least(((a99 - pmod(a99, lit(100L))) / lit(100L)).cast(LongType),
+          col("__gn"))
+      })
+      .where(col("__cum") >= col("__rank"))
+      .agg(min(col("__r")).as("__q"))
+    test
+      .where(col(predCol).isNotNull && col(actualCol).isNotNull)
+      .crossJoin(broadcast(q))
+      .withColumn("lo", col(predCol).cast(DoubleType) - col("__q"))
+      .withColumn("hi", col(predCol).cast(DoubleType) + col("__q"))
+      .withColumn("covered",
+        col(actualCol).cast(DoubleType) >= col("lo") &&
+          col(actualCol).cast(DoubleType) <= col("hi"))
+      .drop("__q")
+  }
+
   /** Cohort retention matrix — the product-analytics classic: users
     * bucketed by FIRST-ACTIVITY period (the cohort), then for each
     * later period the count of that cohort's users active in it, plus

@@ -92,6 +92,28 @@ class ChangepointSpec extends SparkTestBase {
     assert(a.map(_.getLong(2)).sum === 500L - 19L)
   }
 
+  test("conformalInterval: rank-based q, coverage flags, clamped rank") {
+    // calibration residuals |y - 10| = 1, 2, 3, 4 (n = 4)
+    val cal = Seq((10.0, 11.0), (10.0, 12.0), (10.0, 7.0), (10.0, 14.0))
+      .toDF("yhat", "y")
+    val test = Seq((1L, 10.0, 12.9), (2L, 10.0, 13.1), (3L, 10.0, 7.0))
+      .toDF("id", "yhat", "y")
+    // alpha 20%: rank = ceil(5 * 0.8) = 4 -> q = 4th smallest = 4
+    val out20 = Analytics.conformalInterval(cal, test, "yhat", "y", 20)
+      .orderBy("id").select("lo", "hi", "covered")
+      .as[(Double, Double, Boolean)].collect()
+    assert(out20.toSeq === Seq((6.0, 14.0, true), (6.0, 14.0, true),
+      (6.0, 14.0, true)))
+    // alpha 50%: rank = ceil(5 * 0.5) = 3 -> q = 3 -> id2 (13.1) escapes
+    val out50 = Analytics.conformalInterval(cal, test, "yhat", "y", 50)
+      .orderBy("id").select("covered").as[Boolean].collect()
+    assert(out50.toSeq === Seq(true, false, true))
+    // alpha 1%: rank = ceil(5 * .99) = 5 > n, clamps to 4 -> q = 4
+    val out1 = Analytics.conformalInterval(cal, test, "yhat", "y", 1)
+      .orderBy("id").select("hi").as[Double].collect()
+    assert(out1.forall(_ === 14.0))
+  }
+
   test("retentionMatrix: hand-computed cohorts, age 0 is always 1.0") {
     def ts(day: Int): java.sql.Timestamp =
       new java.sql.Timestamp(day * 86400000L)

@@ -79,7 +79,10 @@ class PlanAuditSpec extends SparkTestBase {
     "t41_llr",
     // dq7: boundary candidates crossed with the broadcast 1-ROW
     // (min, max) bounds frame
-    "dq7_id_gaps")
+    "dq7_id_gaps",
+    // a65: test rows crossed with the broadcast 1-ROW conformal
+    // quantile q
+    "a65_conformal")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
