@@ -2805,6 +2805,20 @@ object SparkEntry {
         tieBreak = Seq("event_id"))
         .orderBy("from_state", "to_state")),
 
+    // ---- time series: trend/seasonal strength over ts11's
+    // decomposition (forecastability profile; quantized-decimal SSEs,
+    // one fixed double chain per strength) ----
+    "ts21_strength" -> ((s, dir) =>
+      Analytics.decompositionStrength(
+        Analytics.seasonalDecompose(
+          t(s, dir, "events")
+            .where(col("user_id").isNotNull && col("user_id") < 20)
+            .select("event_id", "user_id", "ts", "value"),
+          keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+          period = 24, tieBreak = Seq("event_id")),
+        keyCols = Seq("user_id"))
+        .orderBy("user_id")),
+
     // ---- time series: single changepoint per key (binary
     // segmentation's split criterion) — prefix-sum SSE over exact
     // decimal windows, argmin by (score, ts, event_id) ----
@@ -8741,6 +8755,70 @@ object SparkEntry {
         |    - CAST(p.g AS DOUBLE) / (24.0 * p.np) + 0.0 AS residual
         |FROM f JOIN p ON f.user_id = p.user_id AND f.phase = p.phase
         |ORDER BY f.user_id, f.ts, f.event_id""".stripMargin,
+
+    // strength re-derived: the ts11 decomposition CTE, components
+    // quantized DECIMAL(28,6), exact SSE sums, one double chain each
+    "ts21_strength" ->
+      """WITH b AS (SELECT user_id, event_id, ts,
+        |    TRY_CAST(value AS DECIMAL(18,2)) AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND user_id < 20 AND ts IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |win AS (SELECT user_id, event_id, ts, x,
+        |    COUNT(x) OVER w AS cnt,
+        |    SUM(x) OVER w AS s
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+        |f AS (SELECT user_id, event_id, ts, x, s,
+        |    CAST(24 * x - s AS DECIMAL(38,2)) AS d,
+        |    EXTRACT(hour FROM ts) AS phase
+        |  FROM win WHERE cnt = 24),
+        |p AS (SELECT user_id, phase,
+        |    CAST(SUM(d) AS DECIMAL(38,2)) AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS np
+        |  FROM f GROUP BY user_id, phase),
+        |dcmp AS (SELECT f.user_id,
+        |    CAST(f.s AS DOUBLE) / 24 + 0.0 AS trend,
+        |    CAST(p.g AS DOUBLE) / (24.0 * p.np) + 0.0 AS seasonal,
+        |    CAST(f.x AS DOUBLE) - CAST(f.s AS DOUBLE) / 24
+        |      - CAST(p.g AS DOUBLE) / (24.0 * p.np) + 0.0 AS residual
+        |  FROM f JOIN p ON f.user_id = p.user_id AND f.phase = p.phase),
+        |q AS (SELECT user_id,
+        |    CAST(floor(residual * 1000000.0) AS BIGINT) AS rq,
+        |    CAST(floor((seasonal + residual) * 1000000.0) AS BIGINT)
+        |      AS dtq,
+        |    CAST(floor((trend + residual) * 1000000.0) AS BIGINT) AS dsq
+        |  FROM dcmp),
+        |g AS (SELECT user_id, count(*) AS n,
+        |    CAST(SUM(rq) AS BIGINT) AS sr,
+        |    CAST(SUM(CAST(rq AS DECIMAL(28,0)) * CAST(rq AS DECIMAL(28,0)))
+        |      AS DECIMAL(38,0)) AS qr,
+        |    CAST(SUM(dtq) AS BIGINT) AS sdt,
+        |    CAST(SUM(CAST(dtq AS DECIMAL(28,0)) * CAST(dtq AS DECIMAL(28,0)))
+        |      AS DECIMAL(38,0)) AS qdt,
+        |    CAST(SUM(dsq) AS BIGINT) AS sds,
+        |    CAST(SUM(CAST(dsq AS DECIMAL(28,0)) * CAST(dsq AS DECIMAL(28,0)))
+        |      AS DECIMAL(38,0)) AS qds
+        |  FROM q GROUP BY user_id)
+        |SELECT user_id, n,
+        |  CASE WHEN CAST(qdt AS DOUBLE) - CAST(sdt AS DOUBLE)
+        |      * CAST(sdt AS DOUBLE) / CAST(n AS DOUBLE) > 0
+        |    THEN greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
+        |      - (CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE)
+        |          * CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(qdt AS DOUBLE) - CAST(sdt AS DOUBLE)
+        |          * CAST(sdt AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    END AS trend_strength,
+        |  CASE WHEN CAST(qds AS DOUBLE) - CAST(sds AS DOUBLE)
+        |      * CAST(sds AS DOUBLE) / CAST(n AS DOUBLE) > 0
+        |    THEN greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
+        |      - (CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE)
+        |          * CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(qds AS DOUBLE) - CAST(sds AS DOUBLE)
+        |          * CAST(sds AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    END AS seasonal_strength
+        |FROM g ORDER BY user_id""".stripMargin,
 
     // Kaplan–Meier re-derived: same integer risk sets, recursive CTE
     // replays the per-cohort time-ordered product (1.0·x ≡ x in IEEE,

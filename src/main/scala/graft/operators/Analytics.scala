@@ -2064,6 +2064,55 @@ object Analytics {
         sum(col("n_transitions")).over(wFrom).cast(DoubleType))
   }
 
+  /** Trend / seasonal strength per key (Hyndman's tsfeatures measures)
+    * over a [[seasonalDecompose]] output:
+    *
+    *   F_trend    = max(0, 1 − SSE(resid) / SSE(seasonal + resid))
+    *   F_seasonal = max(0, 1 − SSE(resid) / SSE(trend + resid))
+    *
+    * — the forecastability profile: ~1 means the component explains
+    * the series, ~0 means noise. SSE ratios equal variance ratios (n
+    * cancels), so no divisions by n enter the chain.
+    *
+    * Determinism: the decomposition's doubles are engine-identical;
+    * each component is QUANTIZED via floor(x·10⁶) — one double
+    * multiply then floor, both bit-identical in any IEEE engine
+    * (double→DECIMAL casts are NOT: Spark rounds half-up, DuckDB
+    * half-even — the boundary bit this query actually hit at sf0.01).
+    * Sums of the quantized longs are exact; squares go through
+    * DECIMAL(28,0)² on the int128 path; each strength is one fixed
+    * double chain over those exacts. Keys whose denominator SSE is 0
+    * (a constant component) emit null for that strength.
+    *
+    * Scale shape: one partial-agg pass over the decomposition — keys
+    * parallelize, no window, no join.
+    */
+  def decompositionStrength(decomposed: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "decompositionStrength needs a key column")
+    val q6 = (c: Column) => floor(c * lit(1000000.0))
+    def sums(c: Column, tag: String) = Seq(
+      sum(q6(c)).as(s"__s_$tag"),
+      sum((q6(c).cast(DecimalType(28, 0)) * q6(c).cast(DecimalType(28, 0)))
+        .cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+        .as(s"__q_$tag"))
+    val agg = decomposed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (sums(col("residual"), "r") ++
+          sums(col("seasonal") + col("residual"), "dt") ++
+          sums(col("trend") + col("residual"), "ds")): _*)
+    def sse(tag: String): Column = {
+      val s = col(s"__s_$tag").cast(DoubleType)
+      col(s"__q_$tag").cast(DoubleType) - s * s / col("n").cast(DoubleType)
+    }
+    def strength(den: String): Column =
+      when(sse(den) > 0.0,
+        greatest(lit(0.0), lit(1.0) - sse("r") / sse(den)))
+    agg.select(keyCols.map(col) :+ col("n") :+
+      strength("dt").as("trend_strength") :+
+      strength("ds").as("seasonal_strength"): _*)
+  }
+
   /** Single changepoint per key — the first step of binary segmentation
     * (Scott & Knott's split criterion): over the time-ordered series,
     * the split index t minimizing SSE(x_1..x_t) + SSE(x_{t+1}..x_n),

@@ -92,6 +92,30 @@ class ChangepointSpec extends SparkTestBase {
     assert(a.map(_.getLong(2)).sum === 500L - 19L)
   }
 
+  test("decompositionStrength: clean components score 1, noise scores " +
+      "0, degenerate denominators are null") {
+    def frame(k: String, rows: Seq[(Double, Double, Double)]) =
+      rows.map { case (t, s, r) => (k, t, s, r) }
+        .toDF("k", "trend", "seasonal", "residual")
+    // k1: zero residual, varying seasonal + trend -> both strengths 1
+    val k1 = frame("k1", Seq((1.0, 2.0, 0.0), (2.0, -2.0, 0.0),
+      (3.0, 2.0, 0.0), (4.0, -2.0, 0.0)))
+    // k2: flat seasonal, noisy residual -> trend_strength exactly 0
+    val k2 = frame("k2", Seq((1.0, 0.0, 1.0), (2.0, 0.0, -1.0),
+      (3.0, 0.0, 1.0), (4.0, 0.0, -1.0)))
+    // k3: everything constant -> both denominators 0 -> nulls
+    val k3 = frame("k3", Seq((5.0, 0.0, 0.0), (5.0, 0.0, 0.0)))
+    val out = Analytics.decompositionStrength(
+      k1.unionAll(k2).unionAll(k3), Seq("k"))
+      .orderBy("k")
+      .select("k", "trend_strength", "seasonal_strength")
+      .as[(String, Option[Double], Option[Double])].collect()
+    assert(out(0) === (("k1", Some(1.0), Some(1.0))))
+    assert(out(1)._2 === Some(0.0)) // SSE_dt == SSE_r
+    assert(out(1)._3.exists(v => v > 0.0 && v <= 1.0)) // trend explains
+    assert(out(2) === (("k3", None, None)))
+  }
+
   test("conformalInterval: rank-based q, coverage flags, clamped rank") {
     // calibration residuals |y - 10| = 1, 2, 3, 4 (n = 4)
     val cal = Seq((10.0, 11.0), (10.0, 12.0), (10.0, 7.0), (10.0, 14.0))
