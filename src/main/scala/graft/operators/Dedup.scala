@@ -866,6 +866,46 @@ object Dedup {
       .dropDuplicates(idCol, idCol + "_2")
   }
 
+  /** Near-dup pairs over a PRECOMPUTED 64-bit signature carried as two
+    * 32-bit halves (`hiCol`/`loCol` — the [[graft.operators.Multimodal]]
+    * dHash shape, engine-portable because neither half touches the
+    * sign bit): [[simhashPairs]]' 4×16-bit-chunk pigeonhole blocking
+    * (distance ≤ 3 ⇒ at least one chunk identical) + in-bucket hamming
+    * verify. Linear candidate generation, no N². Callers whose corpus
+    * repeats signatures (e.g. exact-duplicate images) should pre-group
+    * to one representative per signature — pairs are emitted between
+    * the ROWS given.
+    */
+  def hammingPairs64(df: DataFrame, idCol: String, hiCol: String,
+      loCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      "4-chunk blocking guarantees recall only to distance 3")
+    val sigs = df.select(col(idCol), col(hiCol).cast(LongType).as("__hi"),
+      col(loCol).cast(LongType).as("__lo"))
+    val chunked = sigs.withColumn("__c", explode(array(
+      struct(lit(0).as("i"),
+        col("__hi").bitwiseAND(0xFFFFL).as("v")),
+      struct(lit(1).as("i"),
+        call_function("shiftright", col("__hi"), lit(16))
+          .bitwiseAND(0xFFFFL).as("v")),
+      struct(lit(2).as("i"),
+        col("__lo").bitwiseAND(0xFFFFL).as("v")),
+      struct(lit(3).as("i"),
+        call_function("shiftright", col("__lo"), lit(16))
+          .bitwiseAND(0xFFFFL).as("v")))))
+    val l = chunked.select(col("__c"), col(idCol), col("__hi"),
+      col("__lo"))
+    val r = chunked.select(col("__c"), col(idCol).as(idCol + "_2"),
+      col("__hi").as("__hi2"), col("__lo").as("__lo2"))
+    l.join(r, "__c")
+      .where(col(idCol) < col(idCol + "_2"))
+      .select(col(idCol), col(idCol + "_2"),
+        (hamming(col("__hi"), col("__hi2")) +
+          hamming(col("__lo"), col("__lo2"))).as("dist"))
+      .where(col("dist") <= maxDist)
+      .dropDuplicates(idCol, idCol + "_2")
+  }
+
   // ---------- semantic (embedding-space) dedup ----------
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at

@@ -597,4 +597,26 @@ class TextDedupSpec extends SparkTestBase {
     assert(out(1) === (("", 0L, 2L)))
     assert(out(2) === (("unique", 1L, 2L)))
   }
+  test("hammingPairs64: pigeonhole blocking finds all pairs to dist 3, " +
+      "none beyond; halves both count") {
+    // a=base; b = a with 1 bit flipped in hi; c = a with 2 bits in lo;
+    // d = a with 3 bits split across halves; e = a with 4 bits (missed
+    // by the <=3 verify even though blocking may candidate it)
+    val a = (0x0F0F0F0FL, 0x00FF00FFL)
+    val rows = Seq(
+      (1L, a._1, a._2),
+      (2L, a._1 ^ 1L, a._2),                  // dist 1
+      (3L, a._1, a._2 ^ 3L),                   // dist 2
+      (4L, a._1 ^ (1L << 20), a._2 ^ 3L),      // dist 3
+      (5L, a._1 ^ (3L << 20), a._2 ^ 3L))      // dist 4
+      .toDF("id", "hi", "lo")
+    val got = Dedup.hammingPairs64(rows, "id", "hi", "lo", maxDist = 3)
+      .orderBy("id", "id_2")
+      .select("id", "id_2", "dist").as[(Long, Long, Int)].collect()
+    val exp = Seq((1L,2L,1),(1L,3L,2),(1L,4L,3),(2L,3L,3),(3L,4L,1),
+      (3L,5L,2),(4L,5L,1))
+    // every expected pair present with the right distance; no pair
+    // beyond dist 3 (e.g. (1,5) at dist 4, (2,4) at dist 4)
+    assert(got.toSet === exp.toSet)
+  }
 }
