@@ -2664,6 +2664,23 @@ object SparkEntry {
         .orderBy("cohort", "t")
     }),
 
+    // ---- time series: Nelson–Aalen cumulative hazard — the additive
+    // sibling of ts10 over the SAME exact risk sets (H += d/n at event
+    // times; censored-only times carry H) ----
+    "ts22_nelson_aalen" -> ((s, dir) => {
+      val subjects = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(floor((unix_micros(max(col("ts"))) -
+          unix_micros(min(col("ts")))) / lit(86400000000L))
+          .cast(LongType).as("t_days"))
+        .select(col("user_id"), col("t_days"),
+          (pmod(col("user_id"), lit(5)) =!= 0).as("churned"),
+          pmod(col("user_id"), lit(3)).as("cohort"))
+      Analytics.nelsonAalen(subjects, Seq("cohort"), "t_days", "churned")
+        .orderBy("cohort", "t")
+    }),
+
     // ---- time series: the STREAMING rolling-z anomaly twin under the
     // driver oracle (same lifecycle; AnomalyStream's parity contract
     // makes the sealed alarms ts1's exact rows, so the oracle is ts1's
@@ -8909,6 +8926,42 @@ object SparkEntry {
         |    AND rk.rn = rec.rn + 1)
         |SELECT cohort, t, n AS n_risk, d AS n_events, c AS n_censored,
         |  s AS survival
+        |FROM rec ORDER BY cohort, t""".stripMargin,
+
+    // Nelson-Aalen re-derived: the ts10 risk sets, additive recursion
+    "ts22_nelson_aalen" ->
+      """WITH RECURSIVE subj AS (SELECT user_id,
+        |    CAST(floor((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+        |      / 86400000000) AS BIGINT) AS t_days,
+        |    ((user_id % 5) + 5) % 5 <> 0 AS churned,
+        |    ((user_id % 3) + 3) % 3 AS cohort
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |st AS (SELECT cohort, t_days AS t,
+        |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY cohort, t_days),
+        |rk AS (SELECT cohort, t, d, c,
+        |    CAST(SUM(d + c) OVER (PARTITION BY cohort) -
+        |      COALESCE(SUM(d + c) OVER (PARTITION BY cohort ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn
+        |  FROM st),
+        |rec AS (
+        |  SELECT cohort, t, d, c, n, rn,
+        |    CASE WHEN d > 0 THEN CAST(d AS DOUBLE) / n
+        |         ELSE CAST(0.0 AS DOUBLE) END AS h
+        |  FROM rk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rk.cohort, rk.t, rk.d, rk.c, rk.n, rk.rn,
+        |    CASE WHEN rk.d > 0
+        |      THEN rec.h + (CAST(rk.d AS DOUBLE) / rk.n)
+        |      ELSE rec.h END
+        |  FROM rec JOIN rk ON rk.cohort = rec.cohort
+        |    AND rk.rn = rec.rn + 1)
+        |SELECT cohort, t, n AS n_risk, d AS n_events, c AS n_censored,
+        |  h AS cum_hazard
         |FROM rec ORDER BY cohort, t""".stripMargin,
 
     // streaming anomaly twin: ts1's SQL + the stream's typed-key filter

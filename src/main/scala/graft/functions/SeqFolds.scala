@@ -259,4 +259,49 @@ object SeqFolds {
   def kmFold(ds: Column, ns: Column): Column =
     SparkShim.toColumn(KaplanMeierFold(SparkShim.toExpression(ds),
       SparkShim.toExpression(ns)))
+
+  /** Nelson–Aalen cumulative hazard path over the same time-sorted
+    * step list as [[KaplanMeierFold]]: H += d/n at every time with
+    * d > 0 (censored-only times carry the previous H). One division,
+    * one addition per step — the additive sibling of the KM product,
+    * same recursive-CTE oracle shape.
+    */
+  case class NelsonAalenFold(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "expected (array<bigint>, array<bigint>)")
+      }
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_na_fold"
+
+    override def nullSafeEval(dsA: Any, nsA: Any): Any = {
+      val ds = dsA.asInstanceOf[ArrayData].toLongArray()
+      val ns = nsA.asInstanceOf[ArrayData].toLongArray()
+      val n = ds.length
+      boundCheck(n, prettyName)
+      require(ns.length == n,
+        s"$prettyName: d/n arrays disagree (${ds.length} vs ${ns.length})")
+      val out = new Array[Double](n)
+      var h = 0.0
+      var i = 0
+      while (i < n) {
+        val d = ds(i)
+        if (d > 0) h = h + d.toDouble / ns(i).toDouble
+        out(i) = h
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): NelsonAalenFold = copy(left = l, right = r)
+  }
+
+  def naFold(ds: Column, ns: Column): Column =
+    SparkShim.toColumn(NelsonAalenFold(SparkShim.toExpression(ds),
+      SparkShim.toExpression(ns)))
 }

@@ -1278,9 +1278,12 @@ object Analytics {
     * entry per distinct time, the curve's own size; a cohort's curve
     * beyond ~10^6 steps should be time-bucketed first), one explode.
     */
-  def kaplanMeier(df: DataFrame, keyCols: Seq[String], timeCol: String,
-      eventCol: String): DataFrame = {
-    require(keyCols.nonEmpty, "kaplanMeier needs at least one key column")
+  /** Shared risk-set construction for [[kaplanMeier]] and
+    * [[nelsonAalen]]: per-cohort time-sorted step list with exact
+    * integer (t, d, c, n) per distinct event time.
+    */
+  private def survivalSteps(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, eventCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val steps = df
       .where(col(timeCol).isNotNull && col(timeCol) >= 0 &&
@@ -1290,22 +1293,20 @@ object Analytics {
         sum(when(col(eventCol), 0L).otherwise(1L)).as("__c"))
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__t"))
     val wAll = Window.partitionBy(keyCols.map(col): _*)
-    val risked = steps
+    steps
       .withColumn("__n",
         sum(col("__d") + col("__c")).over(wAll) -
           coalesce(sum(col("__d") + col("__c"))
             .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    // sequential survival fold over the time-sorted step list
-    val grouped = risked.groupBy(keyCols.map(col): _*)
+      .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col("__t"), col("__d"),
         col("__c"), col("__n")))).as("__s"))
-    // native linear fold (SeqFolds.KaplanMeierFold): one division, one
-    // multiply per step over preallocated arrays — same IEEE chain the
-    // HOF fold and the recursive-CTE oracle evaluate
+  }
+
+  private def survivalTail(grouped: DataFrame, keyCols: Seq[String],
+      fold: Column, outCol: String): DataFrame =
     grouped
-      .withColumn("__f", graft.functions.SeqFolds.kmFold(
-        transform(col("__s"), _.getField("__d")),
-        transform(col("__s"), _.getField("__n"))))
+      .withColumn("__f", fold)
       .select(keyCols.map(col) :+ col("__f") :+
         posexplode(col("__s")).as(Seq("__i", "__r")): _*)
       .select(keyCols.map(col) ++ Seq(
@@ -1313,7 +1314,37 @@ object Analytics {
         col("__r.__n").as("n_risk"),
         col("__r.__d").as("n_events"),
         col("__r.__c").as("n_censored"),
-        element_at(col("__f"), col("__i") + 1).as("survival")): _*)
+        element_at(col("__f"), col("__i") + 1).as(outCol)): _*)
+
+  def kaplanMeier(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      eventCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "kaplanMeier needs at least one key column")
+    // native linear fold (SeqFolds.KaplanMeierFold): one division, one
+    // multiply per step over preallocated arrays — same IEEE chain the
+    // HOF fold and the recursive-CTE oracle evaluate
+    survivalTail(survivalSteps(df, keyCols, timeCol, eventCol), keyCols,
+      graft.functions.SeqFolds.kmFold(
+        transform(col("__s"), _.getField("__d")),
+        transform(col("__s"), _.getField("__n"))),
+      "survival")
+  }
+
+  /** Nelson–Aalen cumulative hazard per cohort — the additive sibling
+    * of [[kaplanMeier]] over the SAME exact risk sets:
+    *   H(t) = Σ_{u ≤ t, d_u > 0} d_u / n_u
+    * — the hazard-scale view (≈ −ln S(t); preferred for small samples
+    * and for comparing cumulative event intensity). Each step is ONE
+    * division and ONE addition in time order (SeqFolds.NelsonAalenFold),
+    * so the doubles are bit-identical to a recursive-CTE replay.
+    */
+  def nelsonAalen(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      eventCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "nelsonAalen needs at least one key column")
+    survivalTail(survivalSteps(df, keyCols, timeCol, eventCol), keyCols,
+      graft.functions.SeqFolds.naFold(
+        transform(col("__s"), _.getField("__d")),
+        transform(col("__s"), _.getField("__n"))),
+      "cum_hazard")
   }
 
   /** Poisson(1) cumulative probabilities P(X ≤ k), k = 0..7 — spelled as

@@ -160,6 +160,28 @@ class SeqFoldsSpec extends SparkTestBase {
     SeqFolds.boundCheck(SeqFolds.MaxSeriesPerKey, "ok") // at the bound: fine
   }
 
+  test("nelsonAalen operator == driver reference fold; censored-only " +
+      "steps carry the hazard") {
+    val subjects = spark.range(100).select(
+      lit("c").as("cohort"), (col("id") % 9).as("t"),
+      (col("id") % 4 =!= 0).as("ev"))
+    val got = Analytics.nelsonAalen(subjects, Seq("cohort"), "t", "ev")
+      .orderBy("t").select("t", "n_risk", "n_events", "cum_hazard")
+      .as[(Long, Long, Long, Double)].collect()
+    val byT = (0L until 100L).map(id => (id % 9, id % 4 != 0))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = 100L; var h = 0.0
+    val ref = byT.map { case (t, g) =>
+      val d = g.count(_._2).toLong
+      val n = atRisk
+      if (d > 0) h = h + d.toDouble / n.toDouble
+      atRisk -= g.length
+      (t, n, d, h)
+    }.toArray
+    assert(got.map(r => (r._1, r._2, r._3)) === ref.map(r => (r._1, r._2, r._3)))
+    assert(bits(got.map(_._4)) === bits(ref.map(_._4)))
+  }
+
   test("km fold: censored-only step carries survival; d/n length mismatch is loud") {
     val ds = new GenericArrayData(Array(2L, 0L, 1L))
     val ns = new GenericArrayData(Array(10L, 8L, 5L))
