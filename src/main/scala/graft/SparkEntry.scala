@@ -1308,6 +1308,20 @@ object SparkEntry {
     // from connected components, min id survives. Cells come from
     // k-means => rows-only here; d9b is the exact-mode twin (nlist=1 ≡
     // all-pairs), fully oracled via the d5-style recursive CTE.
+    // ---- similarity: domain-similarity map (corpus cartography) ----
+    // One quantized-exact centroid per language over the doc-joined
+    // embeddings, pairwise cosine between centroids — the input to a
+    // data-mixing plan (which domains overlap in embedding space).
+    "sim21_domain_map" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      Similarity.domainCentroidMap(
+        d.join(e, col("doc_id") === col("vec_id")), "lang", "embedding",
+        scale = 6)
+        .orderBy("group_a", "group_b")
+    }),
+
     "d9_semantic_dedup" -> ((s, dir) =>
       Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.3, nlist = 8, iters = 2, maxCellSize = 256)
@@ -8368,6 +8382,30 @@ object SparkEntry {
         |  ((CAST(sa AS DOUBLE) / n_a + 0.0)
         |    - (CAST(sb AS DOUBLE) / n_b + 0.0)) + 0.0 AS gap
         |FROM g WHERE n_a > 0 AND n_b > 0 ORDER BY d""".stripMargin,
+
+    // domain map re-derived: same quantized sums, same sequential
+    // cosine (list_cosine_similarity == the engine kernel, the sim1
+    // precedent)
+    "sim21_domain_map" ->
+      """WITH j AS (
+        |  SELECT d.lang AS g,
+        |    list_transform(e.embedding,
+        |      v -> CAST(round(v, 6) AS DECIMAL(18,6))) AS x
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |  WHERE d.lang IS NOT NULL AND e.embedding IS NOT NULL),
+        |ex AS (SELECT g, r.i AS i, x[r.i + 1] AS v
+        |  FROM j, range(64) r(i)),
+        |cent AS (
+        |  SELECT g, i, CAST(SUM(v) AS DOUBLE) / count(*) AS c
+        |  FROM ex GROUP BY g, i),
+        |cv AS (SELECT g, list(c ORDER BY i) AS cv FROM cent GROUP BY g),
+        |nv AS (SELECT g, count(*) AS n FROM j GROUP BY g)
+        |SELECT a.g AS group_a, b.g AS group_b, na.n AS n_a, nb.n AS n_b,
+        |  list_cosine_similarity(a.cv, b.cv) AS cos_sim
+        |FROM cv a JOIN cv b ON a.g < b.g
+        |JOIN nv na ON na.g = a.g
+        |JOIN nv nb ON nb.g = b.g
+        |ORDER BY group_a, group_b""".stripMargin,
 
     "sim12_embedding_cov" ->
       """WITH q AS (

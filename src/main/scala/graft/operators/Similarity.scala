@@ -791,6 +791,49 @@ object Similarity {
     * Scale: one hash semi-join on (query, id) + one count per query —
     * both sides are k×|queries|, never corpus-sized.
     */
+  /** Domain-similarity map — corpus cartography for mixing decisions:
+    * one centroid per group (source / language / shard), then pairwise
+    * cosine between group centroids. The |groups|² matrix says which
+    * domains overlap in embedding space (candidates for merging or for
+    * temperature flattening) and which are genuinely distinct — the
+    * input to a data-mixing plan, at the cost of ONE pass over the
+    * corpus plus a groups-sized join.
+    *
+    * Determinism: the Pca quantized-moment discipline — dims quantize
+    * to `scale` decimals (round(x, s), cross-engine), per-(group, dim)
+    * sums are exact decimals, each centroid coordinate is one double
+    * division, and the pairwise cosine is the engine's sequential-fold
+    * kernel. Scale shape: one posexplode partial-agg over (group, dim),
+    * one per-group array fold, one |groups|² inequality join (groups,
+    * never rows — the t38 class).
+    */
+  def domainCentroidMap(df: DataFrame, groupCol: String, vecCol: String,
+      scale: Int = 6): DataFrame = {
+    require(scale >= 1 && scale <= 9, s"scale must be in [1, 9], got $scale")
+    val ex = df
+      .where(col(groupCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(groupCol).as("__g"), posexplode(
+        transform(asDouble(col(vecCol)),
+          e => round(e, scale).cast(DecimalType(18, scale))))
+        .as(Seq("__i", "__v")))
+    val cent = ex.groupBy(col("__g"), col("__i"))
+      .agg(sum(col("__v")).cast(DecimalType(38, scale)).as("__s"),
+        count(lit(1)).as("__n"))
+      .withColumn("__c",
+        col("__s").cast(DoubleType) / col("__n").cast(DoubleType))
+      .groupBy(col("__g"))
+      .agg(transform(array_sort(collect_list(struct(col("__i"),
+        col("__c")))), _.getField("__c")).as("__cv"),
+        max(col("__n")).as("n_vecs"))
+    val a = cent.select(col("__g").as("group_a"), col("__cv").as("__va"),
+      col("n_vecs").as("n_a"))
+    val b = cent.select(col("__g").as("group_b"), col("__cv").as("__vb"),
+      col("n_vecs").as("n_b"))
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        cosine(col("__va"), col("__vb")).as("cos_sim"))
+  }
+
   def recallAtK(approx: DataFrame, truth: DataFrame, queryCol: String,
       idCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

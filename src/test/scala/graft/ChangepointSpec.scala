@@ -138,6 +138,25 @@ class ChangepointSpec extends SparkTestBase {
     assert(out1.forall(_ === 14.0))
   }
 
+
+  test("domainCentroidMap: hand centroids, orthogonal vs aligned groups") {
+    import graft.operators.Similarity
+    // gA vectors average to (1, 0); gB to (0, 2); gC to (2, 0)
+    val rows = Seq(
+      ("gA", Seq(2.0f, 0.0f)), ("gA", Seq(0.0f, 0.0f)),
+      ("gB", Seq(0.0f, 1.0f)), ("gB", Seq(0.0f, 3.0f)),
+      ("gC", Seq(2.0f, 0.0f)))
+      .toDF("g", "v")
+    val out = Similarity.domainCentroidMap(rows, "g", "v")
+      .orderBy("group_a", "group_b")
+      .select("group_a", "group_b", "n_a", "n_b", "cos_sim")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(
+      ("gA", "gB", 2L, 2L, 0.0),   // orthogonal centroids
+      ("gA", "gC", 2L, 1L, 1.0),   // colinear centroids
+      ("gB", "gC", 2L, 1L, 0.0)))
+  }
+
   test("retentionMatrix: hand-computed cohorts, age 0 is always 1.0") {
     def ts(day: Int): java.sql.Timestamp =
       new java.sql.Timestamp(day * 86400000L)

@@ -82,7 +82,10 @@ class PlanAuditSpec extends SparkTestBase {
     "dq7_id_gaps",
     // a65: test rows crossed with the broadcast 1-ROW conformal
     // quantile q
-    "a65_conformal")
+    "a65_conformal",
+    // sim21: |groups|² inequality join over per-LANGUAGE centroids
+    // (groups, never rows — the t38 class)
+    "sim21_domain_map")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
