@@ -8910,14 +8910,6 @@ object SparkEntry {
         |      AS DECIMAL(38,0)) AS qds
         |  FROM q GROUP BY user_id)
         |SELECT user_id, n,
-        |  CASE WHEN CAST(qdt AS DOUBLE) - CAST(sdt AS DOUBLE)
-        |      * CAST(sdt AS DOUBLE) / CAST(n AS DOUBLE) > 0
-        |    THEN greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
-        |      - (CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE)
-        |          * CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
-        |        / (CAST(qdt AS DOUBLE) - CAST(sdt AS DOUBLE)
-        |          * CAST(sdt AS DOUBLE) / CAST(n AS DOUBLE)))
-        |    END AS trend_strength,
         |  CASE WHEN CAST(qds AS DOUBLE) - CAST(sds AS DOUBLE)
         |      * CAST(sds AS DOUBLE) / CAST(n AS DOUBLE) > 0
         |    THEN greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
@@ -8925,6 +8917,14 @@ object SparkEntry {
         |          * CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
         |        / (CAST(qds AS DOUBLE) - CAST(sds AS DOUBLE)
         |          * CAST(sds AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    END AS trend_strength,
+        |  CASE WHEN CAST(qdt AS DOUBLE) - CAST(sdt AS DOUBLE)
+        |      * CAST(sdt AS DOUBLE) / CAST(n AS DOUBLE) > 0
+        |    THEN greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
+        |      - (CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE)
+        |          * CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(qdt AS DOUBLE) - CAST(sdt AS DOUBLE)
+        |          * CAST(sdt AS DOUBLE) / CAST(n AS DOUBLE)))
         |    END AS seasonal_strength
         |FROM g ORDER BY user_id""".stripMargin,
 
@@ -9140,7 +9140,8 @@ object SparkEntry {
     "a64_retention" ->
       """WITH active AS (
         |  SELECT DISTINCT user_id AS u,
-        |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000 AS p
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000)
+        |      % 86400000000) // 86400000000 AS p
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |cohorts AS (SELECT u, min(p) AS c FROM active GROUP BY u),
         |sizes AS (SELECT c, count(*) AS size FROM cohorts GROUP BY c),

@@ -351,8 +351,11 @@ object GraftFunctions {
       * two can never diverge. Null (not NaN/0) for dimension mismatch
       * and zero/empty vectors: DuckDB raises on mismatch; silent
       * truncation would propagate wrong similarities downstream. A null
-      * ELEMENT raises (the pre-r14 array-materialization raised too —
-      * a hole in a vector is corrupt data, not a zero).
+      * ELEMENT raises — a BEHAVIOR CHANGE vs pre-r14, where the
+      * UnsafeArrayData fast path copied the element region without
+      * null checks and silently read a null element as 0.0 (only the
+      * GenericArrayData path NPE'd). The strict contract is
+      * deliberate: a hole in a vector is corrupt data, not a zero.
       */
     def compute(l: Any, r: Any): java.lang.Double = {
       val a = l.asInstanceOf[ArrayData]

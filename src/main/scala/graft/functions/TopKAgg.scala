@@ -22,6 +22,15 @@ import org.apache.spark.sql.types._
   * ≤ k rows per (group, partition) on the wire instead of every
   * candidate.
   */
+object TopKBuffer {
+  /** Above this k, [[TopKBuffer.compact]] switches from O(n·k) partial
+    * selection (~k compares amortized per add — ideal for the k=3 knn
+    * path) to the dual-array quicksort (~log n per add) — the
+    * crossover where selection's k² term starts losing.
+    */
+  val SelectionMaxK = 64
+}
+
 final class TopKBuffer(val k: Int) {
   private val cap = math.max(2 * k, 256)
   var ids: Array[Long] = new Array[Long](cap)
@@ -33,27 +42,82 @@ final class TopKBuffer(val k: Int) {
     c < 0 || (c == 0 && i1 < i2) // then id ASC
   }
 
-  /** In-place partial selection: the k best (score desc, id asc) land
-    * sorted in the first min(n, k) slots; no allocation, no boxing.
-    * Content and order are exactly the old index-sort-then-take-k.
+  /** In-place compaction: the k best (score desc, id asc) land sorted
+    * in the first min(n, k) slots; no allocation, no boxing. Content
+    * and order are exactly the old index-sort-then-take-k. Small k
+    * (≤ 64 — the knn-join regime) uses partial selection: ~k compares
+    * amortized per add. Large k would make selection ~k² compares per
+    * compaction (k is caller-chosen and unbounded), so it falls back
+    * to an in-place dual-array quicksort — O(n log n) compares, still
+    * zero boxing.
     */
   def compact(): Unit = {
     val m = math.min(n, k)
-    var j = 0
-    while (j < m) {
-      var best = j
-      var i = j + 1
-      while (i < n) {
-        if (lt(scores(i), ids(i), scores(best), ids(best))) best = i
-        i += 1
+    if (k <= TopKBuffer.SelectionMaxK) {
+      var j = 0
+      while (j < m) {
+        var best = j
+        var i = j + 1
+        while (i < n) {
+          if (lt(scores(i), ids(i), scores(best), ids(best))) best = i
+          i += 1
+        }
+        if (best != j) {
+          val ts = scores(best); scores(best) = scores(j); scores(j) = ts
+          val ti = ids(best); ids(best) = ids(j); ids(j) = ti
+        }
+        j += 1
       }
-      if (best != j) {
-        val ts = scores(best); scores(best) = scores(j); scores(j) = ts
-        val ti = ids(best); ids(best) = ids(j); ids(j) = ti
-      }
-      j += 1
+    } else if (n > 1) {
+      sortRange(0, n - 1)
     }
     n = m
+  }
+
+  private def swap(i: Int, j: Int): Unit = {
+    val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+    val ti = ids(i); ids(i) = ids(j); ids(j) = ti
+  }
+
+  /** Median-of-three quicksort over the parallel (scores, ids) arrays
+    * under the same (score DESC, id ASC) total order — insertion sort
+    * below 16 elements. Total order (ids distinct or not, compare is
+    * antisymmetric via Double.compare + id tiebreak) ⇒ deterministic
+    * result regardless of pivot path.
+    */
+  private def sortRange(lo0: Int, hi0: Int): Unit = {
+    var lo = lo0
+    var hi = hi0
+    while (lo < hi) {
+      if (hi - lo < 16) {
+        var i = lo + 1
+        while (i <= hi) {
+          val s = scores(i); val d = ids(i)
+          var j = i - 1
+          while (j >= lo && lt(s, d, scores(j), ids(j))) {
+            scores(j + 1) = scores(j); ids(j + 1) = ids(j); j -= 1
+          }
+          scores(j + 1) = s; ids(j + 1) = d
+          i += 1
+        }
+        return
+      }
+      val mid = lo + (hi - lo) / 2
+      if (lt(scores(mid), ids(mid), scores(lo), ids(lo))) swap(lo, mid)
+      if (lt(scores(hi), ids(hi), scores(lo), ids(lo))) swap(lo, hi)
+      if (lt(scores(hi), ids(hi), scores(mid), ids(mid))) swap(mid, hi)
+      val ps = scores(mid); val pd = ids(mid)
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (lt(scores(i), ids(i), ps, pd)) i += 1
+        while (lt(ps, pd, scores(j), ids(j))) j -= 1
+        if (i <= j) { swap(i, j); i += 1; j -= 1 }
+      }
+      // recurse into the smaller side, loop on the larger — O(log n) stack
+      if (j - lo < hi - i) { sortRange(lo, j); lo = i }
+      else { sortRange(i, hi); hi = j }
+    }
   }
 
   def add(id: Long, score: Double): Unit = {

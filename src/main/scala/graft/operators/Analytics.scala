@@ -2098,8 +2098,12 @@ object Analytics {
   /** Trend / seasonal strength per key (Hyndman's tsfeatures measures)
     * over a [[seasonalDecompose]] output:
     *
-    *   F_trend    = max(0, 1 − SSE(resid) / SSE(seasonal + resid))
-    *   F_seasonal = max(0, 1 − SSE(resid) / SSE(trend + resid))
+    *   F_trend    = max(0, 1 − SSE(resid) / SSE(trend + resid))
+    *   F_seasonal = max(0, 1 − SSE(resid) / SSE(seasonal + resid))
+    *
+    * (FPP3 §4.3: F_T is measured on the seasonally ADJUSTED series
+    * T+R, F_S on the DETRENDED series S+R — a flat trend under a
+    * noisy residual drives F_T to 0, not F_S.)
     *
     * — the forecastability profile: ~1 means the component explains
     * the series, ~0 means noise. SSE ratios equal variance ratios (n
@@ -2140,8 +2144,8 @@ object Analytics {
       when(sse(den) > 0.0,
         greatest(lit(0.0), lit(1.0) - sse("r") / sse(den)))
     agg.select(keyCols.map(col) :+ col("n") :+
-      strength("dt").as("trend_strength") :+
-      strength("ds").as("seasonal_strength"): _*)
+      strength("ds").as("trend_strength") :+
+      strength("dt").as("seasonal_strength"): _*)
   }
 
   /** Single changepoint per key — the first step of binary segmentation

@@ -806,15 +806,28 @@ object Similarity {
     * kernel. Scale shape: one posexplode partial-agg over (group, dim),
     * one per-group array fold, one |groups|² inequality join (groups,
     * never rows — the t38 class).
+    *
+    * Contract: vectors must be dense (no null elements) and share one
+    * length per group — either violation raises at runtime rather
+    * than silently skewing per-dim denominators.
     */
   def domainCentroidMap(df: DataFrame, groupCol: String, vecCol: String,
       scale: Int = 6): DataFrame = {
     require(scale >= 1 && scale <= 9, s"scale must be in [1, 9], got $scale")
+    // Contract: vectors are DENSE and every vector in a group has ONE
+    // length — ragged lengths or null elements would give per-(group,
+    // dim) denominators that silently diverge from an oracle's
+    // count(*). Both are corrupt data here, so both raise loudly; the
+    // checks live INSIDE published columns (not a dropped assert
+    // column) so column pruning can't optimize them away.
     val ex = df
       .where(col(groupCol).isNotNull && col(vecCol).isNotNull)
       .select(col(groupCol).as("__g"), posexplode(
         transform(asDouble(col(vecCol)),
-          e => round(e, scale).cast(DecimalType(18, scale))))
+          e => round(when(e.isNotNull, e).otherwise(raise_error(lit(
+            "domainCentroidMap: null vector element — vectors must " +
+              "be dense")).cast(DoubleType)), scale)
+            .cast(DecimalType(18, scale))))
         .as(Seq("__i", "__v")))
     val cent = ex.groupBy(col("__g"), col("__i"))
       .agg(sum(col("__v")).cast(DecimalType(38, scale)).as("__s"),
@@ -824,7 +837,12 @@ object Similarity {
       .groupBy(col("__g"))
       .agg(transform(array_sort(collect_list(struct(col("__i"),
         col("__c")))), _.getField("__c")).as("__cv"),
-        max(col("__n")).as("n_vecs"))
+        min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"))
+      .withColumn("n_vecs",
+        when(col("__nmin") === col("__nmax"), col("__nmax"))
+          .otherwise(raise_error(lit("domainCentroidMap: ragged " +
+            "vector lengths within a group — every vector in a group " +
+            "must share one dimension")).cast(LongType)))
     val a = cent.select(col("__g").as("group_a"), col("__cv").as("__va"),
       col("n_vecs").as("n_a"))
     val b = cent.select(col("__g").as("group_b"), col("__cv").as("__vb"),

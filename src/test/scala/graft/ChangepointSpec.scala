@@ -100,7 +100,8 @@ class ChangepointSpec extends SparkTestBase {
     // k1: zero residual, varying seasonal + trend -> both strengths 1
     val k1 = frame("k1", Seq((1.0, 2.0, 0.0), (2.0, -2.0, 0.0),
       (3.0, 2.0, 0.0), (4.0, -2.0, 0.0)))
-    // k2: flat seasonal, noisy residual -> trend_strength exactly 0
+    // k2: flat seasonal, noisy residual -> seasonal_strength exactly 0
+    // (FPP: F_S compares SSE(resid) to SSE(seasonal+resid))
     val k2 = frame("k2", Seq((1.0, 0.0, 1.0), (2.0, 0.0, -1.0),
       (3.0, 0.0, 1.0), (4.0, 0.0, -1.0)))
     // k3: everything constant -> both denominators 0 -> nulls
@@ -111,8 +112,8 @@ class ChangepointSpec extends SparkTestBase {
       .select("k", "trend_strength", "seasonal_strength")
       .as[(String, Option[Double], Option[Double])].collect()
     assert(out(0) === (("k1", Some(1.0), Some(1.0))))
-    assert(out(1)._2 === Some(0.0)) // SSE_dt == SSE_r
-    assert(out(1)._3.exists(v => v > 0.0 && v <= 1.0)) // trend explains
+    assert(out(1)._3 === Some(0.0)) // SSE_dt == SSE_r: no seasonality
+    assert(out(1)._2.exists(v => v > 0.0 && v <= 1.0)) // trend explains
     assert(out(2) === (("k3", None, None)))
   }
 
@@ -155,6 +156,31 @@ class ChangepointSpec extends SparkTestBase {
       ("gA", "gB", 2L, 2L, 0.0),   // orthogonal centroids
       ("gA", "gC", 2L, 1L, 1.0),   // colinear centroids
       ("gB", "gC", 2L, 1L, 0.0)))
+  }
+
+  test("domainCentroidMap raises on ragged lengths and null elements " +
+      "instead of skewing denominators") {
+    import graft.operators.Similarity
+    val ragged = Seq(
+      ("g1", Seq[Option[Float]](Some(1.0f), Some(2.0f))),
+      ("g1", Seq[Option[Float]](Some(3.0f))),
+      ("g2", Seq[Option[Float]](Some(1.0f), Some(1.0f))),
+      ("g2", Seq[Option[Float]](Some(0.0f), Some(2.0f))))
+      .toDF("g", "v")
+    val e1 = intercept[Exception] {
+      Similarity.domainCentroidMap(ragged, "g", "v").collect()
+    }
+    assert(e1.getMessage.contains("ragged") ||
+      Option(e1.getCause).exists(_.getMessage.contains("ragged")))
+    val holed = Seq(
+      ("g1", Seq[Option[Float]](Some(1.0f), None)),
+      ("g2", Seq[Option[Float]](Some(1.0f), Some(1.0f))))
+      .toDF("g", "v")
+    val e2 = intercept[Exception] {
+      Similarity.domainCentroidMap(holed, "g", "v").collect()
+    }
+    assert(e2.getMessage.contains("dense") ||
+      Option(e2.getCause).exists(_.getMessage.contains("dense")))
   }
 
   test("retentionMatrix: hand-computed cohorts, age 0 is always 1.0") {

@@ -36,6 +36,15 @@ class TopKAggSpec extends SparkTestBase {
     assert(aggTopK(25, 17) === w, "merge across partitions must not reorder")
   }
 
+  test("large k (quicksort compaction path) still equals the window " +
+      "form where it truncates") {
+    // k = 100 > SelectionMaxK (64) and < the ~714-row groups, so the
+    // dual-array sort path both compacts mid-stream and truncates.
+    val w = windowTopK(100)
+    assert(aggTopK(100, 1) === w)
+    assert(aggTopK(100, 13) === w, "merge across partitions must not reorder")
+  }
+
   test("groups smaller than k return all members, ranked") {
     val out = aggTopK(2000, 5)
     assert(out.size === 5000, "k past group size keeps everything")
