@@ -871,37 +871,81 @@ object Dedup {
     * dHash shape, engine-portable because neither half touches the
     * sign bit): [[simhashPairs]]' 4×16-bit-chunk pigeonhole blocking
     * (distance ≤ 3 ⇒ at least one chunk identical) + in-bucket hamming
-    * verify. Linear candidate generation, no N². Callers whose corpus
-    * repeats signatures (e.g. exact-duplicate images) should pre-group
-    * to one representative per signature — pairs are emitted between
-    * the ROWS given.
+    * verify. Linear candidate generation, no N².
+    *
+    * Oversized-bucket discipline (the 16-bit key space is only
+    * 4×65,536, so at 10⁸+ distinct signatures every bucket holds
+    * thousands of rows and in-bucket pairing goes quadratic): any
+    * first-level bucket larger than `maxBucketSize` switches to a
+    * SECOND blocking level (Manku, Jain & Das Sarma, WWW'07 §3's
+    * multi-block scheme): the 48 bits OUTSIDE the matched chunk split
+    * into 4×12-bit sub-chunks, and a candidate pair must also share
+    * one sub-chunk. Recall is still EXACT to distance 3 — the matched
+    * chunk is clean, so all ≤3 dirty bits live in the other 48, and by
+    * pigeonhole one of the 4 sub-chunks is clean too. Expected
+    * in-bucket pair work drops by 2⁻¹² per probe (4 probes), i.e. the
+    * quadratic term shrinks ~2¹⁰×; candidate generation stays linear
+    * (≤ 16 keys/row in oversized buckets vs 4 elsewhere).
+    *
+    * Remaining caller duty: corpora that REPEAT signatures (exact-dup
+    * images) must pre-group to one representative per distinct
+    * signature — pairs are emitted between the ROWS given, and no
+    * blocking level can shrink a bucket of identical 64-bit keys
+    * (28 shared bits already pins a second-level sub-bucket).
     */
   def hammingPairs64(df: DataFrame, idCol: String, hiCol: String,
-      loCol: String, maxDist: Int = 3): DataFrame = {
+      loCol: String, maxDist: Int = 3,
+      maxBucketSize: Int = 4096): DataFrame = {
     require(maxDist <= 3,
       "4-chunk blocking guarantees recall only to distance 3")
+    require(maxBucketSize >= 1,
+      s"maxBucketSize must be >= 1, got $maxBucketSize")
     val sigs = df.select(col(idCol), col(hiCol).cast(LongType).as("__hi"),
       col(loCol).cast(LongType).as("__lo"))
+    // 16-bit chunk k of the 64-bit signature (k=0,1 in hi; 2,3 in lo)
+    def chunk(k: Int): Column = {
+      val half = if (k < 2) col("__hi") else col("__lo")
+      val sh = (k % 2) * 16
+      (if (sh == 0) half else call_function("shiftright", half, lit(sh)))
+        .bitwiseAND(0xFFFFL)
+    }
     val chunked = sigs.withColumn("__c", explode(array(
-      struct(lit(0).as("i"),
-        col("__hi").bitwiseAND(0xFFFFL).as("v")),
-      struct(lit(1).as("i"),
-        call_function("shiftright", col("__hi"), lit(16))
-          .bitwiseAND(0xFFFFL).as("v")),
-      struct(lit(2).as("i"),
-        col("__lo").bitwiseAND(0xFFFFL).as("v")),
-      struct(lit(3).as("i"),
-        call_function("shiftright", col("__lo"), lit(16))
-          .bitwiseAND(0xFFFFL).as("v")))))
-    val l = chunked.select(col("__c"), col(idCol), col("__hi"),
-      col("__lo"))
-    val r = chunked.select(col("__c"), col(idCol).as(idCol + "_2"),
-      col("__hi").as("__hi2"), col("__lo").as("__lo2"))
-    l.join(r, "__c")
-      .where(col(idCol) < col(idCol + "_2"))
-      .select(col(idCol), col(idCol + "_2"),
-        (hamming(col("__hi"), col("__hi2")) +
-          hamming(col("__lo"), col("__lo2"))).as("dist"))
+      (0 to 3).map(k => struct(lit(k).as("i"), chunk(k).as("v"))): _*)))
+    // first-level bucket sizes: ≤ 4×65,536 groups — broadcastable
+    val sizes = chunked.groupBy(col("__c"))
+      .agg(count(lit(1)).as("__bs"))
+    val tagged = chunked.join(broadcast(sizes), "__c")
+    def pairsOf(l: DataFrame, r: DataFrame, keys: Seq[String]) =
+      l.join(r, keys)
+        .where(col(idCol) < col(idCol + "_2"))
+        .select(col(idCol), col(idCol + "_2"),
+          (hamming(col("__hi"), col("__hi2")) +
+            hamming(col("__lo"), col("__lo2"))).as("dist"))
+    def rside(d: DataFrame, extra: Seq[String]) =
+      d.select((Seq(col("__c"), col(idCol).as(idCol + "_2"),
+        col("__hi").as("__hi2"), col("__lo").as("__lo2")) ++
+        extra.map(col)): _*)
+    val small = tagged.where(col("__bs") <= maxBucketSize).drop("__bs")
+    val smallPairs = pairsOf(small, rside(small, Nil), Seq("__c"))
+    // second level: the 48 bits outside chunk __c.i, as 4×12-bit keys
+    val others = (0 to 3).map { i =>
+      val os = (0 to 3).filterNot(_ == i)
+      chunk(os(0))
+        .bitwiseOR(call_function("shiftleft", chunk(os(1)), lit(16)))
+        .bitwiseOR(call_function("shiftleft", chunk(os(2)), lit(32)))
+    }
+    val rem = (0 to 3).foldLeft(lit(0L)) { (acc, i) =>
+      when(col("__c.i") === i, others(i)).otherwise(acc)
+    }
+    val big = tagged.where(col("__bs") > maxBucketSize).drop("__bs")
+      .withColumn("__r", rem)
+      .withColumn("__s", explode(array((0 to 3).map(j =>
+        struct(lit(j).as("j"),
+          call_function("shiftright", col("__r"), lit(12 * j))
+            .bitwiseAND(0xFFFL).as("w"))): _*)))
+      .drop("__r")
+    val bigPairs = pairsOf(big, rside(big, Seq("__s")), Seq("__c", "__s"))
+    smallPairs.unionAll(bigPairs)
       .where(col("dist") <= maxDist)
       .dropDuplicates(idCol, idCol + "_2")
   }

@@ -619,4 +619,52 @@ class TextDedupSpec extends SparkTestBase {
     // beyond dist 3 (e.g. (1,5) at dist 4, (2,4) at dist 4)
     assert(got.toSet === exp.toSet)
   }
+
+  test("hammingPairs64: oversized buckets go second-level, recall " +
+      "stays exact to dist 3 (adversarial shared-chunk corpus)") {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // 400 signatures ALL sharing chunk 0 (= hi & 0xFFFF): one
+    // first-level bucket of 400+ rows — the exact skew the cap guards
+    val base = (0 until 400).map { i =>
+      ((i + 1).toLong,
+        (mix(i.toLong) & 0xFFFF0000L) | 0x1234L,
+        mix(i * 7919L + 1) & 0xFFFFFFFFL)
+    }
+    val planted = Seq(
+      // dist 1 / 2: also found via small chunk-2/3 buckets
+      (1000L, base(10)._2 ^ (1L << 20), base(10)._3),
+      (1001L, base(20)._2, base(20)._3 ^ (3L << 5)),
+      // dist 3 SPREAD over chunks 1, 2, 3 — chunk 0 is the ONLY clean
+      // chunk, so this pair is reachable only through the oversized
+      // bucket's second level
+      (1002L, base(30)._2 ^ (1L << 20), base(30)._3 ^ (1L << 5)
+        ^ (1L << 20)),
+      // dist 4: must be verified away
+      (1003L, base(40)._2 ^ (3L << 25), base(40)._3 ^ (3L << 9)))
+    val all = base ++ planted
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    val expected = (for {
+      x <- all; y <- all if x._1 < y._1
+      d = ham((x._2, x._3), (y._2, y._3)) if d <= 3
+    } yield (x._1, y._1, d)).toSet
+    assert(expected.exists(_._3 === 3), "spread dist-3 pair planted")
+    // cap 50 << 404 forces the second level for the shared bucket
+    val got = Dedup.hammingPairs64(all.toDF("id", "hi", "lo"),
+      "id", "hi", "lo", maxDist = 3, maxBucketSize = 50)
+      .select("id", "id_2", "dist").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(got === expected)
+    // layout invariance
+    val got7 = Dedup.hammingPairs64(
+      all.toDF("id", "hi", "lo").repartition(7),
+      "id", "hi", "lo", maxDist = 3, maxBucketSize = 50).count()
+    assert(got7 === expected.size.toLong)
+  }
 }
