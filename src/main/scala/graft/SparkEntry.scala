@@ -3693,6 +3693,26 @@ object SparkEntry {
         .orderBy("doc_id", "doc_id_2")
     }),
 
+    // ---- multimodal: REAL JPEG decode (JDK ImageIO, lossy format
+    // under an arithmetic oracle) ---- the fixture is block-solid:
+    // every 8×8 DCT block is one gray value (fill + 41·b) mod 256, so
+    // its spectrum is DC-only and the q=1.0 codec round-trip is
+    // bit-exact — the decoded pixel sum Σ_b 192·v_b is re-derivable by
+    // an engine that never decodes a byte, while producing it here
+    // requires a true entropy-decode + dequantize + IDCT.
+    "mm10_jpeg_decode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("payload", Multimodal.jpegEncode(
+          (lit(8) * (lit(1) + col("doc_id") % 6)).cast("int"),
+          (lit(8) * (lit(1) + col("doc_id") % 4)).cast("int"),
+          (col("doc_id") % 251).cast("int")))
+        .withColumn("img", Multimodal.jpegDecode(col("payload")))
+      d.select(col("doc_id"), col("img.width").as("width"),
+          col("img.height").as("height"),
+          col("img.pixel_sum").as("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: QOI decode (from-scratch spec codec) ----
     // The gradient fixture round-trips through a full QOI encoder
     // (DIFF/LUMA/INDEX/RUN/RGB chunks all exercised) and a STREAMING
@@ -8617,6 +8637,23 @@ object SparkEntry {
         |    AS pixel_sum
         |FROM documents, g
         |WHERE g.i < 1 + doc_id % 13 AND g.j < 1 + doc_id % 7
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // JPEG decode: block-solid fixture — per 8×8 block b the solid
+    // value (fill + 41·b) mod 256 survives the q=1.0 codec bit-exactly
+    // (DC-only spectrum, neutral chroma), so the lossy format's pixel
+    // sum is Σ over blocks of 192·v_b — pure integer arithmetic
+    "mm10_jpeg_decode" ->
+      """WITH g AS (SELECT a.i AS bx, b.j AS by
+        |  FROM range(6) a(i), range(4) b(j))
+        |SELECT doc_id,
+        |  CAST(8 * (1 + doc_id % 6) AS INT) AS width,
+        |  CAST(8 * (1 + doc_id % 4) AS INT) AS height,
+        |  CAST(SUM(192 * ((doc_id % 251
+        |      + 41 * (g.by * (1 + doc_id % 6) + g.bx)) % 256))
+        |    AS BIGINT) AS pixel_sum
+        |FROM documents, g
+        |WHERE g.bx < 1 + doc_id % 6 AND g.by < 1 + doc_id % 4
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // QOI decode: the same gradient sum as mm2b — the payload bytes are

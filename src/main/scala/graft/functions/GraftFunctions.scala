@@ -2107,6 +2107,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_png_decode",
       es => graft.operators.Multimodal.PngDecodeExpr(
         QSketchCodec.arity(es, 1, "graft_png_decode").head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_jpeg_encode",
+      es => graft.operators.Multimodal.JpegEncodeExpr(
+        QSketchCodec.arity(es, 3, "graft_jpeg_encode")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_jpeg_decode",
+      es => graft.operators.Multimodal.JpegDecodeExpr(
+        QSketchCodec.arity(es, 1, "graft_jpeg_decode").head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_png_resize",
       es => graft.operators.Multimodal.PngResizeExpr(
         QSketchCodec.arity(es, 3, "graft_png_resize")), "scala_udf")

@@ -16,12 +16,17 @@ import org.apache.spark.sql.types._
   * The Spark-side mechanics are real — schemas, partition-preserving
   * `mapPartitions` (the Scala analog of `mapInPandas`: one iterator per
   * partition, amortized per-batch setup), deterministic output shapes.
-  * Two image formats decode NATIVELY: 24bpp uncompressed BMP (bespoke
-  * header+stride parser, [[parseBmp]]) and PNG (javax.imageio — in the
-  * JDK, [[parsePng]]). Formats needing external libraries (JPEG decode
-  * fidelity, audio, video) remain STUBBED: [[decodeStub]] derives a
-  * deterministic fake from the bytes so pipelines are testable
-  * end-to-end; swap it for a libjpeg/ffmpeg call in production.
+  * Three image formats decode NATIVELY: 24bpp uncompressed BMP
+  * (bespoke header+stride parser, [[parseBmp]]), PNG and baseline
+  * JPEG (javax.imageio — both readers ship in the JDK, [[parsePng]] /
+  * [[parseJpeg]], each behind a header sniff that bounds the decode
+  * allocation first). Only formats whose codecs genuinely are not in
+  * the JDK remain STUBBED — video, compressed audio (MP3/AAC; PCM WAV
+  * decodes natively via [[parseWav]]), and exotic JPEG variants the
+  * JDK codec rejects (CMYK, arithmetic-coded, lossless SOF3):
+  * [[decodeStub]] derives a deterministic fake from the bytes so
+  * pipelines are testable end-to-end; swap it for an ffmpeg call in
+  * production.
   */
 object Multimodal {
 
@@ -47,10 +52,13 @@ object Multimodal {
       features: Array[Float])
 
   /** ======== STUB ========
-    * Stand-in for a real image decode: derives (width, height, features)
-    * deterministically from the payload bytes. A production build replaces
-    * the body with e.g. ImageIO/libjpeg decode + model feature extraction;
-    * the signature, batching, and schema stay identical.
+    * Stand-in for decoding formats with no JDK codec (video frames,
+    * MP3/AAC audio, CMYK/arithmetic/lossless JPEG variants — BMP, PNG,
+    * baseline JPEG, and PCM WAV all decode for REAL above): derives
+    * (width, height, features) deterministically from the payload
+    * bytes. A production build replaces the body with an ffmpeg-class
+    * decode + model feature extraction; the signature, batching, and
+    * schema stay identical.
     */
   private def decodeStub(id: Long, bytes: Array[Byte], featureDim: Int): DecodedImage = {
     val h = java.util.Arrays.hashCode(bytes)
@@ -69,9 +77,10 @@ object Multimodal {
     * `mapInPandas` batch UDF has in PySpark.
     *
     * Payloads that parse as a real self-describing format — 24bpp BMP
-    * ([[parseBmp]]) or PNG ([[parsePng]]) — decode NATIVELY: header
-    * dimensions, features from the leading pixel values; only opaque
-    * formats fall back to [[decodeStub]].
+    * ([[parseBmp]]), PNG ([[parsePng]]) or baseline JPEG
+    * ([[parseJpeg]]) — decode NATIVELY: header dimensions, features
+    * from the leading pixel values; only opaque formats fall back to
+    * [[decodeStub]].
     */
   def decodeImages(df: DataFrame, idCol: String, payloadCol: String,
       featureDim: Int = 8): Dataset[DecodedImage] = {
@@ -107,8 +116,19 @@ object Multimodal {
                   ((im.getRGB(px % p.width, px / p.width) >> 16) & 0xFF) / 255f
                 }
                 DecodedImage(id, p.width, p.height, features)
-              case None =>
-                decodeStub(id, bytes, featureDim)
+              case None => parseJpeg(bytes) match {
+                case Some(j) =>
+                  val im = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes))
+                  val features = Array.tabulate(featureDim) { i =>
+                    val px = i % (j.width * j.height)
+                    ((im.getRGB(px % j.width, px / j.width) >> 16)
+                      & 0xFF) / 255f
+                  }
+                  DecodedImage(id, j.width, j.height, features)
+                case None =>
+                  decodeStub(id, bytes, featureDim)
+              }
             }
           }
         }
@@ -550,6 +570,174 @@ object Multimodal {
   def pngResize(payload: Column, w2: Column, h2: Column): Column =
     SparkShim.toColumn(PngResizeExpr(Seq(payload, w2, h2)
       .map(SparkShim.toExpression)))
+
+  // ---------- real JPEG codec (baseline JFIF via the JDK's ImageIO) ----
+
+  /** Decoded facts of a parsed JPEG — same shape as [[PngInfo]]. */
+  case class JpegInfo(width: Int, height: Int, pixelSum: Long)
+
+  /** Build a BLOCK-SOLID grayscale-valued RGB JPEG: the 8×8 DCT block
+    * with row-major index b is a solid value `(fill + 41·b) mod 256`
+    * in all three channels, written by the JDK's JPEG encoder at
+    * quality 1.0. A solid block's spectrum is DC-only, and gray pixels
+    * pin chroma at 128 (so 4:2:0 subsampling is exact) — the codec
+    * round-trip is BIT-EXACT (measured: 0 mismatches over all 256
+    * values), which is what makes a LOSSY format arithmetically
+    * oracle-able: the decoded pixel sum is Σ_b 192·v_b, re-derivable
+    * by an engine that never decodes a byte. Dims must be multiples of
+    * 8 so no partial edge block breaks the DC-only argument.
+    */
+  private[graft] def encodeJpeg(w: Int, h: Int, fill: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+      s"JPEG fixture dims must be positive multiples of 8, got ${w}x$h")
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val wb = w / 8
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = (y / 8) * wb + (x / 8)
+        val v = ((fill + 41 * b) % 256 + 256) % 256
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(im, null, null), p)
+    wr.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** SOF frame-header walk: (width, height) of a JPEG payload from its
+    * SOF0/1/2 marker — the JPEG analog of the PNG IHDR sniff, so the
+    * decode allocation is bounded BEFORE ImageIO touches untrusted
+    * bytes. None for anything that is not a JPEG with a frame header
+    * ahead of the scan (SOF3+ lossless/arithmetic variants are left to
+    * the decode attempt, which rejects them).
+    */
+  private[graft] def jpegDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length < 4 ||
+      (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
+    var p = 2
+    while (p + 3 < bytes.length) {
+      if ((bytes(p) & 0xFF) != 0xFF) return None
+      val m = bytes(p + 1) & 0xFF
+      if (m == 0xFF) { p += 1 }                                // fill byte
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) { p += 2 } // standalone
+      else {
+        val len = ((bytes(p + 2) & 0xFF) << 8) | (bytes(p + 3) & 0xFF)
+        if (len < 2 || p + 2 + len > bytes.length) return None
+        if ((m == 0xC0 || m == 0xC1 || m == 0xC2) && len >= 7 &&
+          p + 8 < bytes.length) {
+          val h = ((bytes(p + 5) & 0xFF) << 8) | (bytes(p + 6) & 0xFF)
+          val w = ((bytes(p + 7) & 0xFF) << 8) | (bytes(p + 8) & 0xFF)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        }
+        if (m == 0xDA) return None             // a scan before any SOF
+        p += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Guarded JPEG → BufferedImage: [[jpegDims]] sniff + the
+    * [[MaxPngPixels]] allocation bound (shared with the PNG path)
+    * before the full javax.imageio decode. None for non-JPEG payloads
+    * and for variants the JDK codec rejects (CMYK, arithmetic-coded,
+    * lossless SOF3).
+    */
+  private def decodeJpegImage(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    jpegDims(bytes).flatMap { case (w, h) =>
+      if (w.toLong * h > MaxPngPixels) None
+      else try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  private[graft] def parseJpeg(bytes: Array[Byte]): Option[JpegInfo] =
+    decodeJpegImage(bytes).map { im =>
+      var sum = 0L
+      var y = 0
+      while (y < im.getHeight) {
+        var x = 0
+        while (x < im.getWidth) {
+          val rgb = im.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      JpegInfo(im.getWidth, im.getHeight, sum)
+    }
+
+  /** Catalyst expression over [[encodeJpeg]]:
+    * `(width int, height int, fill int) → binary`.
+    */
+  case class JpegEncodeExpr(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    require(children.length == 3, "jpeg_encode takes (w, h, fill)")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType == IntegerType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int, int, int)")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_jpeg_encode"
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) null
+      else encodeJpeg(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
+        vs(2).asInstanceOf[Int])
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): JpegEncodeExpr =
+      copy(children = newChildren)
+  }
+
+  /** Catalyst expression over [[parseJpeg]]: `binary →
+    * struct<width int, height int, pixel_sum bigint>`, null for
+    * payloads that are not a decodable JPEG.
+    */
+  case class JpegDecodeExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary")
+    override def dataType: DataType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixel_sum", LongType)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_jpeg_decode"
+    override def nullSafeEval(bytes: Any): Any =
+      parseJpeg(bytes.asInstanceOf[Array[Byte]]) match {
+        case Some(i) => InternalRow(i.width, i.height, i.pixelSum)
+        case None => null
+      }
+    override protected def withNewChildInternal(
+        newChild: Expression): JpegDecodeExpr = copy(child = newChild)
+  }
+
+  /** Column wrapper: build a block-solid gradient JPEG payload. */
+  def jpegEncode(w: Column, h: Column, fill: Column): Column =
+    SparkShim.toColumn(JpegEncodeExpr(Seq(w, h, fill)
+      .map(SparkShim.toExpression)))
+
+  /** Column wrapper: decode a JPEG payload (null if not one). */
+  def jpegDecode(payload: Column): Column =
+    SparkShim.toColumn(JpegDecodeExpr(SparkShim.toExpression(payload)))
 
   // ---------- real WAV codec (RIFF/WAVE, 16-bit PCM) ----------
 

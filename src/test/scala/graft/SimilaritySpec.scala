@@ -550,6 +550,82 @@ class SimilaritySpec extends SparkTestBase {
     assert(imgs(2L).width !== 0, "opaque payload must fall back to stub")
   }
 
+  test("JPEG codec: block-solid fixture round-trips bit-exactly, " +
+      "guards mirror the PNG path, decodeImages routes natively") {
+    def blockSum(w: Int, h: Int, fill: Int): Long = {
+      val wb = w / 8
+      (for (by <- 0 until h / 8; bx <- 0 until wb)
+        yield 192L * ((fill + 41 * (by * wb + bx)) % 256)).sum
+    }
+    for (w <- Seq(8, 24, 48); h <- Seq(8, 32)) {
+      val fill = (w * 7 + h) % 251
+      val info = Multimodal.parseJpeg(Multimodal.encodeJpeg(w, h, fill))
+        .getOrElse(fail(s"valid JPEG ${w}x$h did not parse"))
+      assert(info.width === w && info.height === h)
+      // per-block values make the sum depend on every 8×8 block: only
+      // a real entropy-decode + dequantize + IDCT reproduces it
+      assert(info.pixelSum === blockSum(w, h, fill))
+    }
+    assert(Multimodal.parseJpeg(null).isEmpty)
+    assert(Multimodal.parseJpeg(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseJpeg(
+      "not a jpeg, correct length though".getBytes("UTF-8")).isEmpty)
+    val valid = Multimodal.encodeJpeg(16, 8, 7)
+    assert(Multimodal.jpegDims(valid) === Some((16, 8)),
+      "SOF walk finds the frame header")
+    assert(Multimodal.parseJpeg(valid.take(40)).isEmpty,
+      "truncated JPEG must be rejected, not crash the decode")
+    // an adversarial SOF declaring a huge frame must be rejected
+    // BEFORE ImageIO allocates it — patch the SOF dims in place
+    val sof = {
+      var p = 2
+      var at = -1
+      while (at < 0 && p + 3 < valid.length) {
+        val m = valid(p + 1) & 0xFF
+        val len = ((valid(p + 2) & 0xFF) << 8) | (valid(p + 3) & 0xFF)
+        if (m == 0xC0 || m == 0xC1 || m == 0xC2) at = p
+        else p += 2 + len
+      }
+      at
+    }
+    assert(sof > 0, "fixture JPEG has an SOF marker")
+    val evil = valid.clone()
+    evil(sof + 5) = 0xEA.toByte; evil(sof + 6) = 0x60.toByte // h = 60000
+    evil(sof + 7) = 0xEA.toByte; evil(sof + 8) = 0x60.toByte // w = 60000
+    assert(Multimodal.parseJpeg(evil).isEmpty,
+      "oversized SOF dimensions must be rejected pre-allocation")
+    // the format parsers cannot shadow each other
+    assert(Multimodal.parseJpeg(Multimodal.encodePng(4, 4, 9)).isEmpty)
+    assert(Multimodal.parsePng(valid).isEmpty)
+    assert(Multimodal.parseBmp(valid).isEmpty)
+    // column expressions + SQL registration
+    val decoded = spark.range(1, 50).select(col("id"),
+        Multimodal.jpegDecode(Multimodal.jpegEncode(
+          (lit(8) * (lit(1) + col("id") % 6)).cast("int"),
+          (lit(8) * (lit(1) + col("id") % 4)).cast("int"),
+          (col("id") % 251).cast("int"))).as("img"))
+      .select(col("id"), col("img.width"), col("img.height"),
+        col("img.pixel_sum")).as[(Long, Int, Int, Long)].collect()
+    decoded.foreach { case (id, w, h, sum) =>
+      assert(w === 8 * (1 + (id % 6).toInt) && h === 8 * (1 + (id % 4).toInt))
+      assert(sum === blockSum(w, h, (id % 251).toInt))
+    }
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT img.pixel_sum FROM (
+        |  SELECT graft_jpeg_decode(graft_jpeg_encode(16, 8, 5)) AS img
+        |)""".stripMargin).as[Long].head()
+    assert(viaSql === blockSum(16, 8, 5))
+    // decodeImages routes JPEGs natively
+    val mixed = Seq((1L, Multimodal.encodeJpeg(8, 8, 60)))
+      .toDF("doc_id", "payload")
+    val imgs2 = Multimodal.decodeImages(mixed, "doc_id", "payload", 4)
+      .collect().map(i => i.id -> i).toMap
+    assert(imgs2(1L).width === 8 && imgs2(1L).height === 8)
+    // block 0 is solid 60 -> red channel 60/255
+    assert(math.abs(imgs2(1L).features(0) - 60f / 255f) < 1e-6f)
+  }
+
   test("filteredBruteTopK: only same-label candidates score, equals " +
       "brute force over the filtered subset, self excluded") {
     val vecs = Seq(
