@@ -966,7 +966,7 @@ object SparkEntry {
     * known near-dup structure for the dedup operators, identical to the
     * oracle's construction.
     */
-  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
       col("lang"), col("source"))
     val toks = TextAnalysis.tokens(col("text"))
@@ -1567,12 +1567,18 @@ object SparkEntry {
     }),
 
     // ---- similarity: LSH-bucketed approximate top-k (scale path) ----
+    // probes = 16 of 2^6 buckets scans ~25% of the corpus: on this
+    // corpus (uniform-random embeddings — the LSH-adversarial case,
+    // since random hyperplanes can't concentrate structureless data)
+    // that buys recall@10 ~0.4; the old probes=2 config measured 0.06,
+    // i.e. useless retrieval that every oracle was blind to. Recall
+    // floor pinned in RecallFloorSpec.
     "sim2_lsh_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qv",
-        k = 10, dim = 64, bits = 6, probes = 2)
+        k = 10, dim = 64, bits = 6, probes = 16)
         .orderBy("qid", "rank")
     }),
 
@@ -1798,13 +1804,16 @@ object SparkEntry {
     // are lossy engine-specific sketches; SimilaritySpec proves stacked
     // recall vs brute force and that nprobe=nlist reduces to pure PQ).
     // The at-scale flagship: candidates bounded by the coarse quantizer,
-    // ranked on PQ codes 32x smaller than the vectors. ----
+    // ranked on PQ codes 32x smaller than the vectors. nprobe = 8 of 16
+    // cells: on the uniform-random test embeddings (no cluster
+    // structure for IVF to exploit) the stacked recall@10 measures ~0.5
+    // (nprobe=4 measured 0.32); floor pinned in RecallFloorSpec. ----
     "sim6_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, "qid", "qv",
-        k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 128, iters = 3,
+        k = 10, nlist = 16, nprobe = 8, m = 8, ksub = 128, iters = 3,
         adc = true)
         .orderBy("qid", "rank")
     }),

@@ -106,34 +106,40 @@ object Similarity {
 
   /** Approximate top-k: candidates share the query's LSH bucket, exact
     * cosine re-rank inside. At scale: one shuffle on bucket id; recall
-    * tuned by `bits` (fewer bits → bigger buckets → higher recall+cost).
-    * Multi-probe (flipping one bit) would raise recall further.
+    * tuned by `bits` (fewer bits → bigger buckets → higher recall+cost)
+    * and `probes` (Hamming-ball multi-probe over the query's bucket —
+    * each probe scans ~1/2^bits more of the corpus for the
+    * next-most-probable bucket; 2^bits probes = provably brute force).
     */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, dim: Int, bits: Int = 8, probes: Int = 1): DataFrame = {
-    require(probes >= 1 && (probes <= bits + 1 || probes == (1 << bits)),
-      s"probes must be 1..${bits + 1} (multi-probe) or exactly ${1 << bits} " +
-        "(exhaustive: every bucket probed, provably equal to brute force)")
+    require(probes >= 1 && probes <= (1 << bits),
+      s"probes must be 1..${1 << bits} (2^bits probes every bucket — " +
+        "exhaustive, provably equal to brute force)")
     val c = corpus.withColumn("__bucket",
       lshBucket(asDouble(col(corpusVec)), dim, bits))
-    // Multi-probe: each query also probes the `probes - 1` buckets that
-    // differ in exactly one signature bit — near-boundary neighbors land
-    // there. Recall rises without touching the corpus-side layout.
-    // probes == 2^bits probes EVERY bucket: each corpus row (living in
-    // exactly one bucket) meets each query exactly once, so the result
-    // equals brute-force top-k — the oracle-checkable calibration point
-    // for the same pipeline the partial-probe path runs.
-    val q0 = queries.withColumn("__q_bucket",
-      lshBucket(asDouble(col(queryVec)), dim, bits))
-    val q =
-      if (probes == (1 << bits))
-        q0.withColumn("__bucket",
-          explode(sequence(lit(0L), lit((1L << bits) - 1)))).drop("__q_bucket")
-      else q0.withColumn("__bucket", explode(array(
-        (col("__q_bucket") +: (0 until probes - 1).map(b =>
-          col("__q_bucket").bitwiseXOR(lit(1L << b)))): _*)))
-        .drop("__q_bucket")
+    // Multi-probe (Hamming-ball): each query probes the `probes` buckets
+    // whose signatures are NEAREST its own — XOR masks ordered by
+    // popcount then value, so the base bucket comes first, then every
+    // one-bit flip (near-boundary neighbors land there), then two-bit
+    // flips, and so on. Recall rises without touching the corpus-side
+    // layout, and each added probe buys the most-probable bucket next
+    // (a sign flip needs the query near that hyperplane; two flips need
+    // two near-boundary projections — geometrically rarer).
+    // probes == 2^bits XORs every mask — a bijection, so EVERY bucket is
+    // probed: each corpus row (living in exactly one bucket) meets each
+    // query exactly once and the result equals brute-force top-k — the
+    // oracle-checkable calibration point for the same pipeline the
+    // partial-probe path runs.
+    val probeMasks = (0 until (1 << bits))
+      .sortBy(m => (java.lang.Integer.bitCount(m), m))
+      .take(probes).map(_.toLong)
+    val q = queries.withColumn("__q_bucket",
+        lshBucket(asDouble(col(queryVec)), dim, bits))
+      .withColumn("__bucket", explode(array(
+        probeMasks.map(m => col("__q_bucket").bitwiseXOR(lit(m))): _*)))
+      .drop("__q_bucket")
     val joined = c.join(broadcast(q), "__bucket")
       .where(col(queryId) =!= col(corpusId))
       .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
