@@ -940,6 +940,50 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "o_totalprice")
     }),
 
+    // ---- streaming: LEFT-OUTER stream-stream interval join — the
+    // last untested StreamIntervalJoin branch. Same two rate-limited
+    // feeds as j1s, joinType = left_outer: a point with no in-bound
+    // interval is emitted ONCE, null-padded, when the interval-side
+    // watermark proves none can still arrive (the far-future markers
+    // advance it past all real event time, and the second marker
+    // micro-batch flushes the state-store timeouts). Sealed result
+    // hash-matches the batch left-outer oracle. TPC-H ships lineitems
+    // 1-121 days after the order, so ~3/4 of points genuinely fall
+    // outside their order's 30-day interval — the null branch carries
+    // real weight, not an empty edge. ----
+    "j1so_interval_outer" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_shipdate").cast(TimestampType).as("p_ts"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"),
+        col("o_orderdate").cast(TimestampType).as("i_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .cast(TimestampType).as("i_end"))
+      val maxT = li.select(max(col("p_ts")).as("m")).unionAll(
+        o.select(max(col("i_end")).as("m"))).agg(max(col("m")))
+        .head.getTimestamp(0)
+      def far(off: Long) =
+        new java.sql.Timestamp(maxT.getTime + 48L * 3600 * 1000 + off)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_j1so").toString
+      val pStream = fileStream(s, root, "points", Seq(li,
+        markerLike(li, "p_ts", far(0)), markerLike(li, "p_ts", far(1000))))
+      val iStream = fileStream(s, root, "intervals", Seq(o,
+        markerLike(o, "i_start", far(0)),
+        markerLike(o, "i_start", far(1000))))
+      val out = graft.streaming.StreamIntervalJoin.pointInInterval(
+        pStream, "l_orderkey", "p_ts",
+        iStream, "o_orderkey", "i_start", "i_end",
+        watermark = "1 hour", maxDuration = "31 days",
+        select = Seq(col("p.l_orderkey"), col("p.l_linenumber"),
+          col("i.o_totalprice")),
+        joinType = "left_outer")
+      runStreamTwinFiltered(s, root, out, col("l_orderkey") >= 0)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          asc_nulls_first("o_totalprice"))
+    }),
+
     // ---- join: FORWARD as-of (earliest right at-or-after each left;
     // merge_asof direction="forward") — backward's machinery on the
     // negated time axis, oracled against DuckDB ASOF JOIN with <= ----
@@ -1162,17 +1206,31 @@ object SparkEntry {
   }
 
   /** One-row watermark-advancing marker with `df`'s exact schema:
-    * `tsCol` = the given far-future time, numeric columns = −1 (the
-    * seal filter drops them), everything else null. Two of these per
-    * side push the shared watermark past all real event time and give
-    * the state store the extra micro-batch its event-time timeouts
-    * need to flush.
+    * EVERY timestamp column = the given far-future time (`tsCol` names
+    * the watermark column but the others must not be null either — see
+    * below), numeric columns = −1 (the seal filter drops them),
+    * everything else null. Two of these per side push the shared
+    * watermark past all real event time and give the state store the
+    * extra micro-batch its event-time timeouts need to flush.
+    *
+    * Null-timestamp hazard (cost a day of round 15): a marker row
+    * carrying NULL in a timestamp column that the stream-stream join
+    * CONDITION references (j1so's `i_end`) silently stalls Spark's
+    * outer-join null emission — unmatched left rows evicted in the
+    * same micro-batch as the null-ts marker never produce their
+    * null-padded row. Inner joins don't care (markers match nothing by
+    * key), so the bug only surfaces on the outer branch. Filling every
+    * timestamp column keeps the condition three-valued-logic-free on
+    * marker rows; marker keys are −1 so they still join nothing real
+    * and the seal filter still drops them.
     */
   private def markerLike(df: DataFrame, tsCol: String,
       ts: java.sql.Timestamp): DataFrame = {
     val cols = df.schema.fields.map { f =>
-      if (f.name == tsCol) lit(ts).cast(f.dataType).as(f.name)
-      else f.dataType match {
+      f.dataType match {
+        case _: org.apache.spark.sql.types.TimestampType |
+             _: org.apache.spark.sql.types.TimestampNTZType =>
+          lit(ts).cast(f.dataType).as(f.name)
         case _: org.apache.spark.sql.types.NumericType =>
           lit(-1).cast(f.dataType).as(f.name)
         case _ => lit(null).cast(f.dataType).as(f.name)
@@ -6724,6 +6782,15 @@ object SparkEntry {
         |  ON l.l_orderkey = o.o_orderkey
         | AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 30 DAY
         |ORDER BY l.l_orderkey, l.l_linenumber, o.o_totalprice""".stripMargin,
+
+    // Left-outer stream-stream twin: watermark-proven null padding must
+    // reproduce the batch LEFT JOIN exactly over the sealed feed
+    "j1so_interval_outer" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
+        |FROM lineitem l LEFT JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey
+        | AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 30 DAY
+        |ORDER BY l.l_orderkey, l.l_linenumber, o.o_totalprice NULLS FIRST""".stripMargin,
 
     "j10_asof_forward" ->
       """SELECT o.o_orderkey, o.o_custkey, e.ev_value AS next_value
