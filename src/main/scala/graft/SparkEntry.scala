@@ -5827,6 +5827,138 @@ object SparkEntry {
           |ORDER BY user_id, ts, event_id""".stripMargin)
     }),
 
+    // ---- SQL surface of the survival pair: hand-written analyst SQL
+    // over the registered graft_km_fold + graft_na_fold kernels
+    // rebuilds ts10's exact risk sets and publishes BOTH the KM
+    // product and the Nelson-Aalen sum from one step list — the
+    // survival family is reachable from SQL, not just the Scala API.
+    "sql6_survival" -> ((s, dir) => {
+      graft.sql.SqlLayer.register(s, dir, Seq("events"))
+      s.sql(
+        """WITH subj AS (
+          |  SELECT user_id,
+          |    CAST(floor((unix_micros(MAX(ts)) - unix_micros(MIN(ts)))
+          |      / 86400000000) AS BIGINT) AS t_days,
+          |    pmod(user_id, 5) <> 0 AS churned,
+          |    pmod(user_id, 3) AS cohort
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |  GROUP BY user_id),
+          |st AS (
+          |  SELECT cohort, t_days AS t,
+          |    SUM(CASE WHEN churned THEN 1L ELSE 0L END) AS d,
+          |    SUM(CASE WHEN churned THEN 0L ELSE 1L END) AS c
+          |  FROM subj GROUP BY cohort, t_days),
+          |rk AS (
+          |  SELECT cohort, t, d, c,
+          |    SUM(d + c) OVER (PARTITION BY cohort) -
+          |      COALESCE(SUM(d + c) OVER (PARTITION BY cohort ORDER BY t
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |        0L) AS n
+          |  FROM st),
+          |g AS (
+          |  SELECT cohort,
+          |    sort_array(collect_list(struct(t, d, c, n))) AS s
+          |  FROM rk GROUP BY cohort),
+          |f AS (
+          |  SELECT cohort, s,
+          |    graft_km_fold(transform(s, r -> r.d),
+          |                  transform(s, r -> r.n)) AS km,
+          |    graft_na_fold(transform(s, r -> r.d),
+          |                  transform(s, r -> r.n)) AS na
+          |  FROM g)
+          |SELECT cohort, r.t, r.n AS n_risk, r.d AS n_events,
+          |  r.c AS n_censored,
+          |  element_at(km, i + 1) AS survival,
+          |  element_at(na, i + 1) AS cum_hazard
+          |FROM f LATERAL VIEW posexplode(s) AS i, r
+          |ORDER BY cohort, t""".stripMargin)
+    }),
+
+    // ---- SQL surface of the retention matrix (a64 in analyst SQL:
+    // same day buckets, first-activity cohorts, distinct-active
+    // counts, one division) ----
+    "sql7_retention" -> ((s, dir) => {
+      graft.sql.SqlLayer.register(s, dir, Seq("events"))
+      s.sql(
+        """WITH active AS (
+          |  SELECT DISTINCT user_id AS u,
+          |    CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))
+          |      / 86400000000 AS BIGINT) AS p
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |cohorts AS (SELECT u, min(p) AS c FROM active GROUP BY u),
+          |sizes AS (SELECT c, count(*) AS size FROM cohorts GROUP BY c),
+          |cells AS (
+          |  SELECT c AS cohort, a.p - c AS age, count(*) AS n_active
+          |  FROM active a JOIN cohorts USING (u) GROUP BY 1, 2)
+          |SELECT cohort, age, n_active, size AS cohort_size,
+          |  CAST(n_active AS DOUBLE) / CAST(size AS DOUBLE) AS retention
+          |FROM cells JOIN sizes ON cells.cohort = sizes.c
+          |ORDER BY cohort, age""".stripMargin)
+    }),
+
+    // ---- SQL surface of split conformal (a65 in analyst SQL: the
+    // same exact-integer rank over calibration residuals, the same
+    // one-row quantile applied to the test half) ----
+    "sql8_conformal" -> ((s, dir) => {
+      graft.sql.SqlLayer.register(s, dir, Seq("events"))
+      s.sql(
+        """WITH e AS (
+          |  SELECT event_id, user_id,
+          |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS y
+          |  FROM events
+          |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+          |    AND CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+          |p AS (
+          |  SELECT user_id,
+          |    CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / count(y)
+          |      AS yhat
+          |  FROM e WHERE pmod(event_id, 2) = 0 GROUP BY user_id),
+          |r AS (
+          |  SELECT abs(e.y - p.yhat) AS r
+          |  FROM e JOIN p USING (user_id) WHERE pmod(e.event_id, 2) = 0),
+          |cnt AS (SELECT r, count(*) AS c FROM r GROUP BY r),
+          |cum AS (
+          |  SELECT r,
+          |    sum(c) OVER (ORDER BY r
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    sum(c) OVER () AS gn
+          |  FROM cnt),
+          |q AS (
+          |  SELECT min(r) AS q FROM (
+          |    SELECT r, cum,
+          |      least(CAST(((gn + 1L) * 90L + 99L
+          |          - pmod((gn + 1L) * 90L + 99L, 100L)) / 100L
+          |        AS BIGINT), gn) AS rank
+          |    FROM cum)
+          |  WHERE cum >= rank)
+          |SELECT e.event_id, e.user_id, p.yhat AS pred, e.y AS actual,
+          |  p.yhat - q.q AS lo, p.yhat + q.q AS hi,
+          |  (e.y >= p.yhat - q.q AND e.y <= p.yhat + q.q) AS covered
+          |FROM e JOIN p USING (user_id) CROSS JOIN q
+          |WHERE pmod(e.event_id, 2) = 1
+          |ORDER BY event_id""".stripMargin)
+    }),
+
+    // ---- SQL surface of the Markov transition matrix (w13 in analyst
+    // SQL: the same lead pairs and conditional share) ----
+    "sql9_transitions" -> ((s, dir) => {
+      graft.sql.SqlLayer.register(s, dir, Seq("events"))
+      s.sql(
+        """WITH p AS (
+          |  SELECT event_type AS from_state,
+          |    lead(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS to_state
+          |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+          |c AS (
+          |  SELECT from_state, to_state, count(*) AS n_transitions
+          |  FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_state, to_state, n_transitions,
+          |  CAST(n_transitions AS DOUBLE)
+          |    / CAST(sum(n_transitions) OVER (PARTITION BY from_state)
+          |           AS DOUBLE) AS p
+          |FROM c ORDER BY from_state, to_state""".stripMargin)
+    }),
+
     // ---- F2: zone-offset timestamp parsing (yyyy-MM-dd HH:mm:ssXXX) ----
     "f2_offset_parse" -> ((s, dir) => {
       t(s, dir, "orders").select(col("o_orderkey"),
@@ -9344,6 +9476,111 @@ object SparkEntry {
         |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         |SELECT user_id, ts, event_id, x AS value, e AS ewma
         |FROM r ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // SQL survival surface: ts10's risk sets with BOTH recursions —
+    // KM product (s) and Nelson-Aalen sum (h) — in one CTE replay
+    "sql6_survival" ->
+      """WITH RECURSIVE subj AS (SELECT user_id,
+        |    CAST(floor((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+        |      / 86400000000) AS BIGINT) AS t_days,
+        |    ((user_id % 5) + 5) % 5 <> 0 AS churned,
+        |    ((user_id % 3) + 3) % 3 AS cohort
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |st AS (SELECT cohort, t_days AS t,
+        |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY cohort, t_days),
+        |rk AS (SELECT cohort, t, d, c,
+        |    CAST(SUM(d + c) OVER (PARTITION BY cohort) -
+        |      COALESCE(SUM(d + c) OVER (PARTITION BY cohort ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn
+        |  FROM st),
+        |rec AS (
+        |  SELECT cohort, t, d, c, n, rn,
+        |    CASE WHEN d > 0 THEN CAST(n - d AS DOUBLE) / n
+        |         ELSE CAST(1.0 AS DOUBLE) END AS s,
+        |    CASE WHEN d > 0 THEN CAST(d AS DOUBLE) / n
+        |         ELSE CAST(0.0 AS DOUBLE) END AS h
+        |  FROM rk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rk.cohort, rk.t, rk.d, rk.c, rk.n, rk.rn,
+        |    CASE WHEN rk.d > 0
+        |      THEN rec.s * (CAST(rk.n - rk.d AS DOUBLE) / rk.n)
+        |      ELSE rec.s END,
+        |    CASE WHEN rk.d > 0
+        |      THEN rec.h + (CAST(rk.d AS DOUBLE) / rk.n)
+        |      ELSE rec.h END
+        |  FROM rec JOIN rk ON rk.cohort = rec.cohort
+        |    AND rk.rn = rec.rn + 1)
+        |SELECT cohort, t, n AS n_risk, d AS n_events, c AS n_censored,
+        |  s AS survival, h AS cum_hazard
+        |FROM rec ORDER BY cohort, t""".stripMargin,
+
+    // SQL retention surface: same oracle derivation as a64
+    "sql7_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000)
+        |      % 86400000000) // 86400000000 AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |cohorts AS (SELECT u, min(p) AS c FROM active GROUP BY u),
+        |sizes AS (SELECT c, count(*) AS size FROM cohorts GROUP BY c),
+        |cells AS (
+        |  SELECT c AS cohort, a.p - c AS age, count(*) AS n_active
+        |  FROM active a JOIN cohorts USING (u) GROUP BY 1, 2)
+        |SELECT cohort, age, n_active, size AS cohort_size,
+        |  CAST(n_active AS DOUBLE) / CAST(size AS DOUBLE) AS retention
+        |FROM cells JOIN sizes ON cells.cohort = sizes.c
+        |ORDER BY cohort, age""".stripMargin,
+
+    // SQL conformal surface: same oracle derivation as a65
+    "sql8_conformal" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS y
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |p AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / count(y)
+        |      AS yhat
+        |  FROM e WHERE event_id % 2 = 0 GROUP BY user_id),
+        |r AS (
+        |  SELECT abs(e.y - p.yhat) AS r
+        |  FROM e JOIN p USING (user_id) WHERE e.event_id % 2 = 0),
+        |rk AS (
+        |  SELECT least(((count(*) + 1) * 90 + 99) // 100, count(*))
+        |    AS rank FROM r),
+        |q AS (
+        |  SELECT min(r) AS q FROM
+        |    (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM r), rk
+        |  WHERE rn >= rank)
+        |SELECT e.event_id, e.user_id, p.yhat AS pred, e.y AS actual,
+        |  p.yhat - q.q AS lo, p.yhat + q.q AS hi,
+        |  (e.y >= p.yhat - q.q AND e.y <= p.yhat + q.q) AS covered
+        |FROM e JOIN p USING (user_id), q
+        |WHERE e.event_id % 2 = 1
+        |ORDER BY event_id""".stripMargin,
+
+    // SQL transition surface: same oracle derivation as w13
+    "sql9_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_state
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (
+        |  SELECT from_state, to_state, count(*) AS n_transitions
+        |  FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n_transitions,
+        |  CAST(n_transitions AS DOUBLE)
+        |    / CAST(sum(n_transitions) OVER (PARTITION BY from_state)
+        |           AS DOUBLE) AS p
+        |FROM c ORDER BY from_state, to_state""".stripMargin,
 
     // KS re-derived: the same per-value cumulative counts, gap
     // cross-multiplied to stay integer, max per key

@@ -2094,6 +2094,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_km_fold",
       es => { val a = QSketchCodec.arity(es, 2, "graft_km_fold")
         SeqFolds.KaplanMeierFold(a(0), a(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_na_fold",
+      es => { val a = QSketchCodec.arity(es, 2, "graft_na_fold")
+        SeqFolds.NelsonAalenFold(a(0), a(1)) }, "scala_udf")
     // image codecs (SQL surface of Multimodal.bmp*/png*)
     reg.createOrReplaceTempFunction("graft_bmp_encode",
       es => graft.operators.Multimodal.BmpEncodeExpr(
