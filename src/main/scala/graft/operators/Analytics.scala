@@ -1827,6 +1827,16 @@ object Analytics {
     * fixed-order IEEE chain the oracle mirrors token-for-token.
     * Lags with fewer than `minPairs` pairs or a degenerate (zero)
     * denominator are dropped.
+    *
+    * Depth scaling (measured, r14/r15 `scalecheck.py --longkey`): at
+    * 10x key depth the per-row cost rises ~3.5x — the family outlier
+    * but EXPECTED and sub-quadratic: each of the m rows still does
+    * O(maxLag) work, while the per-key window sort adds its log m and
+    * a 10x-larger single-partition window buffer loses cache locality
+    * (every other fold in the family carries O(1) state per row; this
+    * one materializes a maxLag-struct array per row). A 10x-depth
+    * ratio up to ~5x is within design; ~75x is the O(m²) self-join
+    * regression this kernel replaced.
     */
   def autocorrelation(df: DataFrame, keyCols: Seq[String], tsCol: String,
       measure: String, maxLag: Int, tieBreak: Seq[String] = Nil,
