@@ -2762,6 +2762,25 @@ object SparkEntry {
         .orderBy("cohort", "t")
     }),
 
+    // ---- time series: multi-group log-rank — the significance
+    // companion to ts10/ts22 over the same risk sets: observed vs
+    // H0-expected events per cohort at the global event times, with
+    // the conservative (O-E)^2/E per-group statistic. Expected terms
+    // quantized floor(1e6*n_g*d/n) so E is an exact long sum. ----
+    "ts23_logrank" -> ((s, dir) => {
+      val subjects = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(floor((unix_micros(max(col("ts"))) -
+          unix_micros(min(col("ts")))) / lit(86400000000L))
+          .cast(LongType).as("t_days"))
+        .select(col("user_id"), col("t_days"),
+          (pmod(col("user_id"), lit(5)) =!= 0).as("churned"),
+          pmod(col("user_id"), lit(3)).as("cohort"))
+      Analytics.logRank(subjects, "cohort", "t_days", "churned")
+        .orderBy("cohort")
+    }),
+
     // ---- time series: the STREAMING rolling-z anomaly twin under the
     // driver oracle (same lifecycle; AnomalyStream's parity contract
     // makes the sealed alarms ts1's exact rows, so the oracle is ts1's
@@ -9246,6 +9265,47 @@ object SparkEntry {
         |SELECT cohort, t, n AS n_risk, d AS n_events, c AS n_censored,
         |  h AS cum_hazard
         |FROM rec ORDER BY cohort, t""".stripMargin,
+
+    // log-rank re-derived: per-cohort observed vs expected at the
+    // global event times, expected terms quantized exactly as Spark's
+    "ts23_logrank" ->
+      """WITH subj AS (SELECT user_id,
+        |    CAST(floor((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+        |      / 86400000000) AS BIGINT) AS t_days,
+        |    ((user_id % 5) + 5) % 5 <> 0 AS churned,
+        |    ((user_id % 3) + 3) % 3 AS cohort
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |ev AS (SELECT t_days AS t,
+        |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS dt
+        |  FROM subj GROUP BY t_days
+        |  HAVING SUM(CASE WHEN churned THEN 1 ELSE 0 END) > 0),
+        |cells AS (
+        |  SELECT s.cohort, e.t, e.dt,
+        |    CAST(SUM(CASE WHEN s.t_days = e.t AND s.churned
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN s.t_days >= e.t THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n
+        |  FROM subj s CROSS JOIN ev e GROUP BY 1, 2, 3),
+        |tot AS (SELECT t, CAST(SUM(n) AS BIGINT) AS nt
+        |  FROM cells GROUP BY t),
+        |terms AS (
+        |  SELECT c.cohort, c.d,
+        |    CAST(floor(1000000.0 * (CAST(c.n * c.dt AS DOUBLE)
+        |      / CAST(x.nt AS DOUBLE))) AS BIGINT) AS tq
+        |  FROM cells c JOIN tot x ON x.t = c.t WHERE x.nt > 0),
+        |agg AS (SELECT cohort, CAST(SUM(d) AS BIGINT) AS observed,
+        |    CAST(SUM(tq) AS BIGINT) AS expected_q6
+        |  FROM terms GROUP BY cohort)
+        |SELECT cohort, observed, expected_q6,
+        |  CASE WHEN expected_q6 > 0 THEN
+        |    (CAST(observed AS DOUBLE)
+        |       - CAST(expected_q6 AS DOUBLE) / 1000000.0)
+        |    * (CAST(observed AS DOUBLE)
+        |       - CAST(expected_q6 AS DOUBLE) / 1000000.0)
+        |    / (CAST(expected_q6 AS DOUBLE) / 1000000.0) END
+        |    AS chi2_contrib
+        |FROM agg ORDER BY cohort""".stripMargin,
 
     // streaming anomaly twin: ts1's SQL + the stream's typed-key filter
     "ts1s_anomaly_stream" ->

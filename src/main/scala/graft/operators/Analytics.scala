@@ -1347,6 +1347,89 @@ object Analytics {
       "cum_hazard")
   }
 
+  /** Multi-group log-rank comparison over the SAME risk sets as
+    * [[kaplanMeier]]/[[nelsonAalen]] — "do these cohorts' survival
+    * curves differ beyond noise?", the significance companion the
+    * curve pair was missing. Per group g: observed events
+    * O_g = Σ_t d_gt and expected-under-H₀ E_g = Σ_t n_gt·d_t/n_t over
+    * the GLOBAL event times t (d_t > 0), plus the conservative
+    * per-group statistic (O_g−E_g)²/E_g (the classic k-sample
+    * approximation to the full covariance form; Σ over groups ~ χ²
+    * with k−1 df, documented as conservative).
+    *
+    * Cross-engine determinism: d/n are exact longs; each expected-term
+    * is quantized floor(10⁶·(n_gt·d_t)/n_t) — one exact long product,
+    * one IEEE division, one multiply+floor, bit-identical in any IEEE
+    * engine — and E_g is the EXACT long sum of those terms, published
+    * as `expected_q6`. The χ² contribution is one fixed double chain
+    * over (O_g, E_g/10⁶).
+    *
+    * Scale shape: one (group, t) partial-agg shuffle; the per-group
+    * risk counts n_gt come from a DESCENDING cumulative window over
+    * the group's OWN time list unioned with the global event times —
+    * the grid is |groups|×|event times| (groups and distinct churn
+    * days, never subjects), broadcast-crossed like sim21.
+    */
+  def logRank(df: DataFrame, groupCol: String, timeCol: String,
+      eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .where(col(timeCol).isNotNull && col(timeCol) >= 0 &&
+        col(eventCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(timeCol).cast(LongType).as("__t"),
+        when(col(eventCol), 1L).otherwise(0L).as("__e"))
+    // per (group, time): events and total leaving (event or censor)
+    val gt = base.groupBy(col("__g"), col("__t"))
+      .agg(sum(col("__e")).as("__d"), count(lit(1)).as("__a"))
+      .localCheckpoint(true)
+    // global event times (d_t > 0) — the only rows that contribute
+    val times = gt.groupBy(col("__t"))
+      .agg(sum(col("__d")).as("__dt"), sum(col("__a")).as("__at"))
+      .where(col("__dt") > 0)
+    val groups = gt.select(col("__g")).distinct()
+    // groups × event-times grid (small × small), filled with the
+    // group's own (d, a) where present, 0 elsewhere, so the
+    // descending cumulative count is defined at every global event
+    // time even when the group has no subject leaving at t
+    val grid = groups.crossJoin(broadcast(times.select(col("__t"))))
+      .join(gt, Seq("__g", "__t"), "left_outer")
+      .select(col("__g"), col("__t"),
+        coalesce(col("__d"), lit(0L)).as("__d"),
+        coalesce(col("__a"), lit(0L)).as("__a"))
+    // n_gt = members of g still at risk at t = Σ_{u >= t} a_gu: the
+    // union of the grid with the group's own times (the grid alone
+    // would miss censor-only times BELOW an event time), then one
+    // descending cumulative sum per group
+    val uni = grid.select(col("__g"), col("__t"), col("__d"), col("__a"))
+      .unionByName(gt.join(times.select(col("__t")), Seq("__t"),
+        "left_anti").select(col("__g"), col("__t"), col("__d"),
+        col("__a")))
+      .groupBy(col("__g"), col("__t"))
+      .agg(max(col("__d")).as("__d"), max(col("__a")).as("__a"))
+    val wDesc = Window.partitionBy(col("__g"))
+      .orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = uni.withColumn("__n", sum(col("__a")).over(wDesc))
+    // keep global event times only; attach global (d_t, n_t)
+    val joined = risk
+      .join(times.select(col("__t"), col("__dt")), Seq("__t"))
+      .withColumn("__nt",
+        sum(col("__n")).over(Window.partitionBy(col("__t"))))
+      .where(col("__nt") > 0)
+    val termQ6 = floor(lit(1000000.0) *
+      ((col("__n") * col("__dt")).cast(DoubleType) /
+        col("__nt").cast(DoubleType))).cast(LongType)
+    val agg = joined.groupBy(col("__g").as(groupCol))
+      .agg(sum(col("__d")).as("observed"),
+        sum(termQ6).as("expected_q6"))
+    val e = col("expected_q6").cast(DoubleType) / lit(1000000.0)
+    agg.withColumn("chi2_contrib",
+      when(col("expected_q6") > 0,
+        (col("observed").cast(DoubleType) - e) *
+          (col("observed").cast(DoubleType) - e) / e))
+  }
+
   /** Poisson(1) cumulative probabilities P(X ≤ k), k = 0..7 — spelled as
     * EXACT double literals shared by the Scala plan and the oracle SQL
     * (e^{-1}-derived; re-deriving them with `math.exp` in one engine and

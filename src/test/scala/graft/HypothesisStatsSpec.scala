@@ -598,6 +598,50 @@ class HypothesisStatsSpec extends SparkTestBase {
       (5L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("logRank: identical groups read O = E (chi2 ~ 0); a planted " +
+    "early-vs-late separation reads O far from E") {
+    // two identical cohorts: every event time splits its d_t evenly, so
+    // each group's expected equals its observed exactly
+    val same = (1L to 20L).flatMap(t => Seq(
+      ("a", t, true), ("b", t, true)))
+      .toDF("cohort", "t_days", "churned")
+    val eq = Analytics.logRank(same, "cohort", "t_days", "churned")
+      .orderBy("cohort")
+      .select("cohort", "observed", "expected_q6", "chi2_contrib")
+      .as[(String, Long, Long, Double)].collect()
+    assert(eq.length === 2)
+    eq.foreach { case (_, o, eq6, chi) =>
+      assert(o === 20L)
+      // quantized expected within 1 ulp-of-quantization per term
+      assert(math.abs(o * 1000000L - eq6) <= 40L,
+        s"identical groups must have O ~ E, got O=$o E_q6=$eq6")
+      assert(chi < 1e-6)
+    }
+    // planted separation: group a all dies at t=1..10, group b at 11..20
+    val sep = ((1L to 10L).map(t => ("a", t, true)) ++
+      (11L to 20L).map(t => ("b", t, true)))
+      .toDF("cohort", "t_days", "churned")
+    val dv = Analytics.logRank(sep, "cohort", "t_days", "churned")
+      .orderBy("cohort")
+      .select("cohort", "observed", "expected_q6", "chi2_contrib")
+      .as[(String, Long, Long, Double)].collect()
+    val chiTotal = dv.map(_._4).sum
+    assert(chiTotal > 5.0,
+      s"separated curves must reject H0, chi2 total = $chiTotal")
+    // the early-dying group observed MORE events than expected
+    val a = dv.find(_._1 == "a").get
+    assert(a._2 * 1000000L > a._3)
+    // censoring-only groups contribute no events but stay in the grid
+    val cens = same.unionByName(
+      Seq(("c", 5L, false), ("c", 30L, false))
+        .toDF("cohort", "t_days", "churned"))
+    val withC = Analytics.logRank(cens, "cohort", "t_days", "churned")
+      .orderBy("cohort").select("cohort", "observed")
+      .as[(String, Long)].collect()
+    assert(withC.map(_._1).toSeq === Seq("a", "b", "c"))
+    assert(withC.find(_._1 == "c").get._2 === 0L)
+  }
+
   test("kaplanMeier: partition-layout independent (the fold order is " +
     "pinned by the sort, not the shuffle)") {
     val subjects = (1 to 200).map(i =>

@@ -87,7 +87,10 @@ class PlanAuditSpec extends SparkTestBase {
     "sql8_conformal",
     // sim21: |groups|² inequality join over per-LANGUAGE centroids
     // (groups, never rows — the t38 class)
-    "sim21_domain_map")
+    "sim21_domain_map",
+    // ts23: |cohorts| x |global event times| broadcast grid (groups and
+    // distinct churn days, never subjects)
+    "ts23_logrank")
 
   test("no query plans a nested-loop or cartesian join unintentionally") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
