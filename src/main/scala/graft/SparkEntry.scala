@@ -3295,6 +3295,21 @@ object SparkEntry {
         .except(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
         .orderBy("nk")),
 
+    // ---- J19: fixed-radius spatial self-join via cell-grid blocking
+    // — all customer pairs within euclidean 0.02 in the unit square,
+    // coordinates md5-uniform from the key (fully oracle-re-derivable).
+    // One shuffle on the cell id, 3x3 neighbor probing, each pair meets
+    // exactly once; the exact distance predicate filters candidates. ----
+    "j19_radius_join" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey"))
+        .withColumn("x", Sampling.hashUniform(
+          concat(col("c_custkey").cast("string"), lit(":x"))))
+        .withColumn("y", Sampling.hashUniform(
+          concat(col("c_custkey").cast("string"), lit(":y"))))
+      SpatialJoin.radiusPairs(pts, "c_custkey", "x", "y", radius = 0.02)
+        .orderBy("c_custkey", "c_custkey_2")
+    }),
+
     // ---- J3: keyless (global) backward as-of join ----
     "j3_asof_global" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -11575,6 +11590,33 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+
+    // radius join re-derived: the same md5-uniform coordinates, the
+    // same cell grid (floor(x/r)), 3x3 neighborhood candidates, the
+    // same squared-distance chain
+    "j19_radius_join" ->
+      """WITH p AS (
+        |  SELECT c_custkey,
+        |    CAST(concat('0x', substr(md5(concat(CAST(c_custkey AS VARCHAR),
+        |      ':x')), 1, 15)) AS BIGINT) / 1152921504606846976.0 AS x,
+        |    CAST(concat('0x', substr(md5(concat(CAST(c_custkey AS VARCHAR),
+        |      ':y')), 1, 15)) AS BIGINT) / 1152921504606846976.0 AS y
+        |  FROM customer),
+        |g AS (SELECT c_custkey, x, y,
+        |    CAST(floor(x / 0.02) AS BIGINT) AS cx,
+        |    CAST(floor(y / 0.02) AS BIGINT) AS cy
+        |  FROM p)
+        |SELECT a.c_custkey, b.c_custkey AS c_custkey_2,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2,
+        |  sqrt((a.x - b.x) * (a.x - b.x)
+        |     + (a.y - b.y) * (a.y - b.y)) AS dist
+        |FROM g a JOIN g b
+        |  ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+        | AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+        | AND a.c_custkey < b.c_custkey
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |      <= 0.02 * 0.02
+        |ORDER BY a.c_custkey, c_custkey_2""".stripMargin,
 
     "j6_left_outer" ->
       """SELECT c.c_custkey, o.o_orderkey
