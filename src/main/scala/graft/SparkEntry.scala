@@ -3004,6 +3004,25 @@ object SparkEntry {
         stopwords = Seq("a", "the", "of", "to", "and", "in", "is", "on"),
         topK = 50)),
 
+    // ---- text: Aho-Corasick dictionary matching — per-doc occurrence
+    // counts for a term blocklist in ONE automaton pass (every end
+    // position, overlaps included), vs the O(n*k) regex-alternation
+    // alternative. Native expression; the oracle re-derives counts by
+    // an exhaustive position scan. ----
+    "t43_blocklist" -> ((s, dir) => {
+      val dict = Seq("the", "and", "ing", "ion", "data", "energy")
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          graft.functions.AhoCorasick.acCount(col("text"), dict))
+          .as(Seq("__i", "__n")))
+        .where(col("__n") > 0)
+        .select(col("doc_id"),
+          element_at(array(dict.map(lit): _*), col("__i") + 1)
+            .as("pattern"),
+          col("__n").as("n_matches"))
+        .orderBy("doc_id", "pattern")
+    }),
+
     // ---- text: HTML/markup stripping (web-crawl boilerplate) ----
     // Deterministic HTML is wrapped around each document (title, style
     // and script blocks with markup-looking payloads, entities, a
@@ -11080,6 +11099,22 @@ object SparkEntry {
         |  round(CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) + 2.0)
         |    * CAST(SUM(term) AS DOUBLE), 6) + 0.0 AS q_stat
         |FROM tm GROUP BY user_id, m ORDER BY user_id""".stripMargin,
+
+    // Aho-Corasick blocklist: exhaustive position scan re-derives the
+    // automaton's every-end-position (overlap-inclusive) counts
+    "t43_blocklist" ->
+      """WITH pat AS (SELECT * FROM (VALUES ('the'), ('and'), ('ing'),
+        |    ('ion'), ('data'), ('energy')) p(p)),
+        |win AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 6) AS w
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents)),
+        |pos AS (
+        |  SELECT win.doc_id, pat.p FROM win, pat
+        |  WHERE substr(win.w, 1, length(pat.p)) = pat.p)
+        |SELECT doc_id, p AS pattern, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM pos GROUP BY 1, 2 ORDER BY doc_id, pattern""".stripMargin,
 
     // RAKE: the identical islands (stopword-prefix run ids), word
     // degree/freq stats, and decimal-exact score ordering
