@@ -2762,6 +2762,21 @@ object SparkEntry {
         .orderBy("cohort", "t")
     }),
 
+    // ---- time series: isotonic regression (PAV) — the monotone-
+    // nondecreasing least-squares fit per key over the event order:
+    // probability-calibration / monotone-trend primitive. Exact-cents
+    // pooling with integer cross-multiplied comparisons; the oracle
+    // re-derives the fit via the minimax characterization
+    // fitted(k) = max_{i<=k} min_{j>=k} mean(i..j) from prefix sums. ----
+    "ts24_isotonic" -> ((s, dir) =>
+      Analytics.isotonicFit(
+        t(s, dir, "events")
+          .where(col("user_id").isNotNull && col("user_id") < 20)
+          .select("event_id", "user_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", measure = "value",
+        tieBreak = Seq("event_id"))
+        .orderBy("user_id", "ts", "event_id")),
+
     // ---- time series: multi-group log-rank — the significance
     // companion to ts10/ts22 over the same risk sets: observed vs
     // H0-expected events per cohort at the global event times, with
@@ -9299,6 +9314,41 @@ object SparkEntry {
         |SELECT cohort, t, n AS n_risk, d AS n_events, c AS n_censored,
         |  h AS cum_hazard
         |FROM rec ORDER BY cohort, t""".stripMargin,
+
+    // isotonic re-derived: minimax over segment means from exact cent
+    // prefix sums — fitted(k) = max_{i<=k} min_{j>=k} mean(i..j); the
+    // selected mean is the PAV block mean, same IEEE chain
+    "ts24_isotonic" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x,
+        |    CAST(TRY_CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND user_id < 20 AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |p AS (SELECT user_id, rn, ts, event_id, x,
+        |    CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY rn)
+        |      AS BIGINT) AS pc
+        |  FROM b),
+        |seg AS (
+        |  SELECT a.user_id, a.rn AS i, z.rn AS j,
+        |    CAST(z.pc - coalesce(a0.pc, 0) AS DOUBLE)
+        |      / (100.0 * (z.rn - a.rn + 1)) AS m
+        |  FROM p a JOIN p z ON z.user_id = a.user_id AND z.rn >= a.rn
+        |  LEFT JOIN p a0 ON a0.user_id = a.user_id AND a0.rn = a.rn - 1),
+        |imin AS (
+        |  SELECT s.user_id, kk.rn AS k, s.i, MIN(s.m) AS mn
+        |  FROM seg s JOIN p kk ON kk.user_id = s.user_id
+        |    AND s.i <= kk.rn AND s.j >= kk.rn
+        |  GROUP BY 1, 2, 3),
+        |fit AS (SELECT user_id, k, MAX(mn) AS fitted
+        |  FROM imin GROUP BY 1, 2)
+        |SELECT p.user_id, p.ts, p.event_id, p.x AS value, f.fitted
+        |FROM p JOIN fit f ON f.user_id = p.user_id AND f.k = p.rn
+        |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin,
 
     // log-rank re-derived: per-cohort observed vs expected at the
     // global event times, expected terms quantized exactly as Spark's

@@ -304,4 +304,82 @@ object SeqFolds {
   def naFold(ds: Column, ns: Column): Column =
     SparkShim.toColumn(NelsonAalenFold(SparkShim.toExpression(ds),
       SparkShim.toExpression(ns)))
+
+  /** Isotonic regression by Pool-Adjacent-Violators over a time-ordered
+    * series of EXACT integer cents: `array<bigint> → array<double>` of
+    * the monotone-nondecreasing least-squares fit.
+    *
+    * The pooling stack merges a new point into the previous block while
+    * the previous block's mean ≥ the current's — compared EXACTLY via
+    * BigInteger cross-multiplication (c₁·n₂ vs c₂·n₁), so block
+    * boundaries are the true PAV boundaries, never a double-rounding
+    * artifact. Each output value is then ONE fixed IEEE chain over the
+    * exact block sums: `cents.toDouble / (100.0 · n)` — the same chain
+    * a SQL oracle can evaluate from prefix sums via the minimax
+    * characterization fitted(k) = max_{i≤k} min_{j≥k} mean(i..j)
+    * (double-collapsed comparisons in the oracle are value-safe: where
+    * two candidate means differ as fractions but round to one double,
+    * either choice publishes that same double).
+    *
+    * O(m) time/space per key (each point is pushed and merged at most
+    * once); same loud per-key bound as the sibling folds.
+    */
+  case class PavFold(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure("expected array<bigint>")
+      }
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_pav_fold"
+
+    override def nullSafeEval(centsA: Any): Any = {
+      val cents = centsA.asInstanceOf[ArrayData].toLongArray()
+      val m = cents.length
+      boundCheck(m, prettyName)
+      // block stack: sums, counts, start index
+      val bc = new Array[Long](m); val bn = new Array[Int](m)
+      val bs = new Array[Int](m)
+      var top = -1
+      def geq(c1: Long, n1: Int, c2: Long, n2: Int): Boolean = {
+        // c1/n1 >= c2/n2 over positive n, exact: c1*n2 >= c2*n1.
+        // long is safe while |c|*n < 2^63; fall back to BigInteger on
+        // magnitudes that could wrap (deep keys of large cents)
+        val safe = math.abs(c1) <= Long.MaxValue / math.max(n2, 1) &&
+          math.abs(c2) <= Long.MaxValue / math.max(n1, 1)
+        if (safe) c1 * n2 >= c2 * n1
+        else java.math.BigInteger.valueOf(c1)
+          .multiply(java.math.BigInteger.valueOf(n2))
+          .compareTo(java.math.BigInteger.valueOf(c2)
+            .multiply(java.math.BigInteger.valueOf(n1))) >= 0
+      }
+      var i = 0
+      while (i < m) {
+        top += 1
+        bc(top) = cents(i); bn(top) = 1; bs(top) = i
+        while (top > 0 && geq(bc(top - 1), bn(top - 1), bc(top), bn(top))) {
+          bc(top - 1) += bc(top); bn(top - 1) += bn(top)
+          top -= 1
+        }
+        i += 1
+      }
+      val out = new Array[Double](m)
+      var b = 0
+      while (b <= top) {
+        val v = bc(b).toDouble / (100.0 * bn(b))
+        val end = if (b == top) m else bs(b + 1)
+        var k = bs(b)
+        while (k < end) { out(k) = v; k += 1 }
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): PavFold = copy(child = newChild)
+  }
+
+  def pavFold(cents: Column): Column =
+    SparkShim.toColumn(PavFold(SparkShim.toExpression(cents)))
 }

@@ -1075,6 +1075,46 @@ object Analytics {
           element_at(col("__e"), col("__i") + 1).as(outCol)): _*)
   }
 
+  /** Per-key isotonic regression (monotone-nondecreasing least-squares
+    * fit) by Pool-Adjacent-Violators over the (tsCol, tieBreak…) total
+    * order — the calibration primitive: fit a monotone response to a
+    * time- or score-ordered series (probability calibration curves,
+    * monotone dose-response, trend floors).
+    *
+    * Same execution plan as [[ewma]]: sorted `collect_list` per key +
+    * ONE native linear fold ([[graft.functions.SeqFolds.PavFold]],
+    * loud 50M/key bound). Values are quantized to exact integer cents
+    * (DECIMAL(18,2)·100) before pooling, so block sums are exact longs,
+    * pooling comparisons are exact integer cross-multiplications, and
+    * each fitted value is ONE IEEE chain `cents/(100·n)` — which a SQL
+    * oracle re-derives from prefix sums via the minimax
+    * characterization fitted(k) = max_{i≤k} min_{j≥k} mean(i..j).
+    */
+  def isotonicFit(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      measure: String, tieBreak: Seq[String] = Nil,
+      outCol: String = "fitted"): DataFrame = {
+    require(keyCols.nonEmpty, "isotonicFit needs at least one key column")
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val ordNames = tsCol +: tieBreak
+    val rowStruct = struct(
+      ordNames.map(col) :+ dec.cast(DoubleType).as("__x") :+
+        (dec * lit(100)).cast(LongType).as("__c"): _*)
+    val grouped = df
+      .where(col(tsCol).isNotNull && col(measure).isNotNull && dec.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(rowStruct)).as("__s"))
+    val folded = grouped.withColumn("__f",
+      graft.functions.SeqFolds.pavFold(
+        transform(col("__s"), _.getField("__c"))))
+    folded
+      .select(keyCols.map(col) :+ col("__f") :+
+        posexplode(col("__s")).as(Seq("__i", "__r")): _*)
+      .select(keyCols.map(col) ++
+        ordNames.map(n => col(s"__r.$n").as(n)) ++ Seq(
+          col("__r.__x").as(measure),
+          element_at(col("__f"), col("__i") + 1).as(outCol)): _*)
+  }
+
   /** Per-key Holt double exponential smoothing (level + linear trend):
     *   l₁ = x₁, b₁ = 0;
     *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1}),

@@ -182,6 +182,40 @@ class SeqFoldsSpec extends SparkTestBase {
     assert(bits(got.map(_._4)) === bits(ref.map(_._4)))
   }
 
+  test("pav fold: textbook pooling, monotone passthrough, exact " +
+      "comparisons, reference-implementation parity") {
+    def pav(cents: Array[Long]): Array[Double] =
+      SeqFolds.PavFold(SparkShim.toExpression(lit(0)))
+        .nullSafeEval(new GenericArrayData(cents))
+        .asInstanceOf[GenericArrayData].toDoubleArray()
+    // textbook: 1, 3, 2 -> 1, 2.5, 2.5 (cents x100)
+    assert(bits(pav(Array(100L, 300L, 200L))) ===
+      bits(Array(100.0 / 100.0, 500.0 / 200.0, 500.0 / 200.0)))
+    // already monotone: unchanged
+    assert(bits(pav(Array(100L, 200L, 300L))) ===
+      bits(Array(1.0, 2.0, 3.0)))
+    // strictly decreasing: one global block = the mean
+    assert(bits(pav(Array(300L, 200L, 100L))) ===
+      bits(Array(600.0 / 300.0, 600.0 / 300.0, 600.0 / 300.0)))
+    // pooling cascades backwards through earlier blocks
+    assert(bits(pav(Array(100L, 400L, 300L, 200L))) ===
+      bits(Array(1.0, 900.0 / 300.0, 900.0 / 300.0, 900.0 / 300.0)))
+    // exact comparison at equal means merges (>=, least blocks)
+    assert(pav(Array(200L, 200L)).toSeq === Seq(2.0, 2.0))
+    // reference O(n^2) minimax on deterministic pseudo-random input
+    val rnd = new scala.util.Random(41)
+    val xs = Array.fill(60)((rnd.nextInt(2000) - 1000).toLong)
+    val got = pav(xs)
+    val pc = xs.scanLeft(0L)(_ + _) // pc(i) = sum of first i
+    def mean(i: Int, j: Int): Double = // 1-based inclusive
+      (pc(j) - pc(i - 1)).toDouble / (100.0 * (j - i + 1))
+    val want = (1 to xs.length).map { k =>
+      (1 to k).map(i => (k to xs.length).map(j => mean(i, j)).min).max
+    }.toArray
+    assert(bits(got) === bits(want),
+      "PAV pooling must equal the minimax characterization")
+  }
+
   test("km fold: censored-only step carries survival; d/n length mismatch is loud") {
     val ds = new GenericArrayData(Array(2L, 0L, 1L))
     val ns = new GenericArrayData(Array(10L, 8L, 5L))
