@@ -3186,6 +3186,21 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // ---- sampling: Neyman-allocation stratified sample — the k-row
+    // budget split prop. to N_h*sigma_h (variance-optimal for a global
+    // mean; high-spread strata get more than size-proportional s15).
+    // Integer Hamilton over floor(1000*sigma)*N weights, md5-order
+    // within-stratum take. ----
+    "s18_neyman" -> ((s, dir) =>
+      Sampling.neymanSample(
+        t(s, dir, "events")
+          .where(col("event_type").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            col("value").cast(DecimalType(18, 2)).cast(DoubleType)
+              .as("value")),
+        "event_type", "event_id", "value", k = 500)
+        .orderBy("event_id")),
+
     // ---- sampling: deterministic negatives for contrastive training ----
     // Each anchor draws 5 pseudo-random corpus docs through ONE
     // position equi-join (no broadcast of the corpus, no RNG state);
@@ -11515,6 +11530,42 @@ object SparkEntry {
         |SELECT doc_id, text, lang, source, n_chars
         |FROM r JOIN a ON r.lang = a.s
         |WHERE rn <= alloc ORDER BY doc_id""".stripMargin,
+
+    // Neyman allocation re-derived: exact decimal moments, the same
+    // round-6 variance chain, floor(1000*sigma)*N integer weights,
+    // integer Hamilton, md5-order within-stratum take
+    "s18_neyman" ->
+      """WITH d AS (SELECT event_id, event_type,
+        |    CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |st AS (SELECT event_type AS s, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))
+        |      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM d GROUP BY 1),
+        |w AS (SELECT s, ng,
+        |    CAST(floor(1000.0 * sqrt(greatest(
+        |      round((sxx - sx * sx / CAST(ng AS DOUBLE))
+        |        / CAST(ng AS DOUBLE), 6), 0.0))) AS BIGINT) * ng AS w
+        |  FROM st),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS gw FROM w),
+        |q AS (SELECT s, ng, (w.w * 500) // t.gw AS base,
+        |    (w.w * 500) % t.gw AS rem
+        |  FROM w, t WHERE t.gw > 0),
+        |sb AS (SELECT CAST(SUM(base) AS BIGINT) AS sb FROM q),
+        |a AS (SELECT s, least(base + CASE
+        |    WHEN row_number() OVER (ORDER BY rem DESC, s ASC)
+        |      <= 500 - sb.sb THEN 1 ELSE 0 END, ng) AS alloc
+        |  FROM q, sb),
+        |r AS (SELECT d.*, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY CAST(concat('0x',
+        |      substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |      event_id) AS rn
+        |  FROM d)
+        |SELECT event_id, event_type, value
+        |FROM r JOIN a ON r.event_type = a.s
+        |WHERE rn <= alloc ORDER BY event_id""".stripMargin,
 
     // pseudo-random corpus positions (Knuth-hash order), slot probes
     // (a·2654435761 + (j+1)·40503) mod N, self/fingerprint exclusions

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Deterministic sampling / data-mixing operators for training-data
   * pipelines. Everything keys on a hash of a stable id — results are
@@ -303,6 +304,72 @@ object Sampling {
         // cap at the stratum size: only ever binds when k > N (see
         // Scaladoc) — it turns the impossible-k case into "all rows"
         // instead of a silent shortfall
+        least(col("__base") +
+          when(col("__rk") <= lit(k.toLong) - col("__sb"), 1L)
+            .otherwise(0L), col("__ng")).as("__alloc"))
+    base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(Dedup.md5Hash60(col(idCol).cast("string")).asc,
+            col(idCol).asc)))
+      .join(broadcast(alloc), col(strataCol) === col("__s"))
+      .where(col("__rn") <= col("__alloc"))
+      .drop("__rn", "__s", "__alloc")
+  }
+
+  /** Neyman-allocation stratified sample: the k-row budget is split
+    * across strata proportional to N_h·σ_h — the variance-optimal
+    * allocation for estimating a global mean (high-variance strata get
+    * more of the budget than size-proportional s15 would give them;
+    * Neyman 1934). The evaluation-set builder when the measure's
+    * spread differs wildly by source.
+    *
+    * Determinism (the s15 discipline, integer end-to-end after one
+    * quantization): per-stratum moments are exact decimal sums; the
+    * population variance is ONE fixed IEEE chain round-6'd (the a16
+    * wide-decimal caveat); σ quantizes as floor(1000·√v) so the
+    * Hamilton weight w_h = floor(1000·σ_h)·N_h is an exact BIGINT and
+    * quota base/remainder arithmetic is pure integer division —
+    * largest remainder ranked (remainder desc, stratum asc). Within a
+    * stratum, rows are taken in md5-hash order of `idCol` (ties on
+    * id), capped at the stratum size.
+    *
+    * A zero-variance stratum has weight 0 and contributes no rows —
+    * the Neyman optimum (its mean is known from one row... but none
+    * are taken; add a floor stratum pass downstream if every stratum
+    * must be represented).
+    *
+    * Scale shape: one moment partial-agg, two broadcast one-row
+    * crosses (the s15 allocation algebra), one per-stratum window.
+    */
+  def neymanSample(df: DataFrame, strataCol: String, idCol: String,
+      measure: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val dec = col(measure).cast(DecimalType(18, 2))
+    val base = df.where(col(strataCol).isNotNull && dec.isNotNull)
+    val stats = base.groupBy(col(strataCol).as("__s"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(dec).cast(DoubleType).as("__sx"),
+        sum(dec * dec).cast(DoubleType).as("__sxx"))
+    val nD = col("__ng").cast(DoubleType)
+    val v = round((col("__sxx") - col("__sx") * col("__sx") / nD) / nD, 6)
+    val weights = stats.select(col("__s"), col("__ng"),
+      (floor(lit(1000.0) * sqrt(greatest(v, lit(0.0))))
+        .cast(LongType) * col("__ng")).as("__w"))
+    // total weight is __gw, not __W: Spark resolution is
+    // case-INsensitive, so __W beside __w is AMBIGUOUS_REFERENCE
+    val tot = weights.agg(sum(col("__w")).as("__gw"))
+    val quota = weights.crossJoin(broadcast(tot))
+      .where(col("__gw") > 0)
+      .select(col("__s"), col("__ng"), col("__w"),
+        expr(s"(__w * CAST($k AS BIGINT)) div __gw").as("__base"),
+        expr(s"(__w * CAST($k AS BIGINT)) % __gw").as("__rem"))
+    val sb = quota.agg(sum(col("__base")).as("__sb"))
+    val alloc = quota.crossJoin(broadcast(sb))
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(desc("__rem"), asc("__s"))))
+      .select(col("__s"),
         least(col("__base") +
           when(col("__rk") <= lit(k.toLong) - col("__sb"), 1L)
             .otherwise(0L), col("__ng")).as("__alloc"))

@@ -29,6 +29,46 @@ class SamplingSpec extends SparkTestBase {
     assert(out.toSet === again.toSet)
   }
 
+  test("neymanSample: the variance-heavy stratum wins budget beyond " +
+      "its size share; zero-variance strata take none; exact k; " +
+      "repartition-invariant") {
+    // two equal-size strata (500 each): "wide" spans values 0..499,
+    // "tight" is constant 10 -> sigma(tight)=0, all budget to wide
+    val df = spark.range(1000).select(
+      col("id").as("event_id"),
+      when(col("id") < 500, "wide").otherwise("tight").as("g"),
+      when(col("id") < 500, col("id").cast("double"))
+        .otherwise(lit(10.0)).as("v"))
+    val out = Sampling.neymanSample(df, "g", "event_id", "v", k = 100)
+      .select("g").as[String].collect()
+    assert(out.length === 100)
+    assert(out.forall(_ == "wide"),
+      "a zero-variance stratum must receive no Neyman budget")
+    // three strata, same size, sigmas ~ 1 : 10 : 100 -> allocation
+    // tracks N*sigma (within a seat of the exact Hamilton split)
+    val tri = spark.range(1500).select(
+      col("id").as("event_id"),
+      (col("id") % 3).cast("string").as("g"),
+      ((col("id") % 100).cast("double") *
+        when(col("id") % 3 === 0, 0.1)
+          .when(col("id") % 3 === 1, 1.0).otherwise(10.0)).as("v"))
+    val per = Sampling.neymanSample(tri, "g", "event_id", "v", k = 111)
+      .select("g").as[String].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(per.values.sum === 111)
+    assert(per("2") > per("1") && per("1") > per("0"),
+      s"allocation must track sigma: $per")
+    // sigma ratio 1:10:100 -> roughly 1/111, 10/111, 100/111 seats
+    assert(per("2") >= 95 && per("0") <= 5, s"got $per")
+    // repartition invariance
+    val again = Sampling.neymanSample(tri.repartition(7), "g",
+      "event_id", "v", k = 111)
+      .select("g", "event_id").as[(String, Long)].collect().toSet
+    val first = Sampling.neymanSample(tri, "g", "event_id", "v", k = 111)
+      .select("g", "event_id").as[(String, Long)].collect().toSet
+    assert(first === again)
+  }
+
   test("apportionSample: proportionality at larger k, null strata " +
       "excluded, ties broken by stratum value") {
     val strata = docs.withColumn("g",
