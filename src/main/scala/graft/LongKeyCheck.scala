@@ -74,7 +74,13 @@ object LongKeyCheck {
       "autocorrelation" -> (d => Analytics.autocorrelation(series(d),
         Seq("k"), "ts", "v", maxLag = 5, tieBreak = Seq("eid"))),
       "ljung_box" -> (d => Analytics.ljungBox(series(d), Seq("k"), "ts",
-        "v", maxLag = 5, tieBreak = Seq("eid")))
+        "v", maxLag = 5, tieBreak = Seq("eid"))),
+      "nelson_aalen" -> (d => Analytics.nelsonAalen(subjects(d),
+        Seq("cohort"), "t", "ev")),
+      // PAV is the newest member of the per-key-fold family (r15); its
+      // pooling stack is O(m) pushes/merges — depth tier keeps it honest
+      "isotonic" -> (d => Analytics.isotonicFit(series(d), Seq("k"),
+        "ts", "v", tieBreak = Seq("eid")))
     )
 
     def time(fn: Int => DataFrame, depth: Int): Double = {

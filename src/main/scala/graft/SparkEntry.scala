@@ -6022,6 +6022,33 @@ object SparkEntry {
           |ORDER BY event_id""".stripMargin)
     }),
 
+    // ---- SQL surface of isotonic regression: the registered
+    // graft_pav_fold over a sorted cents list reproduces ts24 exactly
+    // (same minimax oracle) — the calibration fit is reachable from
+    // hand-written SQL. ----
+    "sql10_isotonic" -> ((s, dir) => {
+      graft.sql.SqlLayer.register(s, dir, Seq("events"))
+      s.sql(
+        """WITH g AS (
+          |  SELECT user_id,
+          |    sort_array(collect_list(struct(ts, event_id,
+          |      CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x,
+          |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+          |        AS c))) AS s
+          |  FROM events
+          |  WHERE user_id IS NOT NULL AND user_id < 20
+          |    AND ts IS NOT NULL AND value IS NOT NULL
+          |    AND CAST(value AS DECIMAL(18,2)) IS NOT NULL
+          |  GROUP BY user_id),
+          |f AS (SELECT user_id, s,
+          |        graft_pav_fold(transform(s, r -> r.c)) AS p
+          |      FROM g)
+          |SELECT user_id, r.ts, r.event_id, r.x AS value,
+          |       element_at(p, i + 1) AS fitted
+          |FROM f LATERAL VIEW posexplode(s) AS i, r
+          |ORDER BY user_id, ts, event_id""".stripMargin)
+    }),
+
     // ---- SQL surface of the Markov transition matrix (w13 in analyst
     // SQL: the same lead pairs and conditional share) ----
     "sql9_transitions" -> ((s, dir) => {
@@ -9724,6 +9751,39 @@ object SparkEntry {
         |FROM e JOIN p USING (user_id), q
         |WHERE e.event_id % 2 = 1
         |ORDER BY event_id""".stripMargin,
+
+    // SQL isotonic surface: same minimax oracle derivation as ts24
+    "sql10_isotonic" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x,
+        |    CAST(TRY_CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND user_id < 20 AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |p AS (SELECT user_id, rn, ts, event_id, x,
+        |    CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY rn)
+        |      AS BIGINT) AS pc
+        |  FROM b),
+        |seg AS (
+        |  SELECT a.user_id, a.rn AS i, z.rn AS j,
+        |    CAST(z.pc - coalesce(a0.pc, 0) AS DOUBLE)
+        |      / (100.0 * (z.rn - a.rn + 1)) AS m
+        |  FROM p a JOIN p z ON z.user_id = a.user_id AND z.rn >= a.rn
+        |  LEFT JOIN p a0 ON a0.user_id = a.user_id AND a0.rn = a.rn - 1),
+        |imin AS (
+        |  SELECT s.user_id, kk.rn AS k, s.i, MIN(s.m) AS mn
+        |  FROM seg s JOIN p kk ON kk.user_id = s.user_id
+        |    AND s.i <= kk.rn AND s.j >= kk.rn
+        |  GROUP BY 1, 2, 3),
+        |fit AS (SELECT user_id, k, MAX(mn) AS fitted
+        |  FROM imin GROUP BY 1, 2)
+        |SELECT p.user_id, p.ts, p.event_id, p.x AS value, f.fitted
+        |FROM p JOIN fit f ON f.user_id = p.user_id AND f.k = p.rn
+        |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin,
 
     // SQL transition surface: same oracle derivation as w13
     "sql9_transitions" ->

@@ -2097,6 +2097,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_na_fold",
       es => { val a = QSketchCodec.arity(es, 2, "graft_na_fold")
         SeqFolds.NelsonAalenFold(a(0), a(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_pav_fold",
+      es => SeqFolds.PavFold(
+        QSketchCodec.arity(es, 1, "graft_pav_fold").head), "scala_udf")
+    // dictionary as ONE comma-joined string literal: SQL has no
+    // Seq[String] literal form at a registration site
+    reg.createOrReplaceTempFunction("graft_ac_count",
+      es => { val a = QSketchCodec.arity(es, 2, "graft_ac_count")
+        AhoCorasick.AcCountExpr(a.head,
+          QSketchCodec.stringArg(es, 1, "graft_ac_count")
+            .split(',').toSeq) }, "scala_udf")
     // image codecs (SQL surface of Multimodal.bmp*/png*)
     reg.createOrReplaceTempFunction("graft_bmp_encode",
       es => graft.operators.Multimodal.BmpEncodeExpr(

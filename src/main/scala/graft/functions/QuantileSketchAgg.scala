@@ -84,6 +84,23 @@ object QSketchCodec {
     es
   }
 
+  /** Foldable-string-literal extraction — dictionary/config args at
+    * SQL registration sites (e.g. graft_ac_count's pattern list). */
+  def stringArg(es: Seq[Expression], idx: Int, fname: String): String = {
+    require(es.length > idx,
+      s"$fname: expected at least ${idx + 1} arguments, got ${es.length}")
+    val e = es(idx)
+    require(e.foldable,
+      s"$fname: argument #${idx + 1} must be a literal")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$fname: argument #${idx + 1} must be a string literal, " +
+          s"got ${if (other == null) "NULL" else other}")
+    }
+  }
+
   /** compress() has no early return on the compressed flag and costs a
     * full pass over sampled — skip it when already compressed
     * (deserialized sketches and merge() results always are).

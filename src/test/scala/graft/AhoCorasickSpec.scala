@@ -59,4 +59,13 @@ class AhoCorasickSpec extends SparkTestBase {
     assert(got(0).getSeq[Long](1) === Seq(2L, 1L))
     assert(got(1).isNullAt(1))
   }
+
+  test("SQL registration: comma-joined dictionary literal") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_ac_count('the cat sat on the mat', 'the,at') AS c")
+      .head().getSeq[Long](0)
+    // 'the' twice; 'at' inside cat, sat, mat
+    assert(got === Seq(2L, 3L))
+  }
 }
