@@ -3806,6 +3806,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: REAL GIF decode (JDK ImageIO palette+LZW; a
+    // gray ramp fits the 256-color palette so the round-trip is
+    // LOSSLESS and the same gradient arithmetic as mm2b re-derives
+    // the pixel sum without decoding a byte) ----
+    "mm11_gif_decode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("payload", Multimodal.gifEncode(
+          (lit(1) + col("doc_id") % 11).cast("int"),
+          (lit(1) + col("doc_id") % 5).cast("int"),
+          (col("doc_id") % 251).cast("int")))
+        .withColumn("img", Multimodal.gifDecode(col("payload")))
+      d.select(col("doc_id"), col("img.width").as("width"),
+          col("img.height").as("height"),
+          col("img.pixel_sum").as("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: perceptual dHash (image near-dup fingerprint) —
     // real PNG decode + 9×8 NN grayscale walk + adjacent-gradient bits,
     // packed as two unsigned 32-bit halves (no sign-wrapping shifts).
@@ -8955,6 +8972,21 @@ object SparkEntry {
         |    AS pixel_sum
         |FROM documents, g
         |WHERE g.i < 1 + doc_id % 13 AND g.j < 1 + doc_id % 7
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // GIF decode: the mm2b gradient sum over the GIF dims — the
+    // payload bytes are palette+LZW, so matching it proves a real
+    // lossless GIF decode
+    "mm11_gif_decode" ->
+      """WITH g AS (SELECT a.i AS i, b.j AS j
+        |  FROM range(11) a(i), range(5) b(j))
+        |SELECT doc_id,
+        |  CAST(1 + doc_id % 11 AS INT) AS width,
+        |  CAST(1 + doc_id % 5 AS INT) AS height,
+        |  CAST(SUM(3 * ((doc_id % 251 + g.i + g.j) % 256)) AS BIGINT)
+        |    AS pixel_sum
+        |FROM documents, g
+        |WHERE g.i < 1 + doc_id % 11 AND g.j < 1 + doc_id % 5
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // JPEG decode: block-solid fixture — per 8×8 block b the solid

@@ -2126,6 +2126,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_jpeg_decode",
       es => graft.operators.Multimodal.JpegDecodeExpr(
         QSketchCodec.arity(es, 1, "graft_jpeg_decode").head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_gif_encode",
+      es => graft.operators.Multimodal.GifEncodeExpr(
+        QSketchCodec.arity(es, 3, "graft_gif_encode")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_gif_decode",
+      es => graft.operators.Multimodal.GifDecodeExpr(
+        QSketchCodec.arity(es, 1, "graft_gif_decode").head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_png_resize",
       es => graft.operators.Multimodal.PngResizeExpr(
         QSketchCodec.arity(es, 3, "graft_png_resize")), "scala_udf")

@@ -116,7 +116,9 @@ object Multimodal {
                   ((im.getRGB(px % p.width, px / p.width) >> 16) & 0xFF) / 255f
                 }
                 DecodedImage(id, p.width, p.height, features)
-              case None => parseJpeg(bytes) match {
+              case None => parseJpeg(bytes).orElse(
+                parseGif(bytes).map(g =>
+                  JpegInfo(g.width, g.height, g.pixelSum))) match {
                 case Some(j) =>
                   val im = javax.imageio.ImageIO.read(
                     new java.io.ByteArrayInputStream(bytes))
@@ -738,6 +740,156 @@ object Multimodal {
   /** Column wrapper: decode a JPEG payload (null if not one). */
   def jpegDecode(payload: Column): Column =
     SparkShim.toColumn(JpegDecodeExpr(SparkShim.toExpression(payload)))
+
+  // ---------- real GIF codec (palette/LZW via the JDK's ImageIO) ----
+
+  /** Decoded facts of a parsed GIF — same shape as [[PngInfo]]. */
+  case class GifInfo(width: Int, height: Int, pixelSum: Long)
+
+  /** Build a gray-gradient GIF: pixel (x, y) = (fill + x + y) mod 256
+    * in all three channels — the PNG fixture's exact gradient. A gray
+    * ramp has at most 256 distinct colors, so the GIF palette holds it
+    * without quantization and the LZW round-trip is LOSSLESS: the
+    * decoded pixel sum is the same Σ 3·((fill+x+y) mod 256) arithmetic
+    * the PNG oracle computes — while producing it here requires a real
+    * palette + LZW decode.
+    */
+  private[graft] def encodeGif(w: Int, h: Int, fill: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"GIF dims must be positive, got ${w}x$h")
+    // an EXPLICIT 256-gray IndexColorModel: the JDK's GIF writer keeps
+    // an indexed image's palette verbatim, but QUANTIZES a direct-color
+    // (TYPE_INT_RGB) input through its built-in halftone cube — which
+    // would break the lossless contract the oracle depends on
+    val grays = Array.tabulate[Byte](256)(i => i.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256,
+      grays, grays, grays)
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = im.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, (fill + x + y) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    // write NON-interlaced explicitly: the JDK writer defaults to the
+    // interlaced row order, and its own reader scrambles tiny
+    // interlaced images on the round-trip (rows land shifted — a
+    // measured JDK quirk, not a spec behavior this codec can rely on)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val p = wr.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(im, null, null), p)
+    wr.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** GIF logical-screen-descriptor sniff: (width, height) from the
+    * GIF87a/GIF89a header — little-endian u16 at offsets 6/8 — so the
+    * decode allocation is bounded BEFORE ImageIO touches untrusted
+    * bytes (the IHDR/SOF discipline).
+    */
+  private[graft] def gifDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length < 13 ||
+      bytes(0) != 'G'.toByte || bytes(1) != 'I'.toByte ||
+      bytes(2) != 'F'.toByte || bytes(3) != '8'.toByte ||
+      (bytes(4) != '7'.toByte && bytes(4) != '9'.toByte) ||
+      bytes(5) != 'a'.toByte) return None
+    val w = (bytes(6) & 0xFF) | ((bytes(7) & 0xFF) << 8)
+    val h = (bytes(8) & 0xFF) | ((bytes(9) & 0xFF) << 8)
+    if (w > 0 && h > 0) Some((w, h)) else None
+  }
+
+  /** Guarded GIF → BufferedImage: [[gifDims]] sniff + the
+    * [[MaxPngPixels]] allocation bound before the full decode. */
+  private def decodeGifImage(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    gifDims(bytes).flatMap { case (w, h) =>
+      if (w.toLong * h > MaxPngPixels) None
+      else try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  private[graft] def parseGif(bytes: Array[Byte]): Option[GifInfo] =
+    decodeGifImage(bytes).map { im =>
+      var sum = 0L
+      var y = 0
+      while (y < im.getHeight) {
+        var x = 0
+        while (x < im.getWidth) {
+          val rgb = im.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      GifInfo(im.getWidth, im.getHeight, sum)
+    }
+
+  /** Catalyst expression over [[encodeGif]]:
+    * `(width int, height int, fill int) → binary`. */
+  case class GifEncodeExpr(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    require(children.length == 3, "gif_encode takes (w, h, fill)")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType == IntegerType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int, int, int)")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_gif_encode"
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) null
+      else encodeGif(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
+        vs(2).asInstanceOf[Int])
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): GifEncodeExpr =
+      copy(children = newChildren)
+  }
+
+  /** Catalyst expression over [[parseGif]]: `binary →
+    * struct<width int, height int, pixel_sum bigint>`, null for
+    * payloads that are not a decodable GIF. */
+  case class GifDecodeExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary")
+    override def dataType: DataType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixel_sum", LongType)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_gif_decode"
+    override def nullSafeEval(bytes: Any): Any =
+      parseGif(bytes.asInstanceOf[Array[Byte]]) match {
+        case Some(i) => InternalRow(i.width, i.height, i.pixelSum)
+        case None => null
+      }
+    override protected def withNewChildInternal(
+        newChild: Expression): GifDecodeExpr = copy(child = newChild)
+  }
+
+  /** Column wrapper: build a gray-gradient GIF payload. */
+  def gifEncode(w: Column, h: Column, fill: Column): Column =
+    SparkShim.toColumn(GifEncodeExpr(Seq(w, h, fill)
+      .map(SparkShim.toExpression)))
+
+  /** Column wrapper: decode a GIF payload (null if not one). */
+  def gifDecode(payload: Column): Column =
+    SparkShim.toColumn(GifDecodeExpr(SparkShim.toExpression(payload)))
 
   // ---------- real WAV codec (RIFF/WAVE, 16-bit PCM) ----------
 

@@ -626,6 +626,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(imgs2(1L).features(0) - 60f / 255f) < 1e-6f)
   }
 
+  test("GIF codec: indexed-gray gradient round-trips losslessly " +
+      "(non-interlaced; row order exact), guards reject non-GIFs") {
+    def gradSum(w: Int, h: Int, fill: Int): Long =
+      (for (y <- 0 until h; x <- 0 until w)
+        yield 3L * ((fill + x + y) % 256)).sum
+    // heights that hit the interlace-pass boundaries (the JDK writer's
+    // default interlaced mode scrambles rows 1-2 on its own reader —
+    // this pins the MODE_DISABLED fix)
+    for (w <- Seq(1, 2, 4, 11); h <- Seq(1, 2, 3, 5, 9)) {
+      val fill = (w * 31 + h) % 251
+      val info = Multimodal.parseGif(Multimodal.encodeGif(w, h, fill))
+        .getOrElse(fail(s"valid GIF ${w}x$h did not parse"))
+      assert(info.width === w && info.height === h)
+      assert(info.pixelSum === gradSum(w, h, fill),
+        s"lossless round-trip broken at ${w}x$h")
+    }
+    assert(Multimodal.parseGif(null).isEmpty)
+    assert(Multimodal.parseGif("GIF8".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseGif(Multimodal.encodePng(4, 4, 9)).isEmpty)
+    assert(Multimodal.parseGif(Multimodal.encodeJpeg(8, 8, 9)).isEmpty)
+    assert(Multimodal.parsePng(Multimodal.encodeGif(4, 4, 9)).isEmpty)
+    val valid = Multimodal.encodeGif(5, 4, 7)
+    assert(Multimodal.gifDims(valid) === Some((5, 4)))
+    // oversized LSD dims rejected pre-allocation
+    val evil = valid.clone()
+    evil(6) = 0xFF.toByte; evil(7) = 0xFF.toByte // w = 65535
+    evil(8) = 0xFF.toByte; evil(9) = 0xFF.toByte // h = 65535
+    assert(Multimodal.parseGif(evil).isEmpty)
+    // SQL registration
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT img.pixel_sum FROM (
+        |  SELECT graft_gif_decode(graft_gif_encode(6, 3, 5)) AS img
+        |)""".stripMargin).as[Long].head()
+    assert(viaSql === gradSum(6, 3, 5))
+    // decodeImages routes GIFs natively
+    val mixed = Seq((1L, Multimodal.encodeGif(8, 8, 60)))
+      .toDF("doc_id", "payload")
+    val imgs = Multimodal.decodeImages(mixed, "doc_id", "payload", 4)
+      .collect().map(i => i.id -> i).toMap
+    assert(imgs(1L).width === 8 && imgs(1L).height === 8)
+    assert(math.abs(imgs(1L).features(0) - 60f / 255f) < 1e-6f)
+  }
+
   test("filteredBruteTopK: only same-label candidates score, equals " +
       "brute force over the filtered subset, self excluded") {
     val vecs = Seq(
