@@ -3038,6 +3038,23 @@ object SparkEntry {
         .orderBy("doc_id", "pattern")
     }),
 
+    // ---- text: dictionary match POSITIONS (KWIC / redaction spans) —
+    // the same automaton pass as t43 but emitting every (pattern,
+    // 1-based start) span, the input a redaction or
+    // keyword-in-context pipeline consumes. ----
+    "t44_kwic" -> ((s, dir) => {
+      val dict = Seq("the", "and", "ing", "ion", "data", "energy")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.AhoCorasick.acFind(col("text"), dict))
+            .as("m"))
+        .select(col("doc_id"),
+          element_at(array(dict.map(lit): _*),
+            col("m.pattern_idx") + 1).as("pattern"),
+          col("m.pos").as("pos"))
+        .orderBy("doc_id", "pattern", "pos")
+    }),
+
     // ---- text: HTML/markup stripping (web-crawl boilerplate) ----
     // Deterministic HTML is wrapped around each document (title, style
     // and script blocks with markup-looking payloads, entities, a
@@ -11272,6 +11289,20 @@ object SparkEntry {
         |  WHERE substr(win.w, 1, length(pat.p)) = pat.p)
         |SELECT doc_id, p AS pattern, CAST(count(*) AS BIGINT) AS n_matches
         |FROM pos GROUP BY 1, 2 ORDER BY doc_id, pattern""".stripMargin,
+
+    // KWIC spans: the t43 position scan keeping the position itself
+    "t44_kwic" ->
+      """WITH pat AS (SELECT * FROM (VALUES ('the'), ('and'), ('ing'),
+        |    ('ion'), ('data'), ('energy')) p(p)),
+        |win AS (
+        |  SELECT doc_id, i, substr(text, CAST(i AS INT), 6) AS w
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents))
+        |SELECT win.doc_id, pat.p AS pattern, CAST(win.i AS INT) AS pos
+        |FROM win, pat
+        |WHERE substr(win.w, 1, length(pat.p)) = pat.p
+        |ORDER BY doc_id, pattern, pos""".stripMargin,
 
     // RAKE: the identical islands (stopword-prefix run ids), word
     // degree/freq stats, and decimal-exact score ordering

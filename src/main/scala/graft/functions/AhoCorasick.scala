@@ -99,6 +99,31 @@ object AhoCorasick {
       }
       counts
     }
+
+    private val patLen: Array[Int] = patterns.map(_.length).toArray
+
+    /** Every match as (patternIdx, 1-based START position), in scan
+      * order (by end position, then dictionary order within one end).
+      */
+    def find(text: String): Seq[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var s = 0
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        val ch = text.charAt(i)
+        while (s != 0 && !transF(s).contains(ch)) s = failF(s)
+        s = transF(s).getOrElse(ch, 0)
+        val o = outsF(s)
+        var j = 0
+        while (j < o.length) {
+          out += ((o(j), i - patLen(o(j)) + 2)) // 1-based start
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
   }
 
   /** `string → array<bigint>` of per-pattern occurrence counts, in
@@ -123,4 +148,32 @@ object AhoCorasick {
   def acCount(text: Column, patterns: Seq[String]): Column =
     SparkShim.toColumn(
       AcCountExpr(SparkShim.toExpression(text), patterns))
+
+  /** `string → array<struct<pattern_idx int, pos int>>` of every match
+    * (1-based start positions, scan order). Null text → null.
+    */
+  case class AcFindExpr(child: Expression, patterns: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pattern_idx", IntegerType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "graft_ac_find"
+    @transient private lazy val automaton = new Automaton(patterns)
+    override def nullSafeEval(text: Any): Any = {
+      val ms = automaton.find(text.asInstanceOf[UTF8String].toString)
+      new GenericArrayData(ms.map { case (idx, pos) =>
+        InternalRow(idx, pos)
+      }.toArray[Any])
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): AcFindExpr = copy(child = newChild)
+  }
+
+  def acFind(text: Column, patterns: Seq[String]): Column =
+    SparkShim.toColumn(
+      AcFindExpr(SparkShim.toExpression(text), patterns))
 }

@@ -60,6 +60,23 @@ class AhoCorasickSpec extends SparkTestBase {
     assert(got(1).isNullAt(1))
   }
 
+  test("find: 1-based start positions, overlaps and nests included, " +
+      "consistent with count") {
+    val auto = new AhoCorasick.Automaton(Seq("aa", "a", "and"))
+    // "aaa": 'a' at 1,2,3; 'aa' at 1,2
+    assert(auto.find("aaa").toSet ===
+      Set((0, 1), (0, 2), (1, 1), (1, 2), (1, 3)))
+    // "xandy": 'a' at 2, 'and' at 2
+    assert(auto.find("xandy").toSet === Set((1, 2), (2, 2)))
+    // find multiset sizes equal count
+    val text = "a and aa banana and"
+    val counts = auto.count(text)
+    val byIdx = auto.find(text).groupBy(_._1).view.mapValues(_.size)
+    (0 until 3).foreach { i =>
+      assert(counts(i) === byIdx.getOrElse(i, 0).toLong, s"pattern $i")
+    }
+  }
+
   test("SQL registration: comma-joined dictionary literal") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
