@@ -3897,6 +3897,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: ANIMATED GIF frame extraction — a REAL
+    // multi-frame media decode (the plumbing mm3's video stub fakes):
+    // per-frame lossless gradient sums re-derived arithmetically. ----
+    "mm12_gif_frames" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("payload", Multimodal.gifAnimEncode(
+          (lit(1) + col("doc_id") % 9).cast("int"),
+          (lit(1) + col("doc_id") % 4).cast("int"),
+          (col("doc_id") % 251).cast("int"),
+          (lit(1) + col("doc_id") % 4).cast("int")))
+        .withColumn("fr", explode(Multimodal.gifFrames(col("payload"))))
+      d.select(col("doc_id"), col("fr.frame_idx").as("frame_idx"),
+          col("fr.width").as("width"), col("fr.height").as("height"),
+          col("fr.pixel_sum").as("pixel_sum"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // ---- multimodal: QOI decode (from-scratch spec codec) ----
     // The gradient fixture round-trips through a full QOI encoder
     // (DIFF/LUMA/INDEX/RUN/RGB chunks all exercised) and a STREAMING
@@ -8990,6 +9007,23 @@ object SparkEntry {
         |FROM documents, g
         |WHERE g.i < 1 + doc_id % 13 AND g.j < 1 + doc_id % 7
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // animated GIF frames: per-frame gradient sums — frame f shifts
+    // the ramp by 7f; the (doc, frame, pixel) triple product
+    // re-derives each lossless frame sum
+    "mm12_gif_frames" ->
+      """WITH fr AS (SELECT f.f FROM range(4) f(f)),
+        |g AS (SELECT a.i AS i, b.j AS j
+        |  FROM range(9) a(i), range(4) b(j))
+        |SELECT doc_id, CAST(fr.f AS INT) AS frame_idx,
+        |  CAST(1 + doc_id % 9 AS INT) AS width,
+        |  CAST(1 + doc_id % 4 AS INT) AS height,
+        |  CAST(SUM(3 * ((doc_id % 251 + 7 * fr.f + g.i + g.j) % 256))
+        |    AS BIGINT) AS pixel_sum
+        |FROM documents, fr, g
+        |WHERE fr.f < 1 + doc_id % 4
+        |  AND g.i < 1 + doc_id % 9 AND g.j < 1 + doc_id % 4
+        |GROUP BY doc_id, fr.f ORDER BY doc_id, frame_idx""".stripMargin,
 
     // GIF decode: the mm2b gradient sum over the GIF dims — the
     // payload bytes are palette+LZW, so matching it proves a real

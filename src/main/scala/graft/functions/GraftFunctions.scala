@@ -2132,6 +2132,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_gif_decode",
       es => graft.operators.Multimodal.GifDecodeExpr(
         QSketchCodec.arity(es, 1, "graft_gif_decode").head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_gif_anim_encode",
+      es => graft.operators.Multimodal.GifAnimEncodeExpr(
+        QSketchCodec.arity(es, 4, "graft_gif_anim_encode")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_gif_frames",
+      es => graft.operators.Multimodal.GifFramesExpr(
+        QSketchCodec.arity(es, 1, "graft_gif_frames").head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_png_resize",
       es => graft.operators.Multimodal.PngResizeExpr(
         QSketchCodec.arity(es, 3, "graft_png_resize")), "scala_udf")

@@ -891,6 +891,155 @@ object Multimodal {
   def gifDecode(payload: Column): Column =
     SparkShim.toColumn(GifDecodeExpr(SparkShim.toExpression(payload)))
 
+  // ---------- ANIMATED GIF: real multi-frame decode ----------
+
+  /** Build an ANIMATED gray GIF: frame f's pixel (x, y) =
+    * (fill + 7·f + x + y) mod 256 — every frame a full-size indexed
+    * image through [[encodeGif]]'s palette discipline (explicit gray
+    * ICM, non-interlaced), appended with `writeToSequence`. The
+    * round-trip is lossless per frame, so per-frame pixel sums are
+    * plain arithmetic for the oracle while producing them here takes a
+    * real multi-image LZW decode — the frame-extraction plumbing that
+    * was previously only exercised by the video STUB (mm3).
+    */
+  private[graft] def encodeGifAnim(w: Int, h: Int, fill: Int,
+      frames: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"GIF dims must be positive, got ${w}x$h")
+    require(frames >= 1 && frames <= 64,
+      s"frames must be in [1, 64], got $frames")
+    val grays = Array.tabulate[Byte](256)(i => i.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256,
+      grays, grays, grays)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val p = wr.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = im.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, (fill + 7 * f + x + y) & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      wr.writeToSequence(new javax.imageio.IIOImage(im, null, null), p)
+      f += 1
+    }
+    wr.endWriteSequence()
+    wr.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Decode every frame of a GIF: per-frame (frame_idx, width, height,
+    * pixel_sum), raw frame rasters (no disposal compositing — each
+    * written frame is full-size here). None for non-GIF payloads;
+    * frames stop at `maxFrames` (loud cap, the frame analog of the
+    * pixel bound).
+    */
+  private[graft] def parseGifFrames(bytes: Array[Byte],
+      maxFrames: Int = 256): Option[Seq[GifInfo]] =
+    gifDims(bytes).flatMap { case (w, h) =>
+      if (w.toLong * h > MaxPngPixels) None
+      else try {
+        val rd = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        rd.setInput(iis)
+        val n = math.min(rd.getNumImages(true), maxFrames)
+        val out = (0 until n).map { i =>
+          val im = rd.read(i)
+          var sum = 0L
+          var y = 0
+          while (y < im.getHeight) {
+            var x = 0
+            while (x < im.getWidth) {
+              val rgb = im.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          GifInfo(im.getWidth, im.getHeight, sum)
+        }
+        rd.dispose()
+        iis.close()
+        if (out.isEmpty) None else Some(out)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Catalyst expression over [[encodeGifAnim]]:
+    * `(width int, height int, fill int, frames int) → binary`. */
+  case class GifAnimEncodeExpr(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    require(children.length == 4, "gif_anim_encode takes (w, h, fill, n)")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType == IntegerType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int, int, int, int)")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_gif_anim_encode"
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) null
+      else encodeGifAnim(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
+        vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int])
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): GifAnimEncodeExpr =
+      copy(children = newChildren)
+  }
+
+  /** Catalyst expression over [[parseGifFrames]]: `binary →
+    * array<struct<frame_idx int, width int, height int,
+    * pixel_sum bigint>>`, null for non-GIF payloads. */
+  case class GifFramesExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixel_sum", LongType))), containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_gif_frames"
+    override def nullSafeEval(bytes: Any): Any =
+      parseGifFrames(bytes.asInstanceOf[Array[Byte]]) match {
+        case Some(fs) => new org.apache.spark.sql.catalyst.util
+          .GenericArrayData(fs.zipWithIndex.map { case (g, i) =>
+            InternalRow(i, g.width, g.height, g.pixelSum)
+          }.toArray[Any])
+        case None => null
+      }
+    override protected def withNewChildInternal(
+        newChild: Expression): GifFramesExpr = copy(child = newChild)
+  }
+
+  /** Column wrapper: build an animated gray-gradient GIF payload. */
+  def gifAnimEncode(w: Column, h: Column, fill: Column,
+      frames: Column): Column =
+    SparkShim.toColumn(GifAnimEncodeExpr(Seq(w, h, fill, frames)
+      .map(SparkShim.toExpression)))
+
+  /** Column wrapper: decode every frame of a GIF payload. */
+  def gifFrames(payload: Column): Column =
+    SparkShim.toColumn(GifFramesExpr(SparkShim.toExpression(payload)))
+
   // ---------- real WAV codec (RIFF/WAVE, 16-bit PCM) ----------
 
   /** Decoded facts of a parsed PCM WAV. `sampleSum` is the sum of every

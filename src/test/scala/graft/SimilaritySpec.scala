@@ -670,6 +670,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(imgs(1L).features(0) - 60f / 255f) < 1e-6f)
   }
 
+  test("animated GIF: every frame round-trips losslessly with its own " +
+      "shifted gradient; caps and guards hold") {
+    def gradSum(w: Int, h: Int, fill: Int, f: Int): Long =
+      (for (y <- 0 until h; x <- 0 until w)
+        yield 3L * ((fill + 7 * f + x + y) % 256)).sum
+    val bytes = Multimodal.encodeGifAnim(6, 5, 40, 3)
+    val frames = Multimodal.parseGifFrames(bytes)
+      .getOrElse(fail("animated GIF did not parse"))
+    assert(frames.length === 3)
+    frames.zipWithIndex.foreach { case (g, f) =>
+      assert(g.width === 6 && g.height === 5)
+      assert(g.pixelSum === gradSum(6, 5, 40, f), s"frame $f")
+    }
+    // single-frame animation == plain GIF decode
+    val one = Multimodal.parseGifFrames(Multimodal.encodeGif(4, 4, 9))
+    assert(one.get.length === 1)
+    assert(one.get.head.pixelSum ===
+      Multimodal.parseGif(Multimodal.encodeGif(4, 4, 9)).get.pixelSum)
+    // frame cap and guards
+    assert(Multimodal.parseGifFrames(
+      Multimodal.encodeGifAnim(2, 2, 0, 5), maxFrames = 2).get.length === 2)
+    assert(Multimodal.parseGifFrames("not a gif".getBytes("UTF-8")).isEmpty)
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeGifAnim(2, 2, 0, 0)
+    }
+  }
+
   test("filteredBruteTopK: only same-label candidates score, equals " +
       "brute force over the filtered subset, self excluded") {
     val vecs = Seq(
