@@ -984,6 +984,49 @@ object SparkEntry {
           asc_nulls_first("o_totalprice"))
     }),
 
+    // ---- streaming: FULL-OUTER stream-stream interval join — both
+    // sides null-pad once their watermark proves no partner can still
+    // arrive: unmatched points AND unmatched intervals surface, so the
+    // sealed feed hash-matches the batch FULL JOIN (the last cell of
+    // the stream join-type matrix). Both key columns ride the output;
+    // the seal filter keys on coalesce(point key, interval key), which
+    // drops each side's -1 markers but keeps real one-sided rows. ----
+    "j1sf_interval_full" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_shipdate").cast(TimestampType).as("p_ts"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"),
+        col("o_orderdate").cast(TimestampType).as("i_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .cast(TimestampType).as("i_end"))
+      val maxT = li.select(max(col("p_ts")).as("m")).unionAll(
+        o.select(max(col("i_end")).as("m"))).agg(max(col("m")))
+        .head.getTimestamp(0)
+      def far(off: Long) =
+        new java.sql.Timestamp(maxT.getTime + 48L * 3600 * 1000 + off)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_j1sf").toString
+      val pStream = fileStream(s, root, "points", Seq(li,
+        markerLike(li, "p_ts", far(0)), markerLike(li, "p_ts", far(1000))))
+      val iStream = fileStream(s, root, "intervals", Seq(o,
+        markerLike(o, "i_start", far(0)),
+        markerLike(o, "i_start", far(1000))))
+      val out = graft.streaming.StreamIntervalJoin.pointInInterval(
+        pStream, "l_orderkey", "p_ts",
+        iStream, "o_orderkey", "i_start", "i_end",
+        watermark = "1 hour", maxDuration = "31 days",
+        select = Seq(col("p.l_orderkey"), col("p.l_linenumber"),
+          col("i.o_orderkey"), col("i.o_totalprice")),
+        joinType = "full_outer")
+      runStreamTwinFiltered(s, root, out,
+        coalesce(col("l_orderkey"), col("o_orderkey")) >= 0)
+        .orderBy(asc_nulls_first("l_orderkey"),
+          asc_nulls_first("l_linenumber"),
+          asc_nulls_first("o_orderkey"),
+          asc_nulls_first("o_totalprice"))
+    }),
+
     // ---- join: FORWARD as-of (earliest right at-or-after each left;
     // merge_asof direction="forward") — backward's machinery on the
     // negated time axis, oracled against DuckDB ASOF JOIN with <= ----
@@ -7084,6 +7127,16 @@ object SparkEntry {
         |  ON l.l_orderkey = o.o_orderkey
         | AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 30 DAY
         |ORDER BY l.l_orderkey, l.l_linenumber, o.o_totalprice NULLS FIRST""".stripMargin,
+
+    // Full-outer stream-stream twin: both watermark-proven null-padded
+    // sides must reproduce the batch FULL JOIN exactly
+    "j1sf_interval_full" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey, o.o_totalprice
+        |FROM lineitem l FULL JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey
+        | AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 30 DAY
+        |ORDER BY l.l_orderkey NULLS FIRST, l.l_linenumber NULLS FIRST,
+        |  o.o_orderkey NULLS FIRST, o.o_totalprice NULLS FIRST""".stripMargin,
 
     "j10_asof_forward" ->
       """SELECT o.o_orderkey, o.o_custkey, e.ev_value AS next_value

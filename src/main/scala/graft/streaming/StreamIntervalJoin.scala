@@ -39,19 +39,22 @@ object StreamIntervalJoin {
     *                    contract above
     * @param select     output columns (built against the joined frame);
     *                    empty = all columns from both sides
-    * @param joinType   "inner" (default) or "left_outer" — left-outer
-    *                    emits an unmatched point ONCE, null-padded, when
-    *                    the watermark proves no in-bound interval can
-    *                    still arrive (Spark's outer stream-stream
-    *                    semantics under the same state bound)
+    * @param joinType   "inner" (default), "left_outer", or
+    *                    "full_outer" — the outer sides emit an
+    *                    unmatched row ONCE, null-padded, when the
+    *                    watermark proves no in-bound partner can still
+    *                    arrive (Spark's outer stream-stream semantics
+    *                    under the same state bound; full-outer
+    *                    null-pads unmatched INTERVALS too)
     */
   def pointInInterval(
       points: DataFrame, pKey: String, pTime: String,
       intervals: DataFrame, iKey: String, iStart: String, iEnd: String,
       watermark: String, maxDuration: String,
       select: Seq[Column] = Nil, joinType: String = "inner"): DataFrame = {
-    require(joinType == "inner" || joinType == "left_outer",
-      s"joinType must be inner or left_outer, got '$joinType'")
+    require(joinType == "inner" || joinType == "left_outer" ||
+      joinType == "full_outer",
+      s"joinType must be inner, left_outer, or full_outer, got '$joinType'")
     val p = points.withWatermark(pTime, watermark).alias("p")
     val i = intervals.withWatermark(iStart, watermark).alias("i")
     val joined = p.join(i,
