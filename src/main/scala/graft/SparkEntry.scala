@@ -2960,6 +2960,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- evaluation: CUPED variance reduction — per-user post-period
+    // metric adjusted by the pre-period covariate (theta = cov/var
+    // over exact-cents moments, round-6): the experimentation-platform
+    // primitive that cuts required sample size. Pre = even-event_id
+    // average, post = odd (the a65 split). ----
+    "a66_cuped" -> ((s, dir) => {
+      val dec = col("value").cast(DecimalType(18, 2))
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("value").isNotNull &&
+          dec.isNotNull)
+        .select(col("event_id"), col("user_id"),
+          dec.cast(DoubleType).as("v"))
+      val pre = ev.where(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy("user_id").agg(stableAvg(col("v")).as("x"))
+      val post = ev.where(pmod(col("event_id"), lit(2)) === 1)
+        .groupBy("user_id").agg(stableAvg(col("v")).as("yv"))
+      Analytics.cuped(pre.join(post, "user_id"), "user_id", "x", "yv")
+        .orderBy("user_id")
+    }),
+
     // ---- evaluation: cohort retention matrix (daily periods) ----
     // first-activity day = cohort; exact distinct-active counts per
     // (cohort, age); retention = one division.
@@ -9701,6 +9721,48 @@ object SparkEntry {
         |FROM e JOIN p USING (user_id), q
         |WHERE e.event_id % 2 = 1
         |ORDER BY event_id""".stripMargin,
+
+    // CUPED re-derived: the same exact-cents moments, round-6 theta,
+    // one-division xbar, fixed adjustment chain
+    "a66_cuped" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+        |pre AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(v) AS x
+        |  FROM e WHERE event_id % 2 = 0 GROUP BY user_id),
+        |post AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(v) AS yv
+        |  FROM e WHERE event_id % 2 = 1 GROUP BY user_id),
+        |b AS (
+        |  SELECT user_id, CAST(floor(x * 100.0) AS BIGINT) AS xq,
+        |    CAST(floor(yv * 100.0) AS BIGINT) AS yq
+        |  FROM pre JOIN post USING (user_id)),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(xq) AS DOUBLE) AS sx,
+        |    CAST(sum(yq) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(xq AS DECIMAL(19,0)) * CAST(xq AS DECIMAL(19,0)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(xq AS DECIMAL(19,0)) * CAST(yq AS DECIMAL(19,0)))
+        |      AS DOUBLE) AS sxy
+        |  FROM b),
+        |s AS (SELECT
+        |    CASE WHEN n * sxx - sx * sx > 0
+        |      THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |    END AS theta,
+        |    sx / (100.0 * n) AS xbar
+        |  FROM m)
+        |SELECT b.user_id, CAST(yq AS DOUBLE) / 100.0 AS y,
+        |  CASE WHEN s.theta IS NOT NULL
+        |    THEN CAST(yq AS DOUBLE) / 100.0
+        |         - s.theta * (CAST(xq AS DOUBLE) / 100.0 - s.xbar)
+        |  END AS adjusted
+        |FROM b, s ORDER BY user_id""".stripMargin,
 
     // retention re-derived: same day buckets, first-activity cohorts,
     // distinct-active counts, one division

@@ -1470,6 +1470,58 @@ object Analytics {
           (col("observed").cast(DoubleType) - e) / e))
   }
 
+  /** CUPED adjustment (Controlled-experiment Using Pre-Experiment Data;
+    * Deng et al. 2013): per-unit adjusted metric
+    * `y − θ·(x − x̄)` with `θ = cov(x, y)/var(x)` — the
+    * variance-reduction workhorse of experimentation platforms (a
+    * pre-period covariate soaks up between-unit variance so the
+    * experiment needs fewer units for the same power).
+    *
+    * Determinism: x and y are doubles (per-unit averages), so their
+    * raw power sums would be partition-order-dependent — both are
+    * QUANTIZED to exact integer cents (floor(v·100)) first; moment
+    * sums are exact (longs; the wide squares through DECIMAL(38,0)),
+    * θ's fixed IEEE chain is round-6'd (the a16 wide-decimal cast
+    * caveat), x̄ is one exact-sum division, and each adjusted value is
+    * then a fixed chain over (yq, xq, θ, x̄) — engine-identical.
+    * Units with a degenerate var(x) = 0 get adjusted = null.
+    *
+    * Scale shape: one global moment partial-agg, one broadcast one-row
+    * cross back onto the units — no window, no per-unit state.
+    */
+  def cuped(df: DataFrame, idCol: String, preCol: String,
+      postCol: String): DataFrame = {
+    val base = df
+      .where(col(preCol).isNotNull && col(postCol).isNotNull)
+      .select(col(idCol),
+        floor(col(preCol).cast(DoubleType) * lit(100.0))
+          .cast(LongType).as("__xq"),
+        floor(col(postCol).cast(DoubleType) * lit(100.0))
+          .cast(LongType).as("__yq"))
+    val m = base.agg(
+      count(lit(1)).cast(DoubleType).as("__n"),
+      sum(col("__xq")).cast(DoubleType).as("__sx"),
+      sum(col("__yq")).cast(DoubleType).as("__sy"),
+      sum((col("__xq").cast(DecimalType(19, 0)) *
+        col("__xq").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
+        .cast(DecimalType(38, 0)).cast(DoubleType).as("__sxx"),
+      sum((col("__xq").cast(DecimalType(19, 0)) *
+        col("__yq").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
+        .cast(DecimalType(38, 0)).cast(DoubleType).as("__sxy"))
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val stats = m.select(
+      when(den > 0, round((col("__n") * col("__sxy") -
+        col("__sx") * col("__sy")) / den, 6)).as("__theta"),
+      (col("__sx") / (lit(100.0) * col("__n"))).as("__xbar"))
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (col("__yq").cast(DoubleType) / lit(100.0)).as("y"),
+        when(col("__theta").isNotNull,
+          col("__yq").cast(DoubleType) / lit(100.0) -
+            col("__theta") * (col("__xq").cast(DoubleType) / lit(100.0) -
+              col("__xbar"))).as("adjusted"))
+  }
+
   /** Poisson(1) cumulative probabilities P(X ≤ k), k = 0..7 — spelled as
     * EXACT double literals shared by the Scala plan and the oracle SQL
     * (e^{-1}-derived; re-deriving them with `math.exp` in one engine and

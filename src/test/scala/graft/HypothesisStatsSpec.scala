@@ -598,6 +598,45 @@ class HypothesisStatsSpec extends SparkTestBase {
       (5L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("cuped: perfectly-correlated covariate removes all variance; " +
+      "constant covariate yields null adjustment; partition-invariant") {
+    // y = x + 5 exactly -> theta = 1, adjusted = 5 + xbar for every unit
+    val perf = (1 to 40).map(i => (i.toLong, i.toDouble, i + 5.0))
+      .toDF("id", "x", "y")
+    val got = Analytics.cuped(perf, "id", "x", "y")
+      .select("id", "adjusted").as[(Long, Double)].collect()
+    val xbar = (1 to 40).map(_.toDouble).sum / 40
+    got.foreach { case (_, adj) =>
+      assert(math.abs(adj - (5.0 + xbar)) < 1e-6,
+        s"perfect covariate must collapse variance: $adj vs ${5.0 + xbar}")
+    }
+    // variance reduction on a noisy-but-correlated pair
+    val noisy = (1 to 200).map { i =>
+      val x = (i % 50).toDouble
+      (i.toLong, x, x * 2 + ((i * 37) % 11).toDouble)
+    }.toDF("id", "x", "y")
+    val rows = Analytics.cuped(noisy, "id", "x", "y")
+      .select("y", "adjusted").as[(Double, Double)].collect()
+    def variance(vs: Seq[Double]): Double = {
+      val m = vs.sum / vs.size
+      vs.map(v => (v - m) * (v - m)).sum / vs.size
+    }
+    assert(variance(rows.map(_._2).toSeq) <
+      variance(rows.map(_._1).toSeq) * 0.5,
+      "CUPED must reduce variance on a correlated covariate")
+    // constant x -> var(x)=0 -> adjusted null
+    val const = (1 to 10).map(i => (i.toLong, 7.0, i.toDouble))
+      .toDF("id", "x", "y")
+    assert(Analytics.cuped(const, "id", "x", "y")
+      .where(col("adjusted").isNotNull).count() === 0L)
+    // repartition invariance (quantized moments, not raw double sums)
+    val a = Analytics.cuped(noisy, "id", "x", "y")
+      .select("id", "adjusted").as[(Long, Double)].collect().toMap
+    val b = Analytics.cuped(noisy.repartition(13), "id", "x", "y")
+      .select("id", "adjusted").as[(Long, Double)].collect().toMap
+    assert(a === b)
+  }
+
   test("logRank: identical groups read O = E (chi2 ~ 0); a planted " +
     "early-vs-late separation reads O far from E") {
     // two identical cohorts: every event time splits its d_t evenly, so

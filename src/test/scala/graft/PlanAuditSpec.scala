@@ -85,6 +85,8 @@ class PlanAuditSpec extends SparkTestBase {
     "a65_conformal",
     // sql8: a65's SQL surface — the same broadcast 1-ROW quantile cross
     "sql8_conformal",
+    // a66: units crossed with the broadcast 1-ROW (theta, xbar) frame
+    "a66_cuped",
     // sim21: |groups|² inequality join over per-LANGUAGE centroids
     // (groups, never rows — the t38 class)
     "sim21_domain_map",
