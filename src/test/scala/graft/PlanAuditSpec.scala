@@ -71,6 +71,8 @@ class PlanAuditSpec extends SparkTestBase {
     // s15: the |strata|-row quota frame crossed with the 1-ROW total
     // and 1-ROW seat-sum frames (allocation algebra, never data rows)
     "s15_apportion",
+    // s18: the same Hamilton allocation algebra over Neyman weights
+    "s18_neyman",
     // a61: B bin rows crossed with the broadcast 1-ROW global totals
     // (N, positives, Σsq) for the Murphy decomposition
     "a61_brier",
