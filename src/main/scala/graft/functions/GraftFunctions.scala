@@ -761,6 +761,65 @@ object GraftFunctions {
       copy(child = c)
   }
 
+  object Md5Hash60 {
+    // One MessageDigest per thread, reused across rows: the builtin
+    // md5()+substring()+conv() chain this replaces pays, per row, a new
+    // MessageDigest, a 32-char hex String, a UTF8String wrap, a substring
+    // copy, and NumberConverter's parse buffers — all to extract 60 bits
+    // the digest's first 8 bytes already hold.
+    private val digest = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  }
+
+  /** The engine's cross-engine md5-60 convention as ONE native expression:
+    * first 60 bits of md5(utf8 bytes) as a non-negative long — bit-equal
+    * to `conv(substring(md5(c), 1, 15), 16, 10)` (the first 15 hex chars
+    * are bytes 0..6 big-endian plus the high nibble of byte 7, the same
+    * identity [[FeatureHash]] already uses in-loop), but with zero
+    * intermediate string materialization. This is the per-draw kernel of
+    * every deterministic sampling/bootstrap/mixing operator
+    * ([[graft.operators.Sampling.hashUniform]] and friends), evaluated
+    * once per (row, replicate) in the exploded bootstrap paths — at B=40
+    * replicates the old chain's allocations dominated the whole query.
+    */
+  case class Md5Hash60(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected a string column, got $other")
+    }
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_md5_60"
+
+    /** Shared by eval and generated code (see [[CosineSim.compute]]). */
+    def compute(input: Any): Long = {
+      val md = Md5Hash60.digest.get()
+      md.reset() // a prior interrupted digest() must not leak state in
+      val d = md.digest(input
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+      var h = 0L
+      var j = 0
+      while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      (h << 4) | ((d(7) & 0xf0L) >>> 4)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input)
+
+    // Real doGenCode: one long-returning call per row inside the
+    // sampling families' codegen spans — no boxing, no fallback row.
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("md5Hash60", this)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Md5Hash60 =
+      copy(child = c)
+  }
+
   /** Unrestricted Damerau–Levenshtein distance (Lowrance–Wagner 1975):
     * minimum insertions + deletions + substitutions + transpositions of
     * two ADJACENT characters, where a transposed pair MAY be edited
@@ -1241,6 +1300,16 @@ object GraftFunctions {
   def minhashSig(shingles: Column, numHashes: Int): Column =
     SparkShim.toColumn(
       MinHashSig(SparkShim.toExpression(shingles), numHashes))
+
+  def md5Hash60(c: Column): Column =
+    SparkShim.toColumn(Md5Hash60(SparkShim.toExpression(c)))
+
+  /** Exact second-moment aggregate over quantized vectors (see
+    * [[MomentSumsAgg]]); `vec` must be array<decimal(<=18,scale)>.
+    */
+  def momentSumsAgg(vec: Column, dim: Int, scale: Int): Column =
+    SparkShim.toColumn(MomentSumsAgg(SparkShim.toExpression(vec),
+      dim, scale).toAggregateExpression())
 
   def simhash64(tokenHashes: Column): Column =
     SparkShim.toColumn(SimHash64(SparkShim.toExpression(tokenHashes)))

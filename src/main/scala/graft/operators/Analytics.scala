@@ -2226,6 +2226,14 @@ object Analytics {
     * Scale shape: one per-user min agg, one (user, period) distinct
     * agg, one (cohort, age) count agg — three partial-agg shuffles,
     * no window, no join back to the event log.
+    *
+    * Epoch contract (ADVICE r14): bucketing uses `pmod` (floor
+    * semantics), while a truncating `%` (the a64 oracle's `(e - e % p)
+    * // p`) diverges for PRE-1970 timestamps — negative-epoch events
+    * would land one bucket apart between the two conventions. This
+    * operator assumes epoch >= 0 event time (true of every feed here);
+    * an oracle over pre-1970 data must mirror the floor form,
+    * `((e % p) + p) % p`, as ts22 does for user_id.
     */
   def retentionMatrix(df: DataFrame, userCol: String, tsCol: String,
       periodMicros: Long = 86400000000L): DataFrame = {

@@ -829,12 +829,15 @@ object Dedup {
     graft.functions.GraftFunctions.simhash64(transform(toks, tokenHash))
 
   /** 60-bit token hash both Spark and ANSI-ish SQL engines can compute:
-    * first 15 hex chars of md5, parsed base-16. Slower than xxhash64
-    * (string md5 per token) — use only where an external oracle must
-    * reproduce the exact signature.
+    * first 15 hex chars of md5, parsed base-16 — evaluated natively
+    * ([[graft.functions.GraftFunctions.Md5Hash60]], bit-equal to the
+    * `conv(substring(md5(c),1,15),16,10)` chain an external engine runs,
+    * without the per-row hex-string round trip). Still slower than
+    * xxhash64 — use only where an external oracle must reproduce the
+    * exact signature.
     */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    graft.functions.GraftFunctions.md5Hash60(c.cast("string"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

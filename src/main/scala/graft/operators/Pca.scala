@@ -60,25 +60,23 @@ object Pca {
     */
   private[operators] def momentSumsDf(df: DataFrame, vecCol: String,
       dim: Int, scale: Int): DataFrame = {
-    val dec = DecimalType(38, 2 * scale)
-    // materialize the quantized vector ONCE per row: higher-order
-    // functions are interpreted and share no subexpressions, so an
-    // inline `xq` would re-run the full 64-element round+cast for
-    // EVERY get() inside the d(d+1)/2-product loop (~274k decimal ops
-    // per row — measured 400s at sf0.1; this projection makes it one)
-    val quantized = df
-      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    // quantization stays a Catalyst projection (round-half-up +
+    // double→decimal cast are exactly Spark's); the d(d+1)/2-term
+    // product/sum work runs in ONE primitive-long aggregate pass.
+    // r15 optimization (guide §1.2 step 2): the previous relational
+    // form built the per-row product array with interpreted nested
+    // `transform`s and posexploded d(d+1)/2+d+1 decimal rows PER INPUT
+    // ROW into a hash aggregate — at d=64 that is 2,145 boxed decimal
+    // ops and exploded rows per row, ~850 ns/term, the entirety of
+    // sim12/sim13's cost (3.7 s / 3.2 s at sf0.1). The aggregate emits
+    // identical integers (exact unscaled products and sums of the same
+    // quantized values, null-skipping matched; see MomentSumsAgg).
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(transform(col(vecCol),
         e => round(e, scale).cast(DecimalType(18, scale))).as("__xq"))
-    val xq = col("__xq")
-    val prods = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      transform(sequence(i, lit(dim - 1)), j =>
-        (get(xq, i) * get(xq, j)).cast(dec))))
-    val one = array(lit(java.math.BigDecimal.ONE).cast(dec))
-    val arr = concat(one, transform(xq, v => v.cast(dec)), prods)
-    quantized
-      .select(posexplode(arr).as(Seq("idx", "v")))
-      .groupBy("idx").agg(sum(col("v")).as("s"))
+      .agg(graft.functions.GraftFunctions
+        .momentSumsAgg(col("__xq"), dim, scale).as("__m"))
+      .select(posexplode(col("__m")).as(Seq("idx", "s")))
   }
 
   /** Population covariance entries `(i, j>=i, cov)` of the quantized
