@@ -3964,7 +3964,10 @@ object SparkEntry {
     // multi-frame media decode (the plumbing mm3's video stub fakes):
     // per-frame lossless gradient sums re-derived arithmetically. ----
     "mm12_gif_frames" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // fanned out: the per-row GIF encode/decode is the cost, and a
+      // one-file scan runs it single-threaded (r15 Fanout contract)
+      val d = operators.Fanout.fanOut(
+          t(s, dir, "documents").select("doc_id"))
         .withColumn("payload", Multimodal.gifAnimEncode(
           (lit(1) + col("doc_id") % 9).cast("int"),
           (lit(1) + col("doc_id") % 4).cast("int"),

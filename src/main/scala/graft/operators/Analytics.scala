@@ -1563,9 +1563,13 @@ object Analytics {
       s"need 1 <= kLo <= kHi <= replicates, got ($kLo, $kHi)")
     import org.apache.spark.sql.expressions.Window
     val dec = col(measure).cast(DecimalType(18, 2))
-    val valid = df.where(dec.isNotNull)
+    // fan the narrow base out BEFORE the ×B explode: the B·n md5 draws
+    // + partial aggregation otherwise inherit the scan's partitioning
+    // (one task on a one-file input). Exact decimal sums are
+    // partitioning-insensitive; the exchange reuses for the point pass.
+    val valid = Fanout.fanOut(df.where(dec.isNotNull)
       .select(keyCols.map(col) :+ dec.as("__v") :+
-        idCol.cast(StringType).as("__id"): _*)
+        idCol.cast(StringType).as("__id"): _*))
     val u = Sampling.hashUniform(
       concat(col("__id"), lit(":"), col("__b").cast(StringType)))
     val weight = PoissonCum.zipWithIndex.reverse
@@ -1785,12 +1789,16 @@ object Analytics {
       s"replicates must be in [9, 1024], got $replicates")
     val dec = col(measure).cast(DecimalType(18, 2))
     val d38 = DecimalType(38, 0)
-    val base = df
+    // fanned out before the ×B explode for the same reason as
+    // bootstrapMeanCI: the B·n relabeling draws must not inherit a
+    // one-file scan's single task. Exact integer-cents sums are
+    // partitioning-insensitive.
+    val base = Fanout.fanOut(df
       .where(col(groupCol).isin(groupA, groupB) && dec.isNotNull)
       .select(keyCols.map(col) :+
         (dec * 100).cast(DecimalType(20, 0)).as("__c") :+
         when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia") :+
-        idCol.cast(StringType).as("__id"): _*)
+        idCol.cast(StringType).as("__id"): _*))
     val obs = base.groupBy(keyCols.map(col): _*)
       .agg(
         coalesce(sum(when(col("__ia") === 1L, col("__c"))), lit(0))

@@ -90,8 +90,14 @@ object Bm25Index {
       case other => throw new IllegalArgumentException(
         s"Bm25Index: id column '$idCol' must be integral, got $other")
     }
-    val tf = docs
+    // fanned out before tokenization (r15: the tokenize+aggregate
+    // materialization below ran as ONE task on a one-file corpus — the
+    // scan's partitioning, not the session's); exact counts are
+    // partitioning-insensitive, and at scale the branch never fires
+    val tf = Fanout.fanOut(docs
       .where(col(idCol).isNotNull) // the doc column is non-nullable
+      .select(col(idCol).cast(LongType).as(idCol),
+        col(textCol).cast(StringType).as(textCol)))
       .select(col(idCol).cast(LongType).as("doc"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .where(col("term") =!= "")

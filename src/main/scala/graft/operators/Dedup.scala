@@ -342,7 +342,12 @@ object Dedup {
       // canonical orientation (sort order is by key, not id)
       .select(least(col(idCol), col(idCol + "_2")).as(idCol),
         greatest(col(idCol), col(idCol + "_2")).as(idCol + "_2"))
-    smallPairs.unionByName(bigPairs)
+    // candidate pairs fan out to session width when the INPUT is a
+    // narrow scan (r15): the pair count is quadratic in block size
+    // while the input bytes stay tiny, so AQE's byte-driven coalescing
+    // otherwise serializes every consumer's verify stage into one task
+    // (d11's Levenshtein verify: 4.8 s single-task).
+    Fanout.fanOutDerived(smallPairs.unionByName(bigPairs), ids)
   }
 
   /** Global sorted-neighborhood near-dup pairs (Hernández & Stolfo's

@@ -621,8 +621,11 @@ object Sampling {
     // the bigram transform (O(len²) re-tokenization — the Pca
     // momentSumsDf lesson; CollapseProject keeps the projection
     // because `__tk` is referenced more than once)
-    val toked = df.select(id.as("__fid"),
-      filter(TextAnalysis.tokens(text), t => t =!= "").as("__tk"))
+    // fanned out before tokenization (r15 — a one-file corpus scan is
+    // one task for the whole tokenize+hash phase; counts are exact)
+    val toked = Fanout.fanOut(df)
+      .select(id.as("__fid"),
+        filter(TextAnalysis.tokens(text), t => t =!= "").as("__tk"))
     val tk = col("__tk")
     // sequence(1, 0) DESCENDS in Spark — guard the single-token doc
     val bi = when(size(tk) >= 2,

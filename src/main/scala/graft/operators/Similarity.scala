@@ -1024,9 +1024,21 @@ object Similarity {
         Seq("__cell", "__salt"))
     // NO broadcast hint: the planner (and AQE, at runtime sizes) picks
     // the join strategy — that is the point of this variant.
-    // Contract (BOTH branches): a candidate with a null id or a null
-    // similarity (null vector) is not a neighbor.
-    val joined = c.join(q, keys)
+    // Small-corpus width guard (r15): the candidate count is
+    // |queries|·nprobe·|cell| while the INPUT bytes stay tiny, so AQE's
+    // byte-driven coalescing collapsed the join+cosine stage to ONE
+    // task (sim10: 2.8 s single-task for ~4M 64-dim cosines). When the
+    // corpus side is a narrow scan, both sides get a user hash
+    // repartition on the join keys — the join reuses it (no extra
+    // exchange) and AQE never coalesces a user repartition. At scale
+    // the branch is never taken and the plan is byte-identical.
+    val (cW, qW) =
+      if (Fanout.isNarrow(c0)) {
+        val par = c0.sparkSession.sparkContext.defaultParallelism
+        (c.repartition(par, keys.map(col): _*),
+          q.repartition(par, keys.map(col): _*))
+      } else (c, q)
+    val joined = cW.join(qW, keys)
       .where(if (excludeSelf) col(queryId) =!= col(corpusId) else lit(true))
       .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
     val idIsLong = c.schema.fields

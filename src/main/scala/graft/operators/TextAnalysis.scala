@@ -827,7 +827,10 @@ object TextAnalysis {
       .forall { case (sc, c) =>
         sc.fields.find(_.name == c).map(_.dataType).contains(LongType) },
       "bm25Retrieval: id columns must be LongType (graft_topk key)")
-    val tf = docs
+    // fanned out before tokenization (r15 — a one-file corpus scan is
+    // one task; exact counts are partitioning-insensitive)
+    val tf = graft.operators.Fanout.fanOut(
+        docs.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(tokens(col(textCol))).as("__term"))
       .where(col("__term") =!= "")
       .groupBy(col(idCol), col("__term"))
@@ -869,8 +872,21 @@ object TextAnalysis {
         explode(tokens(col(qtextCol))).as("__term"))
       .where(col("__term") =!= "")
       .distinct()
-    val scored = qterms
-      .join(tf.join(dfreq, "__term"), "__term")
+    // Join strategy is DELIBERATE (r15, guide §3.1): the query batch is
+    // the bounded-small side by contract, so it is broadcast and joined
+    // to the postings FIRST (pruning the corpus to query terms before
+    // anything else). Left to size estimates, the planner read the
+    // postings' compressed on-disk footprint as "small", broadcast the
+    // million-row corpus side, and built its hash relation
+    // single-threaded on the driver — 2.1 s of t24b's 4.2 s, and at
+    // 100 TB an outright OOM.
+    // ... and the postings side fans out before the scoring joins: a
+    // 32-file index scan packs into 1-2 splits under the 4 MB open-cost
+    // charge, so the whole score+partial-agg stage otherwise inherits
+    // one task (3.2 s of t24b). At scale neither branch fires.
+    val scored = graft.operators.Fanout.fanOut(tf)
+      .join(broadcast(qterms), "__term")
+      .join(dfreq, "__term")
       .join(lens, idCol)
       .withColumn("__s", col("__idf") * (col("__tf") * lit(k1 + 1.0))
         / (col("__tf") + lit(k1) * (lit(1.0 - b)
@@ -1282,7 +1298,7 @@ object TextAnalysis {
     // minCount pruning is on the cross-class total (a window over the
     // vocab-sized frame, not a corpus rescan) so a token is in the
     // vocabulary for every class or none.
-    val tcAll = labeled
+    val tcAll = graft.operators.Fanout.fanOut(labeled)
       .select(col("cls"), explode(tokens(col("__text"))).as("tok"))
       .groupBy("tok", "cls").agg(count(lit(1)).cast(DoubleType).as("__c"))
     val tc = (if (minCount <= 1L) tcAll
@@ -1330,7 +1346,11 @@ object TextAnalysis {
     val clsArr = array(model.classes.map(c =>
       struct(lit(c.cls).as("cls"), lit(c.logPrior).as("log_prior"),
         lit(c.oovLogp).as("oov_logp"))): _*)
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    // fanned out before tokenization (r15 — one-file scan = one task
+    // for the whole tokenize + class fan + score phase; sums are exact)
+    graft.operators.Fanout.fanOut(
+        docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .select(col(idCol), col("tok"), explode(clsArr).as("__cl"))
       .select(col(idCol), col("tok"), col("__cl.cls").as("cls"),
         col("__cl.log_prior").as("__prior"), col("__cl.oov_logp").as("__oov"))
