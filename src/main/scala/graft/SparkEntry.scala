@@ -1110,7 +1110,14 @@ object SparkEntry {
           .createTempDirectory("graft_linkage_edges").toString + "/pairs"
         graft.sources.VersionedTable.append(s,
           customerLinkagePairs(s, dir)
-            .select(col("c_custkey"), col("c_custkey_2")), p)
+            .select(col("c_custkey"), col("c_custkey_2"))
+            // one output file (guide §6): the surviving pairs are a few
+            // thousand narrow rows, but the fanned-out verify stage
+            // would otherwise write them as 32 tiny files that every
+            // graph ITERATION then re-lists and re-opens (measured
+            // +0.4 s on every g-family entry). The repartition is a
+            // shuffle barrier, so the verify keeps its width.
+            .repartition(1), p)
         p
       })
     graft.sources.VersionedTable.read(s, tbl)

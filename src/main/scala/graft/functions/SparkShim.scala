@@ -14,4 +14,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object SparkShim {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over an RDD of INTERNAL rows — skips the external-Row
+    * round trip `createDataFrame(RDD[Row], schema)` pays per row
+    * (r15: globalRowNumber's numbering pass). `private[sql]` on the
+    * classic SparkSession, reachable from this shim package.
+    */
+  def internalCreateDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

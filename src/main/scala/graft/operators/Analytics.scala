@@ -613,10 +613,27 @@ object Analytics {
       .sortWithinPartitions(order: _*)
     val schema = StructType(sorted.schema.fields :+
       StructField(out, LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    // r15 optimization (guide §1.2 step 2): number the INTERNAL rows.
+    // The previous `.rdd` + `Row.fromSeq(r.toSeq :+ i)` +
+    // `createDataFrame` round-tripped every row through external Row
+    // objects and CatalystTypeConverters twice — pure per-row overhead
+    // on an operator whose whole point is touching 100 TB once. The
+    // single-RDD zipWithIndex anchor (see above) is unchanged; rows are
+    // appended a long via JoinedRow over the streamed iterator (no
+    // retention, so UnsafeRow reuse is safe — the scan contract).
+    val internal = sorted.queryExecution.toRdd
+    val indexed = internal.zipWithIndex().mapPartitions { it =>
+      val extra = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      it.map { case (r, i) =>
+        extra.update(0, i + 1L)
+        joined(r, extra)
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
     }
-    spark.createDataFrame(indexed, schema)
+    org.apache.spark.sql.graftshim.SparkShim
+      .internalCreateDataFrame(spark, indexed, schema)
   }
 
   /** Hopping (sliding) time-window aggregation: count + exact-decimal
