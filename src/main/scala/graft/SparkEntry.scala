@@ -5783,7 +5783,11 @@ object SparkEntry {
     // division of exact integers (agree·N − Σrt·ct over N² − Σrt·ct).
     "a55_kappa" -> ((s, dir) =>
       Analytics.cohenKappa(
-        t(s, dir, "documents").where(col("lang").isNotNull)
+        // fanned out: the per-doc langId battery dominates and a
+        // one-file scan runs it single-threaded (r15 Fanout contract)
+        operators.Fanout.fanOut(
+            t(s, dir, "documents").where(col("lang").isNotNull)
+              .select(col("text"), col("lang")))
           .select(TextAnalysis.langId(col("text")).as("pred"),
             col("lang")),
         "pred", "lang")),
@@ -5796,8 +5800,10 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val lab = docs.where(col("lang").isNotNull)
         .select(col("doc_id"), col("lang"))
-      val a = docs.select(col("doc_id"),
-        TextAnalysis.langId(col("text")).as("pred_a"))
+      // fanned out: per-doc langId on a one-file scan (r15 Fanout)
+      val a = operators.Fanout.fanOut(docs.select("doc_id", "text"))
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("pred_a"))
       val model = TextAnalysis.trainNaiveBayes(docs, "text", "lang")
       val b = TextAnalysis.nbClassify(docs, "doc_id", "text", model)
         .select(col("doc_id"), col("pred").as("pred_b"))
