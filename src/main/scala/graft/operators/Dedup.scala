@@ -249,8 +249,18 @@ object Dedup {
       maxBlockSize: Int = 2048, neighborhood: Int = 8,
       snmPrefixLen: Int = 4): DataFrame = {
     require(fields.nonEmpty, "need at least one linkage field")
-    val cands = cappedBlockCandidates(df, idCol, sortKey, blockCols,
-      maxBlockSize, neighborhood, snmPrefixLen)
+    // candidate pairs fan out to session width when the INPUT is a
+    // narrow scan (r15): pair count is quadratic in block size while
+    // the input bytes stay tiny, so AQE's byte-driven coalescing
+    // otherwise serializes the comparator sweep into one task (d11's
+    // Levenshtein verify: 4.8 s single-task). Applied HERE, not in the
+    // shared candidate core — the cheap set-verify consumers (d2/d8's
+    // charJaccard/shingle checks) measured ~0.25 s SLOWER with the
+    // extra exchange than with the single-task verify they replace.
+    val cands = Fanout.fanOutDerived(
+      cappedBlockCandidates(df, idCol, sortKey, blockCols,
+        maxBlockSize, neighborhood, snmPrefixLen),
+      df.select((blockCols :+ idCol).map(col): _*))
     val fieldCols = fields.map(_.column).distinct
     val payload = df.select((idCol +: fieldCols).map(col): _*)
     val payload2 = df.select(col(idCol).as(idCol + "_2") +:
@@ -342,12 +352,7 @@ object Dedup {
       // canonical orientation (sort order is by key, not id)
       .select(least(col(idCol), col(idCol + "_2")).as(idCol),
         greatest(col(idCol), col(idCol + "_2")).as(idCol + "_2"))
-    // candidate pairs fan out to session width when the INPUT is a
-    // narrow scan (r15): the pair count is quadratic in block size
-    // while the input bytes stay tiny, so AQE's byte-driven coalescing
-    // otherwise serializes every consumer's verify stage into one task
-    // (d11's Levenshtein verify: 4.8 s single-task).
-    Fanout.fanOutDerived(smallPairs.unionByName(bigPairs), ids)
+    smallPairs.unionByName(bigPairs)
   }
 
   /** Global sorted-neighborhood near-dup pairs (Hernández & Stolfo's
