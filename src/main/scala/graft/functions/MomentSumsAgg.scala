@@ -126,6 +126,16 @@ final class MomentBuffer(val dim: Int, val scale: Int) {
   * (posexplode-of-null emits nothing), both matching the relational
   * form it replaces. Rows must carry exactly `dim` elements (the caller
   * filters `size(vec) === dim` first; anything else throws loudly).
+  *
+  * Documented divergence (r15 ADVICE, out-of-contract input): a moment
+  * slot whose contributions are ALL null — a dimension null in every
+  * surviving row — evaluates to exact 0 here, where the replaced
+  * relational `sum` (and an external SQL oracle's SUM) yields NULL.
+  * [[graft.operators.Pca]] callers never see the difference on
+  * in-contract inputs (embedding pipelines filter all-null dimensions
+  * upstream, and every oracled entry is hash-exact); a caller feeding a
+  * fully-null dimension should pre-filter it, as the 0-based mean it
+  * would get is a silent anomaly the old plan surfaced as NULL.
   */
 case class MomentSumsAgg(child: Expression, dim: Int, scale: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)

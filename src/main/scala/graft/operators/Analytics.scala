@@ -636,6 +636,91 @@ object Analytics {
       .internalCreateDataFrame(spark, indexed, schema)
   }
 
+  /** Doubled midrank (2·average rank — an exact integer) per DISTINCT
+    * value of the single-column frame `values` (column `__v`, non-null):
+    * the VALUE-LEVEL replacement for "globalRowNumber every row, then
+    * average positions per value" (r16, guide §2: shuffle distinct
+    * values, not rows). A value with `cnt` occurrences preceded by `B`
+    * smaller rows holds positions B+1..B+cnt (any tie order), so
+    * 2·avg(position) = 2·Σpos/cnt = 2B+cnt+1 — the IDENTICAL integer
+    * the row-level formulation produced ((2·Σpos) div cnt of exactly
+    * divisible decimals), with the full-row range shuffle replaced by a
+    * partial-aggregated count per distinct value plus a prefix sum.
+    *
+    * The prefix sum reuses [[globalRowNumber]]'s single-RDD anchor:
+    * per-partition count totals and the running-sum pass both read the
+    * SAME shuffled RDD instance, so the range shuffle is written once
+    * and both jobs see identical partition boundaries. 2B+cnt+1 stays
+    * a long for any input below 2^62 rows — the same LongType the old
+    * IntegralDivide emitted.
+    *
+    * Returns (`__v`, `out` LONG).
+    */
+  private[graft] def doubledMidranks(values: DataFrame,
+      out: String): DataFrame =
+    doubledMidranksAxes(values.select(lit(0).as("__ax"), col("__v")), out)
+      .select(col("__v"), col(out))
+
+  /** Multi-axis [[doubledMidranks]]: input carries (`__ax` INT,
+    * `__v`), ranks are computed INDEPENDENTLY per axis in one
+    * groupBy + one range shuffle + one prefix-sum pass — a consumer
+    * ranking several columns (spearman's two) pays one build instead
+    * of one per column. Returns (`__ax`, `__v`, `out` LONG).
+    */
+  private[graft] def doubledMidranksAxes(values: DataFrame,
+      out: String): DataFrame = {
+    val spark = values.sparkSession
+    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val counts = values.groupBy(col("__ax"), col("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val sorted = counts
+      .repartitionByRange(np, col("__ax").asc, col("__v").asc)
+      .sortWithinPartitions(col("__ax").asc, col("__v").asc)
+    val axIdx = sorted.schema.fieldIndex("__ax")
+    val cntIdx = sorted.schema.fieldIndex("__cnt")
+    val internal = sorted.queryExecution.toRdd
+    // job 1: per-(partition, axis) row-count totals → per-axis prefix
+    // offsets (an axis may span a partition boundary; offsets key on
+    // both)
+    val partTotals = internal.mapPartitionsWithIndex { case (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+      it.foreach { r =>
+        val ax = r.getInt(axIdx)
+        m(ax) = m.getOrElse(ax, 0L) + r.getLong(cntIdx)
+      }
+      m.iterator.map { case (ax, s) => ((i, ax), s) }.toList.iterator
+    }.collect().toMap
+    val nParts = internal.getNumPartitions
+    val axes = partTotals.keys.map(_._2).toSeq.distinct
+    // offset of (partition i, axis ax) = total of ax in partitions < i
+    val offsets: Map[(Int, Int), Long] = (for {
+      ax <- axes; i <- 0 until nParts
+    } yield ((i, ax), (0 until i)
+      .map(j => partTotals.getOrElse((j, ax), 0L)).sum)).toMap
+    // job 2 (same RDD instance — shuffle files reused, identical
+    // boundaries): running before-count per axis within each partition
+    val schema = StructType(sorted.schema.fields :+
+      StructField(out, LongType, nullable = false))
+    val ranked = internal.mapPartitionsWithIndex { case (i, it) =>
+      val before = scala.collection.mutable.HashMap.empty[Int, Long]
+      val extra = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      it.map { r =>
+        val ax = r.getInt(axIdx)
+        val b = before.getOrElseUpdate(ax, offsets.getOrElse((i, ax), 0L))
+        val cnt = r.getLong(cntIdx)
+        extra.update(0, 2L * b + cnt + 1L)
+        before(ax) = b + cnt
+        joined(r, extra)
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    org.apache.spark.sql.graftshim.SparkShim
+      .internalCreateDataFrame(spark, ranked, schema)
+      .select(col("__ax"), col("__v"), col(out))
+  }
+
   /** Hopping (sliding) time-window aggregation: count + exact-decimal
     * average per `windowDur` window sliding every `slideDur`, per key —
     * Spark's native `window()` generator, so each row map-side expands
@@ -3066,35 +3151,51 @@ object Analytics {
 
   /** Spearman rank correlation, exactly. The average rank of a tied
     * group is (first + last)/2, so TWICE the average rank is an exact
-    * integer: per distinct value, 2·avg(position) = 2·Σpos/cnt, and the
-    * positions come from [[globalRowNumber]] (value-ordered; the
-    * assignment WITHIN a tie group is arbitrary but Σpos over the group
-    * is invariant, so the doubled midrank is deterministic). Rows then
-    * join back to their two integer ranks and the statistic is Pearson
-    * over exact-decimal rank moments — float enters only in the final
-    * fixed expression tree (ρ is invariant under the ×2 rank scaling).
+    * integer — computed VALUE-LEVEL by [[doubledMidranks]]
+    * (2B+cnt+1 per distinct value; equal to the row-position average
+    * the definition states, see there). Rows then join back to their
+    * two integer ranks and the statistic is Pearson over exact-decimal
+    * rank moments — float enters only in the final fixed expression
+    * tree (ρ is invariant under the ×2 rank scaling).
     *
-    * Scale shape: two rank maps (distinct-value-sized, built with the
-    * two-phase range-partitioned row numbering — no single-task window),
-    * two equi-joins, one moment aggregate. Nothing driver-side.
+    * Scale shape: two rank maps (distinct-value-sized: a partial-agg
+    * count + a prefix sum over distinct values — no row-level range
+    * shuffle, no single-task window), two equi-joins, one moment
+    * aggregate. Nothing corpus-sized reaches the driver.
     */
   def spearman(df: DataFrame, x: String, y: String,
       scale: Int = 2): DataFrame = {
-    val complete = df
+    // the cast/filtered pair frame feeds THREE consumers (two rank
+    // maps + the rank join): checkpoint it once at session width so
+    // the source is scanned and cast exactly once (r16, guide §5 —
+    // within-query reuse; Fanout.fanOut widens the one-file local
+    // bench scan, a no-op on an already-split 100 TB input)
+    // fan out the SCAN (decimal cast + filter then run at session
+    // width — measured 1.05 s in 3 tasks when the cast sat below the
+    // repartition; column pruning keeps the shuffle to the two
+    // measure columns; hash distribution skips round-robin's
+    // sort-before-repartition)
+    val complete = Fanout.fanOutBy(df.select(col(x), col(y)),
+        col(x), col(y))
       .select(col(x).cast(DecimalType(18, scale)).as("__x"),
         col(y).cast(DecimalType(18, scale)).as("__y"))
       .where(col("__x").isNotNull && col("__y").isNotNull)
-    def rankMap(c: String, out: String): DataFrame =
-      globalRowNumber(complete.select(col(c).as("__v")), Seq("__v"), "__rn")
-        .groupBy("__v")
-        // exact: 2·Σpos is always divisible by cnt (pos are consecutive);
-        // the sum accumulates as decimal so Σpos cannot overflow a long
-        // at any corpus size, and `div` of the exactly-divisible decimal
-        // is the true quotient
-        .agg(expr("(2 * sum(cast(__rn as decimal(38,0)))) div count(1)")
-          .as(out))
-    val rx = rankMap("__x", "__ra")
-    val ry = rankMap("__y", "__rb")
+      .localCheckpoint(true)
+    // r16 (guide §2): value-level ranking — the doubled midrank of a
+    // value is 2B+cnt+1 (B = rows strictly smaller), the identical
+    // integer the previous row-level formulation computed as
+    // (2·Σ positions) div cnt, without range-shuffling every row
+    // twice. Both columns rank in ONE axis-tagged build (one groupBy,
+    // one prefix sum) instead of one build per column.
+    val axed = complete.select(explode(array(
+        struct(lit(0).as("__ax"), col("__x").as("__v")),
+        struct(lit(1).as("__ax"), col("__y").as("__v")))).as("__s"))
+      .select(col("__s.__ax").as("__ax"), col("__s.__v").as("__v"))
+    val both = doubledMidranksAxes(axed, "__r")
+    val rx = both.where(col("__ax") === 0)
+      .select(col("__v"), col("__r").as("__ra"))
+    val ry = both.where(col("__ax") === 1)
+      .select(col("__v"), col("__r").as("__rb"))
     val ranked = complete
       .join(rx, complete("__x") === rx("__v")).drop("__v")
       .join(ry, complete("__y") === ry("__v")).drop("__v")

@@ -845,6 +845,14 @@ object Dedup {
     * without the per-row hex-string round trip). Still slower than
     * xxhash64 — use only where an external oracle must reproduce the
     * exact signature.
+    *
+    * Input domain (r15 ADVICE): the cast widens this to ANY column type
+    * — a non-string input hashes its SPARK STRING RENDERING (the old
+    * md5-chain failed analysis on such columns instead). An external
+    * oracle must therefore apply the same `CAST(col AS VARCHAR)` before
+    * its md5; for non-string types whose renderings differ across
+    * engines (timestamps, decimals), cast/format explicitly at the call
+    * site first.
     */
   def md5Hash60(c: Column): Column =
     graft.functions.GraftFunctions.md5Hash60(c.cast("string"))

@@ -26,24 +26,75 @@ import org.apache.spark.sql.DataFrame
   * float folds.
   */
 object Fanout {
-  /** Call on EXCHANGE-FREE frames (scans/filters/projections or
-    * already-materialized checkpoints): reading `toRdd` under AQE
-    * materializes any shuffle stages the plan contains, which would
-    * run the upstream query eagerly just to count partitions.
+  /** ENFORCED probe contract (r15 ADVICE): probing partition width via
+    * `queryExecution.toRdd` is only lazy on an exchange-free plan —
+    * under AQE, building the RDD of a plan that CONTAINS shuffle stages
+    * materializes them eagerly inside a throwaway QueryExecution the
+    * final query cannot reuse (silent double execution). The scaladoc
+    * used to be the only guard; now the probe itself inspects the
+    * pre-adaptive physical plan and reports whether it is safe. A
+    * frame that already shuffles is also already wide, so "unsafe to
+    * probe" and "fan-out unnecessary" coincide — callers just skip.
+    *
+    * The inspection reads `queryExecution.executedPlan` — exchanges
+    * only exist after EnsureRequirements, a preparation rule, so the
+    * raw `sparkPlan` would miss them — and recurses through the
+    * `AdaptiveSparkPlanExec` wrapper (a LEAF node hiding its input
+    * plan from `exists`). Building `executedPlan` is pure planning —
+    * no job runs until the plan's RDD is materialized, which is
+    * exactly what this guard prevents on shuffle-bearing frames.
+    * localCheckpoint/cached frames plan as scans and stay probe-safe.
+    */
+  private def exchangeFree(df: DataFrame): Boolean = {
+    def scan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec =>
+          // initialPlan, not inputPlan: AQE applies EnsureRequirements
+          // (the rule that INSERTS exchanges) only when building its
+          // initial plan, so the input plan never shows them
+          scan(a.initialPlan)
+        case _: org.apache.spark.sql.execution.exchange.Exchange => false
+        case other => other.children.forall(scan)
+      }
+    scan(df.queryExecution.executedPlan)
+  }
+
+  /** Round-robin redistribute to session parallelism when the frame's
+    * scan partitioning is below it. Safe on any frame: a plan carrying
+    * an exchange (which the lazy probe cannot inspect without executing
+    * it, and which is already post-shuffle wide) is left untouched.
     */
   def fanOut(df: DataFrame): DataFrame = {
+    if (!exchangeFree(df)) return df
     val want = df.sparkSession.sparkContext.defaultParallelism
     val have = df.queryExecution.toRdd.getNumPartitions
     if (have > 0 && have < want) df.repartition(want) else df
   }
 
+  /** [[fanOut]] with HASH distribution on `keys` instead of round
+    * robin: skips the local sort every keyless `repartition(n)` pays
+    * (sortBeforeRepartition, SPARK-23207 — retried-task determinism;
+    * a hash placement is already deterministic per row). Use when the
+    * frame carries high-cardinality columns that spread well.
+    */
+  def fanOutBy(df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    if (!exchangeFree(df)) return df
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    val have = df.queryExecution.toRdd.getNumPartitions
+    if (have > 0 && have < want) df.repartition(want, keys: _*) else df
+  }
+
   /** True when `df`'s physical partitioning is below the session's
     * parallelism — the trigger for spreading a DERIVED CPU-heavy frame
     * (e.g. candidate pairs built from this input) that cannot itself be
-    * probed without executing it. Same exchange-free contract as
-    * [[fanOut]].
+    * probed without executing it. A probe frame containing an exchange
+    * reports NOT narrow (post-shuffle width is already the session's;
+    * probing it would execute it).
     */
   def isNarrow(df: DataFrame): Boolean = {
+    if (!exchangeFree(df)) return false
     val want = df.sparkSession.sparkContext.defaultParallelism
     val have = df.queryExecution.toRdd.getNumPartitions
     have > 0 && have < want

@@ -678,10 +678,17 @@ object Sampling {
       .groupBy(col("__fid"), col("__b"))
       .agg(count(lit(1)).cast("double").as("__c"))
       .localCheckpoint(true) // raw text tokenized once; reused 2×
+    // r16 (guide §2: fewer passes): both ≤ B-row model frames are
+    // checkpointed ONCE — previously the totT action and the λ build
+    // each re-tokenized the TARGET corpus, and the totR action and λ
+    // each re-aggregated docBuckets: two full passes saved per call,
+    // replaced by two B-row materializations.
     val rawTot = docBuckets.groupBy(col("__b"))
       .agg(sum(col("__c")).as("__cr"))
+      .localCheckpoint(true)
     val tgtTot = gramBuckets(target, lit(0L), col(targetTextCol), buckets)
       .groupBy(col("__b")).agg(count(lit(1)).cast("double").as("__ct"))
+      .localCheckpoint(true)
     // integer-valued doubles < 2^53: both totals are exact
     val totR = Option(rawTot.agg(sum(col("__cr"))).head.get(0))
       .map(_.asInstanceOf[Double])
@@ -691,16 +698,14 @@ object Sampling {
       .map(_.asInstanceOf[Double])
       .getOrElse(throw new IllegalArgumentException(
         "dsirWeights: target corpus has no features"))
+    // λ is consumed once (the broadcast below) and both its inputs are
+    // checkpointed B-row frames — no checkpoint of its own needed
     val lam = rawTot.join(tgtTot, Seq("__b"), "left")
       .select(col("__b"),
         (log((coalesce(col("__ct"), lit(0.0)) + lit(smoothing))
           / lit(totT + smoothing * buckets))
           - log((col("__cr") + lit(smoothing))
             / lit(totR + smoothing * buckets))).as("__lam"))
-      // <= B rows; without this every downstream action re-tokenizes
-      // the TARGET corpus (tgtTot is the only frame not covered by the
-      // docBuckets checkpoint)
-      .localCheckpoint(true)
     docBuckets.join(broadcast(lam), "__b")
       .groupBy(col("__fid"))
       .agg(sum((col("__c") * col("__lam"))

@@ -83,6 +83,26 @@ class HypothesisStatsSpec extends SparkTestBase {
     assert(math.abs(rho - 0.5) < 1e-12)
   }
 
+  test("doubledMidranks: value-level 2B+cnt+1 equals row-level " +
+      "(2*sum(pos)) div cnt on heavy ties (r16 tie-equivalence proof)") {
+    val rnd = new scala.util.Random(41)
+    // ~8 distinct values over 500 rows: every group is a tie group
+    val df = (1 to 500).map(_ => rnd.nextInt(8) * 0.25)
+      .toDF("v").select(col("v")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("__v"))
+    val got = Analytics.doubledMidranks(df, "__r")
+      .orderBy("__v").collect()
+      .map(r => (r.getDecimal(0).toPlainString, r.getLong(1)))
+    // the replaced row-level formulation, verbatim
+    val want = Analytics.globalRowNumber(df, Seq("__v"), "__rn")
+      .groupBy("__v")
+      .agg(expr("(2 * sum(cast(__rn as decimal(38,0)))) div count(1)")
+        .as("__r"))
+      .orderBy("__v").collect()
+      .map(r => (r.getDecimal(0).toPlainString, r.getLong(1)))
+    assert(got === want)
+  }
+
   // ---- welchTTest ----
 
   test("welch: hand-computed two-sample statistic") {
