@@ -887,11 +887,12 @@ object SparkEntry {
         new java.sql.Timestamp(maxT.getTime + 48L * 3600 * 1000 + off)
       val root = java.nio.file.Files
         .createTempDirectory("graft_j2s").toString
-      val lStream = fileStream(s, root, "left", Seq(ev,
-        markerLike(ev, "ts", far(0)), markerLike(ev, "ts", far(1000))))
-      val rStream = fileStream(s, root, "right", Seq(quotes,
-        markerLike(quotes, "ts", far(0)),
-        markerLike(quotes, "ts", far(1000))))
+      // marker rides in the data batch (see streamTwinSource): the
+      // no-data flush batch replaces the two marker micro-batches
+      val lStream = fileStream(s, root, "left",
+        Seq(ev.unionByName(markerLike(ev, "ts", far(0)))))
+      val rStream = fileStream(s, root, "right",
+        Seq(quotes.unionByName(markerLike(quotes, "ts", far(0)))))
       val out = graft.streaming.StreamAsOf.backward(s,
         lStream, "user_id", "ts", "payload",
         rStream, "user_id", "ts", "value", watermark = "1 hour")
@@ -925,11 +926,12 @@ object SparkEntry {
         new java.sql.Timestamp(maxT.getTime + 48L * 3600 * 1000 + off)
       val root = java.nio.file.Files
         .createTempDirectory("graft_j1s").toString
-      val pStream = fileStream(s, root, "points", Seq(li,
-        markerLike(li, "p_ts", far(0)), markerLike(li, "p_ts", far(1000))))
-      val iStream = fileStream(s, root, "intervals", Seq(o,
-        markerLike(o, "i_start", far(0)),
-        markerLike(o, "i_start", far(1000))))
+      // marker rides in the data batch (see streamTwinSource): the
+      // no-data flush batch replaces the two marker micro-batches
+      val pStream = fileStream(s, root, "points",
+        Seq(li.unionByName(markerLike(li, "p_ts", far(0)))))
+      val iStream = fileStream(s, root, "intervals",
+        Seq(o.unionByName(markerLike(o, "i_start", far(0)))))
       val out = graft.streaming.StreamIntervalJoin.pointInInterval(
         pStream, "l_orderkey", "p_ts",
         iStream, "o_orderkey", "i_start", "i_end",
@@ -945,8 +947,8 @@ object SparkEntry {
     // feeds as j1s, joinType = left_outer: a point with no in-bound
     // interval is emitted ONCE, null-padded, when the interval-side
     // watermark proves none can still arrive (the far-future markers
-    // advance it past all real event time, and the second marker
-    // micro-batch flushes the state-store timeouts). Sealed result
+    // advance it past all real event time, and the engine's no-data
+    // flush batch fires the state-store timeouts). Sealed result
     // hash-matches the batch left-outer oracle. TPC-H ships lineitems
     // 1-121 days after the order, so ~3/4 of points genuinely fall
     // outside their order's 30-day interval — the null branch carries
@@ -967,11 +969,12 @@ object SparkEntry {
         new java.sql.Timestamp(maxT.getTime + 48L * 3600 * 1000 + off)
       val root = java.nio.file.Files
         .createTempDirectory("graft_j1so").toString
-      val pStream = fileStream(s, root, "points", Seq(li,
-        markerLike(li, "p_ts", far(0)), markerLike(li, "p_ts", far(1000))))
-      val iStream = fileStream(s, root, "intervals", Seq(o,
-        markerLike(o, "i_start", far(0)),
-        markerLike(o, "i_start", far(1000))))
+      // marker rides in the data batch (see streamTwinSource): the
+      // no-data flush batch replaces the two marker micro-batches
+      val pStream = fileStream(s, root, "points",
+        Seq(li.unionByName(markerLike(li, "p_ts", far(0)))))
+      val iStream = fileStream(s, root, "intervals",
+        Seq(o.unionByName(markerLike(o, "i_start", far(0)))))
       val out = graft.streaming.StreamIntervalJoin.pointInInterval(
         pStream, "l_orderkey", "p_ts",
         iStream, "o_orderkey", "i_start", "i_end",
@@ -1007,11 +1010,12 @@ object SparkEntry {
         new java.sql.Timestamp(maxT.getTime + 48L * 3600 * 1000 + off)
       val root = java.nio.file.Files
         .createTempDirectory("graft_j1sf").toString
-      val pStream = fileStream(s, root, "points", Seq(li,
-        markerLike(li, "p_ts", far(0)), markerLike(li, "p_ts", far(1000))))
-      val iStream = fileStream(s, root, "intervals", Seq(o,
-        markerLike(o, "i_start", far(0)),
-        markerLike(o, "i_start", far(1000))))
+      // marker rides in the data batch (see streamTwinSource): the
+      // no-data flush batch replaces the two marker micro-batches
+      val pStream = fileStream(s, root, "points",
+        Seq(li.unionByName(markerLike(li, "p_ts", far(0)))))
+      val iStream = fileStream(s, root, "intervals",
+        Seq(o.unionByName(markerLike(o, "i_start", far(0)))))
       val out = graft.streaming.StreamIntervalJoin.pointInInterval(
         pStream, "l_orderkey", "p_ts",
         iStream, "o_orderkey", "i_start", "i_end",
@@ -1190,9 +1194,17 @@ object SparkEntry {
       Seq((-1L, eid, new java.sql.Timestamp(maxTs.getTime + offMs), 50.0))
         .toDF("user_id", "event_id", "ts", "value")
     }
-    shipOne(ev, "b1", 1000000L)
-    shipOne(marker(-1L, 48L * 3600 * 1000), "b2", 2000000L)
-    shipOne(marker(-2L, 48L * 3600 * 1000 + 1000), "b3", 3000000L)
+    // r16 (guide §1.2 step 1: fewer passes/batches): the far-future
+    // marker rides IN the data batch — the watermark is computed from
+    // a batch's max event time at batch END, so one shipped file both
+    // delivers every real row (processed under the previous watermark,
+    // nothing dropped) and advances the watermark past all real event
+    // time; the engine's automatic no-data batch (shouldRunAnotherBatch
+    // on the watermark move) then fires every event-time timeout and
+    // emits the sealed rows. Replaces the (data, marker, marker)
+    // 3-file protocol: 4 micro-batches → 2, one shipped file per twin.
+    shipOne(ev.unionByName(marker(-1L, 48L * 3600 * 1000)),
+      "b1", 1000000L)
     val stream = s.readStream.schema(StructType(Seq(
         StructField("user_id", LongType),
         StructField("event_id", LongType),
@@ -1214,16 +1226,61 @@ object SparkEntry {
       out: DataFrame): DataFrame =
     runStreamTwinFiltered(s, root, out, col("user_id") >= 0)
 
+  /** State-partition count for a streaming twin, derived from the
+    * SHIPPED FEED's bytes (guide §2.2: derive partitioning from the
+    * input, never a constant) and capped at the session's parallelism
+    * — at scale the cap binds and keeps today's width; on a small feed
+    * it stops paying (stores × partitions × batches) lifecycle cost
+    * for partitions holding kilobytes. Measured on j1s (sf0.1, 32
+    * cpus): every micro-batch was a 32-task stage of state open/evict/
+    * commit at ~0.4 MB of feed per partition, and the 8-core driver
+    * run beating the 32-core run on every twin (BENCH_r15_c8) was the
+    * same fact. The per-partition byte target is ~1 MB — far below
+    * the guide's batch-shuffle band because state-store row operations
+    * cost ~two orders more per byte than a shuffle copy (measured
+    * ~0.5 s/MB of feed through insert+join+evict, vs ~10 ms/partition/
+    * batch of store lifecycle: the balance point is around a megabyte;
+    * a 64 MB target re-serialized the heavy batches, 64 KB re-bought
+    * the lifecycle tax — the r16 sweep is in OPTIMIZATION_r16.md).
+    * Overridable via graft.stream.statePartitionBytes.
+    */
+  private def twinStatePartitions(s: SparkSession, root: String): Int = {
+    val feedBytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(root))
+    }
+    val target = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(
+        s.conf.get("graft.stream.statePartitionBytes", "1MB"))
+    val byBytes = math.ceil(feedBytes.toDouble / target).toLong
+    math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+      byBytes)).toInt
+  }
+
   /** [[runStreamTwin]] with a caller-chosen seal filter (the stream-
     * stream twins key on other columns than `user_id`). */
   private def runStreamTwinFiltered(s: SparkSession, root: String,
       out: DataFrame, seal: Column): DataFrame = {
     val qn = java.nio.file.Paths.get(root).getFileName.toString
-    val q = out.writeStream.outputMode("append")
-      .format("memory").queryName(qn)
-      .option("checkpointLocation", root + "/ckpt").start()
-    q.processAllAvailable()
-    q.stop()
+    // pin the stateful-shuffle width for THIS query only (streaming
+    // reads it from the session conf at first batch and freezes it in
+    // the checkpoint; restore after so batch queries keep the session
+    // default) — see twinStatePartitions for the sizing rationale
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partsKey)
+    s.conf.set(partsKey, twinStatePartitions(s, root).toString)
+    try {
+      // restore only after stop(): the stream clones the session conf
+      // on ITS thread (an immediate restore would race the clone)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .option("checkpointLocation", root + "/ckpt").start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set(partsKey, prevParts)
     val sealedRows = s.table(qn).where(seal)
       .localCheckpoint(true)
     s.catalog.dropTempView(qn)
