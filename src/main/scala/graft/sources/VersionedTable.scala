@@ -2105,9 +2105,10 @@ object VersionedTable {
               }
             val posCand =
               if (newPos.isEmpty) Nil
-              else newPos.toSeq.flatMap(n =>
-                spark.read.parquet(s"$table/$n").select("__vt_file")
-                  .distinct().collect().map(_.getString(0)))
+              else spark.read
+                .parquet(newPos.toSeq.map(n => s"$table/$n"): _*)
+                .select("__vt_file")
+                .distinct().collect().map(_.getString(0)).toSeq
                 .filter(cur.contains)
             val cand = (eqCand ++ posCand).distinct
             (cand, cand)
@@ -2249,9 +2250,14 @@ object VersionedTable {
     // NAME; any rewrite produces fresh names, so stale entries never
     // match.
     if (posDels.nonEmpty) {
-      val positions = posDels.map(n => spark.read.parquet(s"$table/$n")
-          .select(col("__vt_file"), col("__vt_pos")))
-        .reduce(_ unionByName _).distinct()
+      // ONE multi-path read (r16): a read per layer file cost a
+      // schema-inference job each — a mirror that commits a layer per
+      // micro-batch made every snapshot read pay ~30 ms × layers of
+      // pure plan-time driver jobs
+      val positions = spark.read
+        .parquet(posDels.map(n => s"$table/$n"): _*)
+        .select(col("__vt_file"), col("__vt_pos"))
+        .distinct()
         .withColumn("__vt_dead", lit(1))
       cur = cur.join(positions, Seq("__vt_file", "__vt_pos"), "left")
         .where(col("__vt_dead").isNull).drop("__vt_dead")
@@ -2266,11 +2272,29 @@ object VersionedTable {
       }
       cur = cur.join(broadcast(fvDf), Seq("__vt_file"), "left")
       dels.groupBy(_._3).foreach { case (keyCols, group) =>
-        val keys = group.map { case (delFile, dv, _) =>
-          spark.read.parquet(s"$table/$delFile")
-            .select(keyCols.map(col): _*)
-            .withColumn("__vt_dv", lit(dv))
-        }.reduce(_ unionByName _)
+        // one read for the whole key-column group (same rationale as
+        // the position layer above); each file's delete version tags
+        // back on by file name — by a constant when the group is one
+        // file (the common young-layer case: no join needed)
+        val raw = spark.read
+          .parquet(group.map { case (delFile, _, _) =>
+            s"$table/$delFile" }: _*)
+        val tagged0 = group match {
+          case Seq((_, dv, _)) =>
+            raw.select(keyCols.map(col): _*)
+              .withColumn("__vt_dv", lit(dv))
+          case _ =>
+            val dvDf = {
+              import spark.implicits._
+              group.map { case (delFile, dv, _) => (delFile, dv) }
+                .toDF("__vt_dfile", "__vt_dv")
+            }
+            raw.select(keyCols.map(col) :+
+                element_at(split(col("_metadata.file_path"), "/"), -1)
+                  .as("__vt_dfile"): _*)
+              .join(broadcast(dvDf), Seq("__vt_dfile")).drop("__vt_dfile")
+        }
+        val keys = tagged0
           .groupBy(keyCols.map(col): _*)
           .agg(max(col("__vt_dv")).as("__vt_dv"))
         cur = cur.join(keys, keyCols, "left")
@@ -3848,9 +3872,10 @@ object VersionedTable {
     val posFiles = delPosLines(manifestLinesAt(spark, table, Some(v)))
     if (posFiles.isEmpty) return Map.empty
     cachedBitmaps(table, v, "pos") {
-      val df = posFiles.map(n => spark.read.parquet(s"$table/$n")
-          .select("__vt_file", "__vt_pos"))
-        .reduce(_ unionByName _)
+      // one multi-path read: a read per layer file costs a plan-time
+      // schema-inference job each (r16, same as readFilesDeleteAware)
+      val df = spark.read.parquet(posFiles.map(n => s"$table/$n"): _*)
+        .select("__vt_file", "__vt_pos")
       collectBitmaps(spark, df, table, maxBytes)
     }
   }
@@ -3920,11 +3945,28 @@ object VersionedTable {
         fvAll.getOrElse(n, Long.MaxValue) <= maxDv)
       if (candidates.isEmpty) None
       else {
-        val keys = group.map { case (delFile, dv, _) =>
-          spark.read.parquet(s"$table/$delFile")
-            .select(keyCols.map(col): _*)
-            .withColumn("__vt_dv", lit(dv))
-        }.reduce(_ unionByName _)
+        // one read per key-column group, version tagged by file name —
+        // by a constant when the group is one file (r16, same as
+        // readFilesDeleteAware)
+        val raw = spark.read
+          .parquet(group.map { case (delFile, _, _) =>
+            s"$table/$delFile" }: _*)
+        val tagged0 = group match {
+          case Seq((_, dv, _)) =>
+            raw.select(keyCols.map(col): _*)
+              .withColumn("__vt_dv", lit(dv))
+          case _ =>
+            val dvDf = {
+              import spark.implicits._
+              group.map { case (delFile, dv, _) => (delFile, dv) }
+                .toDF("__vt_dfile", "__vt_dv")
+            }
+            raw.select(keyCols.map(col) :+
+                element_at(split(col("_metadata.file_path"), "/"), -1)
+                  .as("__vt_dfile"): _*)
+              .join(broadcast(dvDf), Seq("__vt_dfile")).drop("__vt_dfile")
+        }
+        val keys = tagged0
           .groupBy(keyCols.map(col): _*)
           .agg(max(col("__vt_dv")).as("__vt_dv"))
         // declared schema so pre-evolution files missing a key column
