@@ -1244,21 +1244,9 @@ object SparkEntry {
     * the lifecycle tax — the r16 sweep is in OPTIMIZATION_r16.md).
     * Overridable via graft.stream.statePartitionBytes.
     */
-  private def twinStatePartitions(s: SparkSession, root: String): Int = {
-    val feedBytes = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-        else if (f.getName.endsWith(".parquet")) f.length() else 0L
-      walk(new java.io.File(root))
-    }
-    val target = org.apache.spark.network.util.JavaUtils
-      .byteStringAsBytes(
-        s.conf.get("graft.stream.statePartitionBytes", "1MB"))
-    val byBytes = math.ceil(feedBytes.toDouble / target).toLong
-    math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
-      byBytes)).toInt
-  }
+  private def twinStatePartitions(s: SparkSession, root: String): Int =
+    graft.streaming.StreamTune.partitionsFor(s,
+      graft.streaming.StreamTune.dirParquetBytes(root))
 
   /** [[runStreamTwin]] with a caller-chosen seal filter (the stream-
     * stream twins key on other columns than `user_id`). */
@@ -1266,21 +1254,16 @@ object SparkEntry {
       out: DataFrame, seal: Column): DataFrame = {
     val qn = java.nio.file.Paths.get(root).getFileName.toString
     // pin the stateful-shuffle width for THIS query only (streaming
-    // reads it from the session conf at first batch and freezes it in
-    // the checkpoint; restore after so batch queries keep the session
-    // default) — see twinStatePartitions for the sizing rationale
-    val partsKey = "spark.sql.shuffle.partitions"
-    val prevParts = s.conf.get(partsKey)
-    s.conf.set(partsKey, twinStatePartitions(s, root).toString)
-    try {
-      // restore only after stop(): the stream clones the session conf
-      // on ITS thread (an immediate restore would race the clone)
-      val q = out.writeStream.outputMode("append")
+    // freezes it into the checkpoint at first batch; the sizing
+    // rationale and the synchronous-clone proof live in StreamTune)
+    val q = graft.streaming.StreamTune.pinnedStart(s,
+      graft.streaming.StreamTune.dirParquetBytes(root)) {
+      out.writeStream.outputMode("append")
         .format("memory").queryName(qn)
         .option("checkpointLocation", root + "/ckpt").start()
-      q.processAllAvailable()
-      q.stop()
-    } finally s.conf.set(partsKey, prevParts)
+    }
+    q.processAllAvailable()
+    q.stop()
     val sealedRows = s.table(qn).where(seal)
       .localCheckpoint(true)
     s.catalog.dropTempView(qn)
@@ -1543,9 +1526,12 @@ object SparkEntry {
       val stream = s.readStream.schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType))))
         .option("maxFilesPerTrigger", 1).parquet(src)
-      val q = graft.streaming.NearDupFeed.startGate(s, stream,
-        root + "/idx", "doc_id", "text", threshold = 1.0,
-        checkpoint = root + "/ckpt")
+      val q = graft.streaming.StreamTune.pinnedStart(s,
+        graft.streaming.StreamTune.dirParquetBytes(src)) {
+        graft.streaming.NearDupFeed.startGate(s, stream,
+          root + "/idx", "doc_id", "text", threshold = 1.0,
+          checkpoint = root + "/ckpt")
+      }
       q.awaitTermination(300000)
       graft.streaming.NearDupFeed.readDecisions(s, root + "/idx")
         .orderBy("doc_id")
@@ -1836,8 +1822,11 @@ object SparkEntry {
       val stream = fileStreamBatches(s, root, Seq(
         emb.where(col("vec_id") % 4 === 1),
         emb.where(col("vec_id") % 4 === 3)))
-      val fq = graft.streaming.AnnFeed.startAppend(s, stream, idxDir,
-        "vec_id", "embedding", root + "/ckpt")
+      val fq = graft.streaming.StreamTune.pinnedStart(s,
+        graft.streaming.StreamTune.dirParquetBytes(root + "/src")) {
+        graft.streaming.AnnFeed.startAppend(s, stream, idxDir,
+          "vec_id", "embedding", root + "/ckpt")
+      }
       fq.awaitTermination(300000) // AvailableNow self-terminates
       val h = AnnIndex.load(s, idxDir, "vec_id", "embedding")
       val q = emb.where(col("vec_id") < 5)
@@ -2141,9 +2130,12 @@ object SparkEntry {
       val stream = fileStreamBatches(s, root, Seq(
         ev.where(col("event_id") % 2 === 0).drop("event_id"),
         ev.where(col("event_id") % 2 === 1).drop("event_id")))
-      val fq = graft.streaming.SketchFeed.startTheta(s, stream,
-        "ts", "slot", windowSeconds = 86400L, k = 4096,
-        table = table, checkpoint = root + "/ckpt")
+      val fq = graft.streaming.StreamTune.pinnedStart(s,
+        graft.streaming.StreamTune.dirParquetBytes(root + "/src")) {
+        graft.streaming.SketchFeed.startTheta(s, stream,
+          "ts", "slot", windowSeconds = 86400L, k = 4096,
+          table = table, checkpoint = root + "/ckpt")
+      }
       fq.awaitTermination(300000) // AvailableNow self-terminates
       val out = graft.sources.VersionedTable.read(s, table)
         .select(col("w_start"),
@@ -2170,10 +2162,13 @@ object SparkEntry {
       val stream = fileStreamBatches(s, root, Seq(
         ev.where(col("event_id") % 2 === 0).drop("event_id"),
         ev.where(col("event_id") % 2 === 1).drop("event_id")))
-      val fq = graft.streaming.SketchFeed.startCountMin(s, stream,
-        "ts", "event_type", windowSeconds = 86400L,
-        depth = 4, width = 4096, table = table,
-        checkpoint = root + "/ckpt")
+      val fq = graft.streaming.StreamTune.pinnedStart(s,
+        graft.streaming.StreamTune.dirParquetBytes(root + "/src")) {
+        graft.streaming.SketchFeed.startCountMin(s, stream,
+          "ts", "event_type", windowSeconds = 86400L,
+          depth = 4, width = 4096, table = table,
+          checkpoint = root + "/ckpt")
+      }
       fq.awaitTermination(300000) // AvailableNow self-terminates
       val probes = ev.select(
         expr("(unix_micros(ts) div 86400000000L) * 86400000000L")
@@ -4688,9 +4683,12 @@ object SparkEntry {
       val stream = s.readStream.schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType))))
         .parquet(src)
-      val q = graft.streaming.DecontaminateFeed.startScore(s, stream,
-        root + "/idx", "doc_id", "text", maxOverlap = 0.5,
-        checkpoint = root + "/ckpt")
+      val q = graft.streaming.StreamTune.pinnedStart(s,
+        graft.streaming.StreamTune.dirParquetBytes(src)) {
+        graft.streaming.DecontaminateFeed.startScore(s, stream,
+          root + "/idx", "doc_id", "text", maxOverlap = 0.5,
+          checkpoint = root + "/ckpt")
+      }
       q.awaitTermination(300000)
       graft.streaming.DecontaminateFeed.readDecisions(s, root + "/idx")
         .orderBy("doc_id")

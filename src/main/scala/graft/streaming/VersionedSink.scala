@@ -232,7 +232,19 @@ object VersionedSink {
   def startReplicateCDF(spark: org.apache.spark.sql.SparkSession,
       src: String, dst: String, writerId: String, key: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    // feed-sized shuffle width for the mirror's per-batch window/merge
+    // shuffles (r16, see StreamTune): sized from the SOURCE table's
+    // bytes — the upper bound of what a full resync batch carries
+    StreamTune.pinnedStart(spark, StreamTune.dirParquetBytes(src)) {
+      startReplicateCDFUnpinned(spark, src, dst, writerId, key,
+        checkpoint, trigger)
+    }
+
+  private def startReplicateCDFUnpinned(
+      spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String, writerId: String, key: String,
+      checkpoint: String, trigger: Trigger): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, row_number}
     spark.readStream.format("graft-table")
       .option("readChangeFeed", "true").load(src)
