@@ -938,8 +938,11 @@ object SparkEntry {
         watermark = "1 hour", maxDuration = "31 days",
         select = Seq(col("p.l_orderkey"), col("p.l_linenumber"),
           col("i.o_totalprice")))
-      runStreamTwinFiltered(s, root, out, col("l_orderkey") >= 0,
-        fileSink = true)
+      // memory sink (r16 A/B): j1s's INNER output is ~7k rows at
+      // sf0.1 — the per-batch file-commit overhead outweighed the
+      // driver append (5.3 vs 3.6 s full-run); the file sink is for
+      // the outer twins' 600-743k-row outputs
+      runStreamTwinFiltered(s, root, out, col("l_orderkey") >= 0)
         .orderBy("l_orderkey", "l_linenumber", "o_totalprice")
     }),
 
